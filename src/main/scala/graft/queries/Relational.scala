@@ -1,0 +1,486 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** Batch relational operator inventory — SURVEY.md §2.3-2.8.
+  *
+  * Each entry is one named query in [[graft.SparkEntry.queries]] paired with
+  * an ANSI-SQL DuckDB oracle. Conventions for oracle parity (SURVEY §5,
+  * FIXTURES.md §3):
+  *
+  *  - Deterministic aggregates only: the reference's `last()` becomes
+  *    `max_by(x, ts)` / DuckDB `arg_max` (reference: images/spark/Code/spark/
+  *    etl.py:39-40).
+  *  - Order-dependent floating sums are computed as exact integer cents
+  *    (`sum(cast(round(x*100) as long))/100.0`): IEEE addition is not
+  *    associative, so a shuffle-order double sum can differ between engines
+  *    (and between Spark runs at different parallelism); integer sums are
+  *    exact and reproducible at any scale/partitioning.
+  *  - Single-row scalar expressions are IEEE-deterministic — left unrounded.
+  *    Transcendental functions (log) round to 6 dp (libm vs java.lang.Math
+  *    may differ in the last ulp).
+  *  - Every query ends in a total `orderBy` so the written parquet is
+  *    reproducible row-for-row.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum of a 2-decimal double column, in cents. */
+  private def sumCents(c: Column): Column = sum(round(c * 100).cast("long"))
+
+  // ---------------------------------------------------------------------
+  // A5/A1-style grouped aggregation over the fact table (reference:
+  // Superset datasets "Top trading volume" / "Total volume trading in day";
+  // shape of TPC-H Q1 over lineitem).
+  private def a5PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sumCents(col("l_quantity")) / 100.0).as("sum_qty"),
+        (sumCents(col("l_extendedprice")) / 100.0).as("sum_base_price"),
+        (sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 100.0)
+          .as("sum_disc_price"),
+        (sumCents(col("l_quantity")) / 100.0 / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val a5PricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+      |  sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
+      |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0/count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J3: multi-way star equi-join (reference: Superset "FACT" dataset SQL —
+  // fact ⋈ dimdate ⋈ dimcoin ⋈ dimtime). nation/region are broadcast by
+  // Catalyst (dim side ≪ 10 MB); the lineitem⋈orders spine shuffles on the
+  // join key, which is the partition-parallel plan we'd want at 100 TB.
+  private def j3StarRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        (sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 100.0)
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val j3StarRevenueSql =
+    """SELECT r_name, n_name,
+      |  sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders, count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J1 + P5/P6: stream-static broadcast enrichment, batch shape (reference:
+  // images/spark/Code/spark/etl.py:56-60 — tick ⋈ broadcast(dimcoin), smart
+  // keys date_id/time_id, market_cap = price*supply). The dimension is tiny
+  // and explicitly broadcast, so the fact side never shuffles.
+  private[queries] def eventTypeDim(s: SparkSession, dir: String): DataFrame = {
+    // row_number over a global window is fine here: input = distinct event
+    // types (a handful of rows), mirroring the reference's coin-id
+    // assignment (reference: populate_dim.py:91-93). Never used on fact-
+    // sized input.
+    t(s, dir, "events").select(col("event_type")).distinct()
+      .withColumn("type_id", row_number().over(Window.orderBy(col("event_type"))))
+      .withColumn("supply", col("type_id") * lit(1000.0))
+  }
+
+  private def j1BroadcastEnrich(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val dim = eventTypeDim(s, dir)
+    e.join(broadcast(dim), Seq("event_type"), "left")
+      .select(
+        col("event_id"),
+        col("type_id").as("coin_id"),
+        (year(col("ts")) * 10000 + month(col("ts")) * 100 + dayofmonth(col("ts")))
+          .as("date_id"),
+        (hour(col("ts")) * 10000 + minute(col("ts")) * 100 + second(col("ts")))
+          .as("time_id"),
+        col("value").as("price"),
+        (col("value") * col("supply")).as("market_cap"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j1BroadcastEnrichSql =
+    """WITH dim AS (
+      |  SELECT event_type,
+      |         row_number() OVER (ORDER BY event_type) AS type_id,
+      |         row_number() OVER (ORDER BY event_type) * 1000.0 AS supply
+      |  FROM (SELECT DISTINCT event_type FROM events)
+      |)
+      |SELECT e.event_id, d.type_id AS coin_id,
+      |  year(e.ts)*10000 + month(e.ts)*100 + day(e.ts) AS date_id,
+      |  hour(e.ts)*10000 + minute(e.ts)*100 + second(e.ts) AS time_id,
+      |  e.value AS price, e.value * d.supply AS market_cap
+      |FROM events e LEFT JOIN dim d USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J2: left-anti join — new-key detection (reference: populate_dim.py:84-88
+  // anti-join on ['name','symbol'] for unseen coins).
+  private def j2AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  private val j2AntiJoinSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // J2b: left-semi join (EXISTS) — complement of the anti path, needed by a
+  // user replacing the reference's NOT-EXISTS flows with EXISTS.
+  private def j2SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(
+        t(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val j2SemiJoinSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // O3: top-k by aggregate (reference: Superset "Top trading volume" —
+  // MAX(volume24h) GROUP BY symbol, row_limit 10). Spark plans
+  // TakeOrderedAndProject: only k rows cross the final exchange.
+  private def o3TopkCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg((sumCents(col("o_totalprice")) / 100.0).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(10)
+
+  private val o3TopkCustomersSql =
+    """SELECT o_custkey,
+      |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_spend,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin
+
+  // O2: multi-column descending report feed (reference: Superset "FACT"
+  // dataset — ORDER BY CalendarDate DESC, Time DESC with row limit).
+  private def o2ReportFeed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(100)
+
+  private val o2ReportFeedSql =
+    """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W1: row_number partition-window — last tick per (key, day) (reference:
+  // images/spark/Code/spark/udf.py:27-46, previous-day close extraction).
+  private def w1LastTickPerDay(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), to_date(col("ts")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        col("value").as("close"), col("event_id"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  private val w1LastTickPerDaySql =
+    """SELECT event_type, CAST(ts AS DATE) AS d, value AS close, event_id
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, CAST(ts AS DATE)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY event_type, d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W5: lag / returns (reference: Garch_v1.ipynb cell 9 pct_change,
+  // test5.ipynb cell 2 log-returns via Close.shift(1)).
+  private def w5LogReturns(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    daily
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("d"),
+        round(log(col("close") / col("prev")), 6).as("log_return"),
+        round((col("close") - col("prev")) / col("prev") * 100.0, 6).as("pct_change"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  private val w5LogReturnsSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (
+      |  SELECT event_type, d, close,
+      |         lag(close, 1) OVER (PARTITION BY event_type ORDER BY d) AS prev
+      |  FROM daily)
+      |SELECT event_type, d, round(ln(close/prev), 6) AS log_return,
+      |       round((close-prev)/prev*100.0, 6) AS pct_change
+      |FROM lagged WHERE prev IS NOT NULL ORDER BY event_type, d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A4: grouped MAX at a time grain (reference: Superset "Change percent" —
+  // MAX(change_percent_last_day) GROUP BY name, symbol, date_trunc('day',..)).
+  private def a4GroupedMaxGrain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("day"))
+
+  private val a4GroupedMaxGrainSql =
+    """SELECT event_type, date_trunc('day', ts) AS day,
+      |  max(value) AS max_value, min(value) AS min_value, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A3: COUNT(DISTINCT) (reference: Superset "Streaming coins number").
+  private def a3DistinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  private val a3DistinctUsersSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // A2: global scalar MAX (reference: populate_dim.py:67,147 —
+  // `agg(max(...)).collect()[0][0]`; kept as a 1-row frame, never collected).
+  private def a2ScalarMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .agg(max(col("o_orderkey")).as("max_orderkey"),
+        max(col("o_totalprice")).as("max_totalprice"),
+        min(col("o_orderdate")).as("first_orderdate"))
+
+  private val a2ScalarMaxSql =
+    """SELECT max(o_orderkey) AS max_orderkey, max(o_totalprice) AS max_totalprice,
+      |  min(o_orderdate) AS first_orderdate FROM orders""".stripMargin
+
+  // A6: exact percentiles (reference: code.ipynb latency mean/median).
+  private def a6Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+        (sumCents(col("value")) / 100.0 / count(lit(1))).as("mean_value"))
+      .orderBy(col("event_type"))
+
+  private val a6PercentilesSql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS mean_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Set op: UNION ALL by name (reference §2.8: pandas pd.concat splicing
+  // history + forecast frames → unionByName).
+  private def setUnionSegments(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def daily(et: String, tag: String) =
+      e.filter(col("event_type") === et)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("series", lit(tag))
+        .select(col("series"), col("d"), col("n"))
+    daily("purchase", "actual")
+      .unionByName(daily("signup", "forecast"))
+      .orderBy(col("series"), col("d"))
+  }
+
+  private val setUnionSegmentsSql =
+    """SELECT 'actual' AS series, CAST(ts AS DATE) AS d, count(*) AS n
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 2
+      |UNION ALL
+      |SELECT 'forecast' AS series, CAST(ts AS DATE) AS d, count(*) AS n
+      |  FROM events WHERE event_type = 'signup' GROUP BY 2
+      |ORDER BY series, d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P4: timezone shift (reference: etl.py:25 —
+  // from_utc_timestamp(ts, 'Asia/Ho_Chi_Minh'); fixed UTC+7, no DST).
+  private def p4TzShift(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        from_utc_timestamp(col("ts"), "Asia/Ho_Chi_Minh").as("ts_local"))
+      .groupBy(hour(col("ts_local")).as("hour_local"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("hour_local"))
+
+  private val p4TzShiftSql =
+    """SELECT hour(ts + INTERVAL 7 HOUR) AS hour_local, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY hour_local""".stripMargin
+
+  // P12/P13: null defaulting + rename/reorder (reference: utils.py:27-30
+  // maxSupply sentinel; populate_dim.py:83,94 drop/rename/toDF).
+  private def p12NullDefault(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("bal_or_null",
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      .select(
+        col("c_custkey").as("id"),
+        col("c_name").as("name"),
+        coalesce(col("bal_or_null"), lit(0.0)).as("balance"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER"))
+          .as("segment"))
+      .orderBy(col("id"))
+
+  private val p12NullDefaultSql =
+    """SELECT c_custkey AS id, c_name AS name,
+      |  coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS balance,
+      |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment
+      |FROM customer ORDER BY id""".stripMargin
+
+  // P14/P2: JSON field extraction (reference: etl.py:21-22 from_json on the
+  // Kafka payload; TimeDelay.ipynb delta-log stats extraction).
+  private def p14JsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val p14JsonPropsSql =
+    """SELECT event_type,
+      |  sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+      |  max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // P11/S3: filtered, projected scan — predicate + column pruning reach the
+  // parquet reader (PushedFilters/ReadSchema in .explain; reference:
+  // udf.py:37 date filter, populate_dim.py:141 is_current filter).
+  private def p11FilterPushdown(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val p11FilterPushdownSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // P3/S5: cast chains (reference: etl.py:23-24 price string→double +
+  // epoch→timestamp; udf.py:90-97 OHLCV casts).
+  private def p3CastChain(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("value").cast("string").cast("double").as("price"),
+        to_date(col("ts")).as("d"),
+        col("user_id").cast("int").as("uid"),
+        date_trunc("second", col("ts")).as("ts_sec"))
+      .orderBy(col("event_id"))
+
+  private val p3CastChainSql =
+    """SELECT event_id, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS price,
+      |  CAST(ts AS DATE) AS d, CAST(user_id AS INT) AS uid,
+      |  date_trunc('second', ts) AS ts_sec
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A1 (batch shape): 1-minute tumbling bars with deterministic close
+  // (reference: etl.py:34-41 — groupBy(window(ts,'1 minute')).agg(avg,last);
+  // `last` replaced by max_by for oracle parity, SURVEY §5).
+  private[queries] def a1MinuteBars(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("minute", col("ts")).as("window_start"))
+      .agg(
+        (sumCents(col("value")) / 100.0 / count(lit(1))).as("average_1minute"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("event_type"), col("window_start"))
+
+  private[queries] val a1MinuteBarsSql =
+    """SELECT event_type, date_trunc('minute', ts) AS window_start,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS average_1minute,
+      |  arg_max(value, ts) AS close, count(*) AS n_ticks
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "a5_pricing_summary" -> a5PricingSummary _,
+    "j3_star_revenue" -> j3StarRevenue _,
+    "j1_broadcast_enrich" -> j1BroadcastEnrich _,
+    "j2_anti_join" -> j2AntiJoin _,
+    "j2_semi_join" -> j2SemiJoin _,
+    "o3_topk_customers" -> o3TopkCustomers _,
+    "o2_report_feed" -> o2ReportFeed _,
+    "w1_last_tick_per_day" -> w1LastTickPerDay _,
+    "w5_log_returns" -> w5LogReturns _,
+    "a4_grouped_max_grain" -> a4GroupedMaxGrain _,
+    "a3_distinct_users" -> a3DistinctUsers _,
+    "a2_scalar_max" -> a2ScalarMax _,
+    "a6_percentiles" -> a6Percentiles _,
+    "set_union_segments" -> setUnionSegments _,
+    "p4_tz_shift" -> p4TzShift _,
+    "p12_null_default" -> p12NullDefault _,
+    "p14_json_props" -> p14JsonProps _,
+    "p11_filter_pushdown" -> p11FilterPushdown _,
+    "p3_cast_chain" -> p3CastChain _,
+    "a1_minute_bars" -> (a1MinuteBars _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a5_pricing_summary" -> a5PricingSummarySql,
+    "j3_star_revenue" -> j3StarRevenueSql,
+    "j1_broadcast_enrich" -> j1BroadcastEnrichSql,
+    "j2_anti_join" -> j2AntiJoinSql,
+    "j2_semi_join" -> j2SemiJoinSql,
+    "o3_topk_customers" -> o3TopkCustomersSql,
+    "o2_report_feed" -> o2ReportFeedSql,
+    "w1_last_tick_per_day" -> w1LastTickPerDaySql,
+    "w5_log_returns" -> w5LogReturnsSql,
+    "a4_grouped_max_grain" -> a4GroupedMaxGrainSql,
+    "a3_distinct_users" -> a3DistinctUsersSql,
+    "a2_scalar_max" -> a2ScalarMaxSql,
+    "a6_percentiles" -> a6PercentilesSql,
+    "set_union_segments" -> setUnionSegmentsSql,
+    "p4_tz_shift" -> p4TzShiftSql,
+    "p12_null_default" -> p12NullDefaultSql,
+    "p14_json_props" -> p14JsonPropsSql,
+    "p11_filter_pushdown" -> p11FilterPushdownSql,
+    "p3_cast_chain" -> p3CastChainSql,
+    "a1_minute_bars" -> a1MinuteBarsSql
+  )
+}

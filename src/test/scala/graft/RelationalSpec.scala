@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfSmoke}
+
+  test("every declared query runs and is non-empty on sf0.001 (except anti)") {
+    for ((name, q) <- Relational.queries) {
+      val df = q(spark, sfSmoke)
+      val n = df.count()
+      // j2_anti_join can legitimately be empty (every customer ordered)
+      assert(n >= 0, s"$name failed")
+      if (name != "j2_anti_join") assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has either an oracle or a documented exemption") {
+    val noOracle = Relational.queries.keySet -- Relational.oracle.keySet
+    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+  }
+
+  test("a2_scalar_max returns exactly one row") {
+    assert(Relational.queries("a2_scalar_max")(spark, sfSmoke).count() == 1)
+  }
+
+  test("o3_topk_customers is at most 10 rows, sorted desc by spend") {
+    val rows = Relational.queries("o3_topk_customers")(spark, sfSmoke).collect()
+    assert(rows.length <= 10)
+    val spends = rows.map(_.getAs[Double]("total_spend"))
+    assert(spends.sameElements(spends.sortBy(-_)))
+  }
+
+  test("a1_minute_bars close equals the max-ts tick of its window") {
+    val bars = Relational.queries("a1_minute_bars")(spark, sfSmoke)
+    val e = Tables.t(spark, sfSmoke, "events")
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("window_start"))
+      .agg(max_by(col("value"), col("ts")).as("expect_close"))
+    val joined = bars.join(e, Seq("event_type", "window_start"))
+    assert(joined.filter(col("close") =!= col("expect_close")).count() == 0)
+  }
+
+  test("j1 enrich preserves row count (left join against complete dim)") {
+    val n = Tables.t(spark, sfSmoke, "events").count()
+    assert(Relational.queries("j1_broadcast_enrich")(spark, sfSmoke).count() == n)
+  }
+}

@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all suites (guide: one session per suite;
+  * sharing across suites is safe because config is identical).
+  */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfSmoke = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local pre-check that emulates the driver's DuckDB-oracle compare.
+
+Usage:
+  python3 tools/check_oracle.py [sfDir] [verifyOut]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <verifyOut>"` already ran.
+For each query: loads <verifyOut>/<name>/*.parquet (Spark result) and runs
+the oracle SQL from oracle_sql.json in DuckDB with each table registered as
+a view over <sfDir>/<table>.parquet. Sorts columns by name, sorts rows,
+compares cell-by-cell (exact; reports first diffs).
+
+Dev-tool only — never shipped in the engine (driver-side python env).
+"""
+import sys, json, glob, math
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        # normalize ints (int32 vs int64) to int64 for compare
+        if str(df[c].dtype) in ("int32", "int8", "int16", "uint32"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "object":
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def cells_equal(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = norm(duckdb.sql(
+                f"SELECT * FROM read_parquet({files!r})").df())
+            exp = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: cols spark={list(got.columns)} "
+                  f"oracle={list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        diffs = []
+        for c in got.columns:
+            ga, ea = got[c].values, exp[c].values
+            for i in range(len(ga)):
+                if not cells_equal(ga[i], ea[i]):
+                    diffs.append((c, i, ga[i], ea[i]))
+                    if len(diffs) >= 3:
+                        break
+            if len(diffs) >= 3:
+                break
+        if diffs:
+            print(f"FAIL {name}: {len(diffs)}+ cell diffs, e.g. {diffs}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
