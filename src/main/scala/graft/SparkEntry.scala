@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{Dimensions, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
-    (Relational.queries, Relational.oracle)
+    (Relational.queries, Relational.oracle),
+    (Dimensions.queries, Dimensions.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -114,11 +114,11 @@ object Relational {
     e.join(broadcast(dim), Seq("event_type"), "left")
       .select(
         col("event_id"),
-        col("type_id").as("coin_id"),
+        col("type_id").cast("long").as("coin_id"),
         (year(col("ts")) * 10000 + month(col("ts")) * 100 + dayofmonth(col("ts")))
-          .as("date_id"),
+          .cast("long").as("date_id"),
         (hour(col("ts")) * 10000 + minute(col("ts")) * 100 + second(col("ts")))
-          .as("time_id"),
+          .cast("long").as("time_id"),
         col("value").as("price"),
         (col("value") * col("supply")).as("market_cap"))
       .orderBy(col("event_id"))
@@ -340,7 +340,7 @@ object Relational {
     t(s, dir, "events")
       .select(col("event_id"),
         from_utc_timestamp(col("ts"), "Asia/Ho_Chi_Minh").as("ts_local"))
-      .groupBy(hour(col("ts_local")).as("hour_local"))
+      .groupBy(hour(col("ts_local")).cast("long").as("hour_local"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("hour_local"))
 
