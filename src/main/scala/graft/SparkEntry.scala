@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dimensions, Relational}
+import graft.queries.{Dimensions, Relational, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,12 +17,16 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
-    (Dimensions.queries, Dimensions.oracle)
+    (Dimensions.queries, Dimensions.oracle),
+    (StreamingQueries.queries, StreamingQueries.oracle)
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the real two-hop Structured Streaming pipeline (bronze bars →
+    * enriched fact) and returns the fact table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("a1_minute_bars")(spark, "/root/testdata/sf0.001")
+    queries("k2_stream_fact")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
