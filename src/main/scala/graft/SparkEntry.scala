@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dimensions, Relational, StreamingQueries}
+import graft.queries.{Dimensions, Relational, StreamingQueries, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,8 @@ object SparkEntry {
     Map[String, String])] = Seq(
     (Relational.queries, Relational.oracle),
     (Dimensions.queries, Dimensions.oracle),
-    (StreamingQueries.queries, StreamingQueries.oracle)
+    (StreamingQueries.queries, StreamingQueries.oracle),
+    (TimeSeries.queries, TimeSeries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+import graft.functions.TimeSeriesStats
+
+/** Time-series analytics — SURVEY.md §2.6 W4/W5, §2.10 (the notebook
+  * econometrics re-expressed in-engine): daily OHLCV roll-ups, rolling
+  * moving statistics, naive-forecast rolling-origin backtest with
+  * mae/rmse/smape, GARCH(1,1) MLE, and stationarity/autocorrelation
+  * diagnostics.
+  *
+  * The OHLCV/rolling/backtest queries are DuckDB-oracled; the model fits
+  * (`ts_garch_fit`, `ts_diagnostics`) are not SQL-expressible, so they are
+  * declared without oracle (driver rows-only check) and unit-tested against
+  * numeric invariants in TimeSeriesSpec.
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Daily close series per event_type, the shared input (reference:
+    * udf.py:85-99 daily OHLCV load; FIXTURES §2 daily roll-up mapping).
+    */
+  private def dailyClose(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(max_by(col("value"), col("ts")).as("close"))
+
+  // ---------------------------------------------------------------------
+  // OHLCV candles (reference: dailybitcoin/dailyethereum tables,
+  // query.sql:10-11; udf.py:85-99).
+  private def tsOhlcvDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("event_type"), col("d"))
+
+  private val tsOhlcvDailySql =
+    """SELECT event_type, CAST(ts AS DATE) AS d,
+      |  arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+      |  arg_max(value, ts) AS close,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS volume,
+      |  count(*) AS n_ticks
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // W4: rolling 12-row moving average / stddev over the daily close
+  // (reference: garch_model_v4.ipynb cell 4 rolling(12) mean/std;
+  // dashboard "BTC price with MA"). Mean uses the exact cents sum; stddev
+  // rounds to 6 dp (engine accumulation orders differ at ~1e-15).
+  private def w4MovingStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val frame = w.rowsBetween(-11, 0)
+    dailyClose(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ma_12",
+        sum(round(col("close") * 100).cast("long")).over(frame) / 100.0 / 12.0)
+      .withColumn("sd_12", round(stddev(col("close")).over(frame), 6))
+      .filter(col("rn") >= 12)
+      .select(col("event_type"), col("d"), col("close"), col("ma_12"),
+        col("sd_12"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  private val w4MovingStatsSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |roll AS (
+      |  SELECT event_type, d, close,
+      |    row_number() OVER w AS rn,
+      |    sum(CAST(round(close*100) AS BIGINT))
+      |      OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)/100.0/12.0 AS ma_12,
+      |    round(stddev(close)
+      |      OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6) AS sd_12
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d))
+      |SELECT event_type, d, close, ma_12, sd_12 FROM roll
+      |WHERE rn >= 12 ORDER BY event_type, d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Rolling-origin backtest with the naive (last-value) forecast — the
+  // SQL-expressible core of the reference's cross-validation loop
+  // (reference: Garch_v1.ipynb cells 23-26,49: h-step CV + mae/mape/rmse/
+  // smape). Forecast(d) = close(d-1); evaluation window = last 10 days.
+  private def tsNaiveBacktest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    dailyClose(s, dir)
+      .withColumn("forecast", lag(col("close"), 1).over(w))
+      .filter(col("forecast").isNotNull && col("d") >= lit("2024-01-21"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(abs(col("close") - col("forecast"))), 6).as("mae"),
+        round(avg(abs(col("close") - col("forecast"))
+          / col("close") * 100.0), 6).as("mape"),
+        round(sqrt(avg(pow(col("close") - col("forecast"), 2))), 6).as("rmse"),
+        round(avg(abs(col("close") - col("forecast"))
+          / ((abs(col("close")) + abs(col("forecast"))) / 2.0) * 100.0), 6)
+          .as("smape"),
+        count(lit(1)).as("n_folds"))
+      .orderBy(col("event_type"))
+  }
+
+  private val tsNaiveBacktestSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |folds AS (
+      |  SELECT event_type, d, close,
+      |         lag(close, 1) OVER (PARTITION BY event_type ORDER BY d) AS forecast
+      |  FROM daily)
+      |SELECT event_type,
+      |  round(avg(abs(close - forecast)), 6) AS mae,
+      |  round(avg(abs(close - forecast)/close*100.0), 6) AS mape,
+      |  round(sqrt(avg(pow(close - forecast, 2))), 6) AS rmse,
+      |  round(avg(abs(close - forecast)/((abs(close)+abs(forecast))/2.0)*100.0), 6) AS smape,
+      |  count(*) AS n_folds
+      |FROM folds WHERE forecast IS NOT NULL AND d >= DATE '2024-01-21'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // GARCH(1,1) volatility fit per key over daily log-returns (reference:
+  // test5.ipynb cell 10, Garch_v1.ipynb cells 21-37). groupByKey.mapGroups
+  // runs one in-memory MLE per key in parallel across executors — the
+  // per-key series is small (days), the number of keys is what scales.
+  // Not SQL-expressible → no oracle; invariants in TimeSeriesSpec.
+  private def tsGarchFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val rets = dailyClose(s, dir)
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        datediff(col("d"), to_date(lit("2024-01-01"))).as("td"),
+        log(col("close") / col("prev")).as("r"))
+      .as[(String, Int, Double)]
+    rets.groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val series = it.map(x => (x._2, x._3)).toArray.sortBy(_._1).map(_._2)
+        val fit = TimeSeriesStats.fitGarch11(series)
+        val fvar = TimeSeriesStats.garchForecastVariance(fit, series, 1)
+        (k, fit.omega, fit.alpha, fit.beta, fit.loglik, fvar, fit.n)
+      }
+      .toDF("event_type", "omega", "alpha", "beta", "loglik",
+        "forecast_var_1d", "n_obs")
+      .orderBy(col("event_type"))
+  }
+
+  // Stationarity & autocorrelation diagnostics per key (reference:
+  // Garch_v1.ipynb cells 7,15 ADF + Ljung-Box; test5.ipynb cell 8 het_arch).
+  private def tsDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val rets = dailyClose(s, dir)
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .select(col("event_type"),
+        datediff(col("d"), to_date(lit("2024-01-01"))).as("td"),
+        col("close"),
+        when(col("prev").isNotNull, log(col("close") / col("prev"))).as("r"))
+      .as[(String, Int, Double, Option[Double])]
+    rets.groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val closes = rows.map(_._3)
+        val r = rows.flatMap(_._4)
+        (k, TimeSeriesStats.adfTStat(closes), TimeSeriesStats.adfTStat(r),
+          TimeSeriesStats.ljungBox(r, 10), TimeSeriesStats.archLmStat(r),
+          closes.length.toLong)
+      }
+      .toDF("event_type", "adf_t_close", "adf_t_returns", "ljung_box_q10",
+        "arch_lm", "n_obs")
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "ts_ohlcv_daily" -> tsOhlcvDaily _,
+    "w4_moving_stats" -> w4MovingStats _,
+    "ts_naive_backtest" -> tsNaiveBacktest _,
+    "ts_garch_fit" -> tsGarchFit _,
+    "ts_diagnostics" -> tsDiagnostics _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts_ohlcv_daily" -> tsOhlcvDailySql,
+    "w4_moving_stats" -> w4MovingStatsSql,
+    "ts_naive_backtest" -> tsNaiveBacktestSql
+  )
+}
