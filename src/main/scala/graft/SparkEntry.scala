@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dimensions, Relational, StreamingQueries, TimeSeries}
+import graft.queries.{DedupOps, Dimensions, MultimodalOps, Relational,
+  SimilarityOps, StreamingQueries, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +20,11 @@ object SparkEntry {
     (Relational.queries, Relational.oracle),
     (Dimensions.queries, Dimensions.oracle),
     (StreamingQueries.queries, StreamingQueries.oracle),
-    (TimeSeries.queries, TimeSeries.oracle)
+    (TimeSeries.queries, TimeSeries.oracle),
+    (TextOps.queries, TextOps.oracle),
+    (DedupOps.queries, DedupOps.oracle),
+    (SimilarityOps.queries, SimilarityOps.oracle),
+    (MultimodalOps.queries, MultimodalOps.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication building blocks for training-data pipelines —
+  * beyond the reference's own surface (BASELINE.json north star): exact
+  * dedup, word-shingling, MinHash signatures + LSH banding, SimHash.
+  *
+  * Scale design: everything is expressed as narrow column expressions plus
+  * shuffles keyed on content hashes — band buckets and shingle hashes
+  * distribute uniformly, so the candidate-pair join shards evenly across
+  * a cluster. The only quadratic step (pair verification) runs on LSH
+  * candidates, never on the full corpus.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val words = split(col(textCol), "\\s+")
+    docs.select(col(idCol), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol),
+        explode(expr(s"sequence(1, size(w) - ${n - 1})")).as("i"),
+        col("w"))
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(k => element_at(col("w"),
+          col("i") + lit(k))): _*).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signature per doc: "permutation" i is xxhash64 salted with the
+    * permutation index (an independent hash family member per i) —
+    * deterministic across runs and partitionings, and safe under ANSI
+    * arithmetic (no overflowing multiplies).
+    */
+  def minHash(sh: DataFrame, idCol: String, numPerm: Int = 32): DataFrame = {
+    val perms: Seq[Column] = (0 until numPerm).map { i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
+    }
+    sh.groupBy(col(idCol)).agg(perms.head, perms.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * numPerm/bands rows each; bucket key = hash of the band slice.
+    * Returns (id, band, bucket).
+    */
+  def lshBuckets(sig: DataFrame, idCol: String, numPerm: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rows = numPerm / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs = distinct doc pairs sharing any band bucket. */
+  def candidatePairs(buckets: DataFrame, idCol: String): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for a given pair set, computed only over candidates
+    * (shingle inner join + per-doc counts; the anti-quadratic path).
+    */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col(idCol).as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+  }
+
+  /** 64-bit SimHash over word hashes (unit weights): bit j of the signature
+    * is the sign of Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1). Expressed
+    * as 64 conditional sums — wide but fully codegen'd, no UDF.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b_$j")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit signature into four
+    * 16-bit chunks (any chunk equal → candidate; catches all pairs with
+    * hamming distance ≤ 3 exactly, more probabilistically), verify with
+    * bit_count(xor) ≤ maxHamming.
+    */
+  def simHashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 8): DataFrame = {
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("band"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("bucket")))
+    val buckets = sig.select(col(idCol), col("simhash"),
+      explode(array(chunks: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+    val a = buckets.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.Dedup
+
+/** Deduplication inventory over `documents` — beyond-reference operators
+  * (BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash. The
+  * exact and full-Jaccard forms are DuckDB-oracled; the LSH forms depend
+  * on engine-specific hash functions (xxhash64), so they are rows-only
+  * here and invariant-tested against the exact forms in DedupSpec.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // Exact dedup: hash-groupBy on raw text; keep the smallest doc_id.
+  private def ddExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id_kept"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("doc_id_kept"))
+
+  private val ddExactSql =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS doc_id_kept,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY doc_id_kept""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Full n-gram Jaccard: word-3-gram shingles, pairs sharing shingles,
+  // top-20 by similarity. The exact ground truth the LSH paths approximate.
+  private def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  private val ddNgramJaccardSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |  FROM docs WHERE len(w) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM idx),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(inter*1.0/(ca.n + cb.n - inter), 6) AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON ca.doc_id = id_a
+      |JOIN cnt cb ON cb.doc_id = id_b
+      |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH near-dup detection: 32 permutations, 8 bands × 4 rows;
+  // candidates verified with exact Jaccard over shingles; report verified
+  // pairs ≥ 0.5. Rows-only (xxhash64 not reproducible in DuckDB).
+  private def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    val sig = Dedup.minHash(sh, "doc_id", numPerm = 32)
+    val buckets = Dedup.lshBuckets(sig, "doc_id", numPerm = 32, bands = 8)
+    val cand = Dedup.candidatePairs(buckets, "doc_id")
+    Dedup.verifyJaccard(cand, sh, "doc_id")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+  }
+
+  // SimHash near-dup detection: 64-bit signatures, 16-bit band candidates,
+  // hamming ≤ 8 verification. Rows-only.
+  private def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.simHashPairs(sig, "doc_id", maxHamming = 8)
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact" -> ddExact _,
+    "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_minhash_lsh" -> ddMinhashLsh _,
+    "dd_simhash" -> ddSimhash _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql
+  )
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.multimodal.Media
+
+/** Multimodal-column queries: `documents.text` cast to binary stands in for
+  * media payloads (no codecs in this container — Media.FakeDecoder derives
+  * deterministic metadata from payload bytes; the plumbing — schema,
+  * binary column handling, explode shape, mapPartitions batch path — is
+  * real). Oracles express the same byte arithmetic over strlen in DuckDB.
+  */
+object MultimodalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def payloads(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  // Metadata extraction through the codegen expression path.
+  private def mmDecodeMeta(s: SparkSession, dir: String): DataFrame =
+    payloads(s, dir)
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("meta", Media.imageMetaExpr("payload"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.format").as("format"), col("meta.n_frames").as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  private val mmDecodeMetaSql =
+    """SELECT doc_id, strlen(text) AS n_bytes,
+      |  CAST(64 + strlen(text) % 512 AS INT) AS width,
+      |  CAST(64 + (strlen(text)*7) % 512 AS INT) AS height,
+      |  CASE WHEN strlen(text) % 3 = 0 THEN 'jpeg'
+      |       WHEN strlen(text) % 3 = 1 THEN 'png' ELSE 'webp' END AS format,
+      |  CAST(strlen(text) // 100 + 1 AS INT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // Frame sampling: every 2nd frame, 100-byte frames.
+  private def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Media.frameSample(payloads(s, dir), "doc_id", "payload",
+      stride = 2, frameBytes = 100)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("byte_offset").cast("long").as("byte_offset"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val mmFrameSampleSql =
+    """WITH meta AS (
+      |  SELECT doc_id, CAST(strlen(text) // 100 + 1 AS INT) AS n_frames
+      |  FROM documents),
+      |frames AS (
+      |  SELECT doc_id, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+      |  FROM meta)
+      |SELECT doc_id, frame_idx, frame_idx * 100 AS byte_offset
+      |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
+
+  // mapPartitions decode path through the (stubbed) codec interface —
+  // same values as the expression path; rows-only declared, equivalence
+  // asserted in MultimodalSpec.
+  private def mmDecodeBatch(s: SparkSession, dir: String): DataFrame =
+    Media.decodeBatch(payloads(s, dir), "doc_id", "payload", Media.FakeDecoder)
+      .orderBy(col("id"))
+
+  val queries: Map[String, Q] = Map(
+    "mm_decode_meta" -> mmDecodeMeta _,
+    "mm_frame_sample" -> mmFrameSample _,
+    "mm_decode_batch" -> mmDecodeBatch _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_meta" -> mmDecodeMetaSql,
+    "mm_frame_sample" -> mmFrameSampleSql
+  )
+}

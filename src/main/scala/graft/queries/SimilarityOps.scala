@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim) —
+  * beyond-reference operators (BASELINE.json): brute-force cosine top-k as
+  * the exact baseline (DuckDB-oracled) and an IVF-partitioned approximate
+  * variant as the scale path (rows-only; recall-tested in SimilaritySpec).
+  *
+  * The dot product is `aggregate(zip_with(...))` — pure Catalyst array
+  * expressions, no UDF, identical left-to-right summation order to the
+  * oracle's list_inner_product.
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** cos(a, b) in double precision with deterministic op order. */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  // ---------------------------------------------------------------------
+  // Brute-force cosine top-k: 5 fixed query vectors (vec_id < 5) against
+  // the whole corpus. At cluster scale this is one broadcast of the query
+  // set + a map-side partial top-k per partition (TakeOrderedAndProject
+  // after the window filter); no all-pairs shuffle.
+  private def simKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val simKnnBruteSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    round(list_inner_product(q.qv, e.v)
+      |      / sqrt(list_inner_product(q.qv, q.qv))
+      |      / sqrt(list_inner_product(e.v, e.v)), 6) AS cos
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id AS neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // IVF-style approximate search: deterministic coarse quantizer = the
+  // per-label mean vector (one k-means step over the provided clustering);
+  // every vector is assigned to its nearest centroid; a query probes the
+  // 2 nearest centroid cells only. Rows-only; recall vs brute force is
+  // asserted in SimilaritySpec. At 100 TB the cell assignment is a narrow
+  // map + shuffle-on-cell, and each query touches ~2/k of the corpus.
+  private def simKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    // centroids: elementwise mean per label (k = #labels, here 10)
+    val dim = 64
+    val centroids = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("cent_id"),
+        expr("transform(pm, p -> p.m)").as("cv"))
+    val withCell = e.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", cosine(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("cent_id").as("cell"))
+    val q = withCell.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // probe the 2 nearest cells per query
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))))
+      .filter(col("rk") <= 2)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    withCell.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // Embedding near-duplicate pairs: exact top-50 most-similar pairs within
+  // the same label cell (the blocked form of all-pairs cosine). Oracled.
+  private def simNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  private val simNearDupPairsSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_inner_product(a.v, b.v)
+      |    / sqrt(list_inner_product(a.v, a.v))
+      |    / sqrt(list_inner_product(b.v, b.v)), 6) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "sim_knn_brute" -> simKnnBrute _,
+    "sim_knn_ivf" -> simKnnIvf _,
+    "sim_neardup_pairs" -> simNearDupPairs _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim_knn_brute" -> simKnnBruteSql,
+    "sim_neardup_pairs" -> simNearDupPairsSql
+  )
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Text analysis for training-data pipelines over the `documents` table —
+  * beyond-reference operators (BASELINE.json north star): language ID
+  * (marker-word heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure column expressions (codegen'd, no UDFs), all
+  * DuckDB-oracled.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def reCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern))
+
+  // ---------------------------------------------------------------------
+  // Document fingerprint: md5 of the whitespace-normalized lowercased text
+  // — the cheap exact-near-exact key (collapses case/whitespace variants).
+  private def txFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+          .cast("binary")).as("fingerprint"),
+        length(col("text")).as("n_chars_text"))
+      .orderBy(col("doc_id"))
+
+  private val txFingerprintSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  length(text) AS n_chars_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Quality scoring: length / word / punctuation / stopword features and a
+  // deterministic composite score (no transcendentals → exact both sides).
+  private def txQuality(s: SparkSession, dir: String): DataFrame = {
+    val words = reCount(col("text"), "\\S+")
+    val stops = reCount(col("text"),
+      "\\b(the|a|and|of|to|in|is|der|die|und|le|la|et|el|los)\\b")
+    val punct = reCount(col("text"), "[.,;:!?]")
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        words.cast("long").as("n_words"),
+        punct.cast("long").as("n_punct"),
+        stops.cast("long").as("n_stopwords"),
+        (stops.cast("double") / words).as("stopword_ratio"),
+        (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+        (least(words.cast("double") / 100.0, lit(1.0)) * 0.5
+          + least(stops.cast("double") / words * 5.0, lit(1.0)) * 0.5)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txQualitySql =
+    """SELECT doc_id, length(text) AS n_chars,
+      |  len(regexp_extract_all(text, '\S+')) AS n_words,
+      |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+      |  len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|der|die|und|le|la|et|el|los)\b')) AS n_stopwords,
+      |  len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|der|die|und|le|la|et|el|los)\b'))*1.0
+      |    / len(regexp_extract_all(text, '\S+')) AS stopword_ratio,
+      |  len(regexp_extract_all(text, '[.,;:!?]'))*1.0 / length(text) AS punct_ratio,
+      |  least(len(regexp_extract_all(text, '\S+'))/100.0, 1.0)*0.5
+      |    + least(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|der|die|und|le|la|et|el|los)\b'))*1.0
+      |            / len(regexp_extract_all(text, '\S+'))*5.0, 1.0)*0.5 AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Language ID: count marker words per language + CJK codepoints; argmax
+  // with a fixed tie-break order. Reported as a (lang, pred) confusion
+  // matrix against the labeled column.
+  private def txLangId(s: SparkSession, dir: String): DataFrame = {
+    val en = reCount(col("text"), "\\b(the|and|of|is|to)\\b")
+    val de = reCount(col("text"), "\\b(der|die|und|ist|nicht)\\b")
+    val fr = reCount(col("text"), "\\b(le|la|et|est|les)\\b")
+    val es = reCount(col("text"), "\\b(el|los|es|y|las)\\b")
+    val zh = reCount(col("text"), "[\\x{4E00}-\\x{9FFF}]")
+    val pred = when(col("s_zh") > col("s_en") && col("s_zh") > col("s_de")
+        && col("s_zh") > col("s_fr") && col("s_zh") > col("s_es"), "zh")
+      .when(col("s_de") > col("s_en") && col("s_de") > col("s_fr")
+        && col("s_de") > col("s_es"), "de")
+      .when(col("s_fr") > col("s_en") && col("s_fr") > col("s_es"), "fr")
+      .when(col("s_es") > col("s_en"), "es")
+      .otherwise("en")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"), zh.as("s_zh"))
+      .withColumn("pred", pred)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  private val txLangIdSql =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) AS s_en,
+      |    len(regexp_extract_all(text, '\b(der|die|und|ist|nicht)\b')) AS s_de,
+      |    len(regexp_extract_all(text, '\b(le|la|et|est|les)\b')) AS s_fr,
+      |    len(regexp_extract_all(text, '\b(el|los|es|y|las)\b')) AS s_es,
+      |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS s_zh
+      |  FROM documents),
+      |pred AS (
+      |  SELECT lang,
+      |    CASE
+      |      WHEN s_zh > s_en AND s_zh > s_de AND s_zh > s_fr AND s_zh > s_es THEN 'zh'
+      |      WHEN s_de > s_en AND s_de > s_fr AND s_de > s_es THEN 'de'
+      |      WHEN s_fr > s_en AND s_fr > s_es THEN 'fr'
+      |      WHEN s_es > s_en THEN 'es'
+      |      ELSE 'en' END AS pred
+      |  FROM scored)
+      |SELECT lang, pred, count(*) AS n FROM pred
+      |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Token counting: whitespace tokens + a BPE-ish lexer count (letter runs,
+  // digit runs, single punctuation marks), aggregated per source.
+  private def txTokens(s: SparkSession, dir: String): DataFrame = {
+    val ws = reCount(col("text"), "\\S+")
+    val bpe = reCount(col("text"), "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    t(s, dir, "documents")
+      .select(col("source"), ws.cast("long").as("ws_tokens"),
+        bpe.cast("long").as("bpe_tokens"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val txTokensSql =
+    """SELECT source,
+      |  sum(len(regexp_extract_all(text, '\S+'))) AS total_ws_tokens,
+      |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
+      |  sum(n_chars) AS total_chars, count(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "tx_fingerprint" -> txFingerprint _,
+    "tx_quality" -> txQuality _,
+    "tx_langid" -> txLangId _,
+    "tx_tokens" -> txTokens _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tx_fingerprint" -> txFingerprintSql,
+    "tx_quality" -> txQualitySql,
+    "tx_langid" -> txLangIdSql,
+    "tx_tokens" -> txTokensSql
+  )
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.queries.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.multimodal.Media
+
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfSmoke}
+
+  // ---- dedup ----------------------------------------------------------
+
+  test("minhash-LSH finds the high-jaccard pairs the exact query finds") {
+    val exact = DedupOps.queries("dd_ngram_jaccard")(spark, sfSmoke)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.queries("dd_minhash_lsh")(spark, sfSmoke)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} pairs")
+  }
+
+  test("LSH verified pairs carry true jaccard (subset of exact pair set)") {
+    val sh = Dedup.shingles(Tables.t(spark, sfSmoke, "documents"),
+      "doc_id", "text", 3)
+    val lsh = DedupOps.queries("dd_minhash_lsh")(spark, sfSmoke)
+    val verified = Dedup.verifyJaccard(
+      lsh.select("id_a", "id_b"), sh, "doc_id")
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("expected_jaccard"))
+    val joined = lsh.join(verified, Seq("id_a", "id_b"))
+      .filter(abs(col("jaccard") - col("expected_jaccard")) > 1e-9)
+    assert(joined.count() == 0)
+  }
+
+  test("simhash pairs have low hamming distance and include near-dups") {
+    val pairs = DedupOps.queries("dd_simhash")(spark, sfSmoke).collect()
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
+    assert(pairs.nonEmpty, "near-dup fixture should produce simhash pairs")
+  }
+
+  test("exact dedup keeps every distinct text exactly once") {
+    val docs = Tables.t(spark, sfSmoke, "documents")
+    val dd = DedupOps.queries("dd_exact")(spark, sfSmoke)
+    assert(dd.count() == docs.select(md5(col("text").cast("binary")))
+      .distinct().count())
+    assert(dd.agg(sum("n_copies")).first().getLong(0) == docs.count())
+  }
+
+  // ---- similarity -----------------------------------------------------
+
+  test("IVF results are a subset-quality approximation of brute force") {
+    val brute = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val ivf = SimilarityOps.queries("sim_knn_ivf")(spark, sfSmoke)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(ivf.nonEmpty)
+    val recalls = brute.keys.toSeq.map { q =>
+      val b = brute(q)
+      val i = ivf.getOrElse(q, Set.empty[Long])
+      b.count(i.contains).toDouble / b.size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    assert(avgRecall >= 0.2, s"IVF avg recall@10 = $avgRecall")
+  }
+
+  test("brute-force knn: 10 neighbors per query, self excluded, sorted") {
+    val rows = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 10)
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == q))
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---- text -----------------------------------------------------------
+
+  test("quality features are internally consistent") {
+    val rows = TextOps.queries("tx_quality")(spark, sfSmoke).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") > 0)
+      val ratio = r.getAs[Double]("stopword_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      val score = r.getAs[Double]("quality_score")
+      assert(score >= 0.0 && score <= 1.0)
+    }
+  }
+
+  test("langid confusion matrix covers all labeled docs") {
+    val n = TextOps.queries("tx_langid")(spark, sfSmoke)
+      .agg(sum("n")).first().getLong(0)
+    assert(n == Tables.t(spark, sfSmoke, "documents").count())
+  }
+
+  // ---- multimodal -----------------------------------------------------
+
+  test("mapPartitions decode path equals the codegen expression path") {
+    val expr = MultimodalOps.queries("mm_decode_meta")(spark, sfSmoke)
+      .select(col("doc_id").as("id"), col("width"), col("height"),
+        col("format"), col("n_frames"))
+    val batch = MultimodalOps.queries("mm_decode_batch")(spark, sfSmoke)
+    assert(expr.count() == batch.count())
+    assert(expr.except(batch).count() == 0)
+  }
+
+  test("stubbed decoder is clearly not implemented") {
+    intercept[NotImplementedError] {
+      Media.NotImplementedDecoder.decode(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("frame sampling strides correctly") {
+    val rows = MultimodalOps.queries("mm_frame_sample")(spark, sfSmoke)
+      .filter(col("doc_id") === 0).collect()
+    val idxs = rows.map(_.getAs[Long]("frame_idx"))
+    assert(idxs.forall(_ % 2 == 0))
+    assert(rows.forall(r =>
+      r.getAs[Long]("byte_offset") == r.getAs[Long]("frame_idx") * 100))
+  }
+}
