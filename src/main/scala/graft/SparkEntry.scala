@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{DedupOps, Dimensions, MultimodalOps, Relational,
-  SimilarityOps, StreamingQueries, TextOps, TimeSeries}
+  SimilarityOps, Sources, StreamingQueries, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
     (TextOps.queries, TextOps.oracle),
     (DedupOps.queries, DedupOps.oracle),
     (SimilarityOps.queries, SimilarityOps.oracle),
-    (MultimodalOps.queries, MultimodalOps.oracle)
+    (MultimodalOps.queries, MultimodalOps.oracle),
+    (Sources.queries, Sources.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,117 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+import graft.operators.Maintenance
+
+/** Remaining source/scan operators — SURVEY.md §2.1: S4 in-memory fixture
+  * ingest (the REST/pandas path), S7 CSV scan, S8 commit-log scan.
+  */
+object Sources {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // S4: deterministic fixture → createDataFrame, with the reference's
+  // null-defaulting cast chain (reference: utils.py:8-32 REST coin list →
+  // pandas → DataFrame; maxSupply sentinel utils.py:27-30).
+  private def s4SeqIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val coins = Seq(
+      (1L, "BTC", "Bitcoin", 19700000.0, Some(21000000.0)),
+      (2L, "ETH", "Ethereum", 120200000.0, None),
+      (3L, "XRP", "Ripple", 54300000000.0, Some(100000000000.0)),
+      (4L, "ADA", "Cardano", 35000000000.0, Some(45000000000.0)),
+      (5L, "DOGE", "Dogecoin", 143800000000.0, None))
+    coins.toDF("coin_id", "symbol", "name", "supply", "max_supply")
+      .select(col("coin_id"), col("symbol"), col("name"),
+        col("supply"),
+        coalesce(col("max_supply"), lit(-1.0)).as("max_supply"),
+        round(col("supply") / coalesce(col("max_supply"), col("supply")) * 100.0, 6)
+          .as("issued_pct"))
+      .orderBy(col("coin_id"))
+  }
+
+  private val s4SeqIngestSql =
+    """SELECT CAST(coin_id AS BIGINT) AS coin_id, symbol, name, supply,
+      |  coalesce(max_supply, -1.0) AS max_supply,
+      |  round(supply / coalesce(max_supply, supply) * 100.0, 6) AS issued_pct
+      |FROM (VALUES
+      |  (1, 'BTC', 'Bitcoin', 19700000.0, 21000000.0),
+      |  (2, 'ETH', 'Ethereum', 120200000.0, NULL),
+      |  (3, 'XRP', 'Ripple', 54300000000.0, 100000000000.0),
+      |  (4, 'ADA', 'Cardano', 35000000000.0, 45000000000.0),
+      |  (5, 'DOGE', 'Dogecoin', 143800000000.0, NULL))
+      |  t(coin_id, symbol, name, supply, max_supply)
+      |ORDER BY coin_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // S7: CSV scan (reference: bitcoin_df.csv in Garch_v1.ipynb cell 1). The
+  // engine round-trips events through CSV with an explicit schema, then
+  // aggregates; the oracle computes the same aggregate from parquet —
+  // proving the CSV reader is lossless for this schema.
+  private def s7CsvScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-csv-${UUID.randomUUID()}").getAbsolutePath
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.option("header", "true").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.option("header", "true").schema(schema).csv(tmp)
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s7CsvScanSql =
+    """SELECT event_type,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  count(DISTINCT user_id) AS n_users, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // S8: commit-manifest scan + ingest-latency metric (reference: Delta
+  // txn-log minValues scan, TimeDelay.ipynb cell 0). The engine writes its
+  // own manifest (injected commit time — no wall clock) and reads it back
+  // as JSON.
+  private def s8CommitStats(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-commit-${UUID.randomUUID()}").getAbsolutePath
+    val bars = t(s, dir, "events")
+      .select(date_trunc("minute", col("ts")).as("window_start"), col("value"))
+    bars.write.parquet(s"$work/bars")
+    Maintenance.recordCommit(s"$work/bars", "2024-02-01 00:00:30",
+      bars, "window_start")
+    Maintenance.commitStats(s, s"$work/bars")
+  }
+
+  private val s8CommitStatsSql =
+    """SELECT '2024-02-01 00:00:30' AS commit_ts, count(*) AS n_rows,
+      |  CAST(min(ws) AS VARCHAR) AS min_event_time,
+      |  CAST(max(ws) AS VARCHAR) AS max_event_time,
+      |  CAST(epoch(TIMESTAMP '2024-02-01 00:00:30') - epoch(max(ws)) AS BIGINT)
+      |    AS latency_sec
+      |FROM (SELECT date_trunc('minute', ts) AS ws FROM events)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "s4_seq_ingest" -> s4SeqIngest _,
+    "s7_csv_scan" -> s7CsvScan _,
+    "s8_commit_stats" -> s8CommitStats _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s4_seq_ingest" -> s4SeqIngestSql,
+    "s7_csv_scan" -> s7CsvScanSql,
+    "s8_commit_stats" -> s8CommitStatsSql
+  )
+}

@@ -166,6 +166,47 @@ object TickPipeline {
     q.awaitTermination()
   }
 
+  /** §2.9 concurrency: one bronze-hop streaming query per key, all started
+    * before any is awaited — the reference's 4-concurrent-queries pattern
+    * (reference: streaming_pipeline.py:54-60 daemon threads + FAIR pool,
+    * AutomateTable.py:64-66). The scheduler pool property is set for every
+    * query; with `spark.scheduler.mode=FAIR` at session build these pools
+    * share the cluster fairly (FIFO otherwise — a session-construction
+    * conf, so applied where the session is created, not here).
+    */
+  def runConcurrentBronze(spark: SparkSession, cfg: Config,
+      types: Seq[String]): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "streaming")
+    val queries = types.map { et =>
+      val ticks = spark.readStream
+        .schema(eventsRawSchema)
+        .option("basePath", cfg.sfDir)
+        .parquet(s"${cfg.sfDir}/events*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === et)
+      val bars = ticks
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("event_type"), window(col("ts"), "1 minute"))
+        .agg(
+          (sum(round(col("value") * 100).cast("long")) / 100.0 / count(lit(1)))
+            .as("average_1minute"),
+          max_by(col("value"), col("ts")).as("price"),
+          count(lit(1)).as("n_ticks"))
+        .select(col("event_type"), col("window.start").as("window_start"),
+          col("average_1minute"), col("price"), col("n_ticks"))
+      val writeBatch: (Dataset[Row], Long) => Unit = (df, _) =>
+        df.write.mode("append").parquet(bronzeDir(cfg))
+      bars.writeStream
+        .outputMode("update")
+        .foreachBatch(writeBatch)
+        .option("checkpointLocation", s"${cfg.workDir}/_chk_bronze_$et")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    queries.foreach(_.awaitTermination())
+  }
+
   /** Run both hops to completion and return the fact table read back from
     * its partitioned sink (partition-column type re-widened to long).
     */

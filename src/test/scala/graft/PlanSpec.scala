@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.{Relational, SimilarityOps}
+
+/** Physical-plan assertions — the 100-TB design contract (SURVEY §4):
+  * filters and projections must reach the parquet scan, small dimensions
+  * must broadcast, and hot paths must stay inside whole-stage codegen.
+  * These lock in the plan shape so a future refactor can't silently
+  * regress scan pruning or join strategy.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfSmoke}
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("p11: predicate and column pruning reach the parquet reader") {
+    val plan = planOf(Relational.queries("p11_filter_pushdown")(spark, sfSmoke))
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("l_returnflag"), "filter column missing from scan")
+    // pruned read schema: only the 4 projected columns + filter columns
+    assert(!plan.contains("l_extendedprice"),
+      "unprojected column leaked into the scan")
+  }
+
+  test("j1: dimension side broadcasts (no shuffle on the fact side)") {
+    val plan = planOf(Relational.queries("j1_broadcast_enrich")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("j3: small dims broadcast in the star join") {
+    val plan = planOf(Relational.queries("j3_star_revenue")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("a1: aggregation runs inside whole-stage codegen with partial agg") {
+    val df = Relational.queries("a1_minute_bars")(spark, sfSmoke)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val plan = planOf(df)
+    // formatted mode marks whole-stage-codegen nodes with [codegen id : N]
+    assert(plan.contains("codegen id"), plan.take(2000))
+    assert(plan.contains("HashAggregate"))
+    // partial + final pair → map-side combine before the shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("o3: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(Relational.queries("o3_topk_customers")(spark, sfSmoke))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("knn: query side broadcasts; corpus side never shuffles") {
+    val plan = planOf(SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke))
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
