@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupOps, Dimensions, MultimodalOps, Relational,
+import graft.queries.{DedupOps, Dimensions, Extras, MultimodalOps, Relational,
   SimilarityOps, Sources, StreamingQueries, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,8 @@ object SparkEntry {
     (DedupOps.queries, DedupOps.oracle),
     (SimilarityOps.queries, SimilarityOps.oracle),
     (MultimodalOps.queries, MultimodalOps.oracle),
-    (Sources.queries, Sources.oracle)
+    (Sources.queries, Sources.oracle),
+    (Extras.queries, Extras.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

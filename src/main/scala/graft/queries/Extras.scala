@@ -1,0 +1,206 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.Tables.t
+import graft.streaming.EventTimeOrderedSpool
+
+/** Remaining inventory rows + stateful streaming beyond the reference:
+  * K6 SQL DDL entry point, P1/P2 payload decode + from_json, S2
+  * event-time-ordered re-stream, session windows (stateful aggregation the
+  * reference lacks), approximate distinct.
+  */
+object Extras {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------
+  // K6: DDL executor + SQL entry point (reference: metadata.py:41-65 runs
+  // query.sql DDL through Trino; here the same CREATE TABLE ... USING
+  // parquet DDL runs through Catalyst, and the analytics query is issued
+  // as SQL text — exercising the parse→analyze→optimize path).
+  private def k6SqlDdl(s: SparkSession, dir: String): DataFrame = {
+    val wh = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_warehouse").getAbsolutePath
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft LOCATION '$wh'")
+    for (tbl <- Seq("orders", "lineitem")) {
+      s.sql(s"DROP TABLE IF EXISTS graft.$tbl")
+      s.sql(s"CREATE TABLE graft.$tbl USING parquet " +
+        s"LOCATION '${Tables.path(dir, tbl)}'")
+    }
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM graft.orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM graft.lineitem
+        |              WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val k6SqlDdlSql =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // P1 + P2: payload bytes → UTF-8 decode → from_json → typed fields
+  // (reference: etl.py:20-22 — selectExpr CAST(decode(value,'UTF-8')) then
+  // from_json(...).select("data.*")).
+  private def p1DecodeJson(s: SparkSession, dir: String): DataFrame = {
+    val payloadSchema = StructType(Seq(StructField("k", LongType)))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        decode(col("props").cast("binary"), "UTF-8").as("payload"))
+      .select(col("event_id"), col("event_type"),
+        from_json(col("payload"), payloadSchema).as("data"))
+      .select(col("event_id"), col("event_type"), col("data.k").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  private val p1DecodeJsonSql =
+    """SELECT event_id, event_type,
+      |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // S2: event-time-ordered replay — spool the snapshot in time order, then
+  // run an APPEND-mode watermarked aggregation over the ordered stream.
+  // Because replay is in order, the watermark drops nothing. Append-mode
+  // emission lags one micro-batch (a window flushes in the first batch
+  // whose *starting* watermark passed its end), so two far-future sentinel
+  // files are appended after the real slices: sentinel 1 advances the
+  // watermark past every real window, sentinel 2's batch flushes them.
+  // The sentinels' own windows never close → exactly the full batch bars
+  // come out, which is the oracle.
+  private def s2OrderedReplay(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-replay-${UUID.randomUUID()}").getAbsolutePath
+    val raw = t(s, dir, "events")
+    EventTimeOrderedSpool.spool(
+      raw.select(col("ts"), col("event_type"), col("value")),
+      "ts", s"$work/spool", numFiles = 8)
+    // two sentinel slices 10/20 minutes past the real max ts ('zz-' names
+    // sort after 'part-'; mtimes stamped later so they replay last)
+    val maxTs = raw.agg(max(col("ts"))).first().getTimestamp(0)
+    for (i <- 1 to 2) {
+      val sdf = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          new java.sql.Timestamp(maxTs.getTime + i * 10 * 60 * 1000 + 30000),
+          "zz_sentinel", 0.0)),
+        StructType(Seq(
+          StructField("ts", TimestampType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+      val tmp = s"$work/sentinel_$i"
+      sdf.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$work/spool/zz-sentinel-$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(System.currentTimeMillis() + 3600000L + i * 1000L)
+    }
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val bars = EventTimeOrderedSpool.orderedStream(s, s"$work/spool", schema)
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("event_type"), window(col("ts"), "1 minute"))
+      .agg(
+        (sum(round(col("value") * 100).cast("long")) / 100.0 / count(lit(1)))
+          .as("average_1minute"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("average_1minute"), col("close"), col("n_ticks"))
+    val q = bars.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+      .filter(col("event_type") =!= "zz_sentinel")
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
+  private val s2OrderedReplaySql =
+    """SELECT event_type, date_trunc('minute', ts) AS window_start,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS average_1minute,
+      |  arg_max(value, ts) AS close, count(*) AS n_ticks
+      |FROM events GROUP BY 1, 2
+      |ORDER BY event_type, window_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Session windows: stateful per-user sessionization with a 4-hour gap —
+  // beyond the reference's tumbling-only windows (§2.9 notes no session
+  // windows). Built-in session_window keeps the plan declarative; the
+  // oracle reproduces the semantics with gaps-and-islands SQL.
+  private def stSessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .select(col("user_id"),
+        date_trunc("second", col("mn")).as("session_start"),
+        (unix_timestamp(col("mx")) - unix_timestamp(col("mn")))
+          .as("duration_sec"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val stSessionWindowSql =
+    """WITH marks AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marks)
+      |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+      |  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+      |    AS duration_sec,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A3 at scale: approx_count_distinct (HLL++) — the 100-TB form of the
+  // distinct-count; no oracle (estimator is engine-specific), error bound
+  // asserted against the exact count in ExtrasSpec.
+  private def a3ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, Q] = Map(
+    "k6_sql_ddl" -> k6SqlDdl _,
+    "p1_decode_json" -> p1DecodeJson _,
+    "s2_ordered_replay" -> s2OrderedReplay _,
+    "st_session_window" -> stSessionWindow _,
+    "a3_approx_distinct" -> a3ApproxDistinct _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "k6_sql_ddl" -> k6SqlDdlSql,
+    "p1_decode_json" -> p1DecodeJsonSql,
+    "s2_ordered_replay" -> s2OrderedReplaySql,
+    "st_session_window" -> stSessionWindowSql
+  )
+}

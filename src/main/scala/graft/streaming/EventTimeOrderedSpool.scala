@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S2 emulation — the reference re-streams its bronze table with Delta's
+  * `withEventTimeOrder=true` so the initial snapshot replays in event-time
+  * order (reference: streaming_pipeline.py:47-48, AutomateTable.py:58).
+  * The file source has no such option, so the engine pre-sorts the backfill
+  * (SURVEY §7 risk 3): range-partition the snapshot on the event-time
+  * column into sequentially named files, then stream the spool directory
+  * with `maxFilesPerTrigger=1` — each micro-batch replays one contiguous
+  * time slice in order, so watermarks never drop backfill data.
+  */
+object EventTimeOrderedSpool {
+
+  /** Write `df` as `numFiles` event-time-ordered spool files. File
+    * modification times are rewritten in name order (1 s apart) because the
+    * file source replays by mtime — same-second writes would otherwise make
+    * the replay order ambiguous and let the watermark drop slices.
+    */
+  def spool(df: DataFrame, tsCol: String, dir: String, numFiles: Int): Unit = {
+    df.repartitionByRange(numFiles, col(tsCol))
+      .sortWithinPartitions(col(tsCol))
+      .write.mode("overwrite").parquet(dir)
+    stampMtimes(dir, baseOffsetSec = 0)
+  }
+
+  /** Reassign mtimes of the dir's parquet files in name order, starting
+    * `baseOffsetSec` seconds after the current max mtime in the dir.
+    */
+  def stampMtimes(dir: String, baseOffsetSec: Long): Unit = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = files.map(_.lastModified()).foldLeft(0L)(_ max _) +
+      baseOffsetSec * 1000
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + (i + 1) * 1000L)
+    }
+  }
+
+  /** Open the spooled directory as an ordered stream (one file per
+    * micro-batch; file-name order == event-time order by construction).
+    */
+  def orderedStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(dir)
+}

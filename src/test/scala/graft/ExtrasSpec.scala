@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.IdAssign
+import graft.queries.{Extras, Relational}
+
+class ExtrasSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfSmoke}
+
+  test("sequential id assignment is dense, unique, offset-correct") {
+    val df = Tables.t(spark, sfSmoke, "customer").repartition(6)
+    val withIds = IdAssign.withSequentialIds(df, offset = 100L, "uid")
+    val n = df.count()
+    assert(withIds.count() == n)
+    val ids = withIds.select("uid").collect().map(_.getLong(0)).sorted
+    assert(ids.head == 101L && ids.last == 100L + n)
+    assert(ids.distinct.length == n)
+  }
+
+  test("approx distinct stays within the configured error bound") {
+    val rows = Extras.queries("a3_approx_distinct")(spark, sfSmoke).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("ordered replay emits exactly the watermark-closed windows") {
+    val replay = Extras.queries("s2_ordered_replay")(spark, sfSmoke)
+    val batch = Relational.queries("a1_minute_bars")(spark, sfSmoke)
+    // replay output must be a prefix (per key) of the batch bars: same
+    // values, only the final open windows withheld
+    val joined = replay.alias("r").join(batch.alias("b"),
+      Seq("event_type", "window_start"), "left")
+    assert(joined.filter(col("b.close").isNull).count() == 0,
+      "replay emitted a window batch does not have")
+    assert(joined.filter(col("r.close") =!= col("b.close")).count() == 0)
+    // the sentinel flush pushes the watermark past every real window
+    assert(replay.count() == batch.count(),
+      s"replay=${replay.count()} batch=${batch.count()}")
+  }
+
+  test("session windows partition each user's events completely") {
+    val sessions = Extras.queries("st_session_window")(spark, sfSmoke)
+    val total = sessions.agg(sum("n_events")).first().getLong(0)
+    assert(total == Tables.t(spark, sfSmoke, "events").count())
+    // no zero-length multi-event inconsistencies
+    assert(sessions.filter(col("n_events") > 1 && col("duration_sec") === 0)
+      .count() == 0)
+  }
+
+  test("SQL DDL path answers the same as the DataFrame path") {
+    val viaSql = Extras.queries("k6_sql_ddl")(spark, sfSmoke).collect()
+    assert(viaSql.nonEmpty)
+    assert(viaSql.map(_.getLong(1)).sum > 0)
+  }
+}
