@@ -179,6 +179,61 @@ object Extras {
       |ORDER BY user_id, session_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Time-travel (as-of) join against SCD2 history — the range-join family
+  // the reference approximates with its precomputed previous-day scalar
+  // (SURVEY §2.4 "absent: range/as-of joins"; J1 + W1). Each event joins
+  // the dimension version valid at its event date: equi-key on event_type
+  // plus [start_date, end_date) containment. The dim broadcasts, so the
+  // range predicate is a post-probe filter — no fact shuffle.
+  private def j4TimetravelJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val types = e.select(col("event_type")).distinct()
+      .withColumn("type_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("event_type"))).cast("long"))
+    // two dim epochs: supply doubles mid-month
+    val v1 = types.select(col("event_type"), col("type_id"),
+      (col("type_id") * 1000.0).as("supply"),
+      to_date(lit("2024-01-01")).as("start_date"),
+      to_date(lit("2024-01-15")).as("end_date"))
+    val v2 = types.select(col("event_type"), col("type_id"),
+      (col("type_id") * 2000.0).as("supply"),
+      to_date(lit("2024-01-15")).as("start_date"),
+      to_date(lit("9999-12-31")).as("end_date"))
+    // dim derives from e, so alias both sides to disambiguate the self-join
+    val dim = v1.unionByName(v2).alias("dim")
+    val ev = e.alias("ev")
+    val ed = to_date(col("ev.ts"))
+    ev.join(broadcast(dim),
+        col("ev.event_type") === col("dim.event_type")
+          && ed >= col("dim.start_date") && ed < col("dim.end_date"))
+      .select(col("ev.event_id").as("event_id"), col("dim.type_id").as("type_id"),
+        ed.as("d"), col("dim.supply").as("supply"),
+        (col("ev.value") * col("dim.supply")).as("market_cap"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j4TimetravelJoinSql =
+    """WITH types AS (
+      |  SELECT event_type, row_number() OVER (ORDER BY event_type) AS type_id
+      |  FROM (SELECT DISTINCT event_type FROM events)),
+      |dim AS (
+      |  SELECT event_type, type_id, type_id * 1000.0 AS supply,
+      |         DATE '2024-01-01' AS start_date, DATE '2024-01-15' AS end_date
+      |  FROM types
+      |  UNION ALL
+      |  SELECT event_type, type_id, type_id * 2000.0,
+      |         DATE '2024-01-15', DATE '9999-12-31'
+      |  FROM types)
+      |SELECT e.event_id, d.type_id, CAST(e.ts AS DATE) AS d, d.supply,
+      |  e.value * d.supply AS market_cap
+      |FROM events e JOIN dim d
+      |  ON e.event_type = d.event_type
+      | AND CAST(e.ts AS DATE) >= d.start_date
+      | AND CAST(e.ts AS DATE) < d.end_date
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A3 at scale: approx_count_distinct (HLL++) — the 100-TB form of the
   // distinct-count; no oracle (estimator is engine-specific), error bound
   // asserted against the exact count in ExtrasSpec.
@@ -194,6 +249,7 @@ object Extras {
     "p1_decode_json" -> p1DecodeJson _,
     "s2_ordered_replay" -> s2OrderedReplay _,
     "st_session_window" -> stSessionWindow _,
+    "j4_timetravel_join" -> j4TimetravelJoin _,
     "a3_approx_distinct" -> a3ApproxDistinct _
   )
 
@@ -201,6 +257,7 @@ object Extras {
     "k6_sql_ddl" -> k6SqlDdlSql,
     "p1_decode_json" -> p1DecodeJsonSql,
     "s2_ordered_replay" -> s2OrderedReplaySql,
-    "st_session_window" -> stSessionWindowSql
+    "st_session_window" -> stSessionWindowSql,
+    "j4_timetravel_join" -> j4TimetravelJoinSql
   )
 }

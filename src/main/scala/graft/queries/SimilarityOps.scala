@@ -18,8 +18,23 @@ import graft.Tables.t
 object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** cos(a, b) in double precision with deterministic op order. */
-  private def cosine(a: Column, b: Column): Column = {
+  /** cos(a, b) via the native codegen'd Catalyst expression — one fused
+    * loop inside whole-stage codegen (see functions.CosineSimilarity).
+    * Same forward summation order as [[cosineComposed]] and the oracle.
+    */
+  private var registeredIn: SparkSession = null
+  private def cosine(s: SparkSession)(a: Column, b: Column): Column = {
+    if (registeredIn ne s) {
+      graft.functions.CosineSimilarity.register(s)
+      registeredIn = s
+    }
+    call_function(graft.functions.CosineSimilarity.FnName, a, b)
+  }
+
+  /** Built-ins-only composed form, kept as the reference implementation
+    * (SimilaritySpec asserts bit-equality against the native expression).
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
@@ -43,7 +58,7 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(cosine(s)(col("qv"), col("v")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -88,7 +103,7 @@ object SimilarityOps {
       .select(col("label").as("cent_id"),
         expr("transform(pm, p -> p.m)").as("cv"))
     val withCell = e.crossJoin(broadcast(centroids))
-      .withColumn("cos_c", cosine(col("v"), col("cv")))
+      .withColumn("cos_c", cosine(s)(col("v"), col("cv")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
       .filter(col("rk") === 1)
@@ -97,7 +112,7 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // probe the 2 nearest cells per query
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cos_c", cosine(col("qv"), col("cv")))
+      .withColumn("cos_c", cosine(s)(col("qv"), col("cv")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))))
       .filter(col("rk") <= 2)
@@ -106,7 +121,7 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("vec_id"))
     withCell.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(cosine(s)(col("qv"), col("v")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -123,7 +138,7 @@ object SimilarityOps {
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(cosine(s)(col("va"), col("vb")), 6).as("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(50)
   }

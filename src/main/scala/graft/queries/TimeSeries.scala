@@ -180,12 +180,51 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  // GARCH rolling-origin cross-validation (reference: Garch_v1.ipynb cell
+  // 23 — h=1, step_size=1, n_windows=5): for each of the last 5 days, fit
+  // GARCH(1,1) on the returns strictly before the cutoff, forecast the
+  // 1-day-ahead variance, score against the realized squared return.
+  // Reported per key: mae / rmse on variance, plus the QLIKE loss
+  // (the standard variance-forecast loss, robust to noise in r²).
+  // Not SQL-expressible → rows-only; invariants in TimeSeriesSpec.
+  private def tsGarchBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val rets = dailyClose(s, dir)
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        datediff(col("d"), to_date(lit("2024-01-01"))).as("td"),
+        log(col("close") / col("prev")).as("r"))
+      .as[(String, Int, Double)]
+    rets.groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val series = it.map(x => (x._2, x._3)).toArray.sortBy(_._1).map(_._2)
+        val folds = 5.min(series.length - 10).max(1)
+        val scores = (0 until folds).map { f =>
+          val cut = series.length - folds + f
+          val train = series.take(cut)
+          val fit = TimeSeriesStats.fitGarch11(train)
+          val fvar = TimeSeriesStats.garchForecastVariance(fit, train, 1)
+          val realized = series(cut) * series(cut)
+          (math.abs(realized - fvar), math.pow(realized - fvar, 2),
+            realized / fvar - math.log((realized / fvar).max(1e-12)) - 1)
+        }
+        val n = scores.length
+        (k, scores.map(_._1).sum / n, math.sqrt(scores.map(_._2).sum / n),
+          scores.map(_._3).sum / n, n.toLong)
+      }
+      .toDF("event_type", "var_mae", "var_rmse", "qlike", "n_folds")
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "ts_ohlcv_daily" -> tsOhlcvDaily _,
     "w4_moving_stats" -> w4MovingStats _,
     "ts_naive_backtest" -> tsNaiveBacktest _,
     "ts_garch_fit" -> tsGarchFit _,
+    "ts_garch_backtest" -> tsGarchBacktest _,
     "ts_diagnostics" -> tsDiagnostics _
   )
 
