@@ -88,7 +88,7 @@ object Extras {
     val raw = t(s, dir, "events")
     EventTimeOrderedSpool.spool(
       raw.select(col("ts"), col("event_type"), col("value")),
-      "ts", s"$work/spool", numFiles = 8)
+      "ts", s"$work/spool", numFiles = 4)
     // two sentinel slices 10/20 minutes past the real max ts ('zz-' names
     // sort after 'part-'; mtimes stamped later so they replay last)
     val maxTs = raw.agg(max(col("ts"))).first().getTimestamp(0)
