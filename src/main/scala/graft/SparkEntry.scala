@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupOps, Dimensions, Extras, MultimodalOps, Relational,
-  SimilarityOps, Sources, StreamingQueries, TextOps, TimeSeries}
+import graft.queries.{Analytics, DedupOps, Dimensions, Extras, MultimodalOps,
+  Relational, SimilarityOps, Sources, StreamingQueries, TextOps, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,8 @@ object SparkEntry {
     (SimilarityOps.queries, SimilarityOps.oracle),
     (MultimodalOps.queries, MultimodalOps.oracle),
     (Sources.queries, Sources.oracle),
-    (Extras.queries, Extras.oracle)
+    (Extras.queries, Extras.oracle),
+    (Analytics.queries, Analytics.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

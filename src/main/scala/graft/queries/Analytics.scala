@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** Analytic-function coverage beyond the reference's row_number/lag-only
+  * surface (SURVEY §2.6 notes rank/dense_rank/ntile/lead and grouping sets
+  * are absent there) — a user migrating real dashboards needs them.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  // rank / dense_rank / ntile / lead over per-customer order history.
+  private def w6RankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk"), col("drnk"), col("quartile"), col("next_price"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  private val w6RankSuiteSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, quartile, next_price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |    ntile(4) OVER w AS quartile,
+      |    lead(o_totalprice, 1) OVER w AS next_price
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  // Rollup subtotals over the star join (grouping-set family). NULL
+  // indicator rows are coalesced to 'ALL' so output is null-free and
+  // total-ordered identically in both engines.
+  private def a5Rollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"), col("n_lines"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  private val a5RollupSql =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "w6_rank_suite" -> w6RankSuite _,
+    "a5_rollup" -> a5Rollup _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w6_rank_suite" -> w6RankSuiteSql,
+    "a5_rollup" -> a5RollupSql
+  )
+}

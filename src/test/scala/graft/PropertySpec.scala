@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.TimeSeriesStats
+
+/** Property-based checks (ScalaCheck driven from ScalaTest). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("integer-cents sum is exact for any 2-decimal amounts") {
+    val cents = Gen.chooseNum(-10000000L, 10000000L)
+    check(Prop.forAll(Gen.listOfN(50, cents)) { cs =>
+      // the engine's canonicalization: sum(round(x*100).toLong)/100.0
+      val doubles = cs.map(_ / 100.0)
+      val viaCents = doubles.map(d => math.round(d * 100)).sum
+      viaCents == cs.sum
+    })
+  }
+
+  test("cents sum is order-independent (associativity restored)") {
+    val cents = Gen.chooseNum(-1000000L, 1000000L)
+    check(Prop.forAll(Gen.listOfN(40, cents), Gen.long) { (cs, seed) =>
+      val doubles = cs.map(_ / 100.0)
+      val shuffled = new scala.util.Random(seed).shuffle(doubles)
+      doubles.map(d => math.round(d * 100)).sum ==
+        shuffled.map(d => math.round(d * 100)).sum
+    })
+  }
+
+  test("GARCH NLL is finite and penalizes infeasible parameters") {
+    val r = Gen.listOfN(60, Gen.chooseNum(-5.0, 5.0))
+    check(Prop.forAll(r) { xs =>
+      val arr = xs.toArray
+      if (TimeSeriesStats.variance(arr) <= 0) true
+      else {
+        val ok = TimeSeriesStats.garchNll(arr, 0.1, 0.1, 0.8)
+        val bad = TimeSeriesStats.garchNll(arr, 0.1, 0.6, 0.6) // a+b>=1
+        !ok.isNaN && bad == Double.MaxValue
+      }
+    })
+  }
+
+  test("ljung-box and ACF are shift-invariant") {
+    val base = Gen.listOfN(80, Gen.chooseNum(-10.0, 10.0))
+    check(Prop.forAll(base, Gen.chooseNum(-100.0, 100.0)) { (xs, c) =>
+      val a = xs.toArray
+      val b = a.map(_ + c)
+      if (TimeSeriesStats.variance(a) == 0) true
+      else {
+        val d = math.abs(
+          TimeSeriesStats.ljungBox(a, 5) - TimeSeriesStats.ljungBox(b, 5))
+        d < 1e-5 * (1 + math.abs(TimeSeriesStats.ljungBox(a, 5)))
+      }
+    })
+  }
+}
