@@ -78,13 +78,101 @@ object Analytics {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K7: bucketed co-located join — both sides written bucketed+sorted on
+  // the join key, so the sort-merge join runs with no exchange on either
+  // side (asserted in BucketStreamSpec). The query itself is plain
+  // revenue-per-priority; its plan is the point.
+  private def k7BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.operators.Bucketing.ensureBucketed(
+      s, dir, "lineitem", "l_orderkey", 8)
+    val o = graft.operators.Bucketing.ensureBucketed(
+      s, dir, "orders", "o_orderkey", 8)
+    s.table(li)
+      .join(s.table(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val k7BucketedJoinSql =
+    """SELECT o_orderpriority,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Stream-stream interval join (absent from the reference — §2.9 notes no
+  // stream-stream joins): clicks joined to the same user's purchases
+  // within the following 2 hours, both sides watermarked. Runs as a real
+  // two-source streaming query; oracle is the equivalent batch interval
+  // join.
+  private def ssStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ssjoin-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def stream() = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  private val ssStreamStreamJoinSql =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w6_rank_suite" -> w6RankSuite _,
-    "a5_rollup" -> a5Rollup _
+    "a5_rollup" -> a5Rollup _,
+    "k7_bucketed_join" -> k7BucketedJoin _,
+    "ss_stream_stream_join" -> ssStreamStreamJoin _
   )
 
   val oracle: Map[String, String] = Map(
     "w6_rank_suite" -> w6RankSuiteSql,
-    "a5_rollup" -> a5RollupSql
+    "a5_rollup" -> a5RollupSql,
+    "k7_bucketed_join" -> k7BucketedJoinSql,
+    "ss_stream_stream_join" -> ssStreamStreamJoinSql
   )
 }
