@@ -162,17 +162,118 @@ object Analytics {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Streaming deduplication with state (dropDuplicates + watermark): keep
+  // one row per (user, minute). Only the KEY SET is deterministic (which
+  // physical row survives depends on shuffle arrival order), so the query
+  // projects the keys — exactly what a dedup pipeline keys on.
+  private def stDropdupStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-dropdup-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val deduped = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("minute", "10 minutes")
+      .dropDuplicates("user_id", "minute")
+      .select(col("user_id"), col("minute"))
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+      .orderBy(col("user_id"), col("minute"))
+  }
+
+  private val stDropdupStreamSql =
+    """SELECT DISTINCT user_id, date_trunc('minute', ts) AS minute
+      |FROM events ORDER BY user_id, minute""".stripMargin
+
+  // Arbitrary streaming state: mapGroupsWithState accumulating a per-user
+  // profile (count, value cents total, first/last second) — the custom
+  // state-machine tier the tumbling/session windows can't express.
+  private def stMapgroupsState(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-mgs-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val events = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .select(col("user_id"),
+        expr("ts div 1000000000").as("sec"), // epoch seconds (ns → s)
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+    // state: (n_events, total_cents, first_sec, last_sec)
+    val update = (user: Long, it: Iterator[(Long, Long, Long)],
+        state: GroupState[(Long, Long, Long, Long)]) => {
+      val prev = state.getOption.getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+      val next = it.foldLeft(prev) { case ((n, tot, f, l), (_, sec, cents)) =>
+        (n + 1, tot + cents, math.min(f, sec), math.max(l, sec))
+      }
+      state.update(next)
+      (user, next._1, next._2 / 100.0, next._3, next._4)
+    }
+    val profiles = events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long),
+        (Long, Long, Double, Long, Long)](GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "n_events", "total_value", "first_sec", "last_sec")
+    val q = profiles.writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        df.write.mode("append").parquet(s"$work/out")
+      }
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$work/out")
+      .orderBy(col("user_id"))
+  }
+
+  private val stMapgroupsStateSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value,
+      |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec,
+      |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w6_rank_suite" -> w6RankSuite _,
     "a5_rollup" -> a5Rollup _,
     "k7_bucketed_join" -> k7BucketedJoin _,
-    "ss_stream_stream_join" -> ssStreamStreamJoin _
+    "ss_stream_stream_join" -> ssStreamStreamJoin _,
+    "st_dropdup_stream" -> stDropdupStream _,
+    "st_mapgroups_state" -> stMapgroupsState _
   )
 
   val oracle: Map[String, String] = Map(
     "w6_rank_suite" -> w6RankSuiteSql,
     "a5_rollup" -> a5RollupSql,
     "k7_bucketed_join" -> k7BucketedJoinSql,
-    "ss_stream_stream_join" -> ssStreamStreamJoinSql
+    "ss_stream_stream_join" -> ssStreamStreamJoinSql,
+    "st_dropdup_stream" -> stDropdupStreamSql,
+    "st_mapgroups_state" -> stMapgroupsStateSql
   )
 }
