@@ -378,10 +378,12 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  // DuckDB sum(BIGINT) yields HUGEINT — cast back to BIGINT so the driver
+  // hash matches Spark's long; json_extract_string mirrors get_json_object.
   private val p14JsonPropsSql =
     """SELECT event_type,
-      |  sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
-      |  max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS max_k
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // P11/S3: filtered, projected scan — predicate + column pruning reach the

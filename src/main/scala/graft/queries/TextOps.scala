@@ -134,11 +134,12 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // DuckDB sum(BIGINT) yields HUGEINT — cast back to BIGINT to match Spark.
   private val txTokensSql =
     """SELECT source,
-      |  sum(len(regexp_extract_all(text, '\S+'))) AS total_ws_tokens,
-      |  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpe_tokens,
-      |  sum(n_chars) AS total_chars, count(*) AS n_docs
+      |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -38,6 +38,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 def cells_equal(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
+    # dtype-strict: an int and a float never hash the same driver-side,
+    # even when numerically equal (e.g. 99111 vs 99111.0).
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
@@ -73,6 +77,16 @@ def main():
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        # dtype-strict: the driver hash is computed over typed values, so a
+        # HUGEINT/DOUBLE oracle column vs a Spark BIGINT column must fail
+        # here even if every cell compares numerically equal.
+        dt_diffs = [(c, str(got[c].dtype), str(exp[c].dtype))
+                    for c in got.columns
+                    if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt_diffs:
+            print(f"FAIL {name}: dtype mismatch {dt_diffs}")
             n_fail += 1
             continue
         diffs = []
