@@ -134,6 +134,61 @@ object TimeSeriesStats {
     GarchFit(o, a, b, -garchNll(r, o, a, b), r.length.toLong)
   }
 
+  final case class ArmaFit(
+      c: Double, phi: Double, theta: Double, sigma2: Double, loglik: Double,
+      n: Long)
+
+  /** ARMA(1,1) innovation recursion, conditioned on the first observation
+    * with e_0 = 0 (the standard CSS initialization):
+    * e_t = y_t − c − φ·y_{t−1} − θ·e_{t−1}. Returns e_1..e_{n−1}.
+    */
+  def armaResiduals(y: Array[Double], c: Double, phi: Double,
+      theta: Double): Array[Double] = {
+    val out = new Array[Double](y.length - 1)
+    var ePrev = 0.0
+    var i = 1
+    while (i < y.length) {
+      val e = y(i) - c - phi * y(i - 1) - theta * ePrev
+      out(i - 1) = e
+      ePrev = e
+      i += 1
+    }
+    out
+  }
+
+  /** Fit ARMA(1,1) by conditional sum of squares (CSS) — the notebook's
+    * ARIMA stage whose residuals feed GARCH (reference: data/notebooks/
+    * Jupiter Notebook/test5.ipynb cell 6; garch_model_v4.ipynb cell 6).
+    * φ and θ are optimized through tanh so the simplex stays inside the
+    * stationary/invertible region. Gaussian log-likelihood from the CSS
+    * residual variance: −m/2·(log(2π·σ̂²) + 1).
+    */
+  def fitArma11(y: Array[Double]): ArmaFit = {
+    def decode(t: Array[Double]): (Double, Double, Double) =
+      (t(0), 0.998 * math.tanh(t(1)), 0.998 * math.tanh(t(2)))
+    def obj(t: Array[Double]): Double = {
+      val (c, phi, theta) = decode(t)
+      val e = armaResiduals(y, c, phi, theta)
+      val sse = e.map(v => v * v).sum
+      if (sse.isNaN) Double.MaxValue else sse
+    }
+    val r1 = acf(y, 1)
+    val x0 = Array(mean(y) * (1 - r1),
+      0.5 * math.log((1 + r1.max(-0.95).min(0.95)) /
+        (1 - r1.max(-0.95).min(0.95))), 0.0)
+    val best = nelderMead(obj, x0, step = 0.3)
+    val (c, phi, theta) = decode(best)
+    val e = armaResiduals(y, c, phi, theta)
+    val m = e.length
+    val s2 = (e.map(v => v * v).sum / m).max(1e-300)
+    val ll = -0.5 * m * (math.log(2 * math.Pi * s2) + 1.0)
+    ArmaFit(c, phi, theta, s2, ll, m.toLong)
+  }
+
+  /** First difference — ARIMA(1,1,1) = ARMA(1,1) on diff(y). */
+  def diff1(y: Array[Double]): Array[Double] =
+    Array.tabulate(y.length - 1)(i => y(i + 1) - y(i))
+
   /** h-step-ahead variance forecast from the fitted model state. */
   def garchForecastVariance(fit: GarchFit, r: Array[Double], h: Int): Double = {
     val rd = { val m = mean(r); r.map(_ - m) }

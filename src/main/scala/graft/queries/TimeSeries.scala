@@ -180,6 +180,41 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  // ARIMA/ARMA residual stage (reference: test5.ipynb cell 6 and
+  // garch_model_v4.ipynb cell 6 — ARIMA fit whose residuals feed GARCH).
+  // ARMA(1,1) by CSS on daily log-returns ≡ ARIMA(1,1,1) on the log-price
+  // level, the notebooks' fixed order. Emits the fitted parameters, the
+  // residual diagnostics the notebooks inspect (mean, Ljung-Box), and the
+  // GARCH(1,1) fit on the ARMA residuals — the full two-stage chain.
+  // Same groupByKey.mapGroups parallelism as tsGarchFit: one small in-memory
+  // series per key, keys scale out. Not SQL-expressible → no oracle;
+  // invariants in TimeSeriesSpec.
+  private def tsArmaResiduals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val rets = dailyClose(s, dir)
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        datediff(col("d"), to_date(lit("2024-01-01"))).as("td"),
+        log(col("close") / col("prev")).as("r"))
+      .as[(String, Int, Double)]
+    rets.groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val series = it.map(x => (x._2, x._3)).toArray.sortBy(_._1).map(_._2)
+        val fit = TimeSeriesStats.fitArma11(series)
+        val resid = TimeSeriesStats.armaResiduals(
+          series, fit.c, fit.phi, fit.theta)
+        val g = TimeSeriesStats.fitGarch11(resid)
+        (k, fit.c, fit.phi, fit.theta, fit.sigma2, fit.loglik,
+          TimeSeriesStats.mean(resid), TimeSeriesStats.ljungBox(resid, 10),
+          g.alpha + g.beta, fit.n)
+      }
+      .toDF("event_type", "c", "phi", "theta", "sigma2", "loglik",
+        "resid_mean", "resid_lb_q10", "garch_persistence", "n_obs")
+      .orderBy(col("event_type"))
+  }
+
   // GARCH rolling-origin cross-validation (reference: Garch_v1.ipynb cell
   // 23 — h=1, step_size=1, n_windows=5): for each of the last 5 days, fit
   // GARCH(1,1) on the returns strictly before the cutoff, forecast the
@@ -224,6 +259,7 @@ object TimeSeries {
     "w4_moving_stats" -> w4MovingStats _,
     "ts_naive_backtest" -> tsNaiveBacktest _,
     "ts_garch_fit" -> tsGarchFit _,
+    "ts_arma_residuals" -> tsArmaResiduals _,
     "ts_garch_backtest" -> tsGarchBacktest _,
     "ts_diagnostics" -> tsDiagnostics _
   )

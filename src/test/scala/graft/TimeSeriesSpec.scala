@@ -96,6 +96,80 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  // Deterministic synthetic ARMA(1,1) series (fixed LCG).
+  private def synthArma(n: Int, c: Double, phi: Double,
+      theta: Double, sd: Double): Array[Double] = {
+    var seed = 99L
+    def nextGaussian(): Double = {
+      def u(): Double = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        ((seed >>> 11).toDouble / (1L << 53).toDouble) + 1e-12
+      }
+      math.sqrt(-2 * math.log(u())) * math.cos(2 * math.Pi * u())
+    }
+    var y = c / (1 - phi)
+    var e = 0.0
+    Array.fill(n) {
+      val eNew = sd * nextGaussian()
+      y = c + phi * y + theta * e + eNew
+      e = eNew
+      y
+    }
+  }
+
+  test("ARMA(1,1) CSS recovers phi on synthetic data") {
+    val y = synthArma(3000, c = 0.2, phi = 0.7, theta = 0.3, sd = 1.0)
+    val fit = TimeSeriesStats.fitArma11(y)
+    assert(math.abs(fit.phi - 0.7) < 0.15, s"phi ${fit.phi}")
+    assert(math.abs(fit.theta - 0.3) < 0.2, s"theta ${fit.theta}")
+    assert(math.abs(fit.phi) < 1.0 && math.abs(fit.theta) < 1.0)
+  }
+
+  test("ARMA residuals are centered and whiter than the input") {
+    val y = synthArma(2000, 0.1, 0.8, 0.2, 1.0)
+    val fit = TimeSeriesStats.fitArma11(y)
+    val resid = TimeSeriesStats.armaResiduals(y, fit.c, fit.phi, fit.theta)
+    val rm = TimeSeriesStats.mean(resid)
+    assert(math.abs(rm) < 0.05, s"residual mean $rm")
+    // the model must absorb the serial correlation
+    assert(TimeSeriesStats.ljungBox(resid, 10) <
+      TimeSeriesStats.ljungBox(y, 10) / 10)
+  }
+
+  test("ARMA loglik beats the white-noise model") {
+    val y = synthArma(1000, 0.0, 0.6, 0.25, 1.0)
+    val fit = TimeSeriesStats.fitArma11(y)
+    // white noise = ARMA with phi = theta = 0, c = mean
+    val e0 = TimeSeriesStats.armaResiduals(y, TimeSeriesStats.mean(y), 0, 0)
+    val m = e0.length
+    val s2 = e0.map(v => v * v).sum / m
+    val llWn = -0.5 * m * (math.log(2 * math.Pi * s2) + 1.0)
+    assert(fit.loglik > llWn, s"${fit.loglik} vs white noise $llWn")
+  }
+
+  test("ARMA fit is deterministic and diff1 is exact") {
+    val y = synthArma(400, 0.1, 0.5, 0.1, 1.0)
+    assert(TimeSeriesStats.fitArma11(y) == TimeSeriesStats.fitArma11(y))
+    val d = TimeSeriesStats.diff1(y)
+    assert(d.length == y.length - 1 && d(0) == y(1) - y(0))
+  }
+
+  test("ts_arma_residuals runs on the events table with sane output") {
+    val df = TimeSeries.queries("ts_arma_residuals")(spark, sfSmoke).collect()
+    assert(df.length == 5)
+    df.foreach { r =>
+      assert(math.abs(r.getDouble(2)) < 1.0, "phi inside unit circle")
+      assert(math.abs(r.getDouble(3)) < 1.0, "theta inside unit circle")
+      assert(r.getDouble(4) > 0, "sigma2 positive")
+      // real series are short (~30 daily points at smoke SF): the CSS
+      // residual mean is only near zero relative to the residual scale
+      assert(math.abs(r.getDouble(6)) < math.sqrt(r.getDouble(4)),
+        "residual mean within one residual sd of zero")
+      assert(r.getDouble(8) >= 0 && r.getDouble(8) < 1.0,
+        "garch persistence stationary")
+    }
+  }
+
   test("ts_diagnostics runs with finite stats") {
     val df = TimeSeries.queries("ts_diagnostics")(spark, sfSmoke).collect()
     assert(df.length == 5)
