@@ -45,4 +45,18 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.map(_._2).reduce(_ ++ _)
+
+  /** Build the build-once fixtures (S7 CSV round-trip, S8 committed table,
+    * K7 bucketed layout) outside any timed path, so benchmarks measure the
+    * scan/join work, not one-time fixture construction. Safe to call
+    * repeatedly — every builder is idempotent per (session, dir).
+    */
+  def prewarm(spark: SparkSession, sfDir: String): Unit = {
+    Sources.ensureCsvFixture(spark, sfDir)
+    Sources.ensureCommitFixture(spark, sfDir)
+    operators.Bucketing.ensureBucketed(spark, sfDir, "lineitem",
+      "l_orderkey", 8)
+    operators.Bucketing.ensureBucketed(spark, sfDir, "orders",
+      "o_orderkey", 8)
+  }
 }
