@@ -72,27 +72,55 @@ object Extras {
       |FROM events ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // S2: event-time-ordered replay — spool the snapshot in time order, then
-  // run an APPEND-mode watermarked aggregation over the ordered stream.
-  // Because replay is in order, the watermark drops nothing. Append-mode
-  // emission lags one micro-batch (a window flushes in the first batch
-  // whose *starting* watermark passed its end), so two far-future sentinel
-  // files are appended after the real slices: sentinel 1 advances the
-  // watermark past every real window, sentinel 2's batch flushes them.
-  // The sentinels' own windows never close → exactly the full batch bars
-  // come out, which is the oracle.
+  // S2: event-time-ordered replay, scale shape: BATCH-BACKFILL + ordered
+  // streamed tail. History that already closed before a cutoff is
+  // aggregated as one batch job — full cluster parallelism, no per-file
+  // serial replay — and only the tail (the last ~10% of the time range
+  // here; at 100 TB, the last watermark-delay's worth of data) streams
+  // through the time-ordered spool. The serial-replay ceiling and the
+  // spool's mtime contract therefore apply to a BOUNDED tail, never to
+  // the whole history. Within the stream, `filesPerTrigger` contiguous
+  // slices replay per micro-batch (watermark safety only needs slice
+  // boundaries ordered across batches).
+  // Append-mode emission lags one micro-batch, so filesPerTrigger+1
+  // far-future sentinel files follow the real slices: however the trigger
+  // grouping falls, at least one batch contains only sentinels AND starts
+  // after a sentinel already advanced the watermark past every real
+  // window, flushing them all. The sentinels' own windows never close →
+  // streamed tail + batch backfill == exactly the full batch bars, which
+  // is the oracle.
   private def s2OrderedReplay(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-replay-${UUID.randomUUID()}").getAbsolutePath
     val raw = t(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    def minuteBars(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), window(col("ts"), "1 minute"))
+        .agg(
+          (sum(round(col("value") * 100).cast("long")) / 100.0
+            / count(lit(1))).as("average_1minute"),
+          max_by(col("value"), col("ts")).as("close"),
+          count(lit(1)).as("n_ticks"))
+        .select(col("event_type"), col("window.start").as("window_start"),
+          col("average_1minute"), col("close"), col("n_ticks"))
+    val (minTs, maxTs) = {
+      val r = raw.agg(min(col("ts")), max(col("ts"))).first()
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    // minute-aligned cutoff ≈ 90% through the range: windows strictly
+    // before it are closed history → batch; the rest is the streamed tail
+    val cutMs = maxTs.getTime - (maxTs.getTime - minTs.getTime) / 10
+    val cutoff = new java.sql.Timestamp(cutMs - cutMs % 60000L)
+    minuteBars(raw.filter(col("ts") < lit(cutoff)))
+      .write.parquet(s"$work/backfill")
     EventTimeOrderedSpool.spool(
-      raw.select(col("ts"), col("event_type"), col("value")),
-      "ts", s"$work/spool", numFiles = 4)
-    // two sentinel slices 10/20 minutes past the real max ts ('zz-' names
-    // sort after 'part-'; mtimes stamped later so they replay last)
-    val maxTs = raw.agg(max(col("ts"))).first().getTimestamp(0)
-    for (i <- 1 to 2) {
+      raw.filter(col("ts") >= lit(cutoff)), "ts", s"$work/spool",
+      numFiles = 4)
+    // sentinel slices 10/20/30 min past the real max ts ('zz-' names sort
+    // after 'part-'; mtimes stamped later so they replay last)
+    val filesPerTrigger = 2
+    for (i <- 1 to filesPerTrigger + 1) {
       val sdf = s.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(
           new java.sql.Timestamp(maxTs.getTime + i * 10 * 60 * 1000 + 30000),
@@ -113,16 +141,10 @@ object Extras {
       StructField("ts", TimestampType),
       StructField("event_type", StringType),
       StructField("value", DoubleType)))
-    val bars = EventTimeOrderedSpool.orderedStream(s, s"$work/spool", schema)
-      .withWatermark("ts", "1 minute")
-      .groupBy(col("event_type"), window(col("ts"), "1 minute"))
-      .agg(
-        (sum(round(col("value") * 100).cast("long")) / 100.0 / count(lit(1)))
-          .as("average_1minute"),
-        max_by(col("value"), col("ts")).as("close"),
-        count(lit(1)).as("n_ticks"))
-      .select(col("event_type"), col("window.start").as("window_start"),
-        col("average_1minute"), col("close"), col("n_ticks"))
+    val bars = minuteBars(
+      EventTimeOrderedSpool.orderedStream(s, s"$work/spool", schema,
+        filesPerTrigger)
+        .withWatermark("ts", "1 minute"))
     val q = bars.writeStream
       .outputMode("append")
       .format("parquet")
@@ -133,6 +155,7 @@ object Extras {
     q.awaitTermination()
     s.read.parquet(s"$work/out")
       .filter(col("event_type") =!= "zz_sentinel")
+      .unionByName(s.read.parquet(s"$work/backfill"))
       .orderBy(col("event_type"), col("window_start"))
   }
 
