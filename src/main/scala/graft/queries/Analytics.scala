@@ -205,7 +205,20 @@ object Analytics {
   // Arbitrary streaming state: mapGroupsWithState accumulating a per-user
   // profile (count, value cents total, first/last second) — the custom
   // state-machine tier the tumbling/session windows can't express.
-  private def stMapgroupsState(s: SparkSession, dir: String): DataFrame = {
+  //
+  // Multi-batch safe: update mode emits a group's CUMULATIVE state in every
+  // micro-batch that touches it, and the foreachBatch sink appends all of
+  // them — so each emission is tagged with its batch id and the read-back
+  // keeps only the LATEST emission per user (max_by on batch_id). Correct
+  // for any trigger slicing (maxFilesPerTrigger=1, multi-file input, …),
+  // not just the single-batch accident.
+  /** @param maxFilesPerTrigger forces multi-micro-batch replay when the
+    *                           input has several files (mirrors the
+    *                           reference's repeated-trigger ingestion,
+    *                           streaming_pipeline.py:41-48)
+    */
+  def mapGroupsProfiles(s: SparkSession, basePath: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
     import org.apache.spark.sql.types._
     import s.implicits._
@@ -216,10 +229,12 @@ object Analytics {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val events = s.readStream
+    val reader = s.readStream
       .schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
+      .option("basePath", basePath)
+    val events = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(glob)
       .select(col("user_id"),
         expr("ts div 1000000000").as("sec"), // epoch seconds (ns → s)
         round(col("value") * 100).cast("long").as("cents"))
@@ -241,16 +256,33 @@ object Analytics {
     val q = profiles.writeStream
       .outputMode("update")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        df.write.mode("append").parquet(s"$work/out")
+          org.apache.spark.sql.Row], batchId: Long) =>
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$work/out")
       }
       .option("checkpointLocation", s"$work/_chk")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Latest emission per user == complete accumulated state for that user
+    // (state is monotone-cumulative; later batches re-emit everything seen).
     s.read.parquet(s"$work/out")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("n_events"), col("total_value"),
+          col("first_sec"), col("last_sec")),
+        col("batch_id")).as("p"))
+      .select(col("user_id"), col("p.n_events").as("n_events"),
+        col("p.total_value").as("total_value"),
+        col("p.first_sec").as("first_sec"), col("p.last_sec").as("last_sec"))
       .orderBy(col("user_id"))
   }
+
+  private def stMapgroupsState(s: SparkSession, dir: String): DataFrame =
+    // maxFilesPerTrigger=1: every input file becomes its own micro-batch,
+    // so the production query exercises the multi-batch path whenever the
+    // source directory holds more than one events file.
+    mapGroupsProfiles(s, dir, s"$dir/events*.parquet", Some(1))
 
   private val stMapgroupsStateSql =
     """SELECT user_id, count(*) AS n_events,

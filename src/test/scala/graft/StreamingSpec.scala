@@ -3,11 +3,47 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Relational, StreamingQueries}
+import graft.queries.{Analytics, Relational, StreamingQueries}
 import graft.streaming.TickPipeline
 
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfSmoke}
+
+  test("mapGroupsWithState survives multi-batch replay (maxFilesPerTrigger=1)") {
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // split events over >=3 files so maxFilesPerTrigger=1 forces >=3
+    // micro-batches — each user's profile is emitted several times and the
+    // read-back dedup must keep only the final state
+    val fixture = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-mgs-multi-${java.util.UUID.randomUUID()}").getAbsolutePath
+    spark.read.schema(rawSchema).option("basePath", sfSmoke)
+      .parquet(s"$sfSmoke/events*.parquet")
+      .repartition(3).write.parquet(fixture)
+    assert(new java.io.File(fixture).listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 3)
+    val out = Analytics.mapGroupsProfiles(spark, fixture,
+      s"$fixture/part-*.parquet", maxFilesPerTrigger = Some(1)).cache()
+    val expected = spark.read.schema(rawSchema).parquet(fixture)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("e_n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("e_total"),
+        min(expr("ts div 1000000000")).as("e_first"),
+        max(expr("ts div 1000000000")).as("e_last"))
+    assert(out.count() == expected.count(), "must emit exactly one row per user")
+    val j = out.join(expected, Seq("user_id"), "full")
+    assert(j.filter(col("n_events").isNull || col("e_n").isNull).count() == 0)
+    assert(j.filter(col("n_events") =!= col("e_n")
+      || col("total_value") =!= col("e_total")
+      || col("first_sec") =!= col("e_first")
+      || col("last_sec") =!= col("e_last")).count() == 0,
+      "final state must equal the batch aggregate")
+    out.unpersist()
+  }
 
   test("stream-batch parity: streamed bronze bars == batch tumbling agg") {
     val streamed = StreamingQueries.queries("k1_stream_bronze_bars")(spark, sfSmoke)
