@@ -107,24 +107,64 @@ object Dedup {
     * 16-bit chunks (any chunk equal → candidate; catches all pairs with
     * hamming distance ≤ 3 exactly, more probabilistically), verify with
     * bit_count(xor) ≤ maxHamming.
+    *
+    * Scale hardening: 16-bit bands give at most 65,536 buckets per band,
+    * so at billions of docs the within-bucket self-join goes quadratic.
+    * Buckets above `maxBucketSize` switch to a STAR graph — every member
+    * pairs with the bucket's min-id representative only — which keeps the
+    * bucket one connected component for dedup grouping at O(size) pairs
+    * instead of O(size²). (Members similar to each other but not to the
+    * representative may verify through it transitively — the standard
+    * cap/representative trade.) Oversized buckets are observable via
+    * [[simHashOverflow]]; log it before a big run.
     */
-  def simHashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 8): DataFrame = {
+  def simHashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 8,
+      maxBucketSize: Int = 1 << 16): DataFrame = {
+    val buckets = simHashBuckets(sig, idCol)
+    val sized = buckets.join(
+      buckets.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz")),
+      Seq("band", "bucket"))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val allPairs = small
+      .select(col("band"), col("bucket"),
+        col(idCol).as("id_a"), col("simhash").as("sig_a"))
+      .join(small.select(col("band"), col("bucket"),
+        col(idCol).as("id_b"), col("simhash").as("sig_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+    val big = sized.filter(col("bsz") > maxBucketSize)
+    val reps = big.groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("id_a"),
+        min_by(col("simhash"), col(idCol)).as("sig_a"))
+    val starPairs = big.join(reps, Seq("band", "bucket"))
+      .filter(col(idCol) > col("id_a"))
+      .select(col("band"), col("bucket"), col("id_a"), col("sig_a"),
+        col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    allPairs.select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .unionByName(starPairs.select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** (band, bucket, size) of buckets past the cap — the logged-overflow
+    * companion to [[simHashPairs]]'s star fallback.
+    */
+  def simHashOverflow(sig: DataFrame, idCol: String,
+      maxBucketSize: Int = 1 << 16): DataFrame =
+    simHashBuckets(sig, idCol)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+
+  private def simHashBuckets(sig: DataFrame, idCol: String): DataFrame = {
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("band"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("bucket")))
-    val buckets = sig.select(col(idCol), col("simhash"),
+    sig.select(col(idCol), col("simhash"),
       explode(array(chunks: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
-    val a = buckets.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

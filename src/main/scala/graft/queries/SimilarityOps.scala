@@ -59,7 +59,7 @@ object SimilarityOps {
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(s)(col("qv"), col("v")), 6))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos"))
@@ -85,49 +85,41 @@ object SimilarityOps {
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // IVF-style approximate search: deterministic coarse quantizer = the
-  // per-label mean vector (one k-means step over the provided clustering);
-  // every vector is assigned to its nearest centroid; a query probes the
-  // 2 nearest centroid cells only. Rows-only; recall vs brute force is
-  // asserted in SimilaritySpec. At 100 TB the cell assignment is a narrow
-  // map + shuffle-on-cell, and each query touches ~2/k of the corpus.
-  private def simKnnIvf(s: SparkSession, dir: String): DataFrame = {
+  // IVF-style approximate search via operators.Ivf: hash-seeded centroids
+  // refined by 2 Lloyd steps, numCells ≈ √N so a query probing nprobe=2
+  // cells touches ~2/√N of the corpus. All assignment/probing steps are
+  // max_by / collect-top aggregations — no per-vector window anywhere
+  // (asserted in PlanSpec). Rows-only; recall vs brute force is asserted in
+  // ScaleOpsSpec (real data + a tight-cluster fixture at ≥0.9).
+  /** Exposed with explicit knobs so specs can vary cell count / probes. */
+  def knnIvf(s: SparkSession, dir: String, numCellsOpt: Option[Int] = None,
+      nprobe: Int = 2, topK: Int = 10): DataFrame = {
     val e = embDouble(s, dir)
-    // centroids: elementwise mean per label (k = #labels, here 10)
-    val dim = 64
-    val centroids = e
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("cent_id"),
-        expr("transform(pm, p -> p.m)").as("cv"))
-    val withCell = e.crossJoin(broadcast(centroids))
-      .withColumn("cos_c", cosine(s)(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("cent_id").as("cell"))
-    val q = withCell.filter(col("vec_id") < 5)
+    val cos = cosine(s) _
+    val numCells = numCellsOpt.getOrElse(
+      math.max(2, math.sqrt(e.count().toDouble).toInt))
+    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", numCells)(cos)
+    val withCell = graft.operators.Ivf.assign(e, cents, "vec_id", "v")(cos)
+    val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    // probe the 2 nearest cells per query
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cos_c", cosine(s)(col("qv"), col("cv")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))))
-      .filter(col("rk") <= 2)
-      .select(col("query_id"), col("qv"), col("cent_id").as("cell"))
+    val probes = graft.operators.Ivf.probeCells(
+      q, cents, "query_id", "qv", nprobe)(cos)
+    // final ranking: per-query window over the probed candidates only
+    // (bounded by ~nprobe/numCells of the corpus, never the full corpus)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     withCell.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(s)(col("qv"), col("v")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+      .withColumn("cos", round(cos(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  private def simKnnIvf(s: SparkSession, dir: String): DataFrame =
+    knnIvf(s, dir)
 
   // Embedding near-duplicate pairs: exact top-50 most-similar pairs within
   // the same label cell (the blocked form of all-pairs cosine). Oracled.

@@ -58,4 +58,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin")
       || plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("ivf: cell assignment is a max_by aggregate, not a per-vector window") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+      .select(c("vec_id"), c("embedding").cast("array<double>").as("v"))
+    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", 8)(
+      SimilarityOps.cosineComposed)
+    val assigned = graft.operators.Ivf.assign(e, cents, "vec_id", "v")(
+      SimilarityOps.cosineComposed)
+    val plan = planOf(assigned)
+    assert(!plan.contains("Window"), "assignment must not plan a window:\n"
+      + plan.take(2000))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      plan.take(2000))
+    // centroid side broadcasts into the crossJoin
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // probe-side cell selection is also window-free
+    val q = e.filter(c("vec_id") < 5)
+      .select(c("vec_id").as("query_id"), c("v").as("qv"))
+    val probes = graft.operators.Ivf.probeCells(q, cents, "query_id", "qv", 2)(
+      SimilarityOps.cosineComposed)
+    assert(!planOf(probes).contains("Window"))
+  }
 }

@@ -44,6 +44,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs.nonEmpty, "near-dup fixture should produce simhash pairs")
   }
 
+  test("simhash bucket cap bounds candidates under adversarial skew") {
+    import spark.implicits._
+    // 400 byte-identical docs: every band maps them into ONE bucket, the
+    // worst case where uncapped pairing is C(400,2) = 79,800 candidates
+    val docs = ((0 until 400).map(i =>
+        (i.toLong, "the same exact document text repeated verbatim")) ++
+      (0 until 50).map(i =>
+        (400L + i, s"unique document number $i with words ${i * 31} apart")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.simHash(docs, "doc_id", "text")
+    val capped = Dedup.simHashPairs(sig, "doc_id", maxHamming = 8,
+      maxBucketSize = 50)
+    val n = capped.count()
+    assert(n < 5000, s"candidates must stay linear in bucket size, got $n")
+    // the capped mega-bucket stays one connected component: every
+    // identical doc pairs with the min-id representative (doc 0)
+    assert(capped.filter(col("id_a") === 0L).count() >= 399)
+    // and the overflow is observable for logging
+    val over = Dedup.simHashOverflow(sig, "doc_id", 50).count()
+    assert(over >= 4 && over <= 8, s"expected the 4 mega-buckets, got $over")
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val docs = Tables.t(spark, sfSmoke, "documents")
     val dd = DedupOps.queries("dd_exact")(spark, sfSmoke)
@@ -71,6 +93,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(avgRecall >= 0.2, s"IVF avg recall@10 = $avgRecall")
   }
 
+  test("IVF tight clusters: recall@10 >= 0.9 with sqrt-N cells / 2 probes") {
+    import spark.implicits._
+    // 50 well-separated tight clusters of 12 points: any query's true
+    // top-10 lives in its own cluster, which a tight cluster maps whole
+    // into one IVF cell — so sqrt-N cells + 2 probes must recover it
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val pts = for (cl <- 0 until 50; i <- 0 until 12) yield {
+      val center = new scala.util.Random(1000 + cl)
+      val c = Array.fill(dim)(center.nextGaussian())
+      (cl, i, c.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))
+    }
+    val (qs, rest) = pts.partition { case (cl, i, _) => cl < 5 && i == 0 }
+    val rows =
+      qs.zipWithIndex.map { case ((cl, _, v), k) => (k.toLong, cl.toLong, v) } ++
+      rest.zipWithIndex.map { case ((cl, _, v), k) => (k + 5L, cl.toLong, v) }
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivf-fix-${java.util.UUID.randomUUID()}").getAbsolutePath
+    rows.toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val brute = SimilarityOps.queries("sim_knn_brute")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val ivf = SimilarityOps.knnIvf(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      brute(q).count(ivf.getOrElse(q, Set.empty[Long]).contains)
+        .toDouble / brute(q).size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    assert(avgRecall >= 0.9, s"IVF clustered-fixture recall@10 = $avgRecall")
+    // structural scale contract: <= sqrt(N) cells, exactly nprobe probes
+    val e = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val numCells = math.max(2, math.sqrt(rows.size.toDouble).toInt)
+    assert(numCells <= math.sqrt(rows.size.toDouble).toInt)
+    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", numCells)(
+      SimilarityOps.cosineComposed)
+    assert(cents.count() <= numCells)
+    val q5 = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = graft.operators.Ivf.probeCells(q5, cents, "query_id", "qv", 2)(
+      SimilarityOps.cosineComposed)
+    assert(probes.count() == 10, "each of 5 queries probes exactly 2 cells")
+  }
+
   test("brute-force knn: 10 neighbors per query, self excluded, sorted") {
     val rows = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke).collect()
     val byQ = rows.groupBy(_.getLong(0))
@@ -78,7 +147,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     byQ.foreach { case (q, rs) =>
       assert(rs.length == 10)
       assert(!rs.exists(_.getAs[Long]("neighbor_id") == q))
-      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      val cs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
   }
