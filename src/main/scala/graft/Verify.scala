@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR so concurrent streaming queries share executors fairly
+      // (reference: AutomateTable.py:64-66 + fairscheduler.xml)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -30,6 +30,7 @@ object Maintenance {
     Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(new java.io.File(old))
+    recordLiveFiles(path)
   }
 
   /** Z-order-lite: range-cluster the table on `clusterCols` so parquet
@@ -48,6 +49,7 @@ object Maintenance {
     Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(new java.io.File(old))
+    recordLiveFiles(path)
   }
 
   /** Append a commit record (JSON line) to the table's manifest. */
@@ -81,6 +83,75 @@ object Maintenance {
         col("min_event_time"), col("max_event_time"),
         (unix_timestamp(col("commit_ts"))
           - unix_timestamp(col("max_event_time"))).as("latency_sec"))
+
+  // ---------------------------------------------------------------------
+  // Retention-window VACUUM (reference: delta_manager.py:11-17 — delete
+  // data files past a 24 h retention). The table's live snapshot is the
+  // file registry under _graft_log (the engine's analogue of the Delta
+  // log's add-file set); vacuum deletes files under the table root that
+  // are NOT registered and are older than the injected cutoff. The cutoff
+  // is a parameter, never wall clock (SURVEY §5 determinism contract).
+
+  def liveFilesPath(tablePath: String): String =
+    s"$tablePath/_graft_log/live_files.txt"
+
+  /** Register the table's current data files as live (one relative path
+    * per line). Call after any committed rewrite — compact/cluster do.
+    */
+  def recordLiveFiles(tablePath: String): Unit = {
+    val root = Paths.get(tablePath)
+    val files = listDataFiles(new java.io.File(tablePath))
+      .map(f => root.relativize(f.toPath).toString).sorted
+    val p = Paths.get(liveFilesPath(tablePath))
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, files.mkString("", "\n", "\n"))
+  }
+
+  /** Delete unregistered data files with mtime older than `cutoffEpochMs`
+    * (orphans from failed/superseded writes: leftover `__old` /
+    * `__compact_tmp` trees, uncommitted task files). Files newer than the
+    * cutoff are kept — they may belong to an in-flight writer (the same
+    * races the reference's 24 h default protects against). Refuses to run
+    * (returns -1) if no live-file registry exists: without a snapshot
+    * every file would look like an orphan.
+    *
+    * @return number of files deleted, or -1 if the table has no registry
+    */
+  def vacuum(tablePath: String, cutoffEpochMs: Long): Int = {
+    val reg = new java.io.File(liveFilesPath(tablePath))
+    if (!reg.exists()) return -1
+    val root = Paths.get(tablePath)
+    val live = Files.readString(reg.toPath).linesIterator
+      .filter(_.nonEmpty).toSet
+    val victims = listDataFiles(new java.io.File(tablePath)).filter { f =>
+      val rel = root.relativize(f.toPath).toString
+      !live.contains(rel) && f.lastModified() < cutoffEpochMs
+    }
+    victims.foreach(_.delete())
+    pruneEmptyDirs(new java.io.File(tablePath))
+    victims.size
+  }
+
+  /** All regular files under the table root except the _graft_log tree
+    * (the log is table metadata, never vacuum-eligible — same contract as
+    * Delta's _delta_log).
+    */
+  private def listDataFiles(root: java.io.File): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.getName == "_graft_log") Seq.empty
+      else if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+      else Seq(f)
+    walk(root)
+  }
+
+  private def pruneEmptyDirs(root: java.io.File): Unit = {
+    Option(root.listFiles()).foreach(_.filter(_.isDirectory)
+      .filter(_.getName != "_graft_log").foreach { d =>
+        pruneEmptyDirs(d)
+        if (Option(d.listFiles()).exists(_.isEmpty)) d.delete()
+      })
+  }
 
   def parquetFileCount(path: String): Int =
     Option(new java.io.File(path).listFiles())

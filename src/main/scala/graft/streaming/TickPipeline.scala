@@ -166,19 +166,31 @@ object TickPipeline {
     q.awaitTermination()
   }
 
+  /** Per-type bronze subdirectory for concurrent writers. Concurrent Spark
+    * write jobs into ONE directory share its `_temporary` staging dir, so
+    * one job's commit can delete another's in-flight task files — each
+    * concurrent stream must own its output dir. The `et=` naming doubles as
+    * a partition dir: a plain read of `bronzeDir` discovers `et` as a
+    * partition column and still sees the union.
+    */
+  def bronzeTypeDir(cfg: Config, eventType: String): String =
+    s"${bronzeDir(cfg)}/et=$eventType"
+
   /** §2.9 concurrency: one bronze-hop streaming query per key, all started
     * before any is awaited — the reference's 4-concurrent-queries pattern
     * (reference: streaming_pipeline.py:54-60 daemon threads + FAIR pool,
     * AutomateTable.py:64-66). The scheduler pool property is set for every
     * query; with `spark.scheduler.mode=FAIR` at session build these pools
-    * share the cluster fairly (FIFO otherwise — a session-construction
-    * conf, so applied where the session is created, not here).
+    * share the cluster fairly (the engine's sessions set it — asserted in
+    * MaintenanceSpec). Each per-type stream appends to its own
+    * [[bronzeTypeDir]] so concurrent commits never share `_temporary`.
     */
   def runConcurrentBronze(spark: SparkSession, cfg: Config,
       types: Seq[String]): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "streaming")
     val queries = types.map { et =>
+      val sinkDir = bronzeTypeDir(cfg, et)
       val ticks = spark.readStream
         .schema(eventsRawSchema)
         .option("basePath", cfg.sfDir)
@@ -196,7 +208,7 @@ object TickPipeline {
         .select(col("event_type"), col("window.start").as("window_start"),
           col("average_1minute"), col("price"), col("n_ticks"))
       val writeBatch: (Dataset[Row], Long) => Unit = (df, _) =>
-        df.write.mode("append").parquet(bronzeDir(cfg))
+        df.write.mode("append").parquet(sinkDir)
       bars.writeStream
         .outputMode("update")
         .foreachBatch(writeBatch)

@@ -60,11 +60,57 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(stats(0).getAs[Long]("latency_sec") > 0)
   }
 
+  test("vacuum deletes only expired orphans, never live or recent files") {
+    val p = freshTable()
+    Maintenance.recordLiveFiles(p)
+    val n = spark.read.parquet(p).count()
+    // two orphaned task files in a leftover _temporary staging tree (the
+    // real shape of a crashed writer): one past retention, one recent
+    val staging = new java.io.File(p, "_temporary/0")
+    staging.mkdirs()
+    val oldOrphan = new java.io.File(staging, "task-orphan-old.parquet")
+    val newOrphan = new java.io.File(staging, "task-orphan-new.parquet")
+    java.nio.file.Files.writeString(oldOrphan.toPath, "junk")
+    java.nio.file.Files.writeString(newOrphan.toPath, "junk")
+    val cutoff = 1700000000000L // injected retention cutoff, no wall clock
+    assert(oldOrphan.setLastModified(cutoff - 86400000L))
+    assert(newOrphan.setLastModified(cutoff + 86400000L))
+    // live files are older than the cutoff too — must still survive
+    Option(new java.io.File(p).listFiles()).get
+      .filter(_.getName.endsWith(".parquet"))
+      .filterNot(f => f == oldOrphan || f == newOrphan)
+      .foreach(f => assert(f.setLastModified(cutoff - 86400000L)))
+    val deleted = Maintenance.vacuum(p, cutoff)
+    assert(deleted == 1, s"expected exactly the expired orphan, got $deleted")
+    assert(!oldOrphan.exists())
+    assert(newOrphan.exists())
+    assert(spark.read.parquet(p).count() == n, "live data must be intact")
+    // a table without a live-file registry refuses to vacuum
+    val bare = freshTable()
+    assert(Maintenance.vacuum(bare, cutoff) == -1)
+    assert(Maintenance.parquetFileCount(bare) > 0)
+  }
+
   test("concurrent per-key bronze streams equal the single-stream result") {
+    // concurrent queries must run under the FAIR scheduler (reference:
+    // AutomateTable.py:64-66 + fairscheduler.xml) — a session-build conf
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO")
+      == "FAIR", "engine sessions must set spark.scheduler.mode=FAIR")
     val types = Seq("click", "purchase")
     val cfgC = TickPipeline.Config(sfSmoke, TickPipeline.freshWorkDir())
     TickPipeline.runConcurrentBronze(spark, cfgC, types)
-    val concurrent = spark.read.parquet(TickPipeline.bronzeDir(cfgC))
+    // each concurrent writer owns a disjoint sink dir (no shared _temporary)
+    val typeDirs = types.map(et =>
+      new java.io.File(TickPipeline.bronzeTypeDir(cfgC, et)))
+    assert(typeDirs.forall(_.isDirectory), s"missing per-type dirs: $typeDirs")
+    assert(typeDirs.map(_.getAbsolutePath).distinct.size == types.size)
+    typeDirs.zip(types).foreach { case (d, et) =>
+      val only = spark.read.parquet(d.getAbsolutePath)
+      assert(only.filter(col("event_type") =!= et).count() == 0,
+        s"dir $d leaked other event types")
+    }
+    // union across the partitioned layout == the single-stream result
+    val concurrent = spark.read.parquet(TickPipeline.bronzeDir(cfgC)).drop("et")
     val cfgS = TickPipeline.Config(sfSmoke, TickPipeline.freshWorkDir())
     TickPipeline.runBronzeHop(spark, cfgS)
     val single = spark.read.parquet(TickPipeline.bronzeDir(cfgS))

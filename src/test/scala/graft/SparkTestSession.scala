@@ -13,6 +13,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same session shape as Verify/Bench: FAIR scheduling for the
+      // concurrent-streams path (asserted in MaintenanceSpec)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
