@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lit, row_number}
 import org.apache.spark.sql.types.LongType
 
 /** Scale-safe sequential id assignment — the 100-TB alternative to the
@@ -23,4 +25,27 @@ object IdAssign {
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** Above this row count a global row_number window (single-partition
+    * sort on one executor) is a scale hazard; dimension/changed-slice
+    * inputs sit far below it.
+    */
+  val WindowThreshold = 1000000L
+
+  /** Dense ids in `orderCols` total order, with the size guard every
+    * surrogate-key call sites routes through: dim-sized inputs keep the
+    * `row_number() OVER (ORDER BY …)` window (SQL/oracle parity, one tiny
+    * sort), anything above `threshold` takes the scale path — global
+    * range-partitioned sort + zipWithIndex, which yields the IDENTICAL
+    * ids with no single-partition window. The guard costs one count job,
+    * cheap next to the sort either branch pays.
+    */
+  def orderedIds(df: DataFrame, orderCols: Seq[Column], offset: Long,
+      colName: String, threshold: Long = WindowThreshold): DataFrame =
+    if (df.count() <= threshold)
+      df.withColumn(colName,
+        lit(offset) + row_number().over(Window.orderBy(orderCols: _*))
+          .cast("long"))
+    else
+      withSequentialIds(df.orderBy(orderCols: _*), offset, colName)
 }

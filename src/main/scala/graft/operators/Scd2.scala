@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SCD type-2 dimension merge as a pure DataFrame transform — the engine
@@ -16,12 +15,13 @@ import org.apache.spark.sql.functions._
   * shuffle-on-business-key equi-joins — at 100 TB the dimension is tiny
   * relative to facts, and the whole merge broadcasts.
   *
-  * Determinism contract (SURVEY §5): surrogate keys are assigned by
-  * `row_number() OVER (ORDER BY key, hash)` — a total order, so results are
-  * reproducible and DuckDB-oracle-matchable. The global window is
-  * acceptable because it only ever sees the *changed* slice of a dimension,
-  * never fact-sized data; a 100-TB-scale alternative for huge dims is
-  * `zipWithIndex` + max-offset, which loses SQL parity.
+  * Determinism contract (SURVEY §5): surrogate keys are assigned in
+  * (key, hash) total order via [[IdAssign.orderedIds]], so results are
+  * reproducible and DuckDB-oracle-matchable. The size guard in there keeps
+  * the `row_number()` global window for dim-sized changed slices and
+  * switches to sorted `zipWithIndex` (identical ids, no single-partition
+  * window) above the threshold — an oversized merge can no longer pile a
+  * fact-sized sort onto one executor.
   */
 object Scd2 {
 
@@ -72,10 +72,8 @@ object Scd2 {
     // populate_dim.py:147-150) in (key, hash) total order (:119-121).
     val maxSk = current.agg(coalesce(max(col("surrogate_key")), lit(0L)))
       .first().getLong(0)
-    val newRows = changed
-      .withColumn("surrogate_key",
-        lit(maxSk) + row_number().over(Window.orderBy(col(key), col("hash")))
-          .cast("long"))
+    val newRows = IdAssign.orderedIds(
+      changed, Seq(col(key), col("hash")), maxSk, "surrogate_key")
       .withColumn("start_date", to_date(lit(effectiveDate)))
       .withColumn("end_date", to_date(lit(FarFuture)))
       .withColumn("is_current", lit("Y"))

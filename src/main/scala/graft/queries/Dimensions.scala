@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.t
 import graft.operators.Scd2
@@ -90,15 +89,14 @@ object Dimensions {
   // (reference: populate_dim.py:112-129). Doubles are canonicalized to
   // integer cents before hashing so the hash string is engine-independent.
   private def p9SurrogateHash(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "supplier")
-      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
-      .withColumn("hash", sha2(concat_ws("~",
-        col("s_name"),
-        round(col("s_acctbal") * 100).cast("long"),
-        col("s_nationkey")), 256))
-      .withColumn("surrogate_key",
-        row_number().over(Window.orderBy(col("s_suppkey"), col("hash")))
-          .cast("long"))
+    graft.operators.IdAssign.orderedIds(
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .withColumn("hash", sha2(concat_ws("~",
+          col("s_name"),
+          round(col("s_acctbal") * 100).cast("long"),
+          col("s_nationkey")), 256)),
+      Seq(col("s_suppkey"), col("hash")), 0L, "surrogate_key")
       .orderBy(col("surrogate_key"))
 
   private val p9SurrogateHashSql =
@@ -117,11 +115,9 @@ object Dimensions {
   // global window is safe; the fact-scale alternative is
   // operators.IdAssign.withSequentialIds (zipWithIndex).
   private def w2DenseIds(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "part")
-      .select(col("p_brand")).distinct()
-      .withColumn("brand_id",
-        (lit(100) + row_number().over(Window.orderBy(col("p_brand"))))
-          .cast("long"))
+    graft.operators.IdAssign.orderedIds(
+      t(s, dir, "part").select(col("p_brand")).distinct(),
+      Seq(col("p_brand")), 100L, "brand_id")
       .orderBy(col("brand_id"))
 
   private val w2DenseIdsSql =
@@ -135,15 +131,15 @@ object Dimensions {
   // keys are brand new, the rest pass through untouched.
   private def k4Scd2Merge(s: SparkSession, dir: String): DataFrame = {
     val sup = t(s, dir, "supplier")
-    val current = Scd2.withHash(
-      sup.select(
-        col("s_suppkey").as("coin_id"),
-        col("s_name").as("name"),
-        col("s_acctbal").as("supply"))
-        .withColumn("cents", round(col("supply") * 100).cast("long")),
-      Seq("name", "cents"))
-      .withColumn("surrogate_key",
-        row_number().over(Window.orderBy(col("coin_id"))).cast("long"))
+    val current = graft.operators.IdAssign.orderedIds(
+      Scd2.withHash(
+        sup.select(
+          col("s_suppkey").as("coin_id"),
+          col("s_name").as("name"),
+          col("s_acctbal").as("supply"))
+          .withColumn("cents", round(col("supply") * 100).cast("long")),
+        Seq("name", "cents")),
+      Seq(col("coin_id")), 0L, "surrogate_key")
       .withColumn("start_date", to_date(lit("2024-01-01")))
       .withColumn("end_date", to_date(lit(Scd2.FarFuture)))
       .withColumn("is_current", lit("Y"))

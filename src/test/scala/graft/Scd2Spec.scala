@@ -43,4 +43,21 @@ class Scd2Spec extends AnyFunSuite {
     assert(Dimensions.queries("s6_dimtime")(spark, sfSmoke).count() == 86400)
     assert(Dimensions.queries("s6_dimdate")(spark, sfSmoke).count() == 4018)
   }
+
+  test("orderedIds guard: oversized input avoids the global window, ids equal") {
+    import spark.implicits._
+    import graft.operators.IdAssign
+    val df = (1 to 500).map(i => ((i * 7919) % 1000L, s"v$i")).toDF("k", "h")
+    val small = IdAssign.orderedIds(df, Seq(col("k"), col("h")), 10L, "id",
+      threshold = 1000L)
+    val big = IdAssign.orderedIds(df, Seq(col("k"), col("h")), 10L, "id",
+      threshold = 100L) // 500 rows > 100 → scale path
+    assert(small.queryExecution.executedPlan.toString.contains("Window"))
+    assert(!big.queryExecution.executedPlan.toString.contains("Window"),
+      "above the threshold no single-partition window may appear")
+    val a = small.orderBy("id").collect()
+    val b = big.orderBy("id").collect()
+    assert(a.sameElements(b), "both paths must assign identical ids")
+    assert(a.map(_.getAs[Long]("id")).toSeq == (11L to 510L))
+  }
 }
