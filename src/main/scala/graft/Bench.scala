@@ -26,6 +26,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths so per-query timings reflect data work,
@@ -60,8 +61,15 @@ object Bench {
     val errors = results.collect { case (k, _, Left(m)) =>
       s"\"$k\":${jsonStr(m)}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errors,"failed":${results.count(_._3.isLeft)},"sf":"$sfDir"}""")
+    // failed queries are excluded from the headline total — a crash's
+    // partial wall time must never make the aggregate look faster
+    val total = results.collect { case (_, t, Right(_)) => t }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"errors":$errors,"failed":${results.count(_._3.isLeft)},"sf":"$sfDir"}"""
+    println(line)
+    // stdout gets truncated by log tails — persist the full line too
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
     if (results.exists(_._3.isLeft)) sys.exit(1)
   }
