@@ -21,6 +21,27 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Content fingerprint of a table's backing file(s): full absolute path
+    * plus each file's (name, size, mtime). Build-once fixture caches key on
+    * this, so a regenerated source dataset invalidates the fixture and two
+    * different dirs can never share one (the old `dir.hashCode` key did
+    * neither).
+    */
+  def fingerprint(dir: String, name: String): String = {
+    val root = new java.io.File(path(dir, name))
+    val files =
+      if (root.isDirectory)
+        Option(root.listFiles()).map(_.toSeq.sortBy(_.getName))
+          .getOrElse(Seq.empty)
+      else Seq(root)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(root.getAbsolutePath.getBytes("UTF-8"))
+    files.foreach { f =>
+      md.update(s"|${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   /** Batch scan (reference S3: streaming_pipeline.py:32,35-36). Plain
     * `spark.read.parquet` keeps the scan declarative so Catalyst pushes
     * filters/column pruning into the parquet reader.

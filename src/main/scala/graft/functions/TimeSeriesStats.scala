@@ -144,6 +144,8 @@ object TimeSeriesStats {
     */
   def armaResiduals(y: Array[Double], c: Double, phi: Double,
       theta: Double): Array[Double] = {
+    require(y.length >= 2,
+      s"armaResiduals needs >= 2 observations, got ${y.length}")
     val out = new Array[Double](y.length - 1)
     var ePrev = 0.0
     var i = 1
@@ -164,6 +166,11 @@ object TimeSeriesStats {
     * residual variance: −m/2·(log(2π·σ̂²) + 1).
     */
   def fitArma11(y: Array[Double]): ArmaFit = {
+    // below 3 points CSS is degenerate (sse == 0 for many params; NaNs
+    // survive the .max guards since NaN.max(x) == NaN) — refuse instead
+    // of emitting NaN rows downstream
+    require(y.length >= 3,
+      s"fitArma11 needs >= 3 observations, got ${y.length}")
     def decode(t: Array[Double]): (Double, Double, Double) =
       (t(0), 0.998 * math.tanh(t(1)), 0.998 * math.tanh(t(2)))
     def obj(t: Array[Double]): Double = {

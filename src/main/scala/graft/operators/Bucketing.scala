@@ -18,8 +18,9 @@ object Bucketing {
     */
   def ensureBucketed(spark: SparkSession, dir: String, table: String,
       key: String, buckets: Int): String = {
-    // table identity includes the source dir so sf0.01/sf0.1 never collide
-    val name = s"graft_b_${table}_${buckets}_${math.abs(dir.hashCode)}"
+    // table identity = source content fingerprint, so sf0.01/sf0.1 never
+    // collide and a regenerated dataset gets a fresh layout
+    val name = s"graft_b_${table}_${buckets}_${Tables.fingerprint(dir, table)}"
     if (!spark.catalog.tableExists(name)) {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-bucketed/$name").getAbsolutePath

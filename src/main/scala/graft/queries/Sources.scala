@@ -53,13 +53,15 @@ object Sources {
   // aggregates; the oracle computes the same aggregate from parquet —
   // proving the CSV reader is lossless for this schema.
 
-  /** Build-once CSV fixture keyed by the source dir, so the timed query
-    * pays only the scan. `_SUCCESS` (written last by the committer) guards
-    * against a half-written fixture from a crashed run.
+  /** Build-once CSV fixture keyed by the source-table content fingerprint
+    * (path + file sizes/mtimes — a regenerated dataset rebuilds the
+    * fixture), so the timed query pays only the scan. `_SUCCESS` (written
+    * last by the committer) guards against a half-written fixture from a
+    * crashed run.
     */
   def ensureCsvFixture(s: SparkSession, dir: String): String = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-csv-${math.abs(dir.hashCode.toLong)}").getAbsolutePath
+      s"graft-csv-${graft.Tables.fingerprint(dir, "events")}").getAbsolutePath
     if (!new java.io.File(tmp, "_SUCCESS").exists()) {
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -95,14 +97,15 @@ object Sources {
   // txn-log minValues scan, TimeDelay.ipynb cell 0). The engine writes its
   // own manifest (injected commit time — no wall clock) and reads it back
   // as JSON.
-  /** Build-once committed-table fixture keyed by the source dir. The
-    * manifest line is written last, so its existence implies a complete
-    * fixture; the guard also keeps the manifest at exactly one commit
-    * record (recordCommit appends).
+  /** Build-once committed-table fixture keyed by the source-table content
+    * fingerprint (see [[ensureCsvFixture]]). The manifest line is written
+    * last, so its existence implies a complete fixture; the guard also
+    * keeps the manifest at exactly one commit record (recordCommit
+    * appends).
     */
   def ensureCommitFixture(s: SparkSession, dir: String): String = {
     val work = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-commit-${math.abs(dir.hashCode.toLong)}").getAbsolutePath
+      s"graft-commit-${graft.Tables.fingerprint(dir, "events")}").getAbsolutePath
     val bars = s"$work/bars"
     if (!new java.io.File(Maintenance.manifestPath(bars)).exists()) {
       val df = t(s, dir, "events")

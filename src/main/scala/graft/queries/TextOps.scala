@@ -25,7 +25,7 @@ object TextOps {
       .select(col("doc_id"),
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
           .cast("binary")).as("fingerprint"),
-        length(col("text")).as("n_chars_text"))
+        length(col("text")).cast("long").as("n_chars_text"))
       .orderBy(col("doc_id"))
 
   private val txFingerprintSql =
@@ -45,7 +45,7 @@ object TextOps {
     t(s, dir, "documents")
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
+        length(col("text")).cast("long").as("n_chars"),
         words.cast("long").as("n_words"),
         punct.cast("long").as("n_punct"),
         stops.cast("long").as("n_stopwords"),

@@ -200,15 +200,21 @@ object TimeSeries {
         log(col("close") / col("prev")).as("r"))
       .as[(String, Int, Double)]
     rets.groupByKey(_._1)
-      .mapGroups { (k, it) =>
+      .flatMapGroups { (k, it) =>
         val series = it.map(x => (x._2, x._3)).toArray.sortBy(_._1).map(_._2)
-        val fit = TimeSeriesStats.fitArma11(series)
-        val resid = TimeSeriesStats.armaResiduals(
-          series, fit.c, fit.phi, fit.theta)
-        val g = TimeSeriesStats.fitGarch11(resid)
-        (k, fit.c, fit.phi, fit.theta, fit.sigma2, fit.loglik,
-          TimeSeriesStats.mean(resid), TimeSeriesStats.ljungBox(resid, 10),
-          g.alpha + g.beta, fit.n)
+        // groups too short to fit (ARMA CSS + GARCH on its residuals +
+        // Ljung-Box at lag 10) are skipped, not emitted as NaN rows
+        if (series.length < 12) Iterator.empty
+        else {
+          val fit = TimeSeriesStats.fitArma11(series)
+          val resid = TimeSeriesStats.armaResiduals(
+            series, fit.c, fit.phi, fit.theta)
+          val g = TimeSeriesStats.fitGarch11(resid)
+          Iterator.single(
+            (k, fit.c, fit.phi, fit.theta, fit.sigma2, fit.loglik,
+              TimeSeriesStats.mean(resid), TimeSeriesStats.ljungBox(resid, 10),
+              g.alpha + g.beta, fit.n))
+        }
       }
       .toDF("event_type", "c", "phi", "theta", "sigma2", "loglik",
         "resid_mean", "resid_lb_q10", "garch_persistence", "n_obs")

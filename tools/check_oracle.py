@@ -26,9 +26,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-        # normalize ints (int32 vs int64) to int64 for compare
-        if str(df[c].dtype) in ("int32", "int8", "int16", "uint32"):
-            df[c] = df[c].astype("int64")
+        # NOTE: no int widening here — the dtype gate below must see the
+        # raw integer widths (a Spark int32 vs oracle int64 changes the
+        # driver-side typed hash and has to fail locally too)
         if str(df[c].dtype) == "object":
             df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort")
