@@ -145,10 +145,38 @@ object SimilarityOps {
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       |ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Embedding near-dup detection at scale: random-hyperplane (cosine) LSH
+  // via operators.CosineLsh — signature map + banded buckets + exact
+  // cosine on candidates only, never an all-pairs join. The source
+  // embeddings contain no true near-duplicates (max pairwise cos ≈ 0.48),
+  // so the query doubles the corpus with hash-perturbed copies
+  // (deterministic ±0.1% coordinate noise, cos ≈ 0.9999 to the original)
+  // and must recover exactly those injected pairs — a self-fixturing
+  // demonstration with a deterministic result. No oracle (LSH is not
+  // SQL-expressible); recall + candidate-volume bounds in ScaleOpsSpec.
+  /** Exposed with knobs so specs can vary the threshold and band cap. */
+  def nearDupLsh(s: SparkSession, dir: String, minCos: Double = 0.99,
+      maxHamming: Int = 8): DataFrame = {
+    val e = embDouble(s, dir).select(col("vec_id"), col("v"))
+    val dup = e.select((col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(v, (x, i) -> " +
+        "x * (1.0 + pmod(xxhash64(vec_id, i), 1000) / 1000000.0))").as("v"))
+    val all = e.unionByName(dup)
+    graft.operators.CosineLsh.nearDupPairs(
+      all, "vec_id", "v", dim = 64, minCos = minCos,
+      maxHamming = maxHamming, cos = cosine(s) _)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def simNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    nearDupLsh(s, dir)
+
   val queries: Map[String, Q] = Map(
     "sim_knn_brute" -> simKnnBrute _,
     "sim_knn_ivf" -> simKnnIvf _,
-    "sim_neardup_pairs" -> simNearDupPairs _
+    "sim_neardup_pairs" -> simNearDupPairs _,
+    "sim_neardup_lsh" -> simNearDupLsh _
   )
 
   val oracle: Map[String, String] = Map(

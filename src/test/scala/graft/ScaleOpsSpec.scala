@@ -140,6 +140,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(probes.count() == 10, "each of 5 queries probes exactly 2 cells")
   }
 
+  test("cosine-LSH recovers exactly the injected near-duplicate embeddings") {
+    val n = Tables.t(spark, sfSmoke, "embeddings").count()
+    val pairs = SimilarityOps.nearDupLsh(spark, sfSmoke).collect()
+    // recall 1.0 AND precision 1.0 on this corpus: the only pairs with
+    // cos >= 0.99 are each vector and its perturbed copy (real data tops
+    // out at cos ~0.48)
+    assert(pairs.length == n, s"expected $n injected pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + 100000L))
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.99))
+    // prefilter tightness: among the unrelated real vectors the banded
+    // hamming<=8 candidate set must be near-empty, nowhere near all-pairs
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sig = graft.operators.CosineLsh.signatures(e, "vec_id", "v", 64)
+    val cand = graft.operators.Dedup.simHashPairs(sig, "vec_id", maxHamming = 8)
+    assert(cand.count() <= n / 10,
+      "unrelated vectors must rarely survive the banded prefilter")
+  }
+
   test("brute-force knn: 10 neighbors per query, self excluded, sorted") {
     val rows = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke).collect()
     val byQ = rows.groupBy(_.getLong(0))
