@@ -93,11 +93,43 @@ object DedupOps {
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
   }
 
+  // ---------------------------------------------------------------------
+  // End-to-end near-dup removal: MinHash-LSH candidates → exact-Jaccard
+  // verify (≥ 0.9) → connected components → keep the min-id doc of every
+  // cluster. The full pipeline a training-data run executes: the output
+  // IS the deduplicated corpus manifest (one row per kept doc with its
+  // cluster size). Rows-only (hash-dependent); invariants in ScaleOpsSpec.
+  /** Threshold exposed so specs can vary the near-dup bar. */
+  def dedupKeep(s: SparkSession, dir: String,
+      minJaccard: Double = 0.9): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
+    val sig = Dedup.minHash(sh, "doc_id", numPerm = 32)
+    val buckets = Dedup.lshBuckets(sig, "doc_id", numPerm = 32, bands = 8)
+    val cand = Dedup.candidatePairs(buckets, "doc_id")
+    val dupPairs = Dedup.verifyJaccard(cand, sh, "doc_id")
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.Components.resolve(dupPairs)
+    // docs outside every pair are their own cluster
+    val assigned = docs
+      .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"),
+        "left")
+      .withColumn("canonical", coalesce(col("comp"), col("doc_id")))
+    assigned.groupBy(col("canonical").as("doc_id_kept"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("doc_id_kept"))
+  }
+
+  private def ddDedupKeep(s: SparkSession, dir: String): DataFrame =
+    dedupKeep(s, dir)
+
   val queries: Map[String, Q] = Map(
     "dd_exact" -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
     "dd_minhash_lsh" -> ddMinhashLsh _,
-    "dd_simhash" -> ddSimhash _
+    "dd_simhash" -> ddSimhash _,
+    "dd_dedup_keep" -> ddDedupKeep _
   )
 
   val oracle: Map[String, String] = Map(

@@ -66,6 +66,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(over >= 4 && over <= 8, s"expected the 4 mega-buckets, got $over")
   }
 
+  test("components resolve chains; dedup-keep partitions the corpus") {
+    import spark.implicits._
+    // a 10-vertex chain (worst diameter), a triangle, a lone pair
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (7L, 8L), (8L, 9L), (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val comp = graft.operators.Components.resolve(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 9L).forall(comp(_) == 0L), s"chain must collapse to 0: $comp")
+    assert((20L to 22L).forall(comp(_) == 20L))
+    assert(comp(30L) == 30L && comp(31L) == 30L)
+    // end-to-end: kept clusters partition the documents exactly
+    val nDocs = Tables.t(spark, sfSmoke, "documents").count()
+    val kept = DedupOps.dedupKeep(spark, sfSmoke).collect()
+    assert(kept.map(_.getAs[Long]("n_members")).sum == nDocs,
+      "cluster sizes must sum to the corpus size")
+    assert(kept.map(_.getAs[Long]("doc_id_kept")).distinct.length == kept.length)
+    assert(kept.length < nDocs, "the near-dup fixture must merge something")
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val docs = Tables.t(spark, sfSmoke, "documents")
     val dd = DedupOps.queries("dd_exact")(spark, sfSmoke)
