@@ -48,8 +48,9 @@ object CosineLsh {
   def signatures(e: DataFrame, idCol: String, vecCol: String, dim: Int,
       seed: Long = 0x5eedL): DataFrame = {
     val bits: Seq[Column] = (0 until 64).map { j =>
-      val h = array((0 until dim).map(d =>
-        lit(gaussian(seed, j.toLong * dim + d))): _*)
+      // one ArrayType Literal per hyperplane (not 64 per-element expression
+      // nodes) — keeps the 64-bit projection cheap to analyze/optimize
+      val h = lit(Array.tabulate(dim)(d => gaussian(seed, j.toLong * dim + d)))
       val dot = aggregate(zip_with(col(vecCol), h, (p, q) => p * q),
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))

@@ -38,6 +38,8 @@ object Ivf {
       .orderBy(xxhash64(col(idCol), lit(0x9e3779b9L)))
       .limit(numCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
+      .localCheckpoint() // numCells rows; truncate so refinement rounds
+                         // don't re-run the sample inside one plan tree
     (0 until iters).foldLeft(seeds) { (cents, _) =>
       val assigned = assign(e, cents, idCol, vecCol)(cos)
       // elementwise mean per cell (empty cells drop out)
@@ -47,6 +49,7 @@ object Ivf {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"), expr("transform(pm, p -> p.m)").as("cv"))
+        .localCheckpoint() // ditto per Lloyd round (centroids stay tiny)
     }
   }
 
