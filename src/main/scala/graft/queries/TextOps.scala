@@ -143,11 +143,43 @@ object TextOps {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Winnowing fingerprints — rolling-hash document fingerprinting
+  // (Schleimer/Wilkerson/Aiken's MOSS sketch): hash every word 3-gram in
+  // document order, slide a window of 4 consecutive gram hashes, keep each
+  // window's minimum. Guarantee: documents sharing a long-enough token run
+  // share a fingerprint, so plagiarized/near-dup passages are detectable
+  // from the sketch alone. The window partitions by doc_id (never crosses
+  // documents), so it shards cleanly at any corpus size. Rows-only
+  // (xxhash64 is engine-specific); overlap invariants in ScaleOpsSpec.
+  /** (doc_id, fp): the distinct winnowed fingerprint set — spec surface. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as(Seq("pos", "gram")))
+      .withColumn("h", xxhash64(col("gram")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+    grams.withColumn("fp", min(col("h")).over(win))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  private def txWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(s, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"), min(col("fp")).as("min_fp"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "tx_fingerprint" -> txFingerprint _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangId _,
-    "tx_tokens" -> txTokens _
+    "tx_tokens" -> txTokens _,
+    "tx_winnow" -> txWinnow _
   )
 
   val oracle: Map[String, String] = Map(

@@ -211,6 +211,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(n == Tables.t(spark, sfSmoke, "documents").count())
   }
 
+  test("winnowing: near-dups share fingerprints, unrelated docs don't") {
+    val fps = TextOps.winnowFingerprints(spark, sfSmoke).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val nd = DedupOps.queries("dd_ngram_jaccard")(spark, sfSmoke)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.nonEmpty, "fixture should contain near-dup pairs")
+    nd.foreach { case (a, b) =>
+      val overlap = fps(a).intersect(fps(b)).size.toDouble /
+        math.min(fps(a).size, fps(b).size)
+      assert(overlap >= 0.5, s"near-dup ($a,$b) shares only $overlap")
+    }
+    // two docs that are NOT near-dups must share (almost) nothing
+    val paired = nd.flatMap(p => Seq(p._1, p._2)).toSet
+    val unrelated = fps.keys.toSeq.sorted.filterNot(paired.contains).take(2)
+    val (u, v) = (unrelated(0), unrelated(1))
+    val o = fps(u).intersect(fps(v)).size.toDouble /
+      math.min(fps(u).size, fps(v).size)
+    assert(o <= 0.2, s"unrelated ($u,$v) share $o of fingerprints")
+  }
+
   // ---- multimodal -----------------------------------------------------
 
   test("mapPartitions decode path equals the codegen expression path") {
