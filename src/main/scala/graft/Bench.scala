@@ -27,6 +27,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths so per-query timings reflect data work,

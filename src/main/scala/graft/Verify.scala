@@ -15,6 +15,7 @@ object Verify {
       // FAIR so concurrent streaming queries share executors fairly
       // (reference: AutomateTable.py:64-66 + fairscheduler.xml)
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -59,6 +59,24 @@ class PlanSpec extends AnyFunSuite {
       || plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("extensions: composed cosine fuses into the native codegen expression") {
+    import org.apache.spark.sql.functions.{abs => fabs, col => c}
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+      .select(c("vec_id"), c("embedding").cast("array<double>").as("v"))
+    // the three-aggregate composed form must optimize to one fused
+    // CosineSimilarity via the injected FuseCosineSimilarity rule
+    val q = e.select(SimilarityOps.cosineComposed(c("v"), c("v")).as("cos"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_cosine_sim"),
+      "fuse rule did not fire:\n" + opt.take(2000))
+    // and the injected session function resolves from plain SQL with no
+    // imperative register call
+    e.createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_cosine_sim(v, v) AS cos FROM emb_ext")
+    assert(viaSql.filter(fabs(c("cos") - 1.0) > 1e-9).count() == 0)
+  }
+
   test("ivf: cell assignment is a max_by aggregate, not a per-vector window") {
     import org.apache.spark.sql.functions.{col => c}
     val e = Tables.t(spark, sfSmoke, "embeddings")

@@ -16,6 +16,7 @@ object SparkTestSession {
       // same session shape as Verify/Bench: FAIR scheduling for the
       // concurrent-streams path (asserted in MaintenanceSpec)
       .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
