@@ -60,6 +60,14 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(stats(0).getAs[Long]("latency_sec") > 0)
   }
 
+  test("fixture fingerprints differ across dirs and are call-stable") {
+    val a = Tables.fingerprint(sfSmoke, "events")
+    val b = Tables.fingerprint("/root/testdata/sf0.01", "events")
+    assert(a != b, "different source dirs must never share a fixture key")
+    assert(a == Tables.fingerprint(sfSmoke, "events"), "must be stable")
+    assert(a.matches("[0-9a-f]{16}"))
+  }
+
   test("vacuum deletes only expired orphans, never live or recent files") {
     val p = freshTable()
     Maintenance.recordLiveFiles(p)

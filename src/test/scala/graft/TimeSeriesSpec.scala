@@ -154,6 +154,18 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(d.length == y.length - 1 && d(0) == y(1) - y(0))
   }
 
+  test("ARMA guards refuse degenerate inputs instead of emitting NaN") {
+    intercept[IllegalArgumentException] {
+      TimeSeriesStats.fitArma11(Array(1.0, 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesStats.armaResiduals(Array.empty[Double], 0.0, 0.0, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeriesStats.armaResiduals(Array(1.0), 0.0, 0.0, 0.0)
+    }
+  }
+
   test("ts_arma_residuals runs on the events table with sane output") {
     val df = TimeSeries.queries("ts_arma_residuals")(spark, sfSmoke).collect()
     assert(df.length == 5)
