@@ -172,15 +172,48 @@ object SimilarityOps {
   private def simNearDupLsh(s: SparkSession, dir: String): DataFrame =
     nearDupLsh(s, dir)
 
+  // ---------------------------------------------------------------------
+  // Symmetric int8 quantization of the embedding column — the storage
+  // compression step of an embedding pipeline (4 bytes/dim → 1). Per
+  // vector: scale = max |x| (clamped), code_i = floor(x/scale*127 + 0.5),
+  // reported max reconstruction error = max |x − code·scale/127|. Pure
+  // array-lambda expressions with arithmetic written identically in the
+  // DuckDB oracle, so the doubles match bit-for-bit (floor-based rounding
+  // avoids engine-specific round-half semantics). QuantizeSpec-style error
+  // bound asserted in ScaleOpsSpec: max_err ≤ scale/254.
+  private def simQuantizeStats(s: SparkSession, dir: String): DataFrame =
+    embDouble(s, dir)
+      .withColumn("scale",
+        greatest(array_max(expr("transform(v, x -> abs(x))")), lit(1e-12)))
+      .withColumn("max_err", expr(
+        "array_max(transform(v, x -> " +
+          "abs(x - floor(x / scale * 127.0 + 0.5) * scale / 127.0)))"))
+      .select(col("vec_id"), col("scale"), col("max_err"))
+      .orderBy(col("vec_id"))
+
+  private val simQuantizeStatsSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS scale
+      |  FROM e)
+      |SELECT vec_id, scale,
+      |  list_max(list_transform(v, x ->
+      |    abs(x - floor(x / scale * 127.0 + 0.5) * scale / 127.0))) AS max_err
+      |FROM s ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_knn_brute" -> simKnnBrute _,
     "sim_knn_ivf" -> simKnnIvf _,
     "sim_neardup_pairs" -> simNearDupPairs _,
-    "sim_neardup_lsh" -> simNearDupLsh _
+    "sim_neardup_lsh" -> simNearDupLsh _,
+    "sim_quantize_stats" -> simQuantizeStats _
   )
 
   val oracle: Map[String, String] = Map(
     "sim_knn_brute" -> simKnnBruteSql,
-    "sim_neardup_pairs" -> simNearDupPairsSql
+    "sim_neardup_pairs" -> simNearDupPairsSql,
+    "sim_quantize_stats" -> simQuantizeStatsSql
   )
 }

@@ -180,6 +180,20 @@ class ScaleOpsSpec extends AnyFunSuite {
       "unrelated vectors must rarely survive the banded prefilter")
   }
 
+  test("int8 quantization: reconstruction error within half a step") {
+    val rows = SimilarityOps.queries("sim_quantize_stats")(spark, sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_err")
+      assert(scale > 0)
+      // half a quantization step (scale/127/2) plus float slack
+      assert(err <= scale / 254.0 + 1e-12,
+        s"vec ${r.getLong(0)}: err $err > half-step ${scale / 254.0}")
+    }
+  }
+
   test("brute-force knn: 10 neighbors per query, self excluded, sorted") {
     val rows = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke).collect()
     val byQ = rows.groupBy(_.getLong(0))
