@@ -63,14 +63,50 @@ object MultimodalOps {
     Media.decodeBatch(payloads(s, dir), "doc_id", "payload", Media.FakeDecoder)
       .orderBy(col("id"))
 
+  // Letterbox resize planning to 224×224 (the preprocessing-geometry step
+  // of an image pipeline): scale the long side to 224, round dims with
+  // floor(+0.5) (cross-engine-stable), center with integer padding. The
+  // actual pixel resample lives behind the codec seam; the geometry — the
+  // part that must be exact and is pure arithmetic — is computed here and
+  // DuckDB-oracled.
+  private def mmResizePlan(s: SparkSession, dir: String): DataFrame =
+    mmDecodeMeta(s, dir)
+      .withColumn("scale", lit(224.0) / greatest(col("width"), col("height")))
+      .withColumn("out_w", floor(col("width") * col("scale") + 0.5).cast("long"))
+      .withColumn("out_h", floor(col("height") * col("scale") + 0.5).cast("long"))
+      .withColumn("pad_x", expr("(224 - out_w) div 2"))
+      .withColumn("pad_y", expr("(224 - out_h) div 2"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale"),
+        col("out_w"), col("out_h"), col("pad_x"), col("pad_y"))
+      .orderBy(col("doc_id"))
+
+  private val mmResizePlanSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(64 + strlen(text) % 512 AS INT) AS width,
+      |    CAST(64 + (strlen(text)*7) % 512 AS INT) AS height
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, width, height,
+      |    224.0 / greatest(width, height) AS scale
+      |  FROM m)
+      |SELECT doc_id, width, height, scale,
+      |  CAST(floor(width * scale + 0.5) AS BIGINT) AS out_w,
+      |  CAST(floor(height * scale + 0.5) AS BIGINT) AS out_h,
+      |  (224 - CAST(floor(width * scale + 0.5) AS BIGINT)) // 2 AS pad_x,
+      |  (224 - CAST(floor(height * scale + 0.5) AS BIGINT)) // 2 AS pad_y
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
-    "mm_decode_batch" -> mmDecodeBatch _
+    "mm_decode_batch" -> mmDecodeBatch _,
+    "mm_resize_plan" -> mmResizePlan _
   )
 
   val oracle: Map[String, String] = Map(
     "mm_decode_meta" -> mmDecodeMetaSql,
-    "mm_frame_sample" -> mmFrameSampleSql
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_resize_plan" -> mmResizePlanSql
   )
 }

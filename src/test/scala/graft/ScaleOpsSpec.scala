@@ -264,6 +264,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resize plan: long side hits 224, aspect kept, padding centers") {
+    val rows = MultimodalOps.queries("mm_resize_plan")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))
+      val (px, py) = (r.getAs[Long]("pad_x"), r.getAs[Long]("pad_y"))
+      assert(math.max(ow, oh) == 224, s"long side must land on 224: $r")
+      assert(ow >= 1 && oh >= 1 && ow <= 224 && oh <= 224)
+      // rounded dims stay within half a pixel of the exact scaled size
+      val scale = 224.0 / math.max(w, h)
+      assert(math.abs(ow - w * scale) <= 0.5 + 1e-9, s"out_w drift: $r")
+      assert(math.abs(oh - h * scale) <= 0.5 + 1e-9, s"out_h drift: $r")
+      assert(px >= 0 && py >= 0 && px * 2 + ow <= 225 && py * 2 + oh <= 225)
+    }
+  }
+
   test("frame sampling strides correctly") {
     val rows = MultimodalOps.queries("mm_frame_sample")(spark, sfSmoke)
       .filter(col("doc_id") === 0).collect()
