@@ -36,15 +36,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL semantics mirror the composed aggregate(zip_with(...)) form so the
+  // FuseCosineSimilarity rewrite is value-preserving in ALL cases, not just
+  // well-formed ones: unequal lengths → null (zip_with pads with null and
+  // null poisons the sum), any null element → null. Hence nullable even for
+  // non-null inputs.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -64,18 +73,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // per-element null checks only when the array type can hold nulls
+      val mayHaveNulls =
+        left.dataType.asInstanceOf[ArrayType].containsNull ||
+          right.dataType.asInstanceOf[ArrayType].containsNull
+      val nullElemCheck =
+        if (mayHaveNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / java.lang.Math.sqrt($na)
+         |      / java.lang.Math.sqrt($nb);
+         |  }
          |}
-         |${ev.value} = $dot / java.lang.Math.sqrt($na)
-         |  / java.lang.Math.sqrt($nb);
        """.stripMargin
     })
 

@@ -23,9 +23,14 @@ object Components {
   /** (id, comp) for every vertex appearing in `pairs`; comp = the smallest
     * vertex id reachable. Vertices not in any pair are absent — callers
     * treat them as singleton components (see the dedup-keep query).
+    *
+    * @param requireConvergence when true, throws IllegalStateException if a
+    *        fixpoint is not reached within `maxIters` — a silently split
+    *        cluster is worse than a failed job for dedup. When false, an
+    *        unconverged result is returned after a logged warning.
     */
   def resolve(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, requireConvergence: Boolean = false): DataFrame = {
     // localCheckpoint (eager) after every round: iterative self-referencing
     // DataFrames double their logical plan per iteration, and analysis cost
     // goes super-linear without lineage truncation — the standard pattern
@@ -50,6 +55,13 @@ object Components {
       labels = next
       done = changed == 0
       i += 1
+    }
+    if (!done) {
+      val msg = s"Components.resolve did not converge within $maxIters " +
+        "rounds — a component's diameter exceeds the iteration bound and " +
+        "its labels are still split"
+      if (requireConvergence) throw new IllegalStateException(msg)
+      else System.err.println(s"[graft] WARN: $msg")
     }
     labels
   }

@@ -110,13 +110,16 @@ object Dedup {
     *
     * Scale hardening: 16-bit bands give at most 65,536 buckets per band,
     * so at billions of docs the within-bucket self-join goes quadratic.
-    * Buckets above `maxBucketSize` switch to a STAR graph — every member
-    * pairs with the bucket's min-id representative only — which keeps the
-    * bucket one connected component for dedup grouping at O(size) pairs
-    * instead of O(size²). (Members similar to each other but not to the
-    * representative may verify through it transitively — the standard
-    * cap/representative trade.) Oversized buckets are observable via
-    * [[simHashOverflow]]; log it before a big run.
+    * Buckets above `maxBucketSize` switch to O(size) pairing instead of
+    * O(size²): a STAR graph (every member vs the bucket's min-id
+    * representative) UNION a CHAIN over members sorted by signature
+    * (each member vs its successor). The chain is what keeps groups of
+    * mutually-similar members connected even when they are far from the
+    * representative — identical signatures sort adjacent, so an
+    * identical-sig run always survives the hamming filter as a connected
+    * path. (Similar-but-not-identical members in a capped bucket can still
+    * lose pairs — the inherent cap trade.) Oversized buckets are
+    * observable via [[simHashOverflow]]; log it before a big run.
     */
   def simHashPairs(sig: DataFrame, idCol: String, maxHamming: Int = 8,
       maxBucketSize: Int = 1 << 16): DataFrame = {
@@ -133,18 +136,32 @@ object Dedup {
         col(idCol).as("id_b"), col("simhash").as("sig_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("sig_a"), col("id_b"), col("sig_b"))
     val big = sized.filter(col("bsz") > maxBucketSize)
     val reps = big.groupBy(col("band"), col("bucket"))
       .agg(min(col(idCol)).as("id_a"),
         min_by(col("simhash"), col(idCol)).as("sig_a"))
     val starPairs = big.join(reps, Seq("band", "bucket"))
       .filter(col(idCol) > col("id_a"))
-      .select(col("band"), col("bucket"), col("id_a"), col("sig_a"),
+      .select(col("id_a"), col("sig_a"),
         col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    allPairs.select(col("id_a"), col("id_b"),
+    val bucketOrder = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+      .orderBy(col("simhash"), col(idCol))
+    val chainPairs = big
+      .withColumn("nid", lead(col(idCol), 1).over(bucketOrder))
+      .withColumn("nsig", lead(col("simhash"), 1).over(bucketOrder))
+      .filter(col("nid").isNotNull)
+      .select(
+        least(col(idCol), col("nid")).as("id_a"),
+        when(col(idCol) < col("nid"), col("simhash")).otherwise(col("nsig"))
+          .as("sig_a"),
+        greatest(col(idCol), col("nid")).as("id_b"),
+        when(col(idCol) < col("nid"), col("nsig")).otherwise(col("simhash"))
+          .as("sig_b"))
+    allPairs.unionByName(starPairs).unionByName(chainPairs)
+      .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .unionByName(starPairs.select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming")))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -37,15 +37,19 @@ object IdAssign {
     * `row_number() OVER (ORDER BY …)` window (SQL/oracle parity, one tiny
     * sort), anything above `threshold` takes the scale path — global
     * range-partitioned sort + zipWithIndex, which yields the IDENTICAL
-    * ids with no single-partition window. The guard costs one count job,
-    * cheap next to the sort either branch pays.
+    * ids with no single-partition window. The input is localCheckpointed
+    * first so the guard's count job and the chosen branch share one
+    * materialization instead of re-running the upstream pipeline twice
+    * (SCD2's changed-slice is a multi-join + sha2 tree).
     */
   def orderedIds(df: DataFrame, orderCols: Seq[Column], offset: Long,
-      colName: String, threshold: Long = WindowThreshold): DataFrame =
-    if (df.count() <= threshold)
-      df.withColumn(colName,
+      colName: String, threshold: Long = WindowThreshold): DataFrame = {
+    val snap = df.localCheckpoint()
+    if (snap.count() <= threshold)
+      snap.withColumn(colName,
         lit(offset) + row_number().over(Window.orderBy(orderCols: _*))
           .cast("long"))
     else
-      withSequentialIds(df.orderBy(orderCols: _*), offset, colName)
+      withSequentialIds(snap.orderBy(orderCols: _*), offset, colName)
+  }
 }

@@ -107,28 +107,47 @@ object Maintenance {
     Files.writeString(p, files.mkString("", "\n", "\n"))
   }
 
-  /** Delete unregistered data files with mtime older than `cutoffEpochMs`
-    * (orphans from failed/superseded writes: leftover `__old` /
-    * `__compact_tmp` trees, uncommitted task files). Files newer than the
-    * cutoff are kept — they may belong to an in-flight writer (the same
-    * races the reference's 24 h default protects against). Refuses to run
-    * (returns -1) if no live-file registry exists: without a snapshot
-    * every file would look like an orphan.
+  /** Delete orphaned data files with mtime older than `cutoffEpochMs`
+    * (leftovers from failed/superseded writes: `__old` / `*_tmp` sibling
+    * trees from a crashed rewrite, uncommitted `_temporary` task files).
+    * A file is deletable only when ALL of:
+    *   - not in the live-file registry,
+    *   - older than the retention cutoff (an in-flight writer's fresh
+    *     files survive — the race the reference's 24 h default guards),
+    *   - older than the registry snapshot itself: files appended AFTER the
+    *     last recordLiveFiles are legitimate commits the registry simply
+    *     hasn't seen, never orphans.
+    * Also sweeps the rewrite staging siblings (`<path>__old`,
+    * `<path>__compact_tmp`, `<path>__cluster_tmp`), which a crashed
+    * compact/cluster leaves OUTSIDE the table root.
+    * Refuses to run (returns -1) if no live-file registry exists: without
+    * a snapshot every file would look like an orphan.
     *
     * @return number of files deleted, or -1 if the table has no registry
     */
   def vacuum(tablePath: String, cutoffEpochMs: Long): Int = {
     val reg = new java.io.File(liveFilesPath(tablePath))
     if (!reg.exists()) return -1
+    val regMtime = reg.lastModified()
     val root = Paths.get(tablePath)
     val live = Files.readString(reg.toPath).linesIterator
       .filter(_.nonEmpty).toSet
-    val victims = listDataFiles(new java.io.File(tablePath)).filter { f =>
-      val rel = root.relativize(f.toPath).toString
-      !live.contains(rel) && f.lastModified() < cutoffEpochMs
+    val inRoot = listDataFiles(new java.io.File(tablePath)).filter { f =>
+      !live.contains(root.relativize(f.toPath).toString)
     }
+    val siblings = Seq("__old", "__compact_tmp", "__cluster_tmp")
+      .map(s => new java.io.File(tablePath + s)).filter(_.exists())
+      .flatMap(listDataFiles)
+    val victims = (inRoot ++ siblings).filter(f =>
+      f.lastModified() < cutoffEpochMs && f.lastModified() < regMtime)
     victims.foreach(_.delete())
     pruneEmptyDirs(new java.io.File(tablePath))
+    Seq("__old", "__compact_tmp", "__cluster_tmp")
+      .map(s => new java.io.File(tablePath + s)).filter(_.exists())
+      .foreach { d =>
+        pruneEmptyDirs(d)
+        if (Option(d.listFiles()).exists(_.isEmpty)) d.delete()
+      }
     victims.size
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
   Divide, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply,
-  Sqrt, ZipWith}
+  NamedLambdaVariable, Sqrt, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -44,14 +44,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object FuseCosineSimilarity extends Rule[LogicalPlan] {
 
-  /** Matches the composed dot product and yields its two array inputs. */
+  /** Matches the composed dot product and yields its two array inputs.
+    * Strict: the zip lambda must be exactly `(p, q) -> p * q` over its own
+    * two variables, the merge exactly `(acc, v) -> acc + v`, and the finish
+    * the identity of its variable — a lambda that merely CONTAINS a
+    * Multiply/Add (e.g. `p * p` or `acc + abs(v)`) must not be rewritten.
+    */
   private object Dot {
+    /** `(x, y) -> x OP y` where the operands are exactly the lambda's own
+      * two variables, nothing else.
+      */
+    private def isPureBinOp(lf: LambdaFunction, wantMul: Boolean): Boolean = {
+      if (lf.arguments.length != 2) return false
+      val ids = lf.arguments.map(_.exprId).toSet
+      val operands = lf.function match {
+        case Multiply(l, r, _) if wantMul => Some((l, r))
+        case Add(l, r, _) if !wantMul => Some((l, r))
+        case _ => None
+      }
+      operands.exists {
+        case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
+          Set(lv.exprId, rv.exprId) == ids
+        case _ => false
+      }
+    }
+
+    private def isIdentity(lf: LambdaFunction): Boolean =
+      lf.arguments.length == 1 && (lf.function match {
+        case v: NamedLambdaVariable => v.exprId == lf.arguments.head.exprId
+        case _ => false
+      })
+
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(azw: ZipWith, Literal(0.0, DoubleType),
-          merge: LambdaFunction, _: LambdaFunction) =>
-        (azw.function, merge.function) match {
-          case (mul: LambdaFunction, _: Add)
-              if mul.function.isInstanceOf[Multiply] =>
+          merge: LambdaFunction, finish: LambdaFunction) =>
+        azw.function match {
+          case mul: LambdaFunction if isPureBinOp(mul, wantMul = true) &&
+              isPureBinOp(merge, wantMul = false) && isIdentity(finish) =>
             Some((azw.left, azw.right))
           case _ => None
         }

@@ -110,7 +110,10 @@ object DedupOps {
     val dupPairs = Dedup.verifyJaccard(cand, sh, "doc_id")
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"))
-    val comp = graft.operators.Components.resolve(dupPairs)
+    // dup clusters are near-cliques (tiny diameter) — converge or fail
+    // loudly rather than silently splitting a cluster
+    val comp = graft.operators.Components.resolve(dupPairs,
+      requireConvergence = true)
     // docs outside every pair are their own cluster
     val assigned = docs
       .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"),

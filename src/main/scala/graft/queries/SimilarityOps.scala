@@ -155,11 +155,17 @@ object SimilarityOps {
   // and must recover exactly those injected pairs — a self-fixturing
   // demonstration with a deterministic result. No oracle (LSH is not
   // SQL-expressible); recall + candidate-volume bounds in ScaleOpsSpec.
-  /** Exposed with knobs so specs can vary the threshold and band cap. */
+  /** Exposed with knobs so specs can vary the threshold and band cap.
+    * Returns pairs where id_b == id_a + (max vec_id + 1): the copy offset
+    * is derived from the data, so injected ids can never collide with real
+    * ones at any corpus size (a 1-row scalar fetch, the engine's A2
+    * pattern).
+    */
   def nearDupLsh(s: SparkSession, dir: String, minCos: Double = 0.99,
       maxHamming: Int = 8): DataFrame = {
     val e = embDouble(s, dir).select(col("vec_id"), col("v"))
-    val dup = e.select((col("vec_id") + 100000L).as("vec_id"),
+    val offset = e.agg(max(col("vec_id"))).first().getLong(0) + 1L
+    val dup = e.select((col("vec_id") + offset).as("vec_id"),
       expr("transform(v, (x, i) -> " +
         "x * (1.0 + pmod(xxhash64(vec_id, i), 1000) / 1000000.0))").as("v"))
     val all = e.unionByName(dup)

@@ -88,11 +88,31 @@ class MaintenanceSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".parquet"))
       .filterNot(f => f == oldOrphan || f == newOrphan)
       .foreach(f => assert(f.setLastModified(cutoff - 86400000L)))
+    // a crashed rewrite's staging tree lives OUTSIDE the table root
+    val staleSibling = new java.io.File(p + "__compact_tmp/part-0.parquet")
+    staleSibling.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(staleSibling.toPath, "junk")
+    assert(staleSibling.setLastModified(cutoff - 86400000L))
     val deleted = Maintenance.vacuum(p, cutoff)
-    assert(deleted == 1, s"expected exactly the expired orphan, got $deleted")
+    assert(deleted == 2,
+      s"expected the expired orphan + stale sibling, got $deleted")
     assert(!oldOrphan.exists())
+    assert(!staleSibling.exists())
+    assert(!new java.io.File(p + "__compact_tmp").exists(),
+      "emptied staging sibling dir should be pruned")
     assert(newOrphan.exists())
     assert(spark.read.parquet(p).count() == n, "live data must be intact")
+    // files committed AFTER the registry snapshot are never orphans, even
+    // past the retention cutoff
+    val appended = new java.io.File(p, "part-appended.parquet")
+    java.nio.file.Files.writeString(appended.toPath, "junk")
+    val reg = new java.io.File(Maintenance.liveFilesPath(p))
+    assert(appended.setLastModified(reg.lastModified() + 60000L))
+    // an unbounded cutoff reclaims the remaining pre-registry orphan but
+    // must still keep the post-registry append
+    assert(Maintenance.vacuum(p, java.lang.Long.MAX_VALUE) == 1)
+    assert(!newOrphan.exists())
+    assert(appended.exists(), "post-registry appends must survive vacuum")
     // a table without a live-file registry refuses to vacuum
     val bare = freshTable()
     assert(Maintenance.vacuum(bare, cutoff) == -1)

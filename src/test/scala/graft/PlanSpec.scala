@@ -77,6 +77,29 @@ class PlanSpec extends AnyFunSuite {
     assert(viaSql.filter(fabs(c("cos") - 1.0) > 1e-9).count() == 0)
   }
 
+  test("fuse rule: non-dot lambdas stay unrewritten; ragged arrays stay null") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // (p, q) -> p * p is NOT a dot product — must not become a cosine
+    def fakeDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * p), lit(0.0), (acc, w) => acc + w)
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, w) => acc + w)
+    val fake = e.select((fakeDot(col("v"), col("v"))
+      / sqrt(dot(col("v"), col("v"))) / sqrt(dot(col("v"), col("v")))).as("x"))
+    assert(!fake.queryExecution.optimizedPlan.toString
+      .contains("graft_cosine_sim"), "p*p lambda must not fuse")
+    // unequal lengths: composed form is NULL; the fused expression must
+    // agree (the rewrite fires and still yields NULL)
+    val ragged = e.select(SimilarityOps.cosineComposed(
+      slice(col("v"), 1, 32), col("v")).as("cos"))
+    assert(ragged.queryExecution.optimizedPlan.toString
+      .contains("graft_cosine_sim"), "ragged-but-real cosine should fuse")
+    assert(ragged.filter(col("cos").isNotNull).count() == 0,
+      "fused cosine over unequal lengths must stay NULL like the composed form")
+  }
+
   test("ivf: cell assignment is a max_by aggregate, not a per-vector window") {
     import org.apache.spark.sql.functions.{col => c}
     val e = Tables.t(spark, sfSmoke, "embeddings")

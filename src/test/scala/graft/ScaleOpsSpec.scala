@@ -66,6 +66,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(over >= 4 && over <= 8, s"expected the 4 mega-buckets, got $over")
   }
 
+  test("capped simhash bucket keeps identical members connected sans rep") {
+    import spark.implicits._
+    // rep (id 0, sig 0) shares band-0's bucket with 300 identical members
+    // whose hamming to the rep is 14 (> maxHamming): star pairs to the rep
+    // all fail verification, so the CHAIN over sig-sorted members is the
+    // only thing keeping the identical group one component
+    val v = (1L << 30) - (1L << 16) // 14 bits set, all outside chunk 0
+    val sig = ((0L, 0L) +: (1L to 300L).map(i => (i, v))).toDF("doc_id", "simhash")
+    val pairs = Dedup.simHashPairs(sig, "doc_id", maxHamming = 8,
+      maxBucketSize = 50)
+    assert(pairs.filter(col("id_a") === 0L || col("id_b") === 0L).count() == 0,
+      "rep is hamming-14 away — no pair may survive verification")
+    val comp = graft.operators.Components.resolve(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 300L).forall(comp.get(_).contains(1L)),
+      "identical members must stay one connected component via the chain")
+  }
+
   test("components resolve chains; dedup-keep partitions the corpus") {
     import spark.implicits._
     // a 10-vertex chain (worst diameter), a triangle, a lone pair
@@ -78,6 +96,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert((0L to 9L).forall(comp(_) == 0L), s"chain must collapse to 0: $comp")
     assert((20L to 22L).forall(comp(_) == 20L))
     assert(comp(30L) == 30L && comp(31L) == 30L)
+    // a diameter beyond the iteration bound must fail loudly when required
+    intercept[IllegalStateException] {
+      graft.operators.Components.resolve(pairs, maxIters = 3,
+        requireConvergence = true).collect()
+    }
     // end-to-end: kept clusters partition the documents exactly
     val nDocs = Tables.t(spark, sfSmoke, "documents").count()
     val kept = DedupOps.dedupKeep(spark, sfSmoke).collect()
@@ -162,13 +185,15 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("cosine-LSH recovers exactly the injected near-duplicate embeddings") {
-    val n = Tables.t(spark, sfSmoke, "embeddings").count()
+    val emb = Tables.t(spark, sfSmoke, "embeddings")
+    val n = emb.count()
+    val offset = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
     val pairs = SimilarityOps.nearDupLsh(spark, sfSmoke).collect()
     // recall 1.0 AND precision 1.0 on this corpus: the only pairs with
     // cos >= 0.99 are each vector and its perturbed copy (real data tops
     // out at cos ~0.48)
     assert(pairs.length == n, s"expected $n injected pairs, got ${pairs.length}")
-    assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + 100000L))
+    assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + offset))
     assert(pairs.forall(_.getAs[Double]("cos") >= 0.99))
     // prefilter tightness: among the unrelated real vectors the banded
     // hamming<=8 candidate set must be near-empty, nowhere near all-pairs
