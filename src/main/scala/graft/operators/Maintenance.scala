@@ -29,6 +29,7 @@ object Maintenance {
     val old = path + "__old"
     Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    carryOverManifest(old, path)
     deleteRecursively(new java.io.File(old))
     recordLiveFiles(path)
   }
@@ -48,8 +49,40 @@ object Maintenance {
     val old = path + "__old"
     Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    carryOverManifest(old, path)
     deleteRecursively(new java.io.File(old))
     recordLiveFiles(path)
+  }
+
+  /** The commit manifest is table history, not data — a rewrite must carry
+    * it into the new directory, not delete it with the old tree.
+    */
+  private def carryOverManifest(oldPath: String, newPath: String): Unit = {
+    val src = Paths.get(manifestPath(oldPath))
+    if (Files.exists(src)) {
+      val dst = Paths.get(manifestPath(newPath))
+      Files.createDirectories(dst.getParent)
+      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The reference's maintenance cadence — OPTIMIZE every N ingest batches
+    * (reference: udf.py:77-78, every 60 batches; AutomateTable.py:57
+    * disables the retention check the same job owns). Call after each
+    * [[recordCommit]]: compacts when the commit count is a positive
+    * multiple of `everyN`.
+    *
+    * @return true if a compaction ran
+    */
+  def maybeCompact(spark: SparkSession, path: String, everyN: Int,
+      targetFiles: Int): Boolean = {
+    val m = new java.io.File(manifestPath(path))
+    if (!m.exists()) return false
+    val n = Files.readString(m.toPath).linesIterator.count(_.nonEmpty)
+    if (n > 0 && n % everyN == 0) {
+      compact(spark, path, targetFiles)
+      true
+    } else false
   }
 
   /** Append a commit record (JSON line) to the table's manifest. */

@@ -60,6 +60,26 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(stats(0).getAs[Long]("latency_sec") > 0)
   }
 
+  test("maintenance cadence: compaction fires on the Nth commit only") {
+    val p = freshTable()
+    val bars = Tables.t(spark, sfSmoke, "events")
+      .select(date_trunc("minute", col("ts")).as("ws"))
+    val before = Maintenance.parquetFileCount(p)
+    assert(before > 2)
+    Maintenance.recordCommit(p, "2024-02-01 00:00:30", bars, "ws")
+    assert(!Maintenance.maybeCompact(spark, p, everyN = 2, targetFiles = 2),
+      "one commit, cadence 2 — must not compact")
+    assert(Maintenance.parquetFileCount(p) == before)
+    Maintenance.recordCommit(p, "2024-02-01 00:01:30", bars, "ws")
+    assert(Maintenance.maybeCompact(spark, p, everyN = 2, targetFiles = 2))
+    assert(Maintenance.parquetFileCount(p) <= 2)
+    // the commit history must survive the compaction's directory swap
+    val stats = Maintenance.commitStats(spark, p)
+    assert(stats.count() == 2, "manifest must be carried over the rewrite")
+    // and the rewrite registered its output as live
+    assert(new java.io.File(Maintenance.liveFilesPath(p)).exists())
+  }
+
   test("fixture fingerprints differ across dirs and are call-stable") {
     val a = Tables.fingerprint(sfSmoke, "events")
     val b = Tables.fingerprint("/root/testdata/sf0.01", "events")
