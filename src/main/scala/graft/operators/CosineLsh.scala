@@ -62,9 +62,15 @@ object CosineLsh {
     * (hamming ≤ maxHamming prefilter) → exact cosine on candidates only.
     * Returns (id_a, id_b, cos).
     *
-    * maxHamming trades recall for candidate volume: hamming h estimates
-    * angle ≈ h/64·π, so the default 12 keeps pairs down to cos ≈ 0.83 —
-    * comfortably below a 0.9 dedup threshold.
+    * maxHamming trades recall for candidate volume, but the BANDING is the
+    * real recall gate: candidates come from 4×16-bit bands, so a pair is
+    * guaranteed a shared bucket only when its hamming distance ≤ 3 (pigeonhole
+    * — 4+ differing bits can touch all four bands). Above that, candidacy is
+    * probabilistic: a pair at hamming h survives iff some band has zero of
+    * the h flipped bits. Near-duplicates (cos ≥ 0.99 ⇒ E[h] ≈ 64·angle/π ≈
+    * 1.8) sit inside the guarantee; mid-similarity pairs (cos ≈ 0.83, E[h] ≈
+    * 12) are found only opportunistically — do not rely on recall there.
+    * `maxHamming` is the post-bucket verify filter, not a recall floor.
     */
   def nearDupPairs(e: DataFrame, idCol: String, vecCol: String, dim: Int,
       minCos: Double, maxHamming: Int = 12,

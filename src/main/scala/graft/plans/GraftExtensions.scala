@@ -30,7 +30,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(CosineSimilarity.FnName),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
         CosineSimilarity.FnName),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // arity-check before indexing: a 1-arg call must fail analysis with
+        // the function's name + signature, not an IndexOutOfBoundsException
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map(
+              "functionName" -> s"`${CosineSimilarity.FnName}`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CosineSimilarity(exprs(0), exprs(1))
+      }))
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
   }
 }
