@@ -58,5 +58,6 @@ object SparkEntry {
       "l_orderkey", 8)
     operators.Bucketing.ensureBucketed(spark, sfDir, "orders",
       "o_orderkey", 8)
+    Extras.ensureReplayFixture(spark, sfDir)
   }
 }
