@@ -174,12 +174,53 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------
+  // Winnowing plagiarism pairs — the consumable end of the sketch: two
+  // documents sharing a ≥ tau fraction of their winnowed fingerprints
+  // contain substantial copied passages (the MOSS report surface). The
+  // fingerprint IS the LSH band: candidates come from an equi-join on fp,
+  // so the quadratic step only ever touches documents that share a
+  // fingerprint. Skew guard: fingerprints present in more than `maxDf`
+  // documents are boilerplate (stopword-run shingles) — they would create
+  // O(df²) candidate blowup while carrying no plagiarism signal, so they
+  // are dropped from BOTH the join and the per-doc denominators (the
+  // overlap coefficient is computed over the filtered universe,
+  // consistently). Rows-only (xxhash64 fingerprints are engine-specific);
+  // recall vs the exact n-gram Jaccard pairs asserted in ScaleOpsSpec.
+  /** Exposed with knobs so specs can vary the threshold and df cap. */
+  def winnowPairs(s: SparkSession, dir: String, tau: Double = 0.5,
+      maxDf: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(s, dir).localCheckpoint()
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val kept = fps.join(rare, Seq("fp")).localCheckpoint()
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = kept.select(col("fp"), col("doc_id").as("id_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared") / least(col("n_a"), col("n_b")), 6)
+          .as("overlap"))
+      .filter(col("overlap") >= tau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def txWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    winnowPairs(s, dir)
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "tx_fingerprint" -> txFingerprint _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangId _,
     "tx_tokens" -> txTokens _,
-    "tx_winnow" -> txWinnow _
+    "tx_winnow" -> txWinnow _,
+    "tx_winnow_pairs" -> txWinnowPairs _
   )
 
   val oracle: Map[String, String] = Map(
