@@ -7,62 +7,92 @@ import org.apache.spark.sql.functions._
   * resolution step every dedup pipeline needs between "these pairs are
   * near-dups" and "keep one document per cluster".
   *
-  * Iterative min-label propagation: every vertex starts as its own
-  * component; each round a vertex adopts the smallest component id among
-  * itself and its neighbors, until a fixpoint. Each round is one
-  * edge-to-label equi-join plus a groupBy(min) — shuffles keyed on vertex
-  * id, fully distributed, with only the per-round convergence COUNT on the
-  * driver (never the data). Rounds needed = the component diameter, which
-  * for near-dup clusters is tiny (dup clusters are dense, near-cliques);
-  * `maxIters` bounds pathological chains. (The O(log n) alternative for
-  * adversarial graph shapes is large-star/small-star; dedup clusters don't
-  * need it.)
+  * Algorithm: the large-star / small-star alternation (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the edge set
+  * contracts toward a disjoint union of stars centered on each component's
+  * minimum id in O(log n) rounds REGARDLESS of component diameter, unlike
+  * plain min-label propagation whose round count equals the diameter (a
+  * 10k-long chain needs 14 star rounds, not 10k propagation rounds).
+  * Each round is two groupBy(min)+join passes over the edge set, shuffles
+  * keyed on vertex id, fully distributed; only scalar convergence counts
+  * ever reach the driver. Edges stay oriented big-id → small-id throughout,
+  * so the fixpoint is exactly "every non-root points at its component min".
   */
 object Components {
 
   /** (id, comp) for every vertex appearing in `pairs`; comp = the smallest
-    * vertex id reachable. Vertices not in any pair are absent — callers
-    * treat them as singleton components (see the dedup-keep query).
+    * vertex id reachable. Vertices only in self-pairs are singletons.
     *
-    * @param requireConvergence when true, throws IllegalStateException if a
-    *        fixpoint is not reached within `maxIters` — a silently split
-    *        cluster is worse than a failed job for dedup. When false, an
-    *        unconverged result is returned after a logged warning.
+    * @param requireConvergence when true (the default), throws
+    *        IllegalStateException if the star fixpoint is not reached
+    *        within `maxIters` rounds — a silently split cluster is worse
+    *        than a failed job for dedup. Opt OUT explicitly to accept an
+    *        unconverged result (returned after a logged warning).
     */
   def resolve(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 20, requireConvergence: Boolean = false): DataFrame = {
-    // localCheckpoint (eager) after every round: iterative self-referencing
+      maxIters: Int = 20, requireConvergence: Boolean = true): DataFrame =
+    resolveStats(pairs, idA, idB, maxIters, requireConvergence)._1
+
+  /** [[resolve]] plus the round count and convergence flag — the spec
+    * surface for the O(log n) bound.
+    */
+  def resolveStats(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 20,
+      requireConvergence: Boolean = true): (DataFrame, Int, Boolean) = {
+    // localCheckpoint (eager) every round: iterative self-referencing
     // DataFrames double their logical plan per iteration, and analysis cost
-    // goes super-linear without lineage truncation — the standard pattern
-    // for iterative algorithms on DataFrames
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // goes super-linear without lineage truncation
+    val verts = pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
-    var done = false
-    var i = 0
-    while (!done && i < maxIters) {
-      val prop = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      val changed = next.select(col("id"), col("comp").as("nc"))
-        .join(labels, Seq("id"))
-        .filter(col("nc") =!= col("comp")).count()
-      labels = next
-      done = changed == 0
-      i += 1
+    // edges oriented big → small; self-loops drop out (their vertices stay
+    // in `verts` and resurface as singletons in the final left-join)
+    var e = pairs
+      .select(greatest(col(idA), col(idB)).as("u"),
+        least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      // large-star: each vertex u links every LARGER neighbor v to
+      // m = min(N(u) ∪ {u}) — long chains fold onto their minima
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val minN = sym.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val ls = sym.join(minN, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: each vertex u links its smaller neighbors (and itself)
+      // to m = min(N_small(u)) — stars of stars flatten one level
+      val minS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = ls.join(minS, Seq("u"))
+        .select(col("v").as("x"), col("m"))
+        .unionByName(minS.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      // fixpoint ⟺ identical edge sets (both are distinct): equal size and
+      // empty difference — two scalar probes per round, never data movement
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      rounds += 1
     }
-    if (!done) {
+    if (!converged) {
       val msg = s"Components.resolve did not converge within $maxIters " +
-        "rounds — a component's diameter exceeds the iteration bound and " +
-        "its labels are still split"
+        "star rounds — the edge set is still contracting and component " +
+        "labels may be split"
       if (requireConvergence) throw new IllegalStateException(msg)
       else System.err.println(s"[graft] WARN: $msg")
     }
-    labels
+    // at the star fixpoint every edge is (member, component-min); the min
+    // re-aggregation only matters on an unconverged best-effort result
+    val labels = verts
+      .join(e.groupBy(col("u")).agg(min(col("v")).as("c"))
+          .select(col("u").as("id"), col("c")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
+    (labels, rounds, converged)
   }
 }

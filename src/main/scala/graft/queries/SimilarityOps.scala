@@ -47,22 +47,29 @@ object SimilarityOps {
 
   // ---------------------------------------------------------------------
   // Brute-force cosine top-k: 5 fixed query vectors (vec_id < 5) against
-  // the whole corpus. At cluster scale this is one broadcast of the query
-  // set + a map-side partial top-k per partition (TakeOrderedAndProject
-  // after the window filter); no all-pairs shuffle.
+  // the whole corpus. Scale shape: broadcast of the query set, then a
+  // bounded-heap typed Aggregator per query — map-side partial top-k on
+  // every input partition, an exchange of only O(queries × k) rows, and no
+  // window anywhere (a per-query row_number window would sort a full
+  // corpus copy per query; asserted window-free in PlanSpec). Exact, and
+  // identical ranking to the oracle: both rank on the ROUNDED cosine with
+  // vec_id tie-break.
   private def simKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = embDouble(s, dir)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    e.crossJoin(broadcast(q))
+    val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(s)(col("qv"), col("v")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("cos"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(s)(col("qv"), col("v")), 6).as("cos"))
+      .as[(Long, Long, Double)]
+    val top = scored.groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(10).toColumn.name("top"))
+    top.toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("neighbor_id"), col("col._1").as("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -168,7 +175,10 @@ object SimilarityOps {
     val dup = e.select((col("vec_id") + offset).as("vec_id"),
       expr("transform(v, (x, i) -> " +
         "x * (1.0 + pmod(xxhash64(vec_id, i), 1000) / 1000000.0))").as("v"))
-    val all = e.unionByName(dup)
+    // the doubled corpus feeds the signature scan AND both candidate-join
+    // probes — localCheckpoint so those are three reads of materialized
+    // partitions, not three evaluations of a corpus-sized plan
+    val all = e.unionByName(dup).localCheckpoint()
     graft.operators.CosineLsh.nearDupPairs(
       all, "vec_id", "v", dim = 64, minCos = minCos,
       maxHamming = maxHamming, cos = cosine(s) _)

@@ -57,6 +57,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke))
     assert(plan.contains("BroadcastNestedLoopJoin")
       || plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // exact top-k via the bounded-heap Aggregator: partial ObjectHashAgg on
+    // the map side, NO per-query window (a window would sort a corpus-sized
+    // partition per query vector)
+    assert(!plan.contains("Window"),
+      "sim_knn_brute must not plan a window:\n" + plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
   }
 
   test("extensions: composed cosine fuses into the native codegen expression") {

@@ -96,9 +96,10 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert((0L to 9L).forall(comp(_) == 0L), s"chain must collapse to 0: $comp")
     assert((20L to 22L).forall(comp(_) == 20L))
     assert(comp(30L) == 30L && comp(31L) == 30L)
-    // a diameter beyond the iteration bound must fail loudly when required
+    // an iteration bound too tight for the fixpoint must fail loudly when
+    // required (one round can never certify convergence on a non-star)
     intercept[IllegalStateException] {
-      graft.operators.Components.resolve(pairs, maxIters = 3,
+      graft.operators.Components.resolve(pairs, maxIters = 1,
         requireConvergence = true).collect()
     }
     // end-to-end: kept clusters partition the documents exactly
@@ -108,6 +109,43 @@ class ScaleOpsSpec extends AnyFunSuite {
       "cluster sizes must sum to the corpus size")
     assert(kept.map(_.getAs[Long]("doc_id_kept")).distinct.length == kept.length)
     assert(kept.length < nDocs, "the near-dup fixture must merge something")
+  }
+
+  test("components: 10k-chain converges in O(log n) star rounds") {
+    import spark.implicits._
+    // the adversarial shape for min-label propagation: one path graph of
+    // diameter 10k. The star alternation must collapse it to a single
+    // component in ~log2(n) rounds, not diameter rounds.
+    val n = 10000
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val (labels, rounds, converged) =
+      graft.operators.Components.resolveStats(pairs, maxIters = 25)
+    assert(converged, s"10k-chain did not converge in 25 rounds")
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 3
+    assert(rounds <= bound, s"10k-chain took $rounds rounds (bound $bound)")
+    val comp = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length == n)
+    assert(comp.forall(_._2 == 0L), "every chain vertex must label to 0")
+  }
+
+  test("components: two cliques joined by one bridge edge merge fully") {
+    import spark.implicits._
+    // dense-but-bridged shape: two 50-cliques with a single connecting
+    // edge — the bridge must pull both cliques into one component
+    val cliqueA = for (i <- 0 until 50; j <- i + 1 until 50)
+      yield (i.toLong, j.toLong)
+    val cliqueB = for (i <- 100 until 150; j <- i + 1 until 150)
+      yield (i.toLong, j.toLong)
+    val pairs = (cliqueA ++ cliqueB ++ Seq((49L, 100L))).toDF("id_a", "id_b")
+    val (labels, rounds, converged) =
+      graft.operators.Components.resolveStats(pairs, maxIters = 25)
+    assert(converged)
+    val bound = math.ceil(math.log(150.0) / math.log(2.0)).toInt + 3
+    assert(rounds <= bound, s"clique-bridge took $rounds rounds (bound $bound)")
+    val comp = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp.size == 100)
+    assert(comp.values.forall(_ == 0L), "bridge must merge both cliques to 0")
   }
 
   test("exact dedup keeps every distinct text exactly once") {
@@ -270,6 +308,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     val o = fps(u).intersect(fps(v)).size.toDouble /
       math.min(fps(u).size, fps(v).size)
     assert(o <= 0.2, s"unrelated ($u,$v) share $o of fingerprints")
+  }
+
+  test("winnow pairs: fp-join recovers the exact high-jaccard pairs") {
+    val exact = DedupOps.queries("dd_ngram_jaccard")(spark, sfSmoke)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val wp = TextOps.queries("tx_winnow_pairs")(spark, sfSmoke).collect()
+    val pairs = wp.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pairs.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"winnow-pair recall $recall over ${exact.size}")
+    // overlap coefficient is a valid ratio and respects the threshold
+    wp.foreach { r =>
+      val o = r.getAs[Double]("overlap")
+      assert(o >= 0.5 && o <= 1.0, s"overlap out of range: $r")
+    }
   }
 
   // ---- multimodal -----------------------------------------------------
