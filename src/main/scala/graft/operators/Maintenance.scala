@@ -18,52 +18,151 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** OPTIMIZE-style compaction: rewrite a table directory to
-    * `targetFiles` files. Atomic via temp-dir + move (the same pattern the
-    * SCD2 persistence uses): readers never see a half-written table.
-    */
-  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
-    val df = spark.read.parquet(path)
-    val tmp = path + "__compact_tmp"
-    df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val old = path + "__old"
-    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    carryOverManifest(old, path)
-    deleteRecursively(new java.io.File(old))
-    recordLiveFiles(path)
+  // ---------------------------------------------------------------------
+  // Optimistic single-table commit protocol — the engine analogue of the
+  // optimistic concurrency the reference inherits from Delta (MERGE /
+  // OPTIMIZE racing concurrent streaming appends; AutomateTable.py:42-44).
+  // Every commit (append or rewrite) goes through a versioned manifest:
+  //   - `_graft_log/version` holds the table's committed version,
+  //     advanced atomically (write-temp + ATOMIC_MOVE rename);
+  //   - the CRITICAL SECTION (validate version, rename files, bump
+  //     version) runs under a sibling lock file taken via the atomic
+  //     create-if-absent CAS `Files.createFile` — milliseconds, because
+  //     the expensive Spark job always runs OUTSIDE the lock;
+  //   - a rewrite (compact/cluster) is read-validate-swap: snapshot the
+  //     version, rewrite that snapshot, and commit ONLY if the version is
+  //     unchanged — a concurrent append bumps the version, the stale
+  //     rewrite is discarded, and the rewrite retries against the new
+  //     snapshot (bounded; the final attempt holds the lock across the
+  //     rewrite, guaranteeing progress under a hot appender). A file
+  //     committed during a rewrite can therefore never be dropped.
+
+  def versionPath(tablePath: String): String =
+    s"$tablePath/_graft_log/version"
+
+  /** The table's committed version; 0 for a never-committed table. */
+  def readVersion(tablePath: String): Long = {
+    val p = Paths.get(versionPath(tablePath))
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
   }
+
+  private def writeVersion(tablePath: String, v: Long): Unit = {
+    val p = Paths.get(versionPath(tablePath))
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s"version.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Run `body` holding the table's commit lock (sibling file, OUTSIDE the
+    * table root so a directory swap never moves its own mutex).
+    * `Files.createFile` is the atomic create-if-absent CAS.
+    */
+  def withCommitLock[T](tablePath: String, timeoutMs: Long = 60000L)
+      (body: => T): T = {
+    val lock = Paths.get(tablePath + "__graft_lock")
+    val t0 = System.currentTimeMillis()
+    var acquired = false
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        if (System.currentTimeMillis() - t0 > timeoutMs)
+          throw new IllegalStateException(
+            s"could not acquire commit lock $lock within ${timeoutMs} ms")
+        Thread.sleep(5)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  /** Optimistically commit an append: stage the write OUTSIDE the lock
+    * (the Spark job), then under the lock move the staged files into the
+    * table with version-unique names and advance the version. Returns the
+    * committed version.
+    */
+  def commitAppend(spark: SparkSession, tablePath: String,
+      df: DataFrame): Long = {
+    val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
+    df.write.mode(SaveMode.Overwrite).parquet(stage)
+    val parts = listDataFiles(new java.io.File(stage))
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    try withCommitLock(tablePath) {
+      val v = readVersion(tablePath) + 1
+      parts.zipWithIndex.foreach { case (f, i) =>
+        Files.move(f.toPath,
+          Paths.get(tablePath, f"append_v${v}%06d_p$i%04d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      writeVersion(tablePath, v)
+      v
+    } finally deleteRecursively(new java.io.File(stage))
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the table to `targetFiles` files
+    * via the optimistic read-validate-swap protocol above — safe against
+    * concurrent [[commitAppend]] writers.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit =
+    optimisticRewrite(spark, path, "__compact_tmp") { (df, tmp) =>
+      df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
 
   /** Z-order-lite: range-cluster the table on `clusterCols` so parquet
     * row-group min/max stats give data skipping on those columns
     * (reference: delta_manager.py:19-24 Z-ORDER BY coin_id — dead code
-    * there via the batchIid typo; alive here).
+    * there via the batchIid typo; alive here). Same optimistic protocol
+    * as [[compact]].
     */
   def cluster(spark: SparkSession, path: String, clusterCols: Seq[String],
-      targetFiles: Int): Unit = {
-    val df = spark.read.parquet(path)
-    val tmp = path + "__cluster_tmp"
-    df.repartitionByRange(targetFiles, clusterCols.map(col): _*)
-      .sortWithinPartitions(clusterCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+      targetFiles: Int): Unit =
+    optimisticRewrite(spark, path, "__cluster_tmp") { (df, tmp) =>
+      df.repartitionByRange(targetFiles, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+
+  private def optimisticRewrite(spark: SparkSession, path: String,
+      tmpSuffix: String)(write: (DataFrame, String) => Unit): Unit = {
+    val tmp = path + tmpSuffix
+    val maxOptimistic = 4
+    var attempts = 0
+    var committed = false
+    while (!committed && attempts < maxOptimistic) {
+      attempts += 1
+      val v0 = readVersion(path)
+      // version read BEFORE the snapshot listing: any append that lands
+      // after this point bumps the version and invalidates the attempt
+      write(spark.read.parquet(path), tmp)
+      committed = withCommitLock(path) {
+        if (readVersion(path) == v0) { swapCommit(path, tmp); true }
+        else { deleteRecursively(new java.io.File(tmp)); false }
+      }
+    }
+    if (!committed) {
+      // a hot appender kept winning the race — take the lock for the whole
+      // rewrite (appenders briefly queue on the lock; progress guaranteed)
+      withCommitLock(path, timeoutMs = 300000L) {
+        write(spark.read.parquet(path), tmp)
+        swapCommit(path, tmp)
+      }
+    }
+  }
+
+  /** Swap the rewritten tree in and advance the version. Caller holds the
+    * commit lock. The whole `_graft_log` (manifest + version + live-file
+    * registry) is table history, not data — it carries over the rewrite.
+    */
+  private def swapCommit(path: String, tmp: String): Unit = {
     val old = path + "__old"
     Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    carryOverManifest(old, path)
+    val oldLog = Paths.get(old, "_graft_log")
+    if (Files.exists(oldLog))
+      Files.move(oldLog, Paths.get(path, "_graft_log"))
     deleteRecursively(new java.io.File(old))
+    writeVersion(path, readVersion(path) + 1)
     recordLiveFiles(path)
-  }
-
-  /** The commit manifest is table history, not data — a rewrite must carry
-    * it into the new directory, not delete it with the old tree.
-    */
-  private def carryOverManifest(oldPath: String, newPath: String): Unit = {
-    val src = Paths.get(manifestPath(oldPath))
-    if (Files.exists(src)) {
-      val dst = Paths.get(manifestPath(newPath))
-      Files.createDirectories(dst.getParent)
-      Files.move(src, dst, StandardCopyOption.REPLACE_EXISTING)
-    }
   }
 
   /** The reference's maintenance cadence — OPTIMIZE every N ingest batches
@@ -79,8 +178,15 @@ object Maintenance {
     val m = new java.io.File(manifestPath(path))
     if (!m.exists()) return false
     val n = Files.readString(m.toPath).linesIterator.count(_.nonEmpty)
-    if (n > 0 && n % everyN == 0) {
+    // idempotent per commit count: a retried/double call after the Nth
+    // commit must not re-run the full rewrite — the commit count of the
+    // last compaction is recorded next to the manifest
+    val lastP = Paths.get(s"$path/_graft_log/last_compacted")
+    val last =
+      if (Files.exists(lastP)) Files.readString(lastP).trim.toLong else 0L
+    if (n > 0 && n % everyN == 0 && n > last) {
       compact(spark, path, targetFiles)
+      Files.writeString(lastP, n.toString)
       true
     } else false
   }
@@ -168,14 +274,16 @@ object Maintenance {
     val inRoot = listDataFiles(new java.io.File(tablePath)).filter { f =>
       !live.contains(root.relativize(f.toPath).toString)
     }
-    val siblings = Seq("__old", "__compact_tmp", "__cluster_tmp")
+    val siblingNames = Seq("__old", "__compact_tmp", "__cluster_tmp",
+      "__stage")
+    val siblings = siblingNames
       .map(s => new java.io.File(tablePath + s)).filter(_.exists())
       .flatMap(listDataFiles)
     val victims = (inRoot ++ siblings).filter(f =>
       f.lastModified() < cutoffEpochMs && f.lastModified() < regMtime)
     victims.foreach(_.delete())
     pruneEmptyDirs(new java.io.File(tablePath))
-    Seq("__old", "__compact_tmp", "__cluster_tmp")
+    siblingNames
       .map(s => new java.io.File(tablePath + s)).filter(_.exists())
       .foreach { d =>
         pruneEmptyDirs(d)

@@ -139,6 +139,53 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.parquetFileCount(bare) > 0)
   }
 
+  test("optimistic commit: a racing appender never loses rows to compact") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-occ-${UUID.randomUUID()}/t").getAbsolutePath
+    spark.range(0, 1000).toDF("id").write.parquet(p)
+    val nAppends = 20
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      try {
+        for (i <- 0 until nAppends) {
+          Maintenance.commitAppend(spark, p,
+            spark.range(1000L + i * 10, 1000L + i * 10 + 10).toDF("id"))
+        }
+      } catch { case t: Throwable => err.set(t) }
+    })
+    appender.start()
+    var compacts = 0
+    while (appender.isAlive) {
+      Maintenance.compact(spark, p, targetFiles = 2)
+      compacts += 1
+    }
+    appender.join()
+    assert(err.get() == null, s"appender failed: ${err.get()}")
+    // quiesced final compact for a deterministic layout
+    Maintenance.compact(spark, p, targetFiles = 2)
+    val ids = spark.read.parquet(p).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.length == 1000 + nAppends * 10,
+      s"rows lost under the race: ${ids.length} (compacts=$compacts)")
+    assert(ids.toSet == (0L until (1000L + nAppends * 10)).toSet)
+    // every append and every surviving rewrite advanced the version
+    assert(Maintenance.readVersion(p) >= nAppends + 1)
+    assert(compacts >= 1, "the race must actually have raced")
+    assert(Maintenance.parquetFileCount(p) <= 2)
+  }
+
+  test("maybeCompact is idempotent per commit count") {
+    val p = freshTable()
+    val bars = Tables.t(spark, sfSmoke, "events")
+      .select(date_trunc("minute", col("ts")).as("ws"))
+    Maintenance.recordCommit(p, "2024-02-01 00:00:30", bars, "ws")
+    Maintenance.recordCommit(p, "2024-02-01 00:01:30", bars, "ws")
+    assert(Maintenance.maybeCompact(spark, p, everyN = 2, targetFiles = 2))
+    // a retried/double call after the SAME commit must be a no-op
+    assert(!Maintenance.maybeCompact(spark, p, everyN = 2, targetFiles = 2),
+      "second call at the same commit count must not re-compact")
+  }
+
   test("concurrent per-key bronze streams equal the single-stream result") {
     // concurrent queries must run under the FAIR scheduler (reference:
     // AutomateTable.py:64-66 + fairscheduler.xml) — a session-build conf
