@@ -150,8 +150,9 @@ object Analytics {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$work/out")
-      .orderBy(col("click_id"), col("purchase_id"))
+    graft.streaming.WorkDirs.materializeAndClean(
+      s.read.parquet(s"$work/out")
+        .orderBy(col("click_id"), col("purchase_id")), work)
   }
 
   private val ssStreamStreamJoinSql =
@@ -194,8 +195,9 @@ object Analytics {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$work/out")
-      .orderBy(col("user_id"), col("minute"))
+    graft.streaming.WorkDirs.materializeAndClean(
+      s.read.parquet(s"$work/out")
+        .orderBy(col("user_id"), col("minute")), work)
   }
 
   private val stDropdupStreamSql =
@@ -266,16 +268,17 @@ object Analytics {
     q.awaitTermination()
     // Latest emission per user == complete accumulated state for that user
     // (state is monotone-cumulative; later batches re-emit everything seen).
-    s.read.parquet(s"$work/out")
-      .groupBy(col("user_id"))
-      .agg(max_by(
-        struct(col("n_events"), col("total_value"),
-          col("first_sec"), col("last_sec")),
-        col("batch_id")).as("p"))
-      .select(col("user_id"), col("p.n_events").as("n_events"),
-        col("p.total_value").as("total_value"),
-        col("p.first_sec").as("first_sec"), col("p.last_sec").as("last_sec"))
-      .orderBy(col("user_id"))
+    graft.streaming.WorkDirs.materializeAndClean(
+      s.read.parquet(s"$work/out")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_events"), col("total_value"),
+            col("first_sec"), col("last_sec")),
+          col("batch_id")).as("p"))
+        .select(col("user_id"), col("p.n_events").as("n_events"),
+          col("p.total_value").as("total_value"),
+          col("p.first_sec").as("first_sec"), col("p.last_sec").as("last_sec"))
+        .orderBy(col("user_id")), work)
   }
 
   private def stMapgroupsState(s: SparkSession, dir: String): DataFrame =
@@ -283,6 +286,131 @@ object Analytics {
     // so the production query exercises the multi-batch path whenever the
     // source directory holds more than one events file.
     mapGroupsProfiles(s, dir, s"$dir/events*.parquet", Some(1))
+
+  // ---------------------------------------------------------------------
+  // State EVICTION: mapGroupsWithState with ProcessingTimeTimeout — the
+  // tier the NoTimeout profile query lacks. A group idle past its timeout
+  // is evicted: the update function fires with hasTimedOut=true, emits the
+  // group's final profile flagged expired=true, and removes the state —
+  // exactly how an unbounded-key-space pipeline (per-user profiles over
+  // months of traffic) keeps its state store finite.
+  //
+  // Deterministic by construction: events are split into TWO spool files
+  // by user id (low half, then high half; full per-user history in exactly
+  // one file), replayed with maxFilesPerTrigger=1. Batch 1 holds every
+  // low user's complete history and arms a 1 ms timer per low user;
+  // micro-batches are never sub-millisecond apart, so batch 2's timestamp
+  // is past every low deadline and the timeout path fires INSIDE batch 2:
+  // exactly the low half evicts, atomically with the last data batch.
+  // High users keep state WITHOUT arming a timer (the pinned-state tier) —
+  // also what makes the run deterministic: a trailing empty micro-batch
+  // can then evict nobody.
+  //
+  // Termination: ProcessingTimeTimeout makes the stateful operator request
+  // a follow-up batch unconditionally (timers might fire later), so
+  // Trigger.AvailableNow re-triggers forever AND processAllAvailable never
+  // sees a no-new-data trigger. The bounded-run pattern is therefore an
+  // explicit sink-side condition: poll the output until every low user's
+  // eviction row is committed (they all ride batch 2), then stop(). The
+  // result is independent of how many empty batches ran before stop(),
+  // because only low users ever hold an armed timer.
+  // The read-back keeps the LATEST emission per user (max_by batch_id):
+  // low users surface their eviction row, high users their final update
+  // row — which the DuckDB oracle reproduces as a plain grouped aggregate
+  // + a user_id<split flag.
+  private def stTimeoutEvict(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-evict-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+    val mm = ev.agg(min(col("user_id")), max(col("user_id"))).first()
+    val split = Math.floorDiv(mm.getLong(0) + mm.getLong(1), 2L)
+    // two spool files, low then high (name + mtime both order the replay)
+    def spoolFile(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
+      val tmp = s"$work/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$work/spool/$name.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(
+        ((System.currentTimeMillis() / 1000) * 1000) + mtimeOffsetMs)
+    }
+    spoolFile(ev.filter(col("user_id") < split), "aa-low", 0L)
+    spoolFile(ev.filter(col("user_id") >= split), "zz-high", 2000L)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("cents", LongType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/spool")
+      .as[(Long, Long)]
+    val update = (user: Long, it: Iterator[(Long, Long)],
+        st: GroupState[(Long, Long)]) => {
+      if (st.hasTimedOut) {
+        val (n, tot) = st.get
+        st.remove()
+        (user, n, tot / 100.0, true)
+      } else {
+        val prev = st.getOption.getOrElse((0L, 0L))
+        val next = it.foldLeft(prev) { case ((n, tot), (_, c)) =>
+          (n + 1, tot + c)
+        }
+        st.update(next)
+        // arm the eviction timer ONLY for the idle (low) half; an armed
+        // but never-firing timer would keep AvailableNow spinning batches
+        if (user < split) st.setTimeoutDuration(1L)
+        (user, next._1, next._2 / 100.0, false)
+      }
+    }
+    val profiles = stream.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Double, Boolean)](
+        GroupStateTimeout.ProcessingTimeTimeout)(update)
+      .toDF("user_id", "n_events", "total_value", "expired")
+    val q = profiles.writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        // trailing empty batches (timer polling) write nothing
+        if (!df.isEmpty)
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$work/out")
+      }
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    val nLow = ev.filter(col("user_id") < split)
+      .select(col("user_id")).distinct().count()
+    def evicted(): Long =
+      try s.read.parquet(s"$work/out")
+        .filter(col("expired")).select(col("user_id")).distinct().count()
+      catch { case _: Throwable => 0L } // sink not materialized yet
+    val deadline = System.currentTimeMillis() + 120000L
+    while (evicted() < nLow && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q.stop()
+    q.awaitTermination()
+    graft.streaming.WorkDirs.materializeAndClean(
+      s.read.parquet(s"$work/out")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("n_events"), col("total_value"), col("expired")),
+          col("batch_id")).as("p"))
+        .select(col("user_id"), col("p.n_events").as("n_events"),
+          col("p.total_value").as("total_value"),
+          col("p.expired").as("expired"))
+        .orderBy(col("user_id")), work)
+  }
+
+  private val stTimeoutEvictSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value,
+      |  user_id < (SELECT (min(user_id)+max(user_id))//2 FROM events)
+      |    AS expired
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   private val stMapgroupsStateSql =
     """SELECT user_id, count(*) AS n_events,
@@ -297,7 +425,8 @@ object Analytics {
     "k7_bucketed_join" -> k7BucketedJoin _,
     "ss_stream_stream_join" -> ssStreamStreamJoin _,
     "st_dropdup_stream" -> stDropdupStream _,
-    "st_mapgroups_state" -> stMapgroupsState _
+    "st_mapgroups_state" -> stMapgroupsState _,
+    "st_timeout_evict" -> stTimeoutEvict _
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,6 +435,7 @@ object Analytics {
     "k7_bucketed_join" -> k7BucketedJoinSql,
     "ss_stream_stream_join" -> ssStreamStreamJoinSql,
     "st_dropdup_stream" -> stDropdupStreamSql,
-    "st_mapgroups_state" -> stMapgroupsStateSql
+    "st_mapgroups_state" -> stMapgroupsStateSql,
+    "st_timeout_evict" -> stTimeoutEvictSql
   )
 }

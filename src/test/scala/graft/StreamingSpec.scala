@@ -45,6 +45,25 @@ class StreamingSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("processing-time timeout evicts idle groups with their final state") {
+    val rows = Analytics.queries("st_timeout_evict")(spark, sfSmoke).collect()
+    val ev = Tables.t(spark, sfSmoke, "events")
+    val mm = ev.agg(min(col("user_id")), max(col("user_id"))).first()
+    val split = Math.floorDiv(mm.getLong(0) + mm.getLong(1), 2L)
+    assert(rows.exists(_.getAs[Boolean]("expired")),
+      "the idle low half must actually evict through the timeout path")
+    assert(rows.exists(!_.getAs[Boolean]("expired")),
+      "the active high half must never evict")
+    // eviction is exactly the idle set: every low user expired, no high user
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("expired") == (r.getLong(0) < split),
+        s"wrong eviction flag for ${r.getLong(0)} (split $split)")
+    }
+    // evicted rows carry the COMPLETE final profile, not a partial one
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count(),
+      "profiles (evicted + live) must cover every event exactly once")
+  }
+
   test("stream-batch parity: streamed bronze bars == batch tumbling agg") {
     val streamed = StreamingQueries.queries("k1_stream_bronze_bars")(spark, sfSmoke)
       .select(col("event_type"), col("window_start"),
