@@ -25,20 +25,23 @@ object Extras {
   // parquet DDL runs through Catalyst, and the analytics query is issued
   // as SQL text — exercising the parse→analyze→optimize path).
   private def k6SqlDdl(s: SparkSession, dir: String): DataFrame = {
+    // database scoped per session: two concurrent sessions must not race
+    // each other's DROP/CREATE in a shared catalog namespace
+    val db = "graft_" + Integer.toHexString(System.identityHashCode(s))
     val wh = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_warehouse").getAbsolutePath
-    s.sql(s"CREATE DATABASE IF NOT EXISTS graft LOCATION '$wh'")
+      s"graft_warehouse_$db").getAbsolutePath
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
     for (tbl <- Seq("orders", "lineitem")) {
-      s.sql(s"DROP TABLE IF EXISTS graft.$tbl")
-      s.sql(s"CREATE TABLE graft.$tbl USING parquet " +
+      s.sql(s"DROP TABLE IF EXISTS $db.$tbl")
+      s.sql(s"CREATE TABLE $db.$tbl USING parquet " +
         s"LOCATION '${Tables.path(dir, tbl)}'")
     }
     s.sql(
-      """SELECT o_orderpriority, count(*) AS n_orders
-        |FROM graft.orders
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+        |FROM $db.orders
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
-        |  AND EXISTS (SELECT 1 FROM graft.lineitem
+        |  AND EXISTS (SELECT 1 FROM $db.lineitem
         |              WHERE l_orderkey = o_orderkey)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }

@@ -34,6 +34,45 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopKByScore reduce/merge equals full-sort take-k for any split") {
+    // the Aggregator contract Spark relies on: reducing rows into two
+    // separate buffers (any partitioning) and merging must equal sorting
+    // the whole input by (score desc, id asc) and taking k
+    val row = for {
+      id <- Gen.chooseNum(0L, 500L)
+      // coarse scores force ties so the id tie-break is actually exercised
+      s <- Gen.chooseNum(0, 20)
+    } yield (0L, id, s / 10.0)
+    val agg = new graft.functions.TopKByScore(10)
+    check(Prop.forAll(Gen.listOfN(60, row), Gen.chooseNum(0, 60)) {
+      (rows, cut) =>
+        val distinctRows = rows.distinctBy(_._2) // one score per id
+        val (l, r) = distinctRows.splitAt(math.min(cut, distinctRows.size))
+        val merged = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce),
+          r.foldLeft(agg.zero)(agg.reduce))
+        val expected = distinctRows.map(t => (t._3, t._2))
+          .sortBy { case (s, id) => (-s, id) }.take(10)
+        agg.finish(merged) == expected
+    })
+  }
+
+  test("TopKByScore merge is associative with zero as identity") {
+    val row = for {
+      id <- Gen.chooseNum(0L, 300L)
+      s <- Gen.chooseNum(0, 15)
+    } yield (0L, id, s / 5.0)
+    val agg = new graft.functions.TopKByScore(5)
+    check(Prop.forAll(Gen.listOfN(20, row), Gen.listOfN(20, row),
+        Gen.listOfN(20, row)) { (xs, ys, zs) =>
+      def buf(rs: List[(Long, Long, Double)]) =
+        rs.distinctBy(_._2).foldLeft(agg.zero)(agg.reduce)
+      val (a, b, c) = (buf(xs), buf(ys), buf(zs))
+      agg.merge(agg.merge(a, b), c) == agg.merge(a, agg.merge(b, c)) &&
+        agg.merge(a, agg.zero) == a && agg.merge(agg.zero, a) == a
+    })
+  }
+
   test("GARCH NLL is finite and penalizes infeasible parameters") {
     val r = Gen.listOfN(60, Gen.chooseNum(-5.0, 5.0))
     check(Prop.forAll(r) { xs =>
