@@ -79,7 +79,9 @@ object Maintenance {
   /** Optimistically commit an append: stage the write OUTSIDE the lock
     * (the Spark job), then under the lock move the staged files into the
     * table with version-unique names and advance the version. Returns the
-    * committed version.
+    * committed version. The lock timeout is generous because a rewrite's
+    * final (lock-held) attempt may legitimately hold the lock for the
+    * duration of a full compaction job.
     */
   def commitAppend(spark: SparkSession, tablePath: String,
       df: DataFrame): Long = {
@@ -87,7 +89,10 @@ object Maintenance {
     df.write.mode(SaveMode.Overwrite).parquet(stage)
     val parts = listDataFiles(new java.io.File(stage))
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    try withCommitLock(tablePath) {
+    try withCommitLock(tablePath, timeoutMs = 600000L) {
+      // first commit to a fresh table: the target dir must exist before
+      // files can be renamed into it
+      Files.createDirectories(Paths.get(tablePath))
       val v = readVersion(tablePath) + 1
       parts.zipWithIndex.foreach { case (f, i) =>
         Files.move(f.toPath,

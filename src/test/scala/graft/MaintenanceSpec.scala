@@ -174,6 +174,17 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.parquetFileCount(p) <= 2)
   }
 
+  test("commitAppend bootstraps a fresh table (no pre-existing directory)") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-occ-new-${UUID.randomUUID()}/t").getAbsolutePath
+    assert(!new java.io.File(p).exists())
+    val v1 = Maintenance.commitAppend(spark, p, spark.range(0, 5).toDF("id"))
+    val v2 = Maintenance.commitAppend(spark, p, spark.range(5, 9).toDF("id"))
+    assert(v1 == 1L && v2 == 2L)
+    assert(spark.read.parquet(p).count() == 9)
+    assert(Maintenance.readVersion(p) == 2L)
+  }
+
   test("maybeCompact is idempotent per commit count") {
     val p = freshTable()
     val bars = Tables.t(spark, sfSmoke, "events")
