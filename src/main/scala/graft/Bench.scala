@@ -80,12 +80,15 @@ object Bench {
       var reps = 1
       var stable = false
       // a failed first rep is final (retrying would mask flakiness); a
-      // failure AFTER a success keeps the successful measurement
+      // failure AFTER a success keeps the successful measurement.
+      // Stable = the latest rep and the running minimum agree within 15 %
+      // — a big drop (cold-JVM rep 1 → warm rep 2) therefore takes one
+      // more rep to confirm the floor rather than stopping on it blindly
       while (outcome.isRight && !stable && reps < maxReps) {
         val (w, c, o) = timedRep(fn)
         reps += 1
         if (o.isRight) {
-          stable = w <= bestWall * 1.15
+          stable = math.max(w, bestWall) <= math.min(w, bestWall) * 1.15
           if (w < bestWall) { bestWall = w; bestCpu = c }
         } else stable = true
       }
