@@ -58,19 +58,32 @@ object Maintenance {
   /** Run `body` holding the table's commit lock (sibling file, OUTSIDE the
     * table root so a directory swap never moves its own mutex).
     * `Files.createFile` is the atomic create-if-absent CAS.
+    *
+    * Crash recovery: a holder that dies between create and delete would
+    * wedge the table forever, so a lock whose mtime is older than
+    * `staleLockMs` is treated as orphaned and broken (with a warning).
+    * The default 15 min exceeds any legitimate critical section — renames
+    * take milliseconds and even a lock-held final rewrite is bounded by
+    * the appender timeout.
     */
-  def withCommitLock[T](tablePath: String, timeoutMs: Long = 60000L)
-      (body: => T): T = {
+  def withCommitLock[T](tablePath: String, timeoutMs: Long = 60000L,
+      staleLockMs: Long = 900000L)(body: => T): T = {
     val lock = Paths.get(tablePath + "__graft_lock")
     val t0 = System.currentTimeMillis()
     var acquired = false
     while (!acquired) {
       try { Files.createFile(lock); acquired = true }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
-        if (System.currentTimeMillis() - t0 > timeoutMs)
+        val lf = lock.toFile
+        if (lf.exists() &&
+            System.currentTimeMillis() - lf.lastModified() > staleLockMs) {
+          System.err.println(s"[graft] WARN: breaking stale commit lock " +
+            s"$lock (older than ${staleLockMs} ms — crashed holder)")
+          Files.deleteIfExists(lock)
+        } else if (System.currentTimeMillis() - t0 > timeoutMs)
           throw new IllegalStateException(
             s"could not acquire commit lock $lock within ${timeoutMs} ms")
-        Thread.sleep(5)
+        else Thread.sleep(5)
       }
     }
     try body finally Files.deleteIfExists(lock)
@@ -94,10 +107,26 @@ object Maintenance {
       // files can be renamed into it
       Files.createDirectories(Paths.get(tablePath))
       val v = readVersion(tablePath) + 1
-      parts.zipWithIndex.foreach { case (f, i) =>
-        Files.move(f.toPath,
-          Paths.get(tablePath, f"append_v${v}%06d_p$i%04d.parquet"),
-          StandardCopyOption.ATOMIC_MOVE)
+      val committed = parts.zipWithIndex.map { case (f, i) =>
+        val dest = Paths.get(tablePath, f"append_v${v}%06d_p$i%04d.parquet")
+        Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+        dest
+      }
+      // vacuum safety, both guards: the rename preserved the STAGING
+      // mtime, which can predate a rewrite's registry snapshot taken
+      // while this appender queued on the lock — such files would look
+      // like pre-registry orphans. Stamp commit time and register them
+      // as live (when a registry exists) so neither vacuum guard can
+      // ever read a committed append as an orphan.
+      val now = System.currentTimeMillis()
+      committed.foreach(_.toFile.setLastModified(now))
+      val reg = Paths.get(liveFilesPath(tablePath))
+      if (Files.exists(reg)) {
+        val root = Paths.get(tablePath)
+        Files.writeString(reg,
+          committed.map(p => root.relativize(p).toString)
+            .mkString("", "\n", "\n"),
+          java.nio.file.StandardOpenOption.APPEND)
       }
       writeVersion(tablePath, v)
       v
@@ -182,18 +211,23 @@ object Maintenance {
       targetFiles: Int): Boolean = {
     val m = new java.io.File(manifestPath(path))
     if (!m.exists()) return false
-    val n = Files.readString(m.toPath).linesIterator.count(_.nonEmpty)
-    // idempotent per commit count: a retried/double call after the Nth
-    // commit must not re-run the full rewrite — the commit count of the
-    // last compaction is recorded next to the manifest
-    val lastP = Paths.get(s"$path/_graft_log/last_compacted")
-    val last =
-      if (Files.exists(lastP)) Files.readString(lastP).trim.toLong else 0L
-    if (n > 0 && n % everyN == 0 && n > last) {
-      compact(spark, path, targetFiles)
-      Files.writeString(lastP, n.toString)
-      true
-    } else false
+    // idempotent per commit count, including CONCURRENT double calls:
+    // the check-and-claim of last_compacted runs under the commit lock
+    // (claim first, then compact released — compact re-takes the lock
+    // internally, and the lock is not reentrant), so two callers at the
+    // same commit count can never both pass the n > last gate
+    val claimed = withCommitLock(path) {
+      val n = Files.readString(m.toPath).linesIterator.count(_.nonEmpty)
+      val lastP = Paths.get(s"$path/_graft_log/last_compacted")
+      val last =
+        if (Files.exists(lastP)) Files.readString(lastP).trim.toLong else 0L
+      if (n > 0 && n % everyN == 0 && n > last) {
+        Files.writeString(lastP, n.toString)
+        true
+      } else false
+    }
+    if (claimed) compact(spark, path, targetFiles)
+    claimed
   }
 
   /** Append a commit record (JSON line) to the table's manifest. */
@@ -322,8 +356,6 @@ object Maintenance {
     Option(new java.io.File(path).listFiles())
       .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.util.Fs.deleteRecursively(f)
 }

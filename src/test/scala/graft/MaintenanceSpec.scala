@@ -174,6 +174,38 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.parquetFileCount(p) <= 2)
   }
 
+  test("vacuum never reclaims a committed append, even with a stale mtime") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-occ-vac-${UUID.randomUUID()}/t").getAbsolutePath
+    spark.range(0, 100).toDF("id").write.parquet(p)
+    Maintenance.recordLiveFiles(p)
+    Maintenance.commitAppend(spark, p, spark.range(100, 110).toDF("id"))
+    // adversarial: force the appended files to LOOK older than the
+    // registry snapshot (the shape of an appender that queued on the
+    // lock behind a rewrite) — registration must protect them anyway
+    val reg = new java.io.File(Maintenance.liveFilesPath(p))
+    new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("append_"))
+      .foreach(f => assert(f.setLastModified(reg.lastModified() - 120000L)))
+    assert(Maintenance.vacuum(p, java.lang.Long.MAX_VALUE) == 0,
+      "a committed append must never be vacuum-eligible")
+    assert(spark.read.parquet(p).count() == 110)
+  }
+
+  test("a stale commit lock from a crashed holder is broken, not fatal") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-occ-lock-${UUID.randomUUID()}/t").getAbsolutePath
+    new java.io.File(p).mkdirs()
+    val lock = new java.io.File(p + "__graft_lock")
+    java.nio.file.Files.writeString(lock.toPath, "")
+    assert(lock.setLastModified(System.currentTimeMillis() - 3600000L))
+    // an hour-old lock is a crashed holder: acquisition must break it
+    // within the 5 s budget instead of timing out
+    val got = Maintenance.withCommitLock(p, timeoutMs = 5000L) { 42 }
+    assert(got == 42)
+    assert(!lock.exists(), "lock must be released after the body")
+  }
+
   test("commitAppend bootstraps a fresh table (no pre-existing directory)") {
     val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-occ-new-${UUID.randomUUID()}/t").getAbsolutePath
