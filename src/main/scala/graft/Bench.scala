@@ -55,13 +55,19 @@ object Bench {
     }
     val maxReps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val osBean = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // process CPU time is a HotSpot extension: fall back to 0 (rather
+    // than crash or emit negative values) where the platform bean does
+    // not support it (-1) or is not the com.sun.management variant
+    val cpuNanos: () => Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          () => math.max(0L, b.getProcessCpuTime)
+        case _ => () => 0L
+      }
     def timedRep(fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame)
         : (Double, Double, Either[String, Long]) = {
-      val c0 = osBean.getProcessCpuTime
+      val c0 = cpuNanos()
       val t0 = System.nanoTime()
       val outcome =
         try Right(fn(spark, sfDir).count())
@@ -72,7 +78,7 @@ object Bench {
                 .take(1).mkString.take(160))
         }
       ((System.nanoTime() - t0) / 1e9,
-        (osBean.getProcessCpuTime - c0) / 1e9, outcome)
+        math.max(0L, cpuNanos() - c0) / 1e9, outcome)
     }
     // (name, min wall sec, cpu sec of the min-wall rep, reps run, outcome)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

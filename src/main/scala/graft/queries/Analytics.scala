@@ -328,20 +328,15 @@ object Analytics {
       .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
     val mm = ev.agg(min(col("user_id")), max(col("user_id"))).first()
     val split = Math.floorDiv(mm.getLong(0) + mm.getLong(1), 2L)
-    // two spool files, low then high (name + mtime both order the replay)
-    def spoolFile(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
-      val tmp = s"$work/stage_$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(s"$work/spool/$name.parquet")
-      dest.getParentFile.mkdirs()
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(
-        ((System.currentTimeMillis() / 1000) * 1000) + mtimeOffsetMs)
-    }
-    spoolFile(ev.filter(col("user_id") < split), "aa-low", 0L)
-    spoolFile(ev.filter(col("user_id") >= split), "zz-high", 2000L)
+    // two spool files, low then high (name + mtime both order the replay;
+    // second-floored base keeps the ordering robust to mtime granularity)
+    val mtimeBase = (System.currentTimeMillis() / 1000) * 1000
+    graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+      ev.filter(col("user_id") < split), s"$work/spool/aa-low.parquet",
+      mtimeBase)
+    graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+      ev.filter(col("user_id") >= split), s"$work/spool/zz-high.parquet",
+      mtimeBase + 2000L)
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("cents", LongType)))
     val stream = s.readStream.schema(schema)
@@ -374,10 +369,15 @@ object Analytics {
       .outputMode("update")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        // trailing empty batches (timer polling) write nothing
-        if (!df.isEmpty)
-          df.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$work/out")
+        // persist before the emptiness probe: each action on a
+        // foreachBatch frame re-executes the stateful batch plan
+        df.persist()
+        try {
+          // trailing empty batches (timer polling) write nothing
+          if (!df.isEmpty)
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$work/out")
+        } finally df.unpersist()
       }
       .option("checkpointLocation", s"$work/_chk")
       .trigger(Trigger.ProcessingTime("50 milliseconds"))
@@ -389,10 +389,18 @@ object Analytics {
         .filter(col("expired")).select(col("user_id")).distinct().count()
       catch { case _: Throwable => 0L } // sink not materialized yet
     val deadline = System.currentTimeMillis() + 120000L
-    while (evicted() < nLow && System.currentTimeMillis() < deadline)
+    // a dead query can never evict — break instead of spinning blind
+    while (evicted() < nLow && q.exception.isEmpty
+        && System.currentTimeMillis() < deadline)
       Thread.sleep(100)
     q.stop()
-    q.awaitTermination()
+    q.awaitTermination() // surfaces the query's exception, if any
+    // the deadline path must fail loudly, not return rows whose expired
+    // flags silently disagree with the oracle
+    if (evicted() < nLow)
+      throw new IllegalStateException(
+        s"st_timeout_evict: only ${evicted()} of $nLow idle groups " +
+          "evicted before the deadline")
     graft.streaming.WorkDirs.materializeAndClean(
       s.read.parquet(s"$work/out")
         .groupBy(col("user_id"))

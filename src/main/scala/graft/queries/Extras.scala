@@ -24,12 +24,21 @@ object Extras {
   // query.sql DDL through Trino; here the same CREATE TABLE ... USING
   // parquet DDL runs through Catalyst, and the analytics query is issued
   // as SQL text — exercising the parse→analyze→optimize path).
+  private val warehouseCleanups = scala.collection.mutable.Set[String]()
+
   private def k6SqlDdl(s: SparkSession, dir: String): DataFrame = {
     // database scoped per session: two concurrent sessions must not race
     // each other's DROP/CREATE in a shared catalog namespace
     val db = "graft_" + Integer.toHexString(System.identityHashCode(s))
     val wh = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_warehouse_$db").getAbsolutePath
+    // per-session warehouse dirs must not accumulate across JVM runs —
+    // remove on exit (the catalog itself is in-memory per JVM)
+    synchronized {
+      if (warehouseCleanups.add(wh))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          graft.util.Fs.deleteRecursively(new java.io.File(wh))))
+    }
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$wh'")
     for (tbl <- Seq("orders", "lineitem")) {
       s.sql(s"DROP TABLE IF EXISTS $db.$tbl")
@@ -118,7 +127,23 @@ object Extras {
       val work = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-replay-fixture-${Integer.toHexString(dir.hashCode)}")
         .getAbsolutePath
-      // a leftover tree from a previous process may be half-written — rebuild
+      // cross-PROCESS safe: the build runs under the fixture's commit
+      // lock, and a completed build leaves a marker written last — a
+      // second JVM reuses the finished fixture instead of deleting it
+      // out from under a concurrent reader; only an unmarked (crashed,
+      // half-written) tree is rebuilt
+      graft.operators.Maintenance.withCommitLock(work, timeoutMs = 600000L) {
+        val ready = new java.io.File(work, "_FIXTURE_READY")
+        if (!ready.exists()) {
+          buildReplayFixture(s, dir, work)
+          java.nio.file.Files.writeString(ready.toPath, "ok\n")
+        }
+      }
+      work
+    }) }
+
+  private def buildReplayFixture(s: SparkSession, dir: String,
+      work: String): Unit = {
       graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
       val raw = t(s, dir, "events")
         .select(col("ts"), col("event_type"), col("value"))
@@ -146,16 +171,11 @@ object Extras {
             StructField("ts", TimestampType),
             StructField("event_type", StringType),
             StructField("value", DoubleType))))
-        val tmp = s"$work/sentinel_$i"
-        sdf.coalesce(1).write.parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(s"$work/spool/zz-sentinel-$i.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified(System.currentTimeMillis() + 3600000L + i * 1000L)
+        EventTimeOrderedSpool.spoolSingleFile(sdf,
+          s"$work/spool/zz-sentinel-$i.parquet",
+          System.currentTimeMillis() + 3600000L + i * 1000L)
       }
-      work
-    }) }
+  }
 
   private def s2OrderedReplay(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -39,6 +39,25 @@ object EventTimeOrderedSpool {
     }
   }
 
+  /** Write `df` as exactly ONE parquet file at `destPath` with the given
+    * mtime — the single-slice spool primitive shared by the sentinel
+    * injection (Extras) and the split-replay fixtures (Analytics). The
+    * mtime matters: the file source replays in (mtime, path) order, so
+    * the caller controls replay position through it.
+    */
+  def spoolSingleFile(df: DataFrame, destPath: String, mtimeMs: Long): Unit = {
+    val tmp = destPath + "__stage"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(destPath)
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.setLastModified(mtimeMs)
+    graft.util.Fs.deleteRecursively(new java.io.File(tmp))
+  }
+
   /** Open the spooled directory as an ordered stream. `filesPerTrigger`
     * contiguous time slices replay per micro-batch: the watermark only
     * needs slice boundaries ordered ACROSS batches, not within one, so

@@ -21,8 +21,6 @@ object WorkDirs {
     out
   }
 
-  def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  def deleteRecursively(f: java.io.File): Unit =
+    graft.util.Fs.deleteRecursively(f)
 }
