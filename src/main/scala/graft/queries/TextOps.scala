@@ -184,8 +184,12 @@ object TextOps {
   // O(df²) candidate blowup while carrying no plagiarism signal, so they
   // are dropped from BOTH the join and the per-doc denominators (the
   // overlap coefficient is computed over the filtered universe,
-  // consistently). Rows-only (xxhash64 fingerprints are engine-specific);
-  // recall vs the exact n-gram Jaccard pairs asserted in ScaleOpsSpec.
+  // consistently). Consequence worth knowing: a duplicate CLUSTER wider
+  // than maxDf shares only above-cap fingerprints and reports no pairs —
+  // by design, since mass duplication is the dedup family's job
+  // (dd_exact / dd_dedup_keep), not a plagiarism report. Rows-only
+  // (xxhash64 fingerprints are engine-specific); recall vs the exact
+  // n-gram Jaccard pairs asserted in ScaleOpsSpec.
   /** Exposed with knobs so specs can vary the threshold and df cap. */
   def winnowPairs(s: SparkSession, dir: String, tau: Double = 0.5,
       maxDf: Int = 50): DataFrame = {
