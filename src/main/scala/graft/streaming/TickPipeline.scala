@@ -104,8 +104,15 @@ object TickPipeline {
       .select(col("event_type"), col("window.start").as("window_start"),
         col("average_1minute"), col("price"), col("n_ticks"))
 
+    // every bronze append is an optimistic versioned commit: the table
+    // gains a _graft_log version history, and maintenance (compact /
+    // vacuum) can run concurrently with the stream without ever dropping
+    // a mid-rewrite append — the engine's own flagship sink exercises the
+    // same protocol it exposes. (The per-type concurrent sinks below stay
+    // direct appends: their lock/stage siblings would sit inside the
+    // partition-discovery root.)
     val writeBatch: (Dataset[Row], Long) => Unit = (df, _) =>
-      df.write.mode("append").parquet(bronzeDir(cfg))
+      graft.operators.Maintenance.commitAppend(spark, bronzeDir(cfg), df.toDF())
 
     val q = bars.writeStream
       .outputMode("update")

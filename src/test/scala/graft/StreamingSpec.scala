@@ -87,6 +87,10 @@ class StreamingSpec extends AnyFunSuite {
     // one fact row per bronze bar (all 5 types have a prev-day close)
     val bronzeRows = spark.read.parquet(TickPipeline.bronzeDir(cfg)).count()
     assert(fact.count() == bronzeRows)
+    // bronze appends went through the optimistic commit protocol: one
+    // version per micro-batch commit
+    assert(graft.operators.Maintenance.readVersion(
+      TickPipeline.bronzeDir(cfg)) >= 1L)
     // physical layout: coin_id=N partition dirs exist
     val dirs = new java.io.File(TickPipeline.factDir(cfg))
       .listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("coin_id="))
