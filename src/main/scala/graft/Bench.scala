@@ -16,6 +16,21 @@ import org.apache.spark.sql.SparkSession
   * recorded per query alongside wall time: on a contended host wall
   * inflates while this JVM's CPU does not, so cpu≪wall with many reps is
   * the contention signature readers can check.
+  *
+  * Two output surfaces with different size constraints:
+  *   - stdout: ONE compact line (2-dp walls, numeric sf, no cpu/reps/rows
+  *     maps) printed after `spark.stop()` as the process's final output.
+  *     The harness that records this run keeps only a bounded tail of the
+  *     log, so the line must stay small enough to survive whole inside it
+  *     with sbt's own epilogue — an adaptive 1-dp fallback caps it.
+  *   - target/bench.json: the full-fidelity record (full-precision walls,
+  *     per-query cpu seconds, rep counts, row counts, error messages).
+  *
+  * Reps also respect a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`,
+  * default 900): once the run has spent the budget, remaining queries get
+  * a single rep. On an idle host the full 3-rep sweep finishes well under
+  * it; on a badly contended host the budget bounds the run instead of
+  * letting rep inflation triple an already-inflated sweep.
   */
 object Bench {
 
@@ -55,6 +70,10 @@ object Bench {
     }
     val maxReps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    val benchStart = System.nanoTime()
+    def overBudget(): Boolean = (System.nanoTime() - benchStart) / 1e9 > budgetSec
     // process CPU time is a HotSpot extension: fall back to 0 (rather
     // than crash or emit negative values) where the platform bean does
     // not support it (-1) or is not the com.sun.management variant
@@ -90,7 +109,7 @@ object Bench {
       // Stable = the latest rep and the running minimum agree within 15 %
       // — a big drop (cold-JVM rep 1 → warm rep 2) therefore takes one
       // more rep to confirm the floor rather than stopping on it blindly
-      while (outcome.isRight && !stable && reps < maxReps) {
+      while (outcome.isRight && !stable && reps < maxReps && !overBudget()) {
         val (w, c, o) = timedRep(fn)
         reps += 1
         if (o.isRight) {
@@ -100,29 +119,49 @@ object Bench {
       }
       (name, bestWall, bestCpu, reps, outcome)
     }
-    val qs = results.map { case (k, w, _, _, _) => s"\"$k\":$w" }
-      .mkString("{", ",", "}")
-    val cpu = results.map { case (k, _, c, _, _) => s"\"$k\":$c" }
-      .mkString("{", ",", "}")
-    val reps = results.map { case (k, _, _, r, _) => s"\"$k\":$r" }
-      .mkString("{", ",", "}")
-    val rows = results.map { case (k, _, _, _, o) =>
-      s"\"$k\":${o.getOrElse(-1L)}"
-    }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, _, Left(m)) =>
-      s"\"$k\":${jsonStr(m)}"
-    }.mkString("{", ",", "}")
+    // locale-proof decimal formatting (some locales print "1,23")
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     // failed queries are excluded from the headline total — a crash's
     // partial wall time must never make the aggregate look faster
     val total = results.collect { case (_, t, _, _, Right(_)) => t }.sum
     val cpuTotal = results.collect { case (_, _, c, _, Right(_)) => c }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"queries":$qs,"cpu":$cpu,"reps":$reps,"rows":$rows,"errors":$errors,"failed":${results.count(_._5.isLeft)},"sf":"$sfDir"}"""
-    println(line)
-    // stdout gets truncated by log tails — persist the full line too
+    val failed = results.count(_._5.isLeft)
+    // numeric scale factor when the dir follows the sfX.Y convention; the
+    // raw path otherwise (both are valid JSON values for the "sf" key)
+    val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse(jsonStr(sfDir))
+    val errors = results.collect { case (k, _, _, _, Left(m)) =>
+      s"\"$k\":${jsonStr(m)}"
+    }.mkString("{", ",", "}")
+    // full-fidelity record: full-precision walls + cpu/reps/rows maps
+    val fullLine = {
+      def m(f: ((String, Double, Double, Int, Either[String, Long])) => String) =
+        results.map(f).mkString("{", ",", "}")
+      val qs = m { case (k, w, _, _, _) => s"\"$k\":$w" }
+      val cpu = m { case (k, _, c, _, _) => s"\"$k\":$c" }
+      val reps = m { case (k, _, _, r, _) => s"\"$k\":$r" }
+      val rows = m { case (k, _, _, _, o) => s"\"$k\":${o.getOrElse(-1L)}" }
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"queries":$qs,"cpu":$cpu,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
+    }
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.writeString(out, line + "\n")
+    java.nio.file.Files.writeString(out, fullLine + "\n")
+    // compact stdout line: must fit, whole, inside a ~2000-char log tail
+    // together with sbt's "[success] Total time: ..." epilogue. 2-dp walls
+    // normally suffice; fall back to 1 dp if the query list has grown.
+    def compactLine(dp: Int): String = {
+      val qs = results.map { case (k, w, _, _, _) => s"\"$k\":${fmt(w, dp)}" }
+        .mkString("{", ",", "}")
+      val err = if (failed == 0) "" else s""","errors":$errors"""
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs$err,"failed":$failed,"sf":$sfJson}"""
+    }
+    val line = Seq(2, 1).map(compactLine).find(_.length <= 1850)
+      .getOrElse(compactLine(1))
     spark.stop()
-    if (results.exists(_._5.isLeft)) sys.exit(1)
+    // printed AFTER spark.stop() so the line is this process's final
+    // stdout — nothing can land between it and the end of the log
+    println(line)
+    if (failed > 0) sys.exit(1)
   }
 }
