@@ -99,8 +99,13 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9,
         math.max(0L, cpuNanos() - c0) / 1e9, outcome)
     }
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // (name, min wall sec, cpu sec of the min-wall rep, reps run, outcome)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var (bestWall, bestCpu, outcome) = timedRep(fn)
       var reps = 1
       var stable = false

@@ -111,7 +111,9 @@ object Analytics {
   // within the following 2 hours, both sides watermarked. Runs as a real
   // two-source streaming query; oracle is the equivalent batch interval
   // join.
-  private def ssStreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+  private def ssStreamStreamJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -168,7 +170,9 @@ object Analytics {
   // one row per (user, minute). Only the KEY SET is deterministic (which
   // physical row survives depends on shuffle arrival order), so the query
   // projects the keys — exactly what a dedup pipeline keys on.
-  private def stDropdupStream(s: SparkSession, dir: String): DataFrame = {
+  private def stDropdupStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -220,7 +224,9 @@ object Analytics {
     *                           streaming_pipeline.py:41-48)
     */
   def mapGroupsProfiles(s: SparkSession, basePath: String, glob: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(glob)) {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
     import org.apache.spark.sql.types._
     import s.implicits._
@@ -318,7 +324,9 @@ object Analytics {
   // low users surface their eviction row, high users their final update
   // row — which the DuckDB oracle reproduces as a plain grouped aggregate
   // + a user_id<split flag.
-  private def stTimeoutEvict(s: SparkSession, dir: String): DataFrame = {
+  private def stTimeoutEvict(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
     import org.apache.spark.sql.types._
     import s.implicits._
@@ -365,6 +373,15 @@ object Analytics {
       .mapGroupsWithState[(Long, Long), (Long, Long, Double, Boolean)](
         GroupStateTimeout.ProcessingTimeTimeout)(update)
       .toDF("user_id", "n_events", "total_value", "expired")
+    // driver-side eviction ledger: foreachBatch records which users'
+    // eviction rows it has COMMITTED, so the wait loop below is a pure
+    // memory read — polling the sink with a read-parquet→distinct→count
+    // job every 100 ms was itself a stream of Spark jobs that dominated
+    // this query's wall time (the data is 5 groups; the harness was the
+    // cost). The set is only ever read after the matching parquet append
+    // returns, so "in the set" implies "on disk".
+    val evictedUsers =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val q = profiles.writeStream
       .outputMode("update")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[
@@ -374,9 +391,13 @@ object Analytics {
         df.persist()
         try {
           // trailing empty batches (timer polling) write nothing
-          if (!df.isEmpty)
+          if (!df.isEmpty) {
             df.withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(s"$work/out")
+            // rows are on disk — now (and only now) expose the evictions
+            df.filter(col("expired")).select(col("user_id"))
+              .collect().foreach(r => evictedUsers.add(r.getLong(0)))
+          }
         } finally df.unpersist()
       }
       .option("checkpointLocation", s"$work/_chk")
@@ -384,23 +405,19 @@ object Analytics {
       .start()
     val nLow = ev.filter(col("user_id") < split)
       .select(col("user_id")).distinct().count()
-    def evicted(): Long =
-      try s.read.parquet(s"$work/out")
-        .filter(col("expired")).select(col("user_id")).distinct().count()
-      catch { case _: Throwable => 0L } // sink not materialized yet
     val deadline = System.currentTimeMillis() + 120000L
     // a dead query can never evict — break instead of spinning blind
-    while (evicted() < nLow && q.exception.isEmpty
+    while (evictedUsers.size() < nLow && q.exception.isEmpty
         && System.currentTimeMillis() < deadline)
-      Thread.sleep(100)
+      Thread.sleep(50)
     q.stop()
     q.awaitTermination() // surfaces the query's exception, if any
     // the deadline path must fail loudly, not return rows whose expired
     // flags silently disagree with the oracle
-    if (evicted() < nLow)
+    if (evictedUsers.size() < nLow)
       throw new IllegalStateException(
-        s"st_timeout_evict: only ${evicted()} of $nLow idle groups " +
-          "evicted before the deadline")
+        s"st_timeout_evict: only ${evictedUsers.size()} of $nLow idle " +
+          "groups evicted before the deadline")
     graft.streaming.WorkDirs.materializeAndClean(
       s.read.parquet(s"$work/out")
         .groupBy(col("user_id"))

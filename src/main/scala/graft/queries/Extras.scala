@@ -180,6 +180,8 @@ object Extras {
   private def s2OrderedReplay(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fixture = ensureReplayFixture(s, dir)
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.dirBytes(s"$fixture/spool")) {
     // only the per-run streaming state (sink + checkpoint) is scratch
     val work = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-replay-${UUID.randomUUID()}").getAbsolutePath
@@ -204,6 +206,7 @@ object Extras {
         .filter(col("event_type") =!= "zz_sentinel")
         .unionByName(s.read.parquet(s"$fixture/backfill"))
         .orderBy(col("event_type"), col("window_start")), work)
+    }
   }
 
   private val s2OrderedReplaySql =

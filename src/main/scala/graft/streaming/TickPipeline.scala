@@ -82,7 +82,9 @@ object TickPipeline {
     * touches it — the reference's "latest bar so far" semantics; the
     * batch-append sink keeps every emission (bronze holds bar versions).
     */
-  def runBronzeHop(spark: SparkSession, cfg: Config): Unit = {
+  def runBronzeHop(spark: SparkSession, cfg: Config): Unit =
+    StateTuning.withStatePartitions(spark,
+        StateTuning.globBytes(s"${cfg.sfDir}/events*.parquet")) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ticks = spark.readStream
       .schema(eventsRawSchema)
@@ -141,7 +143,9 @@ object TickPipeline {
   }
 
   /** Hop 2: bronze stream → enriched fact (reference: etl.py:53-78). */
-  def runFactHop(spark: SparkSession, cfg: Config): Unit = {
+  def runFactHop(spark: SparkSession, cfg: Config): Unit =
+    StateTuning.withStatePartitions(spark,
+        StateTuning.dirBytes(bronzeDir(cfg))) {
     val dim = dimWithPrevClose(spark, cfg)
     val ws = col("window_start")
     val fact = spark.readStream
@@ -193,7 +197,9 @@ object TickPipeline {
     * [[bronzeTypeDir]] so concurrent commits never share `_temporary`.
     */
   def runConcurrentBronze(spark: SparkSession, cfg: Config,
-      types: Seq[String]): Unit = {
+      types: Seq[String]): Unit =
+    StateTuning.withStatePartitions(spark,
+        StateTuning.globBytes(s"${cfg.sfDir}/events*.parquet")) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "streaming")
     val queries = types.map { et =>
