@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Analytics, DedupOps, Dimensions, Extras, MultimodalOps,
-  Relational, SimilarityOps, Sources, StreamingQueries, TextOps, TimeSeries}
+  Relational, SimilarityOps, Sources, StreamingQueries, TextOps, TimeSeries,
+  TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +23,7 @@ object SparkEntry {
     (StreamingQueries.queries, StreamingQueries.oracle),
     (TimeSeries.queries, TimeSeries.oracle),
     (TextOps.queries, TextOps.oracle),
+    (TrainingOps.queries, TrainingOps.oracle),
     (DedupOps.queries, DedupOps.oracle),
     (SimilarityOps.queries, SimilarityOps.oracle),
     (MultimodalOps.queries, MultimodalOps.oracle),

@@ -4,7 +4,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
-import graft.queries.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.queries.{DedupOps, MultimodalOps, SimilarityOps, TextOps,
+  TrainingOps}
 import graft.multimodal.Media
 
 class ScaleOpsSpec extends AnyFunSuite {
@@ -368,5 +369,56 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(idxs.forall(_ % 2 == 0))
     assert(rows.forall(r =>
       r.getAs[Long]("byte_offset") == r.getAs[Long]("frame_idx") * 100))
+  }
+
+  // ---- training-data curation -----------------------------------------
+
+  test("pack manifest: offsets bounded, bins start at 0 and never regress") {
+    val rows = TrainingOps.queries("tx_pack")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val off = r.getAs[Long]("bin_offset")
+      off >= 0 && off < 2048
+    })
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val byDoc = rs.sortBy(_.getAs[Long]("doc_id"))
+      assert(byDoc.head.getAs[Long]("bin_id") == 0L,
+        s"shard $shard must start at bin 0")
+      // cum_before is a prefix sum, so bin ids are monotone within a shard
+      val bins = byDoc.map(_.getAs[Long]("bin_id"))
+      assert(bins.zip(bins.tail).forall { case (a, b) => b >= a },
+        s"bin ids regress in shard $shard")
+    }
+  }
+
+  test("stratified sample: hash-deterministic, rates respected, en downsampled") {
+    val q = TrainingOps.queries("tx_sample")
+    val a = q(spark, sfSmoke).collect()
+    val b = q(spark, sfSmoke).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "same input must yield the identical sample")
+    assert(a.forall { r =>
+      val cap = if (r.getAs[String]("lang") == "en") 25L else 80L
+      r.getAs[Long]("bucket") < cap
+    })
+    val total = Tables.t(spark, sfSmoke, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    // en is downsampled 25%, the rest kept at 80% — the kept FRACTION of
+    // en must land well below the others (binomial noise stays far from
+    // crossing at these fixture sizes)
+    val enFrac = kept("en").toDouble / total("en")
+    assert(total.keys.filter(_ != "en").forall { l =>
+      enFrac < kept(l).toDouble / total(l)
+    }, s"en kept fraction $enFrac should be the smallest")
+  }
+
+  test("normalization is a fixpoint: applying it twice changes nothing") {
+    val once = TrainingOps.queries("tx_normalize")(spark, sfSmoke)
+    val drift = once
+      .withColumn("again", TrainingOps.normalizeText(col("norm_text")))
+      .filter(col("again") =!= col("norm_text"))
+    assert(drift.count() == 0)
   }
 }
