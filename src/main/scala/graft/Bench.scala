@@ -102,6 +102,7 @@ object Bench {
     // dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank var = no filter, not "run nothing"
     // (name, min wall sec, cpu sec of the min-wall rep, reps run, outcome)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
