@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 
-import graft.queries.{Relational, SimilarityOps}
+import graft.queries.{Relational, SimilarityOps, TrainingOps}
 
 /** Physical-plan assertions — the 100-TB design contract (SURVEY §4):
   * filters and projections must reach the parquet scan, small dimensions
@@ -127,5 +127,46 @@ class PlanSpec extends AnyFunSuite {
     val probes = graft.operators.Ivf.probeCells(q, cents, "query_id", "qv", 2)(
       SimilarityOps.cosineComposed)
     assert(!planOf(probes).contains("Window"))
+  }
+
+  test("tx_pack: the packing window partitions by shard (never global)") {
+    val plan = planOf(TrainingOps.queries("tx_pack")(spark, sfSmoke))
+    // the cumulative sum must run under a hash exchange on the shard key —
+    // a global (unpartitioned) window would serialize the whole corpus
+    // through one task at scale
+    assert(plan.contains("hashpartitioning(shard"), plan.take(3000))
+  }
+
+  test("tx_sample: scan reads only the manifest columns, never the text") {
+    val plan = planOf(TrainingOps.queries("tx_sample")(spark, sfSmoke))
+    assert(plan.contains("struct<doc_id:bigint,lang:string,source:string>"),
+      plan.take(3000))
+  }
+
+  test("partitioned fact + filtered dim join prunes partitions dynamically") {
+    import spark.implicits._
+    // partition-pruning is the partitioned-sink payoff (the k2 fact table
+    // partitions by coin_id for exactly this): a selective dim filter must
+    // reach the fact scan as a runtime partition predicate, not an
+    // after-scan filter — at 100 TB that is the difference between
+    // reading one partition and reading the table
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-dpp-fixture").getAbsolutePath
+    if (!new java.io.File(s"$dir/fact/_SUCCESS").exists()) {
+      (0L until 1000L).map(i => (i, i % 10)).toDF("v", "pk")
+        .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/fact")
+      // dim must be file-backed: a literal LocalRelation would constant-
+      // fold its filter away and leave no selective predicate for the
+      // pruning rule to key on
+      Seq((1L, "keep"), (2L, "drop")).toDF("pk", "name")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+    }
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+      .filter(org.apache.spark.sql.functions.col("name") === "keep")
+    val joined = fact.join(dim, "pk")
+    assert(joined.count() == 100)
+    val plan = planOf(joined).toLowerCase
+    assert(plan.contains("dynamicpruning"), planOf(joined).take(3000))
   }
 }
