@@ -89,6 +89,56 @@ object Maintenance {
     try body finally Files.deleteIfExists(lock)
   }
 
+  // ---------------------------------------------------------------------
+  // Time travel: every commit records its file snapshot under
+  // `_graft_log/snapshots/v{N}.txt`, and [[readAsOf]] reads the table as
+  // of any recorded version — the engine analogue of Delta's
+  // `VERSION AS OF` (the reference reads Delta history in its latency
+  // notebooks; TimeDelay.ipynb cell 0). History retention follows the
+  // storage, honestly: appends only ever ADD files, so every append-era
+  // version stays readable; a rewrite (compact/cluster) physically
+  // replaces the data files, so versions before the rewrite become
+  // unavailable and readAsOf fails LOUDLY naming the reclaimed files —
+  // the same observable behavior as Delta time travel after VACUUM.
+  // Snapshots are incremental (previous snapshot + the commit's files),
+  // so commit metadata cost is O(new files), not O(table).
+
+  def snapshotPath(tablePath: String, version: Long): String =
+    f"$tablePath/_graft_log/snapshots/v$version%06d.txt"
+
+  private def writeSnapshot(tablePath: String, version: Long,
+      files: Seq[String]): Unit = {
+    val p = Paths.get(snapshotPath(tablePath, version))
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, files.sorted.mkString("", "\n", "\n"))
+  }
+
+  private def readSnapshot(tablePath: String, version: Long): Option[Seq[String]] = {
+    val p = Paths.get(snapshotPath(tablePath, version))
+    if (Files.exists(p))
+      Some(Files.readString(p).linesIterator.filter(_.nonEmpty).toSeq)
+    else None
+  }
+
+  /** Read the table as of `version`. Fails loudly when the version was
+    * never snapshotted (pre-protocol history) or its files were reclaimed
+    * by a later rewrite/vacuum.
+    */
+  def readAsOf(spark: SparkSession, tablePath: String,
+      version: Long): DataFrame = {
+    val files = readSnapshot(tablePath, version).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot for version $version of $tablePath " +
+          s"(table is at version ${readVersion(tablePath)})"))
+    val missing = files.filterNot(f => Files.exists(Paths.get(tablePath, f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"version $version of $tablePath is no longer readable: " +
+          s"${missing.size} of its files were reclaimed by a rewrite or " +
+          s"vacuum (first missing: ${missing.head})")
+    spark.read.parquet(files.map(f => s"$tablePath/$f"): _*)
+  }
+
   /** Optimistically commit an append: stage the write OUTSIDE the lock
     * (the Spark job), then under the lock move the staged files into the
     * table with version-unique names and advance the version. Returns the
@@ -128,6 +178,18 @@ object Maintenance {
             .mkString("", "\n", "\n"),
           java.nio.file.StandardOpenOption.APPEND)
       }
+      // snapshot = previous version's snapshot + this commit's files;
+      // a bootstrapped table (files predating the protocol) snapshots its
+      // full current listing so v1 time-travels to the bootstrap state
+      val committedRel = committed
+        .map(p => Paths.get(tablePath).relativize(p).toString)
+      val prev = readSnapshot(tablePath, v - 1).getOrElse {
+        val root = Paths.get(tablePath)
+        listDataFiles(new java.io.File(tablePath))
+          .map(f => root.relativize(f.toPath).toString)
+          .filterNot(committedRel.contains)
+      }
+      writeSnapshot(tablePath, v, prev ++ committedRel)
       writeVersion(tablePath, v)
       v
     } finally deleteRecursively(new java.io.File(stage))
@@ -195,7 +257,15 @@ object Maintenance {
     if (Files.exists(oldLog))
       Files.move(oldLog, Paths.get(path, "_graft_log"))
     deleteRecursively(new java.io.File(old))
-    writeVersion(path, readVersion(path) + 1)
+    val v = readVersion(path) + 1
+    // the rewrite replaced every data file: snapshot the new listing for
+    // this version — older snapshots stay on disk but their files are
+    // gone, so readAsOf on them now fails with the reclaimed-files error
+    val root = Paths.get(path)
+    writeSnapshot(path, v,
+      listDataFiles(new java.io.File(path))
+        .map(f => root.relativize(f.toPath).toString))
+    writeVersion(path, v)
     recordLiveFiles(path)
   }
 

@@ -317,7 +317,45 @@ object Extras {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  // ---------------------------------------------------------------------
+  // K8: time-travel reads on the engine's own commit protocol — the Delta
+  // `VERSION AS OF` behavior the reference inherits (its latency notebooks
+  // read Delta history; TimeDelay.ipynb cell 0). Three successive
+  // commitAppend batches build a versioned table; each recorded version is
+  // then read back AS OF and aggregated, so the oracle checks that version
+  // v contains exactly the first v batches — integer cents keep the sum
+  // order-independent (SURVEY §5).
+  private def k8TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-tt-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_tt"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    (0L to 2L).foreach { r =>
+      graft.operators.Maintenance.commitAppend(s, table,
+        o.filter(pmod(col("o_orderkey"), lit(3L)) === r))
+    }
+    val perVersion = (1L to 3L).map { v =>
+      val st = graft.operators.Maintenance.readAsOf(s, table, v)
+        .agg(count(lit(1)).cast("long"), sum(col("cents"))).first()
+      (v, st.getLong(0), st.getLong(1))
+    }
+    graft.streaming.WorkDirs.materializeAndClean(
+      perVersion.toDF("version", "n_orders", "cents_total")
+        .orderBy(col("version")), work)
+  }
+
+  private val k8TimeTravelSql =
+    """SELECT CAST(v AS BIGINT) AS version, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM orders, (VALUES (1), (2), (3)) t(v)
+      |WHERE o_orderkey % 3 < v
+      |GROUP BY v ORDER BY version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "k8_time_travel" -> k8TimeTravel _,
     "k6_sql_ddl" -> k6SqlDdl _,
     "p1_decode_json" -> p1DecodeJson _,
     "s2_ordered_replay" -> s2OrderedReplay _,
@@ -327,6 +365,7 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "k8_time_travel" -> k8TimeTravelSql,
     "k6_sql_ddl" -> k6SqlDdlSql,
     "p1_decode_json" -> p1DecodeJsonSql,
     "s2_ordered_replay" -> s2OrderedReplaySql,

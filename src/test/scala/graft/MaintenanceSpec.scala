@@ -229,6 +229,48 @@ class MaintenanceSpec extends AnyFunSuite {
       "second call at the same commit count must not re-compact")
   }
 
+  test("time travel: each append version reads back exactly its history") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-tt-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p, spark.range(0, 5).toDF("id"))
+    Maintenance.commitAppend(spark, p, spark.range(5, 9).toDF("id"))
+    Maintenance.commitAppend(spark, p, spark.range(9, 10).toDF("id"))
+    assert(Maintenance.readAsOf(spark, p, 1).count() == 5)
+    assert(Maintenance.readAsOf(spark, p, 2).count() == 9)
+    assert(Maintenance.readAsOf(spark, p, 3).count() == 10)
+    // v2 is the exact row set of the first two commits, not just the count
+    assert(Maintenance.readAsOf(spark, p, 2)
+      .agg(sum("id")).first().getLong(0) == (0 until 9).sum)
+    intercept[IllegalStateException] {
+      Maintenance.readAsOf(spark, p, 7) // never committed
+    }
+  }
+
+  test("time travel: a bootstrapped table snapshots its pre-protocol state") {
+    val p = freshTable() // written without the protocol
+    val n0 = spark.read.parquet(p).count()
+    Maintenance.commitAppend(spark, p,
+      Tables.t(spark, sfSmoke, "events").limit(7))
+    // v1's snapshot = bootstrap files + first protocol commit
+    assert(Maintenance.readAsOf(spark, p, 1).count() == n0 + 7)
+  }
+
+  test("time travel: a rewrite reclaims pre-rewrite history, loudly") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-tt-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p, spark.range(0, 5).toDF("id"))
+    Maintenance.commitAppend(spark, p, spark.range(5, 9).toDF("id"))
+    Maintenance.compact(spark, p, targetFiles = 1)
+    val v = Maintenance.readVersion(p)
+    // the post-rewrite version is readable and complete…
+    assert(Maintenance.readAsOf(spark, p, v).count() == 9)
+    // …and the pre-rewrite version fails with the reclaimed-files error
+    val e = intercept[IllegalStateException] {
+      Maintenance.readAsOf(spark, p, 1)
+    }
+    assert(e.getMessage.contains("reclaimed"))
+  }
+
   test("concurrent per-key bronze streams equal the single-stream result") {
     // concurrent queries must run under the FAIR scheduler (reference:
     // AutomateTable.py:64-66 + fairscheduler.xml) — a session-build conf
