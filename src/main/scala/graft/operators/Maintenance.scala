@@ -122,7 +122,9 @@ object Maintenance {
 
   /** Read the table as of `version`. Fails loudly when the version was
     * never snapshotted (pre-protocol history) or its files were reclaimed
-    * by a later rewrite/vacuum.
+    * by a later rewrite/vacuum. Reads with the CURRENT table schema (like
+    * a Delta read after additive evolution): rows from pre-evolution
+    * files surface the later columns as null.
     */
   def readAsOf(spark: SparkSession, tablePath: String,
       version: Long): DataFrame = {
@@ -136,8 +138,70 @@ object Maintenance {
         s"version $version of $tablePath is no longer readable: " +
           s"${missing.size} of its files were reclaimed by a rewrite or " +
           s"vacuum (first missing: ${missing.head})")
-    spark.read.parquet(files.map(f => s"$tablePath/$f"): _*)
+    val paths = files.map(f => s"$tablePath/$f")
+    readTableSchema(tablePath) match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
+
+  // ---------------------------------------------------------------------
+  // Schema tracking — the engine analogue of the Delta log's schema entry.
+  // The table's merged schema lives in `_graft_log/schema.json`, updated
+  // under the commit lock on every append: additive evolution (new
+  // nullable columns) merges in; a same-name/different-type append is
+  // REJECTED loudly (Delta's schema enforcement), because plain parquet
+  // would otherwise commit a file that poisons every future read.
+  // [[readTable]] reads through the tracked schema, so evolved tables
+  // read consistently without mergeSchema's read-every-footer cost —
+  // pre-evolution rows surface later columns as null.
+
+  def schemaPath(tablePath: String): String =
+    s"$tablePath/_graft_log/schema.json"
+
+  private def readTableSchema(tablePath: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = Paths.get(schemaPath(tablePath))
+    if (Files.exists(p))
+      Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(p))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else None
+  }
+
+  /** Validate `incoming` against the tracked schema and persist the
+    * merged result. Caller holds the commit lock.
+    */
+  private def mergeAndWriteSchema(tablePath: String,
+      incoming: org.apache.spark.sql.types.StructType): Unit = {
+    val merged = readTableSchema(tablePath) match {
+      case None => incoming
+      case Some(existing) =>
+        val byName = existing.fields.map(f => f.name -> f).toMap
+        incoming.fields.foreach { f =>
+          byName.get(f.name).foreach { ex =>
+            if (ex.dataType != f.dataType)
+              throw new IllegalArgumentException(
+                s"schema evolution rejected for $tablePath: column " +
+                  s"'${f.name}' is ${ex.dataType.simpleString} but the " +
+                  s"append carries ${f.dataType.simpleString}")
+          }
+        }
+        val newFields = incoming.fields.filterNot(f => byName.contains(f.name))
+          .map(_.copy(nullable = true)) // absent in history ⇒ must be nullable
+        org.apache.spark.sql.types.StructType(existing.fields ++ newFields)
+    }
+    Files.writeString(Paths.get(schemaPath(tablePath)), merged.json)
+  }
+
+  /** Read the table through its tracked schema (tables written by
+    * [[commitAppend]]); falls back to plain parquet inference for tables
+    * that predate the protocol.
+    */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame =
+    readTableSchema(tablePath) match {
+      case Some(sc) => spark.read.schema(sc).parquet(tablePath)
+      case None => spark.read.parquet(tablePath)
+    }
 
   /** Optimistically commit an append: stage the write OUTSIDE the lock
     * (the Spark job), then under the lock move the staged files into the
@@ -156,6 +220,16 @@ object Maintenance {
       // first commit to a fresh table: the target dir must exist before
       // files can be renamed into it
       Files.createDirectories(Paths.get(tablePath))
+      // schema enforcement BEFORE any file lands: an incompatible append
+      // must leave the table untouched
+      Files.createDirectories(Paths.get(tablePath, "_graft_log"))
+      // bootstrapping a pre-protocol table: seed the tracked schema from
+      // the existing files first, so their columns are part of the merge
+      // rather than silently shadowed by the first append's schema
+      if (readTableSchema(tablePath).isEmpty &&
+          listDataFiles(new java.io.File(tablePath)).nonEmpty)
+        mergeAndWriteSchema(tablePath, spark.read.parquet(tablePath).schema)
+      mergeAndWriteSchema(tablePath, df.schema)
       val v = readVersion(tablePath) + 1
       val committed = parts.zipWithIndex.map { case (f, i) =>
         val dest = Paths.get(tablePath, f"append_v${v}%06d_p$i%04d.parquet")
@@ -228,8 +302,10 @@ object Maintenance {
       attempts += 1
       val v0 = readVersion(path)
       // version read BEFORE the snapshot listing: any append that lands
-      // after this point bumps the version and invalidates the attempt
-      write(spark.read.parquet(path), tmp)
+      // after this point bumps the version and invalidates the attempt.
+      // readTable: a rewrite of an evolved table must carry the full
+      // tracked schema, not one random file's subset
+      write(readTable(spark, path), tmp)
       committed = withCommitLock(path) {
         if (readVersion(path) == v0) { swapCommit(path, tmp); true }
         else { deleteRecursively(new java.io.File(tmp)); false }
@@ -239,7 +315,7 @@ object Maintenance {
       // a hot appender kept winning the race — take the lock for the whole
       // rewrite (appenders briefly queue on the lock; progress guaranteed)
       withCommitLock(path, timeoutMs = 300000L) {
-        write(spark.read.parquet(path), tmp)
+        write(readTable(spark, path), tmp)
         swapCommit(path, tmp)
       }
     }

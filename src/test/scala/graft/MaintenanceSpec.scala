@@ -271,6 +271,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reclaimed"))
   }
 
+  test("schema evolution: additive append merges; reads see nulls for history") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-se-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p, spark.range(0, 3).toDF("id"))
+    Maintenance.commitAppend(spark, p,
+      spark.range(3, 5).toDF("id").withColumn("tag", lit("new")))
+    val all = Maintenance.readTable(spark, p)
+    assert(all.columns.toSeq == Seq("id", "tag"))
+    assert(all.count() == 5)
+    assert(all.filter(col("tag").isNull).count() == 3,
+      "pre-evolution rows must surface the new column as null")
+    assert(all.filter(col("tag") === "new").count() == 2)
+  }
+
+  test("schema enforcement: a type-conflicting append is rejected untouched") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-se-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p, spark.range(0, 3).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.commitAppend(spark, p,
+        spark.range(0, 2).select(col("id").cast("string").as("id")))
+    }
+    assert(e.getMessage.contains("schema evolution rejected"))
+    // the failed append left no rows and no version bump behind
+    assert(Maintenance.readTable(spark, p).count() == 3)
+    assert(Maintenance.readVersion(p) == 1L)
+  }
+
+  test("schema evolution survives compaction (rewrite carries full schema)") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-se-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p, spark.range(0, 3).toDF("id"))
+    Maintenance.commitAppend(spark, p,
+      spark.range(3, 5).toDF("id").withColumn("tag", lit("new")))
+    Maintenance.compact(spark, p, targetFiles = 1)
+    val all = Maintenance.readTable(spark, p)
+    assert(all.columns.toSeq == Seq("id", "tag"))
+    assert(all.count() == 5)
+    assert(all.filter(col("tag") === "new").count() == 2)
+  }
+
   test("concurrent per-key bronze streams equal the single-stream result") {
     // concurrent queries must run under the FAIR scheduler (reference:
     // AutomateTable.py:64-66 + fairscheduler.xml) — a session-build conf
