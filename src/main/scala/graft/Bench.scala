@@ -134,9 +134,12 @@ object Bench {
     val cpuTotal = results.collect { case (_, _, c, _, Right(_)) => c }.sum
     val failed = results.count(_._5.isLeft)
     // numeric scale factor when the dir follows the sfX.Y convention; the
-    // raw path otherwise (both are valid JSON values for the "sf" key)
-    val sfJson = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse(jsonStr(sfDir))
+    // raw path otherwise (both are valid JSON values for the "sf" key).
+    // The pattern must admit only a well-formed JSON number — a loose
+    // digit/dot run would let "sf1.2.3" or "sf01" emit invalid JSON.
+    val sfJson = "sf(0|[1-9][0-9]*)(\\.[0-9]+)?$".r.findFirstMatchIn(sfDir)
+      .map(m => m.group(1) + Option(m.group(2)).getOrElse(""))
+      .getOrElse(jsonStr(sfDir))
     val errors = results.collect { case (k, _, _, _, Left(m)) =>
       s"\"$k\":${jsonStr(m)}"
     }.mkString("{", ",", "}")
@@ -155,15 +158,25 @@ object Bench {
     java.nio.file.Files.writeString(out, fullLine + "\n")
     // compact stdout line: must fit, whole, inside a ~2000-char log tail
     // together with sbt's "[success] Total time: ..." epilogue. 2-dp walls
-    // normally suffice; fall back to 1 dp if the query list has grown.
-    def compactLine(dp: Int): String = {
+    // normally suffice; fall back to 1 dp if the query list has grown,
+    // then to dropping the error map (failure details live in
+    // target/bench.json and the exit code; the headline must survive the
+    // tail precisely when something went wrong). Compact-surface error
+    // messages are truncated — one multi-KB Spark exception would
+    // otherwise blow the budget the cap exists to protect.
+    val compactErrors = results.collect { case (k, _, _, _, Left(m)) =>
+      s"\"$k\":${jsonStr(m.take(100))}"
+    }.mkString("{", ",", "}")
+    def compactLine(dp: Int, withErrors: Boolean): String = {
       val qs = results.map { case (k, w, _, _, _) => s"\"$k\":${fmt(w, dp)}" }
         .mkString("{", ",", "}")
-      val err = if (failed == 0) "" else s""","errors":$errors"""
+      val err = if (failed == 0 || !withErrors) ""
+        else s""","errors":$compactErrors"""
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs$err,"failed":$failed,"sf":$sfJson}"""
     }
-    val line = Seq(2, 1).map(compactLine).find(_.length <= 1850)
-      .getOrElse(compactLine(1))
+    val line = Seq((2, true), (1, true), (1, false))
+      .map((compactLine _).tupled).find(_.length <= 1850)
+      .getOrElse(compactLine(1, withErrors = false))
     spark.stop()
     // printed AFTER spark.stop() so the line is this process's final
     // stdout — nothing can land between it and the end of the log

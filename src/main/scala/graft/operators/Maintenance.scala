@@ -100,24 +100,57 @@ object Maintenance {
   // replaces the data files, so versions before the rewrite become
   // unavailable and readAsOf fails LOUDLY naming the reclaimed files —
   // the same observable behavior as Delta time travel after VACUUM.
-  // Snapshots are incremental (previous snapshot + the commit's files),
-  // so commit metadata cost is O(new files), not O(table).
+  // Snapshot storage is Delta-log-shaped so commit metadata really is
+  // O(new files) per append: an append writes only its ADDED files as
+  // `v{N}.add.txt`; a rewrite (or bootstrap) writes the full listing as
+  // `v{N}.full.txt`. A version's file set is reconstructed at READ time
+  // as (latest full ≤ N) + every add in between — reads are rare and
+  // cheap, commits are hot and tiny. Without the delta split, a
+  // per-micro-batch appender would write O(table) listings per commit
+  // and grow the log quadratically.
 
-  def snapshotPath(tablePath: String, version: Long): String =
-    f"$tablePath/_graft_log/snapshots/v$version%06d.txt"
+  def snapshotAddPath(tablePath: String, version: Long): String =
+    f"$tablePath/_graft_log/snapshots/v$version%06d.add.txt"
 
-  private def writeSnapshot(tablePath: String, version: Long,
-      files: Seq[String]): Unit = {
-    val p = Paths.get(snapshotPath(tablePath, version))
+  def snapshotFullPath(tablePath: String, version: Long): String =
+    f"$tablePath/_graft_log/snapshots/v$version%06d.full.txt"
+
+  private def writeFileList(path: String, files: Seq[String]): Unit = {
+    val p = Paths.get(path)
     Files.createDirectories(p.getParent)
     Files.writeString(p, files.sorted.mkString("", "\n", "\n"))
   }
 
-  private def readSnapshot(tablePath: String, version: Long): Option[Seq[String]] = {
-    val p = Paths.get(snapshotPath(tablePath, version))
+  private def readFileList(path: String): Option[Seq[String]] = {
+    val p = Paths.get(path)
     if (Files.exists(p))
       Some(Files.readString(p).linesIterator.filter(_.nonEmpty).toSeq)
     else None
+  }
+
+  /** Reconstruct version `v`'s file set: the latest full listing at or
+    * below `v`, plus every add delta after it up to `v`. None when no
+    * snapshot information covers `v`.
+    */
+  private def readSnapshot(tablePath: String, version: Long): Option[Seq[String]] = {
+    if (version < 0) None
+    else {
+      val base = (version to 0L by -1L)
+        .find(v => Files.exists(Paths.get(snapshotFullPath(tablePath, v))))
+      val baseFiles =
+        base.flatMap(v => readFileList(snapshotFullPath(tablePath, v)))
+      // no full base is valid only for a protocol-fresh table whose
+      // history is adds all the way down (base = empty set before v1)
+      val firstAdd = base.map(_ + 1).getOrElse(1L)
+      val addDeltas = (firstAdd to version)
+        .map(v => readFileList(snapshotAddPath(tablePath, v)))
+      // every version in (base, v] must contribute its delta: a hole
+      // means the version was never snapshotted under this protocol
+      val covered = addDeltas.forall(_.isDefined) &&
+        (base.isDefined || addDeltas.nonEmpty)
+      if (!covered) None
+      else Some(baseFiles.getOrElse(Seq.empty) ++ addDeltas.flatten.flatten)
+    }
   }
 
   /** Read the table as of `version`. Fails loudly when the version was
@@ -224,10 +257,12 @@ object Maintenance {
       // must leave the table untouched
       Files.createDirectories(Paths.get(tablePath, "_graft_log"))
       // bootstrapping a pre-protocol table: seed the tracked schema from
-      // the existing files first, so their columns are part of the merge
-      // rather than silently shadowed by the first append's schema
+      // the existing PARQUET files first, so their columns are part of
+      // the merge rather than silently shadowed by the first append's
+      // schema (a dir holding only _SUCCESS/.crc markers is fresh — plain
+      // inference over it would throw, not bootstrap)
       if (readTableSchema(tablePath).isEmpty &&
-          listDataFiles(new java.io.File(tablePath)).nonEmpty)
+          listParquetFiles(new java.io.File(tablePath)).nonEmpty)
         mergeAndWriteSchema(tablePath, spark.read.parquet(tablePath).schema)
       mergeAndWriteSchema(tablePath, df.schema)
       val v = readVersion(tablePath) + 1
@@ -252,18 +287,20 @@ object Maintenance {
             .mkString("", "\n", "\n"),
           java.nio.file.StandardOpenOption.APPEND)
       }
-      // snapshot = previous version's snapshot + this commit's files;
-      // a bootstrapped table (files predating the protocol) snapshots its
-      // full current listing so v1 time-travels to the bootstrap state
-      val committedRel = committed
-        .map(p => Paths.get(tablePath).relativize(p).toString)
-      val prev = readSnapshot(tablePath, v - 1).getOrElse {
-        val root = Paths.get(tablePath)
-        listDataFiles(new java.io.File(tablePath))
+      // time-travel log: this commit contributes only its ADD delta. A
+      // bootstrapped table (parquet predating the protocol) first writes
+      // its pre-commit listing as the full base at v-1, so v-1
+      // time-travels to the bootstrap state and v resolves as base+add.
+      val root = Paths.get(tablePath)
+      val committedRel = committed.map(p => root.relativize(p).toString)
+      if (readSnapshot(tablePath, v - 1).isEmpty) {
+        val bootstrap = listParquetFiles(new java.io.File(tablePath))
           .map(f => root.relativize(f.toPath).toString)
           .filterNot(committedRel.contains)
+        if (bootstrap.nonEmpty)
+          writeFileList(snapshotFullPath(tablePath, v - 1), bootstrap)
       }
-      writeSnapshot(tablePath, v, prev ++ committedRel)
+      writeFileList(snapshotAddPath(tablePath, v), committedRel)
       writeVersion(tablePath, v)
       v
     } finally deleteRecursively(new java.io.File(stage))
@@ -334,12 +371,12 @@ object Maintenance {
       Files.move(oldLog, Paths.get(path, "_graft_log"))
     deleteRecursively(new java.io.File(old))
     val v = readVersion(path) + 1
-    // the rewrite replaced every data file: snapshot the new listing for
-    // this version — older snapshots stay on disk but their files are
+    // the rewrite replaced every data file: snapshot the new FULL listing
+    // for this version — older snapshots stay on disk but their files are
     // gone, so readAsOf on them now fails with the reclaimed-files error
     val root = Paths.get(path)
-    writeSnapshot(path, v,
-      listDataFiles(new java.io.File(path))
+    writeFileList(snapshotFullPath(path, v),
+      listParquetFiles(new java.io.File(path))
         .map(f => root.relativize(f.toPath).toString))
     writeVersion(path, v)
     recordLiveFiles(path)
@@ -481,6 +518,13 @@ object Maintenance {
     * (the log is table metadata, never vacuum-eligible — same contract as
     * Delta's _delta_log).
     */
+  /** Data files only — the snapshot/time-travel surface. Markers
+    * (_SUCCESS) and checksums (.crc) are not data: recording them in a
+    * snapshot would make readAsOf demand files any cleanup may remove.
+    */
+  private def listParquetFiles(root: java.io.File): Seq[java.io.File] =
+    listDataFiles(root).filter(_.getName.endsWith(".parquet"))
+
   private def listDataFiles(root: java.io.File): Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.getName == "_graft_log") Seq.empty

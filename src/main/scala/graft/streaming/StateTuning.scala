@@ -56,9 +56,9 @@ object StateTuning {
     if (f.exists()) dirBytes(glob)
     else {
       val rx = ("\\Q" + f.getName + "\\E").replace("*", "\\E.*\\Q").r
-      Option(f.getParentFile.listFiles())
-        .map(_.filter(c => rx.matches(c.getName)).map(dirBytes _ compose
-          ((cf: java.io.File) => cf.getAbsolutePath)).sum)
+      Option(f.getParentFile).flatMap(p => Option(p.listFiles()))
+        .map(_.filter(c => rx.matches(c.getName))
+          .map(c => dirBytes(c.getAbsolutePath)).sum)
         .getOrElse(0L)
     }
   }

@@ -152,7 +152,10 @@ class PlanSpec extends AnyFunSuite {
     // reading one partition and reading the table
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-dpp-fixture").getAbsolutePath
-    if (!new java.io.File(s"$dir/fact/_SUCCESS").exists()) {
+    // guard on BOTH writes: a crash between them would otherwise wedge
+    // the shared fixture dir for every later run
+    if (!new java.io.File(s"$dir/fact/_SUCCESS").exists()
+        || !new java.io.File(s"$dir/dim/_SUCCESS").exists()) {
       (0L until 1000L).map(i => (i, i % 10)).toDF("v", "pk")
         .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/fact")
       // dim must be file-backed: a literal LocalRelation would constant-
