@@ -61,5 +61,6 @@ object SparkEntry {
     operators.Bucketing.ensureBucketed(spark, sfDir, "orders",
       "o_orderkey", 8)
     Extras.ensureReplayFixture(spark, sfDir)
+    Analytics.ensureEvictFixture(spark, sfDir)
   }
 }

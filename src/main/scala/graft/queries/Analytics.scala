@@ -324,32 +324,66 @@ object Analytics {
   // low users surface their eviction row, high users their final update
   // row — which the DuckDB oracle reproduces as a plain grouped aggregate
   // + a user_id<split flag.
+  // build-once eviction fixture per source dir (same contract as the s2
+  // replay fixture: commit-lock + _FIXTURE_READY marker written last, so
+  // a second JVM reuses a finished tree and rebuilds only a crashed one).
+  // The split point and idle-group count are stored alongside the spool —
+  // reusing the fixture must not re-run its aggregation jobs.
+  private val evictFixtures =
+    scala.collection.mutable.Map[String, (String, Long, Long)]()
+
+  def ensureEvictFixture(s: SparkSession, dir: String)
+      : (String, Long, Long) =
+    synchronized { evictFixtures.getOrElseUpdate(dir, {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-evict-fixture-${Integer.toHexString(dir.hashCode)}")
+        .getAbsolutePath
+      val meta = new java.io.File(work, "_META").toPath
+      graft.operators.Maintenance.withCommitLock(work, timeoutMs = 600000L) {
+        val ready = new java.io.File(work, "_FIXTURE_READY")
+        if (!ready.exists()) {
+          graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
+          val ev = t(s, dir, "events").select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          val mm = ev.agg(min(col("user_id")), max(col("user_id"))).first()
+          val split = Math.floorDiv(mm.getLong(0) + mm.getLong(1), 2L)
+          // two spool files, low then high (name + mtime both order the
+          // replay; second-floored base keeps the ordering robust to
+          // mtime granularity)
+          val mtimeBase = (System.currentTimeMillis() / 1000) * 1000
+          graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+            ev.filter(col("user_id") < split),
+            s"$work/spool/aa-low.parquet", mtimeBase)
+          graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+            ev.filter(col("user_id") >= split),
+            s"$work/spool/zz-high.parquet", mtimeBase + 2000L)
+          val nLow = ev.filter(col("user_id") < split)
+            .select(col("user_id")).distinct().count()
+          java.nio.file.Files.writeString(meta, s"$split $nLow\n")
+          java.nio.file.Files.writeString(ready.toPath, "ok\n")
+        }
+      }
+      val Array(split, nLow) =
+        java.nio.file.Files.readString(meta).trim.split(" ").map(_.toLong)
+      (s"$work/spool", split, nLow)
+    }) }
+
   private def stTimeoutEvict(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StateTuning.withStatePartitions(s,
         graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
     import org.apache.spark.sql.types._
     import s.implicits._
+    // only the per-run streaming state (sink + checkpoint) is scratch;
+    // the spool fixture is shared across invocations
     val work = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-evict-${java.util.UUID.randomUUID()}").getAbsolutePath
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
-    val mm = ev.agg(min(col("user_id")), max(col("user_id"))).first()
-    val split = Math.floorDiv(mm.getLong(0) + mm.getLong(1), 2L)
-    // two spool files, low then high (name + mtime both order the replay;
-    // second-floored base keeps the ordering robust to mtime granularity)
-    val mtimeBase = (System.currentTimeMillis() / 1000) * 1000
-    graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
-      ev.filter(col("user_id") < split), s"$work/spool/aa-low.parquet",
-      mtimeBase)
-    graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
-      ev.filter(col("user_id") >= split), s"$work/spool/zz-high.parquet",
-      mtimeBase + 2000L)
+    val (spoolDir, split, nLow) = ensureEvictFixture(s, dir)
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("cents", LongType)))
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$work/spool")
+      .parquet(spoolDir)
       .as[(Long, Long)]
     val update = (user: Long, it: Iterator[(Long, Long)],
         st: GroupState[(Long, Long)]) => {
@@ -403,8 +437,6 @@ object Analytics {
       .option("checkpointLocation", s"$work/_chk")
       .trigger(Trigger.ProcessingTime("50 milliseconds"))
       .start()
-    val nLow = ev.filter(col("user_id") < split)
-      .select(col("user_id")).distinct().count()
     val deadline = System.currentTimeMillis() + 120000L
     // a dead query can never evict — break instead of spinning blind
     while (evictedUsers.size() < nLow && q.exception.isEmpty
