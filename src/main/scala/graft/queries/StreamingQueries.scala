@@ -23,7 +23,9 @@ object StreamingQueries {
   private def k1StreamBronze(s: SparkSession, dir: String): DataFrame = {
     val cfg = TickPipeline.Config(dir, TickPipeline.freshWorkDir())
     TickPipeline.runBronzeHop(s, cfg)
-    s.read.parquet(TickPipeline.bronzeDir(cfg))
+    // bronze is commitAppend-written: read through the tracked schema,
+    // the same surface a user of the protocol would use
+    graft.operators.Maintenance.readTable(s, TickPipeline.bronzeDir(cfg))
       .orderBy(col("event_type"), col("window_start"))
   }
 

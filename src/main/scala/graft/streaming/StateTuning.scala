@@ -64,7 +64,10 @@ object StateTuning {
   }
 
   def partitionsForBytes(bytes: Long): Int =
-    math.min(MaxPartitions.toLong, math.max(MinPartitions.toLong,
+    // ceiling-division add would overflow near Long.MaxValue — anything
+    // at or past the ceiling's worth of bytes just takes the ceiling
+    if (bytes >= TargetBytesPerPartition * MaxPartitions) MaxPartitions
+    else math.min(MaxPartitions.toLong, math.max(MinPartitions.toLong,
       (bytes + TargetBytesPerPartition - 1) / TargetBytesPerPartition)).toInt
 
   /** Runs `body` with `spark.sql.shuffle.partitions` sized for

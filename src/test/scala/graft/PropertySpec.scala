@@ -99,4 +99,20 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("StateTuning partition sizing: clamped, monotone, ~32MB per slot") {
+    import graft.streaming.StateTuning._
+    check(Prop.forAll { (bytes: Long) =>
+      val n = partitionsForBytes(math.max(0L, bytes))
+      n >= MinPartitions && n <= MaxPartitions
+    })
+    assert(partitionsForBytes(0L) == MinPartitions)
+    assert(partitionsForBytes(1L << 20) == MinPartitions) // 1 MB → floor
+    assert(partitionsForBytes(320L << 20) == 10) // 320 MB / 32 MB
+    assert(partitionsForBytes(Long.MaxValue) == MaxPartitions)
+    // monotone in input size
+    val samples = Seq(0L, 1L << 20, 1L << 25, 1L << 30, 1L << 35, 1L << 40)
+    val ns = samples.map(partitionsForBytes)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
+  }
 }
