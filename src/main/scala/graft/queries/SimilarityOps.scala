@@ -128,6 +128,49 @@ object SimilarityOps {
   private def simKnnIvf(s: SparkSession, dir: String): DataFrame =
     knnIvf(s, dir)
 
+  // ---------------------------------------------------------------------
+  // kNN-JOIN: every corpus vector's top-k neighbors — the kNN-graph
+  // primitive embedding dedup/clustering pipelines build (the all-vectors
+  // generalization of the 5-query searches above). Scale shape: block by
+  // IVF cell (candidate pairs share a cell), exact cosine inside the
+  // block, bounded-heap top-k per vector — O(N × cell size) work with
+  // map-side partial top-k, no window, never the N² cross join.
+  // Approximate only at cell boundaries, like any 1-probe IVF graph;
+  // recall vs per-vector brute force asserted in ScaleOpsSpec. Rows-only
+  // (hash-seeded centroids are engine-specific).
+  /** Exposed with knobs so specs can vary k and the cell count. */
+  def knnJoin(s: SparkSession, dir: String, k: Int = 5,
+      numCellsOpt: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir)
+    val cos = cosine(s) _
+    val numCells = numCellsOpt.getOrElse(
+      math.max(2, math.sqrt(e.count().toDouble).toInt))
+    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", numCells)(cos)
+    // one materialization feeds both sides of the per-cell self-join
+    val withCell = graft.operators.Ivf.assign(e, cents, "vec_id", "v")(cos)
+      .localCheckpoint()
+    val a = withCell.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = withCell.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cos(col("va"), col("vb")), 6).as("cos"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("top"))
+      .toDF("vec_id", "top")
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("neighbor_id"), col("col._1").as("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  private def simKnnJoin(s: SparkSession, dir: String): DataFrame =
+    knnJoin(s, dir)
+
   // Embedding near-duplicate pairs: exact top-50 most-similar pairs within
   // the same label cell (the blocked form of all-pairs cosine). Oracled.
   private def simNearDupPairs(s: SparkSession, dir: String): DataFrame = {
@@ -222,6 +265,7 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "sim_knn_brute" -> simKnnBrute _,
     "sim_knn_ivf" -> simKnnIvf _,
+    "sim_knn_join" -> simKnnJoin _,
     "sim_neardup_pairs" -> simNearDupPairs _,
     "sim_neardup_lsh" -> simNearDupLsh _,
     "sim_quantize_stats" -> simQuantizeStats _

@@ -176,6 +176,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(avgRecall >= 0.2, s"IVF avg recall@10 = $avgRecall")
   }
 
+  test("knn-join covers every vector; rank order and recall hold") {
+    val g = SimilarityOps.knnJoin(spark, sfSmoke, k = 5).collect()
+    val n = Tables.t(spark, sfSmoke, "embeddings").count()
+    val byVec = g.groupBy(_.getLong(0))
+    // every vector appears as a source (no cell is a singleton at this SF)
+    assert(byVec.size == n, s"knn-join covers ${byVec.size} of $n vectors")
+    byVec.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to byRank.length).toSeq)
+      // cosine non-increasing down the ranks
+      val cs = byRank.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(r => r.getAs[Long]("neighbor_id") != r.getLong(0)),
+        "self-pairs must be excluded")
+    }
+    // for the 5 brute-force query vectors, the cell-blocked graph's top-5
+    // must substantially overlap the exact top-10 (1-probe approximation)
+    val brute = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = brute.keys.toSeq.map { q =>
+      val mine = byVec.getOrElse(q, Array.empty)
+        .map(_.getAs[Long]("neighbor_id")).toSet
+      mine.count(brute(q).contains).toDouble / math.max(1, mine.size)
+    }
+    val precision = recalls.sum / recalls.size
+    assert(precision >= 0.2,
+      s"knn-join precision vs exact top-10 = $precision")
+  }
+
   test("IVF tight clusters: recall@10 >= 0.9 with sqrt-N cells / 2 probes") {
     import spark.implicits._
     // 50 well-separated tight clusters of 12 points: any query's true
