@@ -211,8 +211,11 @@ object SimilarityOps {
     * ones at any corpus size (a 1-row scalar fetch, the engine's A2
     * pattern).
     */
-  def nearDupLsh(s: SparkSession, dir: String, minCos: Double = 0.99,
-      maxHamming: Int = 8): DataFrame = {
+  /** The self-fixturing doubled corpus: originals plus hash-perturbed
+    * copies at id+offset. Returns (corpus, offset); the corpus is
+    * localCheckpointed because its consumers scan it several times.
+    */
+  private def doubledCorpus(s: SparkSession, dir: String): (DataFrame, Long) = {
     val e = embDouble(s, dir).select(col("vec_id"), col("v"))
     val offset = e.agg(max(col("vec_id"))).first().getLong(0) + 1L
     val dup = e.select((col("vec_id") + offset).as("vec_id"),
@@ -221,7 +224,12 @@ object SimilarityOps {
     // the doubled corpus feeds the signature scan AND both candidate-join
     // probes — localCheckpoint so those are three reads of materialized
     // partitions, not three evaluations of a corpus-sized plan
-    val all = e.unionByName(dup).localCheckpoint()
+    (e.unionByName(dup).localCheckpoint(), offset)
+  }
+
+  def nearDupLsh(s: SparkSession, dir: String, minCos: Double = 0.99,
+      maxHamming: Int = 8): DataFrame = {
+    val (all, _) = doubledCorpus(s, dir)
     graft.operators.CosineLsh.nearDupPairs(
       all, "vec_id", "v", dim = 64, minCos = minCos,
       maxHamming = maxHamming, cos = cosine(s) _)
@@ -230,6 +238,35 @@ object SimilarityOps {
 
   private def simNearDupLsh(s: SparkSession, dir: String): DataFrame =
     nearDupLsh(s, dir)
+
+  // ---------------------------------------------------------------------
+  // End-to-end EMBEDDING dedup manifest — the cosine-LSH mirror of the
+  // text pipeline's dd_dedup_keep: LSH near-dup pairs → connected
+  // components → keep the min-id member of every cluster, one row per
+  // kept vector with its cluster size. Runs on the doubled corpus (the
+  // deterministic near-dup fixture), so every original should head a
+  // 2-cluster containing its injected copy. Rows-only (hash-dependent);
+  // cluster-shape invariants in ScaleOpsSpec.
+  /** Exposed so specs can inspect the manifest with knobs. */
+  def dedupKeepEmbeddings(s: SparkSession, dir: String,
+      minCos: Double = 0.99): DataFrame = {
+    val (all, _) = doubledCorpus(s, dir)
+    val pairs = graft.operators.CosineLsh.nearDupPairs(
+      all, "vec_id", "v", dim = 64, minCos = minCos,
+      maxHamming = 8, cos = cosine(s) _)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.Components.resolve(pairs)
+    all.select(col("vec_id"))
+      .join(comp.select(col("id").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left")
+      .withColumn("canonical", coalesce(col("comp"), col("vec_id")))
+      .groupBy(col("canonical").as("vec_id_kept"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("vec_id_kept"))
+  }
+
+  private def simDedupKeep(s: SparkSession, dir: String): DataFrame =
+    dedupKeepEmbeddings(s, dir)
 
   // ---------------------------------------------------------------------
   // Symmetric int8 quantization of the embedding column — the storage
@@ -268,6 +305,7 @@ object SimilarityOps {
     "sim_knn_join" -> simKnnJoin _,
     "sim_neardup_pairs" -> simNearDupPairs _,
     "sim_neardup_lsh" -> simNearDupLsh _,
+    "sim_dedup_keep" -> simDedupKeep _,
     "sim_quantize_stats" -> simQuantizeStats _
   )
 

@@ -207,6 +207,19 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"knn-join precision vs exact top-10 = $precision")
   }
 
+  test("embedding dedup-keep: every original heads a 2-cluster with its copy") {
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+    val n = e.count()
+    val offset = e.agg(max(col("vec_id"))).first().getLong(0) + 1L
+    val m = SimilarityOps.dedupKeepEmbeddings(spark, sfSmoke).collect()
+    // the doubled corpus (2N vectors) collapses to N kept originals
+    assert(m.length == n, s"kept ${m.length} of expected $n")
+    assert(m.forall(_.getAs[Long]("n_members") == 2L),
+      "every cluster must pair an original with exactly its injected copy")
+    assert(m.forall(_.getAs[Long]("vec_id_kept") < offset),
+      "the min-id keep policy must always keep the original, not the copy")
+  }
+
   test("IVF tight clusters: recall@10 >= 0.9 with sqrt-N cells / 2 probes") {
     import spark.implicits._
     // 50 well-separated tight clusters of 12 points: any query's true
