@@ -54,6 +54,9 @@ object Components {
       .distinct().localCheckpoint()
     var converged = false
     var rounds = 0
+    // carried across rounds so the fixpoint probe costs ONE count job per
+    // round (the previous round's size is already known)
+    var eCount = e.count()
     while (!converged && rounds < maxIters) {
       // large-star: each vertex u links every LARGER neighbor v to
       // m = min(N(u) ∪ {u}) — long chains fold onto their minima
@@ -74,9 +77,11 @@ object Components {
         .select(col("x").as("u"), col("m").as("v"))
         .distinct().localCheckpoint()
       // fixpoint ⟺ identical edge sets (both are distinct): equal size and
-      // empty difference — two scalar probes per round, never data movement
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      // empty difference — scalar probes only, never data movement
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
       rounds += 1
     }
     if (!converged) {
