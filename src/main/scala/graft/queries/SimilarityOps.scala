@@ -213,19 +213,27 @@ object SimilarityOps {
     */
   /** The self-fixturing doubled corpus: originals plus hash-perturbed
     * copies at id+offset. Returns (corpus, offset); the corpus is
-    * localCheckpointed because its consumers scan it several times.
+    * localCheckpointed because its consumers scan it several times, and
+    * cached per (session, dir) — it is a deterministic FIXTURE shared by
+    * the near-dup pair query and the dedup-keep manifest, so building it
+    * once per session is the same contract as the other cached fixtures
+    * (checkpointed blocks live in the session's block manager).
     */
-  private def doubledCorpus(s: SparkSession, dir: String): (DataFrame, Long) = {
-    val e = embDouble(s, dir).select(col("vec_id"), col("v"))
-    val offset = e.agg(max(col("vec_id"))).first().getLong(0) + 1L
-    val dup = e.select((col("vec_id") + offset).as("vec_id"),
-      expr("transform(v, (x, i) -> " +
-        "x * (1.0 + pmod(xxhash64(vec_id, i), 1000) / 1000000.0))").as("v"))
-    // the doubled corpus feeds the signature scan AND both candidate-join
-    // probes — localCheckpoint so those are three reads of materialized
-    // partitions, not three evaluations of a corpus-sized plan
-    (e.unionByName(dup).localCheckpoint(), offset)
-  }
+  private val doubledCorpora =
+    scala.collection.mutable.Map[(SparkSession, String), (DataFrame, Long)]()
+
+  private def doubledCorpus(s: SparkSession, dir: String): (DataFrame, Long) =
+    synchronized { doubledCorpora.getOrElseUpdate((s, dir), {
+      val e = embDouble(s, dir).select(col("vec_id"), col("v"))
+      val offset = e.agg(max(col("vec_id"))).first().getLong(0) + 1L
+      val dup = e.select((col("vec_id") + offset).as("vec_id"),
+        expr("transform(v, (x, i) -> " +
+          "x * (1.0 + pmod(xxhash64(vec_id, i), 1000) / 1000000.0))").as("v"))
+      // the doubled corpus feeds the signature scan AND both candidate-
+      // join probes — localCheckpoint so those are reads of materialized
+      // partitions, not re-evaluations of a corpus-sized plan
+      (e.unionByName(dup).localCheckpoint(), offset)
+    }) }
 
   def nearDupLsh(s: SparkSession, dir: String, minCos: Double = 0.99,
       maxHamming: Int = 8): DataFrame = {
