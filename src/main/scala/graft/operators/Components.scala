@@ -30,15 +30,29 @@ object Components {
     *        unconverged result (returned after a logged warning).
     */
   def resolve(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 20, requireConvergence: Boolean = true): DataFrame =
-    resolveStats(pairs, idA, idB, maxIters, requireConvergence)._1
+      maxIters: Int = 20, requireConvergence: Boolean = true,
+      maxDriverEdges: Long = DefaultMaxDriverEdges): DataFrame =
+    resolveStats(pairs, idA, idB, maxIters, requireConvergence,
+      maxDriverEdges)._1
+
+  /** Candidate-pair graphs at or below this many edges resolve on the
+    * driver (exact union-find, one job) instead of iterating distributed
+    * star rounds (~6 jobs/round): after LSH banding + verification the
+    * edge set is the DUPLICATES, orders of magnitude smaller than the
+    * corpus, and per-round job overhead dominates small graphs. 1M edges
+    * ≈ 16 MB on the driver. Same size-guard convention as
+    * IdAssign.orderedIds; specs pass 0 to force the distributed path.
+    */
+  val DefaultMaxDriverEdges = 1000000L
 
   /** [[resolve]] plus the round count and convergence flag — the spec
-    * surface for the O(log n) bound.
+    * surface for the O(log n) bound (driver-resolved graphs report
+    * 0 rounds, converged).
     */
   def resolveStats(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 20,
-      requireConvergence: Boolean = true): (DataFrame, Int, Boolean) = {
+      requireConvergence: Boolean = true,
+      maxDriverEdges: Long = DefaultMaxDriverEdges): (DataFrame, Int, Boolean) = {
     // localCheckpoint (eager) every round: iterative self-referencing
     // DataFrames double their logical plan per iteration, and analysis cost
     // goes super-linear without lineage truncation
@@ -57,6 +71,32 @@ object Components {
     // carried across rounds so the fixpoint probe costs ONE count job per
     // round (the previous round's size is already known)
     var eCount = e.count()
+    if (eCount <= maxDriverEdges) {
+      // small graph: exact union-find on the driver, labels = component
+      // min via a final min-root remap — identical output contract to the
+      // star fixpoint, ~20 small jobs collapsed into one collect
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { // path compression
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      e.collect().foreach { row =>
+        val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      // union-by-min keeps every root the smallest id seen so far, so
+      // find() already lands on the component minimum
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labels = verts.as[Long].collect().toSeq
+        .map(id => (id, find(id))).toDF("id", "comp")
+      return (labels.orderBy(col("id")), 0, true)
+    }
     while (!converged && rounds < maxIters) {
       // large-star: each vertex u links every LARGER neighbor v to
       // m = min(N(u) ∪ {u}) — long chains fold onto their minima

@@ -101,7 +101,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     // required (one round can never certify convergence on a non-star)
     intercept[IllegalStateException] {
       graft.operators.Components.resolve(pairs, maxIters = 1,
-        requireConvergence = true).collect()
+        requireConvergence = true, maxDriverEdges = 0L).collect()
     }
     // end-to-end: kept clusters partition the documents exactly
     val nDocs = Tables.t(spark, sfSmoke, "documents").count()
@@ -120,14 +120,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     val n = 10000
     val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
       .toDF("id_a", "id_b")
+    // maxDriverEdges=0 forces the distributed star rounds — this test IS
+    // the O(log n) bound on that path
     val (labels, rounds, converged) =
-      graft.operators.Components.resolveStats(pairs, maxIters = 25)
+      graft.operators.Components.resolveStats(pairs, maxIters = 25,
+        maxDriverEdges = 0L)
     assert(converged, s"10k-chain did not converge in 25 rounds")
     val bound = math.ceil(math.log(n.toDouble) / math.log(2.0)).toInt + 3
     assert(rounds <= bound, s"10k-chain took $rounds rounds (bound $bound)")
     val comp = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(comp.length == n)
     assert(comp.forall(_._2 == 0L), "every chain vertex must label to 0")
+  }
+
+  test("components: driver union-find equals the distributed star rounds") {
+    import spark.implicits._
+    // mixed shape: a chain, a clique, singleton self-pairs, and an
+    // isolated pair — both paths must produce identical labels
+    val pairs = ((0 until 40).map(i => (i.toLong, i.toLong + 1)) ++
+      (for (i <- 100 until 110; j <- i + 1 until 110) yield (i.toLong, j.toLong)) ++
+      Seq((200L, 200L), (300L, 301L))).toDF("id_a", "id_b")
+    val driver = graft.operators.Components.resolve(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = graft.operators.Components.resolve(pairs, maxDriverEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(driver == dist,
+      "driver union-find and star rounds must agree on every label")
+    assert(driver(200L) == 200L && driver(301L) == 300L && driver(40L) == 0L)
   }
 
   test("components: two cliques joined by one bridge edge merge fully") {
@@ -140,7 +159,8 @@ class ScaleOpsSpec extends AnyFunSuite {
       yield (i.toLong, j.toLong)
     val pairs = (cliqueA ++ cliqueB ++ Seq((49L, 100L))).toDF("id_a", "id_b")
     val (labels, rounds, converged) =
-      graft.operators.Components.resolveStats(pairs, maxIters = 25)
+      graft.operators.Components.resolveStats(pairs, maxIters = 25,
+        maxDriverEdges = 0L)
     assert(converged)
     val bound = math.ceil(math.log(150.0) / math.log(2.0)).toInt + 3
     assert(rounds <= bound, s"clique-bridge took $rounds rounds (bound $bound)")
