@@ -440,7 +440,68 @@ object Relational {
       |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J6: point-in-interval range join — lineitem ship dates landing inside a
+  // sparse set of 30-day order windows. An inequality-only join would plan
+  // as BroadcastNestedLoopJoin (quadratic once the interval side outgrows
+  // broadcast); RangeJoin.pointInInterval rewrites it to a bucketed
+  // EQUI-join (explode intervals to 30-day buckets, join on bucket,
+  // re-check the exact bounds) — the plan that survives both sides being
+  // huge. PlanSpec asserts no nested-loop/cartesian operator appears.
+  private def j6RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val wins = t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(701L)) === 0L)
+      .select(col("o_orderkey"), col("o_orderdate").as("win_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("win_end"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_extendedprice"))
+    graft.operators.RangeJoin
+      .pointInInterval(li, "l_shipdate", wins, "win_start", "win_end",
+        bucketWidthSec = 30L * 86400L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"),
+        (sumCents(col("l_extendedprice")) / 100.0).as("shipped_value"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val j6RangeJoinSql =
+    """SELECT o_orderkey, count(*) AS n_shipped,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS shipped_value
+      |FROM orders o JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+      |WHERE o.o_orderkey % 701 = 0
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A7: pivot (long → wide) — yearly order value by status as columns.
+  // Explicit pivot values keep the schema static (no distinct-values scan,
+  // the form that works on a planner with no runtime schema discovery);
+  // integer cents keep the per-cell sums order-independent.
+  private def a7Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupBy(col("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg((sumCents(col("o_totalprice")) / 100.0))
+      .withColumnRenamed("F", "status_f")
+      .withColumnRenamed("O", "status_o")
+      .withColumnRenamed("P", "status_p")
+      .orderBy(col("order_year"))
+
+  private val a7PivotSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      |  sum(CASE WHEN o_orderstatus='F'
+      |    THEN CAST(round(o_totalprice*100) AS BIGINT) END)/100.0 AS status_f,
+      |  sum(CASE WHEN o_orderstatus='O'
+      |    THEN CAST(round(o_totalprice*100) AS BIGINT) END)/100.0 AS status_o,
+      |  sum(CASE WHEN o_orderstatus='P'
+      |    THEN CAST(round(o_totalprice*100) AS BIGINT) END)/100.0 AS status_p
+      |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "j6_range_join" -> j6RangeJoin _,
+    "a7_pivot" -> a7Pivot _,
     "a5_pricing_summary" -> a5PricingSummary _,
     "j3_star_revenue" -> j3StarRevenue _,
     "j1_broadcast_enrich" -> j1BroadcastEnrich _,
@@ -464,6 +525,8 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j6_range_join" -> j6RangeJoinSql,
+    "a7_pivot" -> a7PivotSql,
     "a5_pricing_summary" -> a5PricingSummarySql,
     "j3_star_revenue" -> j3StarRevenueSql,
     "j1_broadcast_enrich" -> j1BroadcastEnrichSql,

@@ -48,6 +48,21 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
 
+  test("j6: the range join plans as an equi-join, never a nested loop") {
+    val df = Relational.queries("j6_range_join")(spark, sfSmoke)
+    df.collect() // finalize the adaptive plan
+    val plan = planOf(df)
+    // the bucket key turns the inequality join into a hash/merge equi-join;
+    // a NestedLoop/Cartesian here would be the quadratic plan the operator
+    // exists to avoid
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "range join fell back to a nested loop:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(2000))
+  }
+
   test("o3: top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = planOf(Relational.queries("o3_topk_customers")(spark, sfSmoke))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))

@@ -47,4 +47,29 @@ class RelationalSpec extends AnyFunSuite {
     val n = Tables.t(spark, sfSmoke, "events").count()
     assert(Relational.queries("j1_broadcast_enrich")(spark, sfSmoke).count() == n)
   }
+
+  test("range join: bucket expansion equals the naive inequality join") {
+    // ground truth: the same point-in-interval predicate as a plain
+    // (nested-loop) join condition — allowed on smoke data
+    val wins = Tables.t(spark, sfSmoke, "orders")
+      .filter(pmod(col("o_orderkey"), lit(97L)) === 0L)
+      .select(col("o_orderkey"), col("o_orderdate").as("win_start"),
+        (col("o_orderdate") + expr("INTERVAL 11 DAY")).as("win_end"))
+    val li = Tables.t(spark, sfSmoke, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val naive = li.join(wins,
+      col("l_shipdate") >= col("win_start") &&
+        col("l_shipdate") < col("win_end"))
+      .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+    // width deliberately NOT dividing the 11-day interval: intervals span
+    // 2-3 buckets, so the exactly-once guarantee is exercised across
+    // boundaries, not just inside a single bucket
+    val bucketed = graft.operators.RangeJoin
+      .pointInInterval(li, "l_shipdate", wins, "win_start", "win_end",
+        bucketWidthSec = 4L * 86400L)
+      .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+    assert(naive.count() > 0, "fixture produced no matches")
+    assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+      "bucketed range join differs from the naive join")
+  }
 }
