@@ -178,6 +178,68 @@ object Maintenance {
     }
   }
 
+  /** Change Data Feed analogue (Delta's `table_changes`): the rows ADDED
+    * in versions `(fromVersion, toVersion]`, each tagged with
+    * `_change_type` ("insert" — the only change an append-only table
+    * produces) and `_change_version`. Implemented straight off the commit
+    * log: each version's add-delta lists exactly its committed files, so
+    * the feed is a union of per-version parquet scans — O(changed data),
+    * never a table diff.
+    *
+    * A rewrite (compact/cluster) inside the range is a version with no
+    * add-delta: like Delta's `dataChange=false` commits it contributes no
+    * row changes and is skipped. Fails loudly when a version in the range
+    * predates the snapshot protocol, or when a later rewrite physically
+    * reclaimed a delta's files — a silently empty slice would read as "no
+    * changes", which is the one wrong answer an incremental consumer can
+    * never detect.
+    */
+  def readChangesBetween(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val current = readVersion(tablePath)
+    if (toVersion > current) throw new IllegalStateException(
+      s"version $toVersion of $tablePath does not exist yet " +
+        s"(table is at version $current)")
+    val slices = ((fromVersion + 1) to toVersion).flatMap { v =>
+      readFileList(snapshotAddPath(tablePath, v)) match {
+        case Some(files) => Some(v -> files)
+        case None =>
+          // no add-delta: legal only for a rewrite version (full listing)
+          if (Files.exists(Paths.get(snapshotFullPath(tablePath, v)))) None
+          else throw new IllegalStateException(
+            s"version $v of $tablePath was never snapshotted under the " +
+              "commit protocol — its changes cannot be reconstructed")
+      }
+    }
+    val missing = slices.flatMap(_._2)
+      .filterNot(f => Files.exists(Paths.get(tablePath, f)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"changes ($fromVersion, $toVersion] of $tablePath are no longer " +
+        s"readable: ${missing.size} files were reclaimed by a rewrite or " +
+        s"vacuum (first missing: ${missing.head})")
+    val schema = readTableSchema(tablePath)
+    val reads = slices.map { case (v, files) =>
+      val paths = files.map(f => s"$tablePath/$f")
+      val base = schema match {
+        case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      base.withColumn("_change_type", lit("insert"))
+        .withColumn("_change_version", lit(v))
+    }
+    reads.reduceOption(_.unionByName(_)).getOrElse {
+      // empty range (or rewrites only): an empty feed with the table
+      // schema plus the change columns
+      val sc = schema.getOrElse(readTable(spark, tablePath).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(sc.fields))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_change_version", lit(0L))
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Schema tracking — the engine analogue of the Delta log's schema entry.
   // The table's merged schema lives in `_graft_log/schema.json`, updated
@@ -306,6 +368,35 @@ object Maintenance {
     } finally deleteRecursively(new java.io.File(stage))
   }
 
+  /** Streaming reads of a committed table — the engine analogue of using a
+    * Delta table as a streaming SOURCE (`spark.readStream.format("delta")`;
+    * the reference's silver hop streams from its bronze Delta table,
+    * etl.py:30-32). Composed from Spark's file streaming source, which
+    * already does exactly the right thing for an append-only table: each
+    * micro-batch processes the files that appeared since the checkpoint,
+    * exactly once, resumable. The commit protocol supplies what the file
+    * source lacks — the tracked schema (no inference scan, evolved columns
+    * surface as null in pre-evolution files).
+    *
+    * Constraint, stated rather than hidden: like Delta before
+    * `skipChangeCommits`, a REWRITE (compact/cluster) under a live stream
+    * would re-surface rewritten rows as new files. Pause maintenance while
+    * streaming readers are attached, or run [[maybeCompact]] between
+    * streaming windows — the one-writer-per-table layout this engine uses
+    * already serializes those.
+    */
+  def streamTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val schema = readTableSchema(tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"$tablePath has no tracked schema — not a committed table " +
+          "(streaming reads need the commit protocol; use commitAppend)"))
+    spark.readStream
+      .schema(schema)
+      // only committed data files: never _graft_log, staging, or markers
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(tablePath)
+  }
+
   /** OPTIMIZE-style compaction: rewrite the table to `targetFiles` files
     * via the optimistic read-validate-swap protocol above — safe against
     * concurrent [[commitAppend]] writers.
@@ -326,6 +417,48 @@ object Maintenance {
     optimisticRewrite(spark, path, "__cluster_tmp") { (df, tmp) =>
       df.repartitionByRange(targetFiles, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+
+  /** TRUE Z-ordering on two columns — bit-interleaved multi-dimensional
+    * clustering (Delta's `ZORDER BY`; the reference intends it at
+    * delta_manager.py:19-24, dead code there via the batchIid typo). The
+    * lexicographic sort [[cluster]] performs gives perfect file skipping
+    * on the FIRST column and none on the second; interleaving the bits of
+    * both (Morton order) spends the sort's locality budget evenly, so a
+    * filter on EITHER column prunes files via parquet row-group min/max.
+    *
+    * Each column is linearly min-max-normalized to 16 bits, then the bits
+    * alternate into one 32-bit key — plain bitwise column arithmetic, fully
+    * codegen'd, no UDF; the rewrite is one repartitionByRange+sort, the
+    * same shuffle shape as [[cluster]] at any scale. Linear normalization
+    * assumes roughly uniform value spread (true of id/timestamp columns);
+    * heavily skewed columns should be rank- or log-transformed first.
+    */
+  def zorder(spark: SparkSession, path: String, colA: String, colB: String,
+      targetFiles: Int): Unit =
+    optimisticRewrite(spark, path, "__zorder_tmp") { (df, tmp) =>
+      val mm = df.agg(
+        min(col(colA).cast("double")), max(col(colA).cast("double")),
+        min(col(colB).cast("double")), max(col(colB).cast("double"))).first()
+      def norm16(c: String, lo: Double, hi: Double) = {
+        val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+        val scaled = (col(c).cast("double") - lo) / span * 65535.0
+        // nulls sort first (slot 0), like Spark's default null ordering
+        least(greatest(coalesce(scaled.cast("long"), lit(0L)), lit(0L)),
+          lit(65535L))
+      }
+      val a16 = norm16(colA, mm.getDouble(0), mm.getDouble(1))
+      val b16 = norm16(colB, mm.getDouble(2), mm.getDouble(3))
+      val z = (0 until 16).foldLeft(lit(0L)) { (acc, k) =>
+        acc
+          .bitwiseOR(shiftleft(a16.bitwiseAND(lit(1L << k)), k))
+          .bitwiseOR(shiftleft(b16.bitwiseAND(lit(1L << k)), k + 1))
+      }
+      df.withColumn("__z", z)
+        .repartitionByRange(targetFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
         .write.mode(SaveMode.Overwrite).parquet(tmp)
     }
 

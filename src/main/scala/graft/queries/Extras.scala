@@ -354,7 +354,75 @@ object Extras {
       |WHERE o_orderkey % 3 < v
       |GROUP BY v ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K10: Change Data Feed analogue (Delta `table_changes`; the reference's
+  // Delta tables expose the same history surface its notebooks read —
+  // TimeDelay.ipynb cell 0). Three commitAppend batches build a versioned
+  // table; the feed over (1, 3] must return exactly batches 2 and 3, each
+  // row tagged with the version that inserted it. Incremental consumers
+  // (downstream silver jobs) read O(changed data), never a table diff.
+  private def k10Cdf(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-cdf-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_cdf"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    (0L to 2L).foreach { r =>
+      graft.operators.Maintenance.commitAppend(s, table,
+        o.filter(pmod(col("o_orderkey"), lit(3L)) === r))
+    }
+    val changes = graft.operators.Maintenance
+      .readChangesBetween(s, table, 1L, 3L)
+      .select(col("o_orderkey"), col("cents"),
+        col("_change_type").as("change_type"),
+        col("_change_version").as("change_version"))
+      .orderBy(col("o_orderkey"))
+    graft.streaming.WorkDirs.materializeAndClean(changes, work)
+  }
+
+  private val k10CdfSql =
+    """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+      |  'insert' AS change_type,
+      |  CAST(o_orderkey % 3 + 1 AS BIGINT) AS change_version
+      |FROM orders WHERE o_orderkey % 3 >= 1
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // ST: streaming FROM a committed table (Delta-as-source analogue; the
+  // reference's silver hop streams from bronze Delta, etl.py:30-32). Three
+  // commits build the table; Maintenance.streamTable replays it through a
+  // checkpointed AvailableNow parquet sink, and the sink must equal the
+  // table exactly — the file-source + commit-protocol composition neither
+  // drops nor duplicates a committed row. (Incremental restart semantics
+  // are asserted in MaintenanceSpec; a one-shot query can't show them.)
+  private def stTableStream(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-tstream-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_src"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    (0L to 2L).foreach { r =>
+      graft.operators.Maintenance.commitAppend(s, table,
+        o.filter(pmod(col("o_orderkey"), lit(3L)) === r))
+    }
+    val q = graft.operators.Maintenance.streamTable(s, table).writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.WorkDirs.materializeAndClean(
+      s.read.parquet(s"$work/out").orderBy(col("o_orderkey")), work)
+  }
+
+  private val stTableStreamSql =
+    """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st_table_stream" -> stTableStream _,
+    "k10_cdf" -> k10Cdf _,
     "k8_time_travel" -> k8TimeTravel _,
     "k6_sql_ddl" -> k6SqlDdl _,
     "p1_decode_json" -> p1DecodeJson _,
@@ -365,6 +433,8 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "st_table_stream" -> stTableStreamSql,
+    "k10_cdf" -> k10CdfSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k6_sql_ddl" -> k6SqlDdlSql,
     "p1_decode_json" -> p1DecodeJsonSql,

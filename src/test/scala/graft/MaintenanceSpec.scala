@@ -47,6 +47,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(combos <= 8, s"clustered files span too many keys: $combos")
   }
 
+  test("zorder: per-file locality on BOTH dimensions, data preserved") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-z-${UUID.randomUUID()}/t").getAbsolutePath
+    // two independent uniform dimensions — the case where a lexicographic
+    // sort gives the secondary column zero locality
+    spark.range(0, 4096).toDF("id")
+      .withColumn("a", col("id") % 64)
+      .withColumn("b", (col("id") / 64).cast("long"))
+      .repartition(8).write.parquet(p)
+    val sumBefore = spark.read.parquet(p).agg(sum("id")).first().getLong(0)
+    Maintenance.zorder(spark, p, "a", "b", targetFiles = 16)
+    val after = spark.read.parquet(p)
+    assert(after.count() == 4096)
+    assert(after.agg(sum("id")).first().getLong(0) == sumBefore)
+    // per-file spread: every file must cover well under the full range on
+    // BOTH dims (16 files = 4 z-bits = 2 bit-splits per dimension → each
+    // file spans ~1/4 of each dim; assert ≤ 1/2 with slack for boundaries)
+    val files = Maintenance.parquetFileCount(p)
+    assert(files > 4, s"expected a multi-file layout, got $files")
+    val spreads = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("a"), max("a"), min("b"), max("b")).first()
+        (d.getLong(1) - d.getLong(0), d.getLong(3) - d.getLong(2))
+      }
+    val avgA = spreads.map(_._1).sum.toDouble / spreads.length
+    val avgB = spreads.map(_._2).sum.toDouble / spreads.length
+    assert(avgA <= 32.0, s"dim a has no z-locality: avg spread $avgA of 63")
+    assert(avgB <= 32.0, s"dim b has no z-locality: avg spread $avgB of 63")
+  }
+
   test("commit manifest records deterministic latency stats") {
     val p = freshTable()
     val bars = Tables.t(spark, sfSmoke, "events")
@@ -267,6 +298,73 @@ class MaintenanceSpec extends AnyFunSuite {
     // …and the pre-rewrite version fails with the reclaimed-files error
     val e = intercept[IllegalStateException] {
       Maintenance.readAsOf(spark, p, 1)
+    }
+    assert(e.getMessage.contains("reclaimed"))
+  }
+
+  test("streamTable: committed appends stream incrementally across restarts") {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-stream-${UUID.randomUUID()}").getAbsolutePath
+    val p = s"$root/t"
+    Maintenance.commitAppend(spark, p, spark.range(0, 5).toDF("id"))
+    def runOnce(): Unit = {
+      val q = Maintenance.streamTable(spark, p).writeStream
+        .format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$root/out").count() == 5)
+    Maintenance.commitAppend(spark, p, spark.range(5, 9).toDF("id"))
+    runOnce() // restart from the checkpoint: only the new commit processes
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 9, "second run must append exactly the new batch")
+    assert(out.agg(sum("id")).first().getLong(0) == (0 until 9).sum)
+    // an uncommitted plain-parquet dir has no tracked schema → loud error
+    intercept[IllegalStateException] {
+      Maintenance.streamTable(spark, s"$root/not-a-table")
+    }
+    graft.streaming.WorkDirs.deleteRecursively(new java.io.File(root))
+  }
+
+  test("cdf: the change feed returns exactly the rows each version added") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-cdf-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p, spark.range(0, 5).toDF("id"))
+    Maintenance.commitAppend(spark, p, spark.range(5, 9).toDF("id"))
+    Maintenance.commitAppend(spark, p, spark.range(9, 10).toDF("id"))
+    val feed = Maintenance.readChangesBetween(spark, p, 1, 3)
+    assert(feed.count() == 5) // batches 2+3 only
+    assert(feed.filter(col("_change_version") === 2).count() == 4)
+    assert(feed.filter(col("_change_version") === 3).count() == 1)
+    assert(feed.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(feed.agg(sum("id")).first().getLong(0) == (5 until 10).sum)
+    // empty slice: no rows, schema still carries the change columns
+    val empty = Maintenance.readChangesBetween(spark, p, 3, 3)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("_change_version"))
+    // a future version is an error, not an empty feed
+    intercept[IllegalStateException] {
+      Maintenance.readChangesBetween(spark, p, 1, 7)
+    }
+  }
+
+  test("cdf: a rewrite contributes no row changes; reclaimed deltas fail") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-cdf-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p, spark.range(0, 5).toDF("id"))
+    Maintenance.compact(spark, p, targetFiles = 1) // v2, dataChange=false
+    Maintenance.commitAppend(spark, p, spark.range(5, 9).toDF("id")) // v3
+    // feed over (2, 3]: just the post-rewrite append
+    assert(Maintenance.readChangesBetween(spark, p, 2, 3).count() == 4)
+    // feed spanning the rewrite: the rewrite version is skipped, but v1's
+    // files were reclaimed by it — the feed must fail loudly, not return
+    // an incomplete set
+    val e = intercept[IllegalStateException] {
+      Maintenance.readChangesBetween(spark, p, 0, 3)
     }
     assert(e.getMessage.contains("reclaimed"))
   }
