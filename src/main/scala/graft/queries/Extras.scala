@@ -420,7 +420,48 @@ object Extras {
     """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K11: incremental view maintenance off the change feed — the pattern a
+  // silver aggregate table uses to stay current WITHOUT recomputing over
+  // the whole bronze history (the reference recomputes its silver hop per
+  // micro-batch from the stream; at 100 TB of history, only the delta is
+  // affordable). Each version's CDF slice folds into the running aggregate
+  // as a PARTIAL aggregate (sum/count are abelian: re-aggregating partials
+  // equals aggregating raw rows), so maintenance cost is O(changed data)
+  // per refresh. The oracle is the full recompute — incremental must equal
+  // it exactly.
+  private def k11IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivm-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_ivm"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    (0L to 2L).foreach { r =>
+      graft.operators.Maintenance.commitAppend(s, table,
+        o.filter(pmod(col("o_orderkey"), lit(3L)) === r))
+    }
+    // refresh loop: fold each version's changes into the materialized
+    // partials (in a real pipeline each iteration is one refresh run,
+    // reading only that version's files)
+    val view = (1L to 3L).map { v =>
+      graft.operators.Maintenance.readChangesBetween(s, table, v - 1, v)
+        .groupBy(pmod(col("o_orderkey"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    }.reduce(_.unionByName(_))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("cents_total"))
+      .orderBy(col("bucket"))
+    graft.streaming.WorkDirs.materializeAndClean(view, work)
+  }
+
+  private val k11IncrementalAggSql =
+    """SELECT o_orderkey % 10 AS bucket, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "k11_incremental_agg" -> k11IncrementalAgg _,
     "st_table_stream" -> stTableStream _,
     "k10_cdf" -> k10Cdf _,
     "k8_time_travel" -> k8TimeTravel _,
@@ -433,6 +474,7 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "k11_incremental_agg" -> k11IncrementalAggSql,
     "st_table_stream" -> stTableStreamSql,
     "k10_cdf" -> k10CdfSql,
     "k8_time_travel" -> k8TimeTravelSql,

@@ -499,7 +499,57 @@ object Relational {
       |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W7: batch sessionization (gaps-and-islands) — the batch complement of
+  // the streaming session window (st_session_window): a new session starts
+  // after a >30-min silence per user. One partitioned window pair (lag +
+  // running sum), shuffles once on user_id — the canonical formulation,
+  // embarrassingly parallel across users at any scale. Gap comparison uses
+  // SECOND-truncated epochs in both engines (sub-second ticks would
+  // otherwise split sessions differently between Spark and the oracle).
+  private def w7Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_sec", lag(col("ts").cast("long"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_sec").isNull ||
+          col("ts").cast("long") - col("prev_sec") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+          .as("duration_sec"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  private val w7SessionizeSql =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(CASE WHEN gap_sec IS NULL OR gap_sec > 1800
+      |                  THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM g)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+      |    AS duration_sec
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "w7_sessionize" -> w7Sessionize _,
     "j6_range_join" -> j6RangeJoin _,
     "a7_pivot" -> a7Pivot _,
     "a5_pricing_summary" -> a5PricingSummary _,
@@ -525,6 +575,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "w7_sessionize" -> w7SessionizeSql,
     "j6_range_join" -> j6RangeJoinSql,
     "a7_pivot" -> a7PivotSql,
     "a5_pricing_summary" -> a5PricingSummarySql,
