@@ -174,9 +174,19 @@ object Bench {
         else s""","errors":$compactErrors"""
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs$err,"failed":$failed,"sf":$sfJson}"""
     }
-    val line = Seq((2, true), (1, true), (1, false))
-      .map((compactLine _).tupled).find(_.length <= 1850)
-      .getOrElse(compactLine(1, withErrors = false))
+    // last-resort shapes, still valid JSON with the same headline keys:
+    // top-N slowest queries only (the ones a reader acts on), then none —
+    // the line must parse even if the query inventory doubles again
+    def topLine(n: Int): String = {
+      val qs = results.sortBy(-_._2).take(n)
+        .map { case (k, w, _, _, _) => s"\"$k\":${fmt(w, 1)}" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"queries_truncated_to":$n,"failed":$failed,"sf":$sfJson}"""
+    }
+    val line = (Seq((2, true), (1, true), (1, false))
+        .map((compactLine _).tupled) ++ Seq(topLine(20), topLine(5)))
+      .find(_.length <= 1850)
+      .getOrElse(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","failed":$failed,"sf":$sfJson}""")
     spark.stop()
     // printed AFTER spark.stop() so the line is this process's final
     // stdout — nothing can land between it and the end of the log
