@@ -473,6 +473,43 @@ object Relational {
       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J7: salted skew join, driver-gated — events has only 5 distinct
+  // event_type keys, so an unsalted SHUFFLE join puts ~20% of the fact
+  // table on each of 5 reducers no matter how many executors exist;
+  // saltedJoin spreads each hot key over 8 sub-keys (deterministic salt
+  // from event_id, small side exploded). The oracle is the plain join:
+  // salting must be invisible in the result. (At this fixture size
+  // Catalyst broadcasts the exploded dim — the salt is inert but
+  // harmless; the salted-SHUFFLE equality contract is what
+  // SaltingCosineSpec asserts, and at 100 TB the dim side of a skewed
+  // join is exactly what outgrows broadcast.)
+  private def j7SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dim = e.groupBy(col("event_type"))
+      .agg((sumCents(col("value")) / 100.0 / count(lit(1))).as("et_mean"))
+    graft.operators.Salting
+      .saltedJoin(e, dim, "event_type", "event_id", saltFactor = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("et_mean")).as("et_mean"),
+        (sumCents(abs(col("value") - col("et_mean"))) / 100.0)
+          .as("abs_dev_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val j7SaltedJoinSql =
+    """WITH dim AS (
+      |  SELECT event_type,
+      |    sum(CAST(round(value*100) AS BIGINT))/100.0/count(*) AS et_mean
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, count(*) AS n_events, max(d.et_mean) AS et_mean,
+      |  sum(CAST(round(abs(e.value - d.et_mean)*100) AS BIGINT))/100.0
+      |    AS abs_dev_sum
+      |FROM events e JOIN dim d ON e.event_type = d.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A7: pivot (long → wide) — yearly order value by status as columns.
   // Explicit pivot values keep the schema static (no distinct-values scan,
   // the form that works on a planner with no runtime schema discovery);
@@ -549,6 +586,7 @@ object Relational {
 
   // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "j7_salted_join" -> j7SaltedJoin _,
     "w7_sessionize" -> w7Sessionize _,
     "j6_range_join" -> j6RangeJoin _,
     "a7_pivot" -> a7Pivot _,
@@ -575,6 +613,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j7_salted_join" -> j7SaltedJoinSql,
     "w7_sessionize" -> w7SessionizeSql,
     "j6_range_join" -> j6RangeJoinSql,
     "a7_pivot" -> a7PivotSql,
