@@ -79,6 +79,33 @@ object Analytics {
       |ORDER BY region, nation""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A9: CUBE — all four grouping combinations in one pass (rollup's
+  // lattice completion; one shuffle, grouping-set expansion handled by
+  // the planner). 'ALL' coalescing keeps the oracle free of engine null-
+  // ordering differences, same as a5_rollup.
+  private def a9Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(round(col("l_quantity") * 100).cast("long")) / 100.0)
+          .as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_lines"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  private val a9CubeSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // K7: bucketed co-located join — both sides written bucketed+sorted on
   // the join key, so the sort-merge join runs with no exchange on either
   // side (asserted in BucketStreamSpec). The query itself is plain
@@ -479,6 +506,7 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "w6_rank_suite" -> w6RankSuite _,
     "a5_rollup" -> a5Rollup _,
+    "a9_cube" -> a9Cube _,
     "k7_bucketed_join" -> k7BucketedJoin _,
     "ss_stream_stream_join" -> ssStreamStreamJoin _,
     "st_dropdup_stream" -> stDropdupStream _,
@@ -489,6 +517,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "w6_rank_suite" -> w6RankSuiteSql,
     "a5_rollup" -> a5RollupSql,
+    "a9_cube" -> a9CubeSql,
     "k7_bucketed_join" -> k7BucketedJoinSql,
     "ss_stream_stream_join" -> ssStreamStreamJoinSql,
     "st_dropdup_stream" -> stDropdupStreamSql,
