@@ -503,10 +503,33 @@ object Analytics {
       |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // A8: fixed-width histogram — the profiling aggregate every dataset
+  // exploration starts with. Buckets computed in integer cents
+  // (cents div 500000 = $5000-wide bins) so bucket boundaries are exact in
+  // both engines — a double division could flip floor() at an exact
+  // multiple. One hash aggregate, map-side partials; bucket count is
+  // bounded by the value range, never the row count.
+  private def a8Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(expr("cast(round(l_extendedprice * 100) as long) div 500000")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+          .as("sum_price"))
+      .orderBy(col("bucket"))
+
+  private val a8HistogramSql =
+    """SELECT CAST(round(l_extendedprice*100) AS BIGINT) // 500000 AS bucket,
+      |  count(*) AS n,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price
+      |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "w6_rank_suite" -> w6RankSuite _,
     "a5_rollup" -> a5Rollup _,
     "a9_cube" -> a9Cube _,
+    "a8_histogram" -> a8Histogram _,
     "k7_bucketed_join" -> k7BucketedJoin _,
     "ss_stream_stream_join" -> ssStreamStreamJoin _,
     "st_dropdup_stream" -> stDropdupStream _,
@@ -518,6 +541,7 @@ object Analytics {
     "w6_rank_suite" -> w6RankSuiteSql,
     "a5_rollup" -> a5RollupSql,
     "a9_cube" -> a9CubeSql,
+    "a8_histogram" -> a8HistogramSql,
     "k7_bucketed_join" -> k7BucketedJoinSql,
     "ss_stream_stream_join" -> ssStreamStreamJoinSql,
     "st_dropdup_stream" -> stDropdupStreamSql,

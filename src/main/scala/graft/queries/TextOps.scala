@@ -218,19 +218,168 @@ object TextOps {
     winnowPairs(s, dir)
 
   // ---------------------------------------------------------------------
+  // Repetition filter (the Gopher/MassiveText repetition rules adapted to
+  // word n-grams): a document dominated by one repeated 2-gram, or whose
+  // 3-grams are mostly duplicates, is boilerplate/spam — flag it. Both
+  // metrics are per-document aggregates over exploded n-gram INSTANCES
+  // (not the distinct shingle set dedup uses):
+  //   top2_frac = occurrences of the most frequent 2-gram / all 2-grams
+  //   dup3_frac = 3-gram instances whose gram occurs >1 time / all 3-grams
+  // Scale shape: explode → two-level groupBy keyed (doc_id, gram) then
+  // doc_id — partial aggregation map-side, shards by doc hash, no windows,
+  // no skew (gram counts are bounded by document length).
+  /** (doc_id, top2_frac, dup3_frac, flagged) over any (doc_id, text)
+    * frame — exposed so specs can feed injected degenerate documents. */
+  def repetitionMetrics(docsRaw: DataFrame): DataFrame = {
+    val docs = docsRaw
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+    def gramCounts(n: Int): DataFrame = {
+      val terms = (0 until n).map(k => s"w[i+$k]").mkString(", ")
+      docs.select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $terms))"))
+          .as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+    }
+    val m2 = gramCounts(2).groupBy(col("doc_id"))
+      .agg(round(max(col("c")) / sum(col("c")), 6).as("top2_frac"))
+    val m3 = gramCounts(3).groupBy(col("doc_id"))
+      .agg(round(
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))) / sum(col("c")),
+        6).as("dup3_frac"))
+    m2.join(m3, Seq("doc_id"))
+      .select(col("doc_id"), col("top2_frac"), col("dup3_frac"),
+        (col("top2_frac") > 0.08 || col("dup3_frac") > 0.02)
+          .cast("long").as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def txRepetition(s: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(t(s, dir, "documents"))
+
+  private val txRepetitionSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+      |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+      |g2 AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+      |        FROM docs)),
+      |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |m2 AS (SELECT doc_id, round(max(c)*1.0/sum(c), 6) AS top2_frac
+      |       FROM c2 GROUP BY 1),
+      |g3 AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |        FROM docs)),
+      |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |m3 AS (SELECT doc_id,
+      |         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)*1.0/sum(c), 6)
+      |           AS dup3_frac
+      |       FROM c3 GROUP BY 1)
+      |SELECT doc_id, top2_frac, dup3_frac,
+      |  CAST(top2_frac > 0.08 OR dup3_frac > 0.02 AS BIGINT) AS flagged
+      |FROM m2 JOIN m3 USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Benchmark-contamination scan (the GPT-3/FLAN n-gram decontamination
+  // check): a training document sharing a long word n-gram with any
+  // benchmark/eval document is contaminated and must be dropped before
+  // training. The benchmark set here is the deterministic doc_id%10==7
+  // slice (a fixture stand-in for the real eval suite). Candidates come
+  // from an equi-join on the 8-word gram — and because a benchmark suite
+  // is tiny next to a 100 TB corpus, the benchmark side is broadcast: the
+  // corpus-sized side is never shuffled.
+  private def txContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.operators.Dedup.shingles(
+      t(s, dir, "documents"), "doc_id", "text", n = 8)
+    val bench = sh.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val train = sh.filter(col("doc_id") % 10 =!= 7)
+    train.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txContaminationSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+      |  FROM docs WHERE len(w) >= 8),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS shingle
+      |  FROM idx),
+      |bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+      |          WHERE doc_id % 10 = 7),
+      |train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 7)
+      |SELECT doc_id, count(DISTINCT shingle) AS n_shared_grams,
+      |  count(DISTINCT bench_id) AS n_bench_docs
+      |FROM train JOIN bench USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corpus-frequency rarity score (the CCNet-style LM-quality proxy with
+  // integer-exact arithmetic): per document, the token-frequency-weighted
+  // mean and the min corpus document-frequency of its tokens. Documents of
+  // common well-formed words score high; gibberish/OCR noise scores low
+  // (its tokens appear nowhere else). Scale shape: the explode collapses
+  // immediately to (doc, token, tf) with map-side combine, the df table is
+  // one more groupBy of THAT, and the join back is keyed on token at
+  // (doc, token) grain — never token instances, so the Zipf head ("the"
+  // in every doc) contributes one row per document, not one per
+  // occurrence, and AQE's skew-join split handles the remaining head.
+  // Integer sums with one final division, so both engines agree exactly.
+  private def txRarity(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val tokenDf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(tokenDf, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("df") * col("tf")) / sum(col("tf")), 6).as("mean_df"),
+        min(col("df")).as("min_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txRaritySql =
+    """WITH tf AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  round(sum(df*tf)*1.0/sum(tf), 6) AS mean_df,
+      |  min(df) AS min_df
+      |FROM tf JOIN df USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "tx_fingerprint" -> txFingerprint _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangId _,
     "tx_tokens" -> txTokens _,
     "tx_winnow" -> txWinnow _,
-    "tx_winnow_pairs" -> txWinnowPairs _
+    "tx_winnow_pairs" -> txWinnowPairs _,
+    "tx_repetition" -> txRepetition _,
+    "tx_contamination" -> txContamination _,
+    "tx_rarity" -> txRarity _
   )
 
   val oracle: Map[String, String] = Map(
     "tx_fingerprint" -> txFingerprintSql,
     "tx_quality" -> txQualitySql,
     "tx_langid" -> txLangIdSql,
-    "tx_tokens" -> txTokensSql
+    "tx_tokens" -> txTokensSql,
+    "tx_repetition" -> txRepetitionSql,
+    "tx_contamination" -> txContaminationSql,
+    "tx_rarity" -> txRaritySql
   )
 }

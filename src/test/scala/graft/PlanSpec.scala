@@ -158,6 +158,25 @@ class PlanSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("tx_contamination: the benchmark side broadcasts (corpus unshuffled)") {
+    // the eval suite is tiny next to a 100 TB corpus: the gram join must
+    // broadcast the benchmark grams, never shuffle the corpus-sized side
+    val plan = planOf(
+      graft.queries.TextOps.queries("tx_contamination")(spark, sfSmoke))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("a8_histogram: single hash aggregate with map-side partials") {
+    val df = graft.queries.Analytics.queries("a8_histogram")(spark, sfSmoke)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "bucket counts must partial-aggregate before the shuffle")
+    // histogram sums the table: one full-table window/sort would be wrong
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("partitioned fact + filtered dim join prunes partitions dynamically") {
     import spark.implicits._
     // partition-pruning is the partitioned-sink payoff (the k2 fact table

@@ -485,4 +485,74 @@ class ScaleOpsSpec extends AnyFunSuite {
       .filter(col("again") =!= col("norm_text"))
     assert(drift.count() == 0)
   }
+
+  // ---- curation: repetition / contamination / rarity -------------------
+
+  test("repetition: flags injected spam, passes normal prose, flag = rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, ("buy now " * 20).trim),
+      // long enough that 1/(n_grams) clears the 0.08 bar: a SHORT unique
+      // doc still has top2_frac = 1/(words-1), which is the length-
+      // sensitivity the Gopher rules accept on long-form corpora
+      (3L, (1 to 30).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextOps.repetitionMetrics(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: every 2-gram is "spam spam" → top2_frac = 1, flagged
+    assert(m(1L).getAs[Double]("top2_frac") == 1.0)
+    assert(m(1L).getAs[Long]("flagged") == 1L)
+    // doc 2: "buy now" dominates and every 3-gram repeats → both fire
+    assert(m(2L).getAs[Double]("dup3_frac") == 1.0)
+    assert(m(2L).getAs[Long]("flagged") == 1L)
+    // doc 3: no repeated n-gram at all
+    assert(m(3L).getAs[Double]("top2_frac") < 0.08)
+    assert(m(3L).getAs[Double]("dup3_frac") == 0.0)
+    assert(m(3L).getAs[Long]("flagged") == 0L)
+    // the flag is exactly the published rule on the fixture corpus
+    val rows = TextOps.queries("tx_repetition")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getAs[Double]("top2_frac") > 0.08 ||
+        r.getAs[Double]("dup3_frac") > 0.02
+      assert((r.getAs[Long]("flagged") == 1L) == expect)
+    }
+  }
+
+  test("contamination: only train docs reported, every hit shares a gram") {
+    val rows = TextOps.queries("tx_contamination")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty, "fixture near-dups should cross the bench split")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 != 7, "bench docs are not train")
+      assert(r.getAs[Long]("n_shared_grams") >= 1L)
+      assert(r.getAs[Long]("n_bench_docs") >= 1L)
+    }
+    // independent recompute of one reported doc's shared-gram count
+    val docId = rows.head.getAs[Long]("doc_id")
+    val sh = Dedup.shingles(Tables.t(spark, sfSmoke, "documents"),
+      "doc_id", "text", 8)
+    val benchGrams = sh.filter(col("doc_id") % 10 === 7)
+      .select("shingle").distinct()
+    val expected = sh.filter(col("doc_id") === docId)
+      .join(benchGrams, Seq("shingle")).count()
+    assert(rows.head.getAs[Long]("n_shared_grams") == expected)
+  }
+
+  test("rarity: df-weighted mean bounded by min; token mass conserved") {
+    val rows = TextOps.queries("tx_rarity")(spark, sfSmoke).collect()
+    val nDocs = Tables.t(spark, sfSmoke, "documents").count()
+    assert(rows.length == nDocs.toInt)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_df") >= 1L)
+      assert(r.getAs[Long]("min_df") <= nDocs)
+      assert(r.getAs[Double]("mean_df") >= r.getAs[Long]("min_df").toDouble)
+      assert(r.getAs[Long]("n_tokens") >= 1L)
+    }
+    // every token instance is scored exactly once
+    val totalTokens = Tables.t(spark, sfSmoke, "documents")
+      .select(size(split(col("text"), "\\s+")).cast("long").as("n"))
+      .agg(sum(col("n"))).first().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+  }
 }
