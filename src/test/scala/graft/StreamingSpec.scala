@@ -105,4 +105,58 @@ class StreamingSpec extends AnyFunSuite {
     val b = StreamingQueries.queries("k2_stream_fact")(spark, sfSmoke).collect()
     assert(a.sameElements(b))
   }
+
+  // ---- incremental dedup on ingest -------------------------------------
+
+  test("incremental dedup equals batch exact dedup over the same corpus") {
+    val streamed = graft.queries.DedupOps
+      .queries("st_incremental_dedup")(spark, sfSmoke).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = Tables.t(spark, sfSmoke, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id_kept"))
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+    assert(streamed.toSet == expected.toSet)
+    assert(streamed.length == expected.length, "index must hold no dups")
+  }
+
+  test("incremental dedup: replay is idempotent, restart picks up new files") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    import graft.operators.Maintenance
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ingest-spec-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val curated = s"$work/curated"
+    def spoolFile(rows: Seq[(Long, String)], name: String, mtime: Long): Unit =
+      graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+        rows.toDF("doc_id", "text"), s"$work/spool/$name", mtime)
+    val base = (System.currentTimeMillis() / 1000) * 1000
+    // batch 1: one dup inside the batch; batch 2: one dup ACROSS batches
+    spoolFile(Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta")),
+      "aa-0.parquet", base)
+    spoolFile(Seq((4L, "beta"), (5L, "gamma")), "bb-1.parquet", base + 2000)
+    DedupOps.incrementalDedupRun(spark, s"$work/spool", curated,
+      s"$work/_chk")
+    def kept(): Set[(Long, String)] =
+      Maintenance.readTable(spark, curated)
+        .select(col("doc_id_kept"), col("text_hash")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val after2 = kept()
+    assert(after2.map(_._1) == Set(1L, 3L, 5L),
+      s"in-batch and cross-batch dups must keep min ids: $after2")
+    // crash-replay safety: re-drive the WHOLE spool with a fresh
+    // checkpoint against the finished table — the anti-join must find
+    // nothing novel and leave the table byte-identical
+    DedupOps.incrementalDedupRun(spark, s"$work/spool", curated,
+      s"$work/_chk_replay")
+    assert(kept() == after2, "full replay must not duplicate the index")
+    // restart with the ORIGINAL checkpoint after new data arrives:
+    // exactly the new file is processed
+    spoolFile(Seq((6L, "gamma"), (7L, "delta")), "cc-2.parquet", base + 4000)
+    DedupOps.incrementalDedupRun(spark, s"$work/spool", curated,
+      s"$work/_chk")
+    assert(kept().map(_._1) == Set(1L, 3L, 5L, 7L),
+      "restart must add only the novel doc from the new file")
+    graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
+  }
 }
