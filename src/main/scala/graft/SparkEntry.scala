@@ -62,5 +62,6 @@ object SparkEntry {
       "o_orderkey", 8)
     Extras.ensureReplayFixture(spark, sfDir)
     Analytics.ensureEvictFixture(spark, sfDir)
+    DedupOps.ensureIngestFixture(spark, sfDir)
   }
 }

@@ -53,15 +53,21 @@ object Components {
       idB: String = "id_b", maxIters: Int = 20,
       requireConvergence: Boolean = true,
       maxDriverEdges: Long = DefaultMaxDriverEdges): (DataFrame, Int, Boolean) = {
+    // materialize the pair set once: `pairs` is usually the tail of an
+    // expensive LSH-candidate + verify plan, and verts + the oriented edge
+    // set would otherwise each re-run that whole plan. The pair set is the
+    // DUPLICATES — corpus-small by construction — so block-manager
+    // materialization is cheap
+    val p = pairs.localCheckpoint()
     // localCheckpoint (eager) every round: iterative self-referencing
     // DataFrames double their logical plan per iteration, and analysis cost
     // goes super-linear without lineage truncation
-    val verts = pairs.select(col(idA).as("id"))
-      .unionByName(pairs.select(col(idB).as("id")))
+    val verts = p.select(col(idA).as("id"))
+      .unionByName(p.select(col(idB).as("id")))
       .distinct().localCheckpoint()
     // edges oriented big → small; self-loops drop out (their vertices stay
     // in `verts` and resurface as singletons in the final left-join)
-    var e = pairs
+    var e = p
       .select(greatest(col(idA), col(idB)).as("u"),
         least(col(idA), col(idB)).as("v"))
       .filter(col("u") =!= col("v"))

@@ -361,6 +361,85 @@ object TextOps {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Per-source curation report — the consumable dashboard dataset of the
+  // curation family (every analytical surface should end in one, the way
+  // the reference's Superset datasets do): per ingestion source, document
+  // count, token mass, repetition-flag rate, and benchmark-contamination
+  // count, all joined at doc grain and rolled up. Integer sums with single
+  // divisions only, so the report is exactly oracle-able (a mean of the
+  // double quality_score would be summation-order-dependent and is left
+  // to the per-doc query).
+  private def txSourceReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        reCount(col("text"), "\\S+").cast("long").as("n_words"))
+    val rep = repetitionMetrics(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("flagged"))
+    val cont = txContamination(s, dir).select(col("doc_id"), lit(1L).as("c"))
+    docs
+      .join(rep, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(coalesce(col("flagged"), lit(0L))).as("flagged_n"),
+        round(sum(coalesce(col("flagged"), lit(0L))) / count(lit(1)), 6)
+          .as("flagged_frac"),
+        sum(coalesce(col("c"), lit(0L))).as("contaminated_n"))
+      .orderBy(col("source"))
+  }
+
+  private val txSourceReportSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+      |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+      |g2 AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+      |        FROM docs)),
+      |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |m2 AS (SELECT doc_id, round(max(c)*1.0/sum(c), 6) AS top2_frac
+      |       FROM c2 GROUP BY 1),
+      |g3 AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |        FROM docs)),
+      |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |m3 AS (SELECT doc_id,
+      |         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)*1.0/sum(c), 6)
+      |           AS dup3_frac
+      |       FROM c3 GROUP BY 1),
+      |rep AS (
+      |  SELECT doc_id,
+      |    CAST(top2_frac > 0.08 OR dup3_frac > 0.02 AS BIGINT) AS flagged
+      |  FROM m2 JOIN m3 USING (doc_id)),
+      |idx8 AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+      |        FROM documents) WHERE len(w) >= 8),
+      |sh8 AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS shingle
+      |  FROM idx8),
+      |cont AS (
+      |  SELECT DISTINCT t.doc_id, 1 AS is_cont
+      |  FROM (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 10 <> 7) t
+      |  JOIN (SELECT shingle FROM sh8 WHERE doc_id % 10 = 7) b
+      |    USING (shingle))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+      |    AS total_words,
+      |  CAST(sum(coalesce(flagged, 0)) AS BIGINT) AS flagged_n,
+      |  round(sum(coalesce(flagged, 0))*1.0/count(*), 6) AS flagged_frac,
+      |  CAST(sum(coalesce(is_cont, 0)) AS BIGINT) AS contaminated_n
+      |FROM documents
+      |LEFT JOIN rep USING (doc_id)
+      |LEFT JOIN cont USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "tx_fingerprint" -> txFingerprint _,
     "tx_quality" -> txQuality _,
@@ -370,7 +449,8 @@ object TextOps {
     "tx_winnow_pairs" -> txWinnowPairs _,
     "tx_repetition" -> txRepetition _,
     "tx_contamination" -> txContamination _,
-    "tx_rarity" -> txRarity _
+    "tx_rarity" -> txRarity _,
+    "tx_source_report" -> txSourceReport _
   )
 
   val oracle: Map[String, String] = Map(
@@ -380,6 +460,7 @@ object TextOps {
     "tx_tokens" -> txTokensSql,
     "tx_repetition" -> txRepetitionSql,
     "tx_contamination" -> txContaminationSql,
-    "tx_rarity" -> txRaritySql
+    "tx_rarity" -> txRaritySql,
+    "tx_source_report" -> txSourceReportSql
   )
 }
