@@ -277,6 +277,32 @@ object SimilarityOps {
     dedupKeepEmbeddings(s, dir)
 
   // ---------------------------------------------------------------------
+  // Topic clustering — the corpus-organization step of an embedding
+  // pipeline (bucket documents by semantic neighborhood before sampling /
+  // balancing): k-means over the embedding column via the IVF machinery
+  // (hash-seeded centroids, Lloyd refinement, max_by assignment — no
+  // windows, centroid table broadcast), reported as one row per topic
+  // with member count and mean member-to-centroid cosine (the cluster
+  // cohesion metric). Rows-only (seeding is hash-dependent); sum-of-sizes
+  // / cohesion-range / nearest-centroid invariants in ScaleOpsSpec.
+  /** Exposed with k so specs can vary the topic count. */
+  def topics(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val e = embDouble(s, dir)
+    val cents = graft.operators.Ivf.centroids(
+      e, "vec_id", "v", numCells = k, iters = 3)(cosine(s) _)
+    graft.operators.Ivf.assign(e, cents, "vec_id", "v")(cosine(s) _)
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .withColumn("cos_c", cosine(s)(col("v"), col("cv")))
+      .groupBy(col("cell").as("topic_id"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("cos_c")), 4).as("mean_cos"))
+      .orderBy(col("topic_id"))
+  }
+
+  private def simTopics(s: SparkSession, dir: String): DataFrame =
+    topics(s, dir)
+
+  // ---------------------------------------------------------------------
   // Symmetric int8 quantization of the embedding column — the storage
   // compression step of an embedding pipeline (4 bytes/dim → 1). Per
   // vector: scale = max |x| (clamped), code_i = floor(x/scale*127 + 0.5),
@@ -314,6 +340,7 @@ object SimilarityOps {
     "sim_neardup_pairs" -> simNearDupPairs _,
     "sim_neardup_lsh" -> simNearDupLsh _,
     "sim_dedup_keep" -> simDedupKeep _,
+    "sim_topics" -> simTopics _,
     "sim_quantize_stats" -> simQuantizeStats _
   )
 

@@ -158,6 +158,45 @@ class PlanSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("selective shuffle join injects a runtime bloom filter (big side)") {
+    import spark.implicits._
+    // when the dim side is too big to broadcast but carries a selective
+    // filter, Spark's InjectRuntimeFilter should plant a bloom filter on
+    // the fact scan — at 100 TB that prunes shuffle input by the dim
+    // selectivity before any exchange. Thresholds are tuned down because
+    // the fixture is small; the assertion is that the engine's sessions
+    // leave the feature ON and the plan shape admits it.
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-bloom-fixture").getAbsolutePath
+    if (!new java.io.File(s"$dir/fact/_SUCCESS").exists()
+        || !new java.io.File(s"$dir/dim/_SUCCESS").exists()) {
+      (0L until 100000L).map(i => (i, i % 1000)).toDF("v", "pk")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      (0L until 1000L).map(i => (i, if (i < 10) "keep" else "drop"))
+        .toDF("pk", "tag").write.mode("overwrite").parquet(s"$dir/dim")
+    }
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"tag" === "keep")
+      val joined = fact.join(dim, "pk")
+      val plan = planOf(joined)
+      assert(plan.toLowerCase.contains("bloomfilter")
+          || plan.contains("might_contain"),
+        "runtime bloom filter missing from the fact side:\n" + plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("tx_contamination: the benchmark side broadcasts (corpus unshuffled)") {
     // the eval suite is tiny next to a 100 TB corpus: the gram join must
     // broadcast the benchmark grams, never shuffle the corpus-sized side

@@ -486,6 +486,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(drift.count() == 0)
   }
 
+  test("topics: partition of the corpus, cohesive clusters, deterministic") {
+    val n = Tables.t(spark, sfSmoke, "embeddings").count()
+    val a = SimilarityOps.topics(spark, sfSmoke).collect()
+    assert(a.nonEmpty && a.length <= 8, s"k=8 gives at most 8 topics")
+    assert(a.map(_.getAs[Long]("n_members")).sum == n,
+      "every vector lands in exactly one topic")
+    a.foreach { r =>
+      val c = r.getAs[Double]("mean_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // hash seeding + Lloyd are deterministic: a re-run is identical
+    val b = SimilarityOps.topics(spark, sfSmoke).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   // ---- curation: repetition / contamination / rarity -------------------
 
   test("repetition: flags injected spam, passes normal prose, flag = rule") {
