@@ -440,6 +440,101 @@ object TextOps {
       |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // End-to-end curation manifest — the one artifact a training run
+  // actually consumes: per document, a keep/drop verdict with the FIRST
+  // failing rule as the reason, rules ordered by severity the way
+  // production pipelines order them (exact duplicate ≻ benchmark
+  // contamination ≻ repetition spam ≻ too short). Every rule reuses an
+  // already-oracled building block, so the composition stays exactly
+  // oracle-able end to end. Scale shape: three left joins against
+  // doc-keyed aggregates (dup keep-set, contamination hits, repetition
+  // flags), each itself shuffle-partitioned on doc/content hashes — no
+  // windows, no skew.
+  private def txCurationManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        reCount(col("text"), "\\S+").cast("long").as("n_words"),
+        md5(col("text").cast("binary")).as("text_hash"))
+    // keep-one-per-hash: the doc is a duplicate unless it IS the keeper
+    val keepers = docs.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    val cont = txContamination(s, dir)
+      .select(col("doc_id"), lit(1L).as("is_cont"))
+    val rep = repetitionMetrics(
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("flagged"))
+    docs
+      .join(keepers, Seq("text_hash"))
+      .join(cont, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") =!= col("keeper_id"), "duplicate")
+          .when(col("is_cont") === 1L, "contaminated")
+          .when(coalesce(col("flagged"), lit(0L)) === 1L, "repetitive")
+          .when(col("n_words") < 20L, "too_short")
+          .otherwise("kept").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txCurationManifestSql =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    len(regexp_extract_all(text, '\S+')) AS n_words,
+      |    md5(text) AS text_hash
+      |  FROM documents),
+      |keepers AS (
+      |  SELECT text_hash, min(doc_id) AS keeper_id FROM base GROUP BY 1),
+      |docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+      |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+      |g2 AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+      |        FROM docs)),
+      |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |m2 AS (SELECT doc_id, round(max(c)*1.0/sum(c), 6) AS top2_frac
+      |       FROM c2 GROUP BY 1),
+      |g3 AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |        FROM docs)),
+      |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+      |m3 AS (SELECT doc_id,
+      |         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)*1.0/sum(c), 6)
+      |           AS dup3_frac
+      |       FROM c3 GROUP BY 1),
+      |rep AS (
+      |  SELECT doc_id,
+      |    CAST(top2_frac > 0.08 OR dup3_frac > 0.02 AS BIGINT) AS flagged
+      |  FROM m2 JOIN m3 USING (doc_id)),
+      |idx8 AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+      |        FROM documents) WHERE len(w) >= 8),
+      |sh8 AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS shingle
+      |  FROM idx8),
+      |cont AS (
+      |  SELECT DISTINCT t.doc_id, 1 AS is_cont
+      |  FROM (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 10 <> 7) t
+      |  JOIN (SELECT shingle FROM sh8 WHERE doc_id % 10 = 7) b
+      |    USING (shingle))
+      |SELECT base.doc_id, source,
+      |  CASE
+      |    WHEN base.doc_id <> keeper_id THEN 'duplicate'
+      |    WHEN is_cont = 1 THEN 'contaminated'
+      |    WHEN coalesce(flagged, 0) = 1 THEN 'repetitive'
+      |    WHEN n_words < 20 THEN 'too_short'
+      |    ELSE 'kept' END AS verdict
+      |FROM base
+      |JOIN keepers USING (text_hash)
+      |LEFT JOIN cont ON cont.doc_id = base.doc_id
+      |LEFT JOIN rep ON rep.doc_id = base.doc_id
+      |ORDER BY base.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "tx_fingerprint" -> txFingerprint _,
     "tx_quality" -> txQuality _,
@@ -450,7 +545,8 @@ object TextOps {
     "tx_repetition" -> txRepetition _,
     "tx_contamination" -> txContamination _,
     "tx_rarity" -> txRarity _,
-    "tx_source_report" -> txSourceReport _
+    "tx_source_report" -> txSourceReport _,
+    "tx_curation_manifest" -> txCurationManifest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -461,6 +557,7 @@ object TextOps {
     "tx_repetition" -> txRepetitionSql,
     "tx_contamination" -> txContaminationSql,
     "tx_rarity" -> txRaritySql,
-    "tx_source_report" -> txSourceReportSql
+    "tx_source_report" -> txSourceReportSql,
+    "tx_curation_manifest" -> txCurationManifestSql
   )
 }

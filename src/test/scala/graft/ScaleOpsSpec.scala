@@ -554,6 +554,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_shared_grams") == expected)
   }
 
+  test("curation manifest: verdicts consistent with their source rules") {
+    val m = TextOps.queries("tx_curation_manifest")(spark, sfSmoke).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    val nDocs = Tables.t(spark, sfSmoke, "documents").count()
+    assert(m.size == nDocs.toInt, "one verdict per document")
+    assert(m.values.toSet.subsetOf(
+      Set("kept", "duplicate", "contaminated", "repetitive", "too_short")))
+    // contaminated verdicts ⊆ the contamination query's hits (a doc can
+    // be contaminated yet verdict 'duplicate' — severity order)
+    val contDocs = TextOps.queries("tx_contamination")(spark, sfSmoke)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    m.collect { case (id, "contaminated") => id }.foreach { id =>
+      assert(contDocs.contains(id), s"doc $id marked contaminated w/o hit")
+    }
+    // every duplicate has a kept doc with the same text and a smaller id
+    val byHash = Tables.t(spark, sfSmoke, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    m.collect { case (id, "duplicate") => id }.foreach { id =>
+      val keeper = byHash.collect {
+        case (i, h) if h == byHash(id) => i }.min
+      assert(keeper < id, s"dup $id should not be its hash's min")
+    }
+    // a kept doc fails none of the rules its verdict outranks
+    val flagged = TextOps.queries("tx_repetition")(spark, sfSmoke)
+      .filter(col("flagged") === 1L).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    m.collect { case (id, "kept") => id }.foreach { id =>
+      assert(!contDocs.contains(id) && !flagged.contains(id),
+        s"doc $id kept despite a failing rule")
+    }
+  }
+
   test("rarity: df-weighted mean bounded by min; token mass conserved") {
     val rows = TextOps.queries("tx_rarity")(spark, sfSmoke).collect()
     val nDocs = Tables.t(spark, sfSmoke, "documents").count()
