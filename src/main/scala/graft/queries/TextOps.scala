@@ -440,6 +440,54 @@ object TextOps {
       |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // PII redaction — the compliance pass every training corpus runs before
+  // anything else: emails, IPv4 addresses, and phone-shaped numbers are
+  // replaced with typed placeholders, with per-doc match counts kept for
+  // the audit trail. Patterns are deliberately conservative (word-bounded,
+  // no catastrophic backtracking) and expressed in the regex subset Java
+  // and RE2 agree on, so the oracle runs the identical patterns. Pure
+  // regexp_replace/regexp_count column expressions — codegen'd, no UDFs,
+  // embarrassingly parallel at any corpus size.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** (doc_id, red_text, n_emails, n_ips, n_phones) over any
+    * (doc_id, text) frame — exposed so specs can inject synthetic PII
+    * (the fixture corpus is PII-free by construction). Order matters:
+    * emails go first so their host part cannot be re-matched as a bare
+    * IP/phone fragment afterwards.
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("red_text"),
+      reCount(col("text"), EmailRe).cast("long").as("n_emails"),
+      reCount(col("text"), Ipv4Re).cast("long").as("n_ips"),
+      reCount(col("text"), PhoneRe).cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+
+  private def txRedact(s: SparkSession, dir: String): DataFrame =
+    redactPii(t(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  private val txRedactSql =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS red_text,
+      |  len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+      |  len(regexp_extract_all(text,
+      |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // End-to-end curation manifest — the one artifact a training run
   // actually consumes: per document, a keep/drop verdict with the FIRST
   // failing rule as the reason, rules ordered by severity the way
@@ -546,7 +594,8 @@ object TextOps {
     "tx_contamination" -> txContamination _,
     "tx_rarity" -> txRarity _,
     "tx_source_report" -> txSourceReport _,
-    "tx_curation_manifest" -> txCurationManifest _
+    "tx_curation_manifest" -> txCurationManifest _,
+    "tx_redact" -> txRedact _
   )
 
   val oracle: Map[String, String] = Map(
@@ -558,6 +607,7 @@ object TextOps {
     "tx_contamination" -> txContaminationSql,
     "tx_rarity" -> txRaritySql,
     "tx_source_report" -> txSourceReportSql,
-    "tx_curation_manifest" -> txCurationManifestSql
+    "tx_curation_manifest" -> txCurationManifestSql,
+    "tx_redact" -> txRedactSql
   )
 }

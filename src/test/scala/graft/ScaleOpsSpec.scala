@@ -554,6 +554,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_shared_grams") == expected)
   }
 
+  test("PII redaction: injected emails/IPs/phones replaced and counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or bob@host.org today"),
+      (2L, "server at 192.168.1.254 peered with 10.0.0.1 overnight"),
+      (3L, "call 415-555-1234 or 212.555.9876 before noon"),
+      (4L, "version 1.2 of chapter 12 has no sensitive content at all"))
+      .toDF("doc_id", "text")
+    val r = TextOps.redactPii(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_emails") == 2)
+    assert(r(1L).getAs[String]("red_text") ==
+      "contact <EMAIL> or <EMAIL> today")
+    assert(r(2L).getAs[Long]("n_ips") == 2)
+    assert(r(2L).getAs[String]("red_text") ==
+      "server at <IP> peered with <IP> overnight")
+    assert(r(3L).getAs[Long]("n_phones") == 2)
+    assert(r(3L).getAs[String]("red_text") ==
+      "call <PHONE> or <PHONE> before noon")
+    // no false positives on version-number-ish text
+    assert(r(4L).getAs[String]("red_text") == docs.collect()(3).getString(1))
+    assert(r(4L).getAs[Long]("n_emails") + r(4L).getAs[Long]("n_ips")
+      + r(4L).getAs[Long]("n_phones") == 0)
+  }
+
   test("curation manifest: verdicts consistent with their source rules") {
     val m = TextOps.queries("tx_curation_manifest")(spark, sfSmoke).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
