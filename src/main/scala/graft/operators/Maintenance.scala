@@ -363,6 +363,11 @@ object Maintenance {
           writeFileList(snapshotFullPath(tablePath, v - 1), bootstrap)
       }
       writeFileList(snapshotAddPath(tablePath, v), committedRel)
+      // per-file stats from the committed files' footers (metadata-only,
+      // no data scan) — recorded under their final names so skippingPlan
+      // keys match the live listing
+      writeFileStats(tablePath,
+        footerStats(spark, committed.map(_.toFile)), append = true)
       writeVersion(tablePath, v)
       v
     } finally deleteRecursively(new java.io.File(stage))
@@ -395,6 +400,141 @@ object Maintenance {
       // only committed data files: never _graft_log, staging, or markers
       .option("pathGlobFilter", "*.parquet")
       .parquet(tablePath)
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-file column statistics + data skipping — the engine analogue of
+  // Delta's `add.stats` minValues/maxValues. Parquet row-group stats only
+  // prune within a file the reader already opened; these prune the FILE
+  // LIST before the scan is planned, which at 100 TB is the difference
+  // between opening a handful of files and opening all of them.
+  //
+  // Stats come from the parquet FOOTERS of just-committed files — a
+  // driver-side metadata read, O(files), no data scan (the same way Delta
+  // backfills stats). Recorded as one TSV line per (file, numeric column):
+  // `file \t column \t min \t max`, under `_graft_log/filestats.tsv`.
+  // Bounds are widened one ulp at record time so a lossy long→double
+  // conversion can never EXCLUDE a matching value; pruning is therefore
+  // conservative — a skipped file provably holds no row in range, and a
+  // file with no recorded stats (pre-feature bootstrap data) is always
+  // scanned.
+
+  def fileStatsPath(tablePath: String): String =
+    s"$tablePath/_graft_log/filestats.tsv"
+
+  /** Footer min/max for every plain-numeric column of `files` (INT32 /
+    * INT64 without logical annotation, FLOAT, DOUBLE). Columns with NaN
+    * bounds, null-only pages, or annotated logical types (dates, decimals)
+    * are left stat-less — unprunable, never wrong.
+    */
+  private def footerStats(spark: SparkSession, files: Seq[java.io.File])
+      : Seq[(String, String, Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sessionState.newHadoopConf()
+    files.flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        // (column → (lo, hi)) folded over all row groups of this file
+        val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+        var dropped = Set.empty[String] // any unusable row group kills the col
+        for (b <- blocks; c <- b.getColumns.asScala) {
+          val name = c.getPath.toDotString
+          val pt = c.getPrimitiveType
+          val plainNumeric = (pt.getPrimitiveTypeName match {
+            case INT32 | INT64 | FLOAT | DOUBLE => true
+            case _ => false
+          }) && (pt.getLogicalTypeAnnotation == null ||
+            pt.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation])
+          val st = c.getStatistics
+          if (!plainNumeric || st == null || !st.hasNonNullValue) {
+            dropped += name
+          } else {
+            val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
+              case (l: Number, h: Number) =>
+                (l.doubleValue(), h.doubleValue())
+              case _ => (Double.NaN, Double.NaN)
+            }
+            if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite)
+              dropped += name
+            else {
+              val prev = acc.getOrElse(name,
+                (Double.PositiveInfinity, Double.NegativeInfinity))
+              acc(name) = (math.min(prev._1, lo), math.max(prev._2, hi))
+            }
+          }
+        }
+        (acc -- dropped).toSeq.map { case (cn, (lo, hi)) =>
+          (f.getName, cn, Math.nextDown(lo), Math.nextUp(hi))
+        }
+      } finally reader.close()
+    }
+  }
+
+  private def writeFileStats(tablePath: String,
+      entries: Seq[(String, String, Double, Double)], append: Boolean): Unit = {
+    val p = Paths.get(fileStatsPath(tablePath))
+    Files.createDirectories(p.getParent)
+    val lines = entries.map { case (f, c, lo, hi) => s"$f\t$c\t$lo\t$hi" }
+      .mkString("", "\n", if (entries.isEmpty) "" else "\n")
+    if (append && Files.exists(p))
+      Files.writeString(p, lines, java.nio.file.StandardOpenOption.APPEND)
+    else Files.writeString(p, lines)
+  }
+
+  /** ((file, column) → (lo, hi)); empty for a stats-less table. */
+  def readFileStats(tablePath: String)
+      : Map[(String, String), (Double, Double)] = {
+    val p = Paths.get(fileStatsPath(tablePath))
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { ln =>
+      val a = ln.split('\t')
+      (a(0), a(1)) -> (a(2).toDouble, a(3).toDouble)
+    }.toMap
+  }
+
+  /** The file-level pruning decision for `column` ∈ [lo, hi]: (files to
+    * scan, total live files). Stat-less files are always kept.
+    */
+  def skippingPlan(tablePath: String, column: String, lo: Double,
+      hi: Double): (Seq[String], Int) = {
+    val all = listParquetFiles(new java.io.File(tablePath))
+      .map(_.getName).sorted
+    val stats = readFileStats(tablePath)
+    val kept = all.filter { f =>
+      stats.get((f, column)) match {
+        case Some((l, h)) => h >= lo && l <= hi
+        case None => true
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** Data-skipping scan: read only the files whose recorded [min, max]
+    * intersects [lo, hi], through the tracked schema. Pruning is
+    * CONSERVATIVE (kept ⊇ matching) — the caller still applies the exact
+    * predicate; this call just shrinks the file list it runs over.
+    */
+  def scanPruned(spark: SparkSession, tablePath: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    val (kept, _) = skippingPlan(tablePath, column, lo, hi)
+    val schema = readTableSchema(tablePath)
+    if (kept.isEmpty) {
+      val sc = schema.getOrElse(readTable(spark, tablePath).schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+    } else {
+      val byName = listParquetFiles(new java.io.File(tablePath))
+        .map(f => f.getName -> f.getAbsolutePath).toMap
+      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      // basePath keeps partition-dir columns resolvable on a pruned list
+      reader.option("basePath", tablePath)
+        .parquet(kept.map(byName): _*)
+    }
   }
 
   /** OPTIMIZE-style compaction: rewrite the table to `targetFiles` files
@@ -477,7 +617,7 @@ object Maintenance {
       // tracked schema, not one random file's subset
       write(readTable(spark, path), tmp)
       committed = withCommitLock(path) {
-        if (readVersion(path) == v0) { swapCommit(path, tmp); true }
+        if (readVersion(path) == v0) { swapCommit(spark, path, tmp); true }
         else { deleteRecursively(new java.io.File(tmp)); false }
       }
     }
@@ -486,7 +626,7 @@ object Maintenance {
       // rewrite (appenders briefly queue on the lock; progress guaranteed)
       withCommitLock(path, timeoutMs = 300000L) {
         write(readTable(spark, path), tmp)
-        swapCommit(path, tmp)
+        swapCommit(spark, path, tmp)
       }
     }
   }
@@ -495,7 +635,8 @@ object Maintenance {
     * commit lock. The whole `_graft_log` (manifest + version + live-file
     * registry) is table history, not data — it carries over the rewrite.
     */
-  private def swapCommit(path: String, tmp: String): Unit = {
+  private def swapCommit(spark: SparkSession, path: String,
+      tmp: String): Unit = {
     val old = path + "__old"
     Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
@@ -511,6 +652,13 @@ object Maintenance {
     writeFileList(snapshotFullPath(path, v),
       listParquetFiles(new java.io.File(path))
         .map(f => root.relativize(f.toPath).toString))
+    // a rewrite replaced every data file: REPLACE the stats wholesale —
+    // entries for the dead files would only pin deleted names, and the
+    // rewritten files (esp. zorder/cluster output) are exactly where
+    // tight per-file bounds pay off
+    writeFileStats(path,
+      footerStats(spark, listParquetFiles(new java.io.File(path))),
+      append = false)
     writeVersion(path, v)
     recordLiveFiles(path)
   }

@@ -346,6 +346,53 @@ object Extras {
         .orderBy(col("version")), work)
   }
 
+  // ---------------------------------------------------------------------
+  // K12: file-level data skipping (Delta `add.stats` minValues/maxValues
+  // analogue on the engine's commit protocol). The orders table is
+  // committed as four range-disjoint appends so each data file carries
+  // tight footer min/max stats in `_graft_log/filestats.tsv`; a narrow
+  // key-range aggregate is then answered through Maintenance.scanPruned,
+  // which opens only the files whose recorded range intersects the
+  // predicate — at 100 TB the difference between opening a handful of
+  // files and planning a scan over all of them. The oracle checks the
+  // VALUES are exactly the plain filter's; the pruning itself (files
+  // genuinely skipped, stat-less files never skipped, zorder synergy) is
+  // asserted in MaintenanceSpec.
+  private def k12DataSkipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ds-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_ds"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val len = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      graft.operators.Maintenance.commitAppend(s, table,
+        o.filter(col("o_orderkey") >= lo + i * len &&
+          col("o_orderkey") < lo + (i + 1) * len).coalesce(1))
+    }
+    val (qlo, qhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    val out = graft.operators.Maintenance
+      .scanPruned(s, table, "o_orderkey", qlo.toDouble, qhi.toDouble)
+      // pruning is conservative — the exact predicate still applies
+      .filter(col("o_orderkey") >= qlo && col("o_orderkey") <= qhi)
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("cents")) / 100.0).as("revenue"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k12DataSkippingSql =
+    """WITH mm AS (
+      |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+      |SELECT count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0
+      |    AS revenue
+      |FROM orders, mm
+      |WHERE o_orderkey >= lo + (hi-lo)//4
+      |  AND o_orderkey <= lo + (hi-lo)//2""".stripMargin
+
   private val k8TimeTravelSql =
     """SELECT CAST(v AS BIGINT) AS version, count(*) AS n_orders,
       |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
@@ -465,6 +512,7 @@ object Extras {
     "st_table_stream" -> stTableStream _,
     "k10_cdf" -> k10Cdf _,
     "k8_time_travel" -> k8TimeTravel _,
+    "k12_data_skipping" -> k12DataSkipping _,
     "k6_sql_ddl" -> k6SqlDdl _,
     "p1_decode_json" -> p1DecodeJson _,
     "s2_ordered_replay" -> s2OrderedReplay _,
@@ -478,6 +526,7 @@ object Extras {
     "st_table_stream" -> stTableStreamSql,
     "k10_cdf" -> k10CdfSql,
     "k8_time_travel" -> k8TimeTravelSql,
+    "k12_data_skipping" -> k12DataSkippingSql,
     "k6_sql_ddl" -> k6SqlDdlSql,
     "p1_decode_json" -> p1DecodeJsonSql,
     "s2_ordered_replay" -> s2OrderedReplaySql,

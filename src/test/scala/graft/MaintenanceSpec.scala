@@ -438,4 +438,71 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(concurrent.except(single).count() == 0)
     assert(single.except(concurrent).count() == 0)
   }
+
+  // ---- per-file stats + data skipping -----------------------------------
+
+  test("data skipping: disjoint appends prune; stat-less files never skip") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-skip-${UUID.randomUUID()}/t").getAbsolutePath
+    // four range-disjoint single-file appends: k in [0,100), [100,200)...
+    (0 until 4).foreach { i =>
+      Maintenance.commitAppend(spark, work,
+        (i * 100 until (i + 1) * 100).map(k => (k.toLong, s"v$k"))
+          .toDF("k", "s").coalesce(1))
+    }
+    val (kept, total) = Maintenance.skippingPlan(work, "k", 150.0, 249.0)
+    assert(total == 4, s"expected 4 committed files, saw $total")
+    assert(kept.size == 2, s"[150,249] spans exactly files 2 and 3: $kept")
+    val rows = Maintenance.scanPruned(spark, work, "k", 150.0, 249.0)
+      .filter(col("k") >= 150L && col("k") <= 249L)
+    assert(rows.count() == 100)
+    // equality with the unpruned read, not just the count
+    assert(rows.select("k", "s").except(
+      Maintenance.readTable(spark, work)
+        .filter(col("k") >= 150L && col("k") <= 249L)
+        .select("k", "s")).count() == 0)
+    // an empty range prunes everything and still returns the schema
+    val none = Maintenance.scanPruned(spark, work, "k", 1e6, 2e6)
+    assert(none.count() == 0 && none.columns.toSet == Set("k", "s"))
+    // a file without recorded stats (pre-feature bootstrap) is always kept
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(Maintenance.fileStatsPath(work)),
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        Maintenance.fileStatsPath(work)))
+        .linesIterator.filterNot(_.startsWith("append_v000001"))
+        .mkString("", "\n", "\n"))
+    val (kept2, _) = Maintenance.skippingPlan(work, "k", 150.0, 249.0)
+    assert(kept2.size == 3, "the stats-stripped file must rejoin every scan")
+  }
+
+  test("data skipping: a zorder rewrite records stats that prune both dims") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-skip-z-${UUID.randomUUID()}/t").getAbsolutePath
+    // one unsorted commit: a/b interleaved so pre-rewrite files are
+    // unprunable on either column
+    val n = 4096
+    val rows = (0 until n).map { i =>
+      ((i * 2654435761L) % 1024, (i * 40503L) % 1024, i.toLong)
+    }
+    Maintenance.commitAppend(spark, work,
+      rows.toDF("a", "b", "payload").repartition(8))
+    Maintenance.zorder(spark, work, "a", "b", targetFiles = 8)
+    def keptFrac(c: String): Double = {
+      val (kept, total) = Maintenance.skippingPlan(work, c, 0.0, 127.0)
+      kept.size.toDouble / total
+    }
+    // a 1/8th range on EITHER dimension must skip at least one file after
+    // the morton rewrite (lexicographic clustering would only prune `a`)
+    assert(keptFrac("a") < 1.0, "zorder stats must prune on a")
+    assert(keptFrac("b") < 1.0, "zorder stats must prune on b")
+    // values stay exact through rewrite + pruned read
+    val got = Maintenance.scanPruned(spark, work, "a", 0.0, 127.0)
+      .filter(col("a") <= 127L).agg(sum(col("payload"))).first().getLong(0)
+    val want = rows.filter(_._1 <= 127L).map(_._3).sum
+    assert(got == want)
+  }
 }
