@@ -393,6 +393,71 @@ object Extras {
       |WHERE o_orderkey >= lo + (hi-lo)//4
       |  AND o_orderkey <= lo + (hi-lo)//2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K13: table profile — the ANALYZE TABLE ... FOR COLUMNS surface
+  // (per-column null count, exact distinct count, min/max), the stats a
+  // cost-based optimizer and every data-quality dashboard start from.
+  // Scale shape: one aggregate per column over a COLUMN-PRUNED parquet
+  // scan — with columnar storage the N scans together read each byte
+  // once, and each countDistinct is a plain two-level hash aggregate (no
+  // expand-based multi-distinct plan). Numeric min/max report as double;
+  // string/date as ISO strings (dates via an explicit date cast so both
+  // engines format identically).
+  private def k13TableProfile(s: SparkSession, dir: String): DataFrame = {
+    val num = lit(null).cast("double")
+    val str = lit(null).cast("string")
+    def prof(c: String, minD: org.apache.spark.sql.Column,
+        maxD: org.apache.spark.sql.Column,
+        minS: org.apache.spark.sql.Column,
+        maxS: org.apache.spark.sql.Column) =
+      t(s, dir, "orders").agg(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        minD.as("min_d"), maxD.as("max_d"),
+        minS.as("min_s"), maxS.as("max_s"))
+        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_d"), col("max_d"), col("min_s"), col("max_s"))
+    def profNum(c: String) = prof(c,
+      min(col(c)).cast("double"), max(col(c)).cast("double"), str, str)
+    def profStr(c: String) = prof(c, num, num, min(col(c)), max(col(c)))
+    def profDate(c: String) = prof(c, num, num,
+      min(col(c).cast("date")).cast("string"),
+      max(col(c).cast("date")).cast("string"))
+    Seq(profNum("o_orderkey"), profNum("o_custkey"),
+      profStr("o_orderstatus"), profNum("o_totalprice"),
+      profDate("o_orderdate"), profStr("o_orderpriority"))
+      .reduce(_.unionByName(_))
+      .orderBy(col("col_name"))
+  }
+
+  private val k13TableProfileSql = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d,
+         |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,
+         |  min($c) AS min_s, max($c) AS max_s
+         |FROM orders""".stripMargin
+    def dt(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d,
+         |  CAST(CAST(min($c) AS DATE) AS VARCHAR) AS min_s,
+         |  CAST(CAST(max($c) AS DATE) AS VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+      num("o_totalprice"), dt("o_orderdate"), str("o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   private val k8TimeTravelSql =
     """SELECT CAST(v AS BIGINT) AS version, count(*) AS n_orders,
       |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
@@ -513,6 +578,7 @@ object Extras {
     "k10_cdf" -> k10Cdf _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
+    "k13_table_profile" -> k13TableProfile _,
     "k6_sql_ddl" -> k6SqlDdl _,
     "p1_decode_json" -> p1DecodeJson _,
     "s2_ordered_replay" -> s2OrderedReplay _,
@@ -527,6 +593,7 @@ object Extras {
     "k10_cdf" -> k10CdfSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
+    "k13_table_profile" -> k13TableProfileSql,
     "k6_sql_ddl" -> k6SqlDdlSql,
     "p1_decode_json" -> p1DecodeJsonSql,
     "s2_ordered_replay" -> s2OrderedReplaySql,

@@ -334,6 +334,70 @@ object Relational {
       |ORDER BY series, d""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Set ops beyond UNION (§2.8 completion): INTERSECT / EXCEPT over user
+  // segments — the audience algebra (purchasers who also signed up;
+  // purchasers who never did) every analytics surface needs. Spark plans
+  // both as aggregates/anti-joins on the distinct key set, so they shard
+  // by user hash at any scale.
+  private def setIntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def seg(et: String) = e.filter(col("event_type") === et)
+      .select(col("user_id")).distinct()
+    val p = seg("purchase")
+    val si = seg("signup")
+    p.intersect(si).withColumn("op", lit("intersect"))
+      .unionByName(p.except(si).withColumn("op", lit("except")))
+      .select(col("op"), col("user_id"))
+      .orderBy(col("op"), col("user_id"))
+  }
+
+  private val setIntersectExceptSql =
+    """SELECT 'intersect' AS op, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+      |UNION ALL
+      |SELECT 'except' AS op, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+      |ORDER BY op, user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // J9: full outer join — the reconciliation join (which orders have no
+  // qualifying customer, which qualifying customers never ordered). The
+  // modulo splits guarantee unmatched rows on BOTH sides at every scale
+  // factor (matched: custkey ≡ 0 mod 6; order-only: even non-multiple of
+  // 3; customer-only: odd multiples of 3, whose orders the left filter
+  // excludes); output is the per-side row accounting a reconciliation
+  // report starts from.
+  private def j9FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(pmod(col("o_custkey"), lit(2L)) === 0L)
+      .select(col("o_custkey"), col("o_orderkey"))
+    val c = t(s, dir, "customer")
+      .filter(pmod(col("c_custkey"), lit(3L)) === 0L)
+      .select(col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        when(col("o_orderkey").isNull, "customer_only")
+          .when(col("c_custkey").isNull, "order_only")
+          .otherwise("both").as("side"))
+      .groupBy(col("side")).agg(count(lit(1)).as("n"))
+      .orderBy(col("side"))
+  }
+
+  private val j9FullOuterSql =
+    """SELECT CASE WHEN o_orderkey IS NULL THEN 'customer_only'
+      |            WHEN c_custkey IS NULL THEN 'order_only'
+      |            ELSE 'both' END AS side, count(*) AS n
+      |FROM (SELECT o_custkey, o_orderkey FROM orders
+      |      WHERE o_custkey % 2 = 0) o
+      |FULL JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
+      |  ON o_custkey = c_custkey
+      |GROUP BY side ORDER BY side""".stripMargin
+
+  // ---------------------------------------------------------------------
   // P4: timezone shift (reference: etl.py:25 —
   // from_utc_timestamp(ts, 'Asia/Ho_Chi_Minh'); fixed UTC+7, no DST).
   private def p4TzShift(s: SparkSession, dir: String): DataFrame =
@@ -604,6 +668,8 @@ object Relational {
     "a2_scalar_max" -> a2ScalarMax _,
     "a6_percentiles" -> a6Percentiles _,
     "set_union_segments" -> setUnionSegments _,
+    "set_intersect_except" -> setIntersectExcept _,
+    "j9_full_outer" -> j9FullOuter _,
     "p4_tz_shift" -> p4TzShift _,
     "p12_null_default" -> p12NullDefault _,
     "p14_json_props" -> p14JsonProps _,
@@ -631,6 +697,8 @@ object Relational {
     "a2_scalar_max" -> a2ScalarMaxSql,
     "a6_percentiles" -> a6PercentilesSql,
     "set_union_segments" -> setUnionSegmentsSql,
+    "set_intersect_except" -> setIntersectExceptSql,
+    "j9_full_outer" -> j9FullOuterSql,
     "p4_tz_shift" -> p4TzShiftSql,
     "p12_null_default" -> p12NullDefaultSql,
     "p14_json_props" -> p14JsonPropsSql,
