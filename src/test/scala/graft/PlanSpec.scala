@@ -205,6 +205,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("curation pipeline queries carry no window or cartesian product") {
+    // the curation family must stay pure aggregate/join shapes: a window
+    // would serialize per-partition, a cartesian would be quadratic
+    for (q <- Seq("tx_repetition", "tx_rarity", "tx_source_report",
+        "tx_curation_manifest")) {
+      val plan = planOf(graft.queries.TextOps.queries(q)(spark, sfSmoke))
+      assert(!plan.contains("Window"), s"$q plans a window:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a cartesian:\n${plan.take(1500)}")
+    }
+  }
+
   test("a8_histogram: single hash aggregate with map-side partials") {
     val df = graft.queries.Analytics.queries("a8_histogram")(spark, sfSmoke)
     df.collect()
