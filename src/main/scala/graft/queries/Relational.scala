@@ -504,6 +504,36 @@ object Relational {
       |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A1b: SLIDING windows (2-minute window, 1-minute slide) — the hopping
+  // aggregation the tumbling bars can't express (each event contributes
+  // to exactly two windows). Spark's `window(ts, '2 minutes', '1 minute')`
+  // plans this as a generate(expand)+hash-aggregate — still map-side
+  // partial, no state, no sort; the oracle replays the same two-window
+  // assignment by exploding each event to both its window starts.
+  private def a1SlidingBars(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        window(col("ts"), "2 minutes", "1 minute"))
+      .agg(
+        (sumCents(col("value")) / 100.0 / count(lit(1))).as("average_2minute"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("average_2minute"), col("n_ticks"))
+      .orderBy(col("event_type"), col("window_start"))
+
+  private val a1SlidingBarsSql =
+    """SELECT event_type, ws AS window_start,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0/count(*)
+      |    AS average_2minute,
+      |  count(*) AS n_ticks
+      |FROM (
+      |  SELECT event_type, value,
+      |    unnest([date_trunc('minute', ts),
+      |            date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS ws
+      |  FROM events)
+      |GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J6: point-in-interval range join — lineitem ship dates landing inside a
   // sparse set of 30-day order windows. An inequality-only join would plan
   // as BroadcastNestedLoopJoin (quadratic once the interval side outgrows
@@ -675,7 +705,8 @@ object Relational {
     "p14_json_props" -> p14JsonProps _,
     "p11_filter_pushdown" -> p11FilterPushdown _,
     "p3_cast_chain" -> p3CastChain _,
-    "a1_minute_bars" -> (a1MinuteBars _)
+    "a1_minute_bars" -> (a1MinuteBars _),
+    "a1_sliding_bars" -> a1SlidingBars _
   )
 
   val oracle: Map[String, String] = Map(
@@ -704,6 +735,7 @@ object Relational {
     "p14_json_props" -> p14JsonPropsSql,
     "p11_filter_pushdown" -> p11FilterPushdownSql,
     "p3_cast_chain" -> p3CastChainSql,
-    "a1_minute_bars" -> a1MinuteBarsSql
+    "a1_minute_bars" -> a1MinuteBarsSql,
+    "a1_sliding_bars" -> a1SlidingBarsSql
   )
 }

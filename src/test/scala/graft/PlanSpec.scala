@@ -205,6 +205,48 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    import spark.implicits._
+    // the engine's other skew answer next to explicit salting
+    // (operators/Salting): AQE must detect the hot key's oversized shuffle
+    // partition and split it. Thresholds are tuned down to fixture scale —
+    // the assertion is that the engine's session config leaves the
+    // mechanism armed and the join shape admits it
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-skew-fixture").getAbsolutePath
+    if (!new java.io.File(s"$dir/fact/_SUCCESS").exists()
+        || !new java.io.File(s"$dir/dim/_SUCCESS").exists()) {
+      ((0 until 200000).map(i => (0L, i.toLong)) ++
+        (0 until 20000).map(i => ((i % 100).toLong + 1L, i.toLong)))
+        .toDF("pk", "v").write.mode("overwrite").parquet(s"$dir/fact")
+      (0L to 100L).map(k => (k, s"d$k")).toDF("pk", "name")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+    }
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      val joined = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), "pk")
+      assert(joined.count() == 220000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        "AQE did not mark the skewed join:\n" + plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("curation pipeline queries carry no window or cartesian product") {
     // the curation family must stay pure aggregate/join shapes: a window
     // would serialize per-partition, a cartesian would be quadratic
