@@ -504,6 +504,65 @@ object Analytics {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // W8: distribution window functions — percent_rank / cume_dist /
+  // first_value / nth_value over per-customer order history (the
+  // percentile-position analytics w6's rank family doesn't cover). All
+  // four are exact integer-ratio or value-copy semantics, so the oracle
+  // matches bit-for-bit; the window partitions by customer (many small
+  // partitions — shards at any scale).
+  private def w8Distribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(pmod(col("o_custkey"), lit(50L)) === 0L)
+      .withColumn("prnk", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("top_price", first_value(col("o_totalprice")).over(w))
+      .withColumn("second_price",
+        nth_value(col("o_totalprice"), 2).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("prnk"), col("cume"), col("top_price"), col("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val w8DistributionSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  round(percent_rank() OVER w, 6) AS prnk,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  first_value(o_totalprice) OVER w AS top_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price
+      |FROM orders WHERE o_custkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // A11: GROUPING SETS — the explicit lattice (rollup and cube are its
+  // special cases); issued through the SQL entry since the DataFrame API
+  // exposes only the shorthands. One shuffle, planner-expanded.
+  private def a11GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val view = s"lineitem_gs_${java.lang.Long.toHexString(dir.hashCode & 0xffffffffL)}"
+    t(s, dir, "lineitem").createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+         |  count(*) AS n_lines
+         |FROM $view
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  private val a11GroupingSetsSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
   // A8: fixed-width histogram — the profiling aggregate every dataset
   // exploration starts with. Buckets computed in integer cents
   // (cents div 500000 = $5000-wide bins) so bucket boundaries are exact in
@@ -530,6 +589,8 @@ object Analytics {
     "a5_rollup" -> a5Rollup _,
     "a9_cube" -> a9Cube _,
     "a8_histogram" -> a8Histogram _,
+    "a11_grouping_sets" -> a11GroupingSets _,
+    "w8_distribution" -> w8Distribution _,
     "k7_bucketed_join" -> k7BucketedJoin _,
     "ss_stream_stream_join" -> ssStreamStreamJoin _,
     "st_dropdup_stream" -> stDropdupStream _,
@@ -542,6 +603,8 @@ object Analytics {
     "a5_rollup" -> a5RollupSql,
     "a9_cube" -> a9CubeSql,
     "a8_histogram" -> a8HistogramSql,
+    "a11_grouping_sets" -> a11GroupingSetsSql,
+    "w8_distribution" -> w8DistributionSql,
     "k7_bucketed_join" -> k7BucketedJoinSql,
     "ss_stream_stream_join" -> ssStreamStreamJoinSql,
     "st_dropdup_stream" -> stDropdupStreamSql,

@@ -398,6 +398,32 @@ object Relational {
       |GROUP BY side ORDER BY side""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J10: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join
+  // dimension-key pipelines need when "unknown" is itself a key (a plain
+  // equi-join silently drops every null pair). Both sides pre-aggregate
+  // to one row per nullable bucket, so the join is dimension-sized.
+  private def j10NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .groupBy(nullif(pmod(col("o_custkey"), lit(10L)), lit(0L)).as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val c = t(s, dir, "customer")
+      .groupBy(nullif(pmod(col("c_custkey"), lit(10L)), lit(0L)).as("ck"))
+      .agg(count(lit(1)).as("n_customers"))
+    o.join(c, col("k") <=> col("ck"))
+      .select(col("k"), col("n_orders"), col("n_customers"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  private val j10NullSafeJoinSql =
+    """SELECT k, n_orders, n_customers
+      |FROM (SELECT nullif(o_custkey % 10, 0) AS k, count(*) AS n_orders
+      |      FROM orders GROUP BY 1) o
+      |JOIN (SELECT nullif(c_custkey % 10, 0) AS ck, count(*) AS n_customers
+      |      FROM customer GROUP BY 1) c
+      |  ON k IS NOT DISTINCT FROM ck
+      |ORDER BY k NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
   // P4: timezone shift (reference: etl.py:25 —
   // from_utc_timestamp(ts, 'Asia/Ho_Chi_Minh'); fixed UTC+7, no DST).
   private def p4TzShift(s: SparkSession, dir: String): DataFrame =
@@ -700,6 +726,7 @@ object Relational {
     "set_union_segments" -> setUnionSegments _,
     "set_intersect_except" -> setIntersectExcept _,
     "j9_full_outer" -> j9FullOuter _,
+    "j10_null_safe_join" -> j10NullSafeJoin _,
     "p4_tz_shift" -> p4TzShift _,
     "p12_null_default" -> p12NullDefault _,
     "p14_json_props" -> p14JsonProps _,
@@ -730,6 +757,7 @@ object Relational {
     "set_union_segments" -> setUnionSegmentsSql,
     "set_intersect_except" -> setIntersectExceptSql,
     "j9_full_outer" -> j9FullOuterSql,
+    "j10_null_safe_join" -> j10NullSafeJoinSql,
     "p4_tz_shift" -> p4TzShiftSql,
     "p12_null_default" -> p12NullDefaultSql,
     "p14_json_props" -> p14JsonPropsSql,
