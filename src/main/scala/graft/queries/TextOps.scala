@@ -440,6 +440,30 @@ object TextOps {
       |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Heavy hitters — the most frequent tokens via a Count-Min sketch
+  // Aggregator ([[graft.functions.CountMinTopK]]) instead of a full
+  // groupBy: the sketch buffer is O(d×w) per partition REGARDLESS of key
+  // cardinality, so the shuffle carries one fixed-size buffer per
+  // partition where a groupBy over 100 TB of n-grams/URLs would exchange
+  // one row per distinct key. The report joins the exact counts back for
+  // the reported tokens only (a k-row semi-join) — the output shows the
+  // one-sided CMS error directly. Rows-only (sketch hash is
+  // engine-specific); CMS contract asserted in ScaleOpsSpec.
+  private def txHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = t(s, dir, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+    val top = tok.as[String]
+      .select(new graft.functions.CountMinTopK(20).toColumn)
+      .toDF("top")
+      .select(explode(col("top")).as("e"))
+      .select(col("e._1").as("token"), col("e._2").as("est_count"))
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+    top.join(exact, Seq("token"))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
+  // ---------------------------------------------------------------------
   // PII redaction — the compliance pass every training corpus runs before
   // anything else: emails, IPv4 addresses, and phone-shaped numbers are
   // replaced with typed placeholders, with per-doc match counts kept for
@@ -595,7 +619,8 @@ object TextOps {
     "tx_rarity" -> txRarity _,
     "tx_source_report" -> txSourceReport _,
     "tx_curation_manifest" -> txCurationManifest _,
-    "tx_redact" -> txRedact _
+    "tx_redact" -> txRedact _,
+    "tx_heavy_hitters" -> txHeavyHitters _
   )
 
   val oracle: Map[String, String] = Map(

@@ -501,6 +501,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("count-min heavy hitters: one-sided, partition-independent, exact top") {
+    import spark.implicits._
+    // quadratic-weight fixture: tok_i appears i² times → true top-10 is
+    // tok50..tok41, far enough apart that any sketch error would reorder
+    val words = (1 to 50).flatMap(i => Seq.fill(i * i)(f"tok$i%02d"))
+    val truth = (1 to 50).map(i => f"tok$i%02d" -> (i.toLong * i)).toMap
+    val agg = new graft.functions.CountMinTopK(10)
+    val one = words.toDS().repartition(1).select(agg.toColumn).head()
+    val many = words.toDS().repartition(8).select(agg.toColumn).head()
+    // cell-wise merge: the result cannot depend on partitioning
+    assert(one == many, s"partitioning changed the sketch: $one vs $many")
+    assert(one.map(_._1) ==
+      (41 to 50).reverse.map(i => f"tok$i%02d"), s"top-10 wrong: $one")
+    // CMS estimates are one-sided: est ≥ true, and within εN above it
+    val n = words.size
+    one.foreach { case (tok, est) =>
+      assert(est >= truth(tok), s"$tok underestimated")
+      assert(est <= truth(tok) + (3.0 * n / 1024).ceil.toLong,
+        s"$tok overestimated beyond the CMS bound: $est vs ${truth(tok)}")
+    }
+    // the corpus query reports est ≥ exact on every row
+    val rows = TextOps.queries("tx_heavy_hitters")(spark, sfSmoke).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("exact_count"))
+    }
+  }
+
   // ---- curation: repetition / contamination / rarity -------------------
 
   test("repetition: flags injected spam, passes normal prose, flag = rule") {
