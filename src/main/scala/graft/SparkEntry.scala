@@ -61,6 +61,7 @@ object SparkEntry {
     operators.Bucketing.ensureBucketed(spark, sfDir, "orders",
       "o_orderkey", 8)
     Extras.ensureReplayFixture(spark, sfDir)
+    Extras.ensureSlidingFixture(spark, sfDir)
     Analytics.ensureEvictFixture(spark, sfDir)
     DedupOps.ensureIngestFixture(spark, sfDir)
   }

@@ -252,6 +252,93 @@ object Extras {
       |ORDER BY user_id, session_start""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Streamed SLIDING windows — the hopping aggregation under real
+  // IncrementalExecution (watermark + append mode), complementing the
+  // batch form in Relational.a1_sliding_bars: each event lands in two
+  // 2-minute windows, windows emit when the watermark passes their end,
+  // and a sentinel slice past the data's max event time closes the tail
+  // (the same flush device s2_ordered_replay uses). The oracle is the
+  // BATCH sliding SQL — stream-batch parity for hopping windows.
+  private val slidingFixtures = scala.collection.mutable.Map[String, String]()
+
+  def ensureSlidingFixture(s: SparkSession, dir: String): String =
+    synchronized { slidingFixtures.getOrElseUpdate(dir, {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-sliding-fixture-${Tables.fingerprint(dir, "events")}")
+        .getAbsolutePath
+      graft.operators.Maintenance.withCommitLock(work, timeoutMs = 600000L) {
+        val ready = new java.io.File(work, "_FIXTURE_READY")
+        if (!ready.exists()) {
+          graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
+          val ev = t(s, dir, "events")
+            .select(col("ts"), col("event_type"), col("value"))
+          EventTimeOrderedSpool.spool(ev, "ts", s"$work/spool", numFiles = 4)
+          val mx = ev.agg(max(col("ts"))).first().getTimestamp(0)
+          val sentinel = s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(
+              new java.sql.Timestamp(mx.getTime + 10 * 60 * 1000L),
+              "zz_sentinel", 0.0)),
+            StructType(Seq(StructField("ts", TimestampType),
+              StructField("event_type", StringType),
+              StructField("value", DoubleType))))
+          EventTimeOrderedSpool.spoolSingleFile(sentinel,
+            s"$work/spool/zz-sentinel.parquet", 0L)
+          // restamp the whole spool in name order: parts first, sentinel
+          // last, 1 s apart — mtime order IS the replay order
+          EventTimeOrderedSpool.stampMtimes(s"$work/spool", 0)
+          java.nio.file.Files.writeString(ready.toPath, "ok\n")
+        }
+      }
+      s"$work/spool"
+    }) }
+
+  private def stSlidingStream(s: SparkSession, dir: String): DataFrame = {
+    val spool = ensureSlidingFixture(s, dir)
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.dirBytes(spool)) {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-sliding-${UUID.randomUUID()}").getAbsolutePath
+      val schema = StructType(Seq(StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val bars = EventTimeOrderedSpool.orderedStream(s, spool, schema,
+          filesPerTrigger = 2)
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("event_type"),
+          window(col("ts"), "2 minutes", "1 minute"))
+        .agg((sum(round(col("value") * 100).cast("long")) / 100.0
+            / count(lit(1))).as("average_2minute"),
+          count(lit(1)).as("n_ticks"))
+        .select(col("event_type"), col("window.start").as("window_start"),
+          col("average_2minute"), col("n_ticks"))
+      val q = bars.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/_chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.WorkDirs.materializeAndClean(
+        s.read.parquet(s"$work/out")
+          .filter(col("event_type") =!= "zz_sentinel")
+          .orderBy(col("event_type"), col("window_start")), work)
+    }
+  }
+
+  private val stSlidingStreamSql =
+    """SELECT event_type, ws AS window_start,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0/count(*)
+      |    AS average_2minute,
+      |  count(*) AS n_ticks
+      |FROM (
+      |  SELECT event_type, value,
+      |    unnest([date_trunc('minute', ts),
+      |            date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS ws
+      |  FROM events)
+      |GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Time-travel (as-of) join against SCD2 history — the range-join family
   // the reference approximates with its precomputed previous-day scalar
   // (SURVEY §2.4 "absent: range/as-of joins"; J1 + W1). Each event joins
@@ -583,6 +670,7 @@ object Extras {
     "p1_decode_json" -> p1DecodeJson _,
     "s2_ordered_replay" -> s2OrderedReplay _,
     "st_session_window" -> stSessionWindow _,
+    "st_sliding_stream" -> stSlidingStream _,
     "j4_timetravel_join" -> j4TimetravelJoin _,
     "a3_approx_distinct" -> a3ApproxDistinct _
   )
@@ -598,6 +686,7 @@ object Extras {
     "p1_decode_json" -> p1DecodeJsonSql,
     "s2_ordered_replay" -> s2OrderedReplaySql,
     "st_session_window" -> stSessionWindowSql,
+    "st_sliding_stream" -> stSlidingStreamSql,
     "j4_timetravel_join" -> j4TimetravelJoinSql
   )
 }
