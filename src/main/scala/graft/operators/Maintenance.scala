@@ -403,6 +403,59 @@ object Maintenance {
   }
 
   // ---------------------------------------------------------------------
+  // RESTORE — Delta's `RESTORE TABLE ... TO VERSION AS OF` analogue: make
+  // the table's CURRENT state equal a recorded snapshot. Files added after
+  // that version leave the data directory (quarantined under
+  // `_graft_log/restored_out/` rather than deleted, so an operator can
+  // still recover them by hand); versions that referenced them become
+  // unreadable and readAsOf reports them loudly — the engine's usual
+  // honest-reclaim convention (same as rewrites). The restore itself
+  // commits a NEW version whose full snapshot is the restored file set,
+  // so history keeps moving forward and a later append continues the
+  // version chain.
+
+  def restoreTo(spark: SparkSession, tablePath: String,
+      version: Long): Long =
+    withCommitLock(tablePath, timeoutMs = 600000L) {
+      val files = readSnapshot(tablePath, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"$tablePath has no snapshot for version $version"))
+      val root = Paths.get(tablePath)
+      val missing = files.filterNot(f => Files.exists(root.resolve(f)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot restore $tablePath to v$version: " +
+            s"${missing.size} file(s) reclaimed by a rewrite " +
+            s"(first: ${missing.head})")
+      val restored = files.toSet
+      val extra = listParquetFiles(new java.io.File(tablePath))
+        .map(f => root.relativize(f.toPath).toString)
+        .filterNot(restored.contains)
+      val quarantine = root.resolve("_graft_log")
+        .resolve("restored_out").resolve(f"v$version%06d")
+      extra.foreach { rel =>
+        val dest = quarantine.resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(root.resolve(rel), dest, StandardCopyOption.ATOMIC_MOVE)
+      }
+      // stats entries of quarantined files would pin dead names — drop
+      // them; the restored files keep theirs (keys are basenames)
+      val keptNames = restored.map(f => Paths.get(f).getFileName.toString)
+      writeFileStats(tablePath,
+        readFileStats(tablePath).toSeq.collect {
+          case ((f, c), (lo, hi)) if keptNames.contains(f) => (f, c, lo, hi)
+        }, append = false)
+      // live-file registry follows the restored set (vacuum safety)
+      val reg = Paths.get(liveFilesPath(tablePath))
+      if (Files.exists(reg))
+        Files.writeString(reg, files.mkString("", "\n", "\n"))
+      val v = readVersion(tablePath) + 1
+      writeFileList(snapshotFullPath(tablePath, v), files)
+      writeVersion(tablePath, v)
+      v
+    }
+
+  // ---------------------------------------------------------------------
   // Per-file column statistics + data skipping — the engine analogue of
   // Delta's `add.stats` minValues/maxValues. Parquet row-group stats only
   // prune within a file the reader already opened; these prune the FILE

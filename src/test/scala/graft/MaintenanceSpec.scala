@@ -439,6 +439,43 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(single.except(concurrent).count() == 0)
   }
 
+  test("restore rewinds to a recorded version; history keeps moving") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-restore-${UUID.randomUUID()}/t").getAbsolutePath
+    (0 until 3).foreach { i =>
+      Maintenance.commitAppend(spark, work,
+        (i * 10 until (i + 1) * 10).map(k => (k.toLong, s"b$i"))
+          .toDF("k", "batch").coalesce(1))
+    }
+    def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("k").collect().map(_.getLong(0)).toSet
+    // rewind to v2: batches 0+1 only; the restore commits v4
+    val v = Maintenance.restoreTo(spark, work, 2L)
+    assert(v == 4L)
+    assert(ks(Maintenance.readTable(spark, work)) == (0L until 20L).toSet)
+    // stats followed the restore: only the two restored files remain
+    assert(Maintenance.skippingPlan(work, "k", 0.0, 1e9)._2 == 2)
+    // the de-restored version is reclaimed, loudly
+    val e = intercept[IllegalStateException] {
+      Maintenance.readAsOf(spark, work, 3L).count()
+    }
+    assert(e.getMessage.contains("v3") || e.getMessage.contains("3"))
+    // v4 time-travels to the restored state; appends continue the chain
+    assert(ks(Maintenance.readAsOf(spark, work, 4L)) == (0L until 20L).toSet)
+    Maintenance.commitAppend(spark, work,
+      Seq((100L, "b9")).toDF("k", "batch"))
+    assert(ks(Maintenance.readTable(spark, work)) ==
+      (0L until 20L).toSet + 100L)
+    // a version reclaimed by a rewrite cannot be restored
+    Maintenance.compact(spark, work, targetFiles = 1)
+    val e2 = intercept[IllegalStateException] {
+      Maintenance.restoreTo(spark, work, 2L)
+    }
+    assert(e2.getMessage.contains("reclaimed"))
+  }
+
   // ---- per-file stats + data skipping -----------------------------------
 
   test("data skipping: disjoint appends prune; stat-less files never skip") {
