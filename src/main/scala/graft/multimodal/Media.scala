@@ -6,9 +6,11 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata structs — the Spark-side schema,
-  * partitioning, and batch shape are real; the actual codec decode is
-  * STUBBED (no image/audio libraries in this container; BASELINE.json
-  * scopes the plumbing, not the codecs).
+  * partitioning, and batch shape are real, and [[Media.HeaderDecoder]]
+  * does REAL container parsing for PPM/BMP/WAV (pure JVM, zero
+  * libraries). Only heavyweight codecs (JPEG/PNG entropy decode, audio
+  * resampling) remain stubbed behind [[NotImplementedDecoder]] — this
+  * container ships no media libraries.
   *
   * Scale design: media payloads stay as binary columns in parquet (row
   * groups keep them columnar-compressed); metadata extraction is a narrow
@@ -46,6 +48,124 @@ object Media {
         },
         nFrames = n / 100 + 1)
     }
+  }
+
+  /** REAL header decoder for three honest-to-goodness formats whose
+    * container layouts are parseable with zero libraries: PPM P6 (ASCII
+    * header), BMP (BITMAPINFOHEADER, little-endian), and WAV (RIFF/PCM).
+    * This is the codec seam doing genuine work — magic-byte sniffing,
+    * comment-skipping tokenization, fixed-offset little-endian fields,
+    * chunk scanning — while heavyweight codecs (JPEG entropy decode)
+    * remain behind [[NotImplementedDecoder]]. Meta mapping for audio:
+    * width = sample rate, height = channels, nFrames = sample frames.
+    */
+  object HeaderDecoder extends MediaDecoder {
+    def decode(p: Array[Byte]): MediaMeta =
+      if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(p)
+      else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') decodeBmp(p)
+      else if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F'
+        && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V'
+        && p(11) == 'E') decodeWav(p)
+      else throw new IllegalArgumentException(
+        s"unrecognized media magic (${p.take(4).mkString(",")})")
+
+    private def decodePpm(p: Array[Byte]): MediaMeta = {
+      // P6 <ws> width <ws> height <ws> maxval <single ws> raster;
+      // '#' starts a comment running to end-of-line anywhere in the header
+      var i = 2
+      def nextInt(): Int = {
+        while (i < p.length && (p(i).toChar.isWhitespace || p(i) == '#')) {
+          if (p(i) == '#') while (i < p.length && p(i) != '\n') i += 1
+          else i += 1
+        }
+        var v = 0
+        require(i < p.length && p(i) >= '0' && p(i) <= '9', "bad PPM header")
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+          v = v * 10 + (p(i) - '0'); i += 1
+        }
+        v
+      }
+      val (w, h) = (nextInt(), nextInt())
+      nextInt() // maxval
+      MediaMeta(w, h, "ppm", nFrames = 1)
+    }
+
+    private def le16(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+
+    private def decodeBmp(p: Array[Byte]): MediaMeta =
+      // BITMAPINFOHEADER: int32 width at 18, int32 height at 22 —
+      // a NEGATIVE height means top-down row order, the dimension is |h|
+      MediaMeta(le32(p, 18), math.abs(le32(p, 22)), "bmp", nFrames = 1)
+
+    private def decodeWav(p: Array[Byte]): MediaMeta = {
+      val channels = le16(p, 22)
+      val sampleRate = le32(p, 24)
+      val blockAlign = le16(p, 32)
+      // scan chunks from offset 36 for "data" (canonical files have it
+      // there, but fmt extensions may push it further)
+      var o = 36
+      var dataSize = -1
+      while (dataSize < 0 && o + 8 <= p.length) {
+        val sz = le32(p, o + 4)
+        if (p(o) == 'd' && p(o + 1) == 'a' && p(o + 2) == 't'
+          && p(o + 3) == 'a') dataSize = sz
+        else o += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(dataSize >= 0, "WAV without a data chunk")
+      MediaMeta(sampleRate, channels, "wav", nFrames = dataSize / blockAlign)
+    }
+  }
+
+  // Deterministic REAL-format payload builders — the fixture stand-in for
+  // reading actual media files off storage (construction is the stub;
+  // the decode above is not).
+
+  def encodePpm(w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n# graft synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+    header ++ new Array[Byte](w * h * 3)
+  }
+
+  def encodeBmp(w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4 // rows pad to 4-byte boundaries
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54) // reserved + pixel offset
+      .putInt(40).putInt(w).putInt(h)     // BITMAPINFOHEADER
+      .putShort(1).putShort(24)           // planes, bpp
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    buf.array()
+  }
+
+  def encodeWav(sampleRate: Int, channels: Int, samples: Int): Array[Byte] = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val dataSize = samples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort) // PCM
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.array()
+  }
+
+  /** doc_id → a real PPM / BMP / WAV payload, parameters derived from the
+    * id so an oracle can recompute what the decoder must recover.
+    */
+  def syntheticPayload(id: Long): Array[Byte] = (id % 3) match {
+    case 0 => encodePpm(16 + (id % 64).toInt, 16 + ((id * 3) % 64).toInt)
+    case 1 => encodeBmp(16 + (id % 64).toInt, 16 + ((id * 3) % 64).toInt)
+    case _ => encodeWav(8000 + ((id % 8) * 1000).toInt, 1 + (id % 2).toInt,
+      128 + (id % 256).toInt)
   }
 
   val metaSchema: StructType = StructType(Seq(

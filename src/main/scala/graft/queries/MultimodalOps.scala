@@ -97,7 +97,40 @@ object MultimodalOps {
       |  (224 - CAST(floor(height * scale + 0.5) AS BIGINT)) // 2 AS pad_y
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // REAL header decode — deterministic PPM/BMP/WAV files built per doc_id,
+  // parsed back through Media.HeaderDecoder on the mapPartitions batch
+  // path. The parse is genuine (magic sniffing, ASCII tokenization with
+  // comments, little-endian offsets, RIFF chunk scan); the oracle
+  // recomputes the construction parameters from doc_id, so a wrong offset
+  // or endianness in the parser fails the value compare.
+  private def mmDecodeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val built = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Media.syntheticPayload(id)))
+      .toDF("doc_id", "payload")
+    Media.decodeBatch(built, "doc_id", "payload", Media.HeaderDecoder)
+      .select(col("id").as("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeRealSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+      |       ELSE 'wav' END AS format,
+      |  CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 1000
+      |       ELSE 16 + doc_id % 64 END AS width,
+      |  CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+      |       ELSE 16 + (doc_id * 3) % 64 END AS height,
+      |  CASE WHEN doc_id % 3 = 2 THEN 128 + doc_id % 256
+      |       ELSE 1 END AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_decode_real" -> mmDecodeReal _,
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_decode_batch" -> mmDecodeBatch _,
@@ -105,6 +138,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_decode_real" -> mmDecodeRealSql,
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize_plan" -> mmResizePlanSql

@@ -501,6 +501,39 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("header decoder: roundtrip, top-down BMP, chunked WAV, bad magic") {
+    import Media.{HeaderDecoder, MediaMeta}
+    // construction → decode roundtrip across the parameter space
+    for (w <- Seq(1, 16, 640); h <- Seq(1, 16, 480)) {
+      assert(HeaderDecoder.decode(Media.encodePpm(w, h)) ==
+        MediaMeta(w, h, "ppm", 1))
+      assert(HeaderDecoder.decode(Media.encodeBmp(w, h)) ==
+        MediaMeta(w, h, "bmp", 1))
+    }
+    assert(HeaderDecoder.decode(Media.encodeWav(44100, 2, 1000)) ==
+      MediaMeta(44100, 2, "wav", 1000))
+    // top-down BMP stores a NEGATIVE height; the dimension is |h|
+    val topDown = Media.encodeBmp(32, 8)
+    val bb = java.nio.ByteBuffer.wrap(topDown)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -8)
+    assert(HeaderDecoder.decode(topDown) == MediaMeta(32, 8, "bmp", 1))
+    // a LIST chunk before "data" must be skipped by the RIFF scan
+    val wav = Media.encodeWav(8000, 1, 64)
+    val extra = java.nio.ByteBuffer
+      .allocate(wav.length + 12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 36) // RIFF header + fmt chunk
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))
+    extra.put(wav, 36, wav.length - 36) // the data chunk
+    assert(HeaderDecoder.decode(extra.array()) ==
+      MediaMeta(8000, 1, "wav", 64))
+    // unknown magic fails loudly, never a garbage decode
+    intercept[IllegalArgumentException] {
+      HeaderDecoder.decode("GIF89a....".getBytes("US-ASCII"))
+    }
+  }
+
   test("count-min heavy hitters: one-sided, partition-independent, exact top") {
     import spark.implicits._
     // quadratic-weight fixture: tok_i appears i² times → true top-10 is
