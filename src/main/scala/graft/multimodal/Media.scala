@@ -70,23 +70,7 @@ object Media {
         s"unrecognized media magic (${p.take(4).mkString(",")})")
 
     private def decodePpm(p: Array[Byte]): MediaMeta = {
-      // P6 <ws> width <ws> height <ws> maxval <single ws> raster;
-      // '#' starts a comment running to end-of-line anywhere in the header
-      var i = 2
-      def nextInt(): Int = {
-        while (i < p.length && (p(i).toChar.isWhitespace || p(i) == '#')) {
-          if (p(i) == '#') while (i < p.length && p(i) != '\n') i += 1
-          else i += 1
-        }
-        var v = 0
-        require(i < p.length && p(i) >= '0' && p(i) <= '9', "bad PPM header")
-        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
-          v = v * 10 + (p(i) - '0'); i += 1
-        }
-        v
-      }
-      val (w, h) = (nextInt(), nextInt())
-      nextInt() // maxval
+      val (w, h, _) = ppmHeader(p)
       MediaMeta(w, h, "ppm", nFrames = 1)
     }
 
@@ -118,6 +102,78 @@ object Media {
       require(dataSize >= 0, "WAV without a data chunk")
       MediaMeta(sampleRate, channels, "wav", nFrames = dataSize / blockAlign)
     }
+  }
+
+  /** Parse a P6 header: `P6 <ws> width <ws> height <ws> maxval <one ws>
+    * raster`, with '#' comments to end-of-line anywhere in the header.
+    * Returns (width, height, raster offset).
+    */
+  private[multimodal] def ppmHeader(p: Array[Byte]): (Int, Int, Int) = {
+    var i = 2
+    def nextInt(): Int = {
+      while (i < p.length && (p(i).toChar.isWhitespace || p(i) == '#')) {
+        if (p(i) == '#') while (i < p.length && p(i) != '\n') i += 1
+        else i += 1
+      }
+      var v = 0
+      require(i < p.length && p(i) >= '0' && p(i) <= '9', "bad PPM header")
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0'); i += 1
+      }
+      v
+    }
+    val (w, h) = (nextInt(), nextInt())
+    nextInt() // maxval — exactly one whitespace follows, then the raster
+    (w, h, i + 1)
+  }
+
+  /** REAL pixel work: nearest-neighbor resample of a PPM P6 raster to
+    * outW×outH (source pixel = (i·w/outW, j·h/outH), integer division —
+    * the standard NN index map), returning the sampled bytes' sum as a
+    * compact proof an oracle can recompute arithmetically. This is the
+    * resample stage [[graft.queries.MultimodalOps]]'s letterbox GEOMETRY
+    * plans for — here executed on real raster bytes.
+    */
+  def resamplePpmChecksum(p: Array[Byte], outW: Int, outH: Int): Long = {
+    val (w, h, off) = ppmHeader(p)
+    var sum = 0L
+    var j = 0
+    while (j < outH) {
+      val sy = j * h / outH
+      var i = 0
+      while (i < outW) {
+        val sx = i * w / outW
+        val o = off + (sy * w + sx) * 3
+        sum += (p(o) & 0xff) + (p(o + 1) & 0xff) + (p(o + 2) & 0xff)
+        i += 1
+      }
+      j += 1
+    }
+    sum
+  }
+
+  /** PPM whose raster is the deterministic gradient
+    * pixel(x, y)(c) = (x·7 + y·13 + c) mod 256 — real bytes whose any
+    * resample/crop an oracle can predict in closed form.
+    */
+  def encodePpmGradient(w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        var c = 0
+        while (c < 3) {
+          raster(base + c) = ((x * 7 + y * 13 + c) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    header ++ raster
   }
 
   // Deterministic REAL-format payload builders — the fixture stand-in for

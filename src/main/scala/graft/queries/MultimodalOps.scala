@@ -129,8 +129,44 @@ object MultimodalOps {
       |       ELSE 1 END AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // REAL pixel resample — the execution of what mm_resize_plan only
+  // planned: build a gradient-raster PPM per doc, nearest-neighbor
+  // resample it to 8×8 on the batch path, and report the sampled bytes'
+  // sum. The gradient makes the result closed-form, so the oracle
+  // recomputes the expected checksum arithmetically: any off-by-one in
+  // the header offset, row stride, or NN index map fails the compare.
+  private def mmResizeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 64).toInt
+        val h = 16 + ((id * 3) % 64).toInt
+        (id, w.toLong, h.toLong, Media.resamplePpmChecksum(
+          Media.encodePpmGradient(w, h), outW = 8, outH = 8))
+      })
+      .toDF("doc_id", "width", "height", "checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmResizeRealSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 16 + doc_id % 64 AS w, 16 + (doc_id*3) % 64 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (((i*w)//8)*7 + ((j*h)//8)*13 + c) % 256 AS v
+      |  FROM dims,
+      |    unnest(generate_series(0, 7)) t1(i),
+      |    unnest(generate_series(0, 7)) t2(j),
+      |    unnest(generate_series(0, 2)) t3(c))
+      |SELECT doc_id, w AS width, h AS height,
+      |  CAST(sum(v) AS BIGINT) AS checksum
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_decode_real" -> mmDecodeReal _,
+    "mm_resize_real" -> mmResizeReal _,
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_decode_batch" -> mmDecodeBatch _,
@@ -139,6 +175,7 @@ object MultimodalOps {
 
   val oracle: Map[String, String] = Map(
     "mm_decode_real" -> mmDecodeRealSql,
+    "mm_resize_real" -> mmResizeRealSql,
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_resize_plan" -> mmResizePlanSql

@@ -55,8 +55,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # mirror Verify's SPARK_GRAFT_VERIFY_ONLY: when the dump was filtered,
+    # silently skip the undumped queries instead of reporting them failed
+    only = {q.strip() for q in
+            __import__("os").environ.get("SPARK_GRAFT_VERIFY_ONLY", "")
+            .split(",") if q.strip()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
