@@ -112,6 +112,21 @@ object Maintenance {
   def snapshotAddPath(tablePath: String, version: Long): String =
     f"$tablePath/_graft_log/snapshots/v$version%06d.add.txt"
 
+  /** Marker + removed-file listing of a [[deleteRange]] version. Snapshot
+    * metadata (never vacuumed), so a delete version stays DETECTABLE even
+    * after [[vacuumRemoved]] reclaims its change files — the CDF then
+    * fails loudly instead of silently skipping the version as a rewrite.
+    */
+  def snapshotDeletePath(tablePath: String, version: Long): String =
+    f"$tablePath/_graft_log/snapshots/v$version%06d.delete.txt"
+
+  /** Change files (the deleted rows) a [[deleteRange]] version recorded —
+    * the engine's CDC files; [[readChangesBetween]] reads them back tagged
+    * `_change_type='delete'`.
+    */
+  def changesPath(tablePath: String, version: Long): String =
+    f"$tablePath/_graft_log/changes/v$version%06d"
+
   def snapshotFullPath(tablePath: String, version: Long): String =
     f"$tablePath/_graft_log/snapshots/v$version%06d.full.txt"
 
@@ -159,19 +174,43 @@ object Maintenance {
     * a Delta read after additive evolution): rows from pre-evolution
     * files surface the later columns as null.
     */
+  /** Quarantine for files a [[deleteRange]] removed from the live table:
+    * they leave the data directory (current reads must not see them) but
+    * stay readable HERE, so pre-delete versions keep time-traveling — the
+    * same observable behavior as Delta, where DELETE marks files removed
+    * yet history survives until VACUUM. [[vacuumRemoved]] is that
+    * retention boundary.
+    */
+  def removedPath(tablePath: String): String =
+    s"$tablePath/_graft_log/removed"
+
+  /** A snapshot-relative file name resolved to wherever it lives now:
+    * the data directory (live), or the delete quarantine (historic).
+    */
+  private def resolveHistoric(tablePath: String,
+      rel: String): Option[java.nio.file.Path] = {
+    val live = Paths.get(tablePath, rel)
+    if (Files.exists(live)) Some(live)
+    else {
+      val rem = Paths.get(removedPath(tablePath), rel)
+      if (Files.exists(rem)) Some(rem) else None
+    }
+  }
+
   def readAsOf(spark: SparkSession, tablePath: String,
       version: Long): DataFrame = {
     val files = readSnapshot(tablePath, version).getOrElse(
       throw new IllegalStateException(
         s"no snapshot for version $version of $tablePath " +
           s"(table is at version ${readVersion(tablePath)})"))
-    val missing = files.filterNot(f => Files.exists(Paths.get(tablePath, f)))
+    val resolved = files.map(f => f -> resolveHistoric(tablePath, f))
+    val missing = resolved.collect { case (f, None) => f }
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"version $version of $tablePath is no longer readable: " +
           s"${missing.size} of its files were reclaimed by a rewrite or " +
           s"vacuum (first missing: ${missing.head})")
-    val paths = files.map(f => s"$tablePath/$f")
+    val paths = resolved.map(_._2.get.toString)
     readTableSchema(tablePath) match {
       case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
@@ -188,11 +227,14 @@ object Maintenance {
     *
     * A rewrite (compact/cluster) inside the range is a version with no
     * add-delta: like Delta's `dataChange=false` commits it contributes no
-    * row changes and is skipped. Fails loudly when a version in the range
-    * predates the snapshot protocol, or when a later rewrite physically
-    * reclaimed a delta's files — a silently empty slice would read as "no
-    * changes", which is the one wrong answer an incremental consumer can
-    * never detect.
+    * row changes and is skipped. A DELETE version ([[deleteRange]]) emits
+    * its deleted rows tagged `_change_type='delete'`, read from the change
+    * files the delete recorded under `_graft_log/changes/` — Delta's CDC
+    * delete feed. Fails loudly when a version in the range predates the
+    * snapshot protocol, or when a later rewrite / [[vacuumRemoved]]
+    * physically reclaimed a slice's files — a silently empty slice would
+    * read as "no changes", which is the one wrong answer an incremental
+    * consumer can never detect.
     */
   def readChangesBetween(spark: SparkSession, tablePath: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
@@ -202,31 +244,48 @@ object Maintenance {
     if (toVersion > current) throw new IllegalStateException(
       s"version $toVersion of $tablePath does not exist yet " +
         s"(table is at version $current)")
+    // (version, absolute file paths, change type)
     val slices = ((fromVersion + 1) to toVersion).flatMap { v =>
       readFileList(snapshotAddPath(tablePath, v)) match {
-        case Some(files) => Some(v -> files)
+        case Some(files) =>
+          // an insert slice's files may since have been quarantined by a
+          // later delete — resolve each through the quarantine like
+          // readAsOf does; reclaimed ⇒ loud error below
+          val resolved = files.map(f => f -> resolveHistoric(tablePath, f))
+          val missing = resolved.collect { case (f, None) => f }
+          if (missing.nonEmpty) throw new IllegalStateException(
+            s"changes ($fromVersion, $toVersion] of $tablePath are no " +
+              s"longer readable: ${missing.size} files were reclaimed by " +
+              s"a rewrite or vacuum (first missing: ${missing.head})")
+          Some((v, resolved.map(_._2.get.toString), "insert"))
         case None =>
-          // no add-delta: legal only for a rewrite version (full listing)
-          if (Files.exists(Paths.get(snapshotFullPath(tablePath, v)))) None
+          val isDelete =
+            Files.exists(Paths.get(snapshotDeletePath(tablePath, v)))
+          val ch = new java.io.File(changesPath(tablePath, v))
+          if (isDelete) {
+            val parts = Option(ch.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            if (parts.isEmpty) throw new IllegalStateException(
+              s"delete version $v of $tablePath has no readable change " +
+                "files — they were reclaimed by vacuumRemoved; its " +
+                "changes cannot be reconstructed")
+            Some((v, parts.toSeq.map(_.getAbsolutePath), "delete"))
+          }
+          // no add-delta, not a delete: legal only for a rewrite version
+          else if (Files.exists(Paths.get(snapshotFullPath(tablePath, v))))
+            None
           else throw new IllegalStateException(
             s"version $v of $tablePath was never snapshotted under the " +
               "commit protocol — its changes cannot be reconstructed")
       }
     }
-    val missing = slices.flatMap(_._2)
-      .filterNot(f => Files.exists(Paths.get(tablePath, f)))
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"changes ($fromVersion, $toVersion] of $tablePath are no longer " +
-        s"readable: ${missing.size} files were reclaimed by a rewrite or " +
-        s"vacuum (first missing: ${missing.head})")
     val schema = readTableSchema(tablePath)
-    val reads = slices.map { case (v, files) =>
-      val paths = files.map(f => s"$tablePath/$f")
+    val reads = slices.map { case (v, paths, changeType) =>
       val base = schema match {
         case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
       }
-      base.withColumn("_change_type", lit("insert"))
+      base.withColumn("_change_type", lit(changeType))
         .withColumn("_change_version", lit(v))
     }
     reads.reduceOption(_.unionByName(_)).getOrElse {
@@ -421,12 +480,23 @@ object Maintenance {
         throw new IllegalArgumentException(
           s"$tablePath has no snapshot for version $version"))
       val root = Paths.get(tablePath)
-      val missing = files.filterNot(f => Files.exists(root.resolve(f)))
+      val missing =
+        files.filterNot(f => resolveHistoric(tablePath, f).isDefined)
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"cannot restore $tablePath to v$version: " +
             s"${missing.size} file(s) reclaimed by a rewrite " +
             s"(first: ${missing.head})")
+      // a restore across a DELETE: files the delete quarantined move back
+      // into the live set — RESTORE undoes DELETE, Delta parity
+      files.foreach { f =>
+        val live = root.resolve(f)
+        if (!Files.exists(live)) {
+          Files.createDirectories(live.getParent)
+          Files.move(Paths.get(removedPath(tablePath), f), live,
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
       val restored = files.toSet
       val extra = listParquetFiles(new java.io.File(tablePath))
         .map(f => root.relativize(f.toPath).toString)
@@ -441,10 +511,19 @@ object Maintenance {
       // stats entries of quarantined files would pin dead names — drop
       // them; the restored files keep theirs (keys are basenames)
       val keptNames = restored.map(f => Paths.get(f).getFileName.toString)
-      writeFileStats(tablePath,
-        readFileStats(tablePath).toSeq.collect {
-          case ((f, c), (lo, hi)) if keptNames.contains(f) => (f, c, lo, hi)
-        }, append = false)
+      val keptStats = readFileStats(tablePath).toSeq.collect {
+        case ((f, c), (lo, hi)) if keptNames.contains(f) => (f, c, lo, hi)
+      }
+      writeFileStats(tablePath, keptStats, append = false)
+      // files recovered from the delete quarantine lost their stats at
+      // delete time — backfill from their footers (metadata-only read) so
+      // the restored table skips files as well as the original did
+      val statless = keptNames -- keptStats.map(_._1).toSet
+      if (statless.nonEmpty)
+        writeFileStats(tablePath,
+          footerStats(spark, statless.toSeq.sorted
+            .map(n => root.resolve(n).toFile).filter(_.exists())),
+          append = true)
       // live-file registry follows the restored set (vacuum safety)
       val reg = Paths.get(liveFilesPath(tablePath))
       if (Files.exists(reg))
@@ -588,6 +667,160 @@ object Maintenance {
       reader.option("basePath", tablePath)
         .parquet(kept.map(byName): _*)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // DELETE — the engine analogue of Delta's `DELETE FROM t WHERE c
+  // BETWEEN lo AND hi` (the reference inherits row deletes from Delta;
+  // its GDPR/maintenance surface is delta_manager.py). Stats-driven:
+  // [[skippingPlan]] prunes the candidate files by recorded [min,max]
+  // BEFORE any data is read, and among candidates only files that
+  // actually CONTAIN matching rows are rewritten — at 100 TB a keyed
+  // delete reads and rewrites a handful of files, never the table.
+  // Removed originals are QUARANTINED under `_graft_log/removed/` (not
+  // deleted): pre-delete versions keep time-traveling through the
+  // quarantine and [[restoreTo]] can undo the delete — Delta parity,
+  // where history survives a DELETE until VACUUM ([[vacuumRemoved]] is
+  // that retention boundary). The deleted rows are additionally written
+  // as change files under `_graft_log/changes/v{N}/`, so
+  // [[readChangesBetween]] serves them tagged `_change_type='delete'` —
+  // Delta's CDC delete feed, O(deleted rows) forever after.
+
+  /** Outcome of a [[deleteRange]]: the committed version (unchanged when
+    * nothing matched), exact rows deleted, and the file-level blast
+    * radius — `filesRewritten` out of `filesTotal` is the number a 100-TB
+    * operator watches.
+    */
+  case class DeleteResult(version: Long, rowsDeleted: Long,
+      filesRewritten: Int, filesTotal: Int)
+
+  /** Delete rows with `column` ∈ [lo, hi] from a committed table. Bounds
+    * are doubles under the same convention as the stats layer (exact for
+    * integer keys below 2^53; the predicate evaluates on the column's
+    * native type promoted to double). Null values never match — SQL
+    * DELETE semantics — and, critically, null rows SURVIVE: the keep
+    * predicate is the coalesced complement, not a raw negation that
+    * would silently drop them.
+    *
+    * Runs entirely under the commit lock: a delete's read-rewrite-swap
+    * must not interleave with an appender (appends queue briefly — the
+    * same trade [[restoreTo]] makes; the optimistic path is for whole-
+    * table rewrites, where the lock-free window is long).
+    */
+  def deleteRange(spark: SparkSession, tablePath: String, column: String,
+      lo: Double, hi: Double): DeleteResult =
+    withCommitLock(tablePath, timeoutMs = 600000L) {
+      val root = Paths.get(tablePath)
+      val v0 = readVersion(tablePath)
+      val (candidates, total) = skippingPlan(tablePath, column, lo, hi)
+      val byName = listParquetFiles(new java.io.File(tablePath))
+        .map(f => f.getName -> f).toMap
+      val schema = readTableSchema(tablePath)
+      def reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      val delPred = coalesce(
+        col(column) >= lit(lo) && col(column) <= lit(hi), lit(false))
+      // exact confirmation of the conservative stats prune: one metadata-
+      // scale job over the candidate files counts matches per file; files
+      // whose stats overlap but hold no matching row stay untouched
+      val perFile: Array[(String, Long)] =
+        if (candidates.isEmpty) Array.empty
+        else reader.parquet(candidates.map(byName(_).getAbsolutePath): _*)
+          .filter(delPred)
+          .groupBy(input_file_name().as("path")).count()
+          .collect()
+          .map(r => (Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString, r.getLong(1)))
+      if (perFile.isEmpty)
+        DeleteResult(v0, 0L, 0, total)
+      else {
+        val affected = perFile.map(_._1).toSeq.sorted
+        val rowsDeleted = perFile.map(_._2).sum
+        val v = v0 + 1
+        val affPaths = affected.map(byName(_).getAbsolutePath)
+        val aff = reader.parquet(affPaths: _*)
+        // CDC change files (the deleted rows) — written BEFORE any
+        // original moves, while the source paths are still live
+        aff.filter(delPred).write.mode(SaveMode.Overwrite)
+          .parquet(changesPath(tablePath, v))
+        // survivors staged outside the table, then renamed in — same
+        // stage-then-move shape as commitAppend. Only THIS delete's
+        // uuid subdir is cleaned up: a concurrent appender stages under
+        // the same __stage sibling before it queues on the lock.
+        val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
+        aff.filter(not(delPred)).write.mode(SaveMode.Overwrite).parquet(stage)
+        val parts = listDataFiles(new java.io.File(stage))
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        try {
+          // quarantine the originals (history, not garbage)
+          affected.foreach { name =>
+            val rel = root.relativize(byName(name).toPath).toString
+            val dest = Paths.get(removedPath(tablePath)).resolve(rel)
+            Files.createDirectories(dest.getParent)
+            Files.move(byName(name).toPath, dest,
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+          val now = System.currentTimeMillis()
+          val committed = parts.zipWithIndex.map { case (f, i) =>
+            val dest =
+              Paths.get(tablePath, f"delete_v$v%06d_p$i%04d.parquet")
+            Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+            dest.toFile.setLastModified(now)
+            dest
+          }
+          // stats: entries of quarantined files would pin dead names —
+          // drop them; the replacement files get fresh footer stats
+          val gone = affected.toSet
+          writeFileStats(tablePath,
+            readFileStats(tablePath).toSeq.collect {
+              case ((f, c), (l, h)) if !gone.contains(f) => (f, c, l, h)
+            }, append = false)
+          writeFileStats(tablePath,
+            footerStats(spark, committed.map(_.toFile)), append = true)
+          val reg = Paths.get(liveFilesPath(tablePath))
+          if (Files.exists(reg)) recordLiveFiles(tablePath)
+          // snapshot: full listing (delete versions reconstruct directly)
+          // + the delete marker naming what left the live set
+          writeFileList(snapshotFullPath(tablePath, v),
+            listParquetFiles(new java.io.File(tablePath))
+              .map(f => root.relativize(f.toPath).toString))
+          writeFileList(snapshotDeletePath(tablePath, v), affected)
+          writeVersion(tablePath, v)
+          DeleteResult(v, rowsDeleted, affected.size, total)
+        } finally deleteRecursively(new java.io.File(stage))
+      }
+    }
+
+  /** Retention boundary for delete history: reclaim quarantined originals
+    * (`_graft_log/removed/`) and CDC change files (`_graft_log/changes/`)
+    * older than `cutoffEpochMs` — Delta's VACUUM applied to DELETE
+    * leftovers. After reclaim, time travel to pre-delete versions and CDF
+    * over the delete version fail LOUDLY (the protocol's honest-reclaim
+    * convention); the delete markers under `snapshots/` are metadata and
+    * always survive, which is what keeps the failure loud instead of a
+    * silent empty slice. The cutoff is injected, never wall clock.
+    *
+    * @return number of files reclaimed
+    */
+  def vacuumRemoved(tablePath: String, cutoffEpochMs: Long): Int = {
+    def sweep(dir: java.io.File): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+        else Seq(f)
+      if (dir.exists()) walk(dir) else Nil
+    }
+    val victims = (sweep(new java.io.File(removedPath(tablePath))) ++
+      sweep(new java.io.File(s"$tablePath/_graft_log/changes")))
+      .filter(_.lastModified() < cutoffEpochMs)
+    victims.foreach(_.delete())
+    Seq(new java.io.File(removedPath(tablePath)),
+      new java.io.File(s"$tablePath/_graft_log/changes")).foreach { d =>
+      if (d.exists()) {
+        pruneEmptyDirs(d)
+        if (Option(d.listFiles()).exists(_.isEmpty)) d.delete()
+      }
+    }
+    victims.size
   }
 
   /** OPTIMIZE-style compaction: rewrite the table to `targetFiles` files

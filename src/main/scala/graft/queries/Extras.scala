@@ -659,10 +659,92 @@ object Extras {
       |    AS cents_total
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K16: targeted DELETE on the commit protocol (Delta `DELETE FROM ...
+  // WHERE`; the reference inherits row deletes from Delta —
+  // delta_manager.py is its maintenance surface). The orders table is
+  // committed as four range-disjoint appends so every file carries tight
+  // key stats; deleteRange then removes a middle key range, touching ONLY
+  // the files whose stats intersect it — at 100 TB a keyed delete reads
+  // and rewrites a handful of files, never the table. The oracle checks
+  // the surviving CONTENT is exactly the filter complement; the file-level
+  // blast radius, quarantine time travel, restore-undo, null survival,
+  // and retention reclaim are asserted in MaintenanceSpec.
+  /** Shared fixture: 4-append orders table + one range delete; returns
+    * (workDir, tablePath, delete version).
+    */
+  private def deleteFixture(s: SparkSession, dir: String): (String, String, Long) = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-del-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_del"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val len = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      graft.operators.Maintenance.commitAppend(s, table,
+        o.filter(col("o_orderkey") >= lo + i * len &&
+          col("o_orderkey") < lo + (i + 1) * len).coalesce(1))
+    }
+    val (qlo, qhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    val res = graft.operators.Maintenance.deleteRange(s, table,
+      "o_orderkey", qlo.toDouble, qhi.toDouble)
+    (work, table, res.version)
+  }
+
+  private def k16Delete(s: SparkSession, dir: String): DataFrame = {
+    val (work, table, _) = deleteFixture(s, dir)
+    val out = graft.operators.Maintenance.readTable(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("o_orderstatus"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k16DeleteSql =
+    """WITH mm AS (
+      |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM orders, mm
+      |WHERE NOT (o_orderkey >= lo + (hi-lo)//4
+      |       AND o_orderkey <= lo + (hi-lo)//2)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // K16b: the CDC face of the same delete — readChangesBetween over the
+  // delete version serves exactly the deleted rows tagged
+  // `_change_type='delete'` (Delta's CDC delete feed), O(deleted rows):
+  // the incremental signal a downstream index/aggregate needs to retract
+  // without a table diff.
+  private def k16DeleteCdf(s: SparkSession, dir: String): DataFrame = {
+    val (work, table, v) = deleteFixture(s, dir)
+    val feed = graft.operators.Maintenance
+      .readChangesBetween(s, table, v - 1, v)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("change_type"))
+    graft.streaming.WorkDirs.materializeAndClean(feed, work)
+  }
+
+  private val k16DeleteCdfSql =
+    """WITH mm AS (
+      |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+      |SELECT 'delete' AS change_type, count(*) AS n_rows,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM orders, mm
+      |WHERE o_orderkey >= lo + (hi-lo)//4
+      |  AND o_orderkey <= lo + (hi-lo)//2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "k11_incremental_agg" -> k11IncrementalAgg _,
     "st_table_stream" -> stTableStream _,
     "k10_cdf" -> k10Cdf _,
+    "k16_delete" -> k16Delete _,
+    "k16_delete_cdf" -> k16DeleteCdf _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -679,6 +761,8 @@ object Extras {
     "k11_incremental_agg" -> k11IncrementalAggSql,
     "st_table_stream" -> stTableStreamSql,
     "k10_cdf" -> k10CdfSql,
+    "k16_delete" -> k16DeleteSql,
+    "k16_delete_cdf" -> k16DeleteCdfSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,

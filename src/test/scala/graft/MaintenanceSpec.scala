@@ -542,4 +542,118 @@ class MaintenanceSpec extends AnyFunSuite {
     val want = rows.filter(_._1 <= 127L).map(_._3).sum
     assert(got == want)
   }
+
+  // ----- deleteRange: targeted DELETE + CDC + quarantine history -----
+
+  /** Four range-disjoint single-file appends: v1..v4 own ids
+    * [0,10) [10,20) [20,30) [30,40).
+    */
+  private def deleteFixture4(): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-delspec-${UUID.randomUUID()}/t").getAbsolutePath
+    (0 until 4).foreach { i =>
+      Maintenance.commitAppend(spark, p,
+        spark.range(i * 10L, (i + 1) * 10L).toDF("id").coalesce(1))
+    }
+    p
+  }
+
+  test("delete: stats-pruned rewrite touches only files holding matches") {
+    val p = deleteFixture4()
+    val res = Maintenance.deleteRange(spark, p, "id", 15.0, 24.0)
+    assert(res.rowsDeleted == 10)
+    assert(res.filesRewritten == 2 && res.filesTotal == 4,
+      s"blast radius: $res")
+    assert(res.version == 5)
+    val left = Maintenance.readTable(spark, p)
+    assert(left.count() == 30)
+    assert(left.filter(col("id").between(15, 24)).count() == 0)
+    val names = Option(new java.io.File(p).listFiles()).get
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    // untouched files keep their v1/v4 names; v2/v3 replaced by delete files
+    assert(names.count(_.startsWith("append_v000001")) == 1)
+    assert(names.count(_.startsWith("append_v000004")) == 1)
+    assert(!names.exists(_.startsWith("append_v000002")))
+    assert(names.exists(_.startsWith("delete_v000005")))
+    // stats follow the live set: dead names dropped, replacements recorded
+    val stats = Maintenance.readFileStats(p)
+    assert(!stats.keys.exists(_._1.startsWith("append_v000002")))
+    assert(stats.keys.exists(_._1.startsWith("delete_v000005")))
+  }
+
+  test("delete: null keys never match and always survive the rewrite") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-delspec-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p,
+      spark.range(0L, 10L).toDF("n")
+        .select(when(col("n") < 3, lit(null)).otherwise(col("n")).as("id"))
+        .coalesce(1))
+    val res = Maintenance.deleteRange(spark, p, "id", 0.0, 100.0)
+    assert(res.rowsDeleted == 7)
+    val left = Maintenance.readTable(spark, p)
+    assert(left.count() == 3, "null-key rows must survive, not vanish")
+    assert(left.filter(col("id").isNull).count() == 3)
+  }
+
+  test("delete: pre-delete versions time-travel through the quarantine; " +
+      "restore undoes the delete") {
+    val p = deleteFixture4()
+    Maintenance.deleteRange(spark, p, "id", 15.0, 24.0)
+    // the full pre-delete table and an interior version both read back,
+    // even though their files left the live directory
+    assert(Maintenance.readAsOf(spark, p, 4).count() == 40)
+    assert(Maintenance.readAsOf(spark, p, 2).count() == 20)
+    Maintenance.restoreTo(spark, p, 4)
+    assert(Maintenance.readTable(spark, p).count() == 40)
+    // restored files got their stats backfilled: the key range prunes to
+    // exactly the two covering files again
+    val (kept, total) = Maintenance.skippingPlan(p, "id", 15.0, 24.0)
+    assert(kept.size == 2 && total == 4, s"kept=$kept total=$total")
+  }
+
+  test("delete: cdf serves the deleted rows; insert slices read through " +
+      "the quarantine") {
+    val p = deleteFixture4()
+    val res = Maintenance.deleteRange(spark, p, "id", 15.0, 24.0)
+    val feed = Maintenance.readChangesBetween(spark, p,
+      res.version - 1, res.version)
+    assert(feed.count() == 10)
+    assert(feed.filter(col("_change_type") === "delete").count() == 10)
+    assert(feed.agg(sum("id")).first().getLong(0) == (15L to 24L).sum)
+    // version 2's insert slice is still readable though its file moved
+    // to the quarantine
+    val ins = Maintenance.readChangesBetween(spark, p, 1L, 2L)
+    assert(ins.count() == 10)
+    assert(ins.filter(col("_change_type") === "insert").count() == 10)
+    // a mixed range unions inserts and deletes
+    val mixed = Maintenance.readChangesBetween(spark, p, 3L, res.version)
+    assert(mixed.filter(col("_change_type") === "insert").count() == 10)
+    assert(mixed.filter(col("_change_type") === "delete").count() == 10)
+  }
+
+  test("delete: vacuumRemoved reclaims history loudly, never current data") {
+    val p = deleteFixture4()
+    val res = Maintenance.deleteRange(spark, p, "id", 15.0, 24.0)
+    val n = Maintenance.vacuumRemoved(p, System.currentTimeMillis() + 60000)
+    assert(n > 0)
+    // current state untouched, current version still time-travels
+    assert(Maintenance.readTable(spark, p).count() == 30)
+    assert(Maintenance.readAsOf(spark, p, res.version).count() == 30)
+    // pre-delete history is gone — and says so
+    intercept[IllegalStateException] { Maintenance.readAsOf(spark, p, 2) }
+    // the delete marker outlives the change files, so the CDF fails
+    // loudly instead of skipping the version as a rewrite
+    intercept[IllegalStateException] {
+      Maintenance.readChangesBetween(spark, p, res.version - 1, res.version)
+    }
+  }
+
+  test("delete: a no-match range commits nothing") {
+    val p = deleteFixture4()
+    val res = Maintenance.deleteRange(spark, p, "id", 100.0, 200.0)
+    assert(res.version == 4 && res.rowsDeleted == 0 &&
+      res.filesRewritten == 0)
+    assert(Maintenance.readVersion(p) == 4)
+    assert(Maintenance.readTable(spark, p).count() == 40)
+  }
 }
