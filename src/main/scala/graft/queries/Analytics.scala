@@ -200,6 +200,31 @@ object Analytics {
   private def stDropdupStream(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StateTuning.withStatePartitions(s,
         graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+      dropdupBody(s, dir)
+    }
+
+  // The same dedup pipeline with its state in the RocksDB state store
+  // provider — the tier a 100-TB stream needs once keyed state outgrows
+  // the executor heap: RocksDB holds state off-heap/on-disk per partition
+  // with incremental (changelog-capable) checkpointing, where the default
+  // HDFS-backed provider keeps every key in JVM memory. State BACKEND is
+  // an operational knob, never semantics: the same DuckDB oracle as
+  // st_dropdup_stream asserts bit-identical results.
+  private def stRocksdbDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+      try dropdupBody(s, dir)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+
+  private def dropdupBody(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -230,6 +255,10 @@ object Analytics {
       s.read.parquet(s"$work/out")
         .orderBy(col("user_id"), col("minute")), work)
   }
+
+  private val stRocksdbDedupSql =
+    """SELECT DISTINCT user_id, date_trunc('minute', ts) AS minute
+      |FROM events ORDER BY user_id, minute""".stripMargin
 
   private val stDropdupStreamSql =
     """SELECT DISTINCT user_id, date_trunc('minute', ts) AS minute
@@ -594,6 +623,7 @@ object Analytics {
     "k7_bucketed_join" -> k7BucketedJoin _,
     "ss_stream_stream_join" -> ssStreamStreamJoin _,
     "st_dropdup_stream" -> stDropdupStream _,
+    "st_rocksdb_dedup" -> stRocksdbDedup _,
     "st_mapgroups_state" -> stMapgroupsState _,
     "st_timeout_evict" -> stTimeoutEvict _
   )
@@ -608,6 +638,7 @@ object Analytics {
     "k7_bucketed_join" -> k7BucketedJoinSql,
     "ss_stream_stream_join" -> ssStreamStreamJoinSql,
     "st_dropdup_stream" -> stDropdupStreamSql,
+    "st_rocksdb_dedup" -> stRocksdbDedupSql,
     "st_mapgroups_state" -> stMapgroupsStateSql,
     "st_timeout_evict" -> stTimeoutEvictSql
   )

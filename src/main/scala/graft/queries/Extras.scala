@@ -729,6 +729,59 @@ object Extras {
     graft.streaming.WorkDirs.materializeAndClean(feed, work)
   }
 
+  // ---------------------------------------------------------------------
+  // K15: data-quality expectations (DLT expect / expect_or_drop /
+  // expect_or_fail — the quality gate the reference's lakehouse stack
+  // inherits from Delta Live Tables). Four rules over orders: a fail-rule
+  // that must hold (batch circuit breaker), a warn-rule counted but kept,
+  // and two drop-rules that quarantine real rows. The oracle recomputes
+  // every violation count and the kept/quarantined split — including the
+  // rows-failing-both overlap, which per-rule counts alone can't derive.
+  private def k15Expectations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Expectations
+    val rules = Seq(
+      Expectations.Rule("orderkey_present",
+        col("o_orderkey").isNotNull, Expectations.Fail),
+      Expectations.Rule("price_cap",
+        col("o_totalprice") <= 400000.0, Expectations.Drop),
+      Expectations.Rule("price_positive",
+        col("o_totalprice") > 0.0, Expectations.Warn),
+      Expectations.Rule("priority_known",
+        !col("o_orderpriority").startsWith("5-"), Expectations.Drop))
+    val res = Expectations.check(t(s, dir, "orders"), rules)
+    val rows = res.stats.map(st => (st.rule, st.action, st.violations)) ++
+      Seq(("_rows_kept", "summary", res.rowsKept),
+        ("_rows_quarantined", "summary", res.rowsTotal - res.rowsKept),
+        ("_rows_total", "summary", res.rowsTotal))
+    rows.toDF("rule_name", "action", "n_violations").orderBy(col("rule_name"))
+  }
+
+  private val k15ExpectationsSql =
+    """WITH s AS (SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN NOT coalesce(o_orderkey IS NOT NULL, FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS v_key,
+      |  CAST(sum(CASE WHEN NOT coalesce(o_totalprice <= 400000.0, FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS v_cap,
+      |  CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0.0, FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS v_pos,
+      |  CAST(sum(CASE WHEN NOT coalesce(o_orderpriority NOT LIKE '5-%',
+      |    FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_pri,
+      |  CAST(sum(CASE WHEN coalesce(o_totalprice <= 400000.0, FALSE)
+      |    AND coalesce(o_orderpriority NOT LIKE '5-%', FALSE)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+      |FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'orderkey_present' AS rule_name, 'fail' AS action,
+      |    v_key AS n_violations FROM s
+      |  UNION ALL SELECT 'price_cap', 'drop', v_cap FROM s
+      |  UNION ALL SELECT 'price_positive', 'warn', v_pos FROM s
+      |  UNION ALL SELECT 'priority_known', 'drop', v_pri FROM s
+      |  UNION ALL SELECT '_rows_kept', 'summary', kept FROM s
+      |  UNION ALL SELECT '_rows_quarantined', 'summary', n - kept FROM s
+      |  UNION ALL SELECT '_rows_total', 'summary', n FROM s)
+      |ORDER BY rule_name""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -743,6 +796,7 @@ object Extras {
     "k11_incremental_agg" -> k11IncrementalAgg _,
     "st_table_stream" -> stTableStream _,
     "k10_cdf" -> k10Cdf _,
+    "k15_expectations" -> k15Expectations _,
     "k16_delete" -> k16Delete _,
     "k16_delete_cdf" -> k16DeleteCdf _,
     "k8_time_travel" -> k8TimeTravel _,
@@ -761,6 +815,7 @@ object Extras {
     "k11_incremental_agg" -> k11IncrementalAggSql,
     "st_table_stream" -> stTableStreamSql,
     "k10_cdf" -> k10CdfSql,
+    "k15_expectations" -> k15ExpectationsSql,
     "k16_delete" -> k16DeleteSql,
     "k16_delete_cdf" -> k16DeleteCdfSql,
     "k8_time_travel" -> k8TimeTravelSql,

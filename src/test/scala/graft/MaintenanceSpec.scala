@@ -648,6 +648,42 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  // ----- Expectations (DLT expect / expect_or_drop / expect_or_fail) ----
+
+  test("expectations: drop quarantines with audit trail, warn keeps, " +
+      "null predicate counts as violation") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.{Rule, Warn, Drop}
+    val df = spark.range(0L, 10L).toDF("n")
+      .select(when(col("n") === 9, lit(null).cast("long"))
+        .otherwise(col("n")).as("id"))
+    val res = Expectations.check(df, Seq(
+      Rule("id_present", col("id").isNotNull, Drop),
+      Rule("small", col("id") < 8, Drop),
+      Rule("even", pmod(col("id"), lit(2L)) === 0, Warn)))
+    assert(res.rowsTotal == 10 && res.rowsKept == 8)
+    def v(r: String) = res.stats.find(_.rule == r).get.violations
+    assert(v("id_present") == 1)
+    assert(v("small") == 2, "the null id must violate via the null predicate")
+    assert(v("even") == 5, "4 odd ids + the null row")
+    assert(res.kept.count() == 8)
+    assert(res.kept.filter(col("id").isNull).count() == 0)
+    val q = res.quarantined
+      .select(col("id"), array_join(array_sort(col("_failed_rules")), ","))
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(q == Set((Some(8L), "small"), (None, "id_present,small")))
+  }
+
+  test("expectations: a violated fail-rule aborts the batch loudly") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.{Rule, Fail}
+    val df = spark.range(0L, 10L).toDF("id")
+    val e = intercept[IllegalStateException] {
+      Expectations.check(df, Seq(Rule("id_lt_5", col("id") < 5, Fail)))
+    }
+    assert(e.getMessage.contains("id_lt_5") && e.getMessage.contains("5"))
+  }
+
   test("delete: a no-match range commits nothing") {
     val p = deleteFixture4()
     val res = Maintenance.deleteRange(spark, p, "id", 100.0, 200.0)
