@@ -405,6 +405,25 @@ object Extras {
       .orderBy(col("event_type"))
 
   // ---------------------------------------------------------------------
+  // A3 mergeable tier: Apache DataSketches HLL (hll_sketch_agg /
+  // hll_union_agg). Each shard builds its OWN sketch and the union merges
+  // them — the 100-TB pattern where per-partition (or per-day) sketches
+  // are persisted tiny and merged at query time instead of rescanning
+  // history; HLL register-max merging makes the result identical to
+  // sketching the whole set at once, which ExtrasSpec asserts exactly,
+  // plus an error bound against the true count. Estimator is
+  // engine-specific — no DuckDB oracle by design.
+  private def a3HllUnion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("shard", pmod(col("user_id"), lit(8L)))
+      .groupBy(col("event_type"), col("shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .cast("long").as("approx_users"))
+      .orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------------
   // K8: time-travel reads on the engine's own commit protocol — the Delta
   // `VERSION AS OF` behavior the reference inherits (its latency notebooks
   // read Delta history; TimeDelay.ipynb cell 0). Three successive
@@ -808,7 +827,8 @@ object Extras {
     "st_session_window" -> stSessionWindow _,
     "st_sliding_stream" -> stSlidingStream _,
     "j4_timetravel_join" -> j4TimetravelJoin _,
-    "a3_approx_distinct" -> a3ApproxDistinct _
+    "a3_approx_distinct" -> a3ApproxDistinct _,
+    "a3_hll_union" -> a3HllUnion _
   )
 
   val oracle: Map[String, String] = Map(

@@ -129,15 +129,60 @@ object Sources {
       |    AS latency_sec
       |FROM (SELECT date_trunc('minute', ts) AS ws FROM events)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // S10: ORC scan — the second columnar format a lakehouse ingests
+  // beside parquet (Spark's built-in ORC source; vectorized reader,
+  // predicate pushdown, column pruning all apply as with parquet). The
+  // engine round-trips events through ORC and aggregates; the oracle
+  // computes the same aggregate from the parquet table — proving the
+  // ORC writer+reader pair is lossless for this schema.
+  /** Build-once ORC fixture keyed by the source-table content
+    * fingerprint (same convention as [[ensureCsvFixture]]).
+    */
+  def ensureOrcFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orc-${graft.Tables.fingerprint(dir, "events")}").getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .write.mode("overwrite").orc(tmp)
+    }
+    tmp
+  }
+
+  private def s10OrcScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureOrcFixture(s, dir)
+    s.read.orc(tmp)
+      .filter(col("event_type") =!= "view") // pushdown reaches the ORC scan
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0)
+        .as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s10OrcScanSql =
+    """SELECT event_type,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  count(DISTINCT user_id) AS n_users, max(ts) AS last_ts,
+      |  count(*) AS n
+      |FROM events WHERE event_type <> 'view'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s4_seq_ingest" -> s4SeqIngest _,
     "s7_csv_scan" -> s7CsvScan _,
-    "s8_commit_stats" -> s8CommitStats _
+    "s8_commit_stats" -> s8CommitStats _,
+    "s10_orc_scan" -> s10OrcScan _
   )
 
   val oracle: Map[String, String] = Map(
     "s4_seq_ingest" -> s4SeqIngestSql,
     "s7_csv_scan" -> s7CsvScanSql,
-    "s8_commit_stats" -> s8CommitStatsSql
+    "s8_commit_stats" -> s8CommitStatsSql,
+    "s10_orc_scan" -> s10OrcScanSql
   )
 }

@@ -130,15 +130,101 @@ object TrainingOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Document chunking with overlap — the retrieval/context-window step
+  // that splits each doc into fixed-width character chunks whose starts
+  // advance by a smaller stride (here 128/96: 25 % overlap, so no span is
+  // ever cut without also appearing whole in a neighbor). Pure
+  // sequence+explode+substring column work: embarrassingly parallel per
+  // doc, no windows, no shuffle beyond the final presentation sort. An
+  // empty/short doc still yields exactly one chunk (start 0), never zero
+  // rows — downstream joins on doc_id must not silently lose docs.
+  private val chunkSize = 128
+  private val chunkStride = 96
+
+  private def txChunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)),
+          lit(chunkStride))).as("chunk_start"),
+        col("text"))
+      .select(col("doc_id"),
+        expr(s"chunk_start div $chunkStride").cast("long").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        expr(s"substring(text, chunk_start + 1, $chunkSize)")
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val txChunkSql =
+    s"""WITH starts AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(0, greatest(length(text) - 1, 0),
+       |      $chunkStride)) AS gs
+       |  FROM documents)
+       |SELECT doc_id, gs // $chunkStride AS chunk_id,
+       |  gs AS chunk_start,
+       |  substring(text, gs + 1, $chunkSize) AS chunk_text,
+       |  length(substring(text, gs + 1, $chunkSize)) AS chunk_len
+       |FROM starts ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Domain-mixture sampling rates — temperature-based source rebalancing
+  // (the Pile/mT5-style α-scaling a pretraining mix uses so head domains
+  // don't drown the tail). α = 1/2 keeps the math EXACTLY reproducible
+  // across engines: keep_rate = min(1, sqrt(cap / n_tokens)) uses only
+  // IEEE-exact operations (integer-exact counts, one correctly-rounded
+  // division and sqrt) — no pow(), whose libm rounding varies. One
+  // hash aggregate over (source), map-side partials, no windows.
+  private val mixtureCapTokens = 1000.0
+
+  private def txMixture(s: SparkSession, dir: String): DataFrame = {
+    val tokens = regexp_count(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+    t(s, dir, "documents")
+      .select(col("source"), tokens.as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        least(lit(1.0), sqrt(lit(mixtureCapTokens) /
+          col("n_tokens").cast("double"))).as("keep_rate"))
+      .withColumn("expected_tokens",
+        col("n_tokens").cast("double") * col("keep_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val txMixtureSql =
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       |      AS n_tok
+       |  FROM documents),
+       |agg AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM toks GROUP BY source)
+       |SELECT source, n_docs, n_tokens,
+       |  least(1.0, sqrt($mixtureCapTokens / CAST(n_tokens AS DOUBLE)))
+       |    AS keep_rate,
+       |  CAST(n_tokens AS DOUBLE)
+       |    * least(1.0, sqrt($mixtureCapTokens / CAST(n_tokens AS DOUBLE)))
+       |    AS expected_tokens
+       |FROM agg ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "tx_pack" -> txPack _,
     "tx_sample" -> txSample _,
-    "tx_normalize" -> txNormalize _
+    "tx_normalize" -> txNormalize _,
+    "tx_chunk" -> txChunk _,
+    "tx_mixture" -> txMixture _
   )
 
   val oracle: Map[String, String] = Map(
     "tx_pack" -> txPackSql,
     "tx_sample" -> txSampleSql,
-    "tx_normalize" -> txNormalizeSql
+    "tx_normalize" -> txNormalizeSql,
+    "tx_chunk" -> txChunkSql,
+    "tx_mixture" -> txMixtureSql
   )
 }

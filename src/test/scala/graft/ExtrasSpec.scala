@@ -58,4 +58,27 @@ class ExtrasSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty)
     assert(viaSql.map(_.getLong(1)).sum > 0)
   }
+
+  test("hll union: sharded sketch merge equals the monolithic sketch " +
+      "and bounds the true count") {
+    import org.apache.spark.sql.functions._
+    val merged = Extras.queries("a3_hll_union")(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val events = Tables.t(spark, sfSmoke, "events")
+    // HLL merging is register-max: unioning per-shard sketches must give
+    // EXACTLY the sketch of the whole set, not just a close estimate
+    val mono = events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .cast("long").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == mono, s"merged=$merged mono=$mono")
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val est = merged(k).toDouble
+      assert(math.abs(est - n) <= math.max(3.0, 0.05 * n),
+        s"$k: est=$est exact=$n")
+    }
+  }
 }
