@@ -205,6 +205,171 @@ object Dimensions {
       |UNION ALL SELECT * FROM newrows
       |ORDER BY coin_id, start_date, surrogate_key""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K4 streaming: the reference's ACTUAL dimension architecture — a stream
+  // of staged snapshots merged into the SCD2 dimension per micro-batch via
+  // foreachBatch (reference: populate_dim.py runs per ingest batch;
+  // AutomateTable.py:31-40 wires it behind the stream). Three full
+  // snapshot files replay mtime-ordered at maxFilesPerTrigger=1; the
+  // handler groups each batch by effective_date and applies merges in date
+  // order, so the result is identical under ANY trigger slicing (all
+  // three files coalescing into one batch included). Dimension state
+  // persists across batches as a parquet dir: the merge output is
+  // localCheckpointed (materialized off its input files) before
+  // overwriting the dir it read — the atomic-swap pattern at micro-batch
+  // cadence. The oracle is the CLOSED FORM of the three sequential merges
+  // (per-key version chains with exact start/end dates and the same
+  // (key, hash)-ordered surrogate assignment), so every mechanic — change
+  // detection by hash, expiry, surrogate offsets across batches — is
+  // value-checked end to end.
+  private def stScd2Stream(s: SparkSession, dir: String): DataFrame =
+    scd2StreamBody(s, dir, filesPerTrigger = Some(1))
+
+  /** Spec surface: the same pipeline with ALL snapshot files coalescing
+    * into one micro-batch — exercises the handler's multi-date sequential
+    * merge branch, which must produce the identical dimension.
+    */
+  private[graft] def scd2StreamOneBatch(s: SparkSession, dir: String): DataFrame =
+    scd2StreamBody(s, dir, filesPerTrigger = None)
+
+  private def scd2StreamBody(s: SparkSession, dir: String,
+      filesPerTrigger: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-scd2s-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val spool = s"$work/spool"
+    val stateDir = s"$work/dim"
+    val sup = t(s, dir, "supplier").select(
+      col("s_suppkey").as("coin_id"), col("s_name").as("name"),
+      col("s_acctbal").as("base"))
+    val snap1 = sup.select(col("coin_id"), col("name"),
+      col("base").as("supply"), lit("2024-01-01").as("effective_date"))
+    val supply2 = when(pmod(col("coin_id"), lit(3L)) === 0,
+      col("base") + 100.0).otherwise(col("base"))
+    val news12 = sup.filter(col("coin_id") < 2).select(
+      (col("coin_id") + 1000L).as("coin_id"),
+      concat(lit("NEW_"), col("name")).as("name"),
+      (col("base") * 2.0).as("supply"))
+    val snap2 = sup.select(col("coin_id"), col("name"),
+      supply2.as("supply")).unionByName(news12)
+      .withColumn("effective_date", lit("2024-06-01"))
+    val supply3 = when(pmod(col("coin_id"), lit(5L)) === 0,
+      supply2 + 7.0).otherwise(supply2)
+    val new3 = sup.filter(col("coin_id") < 1).select(
+      (col("coin_id") + 2000L).as("coin_id"),
+      concat(lit("NEW2_"), col("name")).as("name"),
+      (col("base") * 3.0).as("supply"))
+    val snap3 = sup.select(col("coin_id"), col("name"),
+      supply3.as("supply")).unionByName(news12).unionByName(new3)
+      .withColumn("effective_date", lit("2024-09-01"))
+    val t0 = System.currentTimeMillis()
+    Seq(snap1, snap2, snap3).zipWithIndex.foreach { case (df, i) =>
+      graft.streaming.EventTimeOrderedSpool.spoolSingleFile(df,
+        s"$spool/snap-$i.parquet", t0 + i * 1000L)
+    }
+    val inSchema = StructType(Seq(
+      StructField("coin_id", LongType), StructField("name", StringType),
+      StructField("supply", DoubleType),
+      StructField("effective_date", StringType)))
+    val dimSchema = StructType(Seq(
+      StructField("surrogate_key", LongType),
+      StructField("coin_id", LongType), StructField("name", StringType),
+      StructField("supply", DoubleType), StructField("hash", StringType),
+      StructField("start_date", DateType), StructField("end_date", DateType),
+      StructField("is_current", StringType)))
+    val reader0 = s.readStream.schema(inSchema)
+    val reader = filesPerTrigger
+      .map(n => reader0.option("maxFilesPerTrigger", n)).getOrElse(reader0)
+    val q = reader
+      .parquet(s"$spool/*.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dates = batch.select(col("effective_date")).distinct()
+          .collect().map(_.getString(0)).sorted
+        dates.foreach { d =>
+          val staged = Scd2.withHash(
+            batch.filter(col("effective_date") === d)
+              .drop("effective_date")
+              .withColumn("cents", round(col("supply") * 100).cast("long")),
+            Seq("name", "cents")).drop("cents")
+          val cur =
+            if (new java.io.File(stateDir).exists())
+              s.read.schema(dimSchema).parquet(stateDir)
+            else s.createDataFrame(
+              java.util.List.of[org.apache.spark.sql.Row](), dimSchema)
+          Scd2.merge(cur, staged, "coin_id", d)
+            .localCheckpoint() // materialize BEFORE overwriting the input
+            .write.mode("overwrite").parquet(stateDir)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.WorkDirs.materializeAndClean(
+      s.read.schema(dimSchema).parquet(stateDir)
+        .orderBy(col("coin_id"), col("start_date"), col("surrogate_key")),
+      work)
+  }
+
+  private val stScd2StreamSql =
+    """WITH base AS (
+      |  SELECT s_suppkey AS k, s_name AS name, s_acctbal AS base
+      |  FROM supplier),
+      |n1 AS (SELECT count(*) AS c FROM base),
+      |v1 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY k) AS BIGINT)
+      |           AS surrogate_key,
+      |         k AS coin_id, name, base AS supply,
+      |         DATE '2024-01-01' AS start_date,
+      |         CASE WHEN k % 3 = 0 THEN DATE '2024-06-01'
+      |              WHEN k % 5 = 0 THEN DATE '2024-09-01'
+      |              ELSE DATE '9999-12-31' END AS end_date,
+      |         CASE WHEN k % 3 = 0 OR k % 5 = 0 THEN 'N' ELSE 'Y' END
+      |           AS is_current
+      |  FROM base),
+      |chg2 AS (
+      |  SELECT k AS coin_id, name, base + 100.0 AS supply, k % 5 = 0 AS chg3
+      |  FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k + 1000, 'NEW_' || name, base * 2.0, FALSE
+      |  FROM base WHERE k < 2),
+      |v2 AS (
+      |  SELECT (SELECT c FROM n1)
+      |           + CAST(row_number() OVER (ORDER BY coin_id) AS BIGINT)
+      |           AS surrogate_key,
+      |         coin_id, name, supply,
+      |         DATE '2024-06-01' AS start_date,
+      |         CASE WHEN chg3 THEN DATE '2024-09-01'
+      |              ELSE DATE '9999-12-31' END AS end_date,
+      |         CASE WHEN chg3 THEN 'N' ELSE 'Y' END AS is_current
+      |  FROM chg2),
+      |n2 AS (SELECT (SELECT c FROM n1) + count(*) AS c FROM chg2),
+      |chg3 AS (
+      |  SELECT k AS coin_id, name,
+      |         (CASE WHEN k % 3 = 0 THEN base + 100.0 ELSE base END) + 7.0
+      |           AS supply
+      |  FROM base WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k + 2000, 'NEW2_' || name, base * 3.0 FROM base WHERE k < 1),
+      |v3 AS (
+      |  SELECT (SELECT c FROM n2)
+      |           + CAST(row_number() OVER (ORDER BY coin_id) AS BIGINT)
+      |           AS surrogate_key,
+      |         coin_id, name, supply,
+      |         DATE '2024-09-01' AS start_date,
+      |         DATE '9999-12-31' AS end_date, 'Y' AS is_current
+      |  FROM chg3)
+      |SELECT surrogate_key, coin_id, name, supply,
+      |  sha256(concat_ws('~', name, CAST(round(supply*100) AS BIGINT)))
+      |    AS hash,
+      |  start_date, end_date, is_current
+      |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+      |      UNION ALL SELECT * FROM v3)
+      |ORDER BY coin_id, start_date, surrogate_key""".stripMargin
+
   // P11 follow-on: current-state view of the merged dimension (reference:
   // populate_dim.py:141 `where("is_current = 'Y'")` before joining facts).
   private def k4Scd2Current(s: SparkSession, dir: String): DataFrame =
@@ -225,7 +390,8 @@ object Dimensions {
     "p9_surrogate_hash" -> p9SurrogateHash _,
     "w2_dense_ids" -> w2DenseIds _,
     "k4_scd2_merge" -> k4Scd2Merge _,
-    "k4_scd2_current" -> k4Scd2Current _
+    "k4_scd2_current" -> k4Scd2Current _,
+    "st_scd2_stream" -> stScd2Stream _
   )
 
   val oracle: Map[String, String] = Map(
@@ -234,6 +400,7 @@ object Dimensions {
     "p9_surrogate_hash" -> p9SurrogateHashSql,
     "w2_dense_ids" -> w2DenseIdsSql,
     "k4_scd2_merge" -> k4Scd2MergeSql,
-    "k4_scd2_current" -> k4Scd2CurrentSql
+    "k4_scd2_current" -> k4Scd2CurrentSql,
+    "st_scd2_stream" -> stScd2StreamSql
   )
 }

@@ -60,4 +60,15 @@ class Scd2Spec extends AnyFunSuite {
     assert(a.sameElements(b), "both paths must assign identical ids")
     assert(a.map(_.getAs[Long]("id")).toSeq == (11L to 510L))
   }
+
+  test("streaming SCD2 merge is trigger-slicing independent: one batch " +
+      "holding all snapshots equals file-per-batch replay") {
+    val perFile = graft.queries.Dimensions
+      .queries("st_scd2_stream")(spark, sfSmoke).collect()
+    val oneBatch = graft.queries.Dimensions
+      .scd2StreamOneBatch(spark, sfSmoke).collect()
+    assert(perFile.nonEmpty)
+    assert(perFile.sameElements(oneBatch),
+      "multi-date batch must merge sequentially by effective_date")
+  }
 }
