@@ -264,6 +264,93 @@ object Analytics {
     """SELECT DISTINCT user_id, date_trunc('minute', ts) AS minute
       |FROM events ORDER BY user_id, minute""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Streaming data-quality gate: the DLT expectations tier applied per
+  // micro-batch (expect_or_drop semantics on a live stream) — kept rows
+  // land in the silver sink, quarantined rows in the audit sink tagged
+  // with every rule they failed. The summary is computed from the SINK
+  // CONTENTS after the replay, so it is trigger-slicing independent by
+  // construction, and the DuckDB oracle recomputes the same kept/
+  // quarantine partition — including rows failing BOTH drop rules —
+  // from the batch table.
+  private def stExpectStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types._
+      import graft.operators.Expectations
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-expstream-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val q = s.readStream
+        .schema(rawSchema)
+        .option("basePath", dir)
+        .parquet(s"$dir/events*.parquet")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val res = Expectations.check(batch, Seq(
+            Expectations.Rule("type_known",
+              col("event_type") =!= "error", Expectations.Drop),
+            Expectations.Rule("value_cap",
+              col("value") <= 400.0, Expectations.Drop),
+            Expectations.Rule("value_floor",
+              col("value") >= 0.5, Expectations.Warn)))
+          res.kept.select(col("event_id"), col("value"))
+            .write.mode("append").parquet(s"$work/kept")
+          res.quarantined.select(col("event_id"), col("value"),
+              col("_failed_rules"))
+            .write.mode("append").parquet(s"$work/quarantine")
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // a sink never written to (input with zero violations / zero passes)
+      // must read as empty, not crash the summary
+      def sink(path: String, schema: StructType) =
+        if (new java.io.File(path).exists()) s.read.schema(schema).parquet(path)
+        else s.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](), schema)
+      val kept = sink(s"$work/kept", StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("value", DoubleType))))
+        .select(lit("_kept").as("bucket"), col("value"))
+      val quar = sink(s"$work/quarantine", StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("value", DoubleType),
+          StructField("_failed_rules", ArrayType(StringType)))))
+        .select(array_join(array_sort(col("_failed_rules")), ",")
+          .as("bucket"), col("value"))
+      val out = kept.unionByName(quar)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("bucket"))
+      graft.streaming.WorkDirs.materializeAndClean(out, work)
+    }
+
+  private val stExpectStreamSql =
+    """WITH ev AS (
+      |  SELECT value,
+      |    NOT coalesce(event_type <> 'error', FALSE) AS f_type,
+      |    NOT coalesce(value <= 400.0, FALSE) AS f_cap
+      |  FROM events),
+      |tagged AS (
+      |  SELECT CASE WHEN NOT f_type AND NOT f_cap THEN '_kept'
+      |    ELSE concat_ws(',',
+      |      CASE WHEN f_type THEN 'type_known' END,
+      |      CASE WHEN f_cap THEN 'value_cap' END) END AS bucket, value
+      |  FROM ev)
+      |SELECT bucket, count(*) AS n_rows,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM tagged GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // Arbitrary streaming state: mapGroupsWithState accumulating a per-user
   // profile (count, value cents total, first/last second) — the custom
   // state-machine tier the tumbling/session windows can't express.
@@ -624,6 +711,7 @@ object Analytics {
     "ss_stream_stream_join" -> ssStreamStreamJoin _,
     "st_dropdup_stream" -> stDropdupStream _,
     "st_rocksdb_dedup" -> stRocksdbDedup _,
+    "st_expect_stream" -> stExpectStream _,
     "st_mapgroups_state" -> stMapgroupsState _,
     "st_timeout_evict" -> stTimeoutEvict _
   )
@@ -639,6 +727,7 @@ object Analytics {
     "ss_stream_stream_join" -> ssStreamStreamJoinSql,
     "st_dropdup_stream" -> stDropdupStreamSql,
     "st_rocksdb_dedup" -> stRocksdbDedupSql,
+    "st_expect_stream" -> stExpectStreamSql,
     "st_mapgroups_state" -> stMapgroupsStateSql,
     "st_timeout_evict" -> stTimeoutEvictSql
   )
