@@ -120,6 +120,14 @@ object Maintenance {
   def snapshotDeletePath(tablePath: String, version: Long): String =
     f"$tablePath/_graft_log/snapshots/v$version%06d.delete.txt"
 
+  /** Marker of a [[mergeInto]] version (rewritten-file listing). Same
+    * survival contract as the delete marker; a merge version's change
+    * files embed their own `__change_type` column (update_preimage /
+    * update_postimage / insert — Delta's CDC row types).
+    */
+  def snapshotMergePath(tablePath: String, version: Long): String =
+    f"$tablePath/_graft_log/snapshots/v$version%06d.merge.txt"
+
   /** Change files (the deleted rows) a [[deleteRange]] version recorded —
     * the engine's CDC files; [[readChangesBetween]] reads them back tagged
     * `_change_type='delete'`.
@@ -257,21 +265,27 @@ object Maintenance {
             s"changes ($fromVersion, $toVersion] of $tablePath are no " +
               s"longer readable: ${missing.size} files were reclaimed by " +
               s"a rewrite or vacuum (first missing: ${missing.head})")
-          Some((v, resolved.map(_._2.get.toString), "insert"))
+          Some((v, resolved.map(_._2.get.toString), Some("insert")))
         case None =>
           val isDelete =
             Files.exists(Paths.get(snapshotDeletePath(tablePath, v)))
+          val isMerge =
+            Files.exists(Paths.get(snapshotMergePath(tablePath, v)))
           val ch = new java.io.File(changesPath(tablePath, v))
-          if (isDelete) {
+          if (isDelete || isMerge) {
             val parts = Option(ch.listFiles()).getOrElse(Array.empty)
               .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             if (parts.isEmpty) throw new IllegalStateException(
-              s"delete version $v of $tablePath has no readable change " +
-                "files — they were reclaimed by vacuumRemoved; its " +
-                "changes cannot be reconstructed")
-            Some((v, parts.toSeq.map(_.getAbsolutePath), "delete"))
+              s"${if (isMerge) "merge" else "delete"} version $v of " +
+                s"$tablePath has no readable change files — they were " +
+                "reclaimed by vacuumRemoved; its changes cannot be " +
+                "reconstructed")
+            // delete change files carry plain table rows (type implied);
+            // merge change files embed __change_type per row
+            Some((v, parts.toSeq.map(_.getAbsolutePath),
+              if (isMerge) None else Some("delete")))
           }
-          // no add-delta, not a delete: legal only for a rewrite version
+          // no add-delta, not a delete/merge: legal only for a rewrite
           else if (Files.exists(Paths.get(snapshotFullPath(tablePath, v))))
             None
           else throw new IllegalStateException(
@@ -280,13 +294,21 @@ object Maintenance {
       }
     }
     val schema = readTableSchema(tablePath)
-    val reads = slices.map { case (v, paths, changeType) =>
-      val base = schema match {
-        case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+    val reads = slices.map { case (v, paths, fixedType) =>
+      val base = fixedType match {
+        // fixed-type slices read through the tracked schema; merge change
+        // files carry their own extra column, so they read as written
+        case Some(_) => schema match {
+          case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
         case None => spark.read.parquet(paths: _*)
       }
-      base.withColumn("_change_type", lit(changeType))
-        .withColumn("_change_version", lit(v))
+      val typed = fixedType match {
+        case Some(t) => base.withColumn("_change_type", lit(t))
+        case None => base.withColumnRenamed("__change_type", "_change_type")
+      }
+      typed.withColumn("_change_version", lit(v))
     }
     reads.reduceOption(_.unionByName(_)).getOrElse {
       // empty range (or rewrites only): an empty feed with the table
@@ -787,6 +809,159 @@ object Maintenance {
           writeVersion(tablePath, v)
           DeleteResult(v, rowsDeleted, affected.size, total)
         } finally deleteRecursively(new java.io.File(stage))
+      }
+    }
+
+  /** Outcome of a [[mergeInto]]: the committed version, exact row
+    * counts, and the file-level blast radius.
+    */
+  case class MergeResult(version: Long, rowsUpdated: Long,
+      rowsInserted: Long, filesRewritten: Int, filesTotal: Int)
+
+  /** MERGE INTO — the engine analogue of Delta's
+    * `MERGE INTO t USING s ON t.key = s.key
+    *  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+    * (the reference's dimension refresh is exactly this statement,
+    * populate_dim.py:71-78). `source` must carry the table's schema with
+    * UNIQUE keys (the Delta error for a target row matching several
+    * source rows is enforced up front); every matched target row is
+    * replaced by its source row, unmatched source rows append.
+    *
+    * Scale shape, same as [[deleteRange]]: the source key range prunes
+    * candidate files via recorded stats, an exact per-file match count
+    * (source broadcast — an upsert batch is dimension-sized) confirms the
+    * prune, and ONLY files holding matched keys are rewritten; at 100 TB
+    * a keyed upsert touches a handful of files. Replaced originals are
+    * quarantined (pre-merge versions keep time-traveling, [[restoreTo]]
+    * undoes the merge, [[vacuumRemoved]] is the retention boundary).
+    *
+    * CDC: the change files embed Delta's CDC row types per row —
+    * `update_preimage` (matched target rows as they were),
+    * `update_postimage` (their source replacements), `insert` (appended
+    * rows) — served by [[readChangesBetween]], O(changed rows) forever.
+    */
+  def mergeInto(spark: SparkSession, tablePath: String, source: DataFrame,
+      key: String): MergeResult =
+    withCommitLock(tablePath, timeoutMs = 600000L) {
+      val root = Paths.get(tablePath)
+      val v0 = readVersion(tablePath)
+      val schema = readTableSchema(tablePath)
+      def reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      // stage the source once: it feeds key-range bounds, three joins,
+      // and the change files — and must not be recomputed between them
+      val src = source.localCheckpoint()
+      val nSrc = src.count()
+      require(src.select(col(key)).distinct().count() == nSrc,
+        s"mergeInto source has duplicate '$key' values — a target row " +
+          "matching several source rows is ambiguous (Delta MERGE error)")
+      val keyMm = src.agg(min(col(key).cast("double")),
+        max(col(key).cast("double"))).first()
+      val total = listParquetFiles(new java.io.File(tablePath)).size
+      if (nSrc == 0) MergeResult(v0, 0L, 0L, 0, total)
+      else {
+        val (candidates, _) =
+          skippingPlan(tablePath, key, keyMm.getDouble(0), keyMm.getDouble(1))
+        val byName = listParquetFiles(new java.io.File(tablePath))
+          .map(f => f.getName -> f).toMap
+        val srcKeys = src.select(col(key))
+        val cand =
+          if (candidates.isEmpty) None
+          else Some(reader.parquet(
+            candidates.map(byName(_).getAbsolutePath): _*))
+        // exact per-file matched-row counts: candidate scan × broadcast
+        // source keys, one metadata-scale job
+        val perFile: Array[(String, Long)] = cand.map(
+          _.join(broadcast(srcKeys), Seq(key))
+            .groupBy(input_file_name().as("path")).count().collect()
+            .map(r => (Paths.get(new java.net.URI(r.getString(0)).getPath)
+              .getFileName.toString, r.getLong(1)))).getOrElse(Array.empty)
+        val affected = perFile.map(_._1).toSeq.sorted
+        val rowsUpdated = perFile.map(_._2).sum
+        // keys present in ANY candidate file are the matched set; keys in
+        // non-candidate files are provably outside their stats ranges
+        val matchedKeys = cand.map(
+          _.select(col(key)).join(broadcast(srcKeys), Seq(key), "left_semi")
+            .distinct().localCheckpoint())
+        val inserts = matchedKeys
+          .map(mk => src.join(mk, Seq(key), "left_anti")).getOrElse(src)
+          .localCheckpoint()
+        val rowsInserted = inserts.count()
+        if (rowsUpdated == 0 && rowsInserted == 0)
+          MergeResult(v0, 0L, 0L, 0, total)
+        else {
+          val v = v0 + 1
+          val aff =
+            if (affected.isEmpty) None
+            else Some(reader.parquet(
+              affected.map(byName(_).getAbsolutePath): _*))
+          // per matched target ROW, the source replacement (duplicate
+          // target keys stay duplicated — Delta updates each matched row)
+          val attrs = src.columns.filterNot(_ == key).toSeq
+          val srcRenamed = attrs.foldLeft(src)((d, c) =>
+            d.withColumnRenamed(c, s"__src_$c"))
+          def updated(base: DataFrame) =
+            base.join(broadcast(srcRenamed), Seq(key))
+              .select(base.columns.map(c =>
+                if (c == key) col(key)
+                else col(s"__src_$c").as(c)).toIndexedSeq: _*)
+          // CDC change files (typed per row) — written while originals live
+          val pre = aff.map(_.join(broadcast(srcKeys), Seq(key))
+            .withColumn("__change_type", lit("update_preimage")))
+          // updated() inner-joins the source, so it is already exactly
+          // the matched rows with their replacement values
+          val post = aff.map(a => updated(a)
+            .withColumn("__change_type", lit("update_postimage")))
+          val ins = inserts.withColumn("__change_type", lit("insert"))
+          (pre.toSeq ++ post.toSeq :+ ins)
+            .reduce(_.unionByName(_))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(changesPath(tablePath, v))
+          // replacement content: affected survivors + updated + inserts
+          val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
+          val rewritten = aff.map { a =>
+            a.join(broadcast(srcKeys), Seq(key), "left_anti")
+              .unionByName(updated(a))
+          }.getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              inserts.schema))
+            .unionByName(inserts)
+          rewritten.write.mode(SaveMode.Overwrite).parquet(stage)
+          val parts = listDataFiles(new java.io.File(stage))
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          try {
+            affected.foreach { name =>
+              val rel = root.relativize(byName(name).toPath).toString
+              val dest = Paths.get(removedPath(tablePath)).resolve(rel)
+              Files.createDirectories(dest.getParent)
+              Files.move(byName(name).toPath, dest,
+                StandardCopyOption.ATOMIC_MOVE)
+            }
+            val now = System.currentTimeMillis()
+            val committed = parts.zipWithIndex.map { case (f, i) =>
+              val dest =
+                Paths.get(tablePath, f"merge_v$v%06d_p$i%04d.parquet")
+              Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+              dest.toFile.setLastModified(now)
+              dest
+            }
+            val gone = affected.toSet
+            writeFileStats(tablePath,
+              readFileStats(tablePath).toSeq.collect {
+                case ((f, c), (l, h)) if !gone.contains(f) => (f, c, l, h)
+              }, append = false)
+            writeFileStats(tablePath,
+              footerStats(spark, committed.map(_.toFile)), append = true)
+            val reg = Paths.get(liveFilesPath(tablePath))
+            if (Files.exists(reg)) recordLiveFiles(tablePath)
+            writeFileList(snapshotFullPath(tablePath, v),
+              listParquetFiles(new java.io.File(tablePath))
+                .map(f => root.relativize(f.toPath).toString))
+            writeFileList(snapshotMergePath(tablePath, v), affected)
+            writeVersion(tablePath, v)
+            MergeResult(v, rowsUpdated, rowsInserted, affected.size, total)
+          } finally deleteRecursively(new java.io.File(stage))
+        }
       }
     }
 

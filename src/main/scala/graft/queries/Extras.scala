@@ -801,6 +801,95 @@ object Extras {
       |  UNION ALL SELECT '_rows_total', 'summary', n FROM s)
       |ORDER BY rule_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K17: MERGE INTO on the commit protocol (Delta `MERGE INTO ... WHEN
+  // MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the
+  // reference's dimension refresh statement, populate_dim.py:71-78). The
+  // source updates the middle key range (+10.00 on every price) and
+  // inserts three brand-new keys; only the files whose stats intersect
+  // the source key range are rewritten. The CDC face serves Delta's row
+  // types: update_preimage / update_postimage / insert.
+  private def mergeFixture(s: SparkSession, dir: String): (String, String, Long) = {
+    import s.implicits._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-mrg-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_mrg"
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val len = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      graft.operators.Maintenance.commitAppend(s, table,
+        o.filter(col("o_orderkey") >= lo + i * len &&
+          col("o_orderkey") < lo + (i + 1) * len).coalesce(1))
+    }
+    val (qlo, qhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    val updates = o
+      .filter(col("o_orderkey") >= qlo && col("o_orderkey") <= qhi)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("cents") + 1000L).as("cents"))
+    val inserts = Seq((hi + 1, "N", 111100L), (hi + 2, "N", 222200L),
+      (hi + 3, "N", 333300L)).toDF("o_orderkey", "o_orderstatus", "cents")
+    val res = graft.operators.Maintenance.mergeInto(s, table,
+      updates.unionByName(inserts), "o_orderkey")
+    (work, table, res.version)
+  }
+
+  private def k17MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val (work, table, _) = mergeFixture(s, dir)
+    val out = graft.operators.Maintenance.readTable(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("o_orderstatus"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k17MergeUpsertSql =
+    """WITH mm AS (
+      |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+      |merged AS (
+      |  SELECT o_orderstatus,
+      |    CAST(round(o_totalprice*100) AS BIGINT)
+      |      + CASE WHEN o_orderkey >= lo + (hi-lo)//4
+      |              AND o_orderkey <= lo + (hi-lo)//2
+      |             THEN 1000 ELSE 0 END AS cents
+      |  FROM orders, mm
+      |  UNION ALL
+      |  SELECT 'N', c FROM (VALUES (111100), (222200), (333300)) t(c))
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS cents_total
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  private def k17MergeCdf(s: SparkSession, dir: String): DataFrame = {
+    val (work, table, v) = mergeFixture(s, dir)
+    val feed = graft.operators.Maintenance
+      .readChangesBetween(s, table, v - 1, v)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("change_type"))
+    graft.streaming.WorkDirs.materializeAndClean(feed, work)
+  }
+
+  private val k17MergeCdfSql =
+    """WITH mm AS (
+      |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+      |hits AS (
+      |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      |  FROM orders, mm
+      |  WHERE o_orderkey >= lo + (hi-lo)//4
+      |    AND o_orderkey <= lo + (hi-lo)//2)
+      |SELECT 'insert' AS change_type, CAST(3 AS BIGINT) AS n_rows,
+      |  CAST(666600 AS BIGINT) AS cents_total
+      |UNION ALL
+      |SELECT 'update_postimage', count(*),
+      |  CAST(sum(cents) + 1000*count(*) AS BIGINT) FROM hits
+      |UNION ALL
+      |SELECT 'update_preimage', count(*), CAST(sum(cents) AS BIGINT)
+      |FROM hits
+      |ORDER BY change_type""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -818,6 +907,8 @@ object Extras {
     "k15_expectations" -> k15Expectations _,
     "k16_delete" -> k16Delete _,
     "k16_delete_cdf" -> k16DeleteCdf _,
+    "k17_merge_upsert" -> k17MergeUpsert _,
+    "k17_merge_cdf" -> k17MergeCdf _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -838,6 +929,8 @@ object Extras {
     "k15_expectations" -> k15ExpectationsSql,
     "k16_delete" -> k16DeleteSql,
     "k16_delete_cdf" -> k16DeleteCdfSql,
+    "k17_merge_upsert" -> k17MergeUpsertSql,
+    "k17_merge_cdf" -> k17MergeCdfSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,

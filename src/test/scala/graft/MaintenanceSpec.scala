@@ -648,6 +648,95 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  // ----- mergeInto: MERGE INTO + CDC row types -----
+
+  /** Same 4-file layout as [[deleteFixture4]] but with a value column:
+    * ids [0,40), val = id*10.
+    */
+  private def mergeFixture4(): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-mrgspec-${UUID.randomUUID()}/t").getAbsolutePath
+    (0 until 4).foreach { i =>
+      Maintenance.commitAppend(spark, p,
+        spark.range(i * 10L, (i + 1) * 10L).toDF("id")
+          .select(col("id"), (col("id") * 10L).as("v")).coalesce(1))
+    }
+    p
+  }
+
+  test("merge: only files holding matched keys are rewritten; updates " +
+      "and inserts land") {
+    import spark.implicits._
+    val p = mergeFixture4()
+    val src = (15L to 24L).map(k => (k, k * 10L + 5L))
+      .toDF("id", "v")
+      .unionByName(Seq((100L, 1L), (101L, 2L)).toDF("id", "v"))
+    val res = Maintenance.mergeInto(spark, p, src, "id")
+    assert(res.rowsUpdated == 10 && res.rowsInserted == 2)
+    assert(res.filesRewritten == 2 && res.filesTotal == 4, s"$res")
+    val now = Maintenance.readTable(spark, p)
+    assert(now.count() == 42)
+    assert(now.filter(col("id") === 17).first().getLong(1) == 175L)
+    assert(now.filter(col("id") === 5).first().getLong(1) == 50L)
+    assert(now.filter(col("id") >= 100).count() == 2)
+    val names = Option(new java.io.File(p).listFiles()).get
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(names.count(_.startsWith("append_v000001")) == 1)
+    assert(!names.exists(_.startsWith("append_v000002")))
+    assert(names.exists(_.startsWith("merge_v000005")))
+  }
+
+  test("merge: cdf serves typed update_preimage/postimage/insert rows; " +
+      "history time-travels and restore undoes") {
+    import spark.implicits._
+    val p = mergeFixture4()
+    val src = (15L to 24L).map(k => (k, k * 10L + 5L)).toDF("id", "v")
+      .unionByName(Seq((100L, 1L)).toDF("id", "v"))
+    val res = Maintenance.mergeInto(spark, p, src, "id")
+    val feed = Maintenance.readChangesBetween(spark, p,
+      res.version - 1, res.version)
+    def slice(t: String) = feed.filter(col("_change_type") === t)
+    assert(slice("update_preimage").count() == 10)
+    assert(slice("update_preimage").agg(sum("v")).first().getLong(0) ==
+      (15L to 24L).map(_ * 10L).sum)
+    assert(slice("update_postimage").agg(sum("v")).first().getLong(0) ==
+      (15L to 24L).map(_ * 10L + 5L).sum)
+    assert(slice("insert").count() == 1)
+    // an earlier insert version still reads through the merge quarantine
+    assert(Maintenance.readChangesBetween(spark, p, 1L, 2L).count() == 10)
+    // pre-merge state time-travels intact and restore undoes the merge
+    assert(Maintenance.readAsOf(spark, p, 4)
+      .agg(sum("v")).first().getLong(0) == (0L until 40L).map(_ * 10L).sum)
+    Maintenance.restoreTo(spark, p, 4)
+    assert(Maintenance.readTable(spark, p).count() == 40)
+    assert(Maintenance.readTable(spark, p)
+      .filter(col("id") === 17).first().getLong(1) == 170L)
+  }
+
+  test("merge: duplicate source keys are rejected up front") {
+    import spark.implicits._
+    val p = mergeFixture4()
+    val dup = Seq((15L, 1L), (15L, 2L)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.mergeInto(spark, p, dup, "id")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(Maintenance.readVersion(p) == 4, "failed merge must not commit")
+  }
+
+  test("merge: vacuumRemoved reclaims merge change files loudly") {
+    import spark.implicits._
+    val p = mergeFixture4()
+    val src = (15L to 16L).map(k => (k, 0L)).toDF("id", "v")
+    val res = Maintenance.mergeInto(spark, p, src, "id")
+    assert(Maintenance.vacuumRemoved(p,
+      System.currentTimeMillis() + 60000) > 0)
+    assert(Maintenance.readTable(spark, p).count() == 40)
+    intercept[IllegalStateException] {
+      Maintenance.readChangesBetween(spark, p, res.version - 1, res.version)
+    }
+  }
+
   // ----- Expectations (DLT expect / expect_or_drop / expect_or_fail) ----
 
   test("expectations: drop quarantines with audit trail, warn keeps, " +

@@ -299,4 +299,13 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(joined).toLowerCase
     assert(plan.contains("dynamicpruning"), planOf(joined).take(3000))
   }
+
+  test("s10: predicate pushdown and column pruning reach the ORC reader") {
+    val plan = planOf(
+      graft.queries.Sources.queries("s10_orc_scan")(spark, sfSmoke))
+    assert(plan.toLowerCase.contains("orc"), plan.take(2000))
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("event_type"), "filter column missing from scan")
+    assert(!plan.contains("props"), "unprojected column leaked into the scan")
+  }
 }
