@@ -128,6 +128,38 @@ object Maintenance {
   def snapshotMergePath(tablePath: String, version: Long): String =
     f"$tablePath/_graft_log/snapshots/v$version%06d.merge.txt"
 
+  /** Marker of a [[restoreTo]] version, so [[history]] can tell a restore
+    * from a plain rewrite (both snapshot a full listing).
+    */
+  def snapshotRestorePath(tablePath: String, version: Long): String =
+    f"$tablePath/_graft_log/snapshots/v$version%06d.restore.txt"
+
+  /** DESCRIBE HISTORY analogue: one row per committed version with its
+    * operation kind, classified from the snapshot metadata the commits
+    * already write — `append` (add-delta), `delete` / `merge` / `restore`
+    * (their markers), else `rewrite` (compact/cluster/zorder). A pure
+    * driver-side metadata read, O(versions), no data scan — the audit
+    * surface every lakehouse operator reads first.
+    */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    import spark.implicits._
+    val current = readVersion(tablePath)
+    (1L to current).map { v =>
+      val kind =
+        if (Files.exists(Paths.get(snapshotAddPath(tablePath, v)))) "append"
+        else if (Files.exists(Paths.get(snapshotDeletePath(tablePath, v))))
+          "delete"
+        else if (Files.exists(Paths.get(snapshotMergePath(tablePath, v))))
+          "merge"
+        else if (Files.exists(Paths.get(snapshotRestorePath(tablePath, v))))
+          "restore"
+        else if (Files.exists(Paths.get(snapshotFullPath(tablePath, v))))
+          "rewrite"
+        else "unknown"
+      (v, kind)
+    }.toDF("version", "operation")
+  }
+
   /** Change files (the deleted rows) a [[deleteRange]] version recorded —
     * the engine's CDC files; [[readChangesBetween]] reads them back tagged
     * `_change_type='delete'`.
@@ -285,7 +317,17 @@ object Maintenance {
             Some((v, parts.toSeq.map(_.getAbsolutePath),
               if (isMerge) None else Some("delete")))
           }
-          // no add-delta, not a delete/merge: legal only for a rewrite
+          // a RESTORE changes row content but records no change files —
+          // serving the range would silently drop its changes, the one
+          // failure an incremental consumer can never detect. Loud stop:
+          // consumers resync from a full read past a restore.
+          else if (Files.exists(Paths.get(snapshotRestorePath(tablePath, v))))
+            throw new IllegalStateException(
+              s"version $v of $tablePath is a RESTORE — its row changes " +
+                "are not recorded as a change feed; resync from a full " +
+                "read at or after this version")
+          // no add-delta, not a delete/merge/restore: a rewrite
+          // (dataChange=false) contributes no row changes
           else if (Files.exists(Paths.get(snapshotFullPath(tablePath, v))))
             None
           else throw new IllegalStateException(
@@ -552,6 +594,7 @@ object Maintenance {
         Files.writeString(reg, files.mkString("", "\n", "\n"))
       val v = readVersion(tablePath) + 1
       writeFileList(snapshotFullPath(tablePath, v), files)
+      writeFileList(snapshotRestorePath(tablePath, v), files)
       writeVersion(tablePath, v)
       v
     }

@@ -890,6 +890,49 @@ object Extras {
       |FROM hits
       |ORDER BY change_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K18: DESCRIBE HISTORY analogue — one row per committed version with
+  // its operation kind, read straight from the snapshot metadata the
+  // commits already write (driver-side, O(versions), no data scan). The
+  // fixture drives the protocol through every commit kind — two appends,
+  // a compaction rewrite, another append, a targeted delete, a MERGE, and
+  // a restore — and the oracle pins the classified ledger literally.
+  private def k18History(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-hist-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_hist"
+    val M = graft.operators.Maintenance
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    M.commitAppend(s, table,
+      o.filter(pmod(col("o_orderkey"), lit(3L)) === 0).coalesce(1)) // v1
+    M.commitAppend(s, table,
+      o.filter(pmod(col("o_orderkey"), lit(3L)) === 1).coalesce(1)) // v2
+    M.compact(s, table, targetFiles = 1)                            // v3
+    M.commitAppend(s, table,
+      o.filter(pmod(col("o_orderkey"), lit(3L)) === 2).coalesce(1)) // v4
+    M.deleteRange(s, table, "o_orderkey",
+      lo.toDouble, (lo + (hi - lo) / 10).toDouble)                  // v5
+    import s.implicits._
+    M.mergeInto(s, table,
+      o.filter(col("o_orderkey") === hi)
+        .select(col("o_orderkey"), (col("cents") + 1L).as("cents"))
+        .unionByName(Seq((hi + 7, 12300L)).toDF("o_orderkey", "cents")),
+      "o_orderkey")                                                 // v6
+    M.restoreTo(s, table, 4L)                                       // v7
+    graft.streaming.WorkDirs.materializeAndClean(
+      M.history(s, table).orderBy(col("version")), work)
+  }
+
+  private val k18HistorySql =
+    """SELECT CAST(version AS BIGINT) AS version, operation
+      |FROM (VALUES (1, 'append'), (2, 'append'), (3, 'rewrite'),
+      |  (4, 'append'), (5, 'delete'), (6, 'merge'), (7, 'restore'))
+      |  t(version, operation)
+      |ORDER BY version""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -909,6 +952,7 @@ object Extras {
     "k16_delete_cdf" -> k16DeleteCdf _,
     "k17_merge_upsert" -> k17MergeUpsert _,
     "k17_merge_cdf" -> k17MergeCdf _,
+    "k18_history" -> k18History _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -931,6 +975,7 @@ object Extras {
     "k16_delete_cdf" -> k16DeleteCdfSql,
     "k17_merge_upsert" -> k17MergeUpsertSql,
     "k17_merge_cdf" -> k17MergeCdfSql,
+    "k18_history" -> k18HistorySql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,
