@@ -648,6 +648,48 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("delete/merge race: a concurrent appender never loses rows and " +
+      "never deadlocks against the lock-held rewrites") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-dmrace-${UUID.randomUUID()}/t").getAbsolutePath
+    // protocol table: ids 0..999, val = id
+    Maintenance.commitAppend(spark, p,
+      spark.range(0L, 1000L).toDF("id").select(col("id"), col("id").as("v")))
+    val nAppends = 10
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      try {
+        for (i <- 0 until nAppends) {
+          Maintenance.commitAppend(spark, p,
+            spark.range(1000L + i * 10, 1000L + i * 10 + 10).toDF("id")
+              .select(col("id"), col("id").as("v")))
+        }
+      } catch { case t: Throwable => err.set(t) }
+    })
+    appender.start()
+    // interleave lock-held deletes and merges with the appends: deletes
+    // target a key range no append produces, merges update a stable key
+    var ops = 0
+    while (appender.isAlive) {
+      Maintenance.deleteRange(spark, p, "id", 0.0, (ops % 5).toDouble)
+      Maintenance.mergeInto(spark, p,
+        Seq((500L, 9999L)).toDF("id", "v"), "id")
+      ops += 1
+    }
+    appender.join()
+    assert(err.get() == null, s"appender failed: ${err.get()}")
+    assert(ops >= 1, "the race must actually have raced")
+    // quiesced final delete so the surviving set is closed-form
+    Maintenance.deleteRange(spark, p, "id", 0.0, 4.0)
+    val rows = Maintenance.readTable(spark, p)
+    val ids = rows.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == ((5L until 1000L) ++
+      (1000L until (1000L + nAppends * 10))).toSet,
+      s"row set wrong under the race (|ids|=${ids.size}, ops=$ops)")
+    assert(rows.filter(col("id") === 500L).first().getLong(1) == 9999L)
+  }
+
   // ----- mergeInto: MERGE INTO + CDC row types -----
 
   /** Same 4-file layout as [[deleteFixture4]] but with a value column:
