@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table maintenance over plain parquet — the engine features standing in
@@ -775,15 +775,41 @@ object Maintenance {
   def deleteRange(spark: SparkSession, tablePath: String, column: String,
       lo: Double, hi: Double): DeleteResult =
     withCommitLock(tablePath, timeoutMs = 600000L) {
+      deleteCore(spark, tablePath,
+        col(column) >= lit(lo) && col(column) <= lit(hi),
+        Some(skippingPlan(tablePath, column, lo, hi)._1))
+    }
+
+  /** DELETE with an arbitrary predicate — the general `DELETE FROM t
+    * WHERE <expr>` form. No stats prune is possible for a free-form
+    * predicate, so every file is a candidate: the confirmation scan reads
+    * the table ONCE (codegen'd predicate, column-pruned to what the
+    * predicate needs plus counts), and still only the files actually
+    * holding matches are rewritten — the rewrite blast radius stays
+    * proportional to the matches, only the read is full. Prefer
+    * [[deleteRange]] when the predicate is a range on a stats-covered
+    * column.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: Column): DeleteResult =
+    withCommitLock(tablePath, timeoutMs = 600000L) {
+      deleteCore(spark, tablePath, predicate, None)
+    }
+
+  /** Shared delete engine; caller holds the commit lock. `candidates`
+    * None = all live files.
+    */
+  private def deleteCore(spark: SparkSession, tablePath: String,
+      predicate: Column, candidatesOpt: Option[Seq[String]]): DeleteResult = {
       val root = Paths.get(tablePath)
       val v0 = readVersion(tablePath)
-      val (candidates, total) = skippingPlan(tablePath, column, lo, hi)
       val byName = listParquetFiles(new java.io.File(tablePath))
         .map(f => f.getName -> f).toMap
+      val candidates = candidatesOpt.getOrElse(byName.keys.toSeq.sorted)
+      val total = byName.size
       val schema = readTableSchema(tablePath)
       def reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      val delPred = coalesce(
-        col(column) >= lit(lo) && col(column) <= lit(hi), lit(false))
+      val delPred = coalesce(predicate, lit(false))
       // exact confirmation of the conservative stats prune: one metadata-
       // scale job over the candidate files counts matches per file; files
       // whose stats overlap but hold no matching row stay untouched
@@ -1040,6 +1066,66 @@ object Maintenance {
     }
     victims.size
   }
+
+  /** Scoped OPTIMIZE — Delta's `OPTIMIZE t WHERE <partition predicate>`:
+    * compact ONLY the files whose recorded [min, max] on `column`
+    * intersects [lo, hi]. At 100 TB you compact the hot key range (the
+    * streaming sink's small fresh files), never the table; everything
+    * outside the range keeps its files, stats, and names untouched. Like
+    * [[compact]] this is a rewrite (dataChange=false): the CDF skips the
+    * version and pre-rewrite history of the touched files is reclaimed
+    * loudly. Runs under the commit lock (the scoped set is small by
+    * construction, so the hold is brief).
+    *
+    * @return number of files compacted (0 = nothing to do)
+    */
+  def compactWhere(spark: SparkSession, tablePath: String, column: String,
+      lo: Double, hi: Double, targetFiles: Int): Int =
+    withCommitLock(tablePath, timeoutMs = 600000L) {
+      val root = Paths.get(tablePath)
+      val (candidates, _) = skippingPlan(tablePath, column, lo, hi)
+      if (candidates.size <= targetFiles) 0
+      else {
+        val byName = listParquetFiles(new java.io.File(tablePath))
+          .map(f => f.getName -> f).toMap
+        val schema = readTableSchema(tablePath)
+        val readerB = schema.map(spark.read.schema).getOrElse(spark.read)
+        val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
+        readerB.parquet(candidates.map(byName(_).getAbsolutePath): _*)
+          .coalesce(targetFiles)
+          .write.mode(SaveMode.Overwrite).parquet(stage)
+        val parts = listDataFiles(new java.io.File(stage))
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        try {
+          val v = readVersion(tablePath) + 1
+          // a rewrite physically reclaims its inputs (same contract as
+          // whole-table compact — history before it reads loudly-missing)
+          candidates.foreach(n => Files.delete(byName(n).toPath))
+          val now = System.currentTimeMillis()
+          val committed = parts.zipWithIndex.map { case (f, i) =>
+            val dest =
+              Paths.get(tablePath, f"compactw_v$v%06d_p$i%04d.parquet")
+            Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+            dest.toFile.setLastModified(now)
+            dest
+          }
+          val gone = candidates.toSet
+          writeFileStats(tablePath,
+            readFileStats(tablePath).toSeq.collect {
+              case ((f, c), (l, h)) if !gone.contains(f) => (f, c, l, h)
+            }, append = false)
+          writeFileStats(tablePath,
+            footerStats(spark, committed.map(_.toFile)), append = true)
+          val reg = Paths.get(liveFilesPath(tablePath))
+          if (Files.exists(reg)) recordLiveFiles(tablePath)
+          writeFileList(snapshotFullPath(tablePath, v),
+            listParquetFiles(new java.io.File(tablePath))
+              .map(f => root.relativize(f.toPath).toString))
+          writeVersion(tablePath, v)
+          candidates.size
+        } finally deleteRecursively(new java.io.File(stage))
+      }
+    }
 
   /** OPTIMIZE-style compaction: rewrite the table to `targetFiles` files
     * via the optimistic read-validate-swap protocol above — safe against

@@ -933,6 +933,72 @@ object Extras {
       |  t(version, operation)
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K19: incremental view maintenance WITH RETRACTION — the proof the
+  // typed CDC feed is consumable end to end. K11 folds an insert-only
+  // feed; here the maintained aggregate survives a targeted DELETE and a
+  // MERGE: each change row carries a sign (+1 insert/update_postimage,
+  // −1 delete/update_preimage) and ONE signed aggregate over the whole
+  // feed reproduces the final table aggregate exactly — O(changed rows)
+  // per refresh at any history length, never a recompute. The oracle is
+  // the closed form of the final state (orders minus the deleted range,
+  // the updated range re-priced, plus the inserts).
+  private def k19IvmRetract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivmr-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_ivmr"
+    val M = graft.operators.Maintenance
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val len = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      M.commitAppend(s, table,
+        o.filter(col("o_orderkey") >= lo + i * len &&
+          col("o_orderkey") < lo + (i + 1) * len).coalesce(1))
+    }
+    val (qlo, qhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    M.deleteRange(s, table, "o_orderkey", qlo.toDouble, qhi.toDouble)
+    val ulo = lo + 3 * (hi - lo) / 4
+    val res = M.mergeInto(s, table,
+      o.filter(col("o_orderkey") >= ulo)
+        .select(col("o_orderkey"), (col("cents") + 1000L).as("cents"))
+        .unionByName(Seq((hi + 1, 111100L), (hi + 2, 222200L),
+          (hi + 3, 333300L)).toDF("o_orderkey", "cents")),
+      "o_orderkey")
+    val feed = M.readChangesBetween(s, table, 0L, res.version)
+    val w = when(col("_change_type").isin("delete", "update_preimage"),
+      -1L).otherwise(1L)
+    val view = feed
+      .select(pmod(col("o_orderkey"), lit(10L)).as("bucket"),
+        w.as("w"), col("cents"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("w")).as("n_orders"),
+        sum(col("w") * col("cents")).as("cents_total"))
+      .orderBy(col("bucket"))
+    graft.streaming.WorkDirs.materializeAndClean(view, work)
+  }
+
+  private val k19IvmRetractSql =
+    """WITH mm AS (
+      |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+      |final AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice*100) AS BIGINT)
+      |      + CASE WHEN o_orderkey >= lo + 3*(hi-lo)//4
+      |             THEN 1000 ELSE 0 END AS cents
+      |  FROM orders, mm
+      |  WHERE NOT (o_orderkey >= lo + (hi-lo)//4
+      |         AND o_orderkey <= lo + (hi-lo)//2)
+      |  UNION ALL
+      |  SELECT hi + k, c FROM mm,
+      |    (VALUES (1, 111100), (2, 222200), (3, 333300)) t(k, c))
+      |SELECT o_orderkey % 10 AS bucket, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS cents_total
+      |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -953,6 +1019,7 @@ object Extras {
     "k17_merge_upsert" -> k17MergeUpsert _,
     "k17_merge_cdf" -> k17MergeCdf _,
     "k18_history" -> k18History _,
+    "k19_ivm_retract" -> k19IvmRetract _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -976,6 +1043,7 @@ object Extras {
     "k17_merge_upsert" -> k17MergeUpsertSql,
     "k17_merge_cdf" -> k17MergeCdfSql,
     "k18_history" -> k18HistorySql,
+    "k19_ivm_retract" -> k19IvmRetractSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,

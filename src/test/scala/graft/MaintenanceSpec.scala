@@ -815,6 +815,53 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("id_lt_5") && e.getMessage.contains("5"))
   }
 
+  test("deleteWhere: arbitrary predicate deletes rewrite only matching " +
+      "files; full-scan confirmation, no stats needed") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-delspec-${UUID.randomUUID()}/t").getAbsolutePath
+    // two files split by a STRING column stats can't prune
+    Maintenance.commitAppend(spark, p,
+      spark.range(0L, 10L).toDF("id")
+        .select(col("id"), lit("keep").as("tag")).coalesce(1))
+    Maintenance.commitAppend(spark, p,
+      spark.range(10L, 20L).toDF("id")
+        .select(col("id"), lit("drop").as("tag")).coalesce(1))
+    val res = Maintenance.deleteWhere(spark, p,
+      col("tag") === "drop" && col("id") < 15)
+    assert(res.rowsDeleted == 5)
+    assert(res.filesRewritten == 1 && res.filesTotal == 2,
+      s"only the file holding matches may rewrite: $res")
+    val left = Maintenance.readTable(spark, p)
+    assert(left.count() == 15)
+    assert(left.filter(col("tag") === "drop").count() == 5)
+    val names = Option(new java.io.File(p).listFiles()).get
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(names.count(_.startsWith("append_v000001")) == 1,
+      "the non-matching file must keep its name")
+  }
+
+  test("compactWhere: scoped OPTIMIZE merges only the key range's files") {
+    val p = deleteFixture4() // 4 single-file appends over [0,40)
+    val n = Maintenance.compactWhere(spark, p, "id", 0.0, 19.0,
+      targetFiles = 1)
+    assert(n == 2, s"exactly the two covering files must compact, got $n")
+    val names = Option(new java.io.File(p).listFiles()).get
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(names.count(_.startsWith("compactw_v000005")) == 1)
+    assert(names.count(_.startsWith("append_v000003")) == 1)
+    assert(names.count(_.startsWith("append_v000004")) == 1)
+    assert(!names.exists(_.startsWith("append_v000001")))
+    val all = Maintenance.readTable(spark, p)
+    assert(all.count() == 40)
+    assert(all.agg(sum("id")).first().getLong(0) == (0L until 40L).sum)
+    // stats follow: the compacted range still prunes correctly
+    val (kept, total) = Maintenance.skippingPlan(p, "id", 5.0, 6.0)
+    assert(total == 3 && kept.size == 1, s"kept=$kept")
+    // and a no-op call (already at target) does nothing
+    assert(Maintenance.compactWhere(spark, p, "id", 0.0, 19.0, 1) == 0)
+  }
+
   test("delete: a no-match range commits nothing") {
     val p = deleteFixture4()
     val res = Maintenance.deleteRange(spark, p, "id", 100.0, 200.0)
