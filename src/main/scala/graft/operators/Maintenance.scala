@@ -250,11 +250,29 @@ object Maintenance {
         s"version $version of $tablePath is no longer readable: " +
           s"${missing.size} of its files were reclaimed by a rewrite or " +
           s"vacuum (first missing: ${missing.head})")
-    val paths = resolved.map(_._2.get.toString)
-    readTableSchema(tablePath) match {
-      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+    readFilesWithBases(spark, tablePath, resolved.map(_._2.get.toString))
+  }
+
+  /** Read an explicit file list through the tracked schema. Live files
+    * and delete-quarantined files have different partition-discovery
+    * bases, so each group reads against its own base and the groups
+    * union — a no-op distinction for unpartitioned tables.
+    */
+  private def readFilesWithBases(spark: SparkSession, tablePath: String,
+      paths: Seq[String]): DataFrame = {
+    val schema = readTableSchema(tablePath)
+    val partCols = readPartitioning(tablePath)
+    def read(base: String, ps: Seq[String]) = {
+      val r = schema.map(spark.read.schema).getOrElse(spark.read)
+      (if (partCols.nonEmpty) r.option("basePath", base) else r)
+        .parquet(ps: _*)
     }
+    val rem = removedPath(tablePath)
+    val (quarantined, live) = paths.partition(_.startsWith(rem))
+    Seq((tablePath, live), (rem, quarantined))
+      .filter(_._2.nonEmpty)
+      .map { case (b, ps) => read(b, ps) }
+      .reduce(_.unionByName(_))
   }
 
   /** Change Data Feed analogue (Delta's `table_changes`): the rows ADDED
@@ -338,12 +356,16 @@ object Maintenance {
     val schema = readTableSchema(tablePath)
     val reads = slices.map { case (v, paths, fixedType) =>
       val base = fixedType match {
-        // fixed-type slices read through the tracked schema; merge change
-        // files carry their own extra column, so they read as written
+        // insert slices are table data files (live or quarantined):
+        // base-grouped partition-aware read through the tracked schema
+        case Some("insert") => readFilesWithBases(spark, tablePath, paths)
+        // delete change files carry plain table rows as DATA columns
+        // (partition values included) — tracked schema, no basePath
         case Some(_) => schema match {
           case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
           case None => spark.read.parquet(paths: _*)
         }
+        // merge change files carry their own extra column: read as written
         case None => spark.read.parquet(paths: _*)
       }
       val typed = fixedType match {
@@ -421,19 +443,99 @@ object Maintenance {
       case None => spark.read.parquet(tablePath)
     }
 
+  // ---------------------------------------------------------------------
+  // Partitioning — hive-style partitioned committed tables. The partition
+  // columns are recorded once in the log; appends lay files out under
+  // `col=value/` directories, and every rewrite preserves the layout.
+  // Partition values become per-file stats FOR FREE (a file under `k=v/`
+  // provably has k == v in every row), so the same skippingPlan machinery
+  // that prunes on data-column footers prunes on partition keys — and
+  // deleteRange / compactWhere on a partition key touch exactly that
+  // partition's files. At 100 TB this is the first-order pruning lever.
+
+  def partitioningPath(tablePath: String): String =
+    s"$tablePath/_graft_log/partitioning.txt"
+
+  def readPartitioning(tablePath: String): Seq[String] = {
+    val p = Paths.get(partitioningPath(tablePath))
+    if (Files.exists(p))
+      Files.readString(p).linesIterator.filter(_.nonEmpty).toSeq
+    else Nil
+  }
+
+  /** Partition-dir-derived per-file stats (numeric partition values
+    * only; string partitions stay unprunable-but-correct, like string
+    * data columns). Bounds widened one ulp under the same lossy-long
+    * convention as the footer stats.
+    */
+  private def partitionStats(tablePath: String,
+      files: Seq[java.nio.file.Path]): Seq[(String, String, Double, Double)] = {
+    val root = Paths.get(tablePath)
+    files.flatMap { p =>
+      val rel = root.relativize(p)
+      (0 until math.max(0, rel.getNameCount - 1))
+        .map(rel.getName(_).toString).flatMap { seg =>
+          seg.split("=", 2) match {
+            case Array(k, vs) =>
+              try {
+                val d = vs.toDouble
+                if (java.lang.Double.isFinite(d))
+                  Some((p.getFileName.toString, k,
+                    Math.nextDown(d), Math.nextUp(d)))
+                else None
+              } catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }
+    }
+  }
+
+  /** Move every staged parquet file into the table with version-unique
+    * names, PRESERVING partition subdirectories, stamped with commit
+    * time (vacuum safety). Caller holds the commit lock.
+    */
+  private def moveStagedIn(tablePath: String, stage: String,
+      prefix: String, v: Long): Seq[java.nio.file.Path] = {
+    val stageRoot = Paths.get(stage)
+    val parts = listDataFiles(new java.io.File(stage))
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getAbsolutePath)
+    val now = System.currentTimeMillis()
+    parts.zipWithIndex.map { case (f, i) =>
+      val rel = stageRoot.relativize(f.toPath)
+      val destDir = Option(rel.getParent)
+        .map(p => Paths.get(tablePath).resolve(p))
+        .getOrElse(Paths.get(tablePath))
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(f"${prefix}_v$v%06d_p$i%04d.parquet")
+      Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+      dest.toFile.setLastModified(now)
+      dest
+    }
+  }
+
   /** Optimistically commit an append: stage the write OUTSIDE the lock
     * (the Spark job), then under the lock move the staged files into the
     * table with version-unique names and advance the version. Returns the
     * committed version. The lock timeout is generous because a rewrite's
     * final (lock-held) attempt may legitimately hold the lock for the
     * duration of a full compaction job.
+    *
+    * `partitionBy` (first commit) declares hive-style partitioning; later
+    * appends inherit the recorded layout automatically and a conflicting
+    * declaration is rejected.
     */
   def commitAppend(spark: SparkSession, tablePath: String,
-      df: DataFrame): Long = {
+      df: DataFrame, partitionBy: Seq[String] = Nil): Long = {
+    val recorded = readPartitioning(tablePath)
+    require(partitionBy.isEmpty || recorded.isEmpty ||
+        partitionBy == recorded,
+      s"$tablePath is partitioned by $recorded; append declared " +
+        s"$partitionBy")
+    val partCols = if (partitionBy.nonEmpty) partitionBy else recorded
     val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
-    df.write.mode(SaveMode.Overwrite).parquet(stage)
-    val parts = listDataFiles(new java.io.File(stage))
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val w0 = df.write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
+      .parquet(stage)
     try withCommitLock(tablePath, timeoutMs = 600000L) {
       // first commit to a fresh table: the target dir must exist before
       // files can be renamed into it
@@ -450,20 +552,16 @@ object Maintenance {
           listParquetFiles(new java.io.File(tablePath)).nonEmpty)
         mergeAndWriteSchema(tablePath, spark.read.parquet(tablePath).schema)
       mergeAndWriteSchema(tablePath, df.schema)
+      if (partCols.nonEmpty && recorded.isEmpty)
+        Files.writeString(Paths.get(partitioningPath(tablePath)),
+          partCols.mkString("", "\n", "\n"))
       val v = readVersion(tablePath) + 1
-      val committed = parts.zipWithIndex.map { case (f, i) =>
-        val dest = Paths.get(tablePath, f"append_v${v}%06d_p$i%04d.parquet")
-        Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
-        dest
-      }
-      // vacuum safety, both guards: the rename preserved the STAGING
-      // mtime, which can predate a rewrite's registry snapshot taken
-      // while this appender queued on the lock — such files would look
-      // like pre-registry orphans. Stamp commit time and register them
-      // as live (when a registry exists) so neither vacuum guard can
-      // ever read a committed append as an orphan.
-      val now = System.currentTimeMillis()
-      committed.foreach(_.toFile.setLastModified(now))
+      // moveStagedIn stamps COMMIT time, not staging mtime — vacuum
+      // safety: a staging mtime can predate a rewrite's registry snapshot
+      // taken while this appender queued on the lock, making a committed
+      // append look like a pre-registry orphan. Also registered as live
+      // (when a registry exists) for the same reason.
+      val committed = moveStagedIn(tablePath, stage, "append", v)
       val reg = Paths.get(liveFilesPath(tablePath))
       if (Files.exists(reg)) {
         val root = Paths.get(tablePath)
@@ -488,9 +586,11 @@ object Maintenance {
       writeFileList(snapshotAddPath(tablePath, v), committedRel)
       // per-file stats from the committed files' footers (metadata-only,
       // no data scan) — recorded under their final names so skippingPlan
-      // keys match the live listing
+      // keys match the live listing. Partition-dir values join them as
+      // min=max stats, so partition keys prune like data columns.
       writeFileStats(tablePath,
-        footerStats(spark, committed.map(_.toFile)), append = true)
+        footerStats(spark, committed.map(_.toFile)) ++
+          partitionStats(tablePath, committed), append = true)
       writeVersion(tablePath, v)
       v
     } finally deleteRecursively(new java.io.File(stage))
@@ -580,14 +680,19 @@ object Maintenance {
       }
       writeFileStats(tablePath, keptStats, append = false)
       // files recovered from the delete quarantine lost their stats at
-      // delete time — backfill from their footers (metadata-only read) so
-      // the restored table skips files as well as the original did
+      // delete time — backfill from their footers (metadata-only read)
+      // plus partition-dir values, so the restored table skips files as
+      // well as the original did
       val statless = keptNames -- keptStats.map(_._1).toSet
-      if (statless.nonEmpty)
+      if (statless.nonEmpty) {
+        val byName = listParquetFiles(new java.io.File(tablePath))
+          .map(f => f.getName -> f).toMap
+        val files = statless.toSeq.sorted.flatMap(byName.get)
         writeFileStats(tablePath,
-          footerStats(spark, statless.toSeq.sorted
-            .map(n => root.resolve(n).toFile).filter(_.exists())),
+          footerStats(spark, files) ++
+            partitionStats(tablePath, files.map(_.toPath)),
           append = true)
+      }
       // live-file registry follows the restored set (vacuum safety)
       val reg = Paths.get(liveFilesPath(tablePath))
       if (Files.exists(reg))
@@ -808,7 +913,13 @@ object Maintenance {
       val candidates = candidatesOpt.getOrElse(byName.keys.toSeq.sorted)
       val total = byName.size
       val schema = readTableSchema(tablePath)
-      def reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      val partCols = readPartitioning(tablePath)
+      // basePath keeps partition-dir columns resolvable when reading an
+      // explicit file list out of a partitioned layout
+      def reader = {
+        val r = schema.map(spark.read.schema).getOrElse(spark.read)
+        if (partCols.nonEmpty) r.option("basePath", tablePath) else r
+      }
       val delPred = coalesce(predicate, lit(false))
       // exact confirmation of the conservative stats prune: one metadata-
       // scale job over the candidate files counts matches per file; files
@@ -834,13 +945,14 @@ object Maintenance {
         aff.filter(delPred).write.mode(SaveMode.Overwrite)
           .parquet(changesPath(tablePath, v))
         // survivors staged outside the table, then renamed in — same
-        // stage-then-move shape as commitAppend. Only THIS delete's
-        // uuid subdir is cleaned up: a concurrent appender stages under
-        // the same __stage sibling before it queues on the lock.
+        // stage-then-move shape as commitAppend (partition layout
+        // preserved). Only THIS delete's uuid subdir is cleaned up: a
+        // concurrent appender stages under the same __stage sibling
+        // before it queues on the lock.
         val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
-        aff.filter(not(delPred)).write.mode(SaveMode.Overwrite).parquet(stage)
-        val parts = listDataFiles(new java.io.File(stage))
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val survW = aff.filter(not(delPred)).write.mode(SaveMode.Overwrite)
+        (if (partCols.nonEmpty) survW.partitionBy(partCols: _*) else survW)
+          .parquet(stage)
         try {
           // quarantine the originals (history, not garbage)
           affected.foreach { name =>
@@ -850,14 +962,7 @@ object Maintenance {
             Files.move(byName(name).toPath, dest,
               StandardCopyOption.ATOMIC_MOVE)
           }
-          val now = System.currentTimeMillis()
-          val committed = parts.zipWithIndex.map { case (f, i) =>
-            val dest =
-              Paths.get(tablePath, f"delete_v$v%06d_p$i%04d.parquet")
-            Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
-            dest.toFile.setLastModified(now)
-            dest
-          }
+          val committed = moveStagedIn(tablePath, stage, "delete", v)
           // stats: entries of quarantined files would pin dead names —
           // drop them; the replacement files get fresh footer stats
           val gone = affected.toSet
@@ -866,7 +971,8 @@ object Maintenance {
               case ((f, c), (l, h)) if !gone.contains(f) => (f, c, l, h)
             }, append = false)
           writeFileStats(tablePath,
-            footerStats(spark, committed.map(_.toFile)), append = true)
+            footerStats(spark, committed.map(_.toFile)) ++
+              partitionStats(tablePath, committed), append = true)
           val reg = Paths.get(liveFilesPath(tablePath))
           if (Files.exists(reg)) recordLiveFiles(tablePath)
           // snapshot: full listing (delete versions reconstruct directly)
@@ -915,7 +1021,11 @@ object Maintenance {
       val root = Paths.get(tablePath)
       val v0 = readVersion(tablePath)
       val schema = readTableSchema(tablePath)
-      def reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      val partCols = readPartitioning(tablePath)
+      def reader = {
+        val r = schema.map(spark.read.schema).getOrElse(spark.read)
+        if (partCols.nonEmpty) r.option("basePath", tablePath) else r
+      }
       // stage the source once: it feeds key-range bounds, three joins,
       // and the change files — and must not be recomputed between them
       val src = source.localCheckpoint()
@@ -986,6 +1096,7 @@ object Maintenance {
             .write.mode(SaveMode.Overwrite)
             .parquet(changesPath(tablePath, v))
           // replacement content: affected survivors + updated + inserts
+          // (partition layout preserved)
           val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
           val rewritten = aff.map { a =>
             a.join(broadcast(srcKeys), Seq(key), "left_anti")
@@ -995,9 +1106,9 @@ object Maintenance {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               inserts.schema))
             .unionByName(inserts)
-          rewritten.write.mode(SaveMode.Overwrite).parquet(stage)
-          val parts = listDataFiles(new java.io.File(stage))
-            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          val rewW = rewritten.write.mode(SaveMode.Overwrite)
+          (if (partCols.nonEmpty) rewW.partitionBy(partCols: _*) else rewW)
+            .parquet(stage)
           try {
             affected.foreach { name =>
               val rel = root.relativize(byName(name).toPath).toString
@@ -1006,21 +1117,15 @@ object Maintenance {
               Files.move(byName(name).toPath, dest,
                 StandardCopyOption.ATOMIC_MOVE)
             }
-            val now = System.currentTimeMillis()
-            val committed = parts.zipWithIndex.map { case (f, i) =>
-              val dest =
-                Paths.get(tablePath, f"merge_v$v%06d_p$i%04d.parquet")
-              Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
-              dest.toFile.setLastModified(now)
-              dest
-            }
+            val committed = moveStagedIn(tablePath, stage, "merge", v)
             val gone = affected.toSet
             writeFileStats(tablePath,
               readFileStats(tablePath).toSeq.collect {
                 case ((f, c), (l, h)) if !gone.contains(f) => (f, c, l, h)
               }, append = false)
             writeFileStats(tablePath,
-              footerStats(spark, committed.map(_.toFile)), append = true)
+              footerStats(spark, committed.map(_.toFile)) ++
+                partitionStats(tablePath, committed), append = true)
             val reg = Paths.get(liveFilesPath(tablePath))
             if (Files.exists(reg)) recordLiveFiles(tablePath)
             writeFileList(snapshotFullPath(tablePath, v),
@@ -1089,33 +1194,32 @@ object Maintenance {
         val byName = listParquetFiles(new java.io.File(tablePath))
           .map(f => f.getName -> f).toMap
         val schema = readTableSchema(tablePath)
-        val readerB = schema.map(spark.read.schema).getOrElse(spark.read)
+        val partCols = readPartitioning(tablePath)
+        val readerB = {
+          val r = schema.map(spark.read.schema).getOrElse(spark.read)
+          if (partCols.nonEmpty) r.option("basePath", tablePath) else r
+        }
         val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
-        readerB.parquet(candidates.map(byName(_).getAbsolutePath): _*)
+        val cw = readerB
+          .parquet(candidates.map(byName(_).getAbsolutePath): _*)
           .coalesce(targetFiles)
-          .write.mode(SaveMode.Overwrite).parquet(stage)
-        val parts = listDataFiles(new java.io.File(stage))
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .write.mode(SaveMode.Overwrite)
+        (if (partCols.nonEmpty) cw.partitionBy(partCols: _*) else cw)
+          .parquet(stage)
         try {
           val v = readVersion(tablePath) + 1
           // a rewrite physically reclaims its inputs (same contract as
           // whole-table compact — history before it reads loudly-missing)
           candidates.foreach(n => Files.delete(byName(n).toPath))
-          val now = System.currentTimeMillis()
-          val committed = parts.zipWithIndex.map { case (f, i) =>
-            val dest =
-              Paths.get(tablePath, f"compactw_v$v%06d_p$i%04d.parquet")
-            Files.move(f.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
-            dest.toFile.setLastModified(now)
-            dest
-          }
+          val committed = moveStagedIn(tablePath, stage, "compactw", v)
           val gone = candidates.toSet
           writeFileStats(tablePath,
             readFileStats(tablePath).toSeq.collect {
               case ((f, c), (l, h)) if !gone.contains(f) => (f, c, l, h)
             }, append = false)
           writeFileStats(tablePath,
-            footerStats(spark, committed.map(_.toFile)), append = true)
+            footerStats(spark, committed.map(_.toFile)) ++
+              partitionStats(tablePath, committed), append = true)
           val reg = Paths.get(liveFilesPath(tablePath))
           if (Files.exists(reg)) recordLiveFiles(tablePath)
           writeFileList(snapshotFullPath(tablePath, v),
@@ -1133,7 +1237,9 @@ object Maintenance {
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit =
     optimisticRewrite(spark, path, "__compact_tmp") { (df, tmp) =>
-      df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val w = df.coalesce(targetFiles).write.mode(SaveMode.Overwrite)
+      val pc = readPartitioning(path)
+      (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(tmp)
     }
 
   /** Z-order-lite: range-cluster the table on `clusterCols` so parquet
@@ -1145,9 +1251,11 @@ object Maintenance {
   def cluster(spark: SparkSession, path: String, clusterCols: Seq[String],
       targetFiles: Int): Unit =
     optimisticRewrite(spark, path, "__cluster_tmp") { (df, tmp) =>
-      df.repartitionByRange(targetFiles, clusterCols.map(col): _*)
+      val w = df.repartitionByRange(targetFiles, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
+        .write.mode(SaveMode.Overwrite)
+      val pc = readPartitioning(path)
+      (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(tmp)
     }
 
   /** TRUE Z-ordering on two columns — bit-interleaved multi-dimensional
@@ -1185,11 +1293,13 @@ object Maintenance {
           .bitwiseOR(shiftleft(a16.bitwiseAND(lit(1L << k)), k))
           .bitwiseOR(shiftleft(b16.bitwiseAND(lit(1L << k)), k + 1))
       }
-      df.withColumn("__z", z)
+      val w = df.withColumn("__z", z)
         .repartitionByRange(targetFiles, col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop("__z")
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
+        .write.mode(SaveMode.Overwrite)
+      val pc = readPartitioning(path)
+      (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(tmp)
     }
 
   private def optimisticRewrite(spark: SparkSession, path: String,
@@ -1247,7 +1357,9 @@ object Maintenance {
     // rewritten files (esp. zorder/cluster output) are exactly where
     // tight per-file bounds pay off
     writeFileStats(path,
-      footerStats(spark, listParquetFiles(new java.io.File(path))),
+      footerStats(spark, listParquetFiles(new java.io.File(path))) ++
+        partitionStats(path,
+          listParquetFiles(new java.io.File(path)).map(_.toPath)),
       append = false)
     writeVersion(path, v)
     recordLiveFiles(path)

@@ -999,6 +999,39 @@ object Extras {
       |  CAST(sum(cents) AS BIGINT) AS cents_total
       |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K20: hive-partitioned committed table — partition values become
+  // per-file stats for free (a file under pk=v/ provably has pk=v in
+  // every row), so a partition-key delete touches exactly that
+  // partition's files and the whole skippingPlan/delete/merge/compact
+  // surface prunes on partition keys with zero extra machinery. The
+  // oracle checks the surviving content; the blast-radius and layout
+  // invariants live in MaintenanceSpec.
+  private def k20Partitioned(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-part-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_part"
+    val M = graft.operators.Maintenance
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      pmod(col("o_orderkey"), lit(4L)).as("pk"))
+    M.commitAppend(s, table, o.coalesce(2), partitionBy = Seq("pk"))
+    M.deleteRange(s, table, "pk", 3.0, 3.0)
+    val out = M.readTable(s, table)
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("pk"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k20PartitionedSql =
+    """SELECT o_orderkey % 4 AS pk, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM orders WHERE o_orderkey % 4 <> 3
+      |GROUP BY pk ORDER BY pk""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -1020,6 +1053,7 @@ object Extras {
     "k17_merge_cdf" -> k17MergeCdf _,
     "k18_history" -> k18History _,
     "k19_ivm_retract" -> k19IvmRetract _,
+    "k20_partitioned" -> k20Partitioned _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -1044,6 +1078,7 @@ object Extras {
     "k17_merge_cdf" -> k17MergeCdfSql,
     "k18_history" -> k18HistorySql,
     "k19_ivm_retract" -> k19IvmRetractSql,
+    "k20_partitioned" -> k20PartitionedSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,

@@ -690,6 +690,87 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rows.filter(col("id") === 500L).first().getLong(1) == 9999L)
   }
 
+  // ----- partitioned committed tables -----
+
+  /** Two coalesced appends over pk = id % 4: one file per (append,
+    * partition) → 8 files, 2 per partition, ids [0,44).
+    */
+  private def partitionedTable(): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-partspec-${UUID.randomUUID()}/t").getAbsolutePath
+    def withPk(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), pmod(col("id"), lit(4L)).as("pk")).coalesce(1)
+    Maintenance.commitAppend(spark, p,
+      withPk(spark.range(0L, 40L).toDF("id")), partitionBy = Seq("pk"))
+    Maintenance.commitAppend(spark, p,
+      withPk(spark.range(40L, 44L).toDF("id"))) // inherits partitioning
+    p
+  }
+
+  test("partitioned append: hive layout, inherited partitioning, " +
+      "partition-derived pruning") {
+    val p = partitionedTable()
+    assert(new java.io.File(p, "pk=2").isDirectory)
+    val rt = Maintenance.readTable(spark, p)
+    assert(rt.count() == 44)
+    assert(rt.filter(col("pk") === 2).count() == 11)
+    assert(rt.filter(col("pk") === 2).agg(sum("id")).first().getLong(0) ==
+      (0L until 44L).filter(_ % 4 == 2).sum)
+    // partition values are per-file stats: pk = 2 prunes to exactly that
+    // partition's files
+    val (kept, total) = Maintenance.skippingPlan(p, "pk", 2.0, 2.0)
+    assert(total == 8 && kept.size == 2, s"kept=$kept total=$total")
+    // a conflicting partitioning declaration is rejected untouched
+    intercept[IllegalArgumentException] {
+      Maintenance.commitAppend(spark, p,
+        spark.range(0L, 1L).toDF("id")
+          .select(col("id"), lit(0L).as("pk")),
+        partitionBy = Seq("id"))
+    }
+    assert(Maintenance.readVersion(p) == 2)
+  }
+
+  test("partitioned delete: blast radius is exactly one partition; " +
+      "history and cdf keep partition values") {
+    val p = partitionedTable()
+    val res = Maintenance.deleteRange(spark, p, "pk", 2.0, 2.0)
+    assert(res.rowsDeleted == 11)
+    assert(res.filesRewritten == 2 && res.filesTotal == 8,
+      s"only pk=2's files may rewrite: $res")
+    val rt = Maintenance.readTable(spark, p)
+    assert(rt.count() == 33)
+    assert(rt.filter(col("pk") === 2).count() == 0)
+    // pre-delete version reads through the quarantine WITH pk intact
+    val asOf = Maintenance.readAsOf(spark, p, 2)
+    assert(asOf.count() == 44)
+    assert(asOf.filter(col("pk") === 2).count() == 11)
+    // the delete feed carries the partition value as a data column
+    val feed = Maintenance.readChangesBetween(spark, p,
+      res.version - 1, res.version)
+    assert(feed.count() == 11)
+    assert(feed.filter(col("pk") === 2).count() == 11)
+  }
+
+  test("partitioned merge and scoped compact preserve the hive layout") {
+    import spark.implicits._
+    val p = partitionedTable()
+    val res = Maintenance.mergeInto(spark, p,
+      Seq((1L, 9L), (100L, 0L)).toDF("id", "pk"), "id")
+    assert(res.rowsUpdated == 1 && res.rowsInserted == 1)
+    val rt = Maintenance.readTable(spark, p)
+    assert(rt.count() == 45)
+    // the updated row MOVED partition: pk=9 dir now exists
+    assert(rt.filter(col("id") === 1L).first().getAs[Long]("pk") == 9L)
+    assert(new java.io.File(p, "pk=9").isDirectory)
+    // scoped compact merges pk=0's files into one, still under pk=0/
+    val n = Maintenance.compactWhere(spark, p, "pk", 0.0, 0.0, 1)
+    assert(n >= 2)
+    val pk0 = Option(new java.io.File(p, "pk=0").listFiles()).get
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(pk0.length == 1 && pk0.head.startsWith("compactw_"))
+    assert(Maintenance.readTable(spark, p).count() == 45)
+  }
+
   // ----- mergeInto: MERGE INTO + CDC row types -----
 
   /** Same 4-file layout as [[deleteFixture4]] but with a value column:
