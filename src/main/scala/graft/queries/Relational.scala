@@ -593,6 +593,40 @@ object Relational {
       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J8: as-of (point-in-time) join — each purchase aligned to the user's
+  // latest view at or before it (the trades→quotes alignment every
+  // market-data store ships; reference behavior: the per-symbol
+  // event-time alignment across images/spark/Code/streaming_pipeline.py's
+  // bar builds). Quotes are deduped per (user, ts) first: as-of semantics
+  // are only deterministic without right-side ties. Oracled against
+  // DuckDB's native ASOF LEFT JOIN — two engines, two different as-of
+  // implementations, one result.
+  private def j8AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val trades = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val quotes = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("quote"))
+      .withColumn("quote_ts", col("ts"))
+    graft.operators.AsOfJoin
+      .asOf(trades, quotes, Seq("user_id"), "ts")
+      .orderBy(col("event_id"))
+  }
+
+  private val j8AsofJoinSql =
+    """WITH trades AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |quotes AS (
+      |  SELECT user_id, ts, max(value) AS quote, ts AS quote_ts
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT t.event_id, t.user_id, t.ts, t.value, q.quote, q.quote_ts
+      |FROM trades t ASOF LEFT JOIN quotes q
+      |  ON t.user_id = q.user_id AND t.ts >= q.ts
+      |ORDER BY t.event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J7: salted skew join, driver-gated — events has only 5 distinct
   // event_type keys, so an unsalted SHUFFLE join puts ~20% of the fact
   // table on each of 5 reducers no matter how many executors exist;
@@ -709,6 +743,7 @@ object Relational {
     "j7_salted_join" -> j7SaltedJoin _,
     "w7_sessionize" -> w7Sessionize _,
     "j6_range_join" -> j6RangeJoin _,
+    "j8_asof_join" -> j8AsofJoin _,
     "a7_pivot" -> a7Pivot _,
     "a5_pricing_summary" -> a5PricingSummary _,
     "j3_star_revenue" -> j3StarRevenue _,
@@ -740,6 +775,7 @@ object Relational {
     "j7_salted_join" -> j7SaltedJoinSql,
     "w7_sessionize" -> w7SessionizeSql,
     "j6_range_join" -> j6RangeJoinSql,
+    "j8_asof_join" -> j8AsofJoinSql,
     "a7_pivot" -> a7PivotSql,
     "a5_pricing_summary" -> a5PricingSummarySql,
     "j3_star_revenue" -> j3StarRevenueSql,
