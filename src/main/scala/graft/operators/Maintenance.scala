@@ -840,6 +840,156 @@ object Maintenance {
   }
 
   // ---------------------------------------------------------------------
+  // Bloom-filter file index — point-lookup pruning where min/max stats
+  // cannot help (the Delta bloom-filter-index analogue, and the engine
+  // counterpart of the reference outsourcing all file skipping to Delta:
+  // reference images/spark/Code/AutomateTable.py:42-44). A high-cardinality
+  // key (a hash id, a uuid) has per-file [min,max] spanning the whole
+  // domain, so skippingPlan keeps every file; a per-file Bloom bitset
+  // answers "might this file contain k = v?" with no false negatives, so
+  // an equality lookup scans ~1 file instead of the table. At 100 TB this
+  // is the difference between a point read and a full scan.
+  //
+  // Contract mirrors the stats index: entries are ADVISORY, keyed by file
+  // name — a live file without an entry is conservatively scanned (so the
+  // index stays correct across later appends), and entries for rewritten
+  // names are simply never consulted. The index itself is metadata-scale
+  // (m/8 bytes per file) and lives in `_graft_log/bloom/`, written by the
+  // driver like the stats file; the BITSETS are computed distributed, one
+  // column-pruned scan, map-side-combined `bit_or` per (file, word).
+
+  def bloomIndexPath(tablePath: String, column: String): String =
+    s"$tablePath/_graft_log/bloom/$column.txt"
+
+  /** Build (or rebuild) the Bloom index for `column` over the table's
+    * current live files. Sized from the largest per-file row count for
+    * `targetFpp` (classic m = -n·ln p/ln²2, k = m/n·ln 2), m rounded up
+    * to a power of two and capped at `maxBits` — an oversized file past
+    * the cap degrades to a higher false-positive rate, never to a false
+    * negative. Positions come from one xxhash64 split Kirsch-Mitzenmacher
+    * style (h2 forced odd and 31-bit so k·h2 cannot overflow under ANSI
+    * arithmetic).
+    */
+  def buildBloomIndex(spark: SparkSession, tablePath: String,
+      column: String, targetFpp: Double = 0.01,
+      maxBits: Int = 1 << 22): Unit = {
+    require(targetFpp > 0 && targetFpp < 1, s"fpp out of (0,1): $targetFpp")
+    val out = Paths.get(bloomIndexPath(tablePath, column))
+    Files.createDirectories(out.getParent)
+    val files = listParquetFiles(new java.io.File(tablePath))
+    if (files.isEmpty) { Files.writeString(out, ""); return }
+    val schema = readTableSchema(tablePath)
+    val partCols = readPartitioning(tablePath)
+    val reader = {
+      val r = schema.map(spark.read.schema).getOrElse(spark.read)
+      if (partCols.nonEmpty) r.option("basePath", tablePath) else r
+    }
+    val df = reader.parquet(files.map(_.getAbsolutePath): _*)
+      .select(input_file_name().as("__f"), col(column).as("__v"))
+    // pass 1 (column-pruned, counts only): the largest per-file
+    // cardinality bound drives the shared sizing
+    val nMax = math.max(1L,
+      df.groupBy(col("__f")).count().agg(max(col("count")))
+        .first().getLong(0))
+    val mIdeal = math.ceil(
+      -nMax * math.log(targetFpp) / (math.log(2) * math.log(2))).toLong
+    var m = 64L
+    while (m < mIdeal && m < maxBits) m <<= 1
+    val k = math.max(1L, math.min(16L,
+      math.round(m.toDouble / nMax * math.log(2))))
+    // pass 2: positions → (file, word) → OR of bits, combined map-side;
+    // one row per set word reaches the driver (≤ m/64 per file)
+    val words = df
+      .select(col("__f"), xxhash64(col("__v")).as("__h"))
+      .select(col("__f"), explode(expr(
+        s"transform(sequence(0, ${k - 1}), i -> " +
+          s"((__h & 4294967295) + i * (((__h >> 32) & 2147483647) | 1))" +
+          s" & ${m - 1})")).as("__p"))
+      .groupBy(col("__f"), expr("__p >> 6").as("__w"))
+      .agg(expr("bit_or(shiftleft(1L, int(__p & 63)))").as("__bits"))
+      .groupBy(col("__f"))
+      .agg(collect_list(struct(col("__w"), col("__bits"))).as("__ws"))
+      .collect()
+    val lines = words.map { r =>
+      val name = r.getString(0).split('/').last
+      val packed = new Array[Long]((m / 64).toInt)
+      r.getSeq[org.apache.spark.sql.Row](1).foreach { wb =>
+        packed(wb.getLong(0).toInt) = wb.getLong(1)
+      }
+      val bb = java.nio.ByteBuffer.allocate(packed.length * 8)
+      packed.foreach(bb.putLong)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+      s"$name\t$m\t$k\t$b64"
+    }
+    Files.writeString(out, lines.sorted.mkString("", "\n",
+      if (lines.isEmpty) "" else "\n"))
+  }
+
+  /** (file → (m, k, bitset words)); empty when no index exists. */
+  def readBloomIndex(tablePath: String, column: String)
+      : Map[String, (Long, Long, Array[Long])] = {
+    val p = Paths.get(bloomIndexPath(tablePath, column))
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { ln =>
+      val a = ln.split('\t')
+      val bytes = java.util.Base64.getDecoder.decode(a(3))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val ws = Array.fill(bytes.length / 8)(bb.getLong)
+      a(0) -> ((a(1).toLong, a(2).toLong, ws))
+    }.toMap
+  }
+
+  /** The file-level decision for `column = value`: (files to scan, total
+    * live files). Unindexed files are always kept — no false negatives,
+    * ever; false positives cost a scanned file, nothing more. The probe
+    * is hashed by the SAME Spark expression that built the index (one
+    * 1-row local job), so index and probe can never disagree on hashing.
+    */
+  def bloomPlan(spark: SparkSession, tablePath: String, column: String,
+      value: Any): (Seq[String], Int) = {
+    val all = listParquetFiles(new java.io.File(tablePath))
+      .map(_.getName).sorted
+    val idx = readBloomIndex(tablePath, column)
+    if (idx.isEmpty) return (all, all.size)
+    val h = spark.range(1).select(xxhash64(lit(value))).first().getLong(0)
+    val h1 = h & 0xffffffffL
+    val kept = all.filter { f =>
+      idx.get(f) match {
+        case Some((m, k, ws)) =>
+          val h2 = ((h >> 32) & 0x7fffffffL) | 1L
+          (0L until k).forall { i =>
+            val pos = (h1 + i * h2) & (m - 1)
+            (ws((pos >> 6).toInt) & (1L << (pos & 63))) != 0L
+          }
+        case None => true
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** Point lookup through the Bloom plan: scan only the files that might
+    * contain `column = value`, then apply the exact predicate (pruning is
+    * conservative; the filter clears any false positive).
+    */
+  def bloomLookup(spark: SparkSession, tablePath: String, column: String,
+      value: Any): DataFrame = {
+    val (kept, _) = bloomPlan(spark, tablePath, column, value)
+    val schema = readTableSchema(tablePath)
+    if (kept.isEmpty) {
+      val sc = schema.getOrElse(readTable(spark, tablePath).schema)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+    } else {
+      val byName = listParquetFiles(new java.io.File(tablePath))
+        .map(f => f.getName -> f.getAbsolutePath).toMap
+      val reader = schema.map(spark.read.schema).getOrElse(spark.read)
+      reader.option("basePath", tablePath)
+        .parquet(kept.flatMap(byName.get): _*)
+        .filter(col(column) === lit(value))
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // DELETE — the engine analogue of Delta's `DELETE FROM t WHERE c
   // BETWEEN lo AND hi` (the reference inherits row deletes from Delta;
   // its GDPR/maintenance surface is delta_manager.py). Stats-driven:

@@ -1032,6 +1032,45 @@ object Extras {
       |FROM orders WHERE o_orderkey % 4 <> 3
       |GROUP BY pk ORDER BY pk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K21: Bloom-index point lookup — a high-cardinality md5 key defeats
+  // min/max skipping (every file's [min,max] spans the domain), so the
+  // committed table gets a per-file Bloom index and three key lookups
+  // each scan ~1 of the 8 key-partitioned files. The oracle checks the
+  // looked-up CONTENT (the three smallest orderkeys' rows); the
+  // blast-radius and no-false-negative invariants live in
+  // MaintenanceSpec.
+  private def k21BloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-bloom-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_keyed"
+    val M = graft.operators.Maintenance
+    val o = t(s, dir, "orders").select(
+      md5(col("o_orderkey").cast("string")).as("key"),
+      col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    M.commitAppend(s, table, o.repartition(8, col("key")))
+    M.buildBloomIndex(s, table, "key")
+    // probe keys computed by the same Spark expression that keyed the
+    // table — the lookup value and the stored value can never disagree
+    val probes = t(s, dir, "orders")
+      .orderBy(col("o_orderkey")).limit(3)
+      .select(md5(col("o_orderkey").cast("string")))
+      .collect().map(_.getString(0))
+    val out = probes.toSeq.map(key => M.bloomLookup(s, table, "key", key))
+      .reduce(_.unionByName(_))
+      .select(col("o_orderkey"), col("cents"))
+      .orderBy(col("o_orderkey"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k21BloomLookupSql =
+    """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_orderkey IN (
+      |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -1054,6 +1093,7 @@ object Extras {
     "k18_history" -> k18History _,
     "k19_ivm_retract" -> k19IvmRetract _,
     "k20_partitioned" -> k20Partitioned _,
+    "k21_bloom_lookup" -> k21BloomLookup _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -1079,6 +1119,7 @@ object Extras {
     "k18_history" -> k18HistorySql,
     "k19_ivm_retract" -> k19IvmRetractSql,
     "k20_partitioned" -> k20PartitionedSql,
+    "k21_bloom_lookup" -> k21BloomLookupSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,

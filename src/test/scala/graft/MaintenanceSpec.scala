@@ -771,6 +771,56 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- Bloom-filter file index -----
+
+  test("bloom index: no false negatives, point lookups prune to ~1 file, " +
+      "unindexed appends stay conservative") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-bloomspec-${UUID.randomUUID()}/t").getAbsolutePath
+    val keyed = spark.range(0L, 2000L)
+      .select(md5(col("id").cast("string")).as("key"), col("id"))
+    Maintenance.commitAppend(spark, p, keyed.repartition(8, col("key")))
+    Maintenance.buildBloomIndex(spark, p, "key")
+    // every committed key must be found (Bloom guarantees no false
+    // negatives) — check a deterministic sample across the domain
+    val sample = spark.range(0L, 2000L, 97L)
+      .select(md5(col("id").cast("string")), col("id"))
+      .as[(String, Long)].collect()
+    for ((key, id) <- sample) {
+      val hit = Maintenance.bloomLookup(spark, p, "key", key)
+        .select("id").as[Long].collect()
+      assert(hit.toSeq == Seq(id), s"lookup of id=$id via $key got " +
+        hit.mkString(","))
+    }
+    // pruning: across the sample, lookups must on average consult ~1 of
+    // the 8 files (fpp 1% ⇒ expected kept ≈ 1.07); assert a loose bound
+    val keptCounts = sample.map { case (key, _) =>
+      val (kept, total) = Maintenance.bloomPlan(spark, p, "key", key)
+      assert(total == 8)
+      kept.size
+    }
+    assert(keptCounts.sum.toDouble / keptCounts.length <= 2.0,
+      s"bloom pruning too weak: kept=${keptCounts.mkString(",")}")
+    // an absent key prunes everything (modulo false positives)
+    val (keptMiss, _) = Maintenance.bloomPlan(spark, p, "key", "not-a-key")
+    assert(keptMiss.size <= 2)
+    assert(Maintenance.bloomLookup(spark, p, "key", "not-a-key").count() == 0)
+    // a later append has no index entry: its file is always kept, so new
+    // rows are visible through the lookup before any rebuild
+    Maintenance.commitAppend(spark, p,
+      Seq(("fresh-key", 99999L)).toDF("key", "id"))
+    val hit2 = Maintenance.bloomLookup(spark, p, "key", "fresh-key")
+      .select("id").as[Long].collect()
+    assert(hit2.toSeq == Seq(99999L))
+    // rebuild indexes the new file too: the fresh key now prunes
+    Maintenance.buildBloomIndex(spark, p, "key")
+    val (keptFresh, totalFresh) =
+      Maintenance.bloomPlan(spark, p, "key", "fresh-key")
+    assert(totalFresh == 9 && keptFresh.size <= 2,
+      s"kept=$keptFresh of $totalFresh")
+  }
+
   // ----- mergeInto: MERGE INTO + CDC row types -----
 
   /** Same 4-file layout as [[deleteFixture4]] but with a value column:
