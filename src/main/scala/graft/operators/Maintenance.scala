@@ -536,6 +536,13 @@ object Maintenance {
     val w0 = df.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
       .parquet(stage)
+    // constraints check the STAGED files, not `df`: what is validated is
+    // byte-for-byte what would land, immune to a nondeterministic input
+    // plan re-evaluating differently. Runs outside the lock (it is a
+    // Spark job); a violation deletes the stage and nothing ever moved.
+    enforceConstraints(spark, tablePath,
+      () => spark.read.parquet(stage), s"append(stage=$stage)",
+      cleanup = () => deleteRecursively(new java.io.File(stage)))
     try withCommitLock(tablePath, timeoutMs = 600000L) {
       // first commit to a fresh table: the target dir must exist before
       // files can be renamed into it
@@ -837,6 +844,100 @@ object Maintenance {
       reader.option("basePath", tablePath)
         .parquet(kept.map(byName): _*)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Table CHECK constraints — Delta's `ALTER TABLE ADD CONSTRAINT`
+  // analogue (the reference gets write-path validation from Delta;
+  // reference images/spark/Code/AutomateTable.py:42-44 relies on the
+  // table format to police what lands). A constraint is a SQL predicate
+  // recorded in `_graft_log/constraints.txt`; every commit path that can
+  // introduce rows (append, merge) validates its STAGED output against
+  // all recorded constraints before a single file moves, so a violating
+  // batch aborts with the table untouched. A predicate evaluating to
+  // NULL counts as a violation (same three-valued-logic convention as
+  // Expectations — unknowns do not sneak past a gate). Enforcement is
+  // one codegen'd aggregate over the staged files: all constraints
+  // checked in a single map-side-combined job, no extra scan of the
+  // table itself.
+
+  def constraintsPath(tablePath: String): String =
+    s"$tablePath/_graft_log/constraints.txt"
+
+  /** (name → predicate SQL), insertion-ordered. */
+  def readConstraints(tablePath: String): Seq[(String, String)] = {
+    val p = Paths.get(constraintsPath(tablePath))
+    if (!Files.exists(p)) Seq.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { ln =>
+      val a = ln.split('\t')
+      a(0) -> a(1)
+    }.toSeq
+  }
+
+  /** Record a CHECK constraint. Like Delta, the EXISTING data must
+    * already satisfy it — one validation scan of the live table runs
+    * first and a violation rejects the constraint (recording a
+    * constraint the table already breaks would make every later append
+    * fail for someone else's rows).
+    */
+  def addConstraint(spark: SparkSession, tablePath: String, name: String,
+      predicateSql: String): Unit = {
+    require(name.nonEmpty && !name.contains('\t'), s"bad name: $name")
+    require(!predicateSql.contains('\n') && !predicateSql.contains('\t'),
+      "predicate must be a single line without tabs")
+    withCommitLock(tablePath) {
+      require(!readConstraints(tablePath).exists(_._1 == name),
+        s"constraint '$name' already exists on $tablePath")
+      if (listParquetFiles(new java.io.File(tablePath)).nonEmpty)
+        enforceConstraintList(spark, Seq(name -> predicateSql),
+          () => readTable(spark, tablePath), s"addConstraint($name)")
+      val p = Paths.get(constraintsPath(tablePath))
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, s"$name\t$predicateSql\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  def dropConstraint(tablePath: String, name: String): Unit =
+    withCommitLock(tablePath) {
+      val kept = readConstraints(tablePath).filterNot(_._1 == name)
+      Files.writeString(Paths.get(constraintsPath(tablePath)),
+        kept.map { case (n, s) => s"$n\t$s" }
+          .mkString("", "\n", if (kept.isEmpty) "" else "\n"))
+    }
+
+  /** Validate `data` against the table's recorded constraints; on any
+    * violation run `cleanup` and throw naming every violated constraint
+    * with its row count. No-op for a constraint-less table — the common
+    * path pays only a file-existence check.
+    */
+  private def enforceConstraints(spark: SparkSession, tablePath: String,
+      data: () => DataFrame, context: String,
+      cleanup: () => Unit = () => ()): Unit = {
+    val cs = readConstraints(tablePath)
+    if (cs.isEmpty) return
+    try enforceConstraintList(spark, cs, data, context)
+    catch { case e: Throwable => cleanup(); throw e }
+  }
+
+  private def enforceConstraintList(spark: SparkSession,
+      cs: Seq[(String, String)], data: () => DataFrame,
+      context: String): Unit = {
+    val df = data()
+    val aggs = cs.map { case (n, sql) =>
+      sum(when(not(coalesce(expr(sql), lit(false))), 1L).otherwise(0L))
+        .as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val violated = cs.zipWithIndex.collect {
+      case ((n, sql), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"'$n' CHECK ($sql): ${row.getLong(i)} rows"
+    }
+    if (violated.nonEmpty)
+      throw new IllegalStateException(
+        s"constraint violation in $context: ${violated.mkString("; ")} " +
+          "— nothing was committed")
   }
 
   // ---------------------------------------------------------------------
@@ -1259,6 +1360,12 @@ object Maintenance {
           val rewW = rewritten.write.mode(SaveMode.Overwrite)
           (if (partCols.nonEmpty) rewW.partitionBy(partCols: _*) else rewW)
             .parquet(stage)
+          // a merge that would write a constraint-violating row (bad
+          // update values or inserts) must abort BEFORE any original is
+          // quarantined — the table is still fully intact here
+          enforceConstraints(spark, tablePath,
+            () => spark.read.parquet(stage), s"merge(v=$v)",
+            cleanup = () => deleteRecursively(new java.io.File(stage)))
           try {
             affected.foreach { name =>
               val rel = root.relativize(byName(name).toPath).toString

@@ -1071,6 +1071,43 @@ object Extras {
       |  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K22: table CHECK constraints — a committed table declares
+  // `cents >= 0` and a violating batch (negated totals) aborts with the
+  // table untouched, then a valid second batch lands. The oracle checks
+  // the surviving content equals exactly the two valid appends; the
+  // abort/rollback invariants live in MaintenanceSpec.
+  private def k22Constraints(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-constr-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_checked"
+    val M = graft.operators.Maintenance
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val (evens, odds) =
+      (o.filter(col("o_orderkey") % 2 === 0), o.filter(col("o_orderkey") % 2 === 1))
+    M.commitAppend(s, table, evens.coalesce(2))
+    M.addConstraint(s, table, "cents_nonneg",
+      "cents >= 0 AND o_orderkey IS NOT NULL")
+    // a violating batch must bounce off the constraint, landing nothing
+    try {
+      M.commitAppend(s, table, odds.withColumn("cents", -col("cents")))
+      sys.error("violating append unexpectedly committed")
+    } catch { case _: IllegalStateException => () }
+    M.commitAppend(s, table, odds.coalesce(2)) // the valid half lands
+    val out = M.readTable(s, table)
+      .groupBy((col("o_orderkey") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("parity"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k22ConstraintsSql =
+    """SELECT o_orderkey % 2 AS parity, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM orders GROUP BY parity ORDER BY parity""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -1094,6 +1131,7 @@ object Extras {
     "k19_ivm_retract" -> k19IvmRetract _,
     "k20_partitioned" -> k20Partitioned _,
     "k21_bloom_lookup" -> k21BloomLookup _,
+    "k22_constraints" -> k22Constraints _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -1120,6 +1158,7 @@ object Extras {
     "k19_ivm_retract" -> k19IvmRetractSql,
     "k20_partitioned" -> k20PartitionedSql,
     "k21_bloom_lookup" -> k21BloomLookupSql,
+    "k22_constraints" -> k22ConstraintsSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,

@@ -771,6 +771,81 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- table CHECK constraints -----
+
+  test("constraints: violating append aborts untouched, null is a " +
+      "violation, drop re-admits, add rejects dirty history") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-constrspec-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    Maintenance.addConstraint(spark, p, "v_pos", "v > 0")
+    val v0 = Maintenance.readVersion(p)
+    // violating batch: nothing lands, version unchanged, stage cleaned
+    val e = intercept[IllegalStateException] {
+      Maintenance.commitAppend(spark, p,
+        Seq((3L, -5L), (4L, 40L)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("v_pos") && e.getMessage.contains("1 rows"))
+    assert(Maintenance.readVersion(p) == v0)
+    assert(Maintenance.readTable(spark, p).count() == 2)
+    val stageRoot = new java.io.File(s"${p}__stage")
+    assert(!stageRoot.exists() ||
+      Option(stageRoot.listFiles()).forall(_.isEmpty),
+      "violating append must clean its stage")
+    // NULL predicate result counts as a violation
+    intercept[IllegalStateException] {
+      Maintenance.commitAppend(spark, p,
+        Seq((5L, Option.empty[Long])).toDF("id", "v"))
+    }
+    // a second constraint and a batch violating only it: named in error
+    Maintenance.addConstraint(spark, p, "id_range", "id < 1000")
+    val e2 = intercept[IllegalStateException] {
+      Maintenance.commitAppend(spark, p,
+        Seq((5000L, 1L)).toDF("id", "v"))
+    }
+    assert(e2.getMessage.contains("id_range") &&
+      !e2.getMessage.contains("v_pos"))
+    // dropping the constraint re-admits the batch
+    Maintenance.dropConstraint(p, "id_range")
+    Maintenance.commitAppend(spark, p, Seq((5000L, 1L)).toDF("id", "v"))
+    assert(Maintenance.readTable(spark, p).count() == 3)
+    // addConstraint on data that already violates it: rejected, not
+    // recorded, so later appends are not poisoned
+    intercept[IllegalStateException] {
+      Maintenance.addConstraint(spark, p, "id_small", "id < 100")
+    }
+    assert(!Maintenance.readConstraints(p).exists(_._1 == "id_small"))
+    // duplicate name rejected
+    intercept[IllegalArgumentException] {
+      Maintenance.addConstraint(spark, p, "v_pos", "v > -1")
+    }
+  }
+
+  test("constraints: a merge writing violating updates or inserts aborts " +
+      "before any quarantine") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-constrmerge-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+    Maintenance.addConstraint(spark, p, "v_pos", "v > 0")
+    val v0 = Maintenance.readVersion(p)
+    intercept[IllegalStateException] {
+      Maintenance.mergeInto(spark, p,
+        Seq((2L, -999L), (9L, 90L)).toDF("id", "v"), "id")
+    }
+    // table fully intact: no quarantined originals, same content
+    assert(Maintenance.readVersion(p) == v0)
+    assert(Maintenance.readTable(spark, p).as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // the same merge with valid values goes through
+    val res = Maintenance.mergeInto(spark, p,
+      Seq((2L, 999L), (9L, 90L)).toDF("id", "v"), "id")
+    assert(res.rowsUpdated == 1 && res.rowsInserted == 1)
+  }
+
   // ----- Bloom-filter file index -----
 
   test("bloom index: no false negatives, point lookups prune to ~1 file, " +
