@@ -847,6 +847,68 @@ object Maintenance {
   }
 
   // ---------------------------------------------------------------------
+  // Metadata-only aggregates — Delta answers `SELECT count(*)` (and
+  // min/max on stats-covered columns) from its log without touching a
+  // data file; the engine analogue reads the live files' parquet FOOTERS
+  // (row counts are exact; footer min/max are exact per row group, and
+  // null counts gate the min/max answer — a column with nulls still
+  // counts exactly). At 100 TB this turns a full-table aggregate into a
+  // metadata sweep: thousands of footer reads instead of a scan of every
+  // byte. The footer sweep is driver-side like the rest of the log
+  // machinery (same contract as footerStats at commit time).
+
+  /** Exact row count of the table — parquet footers only, no data scan. */
+  def metadataCount(spark: SparkSession, tablePath: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    listParquetFiles(new java.io.File(tablePath)).map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
+  }
+
+  /** Exact (count, min, max, nullCount) of a numeric column from footers
+    * alone; None when any row group lacks usable statistics for it (the
+    * caller falls back to a scan — the answer is exact or absent, never
+    * approximate).
+    */
+  def metadataMinMax(spark: SparkSession, tablePath: String,
+      column: String): Option[(Long, Double, Double, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    var (n, nulls) = (0L, 0L)
+    var (lo, hi) = (Double.PositiveInfinity, Double.NegativeInfinity)
+    var usable = true
+    for (f <- listParquetFiles(new java.io.File(tablePath)) if usable) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try for (b <- reader.getFooter.getBlocks.asScala if usable) {
+        n += b.getRowCount
+        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case Some(c) =>
+            val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet) usable = false
+            else {
+              nulls += st.getNumNulls
+              if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
+                case (l: Number, h: Number) =>
+                  lo = math.min(lo, l.doubleValue())
+                  hi = math.max(hi, h.doubleValue())
+                case _ => usable = false
+              } else if (st.getNumNulls < b.getRowCount) usable = false
+            }
+          case None => usable = false
+        }
+      } finally reader.close()
+    }
+    if (usable && hi >= lo) Some((n, lo, hi, nulls)) else None
+  }
+
+  // ---------------------------------------------------------------------
   // Table CHECK constraints — Delta's `ALTER TABLE ADD CONSTRAINT`
   // analogue (the reference gets write-path validation from Delta;
   // reference images/spark/Code/AutomateTable.py:42-44 relies on the

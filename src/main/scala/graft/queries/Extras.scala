@@ -1108,6 +1108,38 @@ object Extras {
       |    AS cents_total
       |FROM orders GROUP BY parity ORDER BY parity""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K23: metadata-only aggregates — count(*)/min/max answered from the
+  // committed table's parquet footers with zero data scan (Delta's
+  // log-answered SELECT count(*)). The oracle computes the same numbers
+  // the hard way, from the data.
+  private def k23MetaAgg(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-meta-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_meta"
+    val M = graft.operators.Maintenance
+    M.commitAppend(s, table, t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .coalesce(4))
+    val n = M.metadataCount(s, table)
+    val Some((nk, lo, hi, nulls)) = M.metadataMinMax(s, table, "o_orderkey")
+    require(nk == n, s"footer row counts disagree: $nk vs $n")
+    val out = s.range(1).select(
+      lit(n).as("n_rows"),
+      lit(lo.toLong).as("min_key"),
+      lit(hi.toLong).as("max_key"),
+      lit(nulls).as("null_keys"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k23MetaAggSql =
+    """SELECT count(*) AS n_rows,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+      |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS null_keys
+      |FROM orders""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -1132,6 +1164,7 @@ object Extras {
     "k20_partitioned" -> k20Partitioned _,
     "k21_bloom_lookup" -> k21BloomLookup _,
     "k22_constraints" -> k22Constraints _,
+    "k23_meta_agg" -> k23MetaAgg _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -1159,6 +1192,7 @@ object Extras {
     "k20_partitioned" -> k20PartitionedSql,
     "k21_bloom_lookup" -> k21BloomLookupSql,
     "k22_constraints" -> k22ConstraintsSql,
+    "k23_meta_agg" -> k23MetaAggSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,

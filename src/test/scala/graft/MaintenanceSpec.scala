@@ -771,6 +771,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- metadata-only aggregates -----
+
+  test("metadata aggregates: exact count/min/max/nulls from footers; " +
+      "exact-or-absent, never approximate") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-metaspec-${UUID.randomUUID()}/t").getAbsolutePath
+    val df = Seq((1L, Some(5.5), "a"), (2L, None, "b"), (3L, Some(-2.25), "c"),
+      (4L, Some(9.75), "d")).toDF("id", "x", "s")
+    Maintenance.commitAppend(spark, p, df.repartition(3))
+    assert(Maintenance.metadataCount(spark, p) == 4)
+    // nullable double: min/max over non-nulls, null count exact
+    assert(Maintenance.metadataMinMax(spark, p, "x")
+      .contains((4L, -2.25, 9.75, 1L)))
+    assert(Maintenance.metadataMinMax(spark, p, "id")
+      .contains((4L, 1.0, 4.0, 0L)))
+    // string column / missing column: absent, not wrong
+    assert(Maintenance.metadataMinMax(spark, p, "s").isEmpty)
+    assert(Maintenance.metadataMinMax(spark, p, "nope").isEmpty)
+    // stays exact across a delete rewrite
+    Maintenance.deleteRange(spark, p, "id", 2.0, 2.0)
+    assert(Maintenance.metadataCount(spark, p) == 3)
+    assert(Maintenance.metadataMinMax(spark, p, "x")
+      .contains((3L, -2.25, 9.75, 0L)))
+  }
+
   // ----- table CHECK constraints -----
 
   test("constraints: violating append aborts untouched, null is a " +
