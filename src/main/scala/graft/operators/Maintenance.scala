@@ -1310,10 +1310,19 @@ object Maintenance {
     * `MERGE INTO t USING s ON t.key = s.key
     *  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
     * (the reference's dimension refresh is exactly this statement,
-    * populate_dim.py:71-78). `source` must carry the table's schema with
-    * UNIQUE keys (the Delta error for a target row matching several
-    * source rows is enforced up front); every matched target row is
-    * replaced by its source row, unmatched source rows append.
+    * populate_dim.py:71-78). `source` must carry UNIQUE keys (the Delta
+    * error for a target row matching several source rows is enforced up
+    * front); every matched target row is replaced by its source row,
+    * unmatched source rows append.
+    *
+    * Schema evolution (Delta's `schema.autoMerge`): with
+    * `autoMergeSchema = true`, source columns the table lacks are added
+    * (nullable) — existing rows read as null, survivors and inserts are
+    * padded, and the tracked schema evolves at commit. Source columns
+    * missing from the table are rejected without the flag; a source
+    * column whose TYPE conflicts is always rejected, flag or no flag.
+    * Columns the source omits keep their target values on update (Delta
+    * `UPDATE SET *` semantics) and are null on insert.
     *
     * Scale shape, same as [[deleteRange]]: the source key range prunes
     * candidate files via recorded stats, an exact per-file match count
@@ -1329,7 +1338,7 @@ object Maintenance {
     * rows) — served by [[readChangesBetween]], O(changed rows) forever.
     */
   def mergeInto(spark: SparkSession, tablePath: String, source: DataFrame,
-      key: String): MergeResult =
+      key: String, autoMergeSchema: Boolean = false): MergeResult =
     withCommitLock(tablePath, timeoutMs = 600000L) {
       val root = Paths.get(tablePath)
       val v0 = readVersion(tablePath)
@@ -1342,6 +1351,39 @@ object Maintenance {
       // stage the source once: it feeds key-range bounds, three joins,
       // and the change files — and must not be recomputed between them
       val src = source.localCheckpoint()
+      // schema reconciliation BEFORE any work: type conflicts always
+      // reject; new source columns reject unless autoMergeSchema, then
+      // extend the table schema (nullable) Delta-autoMerge style
+      val tableFields: Seq[org.apache.spark.sql.types.StructField] =
+        schema.map(_.fields.toSeq).getOrElse {
+          if (listParquetFiles(new java.io.File(tablePath)).nonEmpty)
+            spark.read.parquet(tablePath).schema.fields.toSeq
+          else src.schema.fields.toSeq
+        }
+      src.schema.fields.foreach { f =>
+        tableFields.find(_.name == f.name).foreach { ex =>
+          if (ex.dataType != f.dataType)
+            throw new IllegalArgumentException(
+              s"mergeInto schema conflict on $tablePath: column " +
+                s"'${f.name}' is ${ex.dataType.simpleString} but the " +
+                s"source carries ${f.dataType.simpleString}")
+        }
+      }
+      val newCols = src.schema.fields
+        .filterNot(f => tableFields.exists(_.name == f.name))
+      if (newCols.nonEmpty && !autoMergeSchema)
+        throw new IllegalArgumentException(
+          s"mergeInto source carries columns $tablePath lacks " +
+            s"(${newCols.map(_.name).mkString(", ")}) — pass " +
+            "autoMergeSchema = true to evolve the table schema")
+      val evolvedFields = tableFields ++ newCols.map(_.copy(nullable = true))
+      val srcHas = src.columns.toSet
+      // every row set this merge writes is padded to the evolved schema
+      def pad(df: DataFrame): DataFrame =
+        df.select(evolvedFields.map { f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
       val nSrc = src.count()
       require(src.select(col(key)).distinct().count() == nSrc,
         s"mergeInto source has duplicate '$key' values — a target row " +
@@ -1374,8 +1416,8 @@ object Maintenance {
         val matchedKeys = cand.map(
           _.select(col(key)).join(broadcast(srcKeys), Seq(key), "left_semi")
             .distinct().localCheckpoint())
-        val inserts = matchedKeys
-          .map(mk => src.join(mk, Seq(key), "left_anti")).getOrElse(src)
+        val inserts = pad(matchedKeys
+          .map(mk => src.join(mk, Seq(key), "left_anti")).getOrElse(src))
           .localCheckpoint()
         val rowsInserted = inserts.count()
         if (rowsUpdated == 0 && rowsInserted == 0)
@@ -1391,13 +1433,19 @@ object Maintenance {
           val attrs = src.columns.filterNot(_ == key).toSeq
           val srcRenamed = attrs.foldLeft(src)((d, c) =>
             d.withColumnRenamed(c, s"__src_$c"))
+          // per evolved column: source value where the source carries it,
+          // target value where it does not (UPDATE SET * semantics)
           def updated(base: DataFrame) =
             base.join(broadcast(srcRenamed), Seq(key))
-              .select(base.columns.map(c =>
-                if (c == key) col(key)
-                else col(s"__src_$c").as(c)).toIndexedSeq: _*)
-          // CDC change files (typed per row) — written while originals live
-          val pre = aff.map(_.join(broadcast(srcKeys), Seq(key))
+              .select(evolvedFields.map { f =>
+                if (f.name == key) col(key)
+                else if (srcHas(f.name)) col(s"__src_${f.name}").as(f.name)
+                else col(f.name)
+              }: _*)
+          // CDC change files (typed per row) — written while originals
+          // live; preimages pad to the evolved schema so one CDC read
+          // spans the evolution boundary
+          val pre = aff.map(a => pad(a.join(broadcast(srcKeys), Seq(key)))
             .withColumn("__change_type", lit("update_preimage")))
           // updated() inner-joins the source, so it is already exactly
           // the matched rows with their replacement values
@@ -1412,7 +1460,7 @@ object Maintenance {
           // (partition layout preserved)
           val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
           val rewritten = aff.map { a =>
-            a.join(broadcast(srcKeys), Seq(key), "left_anti")
+            pad(a.join(broadcast(srcKeys), Seq(key), "left_anti"))
               .unionByName(updated(a))
           }.getOrElse(
             spark.createDataFrame(
@@ -1451,6 +1499,11 @@ object Maintenance {
               listParquetFiles(new java.io.File(tablePath))
                 .map(f => root.relativize(f.toPath).toString))
             writeFileList(snapshotMergePath(tablePath, v), affected)
+            // the tracked schema evolves WITH the commit (readers of old
+            // versions get nulls for the new nullable columns)
+            if (newCols.nonEmpty)
+              mergeAndWriteSchema(tablePath,
+                org.apache.spark.sql.types.StructType(evolvedFields))
             writeVersion(tablePath, v)
             MergeResult(v, rowsUpdated, rowsInserted, affected.size, total)
           } finally deleteRecursively(new java.io.File(stage))

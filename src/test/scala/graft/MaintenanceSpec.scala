@@ -771,6 +771,52 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- mergeInto schema evolution -----
+
+  test("merge schema evolution: new columns gated by autoMergeSchema, " +
+      "UPDATE SET * keeps omitted columns, history reads as nulls") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-evospec-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val vBase = Maintenance.readVersion(p)
+    // new source column without the flag: rejected by name
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.mergeInto(spark, p,
+        Seq((2L, 21L, "x")).toDF("id", "v", "tag"), "id")
+    }
+    assert(e.getMessage.contains("tag") &&
+      e.getMessage.contains("autoMergeSchema"))
+    // type conflict: always rejected, flag or no flag
+    intercept[IllegalArgumentException] {
+      Maintenance.mergeInto(spark, p,
+        Seq((2L, "oops")).toDF("id", "v"), "id", autoMergeSchema = true)
+    }
+    // with the flag: update + insert land the new column, survivor null
+    val res = Maintenance.mergeInto(spark, p,
+      Seq((2L, 21L, "up"), (3L, 30L, "new")).toDF("id", "v", "tag"), "id",
+      autoMergeSchema = true)
+    assert(res.rowsUpdated == 1 && res.rowsInserted == 1)
+    val rows = Maintenance.readTable(spark, p)
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, 10L, None), (2L, 21L, Some("up")),
+      (3L, 30L, Some("new"))))
+    // pre-evolution version time-travels: old files read as null tag
+    val asOf = Maintenance.readAsOf(spark, p, vBase)
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(asOf == Set((1L, 10L, None), (2L, 20L, None)))
+    // a source OMITTING a table column: update keeps the target value,
+    // insert gets null (UPDATE SET * semantics)
+    val res2 = Maintenance.mergeInto(spark, p,
+      Seq((2L, "re-up"), (4L, "ins")).toDF("id", "tag"), "id")
+    assert(res2.rowsUpdated == 1 && res2.rowsInserted == 1)
+    val rows2 = Maintenance.readTable(spark, p)
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(rows2 == Set((1L, Some(10L), None), (2L, Some(21L), Some("re-up")),
+      (3L, Some(30L), Some("new")), (4L, None, Some("ins"))))
+  }
+
   // ----- metadata-only aggregates -----
 
   test("metadata aggregates: exact count/min/max/nulls from footers; " +
