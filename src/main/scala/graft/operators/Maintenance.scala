@@ -385,6 +385,39 @@ object Maintenance {
     }
   }
 
+  /** STREAMING change feed — Delta's `readChangeFeed` as a stream: the
+    * typed delete/merge CDC rows, discovered incrementally as their
+    * versions commit. Structured Streaming's file source does the
+    * incremental work (new `changes/v*` files show up in the next
+    * micro-batch, checkpointed exactly-once), so a downstream consumer —
+    * an incremental view, an audit sink — follows row-level changes with
+    * O(changed rows) per batch, never a table diff. At 100 TB that is
+    * the only viable shape for "tell me what changed".
+    *
+    * Scope mirror of the batch feed's file layout: APPEND versions are
+    * not under `changes/` (their CDC rows are the appended data itself —
+    * stream the table for those); delete files carry plain rows (type
+    * implied), merge files embed per-row types. A RESTORE records no
+    * change files, so a streaming consumer simply sees nothing for it —
+    * the batch feed's loud-stop contract covers resyncs.
+    */
+  def streamChanges(spark: SparkSession, tablePath: String): DataFrame = {
+    val sc = readTableSchema(tablePath).getOrElse(throw new IllegalStateException(
+      s"$tablePath has no tracked schema — not a committed table"))
+    val withType = org.apache.spark.sql.types.StructType(
+      sc.fields :+ org.apache.spark.sql.types.StructField(
+        "__change_type", org.apache.spark.sql.types.StringType, true))
+    spark.readStream.schema(withType)
+      .parquet(s"$tablePath/_graft_log/changes/*")
+      // delete change files lack the column entirely → nulls → "delete"
+      .withColumn("_change_type",
+        coalesce(col("__change_type"), lit("delete")))
+      .drop("__change_type")
+      .withColumn("_change_version",
+        regexp_extract(input_file_name(), "/changes/v(\\d+)/", 1)
+          .cast("long"))
+  }
+
   // ---------------------------------------------------------------------
   // Schema tracking — the engine analogue of the Delta log's schema entry.
   // The table's merged schema lives in `_graft_log/schema.json`, updated

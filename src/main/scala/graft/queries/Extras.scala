@@ -891,6 +891,31 @@ object Extras {
       |ORDER BY change_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ST-CDF: the same merge change feed as k17_merge_cdf, consumed as a
+  // STREAM — Maintenance.streamChanges discovers the merge version's
+  // typed change files through a checkpointed file-source micro-batch,
+  // and the aggregate of what arrived matches the batch feed's closed
+  // form (same oracle SQL as k17_merge_cdf). Incremental multi-version
+  // pickup is asserted in StreamingSpec; this query pins the stream's
+  // CONTENT to the DuckDB oracle.
+  private def stCdfStream(s: SparkSession, dir: String): DataFrame = {
+    val (work, table, _) = mergeFixture(s, dir)
+    val q = graft.operators.Maintenance.streamChanges(s, table)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val feed = s.read.parquet(s"$work/out")
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("change_type"))
+    graft.streaming.WorkDirs.materializeAndClean(feed, work)
+  }
+
+  // ---------------------------------------------------------------------
   // K18: DESCRIBE HISTORY analogue — one row per committed version with
   // its operation kind, read straight from the snapshot metadata the
   // commits already write (driver-side, O(versions), no data scan). The
@@ -1165,6 +1190,7 @@ object Extras {
     "k21_bloom_lookup" -> k21BloomLookup _,
     "k22_constraints" -> k22Constraints _,
     "k23_meta_agg" -> k23MetaAgg _,
+    "st_cdf_stream" -> stCdfStream _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -1193,6 +1219,7 @@ object Extras {
     "k21_bloom_lookup" -> k21BloomLookupSql,
     "k22_constraints" -> k22ConstraintsSql,
     "k23_meta_agg" -> k23MetaAggSql,
+    "st_cdf_stream" -> k17MergeCdfSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,

@@ -64,6 +64,43 @@ class StreamingSpec extends AnyFunSuite {
       "profiles (evicted + live) must cover every event exactly once")
   }
 
+  test("streamChanges: batch-feed parity, then incremental pickup of a " +
+      "new version through the same checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val M = graft.operators.Maintenance
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-cdfstream-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/t"
+    M.commitAppend(spark, table,
+      spark.range(0L, 40L).select(col("id"), (col("id") * 10).as("v"))) // v1
+    M.deleteRange(spark, table, "id", 0.0, 9.0) // v2
+    M.mergeInto(spark, table,
+      Seq((10L, 999L), (100L, 1000L)).toDF("id", "v"), "id") // v3
+    def drain(): Unit = {
+      val q = M.streamChanges(spark, table).writeStream
+        .format("parquet").option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/_chk")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("v"), col("_change_type"),
+          col("_change_version"))
+        .as[(Long, Long, String, Long)].collect().toSet
+    val streamed = key(spark.read.parquet(s"$work/out"))
+    val batch = key(M.readChangesBetween(spark, table, 1, 3))
+    assert(streamed == batch && streamed.nonEmpty,
+      s"stream/batch CDC mismatch: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+    // a NEW version committed after the first drain: the checkpointed
+    // source picks up exactly its rows, nothing replayed
+    M.mergeInto(spark, table, Seq((11L, 777L)).toDF("id", "v"), "id") // v4
+    drain()
+    val after = key(spark.read.parquet(s"$work/out"))
+    assert(after == batch ++ key(M.readChangesBetween(spark, table, 3, 4)))
+  }
+
   test("stream-batch parity: streamed bronze bars == batch tumbling agg") {
     val streamed = StreamingQueries.queries("k1_stream_bronze_bars")(spark, sfSmoke)
       .select(col("event_type"), col("window_start"),
