@@ -401,13 +401,16 @@ object Maintenance {
     * change files, so a streaming consumer simply sees nothing for it —
     * the batch feed's loud-stop contract covers resyncs.
     */
-  def streamChanges(spark: SparkSession, tablePath: String): DataFrame = {
+  def streamChanges(spark: SparkSession, tablePath: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val sc = readTableSchema(tablePath).getOrElse(throw new IllegalStateException(
       s"$tablePath has no tracked schema — not a committed table"))
     val withType = org.apache.spark.sql.types.StructType(
       sc.fields :+ org.apache.spark.sql.types.StructField(
         "__change_type", org.apache.spark.sql.types.StringType, true))
-    spark.readStream.schema(withType)
+    val reader = spark.readStream.schema(withType)
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(s"$tablePath/_graft_log/changes/*")
       // delete change files lack the column entirely → nulls → "delete"
       .withColumn("_change_type",

@@ -1025,6 +1025,83 @@ object Extras {
       |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ST-IVM: incremental view maintenance DRIVEN BY THE STREAMING change
+  // feed — how a real materialized view follows a 100-TB table: bootstrap
+  // once from a snapshot, then fold each micro-batch of typed CDC rows
+  // into the view state (insert/postimage +1, delete/preimage −1), never
+  // recomputing from the base table. Same fixture and closed-form oracle
+  // as the batch k19_ivm_retract — the streamed maintenance must land on
+  // the identical view. maxFilesPerTrigger=1 forces one micro-batch per
+  // change file, so the state fold is exercised across several
+  // sequential batches, not one lucky big one.
+  private def stIvmStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ivms-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_ivms"
+    val M = graft.operators.Maintenance
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val len = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      M.commitAppend(s, table,
+        o.filter(col("o_orderkey") >= lo + i * len &&
+          col("o_orderkey") < lo + (i + 1) * len).coalesce(1))
+    }
+    // bootstrap: one full compute of the view at the snapshot version
+    val state = s"$work/view_state"
+    def viewOf(df: DataFrame) = df
+      .select(pmod(col("o_orderkey"), lit(10L)).as("bucket"), col("cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+    viewOf(M.readTable(s, table)).write.parquet(state)
+    // the maintainable tail: a ranged delete, then a merge carrying both
+    // updates and brand-new rows (inserts flow through the feed too)
+    val (qlo, qhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    M.deleteRange(s, table, "o_orderkey", qlo.toDouble, qhi.toDouble)
+    val ulo = lo + 3 * (hi - lo) / 4
+    M.mergeInto(s, table,
+      o.filter(col("o_orderkey") >= ulo)
+        .select(col("o_orderkey"), (col("cents") + 1000L).as("cents"))
+        .unionByName(Seq((hi + 1, 111100L), (hi + 2, 222200L),
+          (hi + 3, 333300L)).toDF("o_orderkey", "cents")),
+      "o_orderkey")
+    // follow the feed: each micro-batch folds its weighted deltas into
+    // the persisted view state (checkpointed read-modify-write, the
+    // st_scd2_stream state pattern)
+    val q = M.streamChanges(s, table, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val w = when(col("_change_type").isin("delete", "update_preimage"),
+          -1L).otherwise(1L)
+        val deltas = batch
+          .select(pmod(col("o_orderkey"), lit(10L)).as("bucket"),
+            w.as("w"), col("cents"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("w")).as("n_orders"),
+            sum(col("w") * col("cents")).as("cents_total"))
+        val cur = s.read.parquet(state)
+        val next = cur.unionByName(deltas)
+          .groupBy(col("bucket"))
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("cents_total")).as("cents_total"))
+          .filter(col("n_orders") =!= 0L)
+          .localCheckpoint() // materialize BEFORE overwriting its input
+        next.write.mode("overwrite").parquet(state)
+        ()
+      }
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.read.parquet(state).orderBy(col("bucket"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  // ---------------------------------------------------------------------
   // K20: hive-partitioned committed table — partition values become
   // per-file stats for free (a file under pk=v/ provably has pk=v in
   // every row), so a partition-key delete touches exactly that
@@ -1191,6 +1268,7 @@ object Extras {
     "k22_constraints" -> k22Constraints _,
     "k23_meta_agg" -> k23MetaAgg _,
     "st_cdf_stream" -> stCdfStream _,
+    "st_ivm_stream" -> stIvmStream _,
     "k8_time_travel" -> k8TimeTravel _,
     "k12_data_skipping" -> k12DataSkipping _,
     "k13_table_profile" -> k13TableProfile _,
@@ -1220,6 +1298,7 @@ object Extras {
     "k22_constraints" -> k22ConstraintsSql,
     "k23_meta_agg" -> k23MetaAggSql,
     "st_cdf_stream" -> k17MergeCdfSql,
+    "st_ivm_stream" -> k19IvmRetractSql,
     "k8_time_travel" -> k8TimeTravelSql,
     "k12_data_skipping" -> k12DataSkippingSql,
     "k13_table_profile" -> k13TableProfileSql,
