@@ -1242,6 +1242,56 @@ object Extras {
       |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS null_keys
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K24: deletion vectors — the same ranged delete as the rewrite-based
+  // k16, executed as pure metadata (no data file touched), then
+  // MATERIALIZED; the table must aggregate identically in both states.
+  // The no-rewrite/time-travel/guard invariants live in MaintenanceSpec.
+  private def k24DeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-dv-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_dv"
+    val M = graft.operators.Maintenance
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val len = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      M.commitAppend(s, table,
+        o.filter(col("o_orderkey") >= lo + i * len &&
+          col("o_orderkey") < lo + (i + 1) * len).coalesce(1))
+    }
+    val (qlo, qhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    M.deleteWithVectors(s, table,
+      col("o_orderkey") >= qlo && col("o_orderkey") <= qhi)
+    def phaseAgg(phase: String) = M.readTable(s, table)
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+      .select(lit(phase).as("phase"), col("n_orders"), col("cents_total"))
+      // materialized NOW: the "dv" aggregate must not re-list files after
+      // the apply below quarantines them
+      .localCheckpoint()
+    val viaVectors = phaseAgg("dv")
+    M.applyDeleteVectors(s, table)
+    val out = viaVectors.unionByName(phaseAgg("applied"))
+      .orderBy(col("phase"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k24DeleteVectorsSql =
+    """WITH mm AS (
+      |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+      |surv AS (
+      |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents
+      |  FROM orders, mm
+      |  WHERE NOT (o_orderkey >= lo + (hi-lo)//4
+      |         AND o_orderkey <= lo + (hi-lo)//2))
+      |SELECT 'applied' AS phase, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS cents_total FROM surv
+      |UNION ALL
+      |SELECT 'dv', count(*), CAST(sum(cents) AS BIGINT) FROM surv
+      |ORDER BY phase""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -1267,6 +1317,7 @@ object Extras {
     "k21_bloom_lookup" -> k21BloomLookup _,
     "k22_constraints" -> k22Constraints _,
     "k23_meta_agg" -> k23MetaAgg _,
+    "k24_delete_vectors" -> k24DeleteVectors _,
     "st_cdf_stream" -> stCdfStream _,
     "st_ivm_stream" -> stIvmStream _,
     "k8_time_travel" -> k8TimeTravel _,
@@ -1297,6 +1348,7 @@ object Extras {
     "k21_bloom_lookup" -> k21BloomLookupSql,
     "k22_constraints" -> k22ConstraintsSql,
     "k23_meta_agg" -> k23MetaAggSql,
+    "k24_delete_vectors" -> k24DeleteVectorsSql,
     "st_cdf_stream" -> k17MergeCdfSql,
     "st_ivm_stream" -> k19IvmRetractSql,
     "k8_time_travel" -> k8TimeTravelSql,

@@ -771,6 +771,79 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- deletion vectors -----
+
+  test("deletion vectors: delete without rewrite, time travel both sides, " +
+      "typed CDC, stacking, guards, and materialization") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-dvspec-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p,
+      spark.range(0L, 40L).select(col("id"), (col("id") * 10).as("v"))
+        .repartition(2)) // v1
+    def liveNames = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val namesBefore = liveNames
+    val res = Maintenance.deleteWithVectors(spark, p, col("id") < 10) // v2
+    assert(res.version == 2 && res.rowsDeleted == 10)
+    // THE point: no data file was touched
+    assert(liveNames == namesBefore, "DV delete must not rewrite files")
+    assert(Maintenance.readTable(spark, p).count() == 30)
+    assert(Maintenance.readTable(spark, p)
+      .agg(min(col("id"))).first().getLong(0) == 10L)
+    // both sides of the delete time-travel
+    assert(Maintenance.readAsOf(spark, p, 1).count() == 40)
+    assert(Maintenance.readAsOf(spark, p, 2).count() == 30)
+    // CDC: the deleted rows, typed
+    val feed = Maintenance.readChangesBetween(spark, p, 1, 2)
+    assert(feed.count() == 10)
+    assert(feed.select(col("_change_type")).distinct()
+      .as[String].collect().toSeq == Seq("delete"))
+    // history classifies the version as a delete
+    assert(Maintenance.history(spark, p)
+      .filter(col("version") === 2).select(col("operation"))
+      .as[String].first() == "delete")
+    // metadata count subtracts vectors exactly; min/max goes absent
+    assert(Maintenance.metadataCount(spark, p) == 30)
+    assert(Maintenance.metadataMinMax(spark, p, "id").isEmpty)
+    // stacking: the second delete only sees still-visible rows
+    val res2 = Maintenance.deleteWithVectors(spark, p,
+      col("id") < 12) // v3
+    assert(res2.rowsDeleted == 2)
+    assert(Maintenance.readTable(spark, p).count() == 28)
+    // rewrite paths refuse while vectors are outstanding
+    intercept[IllegalStateException] {
+      Maintenance.deleteRange(spark, p, "id", 20.0, 25.0)
+    }
+    intercept[IllegalStateException] {
+      Maintenance.mergeInto(spark, p, Seq((20L, 0L)).toDF("id", "v"), "id")
+    }
+    intercept[IllegalStateException] {
+      Maintenance.compactWhere(spark, p, "id", 0.0, 100.0, 1)
+    }
+    // restore across the DV versions refuses
+    intercept[IllegalStateException] { Maintenance.restoreTo(spark, p, 1) }
+    // appends stay open (new files cannot carry vectors)
+    Maintenance.commitAppend(spark, p,
+      spark.range(100L, 103L).select(col("id"), (col("id") * 10).as("v")))
+    assert(Maintenance.readTable(spark, p).count() == 31)
+    // materialize: exactly the vector-carrying files rewrite
+    val applied = Maintenance.applyDeleteVectors(spark, p)
+    assert(applied >= 1 && Maintenance.outstandingDvFiles(p).isEmpty)
+    assert(Maintenance.readTable(spark, p).count() == 31)
+    assert(Maintenance.readTable(spark, p)
+      .agg(min(col("id"))).first().getLong(0) == 12L)
+    // pre-apply history still reads through the quarantine + vectors
+    assert(Maintenance.readAsOf(spark, p, 2).count() == 30)
+    assert(Maintenance.readAsOf(spark, p, 3).count() == 28)
+    // metadata min/max is exact again, and rewrite paths re-open
+    assert(Maintenance.metadataMinMax(spark, p, "id")
+      .map(_._2).contains(12.0))
+    val dr = Maintenance.deleteRange(spark, p, "id", 100.0, 100.0)
+    assert(dr.rowsDeleted == 1)
+    assert(Maintenance.readTable(spark, p).count() == 30)
+  }
+
   // ----- mergeInto schema evolution -----
 
   test("merge schema evolution: new columns gated by autoMergeSchema, " +
