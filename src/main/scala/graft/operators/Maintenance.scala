@@ -151,6 +151,8 @@ object Maintenance {
           "delete"
         else if (Files.exists(Paths.get(snapshotMergePath(tablePath, v))))
           "merge"
+        else if (Files.exists(Paths.get(snapshotUpdatePath(tablePath, v))))
+          "update"
         else if (Files.exists(Paths.get(snapshotRestorePath(tablePath, v))))
           "restore"
         else if (Files.exists(Paths.get(dvMarkerPath(tablePath, v))))
@@ -327,21 +329,23 @@ object Maintenance {
           val isDelete =
             Files.exists(Paths.get(snapshotDeletePath(tablePath, v))) ||
               Files.exists(Paths.get(dvMarkerPath(tablePath, v)))
-          val isMerge =
-            Files.exists(Paths.get(snapshotMergePath(tablePath, v)))
+          // merge and update change files both embed __change_type per
+          // row — read as written
+          val isTyped =
+            Files.exists(Paths.get(snapshotMergePath(tablePath, v))) ||
+              Files.exists(Paths.get(snapshotUpdatePath(tablePath, v)))
           val ch = new java.io.File(changesPath(tablePath, v))
-          if (isDelete || isMerge) {
+          if (isDelete || isTyped) {
             val parts = Option(ch.listFiles()).getOrElse(Array.empty)
               .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
             if (parts.isEmpty) throw new IllegalStateException(
-              s"${if (isMerge) "merge" else "delete"} version $v of " +
-                s"$tablePath has no readable change files — they were " +
+              s"${if (isTyped) "merge/update" else "delete"} version $v " +
+                s"of $tablePath has no readable change files — they were " +
                 "reclaimed by vacuumRemoved; its changes cannot be " +
                 "reconstructed")
-            // delete change files carry plain table rows (type implied);
-            // merge change files embed __change_type per row
+            // delete change files carry plain table rows (type implied)
             Some((v, parts.toSeq.map(_.getAbsolutePath),
-              if (isMerge) None else Some("delete")))
+              if (isTyped) None else Some("delete")))
           }
           // a RESTORE changes row content but records no change files —
           // serving the range would silently drop its changes, the one
@@ -1565,6 +1569,115 @@ object Maintenance {
           writeFileList(snapshotDeletePath(tablePath, v), affected)
           writeVersion(tablePath, v)
           DeleteResult(v, rowsDeleted, affected.size, total)
+        } finally deleteRecursively(new java.io.File(stage))
+      }
+    }
+
+  case class UpdateResult(version: Long, rowsUpdated: Long,
+      filesRewritten: Int, filesTotal: Int)
+
+  /** Marker of an [[updateWhere]] version (vs merge: same typed change
+    * files, different DML verb in the history ledger).
+    */
+  def snapshotUpdatePath(tablePath: String, version: Long): String =
+    f"$tablePath/_graft_log/snapshots/v$version%06d.update.txt"
+
+  /** UPDATE t SET col = expr, ... WHERE `predicate` — the third DML verb
+    * next to DELETE and MERGE (Delta's UPDATE; the reference gets it
+    * from the table format). Same scale shape as [[deleteWhere]]: one
+    * confirmation scan counts matches per file, ONLY files holding
+    * matched rows are rewritten (survivor rows copied, matched rows with
+    * `set` expressions applied), originals are quarantined for time
+    * travel, and the version's change files carry typed
+    * `update_preimage`/`update_postimage` rows for the CDC feed. `set`
+    * expressions may reference the row's own columns (`cents + 1000`).
+    * A NULL predicate row is not matched (same coalesce-to-false
+    * convention as delete). Set columns must exist — UPDATE never adds
+    * columns (schema evolution is the merge path's job).
+    */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      predicate: Column, set: Map[String, Column]): UpdateResult =
+    withCommitLock(tablePath, timeoutMs = 600000L) {
+      requireNoOutstandingDvs(tablePath, "updateWhere")
+      require(set.nonEmpty, "updateWhere with an empty SET")
+      val root = Paths.get(tablePath)
+      val v0 = readVersion(tablePath)
+      val byName = listParquetFiles(new java.io.File(tablePath))
+        .map(f => f.getName -> f).toMap
+      val total = byName.size
+      val schema = readTableSchema(tablePath)
+      val partCols = readPartitioning(tablePath)
+      def reader = {
+        val r = schema.map(spark.read.schema).getOrElse(spark.read)
+        if (partCols.nonEmpty) r.option("basePath", tablePath) else r
+      }
+      schema.foreach { sc =>
+        val missing = set.keySet -- sc.fieldNames
+        require(missing.isEmpty,
+          s"updateWhere SET names columns $tablePath lacks: $missing")
+      }
+      val updPred = coalesce(predicate, lit(false))
+      val candidates = byName.keys.toSeq.sorted
+      val perFile: Array[(String, Long)] =
+        if (candidates.isEmpty) Array.empty
+        else reader.parquet(candidates.map(byName(_).getAbsolutePath): _*)
+          .filter(updPred)
+          .groupBy(input_file_name().as("path")).count()
+          .collect()
+          .map(r => (Paths.get(new java.net.URI(r.getString(0)).getPath)
+            .getFileName.toString, r.getLong(1)))
+      if (perFile.isEmpty) UpdateResult(v0, 0L, 0, total)
+      else {
+        val affected = perFile.map(_._1).toSeq.sorted
+        val rowsUpdated = perFile.map(_._2).sum
+        val v = v0 + 1
+        val aff = reader.parquet(affected.map(byName(_).getAbsolutePath): _*)
+        def applySet(df: DataFrame) =
+          set.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
+        // typed CDC — written BEFORE any original moves
+        val pre = aff.filter(updPred)
+          .withColumn("__change_type", lit("update_preimage"))
+        val post = applySet(aff.filter(updPred))
+          .withColumn("__change_type", lit("update_postimage"))
+        pre.unionByName(post).write.mode(SaveMode.Overwrite)
+          .parquet(changesPath(tablePath, v))
+        // replacement content: untouched rows + updated rows
+        val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
+        val rewritten = aff.filter(not(updPred))
+          .unionByName(applySet(aff.filter(updPred)))
+        val rw = rewritten.write.mode(SaveMode.Overwrite)
+        (if (partCols.nonEmpty) rw.partitionBy(partCols: _*) else rw)
+          .parquet(stage)
+        // a SET expression that writes a constraint-violating value must
+        // abort here, with the table untouched
+        enforceConstraints(spark, tablePath,
+          () => spark.read.parquet(stage), s"update(v=$v)",
+          cleanup = () => deleteRecursively(new java.io.File(stage)))
+        try {
+          affected.foreach { name =>
+            val rel = root.relativize(byName(name).toPath).toString
+            val dest = Paths.get(removedPath(tablePath)).resolve(rel)
+            Files.createDirectories(dest.getParent)
+            Files.move(byName(name).toPath, dest,
+              StandardCopyOption.ATOMIC_MOVE)
+          }
+          val committed = moveStagedIn(tablePath, stage, "update", v)
+          val gone = affected.toSet
+          writeFileStats(tablePath,
+            readFileStats(tablePath).toSeq.collect {
+              case ((f, c), (l, h)) if !gone.contains(f) => (f, c, l, h)
+            }, append = false)
+          writeFileStats(tablePath,
+            footerStats(spark, committed.map(_.toFile)) ++
+              partitionStats(tablePath, committed), append = true)
+          val reg = Paths.get(liveFilesPath(tablePath))
+          if (Files.exists(reg)) recordLiveFiles(tablePath)
+          writeFileList(snapshotFullPath(tablePath, v),
+            listParquetFiles(new java.io.File(tablePath))
+              .map(f => root.relativize(f.toPath).toString))
+          writeFileList(snapshotUpdatePath(tablePath, v), affected)
+          writeVersion(tablePath, v)
+          UpdateResult(v, rowsUpdated, affected.size, total)
         } finally deleteRecursively(new java.io.File(stage))
       }
     }

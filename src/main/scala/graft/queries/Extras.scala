@@ -1292,6 +1292,50 @@ object Extras {
       |SELECT 'dv', count(*), CAST(sum(cents) AS BIGINT) FROM surv
       |ORDER BY phase""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K25: UPDATE ... SET ... WHERE — the third DML verb on the commit
+  // protocol. A ranged price adjustment rewrites only the files holding
+  // matches; the oracle recomputes the adjusted table.
+  private def k25UpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-upd-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_upd"
+    val M = graft.operators.Maintenance
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val len = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      M.commitAppend(s, table,
+        o.filter(col("o_orderkey") >= lo + i * len &&
+          col("o_orderkey") < lo + (i + 1) * len).coalesce(1))
+    }
+    val (qlo, qhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    M.updateWhere(s, table,
+      col("o_orderkey") >= qlo && col("o_orderkey") <= qhi,
+      Map("cents" -> (col("cents") + lit(1000L))))
+    val out = M.readTable(s, table)
+      .groupBy((col("o_orderkey") % 4).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("bucket"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k25UpdateWhereSql =
+    """WITH mm AS (
+      |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+      |adj AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice*100) AS BIGINT)
+      |      + CASE WHEN o_orderkey >= lo + (hi-lo)//4
+      |             AND o_orderkey <= lo + (hi-lo)//2
+      |             THEN 1000 ELSE 0 END AS cents
+      |  FROM orders, mm)
+      |SELECT o_orderkey % 4 AS bucket, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS cents_total
+      |FROM adj GROUP BY bucket ORDER BY bucket""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -1318,6 +1362,7 @@ object Extras {
     "k22_constraints" -> k22Constraints _,
     "k23_meta_agg" -> k23MetaAgg _,
     "k24_delete_vectors" -> k24DeleteVectors _,
+    "k25_update_where" -> k25UpdateWhere _,
     "st_cdf_stream" -> stCdfStream _,
     "st_ivm_stream" -> stIvmStream _,
     "k8_time_travel" -> k8TimeTravel _,
@@ -1349,6 +1394,7 @@ object Extras {
     "k22_constraints" -> k22ConstraintsSql,
     "k23_meta_agg" -> k23MetaAggSql,
     "k24_delete_vectors" -> k24DeleteVectorsSql,
+    "k25_update_where" -> k25UpdateWhereSql,
     "st_cdf_stream" -> k17MergeCdfSql,
     "st_ivm_stream" -> k19IvmRetractSql,
     "k8_time_travel" -> k8TimeTravelSql,

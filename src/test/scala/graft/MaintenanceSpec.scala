@@ -771,6 +771,65 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- updateWhere: UPDATE ... SET ... WHERE -----
+
+  test("updateWhere: only files holding matches rewrite, typed CDC, " +
+      "history kind, time travel, constraint abort") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-updspec-${UUID.randomUUID()}/t").getAbsolutePath
+    // 4 range-disjoint files of 10 ids each
+    (0 until 4).foreach { i =>
+      Maintenance.commitAppend(spark, p,
+        spark.range(i * 10L, (i + 1) * 10L)
+          .select(col("id"), (col("id") * 100).as("cents")).coalesce(1))
+    }
+    val vPre = Maintenance.readVersion(p)
+    val res = Maintenance.updateWhere(spark, p,
+      col("id") >= 10 && col("id") <= 19,
+      Map("cents" -> (col("cents") + lit(7L))))
+    assert(res.rowsUpdated == 10)
+    assert(res.filesRewritten == 1 && res.filesTotal == 4,
+      s"blast radius must be the one matching file: $res")
+    val rows = Maintenance.readTable(spark, p)
+      .as[(Long, Long)].collect().toMap
+    assert(rows(15L) == 1507L && rows(5L) == 500L && rows(25L) == 2500L)
+    // typed CDC: 10 preimages with old values, 10 postimages with new
+    val feed = Maintenance.readChangesBetween(spark, p, vPre, res.version)
+    val byType = feed.groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, c) => k -> ((n, c)) }.toMap
+    val preSum = (10L to 19L).map(_ * 100).sum
+    assert(byType("update_preimage") == ((10L, preSum)))
+    assert(byType("update_postimage") == ((10L, preSum + 70)))
+    // history classifies the version; pre-update version time-travels
+    assert(Maintenance.history(spark, p)
+      .filter(col("version") === res.version).select(col("operation"))
+      .as[String].first() == "update")
+    assert(Maintenance.readAsOf(spark, p, vPre)
+      .as[(Long, Long)].collect().toMap.apply(15L) == 1500L)
+    // SET naming a missing column is rejected up front
+    intercept[IllegalArgumentException] {
+      Maintenance.updateWhere(spark, p, col("id") === 1,
+        Map("nope" -> lit(1)))
+    }
+    // a SET writing a constraint-violating value aborts untouched
+    Maintenance.addConstraint(spark, p, "cents_pos", "cents >= 0")
+    val vNow = Maintenance.readVersion(p)
+    intercept[IllegalStateException] {
+      Maintenance.updateWhere(spark, p, col("id") === 5,
+        Map("cents" -> lit(-1L)))
+    }
+    assert(Maintenance.readVersion(p) == vNow)
+    assert(Maintenance.readTable(spark, p)
+      .as[(Long, Long)].collect().toMap.apply(5L) == 500L)
+    // no-match predicate commits nothing
+    val noop = Maintenance.updateWhere(spark, p, col("id") === 999,
+      Map("cents" -> lit(0L)))
+    assert(noop.rowsUpdated == 0 && Maintenance.readVersion(p) == vNow)
+  }
+
   // ----- deletion vectors -----
 
   test("deletion vectors: delete without rewrite, time travel both sides, " +
