@@ -69,6 +69,9 @@ object Maintenance {
   def withCommitLock[T](tablePath: String, timeoutMs: Long = 60000L,
       staleLockMs: Long = 900000L)(body: => T): T = {
     val lock = Paths.get(tablePath + "__graft_lock")
+    // a fresh table's parent may not exist yet (commitAppend only
+    // creates it as a staging side effect) — the lock must not care
+    Option(lock.getParent).foreach(Files.createDirectories(_))
     val t0 = System.currentTimeMillis()
     var acquired = false
     while (!acquired) {
@@ -581,8 +584,22 @@ object Maintenance {
       s"$tablePath is partitioned by $recorded; append declared " +
         s"$partitionBy")
     val partCols = if (partitionBy.nonEmpty) partitionBy else recorded
+    // identity allocation: reserve the id range under a SHORT lock, then
+    // assign and stage UNLOCKED (zipWithIndex path — no global window)
+    val df1 = readIdentity(tablePath) match {
+      case Some((idc, _)) if !df.columns.contains(idc) =>
+        val snap = df.localCheckpoint()
+        val n = snap.count()
+        val start = withCommitLock(tablePath) {
+          val (c, next) = readIdentity(tablePath).get
+          writeIdentity(tablePath, c, next + n)
+          next
+        }
+        IdAssign.withSequentialIds(snap, start - 1, idc)
+      case _ => df
+    }
     val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
-    val w0 = df.write.mode(SaveMode.Overwrite)
+    val w0 = df1.write.mode(SaveMode.Overwrite)
     (if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0)
       .parquet(stage)
     // constraints check the STAGED files, not `df`: what is validated is
@@ -607,7 +624,17 @@ object Maintenance {
       if (readTableSchema(tablePath).isEmpty &&
           listParquetFiles(new java.io.File(tablePath)).nonEmpty)
         mergeAndWriteSchema(tablePath, spark.read.parquet(tablePath).schema)
-      mergeAndWriteSchema(tablePath, df.schema)
+      mergeAndWriteSchema(tablePath, df1.schema)
+      // explicit identity values provided: the high-water mark must
+      // clear them so later allocations can never collide
+      readIdentity(tablePath).foreach { case (idc, next) =>
+        if (df.columns.contains(idc)) {
+          val mx = spark.read.parquet(stage)
+            .agg(max(col(idc).cast("long"))).first()
+          if (!mx.isNullAt(0) && mx.getLong(0) >= next)
+            writeIdentity(tablePath, idc, mx.getLong(0) + 1L)
+        }
+      }
       if (partCols.nonEmpty && recorded.isEmpty)
         Files.writeString(Paths.get(partitioningPath(tablePath)),
           partCols.mkString("", "\n", "\n"))
@@ -904,6 +931,59 @@ object Maintenance {
           .parquet(kept.map(byName): _*))
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Identity columns — Delta's `GENERATED BY DEFAULT AS IDENTITY`: the
+  // table allocates monotonically increasing ids at append time, with
+  // the high-water mark in the log. Allocation is a RANGE RESERVATION
+  // under a short lock (read next, bump by the batch size, release), so
+  // the expensive work — id assignment via the scale-safe zipWithIndex
+  // path and the staging write — runs unlocked; a failed commit after a
+  // reservation leaves an id gap, never a duplicate (the same gap
+  // semantics Delta documents). Appends that PROVIDE the column keep
+  // their values (BY DEFAULT, not ALWAYS) and push the mark past their
+  // max under the commit lock.
+
+  def identityPath(tablePath: String): String =
+    s"$tablePath/_graft_log/identity.txt"
+
+  /** (column, next value to allocate). */
+  def readIdentity(tablePath: String): Option[(String, Long)] = {
+    val p = Paths.get(identityPath(tablePath))
+    if (!Files.exists(p)) None
+    else Files.readString(p).linesIterator.find(_.nonEmpty).map { ln =>
+      val a = ln.split('\t'); (a(0), a(1).toLong)
+    }
+  }
+
+  private def writeIdentity(tablePath: String, column: String,
+      next: Long): Unit = {
+    val p = Paths.get(identityPath(tablePath))
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, s"$column\t$next\n")
+  }
+
+  /** Declare `column` as the table's identity column. On a non-empty
+    * table that already has the column, allocation continues after its
+    * current max.
+    */
+  def declareIdentity(spark: SparkSession, tablePath: String,
+      column: String): Unit =
+    withCommitLock(tablePath) {
+      require(readIdentity(tablePath).isEmpty,
+        s"$tablePath already has identity column " +
+          s"${readIdentity(tablePath).get._1}")
+      val start =
+        if (listParquetFiles(new java.io.File(tablePath)).nonEmpty &&
+            readTableSchema(tablePath).exists(_.fieldNames.contains(column)))
+          readTable(spark, tablePath).agg(max(col(column).cast("long")))
+            .first() match {
+            case r if r.isNullAt(0) => 1L
+            case r => r.getLong(0) + 1L
+          }
+        else 1L
+      writeIdentity(tablePath, column, start)
+    }
 
   // ---------------------------------------------------------------------
   // Deletion vectors — row-level DELETE with NO file rewrite (Delta's

@@ -1336,6 +1336,44 @@ object Extras {
       |  CAST(sum(cents) AS BIGINT) AS cents_total
       |FROM adj GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K26: identity column — two appends allocate table-scoped monotonic
+  // ids. Each batch is totally ordered into one partition before
+  // assignment, so the allocation is reproducible and the oracle is two
+  // row_number windows offset by the first batch's size.
+  private def k26Identity(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ident-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_ident"
+    val M = graft.operators.Maintenance
+    M.declareIdentity(s, table, "rid")
+    val o = t(s, dir, "orders").select(col("o_orderkey"))
+    Seq(0L, 1L).foreach { par =>
+      M.commitAppend(s, table,
+        o.filter(col("o_orderkey") % 2 === par)
+          .orderBy(col("o_orderkey")).coalesce(1))
+    }
+    val out = M.readTable(s, table)
+      .select(col("o_orderkey"), col("rid"))
+      .orderBy(col("o_orderkey"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k26IdentitySql =
+    """WITH b1 AS (
+      |  SELECT o_orderkey,
+      |    row_number() OVER (ORDER BY o_orderkey) AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |b2 AS (
+      |  SELECT o_orderkey,
+      |    (SELECT count(*) FROM b1)
+      |      + row_number() OVER (ORDER BY o_orderkey) AS rid
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT o_orderkey, CAST(rid AS BIGINT) AS rid FROM b1
+      |UNION ALL
+      |SELECT o_orderkey, CAST(rid AS BIGINT) AS rid FROM b2
+      |ORDER BY o_orderkey""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -1363,6 +1401,7 @@ object Extras {
     "k23_meta_agg" -> k23MetaAgg _,
     "k24_delete_vectors" -> k24DeleteVectors _,
     "k25_update_where" -> k25UpdateWhere _,
+    "k26_identity" -> k26Identity _,
     "st_cdf_stream" -> stCdfStream _,
     "st_ivm_stream" -> stIvmStream _,
     "k8_time_travel" -> k8TimeTravel _,
@@ -1395,6 +1434,7 @@ object Extras {
     "k23_meta_agg" -> k23MetaAggSql,
     "k24_delete_vectors" -> k24DeleteVectorsSql,
     "k25_update_where" -> k25UpdateWhereSql,
+    "k26_identity" -> k26IdentitySql,
     "st_cdf_stream" -> k17MergeCdfSql,
     "st_ivm_stream" -> k19IvmRetractSql,
     "k8_time_travel" -> k8TimeTravelSql,

@@ -771,6 +771,46 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- identity columns -----
+
+  test("identity column: dense allocation across appends, provided values " +
+      "push the mark, aborted commit gaps but never duplicates") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-idspec-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.declareIdentity(spark, p, "rid")
+    Maintenance.commitAppend(spark, p, spark.range(0L, 10L).toDF("x"))
+    Maintenance.commitAppend(spark, p, spark.range(0L, 5L).toDF("x"))
+    def rids = Maintenance.readTable(spark, p)
+      .select(col("rid")).as[Long].collect().sorted.toSeq
+    assert(rids == (1L to 15L))
+    // provided values are kept (BY DEFAULT) and push the mark
+    Maintenance.commitAppend(spark, p,
+      Seq((0L, 100L), (1L, 101L)).toDF("x", "rid"))
+    Maintenance.commitAppend(spark, p, spark.range(0L, 2L).toDF("x"))
+    assert(rids == ((1L to 15L) ++ Seq(100L, 101L, 102L, 103L)))
+    // an aborted (constraint-violating) append may gap, never duplicate
+    Maintenance.addConstraint(spark, p, "x_small", "x < 1000")
+    intercept[IllegalStateException] {
+      Maintenance.commitAppend(spark, p,
+        spark.range(5000L, 5003L).toDF("x"))
+    }
+    Maintenance.commitAppend(spark, p, spark.range(0L, 1L).toDF("x"))
+    val all = rids
+    assert(all.distinct.size == all.size, "identity values must be unique")
+    assert(all.max == 107L, s"3 reserved ids gap after the abort: $all")
+    // declaring on a table that already has the column continues past max
+    val p2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-idspec2-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p2,
+      Seq((1L, 50L), (2L, 60L)).toDF("x", "rid"))
+    Maintenance.declareIdentity(spark, p2, "rid")
+    Maintenance.commitAppend(spark, p2, spark.range(0L, 2L).toDF("x"))
+    val r2 = Maintenance.readTable(spark, p2)
+      .select(col("rid")).as[Long].collect().sorted.toSeq
+    assert(r2 == Seq(50L, 60L, 61L, 62L))
+  }
+
   // ----- updateWhere: UPDATE ... SET ... WHERE -----
 
   test("updateWhere: only files holding matches rewrite, typed CDC, " +
