@@ -1374,6 +1374,53 @@ object Extras {
       |SELECT o_orderkey, CAST(rid AS BIGINT) AS rid FROM b2
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K27: the SQL DML surface — the same delete+update sequence as the
+  // direct-API queries, issued as SQL text with Catalyst-parsed
+  // predicates; the oracle recomputes the final table.
+  private def k27SqlDml(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-sqldml-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_sql"
+    val M = graft.operators.Maintenance
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey"))).first()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val len = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      M.commitAppend(s, table,
+        o.filter(col("o_orderkey") >= lo + i * len &&
+          col("o_orderkey") < lo + (i + 1) * len).coalesce(1))
+    }
+    val (qlo, qhi) = (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+    val ulo = lo + 3 * (hi - lo) / 4
+    graft.operators.GraftSql.run(s,
+      s"DELETE FROM `$table` WHERE o_orderkey BETWEEN $qlo AND $qhi")
+    graft.operators.GraftSql.run(s,
+      s"UPDATE `$table` SET cents = cents + 1000 WHERE o_orderkey >= $ulo")
+    val out = M.readTable(s, table)
+      .groupBy((col("o_orderkey") % 4).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("bucket"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k27SqlDmlSql =
+    """WITH mm AS (
+      |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+      |final AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice*100) AS BIGINT)
+      |      + CASE WHEN o_orderkey >= lo + 3*(hi-lo)//4
+      |             THEN 1000 ELSE 0 END AS cents
+      |  FROM orders, mm
+      |  WHERE NOT (o_orderkey >= lo + (hi-lo)//4
+      |         AND o_orderkey <= lo + (hi-lo)//2))
+      |SELECT o_orderkey % 4 AS bucket, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS cents_total
+      |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -1402,6 +1449,7 @@ object Extras {
     "k24_delete_vectors" -> k24DeleteVectors _,
     "k25_update_where" -> k25UpdateWhere _,
     "k26_identity" -> k26Identity _,
+    "k27_sql_dml" -> k27SqlDml _,
     "st_cdf_stream" -> stCdfStream _,
     "st_ivm_stream" -> stIvmStream _,
     "k8_time_travel" -> k8TimeTravel _,
@@ -1435,6 +1483,7 @@ object Extras {
     "k24_delete_vectors" -> k24DeleteVectorsSql,
     "k25_update_where" -> k25UpdateWhereSql,
     "k26_identity" -> k26IdentitySql,
+    "k27_sql_dml" -> k27SqlDmlSql,
     "st_cdf_stream" -> k17MergeCdfSql,
     "st_ivm_stream" -> k19IvmRetractSql,
     "k8_time_travel" -> k8TimeTravelSql,

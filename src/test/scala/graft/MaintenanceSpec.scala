@@ -771,6 +771,56 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- GraftSql: SQL DML over path tables -----
+
+  test("GraftSql: DELETE / UPDATE / MERGE / vectored DELETE route to the " +
+      "protocol ops with Catalyst-parsed expressions") {
+    import spark.implicits._
+    import graft.operators.GraftSql
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-sqlspec-${UUID.randomUUID()}/t").getAbsolutePath
+    (0 until 4).foreach { i =>
+      Maintenance.commitAppend(spark, p,
+        spark.range(i * 10L, (i + 1) * 10L)
+          .select(col("id"), (col("id") * 100).as("cents")).coalesce(1))
+    }
+    // DELETE with a nested-function predicate
+    val del = GraftSql.run(spark,
+      s"DELETE FROM `$p` WHERE id BETWEEN 0 AND 4")
+    assert(del.select("operation", "rows_affected")
+      .as[(String, Long)].first() == (("DELETE", 5L)))
+    assert(Maintenance.readTable(spark, p).count() == 35)
+    // UPDATE with commas inside the SET expression (splitter contract)
+    val upd = GraftSql.run(spark,
+      s"UPDATE `$p` SET cents = greatest(cents + 7, least(cents, 0)) " +
+        "WHERE id >= 30")
+    assert(upd.select("rows_affected").as[Long].first() == 10L)
+    assert(Maintenance.readTable(spark, p)
+      .filter(col("id") === 35).select("cents").as[Long].first() == 3507L)
+    // MERGE via a registered temp view
+    Seq((5L, 1L), (100L, 2L)).toDF("id", "cents")
+      .createOrReplaceTempView("sql_merge_src")
+    val mrg = GraftSql.run(spark,
+      s"MERGE INTO `$p` USING sql_merge_src ON id")
+    assert(mrg.select("rows_affected").as[Long].first() == 2L)
+    assert(Maintenance.readTable(spark, p).count() == 36)
+    // vectored DELETE: no live file rewritten
+    def names = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = names
+    val dv = GraftSql.run(spark,
+      s"DELETE FROM `$p` USING VECTORS WHERE id = 100")
+    assert(dv.select("operation").as[String].first() == "DELETE (vectors)")
+    assert(names == before && Maintenance.readTable(spark, p).count() == 35)
+    // malformed statements fail loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.run(spark, s"TRUNCATE `$p`")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.run(spark, s"UPDATE `$p` SET cents WHERE id = 1")
+    }
+  }
+
   // ----- identity columns -----
 
   test("identity column: dense allocation across appends, provided values " +
