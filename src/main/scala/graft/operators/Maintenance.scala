@@ -584,11 +584,14 @@ object Maintenance {
       s"$tablePath is partitioned by $recorded; append declared " +
         s"$partitionBy")
     val partCols = if (partitionBy.nonEmpty) partitionBy else recorded
+    // generated columns the batch omitted are computed here (so they can
+    // be partition columns); provided ones are validated on the stage
+    val df0 = computeGenerated(tablePath, df)
     // identity allocation: reserve the id range under a SHORT lock, then
     // assign and stage UNLOCKED (zipWithIndex path — no global window)
     val df1 = readIdentity(tablePath) match {
-      case Some((idc, _)) if !df.columns.contains(idc) =>
-        val snap = df.localCheckpoint()
+      case Some((idc, _)) if !df0.columns.contains(idc) =>
+        val snap = df0.localCheckpoint()
         val n = snap.count()
         val start = withCommitLock(tablePath) {
           val (c, next) = readIdentity(tablePath).get
@@ -596,7 +599,7 @@ object Maintenance {
           next
         }
         IdAssign.withSequentialIds(snap, start - 1, idc)
-      case _ => df
+      case _ => df0
     }
     val stage = s"${tablePath}__stage/${java.util.UUID.randomUUID()}"
     val w0 = df1.write.mode(SaveMode.Overwrite)
@@ -608,6 +611,9 @@ object Maintenance {
     // Spark job); a violation deletes the stage and nothing ever moved.
     enforceConstraints(spark, tablePath,
       () => spark.read.parquet(stage), s"append(stage=$stage)",
+      cleanup = () => deleteRecursively(new java.io.File(stage)))
+    validateGenerated(spark, tablePath,
+      () => spark.read.parquet(stage), "append",
       cleanup = () => deleteRecursively(new java.io.File(stage)))
     try withCommitLock(tablePath, timeoutMs = 600000L) {
       // first commit to a fresh table: the target dir must exist before
@@ -929,6 +935,101 @@ object Maintenance {
       withDvApplied(spark, tablePath,
         reader.option("basePath", tablePath)
           .parquet(kept.map(byName): _*))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Generated columns — Delta's `GENERATED ALWAYS AS (expr)`: a column
+  // the table computes from the row's other columns at append time
+  // (partition-friendly derivations like `date(ts)` are the canonical
+  // use — declare the generated column, partition on it, and every
+  // append lands laid out for pruning without the writer thinking about
+  // it). Appends that OMIT the column get it computed; appends that
+  // PROVIDE it are validated cell-by-cell against the expression and a
+  // mismatch aborts before any file moves (Delta's ALWAYS semantics —
+  // a writer must not be able to desynchronize a derived column).
+
+  def generatedPath(tablePath: String): String =
+    s"$tablePath/_graft_log/generated.txt"
+
+  /** (column → expression SQL), insertion-ordered. */
+  def readGenerated(tablePath: String): Seq[(String, String)] = {
+    val p = Paths.get(generatedPath(tablePath))
+    if (!Files.exists(p)) Seq.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { ln =>
+      val a = ln.split('\t'); a(0) -> a(1)
+    }.toSeq
+  }
+
+  /** Declare `column` as generated by `exprSql`. On a non-empty table
+    * the existing data must already satisfy the derivation (same
+    * validate-then-record shape as [[addConstraint]]).
+    */
+  def declareGenerated(spark: SparkSession, tablePath: String,
+      column: String, exprSql: String): Unit = {
+    require(column.nonEmpty && !column.contains('\t'), s"bad name: $column")
+    require(!exprSql.contains('\n') && !exprSql.contains('\t'),
+      "expression must be a single line without tabs")
+    withCommitLock(tablePath) {
+      require(!readGenerated(tablePath).exists(_._1 == column),
+        s"column '$column' is already generated on $tablePath")
+      if (listParquetFiles(new java.io.File(tablePath)).nonEmpty &&
+          readTableSchema(tablePath).exists(_.fieldNames.contains(column))) {
+        val bad = readTable(spark, tablePath)
+          .filter(not(coalesce(col(column) <=> expr(exprSql), lit(false))))
+          .count()
+        if (bad > 0) throw new IllegalStateException(
+          s"declareGenerated($column) rejected: $bad existing rows do " +
+            s"not satisfy $exprSql")
+      }
+      val p = Paths.get(generatedPath(tablePath))
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, s"$column\t$exprSql\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  /** Compute the generated columns the batch omitted (provided ones are
+    * validated later, against the STAGED files — exact, and shared with
+    * the merge/update paths).
+    */
+  private def computeGenerated(tablePath: String, df: DataFrame): DataFrame =
+    readGenerated(tablePath)
+      .filterNot { case (c, _) => df.columns.contains(c) }
+      .foldLeft(df) { case (d, (c, e)) => d.withColumn(c, expr(e)) }
+
+  /** Null-safe cell-by-cell validation of every generated column over
+    * `data` — one aggregate; any mismatch runs `cleanup` and aborts.
+    * Also catches a nondeterministic generation expression (its staged
+    * values won't re-derive), which a GENERATED ALWAYS column must not
+    * have.
+    */
+  private def validateGenerated(spark: SparkSession, tablePath: String,
+      data: () => DataFrame, context: String,
+      cleanup: () => Unit = () => ()): Unit = {
+    val gens = readGenerated(tablePath)
+    if (gens.isEmpty) return
+    val ok = try {
+      val df = data()
+      val present = gens.filter { case (c, _) => df.columns.contains(c) }
+      if (present.isEmpty) return
+      val aggs = present.map { case (c, e) =>
+        sum(when(not(coalesce(col(c) <=> expr(e), lit(false))), 1L)
+          .otherwise(0L)).as(c)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).first()
+      present.zipWithIndex.collect {
+        case ((c, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          s"'$c' != $e (${row.getLong(i)} rows)"
+      }
+    } catch { case e: Throwable => cleanup(); throw e }
+    if (ok.nonEmpty) {
+      cleanup()
+      throw new IllegalStateException(
+        s"generated-column mismatch in $context on $tablePath: " +
+          s"${ok.mkString("; ")} — GENERATED ALWAYS columns cannot be " +
+          "overridden; nothing was committed")
     }
   }
 
@@ -1733,6 +1834,9 @@ object Maintenance {
         enforceConstraints(spark, tablePath,
           () => spark.read.parquet(stage), s"update(v=$v)",
           cleanup = () => deleteRecursively(new java.io.File(stage)))
+        validateGenerated(spark, tablePath,
+          () => spark.read.parquet(stage), s"update(v=$v)",
+          cleanup = () => deleteRecursively(new java.io.File(stage)))
         try {
           affected.foreach { name =>
             val rel = root.relativize(byName(name).toPath).toString
@@ -1937,6 +2041,9 @@ object Maintenance {
           // update values or inserts) must abort BEFORE any original is
           // quarantined — the table is still fully intact here
           enforceConstraints(spark, tablePath,
+            () => spark.read.parquet(stage), s"merge(v=$v)",
+            cleanup = () => deleteRecursively(new java.io.File(stage)))
+          validateGenerated(spark, tablePath,
             () => spark.read.parquet(stage), s"merge(v=$v)",
             cleanup = () => deleteRecursively(new java.io.File(stage)))
           try {

@@ -1421,6 +1421,39 @@ object Extras {
       |  CAST(sum(cents) AS BIGINT) AS cents_total
       |FROM final GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K28: generated column as the partition key — the table derives
+  // od_year = year(o_orderdate) on every append and lands hive-
+  // partitioned by it; the writer never computes it. The oracle
+  // recomputes the derivation from the raw data.
+  private def k28Generated(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-gen-${UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/orders_gen"
+    val M = graft.operators.Maintenance
+    M.declareGenerated(s, table, "od_year", "year(o_orderdate)")
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderdate"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    Seq(0L, 1L).foreach { par =>
+      M.commitAppend(s, table,
+        o.filter(col("o_orderkey") % 2 === par).coalesce(1),
+        partitionBy = Seq("od_year"))
+    }
+    val out = M.readTable(s, table)
+      .groupBy(col("od_year"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents_total"))
+      .orderBy(col("od_year"))
+    graft.streaming.WorkDirs.materializeAndClean(out, work)
+  }
+
+  private val k28GeneratedSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS od_year,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM orders GROUP BY od_year ORDER BY od_year""".stripMargin
+
   private val k16DeleteCdfSql =
     """WITH mm AS (
       |  SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -1450,6 +1483,7 @@ object Extras {
     "k25_update_where" -> k25UpdateWhere _,
     "k26_identity" -> k26Identity _,
     "k27_sql_dml" -> k27SqlDml _,
+    "k28_generated" -> k28Generated _,
     "st_cdf_stream" -> stCdfStream _,
     "st_ivm_stream" -> stIvmStream _,
     "k8_time_travel" -> k8TimeTravel _,
@@ -1484,6 +1518,7 @@ object Extras {
     "k25_update_where" -> k25UpdateWhereSql,
     "k26_identity" -> k26IdentitySql,
     "k27_sql_dml" -> k27SqlDmlSql,
+    "k28_generated" -> k28GeneratedSql,
     "st_cdf_stream" -> k17MergeCdfSql,
     "st_ivm_stream" -> k19IvmRetractSql,
     "k8_time_travel" -> k8TimeTravelSql,

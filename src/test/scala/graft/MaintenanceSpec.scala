@@ -771,6 +771,56 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- generated columns -----
+
+  test("generated columns: omitted computed (partitionable), provided " +
+      "validated cell-by-cell, desyncs abort everywhere") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-genspec-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.declareGenerated(spark, p, "bucket", "id % 3")
+    // omitted → computed, and usable as the partition column in the
+    // same append (the canonical date(ts)-partition pattern)
+    Maintenance.commitAppend(spark, p,
+      spark.range(0L, 30L).toDF("id"), partitionBy = Seq("bucket"))
+    assert(new java.io.File(p, "bucket=2").isDirectory)
+    assert(Maintenance.readTable(spark, p)
+      .filter(col("bucket") === col("id") % 3).count() == 30)
+    val (kept, totalF) = Maintenance.skippingPlan(p, "bucket", 1.0, 1.0)
+    assert(kept.size < totalF, "generated partition column must prune")
+    // provided-and-correct passes; provided-and-wrong aborts untouched
+    Maintenance.commitAppend(spark, p,
+      spark.range(30L, 33L).select(col("id"), (col("id") % 3).as("bucket")))
+    assert(Maintenance.readTable(spark, p).count() == 33)
+    val v0 = Maintenance.readVersion(p)
+    val e = intercept[IllegalStateException] {
+      Maintenance.commitAppend(spark, p,
+        spark.range(33L, 36L).select(col("id"), lit(0L).as("bucket")))
+    }
+    assert(e.getMessage.contains("bucket") &&
+      e.getMessage.contains("GENERATED ALWAYS"))
+    assert(Maintenance.readVersion(p) == v0)
+    assert(Maintenance.readTable(spark, p).count() == 33)
+    // an UPDATE that desyncs the derivation aborts
+    intercept[IllegalStateException] {
+      Maintenance.updateWhere(spark, p, col("id") === 5L,
+        Map("bucket" -> lit(0L)))
+    }
+    // ...while one that keeps it in sync goes through
+    val ok = Maintenance.updateWhere(spark, p, col("id") === 5L,
+      Map("id" -> lit(8L), "bucket" -> lit(2L)))
+    assert(ok.rowsUpdated == 1)
+    // declaring over existing non-conforming data is rejected, unrecorded
+    val p2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-genspec2-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p2,
+      Seq((1L, 99L)).toDF("id", "bucket"))
+    intercept[IllegalStateException] {
+      Maintenance.declareGenerated(spark, p2, "bucket", "id % 3")
+    }
+    assert(Maintenance.readGenerated(p2).isEmpty)
+  }
+
   // ----- GraftSql: SQL DML over path tables -----
 
   test("GraftSql: DELETE / UPDATE / MERGE / vectored DELETE route to the " +
