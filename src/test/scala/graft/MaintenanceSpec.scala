@@ -771,6 +771,49 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- deletion-vector race -----
+
+  test("DV race: vectored deletes and their materialization never lose " +
+      "rows against a concurrent appender") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-dvrace-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.commitAppend(spark, p,
+      spark.range(0L, 1000L).toDF("id").select(col("id"), col("id").as("v")))
+    val nAppends = 8
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      try {
+        for (i <- 0 until nAppends)
+          Maintenance.commitAppend(spark, p,
+            spark.range(1000L + i * 10, 1000L + i * 10 + 10).toDF("id")
+              .select(col("id"), col("id").as("v")))
+      } catch { case t: Throwable => err.set(t) }
+    })
+    appender.start()
+    // interleave vectored deletes (distinct sub-ranges, so every delete
+    // has rows to claim) with full materializations under the race
+    var ops = 0
+    while (appender.isAlive && ops < 50) {
+      Maintenance.deleteWithVectors(spark, p,
+        col("id") >= ops * 2L && col("id") < ops * 2L + 2L)
+      if (ops % 3 == 2) Maintenance.applyDeleteVectors(spark, p)
+      ops += 1
+    }
+    appender.join()
+    assert(err.get() == null, s"appender failed: ${err.get()}")
+    assert(ops >= 1, "the race must actually have raced")
+    // quiesced: one final vectored delete + apply closes the form
+    val deletedUpTo = ops * 2L
+    Maintenance.deleteWithVectors(spark, p, col("id") < deletedUpTo)
+    Maintenance.applyDeleteVectors(spark, p)
+    val ids = Maintenance.readTable(spark, p)
+      .select("id").as[Long].collect().toSet
+    assert(ids == ((deletedUpTo until 1000L) ++
+      (1000L until (1000L + nAppends * 10))).toSet,
+      s"row set wrong under the DV race (|ids|=${ids.size}, ops=$ops)")
+  }
+
   // ----- generated columns -----
 
   test("generated columns: omitted computed (partitionable), provided " +
