@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   *   DELETE FROM `/path` USING VECTORS WHERE <predicate>
   *   UPDATE `/path` SET col = <expr>[, col = <expr>…] WHERE <predicate>
   *   MERGE INTO `/path` USING <tempView> ON <keyColumn>
+  *   OPTIMIZE `/path` [TO <n> FILES]
+  *   RESTORE `/path` TO VERSION <n>
+  *   VACUUM `/path` RETAIN <n> HOURS AS OF <epochMs>
+  *   APPLY VECTORS `/path`
   *
   * Each returns a ONE-ROW metrics DataFrame (operation, version,
   * rows_affected, files_rewritten) — the shape Delta's DML commands
@@ -31,6 +35,14 @@ object GraftSql {
     """(?is)\s*UPDATE\s+`([^`]+)`\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Merge =
     """(?is)\s*MERGE\s+INTO\s+`([^`]+)`\s+USING\s+([\w.]+)\s+ON\s+(\w+)\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+`([^`]+)`(?:\s+TO\s+(\d+)\s+FILES)?\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+`([^`]+)`\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val ApplyVectors =
+    """(?is)\s*APPLY\s+VECTORS\s+`([^`]+)`\s*;?\s*""".r
 
   /** Split `SET a = e1, b = e2` on TOP-LEVEL commas only — commas inside
     * parentheses (function calls) or quotes belong to the expression.
@@ -86,10 +98,28 @@ object GraftSql {
         val r = Maintenance.mergeInto(spark, path, spark.table(view), key)
         metrics("MERGE", r.version, r.rowsUpdated + r.rowsInserted,
           r.filesRewritten)
+      case Optimize(path, target) =>
+        val t = Option(target).map(_.toInt).getOrElse(1)
+        Maintenance.compact(spark, path, t)
+        metrics("OPTIMIZE", Maintenance.readVersion(path), 0L, t.toLong)
+      case Restore(path, version) =>
+        val v = Maintenance.restoreTo(spark, path, version.toLong)
+        metrics("RESTORE", v, 0L, 0L)
+      // retention cutoff = asOfEpochMs − N hours, both INJECTED (the
+      // engine's no-wall-clock convention: reproducible, testable)
+      case Vacuum(path, hours, asOfMs) =>
+        val n = Maintenance.vacuumRemoved(path,
+          asOfMs.toLong - hours.toLong * 3600000L)
+        metrics("VACUUM", Maintenance.readVersion(path), 0L, n.toLong)
+      case ApplyVectors(path) =>
+        val n = Maintenance.applyDeleteVectors(spark, path)
+        metrics("APPLY VECTORS", Maintenance.readVersion(path), 0L, n.toLong)
       case _ => throw new IllegalArgumentException(
-        "unrecognized graft DML (supported: DELETE FROM `path` [USING " +
-          "VECTORS] WHERE …; UPDATE `path` SET … WHERE …; MERGE INTO " +
-          s"`path` USING view ON key): $sql")
+        "unrecognized graft statement (supported: DELETE FROM `path` " +
+          "[USING VECTORS] WHERE …; UPDATE `path` SET … WHERE …; MERGE " +
+          "INTO `path` USING view ON key; OPTIMIZE `path` [TO n FILES]; " +
+          "RESTORE `path` TO VERSION n; VACUUM `path` RETAIN n HOURS AS " +
+          s"OF epochMs; APPLY VECTORS `path`): $sql")
     }
   }
 }

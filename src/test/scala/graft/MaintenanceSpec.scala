@@ -905,6 +905,27 @@ class MaintenanceSpec extends AnyFunSuite {
       s"DELETE FROM `$p` USING VECTORS WHERE id = 100")
     assert(dv.select("operation").as[String].first() == "DELETE (vectors)")
     assert(names == before && Maintenance.readTable(spark, p).count() == 35)
+    // utility commands: APPLY VECTORS materializes, OPTIMIZE compacts,
+    // RESTORE rewinds, VACUUM reclaims with injected time
+    val ap = GraftSql.run(spark, s"APPLY VECTORS `$p`")
+    assert(ap.select("files_rewritten").as[Long].first() >= 1L)
+    assert(Maintenance.outstandingDvFiles(p).isEmpty)
+    GraftSql.run(spark, s"OPTIMIZE `$p` TO 2 FILES")
+    assert(new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    assert(Maintenance.readTable(spark, p).count() == 35)
+    // restore across a quarantine-backed delete (a compact physically
+    // reclaims its inputs, so only post-compact versions restore)
+    val vRestore = Maintenance.readVersion(p)
+    GraftSql.run(spark, s"DELETE FROM `$p` WHERE id >= 30")
+    assert(Maintenance.readTable(spark, p).count() < 35)
+    val rs = GraftSql.run(spark, s"RESTORE `$p` TO VERSION $vRestore")
+    assert(rs.select("operation").as[String].first() == "RESTORE")
+    assert(Maintenance.readTable(spark, p).count() == 35)
+    val vc = GraftSql.run(spark,
+      s"VACUUM `$p` RETAIN 0 HOURS AS OF ${System.currentTimeMillis() + 60000}")
+    assert(vc.select("files_rewritten").as[Long].first() >= 1L,
+      "vacuum with a future as-of must reclaim the quarantined history")
     // malformed statements fail loudly
     intercept[IllegalArgumentException] {
       GraftSql.run(spark, s"TRUNCATE `$p`")
