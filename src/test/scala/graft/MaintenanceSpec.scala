@@ -771,6 +771,74 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- model-based DML consistency -----
+
+  test("model-based DML: a seeded random op sequence over append/delete/" +
+      "update/merge/DV-delete/apply matches the in-memory model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-modelspec-${UUID.randomUUID()}/t").getAbsolutePath
+    var model = Map.empty[Long, Long] // id -> v
+    var nextId = 0L
+    def appendBatch(): Unit = {
+      val n = 5 + rnd.nextInt(15)
+      val ids = (nextId until nextId + n)
+      nextId += n
+      Maintenance.commitAppend(spark, p,
+        ids.map(id => (id, id * 3)).toDF("id", "v"))
+      model ++= ids.map(id => id -> id * 3)
+    }
+    def randRange(): (Long, Long) = {
+      val lo = rnd.nextLong(math.max(1L, nextId))
+      (lo, lo + rnd.nextInt(10))
+    }
+    appendBatch()
+    for (step <- 1 to 14) {
+      // while vectors are outstanding only append / DV-delete / apply
+      // are legal (the guards refuse the rewrite verbs — tested above)
+      val dvOutstanding = Maintenance.outstandingDvFiles(p).nonEmpty
+      val op = if (dvOutstanding) Seq(0, 4, 5)(rnd.nextInt(3))
+        else rnd.nextInt(6)
+      op match {
+        case 0 => appendBatch()
+        case 1 =>
+          val (lo, hi) = randRange()
+          Maintenance.deleteRange(spark, p, "id", lo.toDouble, hi.toDouble)
+          model = model.view.filterKeys(k => k < lo || k > hi).toMap
+        case 2 =>
+          val (lo, hi) = randRange()
+          val d = rnd.nextInt(1000).toLong
+          Maintenance.updateWhere(spark, p,
+            col("id") >= lo && col("id") <= hi,
+            Map("v" -> (col("v") + lit(d))))
+          model = model.map { case (k, v) =>
+            k -> (if (k >= lo && k <= hi) v + d else v)
+          }
+        case 3 =>
+          val existing = model.keys.toSeq.sorted.take(2)
+          val fresh = Seq(nextId); nextId += 1
+          val src = (existing ++ fresh).map(id => (id, id * 7 + 1))
+          Maintenance.mergeInto(spark, p, src.toDF("id", "v"), "id")
+          model ++= src
+        case 4 =>
+          val (lo, hi) = randRange()
+          Maintenance.deleteWithVectors(spark, p,
+            col("id") >= lo && col("id") <= hi)
+          model = model.view.filterKeys(k => k < lo || k > hi).toMap
+        case 5 =>
+          Maintenance.applyDeleteVectors(spark, p)
+      }
+      val actual = Maintenance.readTable(spark, p)
+        .as[(Long, Long)].collect().toMap
+      assert(actual == model,
+        s"divergence at step $step op $op: extra=" +
+          s"${(actual.toSet -- model.toSet).take(5)} missing=" +
+          s"${(model.toSet -- actual.toSet).take(5)}")
+    }
+    assert(model.nonEmpty)
+  }
+
   // ----- deletion-vector race -----
 
   test("DV race: vectored deletes and their materialization never lose " +
