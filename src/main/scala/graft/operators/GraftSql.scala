@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   *   UPDATE `/path` SET col = <expr>[, col = <expr>…] WHERE <predicate>
   *   MERGE INTO `/path` USING <tempView> ON <keyColumn>
   *   OPTIMIZE `/path` [TO <n> FILES]
+  *   OPTIMIZE `/path` ZORDER BY (col[, col…]) [TO <n> FILES]
   *   RESTORE `/path` TO VERSION <n>
   *   VACUUM `/path` RETAIN <n> HOURS AS OF <epochMs>
   *   APPLY VECTORS `/path`
+  *   DESCRIBE HISTORY `/path`
   *
   * Each returns a ONE-ROW metrics DataFrame (operation, version,
   * rows_affected, files_rewritten) — the shape Delta's DML commands
@@ -35,8 +37,12 @@ object GraftSql {
     """(?is)\s*UPDATE\s+`([^`]+)`\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val Merge =
     """(?is)\s*MERGE\s+INTO\s+`([^`]+)`\s+USING\s+([\w.]+)\s+ON\s+(\w+)\s*;?\s*""".r
+  private val OptimizeZorder =
+    """(?is)\s*OPTIMIZE\s+`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+TO\s+(\d+)\s+FILES)?\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+`([^`]+)`(?:\s+TO\s+(\d+)\s+FILES)?\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+`([^`]+)`\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+`([^`]+)`\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val Vacuum =
@@ -98,10 +104,18 @@ object GraftSql {
         val r = Maintenance.mergeInto(spark, path, spark.table(view), key)
         metrics("MERGE", r.version, r.rowsUpdated + r.rowsInserted,
           r.filesRewritten)
+      case OptimizeZorder(path, colsRaw, target) =>
+        val cols = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val t = Option(target).map(_.toInt).getOrElse(math.max(2, cols.size))
+        Maintenance.zorderN(spark, path, cols, t)
+        metrics("OPTIMIZE ZORDER", Maintenance.readVersion(path), 0L,
+          t.toLong)
       case Optimize(path, target) =>
         val t = Option(target).map(_.toInt).getOrElse(1)
         Maintenance.compact(spark, path, t)
         metrics("OPTIMIZE", Maintenance.readVersion(path), 0L, t.toLong)
+      case History(path) =>
+        Maintenance.history(spark, path)
       case Restore(path, version) =>
         val v = Maintenance.restoreTo(spark, path, version.toLong)
         metrics("RESTORE", v, 0L, 0L)

@@ -2221,23 +2221,42 @@ object Maintenance {
     */
   def zorder(spark: SparkSession, path: String, colA: String, colB: String,
       targetFiles: Int): Unit =
+    zorderN(spark, path, Seq(colA, colB), targetFiles)
+
+  /** N-dimensional Z-order (2 ≤ n ≤ 8 columns): each column is min-max
+    * normalized to `62/n`-bit integers (16-bit cap) and the bits
+    * interleave round-robin — bit k of column j lands at position
+    * `k·n + j` — so a range predicate on ANY of the n columns maps to
+    * contiguous-ish Morton runs and per-file [min,max] stats prune on
+    * every dimension (lexicographic clustering only prunes the first).
+    * More dimensions = fewer bits each = coarser per-dimension locality,
+    * the standard Z-order trade.
+    */
+  def zorderN(spark: SparkSession, path: String, zCols: Seq[String],
+      targetFiles: Int): Unit = {
+    require(zCols.size >= 2 && zCols.size <= 8,
+      s"zorderN takes 2..8 columns, got ${zCols.size}")
+    val n = zCols.size
+    val bitsPer = math.min(16, 62 / n)
     optimisticRewrite(spark, path, "__zorder_tmp") { (df, tmp) =>
-      val mm = df.agg(
-        min(col(colA).cast("double")), max(col(colA).cast("double")),
-        min(col(colB).cast("double")), max(col(colB).cast("double"))).first()
-      def norm16(c: String, lo: Double, hi: Double) = {
+      val aggs = zCols.flatMap(c =>
+        Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+      val mm = df.agg(aggs.head, aggs.tail: _*).first()
+      val maxVal = (1L << bitsPer) - 1
+      def normBits(c: String, lo: Double, hi: Double) = {
         val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-        val scaled = (col(c).cast("double") - lo) / span * 65535.0
+        val scaled = (col(c).cast("double") - lo) / span * maxVal.toDouble
         // nulls sort first (slot 0), like Spark's default null ordering
         least(greatest(coalesce(scaled.cast("long"), lit(0L)), lit(0L)),
-          lit(65535L))
+          lit(maxVal))
       }
-      val a16 = norm16(colA, mm.getDouble(0), mm.getDouble(1))
-      val b16 = norm16(colB, mm.getDouble(2), mm.getDouble(3))
-      val z = (0 until 16).foldLeft(lit(0L)) { (acc, k) =>
-        acc
-          .bitwiseOR(shiftleft(a16.bitwiseAND(lit(1L << k)), k))
-          .bitwiseOR(shiftleft(b16.bitwiseAND(lit(1L << k)), k + 1))
+      val z = zCols.zipWithIndex.foldLeft(lit(0L)) { case (acc0, (c, j)) =>
+        val v = normBits(c, mm.getDouble(2 * j), mm.getDouble(2 * j + 1))
+        (0 until bitsPer).foldLeft(acc0) { (acc, k) =>
+          // bit k (mask 1<<k) moves to position k·n + j: shift by k(n−1)+j
+          acc.bitwiseOR(shiftleft(v.bitwiseAND(lit(1L << k)),
+            k * (n - 1) + j))
+        }
       }
       val w = df.withColumn("__z", z)
         .repartitionByRange(targetFiles, col("__z"))
@@ -2247,6 +2266,7 @@ object Maintenance {
       val pc = readPartitioning(path)
       (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(tmp)
     }
+  }
 
   private def optimisticRewrite(spark: SparkSession, path: String,
       tmpSuffix: String)(write: (DataFrame, String) => Unit): Unit = {

@@ -771,6 +771,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readTable(spark, p).count() == 45)
   }
 
+  // ----- N-dimensional Z-order -----
+
+  test("zorderN: 3-dim clustering prunes on EVERY dimension; SQL " +
+      "OPTIMIZE ZORDER and DESCRIBE HISTORY drive it") {
+    import spark.implicits._
+    import graft.operators.GraftSql
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-z3spec-${UUID.randomUUID()}/t").getAbsolutePath
+    // a full 16×16×16 cube: every dimension uniform and independent
+    Maintenance.commitAppend(spark, p,
+      spark.range(0L, 4096L).select(
+        expr("id % 16").as("a"),
+        expr("id div 16 % 16").as("b"),
+        expr("id div 256 % 16").as("c")))
+    val z = GraftSql.run(spark,
+      s"OPTIMIZE `$p` ZORDER BY (a, b, c) TO 8 FILES")
+    assert(z.select("operation").as[String].first() == "OPTIMIZE ZORDER")
+    for (dim <- Seq("a", "b", "c")) {
+      val (kept, total) = Maintenance.skippingPlan(p, dim, 0.0, 1.0)
+      assert(total == 8 && kept.size < total,
+        s"z-order must prune a narrow range on '$dim': " +
+          s"kept ${kept.size} of $total")
+    }
+    // content untouched by the rewrite
+    assert(Maintenance.readTable(spark, p).count() == 4096)
+    assert(Maintenance.readTable(spark, p)
+      .agg(sum(col("a") + col("b") * 16 + col("c") * 256))
+      .first().getLong(0) == (0L until 4096L).sum)
+    // DESCRIBE HISTORY reads the ledger through SQL
+    val hist = GraftSql.run(spark, s"DESCRIBE HISTORY `$p`")
+      .select("operation").as[String].collect().toSeq
+    assert(hist == Seq("append", "rewrite"))
+  }
+
   // ----- model-based DML consistency -----
 
   test("model-based DML: a seeded random op sequence over append/delete/" +
