@@ -193,6 +193,94 @@ object Analytics {
       |ORDER BY click_id, purchase_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Stream-stream LEFT OUTER interval join — the hard half of streaming
+  // joins: an unmatched click can only emit its null row once the
+  // purchase-side WATERMARK has passed the click's whole join window
+  // (otherwise a late purchase could still match). With a 2h watermark
+  // delay and a 2h window, the final GLOBAL watermark is
+  // min(max click ts, max purchase ts) − 2h — each side's watermark
+  // advances on ITS OWN stream's max event time (millisecond-truncated,
+  // Spark watermarks are epoch-ms) and the join takes the minimum — so
+  // unmatched clicks whose window end is not strictly below that are
+  // still held in state when the bounded replay ends: exactly the rows
+  // the closed-form oracle must also exclude. Matched pairs are never
+  // held back.
+  private def ssStreamStreamLeft(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ssleft-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def stream() = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"),
+      "leftOuter")
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.WorkDirs.materializeAndClean(
+      s.read.parquet(s"$work/out")
+        .orderBy(col("click_id"), col("purchase_id")), work)
+  }
+
+  private val ssStreamStreamLeftSql =
+    """WITH clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |matched AS (
+      |  SELECT c.click_id, p.purchase_id, c.user_id
+      |  FROM clicks c JOIN purchases p
+      |    ON c.user_id = p.user_id
+      |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR),
+      |unmatched AS (
+      |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+      |  FROM clicks c
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM purchases p
+      |      WHERE p.user_id = c.user_id
+      |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR)
+      |    AND c.ts + INTERVAL 2 HOUR
+      |        < make_timestamp(least(
+      |            (SELECT epoch_ms(max(ts)) FROM clicks),
+      |            (SELECT epoch_ms(max(ts)) FROM purchases))
+      |            * 1000) - INTERVAL 2 HOUR)
+      |SELECT * FROM matched
+      |UNION ALL SELECT * FROM unmatched
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Streaming deduplication with state (dropDuplicates + watermark): keep
   // one row per (user, minute). Only the KEY SET is deterministic (which
   // physical row survives depends on shuffle arrival order), so the query
@@ -709,6 +797,7 @@ object Analytics {
     "w8_distribution" -> w8Distribution _,
     "k7_bucketed_join" -> k7BucketedJoin _,
     "ss_stream_stream_join" -> ssStreamStreamJoin _,
+    "ss_stream_stream_left" -> ssStreamStreamLeft _,
     "st_dropdup_stream" -> stDropdupStream _,
     "st_rocksdb_dedup" -> stRocksdbDedup _,
     "st_expect_stream" -> stExpectStream _,
@@ -725,6 +814,7 @@ object Analytics {
     "w8_distribution" -> w8DistributionSql,
     "k7_bucketed_join" -> k7BucketedJoinSql,
     "ss_stream_stream_join" -> ssStreamStreamJoinSql,
+    "ss_stream_stream_left" -> ssStreamStreamLeftSql,
     "st_dropdup_stream" -> stDropdupStreamSql,
     "st_rocksdb_dedup" -> stRocksdbDedupSql,
     "st_expect_stream" -> stExpectStreamSql,
