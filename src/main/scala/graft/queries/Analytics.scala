@@ -525,6 +525,74 @@ object Analytics {
     mapGroupsProfiles(s, dir, s"$dir/events*.parquet", Some(1))
 
   // ---------------------------------------------------------------------
+  // The SAME profile on Spark 4's transformWithState — the successor
+  // arbitrary-state API (typed ValueState handles, RocksDB-required,
+  // TTL/timers available). Pinning both APIs to one oracle proves the
+  // migration path: a user can move a mapGroupsWithState processor to a
+  // StatefulProcessor without a semantic change.
+  private def stTransformState(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider") // transformWithState requires RocksDB
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-tws-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val events = s.readStream
+        .schema(rawSchema)
+        .option("basePath", dir)
+        .option("maxFilesPerTrigger", 1) // multi-batch state path
+        .parquet(s"$dir/events*.parquet")
+        .select(col("user_id"),
+          expr("ts div 1000000000").as("sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long)]
+      val profiles = events.groupByKey(_._1)
+        .transformWithState(new graft.streaming.ProfileProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "total_value", "first_sec", "last_sec")
+      val q = profiles.writeStream
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$work/out")
+        }
+        .option("checkpointLocation", s"$work/_chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // latest emission per user == the complete accumulated state
+      graft.streaming.WorkDirs.materializeAndClean(
+        s.read.parquet(s"$work/out")
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("n_events"), col("total_value"),
+              col("first_sec"), col("last_sec")),
+            col("batch_id")).as("p"))
+          .select(col("user_id"), col("p.n_events").as("n_events"),
+            col("p.total_value").as("total_value"),
+            col("p.first_sec").as("first_sec"),
+            col("p.last_sec").as("last_sec"))
+          .orderBy(col("user_id")), work)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // State EVICTION: mapGroupsWithState with ProcessingTimeTimeout — the
   // tier the NoTimeout profile query lacks. A group idle past its timeout
   // is evicted: the update function fires with hasTimedOut=true, emits the
@@ -802,6 +870,7 @@ object Analytics {
     "st_rocksdb_dedup" -> stRocksdbDedup _,
     "st_expect_stream" -> stExpectStream _,
     "st_mapgroups_state" -> stMapgroupsState _,
+    "st_transform_state" -> stTransformState _,
     "st_timeout_evict" -> stTimeoutEvict _
   )
 
@@ -819,6 +888,7 @@ object Analytics {
     "st_rocksdb_dedup" -> stRocksdbDedupSql,
     "st_expect_stream" -> stExpectStreamSql,
     "st_mapgroups_state" -> stMapgroupsStateSql,
+    "st_transform_state" -> stMapgroupsStateSql,
     "st_timeout_evict" -> stTimeoutEvictSql
   )
 }

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Per-user running profile on Spark 4's `transformWithState` API — the
+  * successor to `mapGroupsWithState`: typed state handles (`ValueState`
+  * here; list/map state and timers for richer processors) managed by the
+  * operator, RocksDB-backed, with per-state TTL available through
+  * `TTLConfig`. Same accumulation semantics as the engine's
+  * mapGroupsWithState profile query (st_mapgroups_state), so the same
+  * oracle pins both APIs to one result.
+  *
+  * Input rows are (user, epoch second, cents); state and output carry
+  * (n events, total cents, first sec, last sec) with the total emitted
+  * in dollars. Emissions are cumulative per batch (update mode) — the
+  * reader keeps the latest per key.
+  */
+class ProfileProcessor extends StatefulProcessor[
+    Long, (Long, Long, Long), (Long, Long, Double, Long, Long)] {
+
+  @transient private var state: ValueState[(Long, Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long, Long, Long)]("profile",
+      Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double, Long, Long)] = {
+    val prev =
+      if (state.exists()) state.get()
+      else (0L, 0L, Long.MaxValue, Long.MinValue)
+    val next = rows.foldLeft(prev) { case ((n, tot, f, l), (_, sec, cents)) =>
+      (n + 1, tot + cents, math.min(f, sec), math.max(l, sec))
+    }
+    state.update(next)
+    Iterator((user, next._1, next._2 / 100.0, next._3, next._4))
+  }
+}
