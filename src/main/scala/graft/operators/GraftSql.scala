@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *   RESTORE `/path` TO VERSION <n>
   *   VACUUM `/path` RETAIN <n> HOURS AS OF <epochMs>
   *   APPLY VECTORS `/path`
+  *   CREATE TABLE `/dst` SHALLOW CLONE `/src`
+  *   ALTER TABLE `/path` RENAME COLUMN a TO b
+  *   ALTER TABLE `/path` DROP COLUMN c
   *   DESCRIBE HISTORY `/path`
   *
   * Each returns a ONE-ROW metrics DataFrame (operation, version,
@@ -49,6 +52,12 @@ object GraftSql {
     """(?is)\s*VACUUM\s+`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val ApplyVectors =
     """(?is)\s*APPLY\s+VECTORS\s+`([^`]+)`\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+`([^`]+)`\s+SHALLOW\s+CLONE\s+`([^`]+)`\s*;?\s*""".r
+  private val RenameCol =
+    """(?is)\s*ALTER\s+TABLE\s+`([^`]+)`\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val DropCol =
+    """(?is)\s*ALTER\s+TABLE\s+`([^`]+)`\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
 
   /** Split `SET a = e1, b = e2` on TOP-LEVEL commas only — commas inside
     * parentheses (function calls) or quotes belong to the expression.
@@ -128,6 +137,15 @@ object GraftSql {
       case ApplyVectors(path) =>
         val n = Maintenance.applyDeleteVectors(spark, path)
         metrics("APPLY VECTORS", Maintenance.readVersion(path), 0L, n.toLong)
+      case Clone(dst, src) =>
+        val v = Maintenance.shallowClone(src, dst)
+        metrics("SHALLOW CLONE", v, 0L, 0L)
+      case RenameCol(path, from, to) =>
+        Maintenance.renameColumn(path, from, to)
+        metrics("RENAME COLUMN", Maintenance.readVersion(path), 0L, 0L)
+      case DropCol(path, name) =>
+        Maintenance.dropColumn(path, name)
+        metrics("DROP COLUMN", Maintenance.readVersion(path), 0L, 0L)
       case _ => throw new IllegalArgumentException(
         "unrecognized graft statement (supported: DELETE FROM `path` " +
           "[USING VECTORS] WHERE …; UPDATE `path` SET … WHERE …; MERGE " +

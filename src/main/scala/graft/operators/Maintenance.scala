@@ -78,8 +78,14 @@ object Maintenance {
       try { Files.createFile(lock); acquired = true }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         val lf = lock.toFile
-        if (lf.exists() &&
-            System.currentTimeMillis() - lf.lastModified() > staleLockMs) {
+        // single mtime read, gated on > 0: lastModified() returns 0 for a
+        // file deleted between the failed create and this check, and
+        // exists()-then-lastModified() would read that 0 as "ancient" and
+        // break a lock some OTHER waiter just re-acquired — the one
+        // sequence that lets two committers in at once
+        val mtime = lf.lastModified()
+        if (mtime > 0 &&
+            System.currentTimeMillis() - mtime > staleLockMs) {
           System.err.println(s"[graft] WARN: breaking stale commit lock " +
             s"$lock (older than ${staleLockMs} ms — crashed holder)")
           Files.deleteIfExists(lock)
@@ -147,7 +153,12 @@ object Maintenance {
   def history(spark: SparkSession, tablePath: String): DataFrame = {
     import spark.implicits._
     val current = readVersion(tablePath)
-    (1L to current).map { v =>
+    // a cloned table leads its (inherited) history with the clone event,
+    // like Delta's DESCRIBE HISTORY showing CLONE as the first operation
+    val cloneRow = cloneOrigin(tablePath).map { case (_, v) =>
+      (v, "clone")
+    }.toSeq
+    val versionRows = (1L to current).map { v =>
       val kind =
         if (Files.exists(Paths.get(snapshotAddPath(tablePath, v)))) "append"
         else if (Files.exists(Paths.get(snapshotDeletePath(tablePath, v))))
@@ -164,7 +175,8 @@ object Maintenance {
           "rewrite"
         else "unknown"
       (v, kind)
-    }.toDF("version", "operation")
+    }
+    (cloneRow ++ versionRows).toDF("version", "operation")
   }
 
   /** Change files (the deleted rows) a [[deleteRange]] version recorded —
@@ -177,11 +189,22 @@ object Maintenance {
   def snapshotFullPath(tablePath: String, version: Long): String =
     f"$tablePath/_graft_log/snapshots/v$version%06d.full.txt"
 
-  private def writeFileList(path: String, files: Seq[String]): Unit = {
-    val p = Paths.get(path)
+  /** Write-temp + ATOMIC_MOVE: log metadata is read by UNLOCKED readers
+    * (readTable and friends), so every rewrite-in-place of a log file
+    * must be atomic — a reader must never observe a torn or empty file
+    * mid-write. Writers are serialized by the commit lock, so the fixed
+    * `.tmp` sibling never collides.
+    */
+  private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
     Files.createDirectories(p.getParent)
-    Files.writeString(p, files.sorted.mkString("", "\n", "\n"))
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
+
+  private def writeFileList(path: String, files: Seq[String]): Unit =
+    writeAtomic(Paths.get(path), files.sorted.mkString("", "\n", "\n"))
 
   private def readFileList(path: String): Option[Seq[String]] = {
     val p = Paths.get(path)
@@ -260,9 +283,9 @@ object Maintenance {
     // vectors recorded AT OR BEFORE the requested version apply (their
     // basenames match live and quarantined copies alike); later vectors
     // do not exist yet at this version
-    withDvApplied(spark, tablePath,
+    applyColumnMap(tablePath, withDvApplied(spark, tablePath,
       readFilesWithBases(spark, tablePath, resolved.map(_._2.get.toString)),
-      upTo = Some(version))
+      upTo = Some(version)))
   }
 
   /** Read an explicit file list through the tracked schema. Live files
@@ -389,15 +412,16 @@ object Maintenance {
       }
       typed.withColumn("_change_version", lit(v))
     }
-    reads.reduceOption(_.unionByName(_)).getOrElse {
-      // empty range (or rewrites only): an empty feed with the table
-      // schema plus the change columns
-      val sc = schema.getOrElse(readTable(spark, tablePath).schema)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(sc.fields))
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_change_version", lit(0L))
-    }
+    applyColumnMap(tablePath,
+      reads.reduceOption(_.unionByName(_)).getOrElse {
+        // empty range (or rewrites only): an empty feed with the table
+        // schema plus the change columns
+        val sc = schema.getOrElse(readTable(spark, tablePath).schema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(sc.fields))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_change_version", lit(0L))
+      })
   }
 
   /** STREAMING change feed — Delta's `readChangeFeed` as a stream: the
@@ -424,7 +448,7 @@ object Maintenance {
       sc.fields :+ org.apache.spark.sql.types.StructField(
         "__change_type", org.apache.spark.sql.types.StringType, true))
     val reader = spark.readStream.schema(withType)
-    maxFilesPerTrigger
+    applyColumnMap(tablePath, maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(s"$tablePath/_graft_log/changes/*")
       // delete change files lack the column entirely → nulls → "delete"
@@ -433,7 +457,7 @@ object Maintenance {
       .drop("__change_type")
       .withColumn("_change_version",
         regexp_extract(input_file_name(), "/changes/v(\\d+)/", 1)
-          .cast("long"))
+          .cast("long")))
   }
 
   // ---------------------------------------------------------------------
@@ -481,7 +505,8 @@ object Maintenance {
           .map(_.copy(nullable = true)) // absent in history ⇒ must be nullable
         org.apache.spark.sql.types.StructType(existing.fields ++ newFields)
     }
-    Files.writeString(Paths.get(schemaPath(tablePath)), merged.json)
+    // atomic: unlocked readers (readTableSchema) race this rewrite
+    writeAtomic(Paths.get(schemaPath(tablePath)), merged.json)
   }
 
   /** Read the table through its tracked schema (tables written by
@@ -489,11 +514,197 @@ object Maintenance {
     * that predate the protocol.
     */
   def readTable(spark: SparkSession, tablePath: String): DataFrame =
-    withDvApplied(spark, tablePath,
+    applyColumnMap(tablePath, withDvApplied(spark, tablePath,
       readTableSchema(tablePath) match {
         case Some(sc) => spark.read.schema(sc).parquet(tablePath)
         case None => spark.read.parquet(tablePath)
-      })
+      }))
+
+  // ---------------------------------------------------------------------
+  // Column mapping — Delta's metadata-only `ALTER TABLE ... RENAME
+  // COLUMN` / `DROP COLUMN` (delta.columnMapping.mode = 'name'). Data
+  // files keep their original PHYSICAL column names forever — no rewrite
+  // at any table size — while the log records a logical→physical map
+  // plus a dropped-physical set. The LOGICAL view is derived at the
+  // table boundary:
+  //   reads   — readTable / readAsOf / streamTable / scanPruned /
+  //             readChangesBetween project physical → logical;
+  //   appends — commitAppend / mergeInto translate incoming logical
+  //             names → physical before staging, so every data file
+  //             stays physically consistent;
+  //   DML     — predicates, SET expressions, and column arguments are
+  //             rewritten logical → physical at the operation entry
+  //             (attribute-level rewrite via ColumnBridge); the
+  //             internals never see a logical name.
+  // Scope guards, loudly enforced: partition, identity, generated (or
+  // generated-referenced), and constraint-referenced columns cannot be
+  // renamed or dropped — their log records hold physical names in
+  // expression TEXT, and rewriting SQL text is not metadata-only. A
+  // rename may not reuse ANY existing physical name (keeps toPhysical
+  // idempotent — no rename chain can make one name mean two columns),
+  // and an append may not reuse a dropped or renamed column's physical
+  // name (the data it would land next to is another column's history).
+
+  def columnMapPath(tablePath: String): String =
+    s"$tablePath/_graft_log/colmap.tsv"
+
+  def droppedColsPath(tablePath: String): String =
+    s"$tablePath/_graft_log/dropped_cols.txt"
+
+  /** logical → physical, for RENAMED columns only (identity elsewhere). */
+  def readColumnMap(tablePath: String): Map[String, String] = {
+    val p = Paths.get(columnMapPath(tablePath))
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).map { ln =>
+      val a = ln.split('\t'); a(0) -> a(1)
+    }.toMap
+  }
+
+  /** Physical names of dropped columns (still present in data files). */
+  def readDroppedCols(tablePath: String): Set[String] = {
+    val p = Paths.get(droppedColsPath(tablePath))
+    if (!Files.exists(p)) Set.empty
+    else Files.readString(p).linesIterator.filter(_.nonEmpty).toSet
+  }
+
+  /** The physical (file-level) name behind a logical column name. */
+  def toPhysical(tablePath: String, logical: String): String =
+    readColumnMap(tablePath).getOrElse(logical, logical)
+
+  /** Rewrite logical attribute names inside a caller-supplied predicate
+    * or SET expression to their physical names.
+    */
+  private def toPhysicalPred(tablePath: String, c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge
+      .renameAttrs(c, readColumnMap(tablePath))
+
+  /** Project a physically-named DataFrame to the logical view (drop the
+    * dropped, rename the renamed). Caller-added non-data columns
+    * (`_change_type`, …) pass through unchanged.
+    */
+  private def applyColumnMap(tablePath: String, df: DataFrame): DataFrame = {
+    val map = readColumnMap(tablePath)
+    val dropped = readDroppedCols(tablePath)
+    if (map.isEmpty && dropped.isEmpty) df
+    else {
+      val phys2log = map.map(_.swap)
+      df.select(df.columns.toIndexedSeq.filterNot(dropped.contains)
+        .map(p => col(p).as(phys2log.getOrElse(p, p))): _*)
+    }
+  }
+
+  /** Rename an incoming (logically-named) batch to physical names,
+    * rejecting collisions with dropped or foreign physical names.
+    */
+  private def toPhysicalDf(tablePath: String, df: DataFrame): DataFrame = {
+    val map = readColumnMap(tablePath)
+    val dropped = readDroppedCols(tablePath)
+    if (map.isEmpty && dropped.isEmpty) df
+    else {
+      val takenPhysical = map.values.toSet
+      df.columns.foreach { c =>
+        if (!map.contains(c)) {
+          if (dropped.contains(c)) throw new IllegalArgumentException(
+            s"append to $tablePath rejected: '$c' matches a DROPPED " +
+              "column's physical name; choose a different name")
+          if (takenPhysical.contains(c)) throw new IllegalArgumentException(
+            s"append to $tablePath rejected: '$c' is the physical name " +
+              "behind a renamed column; use the logical name")
+        }
+      }
+      df.select(df.columns.toIndexedSeq
+        .map(c => col(c).as(map.getOrElse(c, c))): _*)
+    }
+  }
+
+  /** Current logical column names, in physical-schema order. */
+  def logicalColumns(tablePath: String): Seq[String] = {
+    val physSchema = readTableSchema(tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"$tablePath has no tracked schema (commit protocol required)"))
+    val phys2log = readColumnMap(tablePath).map(_.swap)
+    val dropped = readDroppedCols(tablePath)
+    physSchema.fieldNames.toSeq.filterNot(dropped.contains)
+      .map(p => phys2log.getOrElse(p, p))
+  }
+
+  /** Conservative word-boundary textual check — may over-match (a string
+    * literal containing the name), never under-matches an identifier.
+    */
+  private def referencesColumn(exprSql: String, name: String): Boolean =
+    java.util.regex.Pattern
+      .compile("(?i)(?<![A-Za-z0-9_`])" +
+        java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_`])")
+      .matcher(exprSql).find()
+
+  private def requireRemappable(tablePath: String, logical: String,
+      physical: String, verb: String): Unit = {
+    require(!readPartitioning(tablePath).contains(physical),
+      s"$verb rejected: '$logical' is a partition column (physical " +
+        s"'$physical' is baked into the directory layout)")
+    readIdentity(tablePath).foreach { case (idc, _) =>
+      require(idc != physical,
+        s"$verb rejected: '$logical' is the identity column")
+    }
+    readGenerated(tablePath).foreach { case (c, e) =>
+      require(c != physical && !referencesColumn(e, physical),
+        s"$verb rejected: '$logical' is generated or referenced by " +
+          s"generated column '$c' ($e)")
+    }
+    readConstraints(tablePath).foreach { case (n, p) =>
+      require(!referencesColumn(p, physical),
+        s"$verb rejected: '$logical' is referenced by constraint '$n' ($p)")
+    }
+  }
+
+  /** Metadata-only RENAME COLUMN — O(1) at any table size. */
+  def renameColumn(tablePath: String, from: String, to: String): Unit =
+    withCommitLock(tablePath) {
+      require(to.nonEmpty && !to.contains('\t') && !to.contains('\n'),
+        s"bad column name: '$to'")
+      val map = readColumnMap(tablePath)
+      val cols = logicalColumns(tablePath)
+      require(cols.contains(from),
+        s"rename rejected: no column '$from' on $tablePath " +
+          s"(columns: ${cols.mkString(", ")})")
+      val physical = map.getOrElse(from, from)
+      // no physical-name reuse, ever: keeps toPhysical idempotent and
+      // every physical name meaning exactly one column for all time
+      val physSchema = readTableSchema(tablePath).get
+      require(to == physical ||
+          (!physSchema.fieldNames.contains(to) &&
+            !readDroppedCols(tablePath).contains(to) && !cols.contains(to)),
+        s"rename rejected: name '$to' is already in use on $tablePath")
+      requireRemappable(tablePath, from, physical, "rename")
+      writeColumnMap(tablePath, (map - from) ++
+        (if (to == physical) Map.empty[String, String]
+         else Map(to -> physical)))
+    }
+
+  /** Metadata-only DROP COLUMN: the data files are untouched; the
+    * column's physical name is retired permanently.
+    */
+  def dropColumn(tablePath: String, name: String): Unit =
+    withCommitLock(tablePath) {
+      val map = readColumnMap(tablePath)
+      val cols = logicalColumns(tablePath)
+      require(cols.contains(name),
+        s"drop rejected: no column '$name' on $tablePath " +
+          s"(columns: ${cols.mkString(", ")})")
+      require(cols.size > 1, s"drop rejected: '$name' is the last column")
+      val physical = map.getOrElse(name, name)
+      requireRemappable(tablePath, name, physical, "drop")
+      writeColumnMap(tablePath, map - name)
+      Files.writeString(Paths.get(droppedColsPath(tablePath)),
+        physical + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
+  private def writeColumnMap(tablePath: String,
+      map: Map[String, String]): Unit =
+    writeAtomic(Paths.get(columnMapPath(tablePath)), map.toSeq.sortBy(_._1)
+      .map { case (l, ph) => s"$l\t$ph" }.mkString("", "\n", "\n"))
 
   // ---------------------------------------------------------------------
   // Partitioning — hive-style partitioned committed tables. The partition
@@ -584,9 +795,13 @@ object Maintenance {
       s"$tablePath is partitioned by $recorded; append declared " +
         s"$partitionBy")
     val partCols = if (partitionBy.nonEmpty) partitionBy else recorded
+    // incoming batches are LOGICALLY named — translate renamed columns to
+    // their physical names first, so generated/identity/constraint
+    // machinery and the staged files stay physically consistent
+    val dfP = toPhysicalDf(tablePath, df)
     // generated columns the batch omitted are computed here (so they can
     // be partition columns); provided ones are validated on the stage
-    val df0 = computeGenerated(tablePath, df)
+    val df0 = computeGenerated(tablePath, dfP)
     // identity allocation: reserve the id range under a SHORT lock, then
     // assign and stage UNLOCKED (zipWithIndex path — no global window)
     val df1 = readIdentity(tablePath) match {
@@ -634,7 +849,7 @@ object Maintenance {
       // explicit identity values provided: the high-water mark must
       // clear them so later allocations can never collide
       readIdentity(tablePath).foreach { case (idc, next) =>
-        if (df.columns.contains(idc)) {
+        if (dfP.columns.contains(idc)) {
           val mx = spark.read.parquet(stage)
             .agg(max(col(idc).cast("long"))).first()
           if (!mx.isNullAt(0) && mx.getLong(0) >= next)
@@ -707,11 +922,11 @@ object Maintenance {
       throw new IllegalStateException(
         s"$tablePath has no tracked schema — not a committed table " +
           "(streaming reads need the commit protocol; use commitAppend)"))
-    spark.readStream
+    applyColumnMap(tablePath, spark.readStream
       .schema(schema)
       // only committed data files: never _graft_log, staging, or markers
       .option("pathGlobFilter", "*.parquet")
-      .parquet(tablePath)
+      .parquet(tablePath))
   }
 
   // ---------------------------------------------------------------------
@@ -794,11 +1009,89 @@ object Maintenance {
       // live-file registry follows the restored set (vacuum safety)
       val reg = Paths.get(liveFilesPath(tablePath))
       if (Files.exists(reg))
-        Files.writeString(reg, files.mkString("", "\n", "\n"))
+        writeAtomic(reg, files.mkString("", "\n", "\n"))
       val v = readVersion(tablePath) + 1
       writeFileList(snapshotFullPath(tablePath, v), files)
       writeFileList(snapshotRestorePath(tablePath, v), files)
       writeVersion(tablePath, v)
+      v
+    }
+
+  // ---------------------------------------------------------------------
+  // SHALLOW CLONE — Delta's `CREATE TABLE dst SHALLOW CLONE src`
+  // (zero-copy table fork; the reference gets it from Delta for dev/test
+  // sandboxes over production tables). A clone is a new, independently
+  // committable table created in O(metadata): every parquet file (live
+  // data, delete-quarantined originals, CDC change files) is HARD-LINKED
+  // — same inode, no bytes moved — and the log's small text/json metadata
+  // is copied. The protocol never mutates a committed parquet file in
+  // place (appends add, rewrites replace, deletes quarantine), so shared
+  // inodes stay correct forever; and because a link is a first-class
+  // directory entry, a rewrite or VACUUM on either side merely unlinks
+  // that side's NAME while the other side's link keeps the data alive.
+  // That makes this clone strictly SAFER than Delta's shallow clone,
+  // whose pointer-based clones break when the source is vacuumed.
+  // The clone carries the FULL commit history — snapshots, change feed,
+  // per-file stats, bloom indexes, constraints, identity marks, schema,
+  // partitioning — so time travel / readChangesBetween / skippingPlan
+  // behave identically on the clone; from that point the two version
+  // chains diverge commit by commit.
+  // Cost model at 100 TB: O(files) driver-side metadata work and zero
+  // data I/O on a POSIX/HDFS-style store; on an object store without
+  // links the same call degrades to a server-side copy (the fallback
+  // below), still never streaming bytes through the driver.
+
+  def cloneProvenancePath(tablePath: String): String =
+    s"$tablePath/_graft_log/clone_of.txt"
+
+  /** (source path, source version at clone time) for a cloned table. */
+  def cloneOrigin(tablePath: String): Option[(String, Long)] =
+    readFileList(cloneProvenancePath(tablePath)).collect {
+      case Seq(src, v) => (src, v.toLong)
+    }
+
+  /** Clone `srcPath` into the empty/nonexistent `dstPath`. Runs under the
+    * SOURCE's commit lock so the copied log and linked files are one
+    * consistent snapshot (no commit lands mid-walk). Returns the source
+    * version the clone was taken at (also the clone's own version).
+    */
+  def shallowClone(srcPath: String, dstPath: String): Long =
+    withCommitLock(srcPath) {
+      val v = readVersion(srcPath)
+      require(v > 0,
+        s"$srcPath is not a committed table (no _graft_log/version)")
+      val dstF = new java.io.File(dstPath)
+      require(!dstF.exists() ||
+          Option(dstF.listFiles()).forall(_.isEmpty),
+        s"clone destination $dstPath already exists and is not empty")
+      val srcRoot = Paths.get(srcPath)
+      val dstRoot = Paths.get(dstPath)
+      def place(f: java.io.File): Unit = {
+        val dest = dstRoot.resolve(srcRoot.relativize(f.toPath))
+        Files.createDirectories(dest.getParent)
+        if (f.getName.endsWith(".parquet")) {
+          // hard link; fall back to a copy where the store lacks links
+          // (cross-device, object-store mounts) — semantics unchanged,
+          // cost degrades from O(1) to one server-side copy per file
+          try Files.createLink(dest, f.toPath)
+          catch {
+            case _: UnsupportedOperationException |
+                _: java.nio.file.FileSystemException =>
+              Files.copy(f.toPath, dest,
+                StandardCopyOption.COPY_ATTRIBUTES)
+          }
+        } else Files.copy(f.toPath, dest,
+          StandardCopyOption.COPY_ATTRIBUTES)
+      }
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory)
+          Option(f.listFiles()).foreach(_.sortBy(_.getName).foreach(walk))
+        else place(f)
+      Files.createDirectories(dstRoot)
+      walk(srcRoot.toFile)
+      // NOT writeFileList (it sorts): line order here is (path, version)
+      Files.writeString(Paths.get(cloneProvenancePath(dstPath)),
+        s"$srcPath\n$v\n")
       v
     }
 
@@ -883,7 +1176,7 @@ object Maintenance {
       .mkString("", "\n", if (entries.isEmpty) "" else "\n")
     if (append && Files.exists(p))
       Files.writeString(p, lines, java.nio.file.StandardOpenOption.APPEND)
-    else Files.writeString(p, lines)
+    else writeAtomic(p, lines) // full rewrite races unlocked readers
   }
 
   /** ((file, column) → (lo, hi)); empty for a stats-less table. */
@@ -900,8 +1193,9 @@ object Maintenance {
   /** The file-level pruning decision for `column` ∈ [lo, hi]: (files to
     * scan, total live files). Stat-less files are always kept.
     */
-  def skippingPlan(tablePath: String, column: String, lo: Double,
+  def skippingPlan(tablePath: String, column0: String, lo: Double,
       hi: Double): (Seq[String], Int) = {
+    val column = toPhysical(tablePath, column0) // stats are physical
     val all = listParquetFiles(new java.io.File(tablePath))
       .map(_.getName).sorted
     val stats = readFileStats(tablePath)
@@ -924,17 +1218,19 @@ object Maintenance {
     val (kept, _) = skippingPlan(tablePath, column, lo, hi)
     val schema = readTableSchema(tablePath)
     if (kept.isEmpty) {
+      // logical view even when empty: readTable's schema is already
+      // logical; a tracked (physical) schema goes through the map
       val sc = schema.getOrElse(readTable(spark, tablePath).schema)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      applyColumnMap(tablePath, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
     } else {
       val byName = listParquetFiles(new java.io.File(tablePath))
         .map(f => f.getName -> f.getAbsolutePath).toMap
       val reader = schema.map(spark.read.schema).getOrElse(spark.read)
       // basePath keeps partition-dir columns resolvable on a pruned list
-      withDvApplied(spark, tablePath,
+      applyColumnMap(tablePath, withDvApplied(spark, tablePath,
         reader.option("basePath", tablePath)
-          .parquet(kept.map(byName): _*))
+          .parquet(kept.map(byName): _*)))
     }
   }
 
@@ -1188,8 +1484,9 @@ object Maintenance {
     * a second DV delete only matches rows the first left visible.
     */
   def deleteWithVectors(spark: SparkSession, tablePath: String,
-      predicate: Column): DvDeleteResult =
+      predicate0: Column): DvDeleteResult =
     withCommitLock(tablePath, timeoutMs = 600000L) {
+      val predicate = toPhysicalPred(tablePath, predicate0)
       val v0 = readVersion(tablePath)
       val live = listParquetFiles(new java.io.File(tablePath))
       val total = live.size
@@ -1325,8 +1622,9 @@ object Maintenance {
     * approximate).
     */
   def metadataMinMax(spark: SparkSession, tablePath: String,
-      column: String): Option[(Long, Double, Double, Long)] = {
+      column0: String): Option[(Long, Double, Double, Long)] = {
     import scala.jdk.CollectionConverters._
+    val column = toPhysical(tablePath, column0) // footers are physical
     // a vector-deleted row may BE the min/max — exact-or-absent means
     // absent until the vectors are applied
     if (outstandingDvFiles(tablePath).nonEmpty) return None
@@ -1486,8 +1784,9 @@ object Maintenance {
     * arithmetic).
     */
   def buildBloomIndex(spark: SparkSession, tablePath: String,
-      column: String, targetFpp: Double = 0.01,
+      column0: String, targetFpp: Double = 0.01,
       maxBits: Int = 1 << 22): Unit = {
+    val column = toPhysical(tablePath, column0) // index keys are physical
     require(targetFpp > 0 && targetFpp < 1, s"fpp out of (0,1): $targetFpp")
     val out = Paths.get(bloomIndexPath(tablePath, column))
     Files.createDirectories(out.getParent)
@@ -1560,8 +1859,9 @@ object Maintenance {
     * is hashed by the SAME Spark expression that built the index (one
     * 1-row local job), so index and probe can never disagree on hashing.
     */
-  def bloomPlan(spark: SparkSession, tablePath: String, column: String,
+  def bloomPlan(spark: SparkSession, tablePath: String, column0: String,
       value: Any): (Seq[String], Int) = {
+    val column = toPhysical(tablePath, column0)
     val all = listParquetFiles(new java.io.File(tablePath))
       .map(_.getName).sorted
     val idx = readBloomIndex(tablePath, column)
@@ -1586,22 +1886,23 @@ object Maintenance {
     * contain `column = value`, then apply the exact predicate (pruning is
     * conservative; the filter clears any false positive).
     */
-  def bloomLookup(spark: SparkSession, tablePath: String, column: String,
+  def bloomLookup(spark: SparkSession, tablePath: String, column0: String,
       value: Any): DataFrame = {
+    val column = toPhysical(tablePath, column0)
     val (kept, _) = bloomPlan(spark, tablePath, column, value)
     val schema = readTableSchema(tablePath)
     if (kept.isEmpty) {
       val sc = schema.getOrElse(readTable(spark, tablePath).schema)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      applyColumnMap(tablePath, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc))
     } else {
       val byName = listParquetFiles(new java.io.File(tablePath))
         .map(f => f.getName -> f.getAbsolutePath).toMap
       val reader = schema.map(spark.read.schema).getOrElse(spark.read)
-      withDvApplied(spark, tablePath,
+      applyColumnMap(tablePath, withDvApplied(spark, tablePath,
         reader.option("basePath", tablePath)
           .parquet(kept.flatMap(byName.get): _*))
-        .filter(col(column) === lit(value))
+        .filter(col(column) === lit(value)))
     }
   }
 
@@ -1643,9 +1944,10 @@ object Maintenance {
     * same trade [[restoreTo]] makes; the optimistic path is for whole-
     * table rewrites, where the lock-free window is long).
     */
-  def deleteRange(spark: SparkSession, tablePath: String, column: String,
+  def deleteRange(spark: SparkSession, tablePath: String, column0: String,
       lo: Double, hi: Double): DeleteResult =
     withCommitLock(tablePath, timeoutMs = 600000L) {
+      val column = toPhysical(tablePath, column0)
       deleteCore(spark, tablePath,
         col(column) >= lit(lo) && col(column) <= lit(hi),
         Some(skippingPlan(tablePath, column, lo, hi)._1))
@@ -1664,7 +1966,8 @@ object Maintenance {
   def deleteWhere(spark: SparkSession, tablePath: String,
       predicate: Column): DeleteResult =
     withCommitLock(tablePath, timeoutMs = 600000L) {
-      deleteCore(spark, tablePath, predicate, None)
+      deleteCore(spark, tablePath,
+        toPhysicalPred(tablePath, predicate), None)
     }
 
   /** Shared delete engine; caller holds the commit lock. `candidates`
@@ -1777,9 +2080,15 @@ object Maintenance {
     * columns (schema evolution is the merge path's job).
     */
   def updateWhere(spark: SparkSession, tablePath: String,
-      predicate: Column, set: Map[String, Column]): UpdateResult =
+      predicate0: Column, set0: Map[String, Column]): UpdateResult =
     withCommitLock(tablePath, timeoutMs = 600000L) {
       requireNoOutstandingDvs(tablePath, "updateWhere")
+      // logical → physical at the boundary: SET targets by name, every
+      // expression (predicate and right-hand sides) by attribute rewrite
+      val predicate = toPhysicalPred(tablePath, predicate0)
+      val set = set0.map { case (c, e) =>
+        toPhysical(tablePath, c) -> toPhysicalPred(tablePath, e)
+      }
       require(set.nonEmpty, "updateWhere with an empty SET")
       val root = Paths.get(tablePath)
       val v0 = readVersion(tablePath)
@@ -1903,10 +2212,14 @@ object Maintenance {
     * `update_postimage` (their source replacements), `insert` (appended
     * rows) — served by [[readChangesBetween]], O(changed rows) forever.
     */
-  def mergeInto(spark: SparkSession, tablePath: String, source: DataFrame,
-      key: String, autoMergeSchema: Boolean = false): MergeResult =
+  def mergeInto(spark: SparkSession, tablePath: String, source0: DataFrame,
+      key0: String, autoMergeSchema: Boolean = false): MergeResult =
     withCommitLock(tablePath, timeoutMs = 600000L) {
       requireNoOutstandingDvs(tablePath, "mergeInto")
+      // the source arrives LOGICALLY named (it is caller data): translate
+      // to physical so the join/rewrite/CDC all speak file terms
+      val source = toPhysicalDf(tablePath, source0)
+      val key = toPhysical(tablePath, key0)
       val root = Paths.get(tablePath)
       val v0 = readVersion(tablePath)
       val schema = readTableSchema(tablePath)
@@ -2126,13 +2439,14 @@ object Maintenance {
     *
     * @return number of files compacted (0 = nothing to do)
     */
-  def compactWhere(spark: SparkSession, tablePath: String, column: String,
+  def compactWhere(spark: SparkSession, tablePath: String, column0: String,
       lo: Double, hi: Double, targetFiles: Int): Int =
     withCommitLock(tablePath, timeoutMs = 600000L) {
       // reads its candidate subset RAW (unlike the whole-table rewrites,
       // which go through the DV-aware readTable and so materialize
       // vectors as they compact)
       requireNoOutstandingDvs(tablePath, "compactWhere")
+      val column = toPhysical(tablePath, column0)
       val root = Paths.get(tablePath)
       val (candidates, _) = skippingPlan(tablePath, column, lo, hi)
       if (candidates.size <= targetFiles) 0
@@ -2194,8 +2508,9 @@ object Maintenance {
     * there via the batchIid typo; alive here). Same optimistic protocol
     * as [[compact]].
     */
-  def cluster(spark: SparkSession, path: String, clusterCols: Seq[String],
-      targetFiles: Int): Unit =
+  def cluster(spark: SparkSession, path: String, clusterCols0: Seq[String],
+      targetFiles: Int): Unit = {
+    val clusterCols = clusterCols0.map(toPhysical(path, _))
     optimisticRewrite(spark, path, "__cluster_tmp") { (df, tmp) =>
       val w = df.repartitionByRange(targetFiles, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
@@ -2203,6 +2518,7 @@ object Maintenance {
       val pc = readPartitioning(path)
       (if (pc.nonEmpty) w.partitionBy(pc: _*) else w).parquet(tmp)
     }
+  }
 
   /** TRUE Z-ordering on two columns — bit-interleaved multi-dimensional
     * clustering (Delta's `ZORDER BY`; the reference intends it at
@@ -2232,8 +2548,9 @@ object Maintenance {
     * More dimensions = fewer bits each = coarser per-dimension locality,
     * the standard Z-order trade.
     */
-  def zorderN(spark: SparkSession, path: String, zCols: Seq[String],
+  def zorderN(spark: SparkSession, path: String, zCols0: Seq[String],
       targetFiles: Int): Unit = {
+    val zCols = zCols0.map(toPhysical(path, _))
     require(zCols.size >= 2 && zCols.size <= 8,
       s"zorderN takes 2..8 columns, got ${zCols.size}")
     val n = zCols.size
@@ -2412,9 +2729,8 @@ object Maintenance {
     val root = Paths.get(tablePath)
     val files = listDataFiles(new java.io.File(tablePath))
       .map(f => root.relativize(f.toPath).toString).sorted
-    val p = Paths.get(liveFilesPath(tablePath))
-    Files.createDirectories(p.getParent)
-    Files.writeString(p, files.mkString("", "\n", "\n"))
+    writeAtomic(Paths.get(liveFilesPath(tablePath)),
+      files.mkString("", "\n", "\n"))
   }
 
   /** Delete orphaned data files with mtime older than `cutoffEpochMs`

@@ -1464,7 +1464,99 @@ object Extras {
       |WHERE o_orderkey >= lo + (hi-lo)//4
       |  AND o_orderkey <= lo + (hi-lo)//2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // K29: SHALLOW CLONE (Delta `CREATE TABLE dst SHALLOW CLONE src`) on
+  // the engine's commit protocol — a zero-copy hard-link fork taken under
+  // the source's commit lock, after which the two version chains diverge
+  // independently. The query commits nation as a table, clones it, then
+  // commits DIFFERENT changes to each side (append to the clone, ranged
+  // delete on the source) and reports both sides' aggregates: the oracle
+  // pins full divergence in closed form. The zero-copy property itself
+  // (shared inodes, vacuum-proof links) is asserted in MaintenanceSpec.
+  private def k29Clone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-clone-${UUID.randomUUID()}").getAbsolutePath
+    val src = s"$work/nation_src"
+    val nation = t(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("nationkey"),
+      col("n_regionkey").cast("long").as("regionkey"))
+    graft.operators.Maintenance.commitAppend(s, src, nation.coalesce(1))
+    val dst = s"$work/nation_clone"
+    graft.operators.Maintenance.shallowClone(src, dst)
+    graft.operators.Maintenance.commitAppend(s, dst,
+      nation.select((col("nationkey") + 100L).as("nationkey"),
+        col("regionkey")).coalesce(1))
+    graft.operators.Maintenance.deleteRange(s, src, "regionkey", 0.0, 0.0)
+    val rows = Seq(
+      ("clone", graft.operators.Maintenance.readTable(s, dst)),
+      ("source", graft.operators.Maintenance.readTable(s, src))
+    ).map { case (side, df) =>
+      val r = df.agg(count(lit(1)), sum(col("nationkey"))).first()
+      (side, r.getLong(0), r.getLong(1))
+    }
+    graft.streaming.WorkDirs.materializeAndClean(
+      rows.toDF("side", "n_rows", "key_sum").orderBy(col("side")), work)
+  }
+
+  private val k29CloneSql =
+    """WITH c AS (
+      |  SELECT 2*count(*) AS n_rows,
+      |         CAST(sum(n_nationkey) + sum(n_nationkey + 100) AS BIGINT)
+      |           AS key_sum
+      |  FROM nation),
+      |s AS (
+      |  SELECT count(*) AS n_rows,
+      |         CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+      |  FROM nation WHERE n_regionkey <> 0)
+      |SELECT 'clone' AS side, n_rows, key_sum FROM c
+      |UNION ALL
+      |SELECT 'source' AS side, n_rows, key_sum FROM s
+      |ORDER BY side""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // K30: metadata-only column mapping (Delta's ALTER TABLE RENAME COLUMN
+  // / DROP COLUMN under columnMapping.mode='name') — zero files rewritten
+  // at any table size. The query commits nation, renames the key column
+  // and drops another (pure log edits), appends MORE rows under the NEW
+  // logical name, then runs a ranged DELETE addressed by the logical name
+  // (stats-pruned through the map). The oracle pins the logical end state
+  // in closed form; the files-untouched property, append translation, and
+  // guards are asserted in MaintenanceSpec.
+  private def k30Rename(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-cm-${UUID.randomUUID()}").getAbsolutePath
+    val tbl = s"$work/nation_cm"
+    val M = graft.operators.Maintenance
+    M.commitAppend(s, tbl, t(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("n_nationkey"),
+      col("n_name"),
+      col("n_regionkey").cast("long").as("regionkey")).coalesce(1))
+    M.renameColumn(tbl, "n_nationkey", "nation_id")
+    M.dropColumn(tbl, "n_name")
+    M.commitAppend(s, tbl, t(s, dir, "nation").select(
+      (col("n_nationkey") + 100L).cast("long").as("nation_id"),
+      col("n_regionkey").cast("long").as("regionkey")).coalesce(1))
+    M.deleteRange(s, tbl, "nation_id", 5.0, 9.0)
+    graft.streaming.WorkDirs.materializeAndClean(
+      M.readTable(s, tbl).select(col("nation_id"), col("regionkey"))
+        .orderBy(col("nation_id")), work)
+  }
+
+  private val k30RenameSql =
+    """WITH all_rows AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS nation_id,
+      |         CAST(n_regionkey AS BIGINT) AS regionkey FROM nation
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey + 100 AS BIGINT),
+      |         CAST(n_regionkey AS BIGINT) FROM nation)
+      |SELECT nation_id, regionkey FROM all_rows
+      |WHERE nation_id < 5 OR nation_id > 9
+      |ORDER BY nation_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "k29_clone" -> k29Clone _,
+    "k30_rename" -> k30Rename _,
     "k11_incremental_agg" -> k11IncrementalAgg _,
     "st_table_stream" -> stTableStream _,
     "k10_cdf" -> k10Cdf _,
@@ -1500,6 +1592,8 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "k29_clone" -> k29CloneSql,
+    "k30_rename" -> k30RenameSql,
     "k11_incremental_agg" -> k11IncrementalAggSql,
     "st_table_stream" -> stTableStreamSql,
     "k10_cdf" -> k10CdfSql,

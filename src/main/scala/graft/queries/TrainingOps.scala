@@ -212,12 +212,53 @@ object TrainingOps {
        |FROM agg ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // Deterministic epoch shuffle — the "shuffle the corpus before
+  // training" step: every document gets a pseudorandom position that is a
+  // pure FUNCTION of (seed, doc_id) — md5, like tx_sample — so the epoch
+  // order is reproducible on any engine with no RNG state, a different
+  // seed is a fresh permutation, and a re-run over old+new docs inserts
+  // the new docs without reordering work already done. Docs are hashed
+  // into shards (the training job's file-level read unit) and ordered
+  // within each shard by the hash key; the only window is per shard,
+  // whose count scales with the corpus — at 100 TB you raise nShards so
+  // each shard stays executor-sized, and the plan is one narrow scan +
+  // hash shuffle + per-shard sort, no global order anywhere.
+  private val shuffleSeed = "42"
+  private val shuffleShards = 16L
+
+  private def txShuffle(s: SparkSession, dir: String): DataFrame = {
+    val key = conv(substring(md5(concat(lit(shuffleSeed + ":"),
+      col("doc_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+    val shardW = Window.partitionBy(col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), key.as("k"))
+      .withColumn("shard", pmod(col("k"), lit(shuffleShards)))
+      .withColumn("pos", row_number().over(shardW).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txShuffleSql =
+    s"""WITH keyed AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5('$shuffleSeed:' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS k
+      |  FROM documents)
+      |SELECT doc_id, k % $shuffleShards AS shard,
+      |  row_number() OVER (PARTITION BY k % $shuffleShards
+      |                     ORDER BY k, doc_id) AS pos
+      |FROM keyed ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx_pack" -> txPack _,
     "tx_sample" -> txSample _,
     "tx_normalize" -> txNormalize _,
     "tx_chunk" -> txChunk _,
-    "tx_mixture" -> txMixture _
+    "tx_mixture" -> txMixture _,
+    "tx_shuffle" -> txShuffle _
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,6 +266,7 @@ object TrainingOps {
     "tx_sample" -> txSampleSql,
     "tx_normalize" -> txNormalizeSql,
     "tx_chunk" -> txChunkSql,
-    "tx_mixture" -> txMixtureSql
+    "tx_mixture" -> txMixtureSql,
+    "tx_shuffle" -> txShuffleSql
   )
 }

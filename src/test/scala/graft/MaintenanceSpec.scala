@@ -1586,4 +1586,155 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readVersion(p) == 4)
     assert(Maintenance.readTable(spark, p).count() == 40)
   }
+
+  test("column mapping: metadata-only rename/drop, files untouched, " +
+      "DML and history speak logical names") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-colmap-${UUID.randomUUID()}/t").getAbsolutePath
+    (0 until 2).foreach { i =>
+      Maintenance.commitAppend(spark, p,
+        spark.range(i * 10L, (i + 1) * 10L).toDF("id")
+          .withColumn("tag", concat(lit("t"), col("id") % 2)).coalesce(1))
+    }
+    def fileState() = Option(new java.io.File(p).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length))
+      .sortBy(_._1).toSeq
+    val before = fileState()
+    // metadata-only rename: zero files touched
+    Maintenance.renameColumn(p, "id", "order_id")
+    assert(fileState() == before, "rename must not touch data files")
+    val t1 = Maintenance.readTable(spark, p)
+    assert(t1.columns.toSeq == Seq("order_id", "tag"))
+    assert(t1.agg(sum("order_id")).first().getLong(0) == (0L until 20L).sum)
+    // files stay PHYSICAL: the raw parquet still says 'id'
+    val raw = spark.read.parquet(new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath)
+    assert(raw.columns.contains("id") && !raw.columns.contains("order_id"))
+    // appends arrive logically and land physically
+    Maintenance.commitAppend(spark, p,
+      spark.range(20L, 30L).toDF("order_id")
+        .withColumn("tag", lit("t0")).coalesce(1))
+    assert(Maintenance.readTable(spark, p).count() == 30)
+    assert(spark.read.parquet(p).columns.toSeq.sorted == Seq("id", "tag"),
+      "staged files must be physically named")
+    // the physical name is reserved: an append may not reuse it
+    intercept[IllegalArgumentException] {
+      Maintenance.commitAppend(spark, p,
+        spark.range(0L, 1L).toDF("id").withColumn("tag", lit("x")))
+    }
+    // DML in logical terms: ranged delete prunes through the map …
+    val res = Maintenance.deleteRange(spark, p, "order_id", 20.0, 29.0)
+    assert(res.rowsDeleted == 10 && res.filesRewritten == 1,
+      s"logical-name delete must stats-prune: $res")
+    // … update with logical predicate and SET …
+    val u = Maintenance.updateWhere(spark, p,
+      col("order_id") === 0L, Map("tag" -> lit("z9")))
+    assert(u.rowsUpdated == 1)
+    // … and the typed CDC comes back logically named
+    val cdf = Maintenance.readChangesBetween(spark, p, 3, 5)
+    assert(cdf.columns.contains("order_id") && !cdf.columns.contains("id"))
+    // time travel reads through the CURRENT mapping (Delta behavior)
+    assert(Maintenance.readAsOf(spark, p, 1).columns.toSeq ==
+      Seq("order_id", "tag"))
+    // metadata-only drop: files untouched, column gone, name retired
+    val beforeDrop = fileState()
+    Maintenance.dropColumn(p, "tag")
+    assert(fileState() == beforeDrop, "drop must not touch data files")
+    assert(Maintenance.readTable(spark, p).columns.toSeq == Seq("order_id"))
+    intercept[IllegalArgumentException] {
+      Maintenance.commitAppend(spark, p, spark.range(50L, 51L)
+        .toDF("order_id").withColumn("tag", lit("back")))
+    }
+    // guards: name collisions and last-column drop are loud
+    intercept[IllegalArgumentException] {
+      Maintenance.renameColumn(p, "order_id", "tag") // retired physical
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.dropColumn(p, "order_id") // last column
+    }
+    // SQL surface
+    val m = graft.operators.GraftSql.run(spark,
+      s"ALTER TABLE `$p` RENAME COLUMN order_id TO okey").first()
+    assert(m.getString(0) == "RENAME COLUMN")
+    assert(Maintenance.readTable(spark, p).columns.toSeq == Seq("okey"))
+    assert(Maintenance.metadataMinMax(spark, p, "okey").isDefined,
+      "footer stats must resolve through the mapping")
+    // renaming BACK to the column's own physical name is legal and
+    // clears the mapping entirely
+    Maintenance.renameColumn(p, "okey", "id")
+    assert(Maintenance.readTable(spark, p).columns.toSeq == Seq("id"))
+    assert(Maintenance.readColumnMap(p).isEmpty)
+  }
+
+  test("column mapping guards: partition and generated columns refuse " +
+      "rename/drop") {
+    import spark.implicits._
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-colmap-${UUID.randomUUID()}/t").getAbsolutePath
+    Maintenance.declareGenerated(spark, p, "id2", "id * 2")
+    Maintenance.commitAppend(spark, p,
+      spark.range(0L, 8L).toDF("id").withColumn("part", col("id") % 2L),
+      partitionBy = Seq("part"))
+    intercept[IllegalArgumentException] {
+      Maintenance.renameColumn(p, "part", "bucket")
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.dropColumn(p, "id2") // generated target
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.renameColumn(p, "id", "key") // referenced by generated
+    }
+  }
+
+  test("shallow clone: zero-copy fork, full history, then full divergence") {
+    val src = deleteFixture4() // 4 appends, ids [0,40), v=4
+    val dst = src.stripSuffix("/t") + "/clone"
+    val v = Maintenance.shallowClone(src, dst)
+    assert(v == 4)
+    assert(Maintenance.cloneOrigin(dst).contains((src, 4L)))
+    assert(Maintenance.cloneOrigin(src).isEmpty)
+    // zero bytes copied: the cloned data files share inodes with the source
+    val srcFile = Option(new java.io.File(src).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val dstFile = new java.io.File(dst, srcFile.getName)
+    def ino(f: java.io.File) =
+      java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+    assert(ino(srcFile) == ino(dstFile), "clone must hard-link, not copy")
+    // identical content and inherited history (time travel works on clone)
+    assert(Maintenance.readTable(spark, dst).count() == 40)
+    assert(Maintenance.readAsOf(spark, dst, 2).count() == 20)
+    val hist = Maintenance.history(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.head == (4L, "clone"), s"history leads with clone: ${hist.toSeq}")
+    assert(hist.count(_._2 == "append") == 4)
+    // divergence: append to clone — source untouched
+    Maintenance.commitAppend(spark, dst,
+      spark.range(100L, 110L).toDF("id").coalesce(1))
+    assert(Maintenance.readTable(spark, dst).count() == 50)
+    assert(Maintenance.readTable(spark, src).count() == 40)
+    assert(Maintenance.readVersion(src) == 4)
+    // divergence: delete on source — clone untouched
+    val res = Maintenance.deleteRange(spark, src, "id", 0.0, 9.0)
+    assert(res.rowsDeleted == 10)
+    assert(Maintenance.readTable(spark, src).count() == 30)
+    assert(Maintenance.readTable(spark, dst).count() == 50)
+    // stronger-than-Delta: vacuum/reclaim on the source cannot break the
+    // clone — the shared inodes stay alive through the clone's links
+    Maintenance.compact(spark, src, 1)
+    assert(Maintenance.vacuum(src,
+      System.currentTimeMillis() + 3600000L) >= 0)
+    assert(Maintenance.readTable(spark, dst).count() == 50)
+    assert(Maintenance.readAsOf(spark, dst, 1).count() == 10)
+    // guard: cloning over a non-empty destination is refused
+    intercept[IllegalArgumentException] {
+      Maintenance.shallowClone(src, dst)
+    }
+    // SQL surface
+    val dst2 = src.stripSuffix("/t") + "/clone2"
+    val m = graft.operators.GraftSql.run(spark,
+      s"CREATE TABLE `$dst2` SHALLOW CLONE `$src`").first()
+    assert(m.getString(0) == "SHALLOW CLONE")
+    assert(Maintenance.readTable(spark, dst2).count() == 30)
+  }
 }
