@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *   RESTORE `/path` TO VERSION <n>
   *   VACUUM `/path` RETAIN <n> HOURS AS OF <epochMs>
   *   APPLY VECTORS `/path`
-  *   CREATE TABLE `/dst` SHALLOW CLONE `/src`
+  *   CREATE TABLE `/dst` SHALLOW CLONE `/src` [VERSION AS OF <n>]
   *   ALTER TABLE `/path` RENAME COLUMN a TO b
   *   ALTER TABLE `/path` DROP COLUMN c
   *   DESCRIBE HISTORY `/path`
@@ -52,6 +52,8 @@ object GraftSql {
     """(?is)\s*VACUUM\s+`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val ApplyVectors =
     """(?is)\s*APPLY\s+VECTORS\s+`([^`]+)`\s*;?\s*""".r
+  private val CloneAsOf =
+    """(?is)\s*CREATE\s+TABLE\s+`([^`]+)`\s+SHALLOW\s+CLONE\s+`([^`]+)`\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+`([^`]+)`\s+SHALLOW\s+CLONE\s+`([^`]+)`\s*;?\s*""".r
   private val RenameCol =
@@ -137,6 +139,10 @@ object GraftSql {
       case ApplyVectors(path) =>
         val n = Maintenance.applyDeleteVectors(spark, path)
         metrics("APPLY VECTORS", Maintenance.readVersion(path), 0L, n.toLong)
+      case CloneAsOf(dst, src, version) =>
+        val v = Maintenance.shallowCloneAsOf(spark, src, dst,
+          version.toLong)
+        metrics("SHALLOW CLONE", v, 0L, 0L)
       case Clone(dst, src) =>
         val v = Maintenance.shallowClone(src, dst)
         metrics("SHALLOW CLONE", v, 0L, 0L)

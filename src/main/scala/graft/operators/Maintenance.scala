@@ -1095,6 +1095,18 @@ object Maintenance {
       v
     }
 
+  /** Clone `srcPath` AS OF a recorded `version` — Delta's
+    * `CLONE src VERSION AS OF n`. The clone is taken in full (links are
+    * free) and then rewound by the ordinary restore machinery, which
+    * quarantines the post-version files IN THE CLONE ONLY; the source
+    * is never touched. Returns the clone's version (the restore commit).
+    */
+  def shallowCloneAsOf(spark: SparkSession, srcPath: String,
+      dstPath: String, version: Long): Long = {
+    shallowClone(srcPath, dstPath)
+    restoreTo(spark, dstPath, version)
+  }
+
   // ---------------------------------------------------------------------
   // Per-file column statistics + data skipping — the engine analogue of
   // Delta's `add.stats` minValues/maxValues. Parquet row-group stats only

@@ -1736,5 +1736,17 @@ class MaintenanceSpec extends AnyFunSuite {
       s"CREATE TABLE `$dst2` SHALLOW CLONE `$src`").first()
     assert(m.getString(0) == "SHALLOW CLONE")
     assert(Maintenance.readTable(spark, dst2).count() == 30)
+    // VERSION AS OF: clone the CLONE's v2 state (the clone kept full
+    // history even after the source compacted it away) — 20 rows;
+    // the as-of source itself is untouched
+    val dst3 = src.stripSuffix("/t") + "/clone3"
+    graft.operators.GraftSql.run(spark,
+      s"CREATE TABLE `$dst3` SHALLOW CLONE `$dst` VERSION AS OF 2")
+    assert(Maintenance.readTable(spark, dst3).count() == 20)
+    assert(Maintenance.readTable(spark, dst).count() == 50)
+    // and the rewound clone keeps committing
+    Maintenance.commitAppend(spark, dst3,
+      spark.range(200L, 205L).toDF("id").coalesce(1))
+    assert(Maintenance.readTable(spark, dst3).count() == 25)
   }
 }
