@@ -129,6 +129,50 @@ object SimilarityOps {
     knnIvf(s, dir)
 
   // ---------------------------------------------------------------------
+  // PQ (product quantization) + exact re-rank via operators.Pq: the
+  // codebook-compression ANN tier — each 64-dim vector becomes m=8
+  // 4-bit codes (64× smaller), ADC scores every candidate from codebook
+  // lookups alone (no raw-vector dot products), and only the bounded
+  // top-R survivors per query are re-ranked with exact cosine. The heap
+  // aggregator keeps candidate selection window-free; the re-rank window
+  // runs over R·|Q| rows, never the corpus. Rows-only (codebooks are
+  // engine-specific); recall vs brute force asserted in ScaleOpsSpec.
+  /** Exposed with knobs so specs can vary the re-rank width. */
+  def knnPq(s: SparkSession, dir: String, rerank: Int = 64,
+      topK: Int = 10): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir).localCheckpoint() // feeds train+encode+rerank
+    val (dim, m, k) = (64, 8, 16)
+    val cb = graft.operators.Pq.codebooks(s, e, "vec_id", "v", m, dim, k)
+    val enc = graft.operators.Pq.encode(e, cb, "vec_id", "v", m, dim)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cand = graft.operators.Pq
+      .adcScores(q, enc, cb, "query_id", "qv", "vec_id", m, dim)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("adc_cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(rerank).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c._2").as("vec_id"))
+    val cos = cosine(s) _
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e, Seq("vec_id")).join(q, Seq("query_id"))
+      .withColumn("cos", round(cos(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def simKnnPq(s: SparkSession, dir: String): DataFrame =
+    knnPq(s, dir)
+
+  // ---------------------------------------------------------------------
   // kNN-JOIN: every corpus vector's top-k neighbors — the kNN-graph
   // primitive embedding dedup/clustering pipelines build (the all-vectors
   // generalization of the 5-query searches above). Scale shape: block by
@@ -336,6 +380,7 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "sim_knn_brute" -> simKnnBrute _,
     "sim_knn_ivf" -> simKnnIvf _,
+    "sim_knn_pq" -> simKnnPq _,
     "sim_knn_join" -> simKnnJoin _,
     "sim_neardup_pairs" -> simNearDupPairs _,
     "sim_neardup_lsh" -> simNearDupLsh _,

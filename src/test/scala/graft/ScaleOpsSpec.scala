@@ -196,6 +196,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(avgRecall >= 0.2, s"IVF avg recall@10 = $avgRecall")
   }
 
+  test("PQ + exact re-rank recovers brute-force top-10 with high recall; " +
+      "codes are m dense nibbles") {
+    val brute = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val pq = SimilarityOps.knnPq(spark, sfSmoke).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(pq.nonEmpty)
+    val recalls = brute.keys.toSeq.map { q =>
+      brute(q).count(pq.getOrElse(q, Set.empty[Long]).contains)
+        .toDouble / brute(q).size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    // ADC ranks 64 candidates, exact cosine re-ranks: on this corpus the
+    // lookup-table scores must put most of the true top-10 inside the
+    // re-rank window
+    assert(avgRecall >= 0.5, s"PQ avg recall@10 = $avgRecall")
+    // the exact cosines of re-ranked survivors are bit-equal to brute
+    // force for the ids both agree on (re-rank really is exact)
+    val bruteCos = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Double]("cos")).toMap
+    SimilarityOps.knnPq(spark, sfSmoke).collect().foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("neighbor_id"))
+      bruteCos.get(key).foreach(bc => assert(bc == r.getAs[Double]("cos"),
+        s"re-rank cosine differs from exact at $key"))
+    }
+    // compression contract: every vector encodes to m dense 4-bit codes
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = graft.operators.Pq.codebooks(spark, e, "vec_id", "v", 8, 64, 16)
+    assert(cb.count() == 8 * 16)
+    val enc = graft.operators.Pq.encode(e, cb, "vec_id", "v", 8, 64)
+    assert(enc.count() == e.count())
+    val bad = enc.filter(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c > 15)).count()
+    assert(bad == 0, "codes must be exactly m nibbles in [0, 16)")
+  }
+
   test("knn-join covers every vector; rank order and recall hold") {
     val g = SimilarityOps.knnJoin(spark, sfSmoke, k = 5).collect()
     val n = Tables.t(spark, sfSmoke, "embeddings").count()
