@@ -129,6 +129,37 @@ object Pq {
   def adcScores(queries: DataFrame, encoded: DataFrame,
       codebook: DataFrame, qidCol: String, qvecCol: String, idCol: String,
       m: Int, dim: Int): DataFrame = {
+    // all (query, id) pairs: the lut join on (sub, code) crosses every
+    // encoded row with every query's lookup rows
+    val exploded = encoded
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+    scoreExploded(exploded, queries, codebook, qidCol, qvecCol, idCol,
+      m, dim, joinKeys = Seq("sub", "code"))
+  }
+
+  /** ADC over a PRE-SELECTED candidate set — the IVF-PQ shape: `pairs`
+    * is (qidCol, idCol, codes) holding only the corpus vectors whose
+    * coarse cell the query probes, so ADC work is ~nprobe/numCells of
+    * the corpus instead of all of it.
+    */
+  def adcScoresFor(pairs: DataFrame, queries: DataFrame,
+      codebook: DataFrame, qidCol: String, qvecCol: String, idCol: String,
+      m: Int, dim: Int): DataFrame = {
+    val exploded = pairs
+      .select(col(qidCol), col(idCol),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    scoreExploded(exploded, queries, codebook, qidCol, qvecCol, idCol,
+      m, dim, joinKeys = Seq(qidCol, "sub", "code"))
+  }
+
+  /** Shared ADC core: join exploded (…, sub, code) rows with the
+    * broadcast per-query lookup table, sum partial dots per (query, id),
+    * normalize. `joinKeys` controls whether the lut join crosses queries
+    * (all-pairs) or respects a pre-paired candidate set.
+    */
+  private def scoreExploded(exploded: DataFrame, queries: DataFrame,
+      codebook: DataFrame, qidCol: String, qvecCol: String, idCol: String,
+      m: Int, dim: Int, joinKeys: Seq[String]): DataFrame = {
     // per-(query, sub, code) partial dot + per-(sub, code) norm — the
     // ADC lookup table, |Q|·m·k rows, broadcast
     val lut = subvectors(queries, qidCol, qvecCol, m, dim)
@@ -138,9 +169,8 @@ object Pq {
         dot(col("cv"), col("cv")).as("cnorm2"))
     val qnorm = queries.select(col(qidCol),
       sqrt(dot(col(qvecCol), col(qvecCol))).as("qn"))
-    encoded
-      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(lut), Seq("sub", "code"))
+    exploded
+      .join(broadcast(lut), joinKeys)
       .groupBy(col(qidCol), col(idCol))
       .agg(sum(col("pdot")).as("adot"), sum(col("cnorm2")).as("xn2"))
       .join(broadcast(qnorm), Seq(qidCol))

@@ -173,6 +173,58 @@ object SimilarityOps {
     knnPq(s, dir)
 
   // ---------------------------------------------------------------------
+  // IVF-PQ — the two tiers composed, the canonical billion-scale ANN
+  // architecture: the coarse quantizer (IVF cells) prunes the candidate
+  // set to the query's nprobe cells (~nprobe/√N of the corpus), then PQ's
+  // ADC lookup table scores ONLY those candidates from codebook entries —
+  // no raw-vector arithmetic until the bounded exact re-rank. At 100 TB
+  // the corpus stores 8-byte codes + a cell id per vector; a query
+  // touches nprobe cell partitions and one broadcast lookup table.
+  /** Exposed with knobs so specs can vary probes / re-rank width. */
+  def knnIvfPq(s: SparkSession, dir: String, nprobe: Int = 2,
+      rerank: Int = 64, topK: Int = 10): DataFrame = {
+    import s.implicits._
+    val e = embDouble(s, dir).localCheckpoint()
+    val cos = cosine(s) _
+    val (dim, m, k) = (64, 8, 16)
+    val numCells = math.max(2, math.sqrt(e.count().toDouble).toInt)
+    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", numCells)(cos)
+    val withCell = graft.operators.Ivf.assign(e, cents, "vec_id", "v")(cos)
+    val cb = graft.operators.Pq.codebooks(s, e, "vec_id", "v", m, dim, k)
+    val enc = graft.operators.Pq.encode(e, cb, "vec_id", "v", m, dim)
+      .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = graft.operators.Ivf.probeCells(
+      q, cents, "query_id", "qv", nprobe)(cos)
+    // candidate pairs = encoded vectors in probed cells only
+    val pairs = enc.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("codes"))
+    val cand = graft.operators.Pq
+      .adcScoresFor(pairs, q, cb, "query_id", "qv", "vec_id", m, dim)
+      .select(col("query_id"), col("vec_id"), col("adc_cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(rerank).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c._2").as("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(e, Seq("vec_id")).join(q, Seq("query_id"))
+      .withColumn("cos", round(cos(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def simKnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    knnIvfPq(s, dir)
+
+  // ---------------------------------------------------------------------
   // kNN-JOIN: every corpus vector's top-k neighbors — the kNN-graph
   // primitive embedding dedup/clustering pipelines build (the all-vectors
   // generalization of the 5-query searches above). Scale shape: block by
@@ -381,6 +433,7 @@ object SimilarityOps {
     "sim_knn_brute" -> simKnnBrute _,
     "sim_knn_ivf" -> simKnnIvf _,
     "sim_knn_pq" -> simKnnPq _,
+    "sim_knn_ivfpq" -> simKnnIvfPq _,
     "sim_knn_join" -> simKnnJoin _,
     "sim_neardup_pairs" -> simNearDupPairs _,
     "sim_neardup_lsh" -> simNearDupLsh _,

@@ -236,6 +236,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bad == 0, "codes must be exactly m nibbles in [0, 16)")
   }
 
+  test("IVF-PQ composes the tiers: candidates only from probed cells, " +
+      "exact re-rank, IVF-bounded recall") {
+    val ivfpq = SimilarityOps.knnIvfPq(spark, sfSmoke).collect()
+    assert(ivfpq.nonEmpty)
+    val byQ = ivfpq.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    // re-rank is exact: where IVF-PQ and brute force agree on an id, the
+    // cosine must be bit-equal
+    val bruteCos = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Double]("cos")).toMap
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("neighbor_id"))
+      bruteCos.get(key).foreach(bc => assert(bc == r.getAs[Double]("cos")))
+    }
+    // tier composition really prunes: every returned neighbor must sit in
+    // a cell the query probed (recompute the same deterministic tiers)
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val numCells = math.max(2, math.sqrt(e.count().toDouble).toInt)
+    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", numCells)(
+      SimilarityOps.cosineComposed)
+    val cellOf = graft.operators.Ivf.assign(e, cents, "vec_id", "v")(
+      SimilarityOps.cosineComposed)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q5 = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probed = graft.operators.Ivf.probeCells(q5, cents, "query_id",
+      "qv", 2)(SimilarityOps.cosineComposed)
+      .select(col("query_id"), col("cell")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    byQ.foreach { case (q, ids) =>
+      ids.foreach { id =>
+        assert(probed(q).contains(cellOf(id)),
+          s"neighbor $id of query $q is outside the probed cells")
+      }
+    }
+  }
+
   test("knn-join covers every vector; rank order and recall hold") {
     val g = SimilarityOps.knnJoin(spark, sfSmoke, k = 5).collect()
     val n = Tables.t(spark, sfSmoke, "embeddings").count()
