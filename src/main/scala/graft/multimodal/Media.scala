@@ -66,6 +66,11 @@ object Media {
       else if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F'
         && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V'
         && p(11) == 'E') decodeWav(p)
+      else if (p.length >= 33 && (p(0) & 0xff) == 0x89 && p(1) == 'P'
+        && p(2) == 'N' && p(3) == 'G') decodePng(p)
+      else if (p.length >= 14 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
+        && p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
+        decodeGif(p)
       else throw new IllegalArgumentException(
         s"unrecognized media magic (${p.take(4).mkString(",")})")
 
@@ -101,6 +106,81 @@ object Media {
       }
       require(dataSize >= 0, "WAV without a data chunk")
       MediaMeta(sampleRate, channels, "wav", nFrames = dataSize / blockAlign)
+    }
+
+    private def be32(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+        ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+
+    /** PNG: 8-byte signature, then length-tagged chunks (big-endian
+      * length, 4-char type, data, CRC). Dimensions come from the IHDR
+      * chunk the spec requires first; the chunk WALK finds APNG's acTL
+      * animation-control chunk, whose num_frames makes an animated PNG
+      * report its real frame count (a plain PNG has no acTL → 1 frame).
+      */
+    private def decodePng(p: Array[Byte]): MediaMeta = {
+      require(p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R',
+        "PNG without a leading IHDR chunk")
+      val w = be32(p, 16)
+      val h = be32(p, 20)
+      var o = 8
+      var frames = 1
+      var ok = true
+      while (ok && o + 8 <= p.length) {
+        val len = be32(p, o)
+        if (len < 0 || o + 12 + len > p.length) ok = false
+        else {
+          if (p(o + 4) == 'a' && p(o + 5) == 'c' && p(o + 6) == 'T'
+            && p(o + 7) == 'L' && len >= 4) frames = be32(p, o + 8)
+          o += 12 + len // length + type + data + CRC
+        }
+      }
+      MediaMeta(w, h, "png", nFrames = frames)
+    }
+
+    /** GIF: logical-screen dimensions at fixed little-endian offsets,
+      * then a real BLOCK WALK — skip the global color table if the flags
+      * byte declares one, skip extensions (label + length-prefixed
+      * sub-blocks), and count image descriptors (0x2C), each with its
+      * own optional local color table and LZW data sub-blocks. The
+      * descriptor count IS the frame count — GIF has no header field
+      * for it.
+      */
+    private def decodeGif(p: Array[Byte]): MediaMeta = {
+      val w = le16(p, 6)
+      val h = le16(p, 8)
+      val flags = p(10) & 0xff
+      var o = 13 +
+        (if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0)
+      var frames = 0
+      var done = false
+      while (!done && o < p.length) {
+        (p(o) & 0xff) match {
+          case 0x3b => done = true // trailer
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            o = skipSubBlocks(p, o + 2)
+          case 0x2c => // image descriptor
+            frames += 1
+            val lf = p(o + 9) & 0xff
+            o += 10 +
+              (if ((lf & 0x80) != 0) 3 * (1 << ((lf & 7) + 1)) else 0)
+            o += 1 // LZW minimum code size
+            o = skipSubBlocks(p, o)
+          case other => throw new IllegalArgumentException(
+            f"bad GIF block 0x$other%02x at offset $o")
+        }
+      }
+      require(done, "GIF without a trailer")
+      MediaMeta(w, h, "gif", nFrames = frames)
+    }
+
+    /** Length-prefixed sub-blocks ending at a zero terminator; returns
+      * the offset just past the terminator.
+      */
+    private def skipSubBlocks(p: Array[Byte], start: Int): Int = {
+      var o = start
+      while ((p(o) & 0xff) != 0) o += 1 + (p(o) & 0xff)
+      o + 1
     }
   }
 
@@ -222,6 +302,71 @@ object Media {
     case 1 => encodeBmp(16 + (id % 64).toInt, 16 + ((id * 3) % 64).toInt)
     case _ => encodeWav(8000 + ((id % 8) * 1000).toInt, 1 + (id % 2).toInt,
       128 + (id % 256).toInt)
+  }
+
+  /** A real PNG: signature, CRC-correct chunks (IHDR, optional APNG acTL
+    * when frames > 1, a deflated IDAT, IEND). java.util.zip supplies CRC32
+    * and DEFLATE — still zero external libraries.
+    */
+  def encodePng(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt))
+    }
+    chunk("IHDR", be(w) ++ be(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    if (frames > 1) chunk("acTL", be(frames) ++ be(0))
+    val d = new java.util.zip.Deflater()
+    d.setInput(new Array[Byte](8)); d.finish()
+    val buf = new Array[Byte](64)
+    chunk("IDAT", buf.take(d.deflate(buf)))
+    d.end()
+    chunk("IEND", Array.empty)
+    out.toByteArray
+  }
+
+  /** A real GIF89a: logical screen descriptor (optional global color
+    * table when `gct`), and per frame a graphic-control extension + image
+    * descriptor + LZW sub-blocks, ending in the trailer.
+    */
+  def encodeGif(w: Int, h: Int, frames: Int,
+      gct: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    out.write(le16(w)); out.write(le16(h))
+    out.write(if (gct) 0x80 else 0x00) // GCT flag, size code 0 → 2 entries
+    out.write(0); out.write(0)         // background, aspect
+    if (gct) out.write(new Array[Byte](2 * 3))
+    (0 until frames).foreach { _ =>
+      out.write(0x21); out.write(0xf9) // graphic control extension
+      out.write(4); out.write(new Array[Byte](4)); out.write(0)
+      out.write(0x2c)                  // image descriptor
+      out.write(le16(0)); out.write(le16(0))
+      out.write(le16(w)); out.write(le16(h))
+      out.write(0)                     // no local color table
+      out.write(2)                     // LZW minimum code size
+      out.write(3); out.write(new Array[Byte](3)); out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** doc_id → a real PNG / GIF payload (the second image-format tier;
+    * animated when the id says so), parameters id-derived for the oracle.
+    */
+  def syntheticPayload2(id: Long): Array[Byte] = {
+    val (w, h) = (16 + (id % 64).toInt, 16 + ((id * 3) % 64).toInt)
+    if (id % 2 == 0) encodePng(w, h, 1 + (id % 4).toInt)
+    else encodeGif(w, h, 1 + (id % 5).toInt)
   }
 
   val metaSchema: StructType = StructType(Seq(

@@ -130,6 +130,37 @@ object MultimodalOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // The second image tier on the same codec seam: REAL PNG (CRC-correct
+  // chunks; APNG acTL found by the chunk walk drives the frame count) and
+  // REAL GIF (logical-screen header; frames counted by walking extension
+  // and image-descriptor blocks — GIF stores no frame-count field).
+  // Payloads are deterministically constructed real files, so the oracle
+  // recomputes every parameter the parser must recover; wrong chunk
+  // arithmetic, CRC-offset slips, or a mis-skipped color table all fail
+  // the value compare.
+  private def mmDecodePngGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val built = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map(id => (id, Media.syntheticPayload2(id)))
+      .toDF("doc_id", "payload")
+    Media.decodeBatch(built, "doc_id", "payload", Media.HeaderDecoder)
+      .select(col("id").as("doc_id"), col("format"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodePngGifSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+      |  16 + doc_id % 64 AS width,
+      |  16 + (doc_id * 3) % 64 AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 4
+      |       ELSE 1 + doc_id % 5 END AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // REAL pixel resample — the execution of what mm_resize_plan only
   // planned: build a gradient-raster PPM per doc, nearest-neighbor
   // resample it to 8×8 on the batch path, and report the sampled bytes'
@@ -166,6 +197,7 @@ object MultimodalOps {
 
   val queries: Map[String, Q] = Map(
     "mm_decode_real" -> mmDecodeReal _,
+    "mm_decode_png_gif" -> mmDecodePngGif _,
     "mm_resize_real" -> mmResizeReal _,
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
@@ -175,6 +207,7 @@ object MultimodalOps {
 
   val oracle: Map[String, String] = Map(
     "mm_decode_real" -> mmDecodeRealSql,
+    "mm_decode_png_gif" -> mmDecodePngGifSql,
     "mm_resize_real" -> mmResizeRealSql,
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,

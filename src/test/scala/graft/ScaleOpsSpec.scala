@@ -614,6 +614,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("header decoder: PNG chunk walk (acTL frames) and GIF block walk " +
+      "(descriptor-counted frames, color tables skipped)") {
+    import Media.{HeaderDecoder, MediaMeta}
+    for (w <- Seq(1, 16, 640); h <- Seq(1, 16, 480)) {
+      // plain PNG: no acTL → 1 frame; APNG: acTL num_frames
+      assert(HeaderDecoder.decode(Media.encodePng(w, h, 1)) ==
+        MediaMeta(w, h, "png", 1))
+      assert(HeaderDecoder.decode(Media.encodePng(w, h, 7)) ==
+        MediaMeta(w, h, "png", 7))
+      // GIF frames are counted, not declared — with and without a
+      // global color table in the walk's way
+      assert(HeaderDecoder.decode(Media.encodeGif(w, h, 3)) ==
+        MediaMeta(w, h, "gif", 3))
+      assert(HeaderDecoder.decode(Media.encodeGif(w, h, 3, gct = true)) ==
+        MediaMeta(w, h, "gif", 3))
+    }
+    // a GIF missing its trailer fails loudly, never a silent count
+    val cut = Media.encodeGif(8, 8, 2)
+    intercept[Exception] {
+      HeaderDecoder.decode(cut.dropRight(1))
+    }
+    // a PNG whose IHDR is not first is rejected
+    intercept[IllegalArgumentException] {
+      val p = Media.encodePng(8, 8, 1)
+      p(13) = 'X'.toByte
+      HeaderDecoder.decode(p)
+    }
+  }
+
   test("count-min heavy hitters: one-sided, partition-independent, exact top") {
     import spark.implicits._
     // quadratic-weight fixture: tok_i appears i² times → true top-10 is
