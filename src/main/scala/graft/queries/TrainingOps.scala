@@ -252,7 +252,44 @@ object TrainingOps {
       |                     ORDER BY k, doc_id) AS pos
       |FROM keyed ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Deterministic train/validation/test split — the holdout assignment a
+  // training run records once and must never change afterwards: the split
+  // is a pure md5 function of doc_id (engine-independent, incremental-
+  // ingest-stable — new docs get assigned without moving old ones), with
+  // cut points 95 / 2.5 / 2.5 on a 0..999 bucket. A narrow scan + one
+  // case expression; the per-(split, lang) counts make drift visible.
+  private def txSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      pmod(conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(1000L))
+    val split = when(bucket < 950L, "train")
+      .when(bucket < 975L, "validation").otherwise("test")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split.as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  private val txSplitSql =
+    """WITH assigned AS (
+      |  SELECT doc_id, lang,
+      |    CASE
+      |      WHEN CAST(concat('0x', substr(md5('split:' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 950
+      |        THEN 'train'
+      |      WHEN CAST(concat('0x', substr(md5('split:' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 975
+      |        THEN 'validation'
+      |      ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, lang, count(*) AS n_docs, min(doc_id) AS min_doc
+      |FROM assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tx_split" -> txSplit _,
     "tx_pack" -> txPack _,
     "tx_sample" -> txSample _,
     "tx_normalize" -> txNormalize _,
@@ -262,6 +299,7 @@ object TrainingOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx_split" -> txSplitSql,
     "tx_pack" -> txPackSql,
     "tx_sample" -> txSampleSql,
     "tx_normalize" -> txNormalizeSql,
