@@ -531,6 +531,27 @@ object Analytics {
   // migration path: a user can move a mapGroupsWithState processor to a
   // StatefulProcessor without a semantic change.
   private def stTransformState(s: SparkSession, dir: String): DataFrame =
+    transformProfiles(s, dir, new graft.streaming.ProfileProcessor,
+      processingTime = false)
+
+  // The SAME profile again with a per-state TTL (TTLConfig) — the
+  // state-store-bounding tier of the new API: TTL far above the replay's
+  // wall time means nothing expires here, so the ONE oracle pins all
+  // three state APIs (mapGroupsWithState, transformWithState, TTL'd
+  // transformWithState) to one result; the expiry behavior itself (state
+  // reads absent after the TTL, profile restarts) is asserted with a
+  // short TTL in StreamingSpec, where wall time is controlled.
+  private def stTransformTtl(s: SparkSession, dir: String): DataFrame =
+    transformProfiles(s, dir,
+      new graft.streaming.TtlProfileProcessor(3600L * 1000L),
+      processingTime = true) // TTL state requires ProcessingTime mode
+
+  /** Shared transformWithState profile replay; `processor` and the time
+    * mode are the variant knobs.
+    */
+  def transformProfiles(s: SparkSession, dir: String,
+      processor: graft.streaming.ProfileProcessor,
+      processingTime: Boolean): DataFrame =
     graft.streaming.StateTuning.withStatePartitions(s,
         graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
@@ -559,10 +580,11 @@ object Analytics {
           round(col("value") * 100).cast("long").as("cents"))
         .as[(Long, Long, Long)]
       val profiles = events.groupByKey(_._1)
-        .transformWithState(new graft.streaming.ProfileProcessor,
-          TimeMode.None(), OutputMode.Update())
+        .transformWithState(processor,
+          if (processingTime) TimeMode.ProcessingTime() else TimeMode.None(),
+          OutputMode.Update())
         .toDF("user_id", "n_events", "total_value", "first_sec", "last_sec")
-      val q = profiles.writeStream
+      val writer = profiles.writeStream
         .outputMode("update")
         .foreachBatch { (df: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
@@ -570,9 +592,37 @@ object Analytics {
             .write.mode("append").parquet(s"$work/out")
         }
         .option("checkpointLocation", s"$work/_chk")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      if (!processingTime) {
+        val q = writer.trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } else {
+        // ProcessingTime TimeMode re-triggers under AvailableNow forever
+        // (same machinery as ProcessingTimeTimeout) — bounded runs need a
+        // sink-side stop condition: poll until every input row is
+        // reflected in the latest per-user emissions, then stop.
+        val expected = graft.Tables.t(s, dir, "events").count()
+        val q = writer
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        def drained(): Boolean =
+          try {
+            val n = s.read.schema(
+                "user_id long, n_events long, total_value double, " +
+                  "first_sec long, last_sec long, batch_id long")
+              .parquet(s"$work/out")
+              .groupBy(col("user_id"))
+              .agg(max_by(col("n_events"), col("batch_id")).as("n"))
+              .agg(sum(col("n"))).first()
+            !n.isNullAt(0) && n.getLong(0) == expected
+          } catch { case _: org.apache.spark.sql.AnalysisException =>
+            false // sink dir not created yet
+          }
+        val deadline = System.nanoTime() + 300L * 1000000000L
+        while (!drained() && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        q.stop(); q.awaitTermination()
+        require(drained(),
+          "TTL profile replay did not drain all input within 300 s")
+      }
       // latest emission per user == the complete accumulated state
       graft.streaming.WorkDirs.materializeAndClean(
         s.read.parquet(s"$work/out")
@@ -871,6 +921,7 @@ object Analytics {
     "st_expect_stream" -> stExpectStream _,
     "st_mapgroups_state" -> stMapgroupsState _,
     "st_transform_state" -> stTransformState _,
+    "st_transform_ttl" -> stTransformTtl _,
     "st_timeout_evict" -> stTimeoutEvict _
   )
 
@@ -889,6 +940,7 @@ object Analytics {
     "st_expect_stream" -> stExpectStreamSql,
     "st_mapgroups_state" -> stMapgroupsStateSql,
     "st_transform_state" -> stMapgroupsStateSql,
+    "st_transform_ttl" -> stMapgroupsStateSql,
     "st_timeout_evict" -> stTimeoutEvictSql
   )
 }

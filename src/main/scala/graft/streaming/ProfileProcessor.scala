@@ -20,11 +20,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
 class ProfileProcessor extends StatefulProcessor[
     Long, (Long, Long, Long), (Long, Long, Double, Long, Long)] {
 
+  /** TTL for the profile state; NONE here, overridden by the TTL
+    * variant. TTL-expired state reads as absent, so an expired user's
+    * profile restarts from zero — the state-store-bounding behavior an
+    * unbounded key space needs without explicit timers.
+    */
+  protected def ttl: TTLConfig = TTLConfig.NONE
+
   @transient private var state: ValueState[(Long, Long, Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     state = getHandle.getValueState[(Long, Long, Long, Long)]("profile",
-      Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+      Encoders.product[(Long, Long, Long, Long)], ttl)
 
   override def handleInputRows(user: Long,
       rows: Iterator[(Long, Long, Long)],
@@ -38,4 +45,15 @@ class ProfileProcessor extends StatefulProcessor[
     state.update(next)
     Iterator((user, next._1, next._2 / 100.0, next._3, next._4))
   }
+}
+
+/** The same profile with a per-state TTL (`TTLConfig`): state untouched
+  * for `ttlMs` of processing time reads as absent and the profile
+  * restarts — how a per-user processor over an unbounded key space keeps
+  * its RocksDB store finite without registering explicit timers. TTL
+  * state requires `TimeMode.ProcessingTime`.
+  */
+class TtlProfileProcessor(ttlMs: Long) extends ProfileProcessor {
+  override protected def ttl: TTLConfig =
+    TTLConfig(java.time.Duration.ofMillis(ttlMs))
 }

@@ -64,6 +64,70 @@ class StreamingSpec extends AnyFunSuite {
       "profiles (evicted + live) must cover every event exactly once")
   }
 
+  test("transformWithState TTL: state past the TTL reads absent and the " +
+      "profile restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ttlspec-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val in = s"$work/in"
+      new java.io.File(in).mkdirs()
+      def drop(rows: Seq[(Long, Long, Long)]): Unit =
+        rows.toDF("user_id", "sec", "cents").coalesce(1)
+          .write.mode("append").parquet(in)
+      drop(Seq((7L, 10L, 100L), (7L, 11L, 100L), (7L, 12L, 100L)))
+      val events = spark.readStream
+        .schema("user_id long, sec long, cents long")
+        .parquet(in).as[(Long, Long, Long)]
+      val profiles = events.groupByKey(_._1)
+        .transformWithState(new graft.streaming.TtlProfileProcessor(800L),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF("user_id", "n_events", "total_value", "first_sec", "last_sec")
+      val q = profiles.writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$work/out")
+        }
+        .option("checkpointLocation", s"$work/_chk")
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      def latestN(): Option[Long] =
+        try {
+          spark.read.schema("user_id long, n_events long, " +
+              "total_value double, first_sec long, last_sec long, " +
+              "batch_id long")
+            .parquet(s"$work/out")
+            .filter(col("user_id") === 7L)
+            .orderBy(col("batch_id").desc).limit(1).collect()
+            .headOption.map(_.getLong(1))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      def waitFor(cond: => Boolean, ms: Long): Boolean = {
+        val dl = System.currentTimeMillis() + ms
+        while (!cond && System.currentTimeMillis() < dl) Thread.sleep(50)
+        cond
+      }
+      assert(waitFor(latestN().contains(3L), 60000),
+        s"batch 1 must accumulate 3 events, got ${latestN()}")
+      Thread.sleep(2500) // processing time passes the 800 ms TTL
+      drop(Seq((7L, 20L, 100L), (7L, 21L, 100L)))
+      // expired state reads absent → the profile RESTARTS at 2, not 5
+      assert(waitFor(latestN().contains(2L), 60000),
+        s"post-TTL profile must restart, got ${latestN()}")
+      q.stop(); q.awaitTermination()
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streamChanges: batch-feed parity, then incremental pickup of a " +
       "new version through the same checkpoint") {
     import spark.implicits._
