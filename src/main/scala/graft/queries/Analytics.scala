@@ -546,6 +546,87 @@ object Analytics {
       new graft.streaming.TtlProfileProcessor(3600L * 1000L),
       processingTime = true) // TTL state requires ProcessingTime mode
 
+  // ListState tier of the new API: per-user BOUNDED top-3 events by
+  // (cents desc, sec asc) — the leaderboard/recent-items state shape.
+  // The kept set is a pure function of the event multiset (arrival order
+  // and batch slicing cannot change it), so a closed-form window oracle
+  // pins the streamed result exactly; state is 3 items per key at any
+  // input volume.
+  private def stTransformList(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-twl-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val events = s.readStream
+        .schema(rawSchema)
+        .option("basePath", dir)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/events*.parquet")
+        .select(col("user_id"),
+          expr("ts div 1000000000").as("sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long)]
+      val tops = events.groupByKey(_._1)
+        .transformWithState(new graft.streaming.TopEventsProcessor(3),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_kept", "kept_cents", "best_sec")
+      val q = tops.writeStream
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$work/out")
+        }
+        .option("checkpointLocation", s"$work/_chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.WorkDirs.materializeAndClean(
+        s.read.parquet(s"$work/out")
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("n_kept"), col("kept_cents"), col("best_sec")),
+            col("batch_id")).as("p"))
+          .select(col("user_id"), col("p.n_kept").as("n_kept"),
+            col("p.kept_cents").as("kept_cents"),
+            col("p.best_sec").as("best_sec"))
+          .orderBy(col("user_id")), work)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private val stTransformListSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |ranked AS (
+      |  SELECT user_id, sec, cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY cents DESC, sec) AS rn
+      |  FROM ev)
+      |SELECT user_id, count(*) AS n_kept,
+      |  CAST(sum(cents) AS BIGINT) AS kept_cents,
+      |  CAST(min(CASE WHEN rn = 1 THEN sec END) AS BIGINT) AS best_sec
+      |FROM ranked WHERE rn <= 3
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Shared transformWithState profile replay; `processor` and the time
     * mode are the variant knobs.
     */
@@ -922,6 +1003,7 @@ object Analytics {
     "st_mapgroups_state" -> stMapgroupsState _,
     "st_transform_state" -> stTransformState _,
     "st_transform_ttl" -> stTransformTtl _,
+    "st_transform_list" -> stTransformList _,
     "st_timeout_evict" -> stTimeoutEvict _
   )
 
@@ -941,6 +1023,7 @@ object Analytics {
     "st_mapgroups_state" -> stMapgroupsStateSql,
     "st_transform_state" -> stMapgroupsStateSql,
     "st_transform_ttl" -> stMapgroupsStateSql,
+    "st_transform_list" -> stTransformListSql,
     "st_timeout_evict" -> stTimeoutEvictSql
   )
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ListState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Per-user running profile on Spark 4's `transformWithState` API — the
   * successor to `mapGroupsWithState`: typed state handles (`ValueState`
@@ -56,4 +56,36 @@ class ProfileProcessor extends StatefulProcessor[
 class TtlProfileProcessor(ttlMs: Long) extends ProfileProcessor {
   override protected def ttl: TTLConfig =
     TTLConfig(java.time.Duration.ofMillis(ttlMs))
+}
+
+/** `ListState` shape of the new API: each user keeps their top-`k`
+  * events by (cents desc, sec asc) as a BOUNDED list — the per-key
+  * leaderboard/recent-items state every feed pipeline carries. The list
+  * is pruned to `k` on every batch, so state size is k items per key at
+  * any input volume, and the kept set is a pure function of the event
+  * MULTISET (order-of-arrival independent — batch boundaries and shuffle
+  * order cannot change it), which is what lets a closed-form oracle pin
+  * the result. Emits (user, kept count, kept cents sum, best sec).
+  */
+class TopEventsProcessor(k: Int) extends StatefulProcessor[
+    Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+
+  @transient private var top: ListState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    top = getHandle.getListState[(Long, Long)]("top",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  /** (cents, sec) ranked: more cents first, earlier sec breaks ties. */
+  private def rank(e: (Long, Long)): (Long, Long) = (-e._1, e._2)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val prev = if (top.exists()) top.get().toSeq else Seq.empty
+    val next = (prev ++ rows.map { case (_, sec, cents) => (cents, sec) })
+      .sortBy(rank).take(k)
+    top.put(next.toArray)
+    Iterator((user, next.size.toLong, next.map(_._1).sum, next.head._2))
+  }
 }
