@@ -798,6 +798,81 @@ object Analytics {
       (s"$work/spool", split, nLow)
     }) }
 
+  // The SAME eviction semantics on transformWithState's EXPLICIT timers
+  // (registerTimer / handleExpiredTimer) — the new API's replacement for
+  // ProcessingTimeTimeout, pinned to the SAME oracle as the
+  // mapGroupsWithState form: a user migrating the eviction pipeline to
+  // timers gets identical results. Same fixture, same drain ledger.
+  private def stTimerEvict(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val stateKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(stateKey)
+    s.conf.set(stateKey, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-tmrevict-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val (spoolDir, split, nLow) = ensureEvictFixture(s, dir)
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("cents", LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(spoolDir)
+        .as[(Long, Long)]
+      val profiles = stream.groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.TimerEvictProcessor(split),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF("user_id", "n_events", "total_value", "expired")
+      val evictedUsers =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = profiles.writeStream
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          df.persist()
+          try {
+            if (!df.isEmpty) {
+              df.withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(s"$work/out")
+              df.filter(col("expired")).select(col("user_id"))
+                .collect().foreach(r => evictedUsers.add(r.getLong(0)))
+            }
+          } finally df.unpersist()
+        }
+        .option("checkpointLocation", s"$work/_chk")
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .start()
+      val deadline = System.currentTimeMillis() + 120000L
+      while (evictedUsers.size() < nLow && q.exception.isEmpty
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      q.stop()
+      q.awaitTermination()
+      if (evictedUsers.size() < nLow)
+        throw new IllegalStateException(
+          s"st_timer_evict: only ${evictedUsers.size()} of $nLow idle " +
+            "groups evicted before the deadline")
+      graft.streaming.WorkDirs.materializeAndClean(
+        s.read.parquet(s"$work/out")
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("n_events"), col("total_value"), col("expired")),
+            col("batch_id")).as("p"))
+          .select(col("user_id"), col("p.n_events").as("n_events"),
+            col("p.total_value").as("total_value"),
+            col("p.expired").as("expired"))
+          .orderBy(col("user_id")), work)
+    } finally prevProv match {
+      case Some(v) => s.conf.set(stateKey, v)
+      case None => s.conf.unset(stateKey)
+    }
+  }
+
   private def stTimeoutEvict(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StateTuning.withStatePartitions(s,
         graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
@@ -1004,7 +1079,8 @@ object Analytics {
     "st_transform_state" -> stTransformState _,
     "st_transform_ttl" -> stTransformTtl _,
     "st_transform_list" -> stTransformList _,
-    "st_timeout_evict" -> stTimeoutEvict _
+    "st_timeout_evict" -> stTimeoutEvict _,
+    "st_timer_evict" -> stTimerEvict _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1024,6 +1100,7 @@ object Analytics {
     "st_transform_state" -> stMapgroupsStateSql,
     "st_transform_ttl" -> stMapgroupsStateSql,
     "st_transform_list" -> stTransformListSql,
-    "st_timeout_evict" -> stTimeoutEvictSql
+    "st_timeout_evict" -> stTimeoutEvictSql,
+    "st_timer_evict" -> stTimeoutEvictSql
   )
 }

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ListState, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Per-user running profile on Spark 4's `transformWithState` API — the
   * successor to `mapGroupsWithState`: typed state handles (`ValueState`
@@ -56,6 +57,50 @@ class ProfileProcessor extends StatefulProcessor[
 class TtlProfileProcessor(ttlMs: Long) extends ProfileProcessor {
   override protected def ttl: TTLConfig =
     TTLConfig(java.time.Duration.ofMillis(ttlMs))
+}
+
+/** Explicit TIMERS on the new API — the transformWithState form of
+  * ProcessingTimeTimeout eviction: users below `split` re-arm a
+  * processing-time timer on every input batch; when the timer fires with
+  * the user idle, [[handleExpiredTimer]] emits the COMPLETE final
+  * profile flagged expired and clears the state. Timers from earlier
+  * batches that fire after the eviction find no state and emit nothing,
+  * so the eviction row is emitted exactly once. Requires
+  * `TimeMode.ProcessingTime`.
+  */
+class TimerEvictProcessor(split: Long) extends StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Double, Boolean)] {
+
+  @transient private var state: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)]("profile",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Double, Boolean)] = {
+    val prev = if (state.exists()) state.get() else (0L, 0L)
+    val next = rows.foldLeft(prev) { case ((n, tot), (_, c)) =>
+      (n + 1, tot + c)
+    }
+    state.update(next)
+    // arm eviction ONLY for the idle (low) half — an armed, never-firing
+    // timer would keep the bounded harness spinning
+    if (user < split)
+      getHandle.registerTimer(
+        timerValues.getCurrentProcessingTimeInMs() + 1L)
+    Iterator((user, next._1, next._2 / 100.0, false))
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo)
+      : Iterator[(Long, Long, Double, Boolean)] =
+    if (!state.exists()) Iterator.empty // already evicted by a prior timer
+    else {
+      val (n, tot) = state.get()
+      state.clear()
+      Iterator((user, n, tot / 100.0, true))
+    }
 }
 
 /** `ListState` shape of the new API: each user keeps their top-`k`
