@@ -627,6 +627,74 @@ object Analytics {
       |FROM ranked WHERE rn <= 3
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // MapState tier of the new API: per-user event_type → (count, cents)
+  // accumulators — sub-keyed state where only touched entries are
+  // read/written per batch. One oracled row per (user, type); the final
+  // map content is a pure function of the event multiset.
+  private def stTransformMap(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-twm-${java.util.UUID.randomUUID()}").getAbsolutePath
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val events = s.readStream
+        .schema(rawSchema)
+        .option("basePath", dir)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/events*.parquet")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, String, Long)]
+      val typed = events.groupByKey(_._1)
+        .transformWithState(new graft.streaming.TypeCountsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n_events", "cents_total")
+      val q = typed.writeStream
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$work/out")
+        }
+        .option("checkpointLocation", s"$work/_chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.WorkDirs.materializeAndClean(
+        s.read.parquet(s"$work/out")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max_by(struct(col("n_events"), col("cents_total")),
+            col("batch_id")).as("p"))
+          .select(col("user_id"), col("event_type"),
+            col("p.n_events").as("n_events"),
+            col("p.cents_total").as("cents_total"))
+          .orderBy(col("user_id"), col("event_type")), work)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  private val stTransformMapSql =
+    """SELECT user_id, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS cents_total
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Shared transformWithState profile replay; `processor` and the time
     * mode are the variant knobs.
     */
@@ -1079,6 +1147,7 @@ object Analytics {
     "st_transform_state" -> stTransformState _,
     "st_transform_ttl" -> stTransformTtl _,
     "st_transform_list" -> stTransformList _,
+    "st_transform_map" -> stTransformMap _,
     "st_timeout_evict" -> stTimeoutEvict _,
     "st_timer_evict" -> stTimerEvict _
   )
@@ -1100,6 +1169,7 @@ object Analytics {
     "st_transform_state" -> stMapgroupsStateSql,
     "st_transform_ttl" -> stMapgroupsStateSql,
     "st_transform_list" -> stTransformListSql,
+    "st_transform_map" -> stTransformMapSql,
     "st_timeout_evict" -> stTimeoutEvictSql,
     "st_timer_evict" -> stTimeoutEvictSql
   )

@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
-  ValueState}
+  MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Per-user running profile on Spark 4's `transformWithState` API — the
   * successor to `mapGroupsWithState`: typed state handles (`ValueState`
@@ -101,6 +101,35 @@ class TimerEvictProcessor(split: Long) extends StatefulProcessor[
       state.clear()
       Iterator((user, n, tot / 100.0, true))
     }
+}
+
+/** `MapState` shape of the new API — the per-key sub-keyed accumulator:
+  * each user's state is a map event_type → (count, cents sum), updated
+  * point-wise per input row (only the touched sub-keys are read/written —
+  * on RocksDB a map entry is its own store key, so a user with thousands
+  * of types pays per-entry I/O, not a full-value rewrite like a Map held
+  * in `ValueState` would). Emits one row per (user, type) present in the
+  * map after each batch; update-mode readers keep the latest per pair.
+  */
+class TypeCountsProcessor extends StatefulProcessor[
+    Long, (Long, String, Long), (Long, String, Long, Long)] {
+
+  @transient private var counts: MapState[String, (Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, (Long, Long)]("type_counts",
+      Encoders.STRING, Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[(Long, String, Long)],
+      timerValues: TimerValues): Iterator[(Long, String, Long, Long)] = {
+    rows.foreach { case (_, tpe, cents) =>
+      val (n, tot) =
+        if (counts.containsKey(tpe)) counts.getValue(tpe) else (0L, 0L)
+      counts.updateValue(tpe, (n + 1, tot + cents))
+    }
+    counts.iterator().map { case (tpe, (n, tot)) => (user, tpe, n, tot) }
+  }
 }
 
 /** `ListState` shape of the new API: each user keeps their top-`k`
