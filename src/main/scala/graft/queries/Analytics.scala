@@ -1086,13 +1086,16 @@ object Analytics {
   // A11: GROUPING SETS — the explicit lattice (rollup and cube are its
   // special cases); issued through the SQL entry since the DataFrame API
   // exposes only the shorthands. One shuffle, planner-expanded.
+  // NB: the divisor must be CAST AS DOUBLE — Spark SQL types the literal
+  // 100.0 as DECIMAL(4,1), making sum(BIGINT)/100.0 a DECIMAL(27,6) column
+  // where consumers (and the oracle) expect DOUBLE.
   private def a11GroupingSets(s: SparkSession, dir: String): DataFrame = {
     val view = s"lineitem_gs_${java.lang.Long.toHexString(dir.hashCode & 0xffffffffL)}"
     t(s, dir, "lineitem").createOrReplaceTempView(view)
     s.sql(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          |  coalesce(l_linestatus, 'ALL') AS linestatus,
-         |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+         |  sum(CAST(round(l_quantity*100) AS BIGINT))/CAST(100 AS DOUBLE) AS sum_qty,
          |  count(*) AS n_lines
          |FROM $view
          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))

@@ -16,6 +16,8 @@ import sys, json, glob, math
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -33,6 +35,35 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
+
+
+def canon_type(t: pa.DataType) -> str:
+    """Canonical physical-type string for the driver's typed hash.
+
+    Decimal stays distinct from floating (the a11 r6 regression: Spark SQL
+    typed a literal-100.0 division DECIMAL(27,6) while the oracle returned
+    DOUBLE — pandas coerced both to float64 so the value compare passed
+    locally but the driver's typed hash failed). Timestamp unit/tz and
+    string width variants are normalized away since norm() already casts
+    them before the value compare.
+    """
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    return str(t)
+
+
+def schema_types(schema: pa.Schema) -> dict:
+    return {f.name: canon_type(f.type) for f in schema}
 
 
 def cells_equal(a, b) -> bool:
@@ -72,7 +103,8 @@ def main():
         try:
             got = norm(duckdb.sql(
                 f"SELECT * FROM read_parquet({files!r})").df())
-            exp = norm(con.sql(sql).df())
+            exp_tbl = con.sql(sql).arrow()
+            exp = norm(exp_tbl.to_pandas())
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
@@ -80,6 +112,19 @@ def main():
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: cols spark={list(got.columns)} "
                   f"oracle={list(exp.columns)}")
+            n_fail += 1
+            continue
+        # physical-schema gate: compare the parquet footer's arrow types
+        # against the oracle's arrow types BEFORE pandas coerces them —
+        # decimal128 vs double both land in float64 downstream and would
+        # pass the value compare while failing the driver's typed hash.
+        got_types = schema_types(pq.read_schema(files[0]))
+        exp_types = schema_types(exp_tbl.schema)
+        ty_diffs = [(c, got_types.get(c), exp_types.get(c))
+                    for c in sorted(exp_types)
+                    if got_types.get(c) != exp_types.get(c)]
+        if ty_diffs:
+            print(f"FAIL {name}: physical type mismatch {ty_diffs}")
             n_fail += 1
             continue
         if len(got) != len(exp):
