@@ -32,11 +32,26 @@ object DedupOps {
   // ---------------------------------------------------------------------
   // Full n-gram Jaccard: word-3-gram shingles, pairs sharing shingles,
   // top-20 by similarity. The exact ground truth the LSH paths approximate.
-  private def ddNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", 3)
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.select(col("doc_id").as("id_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
+  // Skew guard (same contract as TextOps.winnowPairs): a shingle present
+  // in more than `maxDf` documents is boilerplate — joining on it yields
+  // O(df²) pair rows, so one stop-word 3-gram shared by every doc makes
+  // the join quadratic in the corpus. Such shingles are dropped from BOTH
+  // the join and both Jaccard denominators (the similarity is computed
+  // over the rare-shingle universe, consistently on the Spark and oracle
+  // sides). Consequence: a duplicate cluster wider than maxDf reports no
+  // pairs — mass duplication is dd_exact / dd_dedup_keep's job.
+  /** Exposed with the df knob so specs can exercise the cap directly. */
+  def ngramJaccardPairs(docsRaw: DataFrame, maxDf: Int = 50): DataFrame = {
+    val sh = Dedup.shingles(docsRaw, "doc_id", "text", 3)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("shingle"))
+    // kept is consumed three times (per-doc sizes + both pair-join sides)
+    // and already contains the df aggregate — materialize once, unlike the
+    // plain shingle explode in ddMinhashLsh which is cheaper to recompute
+    val kept = sh.join(rare, Seq("shingle")).localCheckpoint()
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = kept.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(kept.select(col("doc_id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     pairs
@@ -49,6 +64,9 @@ object DedupOps {
       .limit(20)
   }
 
+  private def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(t(s, dir, "documents"))
+
   private val ddNgramJaccardSql =
     """WITH docs AS (
       |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
@@ -58,10 +76,13 @@ object DedupOps {
       |sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |  FROM idx),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |rare AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+      |kept AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT id_a, id_b,
       |  round(inter*1.0/(ca.n + cb.n - inter), 6) AS jaccard

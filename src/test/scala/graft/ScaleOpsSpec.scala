@@ -26,6 +26,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} pairs")
   }
 
+  test("ngram-jaccard df cap: a shingle shared by every doc joins nothing") {
+    import spark.implicits._
+    // 60 docs share one boilerplate sentence (3 interior shingles, df=60 >
+    // the default cap of 50) and are otherwise unique: an uncapped join
+    // would emit 60*59/2 = 1770 boilerplate-only pairs and flood the
+    // top-20. One genuine near-dup pair shares rare (df=2) shingles only.
+    val boiler = (0 until 60).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c common boiler plate words here"))
+    val nearDup = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta kappa"))
+    val docs = (boiler ++ nearDup).toDF("doc_id", "text")
+    val got = DedupOps.ngramJaccardPairs(docs).collect()
+    assert(got.length == 1,
+      s"capped join must emit only the rare-shingle pair, got ${got.length}")
+    assert((got(0).getLong(0), got(0).getLong(1)) == (1000L, 1001L))
+    assert(got(0).getAs[Double]("jaccard") > 0.7)
+    // with the cap above the boilerplate df, the quadratic pairs are back
+    // (proving the cap, not the fixture, is what bounded the join)
+    val uncapped = DedupOps.ngramJaccardPairs(docs, maxDf = 100)
+    assert(uncapped.count() == 20, "uncapped top-20 floods with boilerplate")
+  }
+
   test("LSH verified pairs carry true jaccard (subset of exact pair set)") {
     val sh = Dedup.shingles(Tables.t(spark, sfSmoke, "documents"),
       "doc_id", "text", 3)
