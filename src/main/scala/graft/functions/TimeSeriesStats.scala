@@ -196,6 +196,133 @@ object TimeSeriesStats {
   def diff1(y: Array[Double]): Array[Double] =
     Array.tabulate(y.length - 1)(i => y(i + 1) - y(i))
 
+  // ---------------------------------------------------------------------
+  // Order search (reference behavior: test5.ipynb cell 10 grid-searches
+  // ARIMA orders by AIC/BIC; Garch_v1.ipynb cells 21-29 rank GARCH orders).
+  // The general-(p,q) fits below exist for the model-selection REPORT; the
+  // production fit stages keep the notebooks' fixed (1,1)/(1,0,1) orders.
+
+  final case class OrderFit(p: Int, q: Int, kParams: Int, loglik: Double,
+      aic: Double, bic: Double, n: Long)
+
+  /** ARMA(p,q) CSS residuals conditioned on the first p observations with
+    * pre-sample innovations at 0 — the [[armaResiduals]] recursion at
+    * general order. Returns e_p..e_{n−1}.
+    */
+  def armaResidualsPQ(y: Array[Double], c: Double, phi: Array[Double],
+      theta: Array[Double]): Array[Double] = {
+    val p = phi.length; val q = theta.length
+    require(y.length >= p + 2,
+      s"armaResidualsPQ needs >= ${p + 2} observations, got ${y.length}")
+    val e = new Array[Double](y.length) // e(t) = 0 for t < p (pre-sample)
+    var t = p
+    while (t < y.length) {
+      var v = y(t) - c
+      var i = 0
+      while (i < p) { v -= phi(i) * y(t - 1 - i); i += 1 }
+      var j = 0
+      while (j < q) { if (t - 1 - j >= p) v -= theta(j) * e(t - 1 - j); j += 1 }
+      e(t) = v
+      t += 1
+    }
+    e.drop(p)
+  }
+
+  /** Fit ARMA(p,q) by CSS (Nelder-Mead over c plus tanh-bounded AR/MA
+    * coefficients, the [[fitArma11]] parametrization at general order).
+    * k counts c + p + q + the residual variance, the statsmodels AIC
+    * convention, so orders are penalized comparably across the grid.
+    */
+  def fitArmaPQ(y: Array[Double], p: Int, q: Int): OrderFit = {
+    require(y.length >= p + q + 3,
+      s"fitArmaPQ($p,$q) needs >= ${p + q + 3} observations, got ${y.length}")
+    def decode(t: Array[Double]): (Double, Array[Double], Array[Double]) =
+      (t(0), Array.tabulate(p)(i => 0.998 * math.tanh(t(1 + i))),
+        Array.tabulate(q)(j => 0.998 * math.tanh(t(1 + p + j))))
+    def obj(t: Array[Double]): Double = {
+      val (c, phi, theta) = decode(t)
+      val e = armaResidualsPQ(y, c, phi, theta)
+      val sse = e.map(v => v * v).sum
+      if (sse.isNaN) Double.MaxValue else sse
+    }
+    val x0 = Array.fill(1 + p + q)(0.0); x0(0) = mean(y)
+    val best = nelderMead(obj, x0, step = 0.3, maxIter = 900)
+    val (c, phi, theta) = decode(best)
+    val e = armaResidualsPQ(y, c, phi, theta)
+    val m = e.length
+    val s2 = (e.map(v => v * v).sum / m).max(1e-300)
+    val ll = -0.5 * m * (math.log(2 * math.Pi * s2) + 1.0)
+    val k = p + q + 2
+    OrderFit(p, q, k, ll, 2.0 * k - 2.0 * ll,
+      k * math.log(m.toDouble) - 2.0 * ll, m.toLong)
+  }
+
+  /** GARCH(p,q) negative log-likelihood: p ARCH lags (squared returns),
+    * q GARCH lags (past variances); pre-sample r² and σ² at the sample
+    * variance — [[garchNll]] at general order.
+    */
+  def garchNllPQ(r: Array[Double], omega: Double, alpha: Array[Double],
+      beta: Array[Double]): Double = {
+    val p = alpha.length; val q = beta.length
+    if (omega <= 0 || alpha.exists(_ < 0) || beta.exists(_ < 0) ||
+        alpha.sum + beta.sum >= 0.9999) return Double.MaxValue
+    val v = variance(r).max(1e-12)
+    val r2hist = Array.fill(p.max(1))(v) // ring of last p squared returns
+    val s2hist = Array.fill(q.max(1))(v) // ring of last q variances
+    var nll = 0.0
+    var t = 0
+    val log2pi = math.log(2 * math.Pi)
+    while (t < r.length) {
+      var s2 = omega
+      var i = 0
+      while (i < p) { s2 += alpha(i) * r2hist((t - 1 - i + 2 * p) % p); i += 1 }
+      var j = 0
+      while (j < q) { s2 += beta(j) * s2hist((t - 1 - j + 2 * q) % q); j += 1 }
+      s2 = s2.max(1e-300)
+      nll += 0.5 * (log2pi + math.log(s2) + r(t) * r(t) / s2)
+      if (p > 0) r2hist(t % p) = r(t) * r(t)
+      if (q > 0) s2hist(t % q) = s2
+      t += 1
+    }
+    if (nll.isNaN) Double.MaxValue else nll
+  }
+
+  /** Fit GARCH(p,q) by MLE — the [[fitGarch11]] unconstrained transform at
+    * general order: ω = exp(t₀), total persistence in (0, 0.998) via a
+    * sigmoid, and the p+q coefficient shares via a softmax with the last
+    * logit pinned to 0 (removes the shift redundancy). k = 1 + p + q.
+    */
+  def fitGarchPQ(returns: Array[Double], p: Int, q: Int): OrderFit = {
+    require(p >= 1, s"GARCH needs at least one ARCH lag, got p=$p")
+    val r = { val m = mean(returns); returns.map(_ - m) }
+    val v = variance(r).max(1e-12)
+    def sigmoid(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    val nShare = p + q
+    def decode(t: Array[Double]): (Double, Array[Double], Array[Double]) = {
+      val total = 0.998 * sigmoid(t(1))
+      val logits = Array.tabulate(nShare)(i =>
+        if (i < nShare - 1) t(2 + i) else 0.0)
+      val mx = logits.max
+      val exps = logits.map(l => math.exp(l - mx))
+      val z = exps.sum
+      val coefs = exps.map(e => total * e / z)
+      (math.exp(t(0)), coefs.take(p), coefs.drop(p))
+    }
+    def obj(t: Array[Double]): Double = {
+      val (o, a, b) = decode(t)
+      garchNllPQ(r, o, a, b)
+    }
+    val x0 = Array.fill(1 + nShare)(0.0)
+    x0(0) = math.log(0.1 * v); x0(1) = 2.0
+    val best = nelderMead(obj, x0, step = 0.5, maxIter = 900)
+    val (o, a, b) = decode(best)
+    val ll = -garchNllPQ(r, o, a, b)
+    val k = 1 + p + q
+    val n = r.length
+    OrderFit(p, q, k, ll, 2.0 * k - 2.0 * ll,
+      k * math.log(n.toDouble) - 2.0 * ll, n.toLong)
+  }
+
   /** h-step-ahead variance forecast from the fitted model state. */
   def garchForecastVariance(fit: GarchFit, r: Array[Double], h: Int): Double = {
     val rd = { val m = mean(r); r.map(_ - m) }

@@ -260,6 +260,58 @@ object TimeSeries {
   }
 
   // ---------------------------------------------------------------------
+  // Model-selection report (reference: test5.ipynb cell 10 grid-searches
+  // ARIMA p,q by AIC/BIC; Garch_v1.ipynb cells 21-29 rank 9 GARCH orders):
+  // per key, fit a 3×3 ARMA grid (p,q ∈ 0..2, CSS) and a 3×3 GARCH grid
+  // (p ∈ 1..3, q ∈ 0..2, MLE) on daily log-returns; rank each family by
+  // AIC. Same scale shape as tsGarchFit — one bounded in-memory grid per
+  // key (18 small simplex fits over a days-long series), keys scale out.
+  // Not SQL-expressible → rows-only; planted-order recovery in
+  // TimeSeriesSpec.
+  /** The per-series grid, exposed so specs can feed planted-order data. */
+  def orderSearchRows(series: Array[Double])
+      : Seq[(String, Int, Int, Int, Double, Double, Double, Long)] = {
+    val arma = for (p <- 0 to 2; q <- 0 to 2)
+      yield ("arma", TimeSeriesStats.fitArmaPQ(series, p, q))
+    val garch = for (p <- 1 to 3; q <- 0 to 2)
+      yield ("garch", TimeSeriesStats.fitGarchPQ(series, p, q))
+    (arma ++ garch).map { case (fam, f) =>
+      (fam, f.p, f.q, f.kParams, f.loglik, f.aic, f.bic, f.n)
+    }
+  }
+
+  private def tsOrderSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val rets = dailyClose(s, dir)
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        datediff(col("d"), to_date(lit("2024-01-01"))).as("td"),
+        log(col("close") / col("prev")).as("r"))
+      .as[(String, Int, Double)]
+    rets.groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val series = it.map(x => (x._2, x._3)).toArray.sortBy(_._1).map(_._2)
+        // the deepest grid point needs p+q+3 = 8 observations
+        if (series.length < 12) Iterator.empty
+        else {
+          val rows = orderSearchRows(series)
+          // rank within family by AIC, ties broken by the smaller order
+          rows.groupBy(_._1).iterator.flatMap { case (_, fam) =>
+            fam.sortBy(r => (r._6, r._2, r._3)).zipWithIndex.map {
+              case ((f, p, q, kp, ll, aic, bic, n), i) =>
+                (k, f, p, q, kp, ll, aic, bic, i + 1L, n)
+            }
+          }
+        }
+      }
+      .toDF("event_type", "family", "p", "q", "k_params", "loglik", "aic",
+        "bic", "aic_rank", "n_obs")
+      .orderBy(col("event_type"), col("family"), col("aic_rank"))
+  }
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "ts_ohlcv_daily" -> tsOhlcvDaily _,
     "w4_moving_stats" -> w4MovingStats _,
@@ -267,7 +319,8 @@ object TimeSeries {
     "ts_garch_fit" -> tsGarchFit _,
     "ts_arma_residuals" -> tsArmaResiduals _,
     "ts_garch_backtest" -> tsGarchBacktest _,
-    "ts_diagnostics" -> tsDiagnostics _
+    "ts_diagnostics" -> tsDiagnostics _,
+    "ts_order_search" -> tsOrderSearch _
   )
 
   val oracle: Map[String, String] = Map(
