@@ -2698,10 +2698,20 @@ object Maintenance {
       count(lit(1)).as("n_rows"),
       min(col(eventTimeCol)).cast("string").as("min_event_time"),
       max(col(eventTimeCol)).cast("string").as("max_event_time")).first()
+    recordCommitStats(tablePath, commitTs, stats.getLong(0),
+      stats.getString(1), stats.getString(2))
+  }
+
+  /** Same manifest line as [[recordCommit]] from precomputed stats — for
+    * callers that already aggregated many commits' stats in one pass (one
+    * Spark job for a whole backfill history instead of one per commit).
+    */
+  def recordCommitStats(tablePath: String, commitTs: String, nRows: Long,
+      minEventTime: String, maxEventTime: String): Unit = {
     val line =
-      s"""{"commit_ts":"$commitTs","n_rows":${stats.getLong(0)},""" +
-        s""""min_event_time":"${stats.getString(1)}",""" +
-        s""""max_event_time":"${stats.getString(2)}"}""" + "\n"
+      s"""{"commit_ts":"$commitTs","n_rows":$nRows,""" +
+        s""""min_event_time":"$minEventTime",""" +
+        s""""max_event_time":"$maxEventTime"}""" + "\n"
     val manifest = Paths.get(manifestPath(tablePath))
     Files.createDirectories(manifest.getParent)
     Files.writeString(manifest, line,

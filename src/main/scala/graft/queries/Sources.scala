@@ -130,6 +130,90 @@ object Sources {
       |FROM (SELECT date_trunc('minute', ts) AS ws FROM events)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S8b: per-commit latency FEED (reference: TimeDelay.ipynb cells 0-3 —
+  // the notebook's artifact is a latency SERIES over ~100 commits with
+  // mean/median printed under it, not a one-row summary). The fixture
+  // replays events as a 30-day ingest history: one commit per event day,
+  // commit_ts injected as next-midnight+30s (deterministic — no wall
+  // clock), manifest written through the same recordCommit line format.
+  /** Build-once 30-commit history fixture. All per-commit stats come from
+    * ONE aggregate (collect is bounded by the day count, metadata-scale);
+    * the data files land day-partitioned to match the commit story.
+    */
+  def ensureCommitSeriesFixture(s: SparkSession, dir: String): String = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-commitseries-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    val bars = s"$work/events_by_day"
+    if (!new java.io.File(Maintenance.manifestPath(bars)).exists()) {
+      val ev = t(s, dir, "events")
+      ev.withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(bars)
+      val days = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ts")).cast("string").as("min_ev"),
+          max(col("ts")).cast("string").as("max_ev"))
+        .orderBy(col("day"))
+        .collect() // one row per day: bounded by the calendar, not the data
+      days.foreach { r =>
+        val commitTs = java.time.LocalDate
+          .parse(r.getDate(0).toString).plusDays(1)
+          .toString + " 00:00:30"
+        Maintenance.recordCommitStats(bars, commitTs, r.getLong(1),
+          r.getString(2), r.getString(3))
+      }
+    }
+    bars
+  }
+
+  private def s8CommitLatency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = s.read.json(Maintenance.manifestPath(
+      ensureCommitSeriesFixture(s, dir)))
+    // global row_number + unpartitioned summary window: both run over the
+    // commit MANIFEST (one row per commit — metadata-scale by
+    // construction), never over data rows
+    val feed = m.select(
+      row_number().over(Window.orderBy(col("commit_ts")))
+        .cast("long").as("version"),
+      col("commit_ts"), col("n_rows"),
+      col("min_event_time"), col("max_event_time"),
+      (unix_micros(col("commit_ts").cast("timestamp")) -
+        unix_micros(col("max_event_time").cast("timestamp")))
+        .as("delay_us"))
+    val all = Window.partitionBy()
+    feed.select(col("*"),
+        avg(col("delay_us")).over(all).as("mean_delay_us"),
+        percentile(col("delay_us"), lit(0.5)).over(all)
+          .as("median_delay_us"),
+        percentile(col("delay_us"), lit(0.95)).over(all)
+          .as("p95_delay_us"))
+      .orderBy(col("version"))
+  }
+
+  private val s8CommitLatencySql =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+      |    CAST(min(ts) AS VARCHAR) AS min_event_time,
+      |    CAST(max(ts) AS VARCHAR) AS max_event_time,
+      |    CAST(day AS TIMESTAMP) + INTERVAL 1 DAY + INTERVAL 30 SECOND
+      |      AS commit_t
+      |  FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS version,
+      |    CAST(commit_t AS VARCHAR) AS commit_ts, n_rows,
+      |    min_event_time, max_event_time,
+      |    epoch_us(commit_t) - epoch_us(CAST(max_event_time AS TIMESTAMP))
+      |      AS delay_us
+      |  FROM d)
+      |SELECT version, commit_ts, n_rows, min_event_time, max_event_time,
+      |  delay_us,
+      |  avg(delay_us) OVER () AS mean_delay_us,
+      |  quantile_cont(delay_us, 0.5) OVER () AS median_delay_us,
+      |  quantile_cont(delay_us, 0.95) OVER () AS p95_delay_us
+      |FROM f ORDER BY version""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S10: ORC scan — the second columnar format a lakehouse ingests
   // beside parquet (Spark's built-in ORC source; vectorized reader,
   // predicate pushdown, column pruning all apply as with parquet). The
@@ -176,6 +260,7 @@ object Sources {
     "s4_seq_ingest" -> s4SeqIngest _,
     "s7_csv_scan" -> s7CsvScan _,
     "s8_commit_stats" -> s8CommitStats _,
+    "s8_commit_latency" -> s8CommitLatency _,
     "s10_orc_scan" -> s10OrcScan _
   )
 
@@ -183,6 +268,7 @@ object Sources {
     "s4_seq_ingest" -> s4SeqIngestSql,
     "s7_csv_scan" -> s7CsvScanSql,
     "s8_commit_stats" -> s8CommitStatsSql,
+    "s8_commit_latency" -> s8CommitLatencySql,
     "s10_orc_scan" -> s10OrcScanSql
   )
 }
