@@ -111,13 +111,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarity {
   val FnName = "graft_cosine_sim"
 
+  /** Arity-checked builder shared by BOTH registration paths (the
+    * extension injectFunction and the imperative temp-function register —
+    * a temp function SHADOWS the injected one, so an unguarded builder
+    * here would resurface IndexOutOfBoundsException on malformed SQL).
+    */
+  def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$FnName`",
+          "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Register in the session's function registry (idempotent) and return a
     * Column-level handle. Registry + call_function is the public-API way to
     * surface a catalyst Expression as a Column in Spark 4.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      FnName, builder, "built-in")
 
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -30,19 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier(CosineSimilarity.FnName),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
         CosineSimilarity.FnName),
-      (exprs: Seq[Expression]) => {
-        // arity-check before indexing: a 1-arg call must fail analysis with
-        // the function's name + signature, not an IndexOutOfBoundsException
-        if (exprs.length != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            Map(
-              "functionName" -> s"`${CosineSimilarity.FnName}`",
-              "expectedNum" -> "2",
-              "actualNum" -> exprs.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
-        CosineSimilarity(exprs(0), exprs(1))
-      }))
+      // arity-checked shared builder — a 1-arg call must fail analysis
+      // naming the function, not with an IndexOutOfBoundsException; the
+      // same builder backs the imperative register path, which SHADOWS
+      // this one whenever both ran in a session
+      (exprs: Seq[Expression]) => CosineSimilarity.builder(exprs)))
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
   }
 }

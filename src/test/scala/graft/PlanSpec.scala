@@ -98,6 +98,20 @@ class PlanSpec extends AnyFunSuite {
     assert(viaSql.filter(fabs(c("cos") - 1.0) > 1e-9).count() == 0)
   }
 
+  test("injected function: wrong arity fails analysis, not with an IOOBE") {
+    import org.apache.spark.sql.functions.{col => c}
+    Tables.t(spark, sfSmoke, "embeddings")
+      .select(c("vec_id"), c("embedding").cast("array<double>").as("v"))
+      .createOrReplaceTempView("emb_arity")
+    for (call <- Seq("graft_cosine_sim(v)", "graft_cosine_sim(v, v, v)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $call FROM emb_arity").collect()
+      }
+      assert(e.getMessage.contains("graft_cosine_sim"),
+        s"$call: analysis error must name the function, got ${e.getMessage}")
+    }
+  }
+
   test("fuse rule: non-dot lambdas stay unrewritten; ragged arrays stay null") {
     import org.apache.spark.sql.functions._
     val e = Tables.t(spark, sfSmoke, "embeddings")
