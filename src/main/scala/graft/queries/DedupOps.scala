@@ -124,7 +124,13 @@ object DedupOps {
   // verify (≥ 0.9) → connected components → keep the min-id doc of every
   // cluster. The full pipeline a training-data run executes: the output
   // IS the deduplicated corpus manifest (one row per kept doc with its
-  // cluster size). Rows-only (hash-dependent); invariants in ScaleOpsSpec.
+  // cluster size). Oracled by the CLOSED FORM: because every candidate is
+  // verified with exact Jaccard, the output equals min-label connected
+  // components over the exact ≥ 0.9 pair graph — computable in DuckDB via
+  // a recursive transitive closure — PROVIDED the LSH bands recall every
+  // qualifying pair (32 perms / 8×4 bands: per-pair miss ≈ 2e-4 at 0.9;
+  // a hash-mismatch here would mean recall actually dropped a pair).
+  // Cluster invariants also in ScaleOpsSpec.
   /** Threshold exposed so specs can vary the near-dup bar. */
   def dedupKeep(s: SparkSession, dir: String,
       minJaccard: Double = 0.9): DataFrame = {
@@ -154,6 +160,40 @@ object DedupOps {
 
   private def ddDedupKeep(s: SparkSession, dir: String): DataFrame =
     dedupKeep(s, dir)
+
+  private val ddDedupKeepSql =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |  FROM docs WHERE len(w) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM idx),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE ix*1.0/(ca.n + cb.n - ix) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT u AS src, v AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      |canon AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canonical
+      |  FROM (SELECT doc_id FROM documents) d
+      |  LEFT JOIN reach r ON r.src = d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT canonical AS doc_id_kept, count(*) AS n_members
+      |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // Incremental dedup on ingest — the streaming complement of dd_exact,
@@ -272,6 +312,7 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_dedup_keep" -> ddDedupKeepSql,
     "st_incremental_dedup" -> stIncrementalDedupSql
   )
 }

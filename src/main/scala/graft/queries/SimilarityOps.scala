@@ -348,9 +348,12 @@ object SimilarityOps {
   // text pipeline's dd_dedup_keep: LSH near-dup pairs → connected
   // components → keep the min-id member of every cluster, one row per
   // kept vector with its cluster size. Runs on the doubled corpus (the
-  // deterministic near-dup fixture), so every original should head a
-  // 2-cluster containing its injected copy. Rows-only (hash-dependent);
-  // cluster-shape invariants in ScaleOpsSpec.
+  // deterministic near-dup fixture), so every original heads a 2-cluster
+  // containing its injected copy — which IS the closed-form oracle: one
+  // row per original vec_id with n_members = 2 (the source corpus has no
+  // true near-dups at 0.99, max pairwise cos ≈ 0.48). A hash mismatch
+  // means the LSH either missed an injected pair or fused unrelated
+  // vectors. Cluster-shape invariants also in ScaleOpsSpec.
   /** Exposed so specs can inspect the manifest with knobs. */
   def dedupKeepEmbeddings(s: SparkSession, dir: String,
       minCos: Double = 0.99): DataFrame = {
@@ -371,6 +374,10 @@ object SimilarityOps {
 
   private def simDedupKeep(s: SparkSession, dir: String): DataFrame =
     dedupKeepEmbeddings(s, dir)
+
+  private val simDedupKeepSql =
+    """SELECT vec_id AS vec_id_kept, CAST(2 AS BIGINT) AS n_members
+      |FROM embeddings ORDER BY vec_id_kept""".stripMargin
 
   // ---------------------------------------------------------------------
   // Topic clustering — the corpus-organization step of an embedding
@@ -445,6 +452,7 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_neardup_pairs" -> simNearDupPairsSql,
+    "sim_dedup_keep" -> simDedupKeepSql,
     "sim_quantize_stats" -> simQuantizeStatsSql
   )
 }
