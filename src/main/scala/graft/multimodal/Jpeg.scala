@@ -1,0 +1,456 @@
+package graft.multimodal
+
+/** Baseline-DCT JPEG (ITU-T T.81), pure JVM, zero external libraries —
+  * the codec tier above [[Media.HeaderDecoder]]'s container parsing: a
+  * real entropy DECODER (marker parse, DQT/DHT table build, canonical
+  * Huffman decode with byte-unstuffing and restart markers, dequantize,
+  * separable IDCT, level shift) plus the ENCODER that builds the
+  * deterministic fixtures the decoder is value-oracled against.
+  *
+  * Scope (documented, not hidden): baseline/extended sequential Huffman
+  * (SOF0/SOF1), single-component (grayscale) scans, 8-bit precision.
+  * Progressive (SOF2), arithmetic coding, and multi-component
+  * interleaving are rejected LOUDLY — a corpus shard hitting one gets an
+  * error naming the unsupported mode, never a wrong pixel.
+  *
+  * The Huffman/quantization constants below are the public Annex K
+  * example tables from the T.81 spec itself.
+  */
+object Jpeg {
+
+  /** Zigzag scan order: position k in the stream → natural (row-major)
+    * coefficient index.
+    */
+  private[multimodal] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Annex K.3.1 luminance DC table: code-length counts (lengths 1..16)
+  // and the symbol values in code order.
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+
+  // Annex K.3.2 luminance AC table.
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Flat quantization table (all 16): keeps the DC basis arithmetic
+    * exact (16/8 = 2) so fixtures have closed-form pixels.
+    */
+  val QuantFlat16: Array[Int] = Array.fill(64)(16)
+
+  /** Canonical Huffman code assignment: value → (code, length). The same
+    * derivation JPEG decoders run from a DHT segment, used here by the
+    * encoder so streams are decodable by ANY baseline decoder.
+    */
+  private def canonicalCodes(bits: Array[Int],
+      vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += vals(k) -> (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out.result()
+  }
+
+  private lazy val DcCodes = canonicalCodes(DcBits, DcVals)
+  private lazy val AcCodes = canonicalCodes(AcBits, AcVals)
+
+  // ---- bit I/O ---------------------------------------------------------
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (spec-mandated). */
+    def flush(): Unit = if (n > 0) { put(0xff, 8 - n); }
+  }
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    /** Set when the reader walks into a non-stuffing marker. */
+    var atMarker: Int = -1
+    def nextBit(): Int = {
+      if (n == 0) {
+        if (atMarker >= 0) throw new IllegalArgumentException(
+          f"entropy data ended at marker 0xff$atMarker%02x")
+        require(pos < data.length, "truncated entropy data")
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          require(pos < data.length, "truncated after 0xff")
+          val m = data(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed literal 0xff
+          else { atMarker = m; b = 0 /* unreachable pad */
+            throw new IllegalArgumentException(
+              f"entropy data ended at marker 0xff$m%02x") }
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < len) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def restart(): Unit = {
+      n = 0
+      require(pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+        ((data(pos + 1) & 0xff) & 0xf8) == 0xd0,
+        s"expected restart marker at $pos")
+      pos += 2
+    }
+  }
+
+  /** DC/AC magnitude category (T.81 F.1.2.1.1): bit length of |v|. */
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(
+    math.abs(v))
+
+  /** EXTEND (T.81 F.2.2.1): map `len` received bits back to the signed
+    * coefficient value.
+    */
+  private def extend(bits: Int, len: Int): Int =
+    if (len == 0) 0
+    else if (bits < (1 << (len - 1))) bits - (1 << len) + 1
+    else bits
+
+  // ---- encoder ---------------------------------------------------------
+
+  /** Encode an 8-bit grayscale baseline JPEG from QUANTIZED coefficient
+    * blocks (natural order, block (bx, by) row-major). The stream uses
+    * the Annex K example tables, so any compliant decoder reproduces it.
+    */
+  def encodeGray(w: Int, h: Int, quant: Array[Int],
+      blocks: (Int, Int) => Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && quant.length == 64)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xdb); be16(67); out.write(0x00) // DQT: Pq=0 Tq=0
+    var k = 0
+    while (k < 64) { out.write(quant(Zigzag(k))); k += 1 }
+    marker(0xc0); be16(11) // SOF0: 8-bit, 1 component, no subsampling
+    out.write(8); be16(h); be16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write(clazz << 4)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    marker(0xda); be16(8) // SOS: 1 component, tables 0/0, full spectral
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    def emit(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = codes(sym)
+      bw.put(c, l)
+    }
+    var prevDc = 0
+    val bw8 = (w + 7) / 8
+    val bh8 = (h + 7) / 8
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        val coef = blocks(bx, by)
+        require(coef.length == 64)
+        val diff = coef(0) - prevDc
+        prevDc = coef(0)
+        val s = category(diff)
+        emit(DcCodes, s)
+        if (s > 0)
+          bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        // AC run-length over zigzag positions 1..63
+        var run = 0
+        var kk = 1
+        while (kk < 64) {
+          val v = coef(Zigzag(kk))
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) { emit(AcCodes, 0xf0); run -= 16 } // ZRL
+            val sa = category(v)
+            emit(AcCodes, (run << 4) | sa)
+            bw.put(if (v < 0) v + (1 << sa) - 1 else v, sa)
+            run = 0
+          }
+          kk += 1
+        }
+        if (run > 0) emit(AcCodes, 0x00) // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- decoder ---------------------------------------------------------
+
+  final case class JpegImage(width: Int, height: Int, pixels: Array[Int])
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    // (length, code) → symbol via the canonical assignment
+    private val table: Map[(Int, Int), Int] = {
+      var code = 0
+      var k = 0
+      val b = Map.newBuilder[(Int, Int), Int]
+      var len = 1
+      while (len <= 16) {
+        var i = 0
+        while (i < bits(len - 1)) {
+          b += (len, code) -> vals(k); code += 1; k += 1; i += 1
+        }
+        code <<= 1
+        len += 1
+      }
+      b.result()
+    }
+    def decode(br: BitReader): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | br.nextBit()
+        len += 1
+        table.get((len, code)) match {
+          case Some(v) => return v
+          case None =>
+        }
+      }
+      throw new IllegalArgumentException("invalid Huffman code in scan")
+    }
+  }
+
+  private val CosTable: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (x, u) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16) *
+        (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+  }
+
+  /** Separable 2D type-III DCT (the JPEG IDCT), 1/4 total normalization:
+    * rows then columns, each with the 1/2 factor folded in.
+    */
+  private def idct8x8(coef: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += CosTable(x)(u) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = 0.5 * s
+        x += 1
+      }
+      y += 1
+    }
+    val outA = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += CosTable(yy)(v) * tmp(v * 8 + x); v += 1 }
+        outA(yy * 8 + x) = 0.5 * s
+        yy += 1
+      }
+      x += 1
+    }
+    outA
+  }
+
+  /** Decode a baseline/extended-sequential grayscale JPEG to pixels. */
+  def decode(data: Array[Byte]): JpegImage = {
+    require(data.length >= 4 && (data(0) & 0xff) == 0xff &&
+      (data(1) & 0xff) == 0xd8, "not a JPEG (missing SOI)")
+    var pos = 2
+    var width = -1
+    var height = -1
+    val quantTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var compQuant = -1
+    var restartInterval = 0
+    def be16(o: Int): Int = ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)
+    var scanDc = -1
+    var scanAc = -1
+    var scanStart = -1
+    while (scanStart < 0) {
+      require(pos + 4 <= data.length, "truncated JPEG segment stream")
+      require((data(pos) & 0xff) == 0xff,
+        f"expected marker at $pos, got 0x${data(pos) & 0xff}%02x")
+      val m = data(pos + 1) & 0xff
+      val len = be16(pos + 2)
+      require(pos + 2 + len <= data.length,
+        f"truncated JPEG: segment 0xff$m%02x runs past end of data")
+      val body = pos + 4
+      m match {
+        case 0xdb => // DQT: one or more (PqTq, 64 entries) tables
+          var o = body
+          while (o < pos + 2 + len) {
+            val pq = (data(o) & 0xff) >> 4
+            val tq = data(o) & 0x0f
+            require(pq == 0, "16-bit quantization tables unsupported")
+            val q = new Array[Int](64)
+            var i = 0
+            while (i < 64) { q(Zigzag(i)) = data(o + 1 + i) & 0xff; i += 1 }
+            quantTables(tq) = q
+            o += 65
+          }
+        case 0xc0 | 0xc1 => // SOF0/SOF1: dims + the single component
+          height = be16(body + 1); width = be16(body + 3)
+          val nComp = data(body + 5) & 0xff
+          require(nComp == 1,
+            s"only single-component (grayscale) scans supported, got $nComp")
+          require((data(body + 7) & 0xff) == 0x11,
+            "subsampling unsupported for single-component")
+          compQuant = data(body + 8) & 0x0f
+        case 0xc2 => throw new IllegalArgumentException(
+          "progressive JPEG (SOF2) unsupported")
+        case 0xc4 => // DHT: one or more tables
+          var o = body
+          while (o < pos + 2 + len) {
+            val clazz = (data(o) & 0xff) >> 4
+            val id = data(o) & 0x0f
+            val bits = Array.tabulate(16)(i => data(o + 1 + i) & 0xff)
+            val nVals = bits.sum
+            val vals = Array.tabulate(nVals)(i => data(o + 17 + i) & 0xff)
+            val t = new HuffTable(bits, vals)
+            if (clazz == 0) dcTables(id) = t else acTables(id) = t
+            o += 17 + nVals
+          }
+        case 0xdd => restartInterval = be16(body)
+        case 0xda => // SOS
+          require((data(body) & 0xff) == 1, "multi-component scan")
+          scanDc = (data(body + 2) & 0xff) >> 4
+          scanAc = data(body + 2) & 0x0f
+          scanStart = pos + 2 + len
+        case _ if m >= 0xe0 && m <= 0xef => // APPn: skip
+        case 0xfe => // COM: skip
+        case other => throw new IllegalArgumentException(
+          f"unsupported JPEG marker 0xff$other%02x")
+      }
+      if (scanStart < 0) pos += 2 + len
+    }
+    require(width > 0 && height > 0, "SOS before SOF")
+    val q = quantTables(compQuant)
+    require(q != null, s"missing quant table $compQuant")
+    val dcT = dcTables(scanDc)
+    val acT = acTables(scanAc)
+    require(dcT != null && acT != null, "missing Huffman tables")
+    val bw8 = (width + 7) / 8
+    val bh8 = (height + 7) / 8
+    val pixels = new Array[Int](width * height)
+    val br = new BitReader(data, scanStart)
+    var prevDc = 0
+    var blockIdx = 0
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        if (restartInterval > 0 && blockIdx > 0 &&
+          blockIdx % restartInterval == 0) { br.restart(); prevDc = 0 }
+        val coef = new Array[Double](64)
+        val s = dcT.decode(br)
+        prevDc += extend(br.receive(s), s)
+        coef(0) = prevDc.toDouble * q(0)
+        var k = 1
+        while (k < 64) {
+          val rs = acT.decode(br)
+          if (rs == 0x00) k = 64 // EOB
+          else if (rs == 0xf0) k += 16 // ZRL
+          else {
+            k += rs >> 4
+            require(k < 64, "AC run past block end")
+            val sa = rs & 0x0f
+            coef(Zigzag(k)) = extend(br.receive(sa), sa).toDouble *
+              q(Zigzag(k))
+            k += 1
+          }
+        }
+        val px = idct8x8(coef)
+        var yy = 0
+        while (yy < 8) {
+          val py = by * 8 + yy
+          var xx = 0
+          while (xx < 8) {
+            val pxX = bx * 8 + xx
+            if (py < height && pxX < width) {
+              val v = math.round(px(yy * 8 + xx)).toInt + 128
+              pixels(py * width + pxX) = math.max(0, math.min(255, v))
+            }
+            xx += 1
+          }
+          yy += 1
+        }
+        blockIdx += 1
+        bx += 1
+      }
+      by += 1
+    }
+    JpegImage(width, height, pixels)
+  }
+
+  // ---- deterministic fixture -------------------------------------------
+
+  /** doc_id → a real grayscale baseline JPEG whose every 8×8 block is
+    * DC-only with quantized DC ((id + 7·bx + 13·by) mod 64) − 32. With
+    * the flat-16 quant table the IDCT of a DC-only block is exactly
+    * 128 + 2·dc at every sample (16/8 = 2, no rounding, no clamp in
+    * range), so pixel sums have a closed form an oracle recomputes.
+    */
+  def fixturePayload(id: Long): Array[Byte] = {
+    val w = 8 * (2 + (id % 5).toInt)
+    val h = 8 * (2 + ((id * 3) % 4).toInt)
+    encodeGray(w, h, QuantFlat16, (bx, by) => {
+      val coef = new Array[Int](64)
+      coef(0) = ((id + 7L * bx + 13L * by) % 64).toInt - 32
+      coef
+    })
+  }
+}

@@ -6,11 +6,11 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata structs — the Spark-side schema,
-  * partitioning, and batch shape are real, and [[Media.HeaderDecoder]]
-  * does REAL container parsing for PPM/BMP/WAV (pure JVM, zero
-  * libraries). Only heavyweight codecs (JPEG/PNG entropy decode, audio
-  * resampling) remain stubbed behind [[NotImplementedDecoder]] — this
-  * container ships no media libraries.
+  * partitioning, and batch shape are real, [[Media.HeaderDecoder]] does
+  * REAL container parsing for PPM/BMP/WAV/PNG/GIF/JPEG (pure JVM, zero
+  * libraries), and [[Jpeg]] does full baseline-DCT entropy DECODE. Only
+  * codecs genuinely absent from a bare JVM (video codecs, audio
+  * resampling) remain behind [[NotImplementedDecoder]].
   *
   * Scale design: media payloads stay as binary columns in parquet (row
   * groups keep them columnar-compressed); metadata extraction is a narrow
@@ -50,13 +50,13 @@ object Media {
     }
   }
 
-  /** REAL header decoder for three honest-to-goodness formats whose
-    * container layouts are parseable with zero libraries: PPM P6 (ASCII
-    * header), BMP (BITMAPINFOHEADER, little-endian), and WAV (RIFF/PCM).
-    * This is the codec seam doing genuine work — magic-byte sniffing,
-    * comment-skipping tokenization, fixed-offset little-endian fields,
-    * chunk scanning — while heavyweight codecs (JPEG entropy decode)
-    * remain behind [[NotImplementedDecoder]]. Meta mapping for audio:
+  /** REAL header decoder for formats whose container layouts are
+    * parseable with zero libraries: PPM P6 (ASCII header), BMP
+    * (BITMAPINFOHEADER, little-endian), WAV (RIFF/PCM), PNG, GIF, and
+    * JPEG (marker walk to SOFn). This is the codec seam doing genuine
+    * work — magic-byte sniffing, comment-skipping tokenization,
+    * fixed-offset little-endian fields, chunk scanning; full JPEG
+    * entropy decode lives in [[Jpeg]]. Meta mapping for audio:
     * width = sample rate, height = channels, nFrames = sample frames.
     */
   object HeaderDecoder extends MediaDecoder {
@@ -71,6 +71,8 @@ object Media {
       else if (p.length >= 14 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
         && p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a')
         decodeGif(p)
+      else if (p.length >= 4 && (p(0) & 0xff) == 0xff
+        && (p(1) & 0xff) == 0xd8) decodeJpegHeader(p)
       else throw new IllegalArgumentException(
         s"unrecognized media magic (${p.take(4).mkString(",")})")
 
@@ -181,6 +183,30 @@ object Media {
       var o = start
       while ((p(o) & 0xff) != 0) o += 1 + (p(o) & 0xff)
       o + 1
+    }
+
+    private def be16(p: Array[Byte], o: Int): Int =
+      ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+
+    /** JPEG: SOI, then a marker walk (APPn/DQT/DHT/... are all
+      * length-tagged) to the first SOFn frame header, which carries the
+      * dimensions. Any SOF flavor serves for metadata; full baseline
+      * pixel decode is [[Jpeg.decode]].
+      */
+    private def decodeJpegHeader(p: Array[Byte]): MediaMeta = {
+      var o = 2
+      while (o + 4 <= p.length) {
+        require((p(o) & 0xff) == 0xff,
+          f"bad JPEG marker byte 0x${p(o) & 0xff}%02x at $o")
+        val m = p(o + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          // SOFn: len(2) precision(1) height(2) width(2)
+          return MediaMeta(be16(p, o + 7), be16(p, o + 5), "jpeg",
+            nFrames = 1)
+        require(m != 0xd9 && m != 0xda, "JPEG scan before any SOF header")
+        o += 2 + be16(p, o + 2)
+      }
+      throw new IllegalArgumentException("JPEG without a SOF header")
     }
   }
 

@@ -56,12 +56,46 @@ object MultimodalOps {
       |SELECT doc_id, frame_idx, frame_idx * 100 AS byte_offset
       |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
 
-  // mapPartitions decode path through the (stubbed) codec interface —
-  // same values as the expression path; rows-only declared, equivalence
-  // asserted in MultimodalSpec.
-  private def mmDecodeBatch(s: SparkSession, dir: String): DataFrame =
-    Media.decodeBatch(payloads(s, dir), "doc_id", "payload", Media.FakeDecoder)
-      .orderBy(col("id"))
+  // REAL baseline-JPEG entropy decode on the mapPartitions batch path:
+  // per doc, a deterministically constructed grayscale JPEG (Annex K
+  // tables, DC-only blocks over the flat-16 quant table) is Huffman-
+  // decoded, dequantized, and IDCT'd back to pixels by graft.multimodal
+  // .Jpeg. The fixture's pixel values have a closed form (every block is
+  // exactly 128 + 2·dc), so the oracle recomputes width, height, block
+  // count, and the full pixel sum from doc_id alone — a wrong Huffman
+  // code, EXTEND sign, zigzag slot, or IDCT scale fails the value
+  // compare. The general decoder (AC runs, ZRL, byte unstuffing,
+  // restarts) is cross-validated against the JDK's independent ImageIO
+  // decoder in ScaleOpsSpec.
+  private def mmDecodeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = graft.multimodal.Jpeg.decode(
+          graft.multimodal.Jpeg.fixturePayload(id))
+        var sum = 0L
+        img.pixels.foreach(sum += _)
+        (id, "jpeg", img.width.toLong, img.height.toLong,
+          (img.width / 8).toLong * (img.height / 8).toLong, sum)
+      })
+      .toDF("doc_id", "format", "width", "height", "n_blocks", "pixel_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeBatchSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 8*(2 + doc_id % 5) AS w, 8*(2 + (doc_id*3) % 4) AS h
+      |  FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, w, h, bx, by
+      |  FROM dims,
+      |    unnest(generate_series(0, w//8 - 1)) t1(bx),
+      |    unnest(generate_series(0, h//8 - 1)) t2(by))
+      |SELECT doc_id, 'jpeg' AS format, w AS width, h AS height,
+      |  (w//8)*(h//8) AS n_blocks,
+      |  CAST(sum(64 * (128 + 2*(((doc_id + 7*bx + 13*by) % 64) - 32)))
+      |    AS BIGINT) AS pixel_sum
+      |FROM blocks GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   // Letterbox resize planning to 224×224 (the preprocessing-geometry step
   // of an image pipeline): scale the long side to 224, round dims with
@@ -211,6 +245,7 @@ object MultimodalOps {
     "mm_resize_real" -> mmResizeRealSql,
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_decode_batch" -> mmDecodeBatchSql,
     "mm_resize_plan" -> mmResizePlanSql
   )
 }

@@ -501,9 +501,86 @@ class ScaleOpsSpec extends AnyFunSuite {
     val expr = MultimodalOps.queries("mm_decode_meta")(spark, sfSmoke)
       .select(col("doc_id").as("id"), col("width"), col("height"),
         col("format"), col("n_frames"))
-    val batch = MultimodalOps.queries("mm_decode_batch")(spark, sfSmoke)
+    val batch = Media.decodeBatch(
+      Tables.t(spark, sfSmoke, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      "doc_id", "payload", Media.FakeDecoder)
     assert(expr.count() == batch.count())
     assert(expr.except(batch).count() == 0)
+  }
+
+  test("jpeg: fixture decodes to the closed-form pixels, block by block") {
+    import graft.multimodal.Jpeg
+    for (id <- Seq(0L, 1L, 7L, 42L, 63L)) {
+      val img = Jpeg.decode(Jpeg.fixturePayload(id))
+      val w = 8 * (2 + (id % 5).toInt)
+      val h = 8 * (2 + ((id * 3) % 4).toInt)
+      assert(img.width == w && img.height == h, s"dims for id=$id")
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        val dc = ((id + 7L * bx + 13L * by) % 64).toInt - 32
+        val expected = 128 + 2 * dc
+        for (yy <- 0 until 8; xx <- 0 until 8) {
+          val got = img.pixels((by * 8 + yy) * w + bx * 8 + xx)
+          assert(got == expected,
+            s"id=$id block($bx,$by) pixel($xx,$yy): $got != $expected")
+        }
+      }
+      // the header tier reads the same file without entropy decode
+      val meta = Media.HeaderDecoder.decode(Jpeg.fixturePayload(id))
+      assert(meta == Media.MediaMeta(w, h, "jpeg", 1))
+    }
+  }
+
+  test("jpeg: AC coefficients, ZRL runs, and stuffing agree with ImageIO") {
+    import graft.multimodal.Jpeg
+    // random-but-seeded quantized blocks exercise the AC run-length
+    // paths (long zero runs → ZRL, trailing zeros → EOB, dense blocks)
+    // and, statistically, byte stuffing. The JDK's ImageIO JPEG reader
+    // is an INDEPENDENT implementation; T.81 allows ±1 IDCT variance
+    // between compliant decoders, so compare within that bound.
+    val rng = new java.util.Random(4242L)
+    val (w, h) = (64, 48)
+    val blocks = Array.fill((h / 8) * (w / 8)) {
+      val coef = new Array[Int](64)
+      coef(0) = rng.nextInt(128) - 64
+      // a few AC coefficients at random positions (random zigzag depths)
+      (0 until rng.nextInt(6)).foreach { _ =>
+        coef(1 + rng.nextInt(63)) = rng.nextInt(21) - 10
+      }
+      coef
+    }
+    val bytes = Jpeg.encodeGray(w, h, Jpeg.QuantFlat16,
+      (bx, by) => blocks(by * (w / 8) + bx))
+    val ours = Jpeg.decode(bytes)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null, "ImageIO failed to read the generated JPEG")
+    assert(ref.getWidth == w && ref.getHeight == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ref.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(r - ours.pixels(y * w + x)))
+    }
+    assert(maxDiff <= 1, s"decoders disagree by $maxDiff (> 1)")
+  }
+
+  test("jpeg: unsupported modes and torn streams fail loudly") {
+    import graft.multimodal.Jpeg
+    val good = Jpeg.fixturePayload(3L)
+    intercept[IllegalArgumentException] {
+      Jpeg.decode(good.take(good.length / 2)) // torn entropy data
+    }
+    intercept[IllegalArgumentException] {
+      Jpeg.decode(Array[Byte](1, 2, 3, 4)) // not a JPEG
+    }
+    // flip SOF0 to SOF2: progressive must be rejected by name, and the
+    // marker byte lives at a fixed offset in our own encoder's layout
+    val prog = good.clone()
+    val sofAt = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      (good(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException] { Jpeg.decode(prog) }
+    assert(e.getMessage.contains("progressive"))
   }
 
   test("stubbed decoder is clearly not implemented") {
