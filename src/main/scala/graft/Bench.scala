@@ -18,13 +18,16 @@ import org.apache.spark.sql.SparkSession
   * the contention signature readers can check.
   *
   * Two output surfaces with different size constraints:
-  *   - stdout: ONE compact line (2-dp walls, numeric sf, no cpu/reps/rows
-  *     maps) printed after `spark.stop()` as the process's final output.
-  *     The harness that records this run keeps only a bounded tail of the
-  *     log, so the line must stay small enough to survive whole inside it
-  *     with sbt's own epilogue — an adaptive 1-dp fallback caps it.
+  *   - stdout: one compact JSON line (≤ 600 chars — headline total,
+  *     cpu_total, the slowest queries, failures, sf), printed THREE
+  *     times after `spark.stop()` with flushes and sleeps. The harness
+  *     that records this run keeps only a ~2000-char tail of the log and
+  *     has been observed cutting the final line mid-write at process
+  *     teardown, so redundant short copies guarantee the tail holds at
+  *     least two complete ones.
   *   - target/bench.json: the full-fidelity record (full-precision walls,
-  *     per-query cpu seconds, rep counts, row counts, error messages).
+  *     per-query wall/cpu seconds for EVERY query, rep counts, row
+  *     counts, error messages).
   *
   * Reps also respect a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`,
   * default 900): once the run has spent the budget, remaining queries get
@@ -184,13 +187,25 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"queries_truncated_to":$n,"failed":$failed,"sf":$sfJson}"""
     }
     val line = (Seq((2, true), (1, true), (1, false))
-        .map((compactLine _).tupled) ++ Seq(topLine(20), topLine(5)))
-      .find(_.length <= 1850)
+        .map((compactLine _).tupled) ++ Seq(topLine(20), topLine(10),
+        topLine(5)))
+      .find(_.length <= 600)
       .getOrElse(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","failed":$failed,"sf":$sfJson}""")
     spark.stop()
-    // printed AFTER spark.stop() so the line is this process's final
-    // stdout — nothing can land between it and the end of the log
-    println(line)
+    // Printed AFTER spark.stop() so nothing lands between the line and
+    // the end of the log — and printed THREE times with flushes and
+    // sleeps: the round-6 record lost the single final line MID-WRITE
+    // (the log relay was cut at process teardown), so one copy at the
+    // very end is exactly the fragile shape. Three ≤600-char copies mean
+    // any 2000-char log tail that reaches the end of the run contains at
+    // least two complete copies, whichever one a parser picks; the final
+    // sleep gives the forked-process relay time to drain before exit.
+    for (i <- 0 until 3) {
+      if (i > 0) Thread.sleep(1000)
+      println(line)
+      System.out.flush()
+    }
+    Thread.sleep(2000)
     if (failed > 0) sys.exit(1)
   }
 }
