@@ -38,21 +38,22 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def canon_type(t: pa.DataType) -> str:
-    """Canonical physical-type string for the driver's typed hash.
+    """Canonical physical-type string emulating the driver's typed hash.
 
     Decimal stays distinct from floating (the a11 r6 regression: Spark SQL
     typed a literal-100.0 division DECIMAL(27,6) while the oracle returned
     DOUBLE — pandas coerced both to float64 so the value compare passed
-    locally but the driver's typed hash failed). Timestamp unit/tz and
-    string width variants are normalized away since norm() already casts
-    them before the value compare.
+    locally but the driver's typed hash failed). Date folds into
+    timestamp: r06 shows the driver passing date-vs-midnight-timestamp
+    pairs (a4_grouped_max_grain et al.), so flagging them here would be
+    stricter than the gate being emulated. Timestamp unit/tz and string
+    width variants are normalized away since norm() already casts them
+    before the value compare.
     """
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
-    if pa.types.is_timestamp(t):
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
         return "timestamp"
-    if pa.types.is_date(t):
-        return "date"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -104,7 +105,10 @@ def main():
             got = norm(duckdb.sql(
                 f"SELECT * FROM read_parquet({files!r})").df())
             exp_tbl = con.sql(sql).arrow()
-            exp = norm(exp_tbl.to_pandas())
+            # date_as_object=False keeps DATE columns datetime64 (what
+            # duckdb's own .df() produced before the arrow detour), so
+            # the pandas dtype gate below sees the same shapes as r06
+            exp = norm(exp_tbl.to_pandas(date_as_object=False))
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
@@ -118,13 +122,50 @@ def main():
         # against the oracle's arrow types BEFORE pandas coerces them —
         # decimal128 vs double both land in float64 downstream and would
         # pass the value compare while failing the driver's typed hash.
+        # Exception, matching observed driver behavior (s4/j4 green in r06
+        # with a DECIMAL-typed oracle literal vs Spark DOUBLE, while a11's
+        # decimal-typed SPARK column failed): a decimal-vs-float pair
+        # passes IFF every value's canonical string form agrees — i.e.
+        # Decimal('19700000.0') vs 19700000.0 passes, Decimal('97.880000')
+        # vs 97.88 fails.
         got_types = schema_types(pq.read_schema(files[0]))
         exp_types = schema_types(exp_tbl.schema)
-        ty_diffs = [(c, got_types.get(c), exp_types.get(c))
-                    for c in sorted(exp_types)
-                    if got_types.get(c) != exp_types.get(c)]
-        if ty_diffs:
-            print(f"FAIL {name}: physical type mismatch {ty_diffs}")
+        hard, soft = [], []
+        for c in sorted(exp_types):
+            gt, et = got_types.get(c), exp_types.get(c)
+            if gt == et:
+                continue
+            kinds = {str(gt).split("(")[0], str(et).split("(")[0]}
+            if kinds in ({"decimal", "double"}, {"decimal", "float"}):
+                soft.append(c)
+            else:
+                hard.append((c, gt, et))
+        if hard:
+            print(f"FAIL {name}: physical type mismatch {hard}")
+            n_fail += 1
+            continue
+        soft_bad = []
+        for c in soft:
+            # canonical string forms must come from duckdb VARCHAR casts
+            # (pandas would coerce the decimal side to float first and
+            # erase exactly the difference being adjudicated); sorted
+            # multiset compare — row alignment is the main loop's job
+            gs = [r[0] for r in duckdb.sql(
+                f'SELECT CAST("{c}" AS VARCHAR) '
+                f"FROM read_parquet({files!r}) ORDER BY 1").fetchall()]
+            es = [r[0] for r in con.sql(
+                f'SELECT CAST("{c}" AS VARCHAR) FROM ({sql}) ORDER BY 1'
+            ).fetchall()]
+            if gs != es:
+                soft_bad.append((c, got_types.get(c), exp_types.get(c),
+                                 next(((a, b) for a, b in zip(gs, es)
+                                       if a != b), ("len", "diff"))))
+            # drop from the pandas-side compare either way: the dtype gate
+            # would re-flag float64-vs-object for a pair already adjudicated
+            got = got.drop(columns=[c])
+            exp = exp.drop(columns=[c])
+        if soft_bad:
+            print(f"FAIL {name}: decimal/double string mismatch {soft_bad}")
             n_fail += 1
             continue
         if len(got) != len(exp):
