@@ -447,8 +447,13 @@ object TextOps {
   // partition where a groupBy over 100 TB of n-grams/URLs would exchange
   // one row per distinct key. The report joins the exact counts back for
   // the reported tokens only (a k-row semi-join) — the output shows the
-  // one-sided CMS error directly. Rows-only (sketch hash is
-  // engine-specific); CMS contract asserted in ScaleOpsSpec.
+  // one-sided CMS error directly. Oracled by the closed form: at this
+  // corpus/width the sketch is collision-free on the reported tokens
+  // (est == exact, verified) and the top-20 boundary is untied, so the
+  // deterministic output equals the exact top-20 token counts — a hash
+  // mismatch means the sketch started over-estimating or dropped a true
+  // heavy hitter. CMS contract (one-sidedness, partition independence)
+  // asserted in ScaleOpsSpec.
   private def txHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = t(s, dir, "documents")
@@ -462,6 +467,14 @@ object TextOps {
     top.join(exact, Seq("token"))
       .orderBy(col("est_count").desc, col("token"))
   }
+
+  private val txHeavyHittersSql =
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(text, '\s+')) AS token
+      |  FROM documents),
+      |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1)
+      |SELECT token, c AS est_count, c AS exact_count
+      |FROM cnt ORDER BY est_count DESC, token LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
   // PII redaction — the compliance pass every training corpus runs before
@@ -633,6 +646,7 @@ object TextOps {
     "tx_rarity" -> txRaritySql,
     "tx_source_report" -> txSourceReportSql,
     "tx_curation_manifest" -> txCurationManifestSql,
-    "tx_redact" -> txRedactSql
+    "tx_redact" -> txRedactSql,
+    "tx_heavy_hitters" -> txHeavyHittersSql
   )
 }
