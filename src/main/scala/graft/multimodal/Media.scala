@@ -320,6 +320,58 @@ object Media {
     buf.array()
   }
 
+  /** Like [[encodeWav]] but with REAL sample data: 16-bit LE PCM where
+    * interleaved sample k is ((k·37 + 13) mod 2048) − 1024 — a
+    * deterministic full-range pattern whose amplitude statistics an
+    * oracle can recompute in closed form.
+    */
+  def encodeWavPattern(sampleRate: Int, channels: Int,
+      frames: Int): Array[Byte] = {
+    val buf = encodeWav(sampleRate, channels, frames)
+    val n = frames * channels
+    var k = 0
+    while (k < n) {
+      val v = ((k * 37 + 13) % 2048) - 1024
+      buf(44 + 2 * k) = (v & 0xff).toByte
+      buf(44 + 2 * k + 1) = ((v >> 8) & 0xff).toByte
+      k += 1
+    }
+    buf
+  }
+
+  /** Parse a RIFF/PCM WAV's data chunk into interleaved signed 16-bit
+    * samples — the sample-decode tier above [[HeaderDecoder.decode]]'s
+    * header-only parse (same chunk walk, then real LE16 payload reads).
+    */
+  def wavSamples(p: Array[Byte]): Array[Int] = {
+    require(p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F'
+      && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V'
+      && p(11) == 'E', "not a RIFF/WAVE payload")
+    require(le16(p, 34) == 16, "only 16-bit PCM supported")
+    var o = 36
+    var dataOff = -1
+    var dataSize = -1
+    while (dataOff < 0 && o + 8 <= p.length) {
+      val sz = le32(p, o + 4)
+      if (p(o) == 'd' && p(o + 1) == 'a' && p(o + 2) == 't'
+        && p(o + 3) == 'a') { dataOff = o + 8; dataSize = sz }
+      else o += 8 + sz + (sz & 1)
+    }
+    require(dataOff >= 0, "WAV without a data chunk")
+    require(dataOff + dataSize <= p.length, "truncated WAV data chunk")
+    Array.tabulate(dataSize / 2) { k =>
+      val v = (p(dataOff + 2 * k) & 0xff) |
+        ((p(dataOff + 2 * k + 1) & 0xff) << 8)
+      if (v >= 0x8000) v - 0x10000 else v
+    }
+  }
+
+  private def le16(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+  private def le32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+
   /** doc_id → a real PPM / BMP / WAV payload, parameters derived from the
     * id so an oracle can recompute what the decoder must recover.
     */

@@ -229,6 +229,101 @@ object MultimodalOps {
       |  CAST(sum(v) AS BIGINT) AS checksum
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Decode → transform CHAIN: entropy-decode the fixture JPEG, then
+  // nearest-neighbor thumbnail the decoded pixels to 8×8 — the two-stage
+  // shape every image-preprocessing pipeline runs (decode, then resize),
+  // executed end to end on the batch path. The fixture's blocks are
+  // constant, so each sampled pixel equals its source block's value and
+  // the oracle recomputes the thumbnail sum from doc_id in closed form —
+  // an NN index-map bug or a decode error both fail the compare.
+  private def mmThumbnailJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = graft.multimodal.Jpeg.decode(
+          graft.multimodal.Jpeg.fixturePayload(id))
+        var sum = 0L
+        var j = 0
+        while (j < 8) {
+          val sy = j * img.height / 8
+          var i = 0
+          while (i < 8) {
+            sum += img.pixels(sy * img.width + i * img.width / 8)
+            i += 1
+          }
+          j += 1
+        }
+        (id, img.width.toLong, img.height.toLong, sum)
+      })
+      .toDF("doc_id", "width", "height", "thumb_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmThumbnailJpegSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 8*(2 + doc_id % 5) AS w, 8*(2 + (doc_id*3) % 4) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    128 + 2*(((doc_id + 7*((i*w//8)//8) + 13*((j*h//8)//8)) % 64) - 32)
+      |      AS v
+      |  FROM dims,
+      |    unnest(generate_series(0, 7)) t1(i),
+      |    unnest(generate_series(0, 7)) t2(j))
+      |SELECT doc_id, w AS width, h AS height,
+      |  CAST(sum(v) AS BIGINT) AS thumb_sum
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Audio feature extraction — the amplitude-statistics pass an audio
+  // corpus runs before filtering (peak/RMS gates, silence detection):
+  // REAL 16-bit PCM parsing (Media.wavSamples reads the data chunk the
+  // header tier only measured) over deterministically constructed WAVs,
+  // so every statistic has a closed form. Integer peak/sum are exact;
+  // RMS is one sqrt over an integer ratio, bit-stable across engines.
+  private def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sr = 8000 + ((id % 8) * 1000).toInt
+        val ch = 1 + (id % 2).toInt
+        val frames = 128 + (id % 256).toInt
+        val samples = graft.multimodal.Media.wavSamples(
+          graft.multimodal.Media.encodeWavPattern(sr, ch, frames))
+        var peak = 0L
+        var sumAbs = 0L
+        var sumSq = 0L
+        samples.foreach { v =>
+          val a = math.abs(v.toLong)
+          if (a > peak) peak = a
+          sumAbs += a
+          sumSq += v.toLong * v
+        }
+        (id, sr.toLong, frames.toLong, peak, sumAbs,
+          BigDecimal(math.sqrt(sumSq.toDouble / samples.length))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      })
+      .toDF("doc_id", "sample_rate", "n_frames", "peak_abs", "sum_abs",
+        "rms")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioFeaturesSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 8)*1000 AS sr, 1 + doc_id % 2 AS ch,
+      |    128 + doc_id % 256 AS frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sr, frames, ((k*37 + 13) % 2048) - 1024 AS v
+      |  FROM d, unnest(generate_series(0, frames*ch - 1)) t(k))
+      |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+      |  CAST(frames AS BIGINT) AS n_frames,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |  round(sqrt(sum(v*v)*1.0/count(*)), 6) AS rms
+      |FROM s GROUP BY doc_id, sr, frames ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_decode_real" -> mmDecodeReal _,
     "mm_decode_png_gif" -> mmDecodePngGif _,
@@ -236,6 +331,8 @@ object MultimodalOps {
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_decode_batch" -> mmDecodeBatch _,
+    "mm_thumbnail_jpeg" -> mmThumbnailJpeg _,
+    "mm_audio_features" -> mmAudioFeatures _,
     "mm_resize_plan" -> mmResizePlan _
   )
 
@@ -246,6 +343,8 @@ object MultimodalOps {
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_batch" -> mmDecodeBatchSql,
+    "mm_thumbnail_jpeg" -> mmThumbnailJpegSql,
+    "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_resize_plan" -> mmResizePlanSql
   )
 }

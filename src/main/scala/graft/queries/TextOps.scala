@@ -361,6 +361,54 @@ object TextOps {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Unigram surprisal — the perplexity-filter stage of a quality pipeline
+  // (score each document by how surprising its tokens are under the
+  // corpus's own unigram distribution; gibberish and boilerplate sit at
+  // the two extremes). Same scale shape as tx_rarity: (doc, token, tf)
+  // grain with map-side combine, vocabulary-sized side tables, the Zipf
+  // head contributing one row per doc. Float determinism: per-token
+  // surprisal ln(total/c) is QUANTIZED to integer micro-nats once per
+  // DISTINCT token, then per-doc sums run on integers — order-independent
+  // and engine-exact, where a naive avg(ln(...)) would depend on Spark's
+  // partition order. The one-row corpus total joins in via broadcast
+  // (the A2 scalar pattern, never a collect).
+  private def txSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("total"))
+    val micro = cnt.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(log(col("total") / col("c")) * 1e6).cast("long").as("micro"))
+    tf.join(micro, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * col("micro")) /
+          (lit(1e6) * sum(col("tf"))), 6).as("mean_surprisal"),
+        round(max(col("micro")) / lit(1e6), 6).as("max_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txSurprisalSql =
+    """WITH tf AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, token),
+      |cnt AS (SELECT token, sum(tf) AS c FROM tf GROUP BY token),
+      |tot AS (SELECT sum(c) AS total FROM cnt),
+      |micro AS (
+      |  SELECT token, CAST(round(ln(total*1.0/c) * 1000000) AS BIGINT)
+      |    AS micro
+      |  FROM cnt, tot)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  round(sum(tf*micro)*1.0/(1000000.0*sum(tf)), 6) AS mean_surprisal,
+      |  round(max(micro)/1000000.0, 6) AS max_surprisal
+      |FROM tf JOIN micro USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-source curation report — the consumable dashboard dataset of the
   // curation family (every analytical surface should end in one, the way
   // the reference's Superset datasets do): per ingestion source, document
@@ -630,6 +678,7 @@ object TextOps {
     "tx_repetition" -> txRepetition _,
     "tx_contamination" -> txContamination _,
     "tx_rarity" -> txRarity _,
+    "tx_surprisal" -> txSurprisal _,
     "tx_source_report" -> txSourceReport _,
     "tx_curation_manifest" -> txCurationManifest _,
     "tx_redact" -> txRedact _,
@@ -647,6 +696,7 @@ object TextOps {
     "tx_source_report" -> txSourceReportSql,
     "tx_curation_manifest" -> txCurationManifestSql,
     "tx_redact" -> txRedactSql,
+    "tx_surprisal" -> txSurprisalSql,
     "tx_heavy_hitters" -> txHeavyHittersSql
   )
 }

@@ -564,6 +564,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(maxDiff <= 1, s"decoders disagree by $maxDiff (> 1)")
   }
 
+  test("wav samples: pattern roundtrip, sign decode, torn data refused") {
+    val p = Media.encodeWavPattern(16000, 2, 300)
+    val s = Media.wavSamples(p)
+    assert(s.length == 600)
+    s.zipWithIndex.foreach { case (v, k) =>
+      assert(v == ((k * 37 + 13) % 2048) - 1024, s"sample $k")
+    }
+    assert(s.exists(_ < 0), "negative samples must decode as signed")
+    intercept[IllegalArgumentException] {
+      Media.wavSamples(p.take(50)) // data chunk torn off
+    }
+    intercept[IllegalArgumentException] {
+      Media.wavSamples(Array[Byte](1, 2, 3))
+    }
+  }
+
   test("jpeg: unsupported modes and torn streams fail loudly") {
     import graft.multimodal.Jpeg
     val good = Jpeg.fixturePayload(3L)
