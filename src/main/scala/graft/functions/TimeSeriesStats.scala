@@ -287,12 +287,16 @@ object TimeSeriesStats {
     if (nll.isNaN) Double.MaxValue else nll
   }
 
+  final case class GarchParamsPQ(omega: Double, alpha: Array[Double],
+      beta: Array[Double], fit: OrderFit)
+
   /** Fit GARCH(p,q) by MLE — the [[fitGarch11]] unconstrained transform at
     * general order: ω = exp(t₀), total persistence in (0, 0.998) via a
     * sigmoid, and the p+q coefficient shares via a softmax with the last
     * logit pinned to 0 (removes the shift redundancy). k = 1 + p + q.
     */
-  def fitGarchPQ(returns: Array[Double], p: Int, q: Int): OrderFit = {
+  def fitGarchParamsPQ(returns: Array[Double], p: Int,
+      q: Int): GarchParamsPQ = {
     require(p >= 1, s"GARCH needs at least one ARCH lag, got p=$p")
     val r = { val m = mean(returns); returns.map(_ - m) }
     val v = variance(r).max(1e-12)
@@ -319,8 +323,42 @@ object TimeSeriesStats {
     val ll = -garchNllPQ(r, o, a, b)
     val k = 1 + p + q
     val n = r.length
-    OrderFit(p, q, k, ll, 2.0 * k - 2.0 * ll,
-      k * math.log(n.toDouble) - 2.0 * ll, n.toLong)
+    GarchParamsPQ(o, a, b, OrderFit(p, q, k, ll, 2.0 * k - 2.0 * ll,
+      k * math.log(n.toDouble) - 2.0 * ll, n.toLong))
+  }
+
+  def fitGarchPQ(returns: Array[Double], p: Int, q: Int): OrderFit =
+    fitGarchParamsPQ(returns, p, q).fit
+
+  /** 1-step-ahead variance forecast at general (p,q): run the NLL's
+    * variance recursion through the demeaned series (same pre-sample
+    * initialization), then one more step.
+    */
+  def garchForecastVariancePQ(params: GarchParamsPQ,
+      returns: Array[Double]): Double = {
+    val p = params.alpha.length; val q = params.beta.length
+    val r = { val m = mean(returns); returns.map(_ - m) }
+    val v = variance(r).max(1e-12)
+    val r2hist = Array.fill(p.max(1))(v)
+    val s2hist = Array.fill(q.max(1))(v)
+    var t = 0
+    while (t <= r.length) { // final pass (t == length) IS the forecast
+      var s2 = params.omega
+      var i = 0
+      while (i < p) {
+        s2 += params.alpha(i) * r2hist((t - 1 - i + 2 * p) % p); i += 1
+      }
+      var j = 0
+      while (j < q) {
+        s2 += params.beta(j) * s2hist((t - 1 - j + 2 * q) % q); j += 1
+      }
+      s2 = s2.max(1e-300)
+      if (t == r.length) return s2
+      if (p > 0) r2hist(t % p) = r(t) * r(t)
+      if (q > 0) s2hist(t % q) = s2
+      t += 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** h-step-ahead variance forecast from the fitted model state. */

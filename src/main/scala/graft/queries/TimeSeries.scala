@@ -268,15 +268,31 @@ object TimeSeries {
   // key (18 small simplex fits over a days-long series), keys scale out.
   // Not SQL-expressible → rows-only; planted-order recovery in
   // TimeSeriesSpec.
-  /** The per-series grid, exposed so specs can feed planted-order data. */
+  /** The per-series grid, exposed so specs can feed planted-order data.
+    * GARCH rows additionally carry the reference's second ranking signal
+    * (Garch_v1.ipynb cells 21-29 rank orders by rolling-CV RMSE): a
+    * 5-fold rolling-origin 1-step variance-forecast RMSE per (p,q); ARMA
+    * rows carry NaN there (the notebook CV-ranks only the GARCH stage).
+    */
   def orderSearchRows(series: Array[Double])
-      : Seq[(String, Int, Int, Int, Double, Double, Double, Long)] = {
+      : Seq[(String, Int, Int, Int, Double, Double, Double, Double, Long)] = {
     val arma = for (p <- 0 to 2; q <- 0 to 2)
-      yield ("arma", TimeSeriesStats.fitArmaPQ(series, p, q))
-    val garch = for (p <- 1 to 3; q <- 0 to 2)
-      yield ("garch", TimeSeriesStats.fitGarchPQ(series, p, q))
-    (arma ++ garch).map { case (fam, f) =>
-      (fam, f.p, f.q, f.kParams, f.loglik, f.aic, f.bic, f.n)
+      yield ("arma", TimeSeriesStats.fitArmaPQ(series, p, q), Double.NaN)
+    val garch = for (p <- 1 to 3; q <- 0 to 2) yield {
+      val folds = 5.min(series.length - 10).max(1)
+      val sqErrs = (0 until folds).map { f =>
+        val cut = series.length - folds + f
+        val train = series.take(cut)
+        val fit = TimeSeriesStats.fitGarchParamsPQ(train, p, q)
+        val fvar = TimeSeriesStats.garchForecastVariancePQ(fit, train)
+        val realized = series(cut) * series(cut)
+        math.pow(realized - fvar, 2)
+      }
+      ("garch", TimeSeriesStats.fitGarchPQ(series, p, q),
+        math.sqrt(sqErrs.sum / sqErrs.length))
+    }
+    (arma ++ garch).map { case (fam, f, cv) =>
+      (fam, f.p, f.q, f.kParams, f.loglik, f.aic, f.bic, cv, f.n)
     }
   }
 
@@ -300,14 +316,14 @@ object TimeSeries {
           // rank within family by AIC, ties broken by the smaller order
           rows.groupBy(_._1).iterator.flatMap { case (_, fam) =>
             fam.sortBy(r => (r._6, r._2, r._3)).zipWithIndex.map {
-              case ((f, p, q, kp, ll, aic, bic, n), i) =>
-                (k, f, p, q, kp, ll, aic, bic, i + 1L, n)
+              case ((f, p, q, kp, ll, aic, bic, cv, n), i) =>
+                (k, f, p, q, kp, ll, aic, bic, cv, i + 1L, n)
             }
           }
         }
       }
       .toDF("event_type", "family", "p", "q", "k_params", "loglik", "aic",
-        "bic", "aic_rank", "n_obs")
+        "bic", "cv_rmse", "aic_rank", "n_obs")
       .orderBy(col("event_type"), col("family"), col("aic_rank"))
   }
 

@@ -257,13 +257,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     df.groupBy(r => (r.getString(0), r.getString(1))).foreach {
       case ((k, fam), rows) =>
         assert(rows.length == 9, s"$k/$fam grid size ${rows.length}")
-        val byRank = rows.sortBy(_.getLong(8))
-        assert(byRank.map(_.getLong(8)).toSeq == (1L to 9L),
+        val byRank = rows.sortBy(_.getLong(9))
+        assert(byRank.map(_.getLong(9)).toSeq == (1L to 9L),
           s"$k/$fam ranks not dense")
         // AIC must be non-decreasing in rank
         val aics = byRank.map(_.getDouble(6)).toSeq
         assert(aics == aics.sorted, s"$k/$fam AIC not sorted by rank")
-        rows.foreach(r => assert(!r.getDouble(6).isNaN && !r.getDouble(7).isNaN))
+        rows.foreach { r =>
+          assert(!r.getDouble(6).isNaN && !r.getDouble(7).isNaN)
+          // the notebook's second ranking signal: rolling-CV RMSE on the
+          // GARCH grid only (finite, non-negative); NaN on the ARMA grid
+          if (fam == "garch") assert(r.getDouble(8) >= 0
+            && !r.getDouble(8).isNaN, s"$k garch cv_rmse")
+          else assert(r.getDouble(8).isNaN, s"$k arma cv_rmse must be NaN")
+        }
     }
   }
 
