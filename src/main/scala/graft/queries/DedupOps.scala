@@ -284,6 +284,142 @@ object DedupOps {
     q.awaitTermination()
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental NEAR-dup on ingest — the LSH complement of
+  // st_incremental_dedup, and the shape continuous corpus ingestion needs
+  // for fuzzy duplicates: each micro-batch (1) collapses its own near-dup
+  // clusters via verified in-batch LSH pairs + connected components
+  // (batch semantics inside the batch), then (2) probes the surviving
+  // representatives against the ACCUMULATED BAND INDEX (a committed
+  // table of every kept doc's LSH band buckets), exact-Jaccard-verifies
+  // only the bucket-collision candidates against the kept docs' stored
+  // text, and (3) commits the still-novel docs plus their bands. Cost per
+  // batch is O(batch + matching band buckets) — never a corpus
+  // recompute — and the band index is an equi-join probe at any scale.
+  // Greedy-by-arrival semantics: with the spool ordered by doc_id, kept =
+  // min-id per near-dup cluster, which on a chain-free corpus equals the
+  // batch dd_dedup_keep manifest — that closed form IS the oracle, so a
+  // recall miss or index bug fails the hash compare.
+  /** Exposed so specs can replay the spool (idempotence) and vary the
+    * threshold.
+    */
+  def incrementalNearDupRun(s: SparkSession, spoolDir: String,
+      curated: String, bandsPath: String, checkpoint: String,
+      minJaccard: Double = 0.9): Unit = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(spoolDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch.select(col("doc_id"), col("text"))
+        val sh = Dedup.shingles(docs, "doc_id", "text", 3).localCheckpoint()
+        val sig = Dedup.minHash(sh, "doc_id", numPerm = 32)
+        val bands = Dedup.lshBuckets(sig, "doc_id", numPerm = 32, bands = 8)
+          .localCheckpoint()
+        // (1) in-batch collapse: verified pairs → CC → min-id reps
+        val inPairs = Dedup.verifyJaccard(
+            Dedup.candidatePairs(bands, "doc_id"), sh, "doc_id")
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("id_a"), col("id_b"))
+        val comp = graft.operators.Components.resolve(inPairs)
+        val reps = docs
+          .join(comp.select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .filter(col("comp").isNull || col("comp") === col("doc_id"))
+          .select(col("doc_id"), col("text"))
+        // (2) probe the band index; verify collisions against kept text.
+        // Replay safety first: an id already in the curated table is
+        // dropped by the id anti-join (the exact-dedup hop's exactly-once
+        // pattern), so the verify universe below never holds the same
+        // doc_id on both sides — identity pairs would double its shingle
+        // rows and zero the Jaccard denominator
+        val novel =
+          if (!new java.io.File(s"$bandsPath/_graft_log").exists()) reps
+          else {
+            val keptTable = graft.operators.Maintenance.readTable(s, curated)
+            val repsNew = reps.join(keptTable.select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+            val idx = graft.operators.Maintenance.readTable(s, bandsPath)
+            val cand = bands
+              .join(repsNew.select(col("doc_id")), Seq("doc_id"))
+              .join(idx.select(col("band"), col("bucket"),
+                col("doc_id").as("id_a")), Seq("band", "bucket"))
+              .select(col("id_a"), col("doc_id").as("id_b"))
+              .distinct()
+            val shNew = sh.join(repsNew.select(col("doc_id")), Seq("doc_id"))
+            val keptSh = Dedup.shingles(
+              keptTable
+                .join(cand.select(col("id_a").as("doc_id")).distinct(),
+                  Seq("doc_id")),
+              "doc_id", "text", 3)
+            val matched = Dedup.verifyJaccard(
+                cand, shNew.unionByName(keptSh), "doc_id")
+              .filter(col("jaccard") >= minJaccard)
+              .select(col("id_b").as("doc_id")).distinct()
+            repsNew.join(matched, Seq("doc_id"), "left_anti")
+          }
+        val novelCk = novel.localCheckpoint()
+        graft.operators.Maintenance.commitAppend(s, curated, novelCk)
+        graft.operators.Maintenance.commitAppend(s, bandsPath,
+          bands.join(novelCk.select(col("doc_id")), Seq("doc_id")))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  private def stIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val spool = ensureIngestFixture(s, dir)
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-neardup-${java.util.UUID.randomUUID()}").getAbsolutePath
+    incrementalNearDupRun(s, spool, s"$work/curated", s"$work/bands",
+      s"$work/_chk")
+    graft.streaming.WorkDirs.materializeAndClean(
+      graft.operators.Maintenance.readTable(s, s"$work/curated")
+        .select(col("doc_id").as("doc_id_kept"))
+        .orderBy(col("doc_id_kept")), work)
+  }
+
+  private val stIncrementalNearDupSql =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |  FROM docs WHERE len(w) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM idx),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b
+      |  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE ix*1.0/(ca.n + cb.n - ix) >= 0.9),
+      |edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT u AS src, v AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      |canon AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canonical
+      |  FROM (SELECT doc_id FROM documents) d
+      |  LEFT JOIN reach r ON r.src = d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT DISTINCT canonical AS doc_id_kept
+      |FROM canon ORDER BY doc_id_kept""".stripMargin
+
   private def stIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val spool = ensureIngestFixture(s, dir)
     // per-run scratch: the curated table + checkpoint; the spool is shared
@@ -306,13 +442,15 @@ object DedupOps {
     "dd_minhash_lsh" -> ddMinhashLsh _,
     "dd_simhash" -> ddSimhash _,
     "dd_dedup_keep" -> ddDedupKeep _,
-    "st_incremental_dedup" -> stIncrementalDedup _
+    "st_incremental_dedup" -> stIncrementalDedup _,
+    "st_incremental_neardup" -> stIncrementalNearDup _
   )
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_dedup_keep" -> ddDedupKeepSql,
-    "st_incremental_dedup" -> stIncrementalDedupSql
+    "st_incremental_dedup" -> stIncrementalDedupSql,
+    "st_incremental_neardup" -> stIncrementalNearDupSql
   )
 }

@@ -260,4 +260,47 @@ class StreamingSpec extends AnyFunSuite {
       "restart must add only the novel doc from the new file")
     graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
   }
+
+  test("incremental NEAR-dup: in-batch CC, cross-batch index probe, " +
+      "replay idempotent") {
+    import spark.implicits._
+    import graft.queries.DedupOps
+    import graft.operators.Maintenance
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-neardup-spec-${java.util.UUID.randomUUID()}").getAbsolutePath
+    def spoolFile(rows: Seq[(Long, String)], name: String, mtime: Long): Unit =
+      graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+        rows.toDF("doc_id", "text"), s"$work/spool/$name", mtime)
+    val base = (System.currentTimeMillis() / 1000) * 1000
+    // ten-word docs: d1/d2 differ by the last word (jaccard 7/9 < 0.9 on
+    // 3-gram shingles? 8 shingles each, 7 shared → 7/9 ≈ 0.78 — make the
+    // near-dups IDENTICAL except a tail word on a LONGER doc instead)
+    val baseText = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
+    val unrelated2 = (200 to 240).map(i => s"v$i").mkString(" ")
+    // batch 1: 10 and 11 are near-dups of each other (in-batch pair)
+    spoolFile(Seq((10L, baseText), (11L, nearDup), (12L, unrelated)),
+      "aa-0.parquet", base)
+    // batch 2: 20 is a near-dup of KEPT doc 10 (cross-batch, via the
+    // band index); 21 is novel
+    spoolFile(Seq((20L, baseText), (21L, unrelated2)),
+      "bb-1.parquet", base + 2000)
+    DedupOps.incrementalNearDupRun(spark, s"$work/spool",
+      s"$work/curated", s"$work/bands", s"$work/_chk")
+    def kept(): Set[Long] =
+      Maintenance.readTable(spark, s"$work/curated")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept() == Set(10L, 12L, 21L),
+      s"in-batch CC keeps 10, index probe drops 20: ${kept()}")
+    // the band index holds exactly the kept docs
+    val idxIds = Maintenance.readTable(spark, s"$work/bands")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(10L, 12L, 21L), s"band index ids: $idxIds")
+    // full replay against the finished table finds nothing novel
+    DedupOps.incrementalNearDupRun(spark, s"$work/spool",
+      s"$work/curated", s"$work/bands", s"$work/_chk_replay")
+    assert(kept() == Set(10L, 12L, 21L), "replay must be idempotent")
+    graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
+  }
 }
