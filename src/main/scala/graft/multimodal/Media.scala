@@ -185,6 +185,38 @@ object Media {
       o + 1
     }
 
+    /** Byte offset of every image descriptor (0x2C) — the container-level
+      * frame index a sampler seeks to WITHOUT LZW-decoding anything; the
+      * same block walk as [[decodeGif]], recording positions instead of
+      * counting.
+      */
+    def gifFrameOffsets(p: Array[Byte]): Array[Int] = {
+      require(p.length >= 14 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F',
+        "not a GIF")
+      val flags = p(10) & 0xff
+      var o = 13 +
+        (if ((flags & 0x80) != 0) 3 * (1 << ((flags & 7) + 1)) else 0)
+      val offs = Array.newBuilder[Int]
+      var done = false
+      while (!done && o < p.length) {
+        (p(o) & 0xff) match {
+          case 0x3b => done = true
+          case 0x21 => o = skipSubBlocks(p, o + 2)
+          case 0x2c =>
+            offs += o
+            val lf = p(o + 9) & 0xff
+            o += 10 +
+              (if ((lf & 0x80) != 0) 3 * (1 << ((lf & 7) + 1)) else 0)
+            o += 1
+            o = skipSubBlocks(p, o)
+          case other => throw new IllegalArgumentException(
+            f"bad GIF block 0x$other%02x at offset $o")
+        }
+      }
+      require(done, "GIF without a trailer")
+      offs.result()
+    }
+
     private def be16(p: Array[Byte], o: Int): Int =
       ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
 

@@ -276,6 +276,38 @@ object MultimodalOps {
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // GIF frame index — frame sampling against a REAL container: the block
+  // walk records each image descriptor's byte offset (no LZW decode), so
+  // a video-style sampler can seek straight to frame k. The fixture GIFs
+  // have a fixed per-frame block layout, so every offset is closed-form
+  // from doc_id and a mis-skipped extension or color table fails the
+  // value compare.
+  private def mmGifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 2 == 1) // syntheticPayload2's GIF half
+      .flatMap { id =>
+        Media.HeaderDecoder.gifFrameOffsets(Media.syntheticPayload2(id))
+          .zipWithIndex.map { case (off, i) =>
+            (id, i.toLong, off.toLong)
+          }
+      }
+      .toDF("doc_id", "frame_idx", "byte_offset")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val mmGifFramesSql =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 5 AS frames FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |f AS (
+      |  SELECT doc_id, unnest(generate_series(0, frames - 1)) AS frame_idx
+      |  FROM g)
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(13 + 24*frame_idx + 8 AS BIGINT) AS byte_offset
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Audio feature extraction — the amplitude-statistics pass an audio
   // corpus runs before filtering (peak/RMS gates, silence detection):
   // REAL 16-bit PCM parsing (Media.wavSamples reads the data chunk the
@@ -333,6 +365,7 @@ object MultimodalOps {
     "mm_decode_batch" -> mmDecodeBatch _,
     "mm_thumbnail_jpeg" -> mmThumbnailJpeg _,
     "mm_audio_features" -> mmAudioFeatures _,
+    "mm_gif_frames" -> mmGifFrames _,
     "mm_resize_plan" -> mmResizePlan _
   )
 
@@ -345,6 +378,7 @@ object MultimodalOps {
     "mm_decode_batch" -> mmDecodeBatchSql,
     "mm_thumbnail_jpeg" -> mmThumbnailJpegSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
+    "mm_gif_frames" -> mmGifFramesSql,
     "mm_resize_plan" -> mmResizePlanSql
   )
 }
