@@ -161,9 +161,13 @@ object Jpeg {
   /** Encode an 8-bit grayscale baseline JPEG from QUANTIZED coefficient
     * blocks (natural order, block (bx, by) row-major). The stream uses
     * the Annex K example tables, so any compliant decoder reproduces it.
+    * `restartInterval` > 0 emits a DRI segment and RSTn markers every
+    * that many MCUs (byte-aligned, DC predictor reset) — the
+    * error-recovery structure long scans carry in the wild.
     */
   def encodeGray(w: Int, h: Int, quant: Array[Int],
-      blocks: (Int, Int) => Array[Int]): Array[Byte] = {
+      blocks: (Int, Int) => Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && quant.length == 64)
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -181,21 +185,32 @@ object Jpeg {
     }
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
     marker(0xda); be16(8) // SOS: 1 component, tables 0/0, full spectral
     out.write(1); out.write(1); out.write(0x00)
     out.write(0); out.write(63); out.write(0)
-    val bw = new BitWriter(out)
+    var bw = new BitWriter(out)
     def emit(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
       val (c, l) = codes(sym)
       bw.put(c, l)
     }
     var prevDc = 0
+    var mcu = 0
+    var rstIdx = 0
     val bw8 = (w + 7) / 8
     val bh8 = (h + 7) / 8
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush() // byte-align before the marker
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          prevDc = 0
+          bw = new BitWriter(out)
+        }
+        mcu += 1
         val coef = blocks(bx, by)
         require(coef.length == 64)
         val diff = coef(0) - prevDc

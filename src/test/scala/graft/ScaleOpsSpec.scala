@@ -564,6 +564,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(maxDiff <= 1, s"decoders disagree by $maxDiff (> 1)")
   }
 
+  test("jpeg: restart markers round-trip and agree with ImageIO") {
+    import graft.multimodal.Jpeg
+    val rng = new java.util.Random(777L)
+    val (w, h) = (48, 32)
+    val blocks = Array.fill((h / 8) * (w / 8)) {
+      val coef = new Array[Int](64)
+      coef(0) = rng.nextInt(96) - 48
+      (0 until rng.nextInt(4)).foreach { _ =>
+        coef(1 + rng.nextInt(63)) = rng.nextInt(15) - 7
+      }
+      coef
+    }
+    val bytes = Jpeg.encodeGray(w, h, Jpeg.QuantFlat16,
+      (bx, by) => blocks(by * (w / 8) + bx), restartInterval = 5)
+    // the stream really carries RSTn markers (0xffd0..0xffd7)
+    val hasRst = bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff &&
+      ((p(1) & 0xff) & 0xf8) == 0xd0 && (p(1) & 0xff) != 0xd8)
+    assert(hasRst, "restartInterval=5 must emit RSTn markers")
+    val ours = Jpeg.decode(bytes)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null && ref.getWidth == w && ref.getHeight == h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      maxDiff = math.max(maxDiff, math.abs(
+        ref.getRaster.getSample(x, y, 0) - ours.pixels(y * w + x)))
+    }
+    assert(maxDiff <= 1, s"restart-marker decode disagrees by $maxDiff")
+  }
+
   test("wav samples: pattern roundtrip, sign decode, torn data refused") {
     val p = Media.encodeWavPattern(16000, 2, 300)
     val s = Media.wavSamples(p)
