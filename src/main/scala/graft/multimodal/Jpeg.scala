@@ -119,9 +119,11 @@ object Jpeg {
           require(pos < data.length, "truncated after 0xff")
           val m = data(pos) & 0xff
           if (m == 0x00) pos += 1 // stuffed literal 0xff
-          else { atMarker = m; b = 0 /* unreachable pad */
+          else {
+            atMarker = m
             throw new IllegalArgumentException(
-              f"entropy data ended at marker 0xff$m%02x") }
+              f"entropy data ended at marker 0xff$m%02x")
+          }
         }
         acc = b; n = 8
       }

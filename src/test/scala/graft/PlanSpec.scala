@@ -112,6 +112,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_surprisal: corpus total broadcasts; no window in the plan") {
+    val q = graft.queries.TextOps.queries("tx_surprisal")(spark, sfSmoke)
+    val plan = q.queryExecution.executedPlan.toString
+    // the 1-row corpus total must join in as a broadcast (nested-loop on
+    // a single row), and the per-doc aggregation must stay a hash
+    // aggregate — a Window here would mean a global sort crept in
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "1-row total should broadcast:\n" + plan.take(1500))
+    assert(!plan.contains("Window"), "surprisal must not use windows")
+  }
+
   test("fuse rule: non-dot lambdas stay unrewritten; ragged arrays stay null") {
     import org.apache.spark.sql.functions._
     val e = Tables.t(spark, sfSmoke, "embeddings")
