@@ -281,6 +281,164 @@ object Analytics {
       |ORDER BY click_id, purchase_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Stream-stream LEFT SEMI interval join — the "which clicks converted"
+  // probe without purchase columns: a click emits ONCE when its first
+  // in-window purchase arrives, and never again (the engine's semi-join
+  // state dedups further matches); state on both sides is bounded by the
+  // same watermark arithmetic as the inner join. The batch EXISTS form
+  // is the oracle — every click with at least one in-window purchase,
+  // exactly once.
+  private def ssStreamStreamSemi(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-sssemi-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def stream() = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"),
+      "left_semi")
+      .select(col("click_id"), col("user_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.WorkDirs.materializeAndClean(
+      s.read.parquet(s"$work/out").orderBy(col("click_id")), work)
+  }
+
+  private val ssStreamStreamSemiSql =
+    """SELECT c.event_id AS click_id, c.user_id
+      |FROM events c
+      |WHERE c.event_type = 'click'
+      |  AND EXISTS (
+      |    SELECT 1 FROM events p
+      |    WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR)
+      |ORDER BY click_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Stream-stream FULL OUTER interval join — both null directions at
+  // once: an unmatched click emits once the purchase watermark clears
+  // its whole 2h match window (the left-outer condition), and an
+  // unmatched purchase emits once the click watermark clears ITS window
+  // — clicks that could match purchase p have ts in [p.ts − 2h, p.ts],
+  // so p's null row needs the global watermark past p.ts only. State on
+  // both sides stays watermark-bounded exactly as in the inner join.
+  private def ssStreamStreamFull(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-ssfull-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def stream() = s.readStream
+      .schema(rawSchema)
+      .option("basePath", dir)
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 2 HOURS"),
+      "full_outer")
+      .select(col("click_id"), col("purchase_id"),
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.WorkDirs.materializeAndClean(
+      s.read.parquet(s"$work/out")
+        .orderBy(col("click_id"), col("purchase_id")), work)
+  }
+
+  private val ssStreamStreamFullSql =
+    """WITH clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |wm AS (
+      |  SELECT make_timestamp(least(
+      |      (SELECT epoch_ms(max(ts)) FROM clicks),
+      |      (SELECT epoch_ms(max(ts)) FROM purchases)) * 1000)
+      |      - INTERVAL 2 HOUR AS g),
+      |matched AS (
+      |  SELECT c.click_id, p.purchase_id, c.user_id
+      |  FROM clicks c JOIN purchases p
+      |    ON c.user_id = p.user_id
+      |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR),
+      |unmatched_c AS (
+      |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+      |  FROM clicks c, wm
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM purchases p
+      |      WHERE p.user_id = c.user_id
+      |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR)
+      |    AND c.ts + INTERVAL 2 HOUR < wm.g),
+      |unmatched_p AS (
+      |  SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id, p.user_id
+      |  FROM purchases p, wm
+      |  WHERE NOT EXISTS (
+      |      SELECT 1 FROM clicks c
+      |      WHERE c.user_id = p.user_id
+      |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR)
+      |    AND p.ts < wm.g)
+      |SELECT * FROM matched
+      |UNION ALL SELECT * FROM unmatched_c
+      |UNION ALL SELECT * FROM unmatched_p
+      |ORDER BY click_id, purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Streaming deduplication with state (dropDuplicates + watermark): keep
   // one row per (user, minute). Only the KEY SET is deterministic (which
   // physical row survives depends on shuffle arrival order), so the query
@@ -1143,6 +1301,8 @@ object Analytics {
     "k7_bucketed_join" -> k7BucketedJoin _,
     "ss_stream_stream_join" -> ssStreamStreamJoin _,
     "ss_stream_stream_left" -> ssStreamStreamLeft _,
+    "ss_stream_stream_semi" -> ssStreamStreamSemi _,
+    "ss_stream_stream_full" -> ssStreamStreamFull _,
     "st_dropdup_stream" -> stDropdupStream _,
     "st_rocksdb_dedup" -> stRocksdbDedup _,
     "st_expect_stream" -> stExpectStream _,
@@ -1165,6 +1325,8 @@ object Analytics {
     "k7_bucketed_join" -> k7BucketedJoinSql,
     "ss_stream_stream_join" -> ssStreamStreamJoinSql,
     "ss_stream_stream_left" -> ssStreamStreamLeftSql,
+    "ss_stream_stream_semi" -> ssStreamStreamSemiSql,
+    "ss_stream_stream_full" -> ssStreamStreamFullSql,
     "st_dropdup_stream" -> stDropdupStreamSql,
     "st_rocksdb_dedup" -> stRocksdbDedupSql,
     "st_expect_stream" -> stExpectStreamSql,
