@@ -92,6 +92,108 @@ object DedupOps {
       |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Exact duplicated-SPAN detection — substring-level dedup (the
+  // "Deduplicating Training Data Makes Language Models Better" exact-
+  // substring pass, reduced to Spark relational form). Doc-level near-dup
+  // (MinHash/SimHash above) misses the common corpus pathology of a
+  // boilerplate paragraph embedded in otherwise-distinct pages; this
+  // finds it: every 8-token window whose exact text appears in MORE THAN
+  // ONE document marks its token range duplicated, and overlapping or
+  // adjacent marked ranges merge into maximal spans per document.
+  //
+  // Scale shape (the part that matters at 100 TB):
+  //   * cross-doc test per window is min(doc_id) != max(doc_id) — TWO
+  //     longs of aggregation state per distinct shingle, map-side
+  //     combinable; never a distinct-set or a count(distinct). The Zipf
+  //     head costs the same two longs as a singleton shingle.
+  //   * positions rejoin the duplicated-shingle set with LEFT SEMI on the
+  //     aggregated (hence already-distinct) side — output is bounded by
+  //     the window count, O(corpus tokens), never pairwise like a
+  //     shingle self-join.
+  //   * span merge is lag/running-sum windows partitioned BY DOCUMENT —
+  //     state bounded by one doc's window count, embarrassingly parallel
+  //     across docs. Fixed window width k makes interval ends monotone in
+  //     the start, so one lag suffices (no running-max-of-end needed).
+  /** Exposed with the window-size knob so specs can plant exact spans. */
+  def dupSpans(docsRaw: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(col("text"), "\\s+")
+    val win = docsRaw
+      .select(col("doc_id"), words.as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        explode(expr(s"sequence(1, size(w) - ${k - 1})")).as("i"), col("w"))
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        concat_ws(" ", (0 until k).map(j =>
+          element_at(col("w"), col("i") + lit(j))): _*).as("shingle"))
+    val dup = win.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("shingle"))
+    val hits = win.join(dup, Seq("shingle"), "left_semi")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = hits
+      // a gap strictly wider than k tokens between consecutive window
+      // starts leaves at least one uncovered token between their ranges
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(byPos) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(runs))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        min(col("i")).as("s"), (max(col("i")) + lit(k - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        first(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        round(col("dup_tokens") / col("n_tokens"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def ddDupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpans(t(s, dir, "documents"))
+
+  private val ddDupSpansSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |win AS (
+      |  SELECT doc_id, len(w) AS n_tokens,
+      |    unnest(generate_series(1, len(w)-7)) AS i, w
+      |  FROM docs WHERE len(w) >= 8),
+      |sh AS (
+      |  SELECT doc_id, n_tokens, i,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS shingle
+      |  FROM win),
+      |dup AS (
+      |  SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING min(doc_id) <> max(doc_id)),
+      |hits AS (SELECT sh.doc_id, sh.n_tokens, sh.i FROM sh
+      |         JOIN dup USING (shingle)),
+      |gaps AS (
+      |  SELECT doc_id, n_tokens, i,
+      |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM hits),
+      |isl AS (
+      |  SELECT doc_id, n_tokens, i,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM gaps),
+      |spans AS (
+      |  SELECT doc_id, any_value(n_tokens) AS n_tokens, island,
+      |    min(i) AS s, max(i)+7 AS e
+      |  FROM isl GROUP BY doc_id, island)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(e-s+1) AS BIGINT) AS dup_tokens,
+      |  any_value(n_tokens) AS n_tokens,
+      |  round(sum(e-s+1)*1.0/any_value(n_tokens), 6) AS dup_frac
+      |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // MinHash + LSH near-dup detection: 32 permutations, 8 bands × 4 rows;
   // candidates verified with exact Jaccard over shingles; report verified
   // pairs ≥ 0.5. Rows-only (xxhash64 not reproducible in DuckDB).
@@ -439,6 +541,7 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     "dd_exact" -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
+    "dd_dup_spans" -> ddDupSpans _,
     "dd_minhash_lsh" -> ddMinhashLsh _,
     "dd_simhash" -> ddSimhash _,
     "dd_dedup_keep" -> ddDedupKeep _,
@@ -449,6 +552,7 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_dup_spans" -> ddDupSpansSql,
     "dd_dedup_keep" -> ddDedupKeepSql,
     "st_incremental_dedup" -> stIncrementalDedupSql,
     "st_incremental_neardup" -> stIncrementalNearDupSql

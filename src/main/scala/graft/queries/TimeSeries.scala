@@ -328,6 +328,72 @@ object TimeSeries {
   }
 
   // ---------------------------------------------------------------------
+  // Holt's linear-trend exponential smoothing over the daily close
+  // (ETS(A,A,N); the notebook forecasting family's smoother sibling —
+  // reference Garch_v1.ipynb forecasts the same daily series with ARIMA).
+  // l_t = α·y_t + (1−α)(l+b);  b_t = β(l_t − l) + (1−β)b;  init l=y_1,
+  // b=0, folding from y_2. α=0.3, β=0.1.
+  //
+  // The whole recursion runs as ONE `aggregate` higher-order function
+  // over the per-key ordered close array — no UDF, no driver loop, and
+  // per-key state is a 2-field struct. DuckDB's `list_reduce` has no
+  // separate init parameter, so the oracle prepends the init struct and
+  // wraps each y_t as {'l': y_t, 'b': 0}; the fold ORDER and the lambda
+  // arithmetic (l' spelled out twice — HOF lambdas bind no locals) are
+  // textually mirrored so both engines produce bit-identical doubles.
+  // Scale shape: series live one-per-key (5 event types here, one row
+  // group per symbol at 100 TB) — collect_list is per-GROUP state inside
+  // a hash aggregate, bounded by one key's history, never a global
+  // collect.
+  private def tsHoltForecast(s: SparkSession, dir: String): DataFrame =
+    dailyClose(s, dir)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("close"))))
+        .as("pairs"))
+      .select(col("event_type"),
+        expr("transform(pairs, x -> x.close)").as("cl"))
+      .select(col("event_type"),
+        size(col("cl")).cast("long").as("n"),
+        expr(
+          """aggregate(
+            |  slice(cl, 2, size(cl) - 1),
+            |  named_struct('l', element_at(cl, 1), 'b', CAST(0.0 AS DOUBLE)),
+            |  (a, x) -> named_struct(
+            |    'l', 0.3D * x + 0.7D * (a.l + a.b),
+            |    'b', 0.1D * ((0.3D * x + 0.7D * (a.l + a.b)) - a.l)
+            |         + 0.9D * a.b))""".stripMargin).as("fit"))
+      .select(col("event_type"), col("n"),
+        round(col("fit.l"), 6).as("level"),
+        round(col("fit.b"), 6).as("trend"),
+        round(col("fit.l") + col("fit.b"), 6).as("forecast_1"),
+        round(col("fit.l") + lit(3.0) * col("fit.b"), 6).as("forecast_3"))
+      .orderBy(col("event_type"))
+
+  private val tsHoltForecastSql =
+    """WITH s AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, list(close ORDER BY d) AS cl
+      |  FROM s GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, len(cl) AS n,
+      |    list_reduce(
+      |      list_concat(
+      |        [{'l': cl[1], 'b': CAST(0.0 AS DOUBLE)}],
+      |        list_transform(cl[2:], y -> {'l': y, 'b': CAST(0.0 AS DOUBLE)})),
+      |      (a, x) -> {'l': 0.3 * x.l + 0.7 * (a.l + a.b),
+      |                 'b': 0.1 * ((0.3 * x.l + 0.7 * (a.l + a.b)) - a.l)
+      |                      + 0.9 * a.b}) AS fit
+      |  FROM l)
+      |SELECT event_type, n, round(fit.l, 6) AS level,
+      |  round(fit.b, 6) AS trend,
+      |  round(fit.l + fit.b, 6) AS forecast_1,
+      |  round(fit.l + 3.0 * fit.b, 6) AS forecast_3
+      |FROM f ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "ts_ohlcv_daily" -> tsOhlcvDaily _,
     "w4_moving_stats" -> w4MovingStats _,
@@ -336,12 +402,14 @@ object TimeSeries {
     "ts_arma_residuals" -> tsArmaResiduals _,
     "ts_garch_backtest" -> tsGarchBacktest _,
     "ts_diagnostics" -> tsDiagnostics _,
-    "ts_order_search" -> tsOrderSearch _
+    "ts_order_search" -> tsOrderSearch _,
+    "ts_holt_forecast" -> tsHoltForecast _
   )
 
   val oracle: Map[String, String] = Map(
     "ts_ohlcv_daily" -> tsOhlcvDailySql,
     "w4_moving_stats" -> w4MovingStatsSql,
-    "ts_naive_backtest" -> tsNaiveBacktestSql
+    "ts_naive_backtest" -> tsNaiveBacktestSql,
+    "ts_holt_forecast" -> tsHoltForecastSql
   )
 }

@@ -230,6 +230,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("dd_dup_spans: semi-join on aggregated shingles, no distinct agg") {
+    // the duplicated-window test is min!=max (two longs of state per
+    // shingle) and the rejoin is LEFT SEMI against that aggregated set —
+    // a count(distinct doc_id) or an inner-join fanout here would carry
+    // per-shingle doc sets through the shuffle at corpus scale
+    val plan = planOf(
+      graft.queries.DedupOps.queries("dd_dup_spans")(spark, sfSmoke))
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("distinct"), "no distinct aggregate")
+    // span-merge windows partition by doc_id, never globally
+    val specs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("doc_id")),
+      specs.mkString("\n"))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     import spark.implicits._
     // the engine's other skew answer next to explicit salting

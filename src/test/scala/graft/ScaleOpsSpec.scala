@@ -49,6 +49,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(uncapped.count() == 20, "uncapped top-20 floods with boilerplate")
   }
 
+  test("dup-spans: planted shared sentence yields exactly its token range") {
+    import spark.implicits._
+    val s10 = (1 to 10).map(j => s"s$j").mkString(" ") // 10 shared tokens
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $s10 a4 a5"),   // S at tokens 4..13 of 15
+      (2L, s"b1 b2 $s10 b3 b4 b5"),   // S at tokens 3..12 of 15
+      (3L, (1 to 12).map(j => s"c$j").mkString(" ")) // fully unique
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // windows inside S only (straddling windows carry unique context):
+    // doc 1 starts {4,5,6} -> one span covering tokens 4..13 = 10 tokens
+    assert(got.toSeq == Seq((1L, 1L, 10L, 15L), (2L, 1L, 10L, 15L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("dup-spans: islands split only when a token escapes coverage") {
+    import spark.implicits._
+    val s8 = (1 to 8).map(j => s"x$j").mkString(" ")
+    val t8 = (1 to 8).map(j => s"y$j").mkString(" ")
+    // doc 10: X at 1..8, one unique token, Y at 10..17 -> token 9 is
+    // uncovered, so two spans. doc 11: X then Y immediately (1..8, 9..16)
+    // -> contiguous coverage, ONE merged span of 16.
+    val docs = Seq(
+      (10L, s"$s8 gap1 $t8"),
+      (11L, s"$s8 $t8"),
+      (20L, s"$s8 z1 z2 z3 z4 z5 z6 z7 z8"), // second copy of X
+      (21L, s"w1 w2 w3 w4 w5 w6 w7 w8 $t8")  // second copy of Y
+    ).toDF("doc_id", "text")
+    val rows = DedupOps.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(10L) == ((2L, 16L)), s"doc 10: ${rows(10L)}")
+    assert(rows(11L) == ((1L, 16L)), s"doc 11: ${rows(11L)}")
+  }
+
   test("LSH verified pairs carry true jaccard (subset of exact pair set)") {
     val sh = Dedup.shingles(Tables.t(spark, sfSmoke, "documents"),
       "doc_id", "text", 3)
