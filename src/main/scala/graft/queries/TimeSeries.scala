@@ -336,11 +336,16 @@ object TimeSeries {
   //
   // The whole recursion runs as ONE `aggregate` higher-order function
   // over the per-key ordered close array — no UDF, no driver loop, and
-  // per-key state is a 2-field struct. DuckDB's `list_reduce` has no
-  // separate init parameter, so the oracle prepends the init struct and
-  // wraps each y_t as {'l': y_t, 'b': 0}; the fold ORDER and the lambda
-  // arithmetic (l' spelled out twice — HOF lambdas bind no locals) are
-  // textually mirrored so both engines produce bit-identical doubles.
+  // per-key state is a 2-element DOUBLE array [l, b]. An ARRAY, not a
+  // struct: DuckDB's `list_reduce` evaluates a struct-typed result field
+  // by field against the accumulator mutated IN PLACE, so a `b` lambda
+  // reading `a.l` sees the already-updated level and the recursion is
+  // not Holt's (r07 red row). Array state folds correctly in both
+  // engines. DuckDB's `list_reduce` has no separate init parameter, so
+  // the oracle prepends the init pair and wraps each y_t as [y_t, 0];
+  // the fold ORDER and the lambda arithmetic (l' spelled out twice —
+  // HOF lambdas bind no locals) are textually mirrored so both engines
+  // produce bit-identical doubles.
   // Scale shape: series live one-per-key (5 event types here, one row
   // group per symbol at 100 TB) — collect_list is per-GROUP state inside
   // a hash aggregate, bounded by one key's history, never a global
@@ -357,16 +362,18 @@ object TimeSeries {
         expr(
           """aggregate(
             |  slice(cl, 2, size(cl) - 1),
-            |  named_struct('l', element_at(cl, 1), 'b', CAST(0.0 AS DOUBLE)),
-            |  (a, x) -> named_struct(
-            |    'l', 0.3D * x + 0.7D * (a.l + a.b),
-            |    'b', 0.1D * ((0.3D * x + 0.7D * (a.l + a.b)) - a.l)
-            |         + 0.9D * a.b))""".stripMargin).as("fit"))
+            |  array(element_at(cl, 1), CAST(0.0 AS DOUBLE)),
+            |  (a, x) -> array(
+            |    0.3D * x + 0.7D * (a[0] + a[1]),
+            |    0.1D * ((0.3D * x + 0.7D * (a[0] + a[1])) - a[0])
+            |         + 0.9D * a[1]))""".stripMargin).as("fit"))
       .select(col("event_type"), col("n"),
-        round(col("fit.l"), 6).as("level"),
-        round(col("fit.b"), 6).as("trend"),
-        round(col("fit.l") + col("fit.b"), 6).as("forecast_1"),
-        round(col("fit.l") + lit(3.0) * col("fit.b"), 6).as("forecast_3"))
+        round(element_at(col("fit"), 1), 6).as("level"),
+        round(element_at(col("fit"), 2), 6).as("trend"),
+        round(element_at(col("fit"), 1) + element_at(col("fit"), 2), 6)
+          .as("forecast_1"),
+        round(element_at(col("fit"), 1)
+          + lit(3.0) * element_at(col("fit"), 2), 6).as("forecast_3"))
       .orderBy(col("event_type"))
 
   private val tsHoltForecastSql =
@@ -381,16 +388,16 @@ object TimeSeries {
       |  SELECT event_type, len(cl) AS n,
       |    list_reduce(
       |      list_concat(
-      |        [{'l': cl[1], 'b': CAST(0.0 AS DOUBLE)}],
-      |        list_transform(cl[2:], y -> {'l': y, 'b': CAST(0.0 AS DOUBLE)})),
-      |      (a, x) -> {'l': 0.3 * x.l + 0.7 * (a.l + a.b),
-      |                 'b': 0.1 * ((0.3 * x.l + 0.7 * (a.l + a.b)) - a.l)
-      |                      + 0.9 * a.b}) AS fit
+      |        [[cl[1], CAST(0.0 AS DOUBLE)]],
+      |        list_transform(cl[2:], y -> [y, CAST(0.0 AS DOUBLE)])),
+      |      (a, x) -> [0.3 * x[1] + 0.7 * (a[1] + a[2]),
+      |                 0.1 * ((0.3 * x[1] + 0.7 * (a[1] + a[2])) - a[1])
+      |                      + 0.9 * a[2]]) AS fit
       |  FROM l)
-      |SELECT event_type, n, round(fit.l, 6) AS level,
-      |  round(fit.b, 6) AS trend,
-      |  round(fit.l + fit.b, 6) AS forecast_1,
-      |  round(fit.l + 3.0 * fit.b, 6) AS forecast_3
+      |SELECT event_type, n, round(fit[1], 6) AS level,
+      |  round(fit[2], 6) AS trend,
+      |  round(fit[1] + fit[2], 6) AS forecast_1,
+      |  round(fit[1] + 3.0 * fit[2], 6) AS forecast_3
       |FROM f ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------

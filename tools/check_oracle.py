@@ -11,6 +11,12 @@ a view over <sfDir>/<table>.parquet. Sorts columns by name, sorts rows,
 compares cell-by-cell (exact; reports first diffs).
 
 Dev-tool only — never shipped in the engine (driver-side python env).
+
+Oracle-authoring gotcha (r07 ts_holt_forecast): DuckDB evaluates a
+struct-typed lambda result FIELD-SEQUENTIALLY against an accumulator
+mutated in place — inside list_reduce, a later field's expression reading
+an earlier field of `a` sees the already-updated value. Never carry
+recursion state in a struct; use a list (array) accumulator instead.
 """
 import sys, json, glob, math
 
