@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Table registry over the driver-generated parquet dirs (TESTDATA.md).
   *
@@ -44,17 +44,89 @@ object Tables {
 
   /** Batch scan (reference S3: streaming_pipeline.py:32,35-36). Plain
     * `spark.read.parquet` keeps the scan declarative so Catalyst pushes
-    * filters/column pruning into the parquet reader.
+    * filters/column pruning into the parquet reader. Any `ts` column is
+    * normalized to a canonical instant type regardless of how the producer
+    * encoded it on disk ([[normalizeTs]]).
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    // (PARQUET_TYPE_ILLEGAL). Read nanos as epoch-long, then convert to a
-    // micros TimestampType. Runtime-settable conf, so this also works under
-    // a driver-created session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (df.schema.fieldNames.contains("ts")) normalizeTs(df) else df
   }
+
+  /** Schema exactly as the parquet footer(s) declare it, read driver-side
+    * (one footer, no data). `nanosAsLong` makes legacy TIMESTAMP(NANOS)
+    * columns surface as epoch-nanos `LongType` instead of failing the read
+    * — a shape [[normalizeTs]] recognizes. This is how `readStream` paths
+    * obtain their mandatory explicit schema WITHOUT hardcoding one
+    * producer's physical encoding: at 100 TB with multiple writers a table
+    * can legitimately mix timestamp encodings across files, and a schema
+    * assumption baked into the engine breaks on the first drift.
+    */
+  def footerSchema(spark: SparkSession, pathOrGlob: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // expand the glob here: handing a glob straight to the batch reader
+    // resolves, but logs a spurious recovered FileNotFoundException from
+    // the initial non-glob qualification attempt
+    val hp = new org.apache.hadoop.fs.Path(pathOrGlob)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+    require(matched.nonEmpty, s"no parquet input matches $pathOrGlob")
+    spark.read.parquet(matched.head.getPath.toString).schema
+  }
+
+  /** Normalize a raw event-time column to canonical `TimestampType`
+    * (a UTC instant), whichever of the three physical encodings a producer
+    * wrote:
+    *
+    *   - parquet TIMESTAMP(NANOS), surfaced as epoch-nanos `LongType`
+    *     under `nanosAsLong` → `timestamp_micros(ts div 1000)`;
+    *   - TIMESTAMP_NTZ (isAdjustedToUTC=false micros) → cast, with the
+    *     session timezone pinned to UTC so the naive value is read as the
+    *     UTC instant it denotes;
+    *   - TIMESTAMP (isAdjustedToUTC=true) → already canonical.
+    *
+    * Anything else (string, int32 days, …) is rejected loudly — a silent
+    * misparse here corrupts every watermark and window downstream.
+    */
+  def normalizeTs(df: DataFrame, column: String = "ts"): DataFrame = {
+    // Pin event-time interpretation to UTC. Every graft entry point sets
+    // this already; doing it here too keeps a caller-created session (the
+    // driver's smoke session, a user's REPL) on the same clock.
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    df.schema(column).dataType match {
+      case LongType =>
+        df.withColumn(column, expr(s"timestamp_micros($column div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(column, col(column).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"unsupported on-disk encoding for event-time column '$column': " +
+        s"$other (expected INT64 epoch-nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
+
+  /** Streaming scan over event-shaped parquet: schema derived from the
+    * ACTUAL file footer (never hardcoded) and `ts` normalized to an
+    * instant. All `readStream` consumers of the events table go through
+    * here so a producer-side encoding change is absorbed in ONE place.
+    */
+  def streamEvents(spark: SparkSession, basePath: String, glob: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = options.foldLeft(
+        spark.readStream
+          .schema(footerSchema(spark, glob))
+          // a single-file target must stay a glob with basePath = its dir:
+          // a non-glob path forces basePath = the file itself, which
+          // partition inference rejects
+          .option("basePath", basePath)) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    normalizeTs(reader.parquet(glob))
+  }
+
+  /** [[streamEvents]] over the registry's events table. */
+  def eventsStream(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    streamEvents(spark, dir, s"$dir/events*.parquet", options)
 }

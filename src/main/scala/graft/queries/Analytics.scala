@@ -143,21 +143,10 @@ object Analytics {
         graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-ssjoin-${java.util.UUID.randomUUID()}").getAbsolutePath
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    def stream() = s.readStream
-      .schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // footer-derived schema + canonical ts (graft.Tables.eventsStream)
+    def stream() = graft.Tables.eventsStream(s, dir)
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -210,21 +199,10 @@ object Analytics {
         graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-ssleft-${java.util.UUID.randomUUID()}").getAbsolutePath
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    def stream() = s.readStream
-      .schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // footer-derived schema + canonical ts (graft.Tables.eventsStream)
+    def stream() = graft.Tables.eventsStream(s, dir)
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -293,21 +271,10 @@ object Analytics {
         graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-sssemi-${java.util.UUID.randomUUID()}").getAbsolutePath
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    def stream() = s.readStream
-      .schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // footer-derived schema + canonical ts (graft.Tables.eventsStream)
+    def stream() = graft.Tables.eventsStream(s, dir)
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -357,21 +324,10 @@ object Analytics {
         graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-ssfull-${java.util.UUID.randomUUID()}").getAbsolutePath
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    def stream() = s.readStream
-      .schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // footer-derived schema + canonical ts (graft.Tables.eventsStream)
+    def stream() = graft.Tables.eventsStream(s, dir)
     val clicks = stream().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -473,18 +429,9 @@ object Analytics {
   private def dropdupBody(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-dropdup-${java.util.UUID.randomUUID()}").getAbsolutePath
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val deduped = s.readStream
-      .schema(rawSchema)
-      .option("basePath", dir)
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = graft.Tables.eventsStream(s, dir)
       .withColumn("minute", date_trunc("minute", col("ts")))
       .withWatermark("minute", "10 minutes")
       .dropDuplicates("user_id", "minute")
@@ -525,18 +472,9 @@ object Analytics {
       import org.apache.spark.sql.streaming.Trigger
       import org.apache.spark.sql.types._
       import graft.operators.Expectations
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val work = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-expstream-${java.util.UUID.randomUUID()}").getAbsolutePath
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val q = s.readStream
-        .schema(rawSchema)
-        .option("basePath", dir)
-        .parquet(s"$dir/events*.parquet")
+      val q = graft.Tables.eventsStream(s, dir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           val res = Expectations.check(batch, Seq(
@@ -619,21 +557,12 @@ object Analytics {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
     import org.apache.spark.sql.types._
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-mgs-${java.util.UUID.randomUUID()}").getAbsolutePath
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val reader = s.readStream
-      .schema(rawSchema)
-      .option("basePath", basePath)
-    val events = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(glob)
+    val events = graft.Tables.streamEvents(s, basePath, glob,
+        maxFilesPerTrigger.map("maxFilesPerTrigger" -> _.toString).toMap)
       .select(col("user_id"),
-        expr("ts div 1000000000").as("sec"), // epoch seconds (ns → s)
+        unix_timestamp(col("ts")).as("sec"), // floor epoch seconds
         round(col("value") * 100).cast("long").as("cents"))
       .as[(Long, Long, Long)]
     // state: (n_events, total_cents, first_sec, last_sec)
@@ -721,21 +650,12 @@ object Analytics {
     s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider")
     try {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val work = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-twl-${java.util.UUID.randomUUID()}").getAbsolutePath
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val events = s.readStream
-        .schema(rawSchema)
-        .option("basePath", dir)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$dir/events*.parquet")
+      val events = graft.Tables.eventsStream(s, dir,
+          Map("maxFilesPerTrigger" -> "1"))
         .select(col("user_id"),
-          expr("ts div 1000000000").as("sec"),
+          unix_timestamp(col("ts")).as("sec"),
           round(col("value") * 100).cast("long").as("cents"))
         .as[(Long, Long, Long)]
       val tops = events.groupByKey(_._1)
@@ -800,19 +720,10 @@ object Analytics {
     s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider")
     try {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val work = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-twm-${java.util.UUID.randomUUID()}").getAbsolutePath
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val events = s.readStream
-        .schema(rawSchema)
-        .option("basePath", dir)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$dir/events*.parquet")
+      val events = graft.Tables.eventsStream(s, dir,
+          Map("maxFilesPerTrigger" -> "1"))
         .select(col("user_id"), col("event_type"),
           round(col("value") * 100).cast("long").as("cents"))
         .as[(Long, String, Long)]
@@ -869,21 +780,12 @@ object Analytics {
     s.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider") // transformWithState requires RocksDB
     try {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val work = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-tws-${java.util.UUID.randomUUID()}").getAbsolutePath
-      val rawSchema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val events = s.readStream
-        .schema(rawSchema)
-        .option("basePath", dir)
-        .option("maxFilesPerTrigger", 1) // multi-batch state path
-        .parquet(s"$dir/events*.parquet")
+      val events = graft.Tables.eventsStream(s, dir,
+          Map("maxFilesPerTrigger" -> "1")) // multi-batch state path
         .select(col("user_id"),
-          expr("ts div 1000000000").as("sec"),
+          unix_timestamp(col("ts")).as("sec"),
           round(col("value") * 100).cast("long").as("cents"))
         .as[(Long, Long, Long)]
       val profiles = events.groupByKey(_._1)

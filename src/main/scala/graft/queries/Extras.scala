@@ -123,9 +123,8 @@ object Extras {
   private val replayFixtures = scala.collection.mutable.Map[String, String]()
   def ensureReplayFixture(s: SparkSession, dir: String): String =
     synchronized { replayFixtures.getOrElseUpdate(dir, {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val work = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-replay-fixture-${Integer.toHexString(dir.hashCode)}")
+        s"graft-replay-fixture-${Tables.fingerprint(dir, "events")}")
         .getAbsolutePath
       // cross-PROCESS safe: the build runs under the fixture's commit
       // lock, and a completed build leaves a marker written last — a
@@ -178,7 +177,6 @@ object Extras {
   }
 
   private def s2OrderedReplay(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fixture = ensureReplayFixture(s, dir)
     graft.streaming.StateTuning.withStatePartitions(s,
         graft.streaming.StateTuning.dirBytes(s"$fixture/spool")) {

@@ -56,17 +56,6 @@ object TickPipeline {
     d.getAbsolutePath
   }
 
-  /** Raw parquet schema of the events table (ts is TIMESTAMP(NANOS) on
-    * disk, surfaced as epoch-nanos long under the nanosAsLong conf).
-    */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private val bronzeSchema = StructType(Seq(
     StructField("event_type", StringType),
     StructField("window_start", TimestampType),
@@ -85,15 +74,9 @@ object TickPipeline {
   def runBronzeHop(spark: SparkSession, cfg: Config): Unit =
     StateTuning.withStatePartitions(spark,
         StateTuning.globBytes(s"${cfg.sfDir}/events*.parquet")) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ticks = spark.readStream
-      .schema(eventsRawSchema)
-      // the stream points at a single file: the path must be a glob (a
-      // non-glob path makes the source force basePath = the file itself,
-      // which partition inference rejects) with basePath = its directory
-      .option("basePath", cfg.sfDir)
-      .parquet(s"${cfg.sfDir}/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // footer-derived schema + canonical ts — one adapter for every
+    // producer-side timestamp encoding (graft.Tables.eventsStream)
+    val ticks = graft.Tables.eventsStream(spark, cfg.sfDir)
 
     val bars = ticks
       .withWatermark("ts", "1 minute")
@@ -200,15 +183,10 @@ object TickPipeline {
       types: Seq[String]): Unit =
     StateTuning.withStatePartitions(spark,
         StateTuning.globBytes(s"${cfg.sfDir}/events*.parquet")) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "streaming")
     val queries = types.map { et =>
       val sinkDir = bronzeTypeDir(cfg, et)
-      val ticks = spark.readStream
-        .schema(eventsRawSchema)
-        .option("basePath", cfg.sfDir)
-        .parquet(s"${cfg.sfDir}/events*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ticks = graft.Tables.eventsStream(spark, cfg.sfDir)
         .filter(col("event_type") === et)
       val bars = ticks
         .withWatermark("ts", "1 minute")

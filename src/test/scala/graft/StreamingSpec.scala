@@ -10,30 +10,25 @@ class StreamingSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sfSmoke}
 
   test("mapGroupsWithState survives multi-batch replay (maxFilesPerTrigger=1)") {
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // split events over >=3 files so maxFilesPerTrigger=1 forces >=3
     // micro-batches — each user's profile is emitted several times and the
-    // read-back dedup must keep only the final state
+    // read-back dedup must keep only the final state. Building the fixture
+    // via Tables.t writes canonical-TIMESTAMP files, so this also exercises
+    // the pass-through branch of the encoding adapter.
     val fixture = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-mgs-multi-${java.util.UUID.randomUUID()}").getAbsolutePath
-    spark.read.schema(rawSchema).option("basePath", sfSmoke)
-      .parquet(s"$sfSmoke/events*.parquet")
+    Tables.t(spark, sfSmoke, "events")
       .repartition(3).write.parquet(fixture)
     assert(new java.io.File(fixture).listFiles()
       .count(_.getName.endsWith(".parquet")) >= 3)
     val out = Analytics.mapGroupsProfiles(spark, fixture,
       s"$fixture/part-*.parquet", maxFilesPerTrigger = Some(1)).cache()
-    val expected = spark.read.schema(rawSchema).parquet(fixture)
+    val expected = spark.read.parquet(fixture)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("e_n"),
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("e_total"),
-        min(expr("ts div 1000000000")).as("e_first"),
-        max(expr("ts div 1000000000")).as("e_last"))
+        min(unix_timestamp(col("ts"))).as("e_first"),
+        max(unix_timestamp(col("ts"))).as("e_last"))
     assert(out.count() == expected.count(), "must emit exactly one row per user")
     val j = out.join(expected, Seq("user_id"), "full")
     assert(j.filter(col("n_events").isNull || col("e_n").isNull).count() == 0)

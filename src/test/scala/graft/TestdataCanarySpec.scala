@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Schema-drift canary: the driver regenerates /root/testdata between
+  * rounds and is free to change physical column encodings (r8: events.ts
+  * flipped from parquet TIMESTAMP(NANOS) to TIMESTAMP_NTZ micros, silently
+  * collapsing every hardcoded-schema streaming path). This suite fails
+  * FAST and NAMES THE CAUSE when the testdata's on-disk shape leaves what
+  * [[Tables.normalizeTs]] accepts, instead of letting 15 queries go red in
+  * the driver's report.
+  */
+class TestdataCanarySpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfSmoke}
+
+  test("the encoding adapter accepts every testdata table as stored") {
+    for (name <- Tables.names) {
+      // Tables.t throws IllegalStateException on an encoding drift the
+      // adapter does not recognize — surface it per-table by name
+      val df = Tables.t(spark, sfSmoke, name)
+      assert(df.schema.nonEmpty, s"$name: empty schema")
+      if (df.schema.fieldNames.contains("ts"))
+        assert(df.schema("ts").dataType == TimestampType,
+          s"$name.ts must normalize to TimestampType, " +
+            s"got ${df.schema("ts").dataType}")
+    }
+  }
+
+  test("events.ts normalizes to a sane epoch range (unit-error canary)") {
+    // A micros-read-as-nanos (or nanos-as-micros) misinterpretation moves
+    // the data by 1000x: the range collapses to minutes around 1970 or
+    // explodes past year 4000. Wide bounds keep the canary insensitive to
+    // legitimate regeneration, lethal to unit bugs.
+    val r = Tables.t(spark, sfSmoke, "events")
+      .agg(min(unix_timestamp(col("ts"))).as("lo"),
+        max(unix_timestamp(col("ts"))).as("hi"))
+      .first()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val y2000 = 946684800L
+    val y2100 = 4102444800L
+    assert(lo >= y2000 && hi <= y2100,
+      s"events.ts outside [2000, 2100]: min=$lo max=$hi — " +
+        "timestamp unit misinterpretation?")
+    val spanSec = hi - lo
+    assert(spanSec >= 3600L && spanSec <= 5L * 365 * 24 * 3600,
+      s"events.ts span ${spanSec}s implausible (unit drift collapses a " +
+        "30-day range to ~43min or stretches it 1000x)")
+  }
+
+  test("the streaming source sees the same normalized ts as the batch scan") {
+    // footer-derived readStream schema == batch schema after normalization
+    val streamSchema = Tables.eventsStream(spark, sfSmoke).schema
+    val batchSchema = Tables.t(spark, sfSmoke, "events").schema
+    assert(streamSchema == batchSchema,
+      s"stream/batch schema drift:\n  stream: $streamSchema\n  " +
+        s"batch: $batchSchema")
+  }
+}
