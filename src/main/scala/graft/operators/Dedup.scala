@@ -30,16 +30,40 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signature per doc: "permutation" i is xxhash64 salted with the
-    * permutation index (an independent hash family member per i) —
-    * deterministic across runs and partitionings, and safe under ANSI
-    * arithmetic (no overflowing multiplies).
+  /** Portable 60-bit content hash: the integer value of md5's first 15 hex
+    * chars — bit-identical in ANY engine with md5 (DuckDB:
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`), which is what makes
+    * the MinHash / SimHash / winnowing query surfaces fully oracle-able
+    * cross-engine. 60 bits (not 64) keeps every derived value of the
+    * `h1 + i*h2` family below inside a signed 64-bit long under ANSI
+    * arithmetic — no overflow, no unsigned-wrap divergence.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Independent 56-bit increment from hex chars 17..30 of the SAME md5
+    * (the codegen CSE reuses the digest): the step of the
+    * `perm_i = h1 + i*h2` universal family. 56 bits bounds
+    * `31 * h2 + h1 < 2^62`.
+    */
+  def portableHash56(c: Column): Column =
+    conv(substring(md5(c), 17, 14), 16, 10).cast("long")
+
+  /** MinHash signature per doc: "permutation" i is the universal family
+    * `h1(shingle) + i * h2(shingle)` over the portable md5-derived hashes —
+    * ONE digest per shingle plus fused multiply-adds (cheaper than one
+    * full-string hash per permutation), deterministic across runs,
+    * partitionings, AND engines, so the LSH pipeline has a closed-form
+    * DuckDB oracle with no recall assumption.
     */
   def minHash(sh: DataFrame, idCol: String, numPerm: Int = 32): DataFrame = {
+    val withH = sh
+      .withColumn("h1", portableHash60(col("shingle")))
+      .withColumn("h2", portableHash56(col("shingle")))
     val perms: Seq[Column] = (0 until numPerm).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh_$i")
     }
-    sh.groupBy(col(idCol)).agg(perms.head, perms.tail: _*)
+    withH.groupBy(col(idCol)).agg(perms.head, perms.tail: _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of
@@ -51,7 +75,12 @@ object Dedup {
     val rows = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+      // fixed-width portable bucket key: md5 over the comma-joined slice
+      // (decimal renderings agree across engines), truncated to 16 hex
+      // chars — bounded shuffle width at any scale, reproducible in the
+      // oracle
+      struct(lit(b).as("band"),
+        substring(md5(concat_ws(",", slice: _*)), 1, 16).as("bucket"))
     }
     sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -83,32 +112,34 @@ object Dedup {
         col("inter") / (col("n_a") + col("n_b") - col("inter")))
   }
 
-  /** 64-bit SimHash over word hashes (unit weights): bit j of the signature
-    * is the sign of Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1). Expressed
-    * as 64 conditional sums — wide but fully codegen'd, no UDF.
+  /** 60-bit SimHash over word hashes (unit weights): bit j of the signature
+    * is the sign of Σ_tokens (bit_j(portableHash60(token)) ? +1 : -1).
+    * Expressed as 60 conditional sums — wide but fully codegen'd, no UDF.
+    * 60 bits (md5-derived) rather than 64 keeps the whole pipeline
+    * reproducible in the DuckDB oracle.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(split(col(textCol), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h", portableHash60(col("token")))
+    val bitSums = (0 until 60).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b_$j")
     }
     val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
+    val sig = (0 until 60).map { j =>
       when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit signature into four
-    * 16-bit chunks (any chunk equal → candidate; catches all pairs with
+  /** SimHash near-dup candidates: band the 60-bit signature into four
+    * 15-bit chunks (any chunk equal → candidate; catches all pairs with
     * hamming distance ≤ 3 exactly, more probabilistically), verify with
     * bit_count(xor) ≤ maxHamming.
     *
-    * Scale hardening: 16-bit bands give at most 65,536 buckets per band,
+    * Scale hardening: 15-bit bands give at most 32,768 buckets per band,
     * so at billions of docs the within-bucket self-join goes quadratic.
     * Buckets above `maxBucketSize` switch to O(size) pairing instead of
     * O(size²): a STAR graph (every member vs the bucket's min-id
@@ -176,9 +207,12 @@ object Dedup {
       .filter(col("bsz") > maxBucketSize)
 
   private def simHashBuckets(sig: DataFrame, idCol: String): DataFrame = {
+    // 4 bands x 15 bits over the 60-bit signature: pigeonhole guarantees
+    // every pair at hamming <= 3 shares a band; the oracle replicates the
+    // banding bit-for-bit, so recall needs no probabilistic argument
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("band"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("bucket")))
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("bucket")))
     sig.select(col(idCol), col("simhash"),
       explode(array(chunks: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band").as("band"),

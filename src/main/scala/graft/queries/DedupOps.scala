@@ -196,7 +196,11 @@ object DedupOps {
   // ---------------------------------------------------------------------
   // MinHash + LSH near-dup detection: 32 permutations, 8 bands × 4 rows;
   // candidates verified with exact Jaccard over shingles; report verified
-  // pairs ≥ 0.5. Rows-only (xxhash64 not reproducible in DuckDB).
+  // pairs ≥ 0.5. Fully oracled: the md5-derived portable hash family
+  // (Dedup.portableHash60/56) makes shingle hashes, signatures, band
+  // buckets, and therefore the candidate SET itself bit-identical in
+  // DuckDB — the oracle replays the whole LSH pipeline with no recall
+  // assumption.
   private def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     // sh re-evaluates for the signature chain, the per-doc counts, and
     // both verify-join sides — deliberately NOT checkpointed: the shingle
@@ -213,13 +217,87 @@ object DedupOps {
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
   }
 
-  // SimHash near-dup detection: 64-bit signatures, 16-bit band candidates,
+  // SimHash near-dup detection: 60-bit signatures, 15-bit band candidates,
   // hamming ≤ 8 verification. Rows-only.
   private def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
     Dedup.simHashPairs(sig, "doc_id", maxHamming = 8)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
   }
+
+  private val ddMinhashLshSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |  FROM docs WHERE len(w) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM idx),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+      |    CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT) AS h2
+      |  FROM sh),
+      |sig AS (
+      |  SELECT doc_id, i, min(h1 + i * h2) AS mh
+      |  FROM h CROSS JOIN range(0, 32) AS t(i)
+      |  GROUP BY doc_id, i),
+      |band AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    substr(md5(string_agg(mh::VARCHAR, ',' ORDER BY i)), 1, 16)
+      |      AS bucket
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band a JOIN band b
+      |    ON a.band = b.band AND a.bucket = b.bucket
+      |   AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |ix AS (
+      |  SELECT id_a, id_b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(inter*1.0/(ca.n + cb.n - inter), 6) AS jaccard
+      |FROM ix
+      |JOIN cnt ca ON ca.doc_id = id_a
+      |JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
+      |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
+
+  private val ddSimhashSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+      |  FROM tok WHERE len(token) > 0),
+      |bits AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN range(0, 60) AS t(j)
+      |  GROUP BY doc_id, j),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+      |      AS simhash
+      |  FROM bits GROUP BY doc_id),
+      |bb AS (
+      |  SELECT doc_id, simhash, k, (simhash >> (15*k)) & 32767 AS bucket
+      |  FROM sig CROSS JOIN range(0, 4) AS t(k)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sig_a,
+      |                  b.doc_id AS id_b, b.simhash AS sig_b
+      |  FROM bb a JOIN bb b
+      |    ON a.k = b.k AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+      |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+      |ORDER BY hamming, id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // End-to-end near-dup removal: MinHash-LSH candidates → exact-Jaccard
@@ -553,6 +631,8 @@ object DedupOps {
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_dup_spans" -> ddDupSpansSql,
+    "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_simhash" -> ddSimhashSql,
     "dd_dedup_keep" -> ddDedupKeepSql,
     "st_incremental_dedup" -> stIncrementalDedupSql,
     "st_incremental_neardup" -> stIncrementalNearDupSql

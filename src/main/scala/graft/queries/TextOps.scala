@@ -149,8 +149,10 @@ object TextOps {
   // window's minimum. Guarantee: documents sharing a long-enough token run
   // share a fingerprint, so plagiarized/near-dup passages are detectable
   // from the sketch alone. The window partitions by doc_id (never crosses
-  // documents), so it shards cleanly at any corpus size. Rows-only
-  // (xxhash64 is engine-specific); overlap invariants in ScaleOpsSpec.
+  // documents), so it shards cleanly at any corpus size. Fully oracled:
+  // the md5-derived portable k-gram hash (Dedup.portableHash60) is
+  // bit-identical in DuckDB, so the window-min fingerprint SET is the
+  // oracle's own; overlap invariants additionally in ScaleOpsSpec.
   /** (doc_id, fp): the distinct winnowed fingerprint set — spec surface. */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
     val grams = t(s, dir, "documents")
@@ -160,7 +162,7 @@ object TextOps {
         "transform(sequence(0, size(w) - 3), " +
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
         .as(Seq("pos", "gram")))
-      .withColumn("h", xxhash64(col("gram")))
+      .withColumn("h", graft.operators.Dedup.portableHash60(col("gram")))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
     grams.withColumn("fp", min(col("h")).over(win))
@@ -187,8 +189,8 @@ object TextOps {
   // consistently). Consequence worth knowing: a duplicate CLUSTER wider
   // than maxDf shares only above-cap fingerprints and reports no pairs —
   // by design, since mass duplication is the dedup family's job
-  // (dd_exact / dd_dedup_keep), not a plagiarism report. Rows-only
-  // (xxhash64 fingerprints are engine-specific); recall vs the exact
+  // (dd_exact / dd_dedup_keep), not a plagiarism report. Oracled through
+  // the same portable fingerprints as tx_winnow; recall vs the exact
   // n-gram Jaccard pairs asserted in ScaleOpsSpec.
   /** Exposed with knobs so specs can vary the threshold and df cap. */
   def winnowPairs(s: SparkSession, dir: String, tau: Double = 0.5,
@@ -216,6 +218,57 @@ object TextOps {
 
   private def txWinnowPairs(s: SparkSession, dir: String): DataFrame =
     winnowPairs(s, dir)
+
+  private val txWinnowSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |  FROM docs WHERE len(w) >= 3),
+      |grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    CAST(concat('0x', substr(md5(
+      |      w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)) AS BIGINT) AS h
+      |  FROM idx),
+      |fps AS (
+      |  SELECT DISTINCT doc_id,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM grams)
+      |SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
+      |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val txWinnowPairsSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |  FROM docs WHERE len(w) >= 3),
+      |grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    CAST(concat('0x', substr(md5(
+      |      w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)) AS BIGINT) AS h
+      |  FROM idx),
+      |fps AS (
+      |  SELECT DISTINCT doc_id,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM grams),
+      |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+      |kept AS (SELECT fps.* FROM fps JOIN rare USING (fp)),
+      |sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY 1),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT id_a, id_b, n_shared,
+      |    round(n_shared*1.0/least(sa.n_fp, sb.n_fp), 6) AS overlap
+      |  FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b)
+      |SELECT id_a, id_b, n_shared, overlap FROM scored
+      |WHERE overlap >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // Repetition filter (the Gopher/MassiveText repetition rules adapted to
@@ -697,6 +750,8 @@ object TextOps {
     "tx_curation_manifest" -> txCurationManifestSql,
     "tx_redact" -> txRedactSql,
     "tx_surprisal" -> txSurprisalSql,
-    "tx_heavy_hitters" -> txHeavyHittersSql
+    "tx_heavy_hitters" -> txHeavyHittersSql,
+    "tx_winnow" -> txWinnowSql,
+    "tx_winnow_pairs" -> txWinnowPairsSql
   )
 }
