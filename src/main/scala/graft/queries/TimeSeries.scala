@@ -390,9 +390,10 @@ object TimeSeries {
       |      list_concat(
       |        [[cl[1], CAST(0.0 AS DOUBLE)]],
       |        list_transform(cl[2:], y -> [y, CAST(0.0 AS DOUBLE)])),
-      |      (a, x) -> [0.3 * x[1] + 0.7 * (a[1] + a[2]),
-      |                 0.1 * ((0.3 * x[1] + 0.7 * (a[1] + a[2])) - a[1])
-      |                      + 0.9 * a[2]]) AS fit
+      |      (a, x) -> [0.3::DOUBLE * x[1] + 0.7::DOUBLE * (a[1] + a[2]),
+      |                 0.1::DOUBLE * ((0.3::DOUBLE * x[1]
+      |                                 + 0.7::DOUBLE * (a[1] + a[2])) - a[1])
+      |                      + 0.9::DOUBLE * a[2]]) AS fit
       |  FROM l)
       |SELECT event_type, n, round(fit[1], 6) AS level,
       |  round(fit[2], 6) AS trend,
