@@ -8,10 +8,16 @@ package graft.multimodal
   * deterministic fixtures the decoder is value-oracled against.
   *
   * Scope (documented, not hidden): baseline/extended sequential Huffman
-  * (SOF0/SOF1), single-component (grayscale) scans, 8-bit precision.
-  * Progressive (SOF2), arithmetic coding, and multi-component
-  * interleaving are rejected LOUDLY — a corpus shard hitting one gets an
-  * error naming the unsupported mode, never a wrong pixel.
+  * (SOF0/SOF1), 8-bit precision, single-component (grayscale) scans AND
+  * three-component (YCbCr) interleaved scans at the sampling layouts
+  * real corpora actually use — 4:4:4, 4:2:2, 4:2:0 (generic Hi/Vi MCU
+  * interleave per T.81 A.2.3, so other factors decode too). Chroma is
+  * upsampled by sample replication and converted to RGB with the
+  * BT.601 full-range JFIF matrix, rounded floor(x+0.5) so the closed-
+  * form fixture oracle can reproduce every output pixel. Progressive
+  * (SOF2), arithmetic coding, and 4-component (CMYK) streams are
+  * rejected LOUDLY — a corpus shard hitting one gets an error naming
+  * the unsupported mode, never a wrong pixel.
   *
   * The Huffman/quantization constants below are the public Annex K
   * example tables from the T.81 spec itself.
@@ -246,9 +252,109 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode a 3-component (YCbCr) baseline interleaved JPEG from
+    * QUANTIZED coefficient blocks: `blocks(comp, bx, by)` addresses each
+    * component's own block grid (the luma grid is `hv`-times denser per
+    * the sampling). Component 1 carries `hv` sampling on quant table 0;
+    * chroma components are 1x1 on quant table 1; all three share the
+    * Annex K luminance Huffman tables (legal, and keeps the stream
+    * minimal). `hv` = (2,2) is 4:2:0, (2,1) is 4:2:2, (1,1) is 4:4:4.
+    */
+  def encodeColor(w: Int, h: Int, quantLuma: Array[Int],
+      quantChroma: Array[Int], hv: (Int, Int),
+      blocks: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    val (hl, vl) = hv
+    require(w > 0 && h > 0 && quantLuma.length == 64 &&
+      quantChroma.length == 64 && hl >= 1 && hl <= 2 && vl >= 1 && vl <= 2)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    def dqt(tq: Int, q: Array[Int]): Unit = {
+      marker(0xdb); be16(67); out.write(tq)
+      var k = 0
+      while (k < 64) { out.write(q(Zigzag(k))); k += 1 }
+    }
+    dqt(0, quantLuma)
+    dqt(1, quantChroma)
+    marker(0xc0); be16(8 + 3 * 3) // SOF0: 8-bit, 3 components
+    out.write(8); be16(h); be16(w); out.write(3)
+    out.write(1); out.write((hl << 4) | vl); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write(clazz << 4)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    marker(0xda); be16(6 + 2 * 3) // SOS: all 3 components, tables 0/0
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x00)
+    out.write(3); out.write(0x00)
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    val prevDc = new Array[Int](3)
+    def emitBlock(coef: Array[Int], ci: Int): Unit = {
+      require(coef.length == 64)
+      val diff = coef(0) - prevDc(ci)
+      prevDc(ci) = coef(0)
+      val s = category(diff)
+      val (dc, dl) = DcCodes(s)
+      bw.put(dc, dl)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      var run = 0
+      var kk = 1
+      while (kk < 64) {
+        val v = coef(Zigzag(kk))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); run -= 16
+          }
+          val sa = category(v)
+          val (ac, al) = AcCodes((run << 4) | sa)
+          bw.put(ac, al)
+          bw.put(if (v < 0) v + (1 << sa) - 1 else v, sa)
+          run = 0
+        }
+        kk += 1
+      }
+      if (run > 0) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) }
+    }
+    val mcusX = (w + 8 * hl - 1) / (8 * hl)
+    val mcusY = (h + 8 * vl - 1) / (8 * vl)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var v = 0
+        while (v < vl) {
+          var hb = 0
+          while (hb < hl) {
+            emitBlock(blocks(0, mx * hl + hb, my * vl + v), 0); hb += 1
+          }
+          v += 1
+        }
+        emitBlock(blocks(1, mx, my), 1)
+        emitBlock(blocks(2, mx, my), 2)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- decoder ---------------------------------------------------------
 
-  final case class JpegImage(width: Int, height: Int, pixels: Array[Int])
+  /** channels = 1: `pixels` are gray 0..255; channels = 3: packed
+    * 0xRRGGBB.
+    */
+  final case class JpegImage(width: Int, height: Int, pixels: Array[Int],
+      channels: Int = 1)
 
   private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
     // (length, code) → symbol via the canonical assignment
@@ -321,7 +427,16 @@ object Jpeg {
     outA
   }
 
-  /** Decode a baseline/extended-sequential grayscale JPEG to pixels. */
+  private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
+
+  /** Decode a baseline/extended-sequential JPEG: grayscale (single
+    * component, as before) or a 3-component interleaved YCbCr scan with
+    * generic Hi/Vi sampling (T.81 A.2.3 MCU order) — 4:4:4, 4:2:2 and
+    * 4:2:0 in practice. Color output replicate-upsamples chroma and
+    * applies the BT.601 full-range JFIF matrix with floor(x+0.5)
+    * rounding, so a DC-only fixture's every output pixel has a closed
+    * form an oracle can recompute.
+    */
   def decode(data: Array[Byte]): JpegImage = {
     require(data.length >= 4 && (data(0) & 0xff) == 0xff &&
       (data(1) & 0xff) == 0xd8, "not a JPEG (missing SOI)")
@@ -331,11 +446,10 @@ object Jpeg {
     val quantTables = new Array[Array[Int]](4)
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
-    var compQuant = -1
+    var comps: Array[Comp] = null
     var restartInterval = 0
     def be16(o: Int): Int = ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)
-    var scanDc = -1
-    var scanAc = -1
+    var scanSel: Array[(Int, Int)] = null // per SOF component: (Td, Ta)
     var scanStart = -1
     while (scanStart < 0) {
       require(pos + 4 <= data.length, "truncated JPEG segment stream")
@@ -359,14 +473,24 @@ object Jpeg {
             quantTables(tq) = q
             o += 65
           }
-        case 0xc0 | 0xc1 => // SOF0/SOF1: dims + the single component
+        case 0xc0 | 0xc1 => // SOF0/SOF1: dims + 1 or 3 components
           height = be16(body + 1); width = be16(body + 3)
           val nComp = data(body + 5) & 0xff
-          require(nComp == 1,
-            s"only single-component (grayscale) scans supported, got $nComp")
-          require((data(body + 7) & 0xff) == 0x11,
-            "subsampling unsupported for single-component")
-          compQuant = data(body + 8) & 0x0f
+          require(nComp == 1 || nComp == 3,
+            s"only 1-component (grayscale) or 3-component (YCbCr) frames" +
+              s" supported, got $nComp")
+          comps = Array.tabulate(nComp) { i =>
+            val o = body + 6 + 3 * i
+            val hv = data(o + 1) & 0xff
+            Comp(data(o) & 0xff, hv >> 4, hv & 0x0f, data(o + 2) & 0x0f)
+          }
+          comps.foreach { c =>
+            require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4,
+              s"invalid sampling factors ${c.h}x${c.v}")
+          }
+          if (nComp == 1)
+            require(comps(0).h == 1 && comps(0).v == 1,
+              "subsampling unsupported for single-component")
         case 0xc2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) unsupported")
         case 0xc4 => // DHT: one or more tables
@@ -382,10 +506,23 @@ object Jpeg {
             o += 17 + nVals
           }
         case 0xdd => restartInterval = be16(body)
-        case 0xda => // SOS
-          require((data(body) & 0xff) == 1, "multi-component scan")
-          scanDc = (data(body + 2) & 0xff) >> 4
-          scanAc = data(body + 2) & 0x0f
+        case 0xda => // SOS: must cover the SOF components, in SOF order
+          require(comps != null, "SOS before SOF")
+          val ns = data(body) & 0xff
+          require(ns == comps.length,
+            s"scan must interleave all ${comps.length} frame components," +
+              s" got $ns (partial scans unsupported)")
+          scanSel = new Array[(Int, Int)](ns)
+          var i = 0
+          while (i < ns) {
+            val cid = data(body + 1 + 2 * i) & 0xff
+            require(cid == comps(i).id,
+              s"scan component order must match SOF (component $i is id" +
+                s" $cid)")
+            val t = data(body + 2 + 2 * i) & 0xff
+            scanSel(i) = (t >> 4, t & 0x0f)
+            i += 1
+          }
           scanStart = pos + 2 + len
         case _ if m >= 0xe0 && m <= 0xef => // APPn: skip
         case 0xfe => // COM: skip
@@ -395,62 +532,129 @@ object Jpeg {
       if (scanStart < 0) pos += 2 + len
     }
     require(width > 0 && height > 0, "SOS before SOF")
-    val q = quantTables(compQuant)
-    require(q != null, s"missing quant table $compQuant")
-    val dcT = dcTables(scanDc)
-    val acT = acTables(scanAc)
-    require(dcT != null && acT != null, "missing Huffman tables")
-    val bw8 = (width + 7) / 8
-    val bh8 = (height + 7) / 8
-    val pixels = new Array[Int](width * height)
-    val br = new BitReader(data, scanStart)
-    var prevDc = 0
-    var blockIdx = 0
-    var by = 0
-    while (by < bh8) {
-      var bx = 0
-      while (bx < bw8) {
-        if (restartInterval > 0 && blockIdx > 0 &&
-          blockIdx % restartInterval == 0) { br.restart(); prevDc = 0 }
-        val coef = new Array[Double](64)
-        val s = dcT.decode(br)
-        prevDc += extend(br.receive(s), s)
-        coef(0) = prevDc.toDouble * q(0)
-        var k = 1
-        while (k < 64) {
-          val rs = acT.decode(br)
-          if (rs == 0x00) k = 64 // EOB
-          else if (rs == 0xf0) k += 16 // ZRL
-          else {
-            k += rs >> 4
-            require(k < 64, "AC run past block end")
-            val sa = rs & 0x0f
-            coef(Zigzag(k)) = extend(br.receive(sa), sa).toDouble *
-              q(Zigzag(k))
-            k += 1
-          }
-        }
-        val px = idct8x8(coef)
-        var yy = 0
-        while (yy < 8) {
-          val py = by * 8 + yy
-          var xx = 0
-          while (xx < 8) {
-            val pxX = bx * 8 + xx
-            if (py < height && pxX < width) {
-              val v = math.round(px(yy * 8 + xx)).toInt + 128
-              pixels(py * width + pxX) = math.max(0, math.min(255, v))
-            }
-            xx += 1
-          }
-          yy += 1
-        }
-        blockIdx += 1
-        bx += 1
-      }
-      by += 1
+    val nc = comps.length
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // per-component MCU-aligned sample planes
+    val planeW = Array.tabulate(nc)(i => mcusX * comps(i).h * 8)
+    val planes = Array.tabulate(nc)(i =>
+      new Array[Int](planeW(i) * mcusY * comps(i).v * 8))
+    val quants = comps.map { c =>
+      val q = quantTables(c.tq)
+      require(q != null, s"missing quant table ${c.tq}")
+      q
     }
-    JpegImage(width, height, pixels)
+    val dcs = scanSel.map { case (d, _) =>
+      val t = dcTables(d); require(t != null, s"missing DC table $d"); t
+    }
+    val acs = scanSel.map { case (_, a) =>
+      val t = acTables(a); require(t != null, s"missing AC table $a"); t
+    }
+    val br = new BitReader(data, scanStart)
+    val prevDc = new Array[Int](nc)
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart(); java.util.Arrays.fill(prevDc, 0)
+        }
+        var ci = 0
+        while (ci < nc) {
+          val c = comps(ci)
+          val q = quants(ci)
+          var v = 0
+          while (v < c.v) {
+            var hb = 0
+            while (hb < c.h) {
+              val coef = new Array[Double](64)
+              val s = dcs(ci).decode(br)
+              prevDc(ci) += extend(br.receive(s), s)
+              coef(0) = prevDc(ci).toDouble * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = acs(ci).decode(br)
+                if (rs == 0x00) k = 64 // EOB
+                else if (rs == 0xf0) k += 16 // ZRL
+                else {
+                  k += rs >> 4
+                  require(k < 64, "AC run past block end")
+                  val sa = rs & 0x0f
+                  coef(Zigzag(k)) = extend(br.receive(sa), sa).toDouble *
+                    q(Zigzag(k))
+                  k += 1
+                }
+              }
+              val px = idct8x8(coef)
+              val bx0 = (mx * c.h + hb) * 8
+              val by0 = (my * c.v + v) * 8
+              val pw = planeW(ci)
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  val s2 = math.round(px(yy * 8 + xx)).toInt + 128
+                  planes(ci)((by0 + yy) * pw + (bx0 + xx)) =
+                    math.max(0, math.min(255, s2))
+                  xx += 1
+                }
+                yy += 1
+              }
+              hb += 1
+            }
+            v += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    val pixels = new Array[Int](width * height)
+    if (nc == 1) {
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          pixels(y * width + x) = planes(0)(y * pw + x)
+          x += 1
+        }
+        y += 1
+      }
+      JpegImage(width, height, pixels, channels = 1)
+    } else {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          // replicate upsampling: component sample at floor(x*Hi/Hmax)
+          val yv = planes(0)(
+            (y * comps(0).v / vmax) * planeW(0) + (x * comps(0).h / hmax))
+          val cb = planes(1)(
+            (y * comps(1).v / vmax) * planeW(1) + (x * comps(1).h / hmax)) -
+            128
+          val cr = planes(2)(
+            (y * comps(2).v / vmax) * planeW(2) + (x * comps(2).h / hmax)) -
+            128
+          def clamp(d: Double): Int = {
+            val r = math.floor(d + 0.5).toInt
+            math.max(0, math.min(255, r))
+          }
+          val r = clamp(yv + 1.402 * cr)
+          val g = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          val b = clamp(yv + 1.772 * cb)
+          pixels(y * width + x) = (r << 16) | (g << 8) | b
+          x += 1
+        }
+        y += 1
+      }
+      JpegImage(width, height, pixels, channels = 3)
+    }
   }
 
   // ---- deterministic fixture -------------------------------------------
@@ -467,6 +671,29 @@ object Jpeg {
     encodeGray(w, h, QuantFlat16, (bx, by) => {
       val coef = new Array[Int](64)
       coef(0) = ((id + 7L * bx + 13L * by) % 64).toInt - 32
+      coef
+    })
+  }
+
+  /** doc_id → a real 4:2:0 YCbCr baseline JPEG: every block DC-only on
+    * the flat-16 quant table, so each decoded 8×8 luma block is the flat
+    * value 128 + 2·dcY and each 8×8 chroma block covers a whole 16×16
+    * macroblock with flat 128 + 2·dcC. Dimensions are multiples of 16
+    * (no edge crop), every Y/Cb/Cr value stays inside [64, 191], and the
+    * RGB conversion is the documented floor(x+0.5) — the full pixel and
+    * per-channel sums have closed forms a SQL oracle recomputes from
+    * doc_id alone.
+    */
+  def fixtureColorPayload(id: Long): Array[Byte] = {
+    val w = 16 * (1 + (id % 3).toInt)
+    val h = 16 * (1 + ((id * 5) % 3).toInt)
+    encodeColor(w, h, QuantFlat16, QuantFlat16, (2, 2), (c, bx, by) => {
+      val coef = new Array[Int](64)
+      coef(0) = c match {
+        case 0 => ((id + 7L * bx + 13L * by) % 64).toInt - 32
+        case 1 => ((id * 3 + 5L * bx + 11L * by) % 48).toInt - 24
+        case _ => ((id * 7 + 3L * bx + 17L * by) % 48).toInt - 24
+      }
       coef
     })
   }

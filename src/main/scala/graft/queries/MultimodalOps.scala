@@ -356,6 +356,61 @@ object MultimodalOps {
       |  round(sqrt(sum(v*v)*1.0/count(*)), 6) AS rms
       |FROM s GROUP BY doc_id, sr, frames ORDER BY doc_id""".stripMargin
 
+  // COLOR (YCbCr 4:2:0) baseline-JPEG decode on the batch path — the
+  // shape real corpora are overwhelmingly made of. Per doc, a
+  // deterministically constructed three-component interleaved JPEG is
+  // entropy-decoded per component, chroma-upsampled, and converted to
+  // RGB (BT.601 full-range, floor(x+0.5)); the DC-only flat blocks give
+  // every output pixel a closed form, so the oracle recomputes the full
+  // per-channel sums from doc_id alone — a wrong MCU interleave order,
+  // per-component DC predictor, chroma index, or conversion coefficient
+  // all fail the value compare.
+  private def mmDecodeColor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = graft.multimodal.Jpeg.decode(
+          graft.multimodal.Jpeg.fixtureColorPayload(id))
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        img.pixels.foreach { p =>
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        }
+        (id, img.width.toLong, img.height.toLong,
+          (img.width / 8).toLong * (img.height / 8).toLong, sr, sg, sb)
+      })
+      .toDF("doc_id", "width", "height", "n_blocks",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeColorSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 16*(1 + doc_id % 3) AS w, 16*(1 + (doc_id*5) % 3) AS h
+      |  FROM documents),
+      |blocks AS (
+      |  SELECT doc_id, w, h, bx, by,
+      |    128 + 2*(((doc_id + 7*bx + 13*by) % 64) - 32) AS yv,
+      |    128 + 2*(((doc_id*3 + 5*(bx//2) + 11*(by//2)) % 48) - 24) AS cb,
+      |    128 + 2*(((doc_id*7 + 3*(bx//2) + 17*(by//2)) % 48) - 24) AS cr
+      |  FROM dims,
+      |    unnest(generate_series(0, w//8 - 1)) t1(bx),
+      |    unnest(generate_series(0, h//8 - 1)) t2(by)),
+      |rgb AS (
+      |  SELECT doc_id, w, h,
+      |    least(255, greatest(0,
+      |      CAST(floor(yv + 1.402*(cr-128) + 0.5) AS BIGINT))) AS r,
+      |    least(255, greatest(0,
+      |      CAST(floor(yv - 0.344136*(cb-128) - 0.714136*(cr-128) + 0.5)
+      |        AS BIGINT))) AS g,
+      |    least(255, greatest(0,
+      |      CAST(floor(yv + 1.772*(cb-128) + 0.5) AS BIGINT))) AS b
+      |  FROM blocks)
+      |SELECT doc_id, w AS width, h AS height, (w//8)*(h//8) AS n_blocks,
+      |  CAST(sum(64*r) AS BIGINT) AS sum_r,
+      |  CAST(sum(64*g) AS BIGINT) AS sum_g,
+      |  CAST(sum(64*b) AS BIGINT) AS sum_b
+      |FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "mm_decode_real" -> mmDecodeReal _,
     "mm_decode_png_gif" -> mmDecodePngGif _,
@@ -363,6 +418,7 @@ object MultimodalOps {
     "mm_decode_meta" -> mmDecodeMeta _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_decode_batch" -> mmDecodeBatch _,
+    "mm_decode_color" -> mmDecodeColor _,
     "mm_thumbnail_jpeg" -> mmThumbnailJpeg _,
     "mm_audio_features" -> mmAudioFeatures _,
     "mm_gif_frames" -> mmGifFrames _,
@@ -376,6 +432,7 @@ object MultimodalOps {
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_decode_batch" -> mmDecodeBatchSql,
+    "mm_decode_color" -> mmDecodeColorSql,
     "mm_thumbnail_jpeg" -> mmThumbnailJpegSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_gif_frames" -> mmGifFramesSql,
