@@ -49,6 +49,37 @@ class TestdataCanarySpec extends AnyFunSuite {
         "30-day range to ~43min or stretches it 1000x)")
   }
 
+  test("drift-prone column shapes hold across the other tables") {
+    // embeddings: every similarity operator assumes a float element type;
+    // a silent float->double flip would change cosine hashes corpus-wide
+    val emb = Tables.t(spark, sfSmoke, "embeddings").schema
+    emb("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        assert(et == org.apache.spark.sql.types.FloatType ||
+          et == org.apache.spark.sql.types.DoubleType,
+          s"embeddings.embedding element drifted to $et")
+      case other => fail(s"embeddings.embedding is $other, not an array")
+    }
+    assert(emb("vec_id").dataType ==
+      org.apache.spark.sql.types.LongType, "vec_id drifted")
+    val docs = Tables.t(spark, sfSmoke, "documents").schema
+    assert(docs("doc_id").dataType == org.apache.spark.sql.types.LongType &&
+      docs("text").dataType == org.apache.spark.sql.types.StringType,
+      "documents key/text columns drifted")
+    // date-carrying TPC-H columns must surface as SOME timestamp type; a
+    // producer switching to TIMESTAMP(NANOS) surfaces them as LongType
+    // under nanosAsLong and every date function downstream breaks — if
+    // this fires, extend Tables.normalizeTs coverage to these columns
+    for ((tbl, cn) <- Seq("orders" -> "o_orderdate",
+        "lineitem" -> "l_shipdate")) {
+      val dt = Tables.t(spark, sfSmoke, tbl).schema(cn).dataType
+      assert(dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType ||
+        dt == org.apache.spark.sql.types.DateType,
+        s"$tbl.$cn surfaced as $dt — timestamp encoding drift")
+    }
+  }
+
   test("the streaming source sees the same normalized ts as the batch scan") {
     // footer-derived readStream schema == batch schema after normalization
     val streamSchema = Tables.eventsStream(spark, sfSmoke).schema
