@@ -58,8 +58,13 @@ object Dedup {
     */
   def minHash(sh: DataFrame, idCol: String, numPerm: Int = 32): DataFrame = {
     val withH = sh
-      .withColumn("h1", portableHash60(col("shingle")))
-      .withColumn("h2", portableHash56(col("shingle")))
+      // one digest column, two integer views — independent of whether
+      // codegen CSE dedups the md5 call
+      .withColumn("_d", md5(col("shingle")))
+      .withColumn("h1", conv(substring(col("_d"), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("h2", conv(substring(col("_d"), 17, 14), 16, 10)
+        .cast("long"))
     val perms: Seq[Column] = (0 until numPerm).map { i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"mh_$i")
     }
@@ -75,12 +80,12 @@ object Dedup {
     val rows = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
-      // fixed-width portable bucket key: md5 over the comma-joined slice
-      // (decimal renderings agree across engines), truncated to 16 hex
-      // chars — bounded shuffle width at any scale, reproducible in the
+      // fixed-width portable bucket key: the 60-bit hash of the
+      // comma-joined slice (decimal renderings agree across engines) —
+      // an 8-byte shuffle/join key at any scale, reproducible in the
       // oracle
       struct(lit(b).as("band"),
-        substring(md5(concat_ws(",", slice: _*)), 1, 16).as("bucket"))
+        portableHash60(concat_ws(",", slice: _*)).as("bucket"))
     }
     sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

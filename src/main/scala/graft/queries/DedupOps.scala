@@ -245,7 +245,8 @@ object DedupOps {
       |  GROUP BY doc_id, i),
       |band AS (
       |  SELECT doc_id, i // 4 AS band,
-      |    substr(md5(string_agg(mh::VARCHAR, ',' ORDER BY i)), 1, 16)
+      |    CAST(concat('0x', substr(
+      |      md5(string_agg(mh::VARCHAR, ',' ORDER BY i)), 1, 15)) AS BIGINT)
       |      AS bucket
       |  FROM sig GROUP BY doc_id, i // 4),
       |cand AS (
