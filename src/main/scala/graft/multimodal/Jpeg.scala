@@ -262,7 +262,8 @@ object Jpeg {
     */
   def encodeColor(w: Int, h: Int, quantLuma: Array[Int],
       quantChroma: Array[Int], hv: (Int, Int),
-      blocks: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+      blocks: (Int, Int, Int) => Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
     val (hl, vl) = hv
     require(w > 0 && h > 0 && quantLuma.length == 64 &&
       quantChroma.length == 64 && hl >= 1 && hl <= 2 && vl >= 1 && vl <= 2)
@@ -288,13 +289,14 @@ object Jpeg {
     }
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
     marker(0xda); be16(6 + 2 * 3) // SOS: all 3 components, tables 0/0
     out.write(3)
     out.write(1); out.write(0x00)
     out.write(2); out.write(0x00)
     out.write(3); out.write(0x00)
     out.write(0); out.write(63); out.write(0)
-    val bw = new BitWriter(out)
+    var bw = new BitWriter(out)
     val prevDc = new Array[Int](3)
     def emitBlock(coef: Array[Int], ci: Int): Unit = {
       require(coef.length == 64)
@@ -325,10 +327,20 @@ object Jpeg {
     }
     val mcusX = (w + 8 * hl - 1) / (8 * hl)
     val mcusY = (h + 8 * vl - 1) / (8 * vl)
+    var mcu = 0
+    var rstIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush() // byte-align before the marker
+          marker(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(prevDc, 0)
+          bw = new BitWriter(out)
+        }
+        mcu += 1
         var v = 0
         while (v < vl) {
           var hb = 0

@@ -99,6 +99,37 @@ class JpegColorSpec extends AnyFunSuite {
     assert(worst <= 2, s"4:4:4 decode differs from ImageIO by $worst")
   }
 
+  test("4:2:0 scan with restart markers decodes identically") {
+    // DRI/RSTn is routine in real color corpora: same fixture blocks,
+    // restart every 2 MCUs — byte-aligned markers, all three DC
+    // predictors reset. Must agree with the closed form AND with ImageIO.
+    val id = 7L
+    val w = 16 * (1 + (id % 3).toInt)
+    val h = 16 * (1 + ((id * 5) % 3).toInt)
+    val bytes = Jpeg.encodeColor(w, h, Jpeg.QuantFlat16, Jpeg.QuantFlat16,
+      (2, 2), (c, bx, by) => {
+        val coef = new Array[Int](64)
+        coef(0) = c match {
+          case 0 => ((id + 7L * bx + 13L * by) % 64).toInt - 32
+          case 1 => ((id * 3 + 5L * bx + 11L * by) % 48).toInt - 24
+          case _ => ((id * 7 + 3L * bx + 17L * by) % 48).toInt - 24
+        }
+        coef
+      }, restartInterval = 2)
+    val img = Jpeg.decode(bytes)
+    var bad = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.pixels(y * w + x)
+      if (((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) !=
+        expectedRgb(id, x, y)) bad += 1
+    }
+    assert(bad == 0, s"$bad pixels off the closed form with restarts")
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(jdk != null && jdk.getWidth == w && jdk.getHeight == h,
+      "ImageIO rejected our restart-marker color stream")
+  }
+
   test("grayscale decode is unchanged by the multi-component refactor") {
     for (id <- Seq(0L, 3L, 42L)) {
       val img = Jpeg.decode(Jpeg.fixturePayload(id))
