@@ -7,10 +7,12 @@ import graft.Tables.t
 import graft.operators.Dedup
 
 /** Deduplication inventory over `documents` — beyond-reference operators
-  * (BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash. The
-  * exact and full-Jaccard forms are DuckDB-oracled; the LSH forms depend
-  * on engine-specific hash functions (xxhash64), so they are rows-only
-  * here and invariant-tested against the exact forms in DedupSpec.
+  * (BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash. Every
+  * form is DuckDB-oracled: the LSH pipelines run on the portable
+  * md5-derived hash family ([[Dedup.portableHash60]]), so the oracles
+  * replay signatures, banding, and candidate generation bit-for-bit with
+  * no recall assumption; invariants are additionally pinned in
+  * ScaleOpsSpec.
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
