@@ -437,6 +437,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(concurrent.count() == single.count())
     assert(concurrent.except(single).count() == 0)
     assert(single.except(concurrent).count() == 0)
+    // parity alone would also pass for two identically-wrong pipelines
+    // (r8's ts drift did exactly that) — anchor the concurrent output to
+    // the BATCH closed form: final bar per (type, window) must equal the
+    // batch aggregation over the same events
+    val expected = Tables.t(spark, sfSmoke, "events")
+      .filter(col("event_type").isin(types: _*))
+      .groupBy(col("event_type"), window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("e_n"))
+      .select(col("event_type"), col("window.start").as("window_start"),
+        col("e_n"))
+    val finalBars = concurrent
+      .groupBy(col("event_type"), col("window_start"))
+      .agg(max(col("n_ticks")).as("n_ticks"))
+    val j = finalBars.join(expected, Seq("event_type", "window_start"), "full")
+    assert(j.filter(col("n_ticks").isNull || col("e_n").isNull ||
+      col("n_ticks") =!= col("e_n")).count() == 0,
+      "concurrent bronze bars must match the batch closed form")
   }
 
   test("restore rewinds to a recorded version; history keeps moving") {

@@ -246,6 +246,21 @@ class PlanSpec extends AnyFunSuite {
       specs.mkString("\n"))
   }
 
+  test("dd_minhash_lsh: banded equi-joins only, never an all-pairs shape") {
+    // the LSH contract at corpus scale: candidates come from equi-joins
+    // on (band, bucket) and verification joins shingles by equality — a
+    // cartesian or nested-loop join anywhere in this plan means some
+    // rewrite degraded the bucketed pipeline to all-pairs
+    val plan = planOf(
+      graft.queries.DedupOps.queries("dd_minhash_lsh")(spark, sfSmoke))
+    assert(!plan.contains("CartesianProduct"), "cartesian in LSH plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "nested-loop join in LSH plan")
+    // the 32-permutation signature is ONE hash aggregate over shingles,
+    // not 32 passes
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     import spark.implicits._
     // the engine's other skew answer next to explicit salting
