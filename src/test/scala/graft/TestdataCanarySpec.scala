@@ -80,6 +80,35 @@ class TestdataCanarySpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeTs rejects an unknown encoding loudly, naming the column") {
+    import spark.implicits._
+    val weird = Seq(("2024-01-01", 1L)).toDF("ts", "event_id")
+    val e = intercept[IllegalStateException] { Tables.normalizeTs(weird) }
+    assert(e.getMessage.contains("ts") &&
+      e.getMessage.toLowerCase.contains("encoding"),
+      s"reject must name the column and the problem: ${e.getMessage}")
+  }
+
+  test("portableHash60 matches a reference JVM md5 derivation") {
+    // the cross-engine oracle contract: Spark's conv(substr(md5)) must
+    // equal int(md5_hex[0:15], 16) — pin it against MessageDigest so a
+    // conv()/md5() behavior change cannot silently shift every LSH oracle
+    import spark.implicits._
+    val inputs = Seq("", "a", "the quick brown fox", "héllo wörld", "0",
+      "a b c")
+    val got = inputs.toDF("s")
+      .select(graft.operators.Dedup.portableHash60(
+        org.apache.spark.sql.functions.col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    val exp = inputs.map { s =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    assert(got.toSeq == exp, s"got ${got.toSeq} expected $exp")
+  }
+
   test("the streaming source sees the same normalized ts as the batch scan") {
     // footer-derived readStream schema == batch schema after normalization
     val streamSchema = Tables.eventsStream(spark, sfSmoke).schema
