@@ -55,13 +55,21 @@ object Tables {
   }
 
   /** Schema exactly as the parquet footer(s) declare it, read driver-side
-    * (one footer, no data). `nanosAsLong` makes legacy TIMESTAMP(NANOS)
+    * (footers only, no data). `nanosAsLong` makes legacy TIMESTAMP(NANOS)
     * columns surface as epoch-nanos `LongType` instead of failing the read
     * — a shape [[normalizeTs]] recognizes. This is how `readStream` paths
     * obtain their mandatory explicit schema WITHOUT hardcoding one
-    * producer's physical encoding: at 100 TB with multiple writers a table
-    * can legitimately mix timestamp encodings across files, and a schema
-    * assumption baked into the engine breaks on the first drift.
+    * producer's physical encoding: a producer-side encoding change is
+    * absorbed here on the next restart.
+    *
+    * One snapshot must still be self-consistent: a streaming reader takes
+    * exactly ONE schema, so every matched footer is read and required to
+    * agree — genuinely mixed encodings within one glob fail loudly (naming
+    * the divergent file) instead of mis-shaping the tail files under the
+    * head file's schema. The check is footer-only and bounded by the
+    * matched-file count; at cluster scale, point the glob at one
+    * producer-partition (or pre-compact), which is also what bounds
+    * streaming file listing itself.
     */
   def footerSchema(spark: SparkSession, pathOrGlob: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -72,7 +80,15 @@ object Tables {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
     require(matched.nonEmpty, s"no parquet input matches $pathOrGlob")
-    spark.read.parquet(matched.head.getPath.toString).schema
+    val head = spark.read.parquet(matched.head.getPath.toString).schema
+    matched.tail.foreach { m =>
+      val sch = spark.read.parquet(m.getPath.toString).schema
+      require(sch == head,
+        s"mixed parquet schemas under $pathOrGlob: ${m.getPath} declares " +
+        s"$sch but ${matched.head.getPath} declares $head — one streaming " +
+        "snapshot needs a single schema; normalize or split the input")
+    }
+    head
   }
 
   /** Normalize a raw event-time column to canonical `TimestampType`

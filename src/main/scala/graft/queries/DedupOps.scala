@@ -220,7 +220,9 @@ object DedupOps {
   }
 
   // SimHash near-dup detection: 60-bit signatures, 15-bit band candidates,
-  // hamming ≤ 8 verification. Rows-only.
+  // hamming ≤ 8 verification. Fully oracled via the portable 60-bit hash
+  // family: token hashes, bit-sums, signatures, and band buckets are
+  // bit-identical in DuckDB, so the oracle replays the identical pipeline.
   private def ddSimhash(s: SparkSession, dir: String): DataFrame = {
     val sig = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
     Dedup.simHashPairs(sig, "doc_id", maxHamming = 8)
@@ -271,6 +273,12 @@ object DedupOps {
       |WHERE inter*1.0/(ca.n + cb.n - inter) >= 0.5
       |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
 
+  // NOTE: this oracle replays the PLAIN within-bucket self-join; the Spark
+  // side switches oversized (band,bucket) groups (> 2^16 members) to the
+  // O(n) star+chain fallback, which would silently diverge from the oracle.
+  // DedupSpec therefore asserts simHashOverflow is EMPTY at the oracle
+  // scales, so a cap-triggering corpus fails loudly as an overflow
+  // assertion, not as an opaque hash mismatch.
   private val ddSimhashSql =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token

@@ -2,7 +2,7 @@ package graft.queries
 
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -393,14 +393,29 @@ object Extras {
 
   // ---------------------------------------------------------------------
   // A3 at scale: approx_count_distinct (HLL++) — the 100-TB form of the
-  // distinct-count; no oracle (estimator is engine-specific), error bound
-  // asserted against the exact count in ExtrasSpec.
+  // distinct-count. The estimator itself is engine-specific, but its ERROR
+  // CONTRACT is not: the query emits the exact count plus a boolean
+  // `within_eps` (|approx − exact| ≤ max(3, 10%·exact) — 5σ at rsd 0.02),
+  // and the DuckDB oracle computes the exact count and asserts TRUE, so a
+  // drifting estimator fails the hash gate instead of hiding behind
+  // no_oracle. The raw estimate is additionally bound-checked in ExtrasSpec.
+  private def a3Bound(approx: Column, exact: Column): Column =
+    abs(approx.cast("double") - exact.cast("double")) <=
+      greatest(lit(3.0), lit(0.10) * exact.cast("double"))
+
   private def a3ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        a3Bound(col("approx_users"), col("exact_users")).as("within_eps"))
       .orderBy(col("event_type"))
+
+  private val a3ExactBoundSql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_eps
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
   // A3 mergeable tier: Apache DataSketches HLL (hll_sketch_agg /
@@ -408,10 +423,13 @@ object Extras {
   // them — the 100-TB pattern where per-partition (or per-day) sketches
   // are persisted tiny and merged at query time instead of rescanning
   // history; HLL register-max merging makes the result identical to
-  // sketching the whole set at once, which ExtrasSpec asserts exactly,
-  // plus an error bound against the true count. Estimator is
-  // engine-specific — no DuckDB oracle by design.
-  private def a3HllUnion(s: SparkSession, dir: String): DataFrame =
+  // sketching the whole set at once, which ExtrasSpec asserts exactly.
+  // Oracled the same way as a3_approx_distinct: the query returns the
+  // exact count + the error-bound verdict, the oracle asserts TRUE.
+  /** Sharded-sketch-union estimates (event_type, approx_users) — exposed so
+    * ExtrasSpec can assert merged == monolithic sketch exactly.
+    */
+  def hllUnionEstimates(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("shard", pmod(col("user_id"), lit(8L)))
       .groupBy(col("event_type"), col("shard"))
@@ -419,7 +437,16 @@ object Extras {
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
         .cast("long").as("approx_users"))
+
+  private def a3HllUnion(s: SparkSession, dir: String): DataFrame = {
+    val exact = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    hllUnionEstimates(s, dir).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        a3Bound(col("approx_users"), col("exact_users")).as("within_eps"))
       .orderBy(col("event_type"))
+  }
 
   // ---------------------------------------------------------------------
   // K8: time-travel reads on the engine's own commit protocol — the Delta
@@ -1621,6 +1648,8 @@ object Extras {
     "s2_ordered_replay" -> s2OrderedReplaySql,
     "st_session_window" -> stSessionWindowSql,
     "st_sliding_stream" -> stSlidingStreamSql,
-    "j4_timetravel_join" -> j4TimetravelJoinSql
+    "j4_timetravel_join" -> j4TimetravelJoinSql,
+    "a3_approx_distinct" -> a3ExactBoundSql,
+    "a3_hll_union" -> a3ExactBoundSql
   )
 }

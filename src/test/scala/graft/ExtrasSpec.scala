@@ -20,10 +20,23 @@ class ExtrasSpec extends AnyFunSuite {
   }
 
   test("approx distinct stays within the configured error bound") {
+    // the bound verdict the oracle hash-checks must hold...
     val rows = Extras.queries("a3_approx_distinct")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(r.getAs[Boolean]("within_eps"),
+        s"${r.getString(0)}: exact=${r.getAs[Long]("exact_users")}")
+    }
+    // ...and the raw estimate (not exposed by the portable query surface)
+    // independently stays within the rsd-derived bound
+    val raw = Tables.t(spark, sfSmoke, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+    raw.foreach { r =>
+      val approx = r.getAs[Long]("approx").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
       assert(math.abs(approx - exact) / exact <= 0.10,
         s"${r.getString(0)}: approx $approx vs exact $exact")
     }
@@ -62,7 +75,12 @@ class ExtrasSpec extends AnyFunSuite {
   test("hll union: sharded sketch merge equals the monolithic sketch " +
       "and bounds the true count") {
     import org.apache.spark.sql.functions._
-    val merged = Extras.queries("a3_hll_union")(spark, sfSmoke).collect()
+    // the portable query surface must carry an all-true bound verdict
+    val verdicts = Extras.queries("a3_hll_union")(spark, sfSmoke).collect()
+    assert(verdicts.nonEmpty)
+    verdicts.foreach(r => assert(r.getAs[Boolean]("within_eps"),
+      s"${r.getString(0)}: exact=${r.getAs[Long]("exact_users")}"))
+    val merged = Extras.hllUnionEstimates(spark, sfSmoke).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val events = Tables.t(spark, sfSmoke, "events")
     // HLL merging is register-max: unioning per-shard sketches must give

@@ -55,6 +55,7 @@ class JpegColorSpec extends AnyFunSuite {
       val ours = Jpeg.decode(bytes)
       assert(jdk.getWidth == ours.width && jdk.getHeight == ours.height)
       var worstInterior = 0
+      var worstSeam = 0
       for (y <- 0 until ours.height; x <- 0 until ours.width) {
         val a = ours.pixels(y * ours.width + x)
         val b = jdk.getRGB(x, y)
@@ -62,10 +63,19 @@ class JpegColorSpec extends AnyFunSuite {
           .map(s => math.abs(((a >> s) & 0xff) - ((b >> s) & 0xff))).max
         val seam = (x % 16) == 0 || (x % 16) == 15 ||
           (y % 16) == 0 || (y % 16) == 15
-        if (!seam) worstInterior = math.max(worstInterior, d)
+        if (seam) worstSeam = math.max(worstSeam, d)
+        else worstInterior = math.max(worstInterior, d)
       }
       assert(worstInterior <= 2,
         s"id=$id: interior differs from ImageIO by $worstInterior")
+      // seams see ImageIO's smooth chroma interpolation vs our replicate
+      // upsampling — legitimately different algorithms, but still bounded:
+      // bilinear corner weights move chroma by <= 7/16 of the inter-block
+      // chroma gap (<= 94 steps in this fixture), ~75 in RGB after the
+      // 1.772 Cb gain; a seam-confined bug (wrong block offset, swapped
+      // Cb/Cr at the border) reaches the full ~166 swing
+      assert(worstSeam <= 100,
+        s"id=$id: seam differs from ImageIO by $worstSeam")
     }
   }
 

@@ -103,6 +103,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs.nonEmpty, "near-dup fixture should produce simhash pairs")
   }
 
+  test("simhash overflow is empty at the oracle scales (star fallback " +
+      "would silently diverge from the DuckDB self-join oracle)") {
+    Seq(sfSmoke, "/root/testdata/sf0.01").foreach { sf =>
+      val sig = Dedup.simHash(
+        Tables.t(spark, sf, "documents"), "doc_id", "text")
+      assert(Dedup.simHashOverflow(sig, "doc_id").count() == 0,
+        s"$sf: a capped bucket means dd_simhash no longer matches its " +
+        "plain-self-join oracle — raise the cap or re-derive the oracle")
+    }
+  }
+
   test("simhash bucket cap bounds candidates under adversarial skew") {
     import spark.implicits._
     // 400 byte-identical docs: every band maps them into ONE bucket, the
