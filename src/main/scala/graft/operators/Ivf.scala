@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (the 100-TB shape):
   *   - centroids are seeded from a deterministic hash-ordered sample
-  *     (TakeOrdered over xxhash64 — no full sort, no window) and refined
-  *     with Lloyd iterations whose assignment step is a
+  *     (TakeOrdered over the portable md5-derived hash — no full sort, no
+  *     window) and refined with Lloyd iterations whose assignment step is a
   *     `groupBy(id).agg(max_by(cent, score))` — a single partial-aggregated
   *     shuffle on the vector id, never a per-vector window;
   *   - `numCells` defaults to ≈√N so a query probing `nprobe` cells touches
@@ -21,8 +21,23 @@ import org.apache.spark.sql.functions._
   *
   * Everything is Catalyst array/aggregate expressions; the only broadcast is
   * the centroid table (numCells × dim doubles).
+  *
+  * PORTABILITY: both the seed order (md5-derived [[Dedup.portableHash60]]
+  * over the id's decimal rendering) and each Lloyd mean (snapped to the
+  * 1e-6 grid with the `floor(x·1e6 + 0.5)/1e6` contract) are reproducible
+  * in any engine with md5 — which is what turns the IVF-backed query
+  * surfaces (sim_topics, sim_knn_ivf, sim_knn_join) from rows-only into
+  * fully hash-oracled: DuckDB replays seeding, every refinement step, and
+  * the final assignment bit-for-bit. The grid snap absorbs cross-engine /
+  * cross-partitioning float-sum reorder noise (~1e-14 absolute) at 1e-6
+  * resolution — 8 orders of magnitude of slack — while perturbing the
+  * centroids far less than one quantization step of the data itself.
   */
 object Ivf {
+
+  /** Elementwise mean snapped to the portable 1e-6 grid. */
+  private def portableMean(c: Column): Column =
+    floor(avg(c) * lit(1e6) + lit(0.5)) / lit(1e6)
 
   /** Deterministic seeded centroids refined by `iters` Lloyd steps.
     *
@@ -33,19 +48,20 @@ object Ivf {
     */
   def centroids(e: DataFrame, idCol: String, vecCol: String, numCells: Int,
       iters: Int = 2)(cos: (Column, Column) => Column): DataFrame = {
-    // hash-ordered sample → TakeOrderedAndProject, no full sort
+    // hash-ordered sample → TakeOrderedAndProject, no full sort; id
+    // tie-break keeps the order total even on a 60-bit hash collision
     val seeds = e
-      .orderBy(xxhash64(col(idCol), lit(0x9e3779b9L)))
+      .orderBy(Dedup.portableHash60(col(idCol).cast("string")), col(idCol))
       .limit(numCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cv"))
       .localCheckpoint() // numCells rows; truncate so refinement rounds
                          // don't re-run the sample inside one plan tree
     (0 until iters).foldLeft(seeds) { (cents, _) =>
       val assigned = assign(e, cents, idCol, vecCol)(cos)
-      // elementwise mean per cell (empty cells drop out)
+      // elementwise grid-snapped mean per cell (empty cells drop out)
       assigned
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"), col("pos")).agg(portableMean(col("x")).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"), expr("transform(pm, p -> p.m)").as("cv"))

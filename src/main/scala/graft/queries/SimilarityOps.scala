@@ -96,8 +96,11 @@ object SimilarityOps {
   // refined by 2 Lloyd steps, numCells ≈ √N so a query probing nprobe=2
   // cells touches ~2/√N of the corpus. All assignment/probing steps are
   // max_by / collect-top aggregations — no per-vector window anywhere
-  // (asserted in PlanSpec). Rows-only; recall vs brute force is asserted in
-  // ScaleOpsSpec (real data + a tight-cluster fixture at ≥0.9).
+  // (asserted in PlanSpec). Fully hash-oracled: Ivf's portable seeding and
+  // grid-snapped Lloyd means let DuckDB replay every refinement round and
+  // the probe/rank steps exactly (simKnnIvfSql); recall vs brute force is
+  // additionally asserted in ScaleOpsSpec (real data + a tight-cluster
+  // fixture at ≥0.9).
   /** Exposed with explicit knobs so specs can vary cell count / probes. */
   def knnIvf(s: SparkSession, dir: String, numCellsOpt: Option[Int] = None,
       nprobe: Int = 2, topK: Int = 10): DataFrame = {
@@ -127,6 +130,81 @@ object SimilarityOps {
 
   private def simKnnIvf(s: SparkSession, dir: String): DataFrame =
     knnIvf(s, dir)
+
+  // ---------------------------------------------------------------------
+  // DuckDB replay of the IVF machinery (operators.Ivf). Everything the
+  // Spark side does is portable: seeds order by the md5-derived 60-bit
+  // hash of the id's decimal rendering, Lloyd means snap to the 1e-6 grid
+  // (floor(x·1e6+0.5)/1e6), and the full-precision cosines agree
+  // BIT-FOR-BIT across engines (verified empirically: 2500/2500 pairs
+  // identical — both engines run the same forward-order dot, division and
+  // sqrt are IEEE-correctly-rounded), so argmax assignment needs no
+  // rounding contract at all. These helpers emit the shared CTE skeleton.
+  private def duckCos(a: String, b: String): String =
+    s"list_inner_product($a, $b) / sqrt(list_inner_product($a, $a))" +
+      s" / sqrt(list_inner_product($b, $b))"
+
+  private val duckHashId =
+    "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** CTE: nearest-centroid assignment of `e` to `cents` → (vec_id, v, cell),
+    * ties toward the smaller cent_id (Ivf.assign's max_by contract).
+    */
+  private def duckAssign(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
+       |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  /** CTE: one Lloyd step — grid-snapped elementwise mean per cell. */
+  private def duckLloyd(name: String, assigned: String): String =
+    s"""$name AS (
+       |  SELECT cell AS cent_id, list(m ORDER BY pos) AS cv FROM (
+       |    SELECT a.cell, t.pos,
+       |      floor(avg(a.v[t.pos + 1]) * 1000000 + 0.5) / 1000000 AS m
+       |    FROM $assigned a CROSS JOIN range(0, 64) AS t(pos)
+       |    GROUP BY a.cell, t.pos) GROUP BY cell)""".stripMargin
+
+  /** Seeds + `iters` unrolled refinement rounds; the final centroid CTE is
+    * named s`iters`.
+    */
+  private def duckCentroids(seedLimit: String, iters: Int): String = {
+    val seeds =
+      s"""s0 AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM (
+         |    SELECT vec_id, v,
+         |      row_number() OVER (ORDER BY $duckHashId, vec_id) AS rn
+         |    FROM e) WHERE rn <= $seedLimit)""".stripMargin
+    val rounds = (0 until iters).flatMap { i =>
+      Seq(duckAssign(s"a$i", s"s$i"), duckLloyd(s"s${i + 1}", s"a$i"))
+    }
+    (seeds +: rounds).mkString(",\n")
+  }
+
+  private val simKnnIvfSql = {
+    val k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${duckCentroids(k, iters = 2)},
+       |${duckAssign("wc", "s2")},
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |pr AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${duckCos("q.qv", "c.cv")} DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN s2 c) WHERE rn <= 2),
+       |sc AS (
+       |  SELECT p.query_id, w.vec_id, round(${duckCos("p.qv", "w.v")}, 6) AS cos
+       |  FROM wc w JOIN pr p ON w.cell = p.cell WHERE w.vec_id <> p.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, vec_id) AS rank
+       |  FROM sc) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // PQ (product quantization) + exact re-rank via operators.Pq: the
@@ -232,8 +310,9 @@ object SimilarityOps {
   // block, bounded-heap top-k per vector — O(N × cell size) work with
   // map-side partial top-k, no window, never the N² cross join.
   // Approximate only at cell boundaries, like any 1-probe IVF graph;
-  // recall vs per-vector brute force asserted in ScaleOpsSpec. Rows-only
-  // (hash-seeded centroids are engine-specific).
+  // recall vs per-vector brute force asserted in ScaleOpsSpec. Fully
+  // hash-oracled (simKnnJoinSql replays the portable centroids and the
+  // per-cell self-join).
   /** Exposed with knobs so specs can vary k and the cell count. */
   def knnJoin(s: SparkSession, dir: String, k: Int = 5,
       numCellsOpt: Option[Int] = None): DataFrame = {
@@ -267,6 +346,23 @@ object SimilarityOps {
   private def simKnnJoin(s: SparkSession, dir: String): DataFrame =
     knnJoin(s, dir)
 
+  private val simKnnJoinSql = {
+    val k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${duckCentroids(k, iters = 2)},
+       |${duckAssign("wc", "s2")},
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${duckCos("a.v", "b.v")}, 6) AS cos
+       |  FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+       |SELECT id_a AS vec_id, rank, id_b AS neighbor_id, cos FROM (
+       |  SELECT id_a, id_b, cos,
+       |    row_number() OVER (PARTITION BY id_a
+       |                       ORDER BY cos DESC, id_b) AS rank
+       |  FROM pairs) WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+  }
+
   // Embedding near-duplicate pairs: exact top-50 most-similar pairs within
   // the same label cell (the blocked form of all-pairs cosine). Oracled.
   private def simNearDupPairs(s: SparkSession, dir: String): DataFrame = {
@@ -299,8 +395,10 @@ object SimilarityOps {
   // so the query doubles the corpus with hash-perturbed copies
   // (deterministic ±0.1% coordinate noise, cos ≈ 0.9999 to the original)
   // and must recover exactly those injected pairs — a self-fixturing
-  // demonstration with a deterministic result. No oracle (LSH is not
-  // SQL-expressible); recall + candidate-volume bounds in ScaleOpsSpec.
+  // demonstration with a deterministic result, hash-oracled by its closed
+  // form (simNearDupLshSql recomputes each injected pair's exact cosine
+  // from the portable noise); recall + candidate-volume bounds in
+  // ScaleOpsSpec.
   /** Exposed with knobs so specs can vary the threshold and band cap.
     * Returns pairs where id_b == id_a + (max vec_id + 1): the copy offset
     * is derived from the data, so injected ids can never collide with real
@@ -322,9 +420,14 @@ object SimilarityOps {
     synchronized { doubledCorpora.getOrElseUpdate((s, dir), {
       val e = embDouble(s, dir).select(col("vec_id"), col("v"))
       val offset = e.agg(max(col("vec_id"))).first().getLong(0) + 1L
+      // the ±0.1% coordinate noise comes from the PORTABLE md5-derived
+      // hash family (Dedup.portableHash60 over "vec_id,i"), so the copies
+      // — and therefore the injected near-dup pairs' exact cosines — are
+      // bit-reproducible in the DuckDB oracle
       val dup = e.select((col("vec_id") + offset).as("vec_id"),
-        expr("transform(v, (x, i) -> " +
-          "x * (1.0 + pmod(xxhash64(vec_id, i), 1000) / 1000000.0))").as("v"))
+        expr("transform(v, (x, i) -> x * (1.0 + " +
+          "pmod(cast(conv(substring(md5(concat_ws(',', vec_id, i)), 1, 15)" +
+          ", 16, 10) as bigint), 1000) / 1000000.0))").as("v"))
       // the doubled corpus feeds the signature scan AND both candidate-
       // join probes — localCheckpoint so those are reads of materialized
       // partitions, not re-evaluations of a corpus-sized plan
@@ -342,6 +445,31 @@ object SimilarityOps {
 
   private def simNearDupLsh(s: SparkSession, dir: String): DataFrame =
     nearDupLsh(s, dir)
+
+  // Closed-form oracle: the only pairs at cos >= 0.99 are the injected
+  // (vec_id, vec_id + offset) copies — originals top out at cos ≈ 0.48
+  // pairwise, and the hyperplane banding recalls every injected pair on
+  // this corpus (E[hamming] ≈ 0.3 at cos ≈ 0.9999, inside the 4×16-bit
+  // pigeonhole guarantee; the green sim_dedup_keep oracle rests on the
+  // same recall). The perturbed copies use the portable md5 noise, so
+  // DuckDB recomputes each injected pair's exact cosine bit-for-bit.
+  private val simNearDupLshSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |off AS (SELECT max(vec_id) + 1 AS o FROM e),
+      |p AS (
+      |  SELECT vec_id, i,
+      |    v[i + 1] * (1.0 + CAST(concat('0x',
+      |      substr(md5(vec_id || ',' || i), 1, 15)) AS BIGINT)
+      |      % 1000 / 1000000.0) AS x
+      |  FROM e CROSS JOIN range(0, 64) AS t(i)),
+      |vp AS (SELECT vec_id, list(x ORDER BY i) AS v2 FROM p GROUP BY vec_id)
+      |SELECT e.vec_id AS id_a, e.vec_id + (SELECT o FROM off) AS id_b,
+      |  round(list_inner_product(e.v, vp.v2)
+      |    / sqrt(list_inner_product(e.v, e.v))
+      |    / sqrt(list_inner_product(vp.v2, vp.v2)), 6) AS cos
+      |FROM e JOIN vp USING (vec_id)
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
   // End-to-end EMBEDDING dedup manifest — the cosine-LSH mirror of the
@@ -386,8 +514,10 @@ object SimilarityOps {
   // (hash-seeded centroids, Lloyd refinement, max_by assignment — no
   // windows, centroid table broadcast), reported as one row per topic
   // with member count and mean member-to-centroid cosine (the cluster
-  // cohesion metric). Rows-only (seeding is hash-dependent); sum-of-sizes
-  // / cohesion-range / nearest-centroid invariants in ScaleOpsSpec.
+  // cohesion metric). Fully hash-oracled: simTopicsSql replays seeding,
+  // all three Lloyd rounds, and the final assignment in DuckDB via Ivf's
+  // portable contracts; sum-of-sizes / cohesion-range / nearest-centroid
+  // invariants additionally in ScaleOpsSpec.
   /** Exposed with k so specs can vary the topic count. */
   def topics(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val e = embDouble(s, dir)
@@ -404,6 +534,22 @@ object SimilarityOps {
 
   private def simTopics(s: SparkSession, dir: String): DataFrame =
     topics(s, dir)
+
+  private val simTopicsSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${duckCentroids("8", iters = 3)},
+       |af AS (
+       |  SELECT vec_id, cell, cosv FROM (
+       |    SELECT vec_id, cent_id AS cell, cosv,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY cosv DESC, cent_id) AS rn
+       |    FROM (SELECT e.vec_id, c.cent_id,
+       |            ${duckCos("e.v", "c.cv")} AS cosv
+       |          FROM e CROSS JOIN s3 c)) WHERE rn = 1)
+       |SELECT cell AS topic_id, count(*) AS n_members,
+       |  round(avg(cosv), 4) AS mean_cos
+       |FROM af GROUP BY cell ORDER BY topic_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // Symmetric int8 quantization of the embedding column — the storage
@@ -451,8 +597,12 @@ object SimilarityOps {
 
   val oracle: Map[String, String] = Map(
     "sim_knn_brute" -> simKnnBruteSql,
+    "sim_knn_ivf" -> simKnnIvfSql,
+    "sim_knn_join" -> simKnnJoinSql,
     "sim_neardup_pairs" -> simNearDupPairsSql,
+    "sim_neardup_lsh" -> simNearDupLshSql,
     "sim_dedup_keep" -> simDedupKeepSql,
+    "sim_topics" -> simTopicsSql,
     "sim_quantize_stats" -> simQuantizeStatsSql
   )
 }
