@@ -956,8 +956,13 @@ object Analytics {
           new graft.streaming.TimerEvictProcessor(split),
           TimeMode.ProcessingTime(), OutputMode.Update())
         .toDF("user_id", "n_events", "total_value", "expired")
-      val evictedUsers =
-        java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      // O(1) eviction latch (same contract as st_timeout_evict's): a
+      // batchId-deduped running COUNT of committed eviction rows — each
+      // idle group expires exactly once (state removed, no new events),
+      // so the count equals the distinct evicted users without shipping
+      // ids to the driver
+      val evicted = new java.util.concurrent.atomic.AtomicLong()
+      val counted = new java.util.concurrent.atomic.AtomicLong(-1L)
       val q = profiles.writeStream
         .outputMode("update")
         .foreachBatch { (df: org.apache.spark.sql.Dataset[
@@ -967,8 +972,11 @@ object Analytics {
             if (!df.isEmpty) {
               df.withColumn("batch_id", lit(batchId))
                 .write.mode("append").parquet(s"$work/out")
-              df.filter(col("expired")).select(col("user_id"))
-                .collect().foreach(r => evictedUsers.add(r.getLong(0)))
+              if (batchId > counted.get()) {
+                counted.set(batchId)
+                evicted.addAndGet(df.filter(col("expired")).count())
+                ()
+              }
             }
           } finally df.unpersist()
         }
@@ -976,14 +984,14 @@ object Analytics {
         .trigger(Trigger.ProcessingTime("50 milliseconds"))
         .start()
       val deadline = System.currentTimeMillis() + 120000L
-      while (evictedUsers.size() < nLow && q.exception.isEmpty
+      while (evicted.get() < nLow && q.exception.isEmpty
           && System.currentTimeMillis() < deadline)
         Thread.sleep(50)
       q.stop()
       q.awaitTermination()
-      if (evictedUsers.size() < nLow)
+      if (evicted.get() < nLow)
         throw new IllegalStateException(
-          s"st_timer_evict: only ${evictedUsers.size()} of $nLow idle " +
+          s"st_timer_evict: only ${evicted.get()} of $nLow idle " +
             "groups evicted before the deadline")
       graft.streaming.WorkDirs.materializeAndClean(
         s.read.parquet(s"$work/out")
@@ -1040,15 +1048,20 @@ object Analytics {
       .mapGroupsWithState[(Long, Long), (Long, Long, Double, Boolean)](
         GroupStateTimeout.ProcessingTimeTimeout)(update)
       .toDF("user_id", "n_events", "total_value", "expired")
-    // driver-side eviction ledger: foreachBatch records which users'
-    // eviction rows it has COMMITTED, so the wait loop below is a pure
-    // memory read — polling the sink with a read-parquet→distinct→count
-    // job every 100 ms was itself a stream of Spark jobs that dominated
-    // this query's wall time (the data is 5 groups; the harness was the
-    // cost). The set is only ever read after the matching parquet append
-    // returns, so "in the set" implies "on disk".
-    val evictedUsers =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    // driver-side eviction latch: foreachBatch keeps a running COUNT of
+    // the eviction rows it has COMMITTED, so the wait loop below is a
+    // pure memory read — polling the sink with a
+    // read-parquet→distinct→count job every 100 ms was itself a stream
+    // of Spark jobs that dominated this query's wall time (the data is 5
+    // groups; the harness was the cost). O(1) driver state at any
+    // keyspace width: each idle group expires exactly once (state
+    // removed, no new events), so the deduped count equals the distinct
+    // evicted users; the batchId guard keeps a foreachBatch RETRY of the
+    // same epoch from double-counting. The counter is only ever bumped
+    // after the matching parquet append returns, so "counted" implies
+    // "on disk".
+    val evicted = new java.util.concurrent.atomic.AtomicLong()
+    val counted = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = profiles.writeStream
       .outputMode("update")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[
@@ -1062,8 +1075,11 @@ object Analytics {
             df.withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(s"$work/out")
             // rows are on disk — now (and only now) expose the evictions
-            df.filter(col("expired")).select(col("user_id"))
-              .collect().foreach(r => evictedUsers.add(r.getLong(0)))
+            if (batchId > counted.get()) {
+              counted.set(batchId)
+              evicted.addAndGet(df.filter(col("expired")).count())
+              ()
+            }
           }
         } finally df.unpersist()
       }
@@ -1072,16 +1088,16 @@ object Analytics {
       .start()
     val deadline = System.currentTimeMillis() + 120000L
     // a dead query can never evict — break instead of spinning blind
-    while (evictedUsers.size() < nLow && q.exception.isEmpty
+    while (evicted.get() < nLow && q.exception.isEmpty
         && System.currentTimeMillis() < deadline)
       Thread.sleep(50)
     q.stop()
     q.awaitTermination() // surfaces the query's exception, if any
     // the deadline path must fail loudly, not return rows whose expired
     // flags silently disagree with the oracle
-    if (evictedUsers.size() < nLow)
+    if (evicted.get() < nLow)
       throw new IllegalStateException(
-        s"st_timeout_evict: only ${evictedUsers.size()} of $nLow idle " +
+        s"st_timeout_evict: only ${evicted.get()} of $nLow idle " +
           "groups evicted before the deadline")
     graft.streaming.WorkDirs.materializeAndClean(
       s.read.parquet(s"$work/out")
