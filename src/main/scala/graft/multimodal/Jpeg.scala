@@ -8,16 +8,17 @@ package graft.multimodal
   * deterministic fixtures the decoder is value-oracled against.
   *
   * Scope (documented, not hidden): baseline/extended sequential Huffman
-  * (SOF0/SOF1), 8-bit precision, single-component (grayscale) scans AND
-  * three-component (YCbCr) interleaved scans at the sampling layouts
-  * real corpora actually use — 4:4:4, 4:2:2, 4:2:0 (generic Hi/Vi MCU
-  * interleave per T.81 A.2.3, so other factors decode too). Chroma is
-  * upsampled by sample replication and converted to RGB with the
-  * BT.601 full-range JFIF matrix, rounded floor(x+0.5) so the closed-
-  * form fixture oracle can reproduce every output pixel. Progressive
-  * (SOF2), arithmetic coding, and 4-component (CMYK) streams are
-  * rejected LOUDLY — a corpus shard hitting one gets an error naming
-  * the unsupported mode, never a wrong pixel.
+  * (SOF0/SOF1) AND progressive Huffman (SOF2 — spectral selection and
+  * successive approximation, DC and AC refinement, EOBn runs), 8-bit
+  * precision, single-component (grayscale) scans AND three-component
+  * (YCbCr) interleaved scans at the sampling layouts real corpora
+  * actually use — 4:4:4, 4:2:2, 4:2:0 (generic Hi/Vi MCU interleave per
+  * T.81 A.2.3, so other factors decode too). Chroma is upsampled by
+  * sample replication and converted to RGB with the BT.601 full-range
+  * JFIF matrix, rounded floor(x+0.5) so the closed-form fixture oracle
+  * can reproduce every output pixel. Arithmetic coding and 4-component
+  * (CMYK) streams are rejected LOUDLY — a corpus shard hitting one gets
+  * an error naming the unsupported mode, never a wrong pixel.
   *
   * The Huffman/quantization constants below are the public Annex K
   * example tables from the T.81 spec itself.
@@ -360,6 +361,220 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode a PROGRESSIVE (SOF2) JPEG from quantized coefficient blocks —
+    * the same `blocks(comp, bx, by)` contract as [[encodeColor]]
+    * (`nComp == 1` ignores the chroma arguments and encodes grayscale).
+    * Fixed scan script exercising BOTH progressive mechanisms:
+    *
+    *   1. DC first, all components interleaved, Al=1
+    *   2. AC first per component — luma split into spectral bands 1..5
+    *      and 6..63, chroma as one band — at Al=1
+    *   3. DC refinement (Ah=1 → Al=0), one raw bit per block
+    *   4. AC refinement per component to full precision
+    *
+    * End-of-band runs are flushed per block (run length 1, symbol 0x00)
+    * so the Annex K AC table — which carries no EOBn>1 symbols — stays
+    * sufficient; decoders still exercise the general EOBn machinery via
+    * externally encoded streams (see JpegProgressiveSpec's ImageIO
+    * round-trip).
+    */
+  def encodeProgressive(w: Int, h: Int, quantLuma: Array[Int],
+      quantChroma: Array[Int], hv: (Int, Int), nComp: Int,
+      blocks: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    require(nComp == 1 || nComp == 3, s"nComp must be 1 or 3, got $nComp")
+    val (hl, vl) = if (nComp == 1) (1, 1) else hv
+    require(w > 0 && h > 0 && quantLuma.length == 64 &&
+      quantChroma.length == 64 && hl >= 1 && hl <= 2 && vl >= 1 && vl <= 2)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    def dqt(tq: Int, q: Array[Int]): Unit = {
+      marker(0xdb); be16(67); out.write(tq)
+      var k = 0
+      while (k < 64) { out.write(q(Zigzag(k))); k += 1 }
+    }
+    dqt(0, quantLuma)
+    if (nComp == 3) dqt(1, quantChroma)
+    marker(0xc2); be16(8 + 3 * nComp) // SOF2
+    out.write(8); be16(h); be16(w); out.write(nComp)
+    var ci0 = 0
+    while (ci0 < nComp) {
+      out.write(ci0 + 1)
+      out.write(if (ci0 == 0) (hl << 4) | vl else 0x11)
+      out.write(if (ci0 == 0) 0 else 1)
+      ci0 += 1
+    }
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write(clazz << 4)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    val mcusX = (w + 8 * hl - 1) / (8 * hl)
+    val mcusY = (h + 8 * vl - 1) / (8 * vl)
+    def hi(ci: Int) = if (ci == 0) hl else 1
+    def vi(ci: Int) = if (ci == 0) vl else 1
+    // non-interleaved grid per component (T.81 A.2.2)
+    def grid(ci: Int): (Int, Int) = {
+      val cw = (w * hi(ci) + hl - 1) / hl
+      val ch = (h * vi(ci) + vl - 1) / vl
+      ((cw + 7) / 8, (ch + 7) / 8)
+    }
+    def sos(sel: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); be16(6 + 2 * sel.length); out.write(sel.length)
+      sel.foreach { ci => out.write(ci + 1); out.write(0x00) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    /** Interleaved walk over every (comp, bx, by) block in MCU order. */
+    def mcuWalk(f: (Int, Int, Int) => Unit): Unit = {
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < nComp) {
+            var v = 0
+            while (v < vi(ci)) {
+              var hb = 0
+              while (hb < hi(ci)) {
+                f(ci, mx * hi(ci) + hb, my * vi(ci) + v)
+                hb += 1
+              }
+              v += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    def dcFirstScan(al: Int): Unit = {
+      sos(0 until nComp, 0, 0, 0, al)
+      val bw = new BitWriter(out)
+      val prev = new Array[Int](nComp)
+      mcuWalk { (ci, bx, by) =>
+        val dc = blocks(ci, bx, by)(0) >> al // arithmetic shift (T.81 G.1.2.1)
+        val diff = dc - prev(ci)
+        prev(ci) = dc
+        val s = category(diff)
+        val (c, l) = DcCodes(s)
+        bw.put(c, l)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      bw.flush()
+    }
+    def dcRefineScan(al: Int): Unit = {
+      sos(0 until nComp, 0, 0, al + 1, al)
+      val bw = new BitWriter(out)
+      mcuWalk { (ci, bx, by) =>
+        bw.put((blocks(ci, bx, by)(0) >> al) & 1, 1)
+      }
+      bw.flush()
+    }
+    def acFirstScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(ci), ss, se, 0, al)
+      val bw = new BitWriter(out)
+      val (nbx, nby) = grid(ci)
+      var by = 0
+      while (by < nby) {
+        var bx = 0
+        while (bx < nbx) {
+          val coef = blocks(ci, bx, by)
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            val v0 = coef(Zigzag(k))
+            val v = if (v0 < 0) -((-v0) >> al) else v0 >> al // magnitude shift
+            if (v == 0) r += 1
+            else {
+              while (r > 15) {
+                val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); r -= 16
+              }
+              val s = category(v)
+              val (ac, alen) = AcCodes((r << 4) | s)
+              bw.put(ac, alen)
+              bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) } // EOB(1)
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flush()
+    }
+    // T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine with per-block EOB flush:
+    // correction bits buffer after each symbol; zeros past the last newly-
+    // significant coefficient fold into the block's EOB.
+    def acRefineScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sos(Seq(ci), ss, se, al + 1, al)
+      val bw = new BitWriter(out)
+      val (nbx, nby) = grid(ci)
+      var by = 0
+      while (by < nby) {
+        var bx = 0
+        while (bx < nbx) {
+          val coef = blocks(ci, bx, by)
+          val ab = new Array[Int](se + 1)
+          var eobPos = ss - 1
+          var k = ss
+          while (k <= se) {
+            ab(k) = math.abs(coef(Zigzag(k))) >> al
+            if (ab(k) == 1) eobPos = k
+            k += 1
+          }
+          var r = 0
+          val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+          def flushPending(): Unit = {
+            pending.foreach(b => bw.put(b, 1)); pending.clear()
+          }
+          k = ss
+          while (k <= se) {
+            val t = ab(k)
+            if (t == 0) r += 1
+            else if (t > 1) pending += (t & 1) // already significant
+            else {
+              while (r > 15 && k <= eobPos) {
+                val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); r -= 16
+                flushPending()
+              }
+              val (ac, alen) = AcCodes((r << 4) | 1)
+              bw.put(ac, alen)
+              bw.put(if (coef(Zigzag(k)) >= 0) 1 else 0, 1)
+              flushPending()
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0 || pending.nonEmpty) {
+            val (ec, el) = AcCodes(0x00) // EOB run of exactly 1
+            bw.put(ec, el)
+            flushPending()
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flush()
+    }
+    dcFirstScan(1)
+    acFirstScan(0, 1, 5, 1)
+    acFirstScan(0, 6, 63, 1)
+    var ci1 = 1
+    while (ci1 < nComp) { acFirstScan(ci1, 1, 63, 1); ci1 += 1 }
+    dcRefineScan(0)
+    acRefineScan(0, 1, 5, 0)
+    acRefineScan(0, 6, 63, 0)
+    var ci2 = 1
+    while (ci2 < nComp) { acRefineScan(ci2, 1, 63, 0); ci2 += 1 }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---- decoder ---------------------------------------------------------
 
   /** channels = 1: `pixels` are gray 0..255; channels = 3: packed
@@ -441,13 +656,26 @@ object Jpeg {
 
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
 
-  /** Decode a baseline/extended-sequential JPEG: grayscale (single
-    * component, as before) or a 3-component interleaved YCbCr scan with
-    * generic Hi/Vi sampling (T.81 A.2.3 MCU order) — 4:4:4, 4:2:2 and
-    * 4:2:0 in practice. Color output replicate-upsamples chroma and
-    * applies the BT.601 full-range JFIF matrix with floor(x+0.5)
-    * rounding, so a DC-only fixture's every output pixel has a closed
-    * form an oracle can recompute.
+  /** Decode a JPEG: baseline/extended-sequential (SOF0/SOF1) or
+    * PROGRESSIVE (SOF2, spectral selection + successive approximation),
+    * grayscale or 3-component interleaved YCbCr with generic Hi/Vi
+    * sampling (T.81 A.2.3 MCU order) — 4:4:4, 4:2:2 and 4:2:0 in
+    * practice. All scans accumulate into per-component quantized
+    * coefficient planes; dequantize + IDCT run once at the end, so a
+    * progressive stream decodes to EXACTLY the pixels of the equivalent
+    * sequential stream (same coefficients in, same IDCT out). Color
+    * output replicate-upsamples chroma and applies the BT.601 full-range
+    * JFIF matrix with floor(x+0.5) rounding, so a DC-only fixture's
+    * every output pixel has a closed form an oracle can recompute.
+    *
+    * Progressive scan semantics follow T.81 G.1/G.2 (the libjpeg-
+    * compatible reading): DC first scans code diffs of `dc >> Al`; DC
+    * refinements append one raw bit per block; AC first scans run-length
+    * the band with EOBn end-of-band runs; AC refinements interleave
+    * newly-significant ±(1<<Al) values with correction bits for already-
+    * nonzero coefficients (verified against a 50k-case encode/decode
+    * simulation and the JDK decoder). Arithmetic coding and 4-component
+    * (CMYK) streams are rejected loudly.
     */
   def decode(data: Array[Byte]): JpegImage = {
     require(data.length >= 4 && (data(0) & 0xff) == 0xff &&
@@ -455,176 +683,396 @@ object Jpeg {
     var pos = 2
     var width = -1
     var height = -1
+    var progressive = false
     val quantTables = new Array[Array[Int]](4)
     val dcTables = new Array[HuffTable](4)
     val acTables = new Array[HuffTable](4)
     var comps: Array[Comp] = null
     var restartInterval = 0
+    var hmax = 0
+    var vmax = 0
+    var mcusX = 0
+    var mcusY = 0
+    // per-component quantized coefficient storage: MCU-padded block grid
+    // (blocksW x blocksH blocks of 64 natural-order ints)
+    var coefs: Array[Array[Int]] = null
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    var sawScan = false
     def be16(o: Int): Int = ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)
-    var scanSel: Array[(Int, Int)] = null // per SOF component: (Td, Ta)
-    var scanStart = -1
-    while (scanStart < 0) {
-      require(pos + 4 <= data.length, "truncated JPEG segment stream")
+
+    def parseFrame(body: Int, prog: Boolean): Unit = {
+      progressive = prog
+      height = be16(body + 1); width = be16(body + 3)
+      val nComp = data(body + 5) & 0xff
+      require(nComp == 1 || nComp == 3,
+        s"only 1-component (grayscale) or 3-component (YCbCr) frames" +
+          s" supported, got $nComp")
+      comps = Array.tabulate(nComp) { i =>
+        val o = body + 6 + 3 * i
+        val hv = data(o + 1) & 0xff
+        Comp(data(o) & 0xff, hv >> 4, hv & 0x0f, data(o + 2) & 0x0f)
+      }
+      comps.foreach { c =>
+        require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4,
+          s"invalid sampling factors ${c.h}x${c.v}")
+      }
+      if (nComp == 1)
+        require(comps(0).h == 1 && comps(0).v == 1,
+          "subsampling unsupported for single-component")
+      hmax = comps.map(_.h).max
+      vmax = comps.map(_.v).max
+      mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      blocksW = Array.tabulate(nComp)(i => mcusX * comps(i).h)
+      blocksH = Array.tabulate(nComp)(i => mcusY * comps(i).v)
+      coefs = Array.tabulate(nComp)(i =>
+        new Array[Int](blocksW(i) * blocksH(i) * 64))
+    }
+
+    /** Decode one scan (SOS at segPos with segment length len); returns
+      * the position of the next marker after the entropy data.
+      */
+    def decodeScan(segPos: Int, len: Int): Int = {
+      require(comps != null, "SOS before SOF")
+      val body = segPos + 4
+      val ns = data(body) & 0xff
+      val scIdx = new Array[Int](ns)
+      val scSel = new Array[(Int, Int)](ns)
+      var i = 0
+      while (i < ns) {
+        val cid = data(body + 1 + 2 * i) & 0xff
+        val idx = comps.indexWhere(_.id == cid)
+        require(idx >= 0, s"scan references unknown component id $cid")
+        scIdx(i) = idx
+        val t = data(body + 2 + 2 * i) & 0xff
+        scSel(i) = (t >> 4, t & 0x0f)
+        i += 1
+      }
+      val ss = data(body + 1 + 2 * ns) & 0xff
+      val se = data(body + 2 + 2 * ns) & 0xff
+      val ahal = data(body + 3 + 2 * ns) & 0xff
+      val ah = ahal >> 4
+      val al = ahal & 0x0f
+      if (!progressive) {
+        require(ns == comps.length,
+          s"scan must interleave all ${comps.length} frame components," +
+            s" got $ns (partial sequential scans unsupported)")
+        var j = 0
+        while (j < ns) {
+          require(scIdx(j) == j,
+            s"scan component order must match SOF (component $j is id" +
+              s" ${comps(scIdx(j)).id})")
+          j += 1
+        }
+        require(ss == 0 && se == 63 && ah == 0 && al == 0,
+          "sequential scan must cover the full spectrum at full precision")
+      } else {
+        if (ss == 0) require(se == 0,
+          "progressive DC scan must have Se=0 (spectral selection splits" +
+            " DC from AC)")
+        else {
+          require(ns == 1, "progressive AC scans must be non-interleaved")
+          require(se >= ss && se <= 63, s"invalid spectral band $ss..$se")
+        }
+        if (ns > 1) require(ns == comps.length && scIdx.zipWithIndex
+          .forall { case (ci, j) => ci == j },
+          "interleaved progressive scan must cover the SOF components in" +
+            " order")
+        require(ah == 0 || ah == al + 1,
+          "successive approximation must refine exactly one bit per scan")
+      }
+      val isDc = ss == 0
+      val refining = ah > 0
+      val dcs = Array.tabulate(ns) { j =>
+        if (!progressive || (isDc && !refining)) {
+          val t = dcTables(scSel(j)._1)
+          require(t != null, s"missing DC table ${scSel(j)._1}")
+          t
+        } else null
+      }
+      val acs = Array.tabulate(ns) { j =>
+        if (!progressive || !isDc) {
+          val t = acTables(scSel(j)._2)
+          require(t != null, s"missing AC table ${scSel(j)._2}")
+          t
+        } else null
+      }
+      val br = new BitReader(data, segPos + 2 + len)
+      val prevDc = new Array[Int](ns)
+      var eobrun = 0
+      val p1 = 1 << al
+
+      def sequentialBlock(j: Int, c: Array[Int], off: Int): Unit = {
+        val s = dcs(j).decode(br)
+        prevDc(j) += extend(br.receive(s), s)
+        c(off) = prevDc(j)
+        var k = 1
+        while (k < 64) {
+          val rs = acs(j).decode(br)
+          if (rs == 0x00) k = 64 // EOB
+          else if (rs == 0xf0) k += 16 // ZRL
+          else {
+            k += rs >> 4
+            require(k < 64, "AC run past block end")
+            val sa = rs & 0x0f
+            c(off + Zigzag(k)) = extend(br.receive(sa), sa)
+            k += 1
+          }
+        }
+      }
+
+      def acFirstBlock(j: Int, c: Array[Int], off: Int): Unit = {
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          while (k <= se) {
+            val rs = acs(j).decode(br)
+            val r = rs >> 4
+            val sMag = rs & 0x0f
+            if (sMag == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+                k = se + 1
+              } else k += 16 // ZRL
+            } else {
+              k += r
+              require(k <= se, "AC run past band end")
+              c(off + Zigzag(k)) = extend(br.receive(sMag), sMag) << al
+              k += 1
+            }
+          }
+        }
+      }
+
+      // T.81 G.2 / libjpeg decode_mcu_AC_refine: newly-significant values
+      // arrive as ±(1<<Al); every already-nonzero coefficient passed costs
+      // one correction bit; EOBn covers whole blocks whose nonzero
+      // coefficients still consume correction bits.
+      def acRefineBlock(j: Int, c: Array[Int], off: Int): Unit = {
+        def correct(z: Int): Unit =
+          if (br.nextBit() == 1 && (math.abs(c(z)) & p1) == 0)
+            c(z) += (if (c(z) >= 0) p1 else -p1)
+        var k = ss
+        if (eobrun == 0) {
+          var atEob = false
+          while (k <= se && !atEob) {
+            val rs = acs(j).decode(br)
+            var r = rs >> 4
+            val sMag = rs & 0x0f
+            var newval = 0
+            if (sMag == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                atEob = true
+              }
+              // r == 15: ZRL — skip 16 zero-history coefficients below
+            } else {
+              require(sMag == 1, "invalid magnitude in AC refinement scan")
+              newval = if (br.nextBit() == 1) p1 else -p1
+            }
+            if (!atEob) {
+              var advancing = true
+              while (advancing && k <= se) {
+                val z = off + Zigzag(k)
+                if (c(z) != 0) { correct(z); k += 1 }
+                else {
+                  r -= 1
+                  if (r < 0) advancing = false else k += 1
+                }
+              }
+              if (sMag != 0) {
+                require(k <= se, "AC refinement position past band end")
+                c(off + Zigzag(k)) = newval
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val z = off + Zigzag(k)
+            if (c(z) != 0) correct(z)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def decodeUnit(j: Int, bx: Int, by: Int): Unit = {
+        val ci = scIdx(j)
+        val c = coefs(ci)
+        val off = (by * blocksW(ci) + bx) * 64
+        if (!progressive) sequentialBlock(j, c, off)
+        else if (isDc && !refining) {
+          val s = dcs(j).decode(br)
+          prevDc(j) += extend(br.receive(s), s)
+          c(off) = prevDc(j) << al
+        } else if (isDc) {
+          if (br.nextBit() == 1) c(off) |= p1
+        } else if (!refining) acFirstBlock(j, c, off)
+        else acRefineBlock(j, c, off)
+      }
+
+      def atRestart(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart()
+          java.util.Arrays.fill(prevDc, 0)
+          eobrun = 0
+        }
+
+      if (ns > 1) {
+        var mcu = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            atRestart(mcu)
+            var j = 0
+            while (j < ns) {
+              val c = comps(scIdx(j))
+              var v = 0
+              while (v < c.v) {
+                var hb = 0
+                while (hb < c.h) {
+                  decodeUnit(j, mx * c.h + hb, my * c.v + v)
+                  hb += 1
+                }
+                v += 1
+              }
+              j += 1
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // non-interleaved: the component's OWN block grid (T.81 A.2.2 —
+        // ceil of the scaled dimensions, NOT the MCU-padded grid)
+        val c = comps(scIdx(0))
+        val compW = (width * c.h + hmax - 1) / hmax
+        val compH = (height * c.v + vmax - 1) / vmax
+        val nbx = (compW + 7) / 8
+        val nby = (compH + 7) / 8
+        var blk = 0
+        var by = 0
+        while (by < nby) {
+          var bx = 0
+          while (bx < nbx) {
+            atRestart(blk)
+            decodeUnit(0, bx, by)
+            blk += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      // skip pad bits / stuffed bytes up to the next marker
+      var p = br.pos
+      while (p + 1 < data.length &&
+          !((data(p) & 0xff) == 0xff && (data(p + 1) & 0xff) != 0x00))
+        p += 1
+      require(p + 1 < data.length, "truncated JPEG after scan data")
+      p
+    }
+
+    var done = false
+    while (!done) {
+      require(pos + 2 <= data.length, "truncated JPEG segment stream")
       require((data(pos) & 0xff) == 0xff,
         f"expected marker at $pos, got 0x${data(pos) & 0xff}%02x")
       val m = data(pos + 1) & 0xff
-      val len = be16(pos + 2)
-      require(pos + 2 + len <= data.length,
-        f"truncated JPEG: segment 0xff$m%02x runs past end of data")
-      val body = pos + 4
-      m match {
-        case 0xdb => // DQT: one or more (PqTq, 64 entries) tables
-          var o = body
-          while (o < pos + 2 + len) {
-            val pq = (data(o) & 0xff) >> 4
-            val tq = data(o) & 0x0f
-            require(pq == 0, "16-bit quantization tables unsupported")
-            val q = new Array[Int](64)
-            var i = 0
-            while (i < 64) { q(Zigzag(i)) = data(o + 1 + i) & 0xff; i += 1 }
-            quantTables(tq) = q
-            o += 65
-          }
-        case 0xc0 | 0xc1 => // SOF0/SOF1: dims + 1 or 3 components
-          height = be16(body + 1); width = be16(body + 3)
-          val nComp = data(body + 5) & 0xff
-          require(nComp == 1 || nComp == 3,
-            s"only 1-component (grayscale) or 3-component (YCbCr) frames" +
-              s" supported, got $nComp")
-          comps = Array.tabulate(nComp) { i =>
-            val o = body + 6 + 3 * i
-            val hv = data(o + 1) & 0xff
-            Comp(data(o) & 0xff, hv >> 4, hv & 0x0f, data(o + 2) & 0x0f)
-          }
-          comps.foreach { c =>
-            require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4,
-              s"invalid sampling factors ${c.h}x${c.v}")
-          }
-          if (nComp == 1)
-            require(comps(0).h == 1 && comps(0).v == 1,
-              "subsampling unsupported for single-component")
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) unsupported")
-        case 0xc4 => // DHT: one or more tables
-          var o = body
-          while (o < pos + 2 + len) {
-            val clazz = (data(o) & 0xff) >> 4
-            val id = data(o) & 0x0f
-            val bits = Array.tabulate(16)(i => data(o + 1 + i) & 0xff)
-            val nVals = bits.sum
-            val vals = Array.tabulate(nVals)(i => data(o + 17 + i) & 0xff)
-            val t = new HuffTable(bits, vals)
-            if (clazz == 0) dcTables(id) = t else acTables(id) = t
-            o += 17 + nVals
-          }
-        case 0xdd => restartInterval = be16(body)
-        case 0xda => // SOS: must cover the SOF components, in SOF order
-          require(comps != null, "SOS before SOF")
-          val ns = data(body) & 0xff
-          require(ns == comps.length,
-            s"scan must interleave all ${comps.length} frame components," +
-              s" got $ns (partial scans unsupported)")
-          scanSel = new Array[(Int, Int)](ns)
-          var i = 0
-          while (i < ns) {
-            val cid = data(body + 1 + 2 * i) & 0xff
-            require(cid == comps(i).id,
-              s"scan component order must match SOF (component $i is id" +
-                s" $cid)")
-            val t = data(body + 2 + 2 * i) & 0xff
-            scanSel(i) = (t >> 4, t & 0x0f)
-            i += 1
-          }
-          scanStart = pos + 2 + len
-        case _ if m >= 0xe0 && m <= 0xef => // APPn: skip
-        case 0xfe => // COM: skip
-        case other => throw new IllegalArgumentException(
-          f"unsupported JPEG marker 0xff$other%02x")
+      if (m == 0xd9) done = true // EOI
+      else {
+        require(pos + 4 <= data.length, "truncated JPEG segment stream")
+        val len = be16(pos + 2)
+        require(pos + 2 + len <= data.length,
+          f"truncated JPEG: segment 0xff$m%02x runs past end of data")
+        val body = pos + 4
+        var nextPos = pos + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more (PqTq, 64 entries) tables
+            var o = body
+            while (o < pos + 2 + len) {
+              val pq = (data(o) & 0xff) >> 4
+              val tq = data(o) & 0x0f
+              require(pq == 0, "16-bit quantization tables unsupported")
+              val q = new Array[Int](64)
+              var i = 0
+              while (i < 64) { q(Zigzag(i)) = data(o + 1 + i) & 0xff; i += 1 }
+              quantTables(tq) = q
+              o += 65
+            }
+          case 0xc0 | 0xc1 => parseFrame(body, prog = false)
+          case 0xc2 => parseFrame(body, prog = true)
+          case 0xc4 => // DHT: one or more tables
+            var o = body
+            while (o < pos + 2 + len) {
+              val clazz = (data(o) & 0xff) >> 4
+              val id = data(o) & 0x0f
+              val bits = Array.tabulate(16)(i => data(o + 1 + i) & 0xff)
+              val nVals = bits.sum
+              val vals = Array.tabulate(nVals)(i => data(o + 17 + i) & 0xff)
+              val t = new HuffTable(bits, vals)
+              if (clazz == 0) dcTables(id) = t else acTables(id) = t
+              o += 17 + nVals
+            }
+          case 0xdd => restartInterval = be16(body)
+          case 0xda =>
+            sawScan = true
+            nextPos = decodeScan(pos, len)
+          case _ if m >= 0xe0 && m <= 0xef => // APPn: skip
+          case 0xfe => // COM: skip
+          case other => throw new IllegalArgumentException(
+            f"unsupported JPEG marker 0xff$other%02x")
+        }
+        pos = nextPos
       }
-      if (scanStart < 0) pos += 2 + len
     }
-    require(width > 0 && height > 0, "SOS before SOF")
+    require(width > 0 && height > 0 && sawScan, "no scan data before EOI")
     val nc = comps.length
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
-    // per-component MCU-aligned sample planes
-    val planeW = Array.tabulate(nc)(i => mcusX * comps(i).h * 8)
+    // dequantize + IDCT every stored block into MCU-aligned sample planes
+    val planeW = Array.tabulate(nc)(i => blocksW(i) * 8)
     val planes = Array.tabulate(nc)(i =>
-      new Array[Int](planeW(i) * mcusY * comps(i).v * 8))
+      new Array[Int](planeW(i) * blocksH(i) * 8))
     val quants = comps.map { c =>
       val q = quantTables(c.tq)
       require(q != null, s"missing quant table ${c.tq}")
       q
     }
-    val dcs = scanSel.map { case (d, _) =>
-      val t = dcTables(d); require(t != null, s"missing DC table $d"); t
-    }
-    val acs = scanSel.map { case (_, a) =>
-      val t = acTables(a); require(t != null, s"missing AC table $a"); t
-    }
-    val br = new BitReader(data, scanStart)
-    val prevDc = new Array[Int](nc)
-    var mcu = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.restart(); java.util.Arrays.fill(prevDc, 0)
-        }
-        var ci = 0
-        while (ci < nc) {
-          val c = comps(ci)
-          val q = quants(ci)
-          var v = 0
-          while (v < c.v) {
-            var hb = 0
-            while (hb < c.h) {
-              val coef = new Array[Double](64)
-              val s = dcs(ci).decode(br)
-              prevDc(ci) += extend(br.receive(s), s)
-              coef(0) = prevDc(ci).toDouble * q(0)
-              var k = 1
-              while (k < 64) {
-                val rs = acs(ci).decode(br)
-                if (rs == 0x00) k = 64 // EOB
-                else if (rs == 0xf0) k += 16 // ZRL
-                else {
-                  k += rs >> 4
-                  require(k < 64, "AC run past block end")
-                  val sa = rs & 0x0f
-                  coef(Zigzag(k)) = extend(br.receive(sa), sa).toDouble *
-                    q(Zigzag(k))
-                  k += 1
-                }
-              }
-              val px = idct8x8(coef)
-              val bx0 = (mx * c.h + hb) * 8
-              val by0 = (my * c.v + v) * 8
-              val pw = planeW(ci)
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  val s2 = math.round(px(yy * 8 + xx)).toInt + 128
-                  planes(ci)((by0 + yy) * pw + (bx0 + xx)) =
-                    math.max(0, math.min(255, s2))
-                  xx += 1
-                }
-                yy += 1
-              }
-              hb += 1
+    var ci = 0
+    while (ci < nc) {
+      val q = quants(ci)
+      val cstore = coefs(ci)
+      val pw = planeW(ci)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          val off = (by * blocksW(ci) + bx) * 64
+          val coef = new Array[Double](64)
+          var i = 0
+          while (i < 64) { coef(i) = cstore(off + i).toDouble * q(i); i += 1 }
+          val px = idct8x8(coef)
+          val bx0 = bx * 8
+          val by0 = by * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val s2 = math.round(px(yy * 8 + xx)).toInt + 128
+              planes(ci)((by0 + yy) * pw + (bx0 + xx)) =
+                math.max(0, math.min(255, s2))
+              xx += 1
             }
-            v += 1
+            yy += 1
           }
-          ci += 1
+          bx += 1
         }
-        mcu += 1
-        mx += 1
+        by += 1
       }
-      my += 1
+      ci += 1
     }
     val pixels = new Array[Int](width * height)
     if (nc == 1) {
@@ -671,20 +1119,30 @@ object Jpeg {
 
   // ---- deterministic fixture -------------------------------------------
 
-  /** doc_id → a real grayscale baseline JPEG whose every 8×8 block is
-    * DC-only with quantized DC ((id + 7·bx + 13·by) mod 64) − 32. With
-    * the flat-16 quant table the IDCT of a DC-only block is exactly
+  /** doc_id → a real grayscale JPEG whose every 8×8 block is DC-only
+    * with quantized DC ((id + 7·bx + 13·by) mod 64) − 32. With the
+    * flat-16 quant table the IDCT of a DC-only block is exactly
     * 128 + 2·dc at every sample (16/8 = 2, no rounding, no clamp in
     * range), so pixel sums have a closed form an oracle recomputes.
+    *
+    * Every third id (id ≡ 2 mod 3) encodes PROGRESSIVE (SOF2) instead of
+    * baseline — identical coefficients, hence bit-identical decoded
+    * pixels and an unchanged oracle — so the batch decode queries
+    * (mm_decode_batch, mm_thumbnail_jpeg, …) exercise both entropy
+    * modes the way a real mixed crawl corpus would.
     */
   def fixturePayload(id: Long): Array[Byte] = {
     val w = 8 * (2 + (id % 5).toInt)
     val h = 8 * (2 + ((id * 3) % 4).toInt)
-    encodeGray(w, h, QuantFlat16, (bx, by) => {
+    val gen = (bx: Int, by: Int) => {
       val coef = new Array[Int](64)
       coef(0) = ((id + 7L * bx + 13L * by) % 64).toInt - 32
       coef
-    })
+    }
+    if (id % 3 == 2)
+      encodeProgressive(w, h, QuantFlat16, QuantFlat16, (1, 1), 1,
+        (_, bx, by) => gen(bx, by))
+    else encodeGray(w, h, QuantFlat16, gen)
   }
 
   /** doc_id → a real 4:2:0 YCbCr baseline JPEG: every block DC-only on

@@ -665,11 +665,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Jpeg.decode(Array[Byte](1, 2, 3, 4)) // not a JPEG
     }
-    // flip SOF0 to SOF2: progressive must be rejected by name, and the
-    // marker byte lives at a fixed offset in our own encoder's layout
-    val prog = good.clone()
-    val sofAt = good.indices.find(i => (good(i) & 0xff) == 0xff &&
-      (good(i + 1) & 0xff) == 0xc0).get
+    // flip SOF0 to SOF2 on a BASELINE stream: the scan header (Ss=0,
+    // Se=63) is malformed for progressive (a DC scan must carry Se=0), so
+    // the decoder — which now supports real SOF2 (JpegProgressiveSpec) —
+    // must reject the inconsistent frame loudly rather than misdecode it
+    val good0 = Jpeg.fixturePayload(3L) // id % 3 == 0 → baseline encoding
+    val prog = good0.clone()
+    val sofAt = good0.indices.find(i => (good0(i) & 0xff) == 0xff &&
+      (good0(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     val e = intercept[IllegalArgumentException] { Jpeg.decode(prog) }
     assert(e.getMessage.contains("progressive"))
