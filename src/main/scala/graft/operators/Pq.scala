@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   * Σ_sub dot(q_sub, c[sub, code_x(sub)]) and ‖x‖² ≈ Σ_sub ‖c‖², both pure
   * codebook lookups. ADC ranks candidates; callers re-rank the top-R with
   * exact cosine for high recall (the standard PQ + re-rank pipeline).
+  *
+  * PORTABILITY (same contracts as [[Ivf]]): seeds order by the md5-derived
+  * [[Dedup.portableHash60]]; Lloyd means snap to the 1e-6 grid; and the
+  * two float comparisons that drive selection — the assignment's L2
+  * distance and the caller-side ADC score — are rounded to the same grid
+  * with deterministic code/id tie-breaks, so neither Spark's own partition
+  * order nor a replaying engine's summation order can flip an argmin.
+  * That makes the whole PQ query surface (sim_knn_pq, sim_knn_ivfpq)
+  * replayable closed-form in DuckDB.
   */
 object Pq {
 
@@ -66,7 +75,7 @@ object Pq {
     import spark.implicits._
     val d = dim / m
     val seedRows = e
-      .orderBy(xxhash64(col(idCol), lit(0x517cc1b7L)))
+      .orderBy(Dedup.portableHash60(col(idCol).cast("string")), col(idCol))
       .limit(k)
       .select(col(vecCol)).as[Seq[Double]].collect() // k rows, bounded
     require(seedRows.nonEmpty, "empty corpus")
@@ -82,7 +91,8 @@ object Pq {
         .select(col("sub"), col("code"),
           posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("x")).as("mu"))
+        .agg((floor(avg(col("x")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("mu"))
         .groupBy(col("sub"), col("code"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mu"))))
           .as("pm"))
@@ -103,7 +113,9 @@ object Pq {
   def assign(subv: DataFrame, codebook: DataFrame,
       idCol: String): DataFrame =
     subv.join(broadcast(codebook), Seq("sub"))
-      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      // grid-snapped distance + code tie-break: the argmin is identical
+      // under any summation order (here and in a replaying engine)
+      .withColumn("d2", round(l2sq(col("sv"), col("cv")), 6))
       .groupBy(col(idCol), col("sub"))
       .agg(min_by(struct(col("code"), col("sv")),
         struct(col("d2"), col("code"))).as("best"))

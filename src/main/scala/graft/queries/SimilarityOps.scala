@@ -8,8 +8,11 @@ import graft.Tables.t
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-dim) —
   * beyond-reference operators (BASELINE.json): brute-force cosine top-k as
-  * the exact baseline (DuckDB-oracled) and an IVF-partitioned approximate
-  * variant as the scale path (rows-only; recall-tested in SimilaritySpec).
+  * the exact baseline and the IVF / PQ / IVF-PQ approximate tiers as the
+  * scale path. EVERY query here is DuckDB-hash-oracled: the portable-hash
+  * seeding + grid-snap contracts in operators.Ivf / operators.Pq make the
+  * approximate tiers exactly replayable, and recall is additionally
+  * asserted against brute force in ScaleOpsSpec.
   *
   * The dot product is `aggregate(zip_with(...))` — pure Catalyst array
   * expressions, no UDF, identical left-to-right summation order to the
@@ -213,8 +216,10 @@ object SimilarityOps {
   // lookups alone (no raw-vector dot products), and only the bounded
   // top-R survivors per query are re-ranked with exact cosine. The heap
   // aggregator keeps candidate selection window-free; the re-rank window
-  // runs over R·|Q| rows, never the corpus. Rows-only (codebooks are
-  // engine-specific); recall vs brute force asserted in ScaleOpsSpec.
+  // runs over R·|Q| rows, never the corpus. Fully hash-oracled
+  // (simKnnPqSql replays codebook training, encoding, ADC, and the
+  // re-rank via Pq's portable contracts); recall vs brute force
+  // additionally asserted in ScaleOpsSpec.
   /** Exposed with knobs so specs can vary the re-rank width. */
   def knnPq(s: SparkSession, dir: String, rerank: Int = 64,
       topK: Int = 10): DataFrame = {
@@ -228,7 +233,11 @@ object SimilarityOps {
     val cand = graft.operators.Pq
       .adcScores(q, enc, cb, "query_id", "qv", "vec_id", m, dim)
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("adc_cos"))
+      // rank candidates on the 1e-6-rounded ADC score (vec_id tie-break):
+      // the m partial dots sum in no particular order, and the re-rank
+      // boundary must not move with it — here or in the DuckDB replay
+      .select(col("query_id"), col("vec_id"),
+        round(col("adc_cos"), 6).as("adc_cos"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .agg(new graft.functions.TopKByScore(rerank).toColumn.name("top"))
@@ -249,6 +258,145 @@ object SimilarityOps {
 
   private def simKnnPq(s: SparkSession, dir: String): DataFrame =
     knnPq(s, dir)
+
+  // ---------------------------------------------------------------------
+  // DuckDB replay of the PQ tier (operators.Pq): portable-hash seeds,
+  // grid-snapped Lloyd means, and 1e-6-rounded L2/ADC comparisons with
+  // code/id tie-breaks make codebook training, encoding, ADC scoring,
+  // and the re-rank boundary all order-independent — replayable exactly.
+  /** Rounded squared L2 between two DuckDB lists (summation-order-proof
+    * via the 1e-6 grid, matching Pq.assign's rounded distance).
+    */
+  private def duckL2(a: String, b: String): String =
+    s"round(list_sum(list_transform(list_zip($a, $b)," +
+      s" z -> (z[1]-z[2])*(z[1]-z[2]))), 6)"
+
+  /** CTEs replaying Pq.codebooks/encode: `subv`, seeds `cb0`, `iters`
+    * refinement rounds (assignment paN → means with empty-code fallback
+    * → cbN+1), and the final `enc` (vec_id, sub, code).
+    */
+  private def duckPqEncode(m: Int, d: Int, k: Int, iters: Int): String = {
+    val subv =
+      s"""subv AS (
+         |  SELECT vec_id, t.sub, v[t.sub*$d+1 : t.sub*$d+$d] AS sv
+         |  FROM e CROSS JOIN range(0, $m) AS t(sub))""".stripMargin
+    val seeds =
+      s"""cb0 AS (
+         |  SELECT t.sub, s.code, s.v[t.sub*$d+1 : t.sub*$d+$d] AS cv
+         |  FROM (SELECT vec_id, v,
+         |          row_number() OVER (ORDER BY $duckHashId, vec_id) - 1
+         |            AS code
+         |        FROM e) s CROSS JOIN range(0, $m) AS t(sub)
+         |  WHERE s.code < $k)""".stripMargin
+    def assignCte(name: String, cb: String, keepSv: Boolean): String =
+      s"""$name AS (
+         |  SELECT vec_id, sub, code${if (keepSv) ", sv" else ""} FROM (
+         |    SELECT sv.vec_id, sv.sub, c.code, sv.sv,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+         |        ${duckL2("sv.sv", "c.cv")}, c.code) AS rn
+         |    FROM subv sv JOIN $cb c ON c.sub = sv.sub) WHERE rn = 1)"""
+        .stripMargin
+    val rounds = (0 until iters).flatMap { i =>
+      Seq(
+        assignCte(s"pa$i", s"cb$i", keepSv = true),
+        s"""cb${i + 1} AS (
+           |  SELECT c.sub, c.code, coalesce(mu.cv, c.cv) AS cv
+           |  FROM cb$i c LEFT JOIN (
+           |    SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
+           |      SELECT a.sub, a.code, t.pos,
+           |        floor(avg(a.sv[t.pos+1]) * 1000000.0 + 0.5) / 1000000.0
+           |          AS m
+           |      FROM pa$i a CROSS JOIN range(0, $d) AS t(pos)
+           |      GROUP BY a.sub, a.code, t.pos) GROUP BY sub, code) mu
+           |  ON mu.sub = c.sub AND mu.code = c.code)""".stripMargin)
+    }
+    val enc = assignCte("enc", s"cb$iters", keepSv = false)
+    (Seq(subv, seeds) ++ rounds :+ enc).mkString(",\n")
+  }
+
+  /** CTEs for the per-query ADC machinery over `enc` + `cb{iters}`:
+    * lookup table `lut` and query norms `qnorm`. `q` must exist as
+    * (query_id, qv).
+    */
+  private def duckAdcLut(m: Int, d: Int, cb: String): String =
+    s"""lut AS (
+       |  SELECT q.query_id, c.sub, c.code,
+       |    list_inner_product(q.qv[c.sub*$d+1 : c.sub*$d+$d], c.cv)
+       |      AS pdot,
+       |    list_inner_product(c.cv, c.cv) AS cnorm2
+       |  FROM q CROSS JOIN $cb c),
+       |qnorm AS (
+       |  SELECT query_id, sqrt(list_inner_product(qv, qv)) AS qn FROM q)"""
+      .stripMargin
+
+  /** Final rounded-ADC top-`rerank` + exact-cosine top-`topK` SELECT over
+    * an `adc` CTE (query_id, vec_id, adc).
+    */
+  private def duckRerankSelect(rerank: Int, topK: Int): String =
+    s"""cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY adc DESC, vec_id) AS arn
+       |    FROM adc) WHERE arn <= $rerank),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    round(${duckCos("q.qv", "e.v")}, 6) AS cos
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.query_id = c.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= $topK ORDER BY query_id, rank"""
+      .stripMargin
+
+  private val simKnnPqSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |${duckPqEncode(m = 8, d = 8, k = 16, iters = 2)},
+       |${duckAdcLut(m = 8, d = 8, cb = "cb2")},
+       |adc AS (
+       |  SELECT l.query_id, n.vec_id,
+       |    round(sum(l.pdot) / (any_value(qn.qn) * sqrt(sum(l.cnorm2))), 6)
+       |      AS adc
+       |  FROM enc n
+       |  JOIN lut l ON l.sub = n.sub AND l.code = n.code
+       |  JOIN qnorm qn ON qn.query_id = l.query_id
+       |  WHERE n.vec_id <> l.query_id
+       |  GROUP BY l.query_id, n.vec_id),
+       |${duckRerankSelect(rerank = 64, topK = 10)}""".stripMargin
+
+  private val simKnnIvfPqSql = {
+    val kCells =
+      "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |${duckCentroids(kCells, iters = 2)},
+       |${duckAssign("wc", "s2")},
+       |pr AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        ${duckCos("q.qv", "c.cv")} DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN s2 c) WHERE rn <= 2),
+       |${duckPqEncode(m = 8, d = 8, k = 16, iters = 2)},
+       |${duckAdcLut(m = 8, d = 8, cb = "cb2")},
+       |adc AS (
+       |  SELECT p.query_id, n.vec_id,
+       |    round(sum(l.pdot) / (any_value(qn.qn) * sqrt(sum(l.cnorm2))), 6)
+       |      AS adc
+       |  FROM enc n
+       |  JOIN wc ON wc.vec_id = n.vec_id
+       |  JOIN pr p ON p.cell = wc.cell AND p.query_id <> n.vec_id
+       |  JOIN lut l ON l.query_id = p.query_id AND l.sub = n.sub
+       |    AND l.code = n.code
+       |  JOIN qnorm qn ON qn.query_id = p.query_id
+       |  GROUP BY p.query_id, n.vec_id),
+       |${duckRerankSelect(rerank = 64, topK = 10)}""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // IVF-PQ — the two tiers composed, the canonical billion-scale ANN
@@ -281,7 +429,9 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"), col("codes"))
     val cand = graft.operators.Pq
       .adcScoresFor(pairs, q, cb, "query_id", "qv", "vec_id", m, dim)
-      .select(col("query_id"), col("vec_id"), col("adc_cos"))
+      // same rounded-ADC ranking contract as knnPq
+      .select(col("query_id"), col("vec_id"),
+        round(col("adc_cos"), 6).as("adc_cos"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .agg(new graft.functions.TopKByScore(rerank).toColumn.name("top"))
@@ -598,6 +748,8 @@ object SimilarityOps {
   val oracle: Map[String, String] = Map(
     "sim_knn_brute" -> simKnnBruteSql,
     "sim_knn_ivf" -> simKnnIvfSql,
+    "sim_knn_pq" -> simKnnPqSql,
+    "sim_knn_ivfpq" -> simKnnIvfPqSql,
     "sim_knn_join" -> simKnnJoinSql,
     "sim_neardup_pairs" -> simNearDupPairsSql,
     "sim_neardup_lsh" -> simNearDupLshSql,
