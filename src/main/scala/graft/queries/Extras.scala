@@ -1056,9 +1056,12 @@ object Extras {
   // into the view state (insert/postimage +1, delete/preimage −1), never
   // recomputing from the base table. Same fixture and closed-form oracle
   // as the batch k19_ivm_retract — the streamed maintenance must land on
-  // the identical view. maxFilesPerTrigger=1 forces one micro-batch per
-  // change file, so the state fold is exercised across several
-  // sequential batches, not one lucky big one.
+  // the identical view. maxFilesPerTrigger=2 bounds each micro-batch to
+  // two change files, so the state fold still composes across several
+  // sequential batches (the delete + merge tail writes 4+ change files),
+  // never one lucky big one — while halving the fixed per-trigger stage
+  // latency of the strict 1-file walk (the closed form is trigger-count
+  // invariant; signed partials are associative).
   private def stIvmStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val work = new java.io.File(sys.props("java.io.tmpdir"),
@@ -1096,7 +1099,7 @@ object Extras {
     // follow the feed: each micro-batch folds its weighted deltas into
     // the persisted view state (checkpointed read-modify-write, the
     // st_scd2_stream state pattern)
-    val q = M.streamChanges(s, table, maxFilesPerTrigger = Some(1))
+    val q = M.streamChanges(s, table, maxFilesPerTrigger = Some(2))
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
