@@ -1153,11 +1153,15 @@ object Jpeg {
     * RGB conversion is the documented floor(x+0.5) — the full pixel and
     * per-channel sums have closed forms a SQL oracle recomputes from
     * doc_id alone.
+    *
+    * Like [[fixturePayload]], every third id (id ≡ 2 mod 3) encodes
+    * PROGRESSIVE — same coefficients, bit-identical pixels, unchanged
+    * oracle — so mm_decode_color chews mixed baseline/SOF2 color too.
     */
   def fixtureColorPayload(id: Long): Array[Byte] = {
     val w = 16 * (1 + (id % 3).toInt)
     val h = 16 * (1 + ((id * 5) % 3).toInt)
-    encodeColor(w, h, QuantFlat16, QuantFlat16, (2, 2), (c, bx, by) => {
+    val gen = (c: Int, bx: Int, by: Int) => {
       val coef = new Array[Int](64)
       coef(0) = c match {
         case 0 => ((id + 7L * bx + 13L * by) % 64).toInt - 32
@@ -1165,6 +1169,9 @@ object Jpeg {
         case _ => ((id * 7 + 3L * bx + 17L * by) % 48).toInt - 24
       }
       coef
-    })
+    }
+    if (id % 3 == 2)
+      encodeProgressive(w, h, QuantFlat16, QuantFlat16, (2, 2), 3, gen)
+    else encodeColor(w, h, QuantFlat16, QuantFlat16, (2, 2), gen)
   }
 }
