@@ -109,6 +109,35 @@ class TestdataCanarySpec extends AnyFunSuite {
     assert(got.toSeq == exp, s"got ${got.toSeq} expected $exp")
   }
 
+  test("footerSchema requires one schema per snapshot, naming the " +
+      "divergent file on a mix") {
+    import spark.implicits._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-mixfooter-${java.util.UUID.randomUUID()}")
+    work.mkdirs()
+    try {
+      // two parquet files under one glob with genuinely different
+      // schemas: a streaming reader takes ONE schema, so this must fail
+      // loudly instead of shaping file b under file a's footer
+      Seq((1L, 1.5)).toDF("id", "v").coalesce(1)
+        .write.parquet(s"$work/part-a.parquet")
+      Seq((2L, "x")).toDF("id", "v").coalesce(1)
+        .write.parquet(s"$work/part-b.parquet")
+      val e = intercept[IllegalArgumentException] {
+        Tables.footerSchema(spark, s"$work/part-*.parquet/*.parquet")
+      }
+      assert(e.getMessage.contains("mixed parquet schemas"),
+        s"wrong failure: ${e.getMessage}")
+      assert(e.getMessage.contains("part-"),
+        s"error must name the divergent file: ${e.getMessage}")
+      // a self-consistent glob (each dir's data file) still resolves
+      val one = Tables.footerSchema(spark, s"$work/part-a.parquet/*.parquet")
+      assert(one.fieldNames.sameElements(Array("id", "v")))
+    } finally {
+      graft.util.Fs.deleteRecursively(work)
+    }
+  }
+
   test("the streaming source sees the same normalized ts as the batch scan") {
     // footer-derived readStream schema == batch schema after normalization
     val streamSchema = Tables.eventsStream(spark, sfSmoke).schema
