@@ -56,17 +56,20 @@ object MultimodalOps {
       |SELECT doc_id, frame_idx, frame_idx * 100 AS byte_offset
       |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
 
-  // REAL baseline-JPEG entropy decode on the mapPartitions batch path:
-  // per doc, a deterministically constructed grayscale JPEG (Annex K
-  // tables, DC-only blocks over the flat-16 quant table) is Huffman-
-  // decoded, dequantized, and IDCT'd back to pixels by graft.multimodal
-  // .Jpeg. The fixture's pixel values have a closed form (every block is
-  // exactly 128 + 2·dc), so the oracle recomputes width, height, block
-  // count, and the full pixel sum from doc_id alone — a wrong Huffman
-  // code, EXTEND sign, zigzag slot, or IDCT scale fails the value
-  // compare. The general decoder (AC runs, ZRL, byte unstuffing,
-  // restarts) is cross-validated against the JDK's independent ImageIO
-  // decoder in ScaleOpsSpec.
+  // REAL JPEG entropy decode on the mapPartitions batch path: per doc, a
+  // deterministically constructed grayscale JPEG (Annex K tables,
+  // DC-only blocks over the flat-16 quant table) is Huffman-decoded,
+  // dequantized, and IDCT'd back to pixels by graft.multimodal.Jpeg —
+  // every third id as a PROGRESSIVE (SOF2) stream, the rest baseline, so
+  // this one query chews a mixed crawl-like corpus through both entropy
+  // modes. The fixture's pixel values have a closed form (every block is
+  // exactly 128 + 2·dc) regardless of coding mode, so the oracle
+  // recomputes width, height, block count, and the full pixel sum from
+  // doc_id alone — a wrong Huffman code, EXTEND sign, zigzag slot,
+  // progressive refinement bit, or IDCT scale fails the value compare.
+  // The general decoder (AC runs, ZRL, byte unstuffing, restarts, EOBn)
+  // is cross-validated against the JDK's independent ImageIO decoder in
+  // ScaleOpsSpec and JpegProgressiveSpec.
   private def mmDecodeBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id")).as[Long]
