@@ -169,6 +169,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!planOf(probes).contains("Window"))
   }
 
+  test("pq: ADC scoring broadcasts the lookup table; the encoded corpus " +
+      "is never re-joined to raw vectors") {
+    import org.apache.spark.sql.functions.{col => c}
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+      .select(c("vec_id"), c("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val cb = graft.operators.Pq.codebooks(spark, e, "vec_id", "v",
+      m = 8, dim = 64, k = 16)
+    val enc = graft.operators.Pq.encode(e, cb, "vec_id", "v", 8, 64)
+    val q = e.filter(c("vec_id") < 5)
+      .select(c("vec_id").as("query_id"), c("v").as("qv"))
+    val scores = graft.operators.Pq.adcScores(
+      q, enc, cb, "query_id", "qv", "vec_id", 8, 64)
+    val plan = planOf(scores)
+    // the per-query lookup table (|Q|·m·k rows) broadcasts; scoring the
+    // corpus is one partial-aggregated shuffle on (query, id) — a sort,
+    // window, or shuffle-join here would touch corpus-scale data twice
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"),
+      "ADC scoring must not plan a window:\n" + plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "ADC lut join must broadcast, not shuffle:\n" + plan.take(2000))
+  }
+
   test("tx_pack: the packing window partitions by shard (never global)") {
     val plan = planOf(TrainingOps.queries("tx_pack")(spark, sfSmoke))
     // the cumulative sum must run under a hash exchange on the shard key —
