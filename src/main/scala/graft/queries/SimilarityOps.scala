@@ -571,13 +571,20 @@ object SimilarityOps {
       val e = embDouble(s, dir).select(col("vec_id"), col("v"))
       val offset = e.agg(max(col("vec_id"))).first().getLong(0) + 1L
       // the ±0.1% coordinate noise comes from the PORTABLE md5-derived
-      // hash family (Dedup.portableHash60 over "vec_id,i"), so the copies
-      // — and therefore the injected near-dup pairs' exact cosines — are
-      // bit-reproducible in the DuckDB oracle
-      val dup = e.select((col("vec_id") + offset).as("vec_id"),
-        expr("transform(v, (x, i) -> x * (1.0 + " +
-          "pmod(cast(conv(substring(md5(concat_ws(',', vec_id, i)), 1, 15)" +
-          ", 16, 10) as bigint), 1000) / 1000000.0))").as("v"))
+      // h1 + i·h2 family (one digest per vector, like Dedup.minHash —
+      // not one per coordinate), so the copies — and therefore the
+      // injected near-dup pairs' exact cosines — are bit-reproducible in
+      // the DuckDB oracle. h1 < 2^60 and 63·h2 < 2^62 keep every value
+      // inside a signed long under ANSI arithmetic.
+      val dup = e
+        .withColumn("_d", md5(col("vec_id").cast("string")))
+        .withColumn("h1",
+          conv(substring(col("_d"), 1, 15), 16, 10).cast("long"))
+        .withColumn("h2",
+          conv(substring(col("_d"), 17, 14), 16, 10).cast("long"))
+        .select((col("vec_id") + offset).as("vec_id"),
+          expr("transform(v, (x, i) -> x * (1.0 + " +
+            "pmod(h1 + i * h2, 1000) / 1000000.0))").as("v"))
       // the doubled corpus feeds the signature scan AND both candidate-
       // join probes — localCheckpoint so those are reads of materialized
       // partitions, not re-evaluations of a corpus-sized plan
@@ -607,12 +614,17 @@ object SimilarityOps {
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |off AS (SELECT max(vec_id) + 1 AS o FROM e),
+      |hh AS (
+      |  SELECT vec_id,
+      |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h1,
+      |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 17, 14))
+      |      AS BIGINT) AS h2
+      |  FROM e),
       |p AS (
-      |  SELECT vec_id, i,
-      |    v[i + 1] * (1.0 + CAST(concat('0x',
-      |      substr(md5(vec_id || ',' || i), 1, 15)) AS BIGINT)
-      |      % 1000 / 1000000.0) AS x
-      |  FROM e CROSS JOIN range(0, 64) AS t(i)),
+      |  SELECT e.vec_id, i,
+      |    v[i + 1] * (1.0 + (hh.h1 + i * hh.h2) % 1000 / 1000000.0) AS x
+      |  FROM e JOIN hh USING (vec_id) CROSS JOIN range(0, 64) AS t(i)),
       |vp AS (SELECT vec_id, list(x ORDER BY i) AS v2 FROM p GROUP BY vec_id)
       |SELECT e.vec_id AS id_a, e.vec_id + (SELECT o FROM off) AS id_b,
       |  round(list_inner_product(e.v, vp.v2)
