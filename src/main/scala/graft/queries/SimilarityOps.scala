@@ -104,15 +104,60 @@ object SimilarityOps {
   // the probe/rank steps exactly (simKnnIvfSql); recall vs brute force is
   // additionally asserted in ScaleOpsSpec (real data + a tight-cluster
   // fixture at ≥0.9).
+  /** Session-cached IVF index (centroids + checkpointed cell assignment)
+    * per (corpus, cell count, refinement rounds): the index is BUILT ONCE
+    * and queried by every IVF-backed query — the billion-scale contract,
+    * where construction amortizes across the query stream and each search
+    * pays only probe + candidate cost. Deterministic (portable seeds,
+    * grid-snapped means), so caching cannot change any result; same
+    * fixture-cache pattern as [[doubledCorpus]].
+    */
+  private val ivfIndexes = scala.collection.mutable
+    .Map[(SparkSession, String, Int, Int), (DataFrame, DataFrame)]()
+
+  private def ivfIndex(s: SparkSession, dir: String, numCells: Int,
+      iters: Int = 2): (DataFrame, DataFrame) = synchronized {
+    ivfIndexes.getOrElseUpdate((s, dir, numCells, iters), {
+      val e = embDouble(s, dir)
+      val cents = graft.operators.Ivf.centroids(
+        e, "vec_id", "v", numCells, iters)(cosine(s) _)
+      val withCell = graft.operators.Ivf.assign(
+        e, cents, "vec_id", "v")(cosine(s) _).localCheckpoint()
+      (cents, withCell)
+    })
+  }
+
+  /** √N default cell count shared by the IVF-backed queries. */
+  private def defaultCells(s: SparkSession, dir: String): Int =
+    math.max(2, math.sqrt(
+      embDouble(s, dir).count().toDouble).toInt)
+
+  /** Session-cached PQ index (codebooks + checkpointed encoded corpus) —
+    * the same build-once contract as [[ivfIndex]]: the compressed corpus
+    * is what a deployment persists, and both PQ-backed queries read it.
+    */
+  private val pqIndexes = scala.collection.mutable
+    .Map[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    synchronized {
+      pqIndexes.getOrElseUpdate((s, dir), {
+        val e = embDouble(s, dir).localCheckpoint() // feeds train + encode
+        val (dim, m, k) = (64, 8, 16)
+        val cb = graft.operators.Pq.codebooks(s, e, "vec_id", "v", m, dim, k)
+        val enc = graft.operators.Pq.encode(e, cb, "vec_id", "v", m, dim)
+          .localCheckpoint()
+        (cb, enc)
+      })
+    }
+
   /** Exposed with explicit knobs so specs can vary cell count / probes. */
   def knnIvf(s: SparkSession, dir: String, numCellsOpt: Option[Int] = None,
       nprobe: Int = 2, topK: Int = 10): DataFrame = {
     val e = embDouble(s, dir)
     val cos = cosine(s) _
-    val numCells = numCellsOpt.getOrElse(
-      math.max(2, math.sqrt(e.count().toDouble).toInt))
-    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", numCells)(cos)
-    val withCell = graft.operators.Ivf.assign(e, cents, "vec_id", "v")(cos)
+    val numCells = numCellsOpt.getOrElse(defaultCells(s, dir))
+    val (cents, withCell) = ivfIndex(s, dir, numCells)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probes = graft.operators.Ivf.probeCells(
@@ -224,10 +269,9 @@ object SimilarityOps {
   def knnPq(s: SparkSession, dir: String, rerank: Int = 64,
       topK: Int = 10): DataFrame = {
     import s.implicits._
-    val e = embDouble(s, dir).localCheckpoint() // feeds train+encode+rerank
-    val (dim, m, k) = (64, 8, 16)
-    val cb = graft.operators.Pq.codebooks(s, e, "vec_id", "v", m, dim, k)
-    val enc = graft.operators.Pq.encode(e, cb, "vec_id", "v", m, dim)
+    val e = embDouble(s, dir)
+    val (dim, m) = (64, 8)
+    val (cb, enc) = pqIndex(s, dir)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val cand = graft.operators.Pq
@@ -410,14 +454,13 @@ object SimilarityOps {
   def knnIvfPq(s: SparkSession, dir: String, nprobe: Int = 2,
       rerank: Int = 64, topK: Int = 10): DataFrame = {
     import s.implicits._
-    val e = embDouble(s, dir).localCheckpoint()
+    val e = embDouble(s, dir)
     val cos = cosine(s) _
-    val (dim, m, k) = (64, 8, 16)
-    val numCells = math.max(2, math.sqrt(e.count().toDouble).toInt)
-    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", numCells)(cos)
-    val withCell = graft.operators.Ivf.assign(e, cents, "vec_id", "v")(cos)
-    val cb = graft.operators.Pq.codebooks(s, e, "vec_id", "v", m, dim, k)
-    val enc = graft.operators.Pq.encode(e, cb, "vec_id", "v", m, dim)
+    val (dim, m) = (64, 8)
+    val numCells = defaultCells(s, dir)
+    val (cents, withCell) = ivfIndex(s, dir, numCells)
+    val (cb, encoded) = pqIndex(s, dir)
+    val enc = encoded
       .join(withCell.select(col("vec_id"), col("cell")), Seq("vec_id"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -469,12 +512,10 @@ object SimilarityOps {
     import s.implicits._
     val e = embDouble(s, dir)
     val cos = cosine(s) _
-    val numCells = numCellsOpt.getOrElse(
-      math.max(2, math.sqrt(e.count().toDouble).toInt))
-    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", numCells)(cos)
-    // one materialization feeds both sides of the per-cell self-join
-    val withCell = graft.operators.Ivf.assign(e, cents, "vec_id", "v")(cos)
-      .localCheckpoint()
+    val numCells = numCellsOpt.getOrElse(defaultCells(s, dir))
+    // the cached index's checkpointed assignment feeds both sides of the
+    // per-cell self-join
+    val (_, withCell) = ivfIndex(s, dir, numCells)
     val a = withCell.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"))
     val b = withCell.select(col("cell"), col("vec_id").as("id_b"),
@@ -682,10 +723,8 @@ object SimilarityOps {
   // invariants additionally in ScaleOpsSpec.
   /** Exposed with k so specs can vary the topic count. */
   def topics(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val e = embDouble(s, dir)
-    val cents = graft.operators.Ivf.centroids(
-      e, "vec_id", "v", numCells = k, iters = 3)(cosine(s) _)
-    graft.operators.Ivf.assign(e, cents, "vec_id", "v")(cosine(s) _)
+    val (cents, assigned) = ivfIndex(s, dir, numCells = k, iters = 3)
+    assigned
       .join(broadcast(cents), col("cell") === col("cent_id"))
       .withColumn("cos_c", cosine(s)(col("v"), col("cv")))
       .groupBy(col("cell").as("topic_id"))
