@@ -276,7 +276,7 @@ object DedupOps {
   // NOTE: this oracle replays the PLAIN within-bucket self-join; the Spark
   // side switches oversized (band,bucket) groups (> 2^16 members) to the
   // O(n) star+chain fallback, which would silently diverge from the oracle.
-  // DedupSpec therefore asserts simHashOverflow is EMPTY at the oracle
+  // ScaleOpsSpec therefore asserts simHashOverflow is EMPTY at the oracle
   // scales, so a cap-triggering corpus fails loudly as an overflow
   // assertion, not as an opaque hash mismatch.
   private val ddSimhashSql =
@@ -516,58 +516,58 @@ object DedupOps {
 
   private def incrementalNearDupBatch(s: SparkSession, batch: DataFrame,
       curated: String, bandsPath: String, minJaccard: Double): Unit = {
-        val docs = batch.select(col("doc_id"), col("text"))
-        val sh = Dedup.shingles(docs, "doc_id", "text", 3).localCheckpoint()
-        val sig = Dedup.minHash(sh, "doc_id", numPerm = 32)
-        val bands = Dedup.lshBuckets(sig, "doc_id", numPerm = 32, bands = 8)
-          .localCheckpoint()
-        // (1) in-batch collapse: verified pairs → CC → min-id reps
-        val inPairs = Dedup.verifyJaccard(
-            Dedup.candidatePairs(bands, "doc_id"), sh, "doc_id")
+    val docs = batch.select(col("doc_id"), col("text"))
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3).localCheckpoint()
+    val sig = Dedup.minHash(sh, "doc_id", numPerm = 32)
+    val bands = Dedup.lshBuckets(sig, "doc_id", numPerm = 32, bands = 8)
+      .localCheckpoint()
+    // (1) in-batch collapse: verified pairs → CC → min-id reps
+    val inPairs = Dedup.verifyJaccard(
+        Dedup.candidatePairs(bands, "doc_id"), sh, "doc_id")
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.operators.Components.resolve(inPairs)
+    val reps = docs
+      .join(comp.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .select(col("doc_id"), col("text"))
+    // (2) probe the band index; verify collisions against kept text.
+    // Replay safety first: an id already in the curated table is
+    // dropped by the id anti-join (the exact-dedup hop's exactly-once
+    // pattern), so the verify universe below never holds the same
+    // doc_id on both sides — identity pairs would double its shingle
+    // rows and zero the Jaccard denominator
+    val novel =
+      if (!new java.io.File(s"$bandsPath/_graft_log").exists()) reps
+      else {
+        val keptTable = graft.operators.Maintenance.readTable(s, curated)
+        val repsNew = reps.join(keptTable.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        val idx = graft.operators.Maintenance.readTable(s, bandsPath)
+        val cand = bands
+          .join(repsNew.select(col("doc_id")), Seq("doc_id"))
+          .join(idx.select(col("band"), col("bucket"),
+            col("doc_id").as("id_a")), Seq("band", "bucket"))
+          .select(col("id_a"), col("doc_id").as("id_b"))
+          .distinct()
+        val shNew = sh.join(repsNew.select(col("doc_id")), Seq("doc_id"))
+        val keptSh = Dedup.shingles(
+          keptTable
+            .join(cand.select(col("id_a").as("doc_id")).distinct(),
+              Seq("doc_id")),
+          "doc_id", "text", 3)
+        val matched = Dedup.verifyJaccard(
+            cand, shNew.unionByName(keptSh), "doc_id")
           .filter(col("jaccard") >= minJaccard)
-          .select(col("id_a"), col("id_b"))
-        val comp = graft.operators.Components.resolve(inPairs)
-        val reps = docs
-          .join(comp.select(col("id").as("doc_id"), col("comp")),
-            Seq("doc_id"), "left")
-          .filter(col("comp").isNull || col("comp") === col("doc_id"))
-          .select(col("doc_id"), col("text"))
-        // (2) probe the band index; verify collisions against kept text.
-        // Replay safety first: an id already in the curated table is
-        // dropped by the id anti-join (the exact-dedup hop's exactly-once
-        // pattern), so the verify universe below never holds the same
-        // doc_id on both sides — identity pairs would double its shingle
-        // rows and zero the Jaccard denominator
-        val novel =
-          if (!new java.io.File(s"$bandsPath/_graft_log").exists()) reps
-          else {
-            val keptTable = graft.operators.Maintenance.readTable(s, curated)
-            val repsNew = reps.join(keptTable.select(col("doc_id")),
-              Seq("doc_id"), "left_anti")
-            val idx = graft.operators.Maintenance.readTable(s, bandsPath)
-            val cand = bands
-              .join(repsNew.select(col("doc_id")), Seq("doc_id"))
-              .join(idx.select(col("band"), col("bucket"),
-                col("doc_id").as("id_a")), Seq("band", "bucket"))
-              .select(col("id_a"), col("doc_id").as("id_b"))
-              .distinct()
-            val shNew = sh.join(repsNew.select(col("doc_id")), Seq("doc_id"))
-            val keptSh = Dedup.shingles(
-              keptTable
-                .join(cand.select(col("id_a").as("doc_id")).distinct(),
-                  Seq("doc_id")),
-              "doc_id", "text", 3)
-            val matched = Dedup.verifyJaccard(
-                cand, shNew.unionByName(keptSh), "doc_id")
-              .filter(col("jaccard") >= minJaccard)
-              .select(col("id_b").as("doc_id")).distinct()
-            repsNew.join(matched, Seq("doc_id"), "left_anti")
-          }
-        val novelCk = novel.localCheckpoint()
-        graft.operators.Maintenance.commitAppend(s, curated, novelCk)
-        graft.operators.Maintenance.commitAppend(s, bandsPath,
-          bands.join(novelCk.select(col("doc_id")), Seq("doc_id")))
-        ()
+          .select(col("id_b").as("doc_id")).distinct()
+        repsNew.join(matched, Seq("doc_id"), "left_anti")
+      }
+    val novelCk = novel.localCheckpoint()
+    graft.operators.Maintenance.commitAppend(s, curated, novelCk)
+    graft.operators.Maintenance.commitAppend(s, bandsPath,
+      bands.join(novelCk.select(col("doc_id")), Seq("doc_id")))
+    ()
   }
 
   private def stIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
