@@ -536,17 +536,23 @@ object Jpeg {
           while (k <= se) {
             val t = ab(k)
             if (t == 0) r += 1
-            else if (t > 1) pending += (t & 1) // already significant
             else {
+              // ZRLs are emitted on ARRIVAL at any nonzero (libjpeg
+              // order): the decoder's post-ZRL advance stops at the 16th
+              // zero-history position, so correction bits buffered past a
+              // >15-zero run must ride with the NEXT symbol, not this ZRL
               while (r > 15 && k <= eobPos) {
                 val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); r -= 16
                 flushPending()
               }
-              val (ac, alen) = AcCodes((r << 4) | 1)
-              bw.put(ac, alen)
-              bw.put(if (coef(Zigzag(k)) >= 0) 1 else 0, 1)
-              flushPending()
-              r = 0
+              if (t > 1) pending += (t & 1) // already significant
+              else {
+                val (ac, alen) = AcCodes((r << 4) | 1)
+                bw.put(ac, alen)
+                bw.put(if (coef(Zigzag(k)) >= 0) 1 else 0, 1)
+                flushPending()
+                r = 0
+              }
             }
             k += 1
           }

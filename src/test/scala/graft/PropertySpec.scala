@@ -120,6 +120,41 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("progressive JPEG decode equals baseline for random coefficient " +
+      "blocks (spectral selection + successive approximation roundtrip)") {
+    import graft.multimodal.Jpeg
+    // random quantized blocks across the full AC band: exercises EOB
+    // placement, ZRL runs, refinement correction bits, and both DC signs
+    // far beyond the deterministic fixtures
+    val coefGen = Gen.listOfN(64, Gen.frequency(
+      8 -> Gen.const(0),
+      3 -> Gen.chooseNum(-3, 3),
+      1 -> Gen.chooseNum(-40, 40)))
+    val caseGen = for {
+      bw <- Gen.chooseNum(1, 4)
+      bh <- Gen.chooseNum(1, 3)
+      blocks <- Gen.listOfN(bw * bh, coefGen)
+    } yield (bw, bh, blocks.map(_.toArray).toArray)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60),
+      Prop.forAllNoShrink(caseGen) { case (bw, bh, blocks) =>
+        def gen(c: Int, bx: Int, by: Int): Array[Int] = {
+          val coef = blocks(by * bw + bx).clone()
+          coef(0) = math.max(-32, math.min(31, coef(0))) // DC in range
+          coef
+        }
+        val w = bw * 8
+        val h = bh * 8
+        val base = Jpeg.decode(
+          Jpeg.encodeGray(w, h, Jpeg.QuantFlat16, (bx, by) => gen(0, bx, by)))
+        val prog = Jpeg.decode(
+          Jpeg.encodeProgressive(w, h, Jpeg.QuantFlat16, Jpeg.QuantFlat16,
+            (1, 1), 1, gen))
+        prog.pixels.sameElements(base.pixels)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("StateTuning partition sizing: clamped, monotone, ~32MB per slot") {
     import graft.streaming.StateTuning._
     check(Prop.forAll { (bytes: Long) =>
