@@ -155,6 +155,43 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("progressive color decode equals baseline for random blocks " +
+      "(interleaved DC + per-component AC scans)") {
+    import graft.multimodal.Jpeg
+    val coefGen = Gen.listOfN(64, Gen.frequency(
+      8 -> Gen.const(0),
+      3 -> Gen.chooseNum(-3, 3),
+      1 -> Gen.chooseNum(-24, 24)))
+    // 4:2:0: luma grid is 2x2 denser than chroma per 16-px macroblock
+    val caseGen = for {
+      mw <- Gen.chooseNum(1, 2)
+      mh <- Gen.chooseNum(1, 2)
+      luma <- Gen.listOfN(4 * mw * mh, coefGen)
+      chroma <- Gen.listOfN(2 * mw * mh, coefGen)
+    } yield (mw, mh, luma.map(_.toArray).toArray,
+      chroma.map(_.toArray).toArray)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30),
+      Prop.forAllNoShrink(caseGen) { case (mw, mh, luma, chroma) =>
+        def gen(c: Int, bx: Int, by: Int): Array[Int] = {
+          val coef =
+            if (c == 0) luma((by * 2 * mw + bx) % luma.length).clone()
+            else chroma(((by * mw + bx) + (c - 1) * mw * mh)
+              % chroma.length).clone()
+          coef(0) = math.max(-24, math.min(23, coef(0)))
+          coef
+        }
+        val w = mw * 16
+        val h = mh * 16
+        val base = Jpeg.decode(Jpeg.encodeColor(
+          w, h, Jpeg.QuantFlat16, Jpeg.QuantFlat16, (2, 2), gen))
+        val prog = Jpeg.decode(Jpeg.encodeProgressive(
+          w, h, Jpeg.QuantFlat16, Jpeg.QuantFlat16, (2, 2), 3, gen))
+        prog.channels == 3 && prog.pixels.sameElements(base.pixels)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("StateTuning partition sizing: clamped, monotone, ~32MB per slot") {
     import graft.streaming.StateTuning._
     check(Prop.forAll { (bytes: Long) =>
