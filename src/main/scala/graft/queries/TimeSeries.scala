@@ -13,10 +13,12 @@ import graft.functions.TimeSeriesStats
   * mae/rmse/smape, GARCH(1,1) MLE, and stationarity/autocorrelation
   * diagnostics.
   *
-  * The OHLCV/rolling/backtest queries are DuckDB-oracled; the model fits
-  * (`ts_garch_fit`, `ts_diagnostics`) are not SQL-expressible, so they are
-  * declared without oracle (driver rows-only check) and unit-tested against
-  * numeric invariants in TimeSeriesSpec.
+  * The OHLCV/rolling/backtest queries and the closed-form diagnostics
+  * (`ts_diagnostics` — ADF/Ljung-Box/ARCH-LM are two-pass sums, replayed
+  * in DuckDB) are DuckDB-oracled; the iterative model fits
+  * (`ts_garch_fit`, ARMA CSS, order search) are not SQL-expressible, so
+  * they are declared without oracle (driver rows-only check) and
+  * unit-tested against numeric invariants in TimeSeriesSpec.
   */
 object TimeSeries {
   type Q = (SparkSession, String) => DataFrame
@@ -156,6 +158,10 @@ object TimeSeries {
 
   // Stationarity & autocorrelation diagnostics per key (reference:
   // Garch_v1.ipynb cells 7,15 ADF + Ljung-Box; test5.ipynb cell 8 het_arch).
+  // Unlike the iterative MLE fits, all three statistics are CLOSED FORMS
+  // over the per-key series (two-pass OLS / ACF sums), so the query is
+  // fully DuckDB-oracled: outputs round to 6 decimals on both engines and
+  // the oracle replays the same two-pass centered-sum structure.
   private def tsDiagnostics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
@@ -177,7 +183,118 @@ object TimeSeries {
       }
       .toDF("event_type", "adf_t_close", "adf_t_returns", "ljung_box_q10",
         "arch_lm", "n_obs")
+      .select(col("event_type"),
+        round(col("adf_t_close"), 6).as("adf_t_close"),
+        round(col("adf_t_returns"), 6).as("adf_t_returns"),
+        round(col("ljung_box_q10"), 6).as("ljung_box_q10"),
+        round(col("arch_lm"), 6).as("arch_lm"),
+        col("n_obs"))
       .orderBy(col("event_type"))
+  }
+
+  // Closed-form replay of tsDiagnostics. Each statistic is expressed with
+  // the SAME two-pass structure as functions/TimeSeriesStats (means first,
+  // then centered sums, then the ratio), so the only cross-engine drift is
+  // group-sum association order — absorbed by the 6-decimal round.
+  // ADF: Δy_t on y_{t−1} with intercept; t = γ̂ / se(γ̂).
+  // Ljung-Box: Q = n(n+2) Σ_{k≤10} ρ_k²/(n−k), ρ_k biased ACF.
+  // ARCH-LM: n·R² of e²_t on e²_{t−1}.
+  private val tsDiagnosticsSql = {
+    // one ADF chain, parameterized by the (event_type, x, dy) row source
+    def adf(src: String, out: String): String =
+      s"""${out}_m AS (
+         |  SELECT event_type, count(*) AS n, avg(x) AS mx, avg(dy) AS md
+         |  FROM $src GROUP BY 1),
+         |${out}_s AS (
+         |  SELECT s.event_type,
+         |    sum((s.x - m.mx) * (s.x - m.mx)) AS sxx,
+         |    sum((s.x - m.mx) * (s.dy - m.md)) AS sxd
+         |  FROM $src s JOIN ${out}_m m USING (event_type) GROUP BY 1),
+         |${out}_g AS (
+         |  SELECT event_type, s.sxd / s.sxx AS gamma,
+         |    m.md - s.sxd / s.sxx * m.mx AS c
+         |  FROM ${out}_s s JOIN ${out}_m m USING (event_type)),
+         |$out AS (
+         |  SELECT s.event_type,
+         |    g.gamma / sqrt(sum((s.dy - g.c - g.gamma * s.x)
+         |      * (s.dy - g.c - g.gamma * s.x)) / (m.n - 2) / t.sxx) AS t
+         |  FROM $src s
+         |  JOIN ${out}_g g USING (event_type)
+         |  JOIN ${out}_m m USING (event_type)
+         |  JOIN ${out}_s t USING (event_type)
+         |  GROUP BY s.event_type, g.gamma, m.n, t.sxx)""".stripMargin
+    val lbTerms = (1 to 10).map { k =>
+      s"(s$k / c0) * (s$k / c0) / (n - $k)"
+    }.mkString("\n      |      + ")
+    val lbLeads = (1 to 10).map { k =>
+      s"lead(r, $k) OVER (PARTITION BY event_type ORDER BY d) AS l$k"
+    }.mkString(", ")
+    val lbSums = (1 to 10).map { k =>
+      s"sum(CASE WHEN x.l$k IS NOT NULL THEN (x.r - m.m) * (x.l$k - m.m) END) AS s$k"
+    }.mkString(",\n      |    ")
+    s"""WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT event_type, d, close,
+      |    lag(close) OVER (PARTITION BY event_type ORDER BY d) AS prev
+      |  FROM daily),
+      |adfc_src AS (
+      |  SELECT event_type, prev AS x, close - prev AS dy
+      |  FROM ser WHERE prev IS NOT NULL),
+      |rets AS (
+      |  SELECT event_type, d, ln(close / prev) AS r,
+      |    lag(ln(close / prev))
+      |      OVER (PARTITION BY event_type ORDER BY d) AS rprev
+      |  FROM ser WHERE prev IS NOT NULL),
+      |adfr_src AS (
+      |  SELECT event_type, rprev AS x, r - rprev AS dy
+      |  FROM rets WHERE rprev IS NOT NULL),
+      |${adf("adfc_src", "adfc")},
+      |${adf("adfr_src", "adfr")},
+      |lb_m AS (
+      |  SELECT event_type, count(*) AS n, avg(r) AS m FROM rets GROUP BY 1),
+      |lb_lead AS (
+      |  SELECT event_type, r, $lbLeads FROM rets),
+      |lb_s AS (
+      |  SELECT x.event_type,
+      |    sum((x.r - m.m) * (x.r - m.m)) AS c0,
+      |    $lbSums
+      |  FROM lb_lead x JOIN lb_m m USING (event_type) GROUP BY 1),
+      |lb AS (
+      |  SELECT s.event_type,
+      |    m.n * (m.n + 2.0) * (
+      |      $lbTerms) AS q
+      |  FROM lb_s s JOIN lb_m m USING (event_type)),
+      |arch_src AS (
+      |  SELECT event_type, r * r AS y,
+      |    lag(r * r) OVER (PARTITION BY event_type ORDER BY d) AS x
+      |  FROM rets),
+      |arch_m AS (
+      |  SELECT event_type, count(*) AS n, avg(x) AS mx, avg(y) AS my
+      |  FROM arch_src WHERE x IS NOT NULL GROUP BY 1),
+      |arch AS (
+      |  SELECT s.event_type,
+      |    m.n * (sum((s.x - m.mx) * (s.y - m.my))
+      |           * sum((s.x - m.mx) * (s.y - m.my))
+      |      / (sum((s.x - m.mx) * (s.x - m.mx))
+      |         * sum((s.y - m.my) * (s.y - m.my)))) AS lm
+      |  FROM arch_src s JOIN arch_m m USING (event_type)
+      |  WHERE s.x IS NOT NULL GROUP BY s.event_type, m.n),
+      |nobs AS (
+      |  SELECT event_type, count(*) AS n_obs FROM daily GROUP BY 1)
+      |SELECT n.event_type,
+      |  round(adfc.t, 6) AS adf_t_close,
+      |  round(adfr.t, 6) AS adf_t_returns,
+      |  round(lb.q, 6) AS ljung_box_q10,
+      |  round(arch.lm, 6) AS arch_lm,
+      |  n.n_obs
+      |FROM nobs n
+      |JOIN adfc USING (event_type)
+      |JOIN adfr USING (event_type)
+      |JOIN lb USING (event_type)
+      |JOIN arch USING (event_type)
+      |ORDER BY n.event_type""".stripMargin
   }
 
   // ARIMA/ARMA residual stage (reference: test5.ipynb cell 6 and
@@ -418,6 +535,7 @@ object TimeSeries {
     "ts_ohlcv_daily" -> tsOhlcvDailySql,
     "w4_moving_stats" -> w4MovingStatsSql,
     "ts_naive_backtest" -> tsNaiveBacktestSql,
+    "ts_diagnostics" -> tsDiagnosticsSql,
     "ts_holt_forecast" -> tsHoltForecastSql
   )
 }
