@@ -65,5 +65,6 @@ object SparkEntry {
     Extras.ensureSlidingFixture(spark, sfDir)
     Analytics.ensureEvictFixture(spark, sfDir)
     DedupOps.ensureIngestFixture(spark, sfDir)
+    SimilarityOps.ensureEmbIngestFixture(spark, sfDir)
   }
 }

@@ -195,16 +195,17 @@ object SimilarityOps {
   private val duckHashId =
     "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
-  /** CTE: nearest-centroid assignment of `e` to `cents` → (vec_id, v, cell),
-    * ties toward the smaller cent_id (Ivf.assign's max_by contract).
+  /** CTE: nearest-centroid assignment of `src` to `cents` → (vec_id, v,
+    * cell), ties toward the smaller cent_id (Ivf.assign's max_by contract).
     */
-  private def duckAssign(name: String, cents: String): String =
+  private def duckAssign(name: String, cents: String,
+      src: String = "e"): String =
     s"""$name AS (
        |  SELECT vec_id, v, cent_id AS cell FROM (
        |    SELECT e.vec_id, e.v, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        ${duckCos("e.v", "c.cv")} DESC, c.cent_id) AS rn
-       |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+       |    FROM $src e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
 
   /** CTE: one Lloyd step — grid-snapped elementwise mean per cell. */
   private def duckLloyd(name: String, assigned: String): String =
@@ -783,6 +784,145 @@ object SimilarityOps {
       |    abs(x - floor(x / scale * 127.0 + 0.5) * scale / 127.0))) AS max_err
       |FROM s ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Incremental IVF index maintenance on ingest — the ANN complement of
+  // DedupOps.st_incremental_neardup, and the shape a continuously-growing
+  // embedding corpus needs at 100 TB: the coarse quantizer is trained ONCE
+  // on a bootstrap prefix and FROZEN (the offline-codebook / online-assign
+  // contract every production IVF deployment uses — retraining per batch
+  // would reshuffle the whole index), then each micro-batch assigns only
+  // its own vectors against the broadcast frozen centroids and appends
+  // (vec_id, cell) to the committed index table. Cost per trigger is
+  // O(batch × numCells) with no corpus recompute, and the final index is a
+  // pure function of the corpus (assignment is per-row deterministic), so
+  // trigger slicing cannot change it — that closed form IS the oracle:
+  // DuckDB replays bootstrap seeding, both Lloyd rounds, and the full
+  // assignment via Ivf's portable contracts.
+  private val embIngestFixtures = scala.collection.mutable.Map[String, String]()
+
+  /** 3-file id-ordered spool of the embeddings corpus, split at id-range
+    * thirds (same deterministic cut rule as DedupOps.ensureIngestFixture —
+    * the oracle re-derives the cut from min/max, no side channel).
+    */
+  def ensureEmbIngestFixture(s: SparkSession, dir: String): String =
+    synchronized { embIngestFixtures.getOrElseUpdate(dir, {
+      val work = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-embspool-${graft.Tables.fingerprint(dir, "embeddings")}")
+        .getAbsolutePath
+      graft.operators.Maintenance.withCommitLock(work, timeoutMs = 600000L) {
+        val ready = new java.io.File(work, "_FIXTURE_READY")
+        if (!ready.exists()) {
+          graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
+          val e = embDouble(s, dir).select(col("vec_id"), col("v"))
+          val mm = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val third = (hi - lo + 1) / 3
+          val (cut1, cut2) = (lo + third, lo + 2 * third)
+          val mtimeBase = (System.currentTimeMillis() / 1000) * 1000
+          graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+            e.filter(col("vec_id") < cut1),
+            s"$work/spool/aa-0.parquet", mtimeBase)
+          graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+            e.filter(col("vec_id") >= cut1 && col("vec_id") < cut2),
+            s"$work/spool/bb-1.parquet", mtimeBase + 2000L)
+          graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+            e.filter(col("vec_id") >= cut2),
+            s"$work/spool/cc-2.parquet", mtimeBase + 4000L)
+          java.nio.file.Files.writeString(ready.toPath, "ok\n")
+        }
+      }
+      s"$work/spool"
+    }) }
+
+  /** Drain the spool through the incremental-index hop: per micro-batch,
+    * train-once (bootstrap rows only, `vec_id < bootstrapMax`) then
+    * assign-and-append. Exposed so specs can replay the spool against a
+    * finished index (idempotence) and restart from a checkpoint. The
+    * training set is defined by the ID FILTER, not by trigger boundaries,
+    * so any prefix-respecting slicing yields the identical frozen
+    * quantizer.
+    */
+  def incrementalIvfRun(s: SparkSession, spoolDir: String, centsPath: String,
+      indexPath: String, checkpoint: String, bootstrapMax: Long,
+      filesPerTrigger: Int = 1): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+      StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .option("latestFirst", "false")
+      .parquet(spoolDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        incrementalIvfBatch(s, batch, centsPath, indexPath, bootstrapMax)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.awaitTermination()
+  }
+
+  private def incrementalIvfBatch(s: SparkSession, batch: DataFrame,
+      centsPath: String, indexPath: String, bootstrapMax: Long): Unit = {
+    val cents =
+      if (new java.io.File(s"$centsPath/_graft_log").exists())
+        graft.operators.Maintenance.readTable(s, centsPath)
+      else {
+        val boot = batch.filter(col("vec_id") < bootstrapMax)
+          .localCheckpoint()
+        val n = boot.count()
+        require(n > 0, s"incremental IVF: first micro-batch holds no " +
+          s"bootstrap rows (vec_id < $bootstrapMax) — spool not id-ordered?")
+        val k = math.max(2, math.sqrt(n.toDouble).toInt)
+        val trained = graft.operators.Ivf.centroids(
+          boot, "vec_id", "v", k, iters = 2)(cosine(s) _)
+        graft.operators.Maintenance.commitAppend(s, centsPath, trained)
+        graft.operators.Maintenance.readTable(s, centsPath)
+      }
+    // replay safety: ids already indexed are dropped, so a restarted or
+    // re-driven spool cannot double-insert (the dedup hops' exactly-once
+    // pattern)
+    val fresh =
+      if (new java.io.File(s"$indexPath/_graft_log").exists())
+        batch.join(graft.operators.Maintenance.readTable(s, indexPath)
+          .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      else batch
+    val assigned = graft.operators.Ivf.assign(
+        fresh, cents, "vec_id", "v")(cosine(s) _)
+      .select(col("vec_id"), col("cell"))
+    graft.operators.Maintenance.commitAppend(s, indexPath, assigned)
+    ()
+  }
+
+  private def stIncrementalIvf(s: SparkSession, dir: String): DataFrame = {
+    val spool = ensureEmbIngestFixture(s, dir)
+    val e = embDouble(s, dir)
+    val mm = e.agg(min(col("vec_id")), max(col("vec_id"))).first()
+    val cut1 = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0) + 1) / 3
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-incivf-${java.util.UUID.randomUUID()}").getAbsolutePath
+    incrementalIvfRun(s, spool, s"$work/cents", s"$work/index",
+      s"$work/_chk", bootstrapMax = cut1)
+    graft.streaming.WorkDirs.materializeAndClean(
+      graft.operators.Maintenance.readTable(s, s"$work/index")
+        .orderBy(col("vec_id")), work)
+  }
+
+  private val stIncrementalIvfSql = {
+    val k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)"
+    s"""WITH e_all AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, v FROM e_all
+       |  WHERE vec_id < (SELECT min(vec_id) + (max(vec_id) - min(vec_id) + 1)
+       |                  // 3 FROM e_all)),
+       |${duckCentroids(k, iters = 2)},
+       |${duckAssign("wc", "s2", "e_all")}
+       |SELECT vec_id, cell FROM wc ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_knn_brute" -> simKnnBrute _,
     "sim_knn_ivf" -> simKnnIvf _,
@@ -793,7 +933,8 @@ object SimilarityOps {
     "sim_neardup_lsh" -> simNearDupLsh _,
     "sim_dedup_keep" -> simDedupKeep _,
     "sim_topics" -> simTopics _,
-    "sim_quantize_stats" -> simQuantizeStats _
+    "sim_quantize_stats" -> simQuantizeStats _,
+    "st_incremental_ivf" -> stIncrementalIvf _
   )
 
   val oracle: Map[String, String] = Map(
@@ -806,6 +947,7 @@ object SimilarityOps {
     "sim_neardup_lsh" -> simNearDupLshSql,
     "sim_dedup_keep" -> simDedupKeepSql,
     "sim_topics" -> simTopicsSql,
-    "sim_quantize_stats" -> simQuantizeStatsSql
+    "sim_quantize_stats" -> simQuantizeStatsSql,
+    "st_incremental_ivf" -> stIncrementalIvfSql
   )
 }

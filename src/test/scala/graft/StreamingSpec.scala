@@ -298,4 +298,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept() == Set(10L, 12L, 21L), "replay must be idempotent")
     graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
   }
+
+  test("incremental IVF: frozen bootstrap quantizer, online assignment, " +
+      "replay + restart exactly-once") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-incivf-spec-${java.util.UUID.randomUUID()}").getAbsolutePath
+    def spoolFile(rows: Seq[(Long, Seq[Double])], name: String,
+        mtime: Long): Unit =
+      graft.streaming.EventTimeOrderedSpool.spoolSingleFile(
+        rows.toDF("vec_id", "v"), s"$work/spool/$name", mtime)
+    val base = (System.currentTimeMillis() / 1000) * 1000
+    // two well-separated directions; the bootstrap holds 2 of each so the
+    // k = sqrt(4) = 2 frozen centroids land one per cluster
+    def a(eps: Double) = Seq(1.0, eps, 0.0, 0.0)
+    def b(eps: Double) = Seq(eps, 1.0, 0.0, 0.0)
+    spoolFile(Seq((1L, a(0.01)), (2L, a(0.02)), (3L, b(0.01)),
+      (4L, b(0.02))), "aa-0.parquet", base)
+    spoolFile(Seq((10L, a(0.03)), (11L, b(0.03))), "bb-1.parquet",
+      base + 2000)
+    val (cents, index, chk) = (s"$work/cents", s"$work/index", s"$work/_chk")
+    graft.queries.SimilarityOps.incrementalIvfRun(spark, s"$work/spool",
+      cents, index, chk, bootstrapMax = 5L)
+    def cellOf(): Map[Long, Long] =
+      Maintenance.readTable(spark, index).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after2 = cellOf()
+    assert(after2.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L),
+      s"every spooled vector must be indexed: $after2")
+    assert(after2(10L) == after2(1L) && after2(11L) == after2(3L),
+      s"online rows must join their bootstrap cluster's cell: $after2")
+    assert(after2(1L) != after2(3L), s"two clusters, two cells: $after2")
+    val frozen = Maintenance.readTable(spark, cents)
+      .collect().map(_.getLong(0)).toSet
+    // replay the whole spool with a fresh checkpoint: the id anti-join
+    // finds nothing novel and the quantizer is not retrained
+    graft.queries.SimilarityOps.incrementalIvfRun(spark, s"$work/spool",
+      cents, index, s"$work/_chk_replay", bootstrapMax = 5L)
+    assert(cellOf() == after2, "full replay must not duplicate the index")
+    // restart with the ORIGINAL checkpoint after new data arrives: only
+    // the new file is assigned, against the SAME frozen centroids
+    spoolFile(Seq((20L, a(0.04))), "cc-2.parquet", base + 4000)
+    graft.queries.SimilarityOps.incrementalIvfRun(spark, s"$work/spool",
+      cents, index, chk, bootstrapMax = 5L)
+    val after3 = cellOf()
+    assert(after3.keySet == after2.keySet + 20L &&
+      after3(20L) == after2(1L),
+      s"restart must add only the new vector, in cluster A's cell: $after3")
+    assert(Maintenance.readTable(spark, cents)
+      .collect().map(_.getLong(0)).toSet == frozen,
+      "the bootstrap quantizer must stay frozen across restarts")
+    graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
+  }
 }
