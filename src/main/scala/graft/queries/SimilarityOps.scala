@@ -785,6 +785,65 @@ object SimilarityOps {
       |FROM s ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Semantic (embedding-level) contamination report — the ANN complement
+  // of TextOps.tx_contamination and the decontamination step of a training
+  // pipeline: for EVERY held-out benchmark vector (vec_id % 10 = 7, the
+  // same split rule as the n-gram hop), find its nearest TRAINING-set
+  // example and the cosine — the ranked audit list a curator reviews
+  // before declaring a training corpus clean. Scale shape: the shared IVF
+  // index blocks candidates to the bench vector's nprobe=2 cells
+  // (~2/√N of the corpus per probe), exact cosine only inside the block,
+  // and the per-bench top-1 is the bounded-heap Aggregator — map-side
+  // partials, no window over the corpus. Fully hash-oracled via the
+  // portable IVF replay. A bench vector whose probed cells hold no
+  // training vectors drops out identically on both engines.
+  private def simContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cos = cosine(s) _
+    val (cents, withCell) = ivfIndex(s, dir, defaultCells(s, dir))
+    val bench = embDouble(s, dir).filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("bench_id"), col("v").as("qv"))
+    val probes = graft.operators.Ivf.probeCells(
+      bench, cents, "bench_id", "qv", nprobe = 2)(cos)
+    val scored = withCell.filter(col("vec_id") % 10 =!= 7)
+      .join(probes, Seq("cell"))
+      .select(col("bench_id"), col("vec_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos"))
+      .as[(Long, Long, Double)]
+    scored.groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(1).toColumn.name("top"))
+      .toDF("bench_id", "top")
+      .select(col("bench_id"),
+        col("top")(0).getField("_2").as("nearest_train_id"),
+        col("top")(0).getField("_1").as("cos"))
+      .orderBy(col("bench_id"))
+  }
+
+  private val simContaminationSql = {
+    val k = "(SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${duckCentroids(k, iters = 2)},
+       |${duckAssign("wc", "s2")},
+       |q AS (SELECT vec_id AS bench_id, v AS qv FROM e WHERE vec_id % 10 = 7),
+       |pr AS (
+       |  SELECT bench_id, qv, cell FROM (
+       |    SELECT q.bench_id, q.qv, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.bench_id ORDER BY
+       |        ${duckCos("q.qv", "c.cv")} DESC, c.cent_id) AS rn
+       |    FROM q CROSS JOIN s2 c) WHERE rn <= 2),
+       |sc AS (
+       |  SELECT p.bench_id, w.vec_id,
+       |    round(${duckCos("p.qv", "w.v")}, 6) AS cos
+       |  FROM wc w JOIN pr p ON w.cell = p.cell WHERE w.vec_id % 10 <> 7)
+       |SELECT bench_id, nearest_train_id, cos FROM (
+       |  SELECT bench_id, vec_id AS nearest_train_id, cos,
+       |    row_number() OVER (PARTITION BY bench_id
+       |                       ORDER BY cos DESC, vec_id) AS rn
+       |  FROM sc) WHERE rn = 1 ORDER BY bench_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Incremental IVF index maintenance on ingest — the ANN complement of
   // DedupOps.st_incremental_neardup, and the shape a continuously-growing
   // embedding corpus needs at 100 TB: the coarse quantizer is trained ONCE
@@ -934,6 +993,7 @@ object SimilarityOps {
     "sim_dedup_keep" -> simDedupKeep _,
     "sim_topics" -> simTopics _,
     "sim_quantize_stats" -> simQuantizeStats _,
+    "sim_contamination" -> simContamination _,
     "st_incremental_ivf" -> stIncrementalIvf _
   )
 
@@ -948,6 +1008,7 @@ object SimilarityOps {
     "sim_dedup_keep" -> simDedupKeepSql,
     "sim_topics" -> simTopicsSql,
     "sim_quantize_stats" -> simQuantizeStatsSql,
+    "sim_contamination" -> simContaminationSql,
     "st_incremental_ivf" -> stIncrementalIvfSql
   )
 }

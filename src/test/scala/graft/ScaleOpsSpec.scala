@@ -265,6 +265,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(avgRecall >= 0.2, s"IVF avg recall@10 = $avgRecall")
   }
 
+  test("semantic contamination: split respected, cosine exact, never " +
+      "above the true train-side maximum") {
+    import org.apache.spark.sql.functions._
+    val rows = SimilarityOps.queries("sim_contamination")(spark, sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 7, s"bench side must be the %10==7 split: $r")
+      assert(r.getAs[Long]("nearest_train_id") % 10 != 7,
+        s"train side must exclude the bench split: $r")
+    }
+    // the IVF-probed nearest can never beat the exact train-side max
+    // cosine, and the reported cosine must BE the exact cosine of the
+    // reported pair (candidates are scored exactly inside the block)
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bench = e.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("bench_id"), col("v").as("qv"))
+    val exactBest = e.filter(col("vec_id") % 10 =!= 7)
+      .crossJoin(broadcast(bench))
+      .groupBy(col("bench_id"))
+      .agg(max(round(SimilarityOps.cosineComposed(col("qv"), col("v")), 6))
+        .as("best"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactPair = e.filter(col("vec_id") % 10 =!= 7)
+      .crossJoin(broadcast(bench))
+      .select(col("bench_id"), col("vec_id"),
+        round(SimilarityOps.cosineComposed(col("qv"), col("v")), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    rows.foreach { r =>
+      val (b, t, c) = (r.getLong(0), r.getAs[Long]("nearest_train_id"),
+        r.getAs[Double]("cos"))
+      assert(c <= exactBest(b) + 1e-12, s"probed cos above exact max: $r")
+      assert(math.abs(c - exactPair((b, t))) < 1e-12,
+        s"reported cosine must equal the exact pair cosine: $r")
+    }
+  }
+
   test("PQ + exact re-rank recovers brute-force top-10 with high recall; " +
       "codes are m dense nibbles") {
     val brute = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke)
