@@ -80,6 +80,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
   }
 
+  test("sim_contamination: probed-cell blocking, no corpus window, " +
+      "bounded-heap top-1") {
+    val plan = planOf(
+      SimilarityOps.queries("sim_contamination")(spark, sfSmoke))
+    // candidates come from an equi-join on the probed cell, never a
+    // bench × train cartesian; per-bench top-1 is the Aggregator
+    assert(!plan.contains("CartesianProduct"),
+      "bench×train must stay cell-blocked:\n" + plan.take(2000))
+    assert(!plan.contains("Window"),
+      "top-1 must not plan a corpus window:\n" + plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+  }
+
   test("extensions: composed cosine fuses into the native codegen expression") {
     import org.apache.spark.sql.functions.{abs => fabs, col => c}
     val e = Tables.t(spark, sfSmoke, "embeddings")
