@@ -754,6 +754,53 @@ object SimilarityOps {
        |FROM af GROUP BY cell ORDER BY topic_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Topic-balanced subsample — the curation step BETWEEN clustering and
+  // training-set assembly: cap each semantic topic at `cap` members so one
+  // over-represented neighborhood (boilerplate, template spam, a crawler
+  // loop) cannot dominate the mixture. Membership comes from the same
+  // k-means assignment as sim_topics; WITHIN a topic the kept set is the
+  // `cap` members with the smallest portable md5 hash of their id — a
+  // deterministic, engine-reproducible "random" draw (fresh seed = fresh
+  // permutation), selected by the bounded-heap BottomKByLongKey Aggregator
+  // (map-side partials; a per-topic window would sort a corpus-sized
+  // partition per topic). The integer hash key is ordered EXACTLY —
+  // a Double score would round away the low bits of the 60-bit hash and
+  // could diverge from the oracle's BIGINT ordering.
+  /** Exposed with k/cap so specs can vary the shape. */
+  def topicSample(s: SparkSession, dir: String, k: Int = 8,
+      cap: Int = 10): DataFrame = {
+    import s.implicits._
+    val (_, assigned) = ivfIndex(s, dir, numCells = k, iters = 3)
+    val keyed = assigned
+      .select(col("cell"), col("vec_id"),
+        graft.operators.Dedup.portableHash60(
+          col("vec_id").cast("string")).as("h"))
+      .as[(Long, Long, Long)]
+    keyed.groupByKey(_._1)
+      .agg(new graft.functions.BottomKByLongKey(cap).toColumn.name("keep"))
+      .toDF("topic_id", "keep")
+      .select(col("topic_id"), explode(col("keep")).as("e"))
+      .select(col("topic_id"), col("e._2").as("vec_id"))
+      .orderBy(col("topic_id"), col("vec_id"))
+  }
+
+  private def simTopicSample(s: SparkSession, dir: String): DataFrame =
+    topicSample(s, dir)
+
+  private val simTopicSampleSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${duckCentroids("8", iters = 3)},
+       |${duckAssign("af", "s3")},
+       |ranked AS (
+       |  SELECT cell AS topic_id, vec_id,
+       |    row_number() OVER (PARTITION BY cell
+       |                       ORDER BY $duckHashId, vec_id) AS rn
+       |  FROM af)
+       |SELECT topic_id, vec_id FROM ranked WHERE rn <= 10
+       |ORDER BY topic_id, vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Symmetric int8 quantization of the embedding column — the storage
   // compression step of an embedding pipeline (4 bytes/dim → 1). Per
   // vector: scale = max |x| (clamped), code_i = floor(x/scale*127 + 0.5),
@@ -994,6 +1041,7 @@ object SimilarityOps {
     "sim_topics" -> simTopics _,
     "sim_quantize_stats" -> simQuantizeStats _,
     "sim_contamination" -> simContamination _,
+    "sim_topic_sample" -> simTopicSample _,
     "st_incremental_ivf" -> stIncrementalIvf _
   )
 
@@ -1009,6 +1057,7 @@ object SimilarityOps {
     "sim_topics" -> simTopicsSql,
     "sim_quantize_stats" -> simQuantizeStatsSql,
     "sim_contamination" -> simContaminationSql,
+    "sim_topic_sample" -> simTopicSampleSql,
     "st_incremental_ivf" -> stIncrementalIvfSql
   )
 }

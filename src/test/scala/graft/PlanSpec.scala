@@ -93,6 +93,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
   }
 
+  test("sim_topic_sample: bounded-heap selection, no per-topic window") {
+    val plan = planOf(
+      SimilarityOps.queries("sim_topic_sample")(spark, sfSmoke))
+    assert(!plan.contains("Window"),
+      "per-topic selection must not plan a window:\n" + plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+  }
+
   test("extensions: composed cosine fuses into the native codegen expression") {
     import org.apache.spark.sql.functions.{abs => fabs, col => c}
     val e = Tables.t(spark, sfSmoke, "embeddings")

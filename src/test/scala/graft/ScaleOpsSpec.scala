@@ -304,6 +304,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("topic sample: per-topic cap, members only, exactly the smallest " +
+      "hashes") {
+    import org.apache.spark.sql.functions._
+    val cap = 3
+    val sample = SimilarityOps.topicSample(spark, sfSmoke, k = 4, cap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sample.nonEmpty)
+    val byTopic = sample.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byTopic.foreach { case (t, ids) =>
+      assert(ids.size <= cap, s"topic $t exceeds the cap: $ids")
+    }
+    // recompute membership + hash order directly: the kept set per topic
+    // must be exactly the cap ascending-(hash, id) members
+    val e = Tables.t(spark, sfSmoke, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.operators.Ivf.centroids(e, "vec_id", "v", 4, iters = 3)(
+      SimilarityOps.cosineComposed)
+    val member = graft.operators.Ivf.assign(e, cents, "vec_id", "v")(
+      SimilarityOps.cosineComposed)
+      .select(col("cell"), col("vec_id"),
+        graft.operators.Dedup.portableHash60(
+          col("vec_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = member.groupBy(_._1).view.mapValues(
+      _.sortBy(m => (m._3, m._2)).take(cap).map(_._2).toSet).toMap
+    assert(byTopic == expect,
+      s"kept sets must be the smallest-hash members: got $byTopic")
+  }
+
   test("PQ + exact re-rank recovers brute-force top-10 with high recall; " +
       "codes are m dense nibbles") {
     val brute = SimilarityOps.queries("sim_knn_brute")(spark, sfSmoke)
