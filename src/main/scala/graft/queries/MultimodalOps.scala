@@ -414,7 +414,79 @@ object MultimodalOps {
       |  CAST(sum(64*b) AS BIGINT) AS sum_b
       |FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Full PNG pixel decode — the LOSSLESS image tier next to the JPEG
+  // family (multimodal.Png): real zlib IDAT, all five scanline filters
+  // (the encoder fixture cycles them per row), color types 0/2/3/6 at
+  // 8-bit, and Adam7 interlacing on odd ids — the deinterlace pass
+  // placement is checked by a POSITION-WEIGHTED checksum
+  // Σ (1+x+2y)·(r+2g+3b+4a): a plain pixel sum would be invariant under
+  // wrong pass placement, the weighted one is not. The oracle recomputes
+  // every pixel from the closed-form fixture family; byte-exact parity
+  // with javax.imageio additionally asserted in PngSpec (PNG is lossless,
+  // so parity is exact, not tolerance-based).
+  private def mmDecodePngPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = graft.multimodal.Png.decode(
+          graft.multimodal.Png.fixturePayload(id))
+        var chk = 0L
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            val p = img.pixels(y * img.width + x)
+            val a = (p >>> 24) & 0xff; val r = (p >> 16) & 0xff
+            val g = (p >> 8) & 0xff; val b = p & 0xff
+            chk += (1L + x + 2L * y) * (r + 2L * g + 3L * b + 4L * a)
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.width.toLong, img.height.toLong, img.colorType.toLong,
+          img.interlaced, chk)
+      })
+      .toDF("doc_id", "width", "height", "color_type", "interlaced",
+        "checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodePngPixelsSql =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 24 AS w, 8 + (doc_id*3) % 24 AS h,
+      |    CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 3
+      |         ELSE 6 END AS ct,
+      |    doc_id % 2 = 1 AS il
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, ct, il, x, y,
+      |    (x + y + doc_id) % 16 AS idx,
+      |    (x*7 + y*13 + doc_id*31) % 256 AS v0,
+      |    (x*7 + y*13 + doc_id*31 + 5) % 256 AS v1,
+      |    (x*7 + y*13 + doc_id*31 + 10) % 256 AS v2,
+      |    (x*7 + y*13 + doc_id*31 + 15) % 256 AS v3
+      |  FROM dims,
+      |    unnest(generate_series(0, w - 1)) t1(x),
+      |    unnest(generate_series(0, h - 1)) t2(y)),
+      |rgba AS (
+      |  SELECT doc_id, w, h, ct, il, x, y,
+      |    CASE ct WHEN 3 THEN (idx*17) % 256 ELSE v0 END AS r,
+      |    CASE ct WHEN 0 THEN v0 WHEN 3 THEN (idx*29) % 256
+      |         ELSE v1 END AS g,
+      |    CASE ct WHEN 0 THEN v0 WHEN 3 THEN (idx*43) % 256
+      |         ELSE v2 END AS b,
+      |    CASE ct WHEN 6 THEN v3 ELSE 255 END AS a
+      |  FROM px)
+      |SELECT doc_id, w AS width, h AS height,
+      |  CAST(ct AS BIGINT) AS color_type, il AS interlaced,
+      |  CAST(sum((1 + x + 2*y) * (r + 2*g + 3*b + 4*a)) AS BIGINT)
+      |    AS checksum
+      |FROM rgba GROUP BY doc_id, w, h, ct, il ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_decode_png_pixels" -> mmDecodePngPixels _,
     "mm_decode_real" -> mmDecodeReal _,
     "mm_decode_png_gif" -> mmDecodePngGif _,
     "mm_resize_real" -> mmResizeReal _,
@@ -429,6 +501,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_decode_png_pixels" -> mmDecodePngPixelsSql,
     "mm_decode_real" -> mmDecodeRealSql,
     "mm_decode_png_gif" -> mmDecodePngGifSql,
     "mm_resize_real" -> mmResizeRealSql,

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Png
+
+/** Full PNG pixel decode (multimodal.Png) — the lossless image tier.
+  * Because PNG is lossless, cross-validation against the JDK's ImageIO
+  * decoder is EXACT (byte-for-byte per channel), with no seam or rounding
+  * tolerance — covering all supported color types, the cycling scanline
+  * filters, and both interlace modes. Plus the closed-form fixture
+  * contract the DuckDB oracle recomputes, and the loud out-of-scope
+  * rejects.
+  */
+class PngSpec extends AnyFunSuite {
+
+  /** The fixture family's expected RGBA, straight from the formulas
+    * (never through the codec's own arithmetic).
+    */
+  private def expected(id: Long, x: Int, y: Int): (Int, Int, Int, Int) = {
+    val ct = Array(0, 2, 3, 6)((id % 4).toInt)
+    def v(c: Int) = ((x * 7 + y * 13 + id * 31 + c * 5) % 256).toInt
+    ct match {
+      case 0 => (v(0), v(0), v(0), 255)
+      case 2 => (v(0), v(1), v(2), 255)
+      case 3 =>
+        val i = ((x + y + id) % 16).toInt
+        ((i * 17) % 256, (i * 29) % 256, (i * 43) % 256, 255)
+      case 6 => (v(0), v(1), v(2), v(3))
+    }
+  }
+
+  test("fixture family decodes to the closed form for every color type " +
+      "and both interlace modes") {
+    for (id <- 0L until 16L) { // 0..15 covers ct × interlace × dims
+      val img = Png.decode(Png.fixturePayload(id))
+      assert(img.width == 8 + (id % 24).toInt)
+      assert(img.height == 8 + ((id * 3) % 24).toInt)
+      assert(img.interlaced == (id % 2 == 1))
+      var bad = 0
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val p = img.pixels(y * img.width + x)
+        val got = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff,
+          (p >>> 24) & 0xff)
+        if (got != expected(id, x, y)) bad += 1
+      }
+      assert(bad == 0, s"id=$id: $bad pixels off the closed form")
+    }
+  }
+
+  test("decode matches ImageIO exactly (lossless: zero tolerance)") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 40L, 41L)) {
+      val bytes = Png.fixturePayload(id)
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"ImageIO could not parse our PNG (id=$id)")
+      val ours = Png.decode(bytes)
+      assert(jdk.getWidth == ours.width && jdk.getHeight == ours.height)
+      val gray = id % 4 == 0
+      for (y <- 0 until ours.height; x <- 0 until ours.width) {
+        // grayscale loads as a LINEAR gray color space, where getRGB
+        // would apply a gray→sRGB transform — read the raw raster
+        // sample instead; the sRGB types (truecolor/palette/RGBA) pass
+        // through getRGB untransformed
+        val want =
+          if (gray) {
+            val v = jdk.getRaster.getSample(x, y, 0)
+            (0xff << 24) | (v << 16) | (v << 8) | v
+          } else jdk.getRGB(x, y)
+        val got = ours.pixels(y * ours.width + x)
+        assert(got == want,
+          f"id=$id ($x,$y): ours=0x$got%08x imageio=0x$want%08x")
+      }
+    }
+  }
+
+  test("interlaced and sequential encodings of the same image decode " +
+      "identically") {
+    val id = 42L
+    def pix(x: Int, y: Int, c: Int) = ((x * 7 + y * 13 + id + c) % 256).toInt
+    val seq = Png.decode(Png.encode(21, 13, 2, interlace = false, pix))
+    val il = Png.decode(Png.encode(21, 13, 2, interlace = true, pix))
+    assert(!seq.interlaced && il.interlaced)
+    assert(seq.pixels.sameElements(il.pixels),
+      "Adam7 placement must reconstruct the sequential image")
+  }
+
+  test("gray+alpha (type 4) round-trips") {
+    val img = Png.decode(Png.encode(9, 7, 4, interlace = true,
+      (x, y, c) => (x * 3 + y * 5 + c * 11) % 256))
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val p = img.pixels(y * 9 + x)
+      val g = (x * 3 + y * 5) % 256
+      val a = (x * 3 + y * 5 + 11) % 256
+      assert(((p >> 16) & 0xff) == g && ((p >>> 24) & 0xff) == a,
+        f"($x,$y): 0x$p%08x")
+    }
+  }
+
+  test("out-of-scope inputs reject loudly, not wrongly") {
+    // 16-bit depth: flip the IHDR bit-depth byte of a valid stream and
+    // fix its CRC is overkill — build a minimal bad header instead
+    val good = Png.fixturePayload(0L)
+    val bad16 = good.clone()
+    // IHDR data starts at offset 16 (8 sig + 4 len + 4 type); depth at +8
+    bad16(16 + 8) = 16.toByte
+    val e = intercept[IllegalArgumentException](Png.decode(bad16))
+    assert(e.getMessage.contains("bit depth"))
+    val notPng = intercept[IllegalArgumentException](
+      Png.decode(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)))
+    assert(notPng.getMessage.contains("signature"))
+  }
+}
