@@ -485,7 +485,67 @@ object MultimodalOps {
       |    AS checksum
       |FROM rgba GROUP BY doc_id, w, h, ct, il ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Full GIF pixel decode — the third image container tier (multimodal.
+  // Gif): genuine variable-width LZW with the spec's early-change width
+  // bump, sub-block reassembly, the 16-entry global color table, ALL
+  // frames of the animation, and GIF's 4-pass row interlace on odd ids.
+  // Same position-weighted checksum idea as the PNG tier, extended with a
+  // frame term (Σ (1+x+2y+3f)·(r+2g+3b)) so wrong frame order, wrong
+  // interlace row placement, or an LZW dictionary bug all fail the
+  // oracle. ImageIO cross-parity (exact — indexed color is lossless) in
+  // GifSpec.
+  private def mmDecodeGifPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = graft.multimodal.Gif.decode(
+          graft.multimodal.Gif.fixturePayload(id))
+        var chk = 0L
+        img.frames.zipWithIndex.foreach { case (px, f) =>
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width) {
+              val p = px(y * img.width + x)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+              val b = p & 0xff
+              chk += (1L + x + 2L * y + 3L * f) * (r + 2L * g + 3L * b)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        (id, img.width.toLong, img.height.toLong, img.frames.size.toLong,
+          img.interlaced, chk)
+      })
+      .toDF("doc_id", "width", "height", "n_frames", "interlaced",
+        "checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmDecodeGifPixelsSql =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    8 + doc_id % 16 AS w, 8 + (doc_id*3) % 16 AS h,
+      |    1 + doc_id % 3 AS nf, doc_id % 2 = 1 AS il
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, nf, il, x, y, f,
+      |    (x + 3*y + 7*f + doc_id) % 16 AS idx
+      |  FROM dims,
+      |    unnest(generate_series(0, w - 1)) t1(x),
+      |    unnest(generate_series(0, h - 1)) t2(y),
+      |    unnest(generate_series(0, nf - 1)) t3(f))
+      |SELECT doc_id, w AS width, h AS height, nf AS n_frames,
+      |  il AS interlaced,
+      |  CAST(sum((1 + x + 2*y + 3*f) *
+      |    ((idx*17) % 256 + 2*((idx*29) % 256) + 3*((idx*43) % 256)))
+      |    AS BIGINT) AS checksum
+      |FROM px GROUP BY doc_id, w, h, nf, il ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_decode_gif_pixels" -> mmDecodeGifPixels _,
     "mm_decode_png_pixels" -> mmDecodePngPixels _,
     "mm_decode_real" -> mmDecodeReal _,
     "mm_decode_png_gif" -> mmDecodePngGif _,
@@ -501,6 +561,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_decode_gif_pixels" -> mmDecodeGifPixelsSql,
     "mm_decode_png_pixels" -> mmDecodePngPixelsSql,
     "mm_decode_real" -> mmDecodeRealSql,
     "mm_decode_png_gif" -> mmDecodePngGifSql,
