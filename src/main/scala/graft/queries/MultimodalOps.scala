@@ -544,7 +544,50 @@ object MultimodalOps {
       |    AS BIGINT) AS checksum
       |FROM px GROUP BY doc_id, w, h, nf, il ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // MP4 / ISO-BMFF container metadata — the video-modality tier
+  // (multimodal.Mp4): a real box walker (32/64-bit sizes, nested
+  // moov/trak/mdia/minf/stbl), mvhd v0 AND v1 (odd ids build the 64-bit
+  // v1 layout so both parser paths run on every corpus), tkhd 16.16
+  // dimensions, the stsd codec fourcc, and the FULL stsz sample-size
+  // table — total_bytes forces the parser to read the whole index, not
+  // just its count; that index is how a video sampler seeks frames at
+  // 100 TB without touching mdat. Pixel decode of video codecs is
+  // genuinely out of JVM scope and stays behind the documented seam.
+  private def mmMp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = graft.multimodal.Mp4.parse(
+          graft.multimodal.Mp4.fixturePayload(id))
+        (id, m.brand, m.codec, m.width.toLong, m.height.toLong,
+          m.durationMs, m.nSamples.toLong, m.totalBytes)
+      })
+      .toDF("doc_id", "brand", "codec", "width", "height", "duration_ms",
+        "n_samples", "total_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmMp4MetaSql =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS codec,
+      |    160 + (doc_id % 8) * 16 AS width,
+      |    90 + (doc_id % 6) * 18 AS height,
+      |    1000 + doc_id % 9000 AS duration_ms,
+      |    10 + doc_id % 50 AS n
+      |  FROM documents),
+      |sz AS (
+      |  SELECT doc_id, sum(100 + (i + doc_id) % 32) AS total_bytes
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(i)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, brand, codec, width, height, duration_ms,
+      |  n AS n_samples, CAST(total_bytes AS BIGINT) AS total_bytes
+      |FROM dims d JOIN sz USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_mp4_meta" -> mmMp4Meta _,
     "mm_decode_gif_pixels" -> mmDecodeGifPixels _,
     "mm_decode_png_pixels" -> mmDecodePngPixels _,
     "mm_decode_real" -> mmDecodeReal _,
@@ -561,6 +604,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_mp4_meta" -> mmMp4MetaSql,
     "mm_decode_gif_pixels" -> mmDecodeGifPixelsSql,
     "mm_decode_png_pixels" -> mmDecodePngPixelsSql,
     "mm_decode_real" -> mmDecodeRealSql,
