@@ -359,6 +359,56 @@ object MultimodalOps {
       |  round(sqrt(sum(v*v)*1.0/count(*)), 6) AS rms
       |FROM s GROUP BY doc_id, sr, frames ORDER BY doc_id""".stripMargin
 
+  // Walsh–Hadamard band analysis over the decoded PCM — the cheap
+  // spectral tier of the audio pass (sequency-domain energy is the
+  // classic integer-exact stand-in for a DFT band profile: same
+  // window-dot-basis shape, but ±1 coefficients keep every value an
+  // exact BIGINT, so the cross-engine oracle is sharp where floating
+  // trig sums would drift). Coefficient k over the first 128 samples:
+  // C_k = Σ v_i · (−1)^popcount(i AND k); emitted RAW (signed), which is
+  // strictly stronger than an energy — any sample or sign slip flips it.
+  // The samples come through the REAL RIFF/PCM parse, not the formula.
+  private def mmAudioSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sr = 8000 + ((id % 8) * 1000).toInt
+        val ch = 1 + (id % 2).toInt
+        val frames = 128 + (id % 256).toInt
+        val samples = graft.multimodal.Media.wavSamples(
+          graft.multimodal.Media.encodeWavPattern(sr, ch, frames))
+        def wht(k: Int): Long = {
+          var acc = 0L
+          var i = 0
+          while (i < 128) {
+            val sign = if (Integer.bitCount(i & k) % 2 == 0) 1L else -1L
+            acc += sign * samples(i)
+            i += 1
+          }
+          acc
+        }
+        (id, wht(0), wht(1), wht(2), wht(4), wht(8))
+      })
+      .toDF("doc_id", "wht_0", "wht_1", "wht_2", "wht_4", "wht_8")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmAudioSpectrumSql =
+    """WITH s AS (
+      |  SELECT doc_id, i, ((i*37 + 13) % 2048) - 1024 AS v
+      |  FROM documents, unnest(generate_series(0, 127)) t(i))
+      |SELECT doc_id,
+      |  CAST(sum(v) AS BIGINT) AS wht_0,
+      |  CAST(sum(CASE WHEN bit_count(i & 1) % 2 = 0 THEN v ELSE -v END)
+      |    AS BIGINT) AS wht_1,
+      |  CAST(sum(CASE WHEN bit_count(i & 2) % 2 = 0 THEN v ELSE -v END)
+      |    AS BIGINT) AS wht_2,
+      |  CAST(sum(CASE WHEN bit_count(i & 4) % 2 = 0 THEN v ELSE -v END)
+      |    AS BIGINT) AS wht_4,
+      |  CAST(sum(CASE WHEN bit_count(i & 8) % 2 = 0 THEN v ELSE -v END)
+      |    AS BIGINT) AS wht_8
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // COLOR (YCbCr 4:2:0) baseline-JPEG decode on the batch path — the
   // shape real corpora are overwhelmingly made of. Per doc, a
   // deterministically constructed three-component interleaved JPEG is
@@ -599,6 +649,7 @@ object MultimodalOps {
     "mm_decode_color" -> mmDecodeColor _,
     "mm_thumbnail_jpeg" -> mmThumbnailJpeg _,
     "mm_audio_features" -> mmAudioFeatures _,
+    "mm_audio_spectrum" -> mmAudioSpectrum _,
     "mm_gif_frames" -> mmGifFrames _,
     "mm_resize_plan" -> mmResizePlan _
   )
@@ -616,6 +667,7 @@ object MultimodalOps {
     "mm_decode_color" -> mmDecodeColorSql,
     "mm_thumbnail_jpeg" -> mmThumbnailJpegSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
+    "mm_audio_spectrum" -> mmAudioSpectrumSql,
     "mm_gif_frames" -> mmGifFramesSql,
     "mm_resize_plan" -> mmResizePlanSql
   )

@@ -611,6 +611,25 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   // ---- multimodal -----------------------------------------------------
 
+  test("audio WHT: Parseval holds over the full 128-coefficient basis") {
+    // Σ_k C_k² = N · Σ_i v_i² for the (unnormalized) Walsh–Hadamard
+    // transform — an exact integer identity that pins every sample AND
+    // every sign: any slip breaks it
+    for (id <- Seq(0L, 3L, 7L)) {
+      val sr = 8000 + ((id % 8) * 1000).toInt
+      val ch = 1 + (id % 2).toInt
+      val frames = 128 + (id % 256).toInt
+      val v = graft.multimodal.Media.wavSamples(
+        graft.multimodal.Media.encodeWavPattern(sr, ch, frames)).take(128)
+      def wht(k: Int): Long = (0 until 128).map { i =>
+        (if (Integer.bitCount(i & k) % 2 == 0) 1L else -1L) * v(i)
+      }.sum
+      val lhs = (0 until 128).map(k => BigInt(wht(k)) * wht(k)).sum
+      val rhs = BigInt(128) * v.map(x => BigInt(x.toLong) * x.toLong).sum
+      assert(lhs == rhs, s"id=$id: Parseval violated")
+    }
+  }
+
   test("mapPartitions decode path equals the codegen expression path") {
     val expr = MultimodalOps.queries("mm_decode_meta")(spark, sfSmoke)
       .select(col("doc_id").as("id"), col("width"), col("height"),
