@@ -93,6 +93,60 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("PNG roundtrip: decode(encode(img)) == img for random shapes, " +
+      "color types, filters, and both interlace modes") {
+    val dim = Gen.chooseNum(1, 40)
+    val ct = Gen.oneOf(0, 2, 4, 6)
+    val seed = Gen.chooseNum(0L, 1L << 40)
+    check(Prop.forAll(dim, dim, ct, Gen.oneOf(true, false), seed) {
+      (w, h, colorType, il, s) =>
+        def pix(x: Int, y: Int, c: Int) =
+          (((x * 31 + y * 17 + c * 7 + s) % 256 + 256) % 256).toInt
+        val img = graft.multimodal.Png.decode(
+          graft.multimodal.Png.encode(w, h, colorType, il, pix))
+        img.width == w && img.height == h &&
+          (0 until h).forall { y =>
+            (0 until w).forall { x =>
+              val p = img.pixels(y * w + x)
+              colorType match {
+                case 0 => ((p >> 16) & 0xff) == pix(x, y, 0)
+                case 2 => ((p >> 16) & 0xff) == pix(x, y, 0) &&
+                  ((p >> 8) & 0xff) == pix(x, y, 1) &&
+                  (p & 0xff) == pix(x, y, 2)
+                case 4 => ((p >> 16) & 0xff) == pix(x, y, 0) &&
+                  ((p >>> 24) & 0xff) == pix(x, y, 1)
+                case 6 => ((p >> 16) & 0xff) == pix(x, y, 0) &&
+                  ((p >> 8) & 0xff) == pix(x, y, 1) &&
+                  (p & 0xff) == pix(x, y, 2) &&
+                  ((p >>> 24) & 0xff) == pix(x, y, 3)
+              }
+            }
+          }
+    })
+  }
+
+  test("GIF roundtrip: LZW + interlace survive random frames and sizes") {
+    val dim = Gen.chooseNum(1, 40)
+    val nf = Gen.chooseNum(1, 3)
+    val seed = Gen.chooseNum(0L, 1L << 40)
+    check(Prop.forAll(dim, dim, nf, Gen.oneOf(true, false), seed) {
+      (w, h, frames, il, s) =>
+        def pix(x: Int, y: Int, f: Int) =
+          (((x * 5 + y * 11 + f * 3 + s) % 16 + 16) % 16).toInt
+        val img = graft.multimodal.Gif.decode(graft.multimodal.Gif.encode(
+          w, h, frames, graft.multimodal.Gif.fixturePalette, il, pix))
+        img.width == w && img.height == h && img.frames.size == frames &&
+          img.frames.zipWithIndex.forall { case (px, f) =>
+            (0 until h).forall { y =>
+              (0 until w).forall { x =>
+                px(y * w + x) ==
+                  graft.multimodal.Gif.fixturePalette(pix(x, y, f))
+              }
+            }
+          }
+    })
+  }
+
   test("GARCH NLL is finite and penalizes infeasible parameters") {
     val r = Gen.listOfN(60, Gen.chooseNum(-5.0, 5.0))
     check(Prop.forAll(r) { xs =>
