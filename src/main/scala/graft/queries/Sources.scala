@@ -256,12 +256,56 @@ object Sources {
       |FROM events WHERE event_type <> 'view'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // S12: WARC crawl-archive ingestion (beyond reference — the Common
+  // Crawl shape, operators.Warc): per doc a deterministic .warc.gz with
+  // ONE GZIP MEMBER PER RECORD is parsed on the mapPartitions batch path
+  // — multi-member gunzip, Content-Length record framing, HTTP response
+  // payload extraction behind the header terminator — and summarized one
+  // row per archive. The oracle recomputes record counts, OK counts,
+  // payload bytes (string-length arithmetic incl. the decimal-digit
+  // lengths of id and i), and the first URI from the fixture formulas, so
+  // a framing slip, a swallowed gzip member, or an HTTP-header off-by-one
+  // all fail the value compare. The warcinfo leader exercises the
+  // non-response skip.
+  private def s12WarcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val recs = graft.operators.Warc.parse(
+          graft.operators.Warc.fixturePayload(id))
+        val resp = recs.filter(_.warcType == "response")
+        (id, resp.size.toLong,
+          resp.count(_.status == 200).toLong,
+          resp.map(_.payload.length.toLong).sum,
+          resp.head.targetUri)
+      })
+      .toDF("doc_id", "n_records", "n_ok", "payload_bytes", "first_uri")
+      .orderBy(col("doc_id"))
+  }
+
+  private val s12WarcIngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 1 + doc_id % 3 AS n FROM documents),
+      |recs AS (
+      |  SELECT doc_id, n, i,
+      |    CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END AS ok,
+      |    10 + strlen(CAST(doc_id AS VARCHAR)) + strlen(CAST(i AS VARCHAR))
+      |      + (doc_id*7 + i) % 64 AS bytes
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(i))
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_records,
+      |  CAST(sum(ok) AS BIGINT) AS n_ok,
+      |  CAST(sum(bytes) AS BIGINT) AS payload_bytes,
+      |  'https://example.com/doc/' || doc_id || '/0' AS first_uri
+      |FROM recs GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s4_seq_ingest" -> s4SeqIngest _,
     "s7_csv_scan" -> s7CsvScan _,
     "s8_commit_stats" -> s8CommitStats _,
     "s8_commit_latency" -> s8CommitLatency _,
-    "s10_orc_scan" -> s10OrcScan _
+    "s10_orc_scan" -> s10OrcScan _,
+    "s12_warc_ingest" -> s12WarcIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -269,6 +313,7 @@ object Sources {
     "s7_csv_scan" -> s7CsvScanSql,
     "s8_commit_stats" -> s8CommitStatsSql,
     "s8_commit_latency" -> s8CommitLatencySql,
-    "s10_orc_scan" -> s10OrcScanSql
+    "s10_orc_scan" -> s10OrcScanSql,
+    "s12_warc_ingest" -> s12WarcIngestSql
   )
 }
