@@ -636,7 +636,42 @@ object MultimodalOps {
       |  n AS n_samples, CAST(total_bytes AS BIGINT) AS total_bytes
       |FROM dims d JOIN sz USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // WebP container metadata (multimodal.Webp) — the third web-image
+  // format's sniff/dims/frames layer over a real RIFF chunk walk: all
+  // three bitstream variants (lossy "VP8 " frame tag + start code,
+  // lossless "VP8L" LSB-packed 14-bit dims + alpha bit, extended "VP8X"
+  // 24-bit canvas + feature flags with ANMF animation frames counted by
+  // the walk). VP8 entropy decode is out of JVM scope (documented seam);
+  // this is the filter-before-decode metadata a curation pass runs on
+  // every crawled image.
+  private def mmWebpMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = graft.multimodal.Webp.parse(
+          graft.multimodal.Webp.fixturePayload(id))
+        (id, m.variant, m.width.toLong, m.height.toLong, m.hasAlpha,
+          m.nFrames.toLong)
+      })
+      .toDF("doc_id", "variant", "width", "height", "has_alpha", "n_frames")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmWebpMetaSql =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+      |       ELSE 'vp8x' END AS variant,
+      |  32 + doc_id % 300 AS width,
+      |  24 + (doc_id*3) % 200 AS height,
+      |  CASE doc_id % 3 WHEN 0 THEN false WHEN 1 THEN doc_id % 2 = 1
+      |       ELSE doc_id % 2 = 0 END AS has_alpha,
+      |  CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4
+      |       ELSE 1 END AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_webp_meta" -> mmWebpMeta _,
     "mm_mp4_meta" -> mmMp4Meta _,
     "mm_decode_gif_pixels" -> mmDecodeGifPixels _,
     "mm_decode_png_pixels" -> mmDecodePngPixels _,
@@ -655,6 +690,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_webp_meta" -> mmWebpMetaSql,
     "mm_mp4_meta" -> mmMp4MetaSql,
     "mm_decode_gif_pixels" -> mmDecodeGifPixelsSql,
     "mm_decode_png_pixels" -> mmDecodePngPixelsSql,
