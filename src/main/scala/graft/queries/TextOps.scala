@@ -721,6 +721,147 @@ object TextOps {
       |ORDER BY base.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // TF-IDF keyword extraction: each document's top-3 most characteristic
+  // terms — the per-document "what is this about" signal a curation
+  // pipeline uses for topic tagging and mixture construction. idf is the
+  // smoothed form ln((N+1)/(df+1)) + 1 (never negative, OOV-safe); the
+  // score is snapped to integer micro-units (floor(x·1e6 + 0.5)) BEFORE
+  // ranking so the rank boundary cannot move with engine-side ulp drift —
+  // the same grid contract as the ANN tiers. Scale shape: explode → two
+  // partial-aggregated groupBys (doc-term tf, term df) → a term-keyed join
+  // (vocabulary-sized, shuffles only the tf table, never raw text) → a
+  // per-doc window over that doc's OWN distinct terms (bounded by doc
+  // length, not corpus size). Fully DuckDB-oracled.
+  private def docTerms(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+
+  private def txTfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = docTerms(s, dir)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term"))
+    tf.join(dft, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        floor((log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0)) * col("tf") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"),
+        (col("score_micro") / 1e6).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val txTfidfTermsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    CAST(floor((ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * tf
+      |      * 1000000.0 + 0.5) AS BIGINT) AS sm
+      |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+      |SELECT doc_id, rank, term, sm / 1000000.0 AS score FROM (
+      |  SELECT doc_id, term, sm,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY sm DESC, term) AS rank
+      |  FROM scored) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // BM25 retrieval scoring (Robertson/Spärck Jones, k1=1.2 b=0.75) — the
+  // quality-targeted retrieval step of a curation pipeline ("pull the docs
+  // most about X"): three fixed term queries ranked against the corpus,
+  // top-10 docs each. One query carries an out-of-vocabulary term to pin
+  // the OOV behavior (it simply contributes nothing — no NaN, no crash).
+  // Determinism contract: each term's contribution snaps to integer
+  // micro-units, the per-doc score is the LONG sum of those units
+  // (order-free — double summation order across partials could move the
+  // rank boundary), and ranking ties break on doc_id. Scale shape: the
+  // tiny query table broadcasts into the doc-term tf table (pruning the
+  // corpus to query-term postings before anything else), df/avgdl are
+  // partial-aggregated scalars, and per-query top-10 is the bounded-heap
+  // Aggregator — map-side partials, no window over the corpus, the
+  // exchange carries O(queries × 10) rows. Fully DuckDB-oracled.
+  /** The fixed query set (query_id, term) — spec surface. */
+  val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "dup", 1L -> "join",
+    2L -> "window", 2L -> "stream", 2L -> "batch",
+    3L -> "hash", 3L -> "merge", 3L -> "shuffle")
+
+  private def txBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docTerms(s, dir)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val q = bm25Queries.toDF("query_id", "term")
+    val qtf = tf.join(broadcast(q), Seq("term"))
+    val dft = qtf.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = qtf.join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0)
+        + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("cm", floor(col("idf") * col("tf") * lit(2.2)
+        / (col("tf") + lit(1.2) * (lit(0.25)
+          + lit(0.75) * col("dl") / col("avgdl")))
+        * lit(1e6) + lit(0.5)).cast("long"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("cm")).as("sm"))
+      .select(col("query_id"), col("doc_id"), col("sm").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(10).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), (col("col._1") / 1e6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val txBm25Sql = {
+    val values = bm25Queries
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q(query_id, term) AS (VALUES $values),
+       |qtf AS (
+       |  SELECT q.query_id, tf.doc_id, tf.term, tf.tf
+       |  FROM tf JOIN q USING (term)),
+       |dft AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM qtf GROUP BY 1),
+       |contrib AS (
+       |  SELECT qtf.query_id, qtf.doc_id,
+       |    CAST(floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+       |      * qtf.tf * 2.2
+       |      / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS cm
+       |  FROM qtf JOIN dft d USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats s),
+       |summed AS (
+       |  SELECT query_id, doc_id, CAST(sum(cm) AS BIGINT) AS sm
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, sm / 1000000.0 AS score FROM (
+       |  SELECT query_id, doc_id, sm,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sm DESC, doc_id) AS rank
+       |  FROM summed) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "tx_fingerprint" -> txFingerprint _,
     "tx_quality" -> txQuality _,
@@ -735,7 +876,9 @@ object TextOps {
     "tx_source_report" -> txSourceReport _,
     "tx_curation_manifest" -> txCurationManifest _,
     "tx_redact" -> txRedact _,
-    "tx_heavy_hitters" -> txHeavyHitters _
+    "tx_heavy_hitters" -> txHeavyHitters _,
+    "tx_tfidf_terms" -> txTfidfTerms _,
+    "tx_bm25" -> txBm25 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -752,6 +895,8 @@ object TextOps {
     "tx_surprisal" -> txSurprisalSql,
     "tx_heavy_hitters" -> txHeavyHittersSql,
     "tx_winnow" -> txWinnowSql,
-    "tx_winnow_pairs" -> txWinnowPairsSql
+    "tx_winnow_pairs" -> txWinnowPairsSql,
+    "tx_tfidf_terms" -> txTfidfTermsSql,
+    "tx_bm25" -> txBm25Sql
   )
 }

@@ -592,6 +592,56 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(o <= 0.2, s"unrelated ($u,$v) share $o of fingerprints")
   }
 
+  test("tfidf terms: top-3 per doc, terms drawn from the doc itself") {
+    val rows = TextOps.queries("tx_tfidf_terms")(spark, sfSmoke).collect()
+    val docs = Tables.t(spark, sfSmoke, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSet).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == docs.size)
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      // score non-increasing in rank; every term occurs in the document
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      sorted.foreach(r => assert(docs(id).contains(r.getAs[String]("term"))))
+    }
+  }
+
+  test("bm25: rare term dominates its query; OOV term contributes nothing") {
+    val rows = TextOps.queries("tx_bm25")(spark, sfSmoke).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    // every query with in-vocabulary terms returns a ranked, score-sorted
+    // top list with positive scores
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ > 0.0))
+    }
+    // query 1 = {dup, join}: 'dup' is the corpus's one rare term, so every
+    // doc ranked above a dup-free doc must itself contain 'dup' (idf of
+    // the ubiquitous 'join' is tiny by comparison)
+    val dupDocs = Tables.t(spark, sfSmoke, "documents")
+      .filter(col("text").rlike("\\bdup\\b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    if (dupDocs.nonEmpty && byQ.contains(1L)) {
+      val q1 = byQ(1L).sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Long]("doc_id"))
+      val firstNonDup = q1.indexWhere(!dupDocs.contains(_))
+      if (firstNonDup >= 0)
+        assert(q1.take(firstNonDup).forall(dupDocs.contains))
+      assert(dupDocs.contains(q1.head),
+        s"top doc for the dup query should contain 'dup': ${q1.head}")
+    }
+    // query 3 carries the OOV term 'shuffle': it must not crash, NaN, or
+    // zero out the query — the in-vocab terms still rank docs
+    assert(byQ.contains(3L) && byQ(3L).length == 10)
+  }
+
   test("winnow pairs: fp-join recovers the exact high-jaccard pairs") {
     val exact = DedupOps.queries("dd_ngram_jaccard")(spark, sfSmoke)
       .filter(col("jaccard") >= 0.9)
