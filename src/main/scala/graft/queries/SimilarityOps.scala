@@ -801,6 +801,60 @@ object SimilarityOps {
        |ORDER BY topic_id, vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Random-projection (Johnson–Lindenstrauss) dimensionality reduction,
+  // 64 → 16 dims — the embedding-compression step that precedes coarse
+  // clustering or visualization at corpus scale: a ±1 sign matrix
+  // (Achlioptas's database-friendly projection) scaled by 1/√16 preserves
+  // pairwise distances in expectation, and a sign matrix needs no
+  // training pass at all. The matrix is a pure function of the PORTABLE
+  // md5 hash of each (row, col) index — data-independent, engine-
+  // reproducible, broadcast as a literal (never a shuffle) — and the
+  // whole projection is one per-row array expression inside codegen: at
+  // 100 TB this is a map-only scan, no exchange anywhere. Fully
+  // DuckDB-oracled: both engines run the same forward-order inner
+  // product (the bit-equality precedent the cosine oracle established),
+  // so the 6-dp-rounded projections match exactly. JL distance
+  // preservation is additionally asserted in ScaleOpsSpec.
+  /** The pinned 16×64 ±1 sign matrix, derived from the portable 60-bit
+    * md5 hash of "rp:row:col" (even → +1). Exposed for the spec.
+    */
+  def rpSignMatrix(rows: Int = 16, cols: Int = 64): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until rows).map { i =>
+      (0 until cols).map { j =>
+        val hex = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  private def simRpProject(s: SparkSession, dir: String): DataFrame = {
+    val proj = expr(
+      "transform(sequence(0, 15), i -> round(" +
+        "aggregate(zip_with(v, signs[i], (x, s) -> x * s), " +
+        "cast(0.0 as double), (a, b) -> a + b) / 4.0, 6))")
+    embDouble(s, dir)
+      .withColumn("signs", typedlit(rpSignMatrix()))
+      .select(col("vec_id"), posexplode(proj).as(Seq("dim", "p")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("p"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  private val simRpProjectSql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |rp AS (
+      |  SELECT i, list(CASE WHEN CAST(concat('0x',
+      |      substr(md5('rp:' || i || ':' || j), 1, 15)) AS BIGINT) % 2 = 0
+      |    THEN 1.0 ELSE -1.0 END ORDER BY j) AS sv
+      |  FROM range(0, 16) AS t(i) CROSS JOIN range(0, 64) AS u(j)
+      |  GROUP BY i)
+      |SELECT e.vec_id, rp.i AS dim,
+      |  round(list_inner_product(e.v, rp.sv) / 4.0, 6) AS p
+      |FROM e CROSS JOIN rp ORDER BY vec_id, dim""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Symmetric int8 quantization of the embedding column — the storage
   // compression step of an embedding pipeline (4 bytes/dim → 1). Per
   // vector: scale = max |x| (clamped), code_i = floor(x/scale*127 + 0.5),
@@ -1039,6 +1093,7 @@ object SimilarityOps {
     "sim_neardup_lsh" -> simNearDupLsh _,
     "sim_dedup_keep" -> simDedupKeep _,
     "sim_topics" -> simTopics _,
+    "sim_rp_project" -> simRpProject _,
     "sim_quantize_stats" -> simQuantizeStats _,
     "sim_contamination" -> simContamination _,
     "sim_topic_sample" -> simTopicSample _,
@@ -1055,6 +1110,7 @@ object SimilarityOps {
     "sim_neardup_lsh" -> simNearDupLshSql,
     "sim_dedup_keep" -> simDedupKeepSql,
     "sim_topics" -> simTopicsSql,
+    "sim_rp_project" -> simRpProjectSql,
     "sim_quantize_stats" -> simQuantizeStatsSql,
     "sim_contamination" -> simContaminationSql,
     "sim_topic_sample" -> simTopicSampleSql,

@@ -551,6 +551,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("random projection roughly preserves pairwise distances (JL)") {
+    val proj = SimilarityOps.queries("sim_rp_project")(spark, sfSmoke)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(rs => rs.sortBy(_.getLong(1)).map(_.getDouble(2)))
+      .toMap
+    val orig = Tables.t(spark, sfSmoke, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.size == orig.size)
+    assert(proj.values.forall(_.length == 16))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(20)
+    val ratios = for (Seq(a, b) <- ids.combinations(2).toSeq)
+      yield d2(proj(a).toArray, proj(b).toArray) / d2(orig(a), orig(b))
+    // 16 output dims is a loose JL regime: individual squared-distance
+    // ratios stay within a wide band, the mean concentrates near 1
+    assert(ratios.forall(r => r > 0.1 && r < 3.5),
+      s"JL distortion out of band: min ${ratios.min}, max ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean distance ratio drifted: $mean")
+  }
+
   // ---- text -----------------------------------------------------------
 
   test("quality features are internally consistent") {
