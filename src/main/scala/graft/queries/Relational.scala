@@ -169,6 +169,62 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J11: Bloom-filter runtime pre-filter — the big-probe/small-build join
+  // optimization a 100-TB star join lives on: build a Bloom filter over
+  // the filtered build side's keys (urgent orders), broadcast it into the
+  // probe scan (lineitem), and drop non-matching probe rows BEFORE the
+  // shuffle — the hand-rolled form of Spark's own InjectRuntimeFilter,
+  // exposed as an operator so a pipeline can apply it where the planner
+  // doesn't (e.g. ahead of a UDF stage or a sink). `mightContain` has no
+  // builtin Column function, so this is the one deliberate UDF in the
+  // engine — it guards a shuffle, it is not the compute. The query emits
+  // the audit a deployment checks: zero false negatives (Bloom never
+  // drops a real match — the correctness contract) and an observed
+  // false-positive rate within 3× the configured 1% (the efficiency
+  // contract). Oracled like the HLL rows: exact counts + TRUE verdicts,
+  // DuckDB recomputes the exact side and asserts the bounds hold.
+  private def j11BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // stat.bloomFilter is an aggregate ACTION over the build side only —
+    // the same build-then-broadcast phase boundary as a broadcast join
+    val bf = urgent.stat.bloomFilter(
+      "o_orderkey", math.max(urgent.count(), 1L), 0.01)
+    val might = udf((k: Long) => bf.mightContain(k))
+    val exactKeys = urgent.distinct()
+      .select(col("o_orderkey").as("l_orderkey"), lit(true).as("exact"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"))
+      .withColumn("bloom_pass", might(col("l_orderkey")))
+      .join(exactKeys, Seq("l_orderkey"), "left")
+      .select(col("bloom_pass"), coalesce(col("exact"), lit(false)).as("e"))
+      .agg(
+        count(lit(1)).as("n_probe_rows"),
+        sum(when(col("e"), lit(1L)).otherwise(lit(0L))).as("n_exact_match"),
+        sum(when(col("e") && !col("bloom_pass"), lit(1L)).otherwise(lit(0L)))
+          .as("n_false_neg"),
+        sum(when(col("bloom_pass") && !col("e"), lit(1L)).otherwise(lit(0L)))
+          .as("n_false_pos"))
+      .select(col("n_probe_rows"), col("n_exact_match"),
+        (col("n_false_neg") === 0L).as("no_false_negatives"),
+        (col("n_false_pos").cast("double")
+          / greatest(col("n_probe_rows") - col("n_exact_match"), lit(1L))
+            .cast("double") <= 0.03).as("fp_rate_within_bound"))
+  }
+
+  private val j11BloomPrefilterSql =
+    """SELECT count(*) AS n_probe_rows,
+      |  CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_exact_match,
+      |  TRUE AS no_false_negatives,
+      |  TRUE AS fp_rate_within_bound
+      |FROM lineitem l LEFT JOIN (
+      |  SELECT DISTINCT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT') o
+      |ON l.l_orderkey = o.o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // O3: top-k by aggregate (reference: Superset "Top trading volume" —
   // MAX(volume24h) GROUP BY symbol, row_limit 10). Spark plans
   // TakeOrderedAndProject: only k rows cross the final exchange.
@@ -750,6 +806,7 @@ object Relational {
     "j1_broadcast_enrich" -> j1BroadcastEnrich _,
     "j2_anti_join" -> j2AntiJoin _,
     "j2_semi_join" -> j2SemiJoin _,
+    "j11_bloom_prefilter" -> j11BloomPrefilter _,
     "o3_topk_customers" -> o3TopkCustomers _,
     "o2_report_feed" -> o2ReportFeed _,
     "w1_last_tick_per_day" -> w1LastTickPerDay _,
@@ -782,6 +839,7 @@ object Relational {
     "j1_broadcast_enrich" -> j1BroadcastEnrichSql,
     "j2_anti_join" -> j2AntiJoinSql,
     "j2_semi_join" -> j2SemiJoinSql,
+    "j11_bloom_prefilter" -> j11BloomPrefilterSql,
     "o3_topk_customers" -> o3TopkCustomersSql,
     "o2_report_feed" -> o2ReportFeedSql,
     "w1_last_tick_per_day" -> w1LastTickPerDaySql,

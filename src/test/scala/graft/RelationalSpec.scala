@@ -72,4 +72,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
       "bucketed range join differs from the naive join")
   }
+  test("bloom prefilter: no false negatives and a bounded fp rate") {
+    val r = graft.queries.Relational
+      .queries("j11_bloom_prefilter")(spark, sfSmoke).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_exact_match") > 0)
+    assert(row.getAs[Boolean]("no_false_negatives"))
+    assert(row.getAs[Boolean]("fp_rate_within_bound"))
+  }
 }
