@@ -108,7 +108,7 @@ object Warc {
   // Deterministic fixture: a warcinfo record + N response records, ONE
   // GZIP MEMBER PER RECORD (the Common Crawl .warc.gz layout)
 
-  private def gzipMember(data: Array[Byte]): Array[Byte] = {
+  private[operators] def gzipMember(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     // 10-byte header: magic, deflate, no flags, zero mtime, OS=255
     out.write(Array(0x1f, 0x8b, 8, 0, 0, 0, 0, 0, 0, 255)

@@ -299,13 +299,57 @@ object Sources {
       |  'https://example.com/doc/' || doc_id || '/0' AS first_uri
       |FROM recs GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // S13: POSIX tar / tar.gz archive ingestion (operators.Tar) — the
+  // data-drop bundle shape (vendor corpora, dumps) complementing the WARC
+  // crawl shape. Same scale contract as s12: archives distribute across
+  // partitions, each parses independently inside one task (mapPartitions
+  // — framing arithmetic, not a DataFrame-expressible decode), no
+  // shuffle until the per-archive rows aggregate. The fixture pins BOTH
+  // envelope variants (even ids gzipped, odd plain) and a directory
+  // entry exercises the non-file skip. Oracle recomputes member counts,
+  // exact content byte lengths (decimal-digit arithmetic), and the first
+  // file name from the fixture formulas — a framing slip, checksum bug,
+  // or padding off-by-one fails the value compare. Cross-validated
+  // against the system `tar` binary in TarSpec.
+  private def s13TarIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val entries = graft.operators.Tar.parse(
+          graft.operators.Tar.fixturePayload(id))
+        val files = entries.filter(_.typeflag == '0')
+        (id, files.size.toLong,
+          entries.count(_.typeflag == '5').toLong,
+          files.map(_.bytes.length.toLong).sum,
+          files.head.name)
+      })
+      .toDF("doc_id", "n_files", "n_dirs", "content_bytes", "first_file")
+      .orderBy(col("doc_id"))
+  }
+
+  private val s13TarIngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 1 + doc_id % 4 AS n FROM documents),
+      |mem AS (
+      |  SELECT doc_id, n, i,
+      |    9 + strlen(CAST(doc_id AS VARCHAR)) + strlen(CAST(i AS VARCHAR))
+      |      + (doc_id*5 + i) % 96 AS bytes
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(i))
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_files,
+      |  CAST(1 AS BIGINT) AS n_dirs,
+      |  CAST(sum(bytes) AS BIGINT) AS content_bytes,
+      |  'docs/' || doc_id || '/part-0.txt' AS first_file
+      |FROM mem GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s4_seq_ingest" -> s4SeqIngest _,
     "s7_csv_scan" -> s7CsvScan _,
     "s8_commit_stats" -> s8CommitStats _,
     "s8_commit_latency" -> s8CommitLatency _,
     "s10_orc_scan" -> s10OrcScan _,
-    "s12_warc_ingest" -> s12WarcIngest _
+    "s12_warc_ingest" -> s12WarcIngest _,
+    "s13_tar_ingest" -> s13TarIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -314,6 +358,7 @@ object Sources {
     "s8_commit_stats" -> s8CommitStatsSql,
     "s8_commit_latency" -> s8CommitLatencySql,
     "s10_orc_scan" -> s10OrcScanSql,
-    "s12_warc_ingest" -> s12WarcIngestSql
+    "s12_warc_ingest" -> s12WarcIngestSql,
+    "s13_tar_ingest" -> s13TarIngestSql
   )
 }
