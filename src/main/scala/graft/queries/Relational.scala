@@ -366,6 +366,46 @@ object Relational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A6 sketch tier: mergeable approximate quantiles — the percentile
+  // companion to the HLL/CMS/Bloom sketch family, and the way 100-TB
+  // percentile dashboards actually run (exact percentile sorts every
+  // group; the quantile sketch partial-aggregates and merges). The
+  // verdict pattern mirrors a3_approx_distinct: the query computes the
+  // approximate quantile AND its exact RANK in the same pipeline, then
+  // emits only engine-replayable facts — group sizes plus a
+  // rank-within-tolerance boolean per (group, q) that the DuckDB oracle
+  // asserts TRUE. Rank checking sidesteps quantile-definition mismatches
+  // across engines (interpolation flavors) entirely: whatever value the
+  // sketch returns, its rank must land within the GK guarantee
+  // (accuracy 1000 → rank error ≤ n/1000, checked at 3× + 1 slack).
+  private def a6ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val apx = t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_percentile(col("value"),
+        typedlit(qs), lit(1000)).as("vs"))
+      .select(col("event_type"), posexplode(col("vs")).as(Seq("qi", "v")))
+      .withColumn("q", typedlit(qs).getItem(col("qi")))
+      .select(col("event_type"), col("q"), col("v"))
+    t(s, dir, "events")
+      .join(broadcast(apx), Seq("event_type"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value") <= col("v"), lit(1L)).otherwise(lit(0L)))
+          .as("rank"))
+      .select(col("event_type"), col("q"), col("n_rows"),
+        (abs(col("rank") - col("q") * col("n_rows")) <=
+          col("n_rows") / lit(1000.0) * 3.0 + 1.0).as("within_bound"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
+  private val a6ApproxQuantilesSql =
+    """SELECT event_type, q, count(*) AS n_rows, TRUE AS within_bound
+      |FROM events CROSS JOIN (VALUES (CAST(0.25 AS DOUBLE)), (0.5),
+      |                               (0.75), (0.95)) t(q)
+      |GROUP BY event_type, q ORDER BY event_type, q""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Set op: UNION ALL by name (reference §2.8: pandas pd.concat splicing
   // history + forecast frames → unionByName).
   private def setUnionSegments(s: SparkSession, dir: String): DataFrame = {
@@ -815,6 +855,7 @@ object Relational {
     "a3_distinct_users" -> a3DistinctUsers _,
     "a2_scalar_max" -> a2ScalarMax _,
     "a6_percentiles" -> a6Percentiles _,
+    "a6_approx_quantiles" -> a6ApproxQuantiles _,
     "set_union_segments" -> setUnionSegments _,
     "set_intersect_except" -> setIntersectExcept _,
     "j9_full_outer" -> j9FullOuter _,
@@ -848,6 +889,7 @@ object Relational {
     "a3_distinct_users" -> a3DistinctUsersSql,
     "a2_scalar_max" -> a2ScalarMaxSql,
     "a6_percentiles" -> a6PercentilesSql,
+    "a6_approx_quantiles" -> a6ApproxQuantilesSql,
     "set_union_segments" -> setUnionSegmentsSql,
     "set_intersect_except" -> setIntersectExceptSql,
     "j9_full_outer" -> j9FullOuterSql,

@@ -81,4 +81,10 @@ class RelationalSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("no_false_negatives"))
     assert(row.getAs[Boolean]("fp_rate_within_bound"))
   }
+  test("approx quantiles land within the GK rank guarantee") {
+    val rows = Relational
+      .queries("a6_approx_quantiles")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_bound")))
+  }
 }
