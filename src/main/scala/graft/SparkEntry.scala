@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, DedupOps, Dimensions, Extras, MultimodalOps,
-  Relational, SimilarityOps, Sources, StreamingQueries, TextOps, TimeSeries,
-  TrainingOps}
+import graft.queries.{Analytics, DedupOps, Dimensions, Extras, GraphOps,
+  MultimodalOps, Relational, SimilarityOps, Sources, StreamingQueries,
+  TextOps, TimeSeries, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,8 @@ object SparkEntry {
     (MultimodalOps.queries, MultimodalOps.oracle),
     (Sources.queries, Sources.oracle),
     (Extras.queries, Extras.oracle),
-    (Analytics.queries, Analytics.oracle)
+    (Analytics.queries, Analytics.oracle),
+    (GraphOps.queries, GraphOps.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

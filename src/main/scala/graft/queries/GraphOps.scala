@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Graph analytics over the document corpus — beyond-reference operators:
+  * link-authority scoring (PageRank) and degree statistics, the curation
+  * signals a crawl pipeline derives from its link graph (authority-
+  * weighted quality scores, hub detection, crawl-frontier priorities).
+  *
+  * The corpus parquet carries no link column, so the graph is the pinned
+  * deterministic multigraph every doc_id `i` induces: out-edges to
+  * (i·2+3) % N (2-to-1 collapsing for even N — hub formation),
+  * (i·i+1) % N (quadratic-residue clustering — heavy skew), and
+  * (i·13+5) % N (a permutation — connectivity floor). Duplicates and
+  * self-loops are KEPT: out-degree is exactly 3 for every node, so
+  * there are no dangling nodes and no special cases, and both engines
+  * build the identical graph from the same table. In-degrees spread
+  * from ~1 to ~23 at N=500, so the stationary ranks are genuinely
+  * non-uniform.
+  *
+  * PageRank runs in INTEGER units (1 rank = 10^12 units): per-edge
+  * contribution is `u div 3`, the damped update is
+  * `B + (Σ·85) div 100` with B = (0.15·10^12) div N — no floating point
+  * until the final display division, so partial-aggregation order cannot
+  * move a single bit and the DuckDB oracle replays all 8 unrolled
+  * iterations exactly. Scale shape: one shuffle per iteration keyed on
+  * dst (the Pregel layout); rank state is 16 bytes/node.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Iters = 8
+  private val Unit = 1000000000000L // 1.0 rank in integer units
+
+  private def nodes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"))
+
+  private def edges(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") * 2 + 3, lit(n)),
+        pmod(col("doc_id") * col("doc_id") + 1, lit(n)),
+        pmod(col("doc_id") * 13 + 5, lit(n)))).as("dst"))
+
+  private def grPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = nodes(s, dir).localCheckpoint()
+    val n = docs.count()
+    val e = edges(docs, n).localCheckpoint()
+    val base = (Unit * 15L / 100L) / n // (1-d) mass per node, exact ints
+    var r = docs.select(col("doc_id").as("v"), lit(Unit / n).as("u"))
+    for (_ <- 0 until Iters) {
+      val contrib = e.join(r, e("src") === r("v"))
+        .select(col("dst").as("v"), expr("u div 3").as("cu"))
+        .groupBy(col("v")).agg(sum(col("cu")).as("sc"))
+      // left join keeps in-degree-0 nodes alive at their base mass
+      r = docs.select(col("doc_id").as("v"))
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(coalesce(sc, 0L) * 85) div 100")).as("u"))
+        .localCheckpoint() // truncate the 8-iteration lineage
+    }
+    r.select(col("v").as("doc_id"), (col("u") / 1e12).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val grPagerankSql = {
+    val pre =
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |docs AS (SELECT doc_id FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id*2 + 3) % n AS dst FROM docs, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 1) % n FROM docs, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*13 + 5) % n FROM docs, nn),
+        |r0 AS (
+        |  SELECT doc_id AS v, 1000000000000 // n AS u FROM docs, nn)"""
+        .stripMargin
+    val rounds = (1 to Iters).map { k =>
+      s"""r$k AS (
+         |  SELECT d.doc_id AS v,
+         |    ((1000000000000 * 15 // 100) // nn.n)
+         |      + ((coalesce(sum(p.u // 3), 0) * 85) // 100) AS u
+         |  FROM docs d CROSS JOIN nn
+         |  LEFT JOIN e ON e.dst = d.doc_id
+         |  LEFT JOIN r${k - 1} p ON p.v = e.src
+         |  GROUP BY d.doc_id, nn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""$pre,
+       |$rounds
+       |SELECT v AS doc_id, u / 1000000000000.0 AS pagerank
+       |FROM r$Iters ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // In-degree distribution — the link-graph health report (a spiky
+  // in-degree histogram flags link farms / crawler traps before they
+  // skew any authority-weighted sampling). Exact, partial-aggregated.
+  private def grDegreeStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = nodes(s, dir)
+    val n = docs.count()
+    val indeg = docs.select(col("doc_id").as("v"))
+      .join(edges(docs, n).groupBy(col("dst").as("v"))
+        .agg(count(lit(1)).as("indeg")), Seq("v"), "left")
+      .select(coalesce(col("indeg"), lit(0L)).as("indeg"))
+    indeg.groupBy(col("indeg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("indeg"))
+  }
+
+  private val grDegreeStatsSql =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |docs AS (SELECT doc_id FROM documents),
+      |e AS (
+      |  SELECT doc_id AS src, (doc_id*2 + 3) % n AS dst FROM docs, nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*doc_id + 1) % n FROM docs, nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*13 + 5) % n FROM docs, nn),
+      |deg AS (
+      |  SELECT d.doc_id, CAST(count(e.src) AS BIGINT) AS indeg
+      |  FROM docs d LEFT JOIN e ON e.dst = d.doc_id GROUP BY d.doc_id)
+      |SELECT indeg, count(*) AS n_nodes FROM deg
+      |GROUP BY indeg ORDER BY indeg""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "gr_pagerank" -> grPagerank _,
+    "gr_degree_stats" -> grDegreeStats _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "gr_pagerank" -> grPagerankSql,
+    "gr_degree_stats" -> grDegreeStatsSql
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.queries.GraphOps
+
+/** Graph tier (queries.GraphOps): integer-unit PageRank invariants and
+  * degree-histogram consistency on the pinned multigraph.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfSmoke}
+
+  test("pagerank: mass conserved up to integer-division leakage, skewed") {
+    val rows = GraphOps.queries("gr_pagerank")(spark, sfSmoke).collect()
+    val n = rows.length
+    assert(n > 0)
+    val total = rows.map(_.getAs[Double]("pagerank")).sum
+    // every div floors, so each of the 8 iterations leaks < (3N + 2)
+    // units of 1e-12 — total stays just under 1, never over
+    assert(total <= 1.0 + 1e-9, s"rank mass exceeds 1: $total")
+    assert(total >= 0.99, s"rank mass leaked too far: $total")
+    // the pinned graph is genuinely skewed: ranks must not be uniform
+    val distinct = rows.map(_.getAs[Double]("pagerank")).distinct.length
+    assert(distinct > n / 2, s"ranks look uniform: $distinct distinct of $n")
+  }
+
+  test("pagerank follows in-degree: heaviest hub outranks leaf nodes") {
+    val pr = GraphOps.queries("gr_pagerank")(spark, sfSmoke).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pagerank")).toMap
+    val n = pr.size.toLong
+    // recompute in-degrees of the pinned multigraph driver-side
+    val indeg = new scala.collection.mutable.HashMap[Long, Int]()
+    for (i <- 0L until n; d <- Seq((i * 2 + 3) % n, (i * i + 1) % n,
+        (i * 13 + 5) % n))
+      indeg(d) = indeg.getOrElse(d, 0) + 1
+    val hub = indeg.maxBy(_._2)._1
+    val leaves = (0L until n).filter(v => indeg.getOrElse(v, 0) <= 1)
+    assert(leaves.nonEmpty)
+    assert(leaves.forall(l => pr(hub) > pr(l)),
+      s"hub $hub (indeg ${indeg(hub)}) should outrank every leaf")
+  }
+
+  test("degree histogram sums to the node count") {
+    val rows = GraphOps.queries("gr_degree_stats")(spark, sfSmoke).collect()
+    val total = rows.map(_.getAs[Long]("n_nodes")).sum
+    val n = Tables.t(spark, sfSmoke, "documents").count()
+    assert(total == n)
+    // edge conservation: sum(indeg * nodes) == 3N (every node emits 3)
+    val edgeSum = rows.map(r =>
+      r.getAs[Long]("indeg") * r.getAs[Long]("n_nodes")).sum
+    assert(edgeSum == 3 * n)
+  }
+}
