@@ -519,6 +519,127 @@ object TimeSeries {
       |FROM f ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Holt-Winters additive-seasonal smoothing (ETS(A,A,A), weekly period
+  // m=7) over the daily close — the seasonal sibling of ts_holt_forecast
+  // for series with a weekly cycle. α=0.3, β=0.1, γ=0.2; init l₀ = mean
+  // of week 1, b₀ = (mean of week 2 − mean of week 1)/7, s_j = y_{j+1} −
+  // l₀; fold from t=7 (0-based). State is ONE 9-double array
+  // [l, b, s₀..s₆] folded by `aggregate`; each input carries its own
+  // position ([y_t, t]) so the seasonal slot needs no counter in the
+  // accumulator. l′ is spelled out in full in every branch that uses it
+  // (HOF lambdas bind no locals — the ts_holt_forecast contract), and
+  // the DuckDB replay mirrors the fold order and arithmetic textually,
+  // so the doubles match bit-for-bit and round(…,6) is cosmetic. Same
+  // scale shape as the Holt query: collect_list is per-KEY state inside
+  // a hash aggregate, keys scale out.
+  private def tsHoltWinters(s: SparkSession, dir: String): DataFrame =
+    dailyClose(s, dir)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("d"), col("close"))))
+        .as("pairs"))
+      .select(col("event_type"),
+        expr("transform(pairs, x -> x.close)").as("cl"))
+      .filter(size(col("cl")) >= 15)
+      .withColumn("l0",
+        (element_at(col("cl"), 1) + element_at(col("cl"), 2)
+          + element_at(col("cl"), 3) + element_at(col("cl"), 4)
+          + element_at(col("cl"), 5) + element_at(col("cl"), 6)
+          + element_at(col("cl"), 7)) / 7.0)
+      .withColumn("b0",
+        ((element_at(col("cl"), 8) + element_at(col("cl"), 9)
+          + element_at(col("cl"), 10) + element_at(col("cl"), 11)
+          + element_at(col("cl"), 12) + element_at(col("cl"), 13)
+          + element_at(col("cl"), 14)) / 7.0 - col("l0")) / 7.0)
+      .withColumn("init", array(
+        col("l0"), col("b0"),
+        element_at(col("cl"), 1) - col("l0"),
+        element_at(col("cl"), 2) - col("l0"),
+        element_at(col("cl"), 3) - col("l0"),
+        element_at(col("cl"), 4) - col("l0"),
+        element_at(col("cl"), 5) - col("l0"),
+        element_at(col("cl"), 6) - col("l0"),
+        element_at(col("cl"), 7) - col("l0")))
+      .withColumn("fit", expr(
+        """aggregate(
+          |  transform(sequence(7, size(cl) - 1),
+          |    t -> array(element_at(cl, t + 1), CAST(t AS DOUBLE))),
+          |  init,
+          |  (a, x) -> transform(sequence(0, 8), k ->
+          |    CASE WHEN k = 0 THEN
+          |      0.3D * (x[0] - a[CAST(x[1] AS INT) % 7 + 2])
+          |        + 0.7D * (a[0] + a[1])
+          |    WHEN k = 1 THEN
+          |      0.1D * ((0.3D * (x[0] - a[CAST(x[1] AS INT) % 7 + 2])
+          |               + 0.7D * (a[0] + a[1])) - a[0]) + 0.9D * a[1]
+          |    WHEN k = CAST(x[1] AS INT) % 7 + 2 THEN
+          |      0.2D * (x[0] - (0.3D * (x[0] - a[CAST(x[1] AS INT) % 7 + 2])
+          |                      + 0.7D * (a[0] + a[1]))) + 0.8D * a[k]
+          |    ELSE a[k] END))""".stripMargin))
+      .withColumn("n", size(col("cl")).cast("long"))
+      .select(col("event_type"), col("n").as("n_obs"),
+        round(expr("fit[0]"), 6).as("level"),
+        round(expr("fit[1]"), 6).as("trend"),
+        round(expr("fit[CAST(n % 7 AS INT) + 2]"), 6).as("season_next"),
+        round(expr("fit[0] + fit[1] + fit[CAST(n % 7 AS INT) + 2]"), 6)
+          .as("forecast_1"),
+        round(expr(
+          "fit[0] + 7.0D * fit[1] + fit[CAST((n + 6) % 7 AS INT) + 2]"), 6)
+          .as("forecast_7"))
+      .orderBy(col("event_type"))
+
+  private val tsHoltWintersSql =
+    """WITH s AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, list(close ORDER BY d) AS cl, count(*) AS n
+      |  FROM s GROUP BY 1),
+      |i0 AS (
+      |  SELECT event_type, cl, n,
+      |    (cl[1] + cl[2] + cl[3] + cl[4] + cl[5] + cl[6] + cl[7])
+      |      / 7.0::DOUBLE AS l0
+      |  FROM l WHERE n >= 15),
+      |i1 AS (
+      |  SELECT *,
+      |    ((cl[8] + cl[9] + cl[10] + cl[11] + cl[12] + cl[13] + cl[14])
+      |      / 7.0::DOUBLE - l0) / 7.0::DOUBLE AS b0
+      |  FROM i0),
+      |f AS (
+      |  SELECT event_type, n,
+      |    list_reduce(
+      |      list_concat(
+      |        [[l0, b0, cl[1] - l0, cl[2] - l0, cl[3] - l0, cl[4] - l0,
+      |          cl[5] - l0, cl[6] - l0, cl[7] - l0]],
+      |        list_transform(range(7, n), t -> [cl[t + 1],
+      |                                          CAST(t AS DOUBLE)])),
+      |      (a, x) -> list_transform(range(0, 9), k ->
+      |        CASE WHEN k = 0 THEN
+      |          0.3::DOUBLE * (x[1] - a[CAST(x[2] AS INT) % 7 + 3])
+      |            + 0.7::DOUBLE * (a[1] + a[2])
+      |        WHEN k = 1 THEN
+      |          0.1::DOUBLE * ((0.3::DOUBLE
+      |              * (x[1] - a[CAST(x[2] AS INT) % 7 + 3])
+      |              + 0.7::DOUBLE * (a[1] + a[2])) - a[1])
+      |            + 0.9::DOUBLE * a[2]
+      |        WHEN k = CAST(x[2] AS INT) % 7 + 2 THEN
+      |          0.2::DOUBLE * (x[1] - (0.3::DOUBLE
+      |              * (x[1] - a[CAST(x[2] AS INT) % 7 + 3])
+      |              + 0.7::DOUBLE * (a[1] + a[2])))
+      |            + 0.8::DOUBLE * a[k + 1]
+      |        ELSE a[k + 1] END)) AS fit
+      |  FROM i1)
+      |SELECT event_type, n AS n_obs,
+      |  round(fit[1], 6) AS level,
+      |  round(fit[2], 6) AS trend,
+      |  round(fit[CAST(n % 7 AS INT) + 3], 6) AS season_next,
+      |  round(fit[1] + fit[2] + fit[CAST(n % 7 AS INT) + 3], 6)
+      |    AS forecast_1,
+      |  round(fit[1] + 7.0::DOUBLE * fit[2]
+      |    + fit[CAST((n + 6) % 7 AS INT) + 3], 6) AS forecast_7
+      |FROM f ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "ts_ohlcv_daily" -> tsOhlcvDaily _,
     "w4_moving_stats" -> w4MovingStats _,
@@ -528,7 +649,8 @@ object TimeSeries {
     "ts_garch_backtest" -> tsGarchBacktest _,
     "ts_diagnostics" -> tsDiagnostics _,
     "ts_order_search" -> tsOrderSearch _,
-    "ts_holt_forecast" -> tsHoltForecast _
+    "ts_holt_forecast" -> tsHoltForecast _,
+    "ts_holt_winters" -> tsHoltWinters _
   )
 
   val oracle: Map[String, String] = Map(
@@ -536,6 +658,7 @@ object TimeSeries {
     "w4_moving_stats" -> w4MovingStatsSql,
     "ts_naive_backtest" -> tsNaiveBacktestSql,
     "ts_diagnostics" -> tsDiagnosticsSql,
-    "ts_holt_forecast" -> tsHoltForecastSql
+    "ts_holt_forecast" -> tsHoltForecastSql,
+    "ts_holt_winters" -> tsHoltWintersSql
   )
 }

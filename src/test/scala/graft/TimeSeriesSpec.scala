@@ -281,4 +281,21 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1 to 4).foreach(i => assert(!r.getDouble(i).isNaN, s"NaN stat at $i"))
     }
   }
+  test("holt-winters: internally consistent state and finite forecasts") {
+    val rows = TimeSeries.queries("ts_holt_winters")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (level, trend) = (r.getAs[Double]("level"), r.getAs[Double]("trend"))
+      val sNext = r.getAs[Double]("season_next")
+      assert(!level.isNaN && !trend.isNaN && !sNext.isNaN)
+      // forecast_1 must equal level + trend + season_next (rounding aside)
+      assert(math.abs(
+        r.getAs[Double]("forecast_1") - (level + trend + sNext)) < 2e-6)
+      // the week-ahead forecast is level + 7·trend plus a bounded
+      // seasonal correction: the seasonal term corrects, never dominates
+      assert(math.abs(
+        r.getAs[Double]("forecast_7") - (level + 7.0 * trend))
+        < math.abs(level) + 1.0)
+    }
+  }
 }
