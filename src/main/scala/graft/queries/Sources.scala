@@ -342,6 +342,48 @@ object Sources {
       |  'docs/' || doc_id || '/part-0.txt' AS first_file
       |FROM mem GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // S14: ZIP archive ingestion (operators.Zip) — the upload/mirror bundle
+  // shape, completing the archive family (WARC crawls, tar drops, zip
+  // uploads). Mixed STORED + DEFLATED members per archive; same
+  // parse-per-task scale contract as s12/s13. Oracle recomputes entry
+  // counts by method, exact decompressed byte totals, and the manifest
+  // text from the fixture formulas. Cross-validated against the system
+  // `unzip` binary in ZipSpec.
+  private def s14ZipIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val members = graft.operators.Zip.parse(
+          graft.operators.Zip.fixturePayload(id))
+        val stored = members.filter(_.method == "stored")
+        (id, members.size.toLong,
+          stored.size.toLong,
+          members.count(_.method == "deflated").toLong,
+          members.map(_.bytes.length.toLong).sum,
+          new String(stored.head.bytes, "UTF-8"))
+      })
+      .toDF("doc_id", "n_entries", "n_stored", "n_deflated",
+        "content_bytes", "manifest")
+      .orderBy(col("doc_id"))
+  }
+
+  private val s14ZipIngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 1 + doc_id % 5 AS n FROM documents),
+      |mem AS (
+      |  SELECT doc_id, n, i,
+      |    9 + strlen(CAST(doc_id AS VARCHAR)) + strlen(CAST(i AS VARCHAR))
+      |      + (doc_id*11 + i) % 80 AS bytes
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(i))
+      |SELECT doc_id, CAST(n + 1 AS BIGINT) AS n_entries,
+      |  CAST(1 AS BIGINT) AS n_stored,
+      |  CAST(n AS BIGINT) AS n_deflated,
+      |  CAST(sum(bytes) + 8 + strlen(CAST(doc_id AS VARCHAR)) AS BIGINT)
+      |    AS content_bytes,
+      |  'archive-' || doc_id AS manifest
+      |FROM mem GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s4_seq_ingest" -> s4SeqIngest _,
     "s7_csv_scan" -> s7CsvScan _,
@@ -349,7 +391,8 @@ object Sources {
     "s8_commit_latency" -> s8CommitLatency _,
     "s10_orc_scan" -> s10OrcScan _,
     "s12_warc_ingest" -> s12WarcIngest _,
-    "s13_tar_ingest" -> s13TarIngest _
+    "s13_tar_ingest" -> s13TarIngest _,
+    "s14_zip_ingest" -> s14ZipIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -359,6 +402,7 @@ object Sources {
     "s8_commit_latency" -> s8CommitLatencySql,
     "s10_orc_scan" -> s10OrcScanSql,
     "s12_warc_ingest" -> s12WarcIngestSql,
-    "s13_tar_ingest" -> s13TarIngestSql
+    "s13_tar_ingest" -> s13TarIngestSql,
+    "s14_zip_ingest" -> s14ZipIngestSql
   )
 }
