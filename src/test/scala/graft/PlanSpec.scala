@@ -409,4 +409,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("event_type"), "filter column missing from scan")
     assert(!plan.contains("props"), "unprojected column leaked into the scan")
   }
+  test("tx_bm25: broadcast query join + heap top-k, no corpus window") {
+    val df = graft.queries.TextOps.queries("tx_bm25")(spark, sfSmoke)
+    df.collect() // finalize the adaptive plan
+    val plan = planOf(df)
+    assert(!plan.contains("Window"),
+      "bm25 must rank via the bounded heap, not a window:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the tiny query table must broadcast into the postings")
+    assert(plan.contains("ObjectHashAggregate"),
+      "top-k must run as the typed heap aggregator")
+  }
+
+  test("sim_rp_project: map-only projection, no shuffle before the sort") {
+    val plan = planOf(
+      SimilarityOps.queries("sim_rp_project")(spark, sfSmoke))
+    // the projection itself is per-row; the ONLY exchange allowed is the
+    // final range partitioning for the display orderBy
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "random projection must not shuffle:\n" + plan.take(2000))
+    assert(!plan.contains("Join"), "no join belongs in a literal projection")
+  }
+
+  test("gr_degree_stats: partial aggregation before the exchange") {
+    val df = graft.queries.GraphOps.queries("gr_degree_stats")(spark, sfSmoke)
+    df.collect()
+    val plan = planOf(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "degree counts must map-side combine:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
