@@ -406,6 +406,72 @@ object Relational {
       |GROUP BY event_type, q ORDER BY event_type, q""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A12: robust statistics + winsorization audit — the numeric-feature
+  // hygiene step of a curation pipeline: p1/p99 clip bounds, winsorized
+  // mean, and the median/MAD outlier count (|x − med| > 3.5·1.4826·MAD,
+  // the robust z-score rule that a spiky sensor or a fat-fingered price
+  // can't drag the way a stddev rule can). Three passes over the table
+  // (bounds → MAD → audit), each a partial-aggregated scan with the tiny
+  // per-group stats broadcast back — the exact-tier audit complement of
+  // a6_approx_quantiles (run THAT continuously; run this when the audit
+  // matters enough to pay the per-group sorts). Cross-engine contract:
+  // thresholds round to 6 dp before any comparison, the winsorized sum
+  // runs in integer micro-units (2-dp inputs and 6-dp bounds are both
+  // exact there), so every count and mean matches DuckDB bit-for-bit.
+  private def a12RobustStats(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"), col("value"))
+    val q = e.groupBy(col("event_type")).agg(
+      round(percentile(col("value"), lit(0.01)), 6).as("p01"),
+      round(percentile(col("value"), lit(0.99)), 6).as("p99"),
+      round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    val e2 = e.join(broadcast(q), Seq("event_type"))
+    val q2 = e2.groupBy(col("event_type")).agg(
+      round(percentile(abs(col("value") - col("med")), lit(0.5)), 6)
+        .as("mad"))
+    e2.join(broadcast(q2), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("p01")).as("p01"), min(col("p99")).as("p99"),
+        min(col("med")).as("median"), min(col("mad")).as("mad"),
+        sum(when(col("value") < col("p01"), lit(1L)).otherwise(lit(0L)))
+          .as("n_below"),
+        sum(when(col("value") > col("p99"), lit(1L)).otherwise(lit(0L)))
+          .as("n_above"),
+        (sum(round(least(greatest(col("value"), col("p01")), col("p99"))
+          * 1e6).cast("long")) / 1e6 / count(lit(1))).as("winsor_mean"),
+        sum(when(abs(col("value") - col("med"))
+          > col("mad") * 3.5 * 1.4826, lit(1L)).otherwise(lit(0L)))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a12RobustStatsSql =
+    """WITH q AS (
+      |  SELECT event_type,
+      |    round(quantile_cont(value, 0.01), 6) AS p01,
+      |    round(quantile_cont(value, 0.99), 6) AS p99,
+      |    round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT e.event_type,
+      |    round(quantile_cont(abs(e.value - q.med), 0.5), 6) AS mad
+      |  FROM events e JOIN q USING (event_type) GROUP BY 1)
+      |SELECT e.event_type,
+      |  min(q.p01) AS p01, min(q.p99) AS p99,
+      |  min(q.med) AS median, min(m.mad) AS mad,
+      |  CAST(sum(CASE WHEN e.value < q.p01 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below,
+      |  CAST(sum(CASE WHEN e.value > q.p99 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above,
+      |  CAST(sum(CAST(round(least(greatest(e.value, q.p01), q.p99)
+      |    * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 / count(*)
+      |    AS winsor_mean,
+      |  CAST(sum(CASE WHEN abs(e.value - q.med) > m.mad * 3.5 * 1.4826
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN q USING (event_type) JOIN m USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Set op: UNION ALL by name (reference §2.8: pandas pd.concat splicing
   // history + forecast frames → unionByName).
   private def setUnionSegments(s: SparkSession, dir: String): DataFrame = {
@@ -856,6 +922,7 @@ object Relational {
     "a2_scalar_max" -> a2ScalarMax _,
     "a6_percentiles" -> a6Percentiles _,
     "a6_approx_quantiles" -> a6ApproxQuantiles _,
+    "a12_robust_stats" -> a12RobustStats _,
     "set_union_segments" -> setUnionSegments _,
     "set_intersect_except" -> setIntersectExcept _,
     "j9_full_outer" -> j9FullOuter _,
@@ -890,6 +957,7 @@ object Relational {
     "a2_scalar_max" -> a2ScalarMaxSql,
     "a6_percentiles" -> a6PercentilesSql,
     "a6_approx_quantiles" -> a6ApproxQuantilesSql,
+    "a12_robust_stats" -> a12RobustStatsSql,
     "set_union_segments" -> setUnionSegmentsSql,
     "set_intersect_except" -> setIntersectExceptSql,
     "j9_full_outer" -> j9FullOuterSql,

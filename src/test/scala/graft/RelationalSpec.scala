@@ -87,4 +87,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("within_bound")))
   }
+  test("robust stats: winsorized mean sits inside the clip bounds") {
+    val rows = Relational
+      .queries("a12_robust_stats")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p01, p99) = (r.getAs[Double]("p01"), r.getAs[Double]("p99"))
+      assert(p01 <= r.getAs[Double]("median") &&
+        r.getAs[Double]("median") <= p99)
+      val wm = r.getAs[Double]("winsor_mean")
+      assert(wm >= p01 && wm <= p99, s"winsorized mean escaped bounds: $r")
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_below") >= 0 && r.getAs[Long]("n_above") >= 0)
+    }
+  }
 }
