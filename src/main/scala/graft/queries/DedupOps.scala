@@ -641,6 +641,81 @@ object DedupOps {
     """SELECT min(doc_id) AS doc_id_kept, md5(text) AS text_hash
       |FROM documents GROUP BY md5(text) ORDER BY doc_id_kept""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // URL canonicalization dedup — the cheapest, highest-yield dedup pass a
+  // crawl pipeline runs BEFORE any content hashing: the same page is
+  // fetched under scheme/case/port/dot-segment/query-order/tracking-param
+  // variants, and canonicalizing the URL collapses them without reading a
+  // byte of content. The corpus carries no URL column, so each doc_id
+  // deterministically takes one of four raw variants (mixed case +
+  // explicit default port + /../ segment + utm params; trailing slash +
+  // utm; plain http; fragment) of a shared target URL; variants 0 and 1
+  // canonicalize identically — the injected duplicates the pass must
+  // find. All pure string expressions (regexp + split/sort/join — no
+  // UDF); the oracle is the CLOSED FORM of the fixture (the s12/s13
+  // pattern): it derives each id's canonical URL and keeper arithmetic
+  // directly, so any normalization slip fails the value compare. Scale
+  // shape: per-row canonicalization inside codegen, one groupBy(canon).
+  private def ddUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 4).as("v"),
+        (col("doc_id") / 4).cast("long").as("k"))
+      .withColumn("url", expr(
+        """CASE CAST(v AS INT)
+          |  WHEN 0 THEN concat('HTTPS://WWW.Example.COM:443/a/b/../c/doc-',
+          |                     k, '?utm_source=feed&x=1')
+          |  WHEN 1 THEN concat('https://www.example.com/a/c/doc-', k,
+          |                     '?x=1')
+          |  WHEN 2 THEN concat('http://Example.com:80/a/c/doc-', k,
+          |                     '/?x=1&utm_campaign=q')
+          |  ELSE concat('https://example.com/a/c/doc-', k, '#section')
+          |END""".stripMargin))
+    val canon = raw
+      .withColumn("scheme",
+        lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1)))
+      .withColumn("hostport",
+        lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)))
+      .withColumn("host", regexp_replace(
+        when(col("scheme") === "https",
+          regexp_replace(col("hostport"), ":443$", ""))
+          .otherwise(regexp_replace(col("hostport"), ":80$", "")),
+        "^www\\.", ""))
+      .withColumn("path", regexp_replace(
+        regexp_replace(
+          regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1),
+          "[^/]+/\\.\\./", ""),
+        "(.)/$", "$1"))
+      .withColumn("q", regexp_extract(col("url"), "\\?([^#]*)", 1))
+      .withColumn("q2", array_join(array_sort(
+        filter(split(col("q"), "&"),
+          p => !p.startsWith("utm_") && p =!= lit(""))), "&"))
+      .withColumn("canonical", concat(
+        col("scheme"), lit("://"), col("host"), col("path"),
+        when(col("q2") =!= "", concat(lit("?"), col("q2")))
+          .otherwise(lit(""))))
+    canon.groupBy(col("canonical"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_variants"))
+      .orderBy(col("keeper_id"))
+  }
+
+  // Closed form of the fixture: variants 0/1 of each k collapse to the
+  // same canonical (https, stripped www/port/../utm, sorted residual
+  // query), variants 2/3 stay singletons. Keeper = min doc_id.
+  private val ddUrlDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 4 AS v, doc_id // 4 AS k FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    CASE v
+      |      WHEN 2 THEN 'http://example.com/a/c/doc-' || k || '?x=1'
+      |      WHEN 3 THEN 'https://example.com/a/c/doc-' || k
+      |      ELSE 'https://example.com/a/c/doc-' || k || '?x=1'
+      |    END AS canonical
+      |  FROM d)
+      |SELECT canonical, min(doc_id) AS keeper_id, count(*) AS n_variants
+      |FROM canon GROUP BY canonical ORDER BY keeper_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dd_exact" -> ddExact _,
     "dd_ngram_jaccard" -> ddNgramJaccard _,
@@ -648,6 +723,7 @@ object DedupOps {
     "dd_minhash_lsh" -> ddMinhashLsh _,
     "dd_simhash" -> ddSimhash _,
     "dd_dedup_keep" -> ddDedupKeep _,
+    "dd_url_dedup" -> ddUrlDedup _,
     "st_incremental_dedup" -> stIncrementalDedup _,
     "st_incremental_neardup" -> stIncrementalNearDup _
   )
@@ -659,6 +735,7 @@ object DedupOps {
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_dedup_keep" -> ddDedupKeepSql,
+    "dd_url_dedup" -> ddUrlDedupSql,
     "st_incremental_dedup" -> stIncrementalDedupSql,
     "st_incremental_neardup" -> stIncrementalNearDupSql
   )

@@ -615,6 +615,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(o <= 0.2, s"unrelated ($u,$v) share $o of fingerprints")
   }
 
+  test("url dedup: scheme/port/case/dot-segment/utm variants collapse") {
+    val rows = DedupOps.queries("dd_url_dedup")(spark, sfSmoke).collect()
+    val n = Tables.t(spark, sfSmoke, "documents").count()
+    // 4 variants per target: v0+v1 collapse, v2 and v3 stay singletons
+    assert(rows.map(_.getAs[Long]("n_variants")).sum == n)
+    val pairs = rows.filter(_.getAs[Long]("n_variants") == 2)
+    assert(pairs.nonEmpty, "no collapsed variant pairs found")
+    // every pair's keeper is a v0 id and its canonical is the https form
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("keeper_id") % 4 == 0)
+      val c = r.getAs[String]("canonical")
+      assert(c.startsWith("https://example.com/") && c.endsWith("?x=1"), c)
+      assert(!c.contains("www.") && !c.contains("utm") && !c.contains(".."))
+    }
+  }
+
   test("tfidf terms: top-3 per doc, terms drawn from the doc itself") {
     val rows = TextOps.queries("tx_tfidf_terms")(spark, sfSmoke).collect()
     val docs = Tables.t(spark, sfSmoke, "documents")
