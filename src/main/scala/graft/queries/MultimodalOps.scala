@@ -279,6 +279,79 @@ object MultimodalOps {
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Perceptual-hash image dedup (average hash over the decode → thumbnail
+  // chain) — the image modality's dd_exact: a 64-bit aHash (bit k = 1 iff
+  // thumbnail pixel k exceeds the integer-mean) collapses re-encoded /
+  // renamed copies of the same picture without comparing a single pixel
+  // pair, and grouping by the hash IS the dedup — O(N), no pairwise
+  // stage. The fixture family genuinely contains duplicates: dims cycle
+  // with id mod 20 and block values with id mod 64, so ids congruent
+  // mod 320 decode to byte-identical images and MUST collapse. The hash
+  // is emitted as two unsigned 32-bit halves (hi/lo) so no sign-bit
+  // wrap enters the cross-engine compare; mean is `sum div 64` (integer,
+  // order-free). Fully oracled: the closed-form thumbnail pixels let
+  // DuckDB recompute every hash bit — a decode slip, NN-map bug, or
+  // threshold off-by-one flips a bit and fails the value compare.
+  private def mmAhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = graft.multimodal.Jpeg.decode(
+          graft.multimodal.Jpeg.fixturePayload(id))
+        val thumb = new Array[Long](64)
+        var j = 0
+        while (j < 8) {
+          val sy = j * img.height / 8
+          var i = 0
+          while (i < 8) {
+            thumb(j * 8 + i) = img.pixels(sy * img.width + i * img.width / 8)
+            i += 1
+          }
+          j += 1
+        }
+        val mean = thumb.sum / 64
+        var hi = 0L; var lo = 0L
+        var k = 0
+        while (k < 64) {
+          if (thumb(k) > mean) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        (id, hi, lo)
+      })
+      .toDF("doc_id", "ahash_hi", "ahash_lo")
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_images"))
+      .orderBy(col("keeper_id"))
+  }
+
+  private val mmAhashDedupSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 8*(2 + doc_id % 5) AS w, 8*(2 + (doc_id*3) % 4) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, j*8 + i AS k,
+      |    128 + 2*(((doc_id + 7*(((i*w//8))//8) + 13*(((j*h//8))//8)) % 64)
+      |      - 32) AS v
+      |  FROM dims,
+      |    unnest(generate_series(0, 7)) t1(i),
+      |    unnest(generate_series(0, 7)) t2(j)),
+      |m AS (SELECT doc_id, sum(v) // 64 AS mean FROM px GROUP BY 1),
+      |bits AS (
+      |  SELECT px.doc_id,
+      |    CAST(sum(CASE WHEN px.v > m.mean AND px.k >= 32
+      |      THEN (1::BIGINT << (px.k - 32)) ELSE 0 END) AS BIGINT)
+      |      AS ahash_hi,
+      |    CAST(sum(CASE WHEN px.v > m.mean AND px.k < 32
+      |      THEN (1::BIGINT << px.k) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id)
+      |SELECT ahash_hi, ahash_lo, min(doc_id) AS keeper_id,
+      |  count(*) AS n_images
+      |FROM bits GROUP BY ahash_hi, ahash_lo ORDER BY keeper_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // GIF frame index — frame sampling against a REAL container: the block
   // walk records each image descriptor's byte offset (no LZW decode), so
   // a video-style sampler can seek straight to frame k. The fixture GIFs
@@ -683,6 +756,7 @@ object MultimodalOps {
     "mm_decode_batch" -> mmDecodeBatch _,
     "mm_decode_color" -> mmDecodeColor _,
     "mm_thumbnail_jpeg" -> mmThumbnailJpeg _,
+    "mm_ahash_dedup" -> mmAhashDedup _,
     "mm_audio_features" -> mmAudioFeatures _,
     "mm_audio_spectrum" -> mmAudioSpectrum _,
     "mm_gif_frames" -> mmGifFrames _,
@@ -702,6 +776,7 @@ object MultimodalOps {
     "mm_decode_batch" -> mmDecodeBatchSql,
     "mm_decode_color" -> mmDecodeColorSql,
     "mm_thumbnail_jpeg" -> mmThumbnailJpegSql,
+    "mm_ahash_dedup" -> mmAhashDedupSql,
     "mm_audio_features" -> mmAudioFeaturesSql,
     "mm_audio_spectrum" -> mmAudioSpectrumSql,
     "mm_gif_frames" -> mmGifFramesSql,

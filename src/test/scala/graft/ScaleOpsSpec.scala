@@ -615,6 +615,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(o <= 0.2, s"unrelated ($u,$v) share $o of fingerprints")
   }
 
+  test("ahash dedup: byte-identical images (ids = mod 320) collapse") {
+    val rows = MultimodalOps.queries("mm_ahash_dedup")(spark, sfSmoke)
+      .collect()
+    val n = Tables.t(spark, sfSmoke, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_images")).sum == n)
+    assert(rows.length < n, "no perceptual collapse at all")
+    // ids congruent mod 320 decode to byte-identical images, so no such
+    // id can LEAD a hash group — its mod-320 twin has the smaller id
+    if (n > 320) {
+      val keepers = rows.map(_.getAs[Long]("keeper_id")).toSet
+      (320L until n).foreach { id =>
+        assert(!keepers.contains(id),
+          s"id $id should collapse into id ${id - 320}'s group")
+      }
+    }
+  }
+
   test("url dedup: scheme/port/case/dot-segment/utm variants collapse") {
     val rows = DedupOps.queries("dd_url_dedup")(spark, sfSmoke).collect()
     val n = Tables.t(spark, sfSmoke, "documents").count()
