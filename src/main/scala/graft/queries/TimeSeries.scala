@@ -640,6 +640,72 @@ object TimeSeries {
       |FROM f ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Classical seasonal decomposition (STL-lite: moving-average trend →
+  // weekday-mean seasonal → residual) over the daily close — the
+  // decomposition every seasonality inspection starts with, and the
+  // additive counterpart of ts_holt_winters' fitted state. Determinism
+  // contract: the trend is an exact integer cents-sum over the centered
+  // 7-day window divided once (no running float sum), the weekday
+  // seasonal means sum in integer micro-units (order-free across
+  // partials), and weekday indexing uses days-since-epoch mod 7 (Spark's
+  // dayofweek and DuckDB's disagree on Sunday). Rows without a full
+  // centered window are dropped identically on both engines. Per-key
+  // windows shard by event_type — no global sort.
+  private def tsDecompose(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val centered = w.rowsBetween(-3, 3)
+    val base = dailyClose(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nk", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("trend",
+        sum(round(col("close") * 100).cast("long")).over(centered)
+          / 100.0 / 7.0)
+      .filter(col("rn") >= 4 && col("rn") <= col("nk") - 3)
+      .withColumn("wd",
+        pmod(datediff(col("d"), to_date(lit("1970-01-01"))), lit(7)))
+      .withColumn("det_micro",
+        round((col("close") - col("trend")) * 1e6).cast("long"))
+    val seasonal = base.groupBy(col("event_type"), col("wd"))
+      .agg((sum(col("det_micro")) / 1e6 / count(lit(1))).as("seasonal_raw"))
+      .withColumn("seasonal", round(col("seasonal_raw"), 6))
+    base.join(seasonal, Seq("event_type", "wd"))
+      .select(col("event_type"), col("d"), col("close"),
+        round(col("trend"), 6).as("trend"), col("seasonal"),
+        round(col("close") - col("trend") - col("seasonal"), 6)
+          .as("resid"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  private val tsDecomposeSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, arg_max(value, ts) AS close
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, d, close,
+      |    row_number() OVER w AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS nk,
+      |    sum(CAST(round(close*100) AS BIGINT))
+      |      OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |      / 100.0 / 7.0 AS trend
+      |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+      |base AS (
+      |  SELECT event_type, d, close, trend,
+      |    (d - DATE '1970-01-01') % 7 AS wd,
+      |    CAST(round((close - trend) * 1000000) AS BIGINT) AS det_micro
+      |  FROM tr WHERE rn >= 4 AND rn <= nk - 3),
+      |seas AS (
+      |  SELECT event_type, wd,
+      |    round(CAST(sum(det_micro) AS BIGINT) / 1000000.0 / count(*), 6)
+      |      AS seasonal
+      |  FROM base GROUP BY 1, 2)
+      |SELECT b.event_type, b.d, b.close,
+      |  round(b.trend, 6) AS trend, s.seasonal,
+      |  round(b.close - b.trend - s.seasonal, 6) AS resid
+      |FROM base b JOIN seas s USING (event_type, wd)
+      |ORDER BY b.event_type, b.d""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "ts_ohlcv_daily" -> tsOhlcvDaily _,
     "w4_moving_stats" -> w4MovingStats _,
@@ -650,7 +716,8 @@ object TimeSeries {
     "ts_diagnostics" -> tsDiagnostics _,
     "ts_order_search" -> tsOrderSearch _,
     "ts_holt_forecast" -> tsHoltForecast _,
-    "ts_holt_winters" -> tsHoltWinters _
+    "ts_holt_winters" -> tsHoltWinters _,
+    "ts_decompose" -> tsDecompose _
   )
 
   val oracle: Map[String, String] = Map(
@@ -659,6 +726,7 @@ object TimeSeries {
     "ts_naive_backtest" -> tsNaiveBacktestSql,
     "ts_diagnostics" -> tsDiagnosticsSql,
     "ts_holt_forecast" -> tsHoltForecastSql,
-    "ts_holt_winters" -> tsHoltWintersSql
+    "ts_holt_winters" -> tsHoltWintersSql,
+    "ts_decompose" -> tsDecomposeSql
   )
 }

@@ -298,4 +298,20 @@ class TimeSeriesSpec extends AnyFunSuite {
         < math.abs(level) + 1.0)
     }
   }
+  test("decomposition: components rebuild the series; seasonal sums ~0") {
+    val rows = TimeSeries.queries("ts_decompose")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rebuilt = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("resid")
+      assert(math.abs(rebuilt - r.getAs[Double]("close")) < 1e-4,
+        s"components do not rebuild the close: $r")
+    }
+    // weekday seasonal effects per key average out by construction
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (k, rs) =>
+      val resids = rs.map(_.getAs[Double]("resid"))
+      val meanResid = resids.sum / resids.length
+      assert(math.abs(meanResid) < 1.0, s"$k residual mean drifted")
+    }
+  }
 }
