@@ -862,6 +862,64 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // Corpus drift report — the between-crawls diff a pipeline runs before
+  // mixing a new snapshot into training data: split the corpus into two
+  // epochs (even/odd doc_id stands in for old/new crawl), count every
+  // term per epoch, and report the add-half smoothed rate ratio
+  // ((n_new+1)/(tokens_new+V)) / ((n_old+1)/(tokens_old+V)) — a
+  // vocabulary item whose ratio drifts far from 1 flags template churn,
+  // a new spam pattern, or a scraper change. All integer-derived
+  // arithmetic (counts and totals), so the doubles match cross-engine
+  // with the expression order mirrored; fully DuckDB-oracled. Scale
+  // shape: one explode + one (term, epoch) groupBy with map-side
+  // partials; the three corpus scalars broadcast.
+  private def txDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val toks = docTerms(s, dir)
+      .withColumn("epoch", (col("doc_id") % 2).cast("int"))
+    val counts = toks.groupBy(col("term"))
+      .agg(
+        sum(when(col("epoch") === 0, lit(1L)).otherwise(lit(0L)))
+          .as("n_old"),
+        sum(when(col("epoch") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_new"))
+    val totals = toks.agg(
+      sum(when(col("epoch") === 0, lit(1L)).otherwise(lit(0L))).as("t_old"),
+      sum(when(col("epoch") === 1, lit(1L)).otherwise(lit(0L))).as("t_new"),
+      countDistinct(col("term")).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("term"), col("n_old"), col("n_new"),
+        round(((col("n_new") + lit(1.0)) / (col("t_new") + col("v")))
+          / ((col("n_old") + lit(1.0)) / (col("t_old") + col("v"))), 6)
+          .as("rate_ratio"))
+      .orderBy(col("term"))
+  }
+
+  private val txDriftReportSql =
+    """WITH tok AS (
+      |  SELECT doc_id, CAST(doc_id % 2 AS INT) AS epoch,
+      |    unnest(string_split_regex(text, '\s+')) AS term
+      |  FROM documents),
+      |counts AS (
+      |  SELECT term,
+      |    CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_old,
+      |    CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new
+      |  FROM tok GROUP BY 1),
+      |totals AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS t_old,
+      |    CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS t_new,
+      |    count(DISTINCT term) AS v
+      |  FROM tok)
+      |SELECT term, n_old, n_new,
+      |  round(((n_new + 1.0) / (t_new + v)) / ((n_old + 1.0) / (t_old + v)),
+      |    6) AS rate_ratio
+      |FROM counts CROSS JOIN totals ORDER BY term""".stripMargin
+
+  // ---------------------------------------------------------------------
   val queries: Map[String, Q] = Map(
     "tx_fingerprint" -> txFingerprint _,
     "tx_quality" -> txQuality _,
@@ -878,7 +936,8 @@ object TextOps {
     "tx_redact" -> txRedact _,
     "tx_heavy_hitters" -> txHeavyHitters _,
     "tx_tfidf_terms" -> txTfidfTerms _,
-    "tx_bm25" -> txBm25 _
+    "tx_bm25" -> txBm25 _,
+    "tx_drift_report" -> txDriftReport _
   )
 
   val oracle: Map[String, String] = Map(
@@ -897,6 +956,7 @@ object TextOps {
     "tx_winnow" -> txWinnowSql,
     "tx_winnow_pairs" -> txWinnowPairsSql,
     "tx_tfidf_terms" -> txTfidfTermsSql,
-    "tx_bm25" -> txBm25Sql
+    "tx_bm25" -> txBm25Sql,
+    "tx_drift_report" -> txDriftReportSql
   )
 }

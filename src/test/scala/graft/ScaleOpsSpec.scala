@@ -632,6 +632,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("drift report: every corpus term appears, ratios near 1 for balance") {
+    val rows = TextOps.queries("tx_drift_report")(spark, sfSmoke).collect()
+    import spark.implicits._
+    val vocab = Tables.t(spark, sfSmoke, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .distinct().count()
+    assert(rows.length == vocab)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("rate_ratio")
+      assert(ratio > 0.0, s"ratio must be positive: $r")
+      // the even/odd split is a random halving, so no common term should
+      // drift an order of magnitude; rare terms can swing a few-fold
+      val n = r.getAs[Long]("n_old") + r.getAs[Long]("n_new")
+      if (n > 100) assert(ratio > 0.5 && ratio < 2.0, s"drifted: $r")
+    }
+  }
+
   test("url dedup: scheme/port/case/dot-segment/utm variants collapse") {
     val rows = DedupOps.queries("dd_url_dedup")(spark, sfSmoke).collect()
     val n = Tables.t(spark, sfSmoke, "documents").count()
