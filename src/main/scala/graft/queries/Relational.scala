@@ -472,6 +472,109 @@ object Relational {
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Ordered funnel analysis (view → click → purchase) — the product-
+  // analytics staple: a user counts at stage k only if the stage-k event
+  // happened STRICTLY AFTER their stage-(k−1) entry (first-touch
+  // attribution, so a purchase before any click never inflates the
+  // funnel). Three chained conditional aggregations, each keyed on
+  // user_id — the same shuffle key throughout, so at scale the three
+  // hops reuse one co-partitioning; no windows, no self-joins over the
+  // raw event stream. Exact timestamps and integer counts → fully
+  // DuckDB-oracled including the conversion ratios.
+  private def anFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.join(t1, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.join(t2, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val stages = t1.agg(count(lit(1)).as("n")).select(
+        lit("1_view").as("stage"), col("n"))
+      .unionByName(t2.agg(count(lit(1)).as("n")).select(
+        lit("2_click").as("stage"), col("n")))
+      .unionByName(t3.agg(count(lit(1)).as("n")).select(
+        lit("3_purchase").as("stage"), col("n")))
+    val top = t1.agg(count(lit(1)).as("n_top"))
+    stages.crossJoin(broadcast(top))
+      .select(col("stage"), col("n").as("n_users"),
+        round(col("n") / col("n_top").cast("double"), 6).as("conv_rate"))
+      .orderBy(col("stage"))
+  }
+
+  private val anFunnelSql =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN t1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN t2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+      |stages AS (
+      |  SELECT '1_view' AS stage, count(*) AS n FROM t1
+      |  UNION ALL SELECT '2_click', count(*) FROM t2
+      |  UNION ALL SELECT '3_purchase', count(*) FROM t3),
+      |top AS (SELECT count(*) AS n_top FROM t1)
+      |SELECT stage, n AS n_users,
+      |  round(n / CAST(n_top AS DOUBLE), 6) AS conv_rate
+      |FROM stages CROSS JOIN top ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Cohort retention — the other product-analytics staple: users grouped
+  // by first-seen date, retention = the fraction of each cohort active
+  // again exactly k days later (k = 0..7). First-seen is one aggregate;
+  // activity joins back on user_id (same co-partitioning); the distinct
+  // (cohort, offset, user) collapse is a partial-aggregated groupBy.
+  // Integer counts and one division → fully DuckDB-oracled.
+  private def anCohort(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    val sizes = first.groupBy(col("cohort_d"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val active = e.join(first, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("d"), col("cohort_d")).cast("long"))
+      .filter(col("day_offset") >= 0 && col("day_offset") <= 7)
+      .select(col("cohort_d"), col("day_offset"), col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_d"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(sizes, Seq("cohort_d"))
+      .select(col("cohort_d"), col("day_offset"), col("n_active"),
+        round(col("n_active") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_d"), col("day_offset"))
+  }
+
+  private val anCohortSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |first AS (
+      |  SELECT user_id, min(d) AS cohort_d FROM e GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_d, count(*) AS cohort_size FROM first GROUP BY 1),
+      |active AS (
+      |  SELECT cohort_d, day_offset, count(*) AS n_active FROM (
+      |    SELECT DISTINCT f.cohort_d, e.d - f.cohort_d AS day_offset,
+      |      e.user_id
+      |    FROM e JOIN first f USING (user_id)
+      |    WHERE e.d - f.cohort_d BETWEEN 0 AND 7)
+      |  GROUP BY 1, 2)
+      |SELECT a.cohort_d, CAST(a.day_offset AS BIGINT) AS day_offset,
+      |  a.n_active,
+      |  round(a.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+      |FROM active a JOIN sizes s USING (cohort_d)
+      |ORDER BY cohort_d, day_offset""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Set op: UNION ALL by name (reference §2.8: pandas pd.concat splicing
   // history + forecast frames → unionByName).
   private def setUnionSegments(s: SparkSession, dir: String): DataFrame = {
@@ -923,6 +1026,8 @@ object Relational {
     "a6_percentiles" -> a6Percentiles _,
     "a6_approx_quantiles" -> a6ApproxQuantiles _,
     "a12_robust_stats" -> a12RobustStats _,
+    "an_funnel" -> anFunnel _,
+    "an_cohort" -> anCohort _,
     "set_union_segments" -> setUnionSegments _,
     "set_intersect_except" -> setIntersectExcept _,
     "j9_full_outer" -> j9FullOuter _,
@@ -958,6 +1063,8 @@ object Relational {
     "a6_percentiles" -> a6PercentilesSql,
     "a6_approx_quantiles" -> a6ApproxQuantilesSql,
     "a12_robust_stats" -> a12RobustStatsSql,
+    "an_funnel" -> anFunnelSql,
+    "an_cohort" -> anCohortSql,
     "set_union_segments" -> setUnionSegmentsSql,
     "set_intersect_except" -> setIntersectExceptSql,
     "j9_full_outer" -> j9FullOuterSql,

@@ -101,4 +101,22 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_below") >= 0 && r.getAs[Long]("n_above") >= 0)
     }
   }
+  test("funnel is monotone and cohort retention starts at 1.0") {
+    val f = Relational.queries("an_funnel")(spark, sfSmoke).collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(f.length == 3)
+    val ns = f.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), "funnel stages must shrink")
+    assert(f.head.getAs[Double]("conv_rate") == 1.0)
+    val c = Relational.queries("an_cohort")(spark, sfSmoke).collect()
+    assert(c.nonEmpty)
+    c.filter(_.getAs[Long]("day_offset") == 0).foreach { r =>
+      assert(r.getAs[Double]("retention") == 1.0,
+        s"day-0 retention must be 1.0: $r")
+    }
+    c.foreach { r =>
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+  }
 }
