@@ -612,6 +612,109 @@ object Analytics {
     mapGroupsProfiles(s, dir, s"$dir/events*.parquet", Some(1))
 
   // ---------------------------------------------------------------------
+  // Streaming ordered-funnel detection (view → click → purchase) — the
+  // CEP (complex-event-processing) tier of the stateful family: a per-
+  // user state machine over an UNORDERED event stream, anchored to the
+  // batch funnel's closed form (an_funnel), so the streamed result must
+  // equal the batch answer under any trigger slicing. Arrival order is
+  // the crux: a later-arriving EARLIER view can newly admit clicks that
+  // were already seen, so the sufficient state is (min view ts, click ts
+  // multiset, purchase ts multiset), re-deriving (t1, t2, t3) per
+  // emission — events per user bound the state here; a production
+  // deployment bounds it with the watermark (events older than the
+  // watermark can be folded irrevocably). Same update-mode + batch-id +
+  // latest-emission-per-user read-back contract as st_mapgroups_state.
+  private def stFunnelStream(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StateTuning.withStatePartitions(s,
+        graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      Trigger}
+    import s.implicits._
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-funnel-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val events = graft.Tables.eventsStream(s, dir,
+        Map("maxFilesPerTrigger" -> "1"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .as[(Long, String, Long)]
+    type St = (Long, Seq[Long], Seq[Long]) // (minView, clicks, purchases)
+    val update = (user: Long, it: Iterator[(Long, String, Long)],
+        state: GroupState[St]) => {
+      var (mv, clicks, purch) = state.getOption
+        .getOrElse((Long.MaxValue, Seq.empty[Long], Seq.empty[Long]))
+      it.foreach {
+        case (_, "view", us) => mv = math.min(mv, us)
+        case (_, "click", us) => clicks = clicks :+ us
+        case (_, _, us) => purch = purch :+ us
+      }
+      state.update((mv, clicks, purch))
+      val t1 = if (mv == Long.MaxValue) None else Some(mv)
+      val t2 = t1.flatMap(a => clicks.filter(_ > a).minOption)
+      val t3 = t2.flatMap(b => purch.filter(_ > b).minOption)
+      (user, t1.isDefined, t2.isDefined, t3.isDefined)
+    }
+    val reached = events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Seq[Long], Seq[Long]),
+        (Long, Boolean, Boolean, Boolean)](
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "s1", "s2", "s3")
+    val q = reached.writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$work/out")
+      }
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fin = s.read.parquet(s"$work/out")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("s1"), col("s2"), col("s3")), col("batch_id"))
+        .as("p"))
+    val agg = fin.agg(
+      sum(when(col("p.s1"), lit(1L)).otherwise(lit(0L))).as("n1"),
+      sum(when(col("p.s2"), lit(1L)).otherwise(lit(0L))).as("n2"),
+      sum(when(col("p.s3"), lit(1L)).otherwise(lit(0L))).as("n3"))
+    graft.streaming.WorkDirs.materializeAndClean(
+      agg.select(explode(array(
+          struct(lit("1_view").as("stage"), col("n1").as("n_users")),
+          struct(lit("2_click").as("stage"), col("n2").as("n_users")),
+          struct(lit("3_purchase").as("stage"), col("n3").as("n_users"))))
+          .as("st"), col("n1"))
+        .select(col("st.stage").as("stage"),
+          col("st.n_users").as("n_users"),
+          round(col("st.n_users") / col("n1").cast("double"), 6)
+            .as("conv_rate"))
+        .orderBy(col("stage")), work)
+  }
+
+  // Identical closed form to an_funnel (Relational) — the streamed state
+  // machine must land on the batch answer under any trigger slicing.
+  private val stFunnelStreamSql =
+    """WITH t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN t1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN t2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+      |stages AS (
+      |  SELECT '1_view' AS stage, count(*) AS n FROM t1
+      |  UNION ALL SELECT '2_click', count(*) FROM t2
+      |  UNION ALL SELECT '3_purchase', count(*) FROM t3),
+      |top AS (SELECT count(*) AS n_top FROM t1)
+      |SELECT stage, n AS n_users,
+      |  round(n / CAST(n_top AS DOUBLE), 6) AS conv_rate
+      |FROM stages CROSS JOIN top ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
   // The SAME profile on Spark 4's transformWithState — the successor
   // arbitrary-state API (typed ValueState handles, RocksDB-required,
   // TTL/timers available). Pinning both APIs to one oracle proves the
@@ -1225,6 +1328,7 @@ object Analytics {
     "st_rocksdb_dedup" -> stRocksdbDedup _,
     "st_expect_stream" -> stExpectStream _,
     "st_mapgroups_state" -> stMapgroupsState _,
+    "st_funnel_stream" -> stFunnelStream _,
     "st_transform_state" -> stTransformState _,
     "st_transform_ttl" -> stTransformTtl _,
     "st_transform_list" -> stTransformList _,
@@ -1249,6 +1353,7 @@ object Analytics {
     "st_rocksdb_dedup" -> stRocksdbDedupSql,
     "st_expect_stream" -> stExpectStreamSql,
     "st_mapgroups_state" -> stMapgroupsStateSql,
+    "st_funnel_stream" -> stFunnelStreamSql,
     "st_transform_state" -> stMapgroupsStateSql,
     "st_transform_ttl" -> stMapgroupsStateSql,
     "st_transform_list" -> stTransformListSql,

@@ -351,4 +351,14 @@ class StreamingSpec extends AnyFunSuite {
       "the bootstrap quantizer must stay frozen across restarts")
     graft.streaming.WorkDirs.deleteRecursively(new java.io.File(work))
   }
+  test("streaming funnel equals the batch funnel under 1-file triggers") {
+    val streamed = graft.queries.Analytics
+      .queries("st_funnel_stream")(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val batch = graft.queries.Relational
+      .queries("an_funnel")(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.toSeq} != batch ${batch.toSeq}")
+  }
 }
