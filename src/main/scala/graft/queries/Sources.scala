@@ -384,7 +384,83 @@ object Sources {
       |  'archive-' || doc_id AS manifest
       |FROM mem GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // S15: XML ingestion through Spark 4's NATIVE XML data source — the
+  // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
+  // archive family. Unlike s12–s14 (byte-framing formats that need a
+  // parser per task), XML is a first-class Spark source since 4.0: the
+  // fixture is a deterministic multi-file sitemap corpus and the query is
+  // a declarative `format("xml")` scan with an EXPLICIT schema (rowTag
+  // streaming parse — files split across tasks, no whole-corpus DOM) plus
+  // attribute extraction (`_seq`), date parsing, and an exact integer
+  // rollup. The oracle recomputes every row from the fixture formulas.
+
+  /** Build-once sitemap fixture: 4 files × 125 `<url>` entries, every
+    * field a closed-form function of the url ordinal. `_SUCCESS` written
+    * last guards torn fixtures (same contract as [[ensureCsvFixture]]).
+    */
+  def ensureXmlFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-xml-${graft.Tables.fingerprint(dir, "documents")}")
+    val done = new java.io.File(tmp, "_SUCCESS")
+    if (!done.exists()) {
+      tmp.mkdirs()
+      val freqs = Array("daily", "weekly", "monthly")
+      for (f <- 0 until 4) {
+        val sb = new StringBuilder
+        sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset>\n"
+        for (j <- 0 until 125) {
+          val i = f * 125 + j
+          val lastmod = java.time.LocalDate.of(2024, 1, 1).plusDays(i % 365)
+          sb ++= s"""  <url seq="$i"><loc>https://host${i % 7}.example.com/page/$i</loc>"""
+          sb ++= s"<lastmod>$lastmod</lastmod>"
+          sb ++= s"<priority>0.${1 + i % 9}</priority>"
+          sb ++= s"<changefreq>${freqs(i % 3)}</changefreq></url>\n"
+        }
+        sb ++= "</urlset>\n"
+        java.nio.file.Files.write(
+          new java.io.File(tmp, s"sitemap-$f.xml").toPath,
+          sb.toString.getBytes("UTF-8"))
+      }
+      done.createNewFile()
+    }
+    tmp.getAbsolutePath
+  }
+
+  private def s15XmlIngest(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureXmlFixture(s, dir)
+    val schema = StructType(Seq(
+      StructField("_seq", LongType),
+      StructField("loc", StringType),
+      StructField("lastmod", DateType),
+      StructField("priority", DoubleType),
+      StructField("changefreq", StringType)))
+    s.read.format("xml").option("rowTag", "url").schema(schema).load(tmp)
+      .withColumn("host", regexp_extract(col("loc"), "https://([^/]+)/", 1))
+      .groupBy(col("host"), col("changefreq"))
+      .agg(count(lit(1)).as("n_urls"),
+        min(col("_seq")).as("min_seq"),
+        max(col("lastmod")).as("max_lastmod"),
+        sum(round(col("priority") * 10).cast("long")).as("prio_tenths"))
+      .orderBy(col("host"), col("changefreq"))
+  }
+
+  private val s15XmlIngestSql =
+    """WITH u AS (
+      |  SELECT i, 'host' || (i % 7) || '.example.com' AS host,
+      |    CASE i % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+      |         ELSE 'monthly' END AS changefreq,
+      |    DATE '2024-01-01' + CAST(i % 365 AS INTEGER) AS lastmod,
+      |    1 + i % 9 AS tenths
+      |  FROM unnest(generate_series(0, 499)) t(i))
+      |SELECT host, changefreq, count(*) AS n_urls,
+      |  CAST(min(i) AS BIGINT) AS min_seq,
+      |  max(lastmod) AS max_lastmod,
+      |  CAST(sum(tenths) AS BIGINT) AS prio_tenths
+      |FROM u GROUP BY host, changefreq ORDER BY host, changefreq""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s15_xml_ingest" -> s15XmlIngest _,
     "s4_seq_ingest" -> s4SeqIngest _,
     "s7_csv_scan" -> s7CsvScan _,
     "s8_commit_stats" -> s8CommitStats _,
@@ -396,6 +472,7 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s15_xml_ingest" -> s15XmlIngestSql,
     "s4_seq_ingest" -> s4SeqIngestSql,
     "s7_csv_scan" -> s7CsvScanSql,
     "s8_commit_stats" -> s8CommitStatsSql,
