@@ -125,13 +125,68 @@ object GraphOps {
       |SELECT indeg, count(*) AS n_nodes FROM deg
       |GROUP BY indeg ORDER BY indeg""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Connected components as a first-class GRAPH query (the dedup keep-
+  // manifests use operators.Components internally; this row exposes the
+  // operator itself, fully oracled). The multigraph above is one giant
+  // component (the permutation edge guarantees connectivity), so this
+  // query uses the pinned BLOCK-LOCAL sparse graph instead: every doc_id
+  // i in a complete 16-node block gets one edge to
+  // blockStart + ((i·5+3) mod 16) — the functional graph inside each
+  // block splits into several genuine components, trailing nodes past
+  // the last complete block are edge-free singletons, and component
+  // diameter is ≤ 16, so the DuckDB oracle's transitive closure is
+  // bounded while the Spark side runs the real large-star/small-star
+  // machinery (O(log n) rounds at any diameter; the ≤1M-edge driver
+  // union-find guard applies at oracle scale, both paths spec-covered in
+  // ScaleOpsSpec).
+  private def grComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = nodes(s, dir).localCheckpoint()
+    val n = docs.count()
+    val nfull = n - (n % 16)
+    val pairs = docs.filter(col("doc_id") < nfull)
+      .select(col("doc_id").as("id_a"),
+        ((col("doc_id") - pmod(col("doc_id"), lit(16))) +
+          pmod(col("doc_id") * 5 + 3, lit(16))).as("id_b"))
+    val comp = graft.operators.Components.resolve(pairs)
+    docs.join(comp, docs("doc_id") === comp("id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("component_id"))
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("component_id"))
+  }
+
+  private val grComponentsSql =
+    """WITH RECURSIVE nn AS (
+      |  SELECT count(*) - (count(*) % 16) AS nfull FROM documents),
+      |docs AS (SELECT doc_id FROM documents),
+      |e0 AS (
+      |  SELECT doc_id AS u,
+      |    (doc_id - doc_id % 16) + ((doc_id*5 + 3) % 16) AS v
+      |  FROM docs, nn WHERE doc_id < nfull),
+      |edges AS (
+      |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |reach AS (
+      |  SELECT u AS src, v AS dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+      |canon AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS component_id
+      |  FROM docs d LEFT JOIN reach r ON r.src = d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT component_id, count(*) AS n_nodes
+      |FROM canon GROUP BY component_id ORDER BY component_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> grPagerank _,
-    "gr_degree_stats" -> grDegreeStats _
+    "gr_degree_stats" -> grDegreeStats _,
+    "gr_components" -> grComponents _
   )
 
   val oracle: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
-    "gr_degree_stats" -> grDegreeStatsSql
+    "gr_degree_stats" -> grDegreeStatsSql,
+    "gr_components" -> grComponentsSql
   )
 }

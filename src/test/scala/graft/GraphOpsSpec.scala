@@ -51,4 +51,28 @@ class GraphOpsSpec extends AnyFunSuite {
       r.getAs[Long]("indeg") * r.getAs[Long]("n_nodes")).sum
     assert(edgeSum == 3 * n)
   }
+
+  test("components partition the nodes; labels equal driver union-find") {
+    val n = Tables.t(spark, sfSmoke, "documents").count()
+    val rows = GraphOps.queries("gr_components")(spark, sfSmoke).collect()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == n,
+      "component sizes must sum to the node count")
+    // ground truth: union-find over the same block-local edge rule
+    val nfull = n - (n % 16)
+    val parent = Array.tabulate(n.toInt)(identity)
+    def find(x: Int): Int = { var r = x
+      while (parent(r) != r) r = parent(r); r }
+    for (i <- 0 until nfull.toInt) {
+      val j = (i - i % 16) + ((i * 5 + 3) % 16)
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val expect = (0 until n.toInt).groupBy(find).map { case (_, m) =>
+      (m.min.toLong, m.size.toLong) }.toSet
+    val got = rows.map(r => (r.getAs[Long]("component_id"),
+      r.getAs[Long]("n_nodes"))).toSet
+    assert(got == expect, "component labels/sizes differ from union-find")
+    // the sparse rule genuinely splits: more than one component
+    assert(rows.length > 1)
+  }
 }
