@@ -52,4 +52,34 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join: rows of `a` paired with the rows
+    * of `b` whose `[bStart, bEnd)` interval overlaps `[aStart, aEnd)`
+    * (`aStart < bEnd && bStart < aEnd`). Same bucket-expansion rewrite as
+    * [[pointInInterval]], with BOTH sides exploded; each overlapping pair
+    * is emitted EXACTLY once without a dedup pass by keeping only the
+    * bucket containing the overlap's start — max(floor(aStart/w),
+    * floor(bStart/w)) — which provably lies in both sides' bucket lists
+    * whenever the intervals overlap (floor is monotone, so the max
+    * commutes through it). Cost = O(Σ len/width + 1) rows shuffled per
+    * side, plain equi-join, no nested loop at any size.
+    */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, s"bucketWidthSec must be > 0: $bucketWidthSec")
+    def secs(c: org.apache.spark.sql.Column) =
+      c.cast("timestamp").cast("long")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(secs(c) / bucketWidthSec)
+    val ab = a.withColumn("__bucket",
+      explode(sequence(bucketOf(col(aStart)), bucketOf(col(aEnd)))))
+    val bb = b.withColumn("__bucket",
+      explode(sequence(bucketOf(col(bStart)), bucketOf(col(bEnd)))))
+    ab.join(bb, Seq("__bucket"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bucket") ===
+        greatest(bucketOf(col(aStart)), bucketOf(col(bStart))))
+      .drop("__bucket")
+  }
 }

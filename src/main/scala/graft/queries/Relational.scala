@@ -575,6 +575,94 @@ object Relational {
       |ORDER BY cohort_d, day_offset""".stripMargin
 
   // ---------------------------------------------------------------------
+  // RFM segmentation — the third product-analytics staple next to funnel
+  // and cohort: per customer, Recency (days since last order, against the
+  // corpus max date — the A2 broadcast-scalar pattern), Frequency (order
+  // count) and Monetary (integer-cents revenue), scored 1–5 by FIXED
+  // business thresholds (production RFM's shape — threshold scoring is
+  // one codegen'd CASE per row; quantile scoring would need a global
+  // sort/window that dies at scale), rolled up per segment. One
+  // customer-keyed aggregate + one segment-keyed aggregate, map-side
+  // partials throughout; integer sums and one division keep every value
+  // DuckDB-exact.
+  private def anRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val maxd = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        max(to_date(col("o_orderdate"))).as("last_d"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("recency", datediff(col("maxd"), col("last_d")).cast("long"))
+      .withColumn("r_score", expr(
+        """CASE WHEN recency <= 90 THEN 5 WHEN recency <= 180 THEN 4
+          |     WHEN recency <= 365 THEN 3 WHEN recency <= 730 THEN 2
+          |     ELSE 1 END""".stripMargin))
+      .withColumn("f_score", expr(
+        """CASE WHEN n_orders >= 16 THEN 5 WHEN n_orders >= 12 THEN 4
+          |     WHEN n_orders >= 8 THEN 3 WHEN n_orders >= 4 THEN 2
+          |     ELSE 1 END""".stripMargin))
+      .withColumn("m_score", expr(
+        """CASE WHEN cents >= 400000000 THEN 5 WHEN cents >= 300000000 THEN 4
+          |     WHEN cents >= 200000000 THEN 3 WHEN cents >= 100000000 THEN 2
+          |     ELSE 1 END""".stripMargin))
+      .withColumn("segment", expr(
+        """CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+          |       THEN 'champion'
+          |     WHEN f_score >= 4 THEN 'loyal'
+          |     WHEN m_score >= 4 THEN 'big_spender'
+          |     WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+          |     WHEN r_score <= 2 THEN 'hibernating'
+          |     ELSE 'other' END""".stripMargin))
+    cust.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("sum_orders"),
+        sum(col("cents")).as("sum_cents"),
+        round(sum(col("recency")) / count(lit(1)).cast("double"), 6)
+          .as("avg_recency_days"))
+      .orderBy(col("segment"))
+  }
+
+  private val anRfmSql =
+    """WITH maxd AS (
+      |  SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+      |cust AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(round(o_totalprice*100)) AS BIGINT) AS cents,
+      |    max(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT c.*, date_diff('day', last_d, maxd) AS recency,
+      |    CASE WHEN date_diff('day', last_d, maxd) <= 90 THEN 5
+      |         WHEN date_diff('day', last_d, maxd) <= 180 THEN 4
+      |         WHEN date_diff('day', last_d, maxd) <= 365 THEN 3
+      |         WHEN date_diff('day', last_d, maxd) <= 730 THEN 2
+      |         ELSE 1 END AS r_score,
+      |    CASE WHEN n_orders >= 16 THEN 5 WHEN n_orders >= 12 THEN 4
+      |         WHEN n_orders >= 8 THEN 3 WHEN n_orders >= 4 THEN 2
+      |         ELSE 1 END AS f_score,
+      |    CASE WHEN cents >= 400000000 THEN 5 WHEN cents >= 300000000 THEN 4
+      |         WHEN cents >= 200000000 THEN 3 WHEN cents >= 100000000 THEN 2
+      |         ELSE 1 END AS m_score
+      |  FROM cust c CROSS JOIN maxd),
+      |seg AS (
+      |  SELECT *,
+      |    CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+      |           THEN 'champion'
+      |         WHEN f_score >= 4 THEN 'loyal'
+      |         WHEN m_score >= 4 THEN 'big_spender'
+      |         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+      |         WHEN r_score <= 2 THEN 'hibernating'
+      |         ELSE 'other' END AS segment
+      |  FROM scored)
+      |SELECT segment, count(*) AS n_customers,
+      |  CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  round(sum(recency) / CAST(count(*) AS DOUBLE), 6)
+      |    AS avg_recency_days
+      |FROM seg GROUP BY segment ORDER BY segment""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Set op: UNION ALL by name (reference §2.8: pandas pd.concat splicing
   // history + forecast frames → unionByName).
   private def setUnionSegments(s: SparkSession, dir: String): DataFrame = {
@@ -858,6 +946,56 @@ object Relational {
       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J12: interval × interval OVERLAP join — two sparse families of order
+  // windows (disjoint modulo picks, per-key window lengths), paired
+  // wherever their [start, end) ranges intersect. The naive form is an
+  // inequality-only join (nested-loop disaster at scale);
+  // RangeJoin.intervalOverlap rewrites it to a bucketed equi-join with
+  // BOTH sides exploded, emitting each overlapping pair exactly once via
+  // the overlap-start bucket — no dedup pass, no cartesian. Exact date
+  // arithmetic → fully oracled against DuckDB's plain inequality join.
+  private def j12IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(pmod(col("o_orderkey"), lit(97L)) === 0L)
+      .select(col("o_orderkey").as("id_a"),
+        to_date(col("o_orderdate")).as("a_start"),
+        date_add(to_date(col("o_orderdate")),
+          (lit(1) + pmod(col("o_orderkey"), lit(14L))).cast("int"))
+          .as("a_end"))
+    val b = o.filter(pmod(col("o_orderkey"), lit(89L)) === 3L)
+      .select(col("o_orderkey").as("id_b"),
+        to_date(col("o_orderdate")).as("b_start"),
+        date_add(to_date(col("o_orderdate")),
+          (lit(1) + pmod(col("o_orderkey"), lit(7L))).cast("int"))
+          .as("b_end"))
+    graft.operators.RangeJoin
+      .intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end",
+        bucketWidthSec = 7L * 86400L)
+      .select(col("id_a"), col("id_b"),
+        datediff(least(col("a_end"), col("b_end")),
+          greatest(col("a_start"), col("b_start"))).cast("long")
+          .as("overlap_days"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val j12IntervalOverlapSql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS id_a, CAST(o_orderdate AS DATE) AS a_start,
+      |    CAST(o_orderdate AS DATE)
+      |      + CAST(1 + o_orderkey % 14 AS INTEGER) AS a_end
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |b AS (
+      |  SELECT o_orderkey AS id_b, CAST(o_orderdate AS DATE) AS b_start,
+      |    CAST(o_orderdate AS DATE)
+      |      + CAST(1 + o_orderkey % 7 AS INTEGER) AS b_end
+      |  FROM orders WHERE o_orderkey % 89 = 3)
+      |SELECT id_a, id_b,
+      |  CAST(date_diff('day', greatest(a_start, b_start),
+      |    least(a_end, b_end)) AS BIGINT) AS overlap_days
+      |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J8: as-of (point-in-time) join — each purchase aligned to the user's
   // latest view at or before it (the trades→quotes alignment every
   // market-data store ships; reference behavior: the per-symbol
@@ -1008,6 +1146,7 @@ object Relational {
     "j7_salted_join" -> j7SaltedJoin _,
     "w7_sessionize" -> w7Sessionize _,
     "j6_range_join" -> j6RangeJoin _,
+    "j12_interval_overlap" -> j12IntervalOverlap _,
     "j8_asof_join" -> j8AsofJoin _,
     "a7_pivot" -> a7Pivot _,
     "a5_pricing_summary" -> a5PricingSummary _,
@@ -1028,6 +1167,7 @@ object Relational {
     "a12_robust_stats" -> a12RobustStats _,
     "an_funnel" -> anFunnel _,
     "an_cohort" -> anCohort _,
+    "an_rfm" -> anRfm _,
     "set_union_segments" -> setUnionSegments _,
     "set_intersect_except" -> setIntersectExcept _,
     "j9_full_outer" -> j9FullOuter _,
@@ -1045,6 +1185,7 @@ object Relational {
     "j7_salted_join" -> j7SaltedJoinSql,
     "w7_sessionize" -> w7SessionizeSql,
     "j6_range_join" -> j6RangeJoinSql,
+    "j12_interval_overlap" -> j12IntervalOverlapSql,
     "j8_asof_join" -> j8AsofJoinSql,
     "a7_pivot" -> a7PivotSql,
     "a5_pricing_summary" -> a5PricingSummarySql,
@@ -1065,6 +1206,7 @@ object Relational {
     "a12_robust_stats" -> a12RobustStatsSql,
     "an_funnel" -> anFunnelSql,
     "an_cohort" -> anCohortSql,
+    "an_rfm" -> anRfmSql,
     "set_union_segments" -> setUnionSegmentsSql,
     "set_intersect_except" -> setIntersectExceptSql,
     "j9_full_outer" -> j9FullOuterSql,

@@ -34,6 +34,43 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cusum closed form equals the tabular recursion for any series") {
+    // ts_cusum's window form: S+_t = P_t - min_{i<=t} P_i (and the mirror
+    // for S-) must equal Page's recursion S+_t = max(0, S+_{t-1} + dev_t)
+    // for ANY integer deviation sequence — the identity the whole query
+    // rests on.
+    val dev = Gen.chooseNum(-1000L, 1000L)
+    check(Prop.forAll(Gen.listOfN(60, dev)) { ds =>
+      val p = ds.scanLeft(0L)(_ + _).tail
+      val closedPos = p.zipWithIndex.map { case (pt, i) =>
+        pt - (0L +: p.take(i + 1)).min }
+      val closedNeg = p.zipWithIndex.map { case (pt, i) =>
+        (0L +: p.take(i + 1)).max - pt }
+      val recPos = ds.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+      val recNeg = ds.scanLeft(0L)((s, d) => math.max(0L, s - d)).tail
+      closedPos == recPos && closedNeg == recNeg
+    })
+  }
+
+  test("interval-overlap bucketing: each overlapping pair matches once") {
+    // the arithmetic contract behind RangeJoin.intervalOverlap: for any
+    // two intervals and width, the shared-bucket + overlap-start-bucket
+    // rule fires exactly once iff the intervals overlap.
+    val bound = Gen.chooseNum(0L, 5000L)
+    val w = Gen.chooseNum(1L, 500L)
+    check(Prop.forAll(bound, bound, bound, bound, w) { (a1, a2, b1, b2, w) =>
+      val (as, ae) = (math.min(a1, a2), math.max(a1, a2) + 1)
+      val (bs, be) = (math.min(b1, b2), math.max(b1, b2) + 1)
+      val overlaps = as < be && bs < ae
+      def buckets(s: Long, e: Long) =
+        (math.floorDiv(s, w) to math.floorDiv(e, w)).toSet
+      val startBucket = math.max(math.floorDiv(as, w), math.floorDiv(bs, w))
+      val matches = buckets(as, ae).intersect(buckets(bs, be))
+        .count(bk => overlaps && bk == startBucket)
+      matches == (if (overlaps) 1 else 0)
+    })
+  }
+
   test("range-join bucketing: every in-interval point matches exactly once") {
     // the arithmetic contract behind RangeJoin.pointInInterval: a point in
     // [s, e) shares exactly ONE bucket with the interval's exploded bucket

@@ -101,6 +101,49 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_below") >= 0 && r.getAs[Long]("n_above") >= 0)
     }
   }
+  test("interval overlap join equals the naive inequality join") {
+    // ground truth: plain inequality join over the same interval families
+    val o = Tables.t(spark, sfSmoke, "orders")
+    val a = o.filter(pmod(col("o_orderkey"), lit(97L)) === 0L)
+      .select(col("o_orderkey").as("id_a"),
+        to_date(col("o_orderdate")).as("a_start"),
+        date_add(to_date(col("o_orderdate")),
+          (lit(1) + pmod(col("o_orderkey"), lit(14L))).cast("int"))
+          .as("a_end"))
+    val b = o.filter(pmod(col("o_orderkey"), lit(89L)) === 3L)
+      .select(col("o_orderkey").as("id_b"),
+        to_date(col("o_orderdate")).as("b_start"),
+        date_add(to_date(col("o_orderdate")),
+          (lit(1) + pmod(col("o_orderkey"), lit(7L))).cast("int"))
+          .as("b_end"))
+    val naive = a.join(b,
+      col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select(col("id_a"), col("id_b"))
+    // 3-day width deliberately smaller than most intervals so pairs span
+    // several shared buckets and the exactly-once dedup rule is exercised
+    val bucketed = graft.operators.RangeJoin
+      .intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end",
+        bucketWidthSec = 3L * 86400L)
+      .select(col("id_a"), col("id_b"))
+    assert(naive.count() > 0, "fixture produced no overlaps")
+    assert(bucketed.exceptAll(naive).isEmpty &&
+      naive.exceptAll(bucketed).isEmpty,
+      "bucketed interval-overlap join differs from the naive join")
+  }
+
+  test("rfm: segments partition the customers; scores match definitions") {
+    val o = Tables.t(spark, sfSmoke, "orders")
+    val nCust = o.select(col("o_custkey")).distinct().count()
+    val rows = Relational.queries("an_rfm")(spark, sfSmoke).collect()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust,
+      "segment sizes must sum to the customer count")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_customers") > 0)
+      assert(r.getAs[Long]("sum_orders") >= r.getAs[Long]("n_customers"))
+      assert(r.getAs[Double]("avg_recency_days") >= 0.0)
+    }
+  }
+
   test("funnel is monotone and cohort retention starts at 1.0") {
     val f = Relational.queries("an_funnel")(spark, sfSmoke).collect()
       .sortBy(_.getAs[String]("stage"))
