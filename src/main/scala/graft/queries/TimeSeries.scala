@@ -706,6 +706,68 @@ object TimeSeries {
       |ORDER BY b.event_type, b.d""".stripMargin
 
   // ---------------------------------------------------------------------
+  // CUSUM change-point detection over the daily close — the classic
+  // level-shift monitor (Page 1954) next to the decomposition tier. The
+  // tabular recursion S⁺_t = max(0, S⁺_{t-1} + dev_t) is not a window
+  // function, but its closed form IS: S⁺_t = P_t − min_{i≤t} P_i with
+  // P the cumulative deviation sum (and S⁻_t = max_{i≤t} P_i − P_t), so
+  // the whole detector is two running extrema over one cumulative sum —
+  // per-key sharded windows, no recursion, no global sort. Everything
+  // runs in INTEGER CENTS (target = per-key mean floored to a cent,
+  // threshold = a tenth of the per-key range), so both engines agree to
+  // the bit and the alarm set is exactly oracle-checkable.
+  private def tsCusum(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = dailyClose(s, dir)
+      .withColumn("cents", round(col("close") * 100).cast("long"))
+    val stats = base.groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(*)").as("mu"),
+        expr("(max(cents) - min(cents)) div 10").as("h"))
+    val cs = base.join(broadcast(stats), Seq("event_type"))
+      .withColumn("p", sum(col("cents") - col("mu")).over(wOrd))
+      .withColumn("s_pos", col("p") - min(col("p")).over(wOrd))
+      .withColumn("s_neg", max(col("p")).over(wOrd) - col("p"))
+      .withColumn("alarm",
+        (col("s_pos") > col("h")) || (col("s_neg") > col("h")))
+    cs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("s_pos")).as("max_cusum_pos"),
+        max(col("s_neg")).as("max_cusum_neg"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarm_days"),
+        min(when(col("alarm"), col("d"))).as("first_alarm_d"))
+      .orderBy(col("event_type"))
+  }
+
+  private val tsCusumSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(round(arg_max(value, ts)*100) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, sum(cents) // count(*) AS mu,
+      |    (max(cents) - min(cents)) // 10 AS h
+      |  FROM daily GROUP BY 1),
+      |ps AS (
+      |  SELECT d.event_type, d.d, st.h,
+      |    sum(d.cents - st.mu) OVER (PARTITION BY d.event_type ORDER BY d.d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM daily d JOIN st USING (event_type)),
+      |cs AS (
+      |  SELECT event_type, d, h,
+      |    p - min(p) OVER w AS s_pos,
+      |    max(p) OVER w - p AS s_neg
+      |  FROM ps
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, count(*) AS n_days,
+      |  CAST(max(s_pos) AS BIGINT) AS max_cusum_pos,
+      |  CAST(max(s_neg) AS BIGINT) AS max_cusum_neg,
+      |  CAST(sum(CASE WHEN s_pos > h OR s_neg > h THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_alarm_days,
+      |  min(CASE WHEN s_pos > h OR s_neg > h THEN d END) AS first_alarm_d
+      |FROM cs GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ts_ohlcv_daily" -> tsOhlcvDaily _,
     "w4_moving_stats" -> w4MovingStats _,
@@ -717,7 +779,8 @@ object TimeSeries {
     "ts_order_search" -> tsOrderSearch _,
     "ts_holt_forecast" -> tsHoltForecast _,
     "ts_holt_winters" -> tsHoltWinters _,
-    "ts_decompose" -> tsDecompose _
+    "ts_decompose" -> tsDecompose _,
+    "ts_cusum" -> tsCusum _
   )
 
   val oracle: Map[String, String] = Map(
@@ -727,6 +790,7 @@ object TimeSeries {
     "ts_diagnostics" -> tsDiagnosticsSql,
     "ts_holt_forecast" -> tsHoltForecastSql,
     "ts_holt_winters" -> tsHoltWintersSql,
-    "ts_decompose" -> tsDecomposeSql
+    "ts_decompose" -> tsDecomposeSql,
+    "ts_cusum" -> tsCusumSql
   )
 }

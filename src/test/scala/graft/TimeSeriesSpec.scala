@@ -314,4 +314,21 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(math.abs(meanResid) < 1.0, s"$k residual mean drifted")
     }
   }
+
+  test("cusum: statistics are nonnegative and alarms imply a threshold hit") {
+    val rows = TimeSeries.queries("ts_cusum")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") > 0)
+      val (sp, sn) = (r.getAs[Long]("max_cusum_pos"),
+        r.getAs[Long]("max_cusum_neg"))
+      assert(sp >= 0 && sn >= 0, s"cusum stats must be nonnegative: $r")
+      val alarms = r.getAs[Long]("n_alarm_days")
+      assert(alarms >= 0 && alarms <= r.getAs[Long]("n_days"))
+      // an alarm day exists iff a first-alarm date is reported
+      assert((alarms > 0) ==
+        (r.getAs[java.sql.Date]("first_alarm_d") != null),
+        s"alarm count and first-alarm date disagree: $r")
+    }
+  }
 }
