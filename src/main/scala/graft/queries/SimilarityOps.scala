@@ -945,6 +945,85 @@ object SimilarityOps {
   }
 
   // ---------------------------------------------------------------------
+  // Semantic dedup (SemDeDup, Abbas et al. 2023) — the cluster-then-prune
+  // curation pass between near-dup LSH and topic sampling: k-means first
+  // BOUNDS the quadratic (exact cosines only inside a cluster, never
+  // across the corpus), then within each cluster a vector is DROPPED when
+  // an earlier (smaller-id) cluster member sits above the similarity
+  // threshold — the deterministic keep-first variant of SemDeDup's
+  // per-cluster pruning, a pure function of the corpus. Runs on the
+  // doubled corpus (the injected-near-dup fixture), so the drops are
+  // genuine. Fully hash-oracled: DuckDB rebuilds the doubled corpus from
+  // the portable md5 noise, replays seeding + all three Lloyd rounds +
+  // assignment via the Ivf contracts, and re-runs the within-cluster
+  // self-join with the same round-6 cosine.
+  /** Exposed with knobs so specs can vary k and the threshold. */
+  def semDedup(s: SparkSession, dir: String, k: Int = 8,
+      minCos: Double = 0.99): DataFrame = {
+    val (all, _) = doubledCorpus(s, dir)
+    val cos = cosine(s) _
+    val cents = graft.operators.Ivf.centroids(
+      all, "vec_id", "v", k, iters = 3)(cos)
+    val assigned = graft.operators.Ivf.assign(
+      all, cents, "vec_id", "v")(cos).localCheckpoint()
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cos(col("va"), col("vb")), 6) >= minCos)
+      .select(col("cell"), col("id_b")).distinct()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell").as("cluster_id"), col("n_vectors"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vectors") - coalesce(col("n_dropped"), lit(0L)))
+          .as("n_kept"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private def simSemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedup(s, dir)
+
+  private val simSemDedupSql =
+    s"""WITH eb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |off AS (SELECT max(vec_id) + 1 AS o FROM eb),
+       |hh AS (
+       |  SELECT vec_id,
+       |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h1,
+       |    CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 17, 14))
+       |      AS BIGINT) AS h2
+       |  FROM eb),
+       |p AS (
+       |  SELECT eb.vec_id, i,
+       |    v[i + 1] * (1.0 + (hh.h1 + i * hh.h2) % 1000 / 1000000.0) AS x
+       |  FROM eb JOIN hh USING (vec_id) CROSS JOIN range(0, 64) AS t(i)),
+       |vp AS (SELECT vec_id, list(x ORDER BY i) AS v2 FROM p GROUP BY vec_id),
+       |e AS (
+       |  SELECT vec_id, v FROM eb
+       |  UNION ALL
+       |  SELECT vec_id + (SELECT o FROM off), v2 FROM vp),
+       |${duckCentroids("8", iters = 3)},
+       |${duckAssign("af", "s3")},
+       |drops AS (
+       |  SELECT cell, count(DISTINCT id_b) AS n_dropped FROM (
+       |    SELECT a.cell, b.vec_id AS id_b
+       |    FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |    WHERE round(${duckCos("a.v", "b.v")}, 6) >= 0.99)
+       |  GROUP BY cell),
+       |sizes AS (SELECT cell, count(*) AS n_vectors FROM af GROUP BY cell)
+       |SELECT s.cell AS cluster_id, s.n_vectors,
+       |  coalesce(d.n_dropped, 0) AS n_dropped,
+       |  s.n_vectors - coalesce(d.n_dropped, 0) AS n_kept
+       |FROM sizes s LEFT JOIN drops d USING (cell)
+       |ORDER BY cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Incremental IVF index maintenance on ingest — the ANN complement of
   // DedupOps.st_incremental_neardup, and the shape a continuously-growing
   // embedding corpus needs at 100 TB: the coarse quantizer is trained ONCE
@@ -1097,6 +1176,7 @@ object SimilarityOps {
     "sim_quantize_stats" -> simQuantizeStats _,
     "sim_contamination" -> simContamination _,
     "sim_topic_sample" -> simTopicSample _,
+    "sim_semdedup" -> simSemDedup _,
     "st_incremental_ivf" -> stIncrementalIvf _
   )
 
@@ -1114,6 +1194,7 @@ object SimilarityOps {
     "sim_quantize_stats" -> simQuantizeStatsSql,
     "sim_contamination" -> simContaminationSql,
     "sim_topic_sample" -> simTopicSampleSql,
+    "sim_semdedup" -> simSemDedupSql,
     "st_incremental_ivf" -> stIncrementalIvfSql
   )
 }

@@ -986,6 +986,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("semdedup: drops are injected copies only; accounting is exact") {
+    val n = Tables.t(spark, sfSmoke, "embeddings").count()
+    val rows = SimilarityOps.semDedup(spark, sfSmoke).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == 2 * n,
+      "cluster sizes must sum to the doubled corpus")
+    val dropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    // the source corpus has no true near-dups at 0.99 (max pairwise cos
+    // ~0.48), so only injected copies can drop — and a copy drops iff it
+    // lands in its original's cluster, which the tight 0.9999 cosine
+    // makes the norm
+    assert(dropped > 0 && dropped <= n,
+      s"dropped=$dropped must be within (0, $n]")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_vectors") - r.getAs[Long]("n_dropped"))
+    }
+    // deterministic: a re-run is identical
+    val again = SimilarityOps.semDedup(spark, sfSmoke).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("header decoder: roundtrip, top-down BMP, chunked WAV, bad magic") {
     import Media.{HeaderDecoder, MediaMeta}
     // construction → decode roundtrip across the parameter space
