@@ -794,7 +794,45 @@ object MultimodalOps {
       |FROM blocks GROUP BY doc_id, w, h, nf, fps, k
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // EXIF metadata extraction — the provenance/orientation pass a crawl
+  // pipeline runs on every image before decode (multimodal.Exif): a real
+  // JPEG marker walk to APP1, then the embedded TIFF structure in BOTH
+  // byte orders (even ids II, odd MM), IFD entries with the
+  // inline-vs-offset value rule (the short Model string rides inline, the
+  // longer Make/DateTime behind offsets), and the ExifIFD sub-directory.
+  // Every field is a closed form of doc_id, so the oracle recomputes the
+  // whole record — a wrong endian read, offset slip, or NUL handling bug
+  // fails the value compare.
+  private def mmExifMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = graft.multimodal.Exif.parse(
+          graft.multimodal.Exif.fixturePayload(id))
+        (id, m.byteOrder, m.make, m.model, m.orientation.toLong,
+          m.dateTime, m.pixelW.toLong, m.pixelH.toLong)
+      })
+      .toDF("doc_id", "byte_order", "make", "model", "orientation",
+        "date_time", "exif_w", "exif_h")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmExifMetaSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  'Cam' || (doc_id % 5) AS make,
+      |  'M' || (doc_id % 7) AS model,
+      |  1 + doc_id % 8 AS orientation,
+      |  '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+      |    || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+      |    || ':00:00' AS date_time,
+      |  8*(2 + doc_id % 5) AS exif_w,
+      |  8*(2 + (doc_id*3) % 4) AS exif_h
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_exif_meta" -> mmExifMeta _,
     "mm_video_frames" -> mmVideoFrames _,
     "mm_webp_meta" -> mmWebpMeta _,
     "mm_mp4_meta" -> mmMp4Meta _,
@@ -816,6 +854,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_exif_meta" -> mmExifMetaSql,
     "mm_video_frames" -> mmVideoFramesSql,
     "mm_webp_meta" -> mmWebpMetaSql,
     "mm_mp4_meta" -> mmMp4MetaSql,
