@@ -57,6 +57,7 @@ object SparkEntry {
   def prewarm(spark: SparkSession, sfDir: String): Unit = {
     Sources.ensureCsvFixture(spark, sfDir)
     Sources.ensureXmlFixture(spark, sfDir)
+    Sources.ensureJsonlFixture(spark, sfDir)
     Sources.ensureCommitFixture(spark, sfDir)
     Sources.ensureOrcFixture(spark, sfDir)
     operators.Bucketing.ensureBucketed(spark, sfDir, "lineitem",

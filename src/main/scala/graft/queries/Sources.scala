@@ -459,7 +459,81 @@ object Sources {
       |  CAST(sum(tenths) AS BIGINT) AS prio_tenths
       |FROM u GROUP BY host, changefreq ORDER BY host, changefreq""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // S16: JSON-lines ingestion with CORRUPT-RECORD handling — the other
+  // half of a production JSON source next to p1_decode_json's clean
+  // parse: real feeds carry torn lines, and the PERMISSIVE +
+  // columnNameOfCorruptRecord contract (bad line → all fields null, raw
+  // text in the corrupt column, nothing thrown, nothing silently
+  // dropped) is what keeps a 100-TB ingest from dying on one bad byte.
+  // The fixture makes every 13th line torn mid-string; the rollup buckets
+  // corrupt lines explicitly so the oracle checks BOTH that no torn line
+  // parsed and that no good line was lost.
+
+  /** Build-once JSONL fixture: 4 files × 125 lines, every 13th line torn
+    * (same `_SUCCESS` torn-fixture guard as [[ensureCsvFixture]]).
+    */
+  def ensureJsonlFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-jsonl-${graft.Tables.fingerprint(dir, "documents")}")
+    val done = new java.io.File(tmp, "_SUCCESS")
+    if (!done.exists()) {
+      tmp.mkdirs()
+      for (f <- 0 until 4) {
+        val sb = new StringBuilder
+        for (j <- 0 until 125) {
+          val i = f * 125 + j
+          if (i % 13 == 0)
+            sb ++= s"""{"id": $i, "kind": "k${i % 4}", "sco\n"""
+          else
+            sb ++= s"""{"id": $i, "kind": "k${i % 4}", "score": ${i * 7 % 1000}}\n"""
+        }
+        java.nio.file.Files.write(
+          new java.io.File(tmp, s"part-$f.jsonl").toPath,
+          sb.toString.getBytes("UTF-8"))
+      }
+      done.createNewFile()
+    }
+    tmp.getAbsolutePath
+  }
+
+  private def s16JsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureJsonlFixture(s, dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("kind", StringType),
+      StructField("score", LongType),
+      StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(tmp)
+      .withColumn("bucket",
+        when(col("_bad").isNotNull, lit("_corrupt")).otherwise(col("kind")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("score")), lit(-1L)).as("sum_score"),
+        coalesce(min(col("id")), lit(-1L)).as("min_id"))
+      .orderBy(col("bucket"))
+  }
+
+  private val s16JsonlIngestSql =
+    """WITH lines AS (
+      |  SELECT i, i % 13 = 0 AS corrupt, 'k' || (i % 4) AS kind,
+      |    (i * 7) % 1000 AS score
+      |  FROM unnest(generate_series(0, 499)) t(i)),
+      |b AS (
+      |  SELECT CASE WHEN corrupt THEN '_corrupt' ELSE kind END AS bucket,
+      |    CASE WHEN corrupt THEN NULL ELSE score END AS score,
+      |    CASE WHEN corrupt THEN NULL ELSE i END AS id
+      |  FROM lines)
+      |SELECT bucket, count(*) AS n,
+      |  coalesce(CAST(sum(score) AS BIGINT), -1) AS sum_score,
+      |  coalesce(min(id), -1) AS min_id
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
     "s4_seq_ingest" -> s4SeqIngest _,
     "s7_csv_scan" -> s7CsvScan _,
@@ -472,6 +546,7 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s16_jsonl_ingest" -> s16JsonlIngestSql,
     "s15_xml_ingest" -> s15XmlIngestSql,
     "s4_seq_ingest" -> s4SeqIngestSql,
     "s7_csv_scan" -> s7CsvScanSql,
