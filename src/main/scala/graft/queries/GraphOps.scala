@@ -178,15 +178,106 @@ object GraphOps {
       |SELECT component_id, count(*) AS n_nodes
       |FROM canon GROUP BY component_id ORDER BY component_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Triangle counting + global clustering coefficient — the cohesion
+  // metric of the link graph (high clustering = template farms / tight
+  // communities; near-random = healthy crawl frontier). Runs the
+  // DEGREE-ORDERED orientation algorithm (the standard scale trick:
+  // orient every undirected edge from its (degree, id)-smaller endpoint,
+  // so each triangle is counted exactly once AND the wedge join fans out
+  // from LOW-degree vertices — the hub that would make a naive wedge
+  // join quadratic only ever appears as a join target). Two equi-joins,
+  // no windows; everything integer-exact, fully DuckDB-oracled on the
+  // pinned multigraph.
+  private def grTriangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = nodes(s, dir).localCheckpoint()
+    val n = docs.count()
+    // distinct undirected edges, self-loops dropped
+    val und = edges(docs, n)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val deg = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // orient each edge from its (degree, id)-smaller endpoint
+    val withDeg = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("u"))
+        .otherwise(col("v")).as("a"),
+      when(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")), col("v"))
+        .otherwise(col("u")).as("b")).localCheckpoint()
+    val wedges = oriented.select(col("a"), col("b"))
+      .join(oriented.select(col("a").as("a2"), col("b").as("c")),
+        col("b") === col("a2"))
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedges.join(oriented.select(col("a").as("ta"),
+        col("b").as("tc")),
+      col("a") === col("ta") && col("c") === col("tc"), "left_semi")
+    val nTri = tri.count()
+    val nEdges = und.count()
+    val nWedges = deg.select(expr("sum(d * (d - 1) div 2)").as("w"))
+      .first().getLong(0)
+    import s.implicits._
+    Seq((n, nEdges, nWedges, nTri,
+      BigDecimal(3.0 * nTri / nWedges)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering")
+  }
+
+  private val grTrianglesSql =
+    """WITH nn AS (SELECT count(*) AS n FROM documents),
+      |docs AS (SELECT doc_id FROM documents),
+      |e0 AS (
+      |  SELECT doc_id AS src, (doc_id*2 + 3) % n AS dst FROM docs, nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*doc_id + 1) % n FROM docs, nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id*13 + 5) % n FROM docs, nn),
+      |und AS (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM e0 WHERE src <> dst),
+      |deg AS (
+      |  SELECT x, count(*) AS d FROM (
+      |    SELECT u AS x FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY x),
+      |o AS (
+      |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+      |           THEN u ELSE v END AS a,
+      |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v)
+      |           THEN v ELSE u END AS b
+      |  FROM und JOIN deg du ON du.x = und.u JOIN deg dv ON dv.x = und.v),
+      |tri AS (
+      |  SELECT count(*) AS t
+      |  FROM o o1 JOIN o o2 ON o1.b = o2.a
+      |  WHERE EXISTS (SELECT 1 FROM o o3
+      |                WHERE o3.a = o1.a AND o3.b = o2.b)),
+      |agg AS (
+      |  SELECT (SELECT n FROM nn) AS n_nodes,
+      |    (SELECT count(*) FROM und) AS n_edges,
+      |    (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+      |      AS n_wedges,
+      |    (SELECT t FROM tri) AS n_triangles)
+      |SELECT n_nodes, n_edges, n_wedges, CAST(n_triangles AS BIGINT)
+      |    AS n_triangles,
+      |  round(3.0 * n_triangles / n_wedges, 6) AS clustering
+      |FROM agg""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> grPagerank _,
     "gr_degree_stats" -> grDegreeStats _,
-    "gr_components" -> grComponents _
+    "gr_components" -> grComponents _,
+    "gr_triangles" -> grTriangles _
   )
 
   val oracle: Map[String, String] = Map(
     "gr_pagerank" -> grPagerankSql,
     "gr_degree_stats" -> grDegreeStatsSql,
-    "gr_components" -> grComponentsSql
+    "gr_components" -> grComponentsSql,
+    "gr_triangles" -> grTrianglesSql
   )
 }

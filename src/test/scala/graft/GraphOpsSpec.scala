@@ -75,4 +75,25 @@ class GraphOpsSpec extends AnyFunSuite {
     // the sparse rule genuinely splits: more than one component
     assert(rows.length > 1)
   }
+
+  test("triangles equal the brute-force count on the pinned multigraph") {
+    val n = Tables.t(spark, sfSmoke, "documents").count()
+    val r = GraphOps.queries("gr_triangles")(spark, sfSmoke).collect().head
+    // driver-side ground truth over the same undirected simple graph
+    val und = scala.collection.mutable.Set[(Long, Long)]()
+    for (i <- 0L until n; d <- Seq((i * 2 + 3) % n, (i * i + 1) % n,
+        (i * 13 + 5) % n) if i != d)
+      und += ((math.min(i, d), math.max(i, d)))
+    val adj = und.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    var brute = 0L
+    for ((u, vs) <- adj; v <- vs; w <- vs if v < w
+         if und.contains((math.min(v, w), math.max(v, w))))
+      brute += 1
+    assert(r.getAs[Long]("n_edges") == und.size.toLong)
+    assert(r.getAs[Long]("n_triangles") == brute,
+      s"degree-ordered count ${r.getAs[Long]("n_triangles")} != $brute")
+    assert(brute > 0, "fixture graph must contain triangles")
+    val cc = r.getAs[Double]("clustering")
+    assert(cc > 0.0 && cc <= 1.0)
+  }
 }
