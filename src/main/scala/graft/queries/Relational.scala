@@ -575,6 +575,48 @@ object Relational {
       |ORDER BY cohort_d, day_offset""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Last-touch attribution — the revenue-assignment staple that closes
+  // the product-analytics family: every purchase is attributed to the
+  // user's LATEST preceding marketing touch (view or click, inclusive
+  // ties), and revenue rolls up per touch type with an explicit 'none'
+  // bucket for organic purchases. Built on operators.AsOfJoin (one
+  // shuffle on user_id, per-key ordered fill — never an inequality
+  // sort-merge explosion); touches deduped per (user, ts) first since
+  // as-of semantics need a tie-free right side. Integer-cents revenue →
+  // oracled against DuckDB's NATIVE ASOF LEFT JOIN, two engines agreeing
+  // on the same attribution.
+  private def anAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_type")).as("touch_type"))
+    graft.operators.AsOfJoin
+      .asOf(purchases, touches, Seq("user_id"), "ts")
+      .groupBy(coalesce(col("touch_type"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("attributed_cents"))
+      .orderBy(col("touch"))
+  }
+
+  private val anAttributionSql =
+    """WITH p AS (
+      |  SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |tch AS (
+      |  SELECT user_id, ts, max(event_type) AS touch_type
+      |  FROM events WHERE event_type IN ('view', 'click')
+      |  GROUP BY 1, 2)
+      |SELECT coalesce(t.touch_type, 'none') AS touch,
+      |  count(*) AS n_purchases,
+      |  CAST(sum(p.cents) AS BIGINT) AS attributed_cents
+      |FROM p ASOF LEFT JOIN tch t
+      |  ON p.user_id = t.user_id AND t.ts <= p.ts
+      |GROUP BY 1 ORDER BY touch""".stripMargin
+
+  // ---------------------------------------------------------------------
   // RFM segmentation — the third product-analytics staple next to funnel
   // and cohort: per customer, Recency (days since last order, against the
   // corpus max date — the A2 broadcast-scalar pattern), Frequency (order
@@ -1168,6 +1210,7 @@ object Relational {
     "an_funnel" -> anFunnel _,
     "an_cohort" -> anCohort _,
     "an_rfm" -> anRfm _,
+    "an_attribution" -> anAttribution _,
     "set_union_segments" -> setUnionSegments _,
     "set_intersect_except" -> setIntersectExcept _,
     "j9_full_outer" -> j9FullOuter _,
@@ -1207,6 +1250,7 @@ object Relational {
     "an_funnel" -> anFunnelSql,
     "an_cohort" -> anCohortSql,
     "an_rfm" -> anRfmSql,
+    "an_attribution" -> anAttributionSql,
     "set_union_segments" -> setUnionSegmentsSql,
     "set_intersect_except" -> setIntersectExceptSql,
     "j9_full_outer" -> j9FullOuterSql,

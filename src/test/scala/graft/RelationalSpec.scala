@@ -144,6 +144,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution buckets account for every purchase exactly once") {
+    val e = Tables.t(spark, sfSmoke, "events")
+    val nPurch = e.filter(col("event_type") === "purchase").count()
+    val cents = e.filter(col("event_type") === "purchase")
+      .select(sum(round(col("value") * 100).cast("long")).as("c"))
+      .first().getLong(0)
+    val rows = Relational.queries("an_attribution")(spark, sfSmoke).collect()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == nPurch)
+    assert(rows.map(_.getAs[Long]("attributed_cents")).sum == cents,
+      "attributed revenue must conserve total purchase revenue")
+    val touches = rows.map(_.getAs[String]("touch")).toSet
+    assert(touches.subsetOf(Set("view", "click", "none")))
+  }
+
   test("funnel is monotone and cohort retention starts at 1.0") {
     val f = Relational.queries("an_funnel")(spark, sfSmoke).collect()
       .sortBy(_.getAs[String]("stage"))
