@@ -63,6 +63,18 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("j12: the interval-overlap join is an equi-join, never a cartesian") {
+    val df = Relational.queries("j12_interval_overlap")(spark, sfSmoke)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "interval overlap fell back to a nested loop:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(2000))
+  }
+
   test("o3: top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = planOf(Relational.queries("o3_topk_customers")(spark, sfSmoke))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
