@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // this one whenever both ran in a session
       (exprs: Seq[Expression]) => CosineSimilarity.builder(exprs)))
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
+    ext.injectOptimizerRule(_ => AutoRangeJoin)
   }
 }
 

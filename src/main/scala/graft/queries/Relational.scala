@@ -1038,6 +1038,42 @@ object Relational {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // J13: the NAIVE inequality range join, written the way a SQL user
+  // writes it — no RangeJoin operator call, just `ship >= start AND
+  // ship < end`. Left alone, Catalyst plans this as a
+  // BroadcastNestedLoopJoin (quadratic once the interval side outgrows
+  // broadcast); the engine's injected AutoRangeJoin optimizer rule
+  // (plans/AutoRangeJoin, via spark.sql.extensions) detects the pure
+  // range shape and rewrites it into the bucketed equi-join
+  // automatically — same values, scalable plan, zero user code change.
+  // PlanSpec asserts the executed plan is an equi-join. Oracle: DuckDB
+  // runs the naive join directly.
+  private def j13AutoRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val wins = t(s, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(613L)) === 0L)
+      .select(col("o_orderkey"), col("o_orderdate").as("win_start"),
+        (col("o_orderdate") + expr("INTERVAL 21 DAY")).as("win_end"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_extendedprice"))
+    li.join(wins,
+        col("l_shipdate") >= col("win_start") &&
+          col("l_shipdate") < col("win_end"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"),
+        (sumCents(col("l_extendedprice")) / 100.0).as("shipped_value"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val j13AutoRangeJoinSql =
+    """SELECT o_orderkey, count(*) AS n_shipped,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS shipped_value
+      |FROM orders o JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 21 DAY
+      |WHERE o.o_orderkey % 613 = 0
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
   // J8: as-of (point-in-time) join — each purchase aligned to the user's
   // latest view at or before it (the trades→quotes alignment every
   // market-data store ships; reference behavior: the per-symbol
@@ -1189,6 +1225,7 @@ object Relational {
     "w7_sessionize" -> w7Sessionize _,
     "j6_range_join" -> j6RangeJoin _,
     "j12_interval_overlap" -> j12IntervalOverlap _,
+    "j13_auto_range_join" -> j13AutoRangeJoin _,
     "j8_asof_join" -> j8AsofJoin _,
     "a7_pivot" -> a7Pivot _,
     "a5_pricing_summary" -> a5PricingSummary _,
@@ -1229,6 +1266,7 @@ object Relational {
     "w7_sessionize" -> w7SessionizeSql,
     "j6_range_join" -> j6RangeJoinSql,
     "j12_interval_overlap" -> j12IntervalOverlapSql,
+    "j13_auto_range_join" -> j13AutoRangeJoinSql,
     "j8_asof_join" -> j8AsofJoinSql,
     "a7_pivot" -> a7PivotSql,
     "a5_pricing_summary" -> a5PricingSummarySql,

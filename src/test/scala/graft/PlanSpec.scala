@@ -63,6 +63,24 @@ class PlanSpec extends AnyFunSuite {
       plan.take(2000))
   }
 
+  test("j13: AutoRangeJoin rewrites the naive inequality join to equi") {
+    val df = Relational.queries("j13_auto_range_join")(spark, sfSmoke)
+    df.collect()
+    val plan = planOf(df)
+    // the query is written as a plain inequality join; WITHOUT the
+    // injected rule Catalyst plans BroadcastNestedLoopJoin — the
+    // rewrite's bucket equality must turn it into a hash/merge join
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "AutoRangeJoin did not fire:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(2000))
+    assert(plan.contains("__graft_range_bucket"),
+      "expected the rewrite's bucket column in the plan:\n" +
+        plan.take(2000))
+  }
+
   test("j12: the interval-overlap join is an equi-join, never a cartesian") {
     val df = Relational.queries("j12_interval_overlap")(spark, sfSmoke)
     df.collect()
