@@ -462,6 +462,69 @@ object TextOps {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Bigram language-model surprisal — the ORDER-2 perplexity filter next
+  // to tx_surprisal's unigram pass (real perplexity filters are n-gram
+  // LMs: a doc of common words in nonsense ORDER looks fine to a unigram
+  // model and lights up under bigram conditionals). Model: add-one
+  // smoothed conditionals P(w2|w1) = (c12+1)/(c1+V) trained on the
+  // corpus itself, V = distinct unigram vocabulary (one broadcast
+  // scalar). Same determinism contract as tx_surprisal: the conditional
+  // surprisal is quantized to integer micro-nats ONCE per distinct
+  // bigram, per-doc sums run on integers (order-free across partials),
+  // corpus scalars broadcast, never collected.
+  private def txBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    val vocab = docs.select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val bg = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val micro = c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("c1") + col("v")) / (col("c12") + 1)) * 1e6)
+          .cast("long").as("micro"))
+    tf.join(micro, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * col("micro")) /
+          (lit(1e6) * sum(col("tf"))), 6).as("mean_surprisal"),
+        round(max(col("micro")) / lit(1e6), 6).as("max_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txBigramLmSql =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |vocab AS (
+      |  SELECT count(DISTINCT tok) AS v FROM (
+      |    SELECT unnest(w) AS tok FROM docs)),
+      |bg AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+      |        FROM docs WHERE len(w) >= 2)),
+      |tf AS (
+      |  SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |micro AS (
+      |  SELECT c12.w1, c12.w2,
+      |    CAST(round(ln((c1 + v)*1.0/(c12 + 1)) * 1000000) AS BIGINT)
+      |      AS micro
+      |  FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |  round(sum(tf*micro)*1.0/(1000000.0*sum(tf)), 6) AS mean_surprisal,
+      |  round(max(micro)/1000000.0, 6) AS max_surprisal
+      |FROM tf JOIN micro USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Per-source curation report — the consumable dashboard dataset of the
   // curation family (every analytical surface should end in one, the way
   // the reference's Superset datasets do): per ingestion source, document
@@ -931,6 +994,7 @@ object TextOps {
     "tx_contamination" -> txContamination _,
     "tx_rarity" -> txRarity _,
     "tx_surprisal" -> txSurprisal _,
+    "tx_bigram_lm" -> txBigramLm _,
     "tx_source_report" -> txSourceReport _,
     "tx_curation_manifest" -> txCurationManifest _,
     "tx_redact" -> txRedact _,
@@ -952,6 +1016,7 @@ object TextOps {
     "tx_curation_manifest" -> txCurationManifestSql,
     "tx_redact" -> txRedactSql,
     "tx_surprisal" -> txSurprisalSql,
+    "tx_bigram_lm" -> txBigramLmSql,
     "tx_heavy_hitters" -> txHeavyHittersSql,
     "tx_winnow" -> txWinnowSql,
     "tx_winnow_pairs" -> txWinnowPairsSql,

@@ -986,6 +986,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("bigram LM: bigram mass matches token counts; surprisal bounded") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val docs = Tables.t(spark, sfSmoke, "documents")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val rows = TextOps.queries("tx_bigram_lm")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_bigrams") == docs(id) - 1,
+        s"doc $id: bigram count must be token count - 1")
+      val mean = r.getAs[Double]("mean_surprisal")
+      val mx = r.getAs[Double]("max_surprisal")
+      assert(mean > 0.0 && mean <= mx)
+    }
+    // every multi-token doc is represented
+    assert(rows.length == docs.count(_._2 >= 2))
+  }
+
   test("semdedup: drops are injected copies only; accounting is exact") {
     val n = Tables.t(spark, sfSmoke, "embeddings").count()
     val rows = SimilarityOps.semDedup(spark, sfSmoke).collect()
