@@ -831,7 +831,40 @@ object MultimodalOps {
       |  8*(2 + (doc_id*3) % 4) AS exif_h
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ID3v2 audio metadata — the audio modality's provenance layer
+  // (multimodal.Id3): syncsafe tag size, frame walk with the v2.3
+  // (plain-size) vs v2.4 (syncsafe-size) split that trips real parsers —
+  // even ids encode v2.3, odd v2.4, so both decoders run on every
+  // corpus — plus an unknown frame the walk must skip by size and
+  // trailing padding. Every field is a closed form of doc_id.
+  private def mmId3Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = graft.multimodal.Id3.parse(
+          graft.multimodal.Id3.fixturePayload(id))
+        (id, m.version.toLong, m.title, m.artist, m.album, m.track.toLong,
+          m.lengthMs)
+      })
+      .toDF("doc_id", "id3_version", "title", "artist", "album", "track",
+        "length_ms")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmId3MetaSql =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT)
+      |    AS id3_version,
+      |  'Track ' || (doc_id % 100) AS title,
+      |  'Artist ' || (doc_id % 12) AS artist,
+      |  'Album ' || (doc_id % 9) AS album,
+      |  1 + doc_id % 20 AS track,
+      |  30000 + (doc_id % 300) * 1000 AS length_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_id3_meta" -> mmId3Meta _,
     "mm_exif_meta" -> mmExifMeta _,
     "mm_video_frames" -> mmVideoFrames _,
     "mm_webp_meta" -> mmWebpMeta _,
@@ -854,6 +887,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_id3_meta" -> mmId3MetaSql,
     "mm_exif_meta" -> mmExifMetaSql,
     "mm_video_frames" -> mmVideoFramesSql,
     "mm_webp_meta" -> mmWebpMetaSql,
