@@ -575,6 +575,75 @@ object Relational {
       |ORDER BY cohort_d, day_offset""".stripMargin
 
   // ---------------------------------------------------------------------
+  // A14: two-sample A/B test report (Welch's t) — the experiment-readout
+  // staple: per event_type, users split into arms by id parity and the
+  // value distributions compared. The WHOLE statistic is derived from
+  // exact integer aggregates (n, Σcents, Σcents² — all inside long
+  // range), so the only floating arithmetic is the final closed-form
+  // combination, rounded to 6 dp — one partial-aggregated pass over the
+  // events, no windows, and the t statistic plus Welch's
+  // degrees-of-freedom are value-identical in DuckDB.
+  private def a14Abtest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"),
+        (pmod(col("user_id"), lit(2L)) === 0L).as("arm_a"),
+        round(col("value") * 100).cast("long").as("c"))
+    val g = e.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm_a"), col("c")).otherwise(0L)).as("s_a"),
+        sum(when(col("arm_a"), col("c") * col("c")).otherwise(0L)).as("q_a"),
+        sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("arm_a"), col("c")).otherwise(0L)).as("s_b"),
+        sum(when(!col("arm_a"), col("c") * col("c")).otherwise(0L)).as("q_b"))
+    g.select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("s_a") / col("n_a") / 100.0, 6).as("mean_a"),
+        round(col("s_b") / col("n_b") / 100.0, 6).as("mean_b"),
+        expr("(q_a - s_a*1.0*s_a/n_a) / (n_a - 1)").as("va"),
+        expr("(q_b - s_b*1.0*s_b/n_b) / (n_b - 1)").as("vb"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        round((col("mean_a") * 100 - col("mean_b") * 100) /
+          sqrt(col("va") / col("n_a") + col("vb") / col("n_b")), 6)
+          .as("welch_t"),
+        round(
+          pow(col("va") / col("n_a") + col("vb") / col("n_b"), 2) /
+            (pow(col("va") / col("n_a"), 2) / (col("n_a") - 1) +
+              pow(col("vb") / col("n_b"), 2) / (col("n_b") - 1)), 3)
+          .as("welch_df"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a14AbtestSql =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 = 0 AS arm_a,
+      |    CAST(round(value*100) AS BIGINT) AS c
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm_a THEN c ELSE 0 END) AS BIGINT) AS s_a,
+      |    CAST(sum(CASE WHEN arm_a THEN c*c ELSE 0 END) AS BIGINT) AS q_a,
+      |    CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN NOT arm_a THEN c ELSE 0 END) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN NOT arm_a THEN c*c ELSE 0 END) AS BIGINT) AS q_b
+      |  FROM e GROUP BY 1),
+      |v AS (
+      |  SELECT event_type, n_a, n_b,
+      |    round(s_a*1.0/n_a/100.0, 6) AS mean_a,
+      |    round(s_b*1.0/n_b/100.0, 6) AS mean_b,
+      |    (q_a - s_a*1.0*s_a/n_a) / (n_a - 1) AS va,
+      |    (q_b - s_b*1.0*s_b/n_b) / (n_b - 1) AS vb
+      |  FROM g)
+      |SELECT event_type, n_a, n_b, mean_a, mean_b,
+      |  round((mean_a*100 - mean_b*100)
+      |    / sqrt(va/n_a + vb/n_b), 6) AS welch_t,
+      |  round(pow(va/n_a + vb/n_b, 2)
+      |    / (pow(va/n_a, 2)/(n_a - 1) + pow(vb/n_b, 2)/(n_b - 1)), 3)
+      |    AS welch_df
+      |FROM v ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // Last-touch attribution — the revenue-assignment staple that closes
   // the product-analytics family: every purchase is attributed to the
   // user's LATEST preceding marketing touch (view or click, inclusive
@@ -1244,6 +1313,7 @@ object Relational {
     "a6_percentiles" -> a6Percentiles _,
     "a6_approx_quantiles" -> a6ApproxQuantiles _,
     "a12_robust_stats" -> a12RobustStats _,
+    "a14_abtest" -> a14Abtest _,
     "an_funnel" -> anFunnel _,
     "an_cohort" -> anCohort _,
     "an_rfm" -> anRfm _,
@@ -1285,6 +1355,7 @@ object Relational {
     "a6_percentiles" -> a6PercentilesSql,
     "a6_approx_quantiles" -> a6ApproxQuantilesSql,
     "a12_robust_stats" -> a12RobustStatsSql,
+    "a14_abtest" -> a14AbtestSql,
     "an_funnel" -> anFunnelSql,
     "an_cohort" -> anCohortSql,
     "an_rfm" -> anRfmSql,
