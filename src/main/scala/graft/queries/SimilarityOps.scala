@@ -1024,6 +1024,122 @@ object SimilarityOps {
        |ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Distributed PCA (top principal component) via power iteration — the
+  // linear-dimensionality complement of the random projection tier: RP
+  // is data-independent, PCA is the data-ADAPTED projection a pipeline
+  // fits once per corpus. The production shape at 100 TB: the Gram/
+  // covariance accumulation is the distributed pass (one map-side
+  // partial-aggregated sweep over a fixed 64×64 = 4096-cell key space —
+  // each row explodes its own outer product, no self-join), and the
+  // 64×64 eigenproblem is solved on the driver (the same tiny-problem
+  // contract as Components' union-find guard). Every step is INTEGER:
+  // coordinates quantize to micro-units, the centered matrix is the
+  // exact integer N·G − S·Sᵀ (eigenvectors unchanged by the N scaling),
+  // a fixed down-shift bounds products in long range, and each of the 6
+  // power iterations renormalizes by max-|component| through a 128-bit
+  // truncating division — so partial-aggregation order cannot move a
+  // bit and the DuckDB oracle replays all iterations exactly (HUGEINT
+  // `//` truncates toward zero, matching Scala's BigInt `/`). Sign is
+  // fixed deterministically (first max-magnitude component positive).
+  // Like sim_topics' three pinned Lloyd rounds, the contract is the
+  // deterministic SCHEDULE (6 rounds from the all-ones start), not full
+  // convergence — on a spectrally flat corpus the two differ, on a
+  // corpus with a genuine dominant direction they coincide; the integer
+  // iteration tracking its real-valued replica to |cos| > 0.999 is
+  // asserted in ScaleOpsSpec.
+  private def simPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = embDouble(s, dir)
+      .select(col("vec_id"),
+        expr("transform(v, x -> CAST(round(x * 1000000) AS BIGINT))")
+          .as("q"))
+    val n = e.count()
+    val sums = e.select(explode(expr(
+        "transform(sequence(0, 63), j -> struct(j AS j, q[j] AS qv))"))
+        .as("s"))
+      .groupBy(col("s.j").as("j")).agg(sum(col("s.qv")).as("sj"))
+      .collect().map(r => r.getAs[Int]("j") -> r.getAs[Long]("sj")).toMap
+    val gram = e.select(explode(expr(
+        "flatten(transform(sequence(0, 63), j -> transform(" +
+          "sequence(0, 63), k -> struct(j AS j, k AS k, " +
+          "q[j] * q[k] AS p))))")).as("g"))
+      .groupBy(col("g.j").as("j"), col("g.k").as("k"))
+      .agg(sum(col("g.p")).as("gjk"))
+      .collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("k")) ->
+        r.getAs[Long]("gjk")).toMap
+    // exact integer centered matrix N·G − S·Sᵀ through 128-bit arithmetic
+    // (the raw products outgrow long once N is large), down-shifted into
+    // product-safe long range for the iteration
+    val ms = Array.tabulate(dim, dim)((j, k) =>
+      ((BigInt(n) * gram((j, k)) - BigInt(sums(j)) * sums(k)) /
+        1000000000L).toLong)
+    var v = Array.fill(dim)(1000000L)
+    for (_ <- 0 until 6) {
+      val mv = Array.tabulate(dim) { j =>
+        var acc = 0L
+        var k = 0
+        while (k < dim) { acc += ms(j)(k) * v(k); k += 1 }
+        acc
+      }
+      val m = mv.map(math.abs).max
+      v = mv.map(x => ((BigInt(x) * 1000000L) / m).toLong)
+    }
+    // deterministic sign: first max-|.| component positive
+    val kStar = v.indices.minBy(i => (-math.abs(v(i)), i))
+    if (v(kStar) < 0) v = v.map(-_)
+    import s.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x / 1e6) }.toSeq
+      .toDF("dim", "loading")
+      .orderBy(col("dim"))
+  }
+
+  private val simPcaPowerSql = {
+    val pre =
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |rows_jk AS (
+        |  SELECT j.j, k.k, e.q[j.j + 1] * e.q[k.k + 1] AS p,
+        |    e.q[j.j + 1] AS qj, e.vec_id
+        |  FROM e, range(0, 64) j(j), range(0, 64) k(k)),
+        |g AS (SELECT j, k, CAST(sum(p) AS BIGINT) AS gjk
+        |      FROM rows_jk GROUP BY 1, 2),
+        |sv AS (SELECT j, CAST(sum(qj) AS BIGINT) AS sj
+        |       FROM rows_jk WHERE k = 0 GROUP BY 1),
+        |ms AS (
+        |  SELECT g.j, g.k,
+        |    CAST((CAST(nn.n AS HUGEINT) * g.gjk
+        |      - CAST(s1.sj AS HUGEINT) * s2.sj) // 1000000000 AS BIGINT)
+        |      AS val
+        |  FROM g JOIN sv s1 ON s1.j = g.j JOIN sv s2 ON s2.j = g.k
+        |  CROSS JOIN nn),
+        |v0 AS (SELECT j, CAST(1000000 AS BIGINT) AS x
+        |       FROM range(0, 64) t(j))""".stripMargin
+    val rounds = (1 to 6).map { i =>
+      s"""mv$i AS (
+         |  SELECT ms.j, CAST(sum(ms.val * v.x) AS BIGINT) AS mv
+         |  FROM ms JOIN v${i - 1} v ON ms.k = v.j GROUP BY 1),
+         |mx$i AS (SELECT max(abs(mv)) AS m FROM mv$i),
+         |v$i AS (
+         |  SELECT j, CAST(CAST(mv AS HUGEINT) * 1000000 // m AS BIGINT)
+         |    AS x
+         |  FROM mv$i CROSS JOIN mx$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$pre,
+       |$rounds,
+       |sgn AS (
+       |  SELECT CASE WHEN (SELECT x FROM v6
+       |                    ORDER BY abs(x) DESC, j LIMIT 1) < 0
+       |         THEN -1 ELSE 1 END AS sg)
+       |SELECT CAST(j AS BIGINT) AS dim, sg * x / 1000000.0 AS loading
+       |FROM v6 CROSS JOIN sgn ORDER BY dim""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Incremental IVF index maintenance on ingest — the ANN complement of
   // DedupOps.st_incremental_neardup, and the shape a continuously-growing
   // embedding corpus needs at 100 TB: the coarse quantizer is trained ONCE
@@ -1177,6 +1293,7 @@ object SimilarityOps {
     "sim_contamination" -> simContamination _,
     "sim_topic_sample" -> simTopicSample _,
     "sim_semdedup" -> simSemDedup _,
+    "sim_pca_power" -> simPcaPower _,
     "st_incremental_ivf" -> stIncrementalIvf _
   )
 
@@ -1195,6 +1312,7 @@ object SimilarityOps {
     "sim_contamination" -> simContaminationSql,
     "sim_topic_sample" -> simTopicSampleSql,
     "sim_semdedup" -> simSemDedupSql,
+    "sim_pca_power" -> simPcaPowerSql,
     "st_incremental_ivf" -> stIncrementalIvfSql
   )
 }

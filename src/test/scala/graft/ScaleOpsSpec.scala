@@ -1005,6 +1005,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.length == docs.count(_._2 >= 2))
   }
 
+  test("pca power iteration: integer loadings align with double PCA") {
+    val rows = SimilarityOps.queries("sim_pca_power")(spark, sfSmoke)
+      .collect().sortBy(_.getAs[Long]("dim"))
+    assert(rows.length == 64)
+    val v = rows.map(_.getAs[Double]("loading"))
+    assert(math.abs(v.map(math.abs).max - 1.0) < 1e-9,
+      "max-|.| normalization must land exactly on 1.0")
+    // ground truth: a DOUBLE-precision replica of the same schedule (same
+    // all-ones start, same 6 rounds, same max-|.| renormalization) over
+    // the unquantized covariance. The corpus is near-isotropic (random
+    // embeddings have an almost flat spectrum), so "the converged top
+    // eigenvector" is not a usable reference — what IS pinned down is
+    // that the integer/truncating arithmetic tracks the real-valued
+    // iteration to high precision.
+    val data = Tables.t(spark, sfSmoke, "embeddings")
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = data.length
+    val mean = Array.tabulate(64)(j => data.map(_(j)).sum / n)
+    val cov = Array.tabulate(64, 64)((j, k) =>
+      data.map(r => (r(j) - mean(j)) * (r(k) - mean(k))).sum)
+    var w = Array.fill(64)(1.0)
+    for (_ <- 0 until 6) {
+      val mw = Array.tabulate(64)(j =>
+        (0 until 64).map(k => cov(j)(k) * w(k)).sum)
+      val m = mw.map(math.abs).max
+      w = mw.map(_ / m)
+    }
+    val dot = v.zip(w).map { case (a, b) => a * b }.sum
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    val wn = math.sqrt(w.map(x => x * x).sum)
+    assert(math.abs(dot) / (vn * wn) > 0.999,
+      s"integer iteration diverges from the double replica: |cos|=" +
+        s"${math.abs(dot) / (vn * wn)}")
+  }
+
   test("semdedup: drops are injected copies only; accounting is exact") {
     val n = Tables.t(spark, sfSmoke, "embeddings").count()
     val rows = SimilarityOps.semDedup(spark, sfSmoke).collect()
