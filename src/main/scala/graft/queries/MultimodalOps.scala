@@ -863,7 +863,41 @@ object MultimodalOps {
       |  30000 + (doc_id % 300) * 1000 AS length_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // FLAC STREAMINFO — the lossless-audio container tier (multimodal.
+  // Flac): metadata-block walk (last-flag + type + 24-bit length) and
+  // STREAMINFO's dense bit layout — the 64-bit field packing sample
+  // rate (20 bits), channels-1 (3), bits-1 (5), total samples (36) —
+  // with a VORBIS_COMMENT block exercising the skip path. Sample decode
+  // stays behind the documented seam; this is the filter-before-decode
+  // pass. Every field is a closed form of doc_id.
+  private def mmFlacMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val m = graft.multimodal.Flac.parse(
+          graft.multimodal.Flac.fixturePayload(id))
+        (id, m.sampleRate.toLong, m.channels.toLong,
+          m.bitsPerSample.toLong, m.totalSamples,
+          m.minBlock.toLong, m.maxBlock.toLong)
+      })
+      .toDF("doc_id", "sample_rate", "channels", "bits_per_sample",
+        "total_samples", "min_block", "max_block")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmFlacMetaSql =
+    """SELECT doc_id,
+      |  8000 + (doc_id % 6) * 8000 AS sample_rate,
+      |  1 + doc_id % 2 AS channels,
+      |  16 + (doc_id % 2) * 8 AS bits_per_sample,
+      |  10000 + (doc_id % 90000) * 7 AS total_samples,
+      |  CAST(1024 AS BIGINT) AS min_block,
+      |  CAST(4096 AS BIGINT) AS max_block
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "mm_flac_meta" -> mmFlacMeta _,
     "mm_id3_meta" -> mmId3Meta _,
     "mm_exif_meta" -> mmExifMeta _,
     "mm_video_frames" -> mmVideoFrames _,
@@ -887,6 +921,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_flac_meta" -> mmFlacMetaSql,
     "mm_id3_meta" -> mmId3MetaSql,
     "mm_exif_meta" -> mmExifMetaSql,
     "mm_video_frames" -> mmVideoFramesSql,
