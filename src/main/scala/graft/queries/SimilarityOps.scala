@@ -1059,15 +1059,19 @@ object SimilarityOps {
         .as("s"))
       .groupBy(col("s.j").as("j")).agg(sum(col("s.qv")).as("sj"))
       .collect().map(r => r.getAs[Int]("j") -> r.getAs[Long]("sj")).toMap
-    val gram = e.select(explode(expr(
+    // symmetric matrix: accumulate the upper triangle only (2080 cells
+    // instead of 4096) and mirror on the driver
+    val upper = e.select(explode(expr(
         "flatten(transform(sequence(0, 63), j -> transform(" +
-          "sequence(0, 63), k -> struct(j AS j, k AS k, " +
+          "sequence(j, 63), k -> struct(j AS j, k AS k, " +
           "q[j] * q[k] AS p))))")).as("g"))
       .groupBy(col("g.j").as("j"), col("g.k").as("k"))
       .agg(sum(col("g.p")).as("gjk"))
       .collect()
       .map(r => (r.getAs[Int]("j"), r.getAs[Int]("k")) ->
         r.getAs[Long]("gjk")).toMap
+    val gram = (jk: (Int, Int)) =>
+      upper.getOrElse(jk, upper((jk._2, jk._1)))
     // exact integer centered matrix N·G − S·Sᵀ through 128-bit arithmetic
     // (the raw products outgrow long once N is large), down-shifted into
     // product-safe long range for the iteration

@@ -768,7 +768,80 @@ object TimeSeries {
       |  min(CASE WHEN s_pos > h OR s_neg > h THEN d END) AS first_alarm_d
       |FROM cs GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Hash-checkable CONTRACT for the iterative fits — the HLL-verdict
+  // pattern (a3_approx_distinct) applied to the econometric tier: the
+  // GARCH/ARMA estimates themselves are not SQL-expressible, but their
+  // CORRECTNESS CONTRACT is — per key, the query emits the exact
+  // observation count (DuckDB recomputes it) plus the boolean verdicts a
+  // sound fit must satisfy: GARCH feasibility (ω>0, α≥0, β≥0),
+  // covariance stationarity (α+β<1), likelihood beating the constant-
+  // variance Gaussian; ARMA residual centering, residuals whiter than
+  // the input (|acf₁| shrinks), likelihood beating white noise. The
+  // oracle pins every verdict TRUE — a regressed optimizer flips a
+  // boolean and fails the hash, so the fits' quality is now inside the
+  // driver's correctness gate instead of only in ScalaTest.
+  private def tsFitVerdicts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val rets = dailyClose(s, dir)
+      .withColumn("prev", lag(col("close"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        datediff(col("d"), to_date(lit("2024-01-01"))).as("td"),
+        log(col("close") / col("prev")).as("r"))
+      .as[(String, Int, Double)]
+    rets.groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val y = it.map(x => (x._2, x._3)).toArray.sortBy(_._1).map(_._2)
+        val n = y.length
+        // ARMA white-noise baseline: same CSS convention (n−1 residuals)
+        def wnLoglik(series: Array[Double]): Double = {
+          val e0 = TimeSeriesStats.armaResiduals(
+            series, TimeSeriesStats.mean(series), 0, 0)
+          val s2 = e0.map(v => v * v).sum / e0.length
+          -0.5 * e0.length * (math.log(2 * math.Pi * s2) + 1.0)
+        }
+        val g = TimeSeriesStats.fitGarch11(y)
+        val a = TimeSeriesStats.fitArma11(y)
+        // GARCH constant-variance baseline through the SAME nll code path
+        // (ω = sample variance, α = β = 0 is the constant model inside
+        // the feasible set), so the optimizer must weakly dominate it
+        val rDemeaned = { val m = TimeSeriesStats.mean(y); y.map(_ - m) }
+        val constLl = -TimeSeriesStats.garchNll(rDemeaned,
+          TimeSeriesStats.variance(rDemeaned).max(1e-12), 0.0, 0.0)
+        val resid = TimeSeriesStats.armaResiduals(y, a.c, a.phi, a.theta)
+        val residMean = TimeSeriesStats.mean(resid)
+        val residSd = math.sqrt(TimeSeriesStats.variance(resid))
+        (k, n.toLong,
+          g.omega > 0 && g.alpha >= 0 && g.beta >= 0,
+          g.alpha + g.beta < 1.0,
+          g.loglik >= constLl - 1e-9,
+          // centered within 3 standard errors of zero
+          math.abs(residMean) <=
+            3.0 * residSd / math.sqrt(resid.length.toDouble),
+          math.abs(TimeSeriesStats.acf(resid, 1)) <=
+            math.abs(TimeSeriesStats.acf(y, 1)) + 1e-9,
+          a.loglik > wnLoglik(y))
+      }
+      .toDF("event_type", "n_obs", "garch_feasible", "garch_stationary",
+        "garch_dominates_const_var", "arma_centered", "arma_whiter",
+        "arma_beats_white_noise")
+      .orderBy(col("event_type"))
+  }
+
+  private val tsFitVerdictsSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d FROM events
+      |  GROUP BY 1, 2)
+      |SELECT event_type, count(*) - 1 AS n_obs,
+      |  TRUE AS garch_feasible, TRUE AS garch_stationary,
+      |  TRUE AS garch_dominates_const_var, TRUE AS arma_centered,
+      |  TRUE AS arma_whiter, TRUE AS arma_beats_white_noise
+      |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_fit_verdicts" -> tsFitVerdicts _,
     "ts_ohlcv_daily" -> tsOhlcvDaily _,
     "w4_moving_stats" -> w4MovingStats _,
     "ts_naive_backtest" -> tsNaiveBacktest _,
@@ -784,6 +857,7 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_fit_verdicts" -> tsFitVerdictsSql,
     "ts_ohlcv_daily" -> tsOhlcvDailySql,
     "w4_moving_stats" -> w4MovingStatsSql,
     "ts_naive_backtest" -> tsNaiveBacktestSql,

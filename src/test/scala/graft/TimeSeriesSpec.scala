@@ -315,6 +315,18 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("fit verdicts: every contract boolean holds on the smoke corpus") {
+    val rows = TimeSeries.queries("ts_fit_verdicts")(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_obs") > 0)
+      for (c <- Seq("garch_feasible", "garch_stationary",
+          "garch_dominates_const_var", "arma_centered", "arma_whiter",
+          "arma_beats_white_noise"))
+        assert(r.getAs[Boolean](c), s"verdict $c false: $r")
+    }
+  }
+
   test("cusum: statistics are nonnegative and alarms imply a threshold hit") {
     val rows = TimeSeries.queries("ts_cusum")(spark, sfSmoke).collect()
     assert(rows.nonEmpty)
