@@ -840,7 +840,71 @@ object TimeSeries {
       |  TRUE AS arma_whiter, TRUE AS arma_beats_white_noise
       |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Longest gain streak — the gaps-and-islands pattern in its most-asked
+  // form (dashboards: "longest run of consecutive up-days"): flag up
+  // days (close > previous close, exact cents compare), label islands by
+  // the row_number difference trick, then per-key max by (length, end
+  // date). Per-key sharded windows only; every value integer/date exact.
+  private def tsStreaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val wUp = Window.partitionBy(col("event_type"), col("up"))
+      .orderBy(col("d"))
+    val flagged = dailyClose(s, dir)
+      .withColumn("cents", round(col("close") * 100).cast("long"))
+      .withColumn("up",
+        (col("cents") > lag(col("cents"), 1).over(w)).cast("boolean"))
+      .filter(col("up").isNotNull)
+      .withColumn("grp",
+        row_number().over(w) - row_number().over(wUp))
+    val islands = flagged.filter(col("up"))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"), max(col("d")).as("end_d"))
+    islands.groupBy(col("event_type"))
+      .agg(max(col("len")).as("longest_up_streak"),
+        max_by(col("end_d"), struct(col("len"), col("end_d")))
+          .as("streak_end_d"))
+      .join(flagged.groupBy(col("event_type"))
+        .agg(sum(when(col("up"), 1L).otherwise(0L)).as("n_up_days")),
+        Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  private val tsStreaksSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(round(arg_max(value, ts)*100) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |f AS (
+      |  SELECT event_type, d,
+      |    cents > lag(cents) OVER (PARTITION BY event_type ORDER BY d)
+      |      AS up
+      |  FROM daily),
+      |flagged AS (
+      |  SELECT event_type, d, up,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d)
+      |      - row_number() OVER (PARTITION BY event_type, up ORDER BY d)
+      |      AS grp
+      |  FROM f WHERE up IS NOT NULL),
+      |islands AS (
+      |  SELECT event_type, grp, count(*) AS len, max(d) AS end_d
+      |  FROM flagged WHERE up GROUP BY 1, 2),
+      |best AS (
+      |  SELECT event_type, len AS longest_up_streak,
+      |    end_d AS streak_end_d
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |          ORDER BY len DESC, end_d DESC) AS rn FROM islands)
+      |  WHERE rn = 1),
+      |ups AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n_up_days
+      |  FROM flagged GROUP BY 1)
+      |SELECT b.event_type, b.longest_up_streak, b.streak_end_d, u.n_up_days
+      |FROM best b JOIN ups u USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ts_streaks" -> tsStreaks _,
     "ts_fit_verdicts" -> tsFitVerdicts _,
     "ts_ohlcv_daily" -> tsOhlcvDaily _,
     "w4_moving_stats" -> w4MovingStats _,
@@ -857,6 +921,7 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_streaks" -> tsStreaksSql,
     "ts_fit_verdicts" -> tsFitVerdictsSql,
     "ts_ohlcv_daily" -> tsOhlcvDailySql,
     "w4_moving_stats" -> w4MovingStatsSql,
