@@ -30,10 +30,20 @@ import org.apache.spark.sql.SparkSession
   *     counts, error messages).
   *
   * Reps also respect a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`,
-  * default 900): once the run has spent the budget, remaining queries get
-  * a single rep. On an idle host the full 3-rep sweep finishes well under
-  * it; on a badly contended host the budget bounds the run instead of
-  * letting rep inflation triple an already-inflated sweep.
+  * default 2700 — sized so the full query inventory always gets min-of-3
+  * even on a 3×-inflated host; the r10 default of 900 exhausted mid-sweep
+  * on a contended host and the 1-rep tail read as a fake regression):
+  * once the run has spent the budget, remaining queries get a single rep.
+  *
+  * The record SELF-FLAGS contention (`"contended": true` in both the
+  * compact line and target/bench.json) so a noisy run is distinguishable
+  * from a real regression without re-running. Two independent signals:
+  *   - a single-thread CPU-spin probe (fixed xorshift loop) run before
+  *     and after the sweep — on an idle host its wall ≈ its thread-CPU
+  *     time; on an oversubscribed host the OS timeslices the spin and
+  *     wall/cpu > 1.5;
+  *   - budget exhaustion (some queries dropped to 1 rep), which only
+  *     happens when the sweep ran far over its honest duration.
   */
 object Bench {
 
@@ -74,9 +84,33 @@ object Bench {
     val maxReps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
     val benchStart = System.nanoTime()
-    def overBudget(): Boolean = (System.nanoTime() - benchStart) / 1e9 > budgetSec
+    var budgetExhausted = false
+    def overBudget(): Boolean = {
+      val over = (System.nanoTime() - benchStart) / 1e9 > budgetSec
+      if (over) budgetExhausted = true
+      over
+    }
+    // Contention probe: a fixed single-thread spin whose wall time equals
+    // its thread-CPU time on an idle core; timeslicing on an
+    // oversubscribed host inflates wall only. Ratio > 1.5 = contended.
+    def spinProbe(): Double = {
+      val tm = java.lang.management.ManagementFactory.getThreadMXBean
+      if (!tm.isCurrentThreadCpuTimeSupported) return 1.0
+      var x = 0x9e3779b97f4a7c15L
+      val w0 = System.nanoTime()
+      val c0 = tm.getCurrentThreadCpuTime
+      var i = 0
+      while (i < 150000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      val wall = (System.nanoTime() - w0).toDouble
+      val cpu = (tm.getCurrentThreadCpuTime - c0).toDouble
+      if (x == 42L) System.err.println("") // keep the loop observable
+      if (cpu <= 0) 1.0 else wall / cpu
+    }
+    val probeBefore = spinProbe()
     // process CPU time is a HotSpot extension: fall back to 0 (rather
     // than crash or emit negative values) where the platform bean does
     // not support it (-1) or is not the com.sun.management variant
@@ -128,6 +162,13 @@ object Bench {
       }
       (name, bestWall, bestCpu, reps, outcome)
     }
+    val probeAfter = spinProbe()
+    val probeRatio = math.max(probeBefore, probeAfter)
+    val contended = probeRatio > 1.5 || budgetExhausted
+    // queries that got fewer reps than requested (budget exhaustion tail)
+    val reps1 = results.count { case (_, _, _, r, o) =>
+      o.isRight && r < maxReps && r == 1
+    }
     // locale-proof decimal formatting (some locales print "1,23")
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
@@ -154,7 +195,7 @@ object Bench {
       val cpu = m { case (k, _, c, _, _) => s"\"$k\":$c" }
       val reps = m { case (k, _, _, r, _) => s"\"$k\":$r" }
       val rows = m { case (k, _, _, _, o) => s"\"$k\":${o.getOrElse(-1L)}" }
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"queries":$qs,"cpu":$cpu,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"contended":$contended,"probe_ratio":${fmt(probeRatio, 3)},"budget_exhausted":$budgetExhausted,"single_rep_queries":$reps1,"queries":$qs,"cpu":$cpu,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
     }
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
@@ -175,7 +216,7 @@ object Bench {
         .mkString("{", ",", "}")
       val err = if (failed == 0 || !withErrors) ""
         else s""","errors":$compactErrors"""
-      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs$err,"failed":$failed,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","contended":$contended,"queries":$qs$err,"failed":$failed,"sf":$sfJson}"""
     }
     // last-resort shapes, still valid JSON with the same headline keys:
     // top-N slowest queries only (the ones a reader acts on), then none —
@@ -184,13 +225,13 @@ object Bench {
       val qs = results.sortBy(-_._2).take(n)
         .map { case (k, w, _, _, _) => s"\"$k\":${fmt(w, 1)}" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"queries_truncated_to":$n,"failed":$failed,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","contended":$contended,"queries":$qs,"queries_truncated_to":$n,"failed":$failed,"sf":$sfJson}"""
     }
     val line = (Seq((2, true), (1, true), (1, false))
         .map((compactLine _).tupled) ++ Seq(topLine(20), topLine(10),
         topLine(5)))
       .find(_.length <= 600)
-      .getOrElse(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","failed":$failed,"sf":$sfJson}""")
+      .getOrElse(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","contended":$contended,"failed":$failed,"sf":$sfJson}""")
     spark.stop()
     // Printed AFTER spark.stop() so nothing lands between the line and
     // the end of the log — and printed THREE times with flushes and

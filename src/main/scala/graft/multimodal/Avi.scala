@@ -53,6 +53,12 @@ object Avi {
       while (o + 8 <= to) {
         val typ = fourcc(p, o)
         val len = le32(p, o + 4)
+        // a length with the high bit set reads as a NEGATIVE Int, which
+        // passes the overrun check below (o+8+len <= to holds) and can
+        // stall the walk (len = -8 leaves o unchanged every iteration) —
+        // reject it loudly before it is used as an advance
+        require(len >= 0,
+          s"torn AVI chunk '$typ' at offset $o: negative length $len")
         require(o + 8 + len <= to,
           s"torn AVI chunk '$typ' at offset $o: length $len overruns")
         val d = o + 8

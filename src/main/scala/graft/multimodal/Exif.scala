@@ -67,24 +67,41 @@ object Exif {
       raw.takeWhile(_ != '\u0000') // values carry a trailing NUL
     }
 
-    def walkIfd(ifdOff: Int): Unit = {
+    // visited guards the 0x8769 sub-IFD hop: a crafted ExifIFD offset that
+    // points back at an already-walked IFD would otherwise recurse forever
+    // (StackOverflowError instead of the documented loud reject)
+    def walkIfd(ifdOff: Int, visited: Set[Int]): Unit = {
+      require(!visited.contains(ifdOff), s"IFD cycle at offset $ifdOff")
+      require(ifdOff >= 0 && ifdOff + 2 <= app1Len,
+        s"IFD offset $ifdOff outside APP1")
       val n = u16(ifdOff)
       require(ifdOff + 2 + n * 12 <= app1Len, s"IFD at $ifdOff overruns")
       for (i <- 0 until n) {
         val e = ifdOff + 2 + i * 12
         val tag = u16(e)
         val typ = u16(e + 2)
-        val count = u32(e + 4)
+        // count is an unsigned 32-bit field: widen before arithmetic so a
+        // crafted count >= 2^31 cannot wrap negative and pass as "inline"
+        val count = u32(e + 4).toLong & 0xffffffffL
         // inline-vs-offset: SHORT(3)=2 bytes, LONG(4)=4, ASCII(2)=1 each
         val unit = typ match {
-          case 1 | 2 | 7 => 1; case 3 => 2; case 4 | 9 => 4; case _ => 8
+          case 1 | 2 | 7 => 1L; case 3 => 2L; case 4 | 9 => 4L; case _ => 8L
         }
         val inline = unit * count <= 4
+        // every value read — inline or behind the offset — must land
+        // inside the APP1 segment, like the ascii helper already enforces
+        def valueOff(nBytes: Long): Int = {
+          val off = if (inline) e + 8 else u32(e + 8)
+          require(off >= 0 && t + off + nBytes <= app1 + app1Len,
+            f"tag 0x$tag%04x value overruns APP1")
+          off
+        }
         def shortOrLong: Int =
-          if (typ == 3) u16(if (inline) e + 8 else u32(e + 8))
-          else u32(if (inline) e + 8 else u32(e + 8))
-        def asciiVal: String =
-          ascii(if (inline) e + 8 else u32(e + 8), count)
+          if (typ == 3) u16(valueOff(2)) else u32(valueOff(4))
+        def asciiVal: String = {
+          require(count <= Int.MaxValue, "ASCII count overflows")
+          ascii(valueOff(count), count.toInt)
+        }
         tag match {
           case 0x010f => make = asciiVal
           case 0x0110 => model = asciiVal
@@ -92,12 +109,12 @@ object Exif {
           case 0x0132 => dateTime = asciiVal
           case 0xa002 => pixelW = shortOrLong
           case 0xa003 => pixelH = shortOrLong
-          case 0x8769 => walkIfd(u32(e + 8))
+          case 0x8769 => walkIfd(u32(e + 8), visited + ifdOff)
           case _ => // unknown tags skipped
         }
       }
     }
-    walkIfd(u32(4))
+    walkIfd(u32(4), Set.empty)
     require(orientation > 0, "Exif without an Orientation tag")
     ExifMeta(if (le) "II" else "MM", make, model, orientation, dateTime,
       pixelW, pixelH)

@@ -43,6 +43,11 @@ object Id3 {
     while (o + 10 <= end && p(o) != 0) { // zero byte = padding start
       val id = new String(p, o, 4, "US-ASCII")
       val size = if (major == 4) syncsafe(p, o + 4) else be32(p, o + 4)
+      // a v2.3 plain-be32 size with the high bit set reads as a NEGATIVE
+      // Int, which passes the overrun check and moves the walk BACKWARD
+      // (o += 10 + size) — reject it loudly instead of looping
+      require(size >= 0,
+        s"torn ID3 frame '$id': negative size $size")
       require(o + 10 + size <= end,
         s"torn ID3 frame '$id': size $size overruns the tag")
       def text: String = {

@@ -116,12 +116,17 @@ object Components {
       // small-star: each vertex u links its smaller neighbors (and itself)
       // to m = min(N_small(u)) — stars of stars flatten one level
       val minS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = ls.join(minS, Seq("u"))
-        .select(col("v").as("x"), col("m"))
-        .unionByName(minS.select(col("u").as("x"), col("m")))
-        .filter(col("x") =!= col("m"))
-        .select(col("x").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint()
+      // lineage truncation is policy-driven: localCheckpoint per round on
+      // local[...]; spark.graft.graph.reliableCheckpoint=true switches to
+      // a reliable checkpoint every k rounds for executor-loss tolerance
+      val next = graft.util.IterCheckpoint.truncate(
+        ls.join(minS, Seq("u"))
+          .select(col("v").as("x"), col("m"))
+          .unionByName(minS.select(col("u").as("x"), col("m")))
+          .filter(col("x") =!= col("m"))
+          .select(col("x").as("u"), col("m").as("v"))
+          .distinct(),
+        rounds)
       // fixpoint ⟺ identical edge sets (both are distinct): equal size and
       // empty difference — scalar probes only, never data movement
       val nextCount = next.count()

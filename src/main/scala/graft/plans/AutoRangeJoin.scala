@@ -47,8 +47,20 @@ object AutoRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BucketName = "__graft_range_bucket"
 
-  private def widthSec: Long =
-    conf.getConfString("spark.graft.rangeJoin.bucketSec", "2592000").toLong
+  /** Validated bucket width. A malformed or non-positive user value must
+    * not throw inside the optimizer (it would fail EVERY query touching a
+    * matching join) and must not build a degenerate sequence — parse
+    * defensively and return None so `apply` skips the rewrite (the naive
+    * join is still correct, just slower) with a logged warning.
+    */
+  private def widthSec: Option[Long] = {
+    val raw = conf.getConfString("spark.graft.rangeJoin.bucketSec", "2592000")
+    raw.toLongOption.filter(_ > 0).orElse {
+      logWarning(s"spark.graft.rangeJoin.bucketSec='$raw' is not a " +
+        "positive integer; skipping the range-join rewrite for this plan")
+      None
+    }
+  }
 
   /** Both wall-clock families qualify (testdata parquet surfaces
     * TIMESTAMP_NTZ; a tz-aware producer surfaces TIMESTAMP).
@@ -104,8 +116,8 @@ object AutoRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         }
       }
       matched match {
-        case Some((p, s, e)) if !hasEqui =>
-          val w = widthSec
+        case Some((p, s, e)) if !hasEqui && widthSec.isDefined =>
+          val w = widthSec.get
           val lb = Alias(bucketOf(p, w), BucketName)()
           val leftB = Project(left.output :+ lb, left)
           val rb = AttributeReference(BucketName, LongType,

@@ -224,7 +224,21 @@ object DedupOps {
   // family: token hashes, bit-sums, signatures, and band buckets are
   // bit-identical in DuckDB, so the oracle replays the identical pipeline.
   private def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed: the signature scan feeds both the overflow assertion
+    // and the pair join — one tokenize+60-bit-sum pass, not two
     val sig = Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint()
+    // ORACLE CONTRACT, asserted loudly: ddSimhashSql replays the plain
+    // within-bucket self-join, which matches simHashPairs only while no
+    // (band,bucket) exceeds the cap (past it the operator switches to the
+    // star+chain fallback, a deliberate recall trade the SQL cannot
+    // mirror). An overflowing fixture must fail HERE with a named cause,
+    // not downstream as an opaque hash mismatch.
+    val overflow = Dedup.simHashOverflow(sig, "doc_id").count()
+    require(overflow == 0L,
+      s"dd_simhash: $overflow (band,bucket) buckets exceed maxBucketSize " +
+        "— the plain self-join oracle no longer mirrors the capped " +
+        "operator; raise the cap for this corpus or re-derive the oracle")
     Dedup.simHashPairs(sig, "doc_id", maxHamming = 8)
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
   }

@@ -51,16 +51,22 @@ object GraphOps {
     val e = edges(docs, n).localCheckpoint()
     val base = (Unit * 15L / 100L) / n // (1-d) mass per node, exact ints
     var r = docs.select(col("doc_id").as("v"), lit(Unit / n).as("u"))
-    for (_ <- 0 until Iters) {
+    for (i <- 0 until Iters) {
       val contrib = e.join(r, e("src") === r("v"))
         .select(col("dst").as("v"), expr("u div 3").as("cu"))
         .groupBy(col("v")).agg(sum(col("cu")).as("sc"))
-      // left join keeps in-degree-0 nodes alive at their base mass
-      r = docs.select(col("doc_id").as("v"))
-        .join(contrib, Seq("v"), "left")
-        .select(col("v"),
-          (lit(base) + expr("(coalesce(sc, 0L) * 85) div 100")).as("u"))
-        .localCheckpoint() // truncate the 8-iteration lineage
+      // left join keeps in-degree-0 nodes alive at their base mass.
+      // Lineage truncation is policy-driven (util.IterCheckpoint):
+      // localCheckpoint per iteration here on local[...]; on a real
+      // cluster set spark.graft.graph.reliableCheckpoint=true so an
+      // executor loss mid-iteration cannot destroy the lineage-free
+      // blocks and kill the job
+      r = graft.util.IterCheckpoint.truncate(
+        docs.select(col("doc_id").as("v"))
+          .join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(base) + expr("(coalesce(sc, 0L) * 85) div 100")).as("u")),
+        i)
     }
     r.select(col("v").as("doc_id"), (col("u") / 1e12).as("pagerank"))
       .orderBy(col("doc_id"))

@@ -957,13 +957,22 @@ object SimilarityOps {
   // the portable md5 noise, replays seeding + all three Lloyd rounds +
   // assignment via the Ivf contracts, and re-runs the within-cluster
   // self-join with the same round-6 cosine.
-  /** Exposed with knobs so specs can vary k and the threshold. */
-  def semDedup(s: SparkSession, dir: String, k: Int = 8,
+  /** Exposed with knobs so specs can vary k and the threshold. k ≤ 0
+    * (the declared query's setting) derives k = max(8, ⌊√N⌋) from the
+    * corpus — real SemDeDup scales cluster count with corpus size so the
+    * within-cluster quadratic stays bounded (expected cluster size √N,
+    * pair work O(N) per cluster → O(N^1.5) total instead of O(N²/k) with
+    * a frozen k); same √N shape as `defaultCells` for IVF.
+    */
+  def semDedup(s: SparkSession, dir: String, k: Int = 0,
       minCos: Double = 0.99): DataFrame = {
     val (all, _) = doubledCorpus(s, dir)
     val cos = cosine(s) _
+    val kEff =
+      if (k > 0) k
+      else math.max(8, math.sqrt(all.count().toDouble).toInt)
     val cents = graft.operators.Ivf.centroids(
-      all, "vec_id", "v", k, iters = 3)(cos)
+      all, "vec_id", "v", kEff, iters = 3)(cos)
     val assigned = graft.operators.Ivf.assign(
       all, cents, "vec_id", "v")(cos).localCheckpoint()
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
@@ -1008,7 +1017,9 @@ object SimilarityOps {
        |  SELECT vec_id, v FROM eb
        |  UNION ALL
        |  SELECT vec_id + (SELECT o FROM off), v2 FROM vp),
-       |${duckCentroids("8", iters = 3)},
+       |${duckCentroids(
+            "(SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM e)",
+            iters = 3)},
        |${duckAssign("af", "s3")},
        |drops AS (
        |  SELECT cell, count(DISTINCT id_b) AS n_dropped FROM (

@@ -510,10 +510,17 @@ object Sources {
       .json(tmp)
       .withColumn("bucket",
         when(col("_bad").isNotNull, lit("_corrupt")).otherwise(col("kind")))
+      // aggregate only fields from CLEAN lines: PERMISSIVE with partial
+      // results (spark.sql.json.enablePartialResults, default true since
+      // 3.4) may keep the already-parsed prefix fields of a torn line in
+      // some Spark versions — masking on _bad pins the -1 NULL-sentinel
+      // contract regardless of how much of the torn line parsed
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("score")), lit(-1L)).as("sum_score"),
-        coalesce(min(col("id")), lit(-1L)).as("min_id"))
+        coalesce(sum(when(col("_bad").isNull, col("score"))), lit(-1L))
+          .as("sum_score"),
+        coalesce(min(when(col("_bad").isNull, col("id"))), lit(-1L))
+          .as("min_id"))
       .orderBy(col("bucket"))
   }
 

@@ -23,6 +23,20 @@ import graft.functions.TimeSeriesStats
 object TimeSeries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Quantize to 1/scale units — the PINNED-ORACLE contract for the
+    * iterative fits (the sim_topics pattern applied to §2.10): the
+    * Nelder-Mead/CSS optimizers run a fixed deterministic schedule over a
+    * pinned fixture, so their estimates are constants of the corpus; the
+    * oracle pins them as integer literals and replays only this division
+    * (`BIGINT / scale` — the same long→double conversion and IEEE divide
+    * on both engines, bit-identical). Quantization absorbs last-ulp
+    * accumulation wobble without weakening the gate: a regressed
+    * optimizer moves an estimate by far more than one micro-unit and
+    * fails the hash.
+    */
+  private def quant(v: Double, scale: Double): Double =
+    math.round(v * scale) / scale
+
   /** Daily close series per event_type, the shared input (reference:
     * udf.py:85-99 daily OHLCV load; FIXTURES §2 daily roll-up mapping).
     */
@@ -133,7 +147,10 @@ object TimeSeries {
   // test5.ipynb cell 10, Garch_v1.ipynb cells 21-37). groupByKey.mapGroups
   // runs one in-memory MLE per key in parallel across executors — the
   // per-key series is small (days), the number of keys is what scales.
-  // Not SQL-expressible → no oracle; invariants in TimeSeriesSpec.
+  // The MLE itself is not SQL-expressible, but its ESTIMATES are pinned
+  // constants of the fixture (deterministic optimizer schedule) — outputs
+  // are quantized via [[quant]] and the oracle pins the integer units
+  // literally while recomputing n_obs from the events table.
   private def tsGarchFit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
@@ -149,7 +166,9 @@ object TimeSeries {
         val series = it.map(x => (x._2, x._3)).toArray.sortBy(_._1).map(_._2)
         val fit = TimeSeriesStats.fitGarch11(series)
         val fvar = TimeSeriesStats.garchForecastVariance(fit, series, 1)
-        (k, fit.omega, fit.alpha, fit.beta, fit.loglik, fvar, fit.n)
+        (k, quant(fit.omega, 1e12), quant(fit.alpha, 1e12),
+          quant(fit.beta, 1e12), quant(fit.loglik, 1e6),
+          quant(fvar, 1e9), fit.n)
       }
       .toDF("event_type", "omega", "alpha", "beta", "loglik",
         "forecast_var_1d", "n_obs")
@@ -304,8 +323,8 @@ object TimeSeries {
   // residual diagnostics the notebooks inspect (mean, Ljung-Box), and the
   // GARCH(1,1) fit on the ARMA residuals — the full two-stage chain.
   // Same groupByKey.mapGroups parallelism as tsGarchFit: one small in-memory
-  // series per key, keys scale out. Not SQL-expressible → no oracle;
-  // invariants in TimeSeriesSpec.
+  // series per key, keys scale out. Estimates quantized and pinned in the
+  // oracle (the [[quant]] contract); invariants in TimeSeriesSpec.
   private def tsArmaResiduals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
@@ -327,10 +346,13 @@ object TimeSeries {
           val resid = TimeSeriesStats.armaResiduals(
             series, fit.c, fit.phi, fit.theta)
           val g = TimeSeriesStats.fitGarch11(resid)
+          // quantized per the pinned-oracle contract (see [[quant]])
           Iterator.single(
-            (k, fit.c, fit.phi, fit.theta, fit.sigma2, fit.loglik,
-              TimeSeriesStats.mean(resid), TimeSeriesStats.ljungBox(resid, 10),
-              g.alpha + g.beta, fit.n))
+            (k, quant(fit.c, 1e9), quant(fit.phi, 1e9),
+              quant(fit.theta, 1e9), quant(fit.sigma2, 1e9),
+              quant(fit.loglik, 1e6), quant(TimeSeriesStats.mean(resid), 1e9),
+              quant(TimeSeriesStats.ljungBox(resid, 10), 1e6),
+              quant(g.alpha + g.beta, 1e9), fit.n))
         }
       }
       .toDF("event_type", "c", "phi", "theta", "sigma2", "loglik",
@@ -344,7 +366,8 @@ object TimeSeries {
   // 1-day-ahead variance, score against the realized squared return.
   // Reported per key: mae / rmse on variance, plus the QLIKE loss
   // (the standard variance-forecast loss, robust to noise in r²).
-  // Not SQL-expressible → rows-only; invariants in TimeSeriesSpec.
+  // Losses quantized and pinned in the oracle (the [[quant]] contract);
+  // n_folds recomputed by the oracle; invariants in TimeSeriesSpec.
   private def tsGarchBacktest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
@@ -369,8 +392,10 @@ object TimeSeries {
             realized / fvar - math.log((realized / fvar).max(1e-12)) - 1)
         }
         val n = scores.length
-        (k, scores.map(_._1).sum / n, math.sqrt(scores.map(_._2).sum / n),
-          scores.map(_._3).sum / n, n.toLong)
+        // quantized per the pinned-oracle contract (see [[quant]])
+        (k, quant(scores.map(_._1).sum / n, 1e9),
+          quant(math.sqrt(scores.map(_._2).sum / n), 1e9),
+          quant(scores.map(_._3).sum / n, 1e9), n.toLong)
       }
       .toDF("event_type", "var_mae", "var_rmse", "qlike", "n_folds")
       .orderBy(col("event_type"))
@@ -383,8 +408,8 @@ object TimeSeries {
   // (p ∈ 1..3, q ∈ 0..2, MLE) on daily log-returns; rank each family by
   // AIC. Same scale shape as tsGarchFit — one bounded in-memory grid per
   // key (18 small simplex fits over a days-long series), keys scale out.
-  // Not SQL-expressible → rows-only; planted-order recovery in
-  // TimeSeriesSpec.
+  // Criteria quantized and pinned in the oracle (the [[quant]] contract,
+  // 90 pinned grid rows); planted-order recovery in TimeSeriesSpec.
   /** The per-series grid, exposed so specs can feed planted-order data.
     * GARCH rows additionally carry the reference's second ranking signal
     * (Garch_v1.ipynb cells 21-29 rank orders by rolling-CV RMSE): a
@@ -430,11 +455,18 @@ object TimeSeries {
         if (series.length < 12) Iterator.empty
         else {
           val rows = orderSearchRows(series)
-          // rank within family by AIC, ties broken by the smaller order
+          // rank within family by AIC, ties broken by the smaller order.
+          // Outputs quantized per the pinned-oracle contract ([[quant]]);
+          // the not-applicable ARMA cv_rmse is NULL, not NaN — a pinned
+          // literal oracle (and the driver's typed hash) compares nulls
+          // exactly, while NaN equality is representation-dependent
           rows.groupBy(_._1).iterator.flatMap { case (_, fam) =>
             fam.sortBy(r => (r._6, r._2, r._3)).zipWithIndex.map {
               case ((f, p, q, kp, ll, aic, bic, cv, n), i) =>
-                (k, f, p, q, kp, ll, aic, bic, cv, i + 1L, n)
+                (k, f, p, q, kp, quant(ll, 1e6), quant(aic, 1e6),
+                  quant(bic, 1e6),
+                  if (cv.isNaN) None else Some(quant(cv, 1e9)),
+                  i + 1L, n)
             }
           }
         }
