@@ -140,7 +140,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // empty/blank var = no filter, not "run nothing"
-    // (name, min wall sec, cpu sec of the min-wall rep, reps run, outcome)
+    // (name, min wall sec, cpu sec of the min-wall rep, reps run,
+    //  budget-cut flag, outcome)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -160,23 +161,30 @@ object Bench {
           if (w < bestWall) { bestWall = w; bestCpu = c }
         } else stable = true
       }
-      (name, bestWall, bestCpu, reps, outcome)
+      // the ONLY way a healthy query exits below maxReps without the
+      // stability handshake is the budget guard — record it so a rep
+      // cut at 2-of-3 is as visible in the record as one cut at 1-of-3
+      val cut = outcome.isRight && !stable && reps < maxReps
+      (name, bestWall, bestCpu, reps, cut, outcome)
     }
     val probeAfter = spinProbe()
     val probeRatio = math.max(probeBefore, probeAfter)
     val contended = probeRatio > 1.5 || budgetExhausted
-    // queries that got fewer reps than requested (budget exhaustion tail)
-    val reps1 = results.count { case (_, _, _, r, o) =>
-      o.isRight && r < maxReps && r == 1
+    // queries whose rep loop the budget stopped before stability or
+    // maxReps (any rep count — min-of-2 is degraded too, per ADVICE r11)
+    val budgetCut = results.count(_._5)
+    // queries that never got past their cold first rep (worst tail)
+    val reps1 = results.count { case (_, _, _, r, c, o) =>
+      o.isRight && c && r == 1
     }
     // locale-proof decimal formatting (some locales print "1,23")
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     // failed queries are excluded from the headline total — a crash's
     // partial wall time must never make the aggregate look faster
-    val total = results.collect { case (_, t, _, _, Right(_)) => t }.sum
-    val cpuTotal = results.collect { case (_, _, c, _, Right(_)) => c }.sum
-    val failed = results.count(_._5.isLeft)
+    val total = results.collect { case (_, t, _, _, _, Right(_)) => t }.sum
+    val cpuTotal = results.collect { case (_, _, c, _, _, Right(_)) => c }.sum
+    val failed = results.count(_._6.isLeft)
     // numeric scale factor when the dir follows the sfX.Y convention; the
     // raw path otherwise (both are valid JSON values for the "sf" key).
     // The pattern must admit only a well-formed JSON number — a loose
@@ -184,18 +192,18 @@ object Bench {
     val sfJson = "sf(0|[1-9][0-9]*)(\\.[0-9]+)?$".r.findFirstMatchIn(sfDir)
       .map(m => m.group(1) + Option(m.group(2)).getOrElse(""))
       .getOrElse(jsonStr(sfDir))
-    val errors = results.collect { case (k, _, _, _, Left(m)) =>
+    val errors = results.collect { case (k, _, _, _, _, Left(m)) =>
       s"\"$k\":${jsonStr(m)}"
     }.mkString("{", ",", "}")
     // full-fidelity record: full-precision walls + cpu/reps/rows maps
     val fullLine = {
-      def m(f: ((String, Double, Double, Int, Either[String, Long])) => String) =
+      def m(f: ((String, Double, Double, Int, Boolean, Either[String, Long])) => String) =
         results.map(f).mkString("{", ",", "}")
-      val qs = m { case (k, w, _, _, _) => s"\"$k\":$w" }
-      val cpu = m { case (k, _, c, _, _) => s"\"$k\":$c" }
-      val reps = m { case (k, _, _, r, _) => s"\"$k\":$r" }
-      val rows = m { case (k, _, _, _, o) => s"\"$k\":${o.getOrElse(-1L)}" }
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"contended":$contended,"probe_ratio":${fmt(probeRatio, 3)},"budget_exhausted":$budgetExhausted,"single_rep_queries":$reps1,"queries":$qs,"cpu":$cpu,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
+      val qs = m { case (k, w, _, _, _, _) => s"\"$k\":$w" }
+      val cpu = m { case (k, _, c, _, _, _) => s"\"$k\":$c" }
+      val reps = m { case (k, _, _, r, _, _) => s"\"$k\":$r" }
+      val rows = m { case (k, _, _, _, _, o) => s"\"$k\":${o.getOrElse(-1L)}" }
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"contended":$contended,"probe_ratio":${fmt(probeRatio, 3)},"budget_exhausted":$budgetExhausted,"budget_cut_queries":$budgetCut,"single_rep_queries":$reps1,"queries":$qs,"cpu":$cpu,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
     }
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
@@ -208,11 +216,11 @@ object Bench {
     // tail precisely when something went wrong). Compact-surface error
     // messages are truncated — one multi-KB Spark exception would
     // otherwise blow the budget the cap exists to protect.
-    val compactErrors = results.collect { case (k, _, _, _, Left(m)) =>
+    val compactErrors = results.collect { case (k, _, _, _, _, Left(m)) =>
       s"\"$k\":${jsonStr(m.take(100))}"
     }.mkString("{", ",", "}")
     def compactLine(dp: Int, withErrors: Boolean): String = {
-      val qs = results.map { case (k, w, _, _, _) => s"\"$k\":${fmt(w, dp)}" }
+      val qs = results.map { case (k, w, _, _, _, _) => s"\"$k\":${fmt(w, dp)}" }
         .mkString("{", ",", "}")
       val err = if (failed == 0 || !withErrors) ""
         else s""","errors":$compactErrors"""
@@ -223,7 +231,7 @@ object Bench {
     // the line must parse even if the query inventory doubles again
     def topLine(n: Int): String = {
       val qs = results.sortBy(-_._2).take(n)
-        .map { case (k, w, _, _, _) => s"\"$k\":${fmt(w, 1)}" }
+        .map { case (k, w, _, _, _, _) => s"\"$k\":${fmt(w, 1)}" }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","contended":$contended,"queries":$qs,"queries_truncated_to":$n,"failed":$failed,"sf":$sfJson}"""
     }

@@ -92,7 +92,11 @@ object Exif {
         // inside the APP1 segment, like the ascii helper already enforces
         def valueOff(nBytes: Long): Int = {
           val off = if (inline) e + 8 else u32(e + 8)
-          require(off >= 0 && t + off + nBytes <= app1 + app1Len,
+          // widen to Long before comparing: a crafted offset near
+          // Int.MaxValue would wrap `t + off` negative and pass an Int
+          // bounds check, dying later as an AIOOBE instead of this reject
+          require(off >= 0 &&
+            t.toLong + off.toLong + nBytes <= app1.toLong + app1Len,
             f"tag 0x$tag%04x value overruns APP1")
           off
         }

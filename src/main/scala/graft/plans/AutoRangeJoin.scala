@@ -116,22 +116,27 @@ object AutoRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
         }
       }
       matched match {
-        case Some((p, s, e)) if !hasEqui && widthSec.isDefined =>
-          val w = widthSec.get
-          val lb = Alias(bucketOf(p, w), BucketName)()
-          val leftB = Project(left.output :+ lb, left)
-          val rb = AttributeReference(BucketName, LongType,
-            nullable = true)()
-          // Sequence is TimeZoneAwareExpression: rule-built instances
-          // must carry the session zone or the node stays unresolved
-          val rightB = Generate(
-            Explode(Sequence(bucketOf(s, w), bucketOf(e, w), None,
-              Some(conf.sessionLocalTimeZone))),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(rb), child = right)
-          val newJoin = Join(leftB, rightB, Inner,
-            Some(And(EqualTo(lb.toAttribute, rb), cond)), hint)
-          Project(j.output, newJoin)
+        // bind the parsed width ONCE per matched join: re-evaluating the
+        // conf getter in guard + body would parse twice and, on a
+        // malformed value, fire the warning twice per match
+        case Some((p, s, e)) if !hasEqui => widthSec match {
+          case Some(w) =>
+            val lb = Alias(bucketOf(p, w), BucketName)()
+            val leftB = Project(left.output :+ lb, left)
+            val rb = AttributeReference(BucketName, LongType,
+              nullable = true)()
+            // Sequence is TimeZoneAwareExpression: rule-built instances
+            // must carry the session zone or the node stays unresolved
+            val rightB = Generate(
+              Explode(Sequence(bucketOf(s, w), bucketOf(e, w), None,
+                Some(conf.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(rb), child = right)
+            val newJoin = Join(leftB, rightB, Inner,
+              Some(And(EqualTo(lb.toAttribute, rb), cond)), hint)
+            Project(j.output, newJoin)
+          case None => j
+        }
         case _ => j
       }
   }

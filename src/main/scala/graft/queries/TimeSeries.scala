@@ -34,8 +34,15 @@ object TimeSeries {
     * optimizer moves an estimate by far more than one micro-unit and
     * fails the hash.
     */
-  private def quant(v: Double, scale: Double): Double =
+  private def quant(v: Double, scale: Double): Double = {
+    // a non-finite estimate must fail LOUDLY here, not quantize to a
+    // plausible-looking 0.0 (math.round(NaN)==0) or ±Long.MaxValue/scale:
+    // NaN/Inf means the optimizer degenerated, and the pinned oracle
+    // would otherwise mask it as a value mismatch with no cause attached
+    require(!v.isNaN && !v.isInfinity,
+      s"quant: non-finite estimate $v — optimizer degenerated")
     math.round(v * scale) / scale
+  }
 
   /** Daily close series per event_type, the shared input (reference:
     * udf.py:85-99 daily OHLCV load; FIXTURES §2 daily roll-up mapping).
@@ -935,6 +942,191 @@ object TimeSeries {
       |FROM best b JOIN ups u USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Pinned oracles for the four iterative fits (the [[quant]] contract):
+  // the optimizers run a fixed deterministic schedule over the pinned
+  // sf0.01 fixture, so every quantized estimate is a constant of the
+  // corpus. Each oracle pins those integer units as literals and replays
+  // only `BIGINT / scale` (the same long->double conversion and IEEE
+  // divide on both engines, bit-identical), while recomputing every
+  // corpus-derived column (n_obs, n_folds, the rank key joins) from the
+  // events table the same way ts_fit_verdicts does. A regressed optimizer
+  // moves an estimate by far more than one micro-unit and fails the hash
+  // with the offending column named in the diff.
+  private val tsGarchFitSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
+      |n AS (SELECT event_type, count(*) - 1 AS n_obs FROM daily GROUP BY 1),
+      |pin AS (SELECT * FROM (VALUES
+      |    ('click', 1469765312, 1, 997999999998, -56287778, 2816681941),
+      |    ('error', 2958137806187, 372637119076, 38, -61733601, 7956350271),
+      |    ('purchase', 1985804040740, 303138306693, 80, -56603871, 3392692468),
+      |    ('signup', 2705049887844, 313757099651, 3, -60988195, 3036185201),
+      |    ('view', 47, 0, 980228838655, -52278301, 1306775761)
+      |  ) v(event_type, omega_u, alpha_u, beta_u, loglik_u, fvar_u))
+      |SELECT z.event_type,
+      |  CAST(z.omega_u AS BIGINT) / 1e12 AS omega,
+      |  CAST(z.alpha_u AS BIGINT) / 1e12 AS alpha,
+      |  CAST(z.beta_u AS BIGINT) / 1e12 AS beta,
+      |  CAST(z.loglik_u AS BIGINT) / 1e6 AS loglik,
+      |  CAST(z.fvar_u AS BIGINT) / 1e9 AS forecast_var_1d,
+      |  n.n_obs
+      |FROM pin z JOIN n USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  private val tsArmaResidualsSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
+      |n AS (SELECT event_type, count(*) - 2 AS n_obs FROM daily GROUP BY 1),
+      |pin AS (SELECT * FROM (VALUES
+      |    ('click', 46360301, -274298055, -558608977, 1725300732, -47365898, -43326729, 13282234, 998000000),
+      |    ('error', -2715029, 133815495, -998000000, 2232447586, -50973659, 276416498, 7662428, 260403521),
+      |    ('purchase', 377672482, -531534571, 579057106, 2548056308, -52824911, -32509119, 9982196, 662783995),
+      |    ('signup', 2699043, -67750806, -998000000, 1874923309, -48530228, 43512816, 14341671, 998000000),
+      |    ('view', 1779458, -180843112, -809448418, 1199977372, -42282517, 98984880, 3483929, 257405234)
+      |  ) v(event_type, c_u, phi_u, theta_u, sigma2_u, loglik_u, rm_u,
+      |      lb_u, pers_u))
+      |SELECT z.event_type,
+      |  CAST(z.c_u AS BIGINT) / 1e9 AS c,
+      |  CAST(z.phi_u AS BIGINT) / 1e9 AS phi,
+      |  CAST(z.theta_u AS BIGINT) / 1e9 AS theta,
+      |  CAST(z.sigma2_u AS BIGINT) / 1e9 AS sigma2,
+      |  CAST(z.loglik_u AS BIGINT) / 1e6 AS loglik,
+      |  CAST(z.rm_u AS BIGINT) / 1e9 AS resid_mean,
+      |  CAST(z.lb_u AS BIGINT) / 1e6 AS resid_lb_q10,
+      |  CAST(z.pers_u AS BIGINT) / 1e9 AS garch_persistence,
+      |  n.n_obs
+      |FROM pin z JOIN n USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  private val tsGarchBacktestSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
+      |n AS (SELECT event_type,
+      |    greatest(least(5, count(*) - 11), 1) AS n_folds
+      |  FROM daily GROUP BY 1),
+      |pin AS (SELECT * FROM (VALUES
+      |    ('click', 2220949627, 2779239110, 465992630),
+      |    ('error', 4567791463, 5852453027, 2406452147),
+      |    ('purchase', 3142339632, 3376199148, 2142017904),
+      |    ('signup', 4960711159, 6710498682, 946590503),
+      |    ('view', 1499254470, 1587905060, 1132741223)
+      |  ) v(event_type, mae_u, rmse_u, qlike_u))
+      |SELECT z.event_type,
+      |  CAST(z.mae_u AS BIGINT) / 1e9 AS var_mae,
+      |  CAST(z.rmse_u AS BIGINT) / 1e9 AS var_rmse,
+      |  CAST(z.qlike_u AS BIGINT) / 1e9 AS qlike,
+      |  CAST(n.n_folds AS BIGINT) AS n_folds
+      |FROM pin z JOIN n USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  private val tsOrderSearchSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
+      |n AS (SELECT event_type, count(*) - 1 AS base FROM daily GROUP BY 1),
+      |pin AS (SELECT * FROM (VALUES
+      |    ('click', 'arma', 2, 2, 6, -37462175, 86924349, 94699371, NULL, 1),
+      |    ('click', 'arma', 1, 2, 5, -41554447, 93108894, 99769916, NULL, 2),
+      |    ('click', 'arma', 0, 2, 4, -43002998, 94005995, 99475179, NULL, 3),
+      |    ('click', 'arma', 2, 1, 5, -43496133, 96992267, 103471451, NULL, 4),
+      |    ('click', 'arma', 0, 1, 3, -46100107, 98200213, 102302101, NULL, 5),
+      |    ('click', 'arma', 2, 0, 4, -46184183, 100368365, 105551712, NULL, 6),
+      |    ('click', 'arma', 1, 1, 4, -47365898, 102731796, 108060614, NULL, 7),
+      |    ('click', 'arma', 1, 0, 3, -48978640, 103957280, 107953894, NULL, 8),
+      |    ('click', 'arma', 0, 0, 2, -56282878, 116565756, 119300348, NULL, 9),
+      |    ('click', 'garch', 1, 0, 2, -56282878, 116565756, 119300348, 2722533587, 1),
+      |    ('click', 'garch', 1, 1, 3, -56282878, 118565756, 122667644, 2722531640, 2),
+      |    ('click', 'garch', 2, 0, 3, -56282878, 118565756, 122667644, 2722527919, 3),
+      |    ('click', 'garch', 2, 1, 4, -56282878, 120565756, 126034940, 2722535055, 4),
+      |    ('click', 'garch', 3, 0, 4, -56282878, 120565756, 126034940, 2722532889, 5),
+      |    ('click', 'garch', 1, 2, 4, -56287266, 120574531, 126043715, 2789364508, 6),
+      |    ('click', 'garch', 2, 2, 5, -56282878, 122565756, 129402236, 2794627813, 7),
+      |    ('click', 'garch', 3, 1, 5, -56288073, 122576146, 129412625, 2790973891, 8),
+      |    ('click', 'garch', 3, 2, 6, -56282878, 124565756, 132769531, 2777309031, 9),
+      |    ('error', 'arma', 2, 2, 6, -40643161, 93286321, 101061342, NULL, 1),
+      |    ('error', 'arma', 2, 1, 5, -41812842, 93625684, 100104868, NULL, 2),
+      |    ('error', 'arma', 1, 1, 4, -50973659, 109947317, 115276135, NULL, 3),
+      |    ('error', 'arma', 2, 0, 4, -51075144, 110150288, 115333635, NULL, 4),
+      |    ('error', 'arma', 1, 2, 5, -50318760, 110637519, 117298542, NULL, 5),
+      |    ('error', 'arma', 1, 0, 3, -57085803, 120171606, 124168220, NULL, 6),
+      |    ('error', 'arma', 0, 1, 3, -57160612, 120321223, 124423111, NULL, 7),
+      |    ('error', 'arma', 0, 2, 4, -56957644, 121915288, 127384471, NULL, 8),
+      |    ('error', 'arma', 0, 0, 2, -63435746, 130871492, 133606084, NULL, 9),
+      |    ('error', 'garch', 1, 0, 2, -61732299, 127464599, 130199190, 5835575168, 1),
+      |    ('error', 'garch', 2, 0, 3, -61732299, 129464599, 133566486, 5835582608, 2),
+      |    ('error', 'garch', 1, 1, 3, -61732299, 129464599, 133566486, 5835577197, 3),
+      |    ('error', 'garch', 2, 1, 4, -61732299, 131464599, 136933782, 5835581293, 4),
+      |    ('error', 'garch', 3, 0, 4, -61732299, 131464599, 136933782, 5835580135, 5),
+      |    ('error', 'garch', 1, 2, 4, -61732299, 131464599, 136933782, 5835580267, 6),
+      |    ('error', 'garch', 2, 2, 5, -61732299, 133464599, 140301078, 5835577211, 7),
+      |    ('error', 'garch', 3, 1, 5, -61732299, 133464599, 140301078, 5835578117, 8),
+      |    ('error', 'garch', 3, 2, 6, -61732299, 135464599, 143668374, 5835580738, 9),
+      |    ('purchase', 'arma', 2, 2, 6, -35202319, 82404638, 90179659, NULL, 1),
+      |    ('purchase', 'arma', 2, 1, 5, -39094754, 88189509, 94668693, NULL, 2),
+      |    ('purchase', 'arma', 1, 2, 5, -42304555, 94609110, 101270132, NULL, 3),
+      |    ('purchase', 'arma', 2, 0, 4, -44923743, 97847486, 103030834, NULL, 4),
+      |    ('purchase', 'arma', 1, 0, 3, -53291030, 112582060, 116578673, NULL, 5),
+      |    ('purchase', 'arma', 1, 1, 4, -52824911, 113649821, 118978639, NULL, 6),
+      |    ('purchase', 'arma', 0, 1, 3, -54470452, 114940905, 119042792, NULL, 7),
+      |    ('purchase', 'arma', 0, 2, 4, -53696457, 115392915, 120862098, NULL, 8),
+      |    ('purchase', 'arma', 0, 0, 2, -58061609, 120123218, 122857810, NULL, 9),
+      |    ('purchase', 'garch', 1, 0, 2, -56663921, 117327843, 120062435, 3524661026, 1),
+      |    ('purchase', 'garch', 2, 0, 3, -56663921, 119327843, 123429730, 3524655965, 2),
+      |    ('purchase', 'garch', 1, 1, 3, -57406280, 120812559, 124914447, 3524653021, 3),
+      |    ('purchase', 'garch', 1, 2, 4, -56663921, 121327843, 126797026, 3524651843, 4),
+      |    ('purchase', 'garch', 3, 0, 4, -56663921, 121327843, 126797026, 3524656152, 5),
+      |    ('purchase', 'garch', 2, 1, 4, -56663921, 121327843, 126797026, 3524655048, 6),
+      |    ('purchase', 'garch', 2, 2, 5, -56663921, 123327843, 130164322, 3524651957, 7),
+      |    ('purchase', 'garch', 3, 1, 5, -56663921, 123327843, 130164322, 3524650799, 8),
+      |    ('purchase', 'garch', 3, 2, 6, -56663921, 125327843, 133531618, 3524649780, 9),
+      |    ('signup', 'arma', 2, 2, 6, -42952305, 97904610, 105679631, NULL, 1),
+      |    ('signup', 'arma', 1, 2, 5, -46700914, 103401829, 110062852, NULL, 2),
+      |    ('signup', 'arma', 1, 1, 4, -48530228, 105060455, 110389273, NULL, 3),
+      |    ('signup', 'arma', 2, 1, 5, -48884097, 107768195, 114247379, NULL, 4),
+      |    ('signup', 'arma', 2, 0, 4, -51099090, 110198180, 115381528, NULL, 5),
+      |    ('signup', 'arma', 1, 0, 3, -55140524, 116281047, 120277661, NULL, 6),
+      |    ('signup', 'arma', 0, 1, 3, -56947049, 119894099, 123995986, NULL, 7),
+      |    ('signup', 'arma', 0, 2, 4, -56918529, 121837058, 127306241, NULL, 8),
+      |    ('signup', 'arma', 0, 0, 2, -62602252, 129204504, 131939096, NULL, 9),
+      |    ('signup', 'garch', 1, 0, 2, -61019837, 126039674, 128774266, 6810811081, 1),
+      |    ('signup', 'garch', 1, 1, 3, -61019837, 128039674, 132141562, 6810808049, 2),
+      |    ('signup', 'garch', 2, 0, 3, -61019837, 128039674, 132141562, 6810807250, 3),
+      |    ('signup', 'garch', 3, 0, 4, -60435025, 128870050, 134339233, 6683748077, 4),
+      |    ('signup', 'garch', 1, 2, 4, -60743327, 129486654, 134955837, 6795377553, 5),
+      |    ('signup', 'garch', 2, 1, 4, -61019837, 130039674, 135508858, 6810798404, 6),
+      |    ('signup', 'garch', 3, 1, 5, -60435025, 130870050, 137706529, 6683749931, 7),
+      |    ('signup', 'garch', 2, 2, 5, -60743327, 131486654, 138323133, 6864889845, 8),
+      |    ('signup', 'garch', 3, 2, 6, -60435025, 132870050, 141073825, 6779176008, 9),
+      |    ('view', 'arma', 2, 2, 6, -28797569, 69595137, 77370158, NULL, 1),
+      |    ('view', 'arma', 2, 0, 4, -39811308, 87622616, 92805964, NULL, 2),
+      |    ('view', 'arma', 2, 1, 5, -38989796, 87979591, 94458776, NULL, 3),
+      |    ('view', 'arma', 1, 1, 4, -42282517, 92565033, 97893851, NULL, 4),
+      |    ('view', 'arma', 0, 1, 3, -43827218, 93654437, 97756324, NULL, 5),
+      |    ('view', 'arma', 1, 2, 5, -42156205, 94312409, 100973432, NULL, 6),
+      |    ('view', 'arma', 1, 0, 3, -44286921, 94573843, 98570456, NULL, 7),
+      |    ('view', 'arma', 0, 2, 4, -43618244, 95236488, 100705671, NULL, 8),
+      |    ('view', 'arma', 0, 0, 2, -52917114, 109834228, 112568820, NULL, 9),
+      |    ('view', 'garch', 1, 0, 2, -52244497, 108488994, 111223586, 1724764548, 1),
+      |    ('view', 'garch', 2, 0, 3, -52244497, 110488994, 114590881, 1724764439, 2),
+      |    ('view', 'garch', 1, 1, 3, -52333354, 110666709, 114768596, 1615953966, 3),
+      |    ('view', 'garch', 2, 1, 4, -52244497, 112488994, 117958177, 1724763812, 4),
+      |    ('view', 'garch', 3, 0, 4, -52244497, 112488994, 117958177, 1724759215, 5),
+      |    ('view', 'garch', 1, 2, 4, -52333354, 112666709, 118135892, 1628438316, 6),
+      |    ('view', 'garch', 3, 1, 5, -52244497, 114488994, 121325473, 1724762720, 7),
+      |    ('view', 'garch', 2, 2, 5, -52244497, 114488994, 121325473, 1743940261, 8),
+      |    ('view', 'garch', 3, 2, 6, -52244497, 116488994, 124692769, 1724763282, 9)
+      |  ) v(event_type, family, p, q, k_params, loglik_u, aic_u, bic_u,
+      |      cv_u, aic_rank))
+      |SELECT z.event_type, z.family, z.p, z.q, z.k_params,
+      |  CAST(z.loglik_u AS BIGINT) / 1e6 AS loglik,
+      |  CAST(z.aic_u AS BIGINT) / 1e6 AS aic,
+      |  CAST(z.bic_u AS BIGINT) / 1e6 AS bic,
+      |  CAST(z.cv_u AS BIGINT) / 1e9 AS cv_rmse,
+      |  CAST(z.aic_rank AS BIGINT) AS aic_rank,
+      |  n.base - CASE WHEN z.family = 'arma' THEN z.p ELSE 0 END AS n_obs
+      |FROM pin z JOIN n USING (event_type)
+      |ORDER BY event_type, family, aic_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ts_streaks" -> tsStreaks _,
     "ts_fit_verdicts" -> tsFitVerdicts _,
@@ -953,6 +1145,10 @@ object TimeSeries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_garch_fit" -> tsGarchFitSql,
+    "ts_arma_residuals" -> tsArmaResidualsSql,
+    "ts_garch_backtest" -> tsGarchBacktestSql,
+    "ts_order_search" -> tsOrderSearchSql,
     "ts_streaks" -> tsStreaksSql,
     "ts_fit_verdicts" -> tsFitVerdictsSql,
     "ts_ohlcv_daily" -> tsOhlcvDailySql,

@@ -33,8 +33,12 @@ object IterCheckpoint {
     */
   def truncate(df: DataFrame, round: Int): DataFrame = {
     val s = df.sparkSession
+    // case-insensitive compare, not .toBoolean: a typo'd conf value must
+    // degrade to the default mid-iteration, not throw (same defensive
+    // stance as checkpointInterval's toIntOption below)
     val reliable = s.conf
-      .get("spark.graft.graph.reliableCheckpoint", "false").toBoolean
+      .get("spark.graft.graph.reliableCheckpoint", "false")
+      .trim.equalsIgnoreCase("true")
     if (!reliable) df.localCheckpoint()
     else {
       val interval = s.conf

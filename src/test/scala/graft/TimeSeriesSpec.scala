@@ -266,10 +266,10 @@ class TimeSeriesSpec extends AnyFunSuite {
         rows.foreach { r =>
           assert(!r.getDouble(6).isNaN && !r.getDouble(7).isNaN)
           // the notebook's second ranking signal: rolling-CV RMSE on the
-          // GARCH grid only (finite, non-negative); NaN on the ARMA grid
+          // GARCH grid only (finite, non-negative); NULL on the ARMA grid
           if (fam == "garch") assert(r.getDouble(8) >= 0
             && !r.getDouble(8).isNaN, s"$k garch cv_rmse")
-          else assert(r.getDouble(8).isNaN, s"$k arma cv_rmse must be NaN")
+          else assert(r.isNullAt(8), s"$k arma cv_rmse must be NULL")
         }
     }
   }
