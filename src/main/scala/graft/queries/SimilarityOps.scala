@@ -965,8 +965,17 @@ object SimilarityOps {
     * a frozen k); same √N shape as `defaultCells` for IVF.
     */
   def semDedup(s: SparkSession, dir: String, k: Int = 0,
+      minCos: Double = 0.99): DataFrame =
+    semDedupCorpus(s, doubledCorpus(s, dir)._1, k, minCos)
+
+  /** The SemDeDup core over an explicit `(vec_id, v)` corpus — exposed so
+    * specs can feed SCALED synthetic corpora and observe the derived-k
+    * behavior (cluster count growing with N, within-cluster pair work
+    * staying O(N^1.5)) without being limited to the fixture tables. The
+    * declared query routes the doubled fixture corpus through here.
+    */
+  def semDedupCorpus(s: SparkSession, all: DataFrame, k: Int = 0,
       minCos: Double = 0.99): DataFrame = {
-    val (all, _) = doubledCorpus(s, dir)
     val cos = cosine(s) _
     val kEff =
       if (k > 0) k

@@ -1062,6 +1062,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("semdedup: derived k scales with the corpus; pair work stays " +
+      "O(N^1.5) on a 10x corpus") {
+    // 10 deterministic jittered replicas of the smoke embeddings: copy c
+    // scales coordinate i by 1 + ((c*31+i) % 97 - 48)/1e3 — distinct
+    // vectors, preserved direction structure, zero randomness. This is
+    // the shape a 10x-scaled corpus takes: the same topic clumps, more
+    // members each.
+    val base = Tables.t(spark, sfSmoke, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n0 = base.count()
+    val big = spark.range(10).crossJoin(base)
+      .select((col("vec_id") + col("id") * n0).as("vec_id"),
+        expr("transform(v, (x, i) -> x * (1.0 + " +
+          "((id * 31 + i) % 97 - 48) / 1000.0))").as("v"))
+      .localCheckpoint()
+    val rowsBig = SimilarityOps.semDedupCorpus(spark, big).collect()
+    val nBig = rowsBig.map(_.getAs[Long]("n_vectors")).sum
+    assert(nBig == 10 * n0, s"corpus accounting: $nBig != ${10 * n0}")
+    // k derives as max(8, floor(sqrt(N))) — the observed (non-empty)
+    // cluster count must stay under that cap AND materially exceed the
+    // doubled smoke corpus's cap of floor(sqrt(2*n0)): a frozen k could
+    // not clear this bar on the scaled corpus
+    val kCapBig = math.max(8, math.sqrt(nBig.toDouble).toInt)
+    val kCapBase = math.max(8, math.sqrt(2.0 * n0).toInt)
+    assert(rowsBig.length <= kCapBig,
+      s"${rowsBig.length} clusters exceed the derived cap $kCapBig")
+    assert(rowsBig.length > kCapBase,
+      s"only ${rowsBig.length} non-empty clusters on the 10x corpus — " +
+        s"no more than the small-corpus cap $kCapBase, k did not scale")
+    // the within-cluster quadratic is the whole point of deriving k:
+    // total pair work must stay a small multiple of N^1.5 (it would be
+    // ~N^2/k with a frozen k), and no single cluster may hog the corpus
+    val pairWork = rowsBig.map { r =>
+      val m = r.getAs[Long]("n_vectors"); m * (m - 1) / 2
+    }.sum
+    val bound = 4L * math.pow(nBig.toDouble, 1.5).toLong
+    assert(pairWork <= bound,
+      s"within-cluster pair work $pairWork exceeds 4*N^1.5 = $bound")
+    val maxCluster = rowsBig.map(_.getAs[Long]("n_vectors")).max
+    assert(maxCluster <= 8L * math.sqrt(nBig.toDouble).toLong,
+      s"max cluster $maxCluster exceeds 8*sqrt(N)")
+  }
+
   test("header decoder: roundtrip, top-down BMP, chunked WAV, bad magic") {
     import Media.{HeaderDecoder, MediaMeta}
     // construction → decode roundtrip across the parameter space
