@@ -129,6 +129,53 @@ class JpegProgressiveSpec extends AnyFunSuite {
     assert(worst <= 2, s"differs from ImageIO by $worst")
   }
 
+  test("our decoder agrees with ImageIO on an ImageIO-WRITTEN progressive " +
+      "4:2:0 COLOR stream (independent color encoder, real EOBn runs)") {
+    val w = 48
+    val h = 32
+    // near-gray tint: R=v+10, G=v, B=v-10 keeps Cb/Cr CONSTANT across the
+    // image (the BT.601 forward transform is affine, so a constant RGB
+    // offset over a shared gradient lands on one chroma value), which
+    // makes ImageIO's fancy chroma upsampling a no-op vs our block
+    // replication — the compare then isolates the progressive color scan
+    // machinery instead of the upsampling filter choice. v stays in
+    // [30, 225] so no channel clips and the chroma really is constant.
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = 30 + (3 * x + 5 * y) % 186
+      img.setRGB(x, y, ((v + 10) << 16) | (v << 8) | (v - 10))
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    assert(bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+      "ImageIO did not write a progressive stream")
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val ours = Jpeg.decode(bytes)
+    assert(ours.channels == 3, "stream should decode as color")
+    assert(jdk.getWidth == ours.width && jdk.getHeight == ours.height)
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = ours.pixels(y * w + x)
+      val b = jdk.getRGB(x, y)
+      val d = Seq(16, 8, 0)
+        .map(s => math.abs(((a >> s) & 0xff) - ((b >> s) & 0xff))).max
+      worst = math.max(worst, d)
+    }
+    // two independent IDCTs + two YCbCr->RGB roundings, one step each
+    assert(worst <= 3, s"differs from ImageIO by $worst")
+  }
+
   test("fixturePayload's progressive subset decodes to the same closed " +
       "form as the baseline ids") {
     for (id <- Seq(2L, 5L, 8L, 11L)) { // id % 3 == 2 → progressive
