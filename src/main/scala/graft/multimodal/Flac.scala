@@ -8,9 +8,10 @@ package graft.multimodal
   * 16+16-bit block sizes, 24+24-bit frame sizes, then a 64-bit field
   * packing sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5)
   * and total samples (36). A VORBIS_COMMENT block en route exercises the
-  * skip path; torn structures reject loudly. Audio SAMPLE decode (the
-  * Rice-coded subframes) stays behind the documented seam — this is the
-  * filter-before-decode pass, exactly like the WebP/MP4 tiers.
+  * skip path; torn structures reject loudly. Audio SAMPLE decode lives
+  * below ([[decodeAudio]]): FIXED-predictor subframes with
+  * partitioned-Rice residuals and CRC-verified frames; only LPC and the
+  * stereo decorrelation modes remain documented seams.
   *
   * Format is the public xiph.org FLAC specification. Beyond-reference
   * multimodal surface (SURVEY §5 scope).
@@ -82,5 +83,426 @@ object Flac {
     "fLaC".getBytes("US-ASCII") ++
       beBytes(0x00, 1) ++ beBytes(34, 3) ++ streaminfo ++ // STREAMINFO
       beBytes(0x80L | 4L, 1) ++ beBytes(comment.length, 3) ++ comment
+  }
+
+  // -------------------------------------------------------------------
+  // Audio SAMPLE decode — closes the Rice seam the scaladoc above used
+  // to declare: frame headers (sync, coded frame number, CRC-8), FIXED
+  // predictor subframes of order 0..4 with partitioned-Rice residuals
+  // (both 4- and 5-bit parameter widths, escape partitions), CONSTANT
+  // and VERBATIM subframes, wasted bits, multi-frame fixed-blocksize
+  // streams, and the frame-trailing CRC-16 — all per RFC 9639 / the
+  // xiph.org spec. LPC subframes and the stereo decorrelation channel
+  // modes (left/side, right/side, mid/side) remain DOCUMENTED loud
+  // rejects: the named seam is now only the predictor family, not the
+  // entire audio layer.
+
+  /** Decoded stream: STREAMINFO + interleaved PCM (frame by frame,
+    * sample-major: `samples(i*channels + c)`).
+    */
+  final case class FlacAudio(meta: FlacMeta, samples: Array[Int])
+
+  /** MSB-first bit reader over the byte array (FLAC is big-endian at the
+    * bit level throughout).
+    */
+  private final class BitReader(p: Array[Byte], var bytePos: Int) {
+    private var bitPos = 0
+    def bit(): Int = {
+      require(bytePos < p.length, "torn FLAC frame: read past end")
+      val b = ((p(bytePos) & 0xff) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+    def bits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Two's-complement signed read. */
+    def sbits(n: Int): Int = {
+      val v = bits(n)
+      ((v << (64 - n)) >> (64 - n)).toInt
+    }
+    /** FLAC unary: count of 0-bits before the terminating 1. */
+    def unary(): Int = {
+      var q = 0
+      while (bit() == 0) {
+        q += 1
+        require(q <= (1 << 20), "runaway unary run (corrupt Rice stream)")
+      }
+      q
+    }
+    def aligned: Boolean = bitPos == 0
+    def align(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+  }
+
+  /** CRC-8, poly 0x07, init 0 — the FLAC frame-header checksum. */
+  def crc8(p: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0
+    var i = 0
+    while (i < len) {
+      crc ^= p(off + i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+              else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly 0x8005, init 0 — the FLAC whole-frame checksum. */
+  def crc16(p: Array[Byte], off: Int, len: Int): Int = {
+    var crc = 0
+    var i = 0
+    while (i < len) {
+      crc ^= (p(off + i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // sample-rate codes 1..11 (code 0 = from STREAMINFO; 12..14 read
+  // explicit fields; 15 is invalid)
+  private val RateTable = Array(0, 88200, 176400, 192000, 8000, 16000,
+    22050, 24000, 32000, 44100, 48000, 96000)
+
+  def decodeAudio(p: Array[Byte]): FlacAudio = {
+    val meta = parse(p)
+    // walk past the metadata blocks to the first frame
+    var o = 4
+    var lastBlock = false
+    while (!lastBlock) {
+      val h = be(p, o, 4)
+      lastBlock = (h >>> 31) == 1
+      o += 4 + (h & 0xffffff).toInt
+    }
+    require(meta.totalSamples > 0, "cannot decode a stream of 0 samples")
+    require(meta.totalSamples * meta.channels <= (1 << 26),
+      "fixture-scale guard: refusing a multi-hundred-MB PCM buffer")
+    val total = meta.totalSamples.toInt
+    val out = new Array[Int](total * meta.channels)
+    var written = 0 // per-channel samples decoded so far
+    var frameIdx = 0L
+    while (written < total) {
+      val start = o
+      val br = new BitReader(p, o)
+      require(br.bits(14) == 0x3ffe, "bad FLAC frame sync")
+      require(br.bit() == 0, "reserved sync bit must be 0")
+      require(br.bit() == 0,
+        "variable-blocksize streams not supported (documented seam)")
+      val bsCode = br.bits(4).toInt
+      val srCode = br.bits(4).toInt
+      val chCode = br.bits(4).toInt
+      val ssCode = br.bits(3).toInt
+      require(br.bit() == 0, "reserved header bit must be 0")
+      // coded frame number (UTF-8-style, up to 6 continuation bytes)
+      val first = br.bits(8).toInt
+      val codedNum =
+        if ((first & 0x80) == 0) first.toLong
+        else {
+          var nOnes = 0
+          var m = 0x80
+          while ((first & m) != 0) { nOnes += 1; m >>= 1 }
+          require(nOnes >= 2 && nOnes <= 7, "bad coded frame number lead")
+          var v = (first & (0x7f >> nOnes)).toLong
+          var k = 1
+          while (k < nOnes) {
+            val c = br.bits(8).toInt
+            require((c & 0xc0) == 0x80, "bad coded-number continuation")
+            v = (v << 6) | (c & 0x3f)
+            k += 1
+          }
+          v
+        }
+      require(codedNum == frameIdx,
+        s"frame number $codedNum, expected $frameIdx")
+      val blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => br.bits(8).toInt + 1
+        case 7 => br.bits(16).toInt + 1
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => throw new IllegalArgumentException(
+          "reserved block-size code 0")
+      }
+      srCode match { // value checked against STREAMINFO; fields consumed
+        case 0 => ()
+        case 12 => br.bits(8); ()
+        case 13 | 14 => br.bits(16); ()
+        case 15 => throw new IllegalArgumentException(
+          "invalid sample-rate code 15")
+        case c => require(RateTable(c) == meta.sampleRate,
+          s"frame sample-rate code $c contradicts STREAMINFO")
+      }
+      val channels = chCode match {
+        case c if c <= 7 => c + 1
+        case c if c <= 10 => throw new IllegalArgumentException(
+          "stereo decorrelation (left/mid/side) not supported " +
+            "(documented seam)")
+        case _ => throw new IllegalArgumentException(
+          "reserved channel-assignment code")
+      }
+      require(channels == meta.channels,
+        "frame channel count contradicts STREAMINFO")
+      val bps = ssCode match {
+        case 0 => meta.bitsPerSample
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case _ => throw new IllegalArgumentException(
+          "reserved sample-size code")
+      }
+      require(bps == meta.bitsPerSample,
+        "frame sample size contradicts STREAMINFO")
+      require(br.aligned, "frame header must be byte-aligned here")
+      val gotCrc8 = crc8(p, start, br.bytePos - start)
+      require(br.bits(8).toInt == gotCrc8, "frame header CRC-8 mismatch")
+      require(written + blockSize <= total,
+        s"frame overruns STREAMINFO total: $written+$blockSize > $total")
+      // ---- subframes, one per channel
+      val chans = Array.ofDim[Int](channels, blockSize)
+      var c = 0
+      while (c < channels) {
+        require(br.bit() == 0, "subframe padding bit must be 0")
+        val typ = br.bits(6).toInt
+        val wasted =
+          if (br.bit() == 1) { var k = 1; while (br.bit() == 0) k += 1; k }
+          else 0
+        val effBps = bps - wasted
+        require(effBps > 0, "wasted bits consume the whole sample")
+        val dst = chans(c)
+        if (typ == 0) { // CONSTANT
+          java.util.Arrays.fill(dst, br.sbits(effBps))
+        } else if (typ == 1) { // VERBATIM
+          var i = 0
+          while (i < blockSize) { dst(i) = br.sbits(effBps); i += 1 }
+        } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
+          val order = typ & 0x07
+          require(blockSize > order,
+            s"block of $blockSize cannot carry a FIXED($order) subframe")
+          var i = 0
+          while (i < order) { dst(i) = br.sbits(effBps); i += 1 }
+          readResiduals(br, blockSize, order, dst)
+          restoreFixed(dst, order, blockSize)
+        } else if (typ >= 0x20) {
+          throw new IllegalArgumentException(
+            "LPC subframes not supported (documented seam)")
+        } else {
+          throw new IllegalArgumentException(
+            f"reserved subframe type 0x$typ%02x")
+        }
+        if (wasted > 0) {
+          var i = 0
+          while (i < blockSize) { dst(i) <<= wasted; i += 1 }
+        }
+        c += 1
+      }
+      br.align()
+      val gotCrc16 = crc16(p, start, br.bytePos - start)
+      require(br.bits(16).toInt == gotCrc16, "frame CRC-16 mismatch")
+      // interleave
+      var i = 0
+      while (i < blockSize) {
+        c = 0
+        while (c < channels) {
+          out((written + i) * channels + c) = chans(c)(i)
+          c += 1
+        }
+        i += 1
+      }
+      written += blockSize
+      frameIdx += 1
+      o = br.bytePos
+    }
+    FlacAudio(meta, out)
+  }
+
+  /** Partitioned-Rice residual decode into `dst(order until blockSize)`.
+    * Handles both parameter widths (method 0 → 4-bit, 1 → 5-bit) and the
+    * all-ones escape (raw `n`-bit residuals, n=0 meaning all-zero).
+    */
+  private def readResiduals(br: BitReader, blockSize: Int, order: Int,
+      dst: Array[Int]): Unit = {
+    val method = br.bits(2).toInt
+    require(method <= 1, s"reserved residual coding method $method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val po = br.bits(4).toInt
+    val nPart = 1 << po
+    require(blockSize % nPart == 0,
+      s"partition order $po does not divide block size $blockSize")
+    require(blockSize >> po >= order,
+      s"partition order $po leaves partition 0 short of the warmup")
+    var idx = order
+    var part = 0
+    while (part < nPart) {
+      val count = (blockSize >> po) - (if (part == 0) order else 0)
+      val prm = br.bits(pBits).toInt
+      if (prm == escape) {
+        val raw = br.bits(5).toInt
+        var i = 0
+        while (i < count) {
+          dst(idx) = if (raw == 0) 0 else br.sbits(raw)
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = br.unary().toLong
+          val u = (q << prm) | br.bits(prm)
+          dst(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // unsigned folding
+          idx += 1; i += 1
+        }
+      }
+      part += 1
+    }
+  }
+
+  /** In-place fixed-predictor restoration (orders 0..4, T.81-era
+    * binomial coefficients per the FLAC spec).
+    */
+  private def restoreFixed(d: Array[Int], order: Int, n: Int): Unit = {
+    var i = order
+    order match {
+      case 0 => ()
+      case 1 => while (i < n) { d(i) += d(i - 1); i += 1 }
+      case 2 => while (i < n) { d(i) += 2 * d(i - 1) - d(i - 2); i += 1 }
+      case 3 => while (i < n) {
+        d(i) += 3 * d(i - 1) - 3 * d(i - 2) + d(i - 3); i += 1
+      }
+      case _ => while (i < n) {
+        d(i) += 4 * d(i - 1) - 6 * d(i - 2) + 4 * d(i - 3) - d(i - 4)
+        i += 1
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Audio encoder (fixture side)
+
+  /** MSB-first bit writer mirroring [[BitReader]]. */
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nBits += 1
+      if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    def align(): Unit = while (nBits != 0) bit(0)
+    def toBytes: Array[Byte] = { align(); buf.toByteArray }
+  }
+
+  /** The closed-form PCM signal of [[fixtureAudioPayload]]: a per-channel
+    * linear ramp plus a period-33 sawtooth, every parameter a pure
+    * function of the id — small enough second differences that the
+    * FIXED(2) residuals Rice-code tightly, and a closed form a SQL
+    * oracle regenerates with integer arithmetic only.
+    */
+  def fixtureSample(id: Long, c: Int, i: Int): Int =
+    ((id % 200) - 100 + ((id % 7) - 3) * i +
+      (i * 37 + 13 + 7 * c) % 33 - 16).toInt
+
+  def fixtureAudioChannels(id: Long): Int = 1 + (id % 2).toInt
+  def fixtureAudioSamples(id: Long): Int = 512 + ((id % 4) * 256).toInt
+
+  /** doc_id → a complete decodable FLAC stream: STREAMINFO, then the
+    * signal above as 1–3 fixed-size-512 frames (last one short), FIXED(2)
+    * subframes, partition order id%2, Rice parameters 5/6, 16- or 24-bit
+    * samples, 1 or 2 independent channels — every decoder path the
+    * fixture family can reach without LPC.
+    */
+  def fixtureAudioPayload(id: Long): Array[Byte] = {
+    val rate = 8000 + ((id % 6) * 8000).toInt
+    val channels = fixtureAudioChannels(id)
+    val bps = 16 + ((id % 2) * 8).toInt
+    val total = fixtureAudioSamples(id)
+    val block = 512
+    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | total.toLong
+    val streaminfo = beBytes(block, 2) ++ beBytes(block, 2) ++
+      beBytes(0, 3) ++ beBytes(0, 3) ++ beBytes(packed, 8) ++
+      new Array[Byte](16)
+    val head = "fLaC".getBytes("US-ASCII") ++
+      beBytes(0x80L, 1) ++ beBytes(34, 3) ++ streaminfo
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head, 0, head.length)
+    var written = 0
+    var frameIdx = 0
+    while (written < total) {
+      val n = math.min(block, total - written)
+      val w = new BitWriter()
+      w.bits(0x3ffe, 14) // sync
+      w.bit(0); w.bit(0) // reserved, fixed-blocksize strategy
+      w.bits(7, 4) // block size: 16-bit field at header end
+      w.bits(0, 4) // sample rate: from STREAMINFO
+      w.bits(channels - 1, 4) // independent channels
+      w.bits(if (bps == 16) 4 else 6, 3)
+      w.bit(0) // reserved
+      require(frameIdx < 0x80, "fixture frame count stays single-byte")
+      w.bits(frameIdx, 8) // coded frame number
+      w.bits(n - 1, 16)
+      val headerBytes = w.toBytes // aligned: 32 + 8 + 16 bits
+      val w2 = new BitWriter()
+      w2.bits(crc8(headerBytes, 0, headerBytes.length), 8)
+      // subframes
+      val po = (id % 2).toInt
+      var c = 0
+      while (c < channels) {
+        w2.bit(0); w2.bits(0x08 | 2, 6); w2.bit(0) // FIXED(2), no waste
+        val s = (i: Int) => fixtureSample(id, c, written + i)
+        w2.bits(s(0).toLong & ((1L << bps) - 1), bps)
+        w2.bits(s(1).toLong & ((1L << bps) - 1), bps)
+        w2.bits(0, 2) // method 0: 4-bit Rice params
+        w2.bits(po, 4)
+        val nPart = 1 << po
+        var idx = 2
+        var part = 0
+        while (part < nPart) {
+          val count = (n >> po) - (if (part == 0) 2 else 0)
+          val prm = 5 + part
+          w2.bits(prm, 4)
+          var i = 0
+          while (i < count) {
+            val r = s(idx) - 2 * s(idx - 1) + s(idx - 2)
+            val u = if (r >= 0) 2L * r else -2L * r - 1
+            val q = (u >>> prm).toInt
+            var k = 0
+            while (k < q) { w2.bit(0); k += 1 }
+            w2.bit(1)
+            w2.bits(u & ((1L << prm) - 1), prm)
+            idx += 1; i += 1
+          }
+          part += 1
+        }
+        c += 1
+      }
+      val body = w2.toBytes // align() pads the trailing bits
+      val frame = headerBytes ++ body
+      out.write(frame, 0, frame.length)
+      val crc = crc16(out.toByteArray, out.size - frame.length, frame.length)
+      out.write((crc >> 8) & 0xff); out.write(crc & 0xff)
+      written += n
+      frameIdx += 1
+    }
+    out.toByteArray
   }
 }

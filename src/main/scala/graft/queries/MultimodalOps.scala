@@ -886,6 +886,65 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  // Full FLAC SAMPLE decode (multimodal.Flac.decodeAudio): frame sync +
+  // CRC-8/CRC-16 verification, FIXED(2) subframes, partitioned-Rice
+  // residuals, 16/24-bit samples, mono/stereo, multi-frame streams — the
+  // audio-features pass over PCM recovered from REAL entropy-coded
+  // bits, not a formula. The oracle regenerates the closed-form signal
+  // with integer arithmetic and recomputes every feature, so a slipped
+  // bit anywhere in the Rice/CRC/predictor chain fails the value compare
+  // (first/last are order-sensitive on purpose). Scale shape: one
+  // mapPartitions over doc ids, pure per-row CPU work, no shuffle.
+  private def mmFlacDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val a = graft.multimodal.Flac.decodeAudio(
+          graft.multimodal.Flac.fixtureAudioPayload(id))
+        val v = a.samples
+        var peak = 0L
+        var sumAbs = 0L
+        var sumSq = 0L
+        v.foreach { x =>
+          val ab = math.abs(x.toLong)
+          if (ab > peak) peak = ab
+          sumAbs += ab
+          sumSq += x.toLong * x
+        }
+        (id, a.meta.sampleRate.toLong, v.length.toLong,
+          v(0).toLong, v(v.length - 1).toLong, peak, sumAbs,
+          BigDecimal(math.sqrt(sumSq.toDouble / v.length))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "first_sample",
+        "last_sample", "peak_abs", "sum_abs", "rms")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmFlacDecodeSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 6) * 8000 AS sr,
+      |    1 + doc_id % 2 AS ch,
+      |    512 + (doc_id % 4) * 256 AS n,
+      |    (doc_id % 200) - 100 AS base,
+      |    (doc_id % 7) - 3 AS step
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sr, ch, n, c, i,
+      |    base + step * i + (i * 37 + 13 + 7 * c) % 33 - 16 AS v
+      |  FROM d, unnest(generate_series(0, n - 1)) t(i),
+      |       unnest(generate_series(0, ch - 1)) u(c))
+      |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(min(CASE WHEN c = 0 AND i = 0 THEN v END) AS BIGINT)
+      |    AS first_sample,
+      |  CAST(min(CASE WHEN c = ch - 1 AND i = n - 1 THEN v END) AS BIGINT)
+      |    AS last_sample,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |  round(sqrt(sum(v*v)*1.0/count(*)), 6) AS rms
+      |FROM s GROUP BY doc_id, sr, ch, n ORDER BY doc_id""".stripMargin
+
   private val mmFlacMetaSql =
     """SELECT doc_id,
       |  8000 + (doc_id % 6) * 8000 AS sample_rate,
@@ -897,6 +956,7 @@ object MultimodalOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "mm_flac_decode" -> mmFlacDecode _,
     "mm_flac_meta" -> mmFlacMeta _,
     "mm_id3_meta" -> mmId3Meta _,
     "mm_exif_meta" -> mmExifMeta _,
@@ -921,6 +981,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_flac_decode" -> mmFlacDecodeSql,
     "mm_flac_meta" -> mmFlacMetaSql,
     "mm_id3_meta" -> mmId3MetaSql,
     "mm_exif_meta" -> mmExifMetaSql,

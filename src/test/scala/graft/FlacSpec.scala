@@ -38,6 +38,101 @@ class FlacSpec extends AnyFunSuite {
       m.bitsPerSample == 16 && m.sampleRate == 44100)
   }
 
+  test("audio fixture family decodes to the closed-form signal exactly") {
+    for (id <- 0L until 24L) {
+      val a = Flac.decodeAudio(Flac.fixtureAudioPayload(id))
+      val ch = Flac.fixtureAudioChannels(id)
+      val n = Flac.fixtureAudioSamples(id)
+      assert(a.meta.sampleRate == 8000 + (id % 6).toInt * 8000)
+      assert(a.meta.channels == ch)
+      assert(a.meta.bitsPerSample == 16 + (id % 2).toInt * 8)
+      assert(a.samples.length == n * ch)
+      var bad = 0
+      for (i <- 0 until n; c <- 0 until ch)
+        if (a.samples(i * ch + c) != Flac.fixtureSample(id, c, i)) bad += 1
+      assert(bad == 0, s"id=$id: $bad samples off the closed form " +
+        s"(ch=$ch n=$n, frames=${(n + 511) / 512})")
+    }
+  }
+
+  test("audio decode is CRC-guarded: a flipped residual bit rejects") {
+    val good = Flac.fixtureAudioPayload(3L)
+    // flip one bit deep in the first frame's residual region (well past
+    // the 4+4+38 metadata prefix and the 7+1-byte frame header)
+    val torn = good.clone()
+    torn(80) = (torn(80) ^ 0x10).toByte
+    val e = intercept[IllegalArgumentException](Flac.decodeAudio(torn))
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("torn") ||
+      e.getMessage.contains("unary") || e.getMessage.contains("frame"),
+      s"unexpected reject: ${e.getMessage}")
+    // truncation rejects too
+    intercept[IllegalArgumentException](
+      Flac.decodeAudio(good.take(good.length / 2)))
+  }
+
+  test("LPC subframes and stereo decorrelation reject as documented " +
+      "seams") {
+    // take a real stereo fixture stream and rewrite the frame header's
+    // channel-assignment nibble to mid/side (10): byte 3 of the frame,
+    // high nibble; frame starts right after the 4+38-byte metadata
+    val base = Flac.fixtureAudioPayload(1L) // id 1 -> 2 channels
+    val frameOff = 4 + 4 + 34
+    assert((base(frameOff) & 0xff) == 0xff &&
+      (base(frameOff + 1) & 0xf8) == 0xf8, "frame sync not where expected")
+    val midSide = base.clone()
+    midSide(frameOff + 3) =
+      ((10 << 4) | (midSide(frameOff + 3) & 0x0f)).toByte
+    val e1 = intercept[IllegalArgumentException](Flac.decodeAudio(midSide))
+    assert(e1.getMessage.contains("decorrelation"), e1.getMessage)
+    // rewrite the first subframe header byte to LPC order 1 (0x20|0)<<1:
+    // find it at frame start + 7 (header) + 1 (crc8)
+    val lpc = base.clone()
+    lpc(frameOff + 8) = 0x42.toByte // 0_100001_0 = LPC, order 2
+    val e2 = intercept[IllegalArgumentException](Flac.decodeAudio(lpc))
+    assert(e2.getMessage.contains("LPC") ||
+      e2.getMessage.contains("CRC"), e2.getMessage)
+  }
+
+  test("escape-coded Rice partitions decode raw residuals") {
+    // hand-build a minimal mono 16-bit stream: one frame, block size 4,
+    // FIXED(0) subframe, partition order 0, ESCAPED partition with 6-bit
+    // raw residuals — the path the generated fixtures never take
+    def be(v: Long, n: Int) = Array.tabulate(n)(i =>
+      ((v >>> (8 * (n - 1 - i))) & 0xff).toByte)
+    val total = 4L
+    val packed = (8000L << 44) | (0L << 41) | (15L << 36) | total
+    val si = be(4, 2) ++ be(4, 2) ++ be(0, 3) ++ be(0, 3) ++
+      be(packed, 8) ++ new Array[Byte](16)
+    val head = "fLaC".getBytes("US-ASCII") ++ be(0x80, 1) ++ be(34, 3) ++ si
+    // frame header: sync(14)=0x3ffe, 0, 0, bs=0110 (8-bit at end),
+    // sr=0000, ch=0000, ss=100, 0, frameNum=0x00, bs-1=3
+    val hdr = Array[Byte](0xff.toByte, 0xf8.toByte, 0x60.toByte,
+      0x08.toByte, 0x00.toByte, 0x03.toByte)
+    val crc8 = Flac.crc8(hdr, 0, hdr.length)
+    // subframe: 0_000000_0 (CONSTANT? no — FIXED(0) is 0_001000_0=0x10)
+    // FIXED(0): all 4 samples are residuals; method 00, po 0000,
+    // param 1111 (escape), raw width 000110 -> 5 bits says 6, then
+    // 4 x 6-bit two's-complement residuals: 5, -3, 0, -17
+    val bits = new StringBuilder
+    bits.append("00010000") // subframe header: FIXED(0)
+    bits.append("00")       // residual method 0 (4-bit params)
+    bits.append("0000")     // partition order 0
+    bits.append("1111")     // escape
+    bits.append("00110")    // raw residual width 6
+    def sb(v: Int, n: Int): Unit =
+      for (i <- n - 1 to 0 by -1) bits.append((v >> i) & 1)
+    sb(5, 6); sb(-3 & 0x3f, 6); sb(0, 6); sb(-17 & 0x3f, 6)
+    while (bits.length % 8 != 0) bits.append('0')
+    val body = bits.toString.grouped(8)
+      .map(s => Integer.parseInt(s, 2).toByte).toArray
+    val frameNoCrc = hdr ++ Array(crc8.toByte) ++ body
+    val crc16 = Flac.crc16(frameNoCrc, 0, frameNoCrc.length)
+    val stream = head ++ frameNoCrc ++ be(crc16, 2)
+    val a = Flac.decodeAudio(stream)
+    assert(a.samples.toSeq == Seq(5, -3, 0, -17),
+      s"escape decode got ${a.samples.toSeq}")
+  }
+
   test("malformed input rejects loudly") {
     val bad = intercept[IllegalArgumentException](
       Flac.parse(Array.fill[Byte](16)(0)))
