@@ -424,6 +424,120 @@ object Flac {
   def fixtureAudioChannels(id: Long): Int = 1 + (id % 2).toInt
   def fixtureAudioSamples(id: Long): Int = 512 + ((id % 4) * 256).toInt
 
+  /** The o-th-order fixed-predictor residual at position `i` (binomial
+    * alternating weights, the inverse of [[restoreFixed]]).
+    */
+  private def fixedResidual(s: Array[Int], i: Int, o: Int): Int = o match {
+    case 0 => s(i)
+    case 1 => s(i) - s(i - 1)
+    case 2 => s(i) - 2 * s(i - 1) + s(i - 2)
+    case 3 => s(i) - 3 * s(i - 1) + 3 * s(i - 2) - s(i - 3)
+    case _ => s(i) - 4 * s(i - 1) + 6 * s(i - 2) - 4 * s(i - 3) + s(i - 4)
+  }
+
+  /** Single-frame stream from explicit per-channel PCM — the
+    * spec-exercise encoder: `mode` -2 encodes CONSTANT (all samples must
+    * be equal), -1 VERBATIM, 0..4 the FIXED order; `wasted` > 0 requires
+    * every sample divisible by 2^wasted; `riceMethod` selects the 4- or
+    * 5-bit parameter width. Rice parameters are chosen per partition so
+    * unary quotients stay short at any signal scale. Lets the specs walk
+    * every decoder path the generated fixture family does not reach.
+    */
+  def encodeStream(chans: Array[Array[Int]], rate: Int, bps: Int,
+      mode: Int, po: Int = 0, wasted: Int = 0,
+      riceMethod: Int = 0): Array[Byte] = {
+    val channels = chans.length
+    require(channels >= 1 && channels <= 8, "1..8 channels")
+    val n = chans(0).length
+    require(chans.forall(_.length == n), "ragged channels")
+    require(mode >= -2 && mode <= 4 && n > math.max(mode, 0),
+      s"mode $mode needs more than ${math.max(mode, 0)} samples")
+    require(n % (1 << po) == 0 && (n >> po) >= math.max(mode, 0),
+      s"partition order $po incompatible with block size $n")
+    require(riceMethod == 0 || riceMethod == 1, "rice method 0 or 1")
+    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | n.toLong
+    val streaminfo = beBytes(n.toLong, 2) ++ beBytes(n.toLong, 2) ++
+      beBytes(0, 3) ++ beBytes(0, 3) ++ beBytes(packed, 8) ++
+      new Array[Byte](16)
+    val head = "fLaC".getBytes("US-ASCII") ++
+      beBytes(0x80L, 1) ++ beBytes(34, 3) ++ streaminfo
+    val w = new BitWriter()
+    w.bits(0x3ffe, 14); w.bit(0); w.bit(0)
+    w.bits(7, 4) // 16-bit block size at header end
+    w.bits(0, 4) // rate from STREAMINFO
+    w.bits(channels - 1, 4)
+    w.bits(0, 3) // sample size from STREAMINFO
+    w.bit(0)
+    w.bits(0, 8) // frame number 0
+    w.bits(n - 1, 16)
+    val headerBytes = w.toBytes
+    val w2 = new BitWriter()
+    w2.bits(crc8(headerBytes, 0, headerBytes.length), 8)
+    val effBps = bps - wasted
+    val mask = (1L << effBps) - 1
+    var c = 0
+    while (c < channels) {
+      w2.bit(0)
+      w2.bits(mode match {
+        case -2 => 0L
+        case -1 => 1L
+        case o => (0x08 | o).toLong
+      }, 6)
+      if (wasted == 0) w2.bit(0)
+      else {
+        w2.bit(1)
+        var k = 0
+        while (k < wasted - 1) { w2.bit(0); k += 1 }
+        w2.bit(1)
+      }
+      val s = chans(c).map { v =>
+        require(wasted == 0 || (v & ((1 << wasted) - 1)) == 0,
+          "samples must be divisible by 2^wasted")
+        v >> wasted
+      }
+      mode match {
+        case -2 =>
+          require(s.forall(_ == s(0)), "CONSTANT needs a constant block")
+          w2.bits(s(0).toLong & mask, effBps)
+        case -1 => s.foreach(v => w2.bits(v.toLong & mask, effBps))
+        case o =>
+          var i = 0
+          while (i < o) { w2.bits(s(i).toLong & mask, effBps); i += 1 }
+          val r = Array.tabulate(n - o)(j => fixedResidual(s, j + o, o))
+          w2.bits(riceMethod.toLong, 2)
+          w2.bits(po.toLong, 4)
+          val pBits = if (riceMethod == 0) 4 else 5
+          val escape = (1 << pBits) - 1
+          var idx = 0
+          var part = 0
+          while (part < (1 << po)) {
+            val count = (n >> po) - (if (part == 0) o else 0)
+            val us = Array.tabulate(count) { j =>
+              val v = r(idx + j)
+              if (v >= 0) 2L * v else -2L * v - 1
+            }
+            val maxU = if (us.isEmpty) 0L else us.max
+            val p = math.min(escape - 1, math.max(0,
+              64 - java.lang.Long.numberOfLeadingZeros(maxU | 1L) - 4))
+            w2.bits(p.toLong, pBits)
+            us.foreach { u =>
+              var q = (u >>> p).toInt
+              while (q > 0) { w2.bit(0); q -= 1 }
+              w2.bit(1)
+              w2.bits(u & ((1L << p) - 1), p)
+            }
+            idx += count
+            part += 1
+          }
+      }
+      c += 1
+    }
+    val frame = headerBytes ++ w2.toBytes
+    val crc = crc16(frame, 0, frame.length)
+    head ++ frame ++ beBytes(crc.toLong, 2)
+  }
+
   /** doc_id → a complete decodable FLAC stream: STREAMINFO, then the
     * signal above as 1–3 fixed-size-512 frames (last one short), FIXED(2)
     * subframes, partition order id%2, Rice parameters 5/6, 16- or 24-bit

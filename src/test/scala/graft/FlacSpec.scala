@@ -93,6 +93,40 @@ class FlacSpec extends AnyFunSuite {
       e2.getMessage.contains("CRC"), e2.getMessage)
   }
 
+  test("every subframe type, FIXED order, rice width and channel count " +
+      "roundtrips bit-exactly on seeded random PCM") {
+    val rnd = new scala.util.Random(42) // seeded: deterministic spec
+    def check(chans: Array[Array[Int]], bytes: Array[Byte]): Unit = {
+      val a = Flac.decodeAudio(bytes)
+      val ch = chans.length
+      val n = chans(0).length
+      assert(a.samples.length == n * ch)
+      for (i <- 0 until n; c <- 0 until ch)
+        assert(a.samples(i * ch + c) == chans(c)(i),
+          s"sample ($c,$i) diverged")
+    }
+    for (order <- 0 to 4; ch <- 1 to 2; method <- 0 to 1) {
+      val chans = Array.fill(ch)(Array.fill(96)(rnd.nextInt(2001) - 1000))
+      check(chans,
+        Flac.encodeStream(chans, 44100, 16, order, po = 2,
+          riceMethod = method))
+    }
+    // 24-bit samples, larger values, deeper partition order
+    val wide = Array(Array.fill(128)(rnd.nextInt(2000001) - 1000000))
+    check(wide, Flac.encodeStream(wide, 96000, 24, 2, po = 3))
+    // CONSTANT and VERBATIM subframes
+    val const = Array(Array.fill(64)(-12345))
+    check(const, Flac.encodeStream(const, 8000, 16, -2))
+    val verb = Array.fill(2)(Array.fill(64)(rnd.nextInt(65536) - 32768))
+    check(verb, Flac.encodeStream(verb, 8000, 16, -1))
+    // wasted bits: samples share 3 trailing zero bits
+    val wastedPcm = Array(Array.fill(64)((rnd.nextInt(501) - 250) << 3))
+    check(wastedPcm, Flac.encodeStream(wastedPcm, 8000, 16, 2, wasted = 3))
+    // 8-channel stream (the max the frame header can carry independently)
+    val many = Array.fill(8)(Array.fill(32)(rnd.nextInt(201) - 100))
+    check(many, Flac.encodeStream(many, 8000, 16, 1))
+  }
+
   test("escape-coded Rice partitions decode raw residuals") {
     // hand-build a minimal mono 16-bit stream: one frame, block size 4,
     // FIXED(0) subframe, partition order 0, ESCAPED partition with 6-bit
