@@ -3,18 +3,21 @@ package graft.multimodal
 import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** Real PNG pixel codec (pure JVM, zero native deps) — the lossless image
-  * tier next to [[Jpeg]]: 8-bit grayscale (0), truecolor (2), palette (3),
-  * gray+alpha (4) and RGBA (6), all five scanline filters (None/Sub/Up/
-  * Average/Paeth), and BOTH interlace modes — sequential and Adam7 (each
-  * of the 7 passes is its own independently-filtered sub-image). IDAT is a
-  * genuine zlib stream (java.util.zip); the encoder emits CRC-correct
-  * chunks, the decoder walks the length-tagged chunk structure (payload
-  * integrity is the storage layer's job — PNG CRCs are redundant under
+  * tier next to [[Jpeg]]: grayscale (0), truecolor (2), palette (3),
+  * gray+alpha (4) and RGBA (6) at EVERY legal bit depth — 1/2/4-bit
+  * packed rows for gray and palette (the favicon/icon shape), 8-bit, and
+  * 16-bit projected to 8 via the canonical high byte — all five scanline
+  * filters (None/Sub/Up/Average/Paeth), and BOTH interlace modes —
+  * sequential and Adam7 (each of the 7 passes is its own
+  * independently-filtered sub-image). IDAT is a genuine zlib stream
+  * (java.util.zip); the encoder emits CRC-correct chunks, the decoder
+  * walks the length-tagged chunk structure (payload integrity is the
+  * storage layer's job — PNG CRCs are redundant under
   * parquet/object-store checksumming, so the read path skips them).
   *
-  * Out-of-scope inputs reject LOUDLY (16-bit depth, sub-byte depths,
-  * unknown color/interlace types, missing PLTE) — the same honest-boundary
-  * convention as the progressive-JPEG tier before it was implemented.
+  * Out-of-scope inputs reject LOUDLY (illegal depth/color-type pairs,
+  * unknown color/interlace types, missing PLTE, out-of-range palette
+  * indexes) — the same honest-boundary convention as the other tiers.
   *
   * The deterministic [[encode]] fixture cycles the filter type per
   * scanline (row % 5), so every filter path is exercised on every image,
@@ -51,7 +54,7 @@ object Png {
     require(p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
       p(2) == 'N' && p(3) == 'G', "not a PNG signature")
     var o = 8
-    var w, h, colorType, interlace = -1
+    var w, h, colorType, interlace, depth = -1
     var palette: Array[Int] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
@@ -62,11 +65,17 @@ object Png {
       typ match {
         case "IHDR" =>
           w = be32(p, data); h = be32(p, data + 4)
-          val bitDepth = p(data + 8) & 0xff
+          depth = p(data + 8) & 0xff
           colorType = p(data + 9) & 0xff
           interlace = p(data + 12) & 0xff
-          require(bitDepth == 8, s"PNG bit depth $bitDepth unsupported " +
-            "(8-bit tier); rejecting loudly rather than mis-decoding")
+          // the spec's legal (depth, color-type) matrix: sub-byte depths
+          // only for grayscale and palette; 16-bit for everything BUT
+          // palette; anything else rejects loudly
+          require(depth == 8 ||
+            ((depth == 1 || depth == 2 || depth == 4) &&
+              (colorType == 0 || colorType == 3)) ||
+            (depth == 16 && colorType != 3),
+            s"PNG bit depth $depth invalid for color type $colorType")
           bpp(colorType) // validates the type
           require(interlace == 0 || interlace == 1,
             s"PNG interlace method $interlace")
@@ -85,7 +94,9 @@ object Png {
     require(w > 0 && h > 0, "PNG without a leading IHDR chunk")
     require(colorType != 3 || palette != null, "palette PNG without PLTE")
     val raw = inflateAll(idat.toByteArray)
-    val nb = bpp(colorType)
+    val nCh = bpp(colorType)
+    val bitsPP = depth * nCh
+    val step = math.max(1, bitsPP / 8) // filter byte distance
     val out = new Array[Int](w * h)
     var off = 0
     val passes =
@@ -94,18 +105,18 @@ object Png {
       val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
       val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
       if (pw > 0 && ph > 0) {
-        val rowBytes = pw * nb
+        val rowBytes = (pw * bitsPP + 7) / 8
         var prev = new Array[Byte](rowBytes)
         var ry = 0
         while (ry < ph) {
           val ft = raw(off) & 0xff; off += 1
           val cur = java.util.Arrays.copyOfRange(raw, off, off + rowBytes)
           off += rowBytes
-          unfilter(ft, cur, prev, nb)
+          unfilter(ft, cur, prev, step)
           var rx = 0
           while (rx < pw) {
             out((y0 + ry * dy) * w + (x0 + rx * dx)) =
-              pixelAt(cur, rx * nb, colorType, palette)
+              pixelAt(cur, rx, colorType, palette, depth, nCh)
             rx += 1
           }
           prev = cur
@@ -158,21 +169,47 @@ object Png {
     }
   }
 
-  private def pixelAt(row: Array[Byte], o: Int, ct: Int,
-      pal: Array[Int]): Int = ct match {
-    case 0 =>
-      val v = row(o) & 0xff
-      (0xff << 24) | (v << 16) | (v << 8) | v
-    case 2 =>
-      (0xff << 24) | ((row(o) & 0xff) << 16) |
-        ((row(o + 1) & 0xff) << 8) | (row(o + 2) & 0xff)
-    case 3 => pal(row(o) & 0xff)
-    case 4 =>
-      val v = row(o) & 0xff
-      ((row(o + 1) & 0xff) << 24) | (v << 16) | (v << 8) | v
-    case 6 =>
-      ((row(o + 3) & 0xff) << 24) | ((row(o) & 0xff) << 16) |
-        ((row(o + 1) & 0xff) << 8) | (row(o + 2) & 0xff)
+  /** Channel `c` of pixel `x` in an unfiltered scanline at any legal
+    * bit depth: sub-byte depths unpack MSB-first; 16-bit keeps the high
+    * byte (the standard 16→8 projection — the low byte is the same
+    * value repeated for spec-conformant scaling, so this is exact for
+    * v*257-shaped samples and the canonical downsample otherwise).
+    */
+  private def chanAt(row: Array[Byte], x: Int, c: Int, nCh: Int,
+      depth: Int): Int = depth match {
+    case 8 => row(x * nCh + c) & 0xff
+    case 16 => row((x * nCh + c) * 2) & 0xff
+    case d =>
+      val bitOff = (x * nCh + c) * d
+      ((row(bitOff >> 3) & 0xff) >> (8 - d - (bitOff & 7))) &
+        ((1 << d) - 1)
+  }
+
+  // 255/(2^d - 1): the spec's sample scaling to full 8-bit range
+  private def grayScaleFactor(depth: Int): Int = depth match {
+    case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
+  }
+
+  private def pixelAt(row: Array[Byte], x: Int, ct: Int,
+      pal: Array[Int], depth: Int, nCh: Int): Int = {
+    def ch(c: Int) = chanAt(row, x, c, nCh, depth)
+    ct match {
+      case 0 =>
+        val v = ch(0) * grayScaleFactor(depth)
+        (0xff << 24) | (v << 16) | (v << 8) | v
+      case 2 =>
+        (0xff << 24) | (ch(0) << 16) | (ch(1) << 8) | ch(2)
+      case 3 =>
+        val i = ch(0)
+        require(i < pal.length,
+          s"palette index $i past the ${pal.length}-entry PLTE")
+        pal(i)
+      case 4 =>
+        val v = ch(0) * grayScaleFactor(depth)
+        (ch(1) << 24) | (v << 16) | (v << 8) | v
+      case 6 =>
+        (ch(3) << 24) | (ch(0) << 16) | (ch(1) << 8) | ch(2)
+    }
   }
 
   // -------------------------------------------------------------------
@@ -266,6 +303,99 @@ object Png {
     p32(ihdr, 0, w); p32(ihdr, 4, h)
     ihdr(8) = 8; ihdr(9) = colorType.toByte
     ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = if (interlace) 1 else 0
+    chunk(out, "IHDR", ihdr)
+    if (colorType == 3) {
+      require(palette != null, "palette encode needs a PLTE")
+      val pl = new Array[Byte](palette.length * 3)
+      palette.zipWithIndex.foreach { case (rgb, i) =>
+        pl(3 * i) = ((rgb >> 16) & 0xff).toByte
+        pl(3 * i + 1) = ((rgb >> 8) & 0xff).toByte
+        pl(3 * i + 2) = (rgb & 0xff).toByte
+      }
+      chunk(out, "PLTE", pl)
+    }
+    chunk(out, "IDAT", zout.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Depth-capable non-interlaced encoder (spec-exercise surface):
+    * `sample(x, y, c)` supplies RAW channel samples in [0, 2^depth) —
+    * palette indexes for color type 3 — packed MSB-first for sub-byte
+    * depths and big-endian for 16-bit, with the filter type cycling
+    * 0..4 per scanline like [[encode]].
+    */
+  def encodeDepth(w: Int, h: Int, colorType: Int, depth: Int,
+      sample: (Int, Int, Int) => Int,
+      palette: Array[Int] = null): Array[Byte] = {
+    require(depth == 8 ||
+      ((depth == 1 || depth == 2 || depth == 4) &&
+        (colorType == 0 || colorType == 3)) ||
+      (depth == 16 && colorType != 3),
+      s"depth $depth invalid for color type $colorType")
+    val nCh = bpp(colorType)
+    val bitsPP = depth * nCh
+    val step = math.max(1, bitsPP / 8)
+    val rowBytes = (w * bitsPP + 7) / 8
+    val raw = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](rowBytes)
+    var y = 0
+    while (y < h) {
+      val cur = new Array[Byte](rowBytes)
+      var bitPos = 0
+      def put(v: Int, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          if (((v >> i) & 1) != 0)
+            cur(bitPos >> 3) = (cur(bitPos >> 3) | (0x80 >> (bitPos & 7))).toByte
+          bitPos += 1
+          i -= 1
+        }
+      }
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < nCh) { put(sample(x, y, c), depth); c += 1 }
+        x += 1
+      }
+      val ft = y % 5
+      raw.write(ft)
+      var i = 0
+      while (i < rowBytes) {
+        val left = if (i >= step) cur(i - step) & 0xff else 0
+        val up = prev(i) & 0xff
+        val ul = if (i >= step) prev(i - step) & 0xff else 0
+        val v = cur(i) & 0xff
+        raw.write((ft match {
+          case 0 => v
+          case 1 => v - left
+          case 2 => v - up
+          case 3 => v - ((left + up) >> 1)
+          case 4 => v - paeth(left, up, ul)
+        }) & 0xff)
+        i += 1
+      }
+      prev = cur
+      y += 1
+    }
+    val defl = new Deflater()
+    defl.setInput(raw.toByteArray)
+    defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    val ihdr = new Array[Byte](13)
+    def p32(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = ((v >>> 24) & 0xff).toByte; a(o + 1) = ((v >>> 16) & 0xff).toByte
+      a(o + 2) = ((v >>> 8) & 0xff).toByte; a(o + 3) = (v & 0xff).toByte
+    }
+    p32(ihdr, 0, w); p32(ihdr, 4, h)
+    ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
     chunk(out, "IHDR", ihdr)
     if (colorType == 3) {
       require(palette != null, "palette encode needs a PLTE")

@@ -74,6 +74,93 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-byte depths (1/2/4) decode to scaled gray and palette " +
+      "pixels, cross-validated against ImageIO") {
+    for (d <- Seq(1, 2, 4)) {
+      val (w, h) = (23, 9)
+      val maxV = (1 << d) - 1
+      val factor = 255 / maxV
+      // gray: MSB-first packed rows through all five filters
+      val gBytes = Png.encodeDepth(w, h, 0, d,
+        (x, y, _) => (x * 3 + y * 5) % (maxV + 1))
+      val g = Png.decode(gBytes)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = ((x * 3 + y * 5) % (maxV + 1)) * factor
+        val got = (g.pixels(y * w + x) >> 16) & 0xff
+        assert(got == want, s"d=$d gray ($x,$y): $got != $want")
+      }
+      val jdkG = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(gBytes))
+      assert(jdkG != null, s"ImageIO could not parse our $d-bit gray PNG")
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = (jdkG.getRGB(x, y) >> 16) & 0xff
+        val got = (g.pixels(y * w + x) >> 16) & 0xff
+        assert(got == want, s"d=$d gray vs ImageIO ($x,$y): $got != $want")
+      }
+      // palette: 2^d entries, indexes cycle
+      val pal = Array.tabulate(maxV + 1)(i =>
+        (0xff << 24) | (((i * 37) % 256) << 16) | (((i * 59) % 256) << 8) |
+          ((i * 83) % 256))
+      val pBytes = Png.encodeDepth(w, h, 3, d,
+        (x, y, _) => (x + 2 * y) % (maxV + 1), pal)
+      val p = Png.decode(pBytes)
+      val jdkP = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(pBytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = pal((x + 2 * y) % (maxV + 1))
+        assert(p.pixels(y * w + x) == want, s"d=$d palette ($x,$y)")
+        assert(jdkP.getRGB(x, y) == want,
+          f"d=$d palette vs ImageIO ($x,$y): 0x${jdkP.getRGB(x, y)}%08x")
+      }
+    }
+  }
+
+  test("16-bit depths project to the high byte, cross-validated " +
+      "against ImageIO raster samples") {
+    val (w, h) = (17, 11)
+    def s16(x: Int, y: Int, c: Int) = (x * 4321 + y * 987 + c * 4099) % 65536
+    for (ct <- Seq(0, 2, 6)) {
+      val bytes = Png.encodeDepth(w, h, ct, 16, s16)
+      val ours = Png.decode(bytes)
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"ImageIO could not parse our 16-bit ct=$ct PNG")
+      val bands = Png.decode(bytes) // sanity: deterministic
+      assert(bands.pixels.sameElements(ours.pixels))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = ours.pixels(y * w + x)
+        val gotByChan = ct match {
+          case 0 => Seq((p >> 16) & 0xff)
+          case 2 => Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          case _ => Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff,
+            (p >>> 24) & 0xff)
+        }
+        gotByChan.zipWithIndex.foreach { case (got, c) =>
+          val want = jdk.getRaster.getSample(x, y, c) >> 8
+          assert(got == want,
+            s"16-bit ct=$ct ($x,$y,c=$c): $got != $want")
+        }
+        // and the closed form: high byte of the encoded sample
+        gotByChan.zipWithIndex.foreach { case (got, c) =>
+          assert(got == (s16(x, y, c) >> 8), s"closed form ct=$ct c=$c")
+        }
+      }
+    }
+  }
+
+  test("illegal depth/color-type pairs reject loudly") {
+    intercept[IllegalArgumentException](
+      Png.encodeDepth(4, 4, 3, 16, (_, _, _) => 0, Array(0xff000000)))
+    intercept[IllegalArgumentException](
+      Png.encodeDepth(4, 4, 2, 4, (_, _, _) => 0))
+    // decoder side: hand-flip a legal header to an illegal pair
+    val good = Png.encodeDepth(8, 8, 0, 4, (x, y, _) => (x + y) % 16)
+    val bad = good.clone()
+    bad(8 + 8 + 9) = 2 // IHDR color type byte: gray(0) -> truecolor(2)
+    val e = intercept[IllegalArgumentException](Png.decode(bad))
+    assert(e.getMessage.contains("invalid for color type"))
+  }
+
   test("interlaced and sequential encodings of the same image decode " +
       "identically") {
     val id = 42L
@@ -98,13 +185,12 @@ class PngSpec extends AnyFunSuite {
   }
 
   test("out-of-scope inputs reject loudly, not wrongly") {
-    // 16-bit depth: flip the IHDR bit-depth byte of a valid stream and
-    // fix its CRC is overkill — build a minimal bad header instead
+    // depth 3 exists in no row of the spec's legal depth/color matrix
     val good = Png.fixturePayload(0L)
-    val bad16 = good.clone()
+    val bad3 = good.clone()
     // IHDR data starts at offset 16 (8 sig + 4 len + 4 type); depth at +8
-    bad16(16 + 8) = 16.toByte
-    val e = intercept[IllegalArgumentException](Png.decode(bad16))
+    bad3(16 + 8) = 3.toByte
+    val e = intercept[IllegalArgumentException](Png.decode(bad3))
     assert(e.getMessage.contains("bit depth"))
     val notPng = intercept[IllegalArgumentException](
       Png.decode(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)))
