@@ -1,0 +1,349 @@
+package graft.multimodal
+
+/** Baseline TIFF 6.0 decoder (pure JVM) — the scanned-document /
+  * archival member of the image family, and the only one whose container
+  * is endian-switchable: both `II` (little) and `MM` (big) byte orders,
+  * the IFD tag walk (SHORT/LONG values, inline when they fit 4 bytes),
+  * strip-organized image data with any RowsPerStrip, uncompressed and
+  * PackBits (32773) strips, and the photometric interpretations a
+  * baseline reader must know — BlackIsZero / WhiteIsZero grayscale,
+  * chunky RGB, and RGBPalette through the 16-bit-per-entry ColorMap.
+  *
+  * Out-of-scope shapes reject LOUDLY by name (tiled layout, planar
+  * configuration 2, LZW/JPEG/deflate compression, bit depths other than
+  * 8) — the honest-boundary convention of the other tiers. [[Exif]]
+  * walks the same IFD grammar for JPEG APP1 metadata; this module owns
+  * actual TIFF pixel data.
+  *
+  * Format is the public Adobe TIFF 6.0 specification. Beyond-reference
+  * multimodal surface (SURVEY §5 scope).
+  */
+object Tiff {
+
+  final case class TiffImage(width: Int, height: Int, photometric: Int,
+      compression: Int, pixels: Array[Int])
+
+  private final class Reader(p: Array[Byte], le: Boolean) {
+    def u8(o: Int): Int = p(o) & 0xff
+    def u16(o: Int): Int =
+      if (le) u8(o) | (u8(o + 1) << 8) else (u8(o) << 8) | u8(o + 1)
+    def u32(o: Int): Long =
+      if (le) u16(o).toLong | (u16(o + 2).toLong << 16)
+      else (u16(o).toLong << 16) | u16(o + 2).toLong
+  }
+
+  def decode(p: Array[Byte]): TiffImage = {
+    require(p.length >= 8, "not a TIFF: shorter than the header")
+    val le = p(0) == 'I' && p(1) == 'I'
+    val be = p(0) == 'M' && p(1) == 'M'
+    require(le || be, "not a TIFF: bad byte-order mark")
+    val r = new Reader(p, le)
+    require(r.u16(2) == 42, "not a TIFF: magic is not 42")
+    val ifd = r.u32(4)
+    require(ifd >= 8 && ifd + 2 <= p.length, "torn TIFF: IFD offset")
+    val o = ifd.toInt
+    val n = r.u16(o)
+    require(o + 2 + 12 * n + 4 <= p.length, "torn TIFF: IFD overruns")
+
+    var w, h = -1
+    var bits = 8
+    var compression = 1
+    var photometric = -1
+    var samplesPP = 1
+    var rowsPerStrip = Int.MaxValue
+    var planar = 1
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    var colorMapOff = -1L
+    var colorMapCount = 0
+
+    // a tag's value array: SHORT(3) or LONG(4), inline iff it fits
+    def values(e: Int): Array[Long] = {
+      val typ = r.u16(e + 2)
+      val count = r.u32(e + 4)
+      require(typ == 3 || typ == 4,
+        s"unsupported IFD value type $typ (baseline uses SHORT/LONG)")
+      val unit = if (typ == 3) 2 else 4
+      require(count <= Int.MaxValue / unit, "IFD count overflows")
+      val nBytes = unit * count.toInt
+      val off =
+        if (nBytes <= 4) e + 8
+        else {
+          val v = r.u32(e + 8)
+          require(v + nBytes <= p.length,
+            "torn TIFF: IFD value overruns the file")
+          v.toInt
+        }
+      Array.tabulate(count.toInt) { i =>
+        if (typ == 3) r.u16(off + 2 * i).toLong else r.u32(off + 4 * i)
+      }
+    }
+
+    var i = 0
+    while (i < n) {
+      val e = o + 2 + 12 * i
+      val tag = r.u16(e)
+      tag match {
+        case 256 => w = values(e)(0).toInt
+        case 257 => h = values(e)(0).toInt
+        case 258 =>
+          val v = values(e)
+          require(v.forall(_ == 8),
+            s"bit depth ${v.mkString("/")} unsupported (8-bit baseline)")
+          bits = 8
+        case 259 =>
+          compression = values(e)(0).toInt
+          require(compression == 1 || compression == 32773,
+            s"compression $compression unsupported " +
+              "(uncompressed + PackBits baseline)")
+        case 262 =>
+          photometric = values(e)(0).toInt
+          require(photometric >= 0 && photometric <= 3,
+            s"photometric $photometric unsupported")
+        case 273 => stripOffsets = values(e)
+        case 277 => samplesPP = values(e)(0).toInt
+        case 278 => rowsPerStrip = values(e)(0).toInt
+        case 279 => stripCounts = values(e)
+        case 284 =>
+          planar = values(e)(0).toInt
+          require(planar == 1,
+            "planar configuration 2 unsupported (chunky baseline)")
+        case 320 =>
+          val typ = r.u16(e + 2)
+          require(typ == 3, "ColorMap must be SHORT")
+          colorMapCount = r.u32(e + 4).toInt
+          colorMapOff = r.u32(e + 8)
+        case 322 | 323 | 324 | 325 =>
+          throw new IllegalArgumentException(
+            "tiled TIFF unsupported (strip baseline)")
+        case _ => () // ancillary tags skipped
+      }
+      i += 1
+    }
+    require(w > 0 && h > 0, "TIFF without ImageWidth/ImageLength")
+    require(photometric >= 0, "TIFF without PhotometricInterpretation")
+    require(stripOffsets != null && stripCounts != null &&
+      stripOffsets.length == stripCounts.length,
+      "TIFF without matching StripOffsets/StripByteCounts")
+    val expSamples = if (photometric == 2) 3 else 1
+    require(samplesPP == expSamples,
+      s"SamplesPerPixel $samplesPP contradicts photometric $photometric")
+    val palette: Array[Int] =
+      if (photometric == 3) {
+        require(colorMapOff >= 0, "palette TIFF without ColorMap")
+        val per = colorMapCount / 3
+        require(per == 256, s"ColorMap of $colorMapCount entries " +
+          "contradicts 8-bit palette")
+        require(colorMapOff + 2L * colorMapCount <= p.length,
+          "torn TIFF: ColorMap overruns")
+        Array.tabulate(per) { j =>
+          // 16-bit entries; the canonical 8-bit projection is the high byte
+          def c(k: Int) =
+            r.u16((colorMapOff + 2 * (k * per + j)).toInt) >> 8
+          (0xff << 24) | (c(0) << 16) | (c(1) << 8) | c(2)
+        }
+      } else null
+
+    // decode strips to one contiguous sample buffer
+    val rowBytes = w * samplesPP
+    val data = new Array[Byte](rowBytes * h)
+    var row = 0
+    var s = 0
+    while (s < stripOffsets.length) {
+      val rows = math.min(rowsPerStrip, h - row)
+      require(rows > 0, "more strips than image rows")
+      val need = rows * rowBytes
+      val off = stripOffsets(s)
+      val cnt = stripCounts(s)
+      require(off >= 0 && off + cnt <= p.length,
+        s"torn TIFF: strip $s overruns the file")
+      if (compression == 1) {
+        require(cnt == need,
+          s"strip $s holds $cnt bytes, expected $need")
+        System.arraycopy(p, off.toInt, data, row * rowBytes, need)
+      } else { // PackBits
+        var src = off.toInt
+        val end = (off + cnt).toInt
+        var dst = row * rowBytes
+        val dstEnd = dst + need
+        while (dst < dstEnd) {
+          require(src < end, s"torn PackBits strip $s")
+          val ctl = p(src).toInt; src += 1
+          if (ctl >= 0) {
+            val len = ctl + 1
+            require(src + len <= end && dst + len <= dstEnd,
+              s"PackBits literal overruns strip $s")
+            System.arraycopy(p, src, data, dst, len)
+            src += len; dst += len
+          } else if (ctl != -128) { // -128 is a no-op per the spec
+            val len = 1 - ctl
+            require(src < end && dst + len <= dstEnd,
+              s"PackBits run overruns strip $s")
+            java.util.Arrays.fill(data, dst, dst + len, p(src))
+            src += 1; dst += len
+          }
+        }
+      }
+      row += rows
+      s += 1
+    }
+    require(row >= h, s"strips cover only $row of $h rows")
+
+    val out = new Array[Int](w * h)
+    var j = 0
+    while (j < w * h) {
+      out(j) = photometric match {
+        case 0 => // WhiteIsZero: invert to the usual scale
+          val v = 255 - (data(j) & 0xff)
+          (0xff << 24) | (v << 16) | (v << 8) | v
+        case 1 =>
+          val v = data(j) & 0xff
+          (0xff << 24) | (v << 16) | (v << 8) | v
+        case 2 =>
+          (0xff << 24) | ((data(3 * j) & 0xff) << 16) |
+            ((data(3 * j + 1) & 0xff) << 8) | (data(3 * j + 2) & 0xff)
+        case _ => palette(data(j) & 0xff)
+      }
+      j += 1
+    }
+    TiffImage(w, h, photometric, compression, out)
+  }
+
+  // -------------------------------------------------------------------
+  // Encoder (fixture side)
+
+  /** Real PackBits compression: replicate runs of 3+ become (1-len, v),
+    * literals accumulate up to 128 — the canonical Apple algorithm.
+    */
+  def packBits(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < src.length) {
+      var run = 1
+      while (i + run < src.length && run < 128 &&
+        src(i + run) == src(i)) run += 1
+      if (run >= 3) {
+        out.write(1 - run)
+        out.write(src(i))
+        i += run
+      } else {
+        var lit = i + run
+        var litRun = 1
+        while (lit < src.length && lit - i < 128 && litRun < 3) {
+          litRun = 1
+          while (lit + litRun < src.length && litRun < 3 &&
+            src(lit + litRun) == src(lit)) litRun += 1
+          if (litRun < 3) lit += litRun
+        }
+        val len = math.min(lit - i, 128) // literal control byte caps at 128
+        out.write(len - 1)
+        out.write(src, i, len)
+        i += len
+      }
+    }
+    out.toByteArray
+  }
+
+  /** One-IFD TIFF writer: `photometric` 0 (WhiteIsZero gray, samples
+    * stored raw), 1 (gray), 2 (RGB) or 3 (palette, 256
+    * 16-bit-per-channel entries derived from `palette`); `le` picks the
+    * byte order; PackBits per strip when `packed`; `rowsPerStrip`
+    * slices the image into multiple strips.
+    */
+  def encode(w: Int, h: Int, photometric: Int, le: Boolean,
+      packed: Boolean, rowsPerStrip: Int,
+      sample: (Int, Int, Int) => Int,
+      palette: Array[Int] = null): Array[Byte] = {
+    require(photometric >= 0 && photometric <= 3)
+    val spp = if (photometric == 2) 3 else 1
+    val rowBytes = w * spp
+    val strips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val stripData = Array.tabulate(strips) { s =>
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+      val raw = new Array[Byte](rows * rowBytes)
+      for (ry <- 0 until rows; x <- 0 until w; c <- 0 until spp)
+        raw(ry * rowBytes + x * spp + c) =
+          (sample(x, s * rowsPerStrip + ry, c) & 0xff).toByte
+      if (packed) packBits(raw) else raw
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (le) { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      else { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
+    w16(42)
+    w32(8) // IFD right after the header
+    val nTags = 9 + (if (photometric == 3) 1 else 0)
+    // layout: header(8) IFD(2 + 12n + 4) [strip offset/count arrays if
+    // needed] [BitsPerSample array for RGB] [ColorMap] strip data
+    var tail = 8 + 2 + 12 * nTags + 4
+    val stripOffArr = if (strips > 1) { val a = tail; tail += 4 * strips; a }
+      else -1
+    val stripCntArr = if (strips > 1) { val a = tail; tail += 4 * strips; a }
+      else -1
+    val bpsArr = if (spp == 3) { val a = tail; tail += 6; a } else -1
+    val cmapArr = if (photometric == 3) { val a = tail; tail += 1536; a }
+      else -1
+    val dataStart = tail
+    val stripOffs = stripData.scanLeft(dataStart.toLong)(_ + _.length)
+    w16(nTags)
+    def tag(t: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16(t); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value.toInt); w16(0) }
+      else w32(value)
+    }
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    if (spp == 3) tag(258, 3, 3, bpsArr) else tag(258, 3, 1, 8)
+    tag(259, 3, 1, if (packed) 32773 else 1)
+    tag(262, 3, 1, photometric)
+    if (strips > 1) tag(273, 4, strips, stripOffArr)
+    else tag(273, 4, 1, stripOffs(0))
+    tag(277, 3, 1, spp)
+    tag(278, 4, 1, rowsPerStrip)
+    if (strips > 1) tag(279, 4, strips, stripCntArr)
+    else tag(279, 4, 1, stripData(0).length)
+    if (photometric == 3) tag(320, 3, 768, cmapArr)
+    w32(0) // no next IFD
+    if (strips > 1) {
+      stripOffs.init.foreach(w32)
+      stripData.foreach(d => w32(d.length))
+    }
+    if (spp == 3) { w16(8); w16(8); w16(8) }
+    if (photometric == 3) {
+      require(palette != null && palette.length == 256,
+        "palette encode needs 256 entries")
+      for (c <- 0 until 3; j <- 0 until 256) {
+        val v8 = (palette(j) >> (16 - 8 * c)) & 0xff
+        w16(v8 * 257) // 8→16-bit expansion
+      }
+    }
+    stripData.foreach(d => out.write(d, 0, d.length))
+    out.toByteArray
+  }
+
+  /** Per-doc deterministic TIFF: photometric, byte order, compression
+    * and strip slicing all derive from the id; the run-friendly sample
+    * formula (x/5 plateaus) makes PackBits replicate runs real.
+    */
+  def fixturePalette: Array[Int] = Array.tabulate(256) { i =>
+    (0xff << 24) | (((i * 37) % 256) << 16) | (((i * 59) % 256) << 8) |
+      ((i * 83) % 256)
+  }
+
+  def fixturePayload(id: Long): Array[Byte] = {
+    val w = 16 + (id % 17).toInt
+    val h = 8 + ((id * 3) % 13).toInt
+    val photometric = Array(1, 2, 3)((id % 3).toInt)
+    val le = id % 2 == 0
+    val packed = id % 4 < 2
+    val rps = Array(4, 7, 1000)((id % 5).toInt % 3)
+    val sample = (x: Int, y: Int, c: Int) =>
+      ((x / 5) * 31 + y * 7 + id * 13 + c * 5).toInt % 256
+    encode(w, h, photometric, le, packed, rps, sample,
+      if (photometric == 3) fixturePalette else null)
+  }
+}

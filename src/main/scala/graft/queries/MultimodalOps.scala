@@ -548,6 +548,68 @@ object MultimodalOps {
   // every pixel from the closed-form fixture family; byte-exact parity
   // with javax.imageio additionally asserted in PngSpec (PNG is lossless,
   // so parity is exact, not tolerance-based).
+  // Baseline TIFF strips (multimodal.Tiff): both byte orders, PackBits
+  // and uncompressed strips, gray/RGB/palette photometrics, multi-strip
+  // slicing — features over REAL container parsing with the same
+  // position-weighted checksum as the PNG tier (invariant-breaking for
+  // misplaced strips), oracle a pure closed form of the fixture.
+  private def mmTiffDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = graft.multimodal.Tiff.decode(
+          graft.multimodal.Tiff.fixturePayload(id))
+        var chk = 0L
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            val p = img.pixels(y * img.width + x)
+            val r = (p >> 16) & 0xff
+            val g = (p >> 8) & 0xff; val b = p & 0xff
+            chk += (1L + x + 2L * y) * (r + 2L * g + 3L * b)
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.width.toLong, img.height.toLong, img.photometric.toLong,
+          img.compression.toLong, chk)
+      })
+      .toDF("doc_id", "width", "height", "photometric", "compression",
+        "checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmTiffDecodeSql =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    16 + doc_id % 17 AS w, 8 + (doc_id*3) % 13 AS h,
+      |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS pm,
+      |    CASE WHEN doc_id % 4 < 2 THEN 32773 ELSE 1 END AS comp
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, pm, comp, x, y,
+      |    ((x // 5)*31 + y*7 + doc_id*13) % 256 AS v0,
+      |    ((x // 5)*31 + y*7 + doc_id*13 + 5) % 256 AS v1,
+      |    ((x // 5)*31 + y*7 + doc_id*13 + 10) % 256 AS v2
+      |  FROM dims,
+      |    unnest(generate_series(0, w - 1)) t1(x),
+      |    unnest(generate_series(0, h - 1)) t2(y)),
+      |rgb AS (
+      |  SELECT doc_id, w, h, pm, comp, x, y,
+      |    CASE pm WHEN 3 THEN (v0*37) % 256 ELSE v0 END AS r,
+      |    CASE pm WHEN 1 THEN v0 WHEN 3 THEN (v0*59) % 256
+      |         ELSE v1 END AS g,
+      |    CASE pm WHEN 1 THEN v0 WHEN 3 THEN (v0*83) % 256
+      |         ELSE v2 END AS b
+      |  FROM px)
+      |SELECT doc_id, w AS width, h AS height,
+      |  CAST(pm AS BIGINT) AS photometric,
+      |  CAST(comp AS BIGINT) AS compression,
+      |  CAST(sum((1 + x + 2*y) * (r + 2*g + 3*b)) AS BIGINT) AS checksum
+      |FROM rgb GROUP BY doc_id, w, h, pm, comp
+      |ORDER BY doc_id""".stripMargin
+
   private def mmDecodePngPixels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id")).as[Long]
@@ -957,6 +1019,7 @@ object MultimodalOps {
 
   val queries: Map[String, Q] = Map(
     "mm_flac_decode" -> mmFlacDecode _,
+    "mm_tiff_decode" -> mmTiffDecode _,
     "mm_flac_meta" -> mmFlacMeta _,
     "mm_id3_meta" -> mmId3Meta _,
     "mm_exif_meta" -> mmExifMeta _,
@@ -982,6 +1045,7 @@ object MultimodalOps {
 
   val oracle: Map[String, String] = Map(
     "mm_flac_decode" -> mmFlacDecodeSql,
+    "mm_tiff_decode" -> mmTiffDecodeSql,
     "mm_flac_meta" -> mmFlacMetaSql,
     "mm_id3_meta" -> mmId3MetaSql,
     "mm_exif_meta" -> mmExifMetaSql,

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Tiff
+
+/** Baseline TIFF decode (multimodal.Tiff): closed-form fixture contract
+  * over both byte orders, gray/RGB/palette photometrics, strip slicing
+  * and PackBits, cross-validated against the JDK's TIFFImageReader
+  * (lossless container → zero tolerance), plus the PackBits algorithm
+  * itself and the loud out-of-scope rejects.
+  */
+class TiffSpec extends AnyFunSuite {
+
+  private def expected(id: Long, x: Int, y: Int, c: Int): Int =
+    ((x / 5) * 31 + y * 7 + id * 13 + c * 5).toInt % 256
+
+  test("fixture family decodes to the closed form for every " +
+      "photometric, byte order, compression and strip shape") {
+    for (id <- 0L until 60L) {
+      val img = Tiff.decode(Tiff.fixturePayload(id))
+      val pm = Array(1, 2, 3)((id % 3).toInt)
+      assert(img.photometric == pm)
+      assert(img.compression == (if (id % 4 < 2) 32773 else 1))
+      var bad = 0
+      for (y <- 0 until img.height; x <- 0 until img.width) {
+        val p = img.pixels(y * img.width + x)
+        val want = pm match {
+          case 1 =>
+            val v = expected(id, x, y, 0)
+            (0xff << 24) | (v << 16) | (v << 8) | v
+          case 2 =>
+            (0xff << 24) | (expected(id, x, y, 0) << 16) |
+              (expected(id, x, y, 1) << 8) | expected(id, x, y, 2)
+          case _ => Tiff.fixturePalette(expected(id, x, y, 0))
+        }
+        if (p != want) bad += 1
+      }
+      assert(bad == 0, s"id=$id: $bad pixels off the closed form")
+    }
+  }
+
+  test("decode matches the JDK TIFFImageReader exactly") {
+    for (id <- 0L until 12L) {
+      val bytes = Tiff.fixturePayload(id)
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"ImageIO could not parse our TIFF (id=$id)")
+      val ours = Tiff.decode(bytes)
+      assert(jdk.getWidth == ours.width && jdk.getHeight == ours.height)
+      val gray = id % 3 == 0
+      for (y <- 0 until ours.height; x <- 0 until ours.width) {
+        val want =
+          if (gray) { // gray loads in a linear gray space; read raw
+            val v = jdk.getRaster.getSample(x, y, 0)
+            (0xff << 24) | (v << 16) | (v << 8) | v
+          } else jdk.getRGB(x, y)
+        val got = ours.pixels(y * ours.width + x)
+        assert(got == want,
+          f"id=$id ($x,$y): ours=0x$got%08x imageio=0x$want%08x")
+      }
+    }
+  }
+
+  test("WhiteIsZero inverts; both engines agree") {
+    val bytes = Tiff.encode(19, 7, 0, le = true, packed = true,
+      rowsPerStrip = 3, (x, y, _) => (x * 5 + y * 11) % 256)
+    val ours = Tiff.decode(bytes)
+    for (y <- 0 until 7; x <- 0 until 19) {
+      val got = (ours.pixels(y * 19 + x) >> 16) & 0xff
+      assert(got == 255 - (x * 5 + y * 11) % 256, s"($x,$y) not inverted")
+    }
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(jdk != null, "ImageIO could not parse the WhiteIsZero TIFF")
+    for (y <- 0 until 7; x <- 0 until 19) {
+      val got = (ours.pixels(y * 19 + x) >> 16) & 0xff
+      assert(got == jdk.getRaster.getSample(x, y, 0),
+        s"($x,$y) disagrees with ImageIO")
+    }
+  }
+
+  test("PackBits handles the control-byte edge cases") {
+    def roundtrip(src: Array[Byte]): Unit = {
+      val packed = Tiff.packBits(src)
+      // decode by hand (mirrors the strip decoder's inner loop)
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < packed.length) {
+        val ctl = packed(i).toInt; i += 1
+        if (ctl >= 0) { out.write(packed, i, ctl + 1); i += ctl + 1 }
+        else if (ctl != -128) {
+          for (_ <- 0 until 1 - ctl) out.write(packed(i)); i += 1
+        }
+      }
+      assert(out.toByteArray.sameElements(src))
+    }
+    roundtrip(Array.fill[Byte](300)(7)) // replicate run > 128
+    roundtrip(Array.tabulate[Byte](300)(i => i.toByte)) // literal > 128
+    roundtrip(Array[Byte](1, 1, 2, 2, 3, 3, 3, 3, 4)) // mixed
+    roundtrip(Array[Byte](5)) // single byte
+    roundtrip((0 until 130).map(_.toByte).toArray ++
+      Array.fill[Byte](5)(9)) // literal cap then run
+  }
+
+  test("out-of-scope shapes reject loudly by name") {
+    val lzw = Tiff.encode(8, 8, 1, le = true, packed = false,
+      rowsPerStrip = 8, (x, y, _) => x + y)
+    // compression tag (259) is the 4th entry; its SHORT value sits at
+    // IFD(10) + 3*12 + 8 = byte 54 (little-endian)
+    val bad = lzw.clone()
+    bad(54) = 5 // LZW
+    val e = intercept[IllegalArgumentException](Tiff.decode(bad))
+    assert(e.getMessage.contains("compression"))
+    val notTiff = intercept[IllegalArgumentException](
+      Tiff.decode("nope".getBytes("US-ASCII") ++ new Array[Byte](8)))
+    assert(notTiff.getMessage.contains("TIFF"))
+    val torn = Tiff.fixturePayload(1L)
+    intercept[IllegalArgumentException](
+      Tiff.decode(torn.take(torn.length / 2)))
+  }
+}
