@@ -4,13 +4,15 @@ package graft.multimodal
   * archival member of the image family, and the only one whose container
   * is endian-switchable: both `II` (little) and `MM` (big) byte orders,
   * the IFD tag walk (SHORT/LONG values, inline when they fit 4 bytes),
-  * strip-organized image data with any RowsPerStrip, uncompressed and
-  * PackBits (32773) strips, and the photometric interpretations a
-  * baseline reader must know — BlackIsZero / WhiteIsZero grayscale,
-  * chunky RGB, and RGBPalette through the 16-bit-per-entry ColorMap.
+  * strip-organized image data with any RowsPerStrip, all four common
+  * strip compressions — none, LZW (the spec §13 MSB-first early-change
+  * variant), Deflate (8) and PackBits (32773) — and the photometric
+  * interpretations a baseline reader must know — BlackIsZero /
+  * WhiteIsZero grayscale, chunky RGB, and RGBPalette through the
+  * 16-bit-per-entry ColorMap.
   *
   * Out-of-scope shapes reject LOUDLY by name (tiled layout, planar
-  * configuration 2, LZW/JPEG/deflate compression, bit depths other than
+  * configuration 2, JPEG-in-TIFF compression, bit depths other than
   * 8) — the honest-boundary convention of the other tiers. [[Exif]]
   * walks the same IFD grammar for JPEG APP1 metadata; this module owns
   * actual TIFF pixel data.
@@ -93,9 +95,10 @@ object Tiff {
           bits = 8
         case 259 =>
           compression = values(e)(0).toInt
-          require(compression == 1 || compression == 32773,
+          require(compression == 1 || compression == 5 ||
+            compression == 8 || compression == 32773,
             s"compression $compression unsupported " +
-              "(uncompressed + PackBits baseline)")
+              "(uncompressed / LZW / Deflate / PackBits)")
         case 262 =>
           photometric = values(e)(0).toInt
           require(photometric >= 0 && photometric <= 3,
@@ -161,6 +164,23 @@ object Tiff {
         require(cnt == need,
           s"strip $s holds $cnt bytes, expected $need")
         System.arraycopy(p, off.toInt, data, row * rowBytes, need)
+      } else if (compression == 5) {
+        val dec = lzwDecode(p, off.toInt, cnt.toInt, need)
+        System.arraycopy(dec, 0, data, row * rowBytes, need)
+      } else if (compression == 8) {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(p, off.toInt, cnt.toInt)
+        val dst = new Array[Byte](need)
+        var got = 0
+        while (got < need && !inf.finished()) {
+          val n2 = inf.inflate(dst, got, need - got)
+          require(n2 > 0 || inf.finished(),
+            s"truncated Deflate strip $s")
+          got += n2
+        }
+        inf.end()
+        require(got == need, s"Deflate strip $s yields $got of $need")
+        System.arraycopy(dst, 0, data, row * rowBytes, need)
       } else { // PackBits
         var src = off.toInt
         val end = (off + cnt).toInt
@@ -209,6 +229,130 @@ object Tiff {
     TiffImage(w, h, photometric, compression, out)
   }
 
+  /** TIFF-variant LZW decode (spec §13): MSB-first code packing,
+    * ClearCode 256 / EOI 257, 9→12-bit widths with the EARLY change —
+    * width bumps as soon as the next free entry is `2^w - 1` (one code
+    * sooner than GIF's LSB variant, the libtiff-compatible rule).
+    */
+  private def lzwDecode(p: Array[Byte], off: Int, len: Int,
+      outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var outN = 0
+    var bitPos = 0L
+    def code(bits: Int): Int = {
+      require(bitPos + bits <= len.toLong * 8, "torn LZW strip")
+      var v = 0
+      var i = 0
+      while (i < bits) {
+        val bp = bitPos + i
+        v = (v << 1) |
+          ((p(off + (bp >> 3).toInt) >> (7 - (bp & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += bits
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val strLen = new Array[Int](4096)
+    val first = new Array[Byte](4096)
+    var i = 0
+    while (i < 256) {
+      prefix(i) = -1; suffix(i) = i.toByte; strLen(i) = 1
+      first(i) = i.toByte
+      i += 1
+    }
+    var next = 258
+    var width = 9
+    var prev = -1
+    def emit(c: Int): Unit = {
+      val l = strLen(c)
+      require(outN + l <= outLen, "LZW output overruns the strip")
+      var j = outN + l - 1
+      var cc = c
+      while (cc >= 0) { out(j) = suffix(cc); j -= 1; cc = prefix(cc) }
+      outN += l
+    }
+    def add(pfx: Int, fb: Byte): Unit = {
+      require(next < 4096, "LZW table overflow without a ClearCode")
+      prefix(next) = pfx; suffix(next) = fb
+      strLen(next) = strLen(pfx) + 1; first(next) = first(pfx)
+      next += 1
+      // EARLY change, decode side: width bumps as soon as the next free
+      // entry is 2^w - 1 (libtiff / JDK TIFFLZWDecompressor convention);
+      // the encoder — whose table runs exactly one entry ahead at the
+      // same stream position — bumps at 2^w
+      if (next == (1 << width) - 1 && width < 12) width += 1
+    }
+    var done = false
+    while (!done && outN < outLen) {
+      val c = code(width)
+      if (c == 256) { next = 258; width = 9; prev = -1 }
+      else if (c == 257) done = true
+      else if (prev == -1) {
+        require(c < 256, s"first LZW code after clear must be literal, got $c")
+        emit(c); prev = c
+      } else if (c < next) {
+        add(prev, first(c))
+        emit(c); prev = c
+      } else if (c == next) { // KwKwK
+        add(prev, first(prev))
+        emit(c); prev = c
+      } else throw new IllegalArgumentException(
+        s"LZW code $c beyond table $next")
+    }
+    require(outN == outLen, s"LZW strip yields $outN of $outLen bytes")
+    out
+  }
+
+  /** The matching LZW compressor (fixture side), same early-change
+    * rule; emits a leading ClearCode and a mid-stream one whenever the
+    * table approaches full, like libtiff.
+    */
+  def lzwEncode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    var width = 9
+    def put(c: Int): Unit = {
+      acc = (acc << width) | c
+      nBits += width
+      while (nBits >= 8) {
+        out.write(((acc >> (nBits - 8)) & 0xff).toInt)
+        nBits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    def reset(): Unit = { dict.clear(); next = 258 }
+    put(256)
+    var prev = -1
+    var i = 0
+    while (i < src.length) {
+      val b = src(i) & 0xff
+      if (prev == -1) prev = b
+      else {
+        val key = (prev << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) prev = hit
+        else {
+          put(prev)
+          dict.put(key, next)
+          next += 1
+          // see lzwDecode: the encode-side early change fires at 2^w
+          if (next == (1 << width) && width < 12) width += 1
+          else if (next >= 4094) { put(256); width = 9; reset() }
+          prev = b
+        }
+      }
+      i += 1
+    }
+    if (prev != -1) put(prev)
+    put(257)
+    if (nBits > 0) out.write(((acc << (8 - nBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   // -------------------------------------------------------------------
   // Encoder (fixture side)
 
@@ -247,14 +391,17 @@ object Tiff {
   /** One-IFD TIFF writer: `photometric` 0 (WhiteIsZero gray, samples
     * stored raw), 1 (gray), 2 (RGB) or 3 (palette, 256
     * 16-bit-per-channel entries derived from `palette`); `le` picks the
-    * byte order; PackBits per strip when `packed`; `rowsPerStrip`
-    * slices the image into multiple strips.
+    * byte order; `compression` 1 (none), 5 (LZW), 8 (Deflate) or 32773
+    * (PackBits) applied per strip; `rowsPerStrip` slices the image into
+    * multiple strips.
     */
   def encode(w: Int, h: Int, photometric: Int, le: Boolean,
-      packed: Boolean, rowsPerStrip: Int,
+      compression: Int, rowsPerStrip: Int,
       sample: (Int, Int, Int) => Int,
       palette: Array[Int] = null): Array[Byte] = {
     require(photometric >= 0 && photometric <= 3)
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32773, s"writer compression $compression")
     val spp = if (photometric == 2) 3 else 1
     val rowBytes = w * spp
     val strips = (h + rowsPerStrip - 1) / rowsPerStrip
@@ -264,7 +411,19 @@ object Tiff {
       for (ry <- 0 until rows; x <- 0 until w; c <- 0 until spp)
         raw(ry * rowBytes + x * spp + c) =
           (sample(x, s * rowsPerStrip + ry, c) & 0xff).toByte
-      if (packed) packBits(raw) else raw
+      compression match {
+        case 1 => raw
+        case 5 => lzwEncode(raw)
+        case 8 =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw); d.finish()
+          val zo = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](1 << 14)
+          while (!d.finished()) zo.write(buf, 0, d.deflate(buf))
+          d.end()
+          zo.toByteArray
+        case _ => packBits(raw)
+      }
     }
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
@@ -298,7 +457,7 @@ object Tiff {
     tag(256, 4, 1, w)
     tag(257, 4, 1, h)
     if (spp == 3) tag(258, 3, 3, bpsArr) else tag(258, 3, 1, 8)
-    tag(259, 3, 1, if (packed) 32773 else 1)
+    tag(259, 3, 1, compression)
     tag(262, 3, 1, photometric)
     if (strips > 1) tag(273, 4, strips, stripOffArr)
     else tag(273, 4, 1, stripOffs(0))
@@ -326,8 +485,9 @@ object Tiff {
   }
 
   /** Per-doc deterministic TIFF: photometric, byte order, compression
-    * and strip slicing all derive from the id; the run-friendly sample
-    * formula (x/5 plateaus) makes PackBits replicate runs real.
+    * (rotating none/PackBits/LZW/Deflate) and strip slicing all derive
+    * from the id; the run-friendly sample formula (x/5 plateaus) makes
+    * PackBits replicate runs and LZW repeats real.
     */
   def fixturePalette: Array[Int] = Array.tabulate(256) { i =>
     (0xff << 24) | (((i * 37) % 256) << 16) | (((i * 59) % 256) << 8) |
@@ -339,11 +499,11 @@ object Tiff {
     val h = 8 + ((id * 3) % 13).toInt
     val photometric = Array(1, 2, 3)((id % 3).toInt)
     val le = id % 2 == 0
-    val packed = id % 4 < 2
+    val compression = Array(1, 32773, 5, 8)((id % 4).toInt)
     val rps = Array(4, 7, 1000)((id % 5).toInt % 3)
     val sample = (x: Int, y: Int, c: Int) =>
       ((x / 5) * 31 + y * 7 + id * 13 + c * 5).toInt % 256
-    encode(w, h, photometric, le, packed, rps, sample,
+    encode(w, h, photometric, le, compression, rps, sample,
       if (photometric == 3) fixturePalette else null)
   }
 }

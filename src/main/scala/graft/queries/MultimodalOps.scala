@@ -585,7 +585,8 @@ object MultimodalOps {
       |  SELECT doc_id,
       |    16 + doc_id % 17 AS w, 8 + (doc_id*3) % 13 AS h,
       |    CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS pm,
-      |    CASE WHEN doc_id % 4 < 2 THEN 32773 ELSE 1 END AS comp
+      |    CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 32773
+      |         WHEN 2 THEN 5 ELSE 8 END AS comp
       |  FROM documents),
       |px AS (
       |  SELECT doc_id, w, h, pm, comp, x, y,

@@ -21,7 +21,7 @@ class TiffSpec extends AnyFunSuite {
       val img = Tiff.decode(Tiff.fixturePayload(id))
       val pm = Array(1, 2, 3)((id % 3).toInt)
       assert(img.photometric == pm)
-      assert(img.compression == (if (id % 4 < 2) 32773 else 1))
+      assert(img.compression == Array(1, 32773, 5, 8)((id % 4).toInt))
       var bad = 0
       for (y <- 0 until img.height; x <- 0 until img.width) {
         val p = img.pixels(y * img.width + x)
@@ -63,7 +63,7 @@ class TiffSpec extends AnyFunSuite {
   }
 
   test("WhiteIsZero inverts; both engines agree") {
-    val bytes = Tiff.encode(19, 7, 0, le = true, packed = true,
+    val bytes = Tiff.encode(19, 7, 0, le = true, compression = 32773,
       rowsPerStrip = 3, (x, y, _) => (x * 5 + y * 11) % 256)
     val ours = Tiff.decode(bytes)
     for (y <- 0 until 7; x <- 0 until 19) {
@@ -103,13 +103,34 @@ class TiffSpec extends AnyFunSuite {
       Array.fill[Byte](5)(9)) // literal cap then run
   }
 
+  test("LZW survives code-width growth and a mid-stream clear") {
+    // enough distinct pairs to push the table past 511 and 1023 (the
+    // 9->10 and 10->11 early-change boundaries), then past 4093 to force
+    // the encoder's mid-stream ClearCode; seeded, deterministic
+    val rnd = new scala.util.Random(7)
+    val big = Array.fill[Byte](60000)((rnd.nextInt(7) * 37).toByte)
+    val bytes = Tiff.encode(200, 300, 1, le = false, compression = 5,
+      rowsPerStrip = 300, (x, y, _) => big(y * 200 + x) & 0xff)
+    val ours = Tiff.decode(bytes)
+    for (y <- 0 until 300; x <- 0 until 200)
+      assert((ours.pixels(y * 200 + x) >> 16 & 0xff) ==
+        (big(y * 200 + x) & 0xff), s"($x,$y) LZW mismatch")
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(jdk != null, "ImageIO could not parse our LZW TIFF")
+    for (y <- 0 until 300 by 7; x <- 0 until 200 by 3)
+      assert(jdk.getRaster.getSample(x, y, 0) ==
+        (ours.pixels(y * 200 + x) >> 16 & 0xff),
+        s"($x,$y) disagrees with ImageIO on LZW")
+  }
+
   test("out-of-scope shapes reject loudly by name") {
-    val lzw = Tiff.encode(8, 8, 1, le = true, packed = false,
+    val plain = Tiff.encode(8, 8, 1, le = true, compression = 1,
       rowsPerStrip = 8, (x, y, _) => x + y)
     // compression tag (259) is the 4th entry; its SHORT value sits at
     // IFD(10) + 3*12 + 8 = byte 54 (little-endian)
-    val bad = lzw.clone()
-    bad(54) = 5 // LZW
+    val bad = plain.clone()
+    bad(54) = 7 // JPEG-in-TIFF
     val e = intercept[IllegalArgumentException](Tiff.decode(bad))
     assert(e.getMessage.contains("compression"))
     val notTiff = intercept[IllegalArgumentException](
