@@ -165,6 +165,18 @@ object Bench {
       // stability handshake is the budget guard — record it so a rep
       // cut at 2-of-3 is as visible in the record as one cut at 1-of-3
       val cut = outcome.isRight && !stable && reps < maxReps
+      // Unload every streaming state-store provider this query left
+      // loaded in the JVM. Without this, RocksDB/HDFS providers from
+      // ~45 prior streaming queries accumulate and their background
+      // maintenance (snapshot uploads, file-manager churn) contaminates
+      // later queries' wall times: r12 recorded st_transform_list at
+      // 17.5 s inside the full sweep vs 1.57 s isolated. Providers
+      // reload lazily on next use, so this is pure hygiene — each
+      // query's record now measures that query.
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] StateStore.stop after $name: $e")
+      }
       (name, bestWall, bestCpu, reps, cut, outcome)
     }
     val probeAfter = spinProbe()

@@ -9,9 +9,11 @@ package graft.multimodal
   * packing sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5)
   * and total samples (36). A VORBIS_COMMENT block en route exercises the
   * skip path; torn structures reject loudly. Audio SAMPLE decode lives
-  * below ([[decodeAudio]]): FIXED-predictor subframes with
-  * partitioned-Rice residuals and CRC-verified frames; only LPC and the
-  * stereo decorrelation modes remain documented seams.
+  * below ([[decodeAudio]]): FIXED and LPC predictor subframes with
+  * partitioned-Rice residuals, left/right/mid-side stereo
+  * decorrelation, and CRC-verified frames; the remaining documented
+  * seams are variable-blocksize streams and 32-bit decorrelated stereo
+  * (33-bit side channels).
   *
   * Format is the public xiph.org FLAC specification. Beyond-reference
   * multimodal surface (SURVEY §5 scope).
@@ -86,16 +88,16 @@ object Flac {
   }
 
   // -------------------------------------------------------------------
-  // Audio SAMPLE decode — closes the Rice seam the scaladoc above used
-  // to declare: frame headers (sync, coded frame number, CRC-8), FIXED
-  // predictor subframes of order 0..4 with partitioned-Rice residuals
-  // (both 4- and 5-bit parameter widths, escape partitions), CONSTANT
-  // and VERBATIM subframes, wasted bits, multi-frame fixed-blocksize
-  // streams, and the frame-trailing CRC-16 — all per RFC 9639 / the
-  // xiph.org spec. LPC subframes and the stereo decorrelation channel
-  // modes (left/side, right/side, mid/side) remain DOCUMENTED loud
-  // rejects: the named seam is now only the predictor family, not the
-  // entire audio layer.
+  // Audio SAMPLE decode: frame headers (sync, coded frame number,
+  // CRC-8), FIXED predictor subframes of order 0..4 and LPC subframes
+  // of order 1..32 (quantized coefficients, right-shift prediction in
+  // 64-bit accumulation) with partitioned-Rice residuals (both 4- and
+  // 5-bit parameter widths, escape partitions), CONSTANT and VERBATIM
+  // subframes, wasted bits, the three stereo decorrelation channel
+  // assignments (left/side, right/side, mid/side — side at bps+1),
+  // multi-frame fixed-blocksize streams, and the frame-trailing CRC-16
+  // — all per RFC 9639 / the xiph.org spec. Remaining DOCUMENTED loud
+  // rejects: variable-blocksize streams and 33-bit side channels.
 
   /** Decoded stream: STREAMINFO + interleaved PCM (frame by frame,
     * sample-major: `samples(i*channels + c)`).
@@ -244,11 +246,11 @@ object Flac {
         case c => require(RateTable(c) == meta.sampleRate,
           s"frame sample-rate code $c contradicts STREAMINFO")
       }
-      val channels = chCode match {
-        case c if c <= 7 => c + 1
-        case c if c <= 10 => throw new IllegalArgumentException(
-          "stereo decorrelation (left/mid/side) not supported " +
-            "(documented seam)")
+      // assignment: -1 = independent; 8 = left/side, 9 = right/side,
+      // 10 = mid/side (always 2 channels, side subframe carries bps+1)
+      val (channels, assignment) = chCode match {
+        case c if c <= 7 => (c + 1, -1)
+        case c if c <= 10 => (2, c)
         case _ => throw new IllegalArgumentException(
           "reserved channel-assignment code")
       }
@@ -281,8 +283,17 @@ object Flac {
         val wasted =
           if (br.bit() == 1) { var k = 1; while (br.bit() == 0) k += 1; k }
           else 0
-        val effBps = bps - wasted
+        // the difference (side) channel of a decorrelated pair carries
+        // one extra bit: side = left - right spans [-2^bps, 2^bps)
+        val sideBit = assignment match {
+          case 8 | 10 => if (c == 1) 1 else 0
+          case 9 => if (c == 0) 1 else 0
+          case _ => 0
+        }
+        val effBps = bps + sideBit - wasted
         require(effBps > 0, "wasted bits consume the whole sample")
+        require(effBps <= 32,
+          "33-bit side channel (32-bit decorrelated stereo) unsupported")
         val dst = chans(c)
         if (typ == 0) { // CONSTANT
           java.util.Arrays.fill(dst, br.sbits(effBps))
@@ -297,9 +308,35 @@ object Flac {
           while (i < order) { dst(i) = br.sbits(effBps); i += 1 }
           readResiduals(br, blockSize, order, dst)
           restoreFixed(dst, order, blockSize)
-        } else if (typ >= 0x20) {
-          throw new IllegalArgumentException(
-            "LPC subframes not supported (documented seam)")
+        } else if (typ >= 0x20) { // LPC, order = (typ & 0x1f) + 1
+          val order = (typ & 0x1f) + 1
+          require(blockSize > order,
+            s"block of $blockSize cannot carry an LPC($order) subframe")
+          var i = 0
+          while (i < order) { dst(i) = br.sbits(effBps); i += 1 }
+          val precM1 = br.bits(4).toInt
+          require(precM1 != 15, "invalid LPC coefficient precision code 15")
+          val prec = precM1 + 1
+          val shift = br.sbits(5)
+          require(shift >= 0,
+            "negative LPC quantization shift (forbidden by RFC 9639)")
+          val coefs = new Array[Int](order)
+          i = 0
+          while (i < order) { coefs(i) = br.sbits(prec); i += 1 }
+          readResiduals(br, blockSize, order, dst)
+          // restore: s(i) = r(i) + (Σ_j coefs(j)·s(i-1-j)) >> shift —
+          // the accumulator is a Long so a 15-bit coefficient times a
+          // 33-bit running sample cannot wrap before the shift
+          i = order
+          while (i < blockSize) {
+            var acc = 0L
+            var j = 0
+            while (j < order) {
+              acc += coefs(j).toLong * dst(i - 1 - j); j += 1
+            }
+            dst(i) += (acc >> shift).toInt
+            i += 1
+          }
         } else {
           throw new IllegalArgumentException(
             f"reserved subframe type 0x$typ%02x")
@@ -313,6 +350,31 @@ object Flac {
       br.align()
       val gotCrc16 = crc16(p, start, br.bytePos - start)
       require(br.bits(16).toInt == gotCrc16, "frame CRC-16 mismatch")
+      // undo stereo decorrelation (after wasted-bit restoration, before
+      // interleave): left/side keeps ch0, right/side keeps ch1, mid/side
+      // reconstructs via the spec's (mid<<1)|(side&1) rounding recovery
+      assignment match {
+        case 8 => // ch0 = left, ch1 = side → right = left - side
+          var i = 0
+          while (i < blockSize) {
+            chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1
+          }
+        case 9 => // ch0 = side, ch1 = right → left = right + side
+          var i = 0
+          while (i < blockSize) {
+            chans(0)(i) = chans(0)(i) + chans(1)(i); i += 1
+          }
+        case 10 => // ch0 = mid (floor average), ch1 = side
+          var i = 0
+          while (i < blockSize) {
+            val side = chans(1)(i)
+            val mid = (chans(0)(i) << 1) | (side & 1)
+            chans(0)(i) = (mid + side) >> 1
+            chans(1)(i) = (mid - side) >> 1
+            i += 1
+          }
+        case _ => ()
+      }
       // interleave
       var i = 0
       while (i < blockSize) {
@@ -435,53 +497,41 @@ object Flac {
     case _ => s(i) - 4 * s(i - 1) + 6 * s(i - 2) - 4 * s(i - 3) + s(i - 4)
   }
 
-  /** Single-frame stream from explicit per-channel PCM — the
-    * spec-exercise encoder: `mode` -2 encodes CONSTANT (all samples must
-    * be equal), -1 VERBATIM, 0..4 the FIXED order; `wasted` > 0 requires
-    * every sample divisible by 2^wasted; `riceMethod` selects the 4- or
-    * 5-bit parameter width. Rice parameters are chosen per partition so
-    * unary quotients stay short at any signal scale. Lets the specs walk
-    * every decoder path the generated fixture family does not reach.
+  /** One complete FLAC frame (header + subframes + CRC-16) over
+    * already-decorrelated per-subframe signals: `subs(c)` with bit depth
+    * `subBps(c)` (the side channel of a stereo pair carries bps+1).
+    * `mode` -2 = CONSTANT, -1 = VERBATIM, 0..4 = FIXED order, 5 = LPC
+    * with the supplied coefficients/shift/precision. Shared by
+    * [[encodeStream]] (single frame, spec-exercise) and
+    * [[fixtureAudioPayload]] (multi-frame corpus).
     */
-  def encodeStream(chans: Array[Array[Int]], rate: Int, bps: Int,
-      mode: Int, po: Int = 0, wasted: Int = 0,
-      riceMethod: Int = 0): Array[Byte] = {
-    val channels = chans.length
-    require(channels >= 1 && channels <= 8, "1..8 channels")
-    val n = chans(0).length
-    require(chans.forall(_.length == n), "ragged channels")
-    require(mode >= -2 && mode <= 4 && n > math.max(mode, 0),
-      s"mode $mode needs more than ${math.max(mode, 0)} samples")
-    require(n % (1 << po) == 0 && (n >> po) >= math.max(mode, 0),
-      s"partition order $po incompatible with block size $n")
-    require(riceMethod == 0 || riceMethod == 1, "rice method 0 or 1")
-    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
-      ((bps - 1).toLong << 36) | n.toLong
-    val streaminfo = beBytes(n.toLong, 2) ++ beBytes(n.toLong, 2) ++
-      beBytes(0, 3) ++ beBytes(0, 3) ++ beBytes(packed, 8) ++
-      new Array[Byte](16)
-    val head = "fLaC".getBytes("US-ASCII") ++
-      beBytes(0x80L, 1) ++ beBytes(34, 3) ++ streaminfo
+  private def encodeFrameBytes(frameIdx: Int, n: Int, chCode: Int,
+      ssCode: Int, subs: Array[Array[Int]], subBps: Array[Int],
+      mode: Int, po: Int, riceMethod: Int, wasted: Int,
+      lpcCoefs: Array[Int], lpcShift: Int, lpcPrec: Int): Array[Byte] = {
     val w = new BitWriter()
     w.bits(0x3ffe, 14); w.bit(0); w.bit(0)
-    w.bits(7, 4) // 16-bit block size at header end
-    w.bits(0, 4) // rate from STREAMINFO
-    w.bits(channels - 1, 4)
-    w.bits(0, 3) // sample size from STREAMINFO
+    w.bits(7, 4) // block size: 16-bit field at header end
+    w.bits(0, 4) // sample rate: from STREAMINFO
+    w.bits(chCode, 4)
+    w.bits(ssCode, 3)
     w.bit(0)
-    w.bits(0, 8) // frame number 0
+    require(frameIdx >= 0 && frameIdx < 0x80,
+      "encoder keeps the coded frame number single-byte")
+    w.bits(frameIdx, 8)
     w.bits(n - 1, 16)
     val headerBytes = w.toBytes
     val w2 = new BitWriter()
     w2.bits(crc8(headerBytes, 0, headerBytes.length), 8)
-    val effBps = bps - wasted
-    val mask = (1L << effBps) - 1
     var c = 0
-    while (c < channels) {
+    while (c < subs.length) {
+      val effBps = subBps(c) - wasted
+      val mask = (1L << effBps) - 1
       w2.bit(0)
       w2.bits(mode match {
         case -2 => 0L
         case -1 => 1L
+        case 5 => (0x20 | (lpcCoefs.length - 1)).toLong
         case o => (0x08 | o).toLong
       }, 6)
       if (wasted == 0) w2.bit(0)
@@ -491,7 +541,7 @@ object Flac {
         while (k < wasted - 1) { w2.bit(0); k += 1 }
         w2.bit(1)
       }
-      val s = chans(c).map { v =>
+      val s = subs(c).map { v =>
         require(wasted == 0 || (v & ((1 << wasted) - 1)) == 0,
           "samples must be divisible by 2^wasted")
         v >> wasted
@@ -501,10 +551,26 @@ object Flac {
           require(s.forall(_ == s(0)), "CONSTANT needs a constant block")
           w2.bits(s(0).toLong & mask, effBps)
         case -1 => s.foreach(v => w2.bits(v.toLong & mask, effBps))
-        case o =>
+        case m =>
+          val order = if (m == 5) lpcCoefs.length else m
           var i = 0
-          while (i < o) { w2.bits(s(i).toLong & mask, effBps); i += 1 }
-          val r = Array.tabulate(n - o)(j => fixedResidual(s, j + o, o))
+          while (i < order) { w2.bits(s(i).toLong & mask, effBps); i += 1 }
+          if (m == 5) {
+            w2.bits((lpcPrec - 1).toLong, 4)
+            w2.bits((lpcShift & 0x1f).toLong, 5)
+            lpcCoefs.foreach(co =>
+              w2.bits(co.toLong & ((1L << lpcPrec) - 1), lpcPrec))
+          }
+          val r = Array.tabulate(n - order) { j =>
+            if (m == 5) {
+              var acc = 0L
+              var k = 0
+              while (k < order) {
+                acc += lpcCoefs(k).toLong * s(j + order - 1 - k); k += 1
+              }
+              s(j + order) - (acc >> lpcShift).toInt
+            } else fixedResidual(s, j + order, m)
+          }
           w2.bits(riceMethod.toLong, 2)
           w2.bits(po.toLong, 4)
           val pBits = if (riceMethod == 0) 4 else 5
@@ -512,7 +578,7 @@ object Flac {
           var idx = 0
           var part = 0
           while (part < (1 << po)) {
-            val count = (n >> po) - (if (part == 0) o else 0)
+            val count = (n >> po) - (if (part == 0) order else 0)
             val us = Array.tabulate(count) { j =>
               val v = r(idx + j)
               if (v >= 0) 2L * v else -2L * v - 1
@@ -534,15 +600,100 @@ object Flac {
       c += 1
     }
     val frame = headerBytes ++ w2.toBytes
-    val crc = crc16(frame, 0, frame.length)
-    head ++ frame ++ beBytes(crc.toLong, 2)
+    frame ++ beBytes(crc16(frame, 0, frame.length).toLong, 2)
+  }
+
+  /** Decorrelate a stereo pair per the channel-assignment code (8 =
+    * left/side, 9 = right/side, 10 = mid/side; -1 = pass through) and
+    * report each subframe's bit depth (side carries bps+1).
+    */
+  private def decorrelate(chans: Array[Array[Int]], stereo: Int,
+      bps: Int): (Array[Array[Int]], Array[Int]) = {
+    require(stereo == -1 || (stereo >= 8 && stereo <= 10 &&
+      chans.length == 2),
+      "stereo decorrelation needs exactly 2 channels and code 8..10")
+    val n = if (chans.isEmpty) 0 else chans(0).length
+    def side = Array.tabulate(n)(i => chans(0)(i) - chans(1)(i))
+    val subs = stereo match {
+      case -1 => chans
+      case 8 => Array(chans(0), side)
+      case 9 => Array(side, chans(1))
+      case _ => Array(
+        Array.tabulate(n)(i => (chans(0)(i) + chans(1)(i)) >> 1), side)
+    }
+    val subBps = Array.tabulate(subs.length) { c =>
+      bps + (stereo match {
+        case 8 | 10 => if (c == 1) 1 else 0
+        case 9 => if (c == 0) 1 else 0
+        case _ => 0
+      })
+    }
+    (subs, subBps)
+  }
+
+  /** Single-frame stream from explicit per-channel PCM — the
+    * spec-exercise encoder: `mode` -2 encodes CONSTANT (all samples must
+    * be equal), -1 VERBATIM, 0..4 the FIXED order, 5 LPC with the
+    * supplied quantized coefficients (`lpcCoefs`/`lpcShift`/`lpcPrec` —
+    * lossless for ANY coefficient set, since the residual is computed
+    * against the same integer prediction the decoder replays); `wasted`
+    * > 0 requires every sample divisible by 2^wasted; `riceMethod`
+    * selects the 4- or 5-bit parameter width; `stereo` 8/9/10 encodes a
+    * 2-channel input as left/side, right/side or mid/side. Rice
+    * parameters are chosen per partition so unary quotients stay short
+    * at any signal scale. Lets the specs walk every decoder path the
+    * generated fixture family does not reach.
+    */
+  def encodeStream(chans: Array[Array[Int]], rate: Int, bps: Int,
+      mode: Int, po: Int = 0, wasted: Int = 0,
+      riceMethod: Int = 0, stereo: Int = -1,
+      lpcCoefs: Array[Int] = null, lpcShift: Int = 0,
+      lpcPrec: Int = 0): Array[Byte] = {
+    val channels = chans.length
+    require(channels >= 1 && channels <= 8, "1..8 channels")
+    val n = chans(0).length
+    require(chans.forall(_.length == n), "ragged channels")
+    val order0 =
+      if (mode == 5) {
+        require(lpcCoefs != null && lpcCoefs.nonEmpty &&
+          lpcCoefs.length <= 32, "LPC needs 1..32 coefficients")
+        require(lpcPrec >= 2 && lpcPrec <= 15,
+          "LPC coefficient precision 2..15")
+        require(lpcShift >= 0 && lpcShift <= 15, "LPC shift 0..15")
+        lpcCoefs.foreach(co => require(
+          co >= -(1 << (lpcPrec - 1)) && co < (1 << (lpcPrec - 1)),
+          s"coefficient $co exceeds $lpcPrec-bit precision"))
+        lpcCoefs.length
+      } else math.max(mode, 0)
+    require(mode >= -2 && mode <= 5 && n > order0,
+      s"mode $mode needs more than $order0 samples")
+    require(n % (1 << po) == 0 && (n >> po) >= order0,
+      s"partition order $po incompatible with block size $n")
+    require(riceMethod == 0 || riceMethod == 1, "rice method 0 or 1")
+    val (subs, subBps) = decorrelate(chans, stereo, bps)
+    val chCode = if (stereo == -1) channels - 1 else stereo
+    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | n.toLong
+    val streaminfo = beBytes(n.toLong, 2) ++ beBytes(n.toLong, 2) ++
+      beBytes(0, 3) ++ beBytes(0, 3) ++ beBytes(packed, 8) ++
+      new Array[Byte](16)
+    val head = "fLaC".getBytes("US-ASCII") ++
+      beBytes(0x80L, 1) ++ beBytes(34, 3) ++ streaminfo
+    head ++ encodeFrameBytes(0, n, chCode, 0, subs, subBps, mode, po,
+      riceMethod, wasted, lpcCoefs, lpcShift, lpcPrec)
   }
 
   /** doc_id → a complete decodable FLAC stream: STREAMINFO, then the
-    * signal above as 1–3 fixed-size-512 frames (last one short), FIXED(2)
-    * subframes, partition order id%2, Rice parameters 5/6, 16- or 24-bit
-    * samples, 1 or 2 independent channels — every decoder path the
-    * fixture family can reach without LPC.
+    * signal above as 1–3 fixed-size-512 frames (last one short),
+    * partition order id%2, 16- or 24-bit samples, 1 or 2 channels.
+    * The corpus rotates through the predictor families and stereo
+    * modes — id%3 selects FIXED(2) / LPC(2) [4,-2]>>1 / LPC(3)
+    * [6,-6,2]>>1 (integer-exact emulations of the fixed predictors, so
+    * the LPC path is exercised with genuinely shifted quantized
+    * coefficients), and (id/2)%4 selects independent / left-side /
+    * right-side / mid-side for the 2-channel half. Every rotation is
+    * LOSSLESS, so the decoded PCM is the same closed form for every id
+    * and the SQL oracle regenerating [[fixtureSample]] is untouched.
     */
   def fixtureAudioPayload(id: Long): Array[Byte] = {
     val rate = 8000 + ((id % 6) * 8000).toInt
@@ -557,63 +708,31 @@ object Flac {
       new Array[Byte](16)
     val head = "fLaC".getBytes("US-ASCII") ++
       beBytes(0x80L, 1) ++ beBytes(34, 3) ++ streaminfo
+    val (mode, lpcCoefs, lpcShift, lpcPrec): (Int, Array[Int], Int, Int) =
+      (id % 3).toInt match {
+        case 0 => (2, null, 0, 0)
+        case 1 => (5, Array(4, -2), 1, 4) // (4a-2b)>>1 = 2a-b, exact
+        case _ => (5, Array(6, -6, 2), 1, 4) // (6a-6b+2c)>>1, exact
+      }
+    val stereo =
+      if (channels == 2) Array(-1, 8, 9, 10)(((id / 2) % 4).toInt)
+      else -1
+    val po = (id % 2).toInt
+    val ssCode = if (bps == 16) 4 else 6
     val out = new java.io.ByteArrayOutputStream()
     out.write(head, 0, head.length)
     var written = 0
     var frameIdx = 0
     while (written < total) {
       val n = math.min(block, total - written)
-      val w = new BitWriter()
-      w.bits(0x3ffe, 14) // sync
-      w.bit(0); w.bit(0) // reserved, fixed-blocksize strategy
-      w.bits(7, 4) // block size: 16-bit field at header end
-      w.bits(0, 4) // sample rate: from STREAMINFO
-      w.bits(channels - 1, 4) // independent channels
-      w.bits(if (bps == 16) 4 else 6, 3)
-      w.bit(0) // reserved
-      require(frameIdx < 0x80, "fixture frame count stays single-byte")
-      w.bits(frameIdx, 8) // coded frame number
-      w.bits(n - 1, 16)
-      val headerBytes = w.toBytes // aligned: 32 + 8 + 16 bits
-      val w2 = new BitWriter()
-      w2.bits(crc8(headerBytes, 0, headerBytes.length), 8)
-      // subframes
-      val po = (id % 2).toInt
-      var c = 0
-      while (c < channels) {
-        w2.bit(0); w2.bits(0x08 | 2, 6); w2.bit(0) // FIXED(2), no waste
-        val s = (i: Int) => fixtureSample(id, c, written + i)
-        w2.bits(s(0).toLong & ((1L << bps) - 1), bps)
-        w2.bits(s(1).toLong & ((1L << bps) - 1), bps)
-        w2.bits(0, 2) // method 0: 4-bit Rice params
-        w2.bits(po, 4)
-        val nPart = 1 << po
-        var idx = 2
-        var part = 0
-        while (part < nPart) {
-          val count = (n >> po) - (if (part == 0) 2 else 0)
-          val prm = 5 + part
-          w2.bits(prm, 4)
-          var i = 0
-          while (i < count) {
-            val r = s(idx) - 2 * s(idx - 1) + s(idx - 2)
-            val u = if (r >= 0) 2L * r else -2L * r - 1
-            val q = (u >>> prm).toInt
-            var k = 0
-            while (k < q) { w2.bit(0); k += 1 }
-            w2.bit(1)
-            w2.bits(u & ((1L << prm) - 1), prm)
-            idx += 1; i += 1
-          }
-          part += 1
-        }
-        c += 1
-      }
-      val body = w2.toBytes // align() pads the trailing bits
-      val frame = headerBytes ++ body
+      val chans = Array.tabulate(channels, n)((c, i) =>
+        fixtureSample(id, c, written + i))
+      val (subs, subBps) = decorrelate(chans, stereo, bps)
+      val chCode = if (stereo == -1) channels - 1 else stereo
+      val frame = encodeFrameBytes(frameIdx, n, chCode, ssCode, subs,
+        subBps, mode, po, riceMethod = 0, wasted = 0,
+        lpcCoefs, lpcShift, lpcPrec)
       out.write(frame, 0, frame.length)
-      val crc = crc16(out.toByteArray, out.size - frame.length, frame.length)
-      out.write((crc >> 8) & 0xff); out.write(crc & 0xff)
       written += n
       frameIdx += 1
     }

@@ -66,6 +66,7 @@ object Tiff {
       require(typ == 3 || typ == 4,
         s"unsupported IFD value type $typ (baseline uses SHORT/LONG)")
       val unit = if (typ == 3) 2 else 4
+      require(count >= 1, "torn TIFF: zero-count IFD entry")
       require(count <= Int.MaxValue / unit, "IFD count overflows")
       val nBytes = unit * count.toInt
       val off =

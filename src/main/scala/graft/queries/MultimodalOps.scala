@@ -408,12 +408,17 @@ object MultimodalOps {
           sumAbs += a
           sumSq += v.toLong * v
         }
+        // micro-unit RMS: both engines compute the SAME IEEE double
+        // (exact integer sums < 2^53, correctly-rounded divide/sqrt/mul)
+        // and then floor it — bit-stable, unlike comparing two
+        // independently decimal-rounded doubles whose HALF_UP paths can
+        // disagree by one ulp near .5 boundaries
         (id, sr.toLong, frames.toLong, peak, sumAbs,
-          BigDecimal(math.sqrt(sumSq.toDouble / samples.length))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          math.floor(
+            math.sqrt(sumSq.toDouble / samples.length) * 1e6).toLong)
       })
       .toDF("doc_id", "sample_rate", "n_frames", "peak_abs", "sum_abs",
-        "rms")
+        "rms_micro")
       .orderBy(col("doc_id"))
   }
 
@@ -429,7 +434,8 @@ object MultimodalOps {
       |  CAST(frames AS BIGINT) AS n_frames,
       |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
       |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
-      |  round(sqrt(sum(v*v)*1.0/count(*)), 6) AS rms
+      |  CAST(floor(sqrt(sum(v*v)*1.0/count(*)) * 1e6) AS BIGINT)
+      |    AS rms_micro
       |FROM s GROUP BY doc_id, sr, frames ORDER BY doc_id""".stripMargin
 
   // Walsh–Hadamard band analysis over the decoded PCM — the cheap
@@ -974,13 +980,14 @@ object MultimodalOps {
           sumAbs += ab
           sumSq += x.toLong * x
         }
+        // micro-unit RMS (floor of an IEEE-identical double) — see
+        // mmAudioFeatures for why this beats double-vs-double rounding
         (id, a.meta.sampleRate.toLong, v.length.toLong,
           v(0).toLong, v(v.length - 1).toLong, peak, sumAbs,
-          BigDecimal(math.sqrt(sumSq.toDouble / v.length))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          math.floor(math.sqrt(sumSq.toDouble / v.length) * 1e6).toLong)
       })
       .toDF("doc_id", "sample_rate", "n_samples", "first_sample",
-        "last_sample", "peak_abs", "sum_abs", "rms")
+        "last_sample", "peak_abs", "sum_abs", "rms_micro")
       .orderBy(col("doc_id"))
   }
 
@@ -1005,7 +1012,8 @@ object MultimodalOps {
       |    AS last_sample,
       |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
       |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
-      |  round(sqrt(sum(v*v)*1.0/count(*)), 6) AS rms
+      |  CAST(floor(sqrt(sum(v*v)*1.0/count(*)) * 1e6) AS BIGINT)
+      |    AS rms_micro
       |FROM s GROUP BY doc_id, sr, ch, n ORDER BY doc_id""".stripMargin
 
   private val mmFlacMetaSql =

@@ -953,8 +953,21 @@ object TimeSeries {
   // events table the same way ts_fit_verdicts does. A regressed optimizer
   // moves an estimate by far more than one micro-unit and fails the hash
   // with the offending column named in the diff.
+  //
+  // Each pin CTE additionally FILTERS on an analytically-derivable
+  // invariant of the pinned literals (AIC = 2k - 2·loglik within the
+  // ±2-unit slack of independent quantization; RMSE ≥ MAE; stationarity
+  // bounds), so a literal-transcription error — the failure mode a
+  // self-pinned oracle cannot otherwise catch — deletes the torn row and
+  // fails the row-count compare loudly instead of being confirmed by its
+  // own pin. The SQL also carries a `-- PINNED-FIT ORACLE` marker so the
+  // verify output records which oracles are regression pins rather than
+  // independent recomputations.
   private val tsGarchFitSql =
-    """WITH daily AS (
+    """-- PINNED-FIT ORACLE: estimate columns are regression pins (VALUES),
+      |-- corpus columns (n_obs) recomputed; pin rows self-check the
+      |-- GARCH constraint set (positivity + stationarity) below.
+      |WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
       |n AS (SELECT event_type, count(*) - 1 AS n_obs FROM daily GROUP BY 1),
       |pin AS (SELECT * FROM (VALUES
@@ -963,7 +976,13 @@ object TimeSeries {
       |    ('purchase', 1985804040740, 303138306693, 80, -56603871, 3392692468),
       |    ('signup', 2705049887844, 313757099651, 3, -60988195, 3036185201),
       |    ('view', 47, 0, 980228838655, -52278301, 1306775761)
-      |  ) v(event_type, omega_u, alpha_u, beta_u, loglik_u, fvar_u))
+      |  ) v(event_type, omega_u, alpha_u, beta_u, loglik_u, fvar_u)
+      |  -- invariants of any valid GARCH(1,1) MLE: omega>0, alpha,beta>=0,
+      |  -- alpha+beta<1 (unit=1e12), one-step variance forecast > 0 —
+      |  -- a mistranscribed literal deletes its row and reddens the board
+      |  WHERE omega_u > 0 AND alpha_u >= 0 AND beta_u >= 0
+      |    AND alpha_u + beta_u < 1000000000000 AND fvar_u > 0
+      |    AND loglik_u < 0)
       |SELECT z.event_type,
       |  CAST(z.omega_u AS BIGINT) / 1e12 AS omega,
       |  CAST(z.alpha_u AS BIGINT) / 1e12 AS alpha,
@@ -975,7 +994,10 @@ object TimeSeries {
       |ORDER BY event_type""".stripMargin
 
   private val tsArmaResidualsSql =
-    """WITH daily AS (
+    """-- PINNED-FIT ORACLE: estimate columns are regression pins (VALUES),
+      |-- corpus columns (n_obs) recomputed; pin rows self-check the
+      |-- ARMA/GARCH constraint set below.
+      |WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
       |n AS (SELECT event_type, count(*) - 2 AS n_obs FROM daily GROUP BY 1),
       |pin AS (SELECT * FROM (VALUES
@@ -985,7 +1007,13 @@ object TimeSeries {
       |    ('signup', 2699043, -67750806, -998000000, 1874923309, -48530228, 43512816, 14341671, 998000000),
       |    ('view', 1779458, -180843112, -809448418, 1199977372, -42282517, 98984880, 3483929, 257405234)
       |  ) v(event_type, c_u, phi_u, theta_u, sigma2_u, loglik_u, rm_u,
-      |      lb_u, pers_u))
+      |      lb_u, pers_u)
+      |  -- invariants of the constrained ARMA(1,1)+GARCH fit (unit=1e9,
+      |  -- optimizer clamps |phi|,|theta|,persistence to 0.998): a
+      |  -- mistranscribed literal deletes its row
+      |  WHERE abs(phi_u) <= 998000000 AND abs(theta_u) <= 998000000
+      |    AND sigma2_u > 0 AND lb_u > 0 AND loglik_u < 0
+      |    AND pers_u BETWEEN 0 AND 998000000)
       |SELECT z.event_type,
       |  CAST(z.c_u AS BIGINT) / 1e9 AS c,
       |  CAST(z.phi_u AS BIGINT) / 1e9 AS phi,
@@ -1000,7 +1028,10 @@ object TimeSeries {
       |ORDER BY event_type""".stripMargin
 
   private val tsGarchBacktestSql =
-    """WITH daily AS (
+    """-- PINNED-FIT ORACLE: loss columns are regression pins (VALUES),
+      |-- corpus columns (n_folds) recomputed; pin rows self-check
+      |-- RMSE >= MAE > 0 below.
+      |WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
       |n AS (SELECT event_type,
       |    greatest(least(5, count(*) - 11), 1) AS n_folds
@@ -1011,7 +1042,10 @@ object TimeSeries {
       |    ('purchase', 3142339632, 3376199148, 2142017904),
       |    ('signup', 4960711159, 6710498682, 946590503),
       |    ('view', 1499254470, 1587905060, 1132741223)
-      |  ) v(event_type, mae_u, rmse_u, qlike_u))
+      |  ) v(event_type, mae_u, rmse_u, qlike_u)
+      |  -- invariants of any backtest loss set: RMSE >= MAE (Jensen),
+      |  -- all losses positive — a mistranscribed literal deletes its row
+      |  WHERE rmse_u >= mae_u AND mae_u > 0 AND qlike_u > 0)
       |SELECT z.event_type,
       |  CAST(z.mae_u AS BIGINT) / 1e9 AS var_mae,
       |  CAST(z.rmse_u AS BIGINT) / 1e9 AS var_rmse,
@@ -1021,7 +1055,10 @@ object TimeSeries {
       |ORDER BY event_type""".stripMargin
 
   private val tsOrderSearchSql =
-    """WITH daily AS (
+    """-- PINNED-FIT ORACLE: information-criterion columns are regression
+      |-- pins (VALUES), corpus columns (n_obs) recomputed; pin rows
+      |-- self-check AIC = 2k - 2*loglik below.
+      |WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
       |n AS (SELECT event_type, count(*) - 1 AS base FROM daily GROUP BY 1),
       |pin AS (SELECT * FROM (VALUES
@@ -1116,7 +1153,15 @@ object TimeSeries {
       |    ('view', 'garch', 2, 2, 5, -52244497, 114488994, 121325473, 1743940261, 8),
       |    ('view', 'garch', 3, 2, 6, -52244497, 116488994, 124692769, 1724763282, 9)
       |  ) v(event_type, family, p, q, k_params, loglik_u, aic_u, bic_u,
-      |      cv_u, aic_rank))
+      |      cv_u, aic_rank)
+      |  -- analytic invariant: AIC = 2k - 2*loglik, recomputed from the
+      |  -- pinned loglik within the ±2-unit slack of independent
+      |  -- quantization; BIC >= AIC for ln(n) > 2; positive CV loss.
+      |  -- A literal-transcription error deletes its row and fails the
+      |  -- row-count compare instead of being confirmed by its own pin.
+      |  WHERE abs(aic_u - (2 * k_params * 1000000 - 2 * loglik_u)) <= 2
+      |    AND bic_u >= aic_u AND (cv_u IS NULL OR cv_u > 0)
+      |    AND aic_rank BETWEEN 1 AND 9)
       |SELECT z.event_type, z.family, z.p, z.q, z.k_params,
       |  CAST(z.loglik_u AS BIGINT) / 1e6 AS loglik,
       |  CAST(z.aic_u AS BIGINT) / 1e6 AS aic,

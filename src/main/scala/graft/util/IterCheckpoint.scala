@@ -25,6 +25,7 @@ import org.apache.spark.sql.DataFrame
 object IterCheckpoint {
 
   @volatile private var warnedNoDir = false
+  @volatile private var warnedBadFlag = false
 
   /** Truncate `df`'s lineage for iteration `round` (0-based) under the
     * session's checkpoint policy. Always eager in the modes that
@@ -35,10 +36,19 @@ object IterCheckpoint {
     val s = df.sparkSession
     // case-insensitive compare, not .toBoolean: a typo'd conf value must
     // degrade to the default mid-iteration, not throw (same defensive
-    // stance as checkpointInterval's toIntOption below)
-    val reliable = s.conf
-      .get("spark.graft.graph.reliableCheckpoint", "false")
-      .trim.equalsIgnoreCase("true")
+    // stance as checkpointInterval's toIntOption below) — but a value
+    // that is neither true nor false silently disables a durability
+    // feature, so it at least warns once
+    val rawReliable = s.conf
+      .get("spark.graft.graph.reliableCheckpoint", "false").trim
+    if (!rawReliable.equalsIgnoreCase("true") &&
+        !rawReliable.equalsIgnoreCase("false") && !warnedBadFlag) {
+      warnedBadFlag = true
+      System.err.println("[graft] spark.graft.graph.reliableCheckpoint=" +
+        s"'$rawReliable' is not a boolean; treating as false " +
+        "(reliable checkpointing DISABLED)")
+    }
+    val reliable = rawReliable.equalsIgnoreCase("true")
     if (!reliable) df.localCheckpoint()
     else {
       val interval = s.conf

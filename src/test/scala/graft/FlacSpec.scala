@@ -70,11 +70,11 @@ class FlacSpec extends AnyFunSuite {
       Flac.decodeAudio(good.take(good.length / 2)))
   }
 
-  test("LPC subframes and stereo decorrelation reject as documented " +
-      "seams") {
-    // take a real stereo fixture stream and rewrite the frame header's
-    // channel-assignment nibble to mid/side (10): byte 3 of the frame,
-    // high nibble; frame starts right after the 4+38-byte metadata
+  test("frame-header tampering (channel-nibble rewrite) is caught by " +
+      "the CRC-8 guard") {
+    // rewrite the frame header's channel-assignment nibble of a real
+    // stereo fixture to mid/side (10): the assignment itself now
+    // decodes, so the tamper must be caught by the header checksum
     val base = Flac.fixtureAudioPayload(1L) // id 1 -> 2 channels
     val frameOff = 4 + 4 + 34
     assert((base(frameOff) & 0xff) == 0xff &&
@@ -83,14 +83,90 @@ class FlacSpec extends AnyFunSuite {
     midSide(frameOff + 3) =
       ((10 << 4) | (midSide(frameOff + 3) & 0x0f)).toByte
     val e1 = intercept[IllegalArgumentException](Flac.decodeAudio(midSide))
-    assert(e1.getMessage.contains("decorrelation"), e1.getMessage)
-    // rewrite the first subframe header byte to LPC order 1 (0x20|0)<<1:
-    // find it at frame start + 7 (header) + 1 (crc8)
-    val lpc = base.clone()
-    lpc(frameOff + 8) = 0x42.toByte // 0_100001_0 = LPC, order 2
-    val e2 = intercept[IllegalArgumentException](Flac.decodeAudio(lpc))
-    assert(e2.getMessage.contains("LPC") ||
-      e2.getMessage.contains("CRC"), e2.getMessage)
+    assert(e1.getMessage.contains("CRC-8"), e1.getMessage)
+  }
+
+  test("LPC subframes roundtrip bit-exactly across orders, precisions " +
+      "and shifts") {
+    val rnd = new scala.util.Random(7)
+    def check(chans: Array[Array[Int]], bytes: Array[Byte]): Unit = {
+      val a = Flac.decodeAudio(bytes)
+      val ch = chans.length
+      val n = chans(0).length
+      assert(a.samples.length == n * ch)
+      for (i <- 0 until n; c <- 0 until ch)
+        assert(a.samples(i * ch + c) == chans(c)(i),
+          s"sample ($c,$i) diverged")
+    }
+    // every (order, precision, shift) corner incl. the 32-coef max and
+    // the 15-bit/15-shift extremes; coefficients are RANDOM — LPC
+    // roundtrip is lossless for any coefficient set because encoder and
+    // decoder replay the same integer prediction
+    for ((order, prec, shift) <- Seq((1, 4, 0), (2, 5, 2), (4, 8, 6),
+        (8, 12, 10), (32, 15, 15))) {
+      val coefs =
+        Array.fill(order)(rnd.nextInt(1 << prec) - (1 << (prec - 1)))
+      val chans = Array.fill(1)(Array.fill(96)(rnd.nextInt(2001) - 1000))
+      check(chans, Flac.encodeStream(chans, 44100, 16, 5, po = 1,
+        lpcCoefs = coefs, lpcShift = shift, lpcPrec = prec))
+    }
+    // 24-bit samples through the LPC path
+    val wide = Array(Array.fill(64)(rnd.nextInt(2000001) - 1000000))
+    check(wide, Flac.encodeStream(wide, 96000, 24, 5,
+      lpcCoefs = Array(3, -3, 1, 2), lpcShift = 3, lpcPrec = 6))
+  }
+
+  test("stereo decorrelation modes reconstruct L/R exactly at full " +
+      "sample range") {
+    val rnd = new scala.util.Random(11)
+    for (stereo <- Seq(8, 9, 10); mode <- Seq(2, 5); bps <- Seq(16, 24)) {
+      val lim = if (bps == 16) 32768 else 1 << 23
+      val chans =
+        Array.fill(2)(Array.fill(64)(rnd.nextInt(2 * lim) - lim))
+      val bytes =
+        if (mode == 5)
+          Flac.encodeStream(chans, 44100, bps, 5, po = 1,
+            stereo = stereo, lpcCoefs = Array(2), lpcShift = 1,
+            lpcPrec = 3)
+        else Flac.encodeStream(chans, 44100, bps, 2, po = 1,
+          stereo = stereo)
+      val a = Flac.decodeAudio(bytes)
+      for (i <- 0 until 64; c <- 0 until 2)
+        assert(a.samples(i * 2 + c) == chans(c)(i),
+          s"stereo=$stereo mode=$mode bps=$bps sample ($c,$i) diverged")
+    }
+  }
+
+  test("torn LPC parameter fields reject loudly") {
+    // hand-build a mono 16-bit, blockSize-2, LPC(1) frame whose
+    // parameter fields are invalid: precision code 15, then (second
+    // variant) a negative quantization shift
+    def be(v: Long, n: Int) = Array.tabulate(n)(i =>
+      ((v >>> (8 * (n - 1 - i))) & 0xff).toByte)
+    def stream(tail: String): Array[Byte] = {
+      val packed = (8000L << 44) | (0L << 41) | (15L << 36) | 2L
+      val si = be(2, 2) ++ be(2, 2) ++ be(0, 3) ++ be(0, 3) ++
+        be(packed, 8) ++ new Array[Byte](16)
+      val head = "fLaC".getBytes("US-ASCII") ++
+        be(0x80, 1) ++ be(34, 3) ++ si
+      val hdr = Array[Byte](0xff.toByte, 0xf8.toByte, 0x60.toByte,
+        0x08.toByte, 0x00.toByte, 0x01.toByte)
+      val crc8 = Flac.crc8(hdr, 0, hdr.length)
+      val bits = new StringBuilder
+      bits.append("01000000")         // subframe header: LPC order 1
+      bits.append("0000000000000101") // 16-bit warmup sample = 5
+      bits.append(tail)
+      while (bits.length % 8 != 0) bits.append('0')
+      val body = bits.toString.grouped(8)
+        .map(s => Integer.parseInt(s, 2).toByte).toArray
+      head ++ hdr ++ Array(crc8.toByte) ++ body ++ be(0, 2)
+    }
+    val e1 = intercept[IllegalArgumentException](
+      Flac.decodeAudio(stream("1111"))) // precision code 15
+    assert(e1.getMessage.contains("precision"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Flac.decodeAudio(stream("0011" + "10000"))) // prec 4, shift -16
+    assert(e2.getMessage.contains("negative LPC"), e2.getMessage)
   }
 
   test("every subframe type, FIXED order, rice width and channel count " +
