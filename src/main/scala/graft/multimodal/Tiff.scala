@@ -4,18 +4,20 @@ package graft.multimodal
   * archival member of the image family, and the only one whose container
   * is endian-switchable: both `II` (little) and `MM` (big) byte orders,
   * the IFD tag walk (SHORT/LONG values, inline when they fit 4 bytes),
-  * strip-organized image data with any RowsPerStrip, all four common
-  * strip compressions — none, LZW (the spec §13 MSB-first early-change
+  * BOTH data organizations — strips with any RowsPerStrip, and §15
+  * tiles (TileWidth/TileLength multiples of 16, row-major tile walk,
+  * edge padding clipped on copy-out) — all four common chunk
+  * compressions — none, LZW (the spec §13 MSB-first early-change
   * variant), Deflate (8) and PackBits (32773) — and the photometric
   * interpretations a baseline reader must know — BlackIsZero /
   * WhiteIsZero grayscale, chunky RGB, and RGBPalette through the
   * 16-bit-per-entry ColorMap.
   *
-  * Out-of-scope shapes reject LOUDLY by name (tiled layout, planar
-  * configuration 2, JPEG-in-TIFF compression, bit depths other than
-  * 8) — the honest-boundary convention of the other tiers. [[Exif]]
-  * walks the same IFD grammar for JPEG APP1 metadata; this module owns
-  * actual TIFF pixel data.
+  * Out-of-scope shapes reject LOUDLY by name (planar configuration 2,
+  * JPEG-in-TIFF compression, bit depths other than 8, mixed
+  * strip+tile tag sets) — the honest-boundary convention of the other
+  * tiers. [[Exif]] walks the same IFD grammar for JPEG APP1 metadata;
+  * this module owns actual TIFF pixel data.
   *
   * Format is the public Adobe TIFF 6.0 specification. Beyond-reference
   * multimodal surface (SURVEY §5 scope).
@@ -56,6 +58,9 @@ object Tiff {
     var planar = 1
     var stripOffsets: Array[Long] = null
     var stripCounts: Array[Long] = null
+    var tileW, tileL = -1
+    var tileOffsets: Array[Long] = null
+    var tileCounts: Array[Long] = null
     var colorMapOff = -1L
     var colorMapCount = 0
 
@@ -117,16 +122,28 @@ object Tiff {
           require(typ == 3, "ColorMap must be SHORT")
           colorMapCount = r.u32(e + 4).toInt
           colorMapOff = r.u32(e + 8)
-        case 322 | 323 | 324 | 325 =>
-          throw new IllegalArgumentException(
-            "tiled TIFF unsupported (strip baseline)")
+        case 322 => tileW = values(e)(0).toInt
+        case 323 => tileL = values(e)(0).toInt
+        case 324 => tileOffsets = values(e)
+        case 325 => tileCounts = values(e)
         case _ => () // ancillary tags skipped
       }
       i += 1
     }
     require(w > 0 && h > 0, "TIFF without ImageWidth/ImageLength")
     require(photometric >= 0, "TIFF without PhotometricInterpretation")
-    require(stripOffsets != null && stripCounts != null &&
+    val tiled = tileW > 0 || tileL > 0 || tileOffsets != null ||
+      tileCounts != null
+    if (tiled) {
+      require(stripOffsets == null && stripCounts == null,
+        "TIFF mixes strip and tile organization")
+      require(tileW > 0 && tileL > 0 && tileOffsets != null &&
+        tileCounts != null && tileOffsets.length == tileCounts.length,
+        "tiled TIFF without matching " +
+          "TileWidth/TileLength/TileOffsets/TileByteCounts")
+      require(tileW % 16 == 0 && tileL % 16 == 0,
+        s"tile dims $tileW x $tileL must be multiples of 16 (spec §15)")
+    } else require(stripOffsets != null && stripCounts != null &&
       stripOffsets.length == stripCounts.length,
       "TIFF without matching StripOffsets/StripByteCounts")
     val expSamples = if (photometric == 2) 3 else 1
@@ -148,26 +165,16 @@ object Tiff {
         }
       } else null
 
-    // decode strips to one contiguous sample buffer
-    val rowBytes = w * samplesPP
-    val data = new Array[Byte](rowBytes * h)
-    var row = 0
-    var s = 0
-    while (s < stripOffsets.length) {
-      val rows = math.min(rowsPerStrip, h - row)
-      require(rows > 0, "more strips than image rows")
-      val need = rows * rowBytes
-      val off = stripOffsets(s)
-      val cnt = stripCounts(s)
+    // one compressed chunk (strip or tile) → exactly `need` raw bytes
+    def decompressChunk(kind: String, idx: Int, off: Long, cnt: Long,
+        need: Int): Array[Byte] = {
       require(off >= 0 && off + cnt <= p.length,
-        s"torn TIFF: strip $s overruns the file")
+        s"torn TIFF: $kind $idx overruns the file")
       if (compression == 1) {
-        require(cnt == need,
-          s"strip $s holds $cnt bytes, expected $need")
-        System.arraycopy(p, off.toInt, data, row * rowBytes, need)
+        require(cnt == need, s"$kind $idx holds $cnt bytes, expected $need")
+        java.util.Arrays.copyOfRange(p, off.toInt, off.toInt + need)
       } else if (compression == 5) {
-        val dec = lzwDecode(p, off.toInt, cnt.toInt, need)
-        System.arraycopy(dec, 0, data, row * rowBytes, need)
+        lzwDecode(p, off.toInt, cnt.toInt, need)
       } else if (compression == 8) {
         val inf = new java.util.zip.Inflater()
         inf.setInput(p, off.toInt, cnt.toInt)
@@ -176,39 +183,82 @@ object Tiff {
         while (got < need && !inf.finished()) {
           val n2 = inf.inflate(dst, got, need - got)
           require(n2 > 0 || inf.finished(),
-            s"truncated Deflate strip $s")
+            s"truncated Deflate $kind $idx")
           got += n2
         }
         inf.end()
-        require(got == need, s"Deflate strip $s yields $got of $need")
-        System.arraycopy(dst, 0, data, row * rowBytes, need)
+        require(got == need, s"Deflate $kind $idx yields $got of $need")
+        dst
       } else { // PackBits
+        val out = new Array[Byte](need)
         var src = off.toInt
         val end = (off + cnt).toInt
-        var dst = row * rowBytes
-        val dstEnd = dst + need
-        while (dst < dstEnd) {
-          require(src < end, s"torn PackBits strip $s")
+        var dst = 0
+        while (dst < need) {
+          require(src < end, s"torn PackBits $kind $idx")
           val ctl = p(src).toInt; src += 1
           if (ctl >= 0) {
             val len = ctl + 1
-            require(src + len <= end && dst + len <= dstEnd,
-              s"PackBits literal overruns strip $s")
-            System.arraycopy(p, src, data, dst, len)
+            require(src + len <= end && dst + len <= need,
+              s"PackBits literal overruns $kind $idx")
+            System.arraycopy(p, src, out, dst, len)
             src += len; dst += len
           } else if (ctl != -128) { // -128 is a no-op per the spec
             val len = 1 - ctl
-            require(src < end && dst + len <= dstEnd,
-              s"PackBits run overruns strip $s")
-            java.util.Arrays.fill(data, dst, dst + len, p(src))
+            require(src < end && dst + len <= need,
+              s"PackBits run overruns $kind $idx")
+            java.util.Arrays.fill(out, dst, dst + len, p(src))
             src += 1; dst += len
           }
         }
+        out
       }
-      row += rows
-      s += 1
     }
-    require(row >= h, s"strips cover only $row of $h rows")
+
+    // decode strips or tiles to one contiguous sample buffer
+    val rowBytes = w * samplesPP
+    val data = new Array[Byte](rowBytes * h)
+    if (tiled) {
+      // §15: tiles are FULL tileW x tileL rasters left-to-right,
+      // top-to-bottom; edge tiles carry padding the copy below clips
+      val across = (w + tileW - 1) / tileW
+      val down = (h + tileL - 1) / tileL
+      require(tileOffsets.length == across * down,
+        s"${tileOffsets.length} tiles, expected ${across * down} " +
+          s"($across x $down)")
+      val tileRowBytes = tileW * samplesPP
+      val need = tileRowBytes * tileL
+      var t = 0
+      while (t < tileOffsets.length) {
+        val dec = decompressChunk("tile", t, tileOffsets(t),
+          tileCounts(t), need)
+        val tx = (t % across) * tileW
+        val ty = (t / across) * tileL
+        val copyRows = math.min(tileL, h - ty)
+        val copyBytes = math.min(tileW, w - tx) * samplesPP
+        var ry = 0
+        while (ry < copyRows) {
+          System.arraycopy(dec, ry * tileRowBytes, data,
+            (ty + ry) * rowBytes + tx * samplesPP, copyBytes)
+          ry += 1
+        }
+        t += 1
+      }
+    } else {
+      var row = 0
+      var s = 0
+      while (s < stripOffsets.length) {
+        val rows = math.min(rowsPerStrip, h - row)
+        require(rows > 0, "more strips than image rows")
+        val need = rows * rowBytes
+        val dec = decompressChunk("strip", s, stripOffsets(s),
+          stripCounts(s), need)
+        System.arraycopy(dec, 0, data, row * rowBytes, need)
+        row += rows
+        s += 1
+      }
+      require(row >= h, s"strips cover only $row of $h rows")
+    }
 
     val out = new Array[Int](w * h)
     var j = 0
@@ -393,39 +443,63 @@ object Tiff {
     * stored raw), 1 (gray), 2 (RGB) or 3 (palette, 256
     * 16-bit-per-channel entries derived from `palette`); `le` picks the
     * byte order; `compression` 1 (none), 5 (LZW), 8 (Deflate) or 32773
-    * (PackBits) applied per strip; `rowsPerStrip` slices the image into
-    * multiple strips.
+    * (PackBits) applied per chunk. Organization: strips sliced by
+    * `rowsPerStrip`, or — when `tileW`/`tileL` are set (multiples of
+    * 16 per spec §15) — full-size tiles left-to-right top-to-bottom
+    * with zero padding past the image edge.
     */
   def encode(w: Int, h: Int, photometric: Int, le: Boolean,
       compression: Int, rowsPerStrip: Int,
       sample: (Int, Int, Int) => Int,
-      palette: Array[Int] = null): Array[Byte] = {
+      palette: Array[Int] = null,
+      tileW: Int = 0, tileL: Int = 0): Array[Byte] = {
     require(photometric >= 0 && photometric <= 3)
     require(compression == 1 || compression == 5 || compression == 8 ||
       compression == 32773, s"writer compression $compression")
+    val tiledOut = tileW > 0 || tileL > 0
+    require(!tiledOut || (tileW % 16 == 0 && tileL % 16 == 0 &&
+      tileW > 0 && tileL > 0), "tile dims must be positive multiples of 16")
     val spp = if (photometric == 2) 3 else 1
     val rowBytes = w * spp
-    val strips = (h + rowsPerStrip - 1) / rowsPerStrip
-    val stripData = Array.tabulate(strips) { s =>
-      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
-      val raw = new Array[Byte](rows * rowBytes)
-      for (ry <- 0 until rows; x <- 0 until w; c <- 0 until spp)
-        raw(ry * rowBytes + x * spp + c) =
-          (sample(x, s * rowsPerStrip + ry, c) & 0xff).toByte
-      compression match {
-        case 1 => raw
-        case 5 => lzwEncode(raw)
-        case 8 =>
-          val d = new java.util.zip.Deflater()
-          d.setInput(raw); d.finish()
-          val zo = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](1 << 14)
-          while (!d.finished()) zo.write(buf, 0, d.deflate(buf))
-          d.end()
-          zo.toByteArray
-        case _ => packBits(raw)
-      }
+    def compress(raw: Array[Byte]): Array[Byte] = compression match {
+      case 1 => raw
+      case 5 => lzwEncode(raw)
+      case 8 =>
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val zo = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 14)
+        while (!d.finished()) zo.write(buf, 0, d.deflate(buf))
+        d.end()
+        zo.toByteArray
+      case _ => packBits(raw)
     }
+    val across = if (tiledOut) (w + tileW - 1) / tileW else 0
+    val down = if (tiledOut) (h + tileL - 1) / tileL else 0
+    val chunkData: Array[Array[Byte]] =
+      if (tiledOut) Array.tabulate(across * down) { t =>
+        val tx = (t % across) * tileW
+        val ty = (t / across) * tileL
+        val raw = new Array[Byte](tileW * tileL * spp)
+        for (ry <- 0 until tileL; x <- 0 until tileW; c <- 0 until spp) {
+          val gx = tx + x; val gy = ty + ry
+          if (gx < w && gy < h)
+            raw((ry * tileW + x) * spp + c) =
+              (sample(gx, gy, c) & 0xff).toByte
+        }
+        compress(raw)
+      } else {
+        val strips = (h + rowsPerStrip - 1) / rowsPerStrip
+        Array.tabulate(strips) { s =>
+          val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+          val raw = new Array[Byte](rows * rowBytes)
+          for (ry <- 0 until rows; x <- 0 until w; c <- 0 until spp)
+            raw(ry * rowBytes + x * spp + c) =
+              (sample(x, s * rowsPerStrip + ry, c) & 0xff).toByte
+          compress(raw)
+        }
+      }
+    val nChunks = chunkData.length
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit =
       if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -436,19 +510,21 @@ object Tiff {
     out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
     w16(42)
     w32(8) // IFD right after the header
-    val nTags = 9 + (if (photometric == 3) 1 else 0)
-    // layout: header(8) IFD(2 + 12n + 4) [strip offset/count arrays if
-    // needed] [BitsPerSample array for RGB] [ColorMap] strip data
+    // strips carry 273/278/279 (3 tags); tiles carry 322/323/324/325 (4)
+    val nTags = (if (tiledOut) 10 else 9) +
+      (if (photometric == 3) 1 else 0)
+    // layout: header(8) IFD(2 + 12n + 4) [chunk offset/count arrays if
+    // needed] [BitsPerSample array for RGB] [ColorMap] chunk data
     var tail = 8 + 2 + 12 * nTags + 4
-    val stripOffArr = if (strips > 1) { val a = tail; tail += 4 * strips; a }
+    val chunkOffArr = if (nChunks > 1) { val a = tail; tail += 4 * nChunks; a }
       else -1
-    val stripCntArr = if (strips > 1) { val a = tail; tail += 4 * strips; a }
+    val chunkCntArr = if (nChunks > 1) { val a = tail; tail += 4 * nChunks; a }
       else -1
     val bpsArr = if (spp == 3) { val a = tail; tail += 6; a } else -1
     val cmapArr = if (photometric == 3) { val a = tail; tail += 1536; a }
       else -1
     val dataStart = tail
-    val stripOffs = stripData.scanLeft(dataStart.toLong)(_ + _.length)
+    val chunkOffs = chunkData.scanLeft(dataStart.toLong)(_ + _.length)
     w16(nTags)
     def tag(t: Int, typ: Int, count: Long, value: Long): Unit = {
       w16(t); w16(typ); w32(count)
@@ -460,17 +536,29 @@ object Tiff {
     if (spp == 3) tag(258, 3, 3, bpsArr) else tag(258, 3, 1, 8)
     tag(259, 3, 1, compression)
     tag(262, 3, 1, photometric)
-    if (strips > 1) tag(273, 4, strips, stripOffArr)
-    else tag(273, 4, 1, stripOffs(0))
+    if (!tiledOut) {
+      if (nChunks > 1) tag(273, 4, nChunks, chunkOffArr)
+      else tag(273, 4, 1, chunkOffs(0))
+    }
     tag(277, 3, 1, spp)
-    tag(278, 4, 1, rowsPerStrip)
-    if (strips > 1) tag(279, 4, strips, stripCntArr)
-    else tag(279, 4, 1, stripData(0).length)
+    if (!tiledOut) {
+      tag(278, 4, 1, rowsPerStrip)
+      if (nChunks > 1) tag(279, 4, nChunks, chunkCntArr)
+      else tag(279, 4, 1, chunkData(0).length)
+    }
     if (photometric == 3) tag(320, 3, 768, cmapArr)
+    if (tiledOut) { // tags stay ascending: 320 < 322
+      tag(322, 4, 1, tileW)
+      tag(323, 4, 1, tileL)
+      if (nChunks > 1) tag(324, 4, nChunks, chunkOffArr)
+      else tag(324, 4, 1, chunkOffs(0))
+      if (nChunks > 1) tag(325, 4, nChunks, chunkCntArr)
+      else tag(325, 4, 1, chunkData(0).length)
+    }
     w32(0) // no next IFD
-    if (strips > 1) {
-      stripOffs.init.foreach(w32)
-      stripData.foreach(d => w32(d.length))
+    if (nChunks > 1) {
+      chunkOffs.init.foreach(w32)
+      chunkData.foreach(d => w32(d.length))
     }
     if (spp == 3) { w16(8); w16(8); w16(8) }
     if (photometric == 3) {
@@ -481,14 +569,18 @@ object Tiff {
         w16(v8 * 257) // 8→16-bit expansion
       }
     }
-    stripData.foreach(d => out.write(d, 0, d.length))
+    chunkData.foreach(d => out.write(d, 0, d.length))
     out.toByteArray
   }
 
   /** Per-doc deterministic TIFF: photometric, byte order, compression
-    * (rotating none/PackBits/LZW/Deflate) and strip slicing all derive
-    * from the id; the run-friendly sample formula (x/5 plateaus) makes
-    * PackBits replicate runs and LZW repeats real.
+    * (rotating none/PackBits/LZW/Deflate) and organization — strip
+    * slicing for id%5 in {0,1,2}, 16x16 / 32x16 TILES for id%5 in
+    * {3,4} (edge tiles carry real padding since w<=32, h<=20) — all
+    * derive from the id; the run-friendly sample formula (x/5
+    * plateaus) makes PackBits replicate runs and LZW repeats real.
+    * Rotation is lossless, so the decoded pixels keep the closed form
+    * for every id.
     */
   def fixturePalette: Array[Int] = Array.tabulate(256) { i =>
     (0xff << 24) | (((i * 37) % 256) << 16) | (((i * 59) % 256) << 8) |
@@ -501,10 +593,15 @@ object Tiff {
     val photometric = Array(1, 2, 3)((id % 3).toInt)
     val le = id % 2 == 0
     val compression = Array(1, 32773, 5, 8)((id % 4).toInt)
-    val rps = Array(4, 7, 1000)((id % 5).toInt % 3)
+    val org = (id % 5).toInt
     val sample = (x: Int, y: Int, c: Int) =>
       ((x / 5) * 31 + y * 7 + id * 13 + c * 5).toInt % 256
-    encode(w, h, photometric, le, compression, rps, sample,
-      if (photometric == 3) fixturePalette else null)
+    val pal = if (photometric == 3) fixturePalette else null
+    if (org >= 3)
+      encode(w, h, photometric, le, compression, rowsPerStrip = 0,
+        sample, pal, tileW = if (org == 3) 16 else 32, tileL = 16)
+    else
+      encode(w, h, photometric, le, compression,
+        Array(4, 7, 1000)(org), sample, pal)
   }
 }

@@ -554,9 +554,10 @@ object MultimodalOps {
   // every pixel from the closed-form fixture family; byte-exact parity
   // with javax.imageio additionally asserted in PngSpec (PNG is lossless,
   // so parity is exact, not tolerance-based).
-  // Baseline TIFF strips (multimodal.Tiff): both byte orders, PackBits
-  // and uncompressed strips, gray/RGB/palette photometrics, multi-strip
-  // slicing — features over REAL container parsing with the same
+  // Baseline TIFF (multimodal.Tiff): both byte orders, all four chunk
+  // compressions, gray/RGB/palette photometrics, multi-strip slicing
+  // AND §15 tiled organization (id%5 in {3,4} — padded edge tiles)
+  // — features over REAL container parsing with the same
   // position-weighted checksum as the PNG tier (invariant-breaking for
   // misplaced strips), oracle a pure closed form of the fixture.
   private def mmTiffDecode(s: SparkSession, dir: String): DataFrame = {

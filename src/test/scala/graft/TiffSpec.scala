@@ -5,10 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.Tiff
 
 /** Baseline TIFF decode (multimodal.Tiff): closed-form fixture contract
-  * over both byte orders, gray/RGB/palette photometrics, strip slicing
-  * and PackBits, cross-validated against the JDK's TIFFImageReader
-  * (lossless container → zero tolerance), plus the PackBits algorithm
-  * itself and the loud out-of-scope rejects.
+  * over both byte orders, gray/RGB/palette photometrics, strip AND
+  * tiled organizations (edge-padded tiles), cross-validated against
+  * the JDK's TIFFImageReader (lossless container → zero tolerance),
+  * plus the PackBits algorithm itself and the loud out-of-scope
+  * rejects.
   */
 class TiffSpec extends AnyFunSuite {
 
@@ -122,6 +123,58 @@ class TiffSpec extends AnyFunSuite {
       assert(jdk.getRaster.getSample(x, y, 0) ==
         (ours.pixels(y * 200 + x) >> 16 & 0xff),
         s"($x,$y) disagrees with ImageIO on LZW")
+  }
+
+  test("tiled organization: multi-tile RGB with edge padding matches " +
+      "the closed form and the JDK reader, per compression") {
+    // 70x40 RGB over 32x16 tiles -> 3x3 grid, right and bottom edges
+    // padded (70 = 2*32+6, 40 = 2*16+8): clipping is really exercised
+    for (comp <- Seq(1, 5, 8, 32773); le <- Seq(true, false)) {
+      val f = (x: Int, y: Int, c: Int) => ((x / 3) * 17 + y * 5 + c * 9) % 256
+      val bytes = Tiff.encode(70, 40, 2, le, comp, rowsPerStrip = 0,
+        f, tileW = 32, tileL = 16)
+      val ours = Tiff.decode(bytes)
+      assert(ours.width == 70 && ours.height == 40)
+      for (y <- 0 until 40; x <- 0 until 70) {
+        val want = (0xff << 24) | (f(x, y, 0) << 16) |
+          (f(x, y, 1) << 8) | f(x, y, 2)
+        assert(ours.pixels(y * 70 + x) == want,
+          f"comp=$comp le=$le ($x,$y): 0x${ours.pixels(y * 70 + x)}%08x")
+      }
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"ImageIO could not parse tiled TIFF comp=$comp")
+      for (y <- 0 until 40 by 3; x <- 0 until 70 by 3)
+        assert(jdk.getRGB(x, y) == ours.pixels(y * 70 + x),
+          s"comp=$comp le=$le ($x,$y) disagrees with ImageIO")
+    }
+  }
+
+  test("torn tile structures reject loudly") {
+    val good = Tiff.encode(40, 40, 1, le = true, compression = 1,
+      rowsPerStrip = 0, (x, y, _) => x + y, tileW = 16, tileL = 16)
+    // rewrite TileWidth (tag 322, 7th of 10 entries) to 20: IFD starts
+    // at 8, entry 6 value at 8 + 2 + 6*12 + 8 = 90 (LONG, little-endian)
+    val badW = good.clone()
+    assert(badW(82) == 66.toByte && badW(83) == 1.toByte, // tag 322 LE
+      "tag layout drifted; update this test")
+    badW(90) = 20
+    val e1 = intercept[IllegalArgumentException](Tiff.decode(badW))
+    assert(e1.getMessage.contains("multiples of 16"), e1.getMessage)
+    // non-multiple-of-16 at the writer too
+    val e2 = intercept[IllegalArgumentException](
+      Tiff.encode(40, 40, 1, le = true, compression = 1, rowsPerStrip = 0,
+        (x, y, _) => x + y, tileW = 20, tileL = 16))
+    assert(e2.getMessage.contains("multiples of 16"), e2.getMessage)
+    // a tile count that contradicts the grid
+    val badN = good.clone()
+    // TileOffsets (tag 324) count field at entry 8: 8 + 2 + 8*12 + 4 = 110
+    assert(badN(106) == 68.toByte && badN(107) == 1.toByte,
+      "tag layout drifted; update this test")
+    badN(110) = 3
+    val e3 = intercept[IllegalArgumentException](Tiff.decode(badN))
+    assert(e3.getMessage.contains("tiles") ||
+      e3.getMessage.contains("matching"), e3.getMessage)
   }
 
   test("out-of-scope shapes reject loudly by name") {
