@@ -319,15 +319,19 @@ object Png {
     out.toByteArray
   }
 
-  /** Depth-capable non-interlaced encoder (spec-exercise surface):
-    * `sample(x, y, c)` supplies RAW channel samples in [0, 2^depth) —
-    * palette indexes for color type 3 — packed MSB-first for sub-byte
-    * depths and big-endian for 16-bit, with the filter type cycling
-    * 0..4 per scanline like [[encode]].
+  /** Depth-capable encoder (spec-exercise surface): `sample(x, y, c)`
+    * supplies RAW channel samples in [0, 2^depth) — palette indexes for
+    * color type 3 — packed MSB-first for sub-byte depths and big-endian
+    * for 16-bit, with the filter type cycling 0..4 over a global row
+    * counter like [[encode]]. `interlace` emits the Adam7 pass
+    * structure, each pass re-packed from bit 0 of its own scanlines —
+    * the sub-byte/16-bit row packing under interlace the decoder must
+    * mirror.
     */
   def encodeDepth(w: Int, h: Int, colorType: Int, depth: Int,
       sample: (Int, Int, Int) => Int,
-      palette: Array[Int] = null): Array[Byte] = {
+      palette: Array[Int] = null,
+      interlace: Boolean = false): Array[Byte] = {
     require(depth == 8 ||
       ((depth == 1 || depth == 2 || depth == 4) &&
         (colorType == 0 || colorType == 3)) ||
@@ -336,47 +340,59 @@ object Png {
     val nCh = bpp(colorType)
     val bitsPP = depth * nCh
     val step = math.max(1, bitsPP / 8)
-    val rowBytes = (w * bitsPP + 7) / 8
     val raw = new java.io.ByteArrayOutputStream()
-    var prev = new Array[Byte](rowBytes)
-    var y = 0
-    while (y < h) {
-      val cur = new Array[Byte](rowBytes)
-      var bitPos = 0
-      def put(v: Int, n: Int): Unit = {
-        var i = n - 1
-        while (i >= 0) {
-          if (((v >> i) & 1) != 0)
-            cur(bitPos >> 3) = (cur(bitPos >> 3) | (0x80 >> (bitPos & 7))).toByte
-          bitPos += 1
-          i -= 1
+    var rowCounter = 0
+    val passes = if (interlace) Adam7 else Array((0, 0, 1, 1))
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rowBytes = (pw * bitsPP + 7) / 8
+        var prev = new Array[Byte](rowBytes)
+        var ry = 0
+        while (ry < ph) {
+          val cur = new Array[Byte](rowBytes)
+          var bitPos = 0
+          def put(v: Int, n: Int): Unit = {
+            var i = n - 1
+            while (i >= 0) {
+              if (((v >> i) & 1) != 0)
+                cur(bitPos >> 3) =
+                  (cur(bitPos >> 3) | (0x80 >> (bitPos & 7))).toByte
+              bitPos += 1
+              i -= 1
+            }
+          }
+          var rx = 0
+          while (rx < pw) {
+            var c = 0
+            while (c < nCh) {
+              put(sample(x0 + rx * dx, y0 + ry * dy, c), depth); c += 1
+            }
+            rx += 1
+          }
+          val ft = rowCounter % 5
+          rowCounter += 1
+          raw.write(ft)
+          var i = 0
+          while (i < rowBytes) {
+            val left = if (i >= step) cur(i - step) & 0xff else 0
+            val up = prev(i) & 0xff
+            val ul = if (i >= step) prev(i - step) & 0xff else 0
+            val v = cur(i) & 0xff
+            raw.write((ft match {
+              case 0 => v
+              case 1 => v - left
+              case 2 => v - up
+              case 3 => v - ((left + up) >> 1)
+              case 4 => v - paeth(left, up, ul)
+            }) & 0xff)
+            i += 1
+          }
+          prev = cur
+          ry += 1
         }
       }
-      var x = 0
-      while (x < w) {
-        var c = 0
-        while (c < nCh) { put(sample(x, y, c), depth); c += 1 }
-        x += 1
-      }
-      val ft = y % 5
-      raw.write(ft)
-      var i = 0
-      while (i < rowBytes) {
-        val left = if (i >= step) cur(i - step) & 0xff else 0
-        val up = prev(i) & 0xff
-        val ul = if (i >= step) prev(i - step) & 0xff else 0
-        val v = cur(i) & 0xff
-        raw.write((ft match {
-          case 0 => v
-          case 1 => v - left
-          case 2 => v - up
-          case 3 => v - ((left + up) >> 1)
-          case 4 => v - paeth(left, up, ul)
-        }) & 0xff)
-        i += 1
-      }
-      prev = cur
-      y += 1
     }
     val defl = new Deflater()
     defl.setInput(raw.toByteArray)
@@ -395,7 +411,7 @@ object Png {
     }
     p32(ihdr, 0, w); p32(ihdr, 4, h)
     ihdr(8) = depth.toByte; ihdr(9) = colorType.toByte
-    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = if (interlace) 1 else 0
     chunk(out, "IHDR", ihdr)
     if (colorType == 3) {
       require(palette != null, "palette encode needs a PLTE")

@@ -115,6 +115,68 @@ class PngSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlace at sub-byte and 16-bit depths: per-pass " +
+      "re-packing from bit 0, cross-validated against ImageIO") {
+    // odd dims so every pass has a ragged width and sub-byte rows end
+    // mid-byte; each (depth, colorType) corner of the legal matrix
+    val (w, h) = (21, 13)
+    for (d <- Seq(1, 2, 4)) {
+      val maxV = (1 << d) - 1
+      val factor = 255 / maxV
+      val gBytes = Png.encodeDepth(w, h, 0, d,
+        (x, y, _) => (x * 3 + y * 5) % (maxV + 1), interlace = true)
+      val g = Png.decode(gBytes)
+      assert(g.interlaced, "IHDR must carry interlace method 1")
+      val jdkG = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(gBytes))
+      assert(jdkG != null, s"ImageIO could not parse $d-bit Adam7 gray")
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = ((x * 3 + y * 5) % (maxV + 1)) * factor
+        val got = (g.pixels(y * w + x) >> 16) & 0xff
+        assert(got == want, s"d=$d Adam7 gray ($x,$y): $got != $want")
+        assert(got == ((jdkG.getRGB(x, y) >> 16) & 0xff),
+          s"d=$d Adam7 gray vs ImageIO ($x,$y)")
+      }
+      val pal = Array.tabulate(maxV + 1)(i =>
+        (0xff << 24) | (((i * 37) % 256) << 16) |
+          (((i * 59) % 256) << 8) | ((i * 83) % 256))
+      val pBytes = Png.encodeDepth(w, h, 3, d,
+        (x, y, _) => (x + 2 * y) % (maxV + 1), pal, interlace = true)
+      val p = Png.decode(pBytes)
+      val jdkP = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(pBytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = pal((x + 2 * y) % (maxV + 1))
+        assert(p.pixels(y * w + x) == want, s"d=$d Adam7 palette ($x,$y)")
+        assert(jdkP.getRGB(x, y) == want,
+          s"d=$d Adam7 palette vs ImageIO ($x,$y)")
+      }
+    }
+    def s16(x: Int, y: Int, c: Int) = (x * 4321 + y * 987 + c * 4099) % 65536
+    for (ct <- Seq(0, 2, 6)) {
+      val bytes = Png.encodeDepth(w, h, ct, 16, s16, interlace = true)
+      val ours = Png.decode(bytes)
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"ImageIO could not parse 16-bit Adam7 ct=$ct")
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = ours.pixels(y * w + x)
+        val gotByChan = ct match {
+          case 0 => Seq((p >> 16) & 0xff)
+          case 2 => Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          case _ => Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff,
+            (p >>> 24) & 0xff)
+        }
+        gotByChan.zipWithIndex.foreach { case (got, c) =>
+          assert(got == (s16(x, y, c) >> 8),
+            s"16-bit Adam7 ct=$ct ($x,$y,c=$c) closed form")
+          assert(got == (jdk.getRaster.getSample(x, y, c) >> 8),
+            s"16-bit Adam7 ct=$ct ($x,$y,c=$c) vs ImageIO")
+        }
+      }
+    }
+  }
+
   test("16-bit depths project to the high byte, cross-validated " +
       "against ImageIO raster samples") {
     val (w, h) = (17, 11)
