@@ -2597,6 +2597,14 @@ object Maintenance {
     }
   }
 
+  /** Rewrite attempts DISCARDED because a concurrent commit bumped the
+    * version mid-attempt — the OCC conflict path. Monotonic,
+    * process-wide, observability only (never read by the protocol):
+    * stress specs assert a race actually pushed the retry loop rather
+    * than the writers accidentally serializing.
+    */
+  val rewriteConflicts = new java.util.concurrent.atomic.AtomicLong()
+
   private def optimisticRewrite(spark: SparkSession, path: String,
       tmpSuffix: String)(write: (DataFrame, String) => Unit): Unit = {
     val tmp = path + tmpSuffix
@@ -2613,7 +2621,10 @@ object Maintenance {
       write(readTable(spark, path), tmp)
       committed = withCommitLock(path) {
         if (readVersion(path) == v0) { swapCommit(spark, path, tmp); true }
-        else { deleteRecursively(new java.io.File(tmp)); false }
+        else {
+          rewriteConflicts.incrementAndGet()
+          deleteRecursively(new java.io.File(tmp)); false
+        }
       }
     }
     if (!committed) {

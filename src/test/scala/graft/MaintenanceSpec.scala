@@ -205,6 +205,68 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.parquetFileCount(p) <= 2)
   }
 
+  test("OCC stress: two hot appenders racing a rewriter lose nothing " +
+      "and the retry loop is actually exercised") {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-occ2-${UUID.randomUUID()}/t").getAbsolutePath
+    spark.range(0, 500).toDF("id").write.parquet(p)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val counts = Array.fill(2)(
+      new java.util.concurrent.atomic.AtomicInteger(0))
+    val conflicts0 = Maintenance.rewriteConflicts.get()
+    // disjoint id bases so lost rows are attributable to a writer
+    val bases = Array(10000L, 100000L)
+    val appenders = Array.tabulate(2) { a =>
+      new Thread(() => {
+        try {
+          var i = 0
+          // adaptive length: run until the main loop has SEEN an OCC
+          // conflict (and a floor of 12 appends), hard cap 60 — the
+          // race is overwhelmingly probable per rewrite attempt (the
+          // conflict window spans the whole compaction job), the cap
+          // only bounds a pathological scheduler
+          while (!stop.get() && i < 60) {
+            Maintenance.commitAppend(spark, p,
+              spark.range(bases(a) + i * 10L, bases(a) + i * 10L + 10)
+                .toDF("id"))
+            counts(a).incrementAndGet()
+            i += 1
+          }
+        } catch { case t: Throwable => err.set(t) }
+      })
+    }
+    appenders.foreach(_.start())
+    var compacts = 0
+    while (appenders.exists(_.isAlive)) {
+      Maintenance.compact(spark, p, targetFiles = 2)
+      compacts += 1
+      if (Maintenance.rewriteConflicts.get() > conflicts0 &&
+          counts.forall(_.get() >= 12))
+        stop.set(true)
+    }
+    appenders.foreach(_.join())
+    assert(err.get() == null, s"appender failed: ${err.get()}")
+    val conflicts = Maintenance.rewriteConflicts.get() - conflicts0
+    assert(conflicts > 0,
+      s"the stress race never hit the OCC conflict path " +
+        s"($compacts rewrites vs ${counts.map(_.get()).sum} appends)")
+    // quiesced final compact for a deterministic layout
+    Maintenance.compact(spark, p, targetFiles = 2)
+    val want = (0L until 500L).toSet ++
+      (0 until 2).flatMap(a => (0 until counts(a).get()).flatMap(i =>
+        bases(a) + i * 10L until bases(a) + i * 10L + 10)).toSet
+    val ids = spark.read.parquet(p).select("id").collect()
+      .map(_.getLong(0))
+    assert(ids.length == want.size,
+      s"rows lost under the 3-writer race: ${ids.length} of " +
+        s"${want.size} (compacts=$compacts conflicts=$conflicts)")
+    assert(ids.toSet == want)
+    // every surviving commit advanced the version exactly once
+    assert(Maintenance.readVersion(p) >= counts.map(_.get()).sum + 1)
+    assert(Maintenance.parquetFileCount(p) <= 2)
+  }
+
   test("vacuum never reclaims a committed append, even with a stale mtime") {
     val p = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-occ-vac-${UUID.randomUUID()}/t").getAbsolutePath
@@ -845,7 +907,9 @@ class MaintenanceSpec extends AnyFunSuite {
       (lo, lo + rnd.nextInt(10))
     }
     appendBatch()
-    for (step <- 1 to 14) {
+    // 40 steps (r12 ran 14): long enough that every verb recurs several
+    // times and delete/update/merge land on multi-generation layouts
+    for (step <- 1 to 40) {
       // while vectors are outstanding only append / DV-delete / apply
       // are legal (the guards refuse the rewrite verbs — tested above)
       val dvOutstanding = Maintenance.outstandingDvFiles(p).nonEmpty
