@@ -814,6 +814,76 @@ object MultimodalOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // Full VP8L (WebP LOSSLESS) pixel decode (multimodal.Vp8l): real
+  // canonical-Huffman entropy streams with the coding class rotating per
+  // id — literals (meta-Huffman groups on id%12==6), color cache + LZ77
+  // RLE, subtract-green, predictor transform (all 14 modes across the
+  // corpus), delta-coded palette at every bundling width, cross-color —
+  // over the same position-weighted checksum as the PNG/TIFF tiers
+  // (alpha-weighted too: Σ (1+x+2y)(r+2g+3b+4a)), so a misplaced LZ77
+  // copy, a swapped Huffman group or a wrong transform inverse all fail
+  // the value compare. Every class is LOSSLESS, so the oracle is the one
+  // closed form regardless of coding path. Scale shape: pure per-row CPU
+  // in one mapPartitions, no shuffle.
+  private def mmWebpDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val img = graft.multimodal.Vp8l.decode(
+          graft.multimodal.Vp8l.fixtureLosslessPayload(id))
+        var chk = 0L
+        var y = 0
+        while (y < img.height) {
+          var x = 0
+          while (x < img.width) {
+            val p = img.pixels(y * img.width + x)
+            chk += (1L + x + 2L * y) * (((p >>> 16) & 0xff) +
+              2L * ((p >>> 8) & 0xff) + 3L * (p & 0xff) +
+              4L * ((p >>> 24) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        (id, img.width.toLong, img.height.toLong,
+          if (img.hasAlpha) 1L else 0L, chk)
+      })
+      .toDF("doc_id", "width", "height", "has_alpha", "checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmWebpDecodeSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id*3) % 21 AS h,
+      |    doc_id % 6 AS cls,
+      |    CASE ((doc_id // 6) % 4) WHEN 0 THEN 2 WHEN 1 THEN 4
+      |         WHEN 2 THEN 16 ELSE 64 END AS psize
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, cls, x, y,
+      |    (x + y + doc_id) % psize AS pi
+      |  FROM dims,
+      |    unnest(generate_series(0, w - 1)) t1(x),
+      |    unnest(generate_series(0, h - 1)) t2(y)),
+      |rgba AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    CASE WHEN cls = 4 THEN (pi*37) % 256
+      |         ELSE ((x//4)*7 + y*11 + doc_id*13) % 256 END AS r,
+      |    CASE WHEN cls = 4 THEN (pi*59) % 256
+      |         ELSE ((x//4)*3 + y*5 + doc_id*17) % 256 END AS g,
+      |    CASE WHEN cls = 4 THEN (pi*83) % 256
+      |         ELSE ((x//4)*11 + y*13 + doc_id*19) % 256 END AS b,
+      |    CASE WHEN cls = 4 THEN 255
+      |         WHEN doc_id % 3 = 1 THEN 200 + (x//4 + y + doc_id) % 56
+      |         ELSE 255 END AS a,
+      |    CASE WHEN doc_id % 3 = 1 AND cls != 4 THEN 1 ELSE 0 END AS ha
+      |  FROM px)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(min(ha) AS BIGINT) AS has_alpha,
+      |  CAST(sum((1 + x + 2*y) * (r + 2*g + 3*b + 4*a)) AS BIGINT)
+      |    AS checksum
+      |FROM rgba GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // MJPEG-in-AVI video frame sampling + decode — the video tier DONE, not
   // seamed: Motion-JPEG is the one video codec a bare JVM can genuinely
   // decode (every frame is a baseline JPEG), so this query runs the full
@@ -1028,6 +1098,7 @@ object MultimodalOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "mm_webp_decode" -> mmWebpDecode _,
     "mm_flac_decode" -> mmFlacDecode _,
     "mm_tiff_decode" -> mmTiffDecode _,
     "mm_flac_meta" -> mmFlacMeta _,
@@ -1054,6 +1125,7 @@ object MultimodalOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_webp_decode" -> mmWebpDecodeSql,
     "mm_flac_decode" -> mmFlacDecodeSql,
     "mm_tiff_decode" -> mmTiffDecodeSql,
     "mm_flac_meta" -> mmFlacMetaSql,
