@@ -8,16 +8,17 @@ package graft.multimodal
   * tiles (TileWidth/TileLength multiples of 16, row-major tile walk,
   * edge padding clipped on copy-out) — all four common chunk
   * compressions — none, LZW (the spec §13 MSB-first early-change
-  * variant), Deflate (8) and PackBits (32773) — and the photometric
+  * variant), Deflate (8) and PackBits (32773) — the photometric
   * interpretations a baseline reader must know — BlackIsZero /
-  * WhiteIsZero grayscale, chunky RGB, and RGBPalette through the
-  * 16-bit-per-entry ColorMap.
+  * WhiteIsZero grayscale (8- and 16-bit, high-byte projection), chunky
+  * RGB, and RGBPalette through the 16-bit-per-entry ColorMap — and
+  * PlanarConfiguration 2 (component-planar strip RGB, §14).
   *
-  * Out-of-scope shapes reject LOUDLY by name (planar configuration 2,
-  * JPEG-in-TIFF compression, bit depths other than 8, mixed
-  * strip+tile tag sets) — the honest-boundary convention of the other
-  * tiers. [[Exif]] walks the same IFD grammar for JPEG APP1 metadata;
-  * this module owns actual TIFF pixel data.
+  * Out-of-scope shapes reject LOUDLY by name (16-bit color, planar
+  * tiles, JPEG-in-TIFF compression, sub-byte depths, mixed strip+tile
+  * tag sets) — the honest-boundary convention of the other tiers.
+  * [[Exif]] walks the same IFD grammar for JPEG APP1 metadata; this
+  * module owns actual TIFF pixel data.
   *
   * Format is the public Adobe TIFF 6.0 specification. Beyond-reference
   * multimodal surface (SURVEY §5 scope).
@@ -96,9 +97,9 @@ object Tiff {
         case 257 => h = values(e)(0).toInt
         case 258 =>
           val v = values(e)
-          require(v.forall(_ == 8),
-            s"bit depth ${v.mkString("/")} unsupported (8-bit baseline)")
-          bits = 8
+          require(v.forall(_ == v(0)) && (v(0) == 8 || v(0) == 16),
+            s"bit depth ${v.mkString("/")} unsupported (8/16 baseline)")
+          bits = v(0).toInt
         case 259 =>
           compression = values(e)(0).toInt
           require(compression == 1 || compression == 5 ||
@@ -115,8 +116,8 @@ object Tiff {
         case 279 => stripCounts = values(e)
         case 284 =>
           planar = values(e)(0).toInt
-          require(planar == 1,
-            "planar configuration 2 unsupported (chunky baseline)")
+          require(planar == 1 || planar == 2,
+            s"planar configuration $planar undefined")
         case 320 =>
           val typ = r.u16(e + 2)
           require(typ == 3, "ColorMap must be SHORT")
@@ -146,6 +147,10 @@ object Tiff {
     } else require(stripOffsets != null && stripCounts != null &&
       stripOffsets.length == stripCounts.length,
       "TIFF without matching StripOffsets/StripByteCounts")
+    require(bits == 8 || (samplesPP == 1 && photometric <= 1),
+      "16-bit samples supported for grayscale only")
+    require(planar == 1 || (photometric == 2 && !tiled && bits == 8),
+      "planar configuration 2 supported for 8-bit strip RGB only")
     val expSamples = if (photometric == 2) 3 else 1
     require(samplesPP == expSamples,
       s"SamplesPerPixel $samplesPP contradicts photometric $photometric")
@@ -215,8 +220,11 @@ object Tiff {
       }
     }
 
-    // decode strips or tiles to one contiguous sample buffer
-    val rowBytes = w * samplesPP
+    // decode strips or tiles to one contiguous sample buffer: chunky
+    // interleaved rows normally; for planar config 2, three w*h
+    // component planes back to back (same total size: rowBytes = 3w)
+    val bytesPS = bits / 8
+    val rowBytes = w * samplesPP * bytesPS
     val data = new Array[Byte](rowBytes * h)
     if (tiled) {
       // §15: tiles are FULL tileW x tileL rasters left-to-right,
@@ -226,7 +234,7 @@ object Tiff {
       require(tileOffsets.length == across * down,
         s"${tileOffsets.length} tiles, expected ${across * down} " +
           s"($across x $down)")
-      val tileRowBytes = tileW * samplesPP
+      val tileRowBytes = tileW * samplesPP * bytesPS
       val need = tileRowBytes * tileL
       var t = 0
       while (t < tileOffsets.length) {
@@ -235,15 +243,37 @@ object Tiff {
         val tx = (t % across) * tileW
         val ty = (t / across) * tileL
         val copyRows = math.min(tileL, h - ty)
-        val copyBytes = math.min(tileW, w - tx) * samplesPP
+        val copyBytes = math.min(tileW, w - tx) * samplesPP * bytesPS
         var ry = 0
         while (ry < copyRows) {
           System.arraycopy(dec, ry * tileRowBytes, data,
-            (ty + ry) * rowBytes + tx * samplesPP, copyBytes)
+            (ty + ry) * rowBytes + tx * samplesPP * bytesPS, copyBytes)
           ry += 1
         }
         t += 1
       }
+    } else if (planar == 2) {
+      // component-planar strips: all of plane 0's strips, then plane 1,
+      // then plane 2, each plane sliced by RowsPerStrip like a chunky
+      // single-component image (spec §14, PlanarConfiguration 2)
+      require(stripOffsets.length % 3 == 0,
+        s"planar RGB needs 3N strips, got ${stripOffsets.length}")
+      val perPlane = stripOffsets.length / 3
+      val rps = math.min(rowsPerStrip, h)
+      var sIdx = 0
+      while (sIdx < stripOffsets.length) {
+        val plane = sIdx / perPlane
+        val row0 = (sIdx % perPlane) * rps
+        val rows = math.min(rps, h - row0)
+        require(rows > 0, "more planar strips than image rows")
+        val need = rows * w
+        val dec = decompressChunk("strip", sIdx, stripOffsets(sIdx),
+          stripCounts(sIdx), need)
+        System.arraycopy(dec, 0, data, plane * w * h + row0 * w, need)
+        sIdx += 1
+      }
+      require(perPlane.toLong * rps >= h,
+        s"planar strips cover only ${perPlane * rps} of $h rows")
     } else {
       var row = 0
       var s = 0
@@ -260,20 +290,30 @@ object Tiff {
       require(row >= h, s"strips cover only $row of $h rows")
     }
 
+    // channel c of pixel j, projected to 8 bits: planar reads its
+    // plane; 16-bit samples keep the high byte (byte-order aware), the
+    // canonical 16->8 projection — exact for v*257-shaped samples
+    def sampleAt(j: Int, c: Int): Int =
+      if (planar == 2) data(c * w * h + j) & 0xff
+      else if (bits == 8) data(j * samplesPP + c) & 0xff
+      else {
+        val o2 = (j * samplesPP + c) * 2
+        if (le) data(o2 + 1) & 0xff else data(o2) & 0xff
+      }
     val out = new Array[Int](w * h)
     var j = 0
     while (j < w * h) {
       out(j) = photometric match {
         case 0 => // WhiteIsZero: invert to the usual scale
-          val v = 255 - (data(j) & 0xff)
+          val v = 255 - sampleAt(j, 0)
           (0xff << 24) | (v << 16) | (v << 8) | v
         case 1 =>
-          val v = data(j) & 0xff
+          val v = sampleAt(j, 0)
           (0xff << 24) | (v << 16) | (v << 8) | v
         case 2 =>
-          (0xff << 24) | ((data(3 * j) & 0xff) << 16) |
-            ((data(3 * j + 1) & 0xff) << 8) | (data(3 * j + 2) & 0xff)
-        case _ => palette(data(j) & 0xff)
+          (0xff << 24) | (sampleAt(j, 0) << 16) |
+            (sampleAt(j, 1) << 8) | sampleAt(j, 2)
+        case _ => palette(sampleAt(j, 0))
       }
       j += 1
     }
@@ -446,21 +486,31 @@ object Tiff {
     * (PackBits) applied per chunk. Organization: strips sliced by
     * `rowsPerStrip`, or — when `tileW`/`tileL` are set (multiples of
     * 16 per spec §15) — full-size tiles left-to-right top-to-bottom
-    * with zero padding past the image edge.
+    * with zero padding past the image edge. `bitsPerSample` 16 stores
+    * byte-ordered 16-bit grayscale; `planar` 2 stores strip RGB as
+    * three component planes (plane-major strip order).
     */
   def encode(w: Int, h: Int, photometric: Int, le: Boolean,
       compression: Int, rowsPerStrip: Int,
       sample: (Int, Int, Int) => Int,
       palette: Array[Int] = null,
-      tileW: Int = 0, tileL: Int = 0): Array[Byte] = {
+      tileW: Int = 0, tileL: Int = 0,
+      bitsPerSample: Int = 8, planar: Int = 1): Array[Byte] = {
     require(photometric >= 0 && photometric <= 3)
     require(compression == 1 || compression == 5 || compression == 8 ||
       compression == 32773, s"writer compression $compression")
     val tiledOut = tileW > 0 || tileL > 0
     require(!tiledOut || (tileW % 16 == 0 && tileL % 16 == 0 &&
       tileW > 0 && tileL > 0), "tile dims must be positive multiples of 16")
+    require(bitsPerSample == 8 ||
+      (bitsPerSample == 16 && photometric <= 1),
+      "writer: 16-bit samples for grayscale only")
+    require(planar == 1 ||
+      (planar == 2 && photometric == 2 && !tiledOut && bitsPerSample == 8),
+      "writer: planar config 2 for 8-bit strip RGB only")
+    val bps = bitsPerSample / 8
     val spp = if (photometric == 2) 3 else 1
-    val rowBytes = w * spp
+    val rowBytes = w * spp * bps
     def compress(raw: Array[Byte]): Array[Byte] = compression match {
       case 1 => raw
       case 5 => lzwEncode(raw)
@@ -474,28 +524,51 @@ object Tiff {
         zo.toByteArray
       case _ => packBits(raw)
     }
+    // store one sample at byte offset `o` (1 or 2 bytes, byte-ordered)
+    def putSample(raw: Array[Byte], o: Int, v: Int): Unit =
+      if (bps == 1) raw(o) = (v & 0xff).toByte
+      else if (le) {
+        raw(o) = (v & 0xff).toByte
+        raw(o + 1) = ((v >> 8) & 0xff).toByte
+      } else {
+        raw(o) = ((v >> 8) & 0xff).toByte
+        raw(o + 1) = (v & 0xff).toByte
+      }
     val across = if (tiledOut) (w + tileW - 1) / tileW else 0
     val down = if (tiledOut) (h + tileL - 1) / tileL else 0
     val chunkData: Array[Array[Byte]] =
       if (tiledOut) Array.tabulate(across * down) { t =>
         val tx = (t % across) * tileW
         val ty = (t / across) * tileL
-        val raw = new Array[Byte](tileW * tileL * spp)
+        val raw = new Array[Byte](tileW * tileL * spp * bps)
         for (ry <- 0 until tileL; x <- 0 until tileW; c <- 0 until spp) {
           val gx = tx + x; val gy = ty + ry
           if (gx < w && gy < h)
-            raw((ry * tileW + x) * spp + c) =
-              (sample(gx, gy, c) & 0xff).toByte
+            putSample(raw, ((ry * tileW + x) * spp + c) * bps,
+              sample(gx, gy, c))
         }
         compress(raw)
+      } else if (planar == 2) {
+        // plane-major strips: all component-0 strips, then 1, then 2
+        val strips = (h + rowsPerStrip - 1) / rowsPerStrip
+        Array.tabulate(3 * strips) { si =>
+          val c = si / strips
+          val s = si % strips
+          val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+          val raw = new Array[Byte](rows * w)
+          for (ry <- 0 until rows; x <- 0 until w)
+            raw(ry * w + x) =
+              (sample(x, s * rowsPerStrip + ry, c) & 0xff).toByte
+          compress(raw)
+        }
       } else {
         val strips = (h + rowsPerStrip - 1) / rowsPerStrip
         Array.tabulate(strips) { s =>
           val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
           val raw = new Array[Byte](rows * rowBytes)
           for (ry <- 0 until rows; x <- 0 until w; c <- 0 until spp)
-            raw(ry * rowBytes + x * spp + c) =
-              (sample(x, s * rowsPerStrip + ry, c) & 0xff).toByte
+            putSample(raw, ry * rowBytes + (x * spp + c) * bps,
+              sample(x, s * rowsPerStrip + ry, c))
           compress(raw)
         }
       }
@@ -512,7 +585,7 @@ object Tiff {
     w32(8) // IFD right after the header
     // strips carry 273/278/279 (3 tags); tiles carry 322/323/324/325 (4)
     val nTags = (if (tiledOut) 10 else 9) +
-      (if (photometric == 3) 1 else 0)
+      (if (photometric == 3) 1 else 0) + (if (planar == 2) 1 else 0)
     // layout: header(8) IFD(2 + 12n + 4) [chunk offset/count arrays if
     // needed] [BitsPerSample array for RGB] [ColorMap] chunk data
     var tail = 8 + 2 + 12 * nTags + 4
@@ -533,7 +606,8 @@ object Tiff {
     }
     tag(256, 4, 1, w)
     tag(257, 4, 1, h)
-    if (spp == 3) tag(258, 3, 3, bpsArr) else tag(258, 3, 1, 8)
+    if (spp == 3) tag(258, 3, 3, bpsArr)
+    else tag(258, 3, 1, bitsPerSample)
     tag(259, 3, 1, compression)
     tag(262, 3, 1, photometric)
     if (!tiledOut) {
@@ -546,6 +620,7 @@ object Tiff {
       if (nChunks > 1) tag(279, 4, nChunks, chunkCntArr)
       else tag(279, 4, 1, chunkData(0).length)
     }
+    if (planar == 2) tag(284, 3, 1, 2)
     if (photometric == 3) tag(320, 3, 768, cmapArr)
     if (tiledOut) { // tags stay ascending: 320 < 322
       tag(322, 4, 1, tileW)
@@ -597,11 +672,23 @@ object Tiff {
     val sample = (x: Int, y: Int, c: Int) =>
       ((x / 5) * 31 + y * 7 + id * 13 + c * 5).toInt % 256
     val pal = if (photometric == 3) fixturePalette else null
+    // depth/planar rotation (id%7 axis, orthogonal to the others):
+    // gray ids with id%7==0 store 16-bit samples shaped v*257, whose
+    // high-byte projection restores v exactly; strip RGB ids with
+    // id%7==1 store planar config 2 — both LOSSLESS re-layouts, so the
+    // decoded pixels (and the mm_tiff_decode oracle) are unchanged
+    val bits16 = photometric == 1 && id % 7 == 0
+    val planar2 = photometric == 2 && org < 3 && id % 7 == 1
+    val s16 = if (bits16) (x: Int, y: Int, c: Int) => sample(x, y, c) * 257
+      else sample
     if (org >= 3)
       encode(w, h, photometric, le, compression, rowsPerStrip = 0,
-        sample, pal, tileW = if (org == 3) 16 else 32, tileL = 16)
+        s16, pal, tileW = if (org == 3) 16 else 32, tileL = 16,
+        bitsPerSample = if (bits16) 16 else 8)
     else
       encode(w, h, photometric, le, compression,
-        Array(4, 7, 1000)(org), sample, pal)
+        Array(4, 7, 1000)(org), s16, pal,
+        bitsPerSample = if (bits16) 16 else 8,
+        planar = if (planar2) 2 else 1)
   }
 }

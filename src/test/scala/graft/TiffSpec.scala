@@ -50,10 +50,12 @@ class TiffSpec extends AnyFunSuite {
       val ours = Tiff.decode(bytes)
       assert(jdk.getWidth == ours.width && jdk.getHeight == ours.height)
       val gray = id % 3 == 0
+      val wide = gray && id % 7 == 0 // 16-bit fixture: project high byte
       for (y <- 0 until ours.height; x <- 0 until ours.width) {
         val want =
           if (gray) { // gray loads in a linear gray space; read raw
-            val v = jdk.getRaster.getSample(x, y, 0)
+            val raw = jdk.getRaster.getSample(x, y, 0)
+            val v = if (wide) raw >> 8 else raw
             (0xff << 24) | (v << 16) | (v << 8) | v
           } else jdk.getRGB(x, y)
         val got = ours.pixels(y * ours.width + x)
@@ -175,6 +177,61 @@ class TiffSpec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](Tiff.decode(badN))
     assert(e3.getMessage.contains("tiles") ||
       e3.getMessage.contains("matching"), e3.getMessage)
+  }
+
+  test("16-bit grayscale: high-byte projection, both byte orders, " +
+      "strips and tiles, vs the JDK reader") {
+    // arbitrary (non-v*257) 16-bit samples: projection = high byte
+    val f16 = (x: Int, y: Int, _: Int) => (x * 4321 + y * 987) % 65536
+    for (le <- Seq(true, false); comp <- Seq(1, 5)) {
+      val bytes = Tiff.encode(23, 11, 1, le, comp, rowsPerStrip = 4,
+        f16, bitsPerSample = 16)
+      val ours = Tiff.decode(bytes)
+      for (y <- 0 until 11; x <- 0 until 23) {
+        val want = f16(x, y, 0) >> 8
+        assert(((ours.pixels(y * 23 + x) >> 16) & 0xff) == want,
+          s"le=$le comp=$comp ($x,$y)")
+      }
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(jdk != null, s"ImageIO could not parse 16-bit le=$le")
+      for (y <- 0 until 11; x <- 0 until 23)
+        assert((jdk.getRaster.getSample(x, y, 0) >> 8) ==
+          ((ours.pixels(y * 23 + x) >> 16) & 0xff),
+          s"le=$le comp=$comp ($x,$y) vs ImageIO")
+    }
+    // tiled 16-bit gray
+    val bytes = Tiff.encode(40, 20, 1, le = true, compression = 8,
+      rowsPerStrip = 0, f16, tileW = 16, tileL = 16, bitsPerSample = 16)
+    val ours = Tiff.decode(bytes)
+    for (y <- 0 until 20; x <- 0 until 40)
+      assert(((ours.pixels(y * 40 + x) >> 16) & 0xff) == (f16(x, y, 0) >> 8),
+        s"tiled 16-bit ($x,$y)")
+  }
+
+  test("planar configuration 2: component-planar strip RGB matches " +
+      "chunky decode and the JDK reader") {
+    val f = (x: Int, y: Int, c: Int) => (x * 3 + y * 7 + c * 11) % 256
+    for (comp <- Seq(1, 32773); le <- Seq(true, false)) {
+      val planar = Tiff.encode(19, 13, 2, le, comp, rowsPerStrip = 5,
+        f, planar = 2)
+      val chunky = Tiff.encode(19, 13, 2, le, comp, rowsPerStrip = 5, f)
+      val a = Tiff.decode(planar)
+      val b = Tiff.decode(chunky)
+      assert(a.pixels.sameElements(b.pixels),
+        s"comp=$comp le=$le planar != chunky")
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(planar))
+      assert(jdk != null, s"ImageIO could not parse planar comp=$comp")
+      for (y <- 0 until 13; x <- 0 until 19)
+        assert(jdk.getRGB(x, y) == a.pixels(y * 19 + x),
+          s"comp=$comp le=$le ($x,$y) vs ImageIO")
+    }
+    // out-of-scope planar shapes reject by name
+    val e = intercept[IllegalArgumentException](
+      Tiff.encode(19, 13, 1, le = true, compression = 1, rowsPerStrip = 5,
+        f, planar = 2))
+    assert(e.getMessage.contains("planar"), e.getMessage)
   }
 
   test("out-of-scope shapes reject loudly by name") {
