@@ -597,6 +597,19 @@ object DedupOps {
     // invariant (greedy min-id over an id-ordered spool), and
     // StreamingSpec drives the same pipeline 1-file-per-trigger for the
     // strict-incremental replay/restart contracts.
+    //
+    // FLOOR NOTE (r13 audit, clean in-sweep records after the bench
+    // state-store fix): 5.7 s at sf0.1. No stateful operators are
+    // involved (pure foreachBatch), so there is no state-store snapshot
+    // cadence to tune; checkpoint writes are AvailableNow offset/commit
+    // files (milliseconds). The cost decomposes as 2 contract-mandated
+    // triggers x one full LSH pipeline each (shingle -> minhash -> band
+    // -> candidate -> verify -> iterative components, the same chain
+    // the batch twin dd_minhash_lsh records 3.7 s for ONCE) plus two
+    // protocol commits per trigger. Going faster means fewer triggers
+    // (violates the cross-batch-probe contract) or a cheaper commit
+    // protocol (shared with 20+ green queries) — the floor is
+    // trigger-count x irreducible pipeline cost, not harness overhead.
     incrementalNearDupRun(s, spool, s"$work/curated", s"$work/bands",
       s"$work/_chk", filesPerTrigger = 2)
     graft.streaming.WorkDirs.materializeAndClean(

@@ -1062,6 +1062,17 @@ object Extras {
   // never one lucky big one — while halving the fixed per-trigger stage
   // latency of the strict 1-file walk (the closed form is trigger-count
   // invariant; signed partials are associative).
+  //
+  // FLOOR NOTE (r13 audit, clean in-sweep records): 5.2 s at sf0.1, of
+  // which ~3.2 s is the setup the batch twin k19_ivm_retract shares
+  // verbatim (4 sequential protocol commits building the change feed +
+  // bootstrap + delete + merge — k19 records 3.2 s in the same sweep);
+  // the streamed fold adds ~2 s = 3 contract-mandated micro-batches x a
+  // read-state/union/aggregate/overwrite chain of small jobs. No
+  // stateful operators (foreachBatch), so no state-store cadence to
+  // tune; the parquet read-modify-write per trigger IS the documented
+  // at-scale pattern (a 100-TB view cannot live on the driver). Floor =
+  // shared-setup cost + trigger count x fold chain.
   private def stIvmStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val work = new java.io.File(sys.props("java.io.tmpdir"),
