@@ -11,9 +11,10 @@ package graft.multimodal
   * skip path; torn structures reject loudly. Audio SAMPLE decode lives
   * below ([[decodeAudio]]): FIXED and LPC predictor subframes with
   * partitioned-Rice residuals, left/right/mid-side stereo
-  * decorrelation, and CRC-verified frames; the remaining documented
-  * seams are variable-blocksize streams and 32-bit decorrelated stereo
-  * (33-bit side channels).
+  * decorrelation, BOTH blocksize strategies (fixed frame numbers and
+  * variable-blocksize sample numbers, multi-byte coded), and
+  * CRC-verified frames; the remaining documented seam is 32-bit
+  * decorrelated stereo (33-bit side channels).
   *
   * Format is the public xiph.org FLAC specification. Beyond-reference
   * multimodal surface (SURVEY §5 scope).
@@ -95,9 +96,11 @@ object Flac {
   // 5-bit parameter widths, escape partitions), CONSTANT and VERBATIM
   // subframes, wasted bits, the three stereo decorrelation channel
   // assignments (left/side, right/side, mid/side — side at bps+1),
-  // multi-frame fixed-blocksize streams, and the frame-trailing CRC-16
-  // — all per RFC 9639 / the xiph.org spec. Remaining DOCUMENTED loud
-  // rejects: variable-blocksize streams and 33-bit side channels.
+  // multi-frame streams under BOTH blocksize strategies (fixed: coded
+  // frame numbers; variable: coded first-sample numbers, multi-byte
+  // UTF-8-style), and the frame-trailing CRC-16 — all per RFC 9639 /
+  // the xiph.org spec. Remaining DOCUMENTED loud reject: 33-bit side
+  // channels.
 
   /** Decoded stream: STREAMINFO + interleaved PCM (frame by frame,
     * sample-major: `samples(i*channels + c)`).
@@ -200,8 +203,9 @@ object Flac {
       val br = new BitReader(p, o)
       require(br.bits(14) == 0x3ffe, "bad FLAC frame sync")
       require(br.bit() == 0, "reserved sync bit must be 0")
-      require(br.bit() == 0,
-        "variable-blocksize streams not supported (documented seam)")
+      // strategy bit: 0 = fixed blocksize (coded number = frame index),
+      // 1 = variable blocksize (coded number = first SAMPLE index)
+      val variable = br.bit() == 1
       val bsCode = br.bits(4).toInt
       val srCode = br.bits(4).toInt
       val chCode = br.bits(4).toInt
@@ -226,7 +230,10 @@ object Flac {
           }
           v
         }
-      require(codedNum == frameIdx,
+      if (variable)
+        require(codedNum == written,
+          s"frame sample number $codedNum, expected $written")
+      else require(codedNum == frameIdx,
         s"frame number $codedNum, expected $frameIdx")
       val blockSize = bsCode match {
         case 1 => 192
@@ -505,20 +512,43 @@ object Flac {
     * [[encodeStream]] (single frame, spec-exercise) and
     * [[fixtureAudioPayload]] (multi-frame corpus).
     */
-  private def encodeFrameBytes(frameIdx: Int, n: Int, chCode: Int,
+  /** FLAC "UTF-8-style" coded number (frame or sample index): one raw
+    * byte below 0x80, else an n-byte form with an n-ones lead and 6-bit
+    * continuation bytes, n up to 7 (36 payload bits) — the exact
+    * inverse of the decoder's continuation walk.
+    */
+  private def writeCodedNumber(w: BitWriter, v: Long): Unit = {
+    require(v >= 0 && v < (1L << 36), s"coded number $v exceeds 36 bits")
+    if (v < 0x80) { w.bits(v, 8); return }
+    var n = 2
+    while (v >= (1L << (5 * n + 1))) n += 1
+    var i = 0
+    while (i < n) { w.bit(1); i += 1 }
+    w.bit(0)
+    val payloadBits = 5 * n + 1
+    var remaining = payloadBits - (7 - n)
+    w.bits(v >>> remaining, 7 - n)
+    while (remaining > 0) {
+      w.bits(2, 2) // continuation marker bits 10
+      remaining -= 6
+      w.bits((v >>> remaining) & 0x3f, 6)
+    }
+  }
+
+  private def encodeFrameBytes(codedValue: Long, variable: Boolean,
+      n: Int, chCode: Int,
       ssCode: Int, subs: Array[Array[Int]], subBps: Array[Int],
       mode: Int, po: Int, riceMethod: Int, wasted: Int,
       lpcCoefs: Array[Int], lpcShift: Int, lpcPrec: Int): Array[Byte] = {
     val w = new BitWriter()
-    w.bits(0x3ffe, 14); w.bit(0); w.bit(0)
+    w.bits(0x3ffe, 14); w.bit(0)
+    w.bit(if (variable) 1 else 0) // blocksize strategy
     w.bits(7, 4) // block size: 16-bit field at header end
     w.bits(0, 4) // sample rate: from STREAMINFO
     w.bits(chCode, 4)
     w.bits(ssCode, 3)
     w.bit(0)
-    require(frameIdx >= 0 && frameIdx < 0x80,
-      "encoder keeps the coded frame number single-byte")
-    w.bits(frameIdx, 8)
+    writeCodedNumber(w, codedValue)
     w.bits(n - 1, 16)
     val headerBytes = w.toBytes
     val w2 = new BitWriter()
@@ -679,12 +709,50 @@ object Flac {
       new Array[Byte](16)
     val head = "fLaC".getBytes("US-ASCII") ++
       beBytes(0x80L, 1) ++ beBytes(34, 3) ++ streaminfo
-    head ++ encodeFrameBytes(0, n, chCode, 0, subs, subBps, mode, po,
-      riceMethod, wasted, lpcCoefs, lpcShift, lpcPrec)
+    head ++ encodeFrameBytes(0L, variable = false, n, chCode, 0, subs,
+      subBps, mode, po, riceMethod, wasted, lpcCoefs, lpcShift, lpcPrec)
+  }
+
+  /** Multi-frame VARIABLE-blocksize stream (strategy bit 1, coded
+    * SAMPLE numbers — multi-byte from frame 2 on): FIXED(2) subframes
+    * over explicit per-frame block sizes. Spec-exercise surface for the
+    * paths the fixed-blocksize family cannot reach.
+    */
+  def encodeVariableStream(chans: Array[Array[Int]], rate: Int, bps: Int,
+      blockSizes: Array[Int]): Array[Byte] = {
+    val channels = chans.length
+    require(channels >= 1 && channels <= 8, "1..8 channels")
+    val total = chans(0).length
+    require(chans.forall(_.length == total), "ragged channels")
+    require(blockSizes.nonEmpty && blockSizes.sum == total,
+      s"block sizes must cover all $total samples")
+    require(blockSizes.forall(b => b > 2 && b <= 65536),
+      "each variable block needs 3..65536 samples (FIXED(2) warmup)")
+    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | total.toLong
+    val streaminfo = beBytes(blockSizes.min.toLong, 2) ++
+      beBytes(blockSizes.max.toLong, 2) ++
+      beBytes(0, 3) ++ beBytes(0, 3) ++ beBytes(packed, 8) ++
+      new Array[Byte](16)
+    val out = new java.io.ByteArrayOutputStream()
+    val head = "fLaC".getBytes("US-ASCII") ++
+      beBytes(0x80L, 1) ++ beBytes(34, 3) ++ streaminfo
+    out.write(head, 0, head.length)
+    var written = 0
+    blockSizes.foreach { n =>
+      val subs = Array.tabulate(channels, n)((c, i) => chans(c)(written + i))
+      val frame = encodeFrameBytes(written.toLong, variable = true, n,
+        channels - 1, 0, subs, Array.fill(channels)(bps),
+        mode = 2, po = 0, riceMethod = 0, wasted = 0, null, 0, 0)
+      out.write(frame, 0, frame.length)
+      written += n
+    }
+    out.toByteArray
   }
 
   /** doc_id → a complete decodable FLAC stream: STREAMINFO, then the
-    * signal above as 1–3 fixed-size-512 frames (last one short),
+    * signal above as multiple frames — fixed-size-512 normally, a
+    * VARIABLE 448/320/512 cycle with coded sample numbers on id%5==3 —
     * partition order id%2, 16- or 24-bit samples, 1 or 2 channels.
     * The corpus rotates through the predictor families and stereo
     * modes — id%3 selects FIXED(2) / LPC(2) [4,-2]>>1 / LPC(3)
@@ -701,13 +769,6 @@ object Flac {
     val bps = 16 + ((id % 2) * 8).toInt
     val total = fixtureAudioSamples(id)
     val block = 512
-    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
-      ((bps - 1).toLong << 36) | total.toLong
-    val streaminfo = beBytes(block, 2) ++ beBytes(block, 2) ++
-      beBytes(0, 3) ++ beBytes(0, 3) ++ beBytes(packed, 8) ++
-      new Array[Byte](16)
-    val head = "fLaC".getBytes("US-ASCII") ++
-      beBytes(0x80L, 1) ++ beBytes(34, 3) ++ streaminfo
     val (mode, lpcCoefs, lpcShift, lpcPrec): (Int, Array[Int], Int, Int) =
       (id % 3).toInt match {
         case 0 => (2, null, 0, 0)
@@ -719,17 +780,46 @@ object Flac {
       else -1
     val po = (id % 2).toInt
     val ssCode = if (bps == 16) 4 else 6
+    // blocksize strategy rotation (id%5==3): VARIABLE streams cycle
+    // 448/320/512-sample frames (remainders stay even and > 2), coded
+    // numbers become multi-byte SAMPLE indexes from frame 2 on —
+    // another lossless re-layout, the decoded PCM and oracle unchanged
+    val variable = id % 5 == 3
+    val sizes: Seq[Int] =
+      if (!variable) {
+        Seq.unfold(0)(w =>
+          if (w >= total) None
+          else Some((math.min(block, total - w), w + block)))
+      } else {
+        val cyc = Array(448, 320, 512)
+        Seq.unfold((0, 0)) { case (w, k) =>
+          if (w >= total) None
+          else {
+            val n = math.min(cyc(k % 3), total - w)
+            Some((n, (w + n, k + 1)))
+          }
+        }
+      }
+    val packed = (rate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | total.toLong
+    val streaminfo = beBytes(sizes.min.toLong, 2) ++
+      beBytes(sizes.max.toLong, 2) ++
+      beBytes(0, 3) ++ beBytes(0, 3) ++ beBytes(packed, 8) ++
+      new Array[Byte](16)
+    val head = "fLaC".getBytes("US-ASCII") ++
+      beBytes(0x80L, 1) ++ beBytes(34, 3) ++ streaminfo
     val out = new java.io.ByteArrayOutputStream()
     out.write(head, 0, head.length)
     var written = 0
     var frameIdx = 0
-    while (written < total) {
-      val n = math.min(block, total - written)
+    sizes.foreach { n =>
       val chans = Array.tabulate(channels, n)((c, i) =>
         fixtureSample(id, c, written + i))
       val (subs, subBps) = decorrelate(chans, stereo, bps)
       val chCode = if (stereo == -1) channels - 1 else stereo
-      val frame = encodeFrameBytes(frameIdx, n, chCode, ssCode, subs,
+      val frame = encodeFrameBytes(
+        if (variable) written.toLong else frameIdx.toLong, variable,
+        n, chCode, ssCode, subs,
         subBps, mode, po, riceMethod = 0, wasted = 0,
         lpcCoefs, lpcShift, lpcPrec)
       out.write(frame, 0, frame.length)

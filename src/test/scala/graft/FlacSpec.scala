@@ -137,6 +137,37 @@ class FlacSpec extends AnyFunSuite {
     }
   }
 
+  test("variable-blocksize streams roundtrip; multi-byte coded sample " +
+      "numbers decode") {
+    val rnd = new scala.util.Random(13)
+    // frame 2 starts at sample 60000 -> a 3-byte coded number; frame 3
+    // at 70000 stays 3-byte; the tail frame is odd-sized
+    val n = 70007
+    val chans = Array.fill(2)(Array.fill(n)(rnd.nextInt(2001) - 1000))
+    val bytes = Flac.encodeVariableStream(chans, 44100, 16,
+      Array(60000, 10000, 7))
+    val a = Flac.decodeAudio(bytes)
+    assert(a.meta.minBlock == 7 && a.meta.maxBlock == 60000)
+    assert(a.samples.length == n * 2)
+    var bad = 0
+    for (i <- 0 until n; c <- 0 until 2)
+      if (a.samples(i * 2 + c) != chans(c)(i)) bad += 1
+    assert(bad == 0, s"$bad samples diverged across variable frames")
+    // a torn sample number (frame 2 claims the wrong start) rejects:
+    // rebuild with a gap by dropping the middle frame's samples
+    val torn = Flac.encodeVariableStream(
+      chans.map(_.take(60007)), 44100, 16, Array(60000, 7))
+    // same header but STREAMINFO total says 70007: decoder must keep
+    // walking past the end and reject, never return short PCM
+    val tornTotal = torn.clone()
+    // patch the 36-bit total inside STREAMINFO (low 4 bytes at offset
+    // 8+4+10+4=26..29 big-endian within the packed field)
+    val packed = (44100L << 44) | (1L << 41) | (15L << 36) | 70007L
+    for (i <- 0 until 8)
+      tornTotal(8 + 4 + 10 + i) = ((packed >>> (8 * (7 - i))) & 0xff).toByte
+    intercept[IllegalArgumentException](Flac.decodeAudio(tornTotal))
+  }
+
   test("torn LPC parameter fields reject loudly") {
     // hand-build a mono 16-bit, blockSize-2, LPC(1) frame whose
     // parameter fields are invalid: precision code 15, then (second
