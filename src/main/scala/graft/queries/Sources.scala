@@ -385,6 +385,59 @@ object Sources {
       |FROM mem GROUP BY doc_id, n ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S17: LZ4-framed shard ingestion (operators.Lz4) — the compressed
+  // text-shard shape (.jsonl.lz4) a training corpus ships in, next to
+  // the archive family. The frame decode (from-scratch LZ4 block +
+  // frame + xxHash32, cross-validated both directions against lz4-java
+  // in Lz4Spec) runs per task in mapPartitions — one shard per task,
+  // no shuffle until the per-shard lines aggregate; the JSON lines then
+  // flow through Spark's native from_json + hash aggregate, so the
+  // Spark side of the pipeline is declarative and codegen'd. Oracle
+  // reconstructs every line STRING in SQL and recomputes counts, the
+  // parsed bytes field, distinct hosts, and the exact uncompressed
+  // byte total — a decode slip of any kind changes one of them.
+  private def s17Lz4Ingest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val info = graft.operators.Lz4.decodeFrame(
+          graft.operators.Lz4.fixturePayload(id))
+        val text = new String(info.content,
+          java.nio.charset.StandardCharsets.UTF_8)
+        text.split("\n").iterator
+          .map(l => (id, info.content.length.toLong, l))
+      })
+      .toDF("doc_id", "shard_bytes", "line")
+      .select(col("doc_id"), col("shard_bytes"),
+        from_json(col("line"), org.apache.spark.sql.types.StructType
+          .fromDDL("doc BIGINT, seq BIGINT, host STRING, bytes BIGINT"))
+          .as("j"))
+      .groupBy(col("doc_id"), col("shard_bytes"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("j.bytes")).as("sum_bytes"),
+        countDistinct(col("j.host")).as("n_hosts"))
+      .select(col("doc_id"), col("n_lines"), col("sum_bytes"),
+        col("n_hosts"), col("shard_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val s17Lz4IngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 40 + doc_id % 30 AS n FROM documents),
+      |lines AS (
+      |  SELECT doc_id, n, k,
+      |    '{"doc":' || doc_id || ',"seq":' || k || ',"host":"h' ||
+      |      (k % 7) || '.example.com","bytes":' ||
+      |      ((k*37 + doc_id % 11) % 1000) || '}' AS line,
+      |    (k*37 + doc_id % 11) % 1000 AS b
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(k))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(b) AS BIGINT) AS sum_bytes,
+      |  CAST(count(DISTINCT k % 7) AS BIGINT) AS n_hosts,
+      |  CAST(sum(strlen(line) + 1) AS BIGINT) AS shard_bytes
+      |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -549,7 +602,8 @@ object Sources {
     "s10_orc_scan" -> s10OrcScan _,
     "s12_warc_ingest" -> s12WarcIngest _,
     "s13_tar_ingest" -> s13TarIngest _,
-    "s14_zip_ingest" -> s14ZipIngest _
+    "s14_zip_ingest" -> s14ZipIngest _,
+    "s17_lz4_ingest" -> s17Lz4Ingest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -562,6 +616,7 @@ object Sources {
     "s10_orc_scan" -> s10OrcScanSql,
     "s12_warc_ingest" -> s12WarcIngestSql,
     "s13_tar_ingest" -> s13TarIngestSql,
-    "s14_zip_ingest" -> s14ZipIngestSql
+    "s14_zip_ingest" -> s14ZipIngestSql,
+    "s17_lz4_ingest" -> s17Lz4IngestSql
   )
 }
