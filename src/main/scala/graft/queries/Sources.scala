@@ -438,6 +438,53 @@ object Sources {
       |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S18: snappy-framed shard ingestion (operators.Snappy) — the second
+  // compressed-shard codec (.tsv.sz) next to s17's LZ4, decoded by the
+  // from-scratch raw+framed Snappy implementation (cross-validated both
+  // directions against snappy-java in SnappySpec, chunk CRC-32C masks
+  // verified). Same scale contract: one shard per task in
+  // mapPartitions, then Spark-native split + hash aggregate. Oracle
+  // reconstructs every TSV row string in SQL (chr(9) tabs) and
+  // recomputes row counts, the token-field sum, distinct langs, and
+  // the exact uncompressed byte total.
+  private def s18SnappyIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val info = graft.operators.Snappy.decodeFramed(
+          graft.operators.Snappy.fixturePayload(id))
+        new String(info.content, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator
+          .map(r => (id, info.content.length.toLong, r))
+      })
+      .toDF("doc_id", "shard_bytes", "row")
+      .select(col("doc_id"), col("shard_bytes"),
+        split(col("row"), "\t").as("f"))
+      .groupBy(col("doc_id"), col("shard_bytes"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(element_at(col("f"), 4).cast("long")).as("sum_tokens"),
+        countDistinct(element_at(col("f"), 3)).as("n_langs"))
+      .select(col("doc_id"), col("n_rows"), col("sum_tokens"),
+        col("n_langs"), col("shard_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val s18SnappyIngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 50 + doc_id % 40 AS n FROM documents),
+      |tsv AS (
+      |  SELECT doc_id, n, k,
+      |    (k*53 + doc_id % 13) % 2000 AS tok,
+      |    strlen(doc_id || chr(9) || k || chr(9) || 'lang' || (k % 5) ||
+      |      chr(9) || ((k*53 + doc_id % 13) % 2000)) + 1 AS rb
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(k))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+      |  CAST(count(DISTINCT k % 5) AS BIGINT) AS n_langs,
+      |  CAST(sum(rb) AS BIGINT) AS shard_bytes
+      |FROM tsv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -603,7 +650,8 @@ object Sources {
     "s12_warc_ingest" -> s12WarcIngest _,
     "s13_tar_ingest" -> s13TarIngest _,
     "s14_zip_ingest" -> s14ZipIngest _,
-    "s17_lz4_ingest" -> s17Lz4Ingest _
+    "s17_lz4_ingest" -> s17Lz4Ingest _,
+    "s18_snappy_ingest" -> s18SnappyIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -617,6 +665,7 @@ object Sources {
     "s12_warc_ingest" -> s12WarcIngestSql,
     "s13_tar_ingest" -> s13TarIngestSql,
     "s14_zip_ingest" -> s14ZipIngestSql,
-    "s17_lz4_ingest" -> s17Lz4IngestSql
+    "s17_lz4_ingest" -> s17Lz4IngestSql,
+    "s18_snappy_ingest" -> s18SnappyIngestSql
   )
 }
