@@ -485,6 +485,69 @@ object Sources {
       |FROM tsv GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S19: multi-member gzip shard ingestion (operators.Inflate) — the
+  // .jsonl.gz / pigz / .warc.gz member-per-chunk shape decoded by the
+  // FROM-SCRATCH RFC 1951/1952 inflater (all three block types, full
+  // optional-header grammar, CRC-32/ISIZE/FHCRC verified; JDK
+  // cross-validated both directions in InflateSpec) instead of the
+  // JDK's GZIPInputStream the other gzip consumers use. Same per-task
+  // scale contract; the member fan-out keeps doc-level constants
+  // (member count, byte total, first member name) computed once in the
+  // task, so the aggregate can't double-count them.
+  private def s19GzipIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val members = graft.operators.Inflate.gunzipMembers(
+          graft.operators.Inflate.fixturePayload(id))
+        val total = members.map(_.content.length.toLong).sum
+        val first = members.head.name.getOrElse("")
+        members.iterator.flatMap { m =>
+          new String(m.content, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").iterator
+            .map(l => (id, members.size.toLong, total, first, l))
+        }
+      })
+      .toDF("doc_id", "n_members", "total_bytes", "first_name", "line")
+      .select(col("doc_id"), col("n_members"), col("total_bytes"),
+        col("first_name"),
+        from_json(col("line"), org.apache.spark.sql.types.StructType
+          .fromDDL(
+            "doc BIGINT, member BIGINT, seq BIGINT, score BIGINT"))
+          .as("j"))
+      .groupBy(col("doc_id"), col("n_members"), col("total_bytes"),
+        col("first_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("j.score")).as("sum_score"),
+        countDistinct(col("j.member")).as("n_members_seen"))
+      .select(col("doc_id"), col("n_members"), col("n_lines"),
+        col("sum_score"), col("n_members_seen"), col("total_bytes"),
+        col("first_name"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val s19GzipIngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS nm FROM documents),
+      |mem AS (
+      |  SELECT doc_id, nm, m, 20 + (doc_id + m*7) % 15 AS nl
+      |  FROM dims, unnest(generate_series(0, nm - 1)) t(m)),
+      |lines AS (
+      |  SELECT doc_id, nm, m, k,
+      |    (k*41 + m*17 + doc_id % 19) % 500 AS sc,
+      |    strlen('{"doc":' || doc_id || ',"member":' || m ||
+      |      ',"seq":' || k || ',"score":' ||
+      |      ((k*41 + m*17 + doc_id % 19) % 500) || '}') + 1 AS lb
+      |  FROM mem, unnest(generate_series(0, nl - 1)) t2(k))
+      |SELECT doc_id, CAST(nm AS BIGINT) AS n_members,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(sc) AS BIGINT) AS sum_score,
+      |  CAST(count(DISTINCT m) AS BIGINT) AS n_members_seen,
+      |  CAST(sum(lb) AS BIGINT) AS total_bytes,
+      |  'shard-' || doc_id || '-0.jsonl' AS first_name
+      |FROM lines GROUP BY doc_id, nm ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -651,7 +714,8 @@ object Sources {
     "s13_tar_ingest" -> s13TarIngest _,
     "s14_zip_ingest" -> s14ZipIngest _,
     "s17_lz4_ingest" -> s17Lz4Ingest _,
-    "s18_snappy_ingest" -> s18SnappyIngest _
+    "s18_snappy_ingest" -> s18SnappyIngest _,
+    "s19_gzip_ingest" -> s19GzipIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -666,6 +730,7 @@ object Sources {
     "s13_tar_ingest" -> s13TarIngestSql,
     "s14_zip_ingest" -> s14ZipIngestSql,
     "s17_lz4_ingest" -> s17Lz4IngestSql,
-    "s18_snappy_ingest" -> s18SnappyIngestSql
+    "s18_snappy_ingest" -> s18SnappyIngestSql,
+    "s19_gzip_ingest" -> s19GzipIngestSql
   )
 }
