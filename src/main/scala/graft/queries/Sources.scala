@@ -548,6 +548,60 @@ object Sources {
       |FROM lines GROUP BY doc_id, nm ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S20: bzip2 shard ingestion (operators.Bzip2) — the wiki-dump /
+  // archive-corpus shape (.jsonl.bz2), decoded by the FROM-SCRATCH
+  // block-sorting decoder (Huffman groups + selectors, MTF, RUNA/RUNB
+  // runs, inverse BWT, RLE1, per-block and combined CRCs verified;
+  // commons-compress cross-validated in Bzip2Spec). The fixture corpus
+  // is commons-compress-PRODUCED, so the decode under measurement runs
+  // against foreign-origin bytes; id%4==3 shards are two concatenated
+  // streams (the pbzip2 shape). Same per-task scale contract as
+  // s17-s19.
+  private def s20Bzip2Ingest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val info = graft.operators.Bzip2.decode(
+          graft.operators.Bzip2.fixturePayload(id))
+        new String(info.content, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator
+          .map(l => (id, info.nStreams.toLong,
+            info.content.length.toLong, l))
+      })
+      .toDF("doc_id", "n_streams", "total_bytes", "line")
+      .select(col("doc_id"), col("n_streams"), col("total_bytes"),
+        from_json(col("line"), org.apache.spark.sql.types.StructType
+          .fromDDL("doc BIGINT, seq BIGINT, cat STRING, w BIGINT"))
+          .as("j"))
+      .groupBy(col("doc_id"), col("n_streams"), col("total_bytes"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("j.w")).as("sum_w"),
+        countDistinct(col("j.cat")).as("n_cats"))
+      .select(col("doc_id"), col("n_streams"), col("n_lines"),
+        col("sum_w"), col("n_cats"), col("total_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val s20Bzip2IngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 60 + doc_id % 50 AS n FROM documents),
+      |lines AS (
+      |  SELECT doc_id, n, k,
+      |    (k*29 + doc_id % 17) % 800 AS w,
+      |    strlen('{"doc":' || doc_id || ',"seq":' || k || ',"cat":"c' ||
+      |      (k % 6) || '","w":' || ((k*29 + doc_id % 17) % 800) || '}')
+      |      + 1 AS lb
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(k))
+      |SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS BIGINT)
+      |    AS n_streams,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(w) AS BIGINT) AS sum_w,
+      |  CAST(count(DISTINCT k % 6) AS BIGINT) AS n_cats,
+      |  CAST(sum(lb) AS BIGINT) AS total_bytes
+      |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -715,7 +769,8 @@ object Sources {
     "s14_zip_ingest" -> s14ZipIngest _,
     "s17_lz4_ingest" -> s17Lz4Ingest _,
     "s18_snappy_ingest" -> s18SnappyIngest _,
-    "s19_gzip_ingest" -> s19GzipIngest _
+    "s19_gzip_ingest" -> s19GzipIngest _,
+    "s20_bzip2_ingest" -> s20Bzip2Ingest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -731,6 +786,7 @@ object Sources {
     "s14_zip_ingest" -> s14ZipIngestSql,
     "s17_lz4_ingest" -> s17Lz4IngestSql,
     "s18_snappy_ingest" -> s18SnappyIngestSql,
-    "s19_gzip_ingest" -> s19GzipIngestSql
+    "s19_gzip_ingest" -> s19GzipIngestSql,
+    "s20_bzip2_ingest" -> s20Bzip2IngestSql
   )
 }
