@@ -22,7 +22,7 @@ object Exif {
   final case class ExifMeta(byteOrder: String, make: String, model: String,
       orientation: Int, dateTime: String, pixelW: Int, pixelH: Int)
 
-  def parse(jpeg: Array[Byte]): ExifMeta = {
+  def parse(jpeg: Array[Byte]): ExifMeta = Torn.guard("EXIF") {
     require(jpeg.length > 4 && (jpeg(0) & 0xff) == 0xff &&
       (jpeg(1) & 0xff) == 0xd8, "not a JPEG stream")
     // marker walk to APP1/Exif

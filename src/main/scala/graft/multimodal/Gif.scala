@@ -28,10 +28,12 @@ object Gif {
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
 
-  def decode(p: Array[Byte]): GifImage = {
+  def decode(p: Array[Byte]): GifImage = Torn.guard("GIF") {
     require(p.length > 13 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F',
       "not a GIF signature")
     val w = le16(p, 6); val h = le16(p, 8)
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+      s"scale guard: refusing a $w x $h logical screen")
     val flags = p(10) & 0xff
     var o = 13
     var gct: Array[Int] = null

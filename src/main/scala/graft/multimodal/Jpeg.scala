@@ -683,7 +683,7 @@ object Jpeg {
     * simulation and the JDK decoder). Arithmetic coding and 4-component
     * (CMYK) streams are rejected loudly.
     */
-  def decode(data: Array[Byte]): JpegImage = {
+  def decode(data: Array[Byte]): JpegImage = Torn.guard("JPEG") {
     require(data.length >= 4 && (data(0) & 0xff) == 0xff &&
       (data(1) & 0xff) == 0xd8, "not a JPEG (missing SOI)")
     var pos = 2
@@ -710,6 +710,9 @@ object Jpeg {
     def parseFrame(body: Int, prog: Boolean): Unit = {
       progressive = prog
       height = be16(body + 1); width = be16(body + 3)
+      require(width > 0 && height > 0 &&
+        width.toLong * height <= (1L << 26),
+        s"scale guard: refusing a $width x $height frame")
       val nComp = data(body + 5) & 0xff
       require(nComp == 1 || nComp == 3,
         s"only 1-component (grayscale) or 3-component (YCbCr) frames" +

@@ -51,7 +51,7 @@ object Mp4 {
     }
   }
 
-  def parse(p: Array[Byte]): Mp4Meta = {
+  def parse(p: Array[Byte]): Mp4Meta = Torn.guard("MP4") {
     require(p.length >= 12 && fourcc(p, 4) == "ftyp",
       "not an MP4: no leading ftyp box")
     var brand = ""

@@ -50,7 +50,7 @@ object Png {
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
       ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
 
-  def decode(p: Array[Byte]): PngImage = {
+  def decode(p: Array[Byte]): PngImage = Torn.guard("PNG") {
     require(p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
       p(2) == 'N' && p(3) == 'G', "not a PNG signature")
     var o = 8
@@ -92,6 +92,8 @@ object Png {
       o = data + len + 4 // skip crc
     }
     require(w > 0 && h > 0, "PNG without a leading IHDR chunk")
+    require(w.toLong * h <= (1L << 26),
+      "scale guard: refusing a >64M-pixel raster from a 13-byte header")
     require(colorType != 3 || palette != null, "palette PNG without PLTE")
     val raw = inflateAll(idat.toByteArray)
     val nCh = bpp(colorType)

@@ -132,6 +132,8 @@ object Tiff {
       i += 1
     }
     require(w > 0 && h > 0, "TIFF without ImageWidth/ImageLength")
+    require(w.toLong * h <= (1L << 26),
+      "scale guard: refusing a >64M-pixel raster from the IFD alone")
     require(photometric >= 0, "TIFF without PhotometricInterpretation")
     val tiled = tileW > 0 || tileL > 0 || tileOffsets != null ||
       tileCounts != null

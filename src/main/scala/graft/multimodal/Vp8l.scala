@@ -469,6 +469,8 @@ object Vp8l {
     val br = new BitReader(p, off + 1)
     val w = 1 + br.bits(14)
     val h = 1 + br.bits(14)
+    require(w.toLong * h <= (1L << 26),
+      s"scale guard: refusing a $w x $h raster from a 4-byte header")
     val hasAlpha = br.readBit() == 1
     val version = br.bits(3)
     require(version == 0, s"VP8L version $version (spec pins 0)")

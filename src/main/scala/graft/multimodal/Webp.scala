@@ -31,7 +31,7 @@ object Webp {
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
 
-  def parse(p: Array[Byte]): WebpMeta = {
+  def parse(p: Array[Byte]): WebpMeta = Torn.guard("WEBP") {
     require(p.length > 20 && fourcc(p, 0) == "RIFF" &&
       fourcc(p, 8) == "WEBP", "not a RIFF/WEBP container")
     var o = 12
