@@ -602,6 +602,59 @@ object Sources {
       |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S21: Avro OCF shard ingestion (operators.Avro) — the Kafka-dump /
+  // data-lake row format, decoded by the from-scratch OCF reader whose
+  // deflate/snappy block codecs route through this repo's OWN
+  // Inflate/Snappy decoders (avro-java cross-validated in AvroSpec;
+  // the fixture corpus is avro-java-WRITTEN, foreign-origin). The
+  // `quarters` field is an exact multiple of 0.25, so scaling by 4
+  // yields exact integers in both engines — no float comparison.
+  private def s21AvroIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val f = graft.operators.Avro.decode(
+          graft.operators.Avro.fixturePayload(id))
+        var sumSeq = 0L
+        var sumQ4 = 0L
+        var nNullNotes = 0L
+        var nFlags = 0L
+        val hosts = scala.collection.mutable.Set.empty[String]
+        f.rows.foreach { r =>
+          sumSeq += r(1).asInstanceOf[Int].toLong
+          hosts += r(2).asInstanceOf[String]
+          sumQ4 += (r(3).asInstanceOf[Double] * 4.0).toLong
+          if (r(4).asInstanceOf[Boolean]) nFlags += 1
+          if (r(5) == null) nNullNotes += 1
+        }
+        (id, f.rows.length.toLong, sumSeq, hosts.size.toLong, sumQ4,
+          nFlags, nNullNotes, f.codec)
+      })
+      .toDF("doc_id", "n_rows", "sum_seq", "n_hosts", "sum_quarters_x4",
+        "n_flags", "n_null_notes", "codec")
+      .orderBy(col("doc_id"))
+  }
+
+  private val s21AvroIngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 40 + doc_id % 35 AS n FROM documents),
+      |rows_ AS (
+      |  SELECT doc_id, n, k,
+      |    (k*31 + doc_id % 9) % 250 AS q4,
+      |    CASE WHEN (k + doc_id) % 3 = 0 THEN 1 ELSE 0 END AS fl,
+      |    CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS nn
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(k))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_seq,
+      |  CAST(count(DISTINCT k % 7) AS BIGINT) AS n_hosts,
+      |  CAST(sum(q4) AS BIGINT) AS sum_quarters_x4,
+      |  CAST(sum(fl) AS BIGINT) AS n_flags,
+      |  CAST(sum(nn) AS BIGINT) AS n_null_notes,
+      |  CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+      |       ELSE 'snappy' END AS codec
+      |FROM rows_ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -770,7 +823,8 @@ object Sources {
     "s17_lz4_ingest" -> s17Lz4Ingest _,
     "s18_snappy_ingest" -> s18SnappyIngest _,
     "s19_gzip_ingest" -> s19GzipIngest _,
-    "s20_bzip2_ingest" -> s20Bzip2Ingest _
+    "s20_bzip2_ingest" -> s20Bzip2Ingest _,
+    "s21_avro_ingest" -> s21AvroIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -787,6 +841,7 @@ object Sources {
     "s17_lz4_ingest" -> s17Lz4IngestSql,
     "s18_snappy_ingest" -> s18SnappyIngestSql,
     "s19_gzip_ingest" -> s19GzipIngestSql,
-    "s20_bzip2_ingest" -> s20Bzip2IngestSql
+    "s20_bzip2_ingest" -> s20Bzip2IngestSql,
+    "s21_avro_ingest" -> s21AvroIngestSql
   )
 }

@@ -54,7 +54,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       ("zip", (0L until 6L).map(op.Zip.fixturePayload),
         b => op.Zip.parse(b)),
       ("warc", (0L until 6L).map(op.Warc.fixturePayload),
-        b => op.Warc.parse(b)))
+        b => op.Warc.parse(b)),
+      ("avro", (0L until 6L).map(op.Avro.fixturePayload),
+        b => op.Avro.decode(b)))
 
   private def loud(t: Throwable): Boolean = t match {
     case _: IllegalArgumentException => true
