@@ -1,0 +1,287 @@
+package graft.operators
+
+/** Parquet footer reader from scratch (pure JVM) — the metadata layer
+  * this engine's own planning leans on (footer stats drive
+  * [[Maintenance]]'s data skipping), decoded here without parquet-mr:
+  * the PAR1-framed footer (trailing 4-byte LE length), the THRIFT
+  * COMPACT PROTOCOL (short/long-form field headers with delta field
+  * ids, zigzag LEB128 varints, length-prefixed binaries, size+type
+  * list headers, nested structs, boolean-in-header encoding), and the
+  * parquet-format structures that matter for planning — FileMetaData,
+  * SchemaElement, RowGroup, ColumnChunk, ColumnMetaData and Statistics
+  * (the modern min_value/max_value fields — note the spec numbers MAX
+  * as field 5 and MIN as field 6 — plus null_count), with unknown
+  * fields skipped structurally, never by guessing byte counts.
+  *
+  * At 100 TB this read pattern is the point: per-file pruning decisions
+  * come from a few KB of footer per multi-GB file, so a scan planner
+  * that understands footers touches no data pages at all.
+  *
+  * Cross-validated in ParquetFooterSpec against parquet-mr (the
+  * independent implementation Spark itself uses) on Spark-written
+  * files, and in the s22 oracle against DuckDB re-deriving the same
+  * facts from full scans. Formats are the public parquet-format
+  * specification and the Thrift compact protocol spec.
+  */
+object ParquetFooter {
+
+  final case class PqColumn(path: String, physicalType: Int,
+      numValues: Long, codec: Int, nullCount: Option[Long],
+      minValue: Option[Array[Byte]], maxValue: Option[Array[Byte]])
+
+  final case class PqRowGroup(numRows: Long, columns: Seq[PqColumn])
+
+  final case class PqSchemaField(name: String, physicalType: Int,
+      numChildren: Int)
+
+  final case class PqFooter(version: Int, numRows: Long,
+      createdBy: Option[String], schema: Seq[PqSchemaField],
+      rowGroups: Seq[PqRowGroup])
+
+  // thrift compact element types
+  private val T_STOP = 0
+  private val T_TRUE = 1
+  private val T_FALSE = 2
+  private val T_BYTE = 3
+  private val T_I16 = 4
+  private val T_I32 = 5
+  private val T_I64 = 6
+  private val T_DOUBLE = 7
+  private val T_BINARY = 8
+  private val T_LIST = 9
+  private val T_SET = 10
+  private val T_MAP = 11
+  private val T_STRUCT = 12
+
+  private final class TReader(p: Array[Byte], var pos: Int) {
+    def u8(): Int = {
+      require(pos < p.length, "torn thrift: read past end")
+      val b = p(pos) & 0xff
+      pos += 1
+      b
+    }
+    def varint(): Long = {
+      var n = 0L
+      var shift = 0
+      var b = 0
+      do {
+        require(shift <= 63, "torn thrift: runaway varint")
+        b = u8()
+        n |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      n
+    }
+    def zig(): Long = { val n = varint(); (n >>> 1) ^ -(n & 1L) }
+    def binary(): Array[Byte] = {
+      val n = varint()
+      require(n >= 0 && pos + n <= p.length,
+        s"torn thrift: $n-byte binary past end")
+      val out = java.util.Arrays.copyOfRange(p, pos, pos + n.toInt)
+      pos += n.toInt
+      out
+    }
+    def str(): String = new String(binary(), "UTF-8")
+    def listHeader(): (Int, Int) = {
+      val h = u8()
+      val short = (h >>> 4) & 0xf
+      val typ = h & 0xf
+      val size = if (short == 15) {
+        val n = varint()
+        require(n >= 0 && n <= Int.MaxValue, s"torn thrift: list size $n")
+        n.toInt
+      } else short
+      (typ, size)
+    }
+    def skip(typ: Int): Unit = typ match {
+      case T_TRUE | T_FALSE => ()
+      case T_BYTE => u8()
+      case T_I16 | T_I32 | T_I64 => zig()
+      case T_DOUBLE => pos += 8
+      case T_BINARY => binary()
+      case T_LIST | T_SET =>
+        val (et, n) = listHeader()
+        var i = 0
+        while (i < n) { skip(et); i += 1 }
+      case T_MAP =>
+        val n = varint()
+        if (n > 0) {
+          val kv = u8()
+          var i = 0L
+          while (i < n) { skip((kv >>> 4) & 0xf); skip(kv & 0xf); i += 1 }
+        }
+      case T_STRUCT =>
+        var fieldId = 0
+        var stop = false
+        while (!stop) {
+          val h = u8()
+          if (h == 0) stop = true
+          else {
+            val delta = (h >>> 4) & 0xf
+            fieldId = if (delta == 0) zig().toInt else fieldId + delta
+            skip(h & 0xf)
+          }
+        }
+      case t => throw new IllegalArgumentException(
+        s"torn thrift: element type $t")
+    }
+    /** Walk one struct, dispatching (fieldId, type) to `field`; the
+      * handler must consume exactly its field's payload (or call
+      * skip). Returns when the stop byte arrives.
+      */
+    def struct(field: (Int, Int) => Unit): Unit = {
+      var fieldId = 0
+      var stop = false
+      while (!stop) {
+        val h = u8()
+        if (h == 0) stop = true
+        else {
+          val delta = (h >>> 4) & 0xf
+          fieldId = if (delta == 0) zig().toInt else fieldId + delta
+          field(fieldId, h & 0xf)
+        }
+      }
+    }
+  }
+
+  private def readStatistics(r: TReader): (Option[Long],
+      Option[Array[Byte]], Option[Array[Byte]]) = {
+    var nulls: Option[Long] = None
+    var minV: Option[Array[Byte]] = None
+    var maxV: Option[Array[Byte]] = None
+    r.struct { (id, typ) =>
+      id match {
+        case 3 => nulls = Some(r.zig())
+        case 5 => maxV = Some(r.binary()) // spec: 5 = max_value
+        case 6 => minV = Some(r.binary()) // spec: 6 = min_value
+        case _ => r.skip(typ)
+      }
+    }
+    (nulls, minV, maxV)
+  }
+
+  private def readColumnMeta(r: TReader): PqColumn = {
+    var typ = -1
+    var path = ""
+    var codec = -1
+    var numValues = -1L
+    var stats: (Option[Long], Option[Array[Byte]], Option[Array[Byte]]) =
+      (None, None, None)
+    r.struct { (id, t) =>
+      id match {
+        case 1 => typ = r.zig().toInt
+        case 3 =>
+          val (et, n) = r.listHeader()
+          require(et == T_BINARY, "path_in_schema must be strings")
+          path = (0 until n).map(_ => r.str()).mkString(".")
+        case 4 => codec = r.zig().toInt
+        case 5 => numValues = r.zig()
+        case 12 => stats = readStatistics(r)
+        case _ => r.skip(t)
+      }
+    }
+    PqColumn(path, typ, numValues, codec, stats._1, stats._2, stats._3)
+  }
+
+  private def readColumnChunk(r: TReader): Option[PqColumn] = {
+    var meta: Option[PqColumn] = None
+    r.struct { (id, t) =>
+      id match {
+        case 3 => meta = Some(readColumnMeta(r))
+        case _ => r.skip(t)
+      }
+    }
+    meta
+  }
+
+  private def readRowGroup(r: TReader): PqRowGroup = {
+    var numRows = -1L
+    var cols = Seq.empty[PqColumn]
+    r.struct { (id, t) =>
+      id match {
+        case 1 =>
+          val (et, n) = r.listHeader()
+          require(et == T_STRUCT, "row group columns must be structs")
+          cols = (0 until n).flatMap(_ => readColumnChunk(r))
+        case 3 => numRows = r.zig()
+        case _ => r.skip(t)
+      }
+    }
+    PqRowGroup(numRows, cols)
+  }
+
+  private def readSchemaElement(r: TReader): PqSchemaField = {
+    var name = ""
+    var typ = -1
+    var children = 0
+    r.struct { (id, t) =>
+      id match {
+        case 1 => typ = r.zig().toInt
+        case 4 => name = r.str()
+        case 5 => children = r.zig().toInt
+        case _ => r.skip(t)
+      }
+    }
+    PqSchemaField(name, typ, children)
+  }
+
+  /** Parse the footer of a complete parquet file image. */
+  def read(p: Array[Byte]): PqFooter = {
+    require(p.length >= 12 &&
+      p(0) == 'P' && p(1) == 'A' && p(2) == 'R' && p(3) == '1' &&
+      p(p.length - 4) == 'P' && p(p.length - 3) == 'A' &&
+      p(p.length - 2) == 'R' && p(p.length - 1) == '1',
+      "not a parquet file (PAR1 framing)")
+    val metaLen = (p(p.length - 8) & 0xff) | ((p(p.length - 7) & 0xff) << 8) |
+      ((p(p.length - 6) & 0xff) << 16) | ((p(p.length - 5) & 0xff) << 24)
+    require(metaLen > 0 && metaLen <= p.length - 12,
+      s"torn parquet: footer length $metaLen")
+    val r = new TReader(p, p.length - 8 - metaLen)
+    var version = -1
+    var numRows = -1L
+    var createdBy: Option[String] = None
+    var schema = Seq.empty[PqSchemaField]
+    var rowGroups = Seq.empty[PqRowGroup]
+    r.struct { (id, t) =>
+      id match {
+        case 1 => version = r.zig().toInt
+        case 2 =>
+          val (et, n) = r.listHeader()
+          require(et == T_STRUCT, "schema elements must be structs")
+          schema = (0 until n).map(_ => readSchemaElement(r))
+        case 3 => numRows = r.zig()
+        case 4 =>
+          val (et, n) = r.listHeader()
+          require(et == T_STRUCT, "row groups must be structs")
+          rowGroups = (0 until n).map(_ => readRowGroup(r))
+        case 6 => createdBy = Some(r.str())
+        case _ => r.skip(t)
+      }
+    }
+    require(numRows >= 0 && schema.nonEmpty,
+      "torn parquet: footer without num_rows/schema")
+    PqFooter(version, numRows, createdBy, schema, rowGroups)
+  }
+
+  def readFile(path: java.nio.file.Path): PqFooter =
+    read(java.nio.file.Files.readAllBytes(path))
+
+  /** Decode an INT32/INT64 statistics value (parquet physical types 1
+    * and 2 are INT32/INT64; stats binaries are little-endian).
+    */
+  def statLong(physicalType: Int, b: Array[Byte]): Long =
+    physicalType match {
+      case 1 => // INT32
+        require(b.length == 4, s"INT32 stat of ${b.length} bytes")
+        ((b(0) & 0xffL)) | ((b(1) & 0xffL) << 8) |
+          ((b(2) & 0xffL) << 16) | ((b(3).toLong) << 24)
+      case 2 => // INT64
+        require(b.length == 8, s"INT64 stat of ${b.length} bytes")
+        var v = 0L
+        var i = 0
+        while (i < 8) { v |= (b(i) & 0xffL) << (8 * i); i += 1 }
+        v
+      case t => throw new IllegalArgumentException(
+        s"statLong on physical type $t (INT32/INT64 only)")
+    }
+}

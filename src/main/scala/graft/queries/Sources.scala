@@ -655,6 +655,57 @@ object Sources {
       |FROM rows_ GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S22: parquet footer scan (operators.ParquetFooter) — the engine
+  // reads its OWN storage format's metadata from scratch (PAR1 framing,
+  // thrift compact protocol, FileMetaData/RowGroup/ColumnMetaData/
+  // Statistics), the layer footer-driven planning stands on: per-file
+  // row counts and key-column min/max/null-count WITHOUT touching any
+  // data page. The oracle re-derives every fact by FULL SCAN in DuckDB
+  // — a genuinely independent engine agreeing with a from-scratch
+  // metadata parse of Spark-written files. parquet-mr cross-validation
+  // lives in ParquetFooterSpec. Scale shape: ~KB of footer per file
+  // regardless of file size; tables fan out one-per-task.
+  private def s22ParquetFooter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    s.createDataset(tables).repartition(tables.size)
+      .mapPartitions(_.map { tbl =>
+        val f = graft.operators.ParquetFooter.readFile(
+          java.nio.file.Paths.get(dir, s"$tbl.parquet"))
+        val keyField = f.schema(1) // root is schema(0)
+        val keyCols = f.rowGroups.map(_.columns.head)
+        val lo = keyCols.flatMap(c => c.minValue.map(b =>
+          graft.operators.ParquetFooter.statLong(c.physicalType, b))).min
+        val hi = keyCols.flatMap(c => c.maxValue.map(b =>
+          graft.operators.ParquetFooter.statLong(c.physicalType, b))).max
+        val nulls = keyCols.flatMap(_.nullCount).sum
+        (tbl, f.numRows, f.schema.head.numChildren.toLong,
+          keyField.name, lo, hi, nulls)
+      })
+      .toDF("tbl", "num_rows", "n_fields", "key_col", "key_min",
+        "key_max", "key_nulls")
+      .orderBy(col("tbl"))
+  }
+
+  private val s22ParquetFooterSql = {
+    val specs = Seq(
+      ("region", 2, "r_regionkey"), ("nation", 3, "n_nationkey"),
+      ("customer", 5, "c_custkey"), ("supplier", 4, "s_suppkey"),
+      ("part", 6, "p_partkey"), ("orders", 6, "o_orderkey"),
+      ("lineitem", 11, "l_orderkey"), ("events", 6, "event_id"),
+      ("documents", 5, "doc_id"), ("embeddings", 3, "vec_id"))
+    specs.map { case (t, nf, k) =>
+      s"""SELECT '$t' AS tbl, CAST(count(*) AS BIGINT) AS num_rows,
+         |  CAST($nf AS BIGINT) AS n_fields, '$k' AS key_col,
+         |  CAST(min($k) AS BIGINT) AS key_min,
+         |  CAST(max($k) AS BIGINT) AS key_max,
+         |  CAST(count(*) - count($k) AS BIGINT) AS key_nulls
+         |FROM $t""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -824,7 +875,8 @@ object Sources {
     "s18_snappy_ingest" -> s18SnappyIngest _,
     "s19_gzip_ingest" -> s19GzipIngest _,
     "s20_bzip2_ingest" -> s20Bzip2Ingest _,
-    "s21_avro_ingest" -> s21AvroIngest _
+    "s21_avro_ingest" -> s21AvroIngest _,
+    "s22_parquet_footer" -> s22ParquetFooter _
   )
 
   val oracle: Map[String, String] = Map(
@@ -842,6 +894,7 @@ object Sources {
     "s18_snappy_ingest" -> s18SnappyIngestSql,
     "s19_gzip_ingest" -> s19GzipIngestSql,
     "s20_bzip2_ingest" -> s20Bzip2IngestSql,
-    "s21_avro_ingest" -> s21AvroIngestSql
+    "s21_avro_ingest" -> s21AvroIngestSql,
+    "s22_parquet_footer" -> s22ParquetFooterSql
   )
 }

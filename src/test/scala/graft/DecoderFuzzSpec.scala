@@ -56,7 +56,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
       ("warc", (0L until 6L).map(op.Warc.fixturePayload),
         b => op.Warc.parse(b)),
       ("avro", (0L until 6L).map(op.Avro.fixturePayload),
-        b => op.Avro.decode(b)))
+        b => op.Avro.decode(b)),
+      ("parquet-footer", Seq(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          s"${SparkTestSession.sfSmoke}/region.parquet"))),
+        b => op.ParquetFooter.read(b)))
 
   private def loud(t: Throwable): Boolean = t match {
     case _: IllegalArgumentException => true
