@@ -60,6 +60,7 @@ object SparkEntry {
     Sources.ensureJsonlFixture(spark, sfDir)
     Sources.ensureCommitFixture(spark, sfDir)
     Sources.ensureOrcFixture(spark, sfDir)
+    Sources.ensureOrcMetaFixture(spark, sfDir)
     operators.Bucketing.ensureBucketed(spark, sfDir, "lineitem",
       "l_orderkey", 8)
     operators.Bucketing.ensureBucketed(spark, sfDir, "orders",

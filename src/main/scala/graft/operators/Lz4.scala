@@ -300,11 +300,13 @@ object Lz4 {
     FrameInfo(bytes, nBlocks, blockChecksums, contentChecksum, declared)
   }
 
-  /** Block decode when the exact output size is unknown (frame blocks):
-    * first pass computes the size from the sequence structure, second
-    * pass materializes — same loud rejects as [[decompressBlock]].
+  /** Block decode when the exact output size is unknown (frame blocks,
+    * ORC chunk streams): first pass computes the size from the sequence
+    * structure, second pass materializes — same loud rejects as
+    * [[decompressBlock]]. `maxLen` bounds a corrupted stream's
+    * inflation claim.
     */
-  private def decompressBlockUnknown(src: Array[Byte], off: Int, len: Int,
+  def decompressBlockUnknown(src: Array[Byte], off: Int, len: Int,
       maxLen: Int): Array[Byte] = {
     var s = off
     val end = off + len

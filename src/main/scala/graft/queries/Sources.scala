@@ -706,6 +706,64 @@ object Sources {
   }
 
   // ---------------------------------------------------------------------
+  // S23: ORC tail scan (operators.OrcMeta) — the second columnar
+  // format's metadata read from scratch (protobuf wire format,
+  // postscript, snappy-framed footer chunks through this repo's OWN
+  // snappy decoder), answering row counts and column ranges from KBs
+  // of tail per file; the oracle re-derives every fact by full scan of
+  // the parquet-side events table (the ORC fixture is a lossless
+  // round-trip of it). orc-core cross-validation lives in OrcMetaSpec.
+  /** Build-once snappy-compressed ORC fixture (Spark 4 defaults to
+    * zstd, whose entropy tables are the documented seam — snappy keeps
+    * the from-scratch parse path honest end to end).
+    */
+  def ensureOrcMetaFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orcmeta-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").option("compression", "snappy").orc(tmp)
+    }
+    tmp
+  }
+
+  private def s23OrcMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = ensureOrcMetaFixture(s, dir)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq
+      .sorted
+    s.createDataset(files).repartition(math.max(files.size, 1))
+      .mapPartitions(_.map { path =>
+        val t = graft.operators.OrcMeta.readFile(
+          java.nio.file.Paths.get(path))
+        require(t.compression == 2, "fixture must be snappy-framed")
+        val ev = t.columns(1).intStats.get // event_id
+        val us = t.columns(2).intStats.get // user_id
+        (t.numberOfRows, ev.min.get, ev.max.get, ev.sum.get,
+          us.min.get, us.max.get)
+      })
+      .toDF("rows", "ev_min", "ev_max", "ev_sum", "u_min", "u_max")
+      .agg(sum(col("rows")).as("num_rows"),
+        min(col("ev_min")).as("event_id_min"),
+        max(col("ev_max")).as("event_id_max"),
+        sum(col("ev_sum")).as("event_id_sum"),
+        min(col("u_min")).as("user_id_min"),
+        max(col("u_max")).as("user_id_max"))
+  }
+
+  private val s23OrcMetaSql =
+    """SELECT CAST(count(*) AS BIGINT) AS num_rows,
+      |  CAST(min(event_id) AS BIGINT) AS event_id_min,
+      |  CAST(max(event_id) AS BIGINT) AS event_id_max,
+      |  CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+      |  CAST(min(user_id) AS BIGINT) AS user_id_min,
+      |  CAST(max(user_id) AS BIGINT) AS user_id_max
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -876,7 +934,8 @@ object Sources {
     "s19_gzip_ingest" -> s19GzipIngest _,
     "s20_bzip2_ingest" -> s20Bzip2Ingest _,
     "s21_avro_ingest" -> s21AvroIngest _,
-    "s22_parquet_footer" -> s22ParquetFooter _
+    "s22_parquet_footer" -> s22ParquetFooter _,
+    "s23_orc_meta" -> s23OrcMeta _
   )
 
   val oracle: Map[String, String] = Map(
@@ -895,6 +954,7 @@ object Sources {
     "s19_gzip_ingest" -> s19GzipIngestSql,
     "s20_bzip2_ingest" -> s20Bzip2IngestSql,
     "s21_avro_ingest" -> s21AvroIngestSql,
-    "s22_parquet_footer" -> s22ParquetFooterSql
+    "s22_parquet_footer" -> s22ParquetFooterSql,
+    "s23_orc_meta" -> s23OrcMetaSql
   )
 }

@@ -60,7 +60,19 @@ class DecoderFuzzSpec extends AnyFunSuite {
       ("parquet-footer", Seq(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(
           s"${SparkTestSession.sfSmoke}/region.parquet"))),
-        b => op.ParquetFooter.read(b)))
+        b => op.ParquetFooter.read(b)),
+      ("orc-meta", {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-fuzz-orc").toString
+        val s = SparkTestSession.spark
+        import s.implicits._
+        (0 until 200).map(i => (i.toLong, s"x$i")).toDF("a", "b")
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "snappy").orc(dir)
+        val f = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".orc")).head
+        Seq(java.nio.file.Files.readAllBytes(f.toPath))
+      }, b => op.OrcMeta.read(b)))
 
   private def loud(t: Throwable): Boolean = t match {
     case _: IllegalArgumentException => true
