@@ -764,6 +764,58 @@ object Sources {
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S24: xz shard ingestion (operators.Xz) — the highest-ratio
+  // compressed-shard codec (.jsonl.xz), decoded by the from-scratch
+  // XZ/LZMA2 implementation (adaptive range coder — no predefined
+  // tables anywhere — with block checks, index and footer verified;
+  // tukaani cross-validated at every preset in XzSpec). The fixture
+  // corpus is tukaani-WRITTEN (foreign-origin bytes) with preset and
+  // check type rotating per id. Same per-task scale contract as the
+  // rest of the compressed-shard family.
+  private def s24XzIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val info = graft.operators.Xz.decode(
+          graft.operators.Xz.fixturePayload(id))
+        new String(info.content, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator
+          .map(l => (id, info.checkType.toLong,
+            info.content.length.toLong, l))
+      })
+      .toDF("doc_id", "check_type", "total_bytes", "line")
+      .select(col("doc_id"), col("check_type"), col("total_bytes"),
+        from_json(col("line"), org.apache.spark.sql.types.StructType
+          .fromDDL("doc BIGINT, seq BIGINT, tag STRING, v BIGINT"))
+          .as("j"))
+      .groupBy(col("doc_id"), col("check_type"), col("total_bytes"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("j.v")).as("sum_v"),
+        countDistinct(col("j.tag")).as("n_tags"))
+      .select(col("doc_id"), col("n_lines"), col("sum_v"),
+        col("n_tags"), col("check_type"), col("total_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val s24XzIngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 45 + doc_id % 40 AS n FROM documents),
+      |lines AS (
+      |  SELECT doc_id, n, k,
+      |    (k*43 + doc_id % 23) % 900 AS v,
+      |    strlen('{"doc":' || doc_id || ',"seq":' || k || ',"tag":"t' ||
+      |      (k % 8) || '","v":' || ((k*43 + doc_id % 23) % 900) || '}')
+      |      + 1 AS lb
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(k))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(v) AS BIGINT) AS sum_v,
+      |  CAST(count(DISTINCT k % 8) AS BIGINT) AS n_tags,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 1 ELSE 10 END
+      |    AS BIGINT) AS check_type,
+      |  CAST(sum(lb) AS BIGINT) AS total_bytes
+      |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -935,7 +987,8 @@ object Sources {
     "s20_bzip2_ingest" -> s20Bzip2Ingest _,
     "s21_avro_ingest" -> s21AvroIngest _,
     "s22_parquet_footer" -> s22ParquetFooter _,
-    "s23_orc_meta" -> s23OrcMeta _
+    "s23_orc_meta" -> s23OrcMeta _,
+    "s24_xz_ingest" -> s24XzIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -955,6 +1008,7 @@ object Sources {
     "s20_bzip2_ingest" -> s20Bzip2IngestSql,
     "s21_avro_ingest" -> s21AvroIngestSql,
     "s22_parquet_footer" -> s22ParquetFooterSql,
-    "s23_orc_meta" -> s23OrcMetaSql
+    "s23_orc_meta" -> s23OrcMetaSql,
+    "s24_xz_ingest" -> s24XzIngestSql
   )
 }

@@ -57,6 +57,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
         b => op.Warc.parse(b)),
       ("avro", (0L until 6L).map(op.Avro.fixturePayload),
         b => op.Avro.decode(b)),
+      ("xz", (0L until 6L).map(op.Xz.fixturePayload),
+        b => op.Xz.decode(b)),
       ("parquet-footer", Seq(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(
           s"${SparkTestSession.sfSmoke}/region.parquet"))),
