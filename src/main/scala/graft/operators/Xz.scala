@@ -611,12 +611,17 @@ object Xz {
 
   /** doc_id → an .xz shard written by org.tukaani.xz: preset rotates
     * 0/3/6/9 (0 uses the fast hash-chain match finder, 9 BT4), check
-    * type rotates CRC64 (default) / CRC32 / SHA-256.
+    * type rotates CRC64 (default) / CRC32 / SHA-256. The dictionary is
+    * capped at 64 KiB — the payload is ~4 KiB, and the preset defaults
+    * (up to 64 MiB for preset 9) would cost a giant allocation per
+    * shard on the ENCODE side for zero effect on the bytes our decoder
+    * sees beyond the dict-size property.
     */
   def fixturePayload(id: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val opts = new org.tukaani.xz.LZMA2Options(
       Array(0, 3, 6, 9)((id % 4).toInt))
+    opts.setDictSize(1 << 16)
     val check = (id % 3).toInt match {
       case 0 => org.tukaani.xz.XZ.CHECK_CRC64
       case 1 => org.tukaani.xz.XZ.CHECK_CRC32
