@@ -816,6 +816,66 @@ object Sources {
       |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S25: Arrow IPC shard ingestion (operators.ArrowIpc) — the
+  // interchange format training loaders hand tables around in (feather
+  // v2), decoded by the from-scratch reader: flatbuffers wire format,
+  // footer Block index, encapsulated messages, validity bitmaps and
+  // utf8 offset buffers (arrow-vector cross-validated in ArrowIpcSpec;
+  // fixtures are arrow-vector-WRITTEN, foreign-origin). The `q` field
+  // is an exact multiple of 0.25 so scaling by 4 stays integer-exact
+  // in both engines.
+  private def s25ArrowIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val f = graft.operators.ArrowIpc.decode(
+          graft.operators.ArrowIpc.fixturePayload(id))
+        var sumN = 0L
+        var sumQ4 = 0L
+        var nFlags = 0L
+        var nNullOpt = 0L
+        var sumOpt = 0L
+        val tags = scala.collection.mutable.Set.empty[String]
+        f.rows.foreach { r =>
+          sumN += r(1).asInstanceOf[Int].toLong
+          tags += r(2).asInstanceOf[String]
+          sumQ4 += (r(3).asInstanceOf[Double] * 4.0).toLong
+          if (r(4).asInstanceOf[Boolean]) nFlags += 1
+          if (r(5) == null) nNullOpt += 1
+          else sumOpt += r(5).asInstanceOf[Long]
+        }
+        (id, f.rows.length.toLong, f.nBatches.toLong, sumN,
+          tags.size.toLong, sumQ4, nFlags, nNullOpt, sumOpt)
+      })
+      .toDF("doc_id", "n_rows", "n_batches", "sum_n", "n_tags",
+        "sum_q_x4", "n_flags", "n_null_opt", "sum_opt")
+      .orderBy(col("doc_id"))
+  }
+
+  private val s25ArrowIngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 30 + doc_id % 45 AS n FROM documents),
+      |rows_ AS (
+      |  SELECT doc_id, n, k,
+      |    (k*19 + doc_id % 7) % 1000 AS nn,
+      |    (k*13 + doc_id % 5) % 400 AS q4,
+      |    CASE WHEN (k + doc_id) % 2 = 0 THEN 1 ELSE 0 END AS fl,
+      |    CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS nul,
+      |    CASE WHEN k % 4 = 0 THEN 0
+      |         ELSE (k*7 + doc_id % 3) % 500 END AS ov
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(k))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT)
+      |    AS n_batches,
+      |  CAST(sum(nn) AS BIGINT) AS sum_n,
+      |  CAST(count(DISTINCT k % 9) AS BIGINT) AS n_tags,
+      |  CAST(sum(q4) AS BIGINT) AS sum_q_x4,
+      |  CAST(sum(fl) AS BIGINT) AS n_flags,
+      |  CAST(sum(nul) AS BIGINT) AS n_null_opt,
+      |  CAST(sum(ov) AS BIGINT) AS sum_opt
+      |FROM rows_ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -988,7 +1048,8 @@ object Sources {
     "s21_avro_ingest" -> s21AvroIngest _,
     "s22_parquet_footer" -> s22ParquetFooter _,
     "s23_orc_meta" -> s23OrcMeta _,
-    "s24_xz_ingest" -> s24XzIngest _
+    "s24_xz_ingest" -> s24XzIngest _,
+    "s25_arrow_ingest" -> s25ArrowIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1009,6 +1070,7 @@ object Sources {
     "s21_avro_ingest" -> s21AvroIngestSql,
     "s22_parquet_footer" -> s22ParquetFooterSql,
     "s23_orc_meta" -> s23OrcMetaSql,
-    "s24_xz_ingest" -> s24XzIngestSql
+    "s24_xz_ingest" -> s24XzIngestSql,
+    "s25_arrow_ingest" -> s25ArrowIngestSql
   )
 }
