@@ -78,6 +78,22 @@ class ParquetFooterSpec extends AnyFunSuite {
     graft.streaming.WorkDirs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("INT32 statistics decode negative minima correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqi32").toString
+    (0 until 1000).map(i => Tuple1(i * 7 - 3000)).toDF("v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val ours = ParquetFooter.readFile(f.toPath)
+    val c = ours.rowGroups.head.columns.head
+    assert(c.physicalType == 1, "Spark IntegerType must be INT32")
+    assert(ParquetFooter.statLong(1, c.minValue.get) == -3000L)
+    assert(ParquetFooter.statLong(1, c.maxValue.get) == 999L * 7 - 3000)
+    graft.streaming.WorkDirs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("the real testdata footers parse and agree with parquet-mr") {
     for (t <- Seq("region", "nation", "orders", "lineitem", "documents",
         "events", "embeddings")) {
