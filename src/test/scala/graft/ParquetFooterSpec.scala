@@ -114,6 +114,46 @@ class ParquetFooterSpec extends AnyFunSuite {
     }
   }
 
+  test("the from-scratch reader agrees with the commit protocol's " +
+      "recorded data-skipping stats") {
+    import spark.implicits._
+    val M = graft.operators.Maintenance
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqbridge-${java.util.UUID.randomUUID()}/t").getAbsolutePath
+    M.commitAppend(spark, p,
+      (0 until 2000).map(i => (i.toLong * 11 - 7000, i * 3 - 50))
+        .toDF("a", "b"))
+    M.commitAppend(spark, p,
+      (0 until 1000).map(i => (i.toLong + 50000, i - 9999)).toDF("a", "b"))
+    val stats = M.readFileStats(p)
+    val files = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && stats.nonEmpty)
+    var checked = 0
+    for (f <- files) {
+      val footer = ParquetFooter.readFile(f.toPath)
+      for (col <- Seq("a", "b")) {
+        // fold our per-row-group stats to per-file bounds like the
+        // protocol does
+        val perGroup = footer.rowGroups.map(_.columns
+          .find(_.path == col).get)
+        val ourLo = perGroup.map(c =>
+          ParquetFooter.statLong(c.physicalType, c.minValue.get)).min
+        val ourHi = perGroup.map(c =>
+          ParquetFooter.statLong(c.physicalType, c.maxValue.get)).max
+        val (lo, hi) = stats((f.getName, col))
+        // the protocol records one-ulp-widened doubles
+        assert(lo == Math.nextDown(ourLo.toDouble) &&
+          hi == Math.nextUp(ourHi.toDouble),
+          s"${f.getName}.$col: ours [$ourLo,$ourHi] vs recorded [$lo,$hi]")
+        checked += 1
+      }
+    }
+    assert(checked >= 4, s"only $checked (file, column) pairs compared")
+    graft.streaming.WorkDirs.deleteRecursively(
+      new java.io.File(p).getParentFile)
+  }
+
   test("torn footers reject loudly") {
     val path = java.nio.file.Paths.get(
       s"${SparkTestSession.sfSmoke}/region.parquet")
