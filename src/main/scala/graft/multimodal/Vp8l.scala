@@ -20,9 +20,15 @@ package graft.multimodal
   * oracle; NO JVM WebP reader exists in this environment (unlike the
   * PNG/TIFF tiers' ImageIO cross-validation), so the two spec corner
   * conventions that admit a reading — the Select tie-break (ties take
-  * T) and the top-right pixel at a row's end (the contiguous-buffer
-  * wrap to (0, y), the libwebp layout convention) — are pinned here by
-  * documentation and spec-line comments rather than an external reader.
+  * T), the top-right pixel at a row's end (the contiguous-buffer
+  * wrap to (0, y), the libwebp layout convention), and a single-symbol
+  * code arriving through the NORMAL (code-length-coded) form, which
+  * here must declare length 1 and costs 1 bit per symbol (libwebp
+  * assigns such tables a 0-bit code; this repo's encoder emits the
+  * simple-code form for single symbols, so the divergence is
+  * interop-visible only on foreign streams using that rare shape) —
+  * are pinned here by documentation and spec-line comments rather
+  * than an external reader.
   *
   * Documented loud-reject seams: 2D-locality distance codes (the
   * <=120 neighborhood map — this decoder requires plain distances,

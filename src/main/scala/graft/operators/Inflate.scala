@@ -112,17 +112,30 @@ object Inflate {
   }
   private lazy val FixedDist: Huffman = new Huffman(Array.fill(30)(5))
 
+  /** Decompressed-size ceiling (1 GiB), matching the Snappy/Xz refuse
+    * threshold: deflate reaches ~1032:1, so a few-MiB crafted bomb would
+    * otherwise inflate unbounded into the ByteArrayOutputStream and OOM
+    * the executor — a loud reject is the scale-safe behavior.
+    */
+  private val MaxOutput = 1 << 30
+
   /** Inflate a raw RFC 1951 stream starting at `off`; returns the
     * decompressed bytes and the first byte position past the final
     * block (so wrappers can find their trailers and further members).
+    * `maxOut` caps the decompressed size (exceeded → loud reject);
+    * callers keep the default — it is a parameter only so the guard is
+    * testable without emitting a real gibibyte.
     */
-  def inflateRaw(p: Array[Byte], off: Int): (Array[Byte], Int) = {
+  def inflateRaw(p: Array[Byte], off: Int,
+      maxOut: Int = MaxOutput): (Array[Byte], Int) = {
     val br = new BitReader(p, off)
     val out = new java.io.ByteArrayOutputStream()
     val window = new Array[Byte](1 << 15) // 32 KiB ring
     var wPos = 0
     var total = 0
     def emit(b: Byte): Unit = {
+      require(total < maxOut,
+        s"DEFLATE output exceeds the $maxOut-byte ceiling (bomb guard)")
       out.write(b)
       window(wPos) = b
       wPos = (wPos + 1) & 0x7fff

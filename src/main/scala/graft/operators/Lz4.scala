@@ -235,6 +235,9 @@ object Lz4 {
     val hasContentSize = (flg & 0x08) != 0
     val contentChecksum = (flg & 0x04) != 0
     val bd = p(5) & 0xff
+    // frame spec: BD is [rsvd(1)][block-max-size(3)][rsvd(4)] — all
+    // reserved bits must be 0 even when the header checksum matches
+    require((bd & 0x8f) == 0, f"reserved BD bits set (0x$bd%02x)")
     val bsCode = (bd >>> 4) & 0x7
     require(bsCode >= 4 && bsCode <= 7, s"reserved block-max-size $bsCode")
     val blockMax = 1 << (8 + 2 * bsCode) // 4->64KB .. 7->4MB

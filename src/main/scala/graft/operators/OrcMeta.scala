@@ -74,9 +74,16 @@ object OrcMeta {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 =>
+        // bounds-checked like the varint/bytes paths: overshooting end
+        // would flip atEnd and make a tail truncated inside a fixed64
+        // field parse as a complete message instead of rejecting
+        require(pos + 8 <= end, "torn ORC: truncated fixed64 field")
+        pos += 8
       case 2 => bytes()
-      case 5 => pos += 4
+      case 5 =>
+        require(pos + 4 <= end, "torn ORC: truncated fixed32 field")
+        pos += 4
       case w => throw new IllegalArgumentException(
         s"torn ORC: protobuf wire type $w")
     }

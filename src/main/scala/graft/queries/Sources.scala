@@ -13,6 +13,25 @@ import graft.operators.Maintenance
 object Sources {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shard manifest for the archive / compressed-shard ingest family
+    * (s12-s14, s17-s21, s24, s25). The documents table is a SINGLE
+    * parquet split at test scale, so a decode stage chained directly
+    * onto the scan inherits ONE task and the whole corpus decodes
+    * serially — the scale-killer shape for a small manifest driving
+    * heavy per-row CPU (at 100 TB the manifest is still one file while
+    * the decode work is the entire job). Round-robin repartition to the
+    * session's default parallelism between the manifest scan and the
+    * decode mapPartitions so every core decodes, the same pattern the
+    * s22/s23 file-list queries use; the exchange moves only the 8-byte
+    * ids, which is noise next to the decode stage it unlocks.
+    */
+  private def docIds(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   // ---------------------------------------------------------------------
   // S4: deterministic fixture → createDataFrame, with the reference's
   // null-defaulting cast chain (reference: utils.py:8-32 REST coin list →
@@ -270,7 +289,7 @@ object Sources {
   // non-response skip.
   private def s12WarcIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.map { id =>
         val recs = graft.operators.Warc.parse(
           graft.operators.Warc.fixturePayload(id))
@@ -314,7 +333,7 @@ object Sources {
   // against the system `tar` binary in TarSpec.
   private def s13TarIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.map { id =>
         val entries = graft.operators.Tar.parse(
           graft.operators.Tar.fixturePayload(id))
@@ -352,7 +371,7 @@ object Sources {
   // `unzip` binary in ZipSpec.
   private def s14ZipIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.map { id =>
         val members = graft.operators.Zip.parse(
           graft.operators.Zip.fixturePayload(id))
@@ -398,7 +417,7 @@ object Sources {
   // byte total — a decode slip of any kind changes one of them.
   private def s17Lz4Ingest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.flatMap { id =>
         val info = graft.operators.Lz4.decodeFrame(
           graft.operators.Lz4.fixturePayload(id))
@@ -449,7 +468,7 @@ object Sources {
   // the exact uncompressed byte total.
   private def s18SnappyIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.flatMap { id =>
         val info = graft.operators.Snappy.decodeFramed(
           graft.operators.Snappy.fixturePayload(id))
@@ -496,7 +515,7 @@ object Sources {
   // task, so the aggregate can't double-count them.
   private def s19GzipIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.flatMap { id =>
         val members = graft.operators.Inflate.gunzipMembers(
           graft.operators.Inflate.fixturePayload(id))
@@ -559,7 +578,7 @@ object Sources {
   // s17-s19.
   private def s20Bzip2Ingest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.flatMap { id =>
         val info = graft.operators.Bzip2.decode(
           graft.operators.Bzip2.fixturePayload(id))
@@ -611,7 +630,7 @@ object Sources {
   // yields exact integers in both engines — no float comparison.
   private def s21AvroIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.map { id =>
         val f = graft.operators.Avro.decode(
           graft.operators.Avro.fixturePayload(id))
@@ -774,7 +793,7 @@ object Sources {
   // rest of the compressed-shard family.
   private def s24XzIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.flatMap { id =>
         val info = graft.operators.Xz.decode(
           graft.operators.Xz.fixturePayload(id))
@@ -826,7 +845,7 @@ object Sources {
   // in both engines.
   private def s25ArrowIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id")).as[Long]
+    docIds(s, dir)
       .mapPartitions(_.map { id =>
         val f = graft.operators.ArrowIpc.decode(
           graft.operators.ArrowIpc.fixturePayload(id))

@@ -182,4 +182,20 @@ class InflateSpec extends AnyFunSuite {
       Inflate.gunzipMembers(badH))
     assert(e2.getMessage.contains("FHCRC"), e2.getMessage)
   }
+
+  test("decompression-bomb guard: output past the ceiling rejects " +
+      "instead of inflating unbounded") {
+    // a 1032:1 deflate bomb would OOM the executor through the
+    // ByteArrayOutputStream; the emit path must reject at the cap. The
+    // cap is parameterized (default 1 GiB) so the guard is provable
+    // without emitting a real gibibyte.
+    val src = Array.fill[Byte](1000)('A')
+    val packed = Inflate.deflateFixed(src)
+    val e = intercept[IllegalArgumentException](
+      Inflate.inflateRaw(packed, 0, maxOut = 100))
+    assert(e.getMessage.contains("ceiling"), e.getMessage)
+    // at exactly the output size the stream still decodes
+    assert(Inflate.inflateRaw(packed, 0, maxOut = 1000)._1
+      .sameElements(src))
+  }
 }

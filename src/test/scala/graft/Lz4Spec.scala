@@ -148,5 +148,14 @@ class Lz4Spec extends AnyFunSuite {
     val e3 = intercept[IllegalArgumentException](
       Lz4.decompressBlock(bad, 0, bad.length, 10))
     assert(e3.getMessage.contains("offset"), e3.getMessage)
+    // reserved BD bits set WITH a matching header checksum: the
+    // checksum alone must not launder a spec-invalid descriptor
+    val badBd = good.clone()
+    val hcPos = 6 + (if ((badBd(4) & 0x08) != 0) 8 else 0)
+    badBd(5) = (badBd(5) | 0x80).toByte
+    badBd(hcPos) =
+      ((Lz4.xxhash32(badBd, 4, hcPos - 4, 0) >>> 8) & 0xff).toByte
+    val e4 = intercept[IllegalArgumentException](Lz4.decodeFrame(badBd))
+    assert(e4.getMessage.contains("reserved BD"), e4.getMessage)
   }
 }

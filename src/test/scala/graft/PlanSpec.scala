@@ -469,4 +469,22 @@ class PlanSpec extends AnyFunSuite {
       "degree counts must map-side combine:\n" + plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("shard-ingest family: the decode stage fans out over >1 partition") {
+    // the documents manifest is ONE parquet split at test scale, so a
+    // decode chained straight onto the scan inherits one task and the
+    // whole corpus decodes serially — the single-file-manifest /
+    // heavy-per-row-CPU scale killer. Pin the round-robin fan-out
+    // between the manifest scan and the decode mapPartitions.
+    val rr = "RoundRobinPartitioning\\((\\d+)".r
+    for (q <- Seq("s12_warc_ingest", "s17_lz4_ingest", "s18_snappy_ingest",
+        "s19_gzip_ingest", "s20_bzip2_ingest", "s21_avro_ingest",
+        "s24_xz_ingest", "s25_arrow_ingest")) {
+      val plan = planOf(graft.queries.Sources.queries(q)(spark, sfSmoke))
+      val widths = rr.findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+      assert(widths.nonEmpty && widths.forall(_ > 1),
+        s"$q decode stage is not fanned out (RoundRobinPartitioning " +
+          s"missing or width<=1):\n" + plan.take(2000))
+    }
+  }
 }
