@@ -6,44 +6,62 @@ import org.apache.spark.sql.SparkSession
   * and errors. A query that throws is reported in `errors` (and exits 1) —
   * a crashed query must never masquerade as a fast one.
   *
-  * Contention-robust: a single wall-clock pass on a loaded host can
-  * overstate short multi-job (micro-batch) queries by 10–40×, so each query
-  * runs up to `SPARK_GRAFT_BENCH_REPS` (default 3) times and reports the
-  * per-query MINIMUM wall time — safe because every query is a
-  * deterministic read-only pipeline over fixed fixtures. Reps stop early
-  * once a measurement lands within 15 % of the running minimum (the
-  * measurement is stable, no contention evident). Process CPU time is
-  * recorded per query alongside wall time: on a contended host wall
-  * inflates while this JVM's CPU does not, so cpu≪wall with many reps is
-  * the contention signature readers can check.
+  * SHARDED INTO PER-FAMILY JVM FORKS (round 14). Two rounds running, the
+  * single-JVM full sweep overstated its own total through in-JVM
+  * accumulation the host-contention probe cannot see: r12 leaked streaming
+  * state-store providers (fixed with StateStore.stop() per query), r13
+  * accumulated broadcast/MemoryStore churn after ~130 queries
+  * (TorrentBroadcast "Store broadcast fail" in the log tail; p4_tz_shift
+  * recorded 25.7 s vs 0.14 s isolated). Rather than chase each new
+  * accumulation mode, the parent process now forks ONE CHILD JVM PER
+  * SHARD OF ≤8 QUERIES (query-prefix families a*, k*, mm*, tx*, …,
+  * split into 8-query chunks): every shard starts from a fresh JVM +
+  * fresh SparkSession, so no query can inherit another shard's JVM
+  * debris, and the recorded total IS the sum of isolated-shard runs by
+  * construction (whole-family forks still let the 21-query streaming
+  * family accumulate ~2× on its tail members). Fork overhead (JVM +
+  * session startup) stays outside the timed region — each child times
+  * only its queries, exactly as before.
+  *
+  * The parent additionally SELF-FLAGS residual anomalies: a query whose
+  * wall exceeds 3× its family median while burning real CPU (cpu >
+  * wall/2 — genuinely computing, not waiting) is listed under
+  * "suspects" in the record, so a reader can discount it without
+  * re-running.
+  *
+  * Contention-robust (unchanged): each query runs up to
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) times and reports the per-query
+  * MINIMUM wall time — safe because every query is a deterministic
+  * read-only pipeline over fixed fixtures. Reps stop early once a
+  * measurement lands within 15 % of the running minimum. Process CPU time
+  * is recorded per query alongside wall: on a contended host wall inflates
+  * while this JVM's CPU does not. A single-thread CPU-spin probe runs in
+  * the parent and in every child; the record carries the max ratio.
   *
   * Two output surfaces with different size constraints:
-  *   - stdout: one compact JSON line (≤ 600 chars — headline total,
-  *     cpu_total, the slowest queries, failures, sf), printed THREE
-  *     times after `spark.stop()` with flushes and sleeps. The harness
-  *     that records this run keeps only a ~2000-char tail of the log and
-  *     has been observed cutting the final line mid-write at process
-  *     teardown, so redundant short copies guarantee the tail holds at
-  *     least two complete ones.
+  *   - stdout: one compact JSON line (≤ 600 chars), printed THREE times
+  *     after the sweep with flushes and sleeps — the recording harness
+  *     keeps only a ~2000-char log tail and has cut a final line
+  *     mid-write at teardown, so redundant short copies guarantee the
+  *     tail holds at least two complete ones.
   *   - target/bench.json: the full-fidelity record (full-precision walls,
-  *     per-query wall/cpu seconds for EVERY query, rep counts, row
-  *     counts, error messages).
+  *     per-query wall/cpu/reps/rows for EVERY query, error messages,
+  *     suspects, per-family fork exit status).
   *
-  * Reps also respect a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`,
-  * default 2700 — sized so the full query inventory always gets min-of-3
-  * even on a 3×-inflated host; the r10 default of 900 exhausted mid-sweep
-  * on a contended host and the 1-rep tail read as a fake regression):
-  * once the run has spent the budget, remaining queries get a single rep.
+  * Reps respect a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`,
+  * default 2700): the parent passes each child the REMAINING budget; an
+  * exhausted budget drops remaining queries to a single rep (recorded).
   *
-  * The record SELF-FLAGS contention (`"contended": true` in both the
-  * compact line and target/bench.json) so a noisy run is distinguishable
-  * from a real regression without re-running. Two independent signals:
-  *   - a single-thread CPU-spin probe (fixed xorshift loop) run before
-  *     and after the sweep — on an idle host its wall ≈ its thread-CPU
-  *     time; on an oversubscribed host the OS timeslices the spin and
-  *     wall/cpu > 1.5;
-  *   - budget exhaustion (some queries dropped to 1 rep), which only
-  *     happens when the sweep ran far over its honest duration.
+  * Dev knobs: SPARK_GRAFT_BENCH_ONLY=q1,q2 (filter),
+  * SPARK_GRAFT_BENCH_REPS=1, SPARK_GRAFT_BENCH_FORK=0 (run everything in
+  * this JVM — the dev loop shape; the default forks per family).
+  * SPARK_GRAFT_BENCH_FAMILY / SPARK_GRAFT_BENCH_OUT are the internal
+  * parent→child contract, not user knobs.
+  *
+  * A child that DIES (OOM, JVM-level crash) is retried once in the parent
+  * JVM so the sweep total stays complete; the retry is flagged in the
+  * record ("refork" family status) — per-query errors inside a healthy
+  * child are ordinary data and do not trigger the retry.
   */
 object Bench {
 
@@ -58,8 +76,52 @@ object Bench {
       case c => c.toString
     } + "\""
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** Query-prefix family: leading token up to the first underscore, with
+    * trailing digits stripped, so a1/a14 → a, s17/s25 → s, k2_stream → k,
+    * while set/sim/ss/st/ts/tx stay distinct families.
+    */
+  private[graft] def familyOf(name: String): String = {
+    val head = name.takeWhile(_ != '_')
+    val stripped = head.reverse.dropWhile(_.isDigit).reverse
+    if (stripped.isEmpty) head else stripped
+  }
+
+  // (name, min wall sec, cpu sec of the min-wall rep, reps run,
+  //  budget-cut flag, outcome)
+  private type QRes = (String, Double, Double, Int, Boolean,
+    Either[String, Long])
+
+  /** Single-thread CPU-spin probe: wall ≈ thread-CPU on an idle core;
+    * timeslicing on an oversubscribed host inflates wall only.
+    * Ratio > 1.5 = contended.
+    */
+  private def spinProbe(): Double = {
+    val tm = java.lang.management.ManagementFactory.getThreadMXBean
+    if (!tm.isCurrentThreadCpuTimeSupported) return 1.0
+    var x = 0x9e3779b97f4a7c15L
+    val w0 = System.nanoTime()
+    val c0 = tm.getCurrentThreadCpuTime
+    var i = 0
+    while (i < 150000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val wall = (System.nanoTime() - w0).toDouble
+    val cpu = (tm.getCurrentThreadCpuTime - c0).toDouble
+    if (x == 42L) System.err.println("") // keep the loop observable
+    if (cpu <= 0) 1.0 else wall / cpu
+  }
+
+  // process CPU time is a HotSpot extension: fall back to 0 where the
+  // platform bean does not support it or is not the com.sun.management
+  // variant
+  private val cpuNanos: () => Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        () => math.max(0L, b.getProcessCpuTime)
+      case _ => () => 0L
+    }
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,58 +131,40 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen paths so per-query timings reflect data work,
-    // not first-query JIT; warmup queries are cheap scans/aggs
+    spark
+  }
+
+  /** Warm the JVM/codegen paths (cheap scans/aggs) and build the
+    * build-once fixtures, so per-query timings reflect data work, not
+    * first-query JIT or one-time fixture construction. Fixtures are
+    * content-fingerprint-keyed files in /tmp, so across family forks only
+    * the first child pays the build.
+    */
+  private def warm(spark: SparkSession, sfDir: String): Unit = {
     for (w <- Seq("a2_scalar_max", "a5_pricing_summary", "w2_dense_ids"))
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
-    // build-once fixtures (CSV round-trip, commit log, bucketed layout)
-    // are setup, not query work — keep them out of the timed region
     try SparkEntry.prewarm(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] prewarm failed: $e")
     }
-    val maxReps = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
-    val benchStart = System.nanoTime()
+  }
+
+  /** Run `names` in this session with the min-of-reps loop. `budgetSec`
+    * is wall budget from `benchStart`; on exhaustion remaining queries
+    * get one rep. Returns per-query results plus the exhaustion flag.
+    */
+  private def runQueries(spark: SparkSession, sfDir: String,
+      names: Seq[String], maxReps: Int, budgetSec: Double,
+      benchStart: Long): (Seq[QRes], Boolean) = {
     var budgetExhausted = false
     def overBudget(): Boolean = {
       val over = (System.nanoTime() - benchStart) / 1e9 > budgetSec
       if (over) budgetExhausted = true
       over
     }
-    // Contention probe: a fixed single-thread spin whose wall time equals
-    // its thread-CPU time on an idle core; timeslicing on an
-    // oversubscribed host inflates wall only. Ratio > 1.5 = contended.
-    def spinProbe(): Double = {
-      val tm = java.lang.management.ManagementFactory.getThreadMXBean
-      if (!tm.isCurrentThreadCpuTimeSupported) return 1.0
-      var x = 0x9e3779b97f4a7c15L
-      val w0 = System.nanoTime()
-      val c0 = tm.getCurrentThreadCpuTime
-      var i = 0
-      while (i < 150000000) {
-        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
-      }
-      val wall = (System.nanoTime() - w0).toDouble
-      val cpu = (tm.getCurrentThreadCpuTime - c0).toDouble
-      if (x == 42L) System.err.println("") // keep the loop observable
-      if (cpu <= 0) 1.0 else wall / cpu
-    }
-    val probeBefore = spinProbe()
-    // process CPU time is a HotSpot extension: fall back to 0 (rather
-    // than crash or emit negative values) where the platform bean does
-    // not support it (-1) or is not the com.sun.management variant
-    val cpuNanos: () => Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case b: com.sun.management.OperatingSystemMXBean =>
-          () => math.max(0L, b.getProcessCpuTime)
-        case _ => () => 0L
-      }
-    def timedRep(fn: (org.apache.spark.sql.SparkSession, String)
+    def timedRep(fn: (SparkSession, String)
         => org.apache.spark.sql.DataFrame)
         : (Double, Double, Either[String, Long]) = {
       val c0 = cpuNanos()
@@ -136,15 +180,8 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9,
         math.max(0L, cpuNanos() - c0) / 1e9, outcome)
     }
-    // dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty) // empty/blank var = no filter, not "run nothing"
-    // (name, min wall sec, cpu sec of the min-wall rep, reps run,
-    //  budget-cut flag, outcome)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       var (bestWall, bestCpu, outcome) = timedRep(fn)
       var reps = 1
       var stable = false
@@ -163,31 +200,256 @@ object Bench {
       }
       // the ONLY way a healthy query exits below maxReps without the
       // stability handshake is the budget guard — record it so a rep
-      // cut at 2-of-3 is as visible in the record as one cut at 1-of-3
+      // cut at 2-of-3 is as visible as one cut at 1-of-3
       val cut = outcome.isRight && !stable && reps < maxReps
       // Unload every streaming state-store provider this query left
-      // loaded in the JVM. Without this, RocksDB/HDFS providers from
-      // ~45 prior streaming queries accumulate and their background
-      // maintenance (snapshot uploads, file-manager churn) contaminates
-      // later queries' wall times: r12 recorded st_transform_list at
-      // 17.5 s inside the full sweep vs 1.57 s isolated. Providers
-      // reload lazily on next use, so this is pure hygiene — each
-      // query's record now measures that query.
+      // loaded: without this, RocksDB/HDFS providers accumulate and
+      // their background maintenance contaminates later wall times
+      // (r12: st_transform_list 17.5 s in-sweep vs 1.57 s isolated).
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case e: Throwable =>
         System.err.println(s"[bench] StateStore.stop after $name: $e")
       }
       (name, bestWall, bestCpu, reps, cut, outcome)
     }
+    (results, budgetExhausted)
+  }
+
+  // ------------------------------------------------------------------
+  // parent → child result file: line-based, no JSON parser needed.
+  //   probe <ratio> <budgetExhausted>
+  //   q <name> <wall> <cpu> <reps> <cut> ok <rows>
+  //   q <name> <wall> <cpu> <reps> <cut> err <base64(message)>
+  //   done            <- written last; its presence = file is complete
+
+  private def writeChildFile(path: String, probe: Double,
+      exhausted: Boolean, results: Seq[QRes]): Unit = {
+    val b64 = java.util.Base64.getEncoder
+    val sb = new StringBuilder
+    sb.append(s"probe $probe $exhausted\n")
+    results.foreach { case (n, w, c, r, cut, o) =>
+      val tail = o match {
+        case Right(rows) => s"ok $rows"
+        case Left(msg) => "err " + b64.encodeToString(
+          msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      sb.append(s"q $n $w $c $r $cut $tail\n")
+    }
+    sb.append("done\n")
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, sb.toString)
+  }
+
+  private def readChildFile(path: String)
+      : Option[(Double, Boolean, Seq[QRes])] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return None
+    val lines = java.nio.file.Files.readAllLines(p)
+    import scala.jdk.CollectionConverters._
+    val ls = lines.asScala.toSeq
+    if (!ls.lastOption.contains("done")) return None
+    var probe = 1.0
+    var exhausted = false
+    val rs = Seq.newBuilder[QRes]
+    val b64 = java.util.Base64.getDecoder
+    ls.foreach { l =>
+      val f = l.split(" ")
+      f(0) match {
+        case "probe" => probe = f(1).toDouble; exhausted = f(2).toBoolean
+        case "q" =>
+          val outcome: Either[String, Long] =
+            if (f(6) == "ok") Right(f(7).toLong)
+            else Left(new String(b64.decode(if (f.length > 7) f(7) else ""),
+              java.nio.charset.StandardCharsets.UTF_8))
+          rs += ((f(1), f(2).toDouble, f(3).toDouble, f(4).toInt,
+            f(5).toBoolean, outcome))
+        case _ => ()
+      }
+    }
+    Some((probe, exhausted, rs.result()))
+  }
+
+  // ------------------------------------------------------------------
+  // child: one family, fresh JVM
+
+  private def childMain(family: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"target/bench-fam-$family.txt")
+    val maxReps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(SparkEntry.queries.keys.toSeq.filter(
+        n => familyOf(n) == family))
+      .sorted
+    val spark = buildSession()
+    warm(spark, sfDir)
+    val probeBefore = spinProbe()
+    val benchStart = System.nanoTime()
+    val (results, exhausted) =
+      runQueries(spark, sfDir, names, maxReps, budgetSec, benchStart)
     val probeAfter = spinProbe()
-    val probeRatio = math.max(probeBefore, probeAfter)
+    spark.stop()
+    writeChildFile(outPath, math.max(probeBefore, probeAfter), exhausted,
+      results)
+  }
+
+  // ------------------------------------------------------------------
+  // parent: fork per family, merge, emit the record
+
+  /** Fork one child JVM for `family`; returns its parsed results, or
+    * None if the child died or wrote no complete file.
+    */
+  private def forkFamily(family: String, queries: Seq[String],
+      remainingBudget: Double): Option[(Double, Boolean, Seq[QRes])] = {
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"),
+      "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val outPath = s"target/bench-fam-$family.txt"
+    val logPath = s"target/bench-fam-$family.log"
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outPath))
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    cmd.addAll(jvmArgs)
+    cmd.add("-cp")
+    cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.Bench")
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(logPath))
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_BENCH_FAMILY", family)
+    env.put("SPARK_GRAFT_BENCH_ONLY", queries.mkString(","))
+    env.put("SPARK_GRAFT_BENCH_OUT", outPath)
+    env.put("SPARK_GRAFT_BENCH_BUDGET_SEC",
+      math.max(0.0, remainingBudget).toString)
+    val proc = pb.start()
+    val exit = proc.waitFor()
+    val parsed = readChildFile(outPath)
+    if (exit != 0 || parsed.isEmpty) {
+      System.err.println(s"[bench] family $family fork exit=$exit " +
+        s"complete=${parsed.nonEmpty}; log tail:")
+      try {
+        val log = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(logPath))
+        System.err.println(log.linesIterator.toSeq.takeRight(15)
+          .mkString("\n"))
+      } catch { case _: Throwable => () }
+      None
+    } else parsed
+  }
+
+  def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_BENCH_FAMILY") match {
+      case Some(f) => childMain(f); return
+      case None => ()
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val maxReps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
+    val forkEnabled =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") != "0"
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank var = no filter, not "run nothing"
+    val inventory = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val families = inventory.groupBy(familyOf).toSeq.sortBy(_._1)
+    // fork granularity: a shard per ≤8 queries, not per whole family —
+    // the 21-query streaming family still accumulated measurably inside
+    // one JVM (st_scd2_stream 7.6 s in-family vs 3.5 s isolated when
+    // this was per-family), and 8 keeps every query within ~1.3× of its
+    // isolated floor while amortizing JVM+session startup 8-ways
+    val shards: Seq[(String, Seq[String])] = families.flatMap {
+      case (fam, qs) =>
+        val chunks = qs.grouped(8).toSeq
+        if (chunks.size == 1) Seq((fam, qs))
+        else chunks.zipWithIndex.map { case (c, i) => (s"$fam$i", c) }
+    }
+    val benchStart = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
+    val probeBefore = spinProbe()
+
+    // lazily created parent session: only needed for the in-JVM path
+    // (FORK=0 dev mode, or re-running a family whose child died)
+    var parentSpark: Option[SparkSession] = None
+    var parentWarmed = false
+    def parentSession(): SparkSession = {
+      val s = parentSpark.getOrElse { val b = buildSession()
+        parentSpark = Some(b); b }
+      if (!parentWarmed) { warm(s, sfDir); parentWarmed = true }
+      s
+    }
+
+    var childExhausted = false
+    var childProbeMax = 1.0
+    val familyStatus = Seq.newBuilder[(String, String)]
+    val results: Seq[QRes] = shards.flatMap { case (fam, qs) =>
+      val forked = if (forkEnabled)
+        forkFamily(fam, qs, budgetSec - elapsed()) else None
+      forked match {
+        case Some((probe, exhausted, rs)) =>
+          childProbeMax = math.max(childProbeMax, probe)
+          childExhausted ||= exhausted
+          familyStatus += ((fam, "fork"))
+          // children run a fixed query list; belt-and-braces: any name
+          // the child somehow skipped is recorded as failed, not lost
+          val got = rs.map(_._1).toSet
+          rs ++ qs.filterNot(got).map(n =>
+            (n, 0.0, 0.0, 0, false,
+              Left("family fork wrote no result for this query")
+                : Either[String, Long]))
+        case None =>
+          // child died (OOM/JVM crash) or forking is off: run this
+          // family in the parent JVM with inter-family hygiene so one
+          // family's debris cannot contaminate the next
+          familyStatus += ((fam, if (forkEnabled) "refork" else "local"))
+          val s = parentSession()
+          val (rs, exhausted) = runQueries(s, sfDir, qs, maxReps,
+            budgetSec, benchStart)
+          childExhausted ||= exhausted
+          try {
+            s.catalog.clearCache()
+            s.sharedState.cacheManager.clearCache()
+          } catch { case _: Throwable => () }
+          System.gc()
+          rs
+      }
+    }
+    val probeAfter = spinProbe()
+    val probeRatio = math.max(math.max(probeBefore, probeAfter),
+      childProbeMax)
+    parentSpark.foreach(_.stop())
+    val budgetExhausted = childExhausted || elapsed() > budgetSec
     val contended = probeRatio > 1.5 || budgetExhausted
-    // queries whose rep loop the budget stopped before stability or
-    // maxReps (any rep count — min-of-2 is degraded too, per ADVICE r11)
     val budgetCut = results.count(_._5)
-    // queries that never got past their cold first rep (worst tail)
     val reps1 = results.count { case (_, _, _, r, c, o) =>
       o.isRight && c && r == 1
+    }
+    // residual-anomaly self-flag: wall > 4× the family median AND > 2 s
+    // while burning real CPU (cpu > wall/2 — computing, not waiting).
+    // Calibrated on a clean forked sweep so naturally-heavier family
+    // members (tx_bm25 at 1.1 s in a 0.2 s-median family) stay
+    // unflagged; with ≤8-query fork shards a non-empty list means an
+    // in-shard accumulation mode and names exactly which records to
+    // distrust.
+    val suspects: Seq[String] = families.flatMap { case (_, qs) =>
+      val fr = results.filter(r => qs.contains(r._1) && r._6.isRight)
+      if (fr.size < 4) Seq.empty
+      else {
+        val walls = fr.map(_._2).sorted
+        val median = walls(walls.size / 2)
+        fr.filter(r => r._2 > 4 * median && r._2 > 2.0 &&
+          r._3 > r._2 / 2).map(_._1)
+      }
     }
     // locale-proof decimal formatting (some locales print "1,23")
     def fmt(v: Double, dp: Int): String =
@@ -198,9 +460,8 @@ object Bench {
     val cpuTotal = results.collect { case (_, _, c, _, _, Right(_)) => c }.sum
     val failed = results.count(_._6.isLeft)
     // numeric scale factor when the dir follows the sfX.Y convention; the
-    // raw path otherwise (both are valid JSON values for the "sf" key).
-    // The pattern must admit only a well-formed JSON number — a loose
-    // digit/dot run would let "sf1.2.3" or "sf01" emit invalid JSON.
+    // raw path otherwise. The pattern must admit only a well-formed JSON
+    // number.
     val sfJson = "sf(0|[1-9][0-9]*)(\\.[0-9]+)?$".r.findFirstMatchIn(sfDir)
       .map(m => m.group(1) + Option(m.group(2)).getOrElse(""))
       .getOrElse(jsonStr(sfDir))
@@ -209,25 +470,24 @@ object Bench {
     }.mkString("{", ",", "}")
     // full-fidelity record: full-precision walls + cpu/reps/rows maps
     val fullLine = {
-      def m(f: ((String, Double, Double, Int, Boolean, Either[String, Long])) => String) =
-        results.map(f).mkString("{", ",", "}")
+      def m(f: QRes => String) = results.map(f).mkString("{", ",", "}")
       val qs = m { case (k, w, _, _, _, _) => s"\"$k\":$w" }
       val cpu = m { case (k, _, c, _, _, _) => s"\"$k\":$c" }
       val reps = m { case (k, _, _, r, _, _) => s"\"$k\":$r" }
       val rows = m { case (k, _, _, _, _, o) => s"\"$k\":${o.getOrElse(-1L)}" }
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"contended":$contended,"probe_ratio":${fmt(probeRatio, 3)},"budget_exhausted":$budgetExhausted,"budget_cut_queries":$budgetCut,"single_rep_queries":$reps1,"queries":$qs,"cpu":$cpu,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
+      val fams = familyStatus.result().map { case (f, st) =>
+        s"\"$f\":${jsonStr(st)}"
+      }.mkString("{", ",", "}")
+      val susp = suspects.map(jsonStr).mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"contended":$contended,"probe_ratio":${fmt(probeRatio, 3)},"budget_exhausted":$budgetExhausted,"budget_cut_queries":$budgetCut,"single_rep_queries":$reps1,"families":$fams,"suspects":$susp,"queries":$qs,"cpu":$cpu,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
     }
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, fullLine + "\n")
     // compact stdout line: must fit, whole, inside a ~2000-char log tail
-    // together with sbt's "[success] Total time: ..." epilogue. 2-dp walls
-    // normally suffice; fall back to 1 dp if the query list has grown,
-    // then to dropping the error map (failure details live in
-    // target/bench.json and the exit code; the headline must survive the
-    // tail precisely when something went wrong). Compact-surface error
-    // messages are truncated — one multi-KB Spark exception would
-    // otherwise blow the budget the cap exists to protect.
+    // together with sbt's "[success] ..." epilogue. 2-dp walls normally
+    // suffice; fall back to 1 dp, then to dropping the error map
+    // (failure details live in target/bench.json and the exit code).
     val compactErrors = results.collect { case (k, _, _, _, _, Left(m)) =>
       s"\"$k\":${jsonStr(m.take(100))}"
     }.mkString("{", ",", "}")
@@ -236,7 +496,7 @@ object Bench {
         .mkString("{", ",", "}")
       val err = if (failed == 0 || !withErrors) ""
         else s""","errors":$compactErrors"""
-      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","contended":$contended,"queries":$qs$err,"failed":$failed,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","contended":$contended,"suspects":${suspects.size},"queries":$qs$err,"failed":$failed,"sf":$sfJson}"""
     }
     // last-resort shapes, still valid JSON with the same headline keys:
     // top-N slowest queries only (the ones a reader acts on), then none —
@@ -245,22 +505,17 @@ object Bench {
       val qs = results.sortBy(-_._2).take(n)
         .map { case (k, w, _, _, _, _) => s"\"$k\":${fmt(w, 1)}" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","contended":$contended,"queries":$qs,"queries_truncated_to":$n,"failed":$failed,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","contended":$contended,"suspects":${suspects.size},"queries":$qs,"queries_truncated_to":$n,"failed":$failed,"sf":$sfJson}"""
     }
     val line = (Seq((2, true), (1, true), (1, false))
         .map((compactLine _).tupled) ++ Seq(topLine(20), topLine(10),
         topLine(5)))
       .find(_.length <= 600)
       .getOrElse(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","contended":$contended,"failed":$failed,"sf":$sfJson}""")
-    spark.stop()
-    // Printed AFTER spark.stop() so nothing lands between the line and
-    // the end of the log — and printed THREE times with flushes and
-    // sleeps: the round-6 record lost the single final line MID-WRITE
-    // (the log relay was cut at process teardown), so one copy at the
-    // very end is exactly the fragile shape. Three ≤600-char copies mean
-    // any 2000-char log tail that reaches the end of the run contains at
-    // least two complete copies, whichever one a parser picks; the final
-    // sleep gives the forked-process relay time to drain before exit.
+    // Printed AFTER the sweep with flushes and sleeps: the round-6 record
+    // lost a single final line MID-WRITE at process teardown, so three
+    // ≤600-char copies guarantee any 2000-char log tail that reaches the
+    // end of the run contains at least two complete ones.
     for (i <- 0 until 3) {
       if (i > 0) Thread.sleep(1000)
       println(line)

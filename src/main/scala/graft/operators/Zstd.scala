@@ -1,0 +1,910 @@
+package graft.operators
+
+/** Zstandard decompression from scratch (pure JVM) — the last
+  * big-league member of the compressed-shard codec family
+  * ([[Lz4]]/[[Snappy]]/[[Inflate]]/[[Bzip2]]/[[Xz]]), and the default
+  * ORC compression in Spark 4, so this decoder also unblocks
+  * [[OrcMeta]] from its snappy-pinned fixtures. Implements RFC 8878:
+  *
+  *   - frame layer: magic, frame-header descriptor (single-segment,
+  *     FCS field sizes 0/1/2/4/8, dictionary-ID flags — non-zero
+  *     dictionary IDs reject by name), window descriptor with the
+  *     exponent+mantissa size formula, skippable frames
+  *     (0x184D2A50..5F), multi-frame concatenation, and the optional
+  *     content checksum = low 32 bits of XXH64(content) — XXH64
+  *     implemented here and verified when present;
+  *   - block layer: raw / RLE / compressed block headers (LE24:
+  *     last-flag, type, size), 128 KiB block maximum;
+  *   - literals: raw / RLE / Huffman-compressed / treeless-repeat,
+  *     all four size formats, 1-stream and 4-stream layouts with the
+  *     6-byte jump table and the (regen+3)/4 per-stream split;
+  *   - Huffman: weights direct (4-bit packed) or FSE-compressed (two
+  *     interleaved states over a shared backward bitstream, ending on
+  *     bit-exhaustion per the reference tail loop), the implicit last
+  *     weight completing Σ2^(w-1) to a power of two, max code length
+  *     11, canonical fill from longest codes at index 0;
+  *   - FSE/tANS: the variable-bit normalized-count header (threshold
+  *     descent, "less than 1" = -1 probabilities, 2-bit zero-run
+  *     repeat flags), decode-table spread with step
+  *     (size/2 + size/8 + 3) skipping the high cells reserved for
+  *     -1 symbols, per-cell nbBits = AL - floor(log2(x)) and
+  *     baseline = (x << nbBits) - size;
+  *   - sequences: the RFC's PREDEFINED LL/ML/OF distributions
+  *     (accuracy logs 6/6/5) transcribed from the spec, RLE and
+  *     FSE-compressed and repeat table modes, interleaved state
+  *     machine (init order LL,OF,ML; value-bit order OF,ML,LL;
+  *     update order LL,ML,OF), the three-slot repeat-offset history
+  *     with the litLen==0 shift and the rep1-1 corner, and full
+  *     backward-bitstream exhaustion checks.
+  *
+  * Cross-validated in ZstdSpec against the INDEPENDENT zstd-jni
+  * (libzstd) implementation on Spark's classpath: jni-compressed
+  * streams at every level class (fast/default/btopt/btultra2, with
+  * and without content checksums, multi-frame, skippable leaders)
+  * must decode bit-exactly; fixtures are jni-written (foreign-origin
+  * bytes, like the [[Bzip2]]/[[Xz]] tiers). Torn streams (bad magic,
+  * reserved bits, corrupt counts, over-subscribed tables, truncation,
+  * wrong checksum) reject loudly by name.
+  *
+  * Documented seam: dictionary frames (dictionary_ID != 0) reject by
+  * name — raw-content dictionaries are a negotiated side channel, not
+  * a self-contained shard shape.
+  *
+  * Beyond-reference source surface (SURVEY §2.1 scope).
+  */
+object Zstd {
+
+  /** Decompressed-size ceiling (1 GiB), the family-wide bomb guard. */
+  private val MaxOutput = 1 << 30
+  /** Window-size ceiling: a frame demanding more history than this is
+    * refused rather than buffered (scale guard; libzstd's own default
+    * limit is 2^27 too).
+    */
+  private val MaxWindow = 1 << 27
+  private val BlockMax = 128 * 1024
+
+  // -------------------------------------------------------------------
+  // XXH64 (public xxHash spec) — frame content checksums
+
+  private val P1 = 0x9E3779B185EBCA87L
+  private val P2 = 0xC2B2AE3D27D4EB4FL
+  private val P3 = 0x165667B19E3779F9L
+  private val P4 = 0x85EBCA77C2B2AE63L
+  private val P5 = 0x27D4EB2F165667C5L
+
+  def xxh64(b: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    def le64(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    def le32(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 4) { v |= (b(o + i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    def round(acc: Long, in: Long): Long =
+      rotl(acc + in * P2, 31) * P1
+    var o = off
+    val end = off + len
+    var h =
+      if (len >= 32) {
+        var a1 = seed + P1 + P2
+        var a2 = seed + P2
+        var a3 = seed
+        var a4 = seed - P1
+        while (o + 32 <= end) {
+          a1 = round(a1, le64(o)); a2 = round(a2, le64(o + 8))
+          a3 = round(a3, le64(o + 16)); a4 = round(a4, le64(o + 24))
+          o += 32
+        }
+        var x = rotl(a1, 1) + rotl(a2, 7) + rotl(a3, 12) + rotl(a4, 18)
+        x = (x ^ round(0, a1)) * P1 + P4
+        x = (x ^ round(0, a2)) * P1 + P4
+        x = (x ^ round(0, a3)) * P1 + P4
+        x = (x ^ round(0, a4)) * P1 + P4
+        x
+      } else seed + P5
+    h += len
+    while (o + 8 <= end) {
+      h = rotl(h ^ round(0, le64(o)), 27) * P1 + P4
+      o += 8
+    }
+    if (o + 4 <= end) {
+      h = rotl(h ^ (le32(o) * P1), 23) * P2 + P3
+      o += 4
+    }
+    while (o < end) {
+      h = rotl(h ^ ((b(o) & 0xffL) * P5), 11) * P1
+      o += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  // -------------------------------------------------------------------
+  // bit IO
+
+  /** Forward little-endian bit reader (FSE normalized-count headers). */
+  private final class FwdBits(b: Array[Byte], val from: Int,
+      val to: Int) {
+    var pos = 0 // bit position relative to `from`
+    private def bit(i: Int): Int = {
+      val byteIdx = from + (i >>> 3)
+      if (byteIdx >= to) 0
+      else (b(byteIdx) >>> (i & 7)) & 1
+    }
+    def peek(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v |= bit(pos + k) << k; k += 1 }
+      v
+    }
+    def skip(n: Int): Unit = pos += n
+    def read(n: Int): Int = { val v = peek(n); skip(n); v }
+    /** Bytes consumed so far, rounded up. */
+    def bytesUsed: Int = (pos + 7) >>> 3
+    def checkWithin(): Unit =
+      require(from + bytesUsed <= to,
+        "torn zstd: FSE count header overruns its region")
+  }
+
+  /** Backward bitstream (FSE streams, Huffman streams, sequences):
+    * values are written LSB-first forward and read back-to-front; the
+    * last byte's most-significant set bit is the padding sentinel.
+    * Reads past the logical start return zero bits and set
+    * `overflowed` — the reference decoder's zero-padded container
+    * semantics, which the FSE weight loop uses as its stop signal;
+    * strict consumers require an exact landing on zero instead.
+    */
+  private final class BackBits(b: Array[Byte], from: Int, to: Int) {
+    require(to > from, "torn zstd: empty backward bitstream")
+    private val sentinelByte = b(to - 1) & 0xff
+    require(sentinelByte != 0,
+      "torn zstd: backward bitstream missing its sentinel bit")
+    private val totalBits =
+      (to - from - 1) * 8 + (31 - Integer.numberOfLeadingZeros(sentinelByte))
+    var bitIndex: Int = totalBits
+    def overflowed: Boolean = bitIndex < 0
+    private def bit(i: Int): Int =
+      if (i < 0) 0 else (b(from + (i >>> 3)) >>> (i & 7)) & 1
+    def peek(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v |= bit(bitIndex - n + k) << k; k += 1 }
+      v
+    }
+    def read(n: Int): Int = { val v = peek(n); bitIndex -= n; v }
+    def readLong(n: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < n) { v |= bit(bitIndex - n + k).toLong << k; k += 1 }
+      bitIndex -= n
+      v
+    }
+    def finished: Boolean = bitIndex == 0
+  }
+
+  // -------------------------------------------------------------------
+  // FSE
+
+  private final case class FseTable(al: Int, sym: Array[Int],
+      nb: Array[Int], base: Array[Int])
+
+  /** Read a normalized-count header (RFC 8878 §4.1.1). Returns the
+    * counts (index = symbol, value -1..2^AL) and leaves `fb` positioned
+    * after the header bits (byte-aligned by the caller via bytesUsed).
+    */
+  private def readNCount(fb: FwdBits, maxSym: Int,
+      maxLog: Int): (Array[Int], Int) = {
+    val al = fb.read(4) + 5
+    require(al <= maxLog, s"zstd FSE accuracy log $al exceeds $maxLog")
+    var remaining = (1 << al) + 1
+    var threshold = 1 << al
+    var nbBits = al + 1
+    val counts = new Array[Int](maxSym + 1)
+    var charnum = 0
+    var previous0 = false
+    while (remaining > 1) {
+      require(charnum <= maxSym,
+        "torn zstd: FSE counts exceed the symbol alphabet")
+      if (previous0) {
+        var n0 = charnum
+        while (fb.peek(2) == 3) { fb.skip(2); n0 += 3 }
+        n0 += fb.read(2)
+        require(n0 <= maxSym, "torn zstd: FSE zero-run past the alphabet")
+        while (charnum < n0) { counts(charnum) = 0; charnum += 1 }
+      }
+      val max = (2 * threshold - 1) - remaining
+      var count =
+        if ((fb.peek(nbBits) & (threshold - 1)) < max) {
+          val v = fb.peek(nbBits) & (threshold - 1)
+          fb.skip(nbBits - 1)
+          v
+        } else {
+          val v = fb.read(nbBits) & (2 * threshold - 1)
+          if (v >= threshold) v - max else v
+        }
+      count -= 1 // -1 encodes the "less than 1" probability
+      remaining -= math.abs(count)
+      require(remaining >= 1, "torn zstd: over-subscribed FSE counts")
+      counts(charnum) = count
+      charnum += 1
+      previous0 = count == 0
+      while (remaining < threshold && remaining > 1) {
+        nbBits -= 1; threshold >>= 1
+      }
+    }
+    fb.checkWithin()
+    (counts, al)
+  }
+
+  private def buildFse(counts: Array[Int], al: Int): FseTable = {
+    val size = 1 << al
+    val sym = new Array[Int](size)
+    var high = size - 1
+    for (s <- counts.indices) if (counts(s) == -1) {
+      sym(high) = s; high -= 1
+    }
+    val step = (size >> 1) + (size >> 3) + 3
+    val mask = size - 1
+    var pos = 0
+    for (s <- counts.indices) {
+      var k = 0
+      while (k < counts(s)) { // counts(s) > 0 only
+        sym(pos) = s
+        pos = (pos + step) & mask
+        while (pos > high) pos = (pos + step) & mask
+        k += 1
+      }
+    }
+    require(pos == 0, "torn zstd: FSE spread did not close")
+    val next = counts.map(math.abs)
+    val nb = new Array[Int](size)
+    val base = new Array[Int](size)
+    var i = 0
+    while (i < size) {
+      val s = sym(i)
+      val x = next(s)
+      next(s) += 1
+      val nbb = al - (31 - Integer.numberOfLeadingZeros(x))
+      nb(i) = nbb
+      base(i) = (x << nbb) - size
+      i += 1
+    }
+    FseTable(al, sym, nb, base)
+  }
+
+  /** A degenerate 1-state table for the RLE sequence-table mode. */
+  private def rleTable(symbol: Int): FseTable =
+    FseTable(0, Array(symbol), Array(0), Array(0))
+
+  // -------------------------------------------------------------------
+  // Huffman (literals)
+
+  private final case class HufTable(maxBits: Int, sym: Array[Int],
+      nb: Array[Int])
+
+  private def buildHuf(weights: Array[Int]): HufTable = {
+    var sum = 0L
+    for (w <- weights) {
+      require(w >= 0 && w <= 11, s"zstd Huffman weight $w out of range")
+      if (w > 0) sum += 1L << (w - 1)
+    }
+    require(sum > 0, "torn zstd: Huffman table with no coded symbols")
+    val maxBits = 64 - java.lang.Long.numberOfLeadingZeros(sum - 1) match {
+      case 0 => 1 // sum == 1
+      case n => n
+    }
+    require(maxBits <= 11,
+      s"zstd Huffman code length $maxBits exceeds the 11-bit maximum")
+    require(sum == (1L << maxBits),
+      "torn zstd: Huffman weights do not complete a power of two")
+    val size = 1 << maxBits
+    val sym = new Array[Int](size)
+    val nb = new Array[Int](size)
+    var pos = 0
+    var w = 1
+    while (w <= maxBits) {
+      var s = 0
+      while (s < weights.length) {
+        if (weights(s) == w) {
+          val cells = 1 << (w - 1)
+          val nbb = maxBits + 1 - w
+          var k = 0
+          while (k < cells) { sym(pos + k) = s; nb(pos + k) = nbb; k += 1 }
+          pos += cells
+        }
+        s += 1
+      }
+      w += 1
+    }
+    require(pos == size, "torn zstd: Huffman fill did not close")
+    HufTable(maxBits, sym, nb)
+  }
+
+  /** Read a Huffman tree description starting at `off`; returns the
+    * table and the bytes consumed (header byte included).
+    */
+  private def readHufTable(p: Array[Byte], off: Int,
+      end: Int): (HufTable, Int) = {
+    require(off < end, "torn zstd: missing Huffman tree description")
+    val hByte = p(off) & 0xff
+    if (hByte >= 128) {
+      // direct: (hByte - 127) 4-bit weights, two per byte, high first
+      val n = hByte - 127
+      val nBytes = (n + 1) / 2
+      require(off + 1 + nBytes <= end,
+        "torn zstd: direct Huffman weights overrun the literals")
+      val weights = new Array[Int](n + 1) // + implicit last
+      var i = 0
+      while (i < n) {
+        val b = p(off + 1 + i / 2) & 0xff
+        weights(i) = if (i % 2 == 0) b >>> 4 else b & 0xf
+        i += 1
+      }
+      (finishWeights(weights, n), 1 + nBytes)
+    } else {
+      // FSE-compressed weights: hByte = compressed size
+      require(off + 1 + hByte <= end,
+        "torn zstd: FSE Huffman weights overrun the literals")
+      val fb = new FwdBits(p, off + 1, off + 1 + hByte)
+      val (counts, al) = readNCount(fb, 255, 6)
+      val table = buildFse(counts, al)
+      val streamFrom = off + 1 + fb.bytesUsed
+      val bs = new BackBits(p, streamFrom, off + 1 + hByte)
+      var s1 = bs.read(al)
+      var s2 = bs.read(al)
+      require(!bs.overflowed, "torn zstd: Huffman weight stream too short")
+      val ws = Array.newBuilder[Int]
+      var n = 0
+      var stop = false
+      // the reference tail loop: states alternate; the state whose
+      // UPDATE over-reads is dropped and the other state emits once
+      // more, ending the stream
+      while (!stop) {
+        require(n < 255, "torn zstd: runaway Huffman weight stream")
+        ws += table.sym(s1)
+        n += 1
+        s1 = table.base(s1) + bs.read(table.nb(s1))
+        if (bs.overflowed) { ws += table.sym(s2); n += 1; stop = true }
+        else {
+          ws += table.sym(s2)
+          n += 1
+          s2 = table.base(s2) + bs.read(table.nb(s2))
+          if (bs.overflowed) { ws += table.sym(s1); n += 1; stop = true }
+        }
+      }
+      val weights = ws.result() :+ 0 // slot for the implicit last
+      (finishWeights(weights, weights.length - 1), 1 + hByte)
+    }
+  }
+
+  /** Deduce the implicit last weight (completes Σ2^(w-1) to a power of
+    * two) and build the table. `weights` has `n` explicit entries and
+    * one spare slot.
+    */
+  private def finishWeights(weights: Array[Int], n: Int): HufTable = {
+    require(n >= 1 && n <= 255,
+      s"torn zstd: $n explicit Huffman weights (1..255 allowed)")
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      require(weights(i) <= 11, "zstd Huffman weight out of range")
+      if (weights(i) > 0) sum += 1L << (weights(i) - 1)
+      i += 1
+    }
+    require(sum > 0, "torn zstd: all-zero Huffman weights")
+    val maxBits = 64 - java.lang.Long.numberOfLeadingZeros(sum)
+    val nextPow2 = 1L << maxBits
+    val rest = nextPow2 - sum
+    require(java.lang.Long.bitCount(rest) == 1,
+      "torn zstd: Huffman weights do not leave a power-of-two remainder")
+    weights(n) = java.lang.Long.numberOfTrailingZeros(rest).toInt + 1
+    buildHuf(weights.take(n + 1))
+  }
+
+  /** Decode one Huffman-coded literal stream of exactly `expect`
+    * bytes; the stream must consume its bits exactly.
+    */
+  private def hufStream(t: HufTable, p: Array[Byte], from: Int, to: Int,
+      out: Array[Byte], outOff: Int, expect: Int): Unit = {
+    val bs = new BackBits(p, from, to)
+    var i = 0
+    while (i < expect) {
+      val idx = bs.peek(t.maxBits)
+      out(outOff + i) = t.sym(idx).toByte
+      bs.bitIndex -= t.nb(idx)
+      require(bs.bitIndex >= 0,
+        "torn zstd: Huffman literal stream exhausted early")
+      i += 1
+    }
+    require(bs.finished,
+      "torn zstd: Huffman literal stream not fully consumed")
+  }
+
+  // -------------------------------------------------------------------
+  // sequences: predefined distributions and code tables (RFC 8878)
+
+  private val LlDefault = Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1)
+  private val MlDefault = Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1)
+  private val OfDefault = Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1)
+
+  private lazy val LlPredef = buildFse(LlDefault, 6)
+  private lazy val MlPredef = buildFse(MlDefault, 6)
+  private lazy val OfPredef = buildFse(OfDefault, 5)
+
+  // literal-length codes: baseline and extra bits per code
+  private val LlBase = Array(
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536)
+  private val LlExtra = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+  // match-length codes
+  private val MlBase = Array(
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539)
+  private val MlExtra = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  // -------------------------------------------------------------------
+  // frame decoding
+
+  private val Magic = 0xFD2FB528
+  private val SkippableBase = 0x184D2A50
+
+  final case class ZstdInfo(content: Array[Byte], nFrames: Int,
+      nSkippable: Int, nChecksums: Int)
+
+  private def le32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) | ((p(o + 2) & 0xff) << 16) |
+      ((p(o + 3) & 0xff) << 24)
+
+  /** Per-frame mutable decoder state: accumulated output (match
+    * window), repeat offsets, and the tables `repeat`/treeless modes
+    * reuse across blocks.
+    */
+  private final class FrameState {
+    var buf = new Array[Byte](64 * 1024)
+    var len = 0
+    val reps = Array(1, 4, 8)
+    var huf: HufTable = null
+    var llT: FseTable = null
+    var mlT: FseTable = null
+    var ofT: FseTable = null
+    def ensure(extra: Int): Unit = {
+      require(len.toLong + extra <= MaxOutput,
+        s"zstd output exceeds the $MaxOutput-byte ceiling (bomb guard)")
+      if (len + extra > buf.length) {
+        var cap = buf.length
+        while (cap < len + extra)
+          cap = if (cap > MaxOutput / 2) MaxOutput else cap * 2
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    }
+    def append(src: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n)
+      System.arraycopy(src, off, buf, len, n)
+      len += n
+    }
+    def appendByte(b: Byte, n: Int): Unit = {
+      ensure(n)
+      java.util.Arrays.fill(buf, len, len + n, b)
+      len += n
+    }
+    def copyMatch(offset: Int, n: Int): Unit = {
+      require(offset >= 1 && offset <= len,
+        s"torn zstd: match offset $offset outside the $len-byte window")
+      ensure(n)
+      var i = 0
+      while (i < n) { // byte-wise: overlapping copies are the format
+        buf(len + i) = buf(len + i - offset)
+        i += 1
+      }
+      len += n
+    }
+  }
+
+  /** Decode the literals section; returns (literals, bytesConsumed). */
+  private def decodeLiterals(p: Array[Byte], off: Int, end: Int,
+      st: FrameState): (Array[Byte], Int) = {
+    require(off < end, "torn zstd: missing literals section")
+    val b0 = p(off) & 0xff
+    val ltype = b0 & 3
+    val sizeFormat = (b0 >>> 2) & 3
+    if (ltype <= 1) { // raw or RLE
+      val (regen, hdr) = sizeFormat match {
+        case 0 | 2 => (b0 >>> 3, 1)
+        case 1 =>
+          require(off + 2 <= end, "torn zstd: literals size header")
+          ((b0 >>> 4) | ((p(off + 1) & 0xff) << 4), 2)
+        case _ =>
+          require(off + 3 <= end, "torn zstd: literals size header")
+          ((b0 >>> 4) | ((p(off + 1) & 0xff) << 4) |
+            ((p(off + 2) & 0xff) << 12), 3)
+      }
+      require(regen <= BlockMax, s"zstd literals $regen exceed a block")
+      if (ltype == 0) {
+        require(off + hdr + regen <= end, "torn zstd: raw literals")
+        (java.util.Arrays.copyOfRange(p, off + hdr, off + hdr + regen),
+          hdr + regen)
+      } else {
+        require(off + hdr + 1 <= end, "torn zstd: RLE literal byte")
+        val out = new Array[Byte](regen)
+        java.util.Arrays.fill(out, p(off + hdr))
+        (out, hdr + 1)
+      }
+    } else { // compressed (2) or treeless (3)
+      val (regen, comp, hdr, fourStreams) = sizeFormat match {
+        case 0 | 1 =>
+          require(off + 3 <= end, "torn zstd: literals size header")
+          val b1 = p(off + 1) & 0xff
+          val b2 = p(off + 2) & 0xff
+          ((b0 >>> 4) | ((b1 & 0x3f) << 4), (b1 >>> 6) | (b2 << 2), 3,
+            sizeFormat == 1)
+        case 2 =>
+          require(off + 4 <= end, "torn zstd: literals size header")
+          val b1 = p(off + 1) & 0xff
+          val b2 = p(off + 2) & 0xff
+          val b3 = p(off + 3) & 0xff
+          ((b0 >>> 4) | (b1 << 4) | ((b2 & 3) << 12),
+            (b2 >>> 2) | (b3 << 6), 4, true)
+        case _ =>
+          require(off + 5 <= end, "torn zstd: literals size header")
+          val b1 = p(off + 1) & 0xff
+          val b2 = p(off + 2) & 0xff
+          val b3 = p(off + 3) & 0xff
+          val b4 = p(off + 4) & 0xff
+          ((b0 >>> 4) | (b1 << 4) | ((b2 & 0x3f) << 12),
+            (b2 >>> 6) | (b3 << 2) | (b4 << 10), 5, true)
+      }
+      require(regen <= BlockMax, s"zstd literals $regen exceed a block")
+      require(off + hdr + comp <= end,
+        "torn zstd: compressed literals overrun the block")
+      var o = off + hdr
+      val streamsEnd = off + hdr + comp
+      if (ltype == 2) {
+        val (t, used) = readHufTable(p, o, streamsEnd)
+        st.huf = t
+        o += used
+      } else require(st.huf != null,
+        "torn zstd: treeless literals with no previous Huffman table")
+      val t = st.huf
+      val out = new Array[Byte](regen)
+      if (!fourStreams) {
+        hufStream(t, p, o, streamsEnd, out, 0, regen)
+      } else {
+        require(o + 6 <= streamsEnd, "torn zstd: literals jump table")
+        val s1 = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+        val s2 = (p(o + 2) & 0xff) | ((p(o + 3) & 0xff) << 8)
+        val s3 = (p(o + 4) & 0xff) | ((p(o + 5) & 0xff) << 8)
+        o += 6
+        val s4 = streamsEnd - o - s1 - s2 - s3
+        require(s4 > 0, "torn zstd: literals stream sizes overrun")
+        val part = (regen + 3) / 4
+        val last = regen - 3 * part
+        require(last >= 0, "torn zstd: literals split underflow")
+        hufStream(t, p, o, o + s1, out, 0, part)
+        hufStream(t, p, o + s1, o + s1 + s2, out, part, part)
+        hufStream(t, p, o + s1 + s2, o + s1 + s2 + s3, out, 2 * part, part)
+        hufStream(t, p, o + s1 + s2 + s3, streamsEnd, out, 3 * part, last)
+      }
+      (out, hdr + comp)
+    }
+  }
+
+  /** Read one sequence-table description per its 2-bit mode. */
+  private def seqTable(p: Array[Byte], off: Int, end: Int, mode: Int,
+      maxSym: Int, maxLog: Int, predef: => FseTable,
+      prev: FseTable): (FseTable, Int) = mode match {
+    case 0 => (predef, 0)
+    case 1 =>
+      require(off < end, "torn zstd: RLE sequence-table byte")
+      val s = p(off) & 0xff
+      require(s <= maxSym, s"zstd RLE sequence symbol $s > $maxSym")
+      (rleTable(s), 1)
+    case 2 =>
+      val fb = new FwdBits(p, off, end)
+      val (counts, al) = readNCount(fb, maxSym, maxLog)
+      (buildFse(counts, al), fb.bytesUsed)
+    case _ =>
+      require(prev != null,
+        "torn zstd: repeat sequence table with no previous table")
+      (prev, 0)
+  }
+
+  /** Decode one compressed block's content into the frame state. */
+  private def decodeBlock(p: Array[Byte], off: Int, end: Int,
+      st: FrameState): Unit = {
+    val (lits, litBytes) = decodeLiterals(p, off, end, st)
+    var o = off + litBytes
+    require(o < end, "torn zstd: missing sequences section")
+    val b0 = p(o) & 0xff
+    o += 1
+    val nSeq =
+      if (b0 == 0) 0
+      else if (b0 < 128) b0
+      else if (b0 < 255) {
+        require(o < end, "torn zstd: sequence count")
+        val v = ((b0 - 128) << 8) + (p(o) & 0xff); o += 1; v
+      } else {
+        require(o + 2 <= end, "torn zstd: sequence count")
+        val v = (p(o) & 0xff) + ((p(o + 1) & 0xff) << 8) + 0x7f00
+        o += 2; v
+      }
+    if (nSeq == 0) {
+      require(o == end, "torn zstd: trailing bytes after empty sequences")
+      st.append(lits, 0, lits.length)
+      return
+    }
+    require(o < end, "torn zstd: missing compression-modes byte")
+    val modes = p(o) & 0xff
+    o += 1
+    require((modes & 3) == 0, "reserved sequence-mode bits set")
+    val (llT, llUsed) = seqTable(p, o, end, (modes >>> 6) & 3, 35, 9,
+      LlPredef, st.llT)
+    o += llUsed
+    val (ofT, ofUsed) = seqTable(p, o, end, (modes >>> 4) & 3, 31, 8,
+      OfPredef, st.ofT)
+    o += ofUsed
+    val (mlT, mlUsed) = seqTable(p, o, end, (modes >>> 2) & 3, 52, 9,
+      MlPredef, st.mlT)
+    o += mlUsed
+    st.llT = llT; st.ofT = ofT; st.mlT = mlT
+    val bs = new BackBits(p, o, end)
+    var ll = bs.read(llT.al)
+    var of = bs.read(ofT.al)
+    var ml = bs.read(mlT.al)
+    require(!bs.overflowed, "torn zstd: sequence bitstream too short")
+    var litPos = 0
+    var i = 0
+    while (i < nSeq) {
+      val ofCode = ofT.sym(of)
+      val mlCode = mlT.sym(ml)
+      val llCode = llT.sym(ll)
+      require(ofCode <= 31 && mlCode <= 52 && llCode <= 35,
+        "torn zstd: sequence code out of range")
+      val offVal = (1L << ofCode) + bs.readLong(ofCode)
+      val mlVal = MlBase(mlCode) + bs.read(MlExtra(mlCode))
+      val llVal = LlBase(llCode) + bs.read(LlExtra(llCode))
+      require(!bs.overflowed, "torn zstd: sequence bitstream exhausted")
+      // repeat-offset resolution (RFC 8878 §3.1.1.5)
+      val offset: Int =
+        if (offVal > 3) {
+          val x = offVal - 3
+          require(x <= MaxWindow, s"zstd offset $x exceeds the window cap")
+          st.reps(2) = st.reps(1); st.reps(1) = st.reps(0)
+          st.reps(0) = x.toInt
+          x.toInt
+        } else {
+          val idx = offVal.toInt - 1 + (if (llVal == 0) 1 else 0)
+          idx match {
+            case 0 => st.reps(0)
+            case 1 =>
+              val x = st.reps(1)
+              st.reps(1) = st.reps(0); st.reps(0) = x; x
+            case 2 =>
+              val x = st.reps(2)
+              st.reps(2) = st.reps(1); st.reps(1) = st.reps(0)
+              st.reps(0) = x; x
+            case _ =>
+              val x = st.reps(0) - 1
+              require(x >= 1, "torn zstd: repeat offset underflow")
+              st.reps(2) = st.reps(1); st.reps(1) = st.reps(0)
+              st.reps(0) = x; x
+          }
+        }
+      require(litPos + llVal <= lits.length,
+        "torn zstd: sequence consumes more literals than regenerated")
+      st.append(lits, litPos, llVal)
+      litPos += llVal
+      st.copyMatch(offset, mlVal)
+      i += 1
+      if (i < nSeq) { // no state update after the last sequence
+        ll = llT.base(ll) + bs.read(llT.nb(ll))
+        ml = mlT.base(ml) + bs.read(mlT.nb(ml))
+        of = ofT.base(of) + bs.read(ofT.nb(of))
+        require(!bs.overflowed, "torn zstd: sequence states exhausted")
+      }
+    }
+    require(bs.finished, "torn zstd: sequence bitstream not consumed")
+    st.append(lits, litPos, lits.length - litPos)
+  }
+
+  /** Decode a (possibly multi-frame) zstd payload, verifying every
+    * content checksum present.
+    */
+  def decode(p: Array[Byte]): ZstdInfo = {
+    var o = 0
+    var nFrames = 0
+    var nSkippable = 0
+    var nChecksums = 0
+    val out = new java.io.ByteArrayOutputStream()
+    require(p.length >= 4, "torn zstd: shorter than any frame")
+    while (o < p.length) {
+      require(o + 4 <= p.length, "torn zstd: trailing garbage")
+      val magic = le32(p, o)
+      if ((magic & 0xfffffff0) == SkippableBase) {
+        require(o + 8 <= p.length, "torn zstd: skippable frame header")
+        val n = le32(p, o + 4)
+        require(n >= 0 && o + 8 + n <= p.length,
+          "torn zstd: skippable frame overruns input")
+        o += 8 + n
+        nSkippable += 1
+      } else {
+        require(magic == Magic, f"not zstd: magic 0x$magic%08x")
+        o += 4
+        require(o < p.length, "torn zstd: missing frame header")
+        val desc = p(o) & 0xff
+        o += 1
+        val dictFlag = desc & 3
+        val checksumFlag = (desc >>> 2) & 1
+        require((desc & 0x08) == 0, "reserved frame-descriptor bit set")
+        val singleSegment = (desc >>> 5) & 1
+        val fcsFlag = (desc >>> 6) & 3
+        var windowSize = 0L
+        if (singleSegment == 0) {
+          require(o < p.length, "torn zstd: missing window descriptor")
+          val wd = p(o) & 0xff
+          o += 1
+          val base = 1L << (10 + (wd >>> 3))
+          windowSize = base + (base / 8) * (wd & 7)
+        }
+        val dictBytes = dictFlag match {
+          case 0 => 0
+          case 1 => 1
+          case 2 => 2
+          case _ => 4
+        }
+        if (dictBytes > 0) {
+          require(o + dictBytes <= p.length, "torn zstd: dictionary ID")
+          var dictId = 0L
+          for (i <- 0 until dictBytes) dictId |= (p(o + i) & 0xffL) << (8 * i)
+          require(dictId == 0,
+            s"zstd dictionary frames unsupported (dictionary_ID $dictId; " +
+              "documented seam — shards must be self-contained)")
+          o += dictBytes
+        }
+        val fcsBytes = fcsFlag match {
+          case 0 => if (singleSegment == 1) 1 else 0
+          case 1 => 2
+          case 2 => 4
+          case _ => 8
+        }
+        var contentSize = -1L
+        if (fcsBytes > 0) {
+          require(o + fcsBytes <= p.length, "torn zstd: content size field")
+          var v = 0L
+          for (i <- 0 until fcsBytes) v |= (p(o + i) & 0xffL) << (8 * i)
+          if (fcsBytes == 2) v += 256
+          contentSize = v
+          o += fcsBytes
+        }
+        if (singleSegment == 1) {
+          require(contentSize >= 0,
+            "torn zstd: single-segment frame without content size")
+          windowSize = contentSize
+        }
+        require(windowSize <= MaxWindow,
+          s"zstd window $windowSize exceeds the $MaxWindow-byte cap " +
+            "(scale guard)")
+        val st = new FrameState
+        var last = false
+        while (!last) {
+          require(o + 3 <= p.length, "torn zstd: block header")
+          val h = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+            ((p(o + 2) & 0xff) << 16)
+          o += 3
+          last = (h & 1) == 1
+          val btype = (h >>> 1) & 3
+          val bsize = h >>> 3
+          btype match {
+            case 0 =>
+              require(bsize <= BlockMax, "zstd raw block exceeds maximum")
+              require(o + bsize <= p.length, "torn zstd: raw block")
+              st.append(p, o, bsize)
+              o += bsize
+            case 1 =>
+              require(bsize <= BlockMax, "zstd RLE block exceeds maximum")
+              require(o < p.length, "torn zstd: RLE block byte")
+              st.appendByte(p(o), bsize)
+              o += 1
+            case 2 =>
+              require(bsize <= BlockMax,
+                "zstd compressed block exceeds maximum")
+              require(o + bsize <= p.length, "torn zstd: compressed block")
+              decodeBlock(p, o, o + bsize, st)
+              o += bsize
+            case _ =>
+              throw new IllegalArgumentException(
+                "reserved zstd block type 3")
+          }
+        }
+        if (contentSize >= 0)
+          require(st.len == contentSize,
+            s"torn zstd: decoded ${st.len} bytes, header declared " +
+              s"$contentSize")
+        if (checksumFlag == 1) {
+          require(o + 4 <= p.length, "torn zstd: missing content checksum")
+          val want = le32(p, o) & 0xffffffffL
+          val got = xxh64(st.buf, 0, st.len, 0L) & 0xffffffffL
+          require(got == want,
+            f"zstd content checksum mismatch (got 0x$got%08x, " +
+              f"want 0x$want%08x)")
+          o += 4
+          nChecksums += 1
+        }
+        out.write(st.buf, 0, st.len)
+        nFrames += 1
+      }
+    }
+    require(nFrames > 0, "torn zstd: no data frames")
+    ZstdInfo(out.toByteArray, nFrames, nSkippable, nChecksums)
+  }
+
+  // -------------------------------------------------------------------
+  // Fixture: zstd-jni-produced .jsonl.zst shards (foreign-origin corpus
+  // — the decoder under test never sees bytes it produced itself).
+  // Levels rotate through the fast/default/lazy/btopt match-finder
+  // classes so every table mode (predefined, FSE-compressed, RLE,
+  // repeat; raw and 4-stream Huffman literals) appears in the corpus;
+  // id%4==3 shards are two concatenated frames with a skippable-frame
+  // leader (the pzstd / seekable shape); id%2==0 frames carry content
+  // checksums.
+
+  def fixtureLineCount(id: Long): Int = 70 + (id % 60).toInt
+
+  def fixtureLine(id: Long, k: Int): String =
+    s"""{"doc":$id,"seq":$k,"lab":"z${k % 9}","x":${(k * 47 + id % 21) % 1200}}"""
+
+  def fixtureContent(id: Long): Array[Byte] =
+    (0 until fixtureLineCount(id)).map(k => fixtureLine(id, k))
+      .mkString("", "\n", "\n").getBytes("UTF-8")
+
+  def fixtureLevel(id: Long): Int =
+    Array(1, 3, 6, 12, 19)((id % 5).toInt)
+
+  def fixturePayload(id: Long): Array[Byte] = {
+    def one(content: Array[Byte], checksum: Boolean): Array[Byte] = {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try {
+        ctx.setLevel(fixtureLevel(id))
+        ctx.setChecksum(checksum)
+        ctx.compress(content)
+      } finally ctx.close()
+    }
+    val checksum = id % 2 == 0
+    if (id % 4 == 3) {
+      // skippable leader + two concatenated frames splitting the lines
+      val half = fixtureLineCount(id) / 2
+      val a = (0 until half).map(k => fixtureLine(id, k))
+        .mkString("", "\n", "\n").getBytes("UTF-8")
+      val b = (half until fixtureLineCount(id)).map(k => fixtureLine(id, k))
+        .mkString("", "\n", "\n").getBytes("UTF-8")
+      val meta = s"shard-$id".getBytes("UTF-8")
+      val skip = new java.io.ByteArrayOutputStream()
+      skip.write(Array[Byte](0x50, 0x2a, 0x4d.toByte, 0x18))
+      skip.write(Array[Byte](meta.length.toByte, 0, 0, 0))
+      skip.write(meta)
+      skip.toByteArray ++ one(a, checksum) ++ one(b, checksum)
+    } else one(fixtureContent(id), checksum)
+  }
+}

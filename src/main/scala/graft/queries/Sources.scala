@@ -727,23 +727,27 @@ object Sources {
   // ---------------------------------------------------------------------
   // S23: ORC tail scan (operators.OrcMeta) — the second columnar
   // format's metadata read from scratch (protobuf wire format,
-  // postscript, snappy-framed footer chunks through this repo's OWN
-  // snappy decoder), answering row counts and column ranges from KBs
-  // of tail per file; the oracle re-derives every fact by full scan of
-  // the parquet-side events table (the ORC fixture is a lossless
-  // round-trip of it). orc-core cross-validation lives in OrcMetaSpec.
-  /** Build-once snappy-compressed ORC fixture (Spark 4 defaults to
-    * zstd, whose entropy tables are the documented seam — snappy keeps
-    * the from-scratch parse path honest end to end).
+  // postscript, ZSTD-framed footer chunks through this repo's OWN
+  // RFC 8878 decoder, operators.Zstd), answering row counts and column
+  // ranges from KBs of tail per file; the oracle re-derives every fact
+  // by full scan of the parquet-side events table (the ORC fixture is
+  // a lossless round-trip of it). orc-core cross-validation lives in
+  // OrcMetaSpec.
+  /** Build-once zstd-compressed ORC fixture — Spark 4's DEFAULT ORC
+    * codec, pinned explicitly so the query exercises the from-scratch
+    * zstd path even if the session default drifts (r13 pinned snappy
+    * here because zstd was still a documented seam; r14's decoder
+    * closed it). The directory name carries the codec so a cached
+    * snappy-era fixture can never satisfy this build.
     */
   def ensureOrcMetaFixture(s: SparkSession, dir: String): String = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-orcmeta-${graft.Tables.fingerprint(dir, "events")}")
+      s"graft-orcmeta-zstd-${graft.Tables.fingerprint(dir, "events")}")
       .getAbsolutePath
     if (!new java.io.File(tmp, "_SUCCESS").exists()) {
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
-        .write.mode("overwrite").option("compression", "snappy").orc(tmp)
+        .write.mode("overwrite").option("compression", "zstd").orc(tmp)
     }
     tmp
   }
@@ -758,7 +762,7 @@ object Sources {
       .mapPartitions(_.map { path =>
         val t = graft.operators.OrcMeta.readFile(
           java.nio.file.Paths.get(path))
-        require(t.compression == 2, "fixture must be snappy-framed")
+        require(t.compression == 5, "fixture must be zstd-framed")
         val ev = t.columns(1).intStats.get // event_id
         val us = t.columns(2).intStats.get // user_id
         (t.numberOfRows, ev.min.get, ev.max.get, ev.sum.get,
@@ -893,6 +897,61 @@ object Sources {
       |  CAST(sum(nul) AS BIGINT) AS n_null_opt,
       |  CAST(sum(ov) AS BIGINT) AS sum_opt
       |FROM rows_ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // S26: zstd shard ingestion (operators.Zstd) — the dominant modern
+  // lake/shard codec (.jsonl.zst), decoded by the from-scratch RFC 8878
+  // implementation (FSE/tANS with the spec's predefined distributions,
+  // Huffman literals with FSE-compressed weights, repeat offsets,
+  // XXH64 content checksums verified; zstd-jni cross-validated at
+  // every level class in ZstdSpec). The fixture corpus is
+  // zstd-jni-WRITTEN (foreign-origin bytes) with the level rotating
+  // through the fast/default/lazy/btopt match-finder classes; id%4==3
+  // shards carry a skippable-frame leader plus two concatenated frames
+  // (the pzstd/seekable shape) and id%2==0 frames carry checksums.
+  // Same fan-out + per-task decode scale contract as s17-s25.
+  private def s26ZstdIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docIds(s, dir)
+      .mapPartitions(_.flatMap { id =>
+        val info = graft.operators.Zstd.decode(
+          graft.operators.Zstd.fixturePayload(id))
+        new String(info.content, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator
+          .map(l => (id, info.nFrames.toLong,
+            info.content.length.toLong, l))
+      })
+      .toDF("doc_id", "n_frames", "total_bytes", "line")
+      .select(col("doc_id"), col("n_frames"), col("total_bytes"),
+        from_json(col("line"), org.apache.spark.sql.types.StructType
+          .fromDDL("doc BIGINT, seq BIGINT, lab STRING, x BIGINT"))
+          .as("j"))
+      .groupBy(col("doc_id"), col("n_frames"), col("total_bytes"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("j.x")).as("sum_x"),
+        countDistinct(col("j.lab")).as("n_labs"))
+      .select(col("doc_id"), col("n_lines"), col("sum_x"),
+        col("n_labs"), col("n_frames"), col("total_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val s26ZstdIngestSql =
+    """WITH dims AS (
+      |  SELECT doc_id, 70 + doc_id % 60 AS n FROM documents),
+      |lines AS (
+      |  SELECT doc_id, n, k,
+      |    (k*47 + doc_id % 21) % 1200 AS x,
+      |    strlen('{"doc":' || doc_id || ',"seq":' || k || ',"lab":"z' ||
+      |      (k % 9) || '","x":' || ((k*47 + doc_id % 21) % 1200) || '}')
+      |      + 1 AS lb
+      |  FROM dims, unnest(generate_series(0, n - 1)) t(k))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(x) AS BIGINT) AS sum_x,
+      |  CAST(count(DISTINCT k % 9) AS BIGINT) AS n_labs,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS BIGINT)
+      |    AS n_frames,
+      |  CAST(sum(lb) AS BIGINT) AS total_bytes
+      |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
@@ -1068,7 +1127,8 @@ object Sources {
     "s22_parquet_footer" -> s22ParquetFooter _,
     "s23_orc_meta" -> s23OrcMeta _,
     "s24_xz_ingest" -> s24XzIngest _,
-    "s25_arrow_ingest" -> s25ArrowIngest _
+    "s25_arrow_ingest" -> s25ArrowIngest _,
+    "s26_zstd_ingest" -> s26ZstdIngest _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1090,6 +1150,7 @@ object Sources {
     "s22_parquet_footer" -> s22ParquetFooterSql,
     "s23_orc_meta" -> s23OrcMetaSql,
     "s24_xz_ingest" -> s24XzIngestSql,
-    "s25_arrow_ingest" -> s25ArrowIngestSql
+    "s25_arrow_ingest" -> s25ArrowIngestSql,
+    "s26_zstd_ingest" -> s26ZstdIngestSql
   )
 }

@@ -59,6 +59,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
         b => op.Avro.decode(b)),
       ("xz", (0L until 6L).map(op.Xz.fixturePayload),
         b => op.Xz.decode(b)),
+      ("zstd", (0L until 6L).map(op.Zstd.fixturePayload),
+        b => op.Zstd.decode(b)),
       ("arrow", (0L until 4L).map(op.ArrowIpc.fixturePayload),
         b => op.ArrowIpc.decode(b)),
       ("parquet-footer", Seq(java.nio.file.Files.readAllBytes(

@@ -5,9 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.OrcMeta
 
 /** ORC tail parsing (operators.OrcMeta), cross-validated against the
-  * INDEPENDENT orc-core implementation on Spark-written files (snappy
-  * footer compression by default, so the chunk framing and this repo's
-  * snappy decoder meet real foreign bytes), plus loud torn rejects.
+  * INDEPENDENT orc-core implementation on Spark-written files across
+  * all four supported footer codecs — zstd (Spark 4's default, routed
+  * through this repo's from-scratch RFC 8878 decoder), snappy, zlib
+  * and lz4, each through this repo's own decoder against real foreign
+  * bytes — plus loud torn rejects.
   */
 class OrcMetaSpec extends AnyFunSuite {
 
@@ -21,9 +23,11 @@ class OrcMetaSpec extends AnyFunSuite {
   }
 
   test("Spark-written ORC: rows, stripes, types, int min/max/sum and " +
-      "null flags match orc-core across snappy/zlib/lz4 footers") {
+      "null flags match orc-core across zstd/snappy/zlib/lz4 footers") {
     import spark.implicits._
-    for (codec <- Seq("snappy", "zlib", "lz4")) {
+    // zstd FIRST: Spark 4's default ORC codec, routed through this
+    // repo's from-scratch RFC 8878 decoder (the r13 seam, closed r14)
+    for (codec <- Seq("zstd", "snappy", "zlib", "lz4")) {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft-orcmeta-$codec").toString
     (0 until 4000).map(i =>
@@ -39,7 +43,7 @@ class OrcMetaSpec extends AnyFunSuite {
       val ours = OrcMeta.readFile(file.toPath)
       val core = coreReader(file.getAbsolutePath)
       assert(ours.compression ==
-        Map("snappy" -> 2, "zlib" -> 1, "lz4" -> 4)(codec),
+        Map("snappy" -> 2, "zlib" -> 1, "lz4" -> 4, "zstd" -> 5)(codec),
         s"$codec ${file.getName} compression")
       assert(ours.numberOfRows == core.getNumberOfRows, file.getName)
       assert(ours.nStripes == core.getStripes.size())

@@ -479,7 +479,7 @@ class PlanSpec extends AnyFunSuite {
     val rr = "RoundRobinPartitioning\\((\\d+)".r
     for (q <- Seq("s12_warc_ingest", "s17_lz4_ingest", "s18_snappy_ingest",
         "s19_gzip_ingest", "s20_bzip2_ingest", "s21_avro_ingest",
-        "s24_xz_ingest", "s25_arrow_ingest")) {
+        "s24_xz_ingest", "s25_arrow_ingest", "s26_zstd_ingest")) {
       val plan = planOf(graft.queries.Sources.queries(q)(spark, sfSmoke))
       val widths = rr.findAllMatchIn(plan).map(_.group(1).toInt).toSeq
       assert(widths.nonEmpty && widths.forall(_ > 1),
