@@ -99,8 +99,9 @@ object Flac {
   // multi-frame streams under BOTH blocksize strategies (fixed: coded
   // frame numbers; variable: coded first-sample numbers, multi-byte
   // UTF-8-style), and the frame-trailing CRC-16 — all per RFC 9639 /
-  // the xiph.org spec. Remaining DOCUMENTED loud reject: 33-bit side
-  // channels.
+  // the xiph.org spec. 33-bit side channels (32-bit decorrelated
+  // stereo) decode through Long channel buffers — the r13 named reject
+  // closed in r14; samples re-checked into 32 bits at interleave.
 
   /** Decoded stream: STREAMINFO + interleaved PCM (frame by frame,
     * sample-major: `samples(i*channels + c)`).
@@ -128,6 +129,13 @@ object Flac {
     def sbits(n: Int): Int = {
       val v = bits(n)
       ((v << (64 - n)) >> (64 - n)).toInt
+    }
+    /** Signed read up to 33 bits — the side channel of a 32-bit
+      * decorrelated stereo pair carries bps+1 bits.
+      */
+    def sbitsL(n: Int): Long = {
+      val v = bits(n)
+      (v << (64 - n)) >> (64 - n)
     }
     /** FLAC unary: count of 0-bits before the terminating 1. */
     def unary(): Int = {
@@ -281,8 +289,11 @@ object Flac {
       require(br.bits(8).toInt == gotCrc8, "frame header CRC-8 mismatch")
       require(written + blockSize <= total,
         s"frame overruns STREAMINFO total: $written+$blockSize > $total")
-      // ---- subframes, one per channel
-      val chans = Array.ofDim[Int](channels, blockSize)
+      // ---- subframes, one per channel. Long buffers: the side channel
+      // of a 32-bit decorrelated pair is 33-bit (and its LPC/fixed
+      // intermediates wider still); final samples are re-checked into
+      // 32 bits at interleave
+      val chans = Array.ofDim[Long](channels, blockSize)
       var c = 0
       while (c < channels) {
         require(br.bit() == 0, "subframe padding bit must be 0")
@@ -299,20 +310,19 @@ object Flac {
         }
         val effBps = bps + sideBit - wasted
         require(effBps > 0, "wasted bits consume the whole sample")
-        require(effBps <= 32,
-          "33-bit side channel (32-bit decorrelated stereo) unsupported")
+        require(effBps <= 33, s"subframe sample width $effBps > 33")
         val dst = chans(c)
         if (typ == 0) { // CONSTANT
-          java.util.Arrays.fill(dst, br.sbits(effBps))
+          java.util.Arrays.fill(dst, br.sbitsL(effBps))
         } else if (typ == 1) { // VERBATIM
           var i = 0
-          while (i < blockSize) { dst(i) = br.sbits(effBps); i += 1 }
+          while (i < blockSize) { dst(i) = br.sbitsL(effBps); i += 1 }
         } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
           val order = typ & 0x07
           require(blockSize > order,
             s"block of $blockSize cannot carry a FIXED($order) subframe")
           var i = 0
-          while (i < order) { dst(i) = br.sbits(effBps); i += 1 }
+          while (i < order) { dst(i) = br.sbitsL(effBps); i += 1 }
           readResiduals(br, blockSize, order, dst)
           restoreFixed(dst, order, blockSize)
         } else if (typ >= 0x20) { // LPC, order = (typ & 0x1f) + 1
@@ -320,7 +330,7 @@ object Flac {
           require(blockSize > order,
             s"block of $blockSize cannot carry an LPC($order) subframe")
           var i = 0
-          while (i < order) { dst(i) = br.sbits(effBps); i += 1 }
+          while (i < order) { dst(i) = br.sbitsL(effBps); i += 1 }
           val precM1 = br.bits(4).toInt
           require(precM1 != 15, "invalid LPC coefficient precision code 15")
           val prec = precM1 + 1
@@ -341,7 +351,7 @@ object Flac {
             while (j < order) {
               acc += coefs(j).toLong * dst(i - 1 - j); j += 1
             }
-            dst(i) += (acc >> shift).toInt
+            dst(i) += acc >> shift
             i += 1
           }
         } else {
@@ -382,12 +392,17 @@ object Flac {
           }
         case _ => ()
       }
-      // interleave
+      // interleave — after decorrelation every sample must be back in
+      // its declared bps ≤ 32 bits; a value outside Int range here is a
+      // torn stream, not a representable sample
       var i = 0
       while (i < blockSize) {
         c = 0
         while (c < channels) {
-          out((written + i) * channels + c) = chans(c)(i)
+          val v = chans(c)(i)
+          require(v >= Int.MinValue && v <= Int.MaxValue,
+            "decoded sample exceeds 32 bits (torn stream)")
+          out((written + i) * channels + c) = v.toInt
           c += 1
         }
         i += 1
@@ -404,7 +419,7 @@ object Flac {
     * all-ones escape (raw `n`-bit residuals, n=0 meaning all-zero).
     */
   private def readResiduals(br: BitReader, blockSize: Int, order: Int,
-      dst: Array[Int]): Unit = {
+      dst: Array[Long]): Unit = {
     val method = br.bits(2).toInt
     require(method <= 1, s"reserved residual coding method $method")
     val pBits = if (method == 0) 4 else 5
@@ -424,7 +439,7 @@ object Flac {
         val raw = br.bits(5).toInt
         var i = 0
         while (i < count) {
-          dst(idx) = if (raw == 0) 0 else br.sbits(raw)
+          dst(idx) = if (raw == 0) 0L else br.sbitsL(raw)
           idx += 1; i += 1
         }
       } else {
@@ -432,7 +447,7 @@ object Flac {
         while (i < count) {
           val q = br.unary().toLong
           val u = (q << prm) | br.bits(prm)
-          dst(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // unsigned folding
+          dst(idx) = (u >>> 1) ^ -(u & 1L) // unsigned folding
           idx += 1; i += 1
         }
       }
@@ -443,7 +458,7 @@ object Flac {
   /** In-place fixed-predictor restoration (orders 0..4, T.81-era
     * binomial coefficients per the FLAC spec).
     */
-  private def restoreFixed(d: Array[Int], order: Int, n: Int): Unit = {
+  private def restoreFixed(d: Array[Long], order: Int, n: Int): Unit = {
     var i = order
     order match {
       case 0 => ()
@@ -496,7 +511,7 @@ object Flac {
   /** The o-th-order fixed-predictor residual at position `i` (binomial
     * alternating weights, the inverse of [[restoreFixed]]).
     */
-  private def fixedResidual(s: Array[Int], i: Int, o: Int): Int = o match {
+  private def fixedResidual(s: Array[Long], i: Int, o: Int): Long = o match {
     case 0 => s(i)
     case 1 => s(i) - s(i - 1)
     case 2 => s(i) - 2 * s(i - 1) + s(i - 2)
@@ -537,7 +552,7 @@ object Flac {
 
   private def encodeFrameBytes(codedValue: Long, variable: Boolean,
       n: Int, chCode: Int,
-      ssCode: Int, subs: Array[Array[Int]], subBps: Array[Int],
+      ssCode: Int, subs: Array[Array[Long]], subBps: Array[Int],
       mode: Int, po: Int, riceMethod: Int, wasted: Int,
       lpcCoefs: Array[Int], lpcShift: Int, lpcPrec: Int): Array[Byte] = {
     val w = new BitWriter()
@@ -572,19 +587,19 @@ object Flac {
         w2.bit(1)
       }
       val s = subs(c).map { v =>
-        require(wasted == 0 || (v & ((1 << wasted) - 1)) == 0,
+        require(wasted == 0 || (v & ((1L << wasted) - 1)) == 0,
           "samples must be divisible by 2^wasted")
         v >> wasted
       }
       mode match {
         case -2 =>
           require(s.forall(_ == s(0)), "CONSTANT needs a constant block")
-          w2.bits(s(0).toLong & mask, effBps)
-        case -1 => s.foreach(v => w2.bits(v.toLong & mask, effBps))
+          w2.bits(s(0) & mask, effBps)
+        case -1 => s.foreach(v => w2.bits(v & mask, effBps))
         case m =>
           val order = if (m == 5) lpcCoefs.length else m
           var i = 0
-          while (i < order) { w2.bits(s(i).toLong & mask, effBps); i += 1 }
+          while (i < order) { w2.bits(s(i) & mask, effBps); i += 1 }
           if (m == 5) {
             w2.bits((lpcPrec - 1).toLong, 4)
             w2.bits((lpcShift & 0x1f).toLong, 5)
@@ -598,7 +613,7 @@ object Flac {
               while (k < order) {
                 acc += lpcCoefs(k).toLong * s(j + order - 1 - k); k += 1
               }
-              s(j + order) - (acc >> lpcShift).toInt
+              s(j + order) - (acc >> lpcShift)
             } else fixedResidual(s, j + order, m)
           }
           w2.bits(riceMethod.toLong, 2)
@@ -638,18 +653,21 @@ object Flac {
     * report each subframe's bit depth (side carries bps+1).
     */
   private def decorrelate(chans: Array[Array[Int]], stereo: Int,
-      bps: Int): (Array[Array[Int]], Array[Int]) = {
+      bps: Int): (Array[Array[Long]], Array[Int]) = {
     require(stereo == -1 || (stereo >= 8 && stereo <= 10 &&
       chans.length == 2),
       "stereo decorrelation needs exactly 2 channels and code 8..10")
     val n = if (chans.isEmpty) 0 else chans(0).length
-    def side = Array.tabulate(n)(i => chans(0)(i) - chans(1)(i))
+    // Long: the side channel of a 32-bit pair is 33-bit, and the
+    // mid-channel sum would overflow Int before its shift
+    def side = Array.tabulate(n)(i => chans(0)(i).toLong - chans(1)(i))
     val subs = stereo match {
-      case -1 => chans
-      case 8 => Array(chans(0), side)
-      case 9 => Array(side, chans(1))
+      case -1 => chans.map(_.map(_.toLong))
+      case 8 => Array(chans(0).map(_.toLong), side)
+      case 9 => Array(side, chans(1).map(_.toLong))
       case _ => Array(
-        Array.tabulate(n)(i => (chans(0)(i) + chans(1)(i)) >> 1), side)
+        Array.tabulate(n)(i => (chans(0)(i).toLong + chans(1)(i)) >> 1),
+        side)
     }
     val subBps = Array.tabulate(subs.length) { c =>
       bps + (stereo match {
@@ -740,7 +758,8 @@ object Flac {
     out.write(head, 0, head.length)
     var written = 0
     blockSizes.foreach { n =>
-      val subs = Array.tabulate(channels, n)((c, i) => chans(c)(written + i))
+      val subs = Array.tabulate(channels, n)(
+        (c, i) => chans(c)(written + i).toLong)
       val frame = encodeFrameBytes(written.toLong, variable = true, n,
         channels - 1, 0, subs, Array.fill(channels)(bps),
         mode = 2, po = 0, riceMethod = 0, wasted = 0, null, 0, 0)
@@ -766,7 +785,13 @@ object Flac {
   def fixtureAudioPayload(id: Long): Array[Byte] = {
     val rate = 8000 + ((id % 6) * 8000).toInt
     val channels = fixtureAudioChannels(id)
-    val bps = 16 + ((id % 2) * 8).toInt
+    // id%20==15 rotates in 32-BIT stereo — always decorrelated (the
+    // (id/2)%4 table gives code 8 or 10 for these ids), so the side
+    // subframe carries 33 bits and the decoder's Long sample path runs
+    // against every 20th shard. Sample VALUES are the same closed form
+    // (the oracle is bps-independent); only the coded width changes.
+    val bps =
+      if (id % 20 == 15) 32 else 16 + ((id % 2) * 8).toInt
     val total = fixtureAudioSamples(id)
     val block = 512
     val (mode, lpcCoefs, lpcShift, lpcPrec): (Int, Array[Int], Int, Int) =
@@ -779,7 +804,7 @@ object Flac {
       if (channels == 2) Array(-1, 8, 9, 10)(((id / 2) % 4).toInt)
       else -1
     val po = (id % 2).toInt
-    val ssCode = if (bps == 16) 4 else 6
+    val ssCode = bps match { case 16 => 4; case 24 => 6; case _ => 7 }
     // blocksize strategy rotation (id%5==3): VARIABLE streams cycle
     // 448/320/512-sample frames (remainders stay even and > 2), coded
     // numbers become multi-byte SAMPLE indexes from frame 2 on —

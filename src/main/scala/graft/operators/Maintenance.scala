@@ -1202,17 +1202,79 @@ object Maintenance {
     }.toMap
   }
 
+  // Fallback stats for files the commit protocol did not write (a
+  // foreign-written parquet directory, or pre-feature bootstrap data):
+  // derive [min, max] from the file's OWN footer via the from-scratch
+  // [[graft.operators.ParquetFooter]] tail reader — O(footer) IO on the
+  // driver, cached by (path, size, mtime) so repeated plans over an
+  // unchanged file read its tail once. Only plain-unannotated numeric
+  // leaves are trusted (INT32/INT64/FLOAT/DOUBLE with no converted or
+  // logical type — a DATE-annotated INT32's stats live in a different
+  // value domain than the query's bounds); every row group must carry
+  // stats for the column or the file stays unprunable. Bounds widen one
+  // ulp exactly like the commit-time path, so pruning stays
+  // conservative: a skipped file provably holds no row in range.
+  private val footerRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Long), Map[String, (Double, Double)]]()
+
+  private def footerRanges(file: java.io.File)
+      : Map[String, (Double, Double)] = {
+    val key = (file.getAbsolutePath, file.length(), file.lastModified())
+    footerRangeCache.computeIfAbsent(key, _ => {
+      try {
+        val f = graft.operators.ParquetFooter.readTail(file.toPath)
+        // flat-leaf schema map: name -> field; nested paths (dotted)
+        // are left unpruned — conservative, never wrong
+        val leaves = f.schema.drop(1).filter(_.numChildren == 0)
+          .map(sf => sf.name -> sf).toMap
+        val acc = scala.collection.mutable.Map[String, (Double, Double)]()
+        var dropped = Set.empty[String]
+        for (rg <- f.rowGroups; c <- rg.columns) {
+          val ok = !c.path.contains('.') && leaves.get(c.path).exists(
+            sf => Seq(1, 2, 4, 5).contains(sf.physicalType) &&
+              sf.convertedType.isEmpty && !sf.hasLogicalType)
+          (c.minValue, c.maxValue) match {
+            case (Some(mn), Some(mx)) if ok =>
+              val lo = graft.operators.ParquetFooter
+                .statDouble(c.physicalType, mn)
+              val hi = graft.operators.ParquetFooter
+                .statDouble(c.physicalType, mx)
+              if (lo.isNaN || hi.isNaN) dropped += c.path
+              else {
+                val prev = acc.getOrElse(c.path,
+                  (Double.PositiveInfinity, Double.NegativeInfinity))
+                acc(c.path) = (math.min(prev._1, lo), math.max(prev._2, hi))
+              }
+            case _ => dropped += c.path
+          }
+        }
+        (acc -- dropped).toMap.map { case (k, (lo, hi)) =>
+          k -> (Math.nextDown(lo), Math.nextUp(hi))
+        }
+      } catch {
+        // an unreadable/hostile footer must degrade to "scan the file",
+        // never fail the plan
+        case _: Exception => Map.empty[String, (Double, Double)]
+      }
+    })
+  }
+
   /** The file-level pruning decision for `column` ∈ [lo, hi]: (files to
-    * scan, total live files). Stat-less files are always kept.
+    * scan, total live files). Files without commit-recorded stats fall
+    * back to their own footers through the from-scratch tail reader
+    * (see [[footerRanges]]); files stat-less both ways are always kept.
     */
   def skippingPlan(tablePath: String, column0: String, lo: Double,
       hi: Double): (Seq[String], Int) = {
     val column = toPhysical(tablePath, column0) // stats are physical
-    val all = listParquetFiles(new java.io.File(tablePath))
-      .map(_.getName).sorted
+    val files = listParquetFiles(new java.io.File(tablePath))
+    val byName = files.map(f => f.getName -> f).toMap
+    val all = files.map(_.getName).sorted
     val stats = readFileStats(tablePath)
     val kept = all.filter { f =>
-      stats.get((f, column)) match {
+      stats.get((f, column))
+        .orElse(footerRanges(byName(f)).get(column)) match {
         case Some((l, h)) => h >= lo && l <= hi
         case None => true
       }

@@ -32,7 +32,8 @@ object ParquetFooter {
   final case class PqRowGroup(numRows: Long, columns: Seq[PqColumn])
 
   final case class PqSchemaField(name: String, physicalType: Int,
-      numChildren: Int)
+      numChildren: Int, convertedType: Option[Int] = None,
+      hasLogicalType: Boolean = false)
 
   final case class PqFooter(version: Int, numRows: Long,
       createdBy: Option[String], schema: Seq[PqSchemaField],
@@ -214,15 +215,19 @@ object ParquetFooter {
     var name = ""
     var typ = -1
     var children = 0
+    var converted: Option[Int] = None
+    var hasLogical = false
     r.struct { (id, t) =>
       id match {
         case 1 => typ = r.zig().toInt
         case 4 => name = r.str()
         case 5 => children = r.zig().toInt
+        case 6 => converted = Some(r.zig().toInt) // ConvertedType enum
+        case 10 => hasLogical = true; r.skip(t) // LogicalType union
         case _ => r.skip(t)
       }
     }
-    PqSchemaField(name, typ, children)
+    PqSchemaField(name, typ, children, converted, hasLogical)
   }
 
   /** Parse the footer of a complete parquet file image. */
@@ -266,6 +271,42 @@ object ParquetFooter {
   def readFile(path: java.nio.file.Path): PqFooter =
     read(java.nio.file.Files.readAllBytes(path))
 
+  /** Parse a footer reading ONLY the file tail (footer length from the
+    * trailing 8 bytes, then exactly the thrift region) plus the 4-byte
+    * leading magic — O(footer) IO, the shape metadata reads must have
+    * when files are GBs: [[readFile]]'s whole-file read is for
+    * fixture-scale use only.
+    */
+  def readTail(path: java.nio.file.Path): PqFooter = {
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      require(size >= 12, "not a parquet file (too short)")
+      def readAt(off: Long, n: Int): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(n)
+        var pos = off
+        while (bb.hasRemaining) {
+          val r = ch.read(bb, pos)
+          require(r > 0, "torn parquet: short read")
+          pos += r
+        }
+        bb.array()
+      }
+      val head = readAt(0, 4)
+      require(head.sameElements("PAR1".getBytes("US-ASCII")),
+        "not a parquet file (PAR1 framing)")
+      val tail8 = readAt(size - 8, 8)
+      val metaLen = (tail8(0) & 0xff) | ((tail8(1) & 0xff) << 8) |
+        ((tail8(2) & 0xff) << 16) | ((tail8(3) & 0xff) << 24)
+      require(metaLen > 0 && metaLen <= size - 12,
+        s"torn parquet: footer length $metaLen")
+      // synthesize the minimal image read() expects: leading magic +
+      // thrift region + length + trailing magic
+      read(head ++ readAt(size - 8 - metaLen, metaLen + 8))
+    } finally ch.close()
+  }
+
   /** Decode an INT32/INT64 statistics value (parquet physical types 1
     * and 2 are INT32/INT64; stats binaries are little-endian).
     */
@@ -283,5 +324,26 @@ object ParquetFooter {
         v
       case t => throw new IllegalArgumentException(
         s"statLong on physical type $t (INT32/INT64 only)")
+    }
+
+  /** Decode an INT32/INT64/FLOAT/DOUBLE statistics value to Double
+    * (parquet physical types 1/2/4/5; stats binaries little-endian).
+    */
+  def statDouble(physicalType: Int, b: Array[Byte]): Double =
+    physicalType match {
+      case 1 | 2 => statLong(physicalType, b).toDouble
+      case 4 => // FLOAT
+        require(b.length == 4, s"FLOAT stat of ${b.length} bytes")
+        java.lang.Float.intBitsToFloat(
+          (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) |
+            (b(3) << 24)).toDouble
+      case 5 => // DOUBLE
+        require(b.length == 8, s"DOUBLE stat of ${b.length} bytes")
+        var v = 0L
+        var i = 0
+        while (i < 8) { v |= (b(i) & 0xffL) << (8 * i); i += 1 }
+        java.lang.Double.longBitsToDouble(v)
+      case t => throw new IllegalArgumentException(
+        s"statDouble on physical type $t (numeric types only)")
     }
 }

@@ -45,7 +45,8 @@ class FlacSpec extends AnyFunSuite {
       val n = Flac.fixtureAudioSamples(id)
       assert(a.meta.sampleRate == 8000 + (id % 6).toInt * 8000)
       assert(a.meta.channels == ch)
-      assert(a.meta.bitsPerSample == 16 + (id % 2).toInt * 8)
+      assert(a.meta.bitsPerSample ==
+        (if (id % 20 == 15) 32 else 16 + (id % 2).toInt * 8))
       assert(a.samples.length == n * ch)
       var bad = 0
       for (i <- 0 until n; c <- 0 until ch)
@@ -284,5 +285,46 @@ class FlacSpec extends AnyFunSuite {
     val ov = intercept[IllegalArgumentException](Flac.parse(torn))
     assert(ov.getMessage.contains("torn") ||
       ov.getMessage.contains("STREAMINFO"))
+  }
+
+  test("32-bit decorrelated stereo: the 33-bit side channel roundtrips " +
+      "at full sample range (the r13 named reject, closed)") {
+    // extreme 32-bit PCM: side = L - R spans past Int range, so the
+    // side subframe carries 33 bits and every decode intermediate
+    // (warmup, residual, predictor) must run in Long
+    val n = 64
+    val l = Array.tabulate(n)(i =>
+      if (i % 2 == 0) Int.MaxValue - i else Int.MinValue + 2 * i)
+    val r = Array.tabulate(n)(i =>
+      if (i % 2 == 0) Int.MinValue + 3 * i else Int.MaxValue - i)
+    def check(bytes: Array[Byte], label: String): Unit = {
+      val a = Flac.decodeAudio(bytes)
+      for (i <- 0 until n) {
+        assert(a.samples(2 * i) == l(i), s"$label L@$i")
+        assert(a.samples(2 * i + 1) == r(i), s"$label R@$i")
+      }
+    }
+    for (stereo <- Seq(8, 9, 10)) {
+      // VERBATIM: raw 33-bit warmup-free samples
+      check(Flac.encodeStream(Array(l, r), 48000, 32, -1,
+        stereo = stereo), s"verbatim stereo=$stereo")
+      // FIXED(2): 33-bit warmups + Rice residuals wider than 32 bits
+      // (5-bit parameter width keeps the unary quotients bounded)
+      check(Flac.encodeStream(Array(l, r), 48000, 32, 2, po = 0,
+        riceMethod = 1, stereo = stereo), s"fixed2 stereo=$stereo")
+    }
+    // and through LPC with a 33-bit running prediction
+    check(Flac.encodeStream(Array(l, r), 48000, 32, 5, po = 0,
+      riceMethod = 1, stereo = 10, lpcCoefs = Array(1), lpcShift = 0,
+      lpcPrec = 2), "lpc mid/side")
+    // the fixture rotation: id%20==15 shards are 32-bit decorrelated
+    for (id <- Seq(15L, 35L, 55L)) {
+      val a = Flac.decodeAudio(Flac.fixtureAudioPayload(id))
+      assert(a.meta.bitsPerSample == 32, s"id=$id bps")
+      val ch = Flac.fixtureAudioChannels(id)
+      for (i <- 0 until 32; c <- 0 until ch)
+        assert(a.samples(i * ch + c) == Flac.fixtureSample(id, c, i),
+          s"id=$id ($c,$i)")
+    }
   }
 }

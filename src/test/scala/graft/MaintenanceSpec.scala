@@ -582,7 +582,10 @@ class MaintenanceSpec extends AnyFunSuite {
     // an empty range prunes everything and still returns the schema
     val none = Maintenance.scanPruned(spark, work, "k", 1e6, 2e6)
     assert(none.count() == 0 && none.columns.toSet == Set("k", "s"))
-    // a file without recorded stats (pre-feature bootstrap) is always kept
+    // a file without RECORDED stats (pre-feature bootstrap) now falls
+    // back to its own parquet footer through the from-scratch tail
+    // reader (r14 bridge) — the stripped file's [0,100) range still
+    // prunes against [150,249], so the plan stays at 2 files
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(Maintenance.fileStatsPath(work)),
       java.nio.file.Files.readString(java.nio.file.Paths.get(
@@ -590,7 +593,13 @@ class MaintenanceSpec extends AnyFunSuite {
         .linesIterator.filterNot(_.startsWith("append_v000001"))
         .mkString("", "\n", "\n"))
     val (kept2, _) = Maintenance.skippingPlan(work, "k", 150.0, 249.0)
-    assert(kept2.size == 3, "the stats-stripped file must rejoin every scan")
+    assert(kept2.size == 2,
+      "the stats-stripped file must prune from its own footer")
+    // on a column with no trustable stats ANYWHERE (string: no numeric
+    // footer bounds either) every file is kept — the conservative floor
+    val (keptStr, totalStr) = Maintenance.skippingPlan(work, "s", 0, 1)
+    assert(totalStr == 4 && keptStr.size == 4,
+      "a stat-less column must never prune")
   }
 
   test("data skipping: a zorder rewrite records stats that prune both dims") {
@@ -1829,5 +1838,41 @@ class MaintenanceSpec extends AnyFunSuite {
     Maintenance.commitAppend(spark, dst3,
       spark.range(200L, 205L).toDF("id").coalesce(1))
     assert(Maintenance.readTable(spark, dst3).count() == 25)
+  }
+
+  test("data skipping on a FOREIGN-written directory: the planner " +
+      "prunes from raw footers via the from-scratch tail reader " +
+      "(no graft manifest, no recorded stats)") {
+    import spark.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-foreign-${UUID.randomUUID()}").getAbsolutePath
+    // three single-file appends with disjoint key ranges, written by
+    // plain Spark — no commit protocol, no filestats.tsv
+    for (i <- 0 until 3)
+      (i * 1000 until (i + 1) * 1000)
+        .map(k => (k.toLong, k * 2.5, s"r$k")).toDF("k", "v", "s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(Maintenance.fileStatsPath(dir))),
+      "precondition: the foreign dir must carry no recorded stats")
+    val (kept, total) = Maintenance.skippingPlan(dir, "k", 1200, 1300)
+    assert(total == 3 && kept.size == 1,
+      s"footer-derived skipping kept ${kept.size}/$total")
+    // the pruned scan still answers exactly
+    val n = Maintenance.scanPruned(spark, dir, "k", 1200, 1300)
+      .filter(col("k").between(1200, 1300)).count()
+    assert(n == 101)
+    // DOUBLE column stats prune too (statDouble path)
+    val (keptV, _) = Maintenance.skippingPlan(dir, "v", 0.0, 100.0)
+    assert(keptV.size == 1, s"v pruned ${keptV.size}")
+    // string columns have no trusted numeric stats: never pruned
+    val (keptS, _) = Maintenance.skippingPlan(dir, "s", 0, 10)
+    assert(keptS.size == 3)
+    // out-of-range window prunes everything; the scan stays correct
+    val (keptNone, _) = Maintenance.skippingPlan(dir, "k", 9000, 9999)
+    assert(keptNone.isEmpty)
+    assert(Maintenance.scanPruned(spark, dir, "k", 9000, 9999)
+      .count() == 0)
+    graft.streaming.WorkDirs.deleteRecursively(new java.io.File(dir))
   }
 }
