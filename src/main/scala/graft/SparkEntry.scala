@@ -61,6 +61,7 @@ object SparkEntry {
     Sources.ensureCommitFixture(spark, sfDir)
     Sources.ensureOrcFixture(spark, sfDir)
     Sources.ensureOrcMetaFixture(spark, sfDir)
+    Sources.ensureParquetDataFixture(spark, sfDir)
     operators.Bucketing.ensureBucketed(spark, sfDir, "lineitem",
       "l_orderkey", 8)
     operators.Bucketing.ensureBucketed(spark, sfDir, "orders",

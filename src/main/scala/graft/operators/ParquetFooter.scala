@@ -27,13 +27,16 @@ object ParquetFooter {
 
   final case class PqColumn(path: String, physicalType: Int,
       numValues: Long, codec: Int, nullCount: Option[Long],
-      minValue: Option[Array[Byte]], maxValue: Option[Array[Byte]])
+      minValue: Option[Array[Byte]], maxValue: Option[Array[Byte]],
+      dataPageOffset: Long = -1L, dictPageOffset: Option[Long] = None,
+      totalCompressedSize: Long = -1L)
 
   final case class PqRowGroup(numRows: Long, columns: Seq[PqColumn])
 
   final case class PqSchemaField(name: String, physicalType: Int,
       numChildren: Int, convertedType: Option[Int] = None,
-      hasLogicalType: Boolean = false)
+      hasLogicalType: Boolean = false,
+      repetition: Option[Int] = None) // 0 required, 1 optional, 2 repeated
 
   final case class PqFooter(version: Int, numRows: Long,
       createdBy: Option[String], schema: Seq[PqSchemaField],
@@ -166,6 +169,9 @@ object ParquetFooter {
     var path = ""
     var codec = -1
     var numValues = -1L
+    var dataOff = -1L
+    var dictOff: Option[Long] = None
+    var totalComp = -1L
     var stats: (Option[Long], Option[Array[Byte]], Option[Array[Byte]]) =
       (None, None, None)
     r.struct { (id, t) =>
@@ -177,11 +183,15 @@ object ParquetFooter {
           path = (0 until n).map(_ => r.str()).mkString(".")
         case 4 => codec = r.zig().toInt
         case 5 => numValues = r.zig()
+        case 7 => totalComp = r.zig()
+        case 9 => dataOff = r.zig()
+        case 11 => dictOff = Some(r.zig())
         case 12 => stats = readStatistics(r)
         case _ => r.skip(t)
       }
     }
-    PqColumn(path, typ, numValues, codec, stats._1, stats._2, stats._3)
+    PqColumn(path, typ, numValues, codec, stats._1, stats._2, stats._3,
+      dataOff, dictOff, totalComp)
   }
 
   private def readColumnChunk(r: TReader): Option[PqColumn] = {
@@ -217,9 +227,11 @@ object ParquetFooter {
     var children = 0
     var converted: Option[Int] = None
     var hasLogical = false
+    var repetition: Option[Int] = None
     r.struct { (id, t) =>
       id match {
         case 1 => typ = r.zig().toInt
+        case 3 => repetition = Some(r.zig().toInt)
         case 4 => name = r.str()
         case 5 => children = r.zig().toInt
         case 6 => converted = Some(r.zig().toInt) // ConvertedType enum
@@ -227,7 +239,7 @@ object ParquetFooter {
         case _ => r.skip(t)
       }
     }
-    PqSchemaField(name, typ, children, converted, hasLogical)
+    PqSchemaField(name, typ, children, converted, hasLogical, repetition)
   }
 
   /** Parse the footer of a complete parquet file image. */
@@ -325,6 +337,77 @@ object ParquetFooter {
       case t => throw new IllegalArgumentException(
         s"statLong on physical type $t (INT32/INT64 only)")
     }
+
+  /** One parsed page header (thrift compact PageHeader): `pageType` 0 =
+    * data v1, 2 = dictionary, 3 = data v2. `headerLen` is the header's
+    * own byte length, so the page body starts at `off + headerLen`. V2
+    * fields are -1/false when absent.
+    */
+  final case class PqPageHeader(pageType: Int, uncompressedSize: Int,
+      compressedSize: Int, numValues: Int, encoding: Int,
+      defLevelEncoding: Int, repLevelEncoding: Int, numNulls: Int,
+      defLevelsByteLength: Int, repLevelsByteLength: Int,
+      isCompressed: Boolean, headerLen: Int)
+
+  /** Parse the PageHeader struct at `off` (the page-stream walk lever
+    * the data reader uses between pages).
+    */
+  def readPageHeader(p: Array[Byte], off: Int): PqPageHeader = {
+    val r = new TReader(p, off)
+    var pageType = -1
+    var unc = -1
+    var comp = -1
+    var numValues = -1
+    var encoding = -1
+    var defEnc = -1
+    var repEnc = -1
+    var numNulls = -1
+    var defBytes = -1
+    var repBytes = -1
+    var isCompressed = true
+    r.struct { (id, t) =>
+      id match {
+        case 1 => pageType = r.zig().toInt
+        case 2 => unc = r.zig().toInt
+        case 3 => comp = r.zig().toInt
+        case 5 => // DataPageHeader (v1)
+          r.struct { (fid, ft) =>
+            fid match {
+              case 1 => numValues = r.zig().toInt
+              case 2 => encoding = r.zig().toInt
+              case 3 => defEnc = r.zig().toInt
+              case 4 => repEnc = r.zig().toInt
+              case _ => r.skip(ft)
+            }
+          }
+        case 7 => // DictionaryPageHeader
+          r.struct { (fid, ft) =>
+            fid match {
+              case 1 => numValues = r.zig().toInt
+              case 2 => encoding = r.zig().toInt
+              case _ => r.skip(ft)
+            }
+          }
+        case 8 => // DataPageHeaderV2
+          r.struct { (fid, ft) =>
+            fid match {
+              case 1 => numValues = r.zig().toInt
+              case 2 => numNulls = r.zig().toInt
+              case 4 => encoding = r.zig().toInt
+              case 5 => defBytes = r.zig().toInt
+              case 6 => repBytes = r.zig().toInt
+              case 7 => isCompressed = ft == T_TRUE
+              case _ => r.skip(ft)
+            }
+          }
+        case _ => r.skip(t)
+      }
+    }
+    require(pageType >= 0 && unc >= 0 && comp >= 0,
+      "torn parquet: incomplete page header")
+    PqPageHeader(pageType, unc, comp, numValues, encoding, defEnc,
+      repEnc, numNulls, defBytes, repBytes, isCompressed, r.pos - off)
+  }
 
   /** Decode an INT32/INT64/FLOAT/DOUBLE statistics value to Double
     * (parquet physical types 1/2/4/5; stats binaries little-endian).

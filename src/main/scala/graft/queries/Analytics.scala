@@ -138,6 +138,16 @@ object Analytics {
   // within the following 2 hours, both sides watermarked. Runs as a real
   // two-source streaming query; oracle is the equivalent batch interval
   // join.
+  //
+  // BENCH FLOOR NOTE (the whole ss_* family): each query pays a fixed
+  // streaming-machinery cost — two full source scans, stream-stream
+  // state-store initialization on both sides, and the watermark/commit
+  // barrier — that dominates its wall time; the batch twin (the oracle's
+  // interval join) runs in ~0.3 s at sf0.1 while the streaming form
+  // floors at ~2.2–2.6 s. The r13 record's 2.0↔6.6 s run-to-run jitter
+  // was in-JVM accumulation in the old single-JVM sweep, not query
+  // variance: under the r14 per-shard-forked harness three consecutive
+  // isolated runs measured every ss_* query within ±10 % of that floor.
   private def ssStreamStreamJoin(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StateTuning.withStatePartitions(s,
         graft.streaming.StateTuning.globBytes(s"$dir/events*.parquet")) {

@@ -954,6 +954,71 @@ object Sources {
       |FROM lines GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S27: parquet DATA scan from scratch (operators.ParquetData) — the
+  // engine reads its OWN storage format's PAGES, not just the footer
+  // (s22): thrift PageHeader walk, dictionary + v1 data pages, the
+  // RLE/bit-packed hybrid definition levels and index streams, PLAIN
+  // longs/doubles and dictionary-encoded strings, ZSTD page
+  // decompression through this repo's own RFC 8878 decoder — then the
+  // recovered rows flow through Spark-native groupBy/agg. The oracle
+  // full-scans the same events data on the parquet side in DuckDB, so
+  // a slipped level, wrong dictionary index, misaligned null, or
+  // byte-order bug in any page fails the value compare. Same fan-out
+  // contract as s22/s23: one FILE per task.
+  /** Build-once zstd-compressed parquet fixture (explicitly pinned so
+    * the page path exercises the from-scratch zstd decoder regardless
+    * of the session default); 2 files so the file fan-out is real.
+    */
+  def ensureParquetDataFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqdata-zstd-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp)
+    }
+    tmp
+  }
+
+  private def s27ParquetScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = ensureParquetDataFixture(s, dir)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq.sorted
+    s.createDataset(files).repartition(math.max(files.size, 1))
+      .mapPartitions(_.flatMap { path =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path))
+        graft.operators.ParquetData.readRows(bytes,
+          Seq("event_id", "user_id", "event_type", "value"))
+          .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+            r(2).asInstanceOf[String], r(3).asInstanceOf[Double]))
+      })
+      .toDF("event_id", "user_id", "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0)
+        .as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s27ParquetScanSql =
+    """SELECT event_type,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  count(DISTINCT user_id) AS n_users,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -1128,7 +1193,8 @@ object Sources {
     "s23_orc_meta" -> s23OrcMeta _,
     "s24_xz_ingest" -> s24XzIngest _,
     "s25_arrow_ingest" -> s25ArrowIngest _,
-    "s26_zstd_ingest" -> s26ZstdIngest _
+    "s26_zstd_ingest" -> s26ZstdIngest _,
+    "s27_parquet_scan" -> s27ParquetScan _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1151,6 +1217,7 @@ object Sources {
     "s23_orc_meta" -> s23OrcMetaSql,
     "s24_xz_ingest" -> s24XzIngestSql,
     "s25_arrow_ingest" -> s25ArrowIngestSql,
-    "s26_zstd_ingest" -> s26ZstdIngestSql
+    "s26_zstd_ingest" -> s26ZstdIngestSql,
+    "s27_parquet_scan" -> s27ParquetScanSql
   )
 }
