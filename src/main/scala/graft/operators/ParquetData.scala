@@ -345,13 +345,29 @@ object ParquetData {
   private def bitsFor(max: Int): Int =
     32 - Integer.numberOfLeadingZeros(max)
 
+  /** The absolute file byte range holding every page of a column chunk
+    * (dictionary first when present): the range a scan task must fetch
+    * to decode the chunk without touching the rest of the file.
+    */
+  def chunkRange(col: PqColumn): (Long, Long) = {
+    require(col.dataPageOffset >= 0,
+      s"torn parquet: column '${col.path}' missing its data-page offset")
+    require(col.totalCompressedSize >= 0,
+      s"torn parquet: column '${col.path}' missing its compressed size")
+    val start = math.min(col.dataPageOffset,
+      col.dictPageOffset.getOrElse(col.dataPageOffset))
+    (start, start + col.totalCompressedSize)
+  }
+
   /** Decode one column chunk (all pages) into row-aligned values with
     * nulls. `leaf` supplies the repetition contract; `rgRows` is the
     * row group's row count (= the chunk's top-level value count for a
-    * flat column).
+    * flat column). `file` holds the chunk's bytes starting at absolute
+    * file offset `base` (0 = a whole-file image) — the lever that lets
+    * a scan task fetch ONLY its row group's byte range.
     */
-  private def readChunk(file: Array[Byte], col: PqColumn,
-      leaf: PqSchemaField, rgRows: Int): Array[Any] = {
+  def readChunk(file: Array[Byte], col: PqColumn,
+      leaf: PqSchemaField, rgRows: Int, base: Long = 0L): Array[Any] = {
     require(!col.path.contains('.'),
       s"nested column '${col.path}' unsupported (flat schemas only)")
     val maxDef = leaf.repetition match {
@@ -360,10 +376,10 @@ object ParquetData {
       case Some(r) => throw new IllegalArgumentException(
         s"repeated column '${col.path}' unsupported (repetition $r)")
     }
-    require(col.dataPageOffset >= 0,
-      s"torn parquet: column '${col.path}' missing its data-page offset")
-    var pos = math.min(col.dataPageOffset,
-      col.dictPageOffset.getOrElse(col.dataPageOffset)).toInt
+    val start = chunkRange(col)._1 - base
+    require(start >= 0 && start <= Int.MaxValue,
+      s"torn parquet: chunk start $start outside the provided buffer")
+    var pos = start.toInt
     var dict: Array[Any] = null
     val out = new Array[Any](rgRows)
     var row = 0

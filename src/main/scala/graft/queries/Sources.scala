@@ -1019,6 +1019,35 @@ object Sources {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S28: the `graftpq` DataSource V2 (sources.GraftParquet) end-to-end —
+  // the from-scratch parquet stack surfaced the Spark-FIRST way: not a
+  // mapPartitions ingest (s27's shape) but a registered source whose
+  // scan Catalyst plans like any other — schema inferred from our
+  // footer reader, filters pushed into the ScanBuilder (row-group stats
+  // pruning driver-side), columns pruned down to the leaves the query
+  // touches, one InputPartition per row group with byte-range chunk
+  // reads. The oracle re-derives the same answer from full scans in
+  // DuckDB, so the whole plan-prune-decode chain is value-checked.
+  private def s28Dsv2Scan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureParquetDataFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .filter(col("value") >= 0 && col("user_id") >= 100)
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0)
+        .as("sum_value"),
+        min(col("user_id")).as("min_user"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s28Dsv2ScanSql =
+    """SELECT event_type,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  min(user_id) AS min_user, count(*) AS n
+      |FROM events WHERE value >= 0 AND user_id >= 100
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -1194,7 +1223,8 @@ object Sources {
     "s24_xz_ingest" -> s24XzIngest _,
     "s25_arrow_ingest" -> s25ArrowIngest _,
     "s26_zstd_ingest" -> s26ZstdIngest _,
-    "s27_parquet_scan" -> s27ParquetScan _
+    "s27_parquet_scan" -> s27ParquetScan _,
+    "s28_dsv2_scan" -> s28Dsv2Scan _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1218,6 +1248,7 @@ object Sources {
     "s24_xz_ingest" -> s24XzIngestSql,
     "s25_arrow_ingest" -> s25ArrowIngestSql,
     "s26_zstd_ingest" -> s26ZstdIngestSql,
-    "s27_parquet_scan" -> s27ParquetScanSql
+    "s27_parquet_scan" -> s27ParquetScanSql,
+    "s28_dsv2_scan" -> s28Dsv2ScanSql
   )
 }

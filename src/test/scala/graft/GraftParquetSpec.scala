@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graftpq` DataSource V2 (sources.GraftParquet): reads planned by
+  * the from-scratch footer reader and decoded by the from-scratch page
+  * reader must agree row-for-row with Spark's own parquet source, prune
+  * columns down to the requested leaves, and prune row groups from
+  * footer stats before any task launches.
+  */
+class GraftParquetSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def batchScan(df: org.apache.spark.sql.DataFrame)
+      : BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in the plan:\n" +
+      df.queryExecution.executedPlan.toString))
+
+  test("graftpq reads row-identically to Spark's parquet source " +
+      "across types, nulls and codecs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-types").toString
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try {
+      (0 until 2000).map { k =>
+        (k.toLong,
+          if (k % 9 == 0) None else Some(k * 3 - 700),
+          s"v${k % 7}",
+          k % 2 == 0,
+          k * 0.25f - 10f,
+          k * 1.75 - 300.0,
+          java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(k % 365)),
+          java.sql.Timestamp.from(java.time.Instant
+            .parse("2024-03-01T00:00:00Z").plusSeconds(k * 37L)))
+      }.toDF("id", "opt", "s", "b", "f", "d", "dt", "ts")
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(dir)
+      val want = spark.read.parquet(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = spark.read.format("graftpq").load(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  private def sortedFixture(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-rg").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", "4096") // many small row groups
+    try {
+      (0 until 40000).map(k => (k.toLong, k.toDouble / 2, s"g${k % 3}"))
+        .toDF("id", "x", "g")
+        .coalesce(1) // already in id order → monotone row-group stats
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(dir)
+    } finally {
+      if (prev == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prev)
+    }
+    dir
+  }
+
+  test("footer stats prune row groups driver-side; surviving rows " +
+      "still filter exactly") {
+    val dir = sortedFixture()
+    try {
+      val all = spark.read.format("graftpq").load(dir)
+      val total = batchScan(all).inputPartitions.length
+      assert(total >= 8, s"fixture produced only $total row groups")
+      val filtered = all.filter("id >= 35000")
+      val kept = batchScan(filtered).inputPartitions.length
+      assert(kept < total / 2,
+        s"stats pruning kept $kept of $total row groups")
+      // the pushed set is advisory: rows must still be filter-exact
+      assert(filtered.count() == 5000)
+      assert(filtered.agg(org.apache.spark.sql.functions.min("id"))
+        .head.getLong(0) == 35000L)
+      val scanDesc = batchScan(filtered).toString
+      assert(scanDesc.contains("PushedFilters") ||
+        filtered.queryExecution.executedPlan.toString
+          .contains("graftpq"), scanDesc)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("column pruning reaches the reader: only requested leaves are " +
+      "decoded") {
+    val dir = sortedFixture()
+    try {
+      val df = spark.read.format("graftpq").load(dir).select("g")
+      val scan = batchScan(df)
+      val part = scan.inputPartitions.head
+        .asInstanceOf[graft.sources.GraftPqPartition]
+      assert(part.columns.map(_.path) == Seq("g"),
+        s"reader was handed chunks ${part.columns.map(_.path)}")
+      assert(df.distinct().count() == 3)
+      // count(*) over an empty projection still knows its cardinality
+      assert(spark.read.format("graftpq").load(dir).count() == 40000)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+}

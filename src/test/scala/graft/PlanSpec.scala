@@ -487,4 +487,22 @@ class PlanSpec extends AnyFunSuite {
           s"missing or width<=1):\n" + plan.take(2000))
     }
   }
+
+  test("s28: the graftpq DSv2 scan records its pushed filters and a " +
+      "pruned read schema") {
+    val df = graft.queries.Sources.queries("s28_dsv2_scan")(spark, sfSmoke)
+    df.collect() // finalize the adaptive plan
+    val plan = planOf(df)
+    assert(plan.contains("BatchScan"), plan.take(2000))
+    assert(plan.contains("graftpq"), plan.take(2000))
+    // both comparisons accepted by the ScanBuilder for stats pruning
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(value,0.0)") &&
+      plan.contains("GreaterThanOrEqual(user_id,100)"),
+      plan.take(3000))
+    // event_id is in the fixture but untouched by the query: pruned
+    assert(!plan.contains("event_id"),
+      "unprojected column leaked into the graftpq scan:\n" +
+        plan.take(3000))
+  }
 }
