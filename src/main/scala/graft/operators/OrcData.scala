@@ -1,0 +1,567 @@
+package graft.operators
+
+/** ORC STRIPE-DATA decoding from scratch — the second half of reading
+  * the second columnar format (the [[OrcMeta]] protobuf file-tail walk
+  * is the first): stripe directory from the footer (offsets, index /
+  * data / footer section lengths), per-stripe StripeFooter protobuf
+  * (stream directory + column encodings), and the ORC run-length
+  * encodings decoded value-by-value — BYTE RLE (the boolean/present
+  * substrate: run headers 0..127 = repeat, negative = literal count,
+  * bits emitted MSB-first), INTEGER RLEv2 in all four sub-encodings
+  * (SHORT_REPEAT's big-endian value bytes, DIRECT's 5-bit-coded widths
+  * and zigzag signatures, PATCHED_BASE's sign-magnitude base +
+  * gap/patch list with 255-gap continuation entries, DELTA's
+  * fixed-and-packed forms with direction from the delta base's sign),
+  * IEEE-754 little-endian FLOAT/DOUBLE streams, and both string
+  * shapes — DIRECT_V2 (LENGTH + concatenated DATA) and DICTIONARY_V2
+  * (sorted dictionary + RLEv2 index stream). PRESENT streams reassemble
+  * nulls row-aligned; every stream's chunk framing decompresses through
+  * [[OrcMeta.decompressStream]] and so through THIS REPO'S OWN
+  * Inflate/Snappy/Lz4/Zstd codecs. Legacy RLEv1 column encodings
+  * (DIRECT/DICTIONARY without _V2), TIMESTAMP's two-stream form,
+  * DECIMAL, BINARY and nested types reject loudly by name.
+  *
+  * Formats per the public ORC v1 specification (run-length sections and
+  * orc_proto.proto). Cross-validated in OrcDataSpec against orc-core
+  * (the independent implementation Spark itself uses) on Spark-written
+  * files across every supported codec, dictionary AND direct strings,
+  * real nulls, and multi-stripe files.
+  *
+  * Scale shape: same contract as [[ParquetData]] — one file image per
+  * task at fixture scale, and by construction every stripe decodes from
+  * its own footer-recorded offset, so a cluster-scale scan hands each
+  * task a stripe byte range.
+  */
+object OrcData {
+
+  import OrcMeta.PReader
+
+  final case class OrcStripe(offset: Long, indexLength: Long,
+      dataLength: Long, footerLength: Long, rows: Long)
+
+  final case class OrcTypeNode(kind: Int, subtypes: Seq[Int],
+      fieldNames: Seq[String])
+
+  final case class OrcFileMeta(compression: Int, blockSize: Int,
+      numberOfRows: Long, types: Seq[OrcTypeNode],
+      stripes: Seq[OrcStripe])
+
+  private final case class OrcStream(kind: Int, column: Int,
+      length: Long)
+
+  private final case class OrcEncoding(kind: Int, dictSize: Int)
+
+  /** Postscript + footer walk, keeping the stripe directory and type
+    * tree [[OrcMeta.read]] drops (it only needs stats).
+    */
+  def readMeta(p: Array[Byte]): OrcFileMeta = {
+    require(p.length > 16, "torn ORC: shorter than any tail")
+    val psLen = p(p.length - 1) & 0xff
+    require(psLen > 0 && psLen < p.length - 1,
+      s"torn ORC: postscript length $psLen")
+    val psStart = p.length - 1 - psLen
+    var footerLen = -1L
+    var compression = 0
+    var blockSize = 0L
+    var magic = ""
+    val ps = new PReader(p, psStart, p.length - 1)
+    ps.message { (id, w) =>
+      id match {
+        case 1 => footerLen = ps.varint()
+        case 2 => compression = ps.varint().toInt
+        case 3 => blockSize = ps.varint()
+        case 8000 => magic = ps.str()
+        case _ => ps.skip(w)
+      }
+    }
+    require(magic == "ORC", s"not an ORC file (postscript magic '$magic')")
+    require(footerLen > 0 && psStart - footerLen >= 0,
+      s"torn ORC: footer length $footerLen")
+    require(blockSize >= 0 && blockSize <= (1L << 26),
+      s"torn ORC: compression block size $blockSize")
+    val fb = OrcMeta.decompressStream(p, (psStart - footerLen).toInt,
+      footerLen.toInt, compression, blockSize.toInt)
+    val f = new PReader(fb, 0, fb.length)
+    var numRows = -1L
+    val stripes = Vector.newBuilder[OrcStripe]
+    val types = Vector.newBuilder[OrcTypeNode]
+    f.message { (id, w) =>
+      id match {
+        case 3 =>
+          val s = f.sub()
+          var off = -1L; var il = 0L; var dl = 0L; var fl = -1L
+          var rows = -1L
+          s.message { (sid, sw) =>
+            sid match {
+              case 1 => off = s.varint()
+              case 2 => il = s.varint()
+              case 3 => dl = s.varint()
+              case 4 => fl = s.varint()
+              case 5 => rows = s.varint()
+              case _ => s.skip(sw)
+            }
+          }
+          require(off >= 0 && fl >= 0 && rows >= 0,
+            "torn ORC: stripe directory entry missing fields")
+          stripes += OrcStripe(off, il, dl, fl, rows)
+        case 4 =>
+          val t = f.sub()
+          var kind = -1
+          val subs = Vector.newBuilder[Int]
+          val names = Vector.newBuilder[String]
+          t.message { (tid, tw) =>
+            (tid, tw) match {
+              case (1, _) => kind = t.varint().toInt
+              case (2, 2) => // packed repeated uint32
+                val s = t.sub()
+                while (!s.atEnd) subs += s.varint().toInt
+              case (2, _) => subs += t.varint().toInt
+              case (3, _) => names += t.str()
+              case _ => t.skip(tw)
+            }
+          }
+          types += OrcTypeNode(kind, subs.result(), names.result())
+        case 6 => numRows = f.varint()
+        case _ => f.skip(w)
+      }
+    }
+    val ts = types.result()
+    require(numRows >= 0 && ts.nonEmpty, "torn ORC: footer without types")
+    OrcFileMeta(compression, blockSize.toInt, numRows, ts,
+      stripes.result())
+  }
+
+  // ------------------------------------------------------------------
+  // run-length decoders
+
+  /** BYTE RLE: header 0..127 = the next byte repeated header+3 times,
+    * -1..-128 = that many literal bytes. Returns exactly `n` bytes.
+    */
+  private def byteRle(b: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var pos = 0
+    var k = 0
+    while (k < n) {
+      require(pos < b.length, "torn ORC: byte-RLE header")
+      val h = b(pos)
+      pos += 1
+      if (h >= 0) {
+        val run = h + 3
+        require(pos < b.length, "torn ORC: byte-RLE run value")
+        require(k + run <= n, s"torn ORC: byte-RLE run $run overruns $n")
+        val v = b(pos)
+        pos += 1
+        var i = 0
+        while (i < run) { out(k) = v; k += 1; i += 1 }
+      } else {
+        val lit = -h
+        require(pos + lit <= b.length && k + lit <= n,
+          s"torn ORC: byte-RLE literal $lit overruns")
+        System.arraycopy(b, pos, out, k, lit)
+        pos += lit
+        k += lit
+      }
+    }
+    out
+  }
+
+  /** Boolean RLE = byte RLE with bits emitted MSB-first. */
+  private def boolRle(b: Array[Byte], n: Int): Array[Boolean] = {
+    val bytes = byteRle(b, (n + 7) / 8)
+    Array.tabulate(n)(i => ((bytes(i >> 3) >> (7 - (i & 7))) & 1) == 1)
+  }
+
+  /** The RLEv2 5-bit width code: 0..23 → 1..24, then
+    * 26/28/30/32/40/48/56/64.
+    */
+  private def width5(c: Int): Int = c match {
+    case c if c < 24 => c + 1
+    case 24 => 26
+    case 25 => 28
+    case 26 => 30
+    case 27 => 32
+    case 28 => 40
+    case 29 => 48
+    case 30 => 56
+    case 31 => 64
+    case c => throw new IllegalArgumentException(
+      s"torn ORC: RLEv2 width code $c")
+  }
+
+  /** Round a bit count up to the nearest encodable fixed width (the
+    * patch-list entry width rule).
+    */
+  private def closestFixedBits(n: Int): Int =
+    if (n <= 24) math.max(n, 1)
+    else if (n <= 26) 26 else if (n <= 28) 28 else if (n <= 30) 30
+    else if (n <= 32) 32 else if (n <= 40) 40 else if (n <= 48) 48
+    else if (n <= 56) 56 else 64
+
+  private final class Bits(b: Array[Byte], var pos: Int) {
+    def u8(): Int = {
+      require(pos < b.length, "torn ORC: RLEv2 read past end")
+      val v = b(pos) & 0xff
+      pos += 1
+      v
+    }
+    def varint(): Long = {
+      var n = 0L
+      var shift = 0
+      var by = 0
+      do {
+        require(shift <= 63, "torn ORC: runaway varint")
+        by = u8()
+        n |= (by & 0x7fL) << shift
+        shift += 7
+      } while ((by & 0x80) != 0)
+      n
+    }
+    def zigzag(): Long = { val u = varint(); (u >>> 1) ^ -(u & 1L) }
+    /** `count` big-endian bit-packed values of `width` bits. */
+    def packed(count: Int, width: Int, out: Array[Long],
+        at: Int): Unit = {
+      var bitBuf = 0L
+      var bitCnt = 0
+      var i = 0
+      while (i < count) {
+        while (bitCnt < width) {
+          bitBuf = (bitBuf << 8) | u8()
+          bitCnt += 8
+        }
+        bitCnt -= width
+        out(at + i) =
+          if (width == 64) bitBuf
+          else (bitBuf >>> bitCnt) & ((1L << width) - 1)
+        i += 1
+      }
+    }
+  }
+
+  /** Integer RLEv2: decode exactly `n` values. `signed` applies the
+    * zigzag convention of SHORT_REPEAT/DIRECT/DELTA (PATCHED_BASE
+    * carries its sign in the base's top bit instead).
+    */
+  private def rleV2(b: Array[Byte], n: Int,
+      signed: Boolean): Array[Long] = {
+    val out = new Array[Long](n)
+    val r = new Bits(b, 0)
+    var k = 0
+    while (k < n) {
+      val h = r.u8()
+      (h >>> 6) match {
+        case 0 => // SHORT_REPEAT
+          val bytes = ((h >>> 3) & 7) + 1
+          val run = (h & 7) + 3
+          require(k + run <= n, s"torn ORC: short repeat $run overruns")
+          var v = 0L
+          var i = 0
+          while (i < bytes) { v = (v << 8) | r.u8(); i += 1 }
+          val sv = if (signed) (v >>> 1) ^ -(v & 1L) else v
+          i = 0
+          while (i < run) { out(k) = sv; k += 1; i += 1 }
+        case 1 => // DIRECT
+          val w = width5((h >>> 1) & 0x1f)
+          val len = (((h & 1) << 8) | r.u8()) + 1
+          require(k + len <= n, s"torn ORC: direct run $len overruns")
+          r.packed(len, w, out, k)
+          if (signed) {
+            var i = k
+            while (i < k + len) {
+              out(i) = (out(i) >>> 1) ^ -(out(i) & 1L)
+              i += 1
+            }
+          }
+          k += len
+        case 2 => // PATCHED_BASE
+          val w = width5((h >>> 1) & 0x1f)
+          val len = (((h & 1) << 8) | r.u8()) + 1
+          require(k + len <= n, s"torn ORC: patched run $len overruns")
+          val third = r.u8()
+          val bw = ((third >>> 5) & 7) + 1
+          val pw = width5(third & 0x1f)
+          val fourth = r.u8()
+          val pgw = ((fourth >>> 5) & 7) + 1
+          val pll = fourth & 0x1f
+          var base = 0L
+          var i = 0
+          while (i < bw) { base = (base << 8) | r.u8(); i += 1 }
+          val signMask = 1L << (bw * 8 - 1)
+          if ((base & signMask) != 0) base = -(base & (signMask - 1))
+          r.packed(len, w, out, k)
+          val entryW = closestFixedBits(pgw + pw)
+          val patches = new Array[Long](pll)
+          r.packed(pll, entryW, patches, 0)
+          // gaps are cumulative offsets from position 0 (the first
+          // entry's gap IS the first patched index); (255, 0) entries
+          // only extend the gap
+          var idx = 0L
+          var pi = 0
+          while (pi < pll) {
+            val gap = patches(pi) >>> pw
+            val patch = patches(pi) &
+              (if (pw == 64) -1L else (1L << pw) - 1)
+            idx += gap
+            if (!(gap == 255 && patch == 0)) { // 255-gap continuation
+              require(idx >= 0 && idx < len,
+                s"torn ORC: patch index $idx of run $len")
+              out(k + idx.toInt) |= patch << w
+            }
+            pi += 1
+          }
+          i = k
+          while (i < k + len) { out(i) += base; i += 1 }
+          k += len
+        case _ => // DELTA
+          val wc = (h >>> 1) & 0x1f
+          val w = if (wc == 0) 0 else width5(wc)
+          val len = (((h & 1) << 8) | r.u8()) + 1
+          require(k + len <= n, s"torn ORC: delta run $len overruns")
+          val base = if (signed) r.zigzag() else r.varint()
+          out(k) = base
+          if (len > 1) {
+            val db = r.zigzag()
+            out(k + 1) = base + db
+            if (w == 0) { // fixed delta
+              var i = 2
+              while (i < len) {
+                out(k + i) = out(k + i - 1) + db
+                i += 1
+              }
+            } else {
+              val ds = new Array[Long](len - 2)
+              r.packed(len - 2, w, ds, 0)
+              var i = 2
+              while (i < len) {
+                val d = ds(i - 2)
+                out(k + i) =
+                  if (db < 0) out(k + i - 1) - d
+                  else out(k + i - 1) + d
+                i += 1
+              }
+            }
+          }
+          k += len
+      }
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // stripe decoding
+
+  // stream kinds (orc_proto Stream.Kind)
+  private val K_PRESENT = 0
+  private val K_DATA = 1
+  private val K_LENGTH = 2
+  private val K_DICT = 3
+
+  // type kinds (orc_proto Type.Kind)
+  private val primitiveNames = Map(0 -> "BOOLEAN", 1 -> "BYTE",
+    2 -> "SHORT", 3 -> "INT", 4 -> "LONG", 5 -> "FLOAT", 6 -> "DOUBLE",
+    7 -> "STRING", 8 -> "BINARY", 9 -> "TIMESTAMP", 10 -> "LIST",
+    11 -> "MAP", 12 -> "STRUCT", 13 -> "UNION", 14 -> "DECIMAL",
+    15 -> "DATE", 16 -> "VARCHAR", 17 -> "CHAR",
+    18 -> "TIMESTAMP_INSTANT")
+
+  private def readStripeFooter(p: Array[Byte], stripe: OrcStripe,
+      compression: Int, blockSize: Int)
+      : (Seq[OrcStream], Map[Int, OrcEncoding]) = {
+    val off = stripe.offset + stripe.indexLength + stripe.dataLength
+    require(off + stripe.footerLength <= p.length,
+      "torn ORC: stripe footer overruns the file")
+    val fb = OrcMeta.decompressStream(p, off.toInt,
+      stripe.footerLength.toInt, compression, blockSize)
+    val r = new PReader(fb, 0, fb.length)
+    val streams = Vector.newBuilder[OrcStream]
+    val encodings = Vector.newBuilder[OrcEncoding]
+    r.message { (id, w) =>
+      id match {
+        case 1 =>
+          val s = r.sub()
+          var kind = 0; var col = 0; var len = 0L
+          s.message { (sid, sw) =>
+            sid match {
+              case 1 => kind = s.varint().toInt
+              case 2 => col = s.varint().toInt
+              case 3 => len = s.varint()
+              case _ => s.skip(sw)
+            }
+          }
+          streams += OrcStream(kind, col, len)
+        case 2 =>
+          val e = r.sub()
+          var kind = 0; var dict = 0
+          e.message { (eid, ew) =>
+            eid match {
+              case 1 => kind = e.varint().toInt
+              case 2 => dict = e.varint().toInt
+              case _ => e.skip(ew)
+            }
+          }
+          encodings += OrcEncoding(kind, dict)
+        case _ => r.skip(w)
+      }
+    }
+    val encs = encodings.result().zipWithIndex
+      .map { case (e, i) => i -> e }.toMap
+    (streams.result(), encs)
+  }
+
+  /** Decode one column of one stripe into row-aligned values with
+    * nulls (`rows` entries).
+    */
+  private def readColumn(p: Array[Byte], colId: Int, kind: Int,
+      rows: Int, streams: Seq[OrcStream], streamOffsets: Seq[Long],
+      enc: OrcEncoding, compression: Int, blockSize: Int)
+      : Array[Any] = {
+    def streamBytes(k: Int): Option[Array[Byte]] =
+      streams.zip(streamOffsets).collectFirst {
+        case (s, o) if s.column == colId && s.kind == k =>
+          require(o + s.length <= p.length,
+            "torn ORC: stream overruns the file")
+          OrcMeta.decompressStream(p, o.toInt, s.length.toInt,
+            compression, blockSize)
+      }
+    val present = streamBytes(K_PRESENT).map(boolRle(_, rows))
+    val nonNull = present.map(_.count(identity)).getOrElse(rows)
+    def data(): Array[Byte] = streamBytes(K_DATA).getOrElse(
+      throw new IllegalArgumentException(
+        s"torn ORC: column $colId has no DATA stream"))
+    val vals: Array[Any] = kind match {
+      case 0 => // BOOLEAN: bit RLE over the non-null values
+        require(enc.kind == 0, s"BOOLEAN encoding ${enc.kind}")
+        boolRle(data(), nonNull).map(v => v: Any)
+      case 1 => // BYTE: byte RLE
+        require(enc.kind == 0, s"BYTE encoding ${enc.kind}")
+        byteRle(data(), nonNull).map(v => v: Any)
+      case 2 | 3 | 4 | 15 => // SHORT/INT/LONG/DATE: signed RLEv2
+        requireV2(enc, colId)
+        val longs = rleV2(data(), nonNull, signed = true)
+        kind match {
+          case 2 => longs.map(v => v.toShort: Any)
+          case 3 => longs.map(v => v.toInt: Any)
+          case 15 => longs.map(v => v.toInt: Any) // DATE: epoch days
+          case _ => longs.map(v => v: Any)
+        }
+      case 5 => // FLOAT: IEEE LE 4-byte stream
+        val d = data()
+        require(d.length >= 4 * nonNull, "torn ORC: float stream short")
+        Array.tabulate[Any](nonNull) { i =>
+          java.lang.Float.intBitsToFloat(
+            (d(4 * i) & 0xff) | ((d(4 * i + 1) & 0xff) << 8) |
+              ((d(4 * i + 2) & 0xff) << 16) | (d(4 * i + 3) << 24))
+        }
+      case 6 => // DOUBLE: IEEE LE 8-byte stream
+        val d = data()
+        require(d.length >= 8 * nonNull, "torn ORC: double stream short")
+        Array.tabulate[Any](nonNull) { i =>
+          var v = 0L
+          var j = 0
+          while (j < 8) { v |= (d(8 * i + j) & 0xffL) << (8 * j); j += 1 }
+          java.lang.Double.longBitsToDouble(v)
+        }
+      case 7 | 16 | 17 => // STRING/VARCHAR/CHAR
+        enc.kind match {
+          case 2 => // DIRECT_V2: LENGTH + concatenated DATA
+            val lens = rleV2(streamBytes(K_LENGTH).getOrElse(
+              throw new IllegalArgumentException(
+                s"torn ORC: string column $colId has no LENGTH")),
+              nonNull, signed = false)
+            val d = data()
+            var off = 0
+            Array.tabulate[Any](nonNull) { i =>
+              val len = lens(i).toInt
+              require(len >= 0 && off + len <= d.length,
+                s"torn ORC: $len-byte string overruns")
+              val s = new String(d, off, len, "UTF-8")
+              off += len
+              s
+            }
+          case 3 => // DICTIONARY_V2: sorted dict + index stream
+            val dictLens = rleV2(streamBytes(K_LENGTH).getOrElse(
+              throw new IllegalArgumentException(
+                s"torn ORC: dict column $colId has no LENGTH")),
+              enc.dictSize, signed = false)
+            val db = streamBytes(K_DICT).getOrElse(
+              throw new IllegalArgumentException(
+                s"torn ORC: dict column $colId has no DICTIONARY_DATA"))
+            var off = 0
+            val dict = Array.tabulate(enc.dictSize) { i =>
+              val len = dictLens(i).toInt
+              require(len >= 0 && off + len <= db.length,
+                s"torn ORC: $len-byte dict entry overruns")
+              val s = new String(db, off, len, "UTF-8")
+              off += len
+              s
+            }
+            rleV2(data(), nonNull, signed = false).map { ix =>
+              require(ix >= 0 && ix < dict.length,
+                s"torn ORC: dictionary index $ix of ${dict.length}")
+              dict(ix.toInt): Any
+            }
+          case e => throw new IllegalArgumentException(
+            s"ORC string encoding $e unsupported (legacy RLEv1 " +
+              "DIRECT/DICTIONARY reject by name)")
+        }
+      case k => throw new IllegalArgumentException(
+        s"ORC column kind ${primitiveNames.getOrElse(k, k.toString)} " +
+          "unsupported (TIMESTAMP/DECIMAL/BINARY/nested reject by name)")
+    }
+    require(vals.length == nonNull,
+      s"torn ORC: column $colId decoded ${vals.length} of $nonNull")
+    present match {
+      case None => vals
+      case Some(bits) =>
+        val out = new Array[Any](rows)
+        var v = 0
+        var i = 0
+        while (i < rows) {
+          if (bits(i)) { out(i) = vals(v); v += 1 } else out(i) = null
+          i += 1
+        }
+        out
+    }
+  }
+
+  private def requireV2(enc: OrcEncoding, colId: Int): Unit =
+    require(enc.kind == 2 || enc.kind == 3,
+      s"ORC column $colId encoding ${enc.kind} unsupported (legacy " +
+        "RLEv1 DIRECT rejects by name; writers emit DIRECT_V2)")
+
+  /** Row iterator over the named top-level columns of a complete ORC
+    * file image — every stripe, stream and run decoded by this module,
+    * nulls row-aligned. Column order per row matches `names`.
+    */
+  def readRows(file: Array[Byte], names: Seq[String])
+      : Iterator[Array[Any]] = {
+    val meta = readMeta(file)
+    require(meta.types.head.kind == 12,
+      "ORC root type is not a struct (flat schemas only)")
+    val root = meta.types.head
+    require(root.subtypes.length == root.fieldNames.length,
+      "torn ORC: root field/subtype arity mismatch")
+    val colIds = names.map { n =>
+      val i = root.fieldNames.indexOf(n)
+      require(i >= 0, s"column '$n' not present in the ORC schema")
+      root.subtypes(i)
+    }
+    meta.stripes.iterator.flatMap { stripe =>
+      val (streams, encodings) = readStripeFooter(file, stripe,
+        meta.compression, meta.blockSize)
+      // index streams precede data streams at stripe.offset, in
+      // footer order; accumulate to place each stream
+      val offsets = streams.scanLeft(stripe.offset)(_ + _.length).init
+      val rows = stripe.rows.toInt
+      val cols: Seq[Array[Any]] = colIds.map { id =>
+        val tpe = meta.types(id)
+        require(tpe.subtypes.isEmpty,
+          s"nested ORC column $id unsupported (flat schemas only)")
+        readColumn(file, id, tpe.kind, rows, streams, offsets,
+          encodings.getOrElse(id, OrcEncoding(0, 0)),
+          meta.compression, meta.blockSize)
+      }
+      (0 until rows).iterator.map(i =>
+        Array.tabulate[Any](cols.size)(c => cols(c)(i)))
+    }
+  }
+}

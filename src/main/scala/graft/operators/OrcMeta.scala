@@ -36,7 +36,7 @@ object OrcMeta {
       columns: Seq[OrcColumn])
 
   // protobuf wire reader
-  private final class PReader(p: Array[Byte], var pos: Int,
+  private[operators] final class PReader(p: Array[Byte], var pos: Int,
       val end: Int) {
     def u8(): Int = {
       require(pos < end, "torn ORC: protobuf read past end")
@@ -148,7 +148,7 @@ object OrcMeta {
     * through [[Zstd.decode]] (Spark 4's DEFAULT ORC compression, the
     * r13 seam this round closed). LZO rejects by name.
     */
-  private def decompressStream(p: Array[Byte], off: Int, len: Int,
+  private[operators] def decompressStream(p: Array[Byte], off: Int, len: Int,
       compression: Int, blockSize: Int): Array[Byte] = compression match {
     case 0 => java.util.Arrays.copyOfRange(p, off, off + len)
     case 1 | 2 | 4 | 5 =>

@@ -1048,6 +1048,50 @@ object Sources {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S29: ORC stripe-data scan from scratch (operators.OrcData) — the
+  // second columnar format's DATA, not just its tail (s23): stripe
+  // directory and StripeFooter protobufs, integer RLEv2 in all four
+  // sub-encodings, boolean/byte RLE present streams, dictionary AND
+  // direct strings, every stream's chunk framing through this repo's
+  // own zstd decoder — then the recovered rows flow through
+  // Spark-native groupBy/agg. The oracle full-scans the parquet-side
+  // events table (the fixture is a lossless ORC round-trip of it), so
+  // a slipped run header, wrong patch gap, misaligned present bit, or
+  // dictionary-index bug fails the value compare. Same fan-out
+  // contract as s22/s23: one FILE per task.
+  private def s29OrcData(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = ensureOrcMetaFixture(s, dir)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".orc")).map(_.getAbsolutePath).toSeq
+      .sorted
+    s.createDataset(files).repartition(math.max(files.size, 1))
+      .mapPartitions(_.flatMap { path =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path))
+        graft.operators.OrcData.readRows(bytes,
+          Seq("event_id", "user_id", "event_type"))
+          .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+            r(2).asInstanceOf[String]))
+      })
+      .toDF("event_id", "user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(col("event_id")).as("sum_id"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s29OrcDataSql =
+    """SELECT event_type, CAST(sum(event_id) AS BIGINT) AS sum_id,
+      |  count(DISTINCT user_id) AS n_users,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -1224,7 +1268,8 @@ object Sources {
     "s25_arrow_ingest" -> s25ArrowIngest _,
     "s26_zstd_ingest" -> s26ZstdIngest _,
     "s27_parquet_scan" -> s27ParquetScan _,
-    "s28_dsv2_scan" -> s28Dsv2Scan _
+    "s28_dsv2_scan" -> s28Dsv2Scan _,
+    "s29_orc_data" -> s29OrcData _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1249,6 +1294,7 @@ object Sources {
     "s25_arrow_ingest" -> s25ArrowIngestSql,
     "s26_zstd_ingest" -> s26ZstdIngestSql,
     "s27_parquet_scan" -> s27ParquetScanSql,
-    "s28_dsv2_scan" -> s28Dsv2ScanSql
+    "s28_dsv2_scan" -> s28Dsv2ScanSql,
+    "s29_orc_data" -> s29OrcDataSql
   )
 }
