@@ -103,6 +103,9 @@ object OrcData {
           }
           require(off >= 0 && fl >= 0 && rows >= 0,
             "torn ORC: stripe directory entry missing fields")
+          require(rows <= (1L << 28) && il <= (1L << 40) &&
+            dl <= (1L << 40) && fl <= (1L << 30),
+            s"torn ORC: stripe geometry $rows/$il/$dl/$fl")
           stripes += OrcStripe(off, il, dl, fl, rows)
         case 4 =>
           val t = f.sub()
@@ -478,6 +481,8 @@ object OrcData {
               s
             }
           case 3 => // DICTIONARY_V2: sorted dict + index stream
+            require(enc.dictSize >= 0 && enc.dictSize <= (1 << 26),
+              s"torn ORC: dictionary claims ${enc.dictSize} entries")
             val dictLens = rleV2(streamBytes(K_LENGTH).getOrElse(
               throw new IllegalArgumentException(
                 s"torn ORC: dict column $colId has no LENGTH")),

@@ -376,6 +376,8 @@ object ParquetData {
       case Some(r) => throw new IllegalArgumentException(
         s"repeated column '${col.path}' unsupported (repetition $r)")
     }
+    require(rgRows >= 0 && rgRows <= (1 << 28),
+      s"torn parquet: row-group row count $rgRows")
     val start = chunkRange(col)._1 - base
     require(start >= 0 && start <= Int.MaxValue,
       s"torn parquet: chunk start $start outside the provided buffer")
@@ -386,13 +388,22 @@ object ParquetData {
     while (row < rgRows) {
       val h = ParquetFooter.readPageHeader(file, pos)
       val bodyOff = pos + h.headerLen
-      require(bodyOff + h.compressedSize <= file.length,
+      require(h.compressedSize >= 0 &&
+        bodyOff + h.compressedSize <= file.length,
         "torn parquet: page body overruns the file")
+      require(h.numValues >= 0 && (h.pageType == 2 ||
+        h.numValues <= rgRows - row),
+        s"torn parquet: page claims ${h.numValues} values with " +
+          s"${rgRows - row} rows left in the chunk")
+      require(h.uncompressedSize >= 0 && h.uncompressedSize <= (1 << 30),
+        s"torn parquet: page claims ${h.uncompressedSize} bytes")
       pos = bodyOff + h.compressedSize
       h.pageType match {
         case 2 => // dictionary page: PLAIN values
           require(h.encoding == 0 || h.encoding == 2,
             s"dictionary page encoding ${h.encoding} unsupported")
+          require(h.numValues <= (1 << 26),
+            s"torn parquet: dictionary claims ${h.numValues} entries")
           val data = decompress(file, bodyOff, h.compressedSize,
             col.codec, h.uncompressedSize)
           dict = readPlain(data, 0, data.length, leaf.physicalType,

@@ -78,7 +78,35 @@ class DecoderFuzzSpec extends AnyFunSuite {
         val f = new java.io.File(dir).listFiles()
           .filter(_.getName.endsWith(".orc")).head
         Seq(java.nio.file.Files.readAllBytes(f.toPath))
-      }, b => op.OrcMeta.read(b)))
+      }, b => op.OrcMeta.read(b)),
+      ("parquet-data", {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-fuzz-pqdata").toString
+        val s = SparkTestSession.spark
+        import s.implicits._
+        (0 until 300).map(i =>
+          (i.toLong, s"y${i % 9}", i * 0.5, i % 2 == 0))
+          .toDF("a", "b", "c", "d")
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "zstd").parquet(dir)
+        val f = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Seq(java.nio.file.Files.readAllBytes(f.toPath))
+      }, b => op.ParquetData.readRows(b, Seq("a", "b", "c", "d")).length),
+      ("orc-data", {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-fuzz-orcdata").toString
+        val s = SparkTestSession.spark
+        import s.implicits._
+        (0 until 300).map(i =>
+          (i.toLong, s"y${i % 9}", i * 0.5, i % 2 == 0))
+          .toDF("a", "b", "c", "d")
+          .coalesce(1).write.mode("overwrite")
+          .option("compression", "zstd").orc(dir)
+        val f = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".orc")).head
+        Seq(java.nio.file.Files.readAllBytes(f.toPath))
+      }, b => op.OrcData.readRows(b, Seq("a", "b", "c", "d")).length))
 
   private def loud(t: Throwable): Boolean = t match {
     case _: IllegalArgumentException => true
