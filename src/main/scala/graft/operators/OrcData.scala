@@ -51,16 +51,33 @@ object OrcData {
 
   private final case class OrcEncoding(kind: Int, dictSize: Int)
 
-  /** Postscript + footer walk, keeping the stripe directory and type
-    * tree [[OrcMeta.read]] drops (it only needs stats).
+  /** One stripe's one column's min/max from the file-tail Metadata
+    * section, widened to doubles (the pruning comparisons are
+    * double-valued, mirroring [[ParquetFooter.statDouble]]). `None`
+    * means the writer recorded no usable range — never prune on it.
     */
-  def readMeta(p: Array[Byte]): OrcFileMeta = {
+  final case class OrcColStat(min: Option[Double], max: Option[Double])
+
+  /** Everything scan PLANNING needs, from tail bytes only: the stripe
+    * directory + type tree, plus per-stripe per-column min/max ranges
+    * from the Metadata section (StripeStatistics protobufs).
+    * `stripeStats(i)(c)` aligns with `meta.stripes(i)` and column id
+    * `c` in the type tree; empty when the writer skipped the section.
+    */
+  final case class OrcPlan(meta: OrcFileMeta,
+      stripeStats: Seq[Seq[OrcColStat]])
+
+  private final case class OrcPostscript(footerLen: Long,
+      metadataLen: Long, compression: Int, blockSize: Int)
+
+  private def parsePostscript(p: Array[Byte]): OrcPostscript = {
     require(p.length > 16, "torn ORC: shorter than any tail")
     val psLen = p(p.length - 1) & 0xff
     require(psLen > 0 && psLen < p.length - 1,
       s"torn ORC: postscript length $psLen")
     val psStart = p.length - 1 - psLen
     var footerLen = -1L
+    var metadataLen = 0L
     var compression = 0
     var blockSize = 0L
     var magic = ""
@@ -70,17 +87,35 @@ object OrcData {
         case 1 => footerLen = ps.varint()
         case 2 => compression = ps.varint().toInt
         case 3 => blockSize = ps.varint()
+        case 5 => metadataLen = ps.varint()
         case 8000 => magic = ps.str()
         case _ => ps.skip(w)
       }
     }
     require(magic == "ORC", s"not an ORC file (postscript magic '$magic')")
-    require(footerLen > 0 && psStart - footerLen >= 0,
+    require(footerLen > 0 && footerLen <= psStart,
       s"torn ORC: footer length $footerLen")
+    require(metadataLen >= 0 && metadataLen <= psStart - footerLen,
+      s"torn ORC: metadata length $metadataLen")
     require(blockSize >= 0 && blockSize <= (1L << 26),
       s"torn ORC: compression block size $blockSize")
-    val fb = OrcMeta.decompressStream(p, (psStart - footerLen).toInt,
-      footerLen.toInt, compression, blockSize.toInt)
+    OrcPostscript(footerLen, metadataLen, compression, blockSize.toInt)
+  }
+
+  /** Postscript + footer walk, keeping the stripe directory and type
+    * tree [[OrcMeta.read]] drops (it only needs stats).
+    */
+  def readMeta(p: Array[Byte]): OrcFileMeta = {
+    val psr = parsePostscript(p)
+    val psStart = p.length - 1 - (p(p.length - 1) & 0xff)
+    val compression = psr.compression
+    val fb = OrcMeta.decompressStream(p, (psStart - psr.footerLen).toInt,
+      psr.footerLen.toInt, compression, psr.blockSize)
+    parseFooter(fb, compression, psr.blockSize)
+  }
+
+  private def parseFooter(fb: Array[Byte], compression: Int,
+      blockSize: Int): OrcFileMeta = {
     val f = new PReader(fb, 0, fb.length)
     var numRows = -1L
     val stripes = Vector.newBuilder[OrcStripe]
@@ -130,8 +165,110 @@ object OrcData {
     }
     val ts = types.result()
     require(numRows >= 0 && ts.nonEmpty, "torn ORC: footer without types")
-    OrcFileMeta(compression, blockSize.toInt, numRows, ts,
+    OrcFileMeta(compression, blockSize, numRows, ts,
       stripes.result())
+  }
+
+  /** Tail-only planning read: positional IO of the postscript, footer
+    * and Metadata sections — O(KB per multi-GB file), never a data
+    * byte, the same planning shape [[ParquetFooter.readTail]] gives the
+    * parquet tier. Two reads: a bounded probe for the postscript, then
+    * exactly the metadata+footer span it declares.
+    */
+  def readPlan(path: java.nio.file.Path): OrcPlan = {
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val fileLen = ch.size()
+      def readAt(pos: Long, n: Int): Array[Byte] = {
+        require(pos >= 0 && pos + n <= fileLen,
+          s"torn ORC: $n-byte tail read at $pos outside $fileLen bytes")
+        val bb = java.nio.ByteBuffer.allocate(n)
+        var p = pos
+        while (bb.hasRemaining) {
+          val r = ch.read(bb, p)
+          require(r > 0, "torn ORC: short tail read")
+          p += r
+        }
+        bb.array()
+      }
+      val probeLen = math.min(fileLen, 4096L).toInt
+      val probe = readAt(fileLen - probeLen, probeLen)
+      val psr = parsePostscript(probe)
+      val psLen = probe(probe.length - 1) & 0xff
+      val tailLen = 1L + psLen + psr.footerLen + psr.metadataLen
+      require(tailLen <= fileLen, s"torn ORC: $tailLen-byte tail " +
+        s"declared in a $fileLen-byte file")
+      val tail = readAt(fileLen - tailLen, tailLen.toInt)
+      val fb = OrcMeta.decompressStream(tail, psr.metadataLen.toInt,
+        psr.footerLen.toInt, psr.compression, psr.blockSize)
+      val meta = parseFooter(fb, psr.compression, psr.blockSize)
+      val stats = if (psr.metadataLen == 0) Nil else {
+        val mb = OrcMeta.decompressStream(tail, 0, psr.metadataLen.toInt,
+          psr.compression, psr.blockSize)
+        parseMetadata(mb)
+      }
+      require(stats.isEmpty || stats.length == meta.stripes.length,
+        s"torn ORC: ${stats.length} stripe-stat entries for " +
+          s"${meta.stripes.length} stripes")
+      OrcPlan(meta, stats)
+    } finally ch.close()
+  }
+
+  /** Metadata section: `Metadata { repeated StripeStatistics = 1 }`,
+    * each `StripeStatistics { repeated ColumnStatistics = 1 }` aligned
+    * with the type tree. Integer stats (sint64 zigzag min=1/max=2) and
+    * double stats (fixed64 min=1/max=2) both widen to doubles; any
+    * other statistics shape yields None (never prune on it).
+    */
+  private def parseMetadata(mb: Array[Byte]): Seq[Seq[OrcColStat]] = {
+    val out = Vector.newBuilder[Seq[OrcColStat]]
+    val m = new PReader(mb, 0, mb.length)
+    m.message { (id, w) =>
+      id match {
+        case 1 =>
+          val ss = m.sub()
+          val cols = Vector.newBuilder[OrcColStat]
+          ss.message { (sid, sw) =>
+            sid match {
+              case 1 =>
+                val cs = ss.sub()
+                var mn: Option[Double] = None
+                var mx: Option[Double] = None
+                cs.message { (cid, cw) =>
+                  cid match {
+                    case 2 => // IntegerStatistics
+                      val is = cs.sub()
+                      is.message { (iid, iw) =>
+                        iid match {
+                          case 1 => mn = Some(is.zig().toDouble)
+                          case 2 => mx = Some(is.zig().toDouble)
+                          case _ => is.skip(iw)
+                        }
+                      }
+                    case 3 => // DoubleStatistics
+                      val ds = cs.sub()
+                      ds.message { (did, dw) =>
+                        did match {
+                          case 1 => mn = Some(
+                            java.lang.Double.longBitsToDouble(ds.fixed64()))
+                          case 2 => mx = Some(
+                            java.lang.Double.longBitsToDouble(ds.fixed64()))
+                          case _ => ds.skip(dw)
+                        }
+                      }
+                    case _ => cs.skip(cw)
+                  }
+                }
+                cols += OrcColStat(mn, mx)
+              case _ => ss.skip(sw)
+            }
+          }
+          out += cols.result()
+        case _ => m.skip(w)
+      }
+    }
+    out.result()
   }
 
   // ------------------------------------------------------------------
@@ -366,12 +503,17 @@ object OrcData {
     15 -> "DATE", 16 -> "VARCHAR", 17 -> "CHAR",
     18 -> "TIMESTAMP_INSTANT")
 
-  private def readStripeFooter(p: Array[Byte], stripe: OrcStripe,
-      compression: Int, blockSize: Int)
+  /** `base` is the file offset `p(0)` corresponds to: 0 when `p` is a
+    * whole file image, `stripe.offset` when a task fetched only its
+    * stripe's byte range (the cluster-scale shape).
+    */
+  private def readStripeFooter(p: Array[Byte], base: Long,
+      stripe: OrcStripe, compression: Int, blockSize: Int)
       : (Seq[OrcStream], Map[Int, OrcEncoding]) = {
-    val off = stripe.offset + stripe.indexLength + stripe.dataLength
-    require(off + stripe.footerLength <= p.length,
-      "torn ORC: stripe footer overruns the file")
+    val off = stripe.offset - base + stripe.indexLength +
+      stripe.dataLength
+    require(off >= 0 && off + stripe.footerLength <= p.length,
+      "torn ORC: stripe footer overruns the buffer")
     val fb = OrcMeta.decompressStream(p, off.toInt,
       stripe.footerLength.toInt, compression, blockSize)
     val r = new PReader(fb, 0, fb.length)
@@ -420,8 +562,8 @@ object OrcData {
     def streamBytes(k: Int): Option[Array[Byte]] =
       streams.zip(streamOffsets).collectFirst {
         case (s, o) if s.column == colId && s.kind == k =>
-          require(o + s.length <= p.length,
-            "torn ORC: stream overruns the file")
+          require(o >= 0 && o + s.length <= p.length,
+            "torn ORC: stream overruns the buffer")
           OrcMeta.decompressStream(p, o.toInt, s.length.toInt,
             compression, blockSize)
       }
@@ -540,33 +682,56 @@ object OrcData {
   def readRows(file: Array[Byte], names: Seq[String])
       : Iterator[Array[Any]] = {
     val meta = readMeta(file)
-    require(meta.types.head.kind == 12,
+    val colIds = resolveColumns(meta.types, names)
+    meta.stripes.iterator.flatMap(stripe =>
+      readStripeRows(file, 0L, stripe, meta.compression, meta.blockSize,
+        meta.types, colIds))
+  }
+
+  /** Map top-level field names to type-tree column ids; flat struct
+    * roots only, unknown names reject loudly.
+    */
+  def resolveColumns(types: Seq[OrcTypeNode], names: Seq[String])
+      : Seq[Int] = {
+    require(types.nonEmpty && types.head.kind == 12,
       "ORC root type is not a struct (flat schemas only)")
-    val root = meta.types.head
+    val root = types.head
     require(root.subtypes.length == root.fieldNames.length,
       "torn ORC: root field/subtype arity mismatch")
-    val colIds = names.map { n =>
+    names.map { n =>
       val i = root.fieldNames.indexOf(n)
       require(i >= 0, s"column '$n' not present in the ORC schema")
       root.subtypes(i)
     }
-    meta.stripes.iterator.flatMap { stripe =>
-      val (streams, encodings) = readStripeFooter(file, stripe,
-        meta.compression, meta.blockSize)
-      // index streams precede data streams at stripe.offset, in
-      // footer order; accumulate to place each stream
-      val offsets = streams.scanLeft(stripe.offset)(_ + _.length).init
-      val rows = stripe.rows.toInt
-      val cols: Seq[Array[Any]] = colIds.map { id =>
-        val tpe = meta.types(id)
-        require(tpe.subtypes.isEmpty,
-          s"nested ORC column $id unsupported (flat schemas only)")
-        readColumn(file, id, tpe.kind, rows, streams, offsets,
-          encodings.getOrElse(id, OrcEncoding(0, 0)),
-          meta.compression, meta.blockSize)
-      }
-      (0 until rows).iterator.map(i =>
-        Array.tabulate[Any](cols.size)(c => cols(c)(i)))
+  }
+
+  /** Decode ONE stripe's rows from a buffer that starts at file offset
+    * `base` — `base = 0` for a whole-file image, `base = stripe.offset`
+    * when the caller fetched just `[offset, offset + indexLength +
+    * dataLength + footerLength)` (the per-task byte-range shape a
+    * cluster scan plans). Column order per row matches `colIds`.
+    */
+  def readStripeRows(buf: Array[Byte], base: Long, stripe: OrcStripe,
+      compression: Int, blockSize: Int, types: Seq[OrcTypeNode],
+      colIds: Seq[Int]): Iterator[Array[Any]] = {
+    val (streams, encodings) = readStripeFooter(buf, base, stripe,
+      compression, blockSize)
+    // index streams precede data streams at stripe.offset, in
+    // footer order; accumulate to place each stream
+    val offsets =
+      streams.scanLeft(stripe.offset - base)(_ + _.length).init
+    val rows = stripe.rows.toInt
+    val cols: Seq[Array[Any]] = colIds.map { id =>
+      require(id >= 0 && id < types.length,
+        s"torn ORC: column id $id outside the type tree")
+      val tpe = types(id)
+      require(tpe.subtypes.isEmpty,
+        s"nested ORC column $id unsupported (flat schemas only)")
+      readColumn(buf, id, tpe.kind, rows, streams, offsets,
+        encodings.getOrElse(id, OrcEncoding(0, 0)),
+        compression, blockSize)
     }
+    (0 until rows).iterator.map(i =>
+      Array.tabulate[Any](cols.size)(c => cols(c)(i)))
   }
 }

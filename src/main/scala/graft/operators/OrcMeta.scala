@@ -57,6 +57,14 @@ object OrcMeta {
       n
     }
     def zig(): Long = { val n = varint(); (n >>> 1) ^ -(n & 1L) }
+    def fixed64(): Long = { // little-endian, the protobuf `double` carrier
+      require(pos + 8 <= end, "torn ORC: truncated fixed64 field")
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (p(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      v
+    }
     def bytes(): (Int, Int) = { // (offset, length) view, no copy
       val n = varint()
       require(n >= 0 && pos + n <= end, s"torn ORC: $n-byte field")

@@ -1092,6 +1092,36 @@ object Sources {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S30: the `graftorc` DataSource V2 (sources.GraftOrc) end-to-end —
+  // the from-scratch ORC stack surfaced the Spark-FIRST way, the twin
+  // of s28's graftpq: not a mapPartitions ingest (s29's shape) but a
+  // registered source Catalyst plans like any other — schema inferred
+  // from our protobuf footer walk, filters pushed into the ScanBuilder
+  // (per-stripe Metadata stats pruning driver-side), columns pruned to
+  // the streams the query touches, one InputPartition per stripe with
+  // a byte-range positional read. The oracle re-derives the same
+  // answer from full scans in DuckDB, so the whole
+  // plan-prune-decode chain is value-checked.
+  private def s30OrcDsv2(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureOrcMetaFixture(s, dir)
+    s.read.format("graftorc").load(tmp)
+      .filter(col("event_id") >= 0 && col("user_id") >= 100)
+      .groupBy(col("event_type"))
+      .agg(sum(col("event_id")).as("sum_id"),
+        min(col("user_id")).as("min_user"),
+        max(col("event_id")).as("max_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s30OrcDsv2Sql =
+    """SELECT event_type, CAST(sum(event_id) AS BIGINT) AS sum_id,
+      |  min(user_id) AS min_user, max(event_id) AS max_id,
+      |  count(*) AS n
+      |FROM events WHERE event_id >= 0 AND user_id >= 100
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -1269,7 +1299,8 @@ object Sources {
     "s26_zstd_ingest" -> s26ZstdIngest _,
     "s27_parquet_scan" -> s27ParquetScan _,
     "s28_dsv2_scan" -> s28Dsv2Scan _,
-    "s29_orc_data" -> s29OrcData _
+    "s29_orc_data" -> s29OrcData _,
+    "s30_orc_dsv2" -> s30OrcDsv2 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1295,6 +1326,7 @@ object Sources {
     "s26_zstd_ingest" -> s26ZstdIngestSql,
     "s27_parquet_scan" -> s27ParquetScanSql,
     "s28_dsv2_scan" -> s28Dsv2ScanSql,
-    "s29_orc_data" -> s29OrcDataSql
+    "s29_orc_data" -> s29OrcDataSql,
+    "s30_orc_dsv2" -> s30OrcDsv2Sql
   )
 }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `graftorc` DataSource V2 (sources.GraftOrc): reads planned by
+  * the from-scratch tail reader (postscript + footer + Metadata
+  * protobufs) and decoded by the from-scratch stripe reader must agree
+  * row-for-row with Spark's own ORC source, prune columns down to the
+  * requested streams, and prune stripes from the Metadata section's
+  * per-stripe statistics before any task launches.
+  */
+class GraftOrcSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def batchScan(df: org.apache.spark.sql.DataFrame)
+      : BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in the plan:\n" +
+      df.queryExecution.executedPlan.toString))
+
+  test("graftorc reads row-identically to Spark's ORC source across " +
+      "types, nulls and codecs") {
+    import spark.implicits._
+    for (codec <- Seq("zstd", "snappy", "zlib", "lz4", "none")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-graftorc-$codec").toString
+      try {
+        (0 until 2000).map { k =>
+          (k.toLong,
+            if (k % 9 == 0) None else Some(k * 3 - 700),
+            s"v${k % 7}", // low cardinality → DICTIONARY_V2
+            s"unique-$k-${k * 37}", // high cardinality → DIRECT_V2
+            k % 2 == 0,
+            (k % 120 - 60).toByte,
+            (k * 5 - 3000).toShort,
+            k * 0.25f - 10f,
+            k * 1.75 - 300.0,
+            java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+              .plusDays(k % 365)))
+        }.toDF("id", "opt", "s", "u", "b", "y", "h", "f", "d", "dt")
+          .coalesce(1)
+          .write.mode("overwrite").option("compression", codec).orc(dir)
+        val want = spark.read.orc(dir).collect().toSeq
+          .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+        val got = spark.read.format("graftorc").load(dir).collect()
+          .toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+        assert(got.size == want.size, s"[$codec] row counts")
+        for ((w, g) <- want.zip(got))
+          assert(w == g, s"[$codec] $w vs $g")
+      } finally graft.streaming.WorkDirs
+        .deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  /** Many-stripe fixture in id order → monotone per-stripe stats.
+    * orc-core only checks the stripe budget every 5000 rows, so the
+    * row count sits well past one check interval.
+    */
+  private def stripedFixture(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-stripes").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("orc.stripe.size")
+    hc.set("orc.stripe.size", "65536")
+    try {
+      (0 until 200000)
+        .map(k => (k.toLong, k.toDouble / 2, s"g${k % 3}"))
+        .toDF("id", "x", "g")
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zstd").orc(dir)
+    } finally {
+      if (prev == null) hc.unset("orc.stripe.size")
+      else hc.set("orc.stripe.size", prev)
+    }
+    dir
+  }
+
+  test("Metadata stats prune stripes driver-side; surviving rows " +
+      "still filter exactly") {
+    val dir = stripedFixture()
+    try {
+      val all = spark.read.format("graftorc").load(dir)
+      val total = batchScan(all).inputPartitions.length
+      assert(total >= 4, s"fixture produced only $total stripes")
+      val filtered = all.filter("id >= 180000")
+      val kept = batchScan(filtered).inputPartitions.length
+      assert(kept < total / 2,
+        s"stats pruning kept $kept of $total stripes")
+      // the pushed set is advisory: rows must still be filter-exact
+      assert(filtered.count() == 20000)
+      assert(filtered.agg(org.apache.spark.sql.functions.min("id"))
+        .head.getLong(0) == 180000L)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("column pruning reaches the reader: only requested streams " +
+      "are decoded") {
+    val dir = stripedFixture()
+    try {
+      val df = spark.read.format("graftorc").load(dir).select("g")
+      val scan = batchScan(df)
+      val part = scan.inputPartitions.head
+        .asInstanceOf[graft.sources.GraftOrcPartition]
+      assert(part.colIds.length == 1,
+        s"reader was handed columns ${part.colIds}")
+      assert(df.distinct().count() == 3)
+      // count(*) over an empty projection still knows its cardinality
+      assert(spark.read.format("graftorc").load(dir).count() == 200000)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("unsupported ORC kinds reject loudly by name at schema " +
+      "inference") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-ts").toString
+    try {
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("id", "ts").coalesce(1)
+        .write.mode("overwrite").orc(dir)
+      val e = intercept[Exception] {
+        spark.read.format("graftorc").load(dir).collect()
+      }
+      assert(e.getMessage != null && e.getMessage.contains("graftorc"),
+        e.getMessage)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+}
