@@ -1122,6 +1122,48 @@ object Sources {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S31: the from-scratch parquet WRITER (operators.ParquetWrite)
+  // end-to-end — the engine WRITES its storage format without
+  // parquet-mr (thrift-compact footer, v1 PLAIN pages behind
+  // RLE-hybrid definition levels, our own snappy compressor, modern
+  // min_value/max_value chunk statistics), distributed one file per
+  // partition where the data is. The read-back goes through Spark's
+  // OWN parquet-mr reader — the independent implementation — so a
+  // wrong field id, broken def-level run, bad stat encoding or
+  // misplaced page offset fails the scan or the value compare; the
+  // oracle re-derives the aggregate from the source table in DuckDB.
+  private def s31ParquetWrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqwrite-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      graft.operators.ParquetWrite.writeDataFrame(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartition(s.sparkContext.defaultParallelism),
+        tmp, codec = 1)
+    }
+    s.read.parquet(tmp)
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0)
+        .as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s31ParquetWriteSql =
+    """SELECT event_type,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  count(DISTINCT user_id) AS n_users,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -1300,7 +1342,8 @@ object Sources {
     "s27_parquet_scan" -> s27ParquetScan _,
     "s28_dsv2_scan" -> s28Dsv2Scan _,
     "s29_orc_data" -> s29OrcData _,
-    "s30_orc_dsv2" -> s30OrcDsv2 _
+    "s30_orc_dsv2" -> s30OrcDsv2 _,
+    "s31_parquet_write" -> s31ParquetWrite _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1327,6 +1370,7 @@ object Sources {
     "s27_parquet_scan" -> s27ParquetScanSql,
     "s28_dsv2_scan" -> s28Dsv2ScanSql,
     "s29_orc_data" -> s29OrcDataSql,
-    "s30_orc_dsv2" -> s30OrcDsv2Sql
+    "s30_orc_dsv2" -> s30OrcDsv2Sql,
+    "s31_parquet_write" -> s31ParquetWriteSql
   )
 }

@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ParquetData, ParquetFooter, ParquetWrite}
+import graft.operators.ParquetWrite.PwFields
+
+/** The from-scratch parquet WRITER (operators.ParquetWrite), validated
+  * against two independent readers: Spark's own parquet-mr vectorized
+  * reader must decode written files row-identically (the strong
+  * foreign-reader direction), this repo's own [[ParquetData]] must
+  * round-trip them, and `graftpq` must prune row groups from the
+  * written footer statistics.
+  */
+class ParquetWriteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(tag: String): java.io.File =
+    java.nio.file.Files.createTempDirectory(s"graft-pqwrite-$tag")
+      .toFile
+
+  test("Spark's parquet-mr reads written files row-identically " +
+      "(all types, nulls, snappy and uncompressed)") {
+    for (codec <- Seq(0, 1)) {
+      val dir = tmpDir(s"codec$codec")
+      try {
+        val fields = Seq(PwFields.int64("id"), PwFields.int32("k"),
+          PwFields.string("s"), PwFields.boolean("b"),
+          PwFields.float("f"), PwFields.double("d"),
+          PwFields.date("dt"), PwFields.timestampMicros("ts"))
+        val rows = (0 until 3000).iterator.map { i =>
+          Array[Any](
+            Long.box(i.toLong),
+            if (i % 7 == 0) null else Int.box(i * 3 - 1000),
+            if (i % 11 == 0) null else s"v$i-${i % 5}",
+            Boolean.box(i % 2 == 0),
+            Float.box(i * 0.5f - 20f),
+            Double.box(i * 1.25 - 300.0),
+            Int.box(19723 + i % 365), // epoch days
+            Long.box(1709251200000000L + i * 37000000L)) // micros
+        }
+        val n = ParquetWrite.writeFile(
+          new java.io.File(dir, "part-00000.parquet").toPath, fields,
+          rows, codec = codec, rowGroupRows = 1000, pageRows = 300)
+        assert(n == 3000)
+        val got = spark.read.parquet(dir.toString)
+        assert(got.count() == 3000, s"[codec $codec]")
+        val r = got.orderBy("id").collect()
+        assert(r(0).getLong(0) == 0L)
+        assert(r(0).isNullAt(1)) // i % 7 == 0
+        assert(r(1).getInt(1) == -997)
+        assert(r(0).isNullAt(2))
+        assert(r(1).getString(2) == "v1-1")
+        assert(r(2).getBoolean(3))
+        assert(r(3).getFloat(4) == -18.5f)
+        assert(r(4).getDouble(5) == -295.0)
+        assert(r(5).getDate(6).toLocalDate ==
+          java.time.LocalDate.ofEpochDay(19728))
+        assert(r(6).getTimestamp(7).toInstant ==
+          java.time.Instant.ofEpochSecond(1709251200L + 6 * 37L))
+        // null accounting survives aggregation
+        assert(got.filter("k IS NULL").count() ==
+          (0 until 3000).count(_ % 7 == 0))
+      } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+    }
+  }
+
+  test("this repo's own reader round-trips written files") {
+    val dir = tmpDir("own")
+    try {
+      val fields = Seq(PwFields.int64("id"), PwFields.string("s"),
+        PwFields.double("d"))
+      val rows = (0 until 2500).iterator.map(i => Array[Any](
+        Long.box(i.toLong),
+        if (i % 9 == 0) null else s"row-$i",
+        Double.box(i / 4.0)))
+      val f = new java.io.File(dir, "part-00000.parquet")
+      ParquetWrite.writeFile(f.toPath, fields, rows,
+        codec = 1, rowGroupRows = 700, pageRows = 256)
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val footer = ParquetFooter.read(bytes)
+      assert(footer.numRows == 2500)
+      assert(footer.rowGroups.length == 4) // 700+700+700+400
+      val got = ParquetData.readRows(bytes, Seq("id", "s", "d")).toVector
+      assert(got.length == 2500)
+      assert(got(0)(0) == 0L && got(0)(1) == null && got(0)(2) == 0.0)
+      assert(got(10)(1) == "row-10")
+      assert(got(2499)(0) == 2499L && got(2499)(2) == 2499 / 4.0)
+      // footer statistics are the modern min_value/max_value fields
+      val idChunk = footer.rowGroups.head.columns.find(_.path == "id").get
+      assert(ParquetFooter.statLong(2, idChunk.minValue.get) == 0L)
+      assert(ParquetFooter.statLong(2, idChunk.maxValue.get) == 699L)
+      assert(idChunk.nullCount.contains(0L))
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
+  test("graftpq prunes row groups from the written statistics") {
+    val dir = tmpDir("prune")
+    try {
+      val fields = Seq(PwFields.int64("id"), PwFields.double("x"))
+      val rows = (0 until 40000).iterator.map(i =>
+        Array[Any](Long.box(i.toLong), Double.box(i / 2.0)))
+      ParquetWrite.writeFile(
+        new java.io.File(dir, "part-00000.parquet").toPath, fields,
+        rows, codec = 1, rowGroupRows = 4000, pageRows = 4000)
+      val all = spark.read.format("graftpq").load(dir.toString)
+      val filtered = all.filter("id >= 36000")
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val kept = filtered.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.inputPartitions.length
+      }.get
+      assert(kept == 1, s"stats pruning kept $kept of 10 row groups")
+      assert(filtered.count() == 4000)
+      // Spark's reader agrees with the same filter on the same bytes
+      assert(spark.read.parquet(dir.toString).filter("id >= 36000")
+        .count() == 4000)
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
+  test("writeDataFrame writes one file per partition where the data " +
+      "is; Spark reads the directory back row-identically") {
+    import spark.implicits._
+    val dir = tmpDir("df")
+    try {
+      val df = (0 until 20000).map(i =>
+        (i.toLong, s"u${i % 97}", i * 0.75,
+          if (i % 13 == 0) None else Some(i % 1000)))
+        .toDF("id", "u", "v", "opt").repartition(6)
+      val n = ParquetWrite.writeDataFrame(df, dir.toString, codec = 1)
+      assert(n == 20000)
+      val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 6, s"${parts.length} part files")
+      val got = spark.read.parquet(dir.toString)
+      assert(got.count() == 20000)
+      val want = df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val have = got.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      for ((w, g) <- want.zip(have)) assert(w == g, s"$w vs $g")
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
+  test("unsupported shapes reject loudly by name") {
+    val dir = tmpDir("reject")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        ParquetWrite.writeFile(
+          new java.io.File(dir, "bad.parquet").toPath,
+          Seq(ParquetWrite.PwField("x", 7)), // FIXED_LEN_BYTE_ARRAY
+          Iterator.single(Array[Any]("y")), codec = 0)
+      }
+      assert(e1.getMessage.contains("unsupported"))
+      val e2 = intercept[IllegalArgumentException] {
+        ParquetWrite.writeFile(
+          new java.io.File(dir, "bad2.parquet").toPath,
+          Seq(PwFields.int64("x")),
+          Iterator.single(Array[Any](Long.box(1L))), codec = 6)
+      }
+      assert(e2.getMessage.contains("codec"))
+      import org.apache.spark.sql.types._
+      val e3 = intercept[IllegalArgumentException] {
+        ParquetWrite.fieldsOf(StructType(Seq(
+          StructField("m", MapType(StringType, LongType)))))
+      }
+      assert(e3.getMessage.contains("unsupported"))
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+}
