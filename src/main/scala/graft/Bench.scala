@@ -90,10 +90,29 @@ object Bench {
     if (stripped.isEmpty) head else stripped
   }
 
-  // (name, min wall sec, cpu sec of the min-wall rep, reps run,
-  //  budget-cut flag, outcome)
-  private type QRes = (String, Double, Double, Int, Boolean,
-    Either[String, Long])
+  /** Per-query record: min wall, cpu of the min-wall rep, reps run,
+    * budget-cut flag, outcome, and the min-wall rep's GC + JIT time —
+    * the two JVM-internal CPU thieves that can inflate real compute
+    * without host contention (probe stays 1.0). When an in-sweep wall
+    * ever again exceeds its isolated floor (the r14 dd-shard anomaly:
+    * 109.8 s CPU in-shard vs 6.8 s isolated, unreproduced since), the
+    * record itself now says whether the extra CPU was garbage
+    * collection, JIT recompilation, or genuine query work.
+    */
+  private final case class QRes(name: String, wall: Double, cpu: Double,
+      reps: Int, cut: Boolean, outcome: Either[String, Long],
+      gc: Double = 0.0, jit: Double = 0.0)
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def jitMillis(): Long =
+    Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
 
   /** Single-thread CPU-spin probe: wall ≈ thread-CPU on an idle core;
     * timeslicing on an oversubscribed host inflates wall only.
@@ -170,7 +189,9 @@ object Bench {
     }
     def timedRep(fn: (SparkSession, String)
         => org.apache.spark.sql.DataFrame)
-        : (Double, Double, Either[String, Long]) = {
+        : (Double, Double, Either[String, Long], Double, Double) = {
+      val g0 = gcMillis()
+      val j0 = jitMillis()
       val c0 = cpuNanos()
       val t0 = System.nanoTime()
       val outcome =
@@ -182,11 +203,13 @@ object Bench {
                 .take(1).mkString.take(160))
         }
       ((System.nanoTime() - t0) / 1e9,
-        math.max(0L, cpuNanos() - c0) / 1e9, outcome)
+        math.max(0L, cpuNanos() - c0) / 1e9, outcome,
+        math.max(0L, gcMillis() - g0) / 1e3,
+        math.max(0L, jitMillis() - j0) / 1e3)
     }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      var (bestWall, bestCpu, outcome) = timedRep(fn)
+      var (bestWall, bestCpu, outcome, bestGc, bestJit) = timedRep(fn)
       var reps = 1
       var stable = false
       // a failed first rep is final (retrying would mask flakiness); a
@@ -195,11 +218,12 @@ object Bench {
       // — a big drop (cold-JVM rep 1 → warm rep 2) therefore takes one
       // more rep to confirm the floor rather than stopping on it blindly
       while (outcome.isRight && !stable && reps < maxReps && !overBudget()) {
-        val (w, c, o) = timedRep(fn)
+        val (w, c, o, g, j) = timedRep(fn)
         reps += 1
         if (o.isRight) {
           stable = math.max(w, bestWall) <= math.min(w, bestWall) * 1.15
-          if (w < bestWall) { bestWall = w; bestCpu = c }
+          if (w < bestWall) { bestWall = w; bestCpu = c; bestGc = g
+            bestJit = j }
         } else stable = true
       }
       // the ONLY way a healthy query exits below maxReps without the
@@ -214,7 +238,19 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] StateStore.stop after $name: $e")
       }
-      (name, bestWall, bestCpu, reps, cut, outcome)
+      // Drop every block the query's pipeline left pinned in the block
+      // manager (localCheckpoint persists its RDD and nothing ever
+      // unpersists it — ContextCleaner only reclaims after a full GC
+      // notices the dead reference). Accumulated blocks squeeze the
+      // unified memory region's execution half, which makes LATER
+      // queries' joins and aggregations spill — real extra CPU the
+      // contention probe can't see. Untimed: runs between queries.
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] unpersist after $name: $e")
+      }
+      QRes(name, bestWall, bestCpu, reps, cut, outcome, bestGc, bestJit)
     }
     (results, budgetExhausted)
   }
@@ -222,8 +258,8 @@ object Bench {
   // ------------------------------------------------------------------
   // parent → child result file: line-based, no JSON parser needed.
   //   probe <ratio> <budgetExhausted>
-  //   q <name> <wall> <cpu> <reps> <cut> ok <rows>
-  //   q <name> <wall> <cpu> <reps> <cut> err <base64(message)>
+  //   q <name> <wall> <cpu> <reps> <cut> ok <rows> <gc> <jit>
+  //   q <name> <wall> <cpu> <reps> <cut> err <base64(message)> <gc> <jit>
   //   done            <- written last; its presence = file is complete
 
   private def writeChildFile(path: String, probe: Double,
@@ -231,13 +267,13 @@ object Bench {
     val b64 = java.util.Base64.getEncoder
     val sb = new StringBuilder
     sb.append(s"probe $probe $exhausted\n")
-    results.foreach { case (n, w, c, r, cut, o) =>
+    results.foreach { case QRes(n, w, c, r, cut, o, gc, jit) =>
       val tail = o match {
         case Right(rows) => s"ok $rows"
         case Left(msg) => "err " + b64.encodeToString(
           msg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-      sb.append(s"q $n $w $c $r $cut $tail\n")
+      sb.append(s"q $n $w $c $r $cut $tail $gc $jit\n")
     }
     sb.append("done\n")
     val p = java.nio.file.Paths.get(path)
@@ -266,8 +302,10 @@ object Bench {
             if (f(6) == "ok") Right(f(7).toLong)
             else Left(new String(b64.decode(if (f.length > 7) f(7) else ""),
               java.nio.charset.StandardCharsets.UTF_8))
-          rs += ((f(1), f(2).toDouble, f(3).toDouble, f(4).toInt,
-            f(5).toBoolean, outcome))
+          val gc = if (f.length > 8) f(8).toDouble else 0.0
+          val jit = if (f.length > 9) f(9).toDouble else 0.0
+          rs += QRes(f(1), f(2).toDouble, f(3).toDouble, f(4).toInt,
+            f(5).toBoolean, outcome, gc, jit)
         case _ => ()
       }
     }
@@ -406,11 +444,10 @@ object Bench {
           familyStatus += ((fam, "fork"))
           // children run a fixed query list; belt-and-braces: any name
           // the child somehow skipped is recorded as failed, not lost
-          val got = rs.map(_._1).toSet
+          val got = rs.map(_.name).toSet
           rs ++ qs.filterNot(got).map(n =>
-            (n, 0.0, 0.0, 0, false,
-              Left("family fork wrote no result for this query")
-                : Either[String, Long]))
+            QRes(n, 0.0, 0.0, 0, cut = false,
+              Left("family fork wrote no result for this query")))
         case None =>
           // child died (OOM/JVM crash) or forking is off: run this
           // family in the parent JVM with inter-family hygiene so one
@@ -434,10 +471,9 @@ object Bench {
     parentSpark.foreach(_.stop())
     val budgetExhausted = childExhausted || elapsed() > budgetSec
     val contended = probeRatio > 1.5 || budgetExhausted
-    val budgetCut = results.count(_._5)
-    val reps1 = results.count { case (_, _, _, r, c, o) =>
-      o.isRight && c && r == 1
-    }
+    val budgetCut = results.count(_.cut)
+    val reps1 = results.count(r =>
+      r.outcome.isRight && r.cut && r.reps == 1)
     // Residual-anomaly detection, SELF-VALIDATING: a first pass flags
     // queries at > 4× their family median AND > 2 s while burning real
     // CPU — but a family median cannot distinguish "heavy by nature"
@@ -448,13 +484,13 @@ object Bench {
     // a query whose in-sweep wall exceeded 1.5× its isolated wall stays
     // flagged — plus any candidate the budget left unvalidated.
     val candidates: Seq[String] = families.flatMap { case (_, qs) =>
-      val fr = results.filter(r => qs.contains(r._1) && r._6.isRight)
+      val fr = results.filter(r => qs.contains(r.name) && r.outcome.isRight)
       if (fr.size < 4) Seq.empty
       else {
-        val walls = fr.map(_._2).sorted
+        val walls = fr.map(_.wall).sorted
         val median = walls(walls.size / 2)
-        fr.filter(r => r._2 > 4 * median && r._2 > 2.0 &&
-          r._3 > r._2 / 2).map(_._1)
+        fr.filter(r => r.wall > 4 * median && r.wall > 2.0 &&
+          r.cpu > r.wall / 2).map(_.name)
       }
     }
     val recheck: Map[String, (Double, Double)] =
@@ -467,21 +503,21 @@ object Bench {
               childProbeMax = math.max(childProbeMax, probe)
               childExhausted ||= exh
               familyStatus += ((s"recheck$i", "fork"))
-              rs.collect { case (n, w, c, _, _, Right(_)) => n -> (w, c) }
+              rs.collect { case QRes(n, w, c, _, _, Right(_), _, _) =>
+                n -> (w, c) }
             case None => Seq.empty[(String, (Double, Double))]
           }
       }.toMap
-    val validated: Seq[QRes] = results.map {
-      case r @ (n, w, c, reps, cut, o) =>
-        recheck.get(n) match {
-          case Some((iw, ic)) if iw < w => (n, iw, ic, reps, cut, o)
-          case _ => r
-        }
+    val validated: Seq[QRes] = results.map { r =>
+      recheck.get(r.name) match {
+        case Some((iw, ic)) if iw < r.wall => r.copy(wall = iw, cpu = ic)
+        case _ => r
+      }
     }
     val suspects: Seq[String] = candidates.filter { n =>
       recheck.get(n) match {
         case Some((iw, _)) =>
-          results.find(_._1 == n).exists(_._2 > 1.5 * iw)
+          results.find(_.name == n).exists(_.wall > 1.5 * iw)
         case None => true // unvalidated (budget or fork death)
       }
     }
@@ -490,26 +526,30 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     // failed queries are excluded from the headline total — a crash's
     // partial wall time must never make the aggregate look faster
-    val total = validated.collect { case (_, t, _, _, _, Right(_)) => t }.sum
-    val cpuTotal =
-      validated.collect { case (_, _, c, _, _, Right(_)) => c }.sum
-    val failed = validated.count(_._6.isLeft)
+    val total = validated.collect {
+      case r if r.outcome.isRight => r.wall }.sum
+    val cpuTotal = validated.collect {
+      case r if r.outcome.isRight => r.cpu }.sum
+    val failed = validated.count(_.outcome.isLeft)
     // numeric scale factor when the dir follows the sfX.Y convention; the
     // raw path otherwise. The pattern must admit only a well-formed JSON
     // number.
     val sfJson = "sf(0|[1-9][0-9]*)(\\.[0-9]+)?$".r.findFirstMatchIn(sfDir)
       .map(m => m.group(1) + Option(m.group(2)).getOrElse(""))
       .getOrElse(jsonStr(sfDir))
-    val errors = validated.collect { case (k, _, _, _, _, Left(m)) =>
-      s"\"$k\":${jsonStr(m)}"
+    val errors = validated.collect {
+      case r if r.outcome.isLeft =>
+        s"\"${r.name}\":${jsonStr(r.outcome.left.getOrElse(""))}"
     }.mkString("{", ",", "}")
-    // full-fidelity record: full-precision walls + cpu/reps/rows maps
+    // full-fidelity record: full-precision walls + cpu/gc/jit/reps/rows
     val fullLine = {
       def m(f: QRes => String) = validated.map(f).mkString("{", ",", "}")
-      val qs = m { case (k, w, _, _, _, _) => s"\"$k\":$w" }
-      val cpu = m { case (k, _, c, _, _, _) => s"\"$k\":$c" }
-      val reps = m { case (k, _, _, r, _, _) => s"\"$k\":$r" }
-      val rows = m { case (k, _, _, _, _, o) => s"\"$k\":${o.getOrElse(-1L)}" }
+      val qs = m(r => s"\"${r.name}\":${r.wall}")
+      val cpu = m(r => s"\"${r.name}\":${r.cpu}")
+      val gc = m(r => s"\"${r.name}\":${r.gc}")
+      val jit = m(r => s"\"${r.name}\":${r.jit}")
+      val reps = m(r => s"\"${r.name}\":${r.reps}")
+      val rows = m(r => s"\"${r.name}\":${r.outcome.getOrElse(-1L)}")
       val fams = familyStatus.result().map { case (f, st) =>
         s"\"$f\":${jsonStr(st)}"
       }.mkString("{", ",", "}")
@@ -517,10 +557,10 @@ object Bench {
       // (in-sweep, isolated) pairs for every rechecked candidate — the
       // evidence behind each suspect decision
       val rech = recheck.toSeq.sortBy(_._1).map { case (n, (iw, _)) =>
-        val swept = results.find(_._1 == n).map(_._2).getOrElse(-1.0)
+        val swept = results.find(_.name == n).map(_.wall).getOrElse(-1.0)
         s"\"$n\":[$swept,$iw]"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"contended":$contended,"probe_ratio":${fmt(probeRatio, 3)},"budget_exhausted":$budgetExhausted,"budget_cut_queries":$budgetCut,"single_rep_queries":$reps1,"families":$fams,"suspects":$susp,"recheck":$rech,"queries":$qs,"cpu":$cpu,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"contended":$contended,"probe_ratio":${fmt(probeRatio, 3)},"budget_exhausted":$budgetExhausted,"budget_cut_queries":$budgetCut,"single_rep_queries":$reps1,"families":$fams,"suspects":$susp,"recheck":$rech,"queries":$qs,"cpu":$cpu,"gc":$gc,"jit":$jit,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
     }
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
@@ -529,13 +569,13 @@ object Bench {
     // together with sbt's "[success] ..." epilogue. 2-dp walls normally
     // suffice; fall back to 1 dp, then to dropping the error map
     // (failure details live in target/bench.json and the exit code).
-    val compactErrors = validated.collect { case (k, _, _, _, _, Left(m)) =>
-      s"\"$k\":${jsonStr(m.take(100))}"
+    val compactErrors = validated.collect {
+      case r if r.outcome.isLeft =>
+        s"\"${r.name}\":${jsonStr(r.outcome.left.getOrElse("").take(100))}"
     }.mkString("{", ",", "}")
     def compactLine(dp: Int, withErrors: Boolean): String = {
-      val qs = validated.map {
-        case (k, w, _, _, _, _) => s"\"$k\":${fmt(w, dp)}"
-      }.mkString("{", ",", "}")
+      val qs = validated.map(r => s"\"${r.name}\":${fmt(r.wall, dp)}")
+        .mkString("{", ",", "}")
       val err = if (failed == 0 || !withErrors) ""
         else s""","errors":$compactErrors"""
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","contended":$contended,"suspects":${suspects.size},"queries":$qs$err,"failed":$failed,"sf":$sfJson}"""
@@ -544,8 +584,8 @@ object Bench {
     // top-N slowest queries only (the ones a reader acts on), then none —
     // the line must parse even if the query inventory doubles again
     def topLine(n: Int): String = {
-      val qs = validated.sortBy(-_._2).take(n)
-        .map { case (k, w, _, _, _, _) => s"\"$k\":${fmt(w, 1)}" }
+      val qs = validated.sortBy(-_.wall).take(n)
+        .map(r => s"\"${r.name}\":${fmt(r.wall, 1)}")
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","contended":$contended,"suspects":${suspects.size},"queries":$qs,"queries_truncated_to":$n,"failed":$failed,"sf":$sfJson}"""
     }

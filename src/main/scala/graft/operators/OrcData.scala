@@ -70,7 +70,13 @@ object OrcData {
   private final case class OrcPostscript(footerLen: Long,
       metadataLen: Long, compression: Int, blockSize: Int)
 
-  private def parsePostscript(p: Array[Byte]): OrcPostscript = {
+  /** `fileLen` (when >= 0) is the real file size: [[readPlan]] probes
+    * only the last few KB, so footer/metadata lengths must be budgeted
+    * against the file, not the probe buffer — a wide-schema or
+    * many-stripe file legitimately carries a tail longer than the probe.
+    */
+  private def parsePostscript(p: Array[Byte],
+      fileLen: Long = -1L): OrcPostscript = {
     require(p.length > 16, "torn ORC: shorter than any tail")
     val psLen = p(p.length - 1) & 0xff
     require(psLen > 0 && psLen < p.length - 1,
@@ -93,9 +99,10 @@ object OrcData {
       }
     }
     require(magic == "ORC", s"not an ORC file (postscript magic '$magic')")
-    require(footerLen > 0 && footerLen <= psStart,
+    val budget = if (fileLen >= 0) fileLen - 1 - psLen else psStart.toLong
+    require(footerLen > 0 && footerLen <= budget,
       s"torn ORC: footer length $footerLen")
-    require(metadataLen >= 0 && metadataLen <= psStart - footerLen,
+    require(metadataLen >= 0 && metadataLen <= budget - footerLen,
       s"torn ORC: metadata length $metadataLen")
     require(blockSize >= 0 && blockSize <= (1L << 26),
       s"torn ORC: compression block size $blockSize")
@@ -194,7 +201,7 @@ object OrcData {
       }
       val probeLen = math.min(fileLen, 4096L).toInt
       val probe = readAt(fileLen - probeLen, probeLen)
-      val psr = parsePostscript(probe)
+      val psr = parsePostscript(probe, fileLen)
       val psLen = probe(probe.length - 1) & 0xff
       val tailLen = 1L + psLen + psr.footerLen + psr.metadataLen
       require(tailLen <= fileLen, s"torn ORC: $tailLen-byte tail " +

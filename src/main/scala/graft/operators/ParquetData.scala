@@ -267,10 +267,11 @@ object ParquetData {
 
   /** Decode `n` PLAIN-encoded values of `physicalType` starting at
     * `pos`; BYTE_ARRAY becomes a UTF-8 String (the only shape Spark's
-    * flat string columns write). Returns (values, next position).
+    * flat string columns write), FIXED_LEN_BYTE_ARRAY (decimal storage)
+    * stays raw bytes of `typeLength`. Returns (values, next position).
     */
   private def readPlain(b: Array[Byte], pos0: Int, end: Int,
-      physicalType: Int, n: Int): (Array[Any], Int) = {
+      physicalType: Int, n: Int, typeLength: Int = 0): (Array[Any], Int) = {
     val out = new Array[Any](n)
     var pos = pos0
     physicalType match {
@@ -332,10 +333,18 @@ object ParquetData {
             java.nio.charset.StandardCharsets.UTF_8)
           pos += len; i += 1
         }
+      case 7 => // FIXED_LEN_BYTE_ARRAY: typeLength raw bytes per value
+        require(typeLength > 0 && typeLength <= (1 << 20),
+          s"parquet FIXED_LEN_BYTE_ARRAY needs a type_length ($typeLength)")
+        require(pos + typeLength.toLong * n <= end,
+          "torn parquet: fixed-length values")
+        var i = 0
+        while (i < n) {
+          out(i) = java.util.Arrays.copyOfRange(b, pos, pos + typeLength)
+          pos += typeLength; i += 1
+        }
       case 3 => throw new IllegalArgumentException(
         "parquet INT96 values unsupported (deprecated timestamps)")
-      case 7 => throw new IllegalArgumentException(
-        "parquet FIXED_LEN_BYTE_ARRAY values unsupported")
       case t => throw new IllegalArgumentException(
         s"parquet physical type $t unknown")
     }
@@ -359,42 +368,46 @@ object ParquetData {
     (start, start + col.totalCompressedSize)
   }
 
-  /** Decode one column chunk (all pages) into row-aligned values with
-    * nulls. `leaf` supplies the repetition contract; `rgRows` is the
-    * row group's row count (= the chunk's top-level value count for a
-    * flat column). `file` holds the chunk's bytes starting at absolute
-    * file offset `base` (0 = a whole-file image) — the lever that lets
-    * a scan task fetch ONLY its row group's byte range.
+  /** Raw decoded streams of one chunk: definition levels, repetition
+    * levels (all zero when `maxRep` = 0) and the dense non-null value
+    * stream — the Dremel record-shredding triplet assembly works from.
     */
-  def readChunk(file: Array[Byte], col: PqColumn,
-      leaf: PqSchemaField, rgRows: Int, base: Long = 0L): Array[Any] = {
-    require(!col.path.contains('.'),
-      s"nested column '${col.path}' unsupported (flat schemas only)")
-    val maxDef = leaf.repetition match {
-      case Some(0) => 0
-      case Some(1) | None => 1 // optional; absent field defaults optional
-      case Some(r) => throw new IllegalArgumentException(
-        s"repeated column '${col.path}' unsupported (repetition $r)")
-    }
-    require(rgRows >= 0 && rgRows <= (1 << 28),
-      s"torn parquet: row-group row count $rgRows")
+  final case class ChunkLevels(defs: Array[Int], reps: Array[Int],
+      vals: Array[Any])
+
+  /** Decode one column chunk (all pages) into its level + value
+    * streams. `totalValues` is the chunk's footer-recorded value count
+    * (= row count for a flat column, ≥ it for repeated ones). `file`
+    * holds the chunk's bytes starting at absolute file offset `base`
+    * (0 = a whole-file image) — the lever that lets a scan task fetch
+    * ONLY its row group's byte range.
+    */
+  def readChunkLevels(file: Array[Byte], col: PqColumn, maxDef: Int,
+      maxRep: Int, physicalType: Int, typeLength: Int,
+      totalValues: Int, base: Long = 0L): ChunkLevels = {
+    require(totalValues >= 0 && totalValues <= (1 << 28),
+      s"torn parquet: chunk value count $totalValues")
+    require(maxDef >= 0 && maxDef <= 7 && maxRep >= 0 && maxRep <= 7,
+      s"parquet nesting too deep (maxDef=$maxDef maxRep=$maxRep)")
     val start = chunkRange(col)._1 - base
     require(start >= 0 && start <= Int.MaxValue,
       s"torn parquet: chunk start $start outside the provided buffer")
     var pos = start.toInt
     var dict: Array[Any] = null
-    val out = new Array[Any](rgRows)
-    var row = 0
-    while (row < rgRows) {
+    val defs = new Array[Int](totalValues)
+    val reps = new Array[Int](totalValues)
+    val vb = new scala.collection.mutable.ArrayBuffer[Any](totalValues)
+    var done = 0
+    while (done < totalValues) {
       val h = ParquetFooter.readPageHeader(file, pos)
       val bodyOff = pos + h.headerLen
       require(h.compressedSize >= 0 &&
         bodyOff + h.compressedSize <= file.length,
         "torn parquet: page body overruns the file")
       require(h.numValues >= 0 && (h.pageType == 2 ||
-        h.numValues <= rgRows - row),
+        h.numValues <= totalValues - done),
         s"torn parquet: page claims ${h.numValues} values with " +
-          s"${rgRows - row} rows left in the chunk")
+          s"${totalValues - done} left in the chunk")
       require(h.uncompressedSize >= 0 && h.uncompressedSize <= (1 << 30),
         s"torn parquet: page claims ${h.uncompressedSize} bytes")
       pos = bodyOff + h.compressedSize
@@ -406,74 +419,127 @@ object ParquetData {
             s"torn parquet: dictionary claims ${h.numValues} entries")
           val data = decompress(file, bodyOff, h.compressedSize,
             col.codec, h.uncompressedSize)
-          dict = readPlain(data, 0, data.length, leaf.physicalType,
-            h.numValues)._1
-        case 0 => // data page v1
+          dict = readPlain(data, 0, data.length, physicalType,
+            h.numValues, typeLength)._1
+        case 0 => // data page v1: [rep levels][def levels][values], one
+          // compressed body; each level stream is 4-byte-length-prefixed
           val data = decompress(file, bodyOff, h.compressedSize,
             col.codec, h.uncompressedSize)
           var d = 0
-          val defs = new Array[Int](h.numValues)
+          def levelRegion(width: Int, out: Array[Int]): Unit = {
+            require(d + 4 <= data.length, "torn parquet: level length")
+            val levLen = (data(d) & 0xff) | ((data(d + 1) & 0xff) << 8) |
+              ((data(d + 2) & 0xff) << 16) | (data(d + 3) << 24)
+            d += 4
+            require(levLen >= 0 && d + levLen <= data.length,
+              "torn parquet: levels overrun the page")
+            val page = new Array[Int](h.numValues)
+            readHybrid(data, d, d + levLen, width, page, h.numValues)
+            System.arraycopy(page, 0, out, 0, h.numValues)
+            d += levLen
+          }
+          val pageDefs = new Array[Int](h.numValues)
+          val pageReps = new Array[Int](h.numValues)
+          if (maxRep > 0) {
+            require(h.repLevelEncoding == 3,
+              s"repetition-level encoding ${h.repLevelEncoding} " +
+                "unsupported (RLE only)")
+            levelRegion(bitsFor(maxRep), pageReps)
+          }
           if (maxDef > 0) {
             require(h.defLevelEncoding == 3,
               s"definition-level encoding ${h.defLevelEncoding} " +
                 "unsupported (RLE only)")
-            require(d + 4 <= data.length, "torn parquet: level length")
-            val levLen = (data(0) & 0xff) | ((data(1) & 0xff) << 8) |
-              ((data(2) & 0xff) << 16) | (data(3) << 24)
-            d += 4
-            require(levLen >= 0 && d + levLen <= data.length,
-              "torn parquet: levels overrun the page")
-            readHybrid(data, d, d + levLen, bitsFor(maxDef), defs,
-              h.numValues)
-            d += levLen
-          } else java.util.Arrays.fill(defs, 0)
-          row = emit(out, row, defs, h.numValues, maxDef, data, d,
-            data.length, h.encoding, leaf.physicalType, dict)
+            levelRegion(bitsFor(maxDef), pageDefs)
+          }
+          System.arraycopy(pageDefs, 0, defs, done, h.numValues)
+          System.arraycopy(pageReps, 0, reps, done, h.numValues)
+          vb ++= decodeValues(data, d, data.length, h.encoding,
+            physicalType, typeLength, countAt(pageDefs, h.numValues,
+              maxDef), dict)
+          done += h.numValues
         case 3 => // data page v2: levels uncompressed, values maybe
-          require(h.repLevelsByteLength == 0,
+          val pageDefs = new Array[Int](h.numValues)
+          val pageReps = new Array[Int](h.numValues)
+          require(h.repLevelsByteLength >= 0 &&
+            h.defLevelsByteLength >= 0 &&
+            bodyOff + h.repLevelsByteLength + h.defLevelsByteLength
+              <= file.length, "torn parquet: v2 level region")
+          if (maxRep > 0)
+            readHybrid(file, bodyOff, bodyOff + h.repLevelsByteLength,
+              bitsFor(maxRep), pageReps, h.numValues)
+          else require(h.repLevelsByteLength == 0,
             "torn parquet: v2 repetition levels on a flat column")
-          val defs = new Array[Int](h.numValues)
-          if (maxDef > 0) {
-            require(h.defLevelsByteLength >= 0 &&
-              bodyOff + h.defLevelsByteLength <= file.length,
-              "torn parquet: v2 level region")
-            readHybrid(file, bodyOff, bodyOff + h.defLevelsByteLength,
-              bitsFor(maxDef), defs, h.numValues)
-          } else require(h.defLevelsByteLength == 0,
+          val defOff = bodyOff + h.repLevelsByteLength
+          if (maxDef > 0)
+            readHybrid(file, defOff, defOff + h.defLevelsByteLength,
+              bitsFor(maxDef), pageDefs, h.numValues)
+          else require(h.defLevelsByteLength == 0,
             "torn parquet: v2 levels on a required column")
-          val valOff = bodyOff + h.defLevelsByteLength
-          val valLen = h.compressedSize - h.defLevelsByteLength
+          val levLen = h.repLevelsByteLength + h.defLevelsByteLength
+          val valOff = bodyOff + levLen
+          val valLen = h.compressedSize - levLen
           val data =
             if (h.isCompressed) decompress(file, valOff, valLen,
-              col.codec, h.uncompressedSize - h.defLevelsByteLength)
+              col.codec, h.uncompressedSize - levLen)
             else java.util.Arrays.copyOfRange(file, valOff,
               valOff + valLen)
-          row = emit(out, row, defs, h.numValues, maxDef, data, 0,
-            data.length, h.encoding, leaf.physicalType, dict)
+          System.arraycopy(pageDefs, 0, defs, done, h.numValues)
+          System.arraycopy(pageReps, 0, reps, done, h.numValues)
+          vb ++= decodeValues(data, 0, data.length, h.encoding,
+            physicalType, typeLength, countAt(pageDefs, h.numValues,
+              maxDef), dict)
+          done += h.numValues
         case t => throw new IllegalArgumentException(
           s"parquet page type $t unsupported")
       }
     }
-    require(row == rgRows,
-      s"torn parquet: chunk '${col.path}' decoded $row of $rgRows rows")
+    ChunkLevels(defs, reps, vb.toArray)
+  }
+
+  private def countAt(defs: Array[Int], n: Int, maxDef: Int): Int = {
+    var c = 0
+    var i = 0
+    while (i < n) { if (defs(i) == maxDef) c += 1; i += 1 }
+    c
+  }
+
+  /** Decode one column chunk (all pages) into row-aligned values with
+    * nulls — the flat-leaf fast path over [[readChunkLevels]]. `leaf`
+    * supplies the repetition contract; `rgRows` is the row group's row
+    * count (= the chunk's value count for a flat column).
+    */
+  def readChunk(file: Array[Byte], col: PqColumn,
+      leaf: PqSchemaField, rgRows: Int, base: Long = 0L): Array[Any] = {
+    require(!col.path.contains('.'),
+      s"nested column '${col.path}' needs readChunkLevels (flat reader)")
+    val maxDef = leaf.repetition match {
+      case Some(0) => 0
+      case Some(1) | None => 1 // optional; absent field defaults optional
+      case Some(r) => throw new IllegalArgumentException(
+        s"repeated column '${col.path}' unsupported (repetition $r)")
+    }
+    require(rgRows >= 0 && rgRows <= (1 << 28),
+      s"torn parquet: row-group row count $rgRows")
+    val lv = readChunkLevels(file, col, maxDef, 0, leaf.physicalType,
+      leaf.typeLength, rgRows, base)
+    val out = new Array[Any](rgRows)
+    var v = 0
+    var i = 0
+    while (i < rgRows) {
+      if (lv.defs(i) == maxDef) { out(i) = lv.vals(v); v += 1 }
+      i += 1
+    }
     out
   }
 
-  /** Decode one data page's value stream and scatter through the
-    * definition levels into `out`; returns the new row position.
-    */
-  private def emit(out: Array[Any], row0: Int, defs: Array[Int],
-      numValues: Int, maxDef: Int, data: Array[Byte], valOff: Int,
-      valEnd: Int, encoding: Int, physicalType: Int,
-      dict: Array[Any]): Int = {
-    var nonNull = 0
-    var i = 0
-    while (i < numValues) {
-      if (defs(i) == maxDef) nonNull += 1
-      i += 1
-    }
-    val vals: Array[Any] = encoding match {
-      case 0 => readPlain(data, valOff, valEnd, physicalType, nonNull)._1
+  /** Decode one data page's dense value stream (`nonNull` values). */
+  private def decodeValues(data: Array[Byte], valOff: Int,
+      valEnd: Int, encoding: Int, physicalType: Int, typeLength: Int,
+      nonNull: Int, dict: Array[Any]): Array[Any] = {
+    encoding match {
+      case 0 => readPlain(data, valOff, valEnd, physicalType, nonNull,
+        typeLength)._1
       case 2 | 8 => // PLAIN_DICTIONARY (legacy id) / RLE_DICTIONARY
         require(dict != null,
           "torn parquet: dictionary-encoded page before any dictionary")
@@ -521,17 +587,57 @@ object ParquetData {
         s"parquet value encoding $e unsupported (BYTE_STREAM_SPLIT " +
           "rejects by name)")
     }
-    var row = row0
+  }
+
+  /** Reassemble a one-level LIST column (the 3-level
+    * `optional group (LIST) { repeated group list { <element> } }`
+    * shape, LogicalTypes.md) from its level streams: one value per row
+    * — null (def 0 on an optional list), an empty Seq (def =
+    * listDef − 1... i.e. the repeated group absent), or a Seq of
+    * elements with nulls where def < maxDef. `elemDef` is maxDef (an
+    * element is present at exactly maxDef), `rowCount` the row group's
+    * rows; rep 0 starts a new row, rep 1 appends to the current list.
+    */
+  def assembleList(lv: ChunkLevels, rowCount: Int, maxDef: Int,
+      emptyDef: Int, nullDef: Int): Array[Any] = {
+    val out = new Array[Any](rowCount)
+    var row = -1
+    var cur: scala.collection.mutable.ArrayBuffer[Any] = null
     var v = 0
-    i = 0
-    while (i < numValues) {
-      require(row < out.length, "torn parquet: page overruns the chunk")
-      if (defs(i) == maxDef) { out(row) = vals(v); v += 1 }
-      else out(row) = null
-      row += 1
+    var i = 0
+    while (i < lv.defs.length) {
+      val d = lv.defs(i)
+      val r = lv.reps(i)
+      if (r == 0) { // new row
+        row += 1
+        require(row < rowCount, "torn parquet: list rows overrun the group")
+        if (d <= nullDef) { out(row) = null; cur = null }
+        else if (d == emptyDef) {
+          out(row) = Seq.empty[Any]; cur = null
+        } else {
+          cur = new scala.collection.mutable.ArrayBuffer[Any]
+          out(row) = cur
+          cur += (if (d == maxDef) { val x = lv.vals(v); v += 1; x }
+            else null)
+        }
+      } else {
+        require(cur != null, "torn parquet: continuation with no open list")
+        cur += (if (d == maxDef) { val x = lv.vals(v); v += 1; x }
+          else null)
+      }
       i += 1
     }
-    row
+    require(row == rowCount - 1,
+      s"torn parquet: list column assembled ${row + 1} of $rowCount rows")
+    var k = 0
+    while (k < rowCount) {
+      out(k) = out(k) match {
+        case b: scala.collection.mutable.ArrayBuffer[_] => b.toSeq
+        case x => x
+      }
+      k += 1
+    }
+    out
   }
 
   /** Row iterator over the named flat leaf columns of a complete

@@ -36,7 +36,9 @@ object ParquetFooter {
   final case class PqSchemaField(name: String, physicalType: Int,
       numChildren: Int, convertedType: Option[Int] = None,
       hasLogicalType: Boolean = false,
-      repetition: Option[Int] = None) // 0 required, 1 optional, 2 repeated
+      repetition: Option[Int] = None, // 0 required, 1 optional, 2 repeated
+      typeLength: Int = 0, // FIXED_LEN_BYTE_ARRAY width
+      scale: Int = 0, precision: Int = 0) // DECIMAL annotation
 
   final case class PqFooter(version: Int, numRows: Long,
       createdBy: Option[String], schema: Seq[PqSchemaField],
@@ -228,18 +230,25 @@ object ParquetFooter {
     var converted: Option[Int] = None
     var hasLogical = false
     var repetition: Option[Int] = None
+    var typeLength = 0
+    var scale = 0
+    var precision = 0
     r.struct { (id, t) =>
       id match {
         case 1 => typ = r.zig().toInt
+        case 2 => typeLength = r.zig().toInt
         case 3 => repetition = Some(r.zig().toInt)
         case 4 => name = r.str()
         case 5 => children = r.zig().toInt
         case 6 => converted = Some(r.zig().toInt) // ConvertedType enum
+        case 7 => scale = r.zig().toInt
+        case 8 => precision = r.zig().toInt
         case 10 => hasLogical = true; r.skip(t) // LogicalType union
         case _ => r.skip(t)
       }
     }
-    PqSchemaField(name, typ, children, converted, hasLogical, repetition)
+    PqSchemaField(name, typ, children, converted, hasLogical, repetition,
+      typeLength, scale, precision)
   }
 
   /** Parse the footer of a complete parquet file image. */

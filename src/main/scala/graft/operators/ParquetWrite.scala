@@ -277,6 +277,13 @@ object ParquetWrite {
           var unc = 0L
           var comp = 0L
           var nulls = 0L
+          // Integer stats compare in the long domain (a double ulp at
+          // 2^53 would let a rounding tie record a wrong extremum that
+          // spec-compliant pruners then trust); float stats skip NaN
+          // entirely, matching parquet-mr — a NaN min/max makes every
+          // pruner comparison false and silently drops row groups.
+          var minL = 0L
+          var maxL = 0L
           var minD = Double.NaN
           var maxD = Double.NaN
           var minV: Any = null
@@ -293,16 +300,26 @@ object ParquetWrite {
               pageNulls(i) = v == null
               if (v == null) nulls += 1
               else if (f.physicalType >= 1 && f.physicalType <= 5) {
-                val d = v match {
-                  case x: Int => x.toDouble
-                  case x: Long => x.toDouble
-                  case x: Float => x.toDouble
-                  case x: Double => x
+                v match {
+                  case x: Int =>
+                    val l = x.toLong
+                    if (minV == null || l < minL) { minL = l; minV = v }
+                    if (maxV == null || l > maxL) { maxL = l; maxV = v }
+                  case x: Long =>
+                    if (minV == null || x < minL) { minL = x; minV = v }
+                    if (maxV == null || x > maxL) { maxL = x; maxV = v }
+                  case x: Float => if (!x.isNaN) {
+                    val d = x.toDouble
+                    if (minV == null || d < minD) { minD = d; minV = v }
+                    if (maxV == null || d > maxD) { maxD = d; maxV = v }
+                  }
+                  case x: Double => if (!x.isNaN) {
+                    if (minV == null || x < minD) { minD = x; minV = v }
+                    if (maxV == null || x > maxD) { maxD = x; maxV = v }
+                  }
                   case x => throw new IllegalArgumentException(
                     s"column '${f.name}' got ${x.getClass.getName}")
                 }
-                if (minV == null || d < minD) { minD = d; minV = v }
-                if (maxV == null || d > maxD) { maxD = d; maxV = v }
               }
               i += 1
             }

@@ -1164,6 +1164,93 @@ object Sources {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S32: `graftpq` over RICH types — DECIMAL in all three physical
+  // storages (INT32 / INT64 / FIXED_LEN_BYTE_ARRAY per LogicalTypes.md
+  // precision rules), the standard 3-level LIST (null lists, null
+  // elements) and a one-level STRUCT (null structs) — the column shapes
+  // every real warehouse file has. The fixture derives every value
+  // EXACTLY (string-built decimals: no double-rounding ambiguity
+  // between engines), Spark's writer emits it zstd-compressed, the
+  // from-scratch DSv2 source plans + decodes it (Dremel level
+  // reassembly), and the oracle re-derives the same aggregate from the
+  // source table in DuckDB.
+
+  def ensureRichParquetFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqrich-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          concat((col("event_id") % 1000).cast("string"), lit("."),
+            lpad((col("event_id") % 997).cast("string"), 3, "0"))
+            .cast("decimal(12,3)").as("amount"),
+          concat((col("event_id") % 100).cast("string"), lit("."),
+            lpad((col("event_id") % 97).cast("string"), 2, "0"))
+            .cast("decimal(7,2)").as("fee"),
+          concat(col("event_id").cast("string"), lit("."),
+            lpad((col("event_id") % 999983).cast("string"), 6, "0"))
+            .cast("decimal(28,6)").as("big"),
+          when(col("event_id") % 11 === 0, lit(null))
+            .otherwise(array(col("event_type"),
+              when(col("event_id") % 7 === 0, lit(null))
+                .otherwise((col("user_id") % 5).cast("string"))))
+            .as("tags"),
+          when(col("event_id") % 13 === 0, lit(null))
+            .otherwise(struct(col("user_id").as("u"),
+              col("event_type").as("t"))).as("meta"))
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp)
+    }
+    tmp
+  }
+
+  private def s32RichScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureRichParquetFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .groupBy(col("meta").getField("t").as("t"))
+      // final sums leave as DOUBLE: each decimal sum is exact, and the
+      // decimal→double conversion of the same exact value is identical
+      // in both engines, whereas decimal-typed OUTPUT columns hit
+      // asymmetric decimal handling in the compare harness
+      .agg(count(lit(1)).as("n"),
+        sum(col("amount")).cast("double").as("sum_amount"),
+        sum(col("fee")).cast("double").as("sum_fee"),
+        sum(col("big")).cast("double").as("sum_big"),
+        sum(coalesce(size(col("tags")), lit(0))).as("n_tag_entries"),
+        sum(when(col("tags").isNull, 1).otherwise(0)).as("n_null_tags"),
+        min(col("meta").getField("u")).as("min_u"))
+      .orderBy(col("t"))
+  }
+
+  private val s32RichScanSql =
+    """WITH rich AS (
+      |  SELECT
+      |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS t,
+      |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS u,
+      |    CAST(concat(CAST(event_id % 1000 AS VARCHAR), '.',
+      |      lpad(CAST(event_id % 997 AS VARCHAR), 3, '0'))
+      |      AS DECIMAL(12,3)) AS amount,
+      |    CAST(concat(CAST(event_id % 100 AS VARCHAR), '.',
+      |      lpad(CAST(event_id % 97 AS VARCHAR), 2, '0'))
+      |      AS DECIMAL(7,2)) AS fee,
+      |    CAST(concat(CAST(event_id AS VARCHAR), '.',
+      |      lpad(CAST(event_id % 999983 AS VARCHAR), 6, '0'))
+      |      AS DECIMAL(28,6)) AS big,
+      |    CASE WHEN event_id % 11 = 0 THEN 0 ELSE 2 END AS tag_n,
+      |    CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS tag_null
+      |  FROM events)
+      |SELECT t, count(*) AS n,
+      |  CAST(sum(amount) AS DOUBLE) AS sum_amount,
+      |  CAST(sum(fee) AS DOUBLE) AS sum_fee,
+      |  CAST(sum(big) AS DOUBLE) AS sum_big,
+      |  CAST(sum(tag_n) AS BIGINT) AS n_tag_entries,
+      |  CAST(sum(tag_null) AS BIGINT) AS n_null_tags,
+      |  min(u) AS min_u
+      |FROM rich GROUP BY t ORDER BY t NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -1343,7 +1430,8 @@ object Sources {
     "s28_dsv2_scan" -> s28Dsv2Scan _,
     "s29_orc_data" -> s29OrcData _,
     "s30_orc_dsv2" -> s30OrcDsv2 _,
-    "s31_parquet_write" -> s31ParquetWrite _
+    "s31_parquet_write" -> s31ParquetWrite _,
+    "s32_rich_scan" -> s32RichScan _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1371,6 +1459,7 @@ object Sources {
     "s28_dsv2_scan" -> s28Dsv2ScanSql,
     "s29_orc_data" -> s29OrcDataSql,
     "s30_orc_dsv2" -> s30OrcDsv2Sql,
-    "s31_parquet_write" -> s31ParquetWriteSql
+    "s31_parquet_write" -> s31ParquetWriteSql,
+    "s32_rich_scan" -> s32RichScanSql
   )
 }

@@ -213,7 +213,10 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       st <- stats.lift(id)
       mn <- st.min
       mx <- st.max
-    } yield (mn, mx)
+      // One ulp of slack: integer stats widened to double can round at
+      // 2^53, and a rounded bound must stay conservative (see
+      // Maintenance.footerRanges).
+    } yield (Math.nextDown(mn), Math.nextUp(mx))
     f match {
       case EqualTo(c, v: Number) => range(c).forall { case (mn, mx) =>
         v.doubleValue >= mn && v.doubleValue <= mx }

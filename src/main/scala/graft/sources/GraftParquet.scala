@@ -39,9 +39,13 @@ import graft.operators.ParquetFooter.{PqColumn, PqSchemaField}
   *    task touches O(its row group), not O(its file).
   *
   * Registered as `graftpq` via DataSourceRegister (META-INF/services),
-  * so `spark.read.format("graftpq").load(dir)` resolves it. Flat
-  * schemas only (the [[ParquetData]] contract); unsupported physical /
-  * converted types reject loudly by name at schema-inference time.
+  * so `spark.read.format("graftpq").load(dir)` resolves it. Supported
+  * shapes: flat leaves (incl. DECIMAL over INT32/INT64/FLBA per
+  * LogicalTypes.md), one-level structs, and the standard 3-level LIST
+  * of a leaf element — assembled from definition/repetition level
+  * streams per the Dremel record-shredding model; deeper nesting, MAP
+  * and remaining unsupported physical types reject loudly by name at
+  * schema-inference time.
   */
 class GraftParquet extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -86,41 +90,172 @@ object GraftParquet {
     }
   }
 
-  /** Map the footer's flat leaves to a Spark schema; parquet physical
+  /** Map a leaf's physical + converted type to Spark; parquet physical
     * types per format spec §Types, converted types per
     * §LogicalTypes.md's compat table (Spark writes converted_type
-    * alongside logicalType for all shapes mapped here).
+    * alongside logicalType for all shapes mapped here). DECIMAL carries
+    * the SchemaElement's precision/scale over INT32 / INT64 /
+    * FIXED_LEN_BYTE_ARRAY storage.
     */
-  private[sources] def toSparkSchema(schema: Seq[PqSchemaField])
-      : StructType = {
-    val leaves = flatLeaves(schema)
-    StructType(leaves.map { f =>
-      val t = (f.physicalType, f.convertedType) match {
-        case (0, _) => BooleanType
-        case (1, Some(6)) => DateType // DATE: days since epoch
-        case (1, Some(15)) => ByteType // INT_8
-        case (1, Some(16)) => ShortType // INT_16
-        case (1, Some(5)) => throw new IllegalArgumentException(
-          s"graftpq: DECIMAL column '${f.name}' unsupported")
-        case (1, _) => IntegerType
-        case (2, Some(10)) => TimestampType // TIMESTAMP_MICROS
-        case (2, Some(9)) => throw new IllegalArgumentException(
-          s"graftpq: TIMESTAMP_MILLIS column '${f.name}' unsupported " +
-            "(writers emit micros)")
-        case (2, Some(5)) => throw new IllegalArgumentException(
-          s"graftpq: DECIMAL column '${f.name}' unsupported")
-        case (2, _) => LongType
-        case (4, _) => FloatType
-        case (5, _) => DoubleType
-        case (6, _) => StringType // BYTE_ARRAY (UTF8)
-        case (p, _) => throw new IllegalArgumentException(
-          s"graftpq: column '${f.name}' physical type $p unsupported " +
-            "(INT96/FIXED_LEN_BYTE_ARRAY reject by name)")
-      }
-      StructField(f.name, t, nullable = !f.repetition.contains(0))
-    })
+  private[sources] def leafType(f: PqSchemaField): DataType =
+    (f.physicalType, f.convertedType) match {
+      case (_, Some(5)) => // DECIMAL (ConvertedType 5)
+        require(f.precision > 0 && f.precision <= 38 &&
+          f.scale >= 0 && f.scale <= f.precision,
+          s"graftpq: DECIMAL(${f.precision},${f.scale}) on '${f.name}' " +
+            "out of range")
+        require(f.physicalType == 1 || f.physicalType == 2 ||
+          f.physicalType == 7 || f.physicalType == 6,
+          s"graftpq: DECIMAL column '${f.name}' over physical type " +
+            s"${f.physicalType} unsupported")
+        DecimalType(f.precision, f.scale)
+      case (0, _) => BooleanType
+      case (1, Some(6)) => DateType // DATE: days since epoch
+      case (1, Some(15)) => ByteType // INT_8
+      case (1, Some(16)) => ShortType // INT_16
+      case (1, _) => IntegerType
+      case (2, Some(10)) => TimestampType // TIMESTAMP_MICROS
+      case (2, Some(9)) => throw new IllegalArgumentException(
+        s"graftpq: TIMESTAMP_MILLIS column '${f.name}' unsupported " +
+          "(writers emit micros)")
+      case (2, _) => LongType
+      case (4, _) => FloatType
+      case (5, _) => DoubleType
+      case (6, _) => StringType // BYTE_ARRAY (UTF8)
+      case (p, _) => throw new IllegalArgumentException(
+        s"graftpq: column '${f.name}' physical type $p unsupported " +
+          "(INT96, and FIXED_LEN_BYTE_ARRAY outside DECIMAL, reject " +
+          "by name)")
+    }
+
+  /** One leaf's decode contract: its dotted column path in the row
+    * group, the schema element (physical type / type_length / decimal
+    * annotation), and the Dremel level bounds accumulated on the path
+    * from the root (an optional or repeated ancestor each add one
+    * definition level; a repeated ancestor adds one repetition level).
+    */
+  final case class PqLeafPlan(path: String, field: PqSchemaField,
+      maxDef: Int, maxRep: Int)
+
+  /** One top-level Spark field re-assembled from leaf streams. */
+  sealed trait PqFieldPlan extends Serializable {
+    def name: String
+    def leafs: Seq[PqLeafPlan]
+    def sparkField: StructField
+  }
+  // Read schemas report everything nullable, matching Spark's own
+  // file-source convention (a scan over many files can't promise any
+  // file's REQUIRED annotation holds across all of them); the decode
+  // paths still honor each chunk's true repetition via the leaf plans.
+
+  /** A flat leaf column. */
+  final case class FlatPlan(leaf: PqLeafPlan) extends PqFieldPlan {
+    def name: String = leaf.field.name
+    def leafs: Seq[PqLeafPlan] = Seq(leaf)
+    def sparkField: StructField =
+      StructField(name, leafType(leaf.field), nullable = true)
+  }
+  /** The 3-level LIST shape (LogicalTypes.md `<list-repetition> group
+    * NAME (LIST) { repeated group list { <element> } }`): `nullDef` is
+    * the highest def level meaning the list itself is null (-1 for a
+    * required list), `emptyDef` the level meaning present-but-empty.
+    */
+  final case class ListPlan(name: String, leaf: PqLeafPlan,
+      nullDef: Int, emptyDef: Int, listNullable: Boolean,
+      elemNullable: Boolean) extends PqFieldPlan {
+    def leafs: Seq[PqLeafPlan] = Seq(leaf)
+    def sparkField: StructField = StructField(name,
+      ArrayType(leafType(leaf.field), containsNull = true),
+      nullable = true)
+  }
+  /** A one-level struct of leaves: the struct is present at def level
+    * ≥ `presentDef` (0 for a required struct, which is never null).
+    */
+  final case class StructPlan(name: String, presentDef: Int,
+      fields: Seq[PqLeafPlan]) extends PqFieldPlan {
+    def leafs: Seq[PqLeafPlan] = fields
+    def sparkField: StructField = StructField(name,
+      StructType(fields.map(l => StructField(l.field.name,
+        leafType(l.field), nullable = true))),
+      nullable = true)
   }
 
+  /** Walk the footer's depth-first schema list into per-top-field
+    * assembly plans. Supported shapes: flat leaves, one-level structs
+    * of leaves, and the standard 3-level LIST of a leaf element;
+    * deeper nesting and MAP reject loudly by name.
+    */
+  private[sources] def fieldPlans(schema: Seq[PqSchemaField])
+      : Seq[PqFieldPlan] = {
+    require(schema.nonEmpty, "graftpq: empty parquet schema")
+    var i = 1 // skip the root element
+    def take(): PqSchemaField = {
+      require(i < schema.length, "graftpq: torn schema list")
+      val f = schema(i); i += 1; f
+    }
+    val out = Seq.newBuilder[PqFieldPlan]
+    val topCount = schema.head.numChildren
+    var t = 0
+    while (t < topCount) {
+      val f = take()
+      def opt(x: PqSchemaField): Int = x.repetition match {
+        case Some(0) => 0 // required
+        case Some(1) | None => 1 // optional (absent defaults optional)
+        case Some(2) => throw new IllegalArgumentException(
+          s"graftpq: repeated field '${x.name}' outside a LIST wrapper " +
+            "unsupported")
+        case Some(r) => throw new IllegalArgumentException(
+          s"graftpq: repetition $r on '${x.name}'")
+      }
+      if (f.numChildren == 0) {
+        out += FlatPlan(PqLeafPlan(f.name, f, opt(f), 0))
+      } else if (f.convertedType.contains(3)) { // LIST
+        require(f.numChildren == 1,
+          s"graftpq: LIST '${f.name}' must wrap one repeated group")
+        val mid = take()
+        require(mid.repetition.contains(2) && mid.numChildren == 1,
+          s"graftpq: LIST '${f.name}' lacks the 3-level repeated group " +
+            "(2-level legacy lists unsupported)")
+        val elem = take()
+        require(elem.numChildren == 0,
+          s"graftpq: LIST '${f.name}' of nested element unsupported " +
+            "(one nesting level)")
+        val listOpt = opt(f)
+        val elemOpt = opt(elem)
+        val maxDef = listOpt + 1 + elemOpt
+        out += ListPlan(f.name,
+          PqLeafPlan(s"${f.name}.${mid.name}.${elem.name}", elem,
+            maxDef, 1),
+          nullDef = listOpt - 1, emptyDef = listOpt,
+          listNullable = listOpt == 1, elemNullable = elemOpt == 1)
+      } else if (f.convertedType.contains(1) ||
+          f.convertedType.contains(2)) {
+        throw new IllegalArgumentException(
+          s"graftpq: MAP column '${f.name}' unsupported")
+      } else { // plain group: one-level struct
+        val structOpt = opt(f)
+        val kids = (0 until f.numChildren).map { _ =>
+          val k = take()
+          require(k.numChildren == 0,
+            s"graftpq: struct '${f.name}' of nested field '${k.name}' " +
+              "unsupported (one nesting level)")
+          PqLeafPlan(s"${f.name}.${k.name}", k, structOpt + opt(k), 0)
+        }
+        out += StructPlan(f.name, structOpt, kids)
+      }
+      t += 1
+    }
+    require(i == schema.length,
+      s"graftpq: schema walk consumed $i of ${schema.length} elements")
+    out.result()
+  }
+
+  private[sources] def toSparkSchema(schema: Seq[PqSchemaField])
+      : StructType = StructType(fieldPlans(schema).map(_.sparkField))
+
+  /** Flat leaves only — the [[graft.operators.ParquetData.readRows]]
+    * whole-file iterator contract (fixture-scale shard ingest).
+    */
   private[sources] def flatLeaves(schema: Seq[PqSchemaField])
       : Seq[PqSchemaField] = {
     require(schema.nonEmpty, "graftpq: empty parquet schema")
@@ -129,6 +264,40 @@ object GraftParquet {
       "graftpq: nested parquet schemas unsupported (flat leaves only)")
     leaves
   }
+
+  /** Adapt one decoded leaf value to Spark's internal representation:
+    * UTF8String for strings, Byte/Short narrowing, [[Decimal]] from the
+    * unscaled INT32/INT64/FLBA storage; Date/Timestamp physical values
+    * pass through (day int / micro long).
+    */
+  private[sources] def leafAdapter(f: PqSchemaField): Any => Any =
+    if (f.convertedType.contains(5)) { // DECIMAL
+      val scale = f.scale
+      val precision = f.precision
+      f.physicalType match {
+        case 1 => v => if (v == null) null
+          else Decimal(BigDecimal(java.math.BigDecimal.valueOf(
+            v.asInstanceOf[Int].toLong, scale)), precision, scale)
+        case 2 => v => if (v == null) null
+          else Decimal(BigDecimal(java.math.BigDecimal.valueOf(
+            v.asInstanceOf[Long], scale)), precision, scale)
+        case _ => v => if (v == null) null
+          else Decimal(BigDecimal(new java.math.BigDecimal(
+            new java.math.BigInteger(v.asInstanceOf[Array[Byte]]),
+            scale)), precision, scale)
+      }
+    } else leafType(f) match {
+      case StringType =>
+        v => if (v == null) null
+          else UTF8String.fromString(v.asInstanceOf[String])
+      case ByteType =>
+        v => if (v == null) null
+          else java.lang.Byte.valueOf(v.asInstanceOf[Int].toByte)
+      case ShortType =>
+        v => if (v == null) null
+          else java.lang.Short.valueOf(v.asInstanceOf[Int].toShort)
+      case _ => identity
+    }
 }
 
 private[sources] class GraftParquetTable(schema: StructType,
@@ -188,11 +357,13 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
     new GraftParquetScan(fullSchema, required, pushed, path)
 }
 
-/** One surviving row group: the unit of scan parallelism. Columns carry
-  * their absolute chunk offsets, so the reader fetches byte ranges.
+/** One surviving row group: the unit of scan parallelism. `columns`
+  * carry the absolute chunk offsets of every required LEAF, flattened
+  * in `plans`-then-leaf order, so the reader fetches byte ranges.
   */
 final case class GraftPqPartition(path: String,
-    rgRows: Long, columns: Seq[PqColumn], leaves: Seq[PqSchemaField])
+    rgRows: Long, columns: Seq[PqColumn],
+    plans: Seq[GraftParquet.PqFieldPlan])
   extends InputPartition
 
 private[sources] class GraftParquetScan(fullSchema: StructType,
@@ -214,20 +385,23 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     GraftParquet.listFiles(path).flatMap { f =>
       val footer = ParquetFooter.readTail(f.toPath)
-      val leaves = GraftParquet.flatLeaves(footer.schema)
-      val byName = leaves.map(l => l.name -> l).toMap
-      val reqLeaves = required.fields.map { rf =>
+      val plans = GraftParquet.fieldPlans(footer.schema)
+      val byName = plans.map(p => p.name -> p).toMap
+      val reqPlans = required.fields.map { rf =>
         byName.getOrElse(rf.name, throw new IllegalArgumentException(
           s"graftpq: column '${rf.name}' not in ${f.getName}"))
       }.toSeq
+      val statLeaves = plans.collect { case fp: GraftParquet.FlatPlan =>
+        fp.leaf.field.name -> fp.leaf.field
+      }.toMap
       footer.rowGroups.iterator.filter { rg =>
-        pushed.forall(survives(rg.columns, byName, _))
+        pushed.forall(survives(rg.columns, statLeaves, _))
       }.map { rg =>
-        val cols = reqLeaves.map(l =>
-          rg.columns.find(_.path == l.name).getOrElse(
+        val cols = reqPlans.flatMap(_.leafs).map(l =>
+          rg.columns.find(_.path == l.path).getOrElse(
             throw new IllegalArgumentException(
-              s"graftpq: chunk for '${l.name}' missing in ${f.getName}")))
-        GraftPqPartition(f.getAbsolutePath, rg.numRows, cols, reqLeaves)
+              s"graftpq: chunk for '${l.path}' missing in ${f.getName}")))
+        GraftPqPartition(f.getAbsolutePath, rg.numRows, cols, reqPlans)
       }
     }.toArray
 
@@ -240,10 +414,18 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       col <- cols.find(_.path == name)
       leaf <- leaves.get(name)
       if Set(1, 2, 4, 5).contains(leaf.physicalType)
+      // DECIMAL stats are unscaled ints — comparing them to the
+      // filter's scaled value would prune wrongly; decimal filters are
+      // never pushed (numericCol), belt-and-braces here too
+      if !leaf.convertedType.contains(5)
       mn <- col.minValue
       mx <- col.maxValue
-    } yield (ParquetFooter.statDouble(leaf.physicalType, mn),
-      ParquetFooter.statDouble(leaf.physicalType, mx))
+      // Long stats beyond 2^53 round when widened to double; one ulp of
+      // slack keeps pruning conservative (same trick as
+      // Maintenance.footerRanges) — a rounded-equal bound must never
+      // prove disjointness the exact longs don't have.
+    } yield (Math.nextDown(ParquetFooter.statDouble(leaf.physicalType, mn)),
+      Math.nextUp(ParquetFooter.statDouble(leaf.physicalType, mx)))
     f match {
       case EqualTo(c, v: Number) => stats(c).forall { case (mn, mx) =>
         v.doubleValue >= mn && v.doubleValue <= mx }
@@ -271,19 +453,29 @@ private[sources] class GraftPqReaderFactory(required: StructType)
 }
 
 /** Decodes one row group: positional reads of each required chunk's
-  * byte range, pages through [[ParquetData.readChunk]], values adapted
-  * to Spark's internal representations (UTF8String; DateType's day int
-  * and TimestampType's micro long are already the physical values).
+  * byte range, level+value streams through
+  * [[ParquetData.readChunkLevels]], Dremel reassembly per field plan
+  * (flat scatter / 3-level list / one-level struct), values adapted to
+  * Spark's internal representations (UTF8String, Decimal,
+  * GenericArrayData, nested InternalRow; DateType's day int and
+  * TimestampType's micro long are already the physical values).
   */
 private[sources] class GraftPqReader(p: GraftPqPartition,
     required: StructType) extends PartitionReader[InternalRow] {
 
+  import GraftParquet.{FlatPlan, ListPlan, StructPlan}
+
+  /** One row-aligned array of internal values per required field. */
   private val cols: Array[Array[Any]] = {
     val ch = java.nio.channels.FileChannel.open(
       java.nio.file.Paths.get(p.path),
       java.nio.file.StandardOpenOption.READ)
     try {
-      p.columns.zip(p.leaves).map { case (col, leaf) =>
+      val rows = p.rgRows.toInt
+      val colIt = p.columns.iterator
+      def levelsOf(leaf: GraftParquet.PqLeafPlan)
+          : (ParquetData.ChunkLevels, ParquetFooter.PqColumn) = {
+        val col = colIt.next()
         val (start, end) = ParquetData.chunkRange(col)
         require(end - start <= Int.MaxValue,
           s"graftpq: ${end - start}-byte chunk exceeds buffer limits")
@@ -294,35 +486,84 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
           require(r > 0, "torn parquet: short chunk read")
           pos += r
         }
-        ParquetData.readChunk(bb.array(), col, leaf, p.rgRows.toInt,
-          base = start)
+        require(col.numValues >= 0 && col.numValues <= Int.MaxValue,
+          s"graftpq: chunk value count ${col.numValues}")
+        (ParquetData.readChunkLevels(bb.array(), col, leaf.maxDef,
+          leaf.maxRep, leaf.field.physicalType, leaf.field.typeLength,
+          col.numValues.toInt, base = start), col)
+      }
+      p.plans.map { plan =>
+        plan match {
+          case FlatPlan(leaf) =>
+            val (lv, _) = levelsOf(leaf)
+            require(lv.defs.length == rows,
+              s"graftpq: flat chunk '${leaf.path}' has " +
+                s"${lv.defs.length} values for $rows rows")
+            val ad = GraftParquet.leafAdapter(leaf.field)
+            val out = new Array[Any](rows)
+            var v = 0
+            var i = 0
+            while (i < rows) {
+              if (lv.defs(i) == leaf.maxDef) {
+                out(i) = ad(lv.vals(v)); v += 1
+              }
+              i += 1
+            }
+            out
+          case ListPlan(_, leaf, nullDef, emptyDef, _, _) =>
+            val (lv, _) = levelsOf(leaf)
+            val ad = GraftParquet.leafAdapter(leaf.field)
+            val rowsOut = ParquetData.assembleList(lv, rows, leaf.maxDef,
+              emptyDef, nullDef)
+            rowsOut.map[Any] {
+              case null => null
+              case s: Seq[_] =>
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  s.map(ad).toArray)
+            }
+          case StructPlan(_, presentDef, fields) =>
+            val parts = fields.map { leaf =>
+              val (lv, _) = levelsOf(leaf)
+              require(lv.defs.length == rows,
+                s"graftpq: struct leaf '${leaf.path}' has " +
+                  s"${lv.defs.length} values for $rows rows")
+              (leaf, lv, GraftParquet.leafAdapter(leaf.field))
+            }
+            // scatter each leaf's dense values into row-aligned arrays
+            val fieldVals = parts.map { case (leaf, lv, ad) =>
+              val arr = new Array[Any](rows)
+              var v = 0
+              var r = 0
+              while (r < rows) {
+                if (lv.defs(r) == leaf.maxDef) {
+                  arr(r) = ad(lv.vals(v)); v += 1
+                }
+                r += 1
+              }
+              arr
+            }
+            val out = new Array[Any](rows)
+            var r2 = 0
+            while (r2 < rows) {
+              // the struct is null iff the shared ancestor's level says
+              // so (every leaf agrees by construction — read the first)
+              out(r2) =
+                if (parts.head._2.defs(r2) < presentDef) null
+                else InternalRow.fromSeq(fieldVals.map(_(r2)))
+              r2 += 1
+            }
+            out
+        }
       }.toArray
     } finally ch.close()
   }
-
-  private val adapt: Array[Any => Any] =
-    required.fields.map[Any => Any] { f =>
-      f.dataType match {
-        case StringType =>
-          v => if (v == null) null
-            else UTF8String.fromString(v.asInstanceOf[String])
-        case ByteType =>
-          v => if (v == null) null
-            else java.lang.Byte.valueOf(v.asInstanceOf[Int].toByte)
-        case ShortType =>
-          v => if (v == null) null
-            else java.lang.Short.valueOf(v.asInstanceOf[Int].toShort)
-        case _ => identity
-      }
-    }
 
   private var row = -1
 
   override def next(): Boolean = { row += 1; row < p.rgRows }
 
   override def get(): InternalRow =
-    InternalRow.fromSeq((0 until cols.length).map(c =>
-      adapt(c)(cols(c)(row))))
+    InternalRow.fromSeq((0 until cols.length).map(c => cols(c)(row)))
 
   override def close(): Unit = ()
 }

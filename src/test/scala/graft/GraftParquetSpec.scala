@@ -61,6 +61,52 @@ class GraftParquetSpec extends AnyFunSuite {
     }
   }
 
+  test("DECIMAL (int32/int64/FLBA storage), 3-level LIST and one-level " +
+      "STRUCT read row-identically to Spark's parquet source") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-rich").toString
+    try {
+      spark.range(0, 3000).toDF("id")
+        .select(col("id"),
+          // three decimal storages per LogicalTypes.md precision rules
+          (col("id") * 7 % 1000 / 100.0).cast("decimal(7,2)").as("d32"),
+          when(col("id") % 11 === 0, lit(null))
+            .otherwise((col("id") * 13 % 100000 / 1000.0)
+              .cast("decimal(12,3)")).as("d64"),
+          (col("id").cast("decimal(28,6)") * -3 / 7).as("dflba"),
+          // variable-length list with nulls, empties and null elements
+          when(col("id") % 10 === 0, lit(null))
+            .otherwise(when(col("id") % 10 === 1,
+              array().cast("array<string>"))
+              .otherwise(array(concat(lit("a"), col("id") % 5),
+                when(col("id") % 3 === 0, lit(null))
+                  .otherwise(concat(lit("b"), col("id") % 7)))))
+            .as("tags"),
+          // int list too (different physical type under the element)
+          sequence(lit(1), col("id") % 4 + 1).as("ks"),
+          // one-level struct with a nullable field and a null struct
+          when(col("id") % 13 === 0, lit(null))
+            .otherwise(struct((col("id") % 97).as("u"),
+              when(col("id") % 5 === 0, lit(null))
+                .otherwise(concat(lit("t"), col("id") % 3)).as("tag")))
+            .as("meta"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(dir)
+      val want = spark.read.parquet(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = spark.read.format("graftpq").load(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      // schema parity, nullability included (list/struct/decimal shapes)
+      assert(spark.read.format("graftpq").load(dir).schema ==
+        spark.read.parquet(dir).schema)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   private def sortedFixture(): String = {
     import spark.implicits._
     val dir = java.nio.file.Files
