@@ -14,12 +14,16 @@ package graft.operators
   * fixed-and-packed forms with direction from the delta base's sign),
   * IEEE-754 little-endian FLOAT/DOUBLE streams, and both string
   * shapes — DIRECT_V2 (LENGTH + concatenated DATA) and DICTIONARY_V2
-  * (sorted dictionary + RLEv2 index stream). PRESENT streams reassemble
-  * nulls row-aligned; every stream's chunk framing decompresses through
+  * (sorted dictionary + RLEv2 index stream), TIMESTAMP's two-stream
+  * form (signed seconds since the 2015 base + packed trailing-zero
+  * nanos, negative-second floor per the public orc-core convention),
+  * DECIMAL's unbounded zigzag varints + SECONDARY scale stream, and
+  * BINARY. PRESENT streams reassemble nulls row-aligned; every
+  * stream's chunk framing decompresses through
   * [[OrcMeta.decompressStream]] and so through THIS REPO'S OWN
   * Inflate/Snappy/Lz4/Zstd codecs. Legacy RLEv1 column encodings
-  * (DIRECT/DICTIONARY without _V2), TIMESTAMP's two-stream form,
-  * DECIMAL, BINARY and nested types reject loudly by name.
+  * (DIRECT/DICTIONARY without _V2) and nested types reject loudly by
+  * name.
   *
   * Formats per the public ORC v1 specification (run-length sections and
   * orc_proto.proto). Cross-validated in OrcDataSpec against orc-core
@@ -40,7 +44,7 @@ object OrcData {
       dataLength: Long, footerLength: Long, rows: Long)
 
   final case class OrcTypeNode(kind: Int, subtypes: Seq[Int],
-      fieldNames: Seq[String])
+      fieldNames: Seq[String], precision: Int = 0, scale: Int = 0)
 
   final case class OrcFileMeta(compression: Int, blockSize: Int,
       numberOfRows: Long, types: Seq[OrcTypeNode],
@@ -152,6 +156,8 @@ object OrcData {
         case 4 =>
           val t = f.sub()
           var kind = -1
+          var precision = 0
+          var scale = 0
           val subs = Vector.newBuilder[Int]
           val names = Vector.newBuilder[String]
           t.message { (tid, tw) =>
@@ -162,10 +168,13 @@ object OrcData {
                 while (!s.atEnd) subs += s.varint().toInt
               case (2, _) => subs += t.varint().toInt
               case (3, _) => names += t.str()
+              case (5, _) => precision = t.varint().toInt
+              case (6, _) => scale = t.varint().toInt
               case _ => t.skip(tw)
             }
           }
-          types += OrcTypeNode(kind, subs.result(), names.result())
+          types += OrcTypeNode(kind, subs.result(), names.result(),
+            precision, scale)
         case 6 => numRows = f.varint()
         case _ => f.skip(w)
       }
@@ -501,6 +510,58 @@ object OrcData {
   private val K_DATA = 1
   private val K_LENGTH = 2
   private val K_DICT = 3
+  private val K_SECONDARY = 5
+
+  /** ORC timestamps count seconds from 2015-01-01 00:00:00 UTC. */
+  private val TsBaseSeconds = 1420070400L
+
+  /** SECONDARY-stream nanos: the writer strips trailing decimal zeros
+    * and records their count minus 2 in the low 3 bits (0 ⇒ none
+    * stripped) — orc spec §Timestamp, mirrored from the public
+    * TimestampTreeWriter convention.
+    */
+  private def parseNanos(serialized: Long): Long = {
+    val zeros = (serialized & 7).toInt
+    var result = serialized >>> 3
+    if (zeros != 0) {
+      var i = 0
+      while (i <= zeros) { result *= 10; i += 1 }
+    }
+    require(result >= 0 && result <= 999999999L,
+      s"torn ORC: $result nanoseconds")
+    result
+  }
+
+  /** Unbounded base-128 zigzag varints (the classic DECIMAL DATA
+    * stream): little-endian 7-bit groups into a BigInteger, zigzag
+    * sign-folded.
+    */
+  private def readBigVarints(b: Array[Byte], n: Int)
+      : Array[java.math.BigInteger] = {
+    val out = new Array[java.math.BigInteger](n)
+    var pos = 0
+    var k = 0
+    while (k < n) {
+      var u = java.math.BigInteger.ZERO
+      var shift = 0
+      var by = 0
+      do {
+        require(pos < b.length, "torn ORC: decimal varint")
+        require(shift <= 16 * 7, "torn ORC: runaway decimal varint")
+        by = b(pos) & 0xff
+        pos += 1
+        if ((by & 0x7f) != 0)
+          u = u.or(java.math.BigInteger.valueOf(by & 0x7fL)
+            .shiftLeft(shift))
+        shift += 7
+      } while ((by & 0x80) != 0)
+      out(k) =
+        if (u.testBit(0)) u.shiftRight(1).not()
+        else u.shiftRight(1)
+      k += 1
+    }
+    out
+  }
 
   // type kinds (orc_proto Type.Kind)
   private val primitiveNames = Map(0 -> "BOOLEAN", 1 -> "BYTE",
@@ -560,12 +621,15 @@ object OrcData {
   }
 
   /** Decode one column of one stripe into row-aligned values with
-    * nulls (`rows` entries).
+    * nulls (`rows` entries). TIMESTAMP values come back as micros since
+    * the unix epoch (Spark's physical representation), DECIMAL as
+    * java.math.BigDecimal at the declared scale, BINARY as raw bytes.
     */
-  private def readColumn(p: Array[Byte], colId: Int, kind: Int,
+  private def readColumn(p: Array[Byte], colId: Int, tpe: OrcTypeNode,
       rows: Int, streams: Seq[OrcStream], streamOffsets: Seq[Long],
       enc: OrcEncoding, compression: Int, blockSize: Int)
       : Array[Any] = {
+    val kind = tpe.kind
     def streamBytes(k: Int): Option[Array[Byte]] =
       streams.zip(streamOffsets).collectFirst {
         case (s, o) if s.column == colId && s.kind == k =>
@@ -657,9 +721,60 @@ object OrcData {
             s"ORC string encoding $e unsupported (legacy RLEv1 " +
               "DIRECT/DICTIONARY reject by name)")
         }
+      case 8 => // BINARY: DIRECT_V2 — LENGTH run + concatenated bytes
+        requireV2(enc, colId)
+        val lens = rleV2(streamBytes(K_LENGTH).getOrElse(
+          throw new IllegalArgumentException(
+            s"torn ORC: binary column $colId has no LENGTH")),
+          nonNull, signed = false)
+        val d = data()
+        var off = 0
+        Array.tabulate[Any](nonNull) { i =>
+          val len = lens(i).toInt
+          require(len >= 0 && off + len <= d.length,
+            s"torn ORC: $len-byte binary overruns")
+          val bytes = java.util.Arrays.copyOfRange(d, off, off + len)
+          off += len
+          bytes
+        }
+      case 9 | 18 => // TIMESTAMP / TIMESTAMP_INSTANT: seconds since the
+        // 2015 base (DATA, signed) + packed nanos (SECONDARY, unsigned).
+        // The writer derives seconds by truncate-toward-zero division,
+        // so a negative second with nonzero nanos is one too high — the
+        // reader re-floors (public orc-core convention).
+        requireV2(enc, colId)
+        val secs = rleV2(data(), nonNull, signed = true)
+        val nanos = rleV2(streamBytes(K_SECONDARY).getOrElse(
+          throw new IllegalArgumentException(
+            s"torn ORC: timestamp column $colId has no SECONDARY")),
+          nonNull, signed = false)
+        Array.tabulate[Any](nonNull) { i =>
+          val s = secs(i) + TsBaseSeconds
+          val ns = parseNanos(nanos(i))
+          val floored = if (s < 0 && ns != 0) s - 1 else s
+          java.lang.Math.addExact(
+            java.lang.Math.multiplyExact(floored, 1000000L), ns / 1000)
+        }
+      case 14 => // DECIMAL: unbounded zigzag varints (DATA) + per-value
+        // scale (SECONDARY, signed RLEv2), rescaled to the declared type
+        requireV2(enc, colId)
+        require(tpe.scale >= 0 && tpe.precision > 0 &&
+          tpe.precision <= 38 && tpe.scale <= tpe.precision,
+          s"torn ORC: DECIMAL(${tpe.precision},${tpe.scale})")
+        val unscaled = readBigVarints(data(), nonNull)
+        val scales = rleV2(streamBytes(K_SECONDARY).getOrElse(
+          throw new IllegalArgumentException(
+            s"torn ORC: decimal column $colId has no SECONDARY")),
+          nonNull, signed = true)
+        Array.tabulate[Any](nonNull) { i =>
+          require(scales(i) >= -38 && scales(i) <= 38,
+            s"torn ORC: decimal value scale ${scales(i)}")
+          new java.math.BigDecimal(unscaled(i), scales(i).toInt)
+            .setScale(tpe.scale)
+        }
       case k => throw new IllegalArgumentException(
         s"ORC column kind ${primitiveNames.getOrElse(k, k.toString)} " +
-          "unsupported (TIMESTAMP/DECIMAL/BINARY/nested reject by name)")
+          "unsupported (nested/UNION reject by name)")
     }
     require(vals.length == nonNull,
       s"torn ORC: column $colId decoded ${vals.length} of $nonNull")
@@ -734,7 +849,7 @@ object OrcData {
       val tpe = types(id)
       require(tpe.subtypes.isEmpty,
         s"nested ORC column $id unsupported (flat schemas only)")
-      readColumn(buf, id, tpe.kind, rows, streams, offsets,
+      readColumn(buf, id, tpe, rows, streams, offsets,
         encodings.getOrElse(id, OrcEncoding(0, 0)),
         compression, blockSize)
     }

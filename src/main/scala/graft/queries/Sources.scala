@@ -1251,6 +1251,56 @@ object Sources {
       |FROM rich GROUP BY t ORDER BY t NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S33: `graftorc` over TIMESTAMP + DECIMAL + BINARY — the ORC twin of
+  // s32. TIMESTAMP exercises the two-stream decode (seconds since the
+  // 2015 base + packed trailing-zero nanos), DECIMAL the unbounded
+  // zigzag varint + SECONDARY scale streams, BINARY the LENGTH+DATA
+  // pair; decimals string-built so both engines parse the same exact
+  // value. The oracle re-derives the aggregate from the source table.
+
+  def ensureRichOrcFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orcrich-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"),
+          concat((col("event_id") % 1000).cast("string"), lit("."),
+            lpad((col("event_id") % 997).cast("string"), 3, "0"))
+            .cast("decimal(12,3)").as("amount"),
+          when(col("event_id") % 7 === 0, lit(null))
+            .otherwise(encode(col("event_type"), "UTF-8")).as("bin"))
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .orc(tmp)
+    }
+    tmp
+  }
+
+  private def s33OrcRich(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureRichOrcFixture(s, dir)
+    s.read.format("graftorc").load(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("ts")).as("max_ts"),
+        min(col("ts")).as("min_ts"),
+        sum(col("amount")).cast("double").as("sum_amount"),
+        sum(coalesce(length(col("bin")), lit(0)).cast("long"))
+          .as("bin_bytes"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s33OrcRichSql =
+    """SELECT event_type, count(*) AS n,
+      |  max(ts) AS max_ts, min(ts) AS min_ts,
+      |  CAST(sum(CAST(concat(CAST(event_id % 1000 AS VARCHAR), '.',
+      |    lpad(CAST(event_id % 997 AS VARCHAR), 3, '0'))
+      |    AS DECIMAL(12,3))) AS DOUBLE) AS sum_amount,
+      |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN 0
+      |    ELSE strlen(event_type) END) AS BIGINT) AS bin_bytes
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -1431,7 +1481,8 @@ object Sources {
     "s29_orc_data" -> s29OrcData _,
     "s30_orc_dsv2" -> s30OrcDsv2 _,
     "s31_parquet_write" -> s31ParquetWrite _,
-    "s32_rich_scan" -> s32RichScan _
+    "s32_rich_scan" -> s32RichScan _,
+    "s33_orc_rich" -> s33OrcRich _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1460,6 +1511,7 @@ object Sources {
     "s29_orc_data" -> s29OrcDataSql,
     "s30_orc_dsv2" -> s30OrcDsv2Sql,
     "s31_parquet_write" -> s31ParquetWriteSql,
-    "s32_rich_scan" -> s32RichScanSql
+    "s32_rich_scan" -> s32RichScanSql,
+    "s33_orc_rich" -> s33OrcRichSql
   )
 }

@@ -39,8 +39,9 @@ import graft.operators.OrcData.{OrcColStat, OrcStripe, OrcTypeNode}
   *
   * Registered as `graftorc` via DataSourceRegister (META-INF/services),
   * so `spark.read.format("graftorc").load(dir)` resolves it. Flat
-  * schemas only (the [[OrcData]] contract); unsupported type kinds
-  * reject loudly by name at schema-inference time.
+  * schemas of every ORC primitive kind — including TIMESTAMP (micros),
+  * DECIMAL (all precisions) and BINARY; nested/UNION kinds reject
+  * loudly by name at schema-inference time.
   */
 class GraftOrc extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -86,7 +87,8 @@ object GraftOrc {
       "graftorc: ORC root type is not a struct (flat schemas only)")
     val root = types.head
     StructType(root.fieldNames.zip(root.subtypes).map { case (n, id) =>
-      val t = types(id).kind match {
+      val node = types(id)
+      val t = node.kind match {
         case 0 => BooleanType
         case 1 => ByteType
         case 2 => ShortType
@@ -95,10 +97,18 @@ object GraftOrc {
         case 5 => FloatType
         case 6 => DoubleType
         case 7 => StringType
+        case 8 => BinaryType
+        case 9 | 18 => TimestampType // micros from the decode layer
+        case 14 =>
+          require(node.precision > 0 && node.precision <= 38 &&
+            node.scale >= 0 && node.scale <= node.precision,
+            s"graftorc: DECIMAL(${node.precision},${node.scale}) on " +
+              s"'$n' out of range")
+          DecimalType(node.precision, node.scale)
         case 15 => DateType
         case k => throw new IllegalArgumentException(
           s"graftorc: column '$n' ORC kind $k unsupported " +
-            "(TIMESTAMP/DECIMAL/BINARY/nested reject by name)")
+            "(nested/UNION reject by name)")
       }
       StructField(n, t, nullable = true)
     })
@@ -281,7 +291,11 @@ private[sources] class GraftOrcReader(p: GraftOrcPartition,
         case StringType =>
           v => if (v == null) null
             else UTF8String.fromString(v.asInstanceOf[String])
-        case _ => identity
+        case dt: DecimalType =>
+          v => if (v == null) null
+            else Decimal(BigDecimal(v.asInstanceOf[java.math.BigDecimal]),
+              dt.precision, dt.scale)
+        case _ => identity // TimestampType micros / BinaryType bytes
       }
     }
 

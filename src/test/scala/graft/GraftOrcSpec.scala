@@ -115,14 +115,57 @@ class GraftOrcSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
-  test("unsupported ORC kinds reject loudly by name at schema " +
+  test("TIMESTAMP (incl. pre-1970 + sub-second), DECIMAL (small and " +
+      "38-digit) and BINARY read row-identically to Spark's ORC source") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-rich").toString
+    try {
+      spark.range(0, 3000).toDF("id")
+        .select(col("id"),
+          // micros spanning both sides of 1970 with ragged sub-seconds
+          // (exercises the seconds/nanos split + the trailing-zero
+          // nanos packing + the negative-second floor convention)
+          timestamp_micros(col("id") * 77777777L - 50000000000000L)
+            .as("ts"),
+          when(col("id") % 9 === 0, lit(null))
+            .otherwise(timestamp_micros(col("id") * 1000000L))
+            .as("ts_whole"),
+          concat((col("id") % 1000).cast("string"), lit("."),
+            lpad((col("id") % 997).cast("string"), 3, "0"))
+            .cast("decimal(12,3)").as("dec"),
+          (col("id").cast("decimal(38,10)") * -1).as("dec_big"),
+          when(col("id") % 7 === 0, lit(null))
+            .otherwise(encode(concat(lit("b"), col("id")), "UTF-8"))
+            .as("bin"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zstd").orc(dir)
+      val want = spark.read.orc(dir).collect().toSeq
+        .map(_.toSeq.map {
+          case b: Array[Byte] => b.toSeq
+          case x => x
+        }).sortBy(_.head.asInstanceOf[Long])
+      val got = spark.read.format("graftorc").load(dir).collect().toSeq
+        .map(_.toSeq.map {
+          case b: Array[Byte] => b.toSeq
+          case x => x
+        }).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      assert(spark.read.format("graftorc").load(dir).schema ==
+        spark.read.orc(dir).schema)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("still-unsupported ORC kinds reject loudly by name at schema " +
       "inference") {
     import spark.implicits._
     val dir = java.nio.file.Files
-      .createTempDirectory("graft-graftorc-ts").toString
+      .createTempDirectory("graft-graftorc-nested").toString
     try {
-      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-        .toDF("id", "ts").coalesce(1)
+      Seq((1L, Seq(1, 2, 3)))
+        .toDF("id", "xs").coalesce(1)
         .write.mode("overwrite").orc(dir)
       val e = intercept[Exception] {
         spark.read.format("graftorc").load(dir).collect()
