@@ -4,14 +4,19 @@ package graft.operators
   * the engine's storage format: [[ParquetFooter]]/[[ParquetData]] read
   * foreign parquet without parquet-mr, this module writes parquet
   * without it. Emits the classic, maximally-interoperable shape every
-  * reader accepts: PAR1 framing, v1 data pages of PLAIN values behind
+  * reader accepts: PAR1 framing, v1 data pages behind
   * RLE/bit-packed-hybrid definition levels (bit width 1, flat optional
-  * leaves), SNAPPY page compression through THIS REPO'S OWN
-  * [[Snappy.compress]] (or UNCOMPRESSED), per-chunk Statistics
-  * (min_value/max_value/null_count, the modern field ids), and a
-  * FileMetaData footer in the THRIFT COMPACT PROTOCOL — short-form
-  * delta field headers, zigzag varints, length-prefixed binaries,
-  * size+type list headers — mirrored against the reader's TReader.
+  * leaves), values either PLAIN or — when a row group's column repeats
+  * enough to pay for it (parquet-mr's own policy shape: bounded
+  * dictionary attempt, fall back to PLAIN past 64 Ki distinct or under
+  * 2× repetition) — a PLAIN dictionary page + RLE_DICTIONARY index
+  * pages, page compression through THIS REPO'S OWN codecs
+  * ([[Snappy.compress]], [[Zstd.encodeRawFrame]], or UNCOMPRESSED),
+  * per-chunk Statistics (min_value/max_value/null_count, the modern
+  * field ids), and a FileMetaData footer in the THRIFT COMPACT
+  * PROTOCOL — short-form delta field headers, zigzag varints,
+  * length-prefixed binaries, size+type list headers — mirrored against
+  * the reader's TReader.
   *
   * Supported leaves: BOOLEAN, INT32 (+DATE days), INT64
   * (+TIMESTAMP_MICROS), FLOAT, DOUBLE, BYTE_ARRAY (UTF8 strings).
@@ -238,14 +243,66 @@ object ParquetWrite {
       : Array[Byte] = codec match {
     case 0 => body
     case 1 => Snappy.compress(body)
+    case 6 => Zstd.encodeRawFrame(body)
     case c => throw new IllegalArgumentException(
-      s"parquet writer codec $c unsupported (UNCOMPRESSED=0, SNAPPY=1)")
+      s"parquet writer codec $c unsupported (UNCOMPRESSED=0, SNAPPY=1, " +
+        "ZSTD=6)")
   }
+
+  /** RLE_DICTIONARY value region of one data page: the index bit width
+    * byte, then the RLE / bit-packed hybrid of the page's non-null
+    * dictionary indices — one RLE run when the page is constant, one
+    * bit-packed run otherwise (trailing pad values in the final groups
+    * are dropped by readers, which read exactly num_values).
+    */
+  private def dictIndexPage(idx: Array[Int], n: Int, width: Int)
+      : Array[Byte] = {
+    val out = new Ba
+    out.write(width)
+    val w = new TWriter(out)
+    var allSame = true
+    var i = 1
+    while (i < n && allSame) { allSame = idx(i) == idx(0); i += 1 }
+    if (n == 0) () // all-null page: empty index region
+    else if (allSame) {
+      w.varint(n.toLong << 1)
+      val byteW = (width + 7) / 8
+      var k = 0
+      while (k < byteW) { out.write((idx(0) >>> (8 * k)) & 0xff); k += 1 }
+    } else {
+      val groups = (n + 7) / 8
+      w.varint((groups.toLong << 1) | 1)
+      var g = 0
+      while (g < groups) {
+        val bits = new Array[Byte](width)
+        var k = 0
+        while (k < 8) {
+          val v = if (g * 8 + k < n) idx(g * 8 + k) else 0
+          var j = 0
+          while (j < width) {
+            if (((v >>> j) & 1) != 0) {
+              val bit = k * width + j
+              bits(bit >> 3) = (bits(bit >> 3) | (1 << (bit & 7))).toByte
+            }
+            j += 1
+          }
+          k += 1
+        }
+        out.write(bits, 0, width)
+        g += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  private def bitsFor(max: Int): Int =
+    32 - Integer.numberOfLeadingZeros(max)
 
   private final case class ChunkInfo(field: PwField, numValues: Long,
       nullCount: Long, minV: Option[Array[Byte]],
       maxV: Option[Array[Byte]], dataPageOffset: Long,
-      totalUncompressed: Long, totalCompressed: Long)
+      totalUncompressed: Long, totalCompressed: Long,
+      dictPageOffset: Option[Long] = None, chunkStart: Long = -1L)
 
   private final case class GroupInfo(numRows: Long,
       chunks: Seq[ChunkInfo])
@@ -273,7 +330,7 @@ object ParquetWrite {
       def flushGroup(): Unit = if (batch.nonEmpty) {
         val nRows = batch.length
         val chunks = fields.zipWithIndex.map { case (f, c) =>
-          val firstPage = pos
+          val chunkStart = pos
           var unc = 0L
           var comp = 0L
           var nulls = 0L
@@ -288,18 +345,20 @@ object ParquetWrite {
           var maxD = Double.NaN
           var minV: Any = null
           var maxV: Any = null
-          var row = 0
-          while (row < nRows) {
-            val n = math.min(pageRows, nRows - row)
-            val pageNulls = new Array[Boolean](n)
-            val pageVals = new Array[Any](n)
-            var i = 0
-            while (i < n) {
-              val v = batch(row + i)(c)
-              pageVals(i) = v
-              pageNulls(i) = v == null
-              if (v == null) nulls += 1
-              else if (f.physicalType >= 1 && f.physicalType <= 5) {
+          // Pass 1 over the whole row group: statistics + the bounded
+          // dictionary attempt (parquet-mr's shape: try dictionary,
+          // fall back to PLAIN when the value set is too large or not
+          // repetitive enough to pay for the extra page).
+          val dictIdx = new java.util.LinkedHashMap[Any, Integer]()
+          var dictOk = f.physicalType != 0 // booleans: PLAIN is 1 bit
+          var nonNullCount = 0L
+          var r0 = 0
+          while (r0 < nRows) {
+            val v = batch(r0)(c)
+            if (v == null) nulls += 1
+            else {
+              nonNullCount += 1
+              if (f.physicalType >= 1 && f.physicalType <= 5) {
                 v match {
                   case x: Int =>
                     val l = x.toLong
@@ -321,12 +380,80 @@ object ParquetWrite {
                     s"column '${f.name}' got ${x.getClass.getName}")
                 }
               }
+              if (dictOk) v match {
+                case _: Array[Byte] => // no stable equality: PLAIN
+                  dictOk = false; dictIdx.clear()
+                case key => if (!dictIdx.containsKey(key)) {
+                  if (dictIdx.size >= 65536) {
+                    dictOk = false; dictIdx.clear()
+                  } else dictIdx.put(key, Integer.valueOf(dictIdx.size))
+                }
+              }
+            }
+            r0 += 1
+          }
+          val useDict = dictOk && dictIdx.size > 0 &&
+            dictIdx.size.toLong * 2 <= nonNullCount
+          val dictWidth =
+            math.max(1, bitsFor(math.max(dictIdx.size - 1, 0)))
+          var dictOffset: Option[Long] = None
+          if (useDict) { // dictionary page first, PLAIN entries in
+            // first-seen order (ids are assigned by first appearance)
+            val entries = new Array[Any](dictIdx.size)
+            val it = dictIdx.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next(); entries(e.getValue.intValue) = e.getKey
+            }
+            val raw = plainValues(f, entries, entries.length)
+            val packed = compressBody(raw, codec)
+            val hdr = new Ba
+            val w = new TWriter(hdr)
+            w.structBegin()
+            w.i32(1, 2) // type: DICTIONARY_PAGE
+            w.i32(2, raw.length)
+            w.i32(3, packed.length)
+            w.structField(7) // DictionaryPageHeader
+            w.i32(1, entries.length) // num_values
+            w.i32(2, 0) // encoding: PLAIN
+            w.structEnd()
+            w.structEnd()
+            val hb = hdr.toByteArray
+            dictOffset = Some(pos)
+            emit(hb)
+            emit(packed)
+            unc += hb.length + raw.length
+            comp += hb.length + packed.length
+          }
+          val firstDataPage = pos
+          var row = 0
+          while (row < nRows) {
+            val n = math.min(pageRows, nRows - row)
+            val pageNulls = new Array[Boolean](n)
+            val pageVals = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              val v = batch(row + i)(c)
+              pageVals(i) = v
+              pageNulls(i) = v == null
               i += 1
             }
             val body = new Ba
             val dl = defLevels(pageNulls, n)
             body.write(dl, 0, dl.length)
-            val pv = plainValues(f, pageVals, n)
+            val pv =
+              if (useDict) {
+                val idx = new Array[Int](n)
+                var nn = 0
+                var k = 0
+                while (k < n) {
+                  if (pageVals(k) != null) {
+                    idx(nn) = dictIdx.get(pageVals(k)).intValue
+                    nn += 1
+                  }
+                  k += 1
+                }
+                dictIndexPage(idx, nn, dictWidth)
+              } else plainValues(f, pageVals, n)
             body.write(pv, 0, pv.length)
             val raw = body.toByteArray
             val packed = compressBody(raw, codec)
@@ -338,7 +465,7 @@ object ParquetWrite {
             w.i32(3, packed.length)
             w.structField(5) // DataPageHeader
             w.i32(1, n) // num_values
-            w.i32(2, 0) // encoding: PLAIN
+            w.i32(2, if (useDict) 8 else 0) // RLE_DICTIONARY / PLAIN
             w.i32(3, 3) // definition_level_encoding: RLE
             w.i32(4, 3) // repetition_level_encoding: RLE
             w.structEnd()
@@ -353,7 +480,7 @@ object ParquetWrite {
           ChunkInfo(f, nRows.toLong, nulls,
             Option(minV).map(statBytes(f.physicalType, _)),
             Option(maxV).map(statBytes(f.physicalType, _)),
-            firstPage, unc, comp)
+            firstDataPage, unc, comp, dictOffset, chunkStart)
         }
         groups += GroupInfo(nRows.toLong, chunks)
         total += nRows
@@ -394,12 +521,20 @@ object ParquetWrite {
         w.listHeader(1, T_STRUCT, g.chunks.length)
         for (ch <- g.chunks) {
           w.structBegin() // ColumnChunk
-          w.i64(2, ch.dataPageOffset) // file_offset
+          w.i64(2, if (ch.chunkStart >= 0) ch.chunkStart
+            else ch.dataPageOffset) // file_offset
           w.structField(3) // ColumnMetaData
           w.i32(1, ch.field.physicalType)
-          w.listHeader(2, T_I32, 2)
-          w.varint((0L << 1)) // PLAIN (zigzag 0)
-          w.varint((3L << 1)) // RLE (zigzag 3)
+          if (ch.dictPageOffset.isDefined) {
+            w.listHeader(2, T_I32, 3)
+            w.varint((0L << 1)) // PLAIN (dictionary page; zigzag 0)
+            w.varint((3L << 1)) // RLE (levels; zigzag 3)
+            w.varint((8L << 1)) // RLE_DICTIONARY (zigzag 8)
+          } else {
+            w.listHeader(2, T_I32, 2)
+            w.varint((0L << 1)) // PLAIN (zigzag 0)
+            w.varint((3L << 1)) // RLE (zigzag 3)
+          }
           w.listHeader(3, T_BINARY, 1)
           val nb = ch.field.name.getBytes("UTF-8")
           w.varint(nb.length.toLong)
@@ -409,6 +544,7 @@ object ParquetWrite {
           w.i64(6, ch.totalUncompressed)
           w.i64(7, ch.totalCompressed)
           w.i64(9, ch.dataPageOffset)
+          ch.dictPageOffset.foreach(w.i64(11, _))
           if (ch.minV.isDefined || ch.nullCount >= 0) {
             w.structField(12) // Statistics
             w.i64(3, ch.nullCount)

@@ -63,6 +63,48 @@ object Zstd {
   private val MaxWindow = 1 << 27
   private val BlockMax = 128 * 1024
 
+  /** Encode `data` as a spec-legal zstd frame of RAW (uncompressed)
+    * blocks — the write side of this codec stack. Not a size win by
+    * itself (4-magic + 2–5 header + 3 bytes per ≤64 KiB block): the
+    * parquet writer pairs it with dictionary encoding, which is where
+    * the bytes actually go; any conformant decoder (libzstd/zstd-jni,
+    * and [[decode]]) accepts the frame. RFC 8878 §3.1.1: magic, frame
+    * header with Single_Segment_Flag set (window = content size) and
+    * the matching frame-content-size field width, then raw blocks
+    * (Block_Type 0) with the last-block bit on the final one.
+    */
+  def encodeRawFrame(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    le32(0xFD2FB528)
+    val n = data.length
+    if (n <= 255) { // FCS code 0 + single-segment → 1-byte size
+      out.write(0x20); out.write(n)
+    } else if (n <= 65535 + 256) { // FCS code 1 → 2 bytes, biased 256
+      out.write(0x60)
+      val v = n - 256
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    } else { // FCS code 2 → 4 bytes
+      out.write(0xA0); le32(n)
+    }
+    if (n == 0) { out.write(1); out.write(0); out.write(0) }
+    else {
+      var off = 0
+      while (off < n) {
+        val len = math.min(65536, n - off)
+        val hdr = (len << 3) | (if (off + len == n) 1 else 0)
+        out.write(hdr & 0xff); out.write((hdr >>> 8) & 0xff)
+        out.write((hdr >>> 16) & 0xff)
+        out.write(data, off, len)
+        off += len
+      }
+    }
+    out.toByteArray
+  }
+
   // -------------------------------------------------------------------
   // XXH64 (public xxHash spec) — frame content checksums
 

@@ -139,6 +139,85 @@ class ParquetWriteSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
 
+  test("dictionary encoding engages on repetitive columns: parquet-mr " +
+      "and this repo's reader both decode, and the file lands within " +
+      "2x of Spark's own size") {
+    import spark.implicits._
+    val dir = tmpDir("dict")
+    val sparkDir = tmpDir("dict-spark")
+    try {
+      val fields = Seq(PwFields.int64("id"), PwFields.string("ev"),
+        PwFields.int32("code"), PwFields.double("grp"))
+      val rows = (0 until 60000).iterator.map(i => Array[Any](
+        Long.box(i.toLong),
+        if (i % 50 == 0) null else s"type_${i % 8}", // 8 distinct
+        Int.box(i % 12), // 12 distinct
+        Double.box((i % 300).toDouble))) // 300 distinct
+      val f = new java.io.File(dir, "part-00000.parquet")
+      ParquetWrite.writeFile(f.toPath, fields, rows, codec = 1,
+        rowGroupRows = 20000, pageRows = 4000)
+      // parquet-mr (the independent implementation) decodes it
+      val got = spark.read.parquet(dir.toString)
+      assert(got.count() == 60000)
+      assert(got.filter("ev = 'type_3'").count() ==
+        (0 until 60000).count(i => i % 50 != 0 && i % 8 == 3))
+      assert(got.filter("ev IS NULL").count() == 1200)
+      assert(got.agg(org.apache.spark.sql.functions.sum("code"))
+        .head.getLong(0) == (0 until 60000).map(_ % 12).map(_.toLong).sum)
+      // our own reader decodes the RLE_DICTIONARY pages too
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val own = ParquetData.readRows(bytes, Seq("id", "ev", "code"))
+        .toVector
+      assert(own.length == 60000)
+      assert(own(3)(1) == "type_3" && own(50)(1) == null)
+      // the size claim: the same rows written by Spark's own writer
+      // (dictionary+snappy) must not beat this file by more than 2x
+      (0 until 60000).map(i => (i.toLong,
+          if (i % 50 == 0) None else Some(s"type_${i % 8}"),
+          i % 12, (i % 300).toDouble))
+        .toDF("id", "ev", "code", "grp").coalesce(1)
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(sparkDir.toString)
+      val ourSize = f.length()
+      val sparkSize = sparkDir.listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      assert(ourSize <= 2 * sparkSize,
+        s"dictionary write $ourSize bytes vs Spark's $sparkSize")
+    } finally {
+      graft.streaming.WorkDirs.deleteRecursively(dir)
+      graft.streaming.WorkDirs.deleteRecursively(sparkDir)
+    }
+  }
+
+  test("ZSTD pages through the from-scratch raw-block encoder: " +
+      "parquet-mr (zstd-jni) and Zstd.decode both accept the frames") {
+    val dir = tmpDir("zstd")
+    try {
+      val fields = Seq(PwFields.int64("id"), PwFields.string("s"))
+      val rows = (0 until 5000).iterator.map(i => Array[Any](
+        Long.box(i.toLong),
+        if (i % 9 == 0) null else s"payload-$i"))
+      val f = new java.io.File(dir, "part-00000.parquet")
+      ParquetWrite.writeFile(f.toPath, fields, rows, codec = 6,
+        rowGroupRows = 2000, pageRows = 500)
+      val got = spark.read.parquet(dir.toString) // zstd-jni decodes
+      assert(got.count() == 5000)
+      assert(got.filter("s IS NULL").count() ==
+        (0 until 5000).count(_ % 9 == 0))
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val own = ParquetData.readRows(bytes, Seq("id", "s")).toVector
+      assert(own.length == 5000 && own(1)(1) == "payload-1")
+      // the raw-frame encoder round-trips through our own decoder
+      val payload = Array.tabulate[Byte](200000)(i => (i * 31).toByte)
+      val frame = graft.operators.Zstd.encodeRawFrame(payload)
+      assert(graft.operators.Zstd.decode(frame).content.sameElements(
+        payload))
+      assert(graft.operators.Zstd.decode(
+        graft.operators.Zstd.encodeRawFrame(Array.emptyByteArray))
+        .content.isEmpty)
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
   test("unsupported shapes reject loudly by name") {
     val dir = tmpDir("reject")
     try {
@@ -153,7 +232,7 @@ class ParquetWriteSpec extends AnyFunSuite {
         ParquetWrite.writeFile(
           new java.io.File(dir, "bad2.parquet").toPath,
           Seq(PwFields.int64("x")),
-          Iterator.single(Array[Any](Long.box(1L))), codec = 6)
+          Iterator.single(Array[Any](Long.box(1L))), codec = 3) // LZO
       }
       assert(e2.getMessage.contains("codec"))
       import org.apache.spark.sql.types._
