@@ -62,6 +62,9 @@ object SparkEntry {
     Sources.ensureOrcFixture(spark, sfDir)
     Sources.ensureOrcMetaFixture(spark, sfDir)
     Sources.ensureParquetDataFixture(spark, sfDir)
+    Sources.ensureRichParquetFixture(spark, sfDir)
+    Sources.ensureRichOrcFixture(spark, sfDir)
+    Sources.ensureGraftTableFixture(spark, sfDir)
     operators.Bucketing.ensureBucketed(spark, sfDir, "lineitem",
       "l_orderkey", 8)
     operators.Bucketing.ensureBucketed(spark, sfDir, "orders",

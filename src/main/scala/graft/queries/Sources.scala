@@ -1301,6 +1301,63 @@ object Sources {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S34: `graftpq` over a Maintenance-COMMITTED table — the two
+  // skipping paths composed: the commit protocol records file-level
+  // [min,max] in `_graft_log/filestats.tsv` at append time, and the
+  // DSv2 source consumes them to drop whole files before any footer
+  // read (row-group footer stats then prune within survivors;
+  // GraftParquetSpec pins the no-footer-IO behavior with a
+  // torn-footer fixture). Three range-sliced commits give the manifest
+  // disjoint per-file ranges; the oracle recomputes from the source
+  // table.
+
+  def ensureGraftTableFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqtbl-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    val done = new java.io.File(tmp, "_fixture_done")
+    if (!done.exists()) {
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(tmp))
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      val cut1 = maxId / 3
+      val cut2 = 2 * maxId / 3
+      graft.operators.Maintenance.commitAppend(s, tmp,
+        ev.filter(col("event_id") < cut1).coalesce(1))
+      graft.operators.Maintenance.commitAppend(s, tmp,
+        ev.filter(col("event_id") >= cut1 && col("event_id") < cut2)
+          .coalesce(1))
+      graft.operators.Maintenance.commitAppend(s, tmp,
+        ev.filter(col("event_id") >= cut2).coalesce(1))
+      new java.io.FileOutputStream(done).close()
+    }
+    tmp
+  }
+
+  private def s34TableScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureGraftTableFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .filter(col("user_id") >= 100)
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0)
+        .as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s34TableScanSql =
+    """SELECT event_type,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  count(*) AS n
+      |FROM events WHERE user_id >= 100
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -1482,7 +1539,8 @@ object Sources {
     "s30_orc_dsv2" -> s30OrcDsv2 _,
     "s31_parquet_write" -> s31ParquetWrite _,
     "s32_rich_scan" -> s32RichScan _,
-    "s33_orc_rich" -> s33OrcRich _
+    "s33_orc_rich" -> s33OrcRich _,
+    "s34_table_scan" -> s34TableScan _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1512,6 +1570,7 @@ object Sources {
     "s30_orc_dsv2" -> s30OrcDsv2Sql,
     "s31_parquet_write" -> s31ParquetWriteSql,
     "s32_rich_scan" -> s32RichScanSql,
-    "s33_orc_rich" -> s33OrcRichSql
+    "s33_orc_rich" -> s33OrcRichSql,
+    "s34_table_scan" -> s34TableScanSql
   )
 }

@@ -381,9 +381,47 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     * multi-GB file) IO shape parquet-mr planning has. A row group is
     * planned out when any pushed comparison is disjoint with its
     * footer min/max.
+    *
+    * MANIFEST BRIDGE: when `path` is a [[graft.operators.Maintenance]]
+    * committed table (`_graft_log/version` present), the commit
+    * protocol's file-level statistics (`_graft_log/filestats.tsv`,
+    * bounds widened one ulp at record time) prune WHOLE FILES before
+    * any footer tail is read — planning IO over a heavily-pruned table
+    * is one TSV read plus the surviving files' tails, not O(files)
+    * tails. The two skipping paths compose: manifest stats drop files,
+    * footer stats then drop row groups within the survivors. Row-level
+    * protocol layers stay with `Maintenance.readTable` — a table with
+    * outstanding deletion vectors or hive partitioning rejects loudly
+    * rather than resurrecting deleted rows / missing partition dirs.
     */
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftParquet.listFiles(path).flatMap { f =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val isTable =
+      new java.io.File(path, "_graft_log/version").exists()
+    val manifest: Map[String, Map[String, (Double, Double)]] =
+      if (!isTable) Map.empty
+      else {
+        require(graft.operators.Maintenance.readPartitioning(path).isEmpty,
+          s"graftpq: $path is a hive-partitioned committed table — " +
+            "scan it through Maintenance.readTable (partition dirs " +
+            "are not flat files)")
+        require(
+          graft.operators.Maintenance.outstandingDvFiles(path).isEmpty,
+          s"graftpq: $path carries outstanding deletion vectors — " +
+            "scan it through Maintenance.readTable (a raw file scan " +
+            "would resurrect deleted rows)")
+        graft.operators.Maintenance.readFileStats(path)
+          .groupBy(_._1._1)
+          .map { case (f, m) =>
+            f -> m.map { case ((_, c), r) => c -> r }
+          }
+      }
+    GraftParquet.listFiles(path).filter { f =>
+      manifest.get(f.getName) match {
+        case Some(ranges) =>
+          pushed.forall(survivesRanges(ranges.get _, _))
+        case None => true // no recorded stats: never prune blind
+      }
+    }.flatMap { f =>
       val footer = ParquetFooter.readTail(f.toPath)
       val plans = GraftParquet.fieldPlans(footer.schema)
       val byName = plans.map(p => p.name -> p).toMap
@@ -404,6 +442,7 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
         GraftPqPartition(f.getAbsolutePath, rg.numRows, cols, reqPlans)
       }
     }.toArray
+  }
 
   /** False only when the row group's stats PROVE the filter matches no
     * row — absent stats keep the group (conservative).
@@ -426,19 +465,26 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       // prove disjointness the exact longs don't have.
     } yield (Math.nextDown(ParquetFooter.statDouble(leaf.physicalType, mn)),
       Math.nextUp(ParquetFooter.statDouble(leaf.physicalType, mx)))
-    f match {
-      case EqualTo(c, v: Number) => stats(c).forall { case (mn, mx) =>
-        v.doubleValue >= mn && v.doubleValue <= mx }
-      case GreaterThan(c, v: Number) =>
-        stats(c).forall(_._2 > v.doubleValue)
-      case GreaterThanOrEqual(c, v: Number) =>
-        stats(c).forall(_._2 >= v.doubleValue)
-      case LessThan(c, v: Number) =>
-        stats(c).forall(_._1 < v.doubleValue)
-      case LessThanOrEqual(c, v: Number) =>
-        stats(c).forall(_._1 <= v.doubleValue)
-      case _ => true // IsNotNull etc: never disjoint by construction
-    }
+    survivesRanges(stats, f)
+  }
+
+  /** The shared disjointness test: false only when `range(column)`
+    * PROVES the comparison matches nothing; absent ranges always
+    * survive.
+    */
+  private def survivesRanges(range: String => Option[(Double, Double)],
+      f: Filter): Boolean = f match {
+    case EqualTo(c, v: Number) => range(c).forall { case (mn, mx) =>
+      v.doubleValue >= mn && v.doubleValue <= mx }
+    case GreaterThan(c, v: Number) =>
+      range(c).forall(_._2 > v.doubleValue)
+    case GreaterThanOrEqual(c, v: Number) =>
+      range(c).forall(_._2 >= v.doubleValue)
+    case LessThan(c, v: Number) =>
+      range(c).forall(_._1 < v.doubleValue)
+    case LessThanOrEqual(c, v: Number) =>
+      range(c).forall(_._1 <= v.doubleValue)
+    case _ => true // IsNotNull etc: never disjoint by construction
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

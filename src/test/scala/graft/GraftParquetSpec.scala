@@ -150,6 +150,60 @@ class GraftParquetSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("a Maintenance-committed table's manifest stats prune whole " +
+      "files BEFORE any footer read") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-table").toString
+    try {
+      // three commits with disjoint id ranges → three files, each with
+      // file-level [min,max] recorded in _graft_log/filestats.tsv
+      for (b <- 0 until 3)
+        Maintenance.commitAppend(spark, dir,
+          (b * 10000 until (b + 1) * 10000)
+            .map(k => (k.toLong, s"g${k % 3}")).toDF("id", "g")
+            .coalesce(1))
+      val all = spark.read.format("graftpq").load(dir)
+      assert(all.count() == 30000)
+      val filtered = spark.read.format("graftpq").load(dir)
+        .filter("id >= 25000")
+      assert(batchScan(filtered).inputPartitions.map(
+        _.asInstanceOf[graft.sources.GraftPqPartition].path)
+        .distinct.length == 1,
+        "manifest stats should keep exactly one file")
+      assert(filtered.count() == 5000)
+      // the proof a pruned file's footer is NEVER read: destroy its
+      // tail in place (manifest stats survive in _graft_log) — the
+      // pruning filter still plans and answers; an unpruned scan of
+      // the same directory fails loudly on the torn footer. The
+      // lexically-first file stays intact (inferSchema reads that one
+      // footer for the schema), so the middle batch is the victim.
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val statsByFile = Maintenance.readFileStats(dir)
+        .groupBy(_._1._1).view.mapValues(
+          _.collectFirst { case ((_, "id"), r) => r }).toMap
+      val doomed = files.drop(1).filter(f =>
+        statsByFile.get(f.getName).flatten.exists(_._2 < 25000))
+      assert(doomed.length == 1, s"${doomed.length} prunable files")
+      for (f <- doomed) {
+        val raf = new java.io.RandomAccessFile(f, "rw")
+        try {
+          raf.seek(math.max(0, f.length() - 64))
+          raf.write(Array.fill[Byte](64)(0x5a))
+        } finally raf.close()
+      }
+      val pruned = spark.read.format("graftpq").load(dir)
+        .filter("id >= 25000")
+      assert(pruned.count() == 5000) // planned without touching them
+      intercept[Exception] { // footer IO on the torn files is loud
+        spark.read.format("graftpq").load(dir).count()
+      }
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   test("column pruning reaches the reader: only requested leaves are " +
       "decoded") {
     val dir = sortedFixture()
