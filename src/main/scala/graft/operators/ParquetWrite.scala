@@ -11,7 +11,7 @@ package graft.operators
   * dictionary attempt, fall back to PLAIN past 64 Ki distinct or under
   * 2× repetition) — a PLAIN dictionary page + RLE_DICTIONARY index
   * pages, page compression through THIS REPO'S OWN codecs
-  * ([[Snappy.compress]], [[Zstd.encodeRawFrame]], or UNCOMPRESSED),
+  * ([[Snappy.compress]], [[Zstd.compress]], or UNCOMPRESSED),
   * per-chunk Statistics (min_value/max_value/null_count, the modern
   * field ids), and a FileMetaData footer in the THRIFT COMPACT
   * PROTOCOL — short-form delta field headers, zigzag varints,
@@ -243,7 +243,7 @@ object ParquetWrite {
       : Array[Byte] = codec match {
     case 0 => body
     case 1 => Snappy.compress(body)
-    case 6 => Zstd.encodeRawFrame(body)
+    case 6 => Zstd.compress(body)
     case c => throw new IllegalArgumentException(
       s"parquet writer codec $c unsupported (UNCOMPRESSED=0, SNAPPY=1, " +
         "ZSTD=6)")

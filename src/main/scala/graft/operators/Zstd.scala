@@ -1,6 +1,6 @@
 package graft.operators
 
-/** Zstandard decompression from scratch (pure JVM) — the last
+/** Zstandard from scratch (pure JVM), BOTH directions — the last
   * big-league member of the compressed-shard codec family
   * ([[Lz4]]/[[Snappy]]/[[Inflate]]/[[Bzip2]]/[[Xz]]), and the default
   * ORC compression in Spark 4, so this decoder also unblocks
@@ -45,6 +45,13 @@ package graft.operators
   * bytes, like the [[Bzip2]]/[[Xz]] tiers). Torn streams (bad magic,
   * reserved bits, corrupt counts, over-subscribed tables, truncation,
   * wrong checksum) reject loudly by name.
+  *
+  * The WRITE side ([[compress]]) emits greedy-LZ77 frames whose
+  * sequences ride the predefined FSE distributions (no table headers)
+  * over raw literals, falling back per block to raw when entropy
+  * coding cannot shrink the chunk, plus [[encodeRawFrame]] for inputs
+  * past the window cap; both are cross-validated the strong way —
+  * zstd-jni must decompress our frames bit-exactly.
   *
   * Documented seam: dictionary frames (dictionary_ID != 0) reject by
   * name — raw-content dictionaries are a negotiated side channel, not
@@ -101,6 +108,248 @@ object Zstd {
         out.write(data, off, len)
         off += len
       }
+    }
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------------
+  // COMPRESSION (RFC 8878 §3.1.1.3, the encode direction of everything
+  // [[decode]] reads): greedy hash-chain LZ77 matching, RAW literals,
+  // and sequences entropy-coded with the PREDEFINED FSE distributions —
+  // the mode every decoder must ship tables for, so no table headers
+  // are written. The FSE encoder is derived as the mathematical inverse
+  // of [[buildFse]]'s decode table: decode state i carries ordinal
+  // x(i) ∈ [f, 2f) for its symbol (f = normalized frequency) and jumps
+  // to next = (x << nb) − size + bits, so the encoder — walking the
+  // sequences BACKWARD, as the backward bitstream requires — picks for
+  // symbol s and known next-decode-state c ∈ [size, 2size) the unique
+  // nb with (c >> nb) ∈ [f, 2f), lands on s's state of ordinal
+  // (c >> nb), and emits the low nb bits of c. The bit order problem
+  // (the decoder reads interleaved state-inits, extras and updates
+  // front-to-back of its backward stream) is solved by materializing
+  // the decoder's exact read list and writing it reversed through a
+  // forward LSB-first writer, sentinel bit last.
+
+  /** One LZ77 sequence: `ll` literal bytes, then a match of `ml` bytes
+    * at distance `off` (≥ 1, ≤ every previously-output byte).
+    */
+  private final case class ZSeq(ll: Int, off: Int, ml: Int)
+
+  /** Encode tables derived from a decode [[FseTable]]: per symbol, its
+    * decode states in increasing index order (= increasing ordinal x).
+    */
+  private final class FseEnc(table: FseTable, counts: Array[Int]) {
+    val al: Int = table.al
+    val size: Int = 1 << al
+    private val freq = counts.map(math.abs)
+    private val states: Array[Array[Int]] = {
+      val ls = Array.fill(counts.length)(Vector.newBuilder[Int])
+      var i = 0
+      while (i < size) { ls(table.sym(i)) += i; i += 1 }
+      ls.map(_.result().toArray)
+    }
+    /** Backward step: decoder will hold state `cNext − size` AFTER this
+      * symbol; returns (state decoding the symbol, update bits, nb).
+      */
+    def stepBack(s: Int, cNext: Int): (Int, Int, Int) = {
+      val f = freq(s)
+      var nb = 0
+      while ((cNext >> nb) >= 2 * f) nb += 1
+      val x = cNext >> nb
+      (states(s)(x - f), cNext & ((1 << nb) - 1), nb)
+    }
+    def anyState(s: Int): Int = states(s)(0)
+  }
+
+  private lazy val LlEnc = new FseEnc(LlPredef, LlDefault)
+  private lazy val MlEnc = new FseEnc(MlPredef, MlDefault)
+  private lazy val OfEnc = new FseEnc(OfPredef, OfDefault)
+
+  /** Largest code whose baseline is ≤ v (the tables are increasing). */
+  private def codeOf(bases: Array[Int], v: Int): Int = {
+    var c = bases.length - 1
+    while (bases(c) > v) c -= 1
+    c
+  }
+
+  /** Forward LSB-first bit writer (the container [[BackBits]] reads
+    * back-to-front); `finish` appends the sentinel 1 and pads.
+    */
+  private final class FwdBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nAcc = 0
+    def push(v: Long, n: Int): Unit = if (n > 0) {
+      acc |= (v & ((1L << n) - 1)) << nAcc
+      nAcc += n
+      while (nAcc >= 8) {
+        out.write((acc & 0xff).toInt); acc >>>= 8; nAcc -= 8
+      }
+    }
+    def finish(): Array[Byte] = {
+      push(1L, 1)
+      if (nAcc > 0) { out.write((acc & 0xff).toInt); nAcc = 0; acc = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Build one compressed block (literals section + sequences section)
+    * for `data[cs, ce)` with the given sequences; `anchor0 = cs`.
+    * Returns the block body (no block header).
+    */
+  private def buildCompressedBlock(data: Array[Byte], cs: Int, ce: Int,
+      seqs: Seq[ZSeq]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    // ---- literals section: RAW, sizes per §3.1.1.3.1.1
+    val litLen = (ce - cs) - seqs.iterator.map(_.ml).sum
+    if (litLen <= 31) out.write(litLen << 3)
+    else if (litLen <= 4095) {
+      out.write(((litLen & 0xf) << 4) | (1 << 2))
+      out.write(litLen >>> 4)
+    } else {
+      out.write(((litLen & 0xf) << 4) | (3 << 2))
+      out.write((litLen >>> 4) & 0xff)
+      out.write(litLen >>> 12)
+    }
+    var pos = cs
+    for (q <- seqs) { out.write(data, pos, q.ll); pos += q.ll + q.ml }
+    out.write(data, pos, ce - pos) // tail literals after the last match
+    // ---- sequences section
+    val n = seqs.length
+    if (n == 0) { out.write(0); return out.toByteArray }
+    if (n < 128) out.write(n)
+    else if (n < 0x7f00) { out.write(128 + (n >>> 8)); out.write(n & 0xff) }
+    else { out.write(255); out.write((n - 0x7f00) & 0xff)
+      out.write((n - 0x7f00) >>> 8) }
+    out.write(0) // modes: predefined × 3, reserved bits clear
+    // codes + extras per sequence
+    val llC = new Array[Int](n)
+    val mlC = new Array[Int](n)
+    val ofC = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val q = seqs(i)
+      llC(i) = codeOf(LlBase, q.ll)
+      mlC(i) = codeOf(MlBase, q.ml)
+      val offVal = q.off + 3L // never a repeat code
+      ofC(i) = 63 - java.lang.Long.numberOfLeadingZeros(offVal).toInt
+      i += 1
+    }
+    // state chains, chosen backward so every transition is legal
+    val llS = new Array[Int](n)
+    val mlS = new Array[Int](n)
+    val ofS = new Array[Int](n)
+    val llU = new Array[(Int, Int)](n) // update bits AFTER seq i (i<n-1)
+    val mlU = new Array[(Int, Int)](n)
+    val ofU = new Array[(Int, Int)](n)
+    llS(n - 1) = LlEnc.anyState(llC(n - 1))
+    mlS(n - 1) = MlEnc.anyState(mlC(n - 1))
+    ofS(n - 1) = OfEnc.anyState(ofC(n - 1))
+    i = n - 2
+    while (i >= 0) {
+      val (ls, lu, ln) = LlEnc.stepBack(llC(i), llS(i + 1) + LlEnc.size)
+      val (ms, mu, mn) = MlEnc.stepBack(mlC(i), mlS(i + 1) + MlEnc.size)
+      val (os, ou, on) = OfEnc.stepBack(ofC(i), ofS(i + 1) + OfEnc.size)
+      llS(i) = ls; llU(i) = (lu, ln)
+      mlS(i) = ms; mlU(i) = (mu, mn)
+      ofS(i) = os; ofU(i) = (ou, on)
+      i -= 1
+    }
+    // the decoder's exact read list, then written in reverse
+    val reads = Vector.newBuilder[(Long, Int)]
+    reads += ((llS(0).toLong, LlEnc.al))
+    reads += ((ofS(0).toLong, OfEnc.al))
+    reads += ((mlS(0).toLong, MlEnc.al))
+    i = 0
+    while (i < n) {
+      val q = seqs(i)
+      val offVal = q.off + 3L
+      reads += ((offVal - (1L << ofC(i)), ofC(i)))
+      reads += (((q.ml - MlBase(mlC(i))).toLong, MlExtra(mlC(i))))
+      reads += (((q.ll - LlBase(llC(i))).toLong, LlExtra(llC(i))))
+      if (i < n - 1) {
+        reads += ((llU(i)._1.toLong, llU(i)._2))
+        reads += ((mlU(i)._1.toLong, mlU(i)._2))
+        reads += ((ofU(i)._1.toLong, ofU(i)._2))
+      }
+      i += 1
+    }
+    val w = new FwdBitWriter
+    for ((v, nb) <- reads.result().reverseIterator) w.push(v, nb)
+    val bits = w.finish()
+    out.write(bits, 0, bits.length)
+    out.toByteArray
+  }
+
+  /** Compress `data` into one zstd frame: greedy 4-byte-hash matching,
+    * raw literals, predefined-FSE sequences; any chunk the sequences
+    * cannot shrink ships as a raw block instead. Frames decode with
+    * [[decode]] and any conformant decoder (cross-validated against
+    * zstd-jni in ZstdSpec). Inputs past the decoder-side window cap
+    * fall back to [[encodeRawFrame]] whole.
+    */
+  def compress(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    if (n < 32 || n > MaxWindow) return encodeRawFrame(data)
+    val out = new java.io.ByteArrayOutputStream(n / 2 + 64)
+    def le32o(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    le32o(Magic)
+    if (n <= 255) { out.write(0x20); out.write(n) }
+    else if (n <= 65535 + 256) {
+      out.write(0x60)
+      val v = n - 256
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+    } else { out.write(0xA0); le32o(n) }
+    val hbits = 16
+    val table = new Array[Int](1 << hbits)
+    java.util.Arrays.fill(table, -1)
+    def hash4(i: Int): Int = {
+      val v = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      (v * 0x9E3779B1) >>> (32 - hbits)
+    }
+    var cs = 0
+    while (cs < n) {
+      val ce = math.min(cs + BlockMax, n)
+      val seqs = Vector.newBuilder[ZSeq]
+      var anchor = cs
+      var i = cs
+      while (i + 4 <= ce) {
+        val h = hash4(i)
+        val j = table(h)
+        table(h) = i
+        if (j >= 0 && i - j <= MaxWindow &&
+            data(j) == data(i) && data(j + 1) == data(i + 1) &&
+            data(j + 2) == data(i + 2) && data(j + 3) == data(i + 3)) {
+          var len = 4
+          while (i + len < ce && data(j + len) == data(i + len)) len += 1
+          seqs += ZSeq(i - anchor, i - j, len)
+          // index the matched span too (small blocks: quality over speed)
+          var k = i + 1
+          val stop = math.min(i + len, ce - 4)
+          while (k < stop) { table(hash4(k)) = k; k += 1 }
+          anchor = i + len
+          i += len
+        } else i += 1
+      }
+      val qs = seqs.result()
+      val body = buildCompressedBlock(data, cs, ce, qs)
+      val last = if (ce == n) 1 else 0
+      if (body.length < ce - cs) { // compressed block (type 2)
+        val hdr = (body.length << 3) | (2 << 1) | last
+        out.write(hdr & 0xff); out.write((hdr >>> 8) & 0xff)
+        out.write((hdr >>> 16) & 0xff)
+        out.write(body, 0, body.length)
+      } else { // incompressible chunk: raw block
+        val hdr = ((ce - cs) << 3) | last
+        out.write(hdr & 0xff); out.write((hdr >>> 8) & 0xff)
+        out.write((hdr >>> 16) & 0xff)
+        out.write(data, cs, ce - cs)
+      }
+      cs = ce
     }
     out.toByteArray
   }

@@ -48,6 +48,32 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("the from-scratch COMPRESSOR round-trips through zstd-jni AND " +
+      "our own decoder on every shape, and actually shrinks " +
+      "repetitive input") {
+    for ((name, src) <- shapes) {
+      val packed = Zstd.compress(src)
+      assert(Zstd.decode(packed).content.sameElements(src),
+        s"[$name] own-decoder round trip")
+      val foreign = com.github.luben.zstd.Zstd.decompress(packed,
+        math.max(src.length, 1))
+      assert(foreign.sameElements(src), s"[$name] zstd-jni round trip")
+    }
+    // predefined-FSE sequence coding must beat raw on repetitive text
+    val text = (0 until 4000).map(i =>
+      s"the quick brown fox $i jumps over the lazy dog")
+      .mkString("\n").getBytes("UTF-8")
+    val ratio = Zstd.compress(text).length.toDouble / text.length
+    assert(ratio < 0.5, s"compressed to ${ratio * 100}% of input")
+    // runs shape compresses very hard
+    val runs = Array.tabulate[Byte](60000)(i =>
+      if ((i / 300) % 2 == 0) 0 else ((i / 50) % 9).toByte)
+    assert(Zstd.compress(runs).length < runs.length / 10)
+    // incompressible input must not blow up past raw-block overhead
+    val rand = Array.fill[Byte](40000)(rnd.nextInt().toByte)
+    assert(Zstd.compress(rand).length <= rand.length + 16)
+  }
+
   test("content checksums verify when present; corruption under the " +
       "checksum rejects loudly") {
     val src = (0 until 90).map(i =>
