@@ -5,18 +5,20 @@ package graft.operators
   * footer walk is the first): page-stream walking via thrift PageHeader
   * structs, v1 AND v2 data pages, dictionary pages, the RLE /
   * bit-packed hybrid level-and-index encoding, PLAIN values for
-  * BOOLEAN / INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY,
-  * RLE_DICTIONARY (+ the legacy PLAIN_DICTIONARY id) index streams,
+  * BOOLEAN / INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY /
+  * FIXED_LEN_BYTE_ARRAY (decimal storage) / INT96 (the legacy 12-byte
+  * timestamp, decoded to epoch micros), RLE_DICTIONARY (+ the legacy
+  * PLAIN_DICTIONARY id) index streams, BYTE_STREAM_SPLIT byte planes,
   * and the v2 writer's dictionary-fallback family — RLE boolean
   * values, DELTA_BINARY_PACKED ints (block/miniblock geometry, zigzag
   * first/min values, wrap-around Long arithmetic),
   * DELTA_LENGTH_BYTE_ARRAY and front-coded DELTA_BYTE_ARRAY strings —
   * with page decompression routed through THIS REPO'S OWN codecs:
   * SNAPPY → [[Snappy]], GZIP → [[Inflate]], ZSTD → [[Zstd]],
-  * LZ4_RAW → [[Lz4]]. Definition levels reassemble nulls row-aligned
-  * (flat schemas: max definition level 0/1); repeated (nested) fields,
-  * INT96, FIXED_LEN_BYTE_ARRAY, BYTE_STREAM_SPLIT, BROTLI/LZO and the
-  * v1 LZ4-hadoop framing reject loudly by name.
+  * LZ4_RAW → [[Lz4]]. Definition levels reassemble nulls row-aligned;
+  * repetition levels feed [[assembleList]]'s 3-level LIST reassembly
+  * (one nesting depth); BROTLI/LZO and the v1 LZ4-hadoop framing
+  * reject loudly by name.
   *
   * Formats per the public parquet-format specification
   * (Encodings.md / PageHeader in parquet.thrift). Cross-validated in
@@ -343,8 +345,23 @@ object ParquetData {
           out(i) = java.util.Arrays.copyOfRange(b, pos, pos + typeLength)
           pos += typeLength; i += 1
         }
-      case 3 => throw new IllegalArgumentException(
-        "parquet INT96 values unsupported (deprecated timestamps)")
+      case 3 => // INT96: the legacy 12-byte timestamp every pre-2.3-era
+        // warehouse file carries — 8-byte LE nanos-of-day then 4-byte LE
+        // Julian day; decoded straight to epoch MICROS (the modern
+        // in-memory shape), day 2440588 = 1970-01-01
+        require(pos + 12L * n <= end, "torn parquet: int96 values")
+        var i = 0
+        while (i < n) {
+          var nanos = 0L
+          var j = 0
+          while (j < 8) { nanos |= (b(pos + j) & 0xffL) << (8 * j); j += 1 }
+          val day = (b(pos + 8) & 0xff) | ((b(pos + 9) & 0xff) << 8) |
+            ((b(pos + 10) & 0xff) << 16) | (b(pos + 11) << 24)
+          require(nanos >= 0 && nanos < 86400000000000L,
+            s"torn parquet: int96 nanos-of-day $nanos")
+          out(i) = (day.toLong - 2440588L) * 86400000000L + nanos / 1000
+          pos += 12; i += 1
+        }
       case t => throw new IllegalArgumentException(
         s"parquet physical type $t unknown")
     }
@@ -583,9 +600,32 @@ object ParquetData {
         require(physicalType == 6,
           s"DELTA_BYTE_ARRAY on physical type $physicalType")
         readDeltaByteArray(data, valOff, valEnd, nonNull)
+      case 9 => // BYTE_STREAM_SPLIT: k byte planes of n values each
+        // (plane j holds byte j of every value) — transpose, then
+        // reinterpret per the physical type (Encodings.md §BSS)
+        val k = physicalType match {
+          case 1 | 4 => 4
+          case 2 | 5 => 8
+          case 7 => typeLength
+          case t => throw new IllegalArgumentException(
+            s"BYTE_STREAM_SPLIT on physical type $t")
+        }
+        require(k > 0 && valOff + k.toLong * nonNull <= valEnd,
+          "torn parquet: byte-stream-split planes overrun the page")
+        val joined = new Array[Byte](k * nonNull)
+        var i = 0
+        while (i < nonNull) {
+          var j = 0
+          while (j < k) {
+            joined(i * k + j) = data(valOff + j * nonNull + i)
+            j += 1
+          }
+          i += 1
+        }
+        readPlain(joined, 0, joined.length, physicalType, nonNull,
+          typeLength)._1
       case e => throw new IllegalArgumentException(
-        s"parquet value encoding $e unsupported (BYTE_STREAM_SPLIT " +
-          "rejects by name)")
+        s"parquet value encoding $e unsupported")
     }
   }
 

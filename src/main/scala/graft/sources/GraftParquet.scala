@@ -119,13 +119,13 @@ object GraftParquet {
         s"graftpq: TIMESTAMP_MILLIS column '${f.name}' unsupported " +
           "(writers emit micros)")
       case (2, _) => LongType
+      case (3, _) => TimestampType // INT96 legacy: decoded to micros
       case (4, _) => FloatType
       case (5, _) => DoubleType
       case (6, _) => StringType // BYTE_ARRAY (UTF8)
       case (p, _) => throw new IllegalArgumentException(
         s"graftpq: column '${f.name}' physical type $p unsupported " +
-          "(INT96, and FIXED_LEN_BYTE_ARRAY outside DECIMAL, reject " +
-          "by name)")
+          "(FIXED_LEN_BYTE_ARRAY outside DECIMAL rejects by name)")
     }
 
   /** One leaf's decode contract: its dotted column path in the row

@@ -107,6 +107,89 @@ class GraftParquetSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("INT96 legacy timestamps decode to the same micros Spark's " +
+      "reader produces") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-int96").toString
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      (0 until 2000).map { k =>
+        (k.toLong,
+          if (k % 9 == 0) None
+          else Some(java.sql.Timestamp.from(java.time.Instant
+            .parse("2021-06-01T00:00:00Z")
+            .plusSeconds(k * 97L).plusNanos(k * 137000L))))
+      }.toDF("id", "ts").coalesce(1)
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(dir)
+      val want = spark.read.parquet(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = spark.read.format("graftpq").load(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
+  test("BYTE_STREAM_SPLIT pages (parquet-mr-written) decode " +
+      "row-identically to Spark's reader") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-bss").toFile
+    try {
+      val schema = org.apache.parquet.schema.MessageTypeParser
+        .parseMessageType("message m { required int64 id; " +
+          "optional float f; optional double d; }")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      org.apache.parquet.hadoop.example.GroupWriteSupport
+        .setSchema(schema, conf)
+      val fac = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(schema)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(
+          new java.io.File(dir, "part-00000.parquet").getAbsolutePath))
+        .withConf(conf)
+        .withDictionaryEncoding(false) // force BSS on the float/double
+        .withByteStreamSplitEncoding(true)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD)
+        .build()
+      try {
+        for (k <- 0 until 3000) {
+          val g = fac.newGroup().append("id", k.toLong)
+          if (k % 7 != 0) g.append("f", k * 0.5f - 100f)
+          if (k % 11 != 0) g.append("d", k * 1.25 - 300.0)
+          w.write(g)
+        }
+      } finally w.close()
+      // Spark's VECTORIZED reader rejects BSS v1 pages outright
+      // ("Unsupported encoding: BYTE_STREAM_SPLIT") — the oracle here
+      // is parquet-mr's row reader (vectorization off); graftpq decodes
+      // the same pages natively
+      val prev = spark.conf.get("spark.sql.parquet.enableVectorizedReader")
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+      val want =
+        try spark.read.parquet(dir.toString).collect().toSeq
+          .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+        finally spark.conf.set(
+          "spark.sql.parquet.enableVectorizedReader", prev)
+      val got = spark.read.format("graftpq").load(dir.toString)
+        .collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((x, g) <- want.zip(got)) assert(x == g, s"$x vs $g")
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
   private def sortedFixture(): String = {
     import spark.implicits._
     val dir = java.nio.file.Files
