@@ -53,9 +53,12 @@ package graft.operators
   * past the window cap; both are cross-validated the strong way —
   * zstd-jni must decompress our frames bit-exactly.
   *
-  * Documented seam: dictionary frames (dictionary_ID != 0) reject by
-  * name — raw-content dictionaries are a negotiated side channel, not
-  * a self-contained shard shape.
+  * DICTIONARY frames decode through `decode(p, dict)`: structured
+  * dictionaries (magic 0xEC30A437 — Huffman + OF/ML/LL FSE tables,
+  * three repeat offsets, content window) and raw-content dictionaries
+  * both preload the frame state; a frame-declared dictionary_ID must
+  * match. `decode(p)` without a dictionary still rejects ID-carrying
+  * frames loudly (a shard that needs a side channel must say so).
   *
   * Beyond-reference source surface (SURVEY §2.1 scope).
   */
@@ -769,11 +772,63 @@ object Zstd {
     (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) | ((p(o + 2) & 0xff) << 16) |
       ((p(o + 3) & 0xff) << 24)
 
+  /** A parsed dictionary (RFC 8878 §5): either STRUCTURED — magic
+    * 0xEC30A437, dictionary ID, entropy tables (Huffman for literals,
+    * then FSE for offsets / match lengths / literal lengths), three
+    * 4-byte repeat offsets, content — or RAW CONTENT (no magic): the
+    * bytes are just match-window history.
+    */
+  private final class ZstdDict(d: Array[Byte]) {
+    val structured: Boolean =
+      d.length >= 8 && le32(d, 0) == 0xEC30A437
+    val id: Long = if (structured) le32(d, 4) & 0xffffffffL else 0L
+    var huf: HufTable = null
+    var llT: FseTable = null
+    var mlT: FseTable = null
+    var ofT: FseTable = null
+    val reps: Array[Int] = Array(1, 4, 8)
+    val content: Array[Byte] =
+      if (!structured) d
+      else {
+        var o = 8
+        val (h, hufUsed) = readHufTable(d, o, d.length)
+        huf = h
+        o += hufUsed
+        val fbOf = new FwdBits(d, o, d.length)
+        val (ofC, ofAl) = readNCount(fbOf, 31, 8)
+        ofT = buildFse(ofC, ofAl)
+        o += fbOf.bytesUsed
+        val fbMl = new FwdBits(d, o, d.length)
+        val (mlC, mlAl) = readNCount(fbMl, 52, 9)
+        mlT = buildFse(mlC, mlAl)
+        o += fbMl.bytesUsed
+        val fbLl = new FwdBits(d, o, d.length)
+        val (llC, llAl) = readNCount(fbLl, 35, 9)
+        llT = buildFse(llC, llAl)
+        o += fbLl.bytesUsed
+        require(o + 12 <= d.length, "torn zstd dictionary: rep offsets")
+        var i = 0
+        while (i < 3) {
+          reps(i) = le32(d, o + 4 * i)
+          require(reps(i) > 0,
+            s"torn zstd dictionary: repeat offset ${reps(i)}")
+          i += 1
+        }
+        o += 12
+        val c = java.util.Arrays.copyOfRange(d, o, d.length)
+        require(reps.forall(_ <= c.length + 1),
+          "torn zstd dictionary: repeat offset outside the content")
+        c
+      }
+  }
+
   /** Per-frame mutable decoder state: accumulated output (match
     * window), repeat offsets, and the tables `repeat`/treeless modes
-    * reuse across blocks.
+    * reuse across blocks. A dictionary preloads the window, the repeat
+    * offsets and the entropy tables; its `dictLen` prefix never leaves
+    * the frame.
     */
-  private final class FrameState {
+  private final class FrameState(dict: ZstdDict = null) {
     var buf = new Array[Byte](64 * 1024)
     var len = 0
     val reps = Array(1, 4, 8)
@@ -781,6 +836,12 @@ object Zstd {
     var llT: FseTable = null
     var mlT: FseTable = null
     var ofT: FseTable = null
+    val dictLen: Int = if (dict == null) 0 else dict.content.length
+    if (dict != null) {
+      huf = dict.huf; llT = dict.llT; mlT = dict.mlT; ofT = dict.ofT
+      System.arraycopy(dict.reps, 0, reps, 0, 3)
+      append(dict.content, 0, dict.content.length)
+    }
     def ensure(extra: Int): Unit = {
       require(len.toLong + extra <= MaxOutput,
         s"zstd output exceeds the $MaxOutput-byte ceiling (bomb guard)")
@@ -1023,7 +1084,18 @@ object Zstd {
   /** Decode a (possibly multi-frame) zstd payload, verifying every
     * content checksum present.
     */
-  def decode(p: Array[Byte]): ZstdInfo = {
+  def decode(p: Array[Byte]): ZstdInfo = decodeWith(p, null)
+
+  /** Decode with a dictionary — `dict` is either a structured
+    * dictionary (magic 0xEC30A437: entropy tables + repeat offsets +
+    * content) or raw content bytes; every frame starts from the
+    * dictionary's window/tables/offsets, and a frame-declared
+    * dictionary ID must match a structured dictionary's.
+    */
+  def decode(p: Array[Byte], dict: Array[Byte]): ZstdInfo =
+    decodeWith(p, new ZstdDict(dict))
+
+  private def decodeWith(p: Array[Byte], dict: ZstdDict): ZstdInfo = {
     var o = 0
     var nFrames = 0
     var nSkippable = 0
@@ -1069,9 +1141,13 @@ object Zstd {
           require(o + dictBytes <= p.length, "torn zstd: dictionary ID")
           var dictId = 0L
           for (i <- 0 until dictBytes) dictId |= (p(o + i) & 0xffL) << (8 * i)
-          require(dictId == 0,
-            s"zstd dictionary frames unsupported (dictionary_ID $dictId; " +
-              "documented seam — shards must be self-contained)")
+          if (dict == null)
+            require(dictId == 0,
+              s"zstd frame declares dictionary_ID $dictId but no " +
+                "dictionary was provided (pass one to decode(p, dict))")
+          else require(dict.id == 0 || dict.id == dictId,
+            s"zstd dictionary mismatch: frame wants ID $dictId, " +
+              s"dictionary carries ${dict.id}")
           o += dictBytes
         }
         val fcsBytes = fcsFlag match {
@@ -1097,7 +1173,7 @@ object Zstd {
         require(windowSize <= MaxWindow,
           s"zstd window $windowSize exceeds the $MaxWindow-byte cap " +
             "(scale guard)")
-        val st = new FrameState
+        val st = new FrameState(dict)
         var last = false
         while (!last) {
           require(o + 3 <= p.length, "torn zstd: block header")
@@ -1129,21 +1205,23 @@ object Zstd {
                 "reserved zstd block type 3")
           }
         }
+        // the dictionary prefix is window history, never frame output
+        val produced = st.len - st.dictLen
         if (contentSize >= 0)
-          require(st.len == contentSize,
-            s"torn zstd: decoded ${st.len} bytes, header declared " +
+          require(produced == contentSize,
+            s"torn zstd: decoded $produced bytes, header declared " +
               s"$contentSize")
         if (checksumFlag == 1) {
           require(o + 4 <= p.length, "torn zstd: missing content checksum")
           val want = le32(p, o) & 0xffffffffL
-          val got = xxh64(st.buf, 0, st.len, 0L) & 0xffffffffL
+          val got = xxh64(st.buf, st.dictLen, produced, 0L) & 0xffffffffL
           require(got == want,
             f"zstd content checksum mismatch (got 0x$got%08x, " +
               f"want 0x$want%08x)")
           o += 4
           nChecksums += 1
         }
-        out.write(st.buf, 0, st.len)
+        out.write(st.buf, st.dictLen, produced)
         nFrames += 1
       }
     }

@@ -162,6 +162,44 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary frames decode: a TRAINED structured dictionary " +
+      "(entropy tables + rep offsets) and a raw-content dictionary, " +
+      "both jni-compressed") {
+    // samples that share heavy structure → a useful trained dictionary
+    val samples = (0 until 200).map(i =>
+      (s"""{"user":"u${i % 17}","event":"evt_${i % 5}","payload":""" +
+        s""""${"x" * (i % 23)}","seq":$i}""").getBytes("UTF-8"))
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      1 << 20, 16 * 1024)
+    for (s <- samples; _ <- 0 until 4) trainer.addSample(s)
+    val trained = trainer.trainSamples()
+    assert(trained.length > 256) // magic + tables + content
+    val doc = samples(123)
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    val packedTrained = try {
+      ctx.setLevel(9)
+      ctx.loadDict(trained)
+      ctx.compress(doc)
+    } finally ctx.close()
+    val got = Zstd.decode(packedTrained, trained)
+    assert(got.content.sameElements(doc))
+    // without the dictionary the frame must reject loudly by ID
+    val e = intercept[IllegalArgumentException](Zstd.decode(packedTrained))
+    assert(e.getMessage.contains("dictionary"), e.getMessage)
+    // raw-content dictionary (no magic): pure window preload
+    val rawDict = ("common prefix material the documents share " * 40)
+      .getBytes("UTF-8")
+    val doc2 = ("common prefix material the documents share " * 3 +
+      "plus a unique tail 12345").getBytes("UTF-8")
+    val ctx2 = new com.github.luben.zstd.ZstdCompressCtx()
+    val packedRaw = try {
+      ctx2.setLevel(19)
+      ctx2.loadDict(rawDict)
+      ctx2.compress(doc2)
+    } finally ctx2.close()
+    assert(Zstd.decode(packedRaw, rawDict).content.sameElements(doc2))
+  }
+
   test("torn streams reject loudly by name") {
     val notZstd = intercept[IllegalArgumentException](
       Zstd.decode("definitely not a zstd frame".getBytes("US-ASCII")))
