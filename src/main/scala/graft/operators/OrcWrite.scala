@@ -1,0 +1,439 @@
+package graft.operators
+
+/** ORC WRITER from scratch (pure JVM) — the write-side twin of
+  * [[OrcData]]/[[OrcMeta]], completing ownership of the second columnar
+  * format in both directions (parquet already has
+  * [[ParquetData]]/[[ParquetWrite]]). Emits the classic uncompressed
+  * shape every ORC reader accepts:
+  *
+  *   - "ORC" 3-byte header, stripes of DATA streams (no row indexes:
+  *     `rowIndexStride = 0`, the `orc.create.index=false` layout),
+  *     per-stripe StripeFooter protobuf, file Footer + Postscript
+  *     protobufs, trailing postscript-length byte — all protobuf wire
+  *     format written by hand (varint keys, length-delimited
+  *     messages), mirrored against [[OrcMeta.PReader]];
+  *   - PRESENT streams as boolean RLE (bits MSB-first behind byte-RLE
+  *     literal groups), only on columns that actually carry nulls;
+  *   - integer columns (INT/LONG/DATE) as RLEv2 DIRECT runs of ≤ 512
+  *     zigzagged values at the run's closest fixed bit width — one of
+  *     the four spec sub-encodings, legal for any data;
+  *   - DOUBLE as the IEEE little-endian stream, BOOLEAN as bit RLE,
+  *     STRING as DIRECT_V2 (unsigned RLEv2 LENGTH + concatenated
+  *     UTF-8 DATA);
+  *   - compression NONE (postscript kind 0): streams are raw, the
+  *     layout foreign writers produce with `orc.compress=NONE`.
+  *
+  * Validated the strong way in OrcWriteSpec: Spark's own orc-core
+  * reader — the independent implementation — must read written files
+  * row-identically, and this repo's [[OrcData.readRows]] must
+  * round-trip them. Formats per the public ORC v1 specification
+  * (orc_proto.proto field ids, RLE sections).
+  *
+  * Scale shape: same contract as [[ParquetWrite]] — the distributed
+  * surface writes one file per partition where the data is, stripes
+  * split at a caller-set row count so multi-GB buffers can't
+  * accumulate, and every stripe offset the footer records is absolute.
+  */
+object OrcWrite {
+
+  /** One column of the flat struct schema; `kind` uses orc_proto
+    * Type.Kind ids (0 BOOLEAN, 3 INT, 4 LONG, 6 DOUBLE, 7 STRING,
+    * 15 DATE).
+    */
+  final case class OwField(name: String, kind: Int)
+
+  object OwFields {
+    def boolean(n: String): OwField = OwField(n, 0)
+    def int(n: String): OwField = OwField(n, 3)
+    def long(n: String): OwField = OwField(n, 4)
+    def double(n: String): OwField = OwField(n, 6)
+    def string(n: String): OwField = OwField(n, 7)
+    def date(n: String): OwField = OwField(n, 15)
+  }
+
+  // -------------------------------------------------------------------
+  // protobuf wire writer (mirror of OrcMeta.PReader)
+
+  private final class PB {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt)
+        v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+    def uint(field: Int, v: Long): Unit = {
+      varint((field.toLong << 3) | 0); varint(v)
+    }
+    def bytes(field: Int, b: Array[Byte]): Unit = {
+      varint((field.toLong << 3) | 2); varint(b.length.toLong)
+      out.write(b, 0, b.length)
+    }
+    def str(field: Int, s: String): Unit = bytes(field, s.getBytes("UTF-8"))
+    def msg(field: Int)(f: PB => Unit): Unit = {
+      val inner = new PB
+      f(inner)
+      bytes(field, inner.out.toByteArray)
+    }
+    def toByteArray: Array[Byte] = out.toByteArray
+  }
+
+  // -------------------------------------------------------------------
+  // run-length encoders (the encode direction of OrcData's decoders)
+
+  /** Byte RLE, literal-group form: headers −n (n ≤ 128) then n raw
+    * bytes — spec-legal for any content.
+    */
+  private def byteRleLiteral(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + b.length / 128 + 1)
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(128, b.length - i)
+      out.write(-n)
+      out.write(b, i, n)
+      i += n
+    }
+    out.toByteArray
+  }
+
+  /** Boolean RLE: bits packed MSB-first into bytes, then byte RLE. */
+  private def boolRleBits(bits: Array[Boolean], n: Int): Array[Byte] = {
+    val packed = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (bits(i))
+        packed(i >> 3) = (packed(i >> 3) | (1 << (7 - (i & 7)))).toByte
+      i += 1
+    }
+    byteRleLiteral(packed)
+  }
+
+  private def width5Code(w: Int): Int = w match {
+    case w if w >= 1 && w <= 24 => w - 1
+    case 26 => 24
+    case 28 => 25
+    case 30 => 26
+    case 32 => 27
+    case 40 => 28
+    case 48 => 29
+    case 56 => 30
+    case 64 => 31
+    case _ => throw new IllegalArgumentException(s"unencodable width $w")
+  }
+
+  private def closestFixedBits(n: Int): Int =
+    if (n <= 24) math.max(n, 1)
+    else if (n <= 26) 26 else if (n <= 28) 28 else if (n <= 30) 30
+    else if (n <= 32) 32 else if (n <= 40) 40 else if (n <= 48) 48
+    else if (n <= 56) 56 else 64
+
+  /** Integer RLEv2 as DIRECT runs of ≤ 512 values (zigzag when
+    * `signed`), each at the run's closest fixed bit width, bits packed
+    * big-endian — the general-purpose sub-encoding.
+    */
+  private def rleV2Direct(vals: Array[Long], n: Int,
+      signed: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(n + 16)
+    var i = 0
+    while (i < n) {
+      val len = math.min(512, n - i)
+      var maxBits = 1
+      var k = 0
+      while (k < len) {
+        val v = vals(i + k)
+        val u = if (signed) (v << 1) ^ (v >> 63) else v
+        val bits = 64 - java.lang.Long.numberOfLeadingZeros(u)
+        if (bits > maxBits) maxBits = bits.toInt
+        k += 1
+      }
+      val w = closestFixedBits(maxBits)
+      val code = width5Code(w)
+      out.write(0x40 | (code << 1) | ((len - 1) >>> 8))
+      out.write((len - 1) & 0xff)
+      var acc = 0L
+      var nAcc = 0
+      k = 0
+      while (k < len) {
+        val v = vals(i + k)
+        val u = if (signed) (v << 1) ^ (v >> 63) else v
+        // big-endian bit packing, possibly > 56 bits pending: flush first
+        var left = w
+        while (left > 0) {
+          val take = math.min(left, 56 - nAcc)
+          val chunk =
+            if (left == 64 && take == 64) u
+            else (u >>> (left - take)) & ((1L << take) - 1)
+          acc = (acc << take) | chunk
+          nAcc += take
+          left -= take
+          while (nAcc >= 8) {
+            out.write(((acc >>> (nAcc - 8)) & 0xff).toInt)
+            nAcc -= 8
+          }
+        }
+        k += 1
+      }
+      if (nAcc > 0) { // pad the final partial byte with zero bits
+        out.write(((acc << (8 - nAcc)) & 0xff).toInt)
+        nAcc = 0
+      }
+      i += len
+    }
+    out.toByteArray
+  }
+
+  // -------------------------------------------------------------------
+  // stream building
+
+  private final case class BuiltStream(kind: Int, column: Int,
+      bytes: Array[Byte])
+
+  private val K_PRESENT = 0
+  private val K_DATA = 1
+  private val K_LENGTH = 2
+
+  /** Build one column's streams for one stripe's buffered values. */
+  private def buildColumn(f: OwField, colId: Int,
+      vals: Array[Any], n: Int): Seq[BuiltStream] = {
+    val streams = Seq.newBuilder[BuiltStream]
+    var nulls = 0
+    var i = 0
+    while (i < n) { if (vals(i) == null) nulls += 1; i += 1 }
+    val nonNull = n - nulls
+    if (nulls > 0) {
+      val present = new Array[Boolean](n)
+      i = 0
+      while (i < n) { present(i) = vals(i) != null; i += 1 }
+      streams += BuiltStream(K_PRESENT, colId, boolRleBits(present, n))
+    }
+    f.kind match {
+      case 0 => // BOOLEAN: bit RLE over non-null values
+        val bits = new Array[Boolean](nonNull)
+        var v = 0
+        i = 0
+        while (i < n) {
+          if (vals(i) != null) {
+            bits(v) = vals(i).asInstanceOf[Boolean]; v += 1
+          }
+          i += 1
+        }
+        streams += BuiltStream(K_DATA, colId, boolRleBits(bits, nonNull))
+      case 3 | 4 | 15 => // INT / LONG / DATE: signed RLEv2
+        val longs = new Array[Long](nonNull)
+        var v = 0
+        i = 0
+        while (i < n) {
+          vals(i) match {
+            case null => ()
+            case x: Int => longs(v) = x.toLong; v += 1
+            case x: Long => longs(v) = x; v += 1
+            case x => throw new IllegalArgumentException(
+              s"column '${f.name}' got ${x.getClass.getName}")
+          }
+          i += 1
+        }
+        streams += BuiltStream(K_DATA, colId,
+          rleV2Direct(longs, nonNull, signed = true))
+      case 6 => // DOUBLE: IEEE LE
+        val out = new java.io.ByteArrayOutputStream(8 * nonNull)
+        i = 0
+        while (i < n) {
+          if (vals(i) != null) {
+            val bits = java.lang.Double.doubleToRawLongBits(
+              vals(i).asInstanceOf[Double])
+            var j = 0
+            while (j < 8) {
+              out.write(((bits >>> (8 * j)) & 0xff).toInt); j += 1
+            }
+          }
+          i += 1
+        }
+        streams += BuiltStream(K_DATA, colId, out.toByteArray)
+      case 7 => // STRING DIRECT_V2: unsigned LENGTH + UTF-8 DATA
+        val lens = new Array[Long](nonNull)
+        val data = new java.io.ByteArrayOutputStream()
+        var v = 0
+        i = 0
+        while (i < n) {
+          if (vals(i) != null) {
+            val b = vals(i) match {
+              case s: String => s.getBytes("UTF-8")
+              case x => throw new IllegalArgumentException(
+                s"column '${f.name}' got ${x.getClass.getName}")
+            }
+            lens(v) = b.length.toLong
+            data.write(b, 0, b.length)
+            v += 1
+          }
+          i += 1
+        }
+        streams += BuiltStream(K_DATA, colId, data.toByteArray)
+        streams += BuiltStream(K_LENGTH, colId,
+          rleV2Direct(lens, nonNull, signed = false))
+      case k => throw new IllegalArgumentException(
+        s"ORC writer kind $k unsupported " +
+          "(BOOLEAN/INT/LONG/DOUBLE/STRING/DATE)")
+    }
+    streams.result()
+  }
+
+  private final case class StripeInfo(offset: Long, dataLength: Long,
+      footerLength: Long, rows: Long)
+
+  /** Write one complete ORC file; returns the row count. `rows` yields
+    * one `Array[Any]` per row aligned with `fields` (nulls as null;
+    * BOOLEAN/INT/LONG/DOUBLE/STRING/DATE carried as
+    * Boolean/Int/Long/Double/String/Int-epoch-days).
+    */
+  def writeFile(path: java.nio.file.Path, fields: Seq[OwField],
+      rows: Iterator[Array[Any]], stripeRows: Int = 1 << 16): Long = {
+    require(fields.nonEmpty, "ORC writer needs at least one field")
+    require(stripeRows > 0, s"bad stripe row count $stripeRows")
+    val os = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path))
+    var pos = 0L
+    def emit(b: Array[Byte]): Unit = {
+      os.write(b, 0, b.length); pos += b.length
+    }
+    try {
+      emit("ORC".getBytes("US-ASCII"))
+      val stripes = Vector.newBuilder[StripeInfo]
+      var total = 0L
+      val batch = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
+      def flushStripe(): Unit = if (batch.nonEmpty) {
+        val n = batch.length
+        val stripeStart = pos
+        val streams = fields.zipWithIndex.flatMap { case (f, c) =>
+          val colVals = new Array[Any](n)
+          var i = 0
+          while (i < n) { colVals(i) = batch(i)(c); i += 1 }
+          buildColumn(f, c + 1, colVals, n)
+        }
+        for (s <- streams) emit(s.bytes)
+        val dataLength = pos - stripeStart
+        val sf = new PB
+        for (s <- streams) sf.msg(1) { m =>
+          m.uint(1, s.kind.toLong)
+          m.uint(2, s.column.toLong)
+          m.uint(3, s.bytes.length.toLong)
+        }
+        sf.msg(2)(_.uint(1, 0L)) // root struct: DIRECT
+        for (f <- fields) sf.msg(2) { m =>
+          m.uint(1, f.kind match {
+            case 3 | 4 | 7 | 15 => 2L // DIRECT_V2
+            case _ => 0L // DIRECT (boolean/double)
+          })
+        }
+        val sfb = sf.toByteArray
+        emit(sfb)
+        stripes += StripeInfo(stripeStart, dataLength, sfb.length.toLong,
+          n.toLong)
+        total += n
+        batch.clear()
+      }
+      while (rows.hasNext) {
+        val r = rows.next()
+        require(r.length == fields.length,
+          s"row arity ${r.length} vs ${fields.length} fields")
+        batch += r
+        if (batch.length >= stripeRows) flushStripe()
+      }
+      flushStripe()
+      val contentLength = pos
+      val fo = new PB
+      fo.uint(1, 3L) // headerLength ("ORC")
+      fo.uint(2, contentLength)
+      for (s <- stripes.result()) fo.msg(3) { m =>
+        m.uint(1, s.offset)
+        m.uint(2, 0L) // indexLength: no row indexes
+        m.uint(3, s.dataLength)
+        m.uint(4, s.footerLength)
+        m.uint(5, s.rows)
+      }
+      fo.msg(4) { m => // root struct type
+        m.uint(1, 12L)
+        for (i <- fields.indices) m.uint(2, (i + 1).toLong)
+        for (f <- fields) m.str(3, f.name)
+      }
+      for (f <- fields) fo.msg(4)(_.uint(1, f.kind.toLong))
+      fo.uint(6, total) // numberOfRows
+      fo.uint(8, 0L) // rowIndexStride: none
+      val fob = fo.toByteArray
+      emit(fob)
+      val ps = new PB
+      ps.uint(1, fob.length.toLong) // footerLength
+      ps.uint(2, 0L) // compression: NONE
+      ps.msg(4) { m => // version [0, 12] — packed repeated uint32
+        m.varint(0L); m.varint(12L)
+      }
+      ps.uint(5, 0L) // metadataLength
+      ps.uint(6, 1L) // writerVersion
+      ps.str(8000, "ORC")
+      val psb = ps.toByteArray
+      require(psb.length <= 255, "postscript too long")
+      emit(psb)
+      emit(Array(psb.length.toByte))
+      total
+    } finally os.close()
+  }
+
+  /** Map a Spark schema to writer fields; unsupported types reject
+    * loudly by name.
+    */
+  def fieldsOf(schema: org.apache.spark.sql.types.StructType)
+      : Seq[OwField] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case BooleanType => OwFields.boolean(f.name)
+        case IntegerType => OwFields.int(f.name)
+        case LongType => OwFields.long(f.name)
+        case DoubleType => OwFields.double(f.name)
+        case StringType => OwFields.string(f.name)
+        case DateType => OwFields.date(f.name)
+        case t => throw new IllegalArgumentException(
+          s"ORC writer: column '${f.name}' type ${t.sql} unsupported")
+      }
+    }
+  }
+
+  /** Distributed write: every partition writes its own
+    * `part-NNNNN.orc` with [[writeFile]] — the writer runs WHERE THE
+    * DATA IS, one task per partition, no driver collection — then
+    * `_SUCCESS` commits the directory. Returns the row count.
+    */
+  def writeDataFrame(df: org.apache.spark.sql.DataFrame, dir: String,
+      stripeRows: Int = 1 << 16): Long = {
+    import org.apache.spark.sql.types._
+    val fields = fieldsOf(df.schema)
+    val schema = df.schema
+    val target = new java.io.File(dir)
+    target.mkdirs()
+    val adapt: Array[Any => Any] = schema.fields.map[Any => Any] { f =>
+      f.dataType match {
+        case DateType => {
+          case null => null
+          case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+          case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+          case v => v
+        }
+        case _ => identity
+      }
+    }
+    val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
+      val f = new java.io.File(target, f"part-$i%05d.orc")
+      val rs = it.map { row =>
+        Array.tabulate[Any](fields.length)(c =>
+          if (row.isNullAt(c)) null else adapt(c)(row.get(c)))
+      }
+      val n = writeFile(f.toPath, fields, rs, stripeRows)
+      if (n == 0) f.delete() // empty partitions leave no file
+      Iterator.single(n)
+    }.collect().sum
+    new java.io.FileOutputStream(new java.io.File(target, "_SUCCESS"))
+      .close()
+    counts
+  }
+}

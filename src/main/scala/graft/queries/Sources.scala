@@ -1358,6 +1358,47 @@ object Sources {
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // S35: the from-scratch ORC WRITER (operators.OrcWrite) end-to-end —
+  // the ORC twin of s31: the engine WRITES its second storage format
+  // without orc-core (hand-built protobuf postscript/footer/stripe
+  // footers, RLEv2 DIRECT integer runs, boolean-RLE present streams,
+  // DIRECT_V2 strings), distributed one file per partition where the
+  // data is. The read-back goes through Spark's OWN orc-core reader —
+  // the independent implementation — so a wrong proto field id, broken
+  // RLE run or misplaced stream offset fails the scan or the value
+  // compare; the oracle re-derives the aggregate from the source table.
+  private def s35OrcWrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orcwrite-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      graft.operators.OrcWrite.writeDataFrame(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartition(s.sparkContext.defaultParallelism),
+        tmp)
+    }
+    s.read.orc(tmp)
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0)
+        .as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s35OrcWriteSql =
+    """SELECT event_type,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  count(DISTINCT user_id) AS n_users,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // S15: XML ingestion through Spark 4's NATIVE XML data source — the
   // crawl-adjacent feed shape (sitemaps, RSS, product feeds) next to the
   // archive family. Unlike s12–s14 (byte-framing formats that need a
@@ -1540,7 +1581,8 @@ object Sources {
     "s31_parquet_write" -> s31ParquetWrite _,
     "s32_rich_scan" -> s32RichScan _,
     "s33_orc_rich" -> s33OrcRich _,
-    "s34_table_scan" -> s34TableScan _
+    "s34_table_scan" -> s34TableScan _,
+    "s35_orc_write" -> s35OrcWrite _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1571,6 +1613,7 @@ object Sources {
     "s31_parquet_write" -> s31ParquetWriteSql,
     "s32_rich_scan" -> s32RichScanSql,
     "s33_orc_rich" -> s33OrcRichSql,
-    "s34_table_scan" -> s34TableScanSql
+    "s34_table_scan" -> s34TableScanSql,
+    "s35_orc_write" -> s35OrcWriteSql
   )
 }
