@@ -238,18 +238,16 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] StateStore.stop after $name: $e")
       }
-      // Drop every block the query's pipeline left pinned in the block
-      // manager (localCheckpoint persists its RDD and nothing ever
-      // unpersists it — ContextCleaner only reclaims after a full GC
-      // notices the dead reference). Accumulated blocks squeeze the
-      // unified memory region's execution half, which makes LATER
-      // queries' joins and aggregations spill — real extra CPU the
-      // contention probe can't see. Untimed: runs between queries.
-      try spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] unpersist after $name: $e")
-      }
+      // NO blanket RDD unpersist here. It was tried (r15) against the
+      // theory that leaked localCheckpoint blocks squeeze execution
+      // memory: it broke every query that MEMOIZES a checkpointed frame
+      // across queries (the sim_* family's shared IVF structures died
+      // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — a localCheckpointed
+      // RDD's lineage is truncated, so an unpersisted block is gone for
+      // good). Cross-query in-memory caches are intentional build-once
+      // fixtures; the block manager's own eviction handles pressure,
+      // and the per-query gc/jit record now shows where CPU actually
+      // goes if in-shard inflation ever recurs.
       QRes(name, bestWall, bestCpu, reps, cut, outcome, bestGc, bestJit)
     }
     (results, budgetExhausted)

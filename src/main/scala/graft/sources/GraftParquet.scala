@@ -426,8 +426,22 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       val plans = GraftParquet.fieldPlans(footer.schema)
       val byName = plans.map(p => p.name -> p).toMap
       val reqPlans = required.fields.map { rf =>
-        byName.getOrElse(rf.name, throw new IllegalArgumentException(
-          s"graftpq: column '${rf.name}' not in ${f.getName}"))
+        val plan = byName.getOrElse(rf.name,
+          throw new IllegalArgumentException(
+            s"graftpq: column '${rf.name}' not in ${f.getName}"))
+        // Catalyst's nested-schema pruning can request a struct with a
+        // SUBSET of the file's fields in a DIFFERENT ORDER — the
+        // reader must emit exactly the required inner layout, so the
+        // plan's field list is restricted and reordered to match
+        (plan, rf.dataType) match {
+          case (sp: GraftParquet.StructPlan, st: StructType) =>
+            sp.copy(fields = st.fields.map(inner =>
+              sp.fields.find(_.field.name == inner.name).getOrElse(
+                throw new IllegalArgumentException(
+                  s"graftpq: struct field '${rf.name}.${inner.name}' " +
+                    s"not in ${f.getName}"))).toSeq)
+          case _ => plan
+        }
       }.toSeq
       val statLeaves = plans.collect { case fp: GraftParquet.FlatPlan =>
         fp.leaf.field.name -> fp.leaf.field

@@ -103,6 +103,30 @@ class GraftParquetSpec extends AnyFunSuite {
       // schema parity, nullability included (list/struct/decimal shapes)
       assert(spark.read.format("graftpq").load(dir).schema ==
         spark.read.parquet(dir).schema)
+      // nested-schema pruning hands pruneColumns a struct with a
+      // subset of fields in ITS order, not the file's — the r15 sweep
+      // caught the reader emitting file order (Long where Catalyst
+      // read a UTF8String). Reference the fields in reversed order and
+      // through an aggregate so the pruned shapes actually plan.
+      import org.apache.spark.sql.functions.{col => c, min => mn, count}
+      val byTag = spark.read.format("graftpq").load(dir)
+        .groupBy(c("meta").getField("tag").as("tag"))
+        .agg(mn(c("meta").getField("u")).as("min_u"),
+          count(lit(1)).as("n"))
+        .collect().map(_.toSeq).sortBy(r => String.valueOf(r.head))
+      val byTagWant = spark.read.parquet(dir)
+        .groupBy(c("meta").getField("tag").as("tag"))
+        .agg(mn(c("meta").getField("u")).as("min_u"),
+          count(lit(1)).as("n"))
+        .collect().map(_.toSeq).sortBy(r => String.valueOf(r.head))
+      assert(byTag.toSeq == byTagWant.toSeq)
+      val onlyTag = spark.read.format("graftpq").load(dir)
+        .select(c("meta").getField("tag").as("t2")).collect()
+        .map(r => String.valueOf(r.get(0))).sorted
+      val onlyTagWant = spark.read.parquet(dir)
+        .select(c("meta").getField("tag").as("t2")).collect()
+        .map(r => String.valueOf(r.get(0))).sorted
+      assert(onlyTag.toSeq == onlyTagWant.toSeq)
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(dir))
   }
