@@ -20,8 +20,11 @@ package graft.operators
   *   - DOUBLE as the IEEE little-endian stream, BOOLEAN as bit RLE,
   *     STRING as DIRECT_V2 (unsigned RLEv2 LENGTH + concatenated
   *     UTF-8 DATA);
-  *   - compression NONE (postscript kind 0): streams are raw, the
-  *     layout foreign writers produce with `orc.compress=NONE`.
+  *   - compression NONE (postscript kind 0, raw streams) or ZSTD
+  *     (kind 5): every stream, stripe footer and file footer framed in
+  *     the ORC chunk format — 3-byte LE `(len << 1) | isOriginal`
+  *     headers, bodies through THIS REPO'S OWN [[Zstd.compress]], raw
+  *     chunks where entropy coding cannot shrink the block.
   *
   * Validated the strong way in OrcWriteSpec: Spark's own orc-core
   * reader — the independent implementation — must read written files
@@ -282,15 +285,46 @@ object OrcWrite {
   private final case class StripeInfo(offset: Long, dataLength: Long,
       footerLength: Long, rows: Long)
 
+  /** ORC chunk framing for one compressed section: 3-byte LE headers
+    * `(len << 1) | isOriginal`, bodies ≤ `blockSize`, each chunk a
+    * [[Zstd.compress]] frame unless raw is smaller.
+    */
+  private def frameZstd(b: Array[Byte], blockSize: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length / 2 + 8)
+    var off = 0
+    while (off < b.length) {
+      val n = math.min(blockSize, b.length - off)
+      val packed = Zstd.compress(
+        java.util.Arrays.copyOfRange(b, off, off + n))
+      val (body, orig) =
+        if (packed.length < n) (packed, 0) else (null, 1)
+      val len = if (orig == 1) n else body.length
+      val hdr = (len << 1) | orig
+      out.write(hdr & 0xff); out.write((hdr >>> 8) & 0xff)
+      out.write((hdr >>> 16) & 0xff)
+      if (orig == 1) out.write(b, off, n)
+      else out.write(body, 0, body.length)
+      off += n
+    }
+    out.toByteArray
+  }
+
   /** Write one complete ORC file; returns the row count. `rows` yields
     * one `Array[Any]` per row aligned with `fields` (nulls as null;
     * BOOLEAN/INT/LONG/DOUBLE/STRING/DATE carried as
-    * Boolean/Int/Long/Double/String/Int-epoch-days).
+    * Boolean/Int/Long/Double/String/Int-epoch-days). `compression` is
+    * the orc_proto CompressionKind: 0 NONE or 5 ZSTD.
     */
   def writeFile(path: java.nio.file.Path, fields: Seq[OwField],
-      rows: Iterator[Array[Any]], stripeRows: Int = 1 << 16): Long = {
+      rows: Iterator[Array[Any]], stripeRows: Int = 1 << 16,
+      compression: Int = 0): Long = {
     require(fields.nonEmpty, "ORC writer needs at least one field")
     require(stripeRows > 0, s"bad stripe row count $stripeRows")
+    require(compression == 0 || compression == 5,
+      s"ORC writer compression $compression unsupported (NONE=0, ZSTD=5)")
+    val blockSize = 1 << 18
+    def packed(b: Array[Byte]): Array[Byte] =
+      if (compression == 0) b else frameZstd(b, blockSize)
     val os = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(path))
     var pos = 0L
@@ -310,7 +344,7 @@ object OrcWrite {
           var i = 0
           while (i < n) { colVals(i) = batch(i)(c); i += 1 }
           buildColumn(f, c + 1, colVals, n)
-        }
+        }.map(s => s.copy(bytes = packed(s.bytes))) // on-disk framing
         for (s <- streams) emit(s.bytes)
         val dataLength = pos - stripeStart
         val sf = new PB
@@ -326,7 +360,7 @@ object OrcWrite {
             case _ => 0L // DIRECT (boolean/double)
           })
         }
-        val sfb = sf.toByteArray
+        val sfb = packed(sf.toByteArray)
         emit(sfb)
         stripes += StripeInfo(stripeStart, dataLength, sfb.length.toLong,
           n.toLong)
@@ -360,11 +394,12 @@ object OrcWrite {
       for (f <- fields) fo.msg(4)(_.uint(1, f.kind.toLong))
       fo.uint(6, total) // numberOfRows
       fo.uint(8, 0L) // rowIndexStride: none
-      val fob = fo.toByteArray
+      val fob = packed(fo.toByteArray)
       emit(fob)
       val ps = new PB
       ps.uint(1, fob.length.toLong) // footerLength
-      ps.uint(2, 0L) // compression: NONE
+      ps.uint(2, compression.toLong)
+      if (compression != 0) ps.uint(3, blockSize.toLong)
       ps.msg(4) { m => // version [0, 12] — packed repeated uint32
         m.varint(0L); m.varint(12L)
       }
@@ -405,7 +440,7 @@ object OrcWrite {
     * `_SUCCESS` commits the directory. Returns the row count.
     */
   def writeDataFrame(df: org.apache.spark.sql.DataFrame, dir: String,
-      stripeRows: Int = 1 << 16): Long = {
+      stripeRows: Int = 1 << 16, compression: Int = 0): Long = {
     import org.apache.spark.sql.types._
     val fields = fieldsOf(df.schema)
     val schema = df.schema
@@ -428,7 +463,7 @@ object OrcWrite {
         Array.tabulate[Any](fields.length)(c =>
           if (row.isNullAt(c)) null else adapt(c)(row.get(c)))
       }
-      val n = writeFile(f.toPath, fields, rs, stripeRows)
+      val n = writeFile(f.toPath, fields, rs, stripeRows, compression)
       if (n == 0) f.delete() // empty partitions leave no file
       Iterator.single(n)
     }.collect().sum

@@ -1369,7 +1369,7 @@ object Sources {
   // compare; the oracle re-derives the aggregate from the source table.
   private def s35OrcWrite(s: SparkSession, dir: String): DataFrame = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-orcwrite-${graft.Tables.fingerprint(dir, "events")}")
+      s"graft-orcwz-${graft.Tables.fingerprint(dir, "events")}")
       .getAbsolutePath
     if (!new java.io.File(tmp, "_SUCCESS").exists()) {
       graft.operators.OrcWrite.writeDataFrame(
@@ -1377,7 +1377,7 @@ object Sources {
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"))
           .repartition(s.sparkContext.defaultParallelism),
-        tmp)
+        tmp, compression = 5) // every section through our own zstd
     }
     s.read.orc(tmp)
       .groupBy(col("event_type"))

@@ -79,6 +79,39 @@ class OrcWriteSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
 
+  test("ZSTD-framed files (every section through our own compressor) " +
+      "read back via orc-core AND this repo's reader, and shrink") {
+    val dir = tmpDir("zstd")
+    val dirNone = tmpDir("none")
+    try {
+      val fields = Seq(OwFields.long("id"), OwFields.string("ev"),
+        OwFields.double("d"))
+      def rows = (0 until 30000).iterator.map(i => Array[Any](
+        Long.box(i.toLong),
+        if (i % 50 == 0) null else s"type_${i % 8}", // repetitive
+        Double.box((i % 300) * 0.25)))
+      val fz = new java.io.File(dir, "part-00000.orc")
+      OrcWrite.writeFile(fz.toPath, fields, rows, stripeRows = 8000,
+        compression = 5)
+      val fn = new java.io.File(dirNone, "part-00000.orc")
+      OrcWrite.writeFile(fn.toPath, fields, rows, stripeRows = 8000)
+      assert(fz.length() < fn.length() / 2,
+        s"zstd ${fz.length()} vs none ${fn.length()}")
+      val got = spark.read.orc(dir.toString) // orc-core + its zstd
+      assert(got.count() == 30000)
+      assert(got.filter("ev = 'type_3'").count() ==
+        (0 until 30000).count(i => i % 50 != 0 && i % 8 == 3))
+      val bytes = java.nio.file.Files.readAllBytes(fz.toPath)
+      val own = OrcData.readRows(bytes, Seq("id", "ev", "d")).toVector
+      assert(own.length == 30000)
+      assert(own(3)(1) == "type_3" && own(50)(1) == null)
+      assert(own(299)(2) == 299 * 0.25)
+    } finally {
+      graft.streaming.WorkDirs.deleteRecursively(dir)
+      graft.streaming.WorkDirs.deleteRecursively(dirNone)
+    }
+  }
+
   test("writeDataFrame writes one file per partition where the data " +
       "is; Spark reads the directory back row-identically") {
     import spark.implicits._
