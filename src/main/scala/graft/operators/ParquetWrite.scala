@@ -559,7 +559,13 @@ object ParquetWrite {
         w.i64(3, g.numRows)
         w.structEnd()
       }
-      w.str(6, "graft")
+      // created_by must parse under parquet-mr's VersionParser
+      // ("<app> version <ver> (build <hash>)") — an unparseable string
+      // trips the PARQUET-251 corrupt-statistics guard and makes
+      // foreign readers IGNORE the written min/max (observed: orc-mr
+      // logged "Ignoring statistics because created_by could not be
+      // parsed: graft" and lost pruning on our files)
+      w.str(6, "graft version 1.0.0 (build graft)")
       w.structEnd()
       val footer = fb.toByteArray
       emit(footer)

@@ -218,6 +218,31 @@ class ParquetWriteSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
 
+  test("parquet-mr ACCEPTS the written statistics: created_by parses, " +
+      "so the PARQUET-251 corrupt-stats guard stays quiet") {
+    val dir = tmpDir("createdby")
+    try {
+      val f = new java.io.File(dir, "part-00000.parquet")
+      ParquetWrite.writeFile(f.toPath,
+        Seq(PwFields.int64("id"), PwFields.string("s")),
+        (0 until 500).iterator.map(i =>
+          Array[Any](Long.box(i.toLong), s"v$i")), codec = 1)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sessionState.newHadoopConf()))
+      try {
+        val col = reader.getFooter.getBlocks.get(0).getColumns.get(0)
+        val st = col.getStatistics
+        assert(st != null && st.hasNonNullValue,
+          "parquet-mr dropped the written min/max — created_by no " +
+            "longer parses under VersionParser")
+        assert(st.genericGetMin.asInstanceOf[Number].longValue == 0L)
+        assert(st.genericGetMax.asInstanceOf[Number].longValue == 499L)
+      } finally reader.close()
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
   test("unsupported shapes reject loudly by name") {
     val dir = tmpDir("reject")
     try {
