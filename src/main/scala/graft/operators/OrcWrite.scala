@@ -19,7 +19,12 @@ package graft.operators
   *     the four spec sub-encodings, legal for any data;
   *   - DOUBLE as the IEEE little-endian stream, BOOLEAN as bit RLE,
   *     STRING as DIRECT_V2 (unsigned RLEv2 LENGTH + concatenated
-  *     UTF-8 DATA);
+  *     UTF-8 DATA), TIMESTAMP_INSTANT as the two-stream form (signed
+  *     seconds since the 2015 base + packed trailing-zero nanos; the
+  *     ORC convention's truncate-vs-floor seam makes the single second
+  *     1969-12-31T23:59:59–1970-01-01T00:00:00 unrepresentable with
+  *     sub-second precision — a format-level corner every ORC writer
+  *     shares, noted rather than papered over);
   *   - compression NONE (postscript kind 0, raw streams) or ZSTD
   *     (kind 5): every stream, stripe footer and file footer framed in
   *     the ORC chunk format — 3-byte LE `(len << 1) | isOriginal`
@@ -41,7 +46,7 @@ object OrcWrite {
 
   /** One column of the flat struct schema; `kind` uses orc_proto
     * Type.Kind ids (0 BOOLEAN, 3 INT, 4 LONG, 6 DOUBLE, 7 STRING,
-    * 15 DATE).
+    * 15 DATE, 18 TIMESTAMP_INSTANT).
     */
   final case class OwField(name: String, kind: Int)
 
@@ -52,6 +57,13 @@ object OrcWrite {
     def double(n: String): OwField = OwField(n, 6)
     def string(n: String): OwField = OwField(n, 7)
     def date(n: String): OwField = OwField(n, 15)
+    /** TIMESTAMP (kind 9) with `writerTimezone: UTC` in every stripe
+      * footer — the exact shape Spark's own ORC writer produces.
+      * (TIMESTAMP_INSTANT (18) would be semantically cleaner, but
+      * Spark's OrcUtils cannot even parse its type name
+      * "timestamp with local time zone" at schema inference.)
+      */
+    def timestamp(n: String): OwField = OwField(n, 9)
   }
 
   // -------------------------------------------------------------------
@@ -196,6 +208,25 @@ object OrcWrite {
   private val K_PRESENT = 0
   private val K_DATA = 1
   private val K_LENGTH = 2
+  private val K_SECONDARY = 5
+
+  /** ORC timestamps count seconds from 2015-01-01 00:00:00 UTC. */
+  private val TsBaseSeconds = 1420070400L
+
+  /** The SECONDARY-stream nanos packing: strip `z` trailing decimal
+    * zeros (only ever 2..7) and record `z − 1` in the low 3 bits
+    * (0 ⇒ none stripped; the decoder multiplies by 10^(code+1)) — the
+    * exact inverse of [[OrcData]]'s parseNanos.
+    */
+  private def formatNanos(n: Long): Long =
+    if (n == 0) 0L
+    else if (n % 100 != 0) n << 3
+    else {
+      var v = n / 100
+      var z = 2
+      while (v % 10 == 0 && z < 7) { v /= 10; z += 1 }
+      (v << 3) | (z - 1)
+    }
 
   /** Build one column's streams for one stripe's buffered values. */
   private def buildColumn(f: OwField, colId: Int,
@@ -254,6 +285,30 @@ object OrcWrite {
           i += 1
         }
         streams += BuiltStream(K_DATA, colId, out.toByteArray)
+      case 9 | 18 => // TIMESTAMP: signed seconds since the 2015
+        // base (DATA) + packed nanos (SECONDARY). The reader re-floors
+        // a negative second with nonzero nanos, so the writer stores
+        // floor + 1 there — the exact inverse of OrcData's decode.
+        val secs = new Array[Long](nonNull)
+        val nanos = new Array[Long](nonNull)
+        var v = 0
+        i = 0
+        while (i < n) {
+          if (vals(i) != null) {
+            val micros = vals(i).asInstanceOf[Long]
+            val floored = Math.floorDiv(micros, 1000000L)
+            val ns = Math.floorMod(micros, 1000000L) * 1000L
+            val s = if (floored < 0 && ns != 0) floored + 1 else floored
+            secs(v) = s - TsBaseSeconds
+            nanos(v) = formatNanos(ns)
+            v += 1
+          }
+          i += 1
+        }
+        streams += BuiltStream(K_DATA, colId,
+          rleV2Direct(secs, nonNull, signed = true))
+        streams += BuiltStream(K_SECONDARY, colId,
+          rleV2Direct(nanos, nonNull, signed = false))
       case 7 => // STRING DIRECT_V2: unsigned LENGTH + UTF-8 DATA
         val lens = new Array[Long](nonNull)
         val data = new java.io.ByteArrayOutputStream()
@@ -356,10 +411,11 @@ object OrcWrite {
         sf.msg(2)(_.uint(1, 0L)) // root struct: DIRECT
         for (f <- fields) sf.msg(2) { m =>
           m.uint(1, f.kind match {
-            case 3 | 4 | 7 | 15 => 2L // DIRECT_V2
+            case 3 | 4 | 7 | 9 | 15 | 18 => 2L // DIRECT_V2
             case _ => 0L // DIRECT (boolean/double)
           })
         }
+        sf.str(3, "UTC") // writerTimezone: kind-9 timestamps are UTC
         val sfb = packed(sf.toByteArray)
         emit(sfb)
         stripes += StripeInfo(stripeStart, dataLength, sfb.length.toLong,
@@ -428,6 +484,7 @@ object OrcWrite {
         case DoubleType => OwFields.double(f.name)
         case StringType => OwFields.string(f.name)
         case DateType => OwFields.date(f.name)
+        case TimestampType => OwFields.timestamp(f.name)
         case t => throw new IllegalArgumentException(
           s"ORC writer: column '${f.name}' type ${t.sql} unsupported")
       }
@@ -452,6 +509,16 @@ object OrcWrite {
           case null => null
           case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
           case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+          case v => v
+        }
+        case TimestampType => {
+          case null => null
+          case t: java.sql.Timestamp =>
+            Long.box(Math.addExact(Math.multiplyExact(
+              Math.floorDiv(t.getTime, 1000L), 1000000L),
+              t.getNanos / 1000L))
+          case t: java.time.Instant =>
+            Long.box(t.getEpochSecond * 1000000L + t.getNano / 1000)
           case v => v
         }
         case _ => identity

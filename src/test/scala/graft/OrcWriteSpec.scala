@@ -24,7 +24,12 @@ class OrcWriteSpec extends AnyFunSuite {
     try {
       val fields = Seq(OwFields.long("id"), OwFields.int("k"),
         OwFields.string("s"), OwFields.boolean("b"),
-        OwFields.double("d"), OwFields.date("dt"))
+        OwFields.double("d"), OwFields.date("dt"),
+        OwFields.timestamp("ts"))
+      // micros spanning both sides of 1970 with ragged sub-seconds
+      // (ORC's truncate-vs-floor corner second is avoided by stepping
+      // well clear of [-1s, 0))
+      def micros(i: Int): Long = i.toLong * 77777777L - 50000000000000L
       val rows = (0 until 3000).iterator.map { i =>
         Array[Any](
           Long.box(i.toLong),
@@ -32,7 +37,8 @@ class OrcWriteSpec extends AnyFunSuite {
           if (i % 11 == 0) null else s"v$i-${i % 5}",
           Boolean.box(i % 2 == 0),
           Double.box(i * 1.25 - 300.0),
-          Int.box(19723 + i % 365)) // epoch days
+          Int.box(19723 + i % 365), // epoch days
+          if (i % 13 == 0) null else Long.box(micros(i)))
       }
       val n = OrcWrite.writeFile(
         new java.io.File(dir, "part-00000.orc").toPath, fields,
@@ -50,6 +56,11 @@ class OrcWriteSpec extends AnyFunSuite {
       assert(r(4).getDouble(4) == -295.0)
       assert(r(5).getDate(5).toLocalDate ==
         java.time.LocalDate.ofEpochDay(19728))
+      assert(r(0).isNullAt(6)) // i % 13 == 0
+      for (i <- Seq(1, 2, 991, 2999))
+        assert(r(i).getTimestamp(6).toInstant ==
+          java.time.Instant.EPOCH.plus(micros(i),
+            java.time.temporal.ChronoUnit.MICROS), s"ts row $i")
       assert(got.filter("k IS NULL").count() ==
         (0 until 3000).count(_ % 7 == 0))
       // wide values stress the RLEv2 DIRECT width selection
