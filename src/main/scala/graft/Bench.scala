@@ -33,6 +33,16 @@ import org.apache.spark.sql.SparkSession
   * members (documented streaming/similarity floors) therefore no
   * longer read as anomalies.
   *
+  * PER-QUERY WARM-UP + JIT QUIESCE (round 16). The r15 suspects all
+  * shared one mechanism — C2 compile storms: a shard's earlier queries
+  * enqueue seconds of JIT work that keeps compiling (CPU + safepoints)
+  * through later queries' timed reps (s20_bzip2_ingest 18.6 s in-shard
+  * / jit 17.7 s vs 1.0 s isolated). Each query now runs ONE unrecorded
+  * warm-up rep and then waits (≤ 30 s, usually ~0.3 s) for the compile
+  * queue to drain before its timed reps, so the in-sweep wall IS the
+  * isolated wall and the recheck forks become a safety net instead of
+  * a crutch.
+  *
   * Contention-robust (unchanged): each query runs up to
   * `SPARK_GRAFT_BENCH_REPS` (default 3) times and reports the per-query
   * MINIMUM wall time — safe because every query is a deterministic
@@ -113,6 +123,29 @@ object Bench {
     Option(java.lang.management.ManagementFactory.getCompilationMXBean)
       .filter(_.isCompilationTimeMonitoringSupported)
       .map(_.getTotalCompilationTime).getOrElse(0L)
+
+  /** Wait (bounded by `capSec`) for the HotSpot compile queue to go
+    * quiet: three consecutive 100 ms windows with ≤ 10 ms of recorded
+    * compilation time. The r15 record showed 11–18× in-shard wall
+    * inflation with matching JIT counters (s20_bzip2_ingest 18.6 s
+    * in-shard / jit 17.7 s vs 1.0 s isolated): eight codec-heavy
+    * queries' worth of C2 compile work queues up in one shard child
+    * and keeps burning CPU + safepoints through LATER queries' timed
+    * reps. Draining the queue between queries makes the in-sweep wall
+    * the same number the isolated recheck fork would measure. Exits in
+    * ~0.3 s when there is nothing to drain.
+    */
+  private def quiesceJit(capSec: Double): Unit = {
+    val t0 = System.nanoTime()
+    var last = jitMillis()
+    var calm = 0
+    while (calm < 3 && (System.nanoTime() - t0) / 1e9 < capSec) {
+      Thread.sleep(100)
+      val now = jitMillis()
+      if (now - last <= 10) calm += 1 else calm = 0
+      last = now
+    }
+  }
 
   /** Single-thread CPU-spin probe: wall ≈ thread-CPU on an idle core;
     * timeslicing on an oversubscribed host inflates wall only.
@@ -209,6 +242,21 @@ object Bench {
     }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // One UNRECORDED warm-up rep, then drain the JIT compile queue
+      // (r16, closes the r14/r15 in-shard inflation): the warm-up
+      // absorbs first-run codegen + fixture construction for THIS
+      // query, and the quiesce stops the C2 backlog it (or an earlier
+      // shard member) enqueued from burning CPU inside the timed reps.
+      // Safe for the same reason min-of-reps is: every query is a
+      // deterministic read-only pipeline, already run up to 3×. A
+      // warm-up failure is ignored here — the first TIMED rep records
+      // the error; skipped entirely once the budget is exhausted.
+      if (!overBudget()) {
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        catch { case _: Throwable => () }
+        quiesceJit(30.0)
+      }
       var (bestWall, bestCpu, outcome, bestGc, bestJit) = timedRep(fn)
       var reps = 1
       var stable = false
