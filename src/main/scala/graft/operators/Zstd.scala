@@ -97,8 +97,18 @@ object Zstd {
       out.write(0x60)
       val v = n - 256
       out.write(v & 0xff); out.write((v >>> 8) & 0xff)
-    } else { // FCS code 2 → 4 bytes
+    } else if (n <= MaxWindow) { // FCS code 2 → 4 bytes
       out.write(0xA0); le32(n)
+    } else {
+      // Past the window cap a single-segment header would declare
+      // window = content size > MaxWindow, which [[decode]]'s own
+      // scale guard refuses — so emit a NON-single-segment header
+      // with a Window_Descriptor pinned at the cap (exponent 17,
+      // mantissa 0 → 2^27). Raw blocks reference no history, so any
+      // bounded window is spec-legal for this frame shape.
+      out.write(0x80) // FCS code 2, Single_Segment_Flag off
+      out.write((27 - 10) << 3) // Window_Descriptor: 2^27
+      le32(n)
     }
     if (n == 0) { out.write(1); out.write(0); out.write(0) }
     else {
@@ -306,15 +316,36 @@ object Zstd {
       val v = n - 256
       out.write(v & 0xff); out.write((v >>> 8) & 0xff)
     } else { out.write(0xA0); le32o(n) }
+    emitBlocks(data, 0, out)
+    out.toByteArray
+  }
+
+  /** The block loop shared by [[compress]] and [[compressDict]]:
+    * greedy hash-4 matching over `hist`, emitting blocks ONLY for
+    * `hist[from, hist.length)` — positions before `from` (dictionary
+    * content) are indexed as match history but never re-emitted, so
+    * sequences may carry offsets reaching back into the dictionary
+    * exactly as RFC 8878 §5 defines ("content as if it preceded the
+    * frame").
+    */
+  private def emitBlocks(hist: Array[Byte], from: Int,
+      out: java.io.ByteArrayOutputStream): Unit = {
+    val n = hist.length
     val hbits = 16
     val table = new Array[Int](1 << hbits)
     java.util.Arrays.fill(table, -1)
     def hash4(i: Int): Int = {
-      val v = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
-        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      val v = (hist(i) & 0xff) | ((hist(i + 1) & 0xff) << 8) |
+        ((hist(i + 2) & 0xff) << 16) | ((hist(i + 3) & 0xff) << 24)
       (v * 0x9E3779B1) >>> (32 - hbits)
     }
-    var cs = 0
+    var d = 0
+    while (d + 4 <= from) { table(hash4(d)) = d; d += 1 }
+    var cs = from
+    if (cs >= n) { // empty frame body: one last empty raw block
+      out.write(1); out.write(0); out.write(0)
+      return
+    }
     while (cs < n) {
       val ce = math.min(cs + BlockMax, n)
       val seqs = Vector.newBuilder[ZSeq]
@@ -325,10 +356,10 @@ object Zstd {
         val j = table(h)
         table(h) = i
         if (j >= 0 && i - j <= MaxWindow &&
-            data(j) == data(i) && data(j + 1) == data(i + 1) &&
-            data(j + 2) == data(i + 2) && data(j + 3) == data(i + 3)) {
+            hist(j) == hist(i) && hist(j + 1) == hist(i + 1) &&
+            hist(j + 2) == hist(i + 2) && hist(j + 3) == hist(i + 3)) {
           var len = 4
-          while (i + len < ce && data(j + len) == data(i + len)) len += 1
+          while (i + len < ce && hist(j + len) == hist(i + len)) len += 1
           seqs += ZSeq(i - anchor, i - j, len)
           // index the matched span too (small blocks: quality over speed)
           var k = i + 1
@@ -339,7 +370,7 @@ object Zstd {
         } else i += 1
       }
       val qs = seqs.result()
-      val body = buildCompressedBlock(data, cs, ce, qs)
+      val body = buildCompressedBlock(hist, cs, ce, qs)
       val last = if (ce == n) 1 else 0
       if (body.length < ce - cs) { // compressed block (type 2)
         val hdr = (body.length << 3) | (2 << 1) | last
@@ -350,10 +381,90 @@ object Zstd {
         val hdr = ((ce - cs) << 3) | last
         out.write(hdr & 0xff); out.write((hdr >>> 8) & 0xff)
         out.write((hdr >>> 16) & 0xff)
-        out.write(data, cs, ce - cs)
+        out.write(hist, cs, ce - cs)
       }
       cs = ce
     }
+  }
+
+  /** Smallest legal Window_Descriptor byte whose window is ≥ `target`
+    * (exponent 0–17, mantissa 0–7: window = 2^(10+e) · (8+m)/8, capped
+    * at [[MaxWindow]]).
+    */
+  private def windowDescriptorFor(target: Long): Int = {
+    var best = -1
+    var bestW = Long.MaxValue
+    val goal = math.min(target, MaxWindow.toLong)
+    var e = 0
+    while (e <= 17) {
+      var m = 0
+      while (m <= 7) {
+        val base = 1L << (10 + e)
+        val w = base + (base / 8) * m
+        if (w >= goal && w <= MaxWindow && w < bestW) {
+          bestW = w; best = (e << 3) | m
+        }
+        m += 1
+      }
+      e += 1
+    }
+    require(best >= 0, s"no legal window for $target")
+    best
+  }
+
+  /** Compress `data` into a DICTIONARY-REFERENCING frame (the encode
+    * twin of `decode(p, dict)`): the dictionary's content becomes
+    * virtual history before position 0, so matches reach back into it
+    * — the whole point of dictionary compression for small objects. A
+    * STRUCTURED dictionary (magic 0xEC30A437) stamps its dictionary ID
+    * into the frame header (decoders must be handed the same dict); a
+    * raw-content dictionary compresses ID-less. Entropy stays
+    * PREDEFINED-FSE/raw-literals — spec-legal under a dictionary
+    * (Predefined_Mode explicitly resets to the default distributions,
+    * and no repeat-offset codes are ever emitted), so the dictionary's
+    * entropy tables are simply not needed by the frame. Decodes with
+    * [[decode]](p, dict) and zstd-jni given the same dictionary
+    * (cross-validated in ZstdSpec).
+    */
+  def compressDict(data: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    val zd = new ZstdDict(dict)
+    val content = zd.content
+    val n = data.length
+    // past the window cap the dictionary can't help anyway
+    if (n > MaxWindow) return encodeRawFrame(data)
+    require(content.length.toLong + n <= (Int.MaxValue >> 1),
+      s"zstd: ${content.length}-byte dictionary + $n-byte input " +
+        "exceeds buffer limits")
+    val hist = new Array[Byte](content.length + n)
+    System.arraycopy(content, 0, hist, 0, content.length)
+    System.arraycopy(data, 0, hist, content.length, n)
+    val out = new java.io.ByteArrayOutputStream(n / 2 + 64)
+    def le32o(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+      out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    le32o(Magic)
+    // FCS code 2 (4 bytes, unbiased), no single-segment (an explicit
+    // window spans dict + frame), dictionary-ID flag sized to the id
+    val dictFlag =
+      if (zd.id == 0) 0
+      else if (zd.id <= 0xff) 1
+      else if (zd.id <= 0xffff) 2
+      else 3
+    out.write(0x80 | dictFlag)
+    out.write(windowDescriptorFor(content.length.toLong + n))
+    val idBytes = dictFlag match {
+      case 0 => 0
+      case 1 => 1
+      case 2 => 2
+      case _ => 4
+    }
+    var ib = 0
+    while (ib < idBytes) {
+      out.write(((zd.id >>> (8 * ib)) & 0xff).toInt); ib += 1
+    }
+    le32o(n)
+    emitBlocks(hist, content.length, out)
     out.toByteArray
   }
 

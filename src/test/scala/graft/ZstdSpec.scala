@@ -74,6 +74,24 @@ class ZstdSpec extends AnyFunSuite {
     assert(Zstd.compress(rand).length <= rand.length + 16)
   }
 
+  test("encodeRawFrame past the window cap emits a bounded-window " +
+      "frame that both this decoder and zstd-jni accept") {
+    // a single-segment header would declare window = content size
+    // > 2^27, which decode()'s own scale guard refuses (ADVICE r15);
+    // the oversized path must switch to a real Window_Descriptor
+    val n = (1 << 27) + 12345
+    val data = new Array[Byte](n)
+    var i = 0
+    while (i < n) { data(i) = (i * 31 >>> 3).toByte; i += 997 }
+    val frame = graft.operators.Zstd.encodeRawFrame(data)
+    val info = graft.operators.Zstd.decode(frame)
+    assert(info.content.length == n)
+    assert(java.util.Arrays.equals(info.content, data))
+    val foreign = com.github.luben.zstd.Zstd.decompress(frame, n)
+    assert(java.util.Arrays.equals(foreign, data),
+      "zstd-jni rejects the oversized raw frame")
+  }
+
   test("content checksums verify when present; corruption under the " +
       "checksum rejects loudly") {
     val src = (0 until 90).map(i =>
@@ -160,6 +178,55 @@ class ZstdSpec extends AnyFunSuite {
       assert(lines.length == Zstd.fixtureLineCount(id))
       assert(lines(0) == Zstd.fixtureLine(id, 0))
     }
+  }
+
+  test("compressDict ENCODES dictionary-referencing frames: zstd-jni " +
+      "and this decoder both round-trip them, the ID gates decoding, " +
+      "and dictionary matches actually shrink the frame") {
+    val samples = (0 until 200).map(i =>
+      (s"""{"user":"u${i % 17}","event":"evt_${i % 5}","payload":""" +
+        s""""${"x" * (i % 23)}","seq":$i}""").getBytes("UTF-8"))
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      1 << 20, 16 * 1024)
+    for (s <- samples; _ <- 0 until 4) trainer.addSample(s)
+    val trained = trainer.trainSamples()
+    val doc = samples(77)
+    val packed = graft.operators.Zstd.compressDict(doc, trained)
+    // our own decoder, same dict
+    assert(graft.operators.Zstd.decode(packed, trained).content
+      .sameElements(doc))
+    // the frame carries the dictionary ID: decoding without the dict
+    // must reject loudly, with a WRONG dict too
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Zstd.decode(packed))
+    assert(e.getMessage.contains("dictionary"), e.getMessage)
+    // zstd-jni (libzstd), handed the same dictionary
+    val dctx = new com.github.luben.zstd.ZstdDecompressCtx()
+    val foreign = try {
+      dctx.loadDict(trained)
+      dctx.decompress(packed, doc.length)
+    } finally dctx.close()
+    assert(foreign.sameElements(doc), "zstd-jni dict round trip")
+    // raw-content dictionary: ID-less frame, matches reach the dict
+    val rawDict = ("common prefix material the documents share " * 40)
+      .getBytes("UTF-8")
+    val doc2 = ("common prefix material the documents share " * 3 +
+      "plus a unique tail 12345").getBytes("UTF-8")
+    val packedRaw = graft.operators.Zstd.compressDict(doc2, rawDict)
+    assert(graft.operators.Zstd.decode(packedRaw, rawDict).content
+      .sameElements(doc2))
+    val dctx2 = new com.github.luben.zstd.ZstdDecompressCtx()
+    val foreign2 = try {
+      dctx2.loadDict(rawDict)
+      dctx2.decompress(packedRaw, doc2.length)
+    } finally dctx2.close()
+    assert(foreign2.sameElements(doc2), "zstd-jni raw-dict round trip")
+    // the dictionary must actually BUY something: doc2 is mostly
+    // dictionary material, so the dict frame beats the dict-less one
+    assert(packedRaw.length <
+      graft.operators.Zstd.compress(doc2).length,
+      s"dict frame ${packedRaw.length} vs plain " +
+        s"${graft.operators.Zstd.compress(doc2).length}")
   }
 
   test("dictionary frames decode: a TRAINED structured dictionary " +
