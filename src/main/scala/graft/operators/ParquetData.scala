@@ -38,6 +38,15 @@ object ParquetData {
 
   import ParquetFooter.{PqFooter, PqColumn, PqSchemaField}
 
+  /** Pseudo physical type a CALLER substitutes for 6 (BYTE_ARRAY) when
+    * the decoded values must stay raw bytes instead of UTF-8 Strings —
+    * DECIMAL-over-BYTE_ARRAY storage, whose unscaled big-endian
+    * twos-complement bytes are not valid UTF-8 in general. PLAIN and
+    * dictionary pages honor it; the DELTA string encodings reject it
+    * loudly (front-coding is defined over strings).
+    */
+  val RawByteArray: Int = -6
+
   /** Decompress one page body per the chunk's codec id. */
   private def decompress(p: Array[Byte], off: Int, len: Int, codec: Int,
       uncompressedSize: Int): Array[Byte] = codec match {
@@ -322,7 +331,10 @@ object ParquetData {
           out(i) = java.lang.Double.longBitsToDouble(v)
           pos += 8; i += 1
         }
-      case 6 => // BYTE_ARRAY: u32 length + bytes
+      case 6 | RawByteArray => // BYTE_ARRAY: u32 length + bytes; the
+        // UTF-8 String shape for flat string columns, raw Array[Byte]
+        // under the [[RawByteArray]] pseudo-type (DECIMAL storage,
+        // where a UTF-8 round-trip would corrupt arbitrary bytes)
         var i = 0
         while (i < n) {
           require(pos + 4 <= end, "torn parquet: byte-array length")
@@ -331,8 +343,11 @@ object ParquetData {
           pos += 4
           require(len >= 0 && pos + len <= end,
             s"torn parquet: $len-byte value overruns the page")
-          out(i) = new String(b, pos, len,
-            java.nio.charset.StandardCharsets.UTF_8)
+          out(i) =
+            if (physicalType == RawByteArray)
+              java.util.Arrays.copyOfRange(b, pos, pos + len)
+            else new String(b, pos, len,
+              java.nio.charset.StandardCharsets.UTF_8)
           pos += len; i += 1
         }
       case 7 => // FIXED_LEN_BYTE_ARRAY: typeLength raw bytes per value
@@ -594,11 +609,17 @@ object ParquetData {
         else longs.map(v => v: Any)
       case 6 => // DELTA_LENGTH_BYTE_ARRAY
         require(physicalType == 6,
-          s"DELTA_LENGTH_BYTE_ARRAY on physical type $physicalType")
+          s"DELTA_LENGTH_BYTE_ARRAY on physical type $physicalType" +
+            (if (physicalType == RawByteArray)
+              " (raw-binary DECIMAL columns decode PLAIN/dictionary only)"
+            else ""))
         readDeltaLength(data, valOff, valEnd, nonNull)._1
       case 7 => // DELTA_BYTE_ARRAY: v2 string fallback (front coding)
         require(physicalType == 6,
-          s"DELTA_BYTE_ARRAY on physical type $physicalType")
+          s"DELTA_BYTE_ARRAY on physical type $physicalType" +
+            (if (physicalType == RawByteArray)
+              " (raw-binary DECIMAL columns decode PLAIN/dictionary only)"
+            else ""))
         readDeltaByteArray(data, valOff, valEnd, nonNull)
       case 9 => // BYTE_STREAM_SPLIT: k byte planes of n values each
         // (plane j holds byte j of every value) — transpose, then

@@ -1336,6 +1336,130 @@ object Sources {
     tmp
   }
 
+  /** Build-once PARTITIONED committed table (hive `bucket=N` dirs —
+    * the reference's own fact layout, `query.sql:4` partitions fact by
+    * coin_id): two commits so partition dirs AND per-commit manifest
+    * stats both exist to prune against.
+    */
+  def ensurePartitionedTableFixture(s: SparkSession, dir: String)
+      : String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqptbl-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    val done = new java.io.File(tmp, "_fixture_done")
+    if (!done.exists()) {
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(tmp))
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), (col("user_id") % 4).cast("int").as("bucket"))
+      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      val cut = maxId / 2
+      graft.operators.Maintenance.commitAppend(s, tmp,
+        ev.filter(col("event_id") < cut).coalesce(1),
+        partitionBy = Seq("bucket"))
+      graft.operators.Maintenance.commitAppend(s, tmp,
+        ev.filter(col("event_id") >= cut).coalesce(1))
+      new java.io.FileOutputStream(done).close()
+    }
+    tmp
+  }
+
+  // S36: the manifest bridge over the flagship PARTITIONED table shape
+  // — graftpq walks the hive dirs, prunes whole partition dirs from the
+  // pushed bucket equality (dir values + the manifest's min=max
+  // partition stats) and files from commit-time id stats, then surfaces
+  // `bucket` as a typed constant column the aggregate groups against.
+  private def s36PartitionedScan(s: SparkSession, dir: String)
+      : DataFrame = {
+    val tmp = ensurePartitionedTableFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .filter(col("bucket") === 2 && col("user_id") >= 50)
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0)
+        .as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s36PartitionedScanSql =
+    """SELECT event_type,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  count(*) AS n
+      |FROM events WHERE user_id % 4 = 2 AND user_id >= 50
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Build-once parquet fixture with a MAP column (null maps, empty
+    * maps, null values, a data-dependent key) — the s37 input.
+    */
+  def ensureMapParquetFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqmap-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 10 === 0, lit(null))
+            .otherwise(when(col("event_id") % 10 === 1,
+              map().cast("map<string,bigint>"))
+              .otherwise(map(
+                lit("uid"), col("user_id").cast("long"),
+                lit("cents"), round(col("value") * 100).cast("long"),
+                concat(lit("t_"), col("event_type")),
+                (col("event_id") % 7).cast("long"),
+                lit("opt"), when(col("event_id") % 3 === 0, lit(null))
+                  .otherwise((col("event_id") % 5).cast("long")))))
+            .as("attrs"))
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp)
+    }
+    tmp
+  }
+
+  // S37: MAP columns through the from-scratch graftpq plane — the
+  // 3-level `key_value` Dremel shape decoded as two leaf streams
+  // (required keys, optional values) sharing the map's rep/def
+  // skeleton. Null maps, empty maps and null VALUES are all distinct
+  // states the level streams must keep apart; the oracle re-derives
+  // every entry from the source table's closed forms.
+  private def s37MapScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureMapParquetFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("attrs").isNull, 1).otherwise(0)).as("n_null_maps"),
+        sum(coalesce(size(col("attrs")), lit(0))).as("n_entries"),
+        sum(coalesce(element_at(col("attrs"), "cents"), lit(0L)))
+          .as("sum_cents"),
+        sum(coalesce(element_at(col("attrs"), "uid"), lit(0L)))
+          .as("sum_uid"),
+        sum(when(element_at(col("attrs"), "opt").isNull, 1).otherwise(0))
+          .as("n_null_opt"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s37MapScanSql =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS is_null_map,
+      |    CASE WHEN event_id % 10 IN (0,1) THEN 0 ELSE 4 END AS entries,
+      |    CASE WHEN event_id % 10 IN (0,1) THEN 0
+      |         ELSE CAST(round(value*100) AS BIGINT) END AS cents,
+      |    CASE WHEN event_id % 10 IN (0,1) THEN 0 ELSE user_id END AS uid,
+      |    CASE WHEN event_id % 10 IN (0,1) OR event_id % 3 = 0 THEN 1
+      |         ELSE 0 END AS null_opt
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(is_null_map) AS BIGINT) AS n_null_maps,
+      |  CAST(sum(entries) AS BIGINT) AS n_entries,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(uid) AS BIGINT) AS sum_uid,
+      |  CAST(sum(null_opt) AS BIGINT) AS n_null_opt
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def s34TableScan(s: SparkSession, dir: String): DataFrame = {
     val tmp = ensureGraftTableFixture(s, dir)
     s.read.format("graftpq").load(tmp)
@@ -1582,7 +1706,9 @@ object Sources {
     "s32_rich_scan" -> s32RichScan _,
     "s33_orc_rich" -> s33OrcRich _,
     "s34_table_scan" -> s34TableScan _,
-    "s35_orc_write" -> s35OrcWrite _
+    "s35_orc_write" -> s35OrcWrite _,
+    "s36_partitioned_scan" -> s36PartitionedScan _,
+    "s37_map_scan" -> s37MapScan _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1614,6 +1740,8 @@ object Sources {
     "s32_rich_scan" -> s32RichScanSql,
     "s33_orc_rich" -> s33OrcRichSql,
     "s34_table_scan" -> s34TableScanSql,
-    "s35_orc_write" -> s35OrcWriteSql
+    "s35_orc_write" -> s35OrcWriteSql,
+    "s36_partitioned_scan" -> s36PartitionedScanSql,
+    "s37_map_scan" -> s37MapScanSql
   )
 }

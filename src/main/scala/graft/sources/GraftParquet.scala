@@ -40,12 +40,13 @@ import graft.operators.ParquetFooter.{PqColumn, PqSchemaField}
   *
   * Registered as `graftpq` via DataSourceRegister (META-INF/services),
   * so `spark.read.format("graftpq").load(dir)` resolves it. Supported
-  * shapes: flat leaves (incl. DECIMAL over INT32/INT64/FLBA per
-  * LogicalTypes.md), one-level structs, and the standard 3-level LIST
-  * of a leaf element — assembled from definition/repetition level
-  * streams per the Dremel record-shredding model; deeper nesting, MAP
-  * and remaining unsupported physical types reject loudly by name at
-  * schema-inference time.
+  * shapes: flat leaves (incl. DECIMAL over INT32/INT64/FLBA/BYTE_ARRAY
+  * per LogicalTypes.md), structs of structs to any depth, the standard
+  * 3-level LIST of a leaf element, and the standard 3-level MAP of
+  * leaf key/values — assembled from definition/repetition level
+  * streams per the Dremel record-shredding model; repeated shapes
+  * inside structs, nested list/map elements and remaining unsupported
+  * physical types reject loudly by name at schema-inference time.
   */
 class GraftParquet extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -56,10 +57,20 @@ class GraftParquet extends TableProvider
 
   override def inferSchema(options: CaseInsensitiveStringMap)
       : StructType = {
-    val files = GraftParquet.listFiles(GraftParquet.pathOf(options))
+    val path = GraftParquet.pathOf(options)
+    val partCols = GraftParquet.partitionColsOf(path)
+    val files =
+      if (partCols.isEmpty) GraftParquet.listFiles(path)
+      else GraftParquet.listPartitionedFiles(path, partCols.map(_._1))
+        .map(_._1)
     require(files.nonEmpty, "graftpq: no .parquet files under the path")
-    GraftParquet.toSparkSchema(
+    val base = GraftParquet.toSparkSchema(
       ParquetFooter.readTail(files.head.toPath).schema)
+    // partition columns live in dir names, not file leaves — appended
+    // last, the same surface Spark's own file sources expose
+    StructType(base.fields ++ partCols.map { case (n, t) =>
+      StructField(n, t, nullable = true)
+    })
   }
 
   override def getTable(schema: StructType,
@@ -122,7 +133,11 @@ object GraftParquet {
       case (3, _) => TimestampType // INT96 legacy: decoded to micros
       case (4, _) => FloatType
       case (5, _) => DoubleType
-      case (6, _) => StringType // BYTE_ARRAY (UTF8)
+      case (6, Some(0)) | (6, Some(4)) => StringType // UTF8 / ENUM
+      case (6, None) => BinaryType // unannotated bytes (Spark parity)
+      case (6, Some(ct)) => throw new IllegalArgumentException(
+        s"graftpq: BYTE_ARRAY column '${f.name}' converted type $ct " +
+          "unsupported")
       case (p, _) => throw new IllegalArgumentException(
         s"graftpq: column '${f.name}' physical type $p unsupported " +
           "(FIXED_LEN_BYTE_ARRAY outside DECIMAL rejects by name)")
@@ -168,16 +183,146 @@ object GraftParquet {
       ArrayType(leafType(leaf.field), containsNull = true),
       nullable = true)
   }
-  /** A one-level struct of leaves: the struct is present at def level
-    * ≥ `presentDef` (0 for a required struct, which is never null).
+  /** A struct of fields, each itself a [[FlatPlan]] or a nested
+    * [[StructPlan]] (structs-of-structs to any depth; repeated shapes
+    * inside a struct reject at plan time). The struct is present at
+    * def level ≥ `presentDef` (0 for a required struct, which is never
+    * null) — a descendant leaf's def < presentDef marks the whole
+    * struct null at that row, and def levels below an inner struct's
+    * presentDef mark that INNER struct null while the outer one still
+    * materializes (the standard Dremel reading).
     */
   final case class StructPlan(name: String, presentDef: Int,
-      fields: Seq[PqLeafPlan]) extends PqFieldPlan {
-    def leafs: Seq[PqLeafPlan] = fields
+      fields: Seq[PqFieldPlan]) extends PqFieldPlan {
+    def leafs: Seq[PqLeafPlan] = fields.flatMap(_.leafs)
     def sparkField: StructField = StructField(name,
-      StructType(fields.map(l => StructField(l.field.name,
-        leafType(l.field), nullable = true))),
-      nullable = true)
+      StructType(fields.map(_.sparkField)), nullable = true)
+  }
+  /** The standard 3-level MAP shape (LogicalTypes.md `<map-repetition>
+    * group NAME (MAP) { repeated group key_value { required KEY;
+    * <value-repetition> VALUE; } }`): two leaf streams sharing the
+    * map's rep/def structure — in Dremel terms a LIST of (key, value)
+    * pairs, so both streams reassemble through the list machinery and
+    * zip into Spark's map representation.
+    */
+  final case class MapPlan(name: String, keyLeaf: PqLeafPlan,
+      valueLeaf: PqLeafPlan, nullDef: Int, emptyDef: Int,
+      mapNullable: Boolean, valueNullable: Boolean) extends PqFieldPlan {
+    def leafs: Seq[PqLeafPlan] = Seq(keyLeaf, valueLeaf)
+    // valueContainsNull always true: the many-files nullable-reporting
+    // convention (class note above) — `valueNullable` still drives the
+    // def-level accounting for THIS file's chunks
+    def sparkField: StructField = StructField(name,
+      MapType(leafType(keyLeaf.field), leafType(valueLeaf.field),
+        valueContainsNull = true), nullable = true)
+  }
+  /** A hive-style partition column: no leaf streams in the file — the
+    * per-file value comes from the `col=value` path segment (raw,
+    * unescaped; None = `__HIVE_DEFAULT_PARTITION__`), typed by the
+    * committed table's tracked schema.
+    */
+  final case class ConstPlan(name: String, dt: DataType,
+      raw: Option[String]) extends PqFieldPlan {
+    def leafs: Seq[PqLeafPlan] = Nil
+    def sparkField: StructField = StructField(name, dt, nullable = true)
+  }
+
+  /** Hive path-segment unescape: `%XX` encodes the CHAR with that hex
+    * code (Hive escapes only chars < 256; non-ASCII stays literal) —
+    * the inverse of the escaping Spark applies when writing partition
+    * dirs. Malformed escapes pass through literally (conservative).
+    */
+  private[sources] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One partition value to Spark's internal representation. */
+  private[sources] def partitionValue(dt: DataType,
+      raw: Option[String]): Any = raw match {
+    case None => null
+    case Some(s) => dt match {
+      case StringType => UTF8String.fromString(s)
+      case IntegerType => java.lang.Integer.valueOf(s.trim)
+      case LongType => java.lang.Long.valueOf(s.trim)
+      case ShortType => java.lang.Short.valueOf(s.trim)
+      case ByteType => java.lang.Byte.valueOf(s.trim)
+      case DoubleType => java.lang.Double.valueOf(s.trim)
+      case FloatType => java.lang.Float.valueOf(s.trim)
+      case BooleanType => java.lang.Boolean.valueOf(s.trim)
+      case DateType =>
+        Int.box(java.time.LocalDate.parse(s.trim).toEpochDay.toInt)
+      case t => throw new IllegalArgumentException(
+        s"graftpq: partition column type ${t.simpleString} unsupported")
+    }
+  }
+
+  /** The committed table's partition columns with their tracked Spark
+    * types — empty for non-tables and unpartitioned tables. Partition
+    * values live only in dir names, so their types come from the
+    * commit protocol's schema log, StringType when a column somehow
+    * predates it.
+    */
+  private[sources] def partitionColsOf(path: String)
+      : Seq[(String, DataType)] = {
+    if (!new java.io.File(path, "_graft_log/version").exists()) Nil
+    else {
+      val cols = graft.operators.Maintenance.readPartitioning(path)
+      if (cols.isEmpty) Nil
+      else {
+        val sp = java.nio.file.Paths.get(
+          graft.operators.Maintenance.schemaPath(path))
+        val types: Map[String, DataType] =
+          if (!java.nio.file.Files.exists(sp)) Map.empty
+          else DataType.fromJson(java.nio.file.Files.readString(sp))
+            .asInstanceOf[StructType].fields
+            .map(f => f.name -> f.dataType).toMap
+        cols.map(c => c -> types.getOrElse(c, StringType))
+      }
+    }
+  }
+
+  /** List a partitioned committed table's data files with each file's
+    * raw partition values, walking exactly `partCols.length` levels of
+    * `col=value` dirs (log/stage/hidden dirs skipped). Dir names must
+    * carry the recorded columns in order — anything else is a torn
+    * layout and rejects loudly.
+    */
+  private[sources] def listPartitionedFiles(root: String,
+      partCols: Seq[String])
+      : Seq[(java.io.File, Seq[Option[String]])] = {
+    def walk(dir: java.io.File, vals: List[Option[String]], depth: Int)
+        : Seq[(java.io.File, Seq[Option[String]])] = {
+      val kids = dir.listFiles()
+      require(kids != null, s"graftpq: cannot list $dir")
+      if (depth == partCols.length)
+        kids.filter(c => c.isFile && c.getName.endsWith(".parquet"))
+          .sortBy(_.getName).toSeq.map(f => (f, vals.reverse))
+      else kids.filter(c => c.isDirectory && !c.getName.startsWith("_") &&
+          !c.getName.startsWith(".")).sortBy(_.getName).toSeq.flatMap { d =>
+        d.getName.split("=", 2) match {
+          case Array(k, v) if k == partCols(depth) =>
+            val value =
+              if (v == "__HIVE_DEFAULT_PARTITION__") None
+              else Some(unescapePathName(v))
+            walk(d, value :: vals, depth + 1)
+          case _ => throw new IllegalArgumentException(
+            s"graftpq: dir '${d.getName}' where partition " +
+              s"'${partCols(depth)}=...' was expected")
+        }
+      }
+    }
+    walk(new java.io.File(root), Nil, 0)
   }
 
   /** Walk the footer's depth-first schema list into per-top-field
@@ -228,20 +373,54 @@ object GraftParquet {
             maxDef, 1),
           nullDef = listOpt - 1, emptyDef = listOpt,
           listNullable = listOpt == 1, elemNullable = elemOpt == 1)
-      } else if (f.convertedType.contains(1) ||
-          f.convertedType.contains(2)) {
+      } else if (f.convertedType.contains(1)) { // MAP
+        require(f.numChildren == 1,
+          s"graftpq: MAP '${f.name}' must wrap one repeated key_value " +
+            "group")
+        val kv = take()
+        require(kv.repetition.contains(2) && kv.numChildren == 2,
+          s"graftpq: MAP '${f.name}' lacks the 3-level repeated " +
+            "key_value group (2-level legacy maps unsupported)")
+        val k = take()
+        val v = take()
+        require(k.numChildren == 0 && v.numChildren == 0,
+          s"graftpq: MAP '${f.name}' of nested key/value unsupported")
+        require(k.repetition.contains(0) || k.repetition.isEmpty,
+          s"graftpq: MAP '${f.name}' key must be required")
+        val mapOpt = opt(f)
+        val valOpt = opt(v)
+        out += MapPlan(f.name,
+          PqLeafPlan(s"${f.name}.${kv.name}.${k.name}", k, mapOpt + 1, 1),
+          PqLeafPlan(s"${f.name}.${kv.name}.${v.name}", v,
+            mapOpt + 1 + valOpt, 1),
+          nullDef = mapOpt - 1, emptyDef = mapOpt,
+          mapNullable = mapOpt == 1, valueNullable = valOpt == 1)
+      } else if (f.convertedType.contains(2)) {
         throw new IllegalArgumentException(
-          s"graftpq: MAP column '${f.name}' unsupported")
-      } else { // plain group: one-level struct
-        val structOpt = opt(f)
-        val kids = (0 until f.numChildren).map { _ =>
-          val k = take()
-          require(k.numChildren == 0,
-            s"graftpq: struct '${f.name}' of nested field '${k.name}' " +
-              "unsupported (one nesting level)")
-          PqLeafPlan(s"${f.name}.${k.name}", k, structOpt + opt(k), 0)
+          s"graftpq: bare MAP_KEY_VALUE group '${f.name}' at top " +
+            "level unsupported")
+      } else { // plain group: struct (of leaves or nested structs)
+        def walkStruct(g: PqSchemaField, prefix: String,
+            presentDef: Int): StructPlan = {
+          val kids = (0 until g.numChildren).map { _ =>
+            val k = take()
+            if (k.numChildren == 0) {
+              require(!k.repetition.contains(2),
+                s"graftpq: repeated leaf '$prefix${k.name}' inside a " +
+                  "struct unsupported")
+              FlatPlan(PqLeafPlan(s"$prefix${k.name}", k,
+                presentDef + opt(k), 0)): PqFieldPlan
+            } else if (k.convertedType.contains(1) ||
+                k.convertedType.contains(2) ||
+                k.convertedType.contains(3))
+              throw new IllegalArgumentException(
+                s"graftpq: LIST/MAP '$prefix${k.name}' inside a " +
+                  "struct unsupported")
+            else walkStruct(k, s"$prefix${k.name}.", presentDef + opt(k))
+          }
+          StructPlan(g.name, presentDef, kids.toSeq)
         }
-        out += StructPlan(f.name, structOpt, kids)
+        out += walkStruct(f, s"${f.name}.", opt(f))
       }
       t += 1
     }
@@ -388,22 +567,23 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     * bounds widened one ulp at record time) prune WHOLE FILES before
     * any footer tail is read — planning IO over a heavily-pruned table
     * is one TSV read plus the surviving files' tails, not O(files)
-    * tails. The two skipping paths compose: manifest stats drop files,
-    * footer stats then drop row groups within the survivors. Row-level
-    * protocol layers stay with `Maintenance.readTable` — a table with
-    * outstanding deletion vectors or hive partitioning rejects loudly
-    * rather than resurrecting deleted rows / missing partition dirs.
+    * tails. The skipping paths compose: hive partition-dir values and
+    * manifest stats drop whole files, footer stats then drop row
+    * groups within the survivors. A PARTITIONED committed table (the
+    * reference's own fact-table shape, partitioned by coin_id) is
+    * walked through its `col=value` dirs, each file's partition values
+    * surfacing as constant columns typed by the tracked schema.
+    * Row-level protocol layers stay with `Maintenance.readTable` — a
+    * table with outstanding deletion vectors rejects loudly rather
+    * than resurrecting deleted rows.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val isTable =
       new java.io.File(path, "_graft_log/version").exists()
+    val partCols = GraftParquet.partitionColsOf(path)
     val manifest: Map[String, Map[String, (Double, Double)]] =
       if (!isTable) Map.empty
       else {
-        require(graft.operators.Maintenance.readPartitioning(path).isEmpty,
-          s"graftpq: $path is a hive-partitioned committed table — " +
-            "scan it through Maintenance.readTable (partition dirs " +
-            "are not flat files)")
         require(
           graft.operators.Maintenance.outstandingDvFiles(path).isEmpty,
           s"graftpq: $path carries outstanding deletion vectors — " +
@@ -415,32 +595,57 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
             f -> m.map { case ((_, c), r) => c -> r }
           }
       }
-    GraftParquet.listFiles(path).filter { f =>
-      manifest.get(f.getName) match {
+    val partColTypes = partCols.toMap
+    val files: Seq[(java.io.File, Map[String, Option[String]])] =
+      if (partCols.isEmpty)
+        GraftParquet.listFiles(path).map((_, Map.empty[String,
+          Option[String]]))
+      else GraftParquet.listPartitionedFiles(path, partCols.map(_._1))
+        .map { case (f, vs) => (f, partCols.map(_._1).zip(vs).toMap) }
+    files.filter { case (f, partVals) =>
+      // two file-level prunes compose: the dir's own partition value
+      // (min = max range, numeric values only) and the manifest's
+      // recorded per-column stats — both conservative, absent = keep
+      def partRange(c: String): Option[(Double, Double)] =
+        partVals.get(c).flatten.flatMap(_.toDoubleOption)
+          .map(d => (Math.nextDown(d), Math.nextUp(d)))
+      pushed.forall(survivesRanges(partRange, _)) &&
+      (manifest.get(f.getName) match {
         case Some(ranges) =>
           pushed.forall(survivesRanges(ranges.get _, _))
         case None => true // no recorded stats: never prune blind
-      }
-    }.flatMap { f =>
+      })
+    }.flatMap { case (f, partVals) =>
       val footer = ParquetFooter.readTail(f.toPath)
       val plans = GraftParquet.fieldPlans(footer.schema)
       val byName = plans.map(p => p.name -> p).toMap
       val reqPlans = required.fields.map { rf =>
-        val plan = byName.getOrElse(rf.name,
-          throw new IllegalArgumentException(
-            s"graftpq: column '${rf.name}' not in ${f.getName}"))
-        // Catalyst's nested-schema pruning can request a struct with a
-        // SUBSET of the file's fields in a DIFFERENT ORDER — the
-        // reader must emit exactly the required inner layout, so the
-        // plan's field list is restricted and reordered to match
-        (plan, rf.dataType) match {
-          case (sp: GraftParquet.StructPlan, st: StructType) =>
-            sp.copy(fields = st.fields.map(inner =>
-              sp.fields.find(_.field.name == inner.name).getOrElse(
-                throw new IllegalArgumentException(
-                  s"graftpq: struct field '${rf.name}.${inner.name}' " +
-                    s"not in ${f.getName}"))).toSeq)
-          case _ => plan
+        partColTypes.get(rf.name) match {
+          case Some(dt) =>
+            GraftParquet.ConstPlan(rf.name, dt, partVals(rf.name))
+          case None =>
+            val plan = byName.getOrElse(rf.name,
+              throw new IllegalArgumentException(
+                s"graftpq: column '${rf.name}' not in ${f.getName}"))
+            // Catalyst's nested-schema pruning can request a struct
+            // with a SUBSET of the file's fields in a DIFFERENT ORDER
+            // (at any nesting depth) — the reader must emit exactly
+            // the required layout, so the plan's field lists are
+            // restricted and reordered to match, recursively
+            def restrict(p: GraftParquet.PqFieldPlan,
+                dt: DataType): GraftParquet.PqFieldPlan = (p, dt) match {
+              case (sp: GraftParquet.StructPlan, st: StructType) =>
+                sp.copy(fields = st.fields.map { inner =>
+                  val kid = sp.fields.find(_.name == inner.name)
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"graftpq: struct field " +
+                        s"'${sp.name}.${inner.name}' not in " +
+                        f.getName))
+                  restrict(kid, inner.dataType)
+                }.toSeq)
+              case _ => p
+            }
+            restrict(plan, rf.dataType)
         }
       }.toSeq
       val statLeaves = plans.collect { case fp: GraftParquet.FlatPlan =>
@@ -548,73 +753,108 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
         }
         require(col.numValues >= 0 && col.numValues <= Int.MaxValue,
           s"graftpq: chunk value count ${col.numValues}")
+        // DECIMAL-over-BYTE_ARRAY and unannotated BYTE_ARRAY (binary)
+        // must come back as raw bytes, not UTF-8 Strings — substitute
+        // the decoder's raw pseudo-type (leafAdapter then passes the
+        // bytes to BigInteger / Spark's binary representation)
+        val physical =
+          if (leaf.field.physicalType == 6 &&
+              (leaf.field.convertedType.contains(5) ||
+                leaf.field.convertedType.isEmpty))
+            ParquetData.RawByteArray
+          else leaf.field.physicalType
         (ParquetData.readChunkLevels(bb.array(), col, leaf.maxDef,
-          leaf.maxRep, leaf.field.physicalType, leaf.field.typeLength,
+          leaf.maxRep, physical, leaf.field.typeLength,
           col.numValues.toInt, base = start), col)
       }
-      p.plans.map { plan =>
-        plan match {
-          case FlatPlan(leaf) =>
-            val (lv, _) = levelsOf(leaf)
-            require(lv.defs.length == rows,
-              s"graftpq: flat chunk '${leaf.path}' has " +
-                s"${lv.defs.length} values for $rows rows")
-            val ad = GraftParquet.leafAdapter(leaf.field)
-            val out = new Array[Any](rows)
-            var v = 0
-            var i = 0
-            while (i < rows) {
-              if (lv.defs(i) == leaf.maxDef) {
-                out(i) = ad(lv.vals(v)); v += 1
-              }
-              i += 1
+      // Recursive assembly: each plan yields its row-aligned values
+      // plus one descendant leaf's def stream (what a CONTAINING
+      // struct needs to place its own nulls — def < the outer
+      // presentDef marks the outer struct null regardless of the
+      // inner value). Chunk order follows plans-then-leafs by
+      // construction, matching the planner's flatMap(_.leafs).
+      def assemble(plan: GraftParquet.PqFieldPlan)
+          : (Array[Any], Array[Int]) = plan match {
+        case GraftParquet.ConstPlan(_, dt, raw) =>
+          // partition-dir column: one constant for the whole group
+          val v = GraftParquet.partitionValue(dt, raw)
+          (Array.fill[Any](rows)(v), null)
+        case FlatPlan(leaf) =>
+          val (lv, _) = levelsOf(leaf)
+          require(lv.defs.length == rows,
+            s"graftpq: flat chunk '${leaf.path}' has " +
+              s"${lv.defs.length} values for $rows rows")
+          val ad = GraftParquet.leafAdapter(leaf.field)
+          val out = new Array[Any](rows)
+          var v = 0
+          var i = 0
+          while (i < rows) {
+            if (lv.defs(i) == leaf.maxDef) {
+              out(i) = ad(lv.vals(v)); v += 1
             }
-            out
-          case ListPlan(_, leaf, nullDef, emptyDef, _, _) =>
-            val (lv, _) = levelsOf(leaf)
-            val ad = GraftParquet.leafAdapter(leaf.field)
-            val rowsOut = ParquetData.assembleList(lv, rows, leaf.maxDef,
-              emptyDef, nullDef)
-            rowsOut.map[Any] {
-              case null => null
-              case s: Seq[_] =>
-                new org.apache.spark.sql.catalyst.util.GenericArrayData(
-                  s.map(ad).toArray)
+            i += 1
+          }
+          (out, lv.defs)
+        case ListPlan(_, leaf, nullDef, emptyDef, _, _) =>
+          val (lv, _) = levelsOf(leaf)
+          val ad = GraftParquet.leafAdapter(leaf.field)
+          val rowsOut = ParquetData.assembleList(lv, rows, leaf.maxDef,
+            emptyDef, nullDef)
+          (rowsOut.map[Any] {
+            case null => null
+            case s: Seq[_] =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                s.map(ad).toArray)
+          }, null)
+        case GraftParquet.MapPlan(name, kLeaf, vLeaf, nullDef,
+            emptyDef, _, _) =>
+          // a MAP is a LIST of (key, value): both leaf streams carry
+          // the same map-level rep/def skeleton, so each reassembles
+          // through the list machinery and the per-row seqs zip
+          val (klv, _) = levelsOf(kLeaf)
+          val (vlv, _) = levelsOf(vLeaf)
+          val kad = GraftParquet.leafAdapter(kLeaf.field)
+          val vad = GraftParquet.leafAdapter(vLeaf.field)
+          val keys = ParquetData.assembleList(klv, rows, kLeaf.maxDef,
+            emptyDef, nullDef)
+          val vals = ParquetData.assembleList(vlv, rows, vLeaf.maxDef,
+            emptyDef, nullDef)
+          (Array.tabulate[Any](rows) { i =>
+            (keys(i), vals(i)) match {
+              case (null, _) => null
+              case (ks: Seq[_], vs: Seq[_]) =>
+                require(ks.length == vs.length,
+                  s"torn parquet: map '$name' has ${ks.length} keys " +
+                    s"for ${vs.length} values in one row")
+                new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    ks.map(kad).toArray),
+                  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                    vs.map(vad).toArray))
+              case other => throw new IllegalStateException(
+                s"graftpq: map '$name' assembly $other")
             }
-          case StructPlan(_, presentDef, fields) =>
-            val parts = fields.map { leaf =>
-              val (lv, _) = levelsOf(leaf)
-              require(lv.defs.length == rows,
-                s"graftpq: struct leaf '${leaf.path}' has " +
-                  s"${lv.defs.length} values for $rows rows")
-              (leaf, lv, GraftParquet.leafAdapter(leaf.field))
-            }
-            // scatter each leaf's dense values into row-aligned arrays
-            val fieldVals = parts.map { case (leaf, lv, ad) =>
-              val arr = new Array[Any](rows)
-              var v = 0
-              var r = 0
-              while (r < rows) {
-                if (lv.defs(r) == leaf.maxDef) {
-                  arr(r) = ad(lv.vals(v)); v += 1
-                }
-                r += 1
-              }
-              arr
-            }
-            val out = new Array[Any](rows)
-            var r2 = 0
-            while (r2 < rows) {
-              // the struct is null iff the shared ancestor's level says
-              // so (every leaf agrees by construction — read the first)
-              out(r2) =
-                if (parts.head._2.defs(r2) < presentDef) null
-                else InternalRow.fromSeq(fieldVals.map(_(r2)))
-              r2 += 1
-            }
-            out
-        }
-      }.toArray
+          }, null)
+        case StructPlan(name, presentDef, fields) =>
+          val kids = fields.map(assemble)
+          val defs = kids.collectFirst {
+            case (_, d) if d != null => d
+          }.getOrElse(throw new IllegalArgumentException(
+            s"graftpq: struct '$name' has no leaf descendant"))
+          val kidVals = kids.map(_._1)
+          val out = new Array[Any](rows)
+          var r = 0
+          while (r < rows) {
+            // null iff the shared ancestor path's level says so (every
+            // descendant leaf agrees by construction — read the first)
+            out(r) =
+              if (defs(r) < presentDef) null
+              else InternalRow.fromSeq(kidVals.map(_(r)))
+            r += 1
+          }
+          (out, defs)
+      }
+      p.plans.map(pl => assemble(pl)._1).toArray
     } finally ch.close()
   }
 

@@ -131,6 +131,114 @@ class GraftParquetSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("MAP columns and struct-of-struct nesting read row-identically " +
+      "to Spark's parquet source (incl. nested pruning)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-mapnest").toString
+    try {
+      spark.range(0, 3000).toDF("id")
+        .select(col("id"),
+          // map<string,bigint> with null maps, empty maps and null
+          // values (keys stay required per the spec)
+          when(col("id") % 10 === 0, lit(null))
+            .otherwise(when(col("id") % 10 === 1,
+              map().cast("map<string,bigint>"))
+              .otherwise(map(
+                concat(lit("k"), col("id") % 5), col("id") * 2,
+                lit("fixed"),
+                when(col("id") % 3 === 0, lit(null))
+                  .otherwise(col("id") % 7))))
+            .as("m"),
+          // second map with different key/value physical types
+          map((col("id") % 3).cast("int"), col("id") * 0.5).as("mi"),
+          // three levels of struct nesting with nulls at every level
+          when(col("id") % 13 === 0, lit(null))
+            .otherwise(struct((col("id") % 97).as("a"),
+              when(col("id") % 5 === 0, lit(null))
+                .otherwise(struct(
+                  concat(lit("s"), col("id") % 4).as("b"),
+                  when(col("id") % 7 === 0, lit(null))
+                    .otherwise(struct((col("id") % 11).cast("int")
+                      .as("d"))).as("c"))).as("inner")))
+            .as("st"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(dir)
+      val want = spark.read.parquet(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = spark.read.format("graftpq").load(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      assert(spark.read.format("graftpq").load(dir).schema ==
+        spark.read.parquet(dir).schema)
+      // nested-schema pruning two levels deep, fields referenced in
+      // reversed order through an aggregate (the r15 reorder seam,
+      // now recursive)
+      def probe(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("st").getField("inner").getField("b").as("b"))
+        .agg(sum(col("st").getField("inner").getField("c")
+          .getField("d")).as("sd"),
+          count(lit(1)).as("n"))
+        .collect().map(_.toSeq).sortBy(r => String.valueOf(r.head))
+      assert(probe(spark.read.format("graftpq").load(dir)).toSeq ==
+        probe(spark.read.parquet(dir)).toSeq)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("DECIMAL over BYTE_ARRAY storage (parquet-mr-written) decodes " +
+      "raw unscaled bytes, not UTF-8 strings") {
+    // Spark itself never writes this storage (it picks
+    // INT32/INT64/FLBA), but parquet-mr and most warehouse writers may:
+    // the unscaled big-endian twos-complement bytes are NOT valid UTF-8
+    // (0x80+ bytes everywhere), so a string-shaped decode corrupts or
+    // throws — the ADVICE r15 ClassCastException seam
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-badec").toFile
+    try {
+      val schema = org.apache.parquet.schema.MessageTypeParser
+        .parseMessageType("message m { required int64 id; " +
+          "optional binary dec (DECIMAL(25,4)); }")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      org.apache.parquet.hadoop.example.GroupWriteSupport
+        .setSchema(schema, conf)
+      val fac = new org.apache.parquet.example.data.simple
+        .SimpleGroupFactory(schema)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(new org.apache.hadoop.fs.Path(
+          new java.io.File(dir, "part-00000.parquet").getAbsolutePath))
+        .withConf(conf)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      try {
+        for (k <- 0 until 3000) {
+          val g = fac.newGroup().append("id", k.toLong)
+          if (k % 9 != 0) {
+            // 1-to-9-byte unscaled payloads, both signs
+            val unscaled = java.math.BigInteger
+              .valueOf(k.toLong * 1000003L - 1500000000L)
+              .multiply(java.math.BigInteger.valueOf(1000000007L))
+            g.append("dec", org.apache.parquet.io.api.Binary
+              .fromConstantByteArray(unscaled.toByteArray))
+          }
+          w.write(g)
+        }
+      } finally w.close()
+      val want = spark.read.parquet(dir.toString).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = spark.read.format("graftpq").load(dir.toString)
+        .collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((x, g) <- want.zip(got)) assert(x == g, s"$x vs $g")
+      assert(spark.read.format("graftpq").load(dir.toString).schema ==
+        spark.read.parquet(dir.toString).schema)
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
   test("INT96 legacy timestamps decode to the same micros Spark's " +
       "reader produces") {
     import spark.implicits._
@@ -307,6 +415,72 @@ class GraftParquetSpec extends AnyFunSuite {
       intercept[Exception] { // footer IO on the torn files is loud
         spark.read.format("graftpq").load(dir).count()
       }
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("a PARTITIONED committed table scans through graftpq: partition " +
+      "dirs prune whole files, values surface as typed columns") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-part").toString
+    try {
+      // two commits, hive-partitioned by an int column — the
+      // reference's own fact-table shape (fact partitioned by coin_id)
+      for (b <- 0 until 2)
+        Maintenance.commitAppend(spark, dir,
+          (0 until 9000).map { k =>
+            (b * 9000L + k, k % 3, (k % 100) * 1.5)
+          }.toDF("id", "coin", "v").repartition(2),
+          partitionBy = Seq("coin"))
+      val all = spark.read.format("graftpq").load(dir)
+      assert(all.schema("coin").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(all.count() == 18000)
+      val want = Maintenance.readTable(spark, dir)
+        .select("id", "coin", "v").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = all.select("id", "coin", "v").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      // partition pruning: a coin filter must plan ONLY that dir's
+      // files (both the dir-value prune and the manifest's min=max
+      // partition stats prove the others disjoint)
+      val filtered = all.filter("coin = 1")
+      val paths = batchScan(filtered).inputPartitions.map(
+        _.asInstanceOf[graft.sources.GraftPqPartition].path).distinct
+      assert(paths.nonEmpty && paths.forall(_.contains("coin=1")),
+        s"partition pruning planned $paths")
+      assert(filtered.count() == 6000)
+      // partition + data-column filters compose: the coin dir prune
+      // AND the manifest's per-commit id stats must BOTH act — only
+      // the second commit's coin=2 files may survive planning
+      val both = all.filter("coin = 2 AND id >= 9000")
+      val bothPaths = batchScan(both).inputPartitions.map(
+        _.asInstanceOf[graft.sources.GraftPqPartition].path).distinct
+      assert(bothPaths.nonEmpty && bothPaths.forall(p =>
+        p.contains("coin=2") && p.contains("_v000002_")),
+        s"dir+manifest pruning planned $bothPaths")
+      assert(both.count() == (0 until 9000).count(k => k % 3 == 2))
+      // string partition values surface exactly too (no numeric
+      // pruning, read parity only)
+      val sdir = java.nio.file.Files
+        .createTempDirectory("graft-graftpq-spart").toString
+      try {
+        Maintenance.commitAppend(spark, sdir,
+          (0 until 600).map(k => (k.toLong, Seq("btc", "eth", "u v")(k % 3)))
+            .toDF("id", "sym").coalesce(1),
+          partitionBy = Seq("sym"))
+        val sGot = spark.read.format("graftpq").load(sdir)
+          .collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+        val sWant = Maintenance.readTable(spark, sdir)
+          .select("id", "sym").collect().toSeq
+          .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+        for ((w, g) <- sWant.zip(sGot)) assert(w == g, s"$w vs $g")
+      } finally graft.streaming.WorkDirs
+        .deleteRecursively(new java.io.File(sdir))
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(dir))
   }
