@@ -19,8 +19,10 @@ package graft.operators
   * the reader's TReader.
   *
   * Supported leaves: BOOLEAN, INT32 (+DATE days), INT64
-  * (+TIMESTAMP_MICROS), FLOAT, DOUBLE, BYTE_ARRAY (UTF8 strings).
-  * Anything else rejects loudly by name. Row groups and pages split at
+  * (+TIMESTAMP_MICROS), FLOAT, DOUBLE, BYTE_ARRAY (UTF8 strings and
+  * raw binary), and DECIMAL at the spec's storage thresholds (INT32 /
+  * INT64 / FIXED_LEN_BYTE_ARRAY(16) by precision, the same choices
+  * Spark's writer makes). Anything else rejects loudly by name. Row groups and pages split at
   * caller-set row counts, so multi-GB chunks can't accumulate in one
   * page; every offset the footer records is absolute, which is what
   * lets [[sources.GraftParquet]] (and any foreign reader) plan
@@ -40,7 +42,8 @@ object ParquetWrite {
     * the common shapes).
     */
   final case class PwField(name: String, physicalType: Int,
-      convertedType: Option[Int] = None)
+      convertedType: Option[Int] = None, typeLength: Int = 0,
+      precision: Int = 0, scale: Int = 0)
 
   object PwFields {
     def boolean(n: String): PwField = PwField(n, 0)
@@ -49,10 +52,48 @@ object ParquetWrite {
     def float(n: String): PwField = PwField(n, 4)
     def double(n: String): PwField = PwField(n, 5)
     def string(n: String): PwField = PwField(n, 6, Some(0)) // UTF8
+    def binary(n: String): PwField = PwField(n, 6) // unannotated bytes
     def date(n: String): PwField = PwField(n, 1, Some(6)) // epoch days
     def timestampMicros(n: String): PwField =
       PwField(n, 2, Some(10)) // TIMESTAMP_MICROS
+    /** DECIMAL at the spec's storage thresholds (LogicalTypes.md):
+      * INT32 to precision 9, INT64 to 18, FIXED_LEN_BYTE_ARRAY(16)
+      * beyond — the same choices Spark's writer makes, so files read
+      * back with identical schemas. Values are carried as the UNSCALED
+      * integer (Int / Long / 16-byte big-endian twos complement).
+      */
+    def decimal(n: String, precision: Int, scale: Int): PwField = {
+      require(precision > 0 && precision <= 38 && scale >= 0 &&
+        scale <= precision, s"DECIMAL($precision,$scale)")
+      if (precision <= 9)
+        PwField(n, 1, Some(5), precision = precision, scale = scale)
+      else if (precision <= 18)
+        PwField(n, 2, Some(5), precision = precision, scale = scale)
+      else PwField(n, 7, Some(5), typeLength = 16,
+        precision = precision, scale = scale)
+    }
   }
+
+  /** One TOP-LEVEL column being written: a flat leaf, a one-level
+    * struct of leaves, the standard 3-level LIST of a leaf element, or
+    * the standard 3-level MAP of leaf key/values — exactly the nested
+    * shapes [[sources.GraftParquet]] reads back. Values are carried as:
+    * struct → Array[Any] aligned with `fields`; list → Seq[Any]; map →
+    * Seq[(Any, Any)] (entry order preserved). Nested chunks write
+    * PLAIN pages with full Dremel repetition/definition level streams;
+    * group nullability follows the house all-optional convention
+    * (except map keys, REQUIRED per the spec).
+    */
+  sealed trait PwCol extends Serializable { def name: String }
+  final case class PwLeafCol(field: PwField) extends PwCol {
+    def name: String = field.name
+  }
+  final case class PwStructCol(name: String, fields: Seq[PwField])
+    extends PwCol
+  final case class PwListCol(name: String, element: PwField)
+    extends PwCol
+  final case class PwMapCol(name: String, key: PwField, value: PwField)
+    extends PwCol
 
   // thrift compact element types (mirror of ParquetFooter's TReader)
   private val T_TRUE = 1
@@ -154,6 +195,57 @@ object ParquetWrite {
     out.toByteArray
   }
 
+  /** The general level region (nested columns: definition levels of
+    * width > 1 and repetition levels): RLE single run when constant,
+    * bit-packed groups of 8 otherwise, 4-byte length prefix — the same
+    * hybrid [[ParquetData.readHybrid]] and every spec reader decode.
+    * `levels[from, to)` is the page's slice; `width` ≥ 1.
+    */
+  private def levelRegion(levels: Array[Int], from: Int, to: Int,
+      width: Int): Array[Byte] = {
+    val n = to - from
+    val body = new Ba
+    val w = new TWriter(body)
+    var allSame = true
+    var i = from + 1
+    while (i < to && allSame) { allSame = levels(i) == levels(from); i += 1 }
+    if (n > 0 && allSame) {
+      w.varint(n.toLong << 1) // RLE run
+      val byteW = (width + 7) / 8
+      var k = 0
+      while (k < byteW) {
+        body.write((levels(from) >>> (8 * k)) & 0xff); k += 1
+      }
+    } else if (n > 0) {
+      val groups = (n + 7) / 8
+      w.varint((groups.toLong << 1) | 1) // bit-packed header
+      var g = 0
+      while (g < groups) {
+        val bits = new Array[Byte](width)
+        var k = 0
+        while (k < 8) {
+          val idx = from + g * 8 + k
+          val v = if (idx < to) levels(idx) else 0
+          var j = 0
+          while (j < width) {
+            if (((v >>> j) & 1) != 0) {
+              val bit = k * width + j
+              bits(bit >> 3) = (bits(bit >> 3) | (1 << (bit & 7))).toByte
+            }
+            j += 1
+          }
+          k += 1
+        }
+        body.write(bits, 0, width)
+        g += 1
+      }
+    }
+    val out = new Ba
+    out.le32(body.size())
+    body.writeTo(out)
+    out.toByteArray
+  }
+
   /** PLAIN-encode the non-null values of one page. */
   private def plainValues(f: PwField, vals: Array[Any], n: Int)
       : Array[Byte] = {
@@ -215,9 +307,26 @@ object ParquetWrite {
           }
           i += 1
         }
+      case 7 => // FIXED_LEN_BYTE_ARRAY: typeLength raw bytes per value
+        require(f.typeLength > 0,
+          s"FLBA column '${f.name}' needs a type_length")
+        var i = 0
+        while (i < n) {
+          vals(i) match {
+            case null => ()
+            case b: Array[Byte] =>
+              require(b.length == f.typeLength,
+                s"FLBA column '${f.name}': ${b.length}-byte value for " +
+                  s"type_length ${f.typeLength}")
+              out.write(b, 0, b.length)
+            case v => throw new IllegalArgumentException(
+              s"FLBA column '${f.name}' got ${v.getClass.getName}")
+          }
+          i += 1
+        }
       case t => throw new IllegalArgumentException(
         s"parquet physical type $t unsupported by the writer " +
-          "(INT96/FIXED_LEN_BYTE_ARRAY reject by name)")
+          "(INT96 rejects by name)")
     }
     out.toByteArray
   }
@@ -302,19 +411,35 @@ object ParquetWrite {
       nullCount: Long, minV: Option[Array[Byte]],
       maxV: Option[Array[Byte]], dataPageOffset: Long,
       totalUncompressed: Long, totalCompressed: Long,
-      dictPageOffset: Option[Long] = None, chunkStart: Long = -1L)
+      dictPageOffset: Option[Long] = None, chunkStart: Long = -1L,
+      pathParts: Seq[String] = Nil) {
+    def path: Seq[String] =
+      if (pathParts.nonEmpty) pathParts else Seq(field.name)
+  }
 
   private final case class GroupInfo(numRows: Long,
       chunks: Seq[ChunkInfo])
 
-  /** Write one complete parquet file; returns the row count. `rows`
-    * yields one `Array[Any]` per row aligned with `fields` (nulls as
-    * null; BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY carried as
-    * Boolean/Int/Long/Float/Double/String-or-Array[Byte]).
+  /** Write one complete parquet file of FLAT leaves; returns the row
+    * count. `rows` yields one `Array[Any]` per row aligned with
+    * `fields` (nulls as null; BOOLEAN/INT32/INT64/FLOAT/DOUBLE/
+    * BYTE_ARRAY carried as Boolean/Int/Long/Float/Double/
+    * String-or-Array[Byte]).
     */
   def writeFile(path: java.nio.file.Path, fields: Seq[PwField],
       rows: Iterator[Array[Any]], codec: Int = 1,
+      rowGroupRows: Int = 1 << 20, pageRows: Int = 1 << 16): Long =
+    writeColumns(path, fields.map(PwLeafCol.apply), rows, codec,
+      rowGroupRows, pageRows)
+
+  /** The general write surface: flat leaves plus the nested [[PwCol]]
+    * shapes (one-level struct, 3-level LIST, 3-level MAP), shredded
+    * into Dremel level streams per the record-shredding model.
+    */
+  def writeColumns(path: java.nio.file.Path, cols: Seq[PwCol],
+      rows: Iterator[Array[Any]], codec: Int = 1,
       rowGroupRows: Int = 1 << 20, pageRows: Int = 1 << 16): Long = {
+    val fields = cols
     require(fields.nonEmpty, "parquet writer needs at least one field")
     require(rowGroupRows > 0 && pageRows > 0 && pageRows <= rowGroupRows,
       s"bad page/row-group geometry $pageRows/$rowGroupRows")
@@ -329,7 +454,7 @@ object ParquetWrite {
       val batch = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
       def flushGroup(): Unit = if (batch.nonEmpty) {
         val nRows = batch.length
-        val chunks = fields.zipWithIndex.map { case (f, c) =>
+        def flatChunk(f: PwField, c: Int, nRows: Int): ChunkInfo = {
           val chunkStart = pos
           var unc = 0L
           var comp = 0L
@@ -482,6 +607,176 @@ object ParquetWrite {
             Option(maxV).map(statBytes(f.physicalType, _)),
             firstDataPage, unc, comp, dictOffset, chunkStart)
         }
+        // one leaf chunk from Dremel level streams (nested columns):
+        // PLAIN pages split at row boundaries, full rep/def regions,
+        // statistics omitted (nullCount −1 — min/max of a repeated
+        // leaf is not a row-level pruning domain)
+        def levelChunk(pathParts: Seq[String], f: PwField, maxDef: Int,
+            maxRep: Int, defs: Array[Int], reps: Array[Int],
+            dense: scala.collection.IndexedSeq[Any],
+            rowCounts: Array[Int]): ChunkInfo = {
+          val chunkStart = pos
+          var unc = 0L
+          var comp = 0L
+          val firstDataPage = pos
+          var row = 0
+          var entry = 0
+          var valIdx = 0
+          while (row < nRows) {
+            val rEnd = math.min(row + pageRows, nRows)
+            var entries = 0
+            var r = row
+            while (r < rEnd) { entries += rowCounts(r); r += 1 }
+            val eEnd = entry + entries
+            var nn = 0
+            var e = entry
+            while (e < eEnd) { if (defs(e) == maxDef) nn += 1; e += 1 }
+            val body = new Ba
+            if (maxRep > 0) {
+              val rr = levelRegion(reps, entry, eEnd, bitsFor(maxRep))
+              body.write(rr, 0, rr.length)
+            }
+            val dr = levelRegion(defs, entry, eEnd, bitsFor(maxDef))
+            body.write(dr, 0, dr.length)
+            val pageVals = new Array[Any](nn)
+            var k = 0
+            while (k < nn) { pageVals(k) = dense(valIdx + k); k += 1 }
+            val pv = plainValues(f, pageVals, nn)
+            body.write(pv, 0, pv.length)
+            val raw = body.toByteArray
+            val packed = compressBody(raw, codec)
+            val hdr = new Ba
+            val w = new TWriter(hdr)
+            w.structBegin()
+            w.i32(1, 0) // type: DATA_PAGE
+            w.i32(2, raw.length)
+            w.i32(3, packed.length)
+            w.structField(5) // DataPageHeader
+            w.i32(1, entries) // num_values = level entries
+            w.i32(2, 0) // PLAIN
+            w.i32(3, 3) // definition levels: RLE
+            w.i32(4, 3) // repetition levels: RLE
+            w.structEnd()
+            w.structEnd()
+            val hb = hdr.toByteArray
+            emit(hb)
+            emit(packed)
+            unc += hb.length + raw.length
+            comp += hb.length + packed.length
+            row = rEnd
+            entry = eEnd
+            valIdx += nn
+          }
+          ChunkInfo(f, defs.length.toLong, -1L, None, None,
+            firstDataPage, unc, comp, None, chunkStart, pathParts)
+        }
+        def shredStruct(st: PwStructCol, c: Int, nRows: Int)
+            : Seq[ChunkInfo] =
+          st.fields.zipWithIndex.map { case (f, k) =>
+            val defs = new Array[Int](nRows)
+            val dense = new scala.collection.mutable.ArrayBuffer[Any]()
+            val rowCounts = Array.fill(nRows)(1)
+            var r = 0
+            while (r < nRows) {
+              batch(r)(c) match {
+                case null => defs(r) = 0
+                case arr: Array[Any] =>
+                  require(arr.length == st.fields.length,
+                    s"struct '${st.name}' arity ${arr.length}")
+                  if (arr(k) == null) defs(r) = 1
+                  else { defs(r) = 2; dense += arr(k) }
+                case x => throw new IllegalArgumentException(
+                  s"struct column '${st.name}' got ${x.getClass.getName}")
+              }
+              r += 1
+            }
+            levelChunk(Seq(st.name, f.name), f, 2, 0, defs, null,
+              dense, rowCounts)
+          }
+        def shredList(ls: PwListCol, c: Int, nRows: Int): ChunkInfo = {
+          val defs = new scala.collection.mutable.ArrayBuffer[Int]()
+          val reps = new scala.collection.mutable.ArrayBuffer[Int]()
+          val dense = new scala.collection.mutable.ArrayBuffer[Any]()
+          val rowCounts = new Array[Int](nRows)
+          var r = 0
+          while (r < nRows) {
+            batch(r)(c) match {
+              case null => defs += 0; reps += 0; rowCounts(r) = 1
+              case s: scala.collection.Seq[_] =>
+                if (s.isEmpty) { defs += 1; reps += 0; rowCounts(r) = 1 }
+                else {
+                  var i = 0
+                  for (v <- s) {
+                    reps += (if (i == 0) 0 else 1)
+                    if (v == null) defs += 2
+                    else { defs += 3; dense += v }
+                    i += 1
+                  }
+                  rowCounts(r) = s.length
+                }
+              case x => throw new IllegalArgumentException(
+                s"list column '${ls.name}' got ${x.getClass.getName}")
+            }
+            r += 1
+          }
+          levelChunk(Seq(ls.name, "list", "element"), ls.element, 3, 1,
+            defs.toArray, reps.toArray, dense, rowCounts)
+        }
+        def shredMap(mp: PwMapCol, c: Int, nRows: Int): Seq[ChunkInfo] = {
+          val kDefs = new scala.collection.mutable.ArrayBuffer[Int]()
+          val vDefs = new scala.collection.mutable.ArrayBuffer[Int]()
+          val reps = new scala.collection.mutable.ArrayBuffer[Int]()
+          val kDense = new scala.collection.mutable.ArrayBuffer[Any]()
+          val vDense = new scala.collection.mutable.ArrayBuffer[Any]()
+          val rowCounts = new Array[Int](nRows)
+          var r = 0
+          while (r < nRows) {
+            batch(r)(c) match {
+              case null =>
+                kDefs += 0; vDefs += 0; reps += 0; rowCounts(r) = 1
+              case s: scala.collection.Seq[_] =>
+                if (s.isEmpty) {
+                  kDefs += 1; vDefs += 1; reps += 0; rowCounts(r) = 1
+                } else {
+                  var i = 0
+                  for (kv <- s) {
+                    val (k, v) = kv match {
+                      case p: (_, _) => (p._1, p._2)
+                      case x => throw new IllegalArgumentException(
+                        s"map column '${mp.name}' entry " +
+                          s"${x.getClass.getName}")
+                    }
+                    require(k != null, s"map '${mp.name}' null key")
+                    reps += (if (i == 0) 0 else 1)
+                    kDefs += 2
+                    kDense += k
+                    if (v == null) vDefs += 2
+                    else { vDefs += 3; vDense += v }
+                    i += 1
+                  }
+                  rowCounts(r) = s.length
+                }
+              case x => throw new IllegalArgumentException(
+                s"map column '${mp.name}' got ${x.getClass.getName}")
+            }
+            r += 1
+          }
+          val repArr = reps.toArray
+          Seq(
+            levelChunk(Seq(mp.name, "key_value", "key"), mp.key, 2, 1,
+              kDefs.toArray, repArr, kDense, rowCounts),
+            levelChunk(Seq(mp.name, "key_value", "value"), mp.value, 3,
+              1, vDefs.toArray, repArr, vDense, rowCounts))
+        }
+        val chunks: Seq[ChunkInfo] =
+          fields.zipWithIndex.flatMap { case (colDef, c) =>
+            colDef match {
+              case PwLeafCol(f) => Seq(flatChunk(f, c, nRows))
+              case st: PwStructCol => shredStruct(st, c, nRows)
+              case ls: PwListCol => Seq(shredList(ls, c, nRows))
+              case mp: PwMapCol => shredMap(mp, c, nRows)
+            }
+          }
         groups += GroupInfo(nRows.toLong, chunks)
         total += nRows
         batch.clear()
@@ -500,19 +795,54 @@ object ParquetWrite {
       val gs = groups.result()
       w.structBegin()
       w.i32(1, 1) // version
-      w.listHeader(2, T_STRUCT, fields.length + 1) // schema
+      val schemaCount = 1 + fields.map {
+        case _: PwLeafCol => 1
+        case s: PwStructCol => 1 + s.fields.length
+        case _: PwListCol => 3
+        case _: PwMapCol => 4
+      }.sum
+      w.listHeader(2, T_STRUCT, schemaCount) // schema
       w.structBegin() // root SchemaElement
       w.i32(3, 0) // repetition: REQUIRED
       w.str(4, "schema")
       w.i32(5, fields.length) // num_children
       w.structEnd()
-      for (f <- fields) {
+      def leafElement(f: PwField, repetition: Int): Unit = {
         w.structBegin()
         w.i32(1, f.physicalType)
-        w.i32(3, 1) // repetition: OPTIONAL
+        if (f.typeLength > 0) w.i32(2, f.typeLength)
+        w.i32(3, repetition)
         w.str(4, f.name)
         f.convertedType.foreach(ct => w.i32(6, ct))
+        if (f.convertedType.contains(5)) { // DECIMAL annotation
+          w.i32(7, f.scale)
+          w.i32(8, f.precision)
+        }
         w.structEnd()
+      }
+      def groupElement(name: String, repetition: Int, children: Int,
+          converted: Option[Int]): Unit = {
+        w.structBegin() // no type field: a group
+        w.i32(3, repetition)
+        w.str(4, name)
+        w.i32(5, children)
+        converted.foreach(ct => w.i32(6, ct))
+        w.structEnd()
+      }
+      for (colDef <- fields) colDef match {
+        case PwLeafCol(f) => leafElement(f, 1) // OPTIONAL
+        case st: PwStructCol =>
+          groupElement(st.name, 1, st.fields.length, None)
+          for (f <- st.fields) leafElement(f, 1)
+        case ls: PwListCol => // 3-level LIST (LogicalTypes.md)
+          groupElement(ls.name, 1, 1, Some(3))
+          groupElement("list", 2, 1, None) // REPEATED
+          leafElement(ls.element.copy(name = "element"), 1)
+        case mp: PwMapCol => // 3-level MAP
+          groupElement(mp.name, 1, 1, Some(1))
+          groupElement("key_value", 2, 2, None) // REPEATED
+          leafElement(mp.key.copy(name = "key"), 0) // REQUIRED
+          leafElement(mp.value.copy(name = "value"), 1)
       }
       w.i64(3, total) // num_rows
       w.listHeader(4, T_STRUCT, gs.length) // row_groups
@@ -535,17 +865,20 @@ object ParquetWrite {
             w.varint((0L << 1)) // PLAIN (zigzag 0)
             w.varint((3L << 1)) // RLE (zigzag 3)
           }
-          w.listHeader(3, T_BINARY, 1)
-          val nb = ch.field.name.getBytes("UTF-8")
-          w.varint(nb.length.toLong)
-          fb.write(nb, 0, nb.length)
+          val parts = ch.path
+          w.listHeader(3, T_BINARY, parts.length)
+          for (part <- parts) {
+            val nb = part.getBytes("UTF-8")
+            w.varint(nb.length.toLong)
+            fb.write(nb, 0, nb.length)
+          }
           w.i32(4, codec)
           w.i64(5, ch.numValues)
           w.i64(6, ch.totalUncompressed)
           w.i64(7, ch.totalCompressed)
           w.i64(9, ch.dataPageOffset)
           ch.dictPageOffset.foreach(w.i64(11, _))
-          if (ch.minV.isDefined || ch.nullCount >= 0) {
+          if (ch.nullCount >= 0) { // nested chunks (-1) omit Statistics
             w.structField(12) // Statistics
             w.i64(3, ch.nullCount)
             ch.maxV.foreach(w.binary(5, _)) // max_value
@@ -580,24 +913,47 @@ object ParquetWrite {
   // -------------------------------------------------------------------
   // Spark surface
 
-  /** Map a Spark schema to writer fields; unsupported Spark types
-    * reject loudly by name.
+  private def leafFieldOf(name: String,
+      dt: org.apache.spark.sql.types.DataType): PwField = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => PwFields.boolean(name)
+      case IntegerType => PwFields.int32(name)
+      case LongType => PwFields.int64(name)
+      case FloatType => PwFields.float(name)
+      case DoubleType => PwFields.double(name)
+      case StringType => PwFields.string(name)
+      case BinaryType => PwFields.binary(name)
+      case d: DecimalType => PwFields.decimal(name, d.precision, d.scale)
+      case DateType => PwFields.date(name)
+      case TimestampType => PwFields.timestampMicros(name)
+      case t => throw new IllegalArgumentException(
+        s"parquet writer: column '$name' type ${t.sql} unsupported")
+    }
+  }
+
+  /** Map a FLAT Spark schema to writer fields; nested and unsupported
+    * Spark types reject loudly by name.
     */
   def fieldsOf(schema: org.apache.spark.sql.types.StructType)
-      : Seq[PwField] = {
+      : Seq[PwField] =
+    schema.fields.toSeq.map(f => leafFieldOf(f.name, f.dataType))
+
+  /** Map a Spark schema (flat leaves + one-level struct / array / map
+    * of leaves) to writer columns.
+    */
+  def columnsOf(schema: org.apache.spark.sql.types.StructType)
+      : Seq[PwCol] = {
     import org.apache.spark.sql.types._
     schema.fields.toSeq.map { f =>
       f.dataType match {
-        case BooleanType => PwFields.boolean(f.name)
-        case IntegerType => PwFields.int32(f.name)
-        case LongType => PwFields.int64(f.name)
-        case FloatType => PwFields.float(f.name)
-        case DoubleType => PwFields.double(f.name)
-        case StringType => PwFields.string(f.name)
-        case DateType => PwFields.date(f.name)
-        case TimestampType => PwFields.timestampMicros(f.name)
-        case t => throw new IllegalArgumentException(
-          s"parquet writer: column '${f.name}' type ${t.sql} unsupported")
+        case st: StructType => PwStructCol(f.name,
+          st.fields.toSeq.map(g => leafFieldOf(g.name, g.dataType)))
+        case ArrayType(et, _) =>
+          PwListCol(f.name, leafFieldOf("element", et))
+        case MapType(kt, vt, _) => PwMapCol(f.name,
+          leafFieldOf("key", kt), leafFieldOf("value", vt))
+        case dt => PwLeafCol(leafFieldOf(f.name, dt))
       }
     }
   }
@@ -607,40 +963,101 @@ object ParquetWrite {
     * THE DATA IS, one task per partition, no driver collection —
     * then `_SUCCESS` commits the directory. Returns the row count.
     */
+  /** One leaf value Spark → writer representation (dates to epoch
+    * days, timestamps to micros, decimals to their unscaled storage).
+    */
+  private def valueAdapt(dt: org.apache.spark.sql.types.DataType,
+      name: String): Any => Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType => {
+        case null => null
+        case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+        case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+        case v => v
+      }
+      case TimestampType => {
+        case null => null
+        case t: java.sql.Timestamp =>
+          Long.box(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+        case t: java.time.Instant =>
+          Long.box(t.getEpochSecond * 1000000L + t.getNano / 1000)
+        case v => v
+      }
+      case d: DecimalType => {
+        // storage carries the UNSCALED integer at the declared scale
+        case null => null
+        case v: java.math.BigDecimal =>
+          val u = v.setScale(d.scale).unscaledValue()
+          if (d.precision <= 9) Int.box(u.intValueExact())
+          else if (d.precision <= 18) Long.box(u.longValueExact())
+          else { // 16-byte big-endian twos complement, sign-extended
+            val raw = u.toByteArray
+            require(raw.length <= 16,
+              s"decimal '$name': $v exceeds 16-byte storage")
+            val out = new Array[Byte](16)
+            if (u.signum() < 0)
+              java.util.Arrays.fill(out, 0, 16 - raw.length, -1: Byte)
+            System.arraycopy(raw, 0, out, 16 - raw.length, raw.length)
+            out
+          }
+        case v => v
+      }
+      case _ => identity
+    }
+  }
+
   def writeDataFrame(df: org.apache.spark.sql.DataFrame, dir: String,
       codec: Int = 1, rowGroupRows: Int = 1 << 20,
       pageRows: Int = 1 << 16): Long = {
     import org.apache.spark.sql.types._
-    val fields = fieldsOf(df.schema)
+    val cols = columnsOf(df.schema)
     val schema = df.schema
     val target = new java.io.File(dir)
     target.mkdirs()
     val adapt: Array[Any => Any] = schema.fields.map[Any => Any] { f =>
       f.dataType match {
-        case DateType => {
-          case null => null
-          case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
-          case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
-          case v => v
-        }
-        case TimestampType => {
-          case null => null
-          case t: java.sql.Timestamp =>
-            Long.box(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
-          case t: java.time.Instant =>
-            Long.box(t.getEpochSecond * 1000000L + t.getNano / 1000)
-          case v => v
-        }
-        case _ => identity
+        case st: StructType =>
+          val ads = st.fields.map(g => valueAdapt(g.dataType, g.name))
+          locally {
+            case null => null
+            case r: org.apache.spark.sql.Row =>
+              Array.tabulate[Any](ads.length)(i =>
+                if (r.isNullAt(i)) null else ads(i)(r.get(i)))
+            case x => throw new IllegalArgumentException(
+              s"struct column '${f.name}' got ${x.getClass.getName}")
+          }
+        case ArrayType(et, _) =>
+          val ad = valueAdapt(et, f.name)
+          locally {
+            case null => null
+            case s: scala.collection.Seq[_] =>
+              s.map[Any](v => if (v == null) null else ad(v))
+            case x => throw new IllegalArgumentException(
+              s"array column '${f.name}' got ${x.getClass.getName}")
+          }
+        case MapType(kt, vt, _) =>
+          val kad = valueAdapt(kt, f.name)
+          val vad = valueAdapt(vt, f.name)
+          locally {
+            case null => null
+            case m: scala.collection.Map[_, _] =>
+              m.toSeq.map[(Any, Any)] { case (k, v) =>
+                (kad(k), if (v == null) null else vad(v))
+              }
+            case x => throw new IllegalArgumentException(
+              s"map column '${f.name}' got ${x.getClass.getName}")
+          }
+        case dt => valueAdapt(dt, f.name)
       }
     }
     val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
       val f = new java.io.File(target, f"part-$i%05d.parquet")
       val rows = it.map { row =>
-        Array.tabulate[Any](fields.length)(c =>
+        Array.tabulate[Any](cols.length)(c =>
           if (row.isNullAt(c)) null else adapt(c)(row.get(c)))
       }
-      val n = writeFile(f.toPath, fields, rows, codec, rowGroupRows,
+      val n = writeColumns(f.toPath, cols, rows, codec, rowGroupRows,
         pageRows)
       if (n == 0) f.delete() // empty partitions leave no file
       Iterator.single(n)

@@ -243,16 +243,128 @@ class ParquetWriteSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
 
+  test("DECIMAL across all three storages and raw BINARY write and " +
+      "read back via parquet-mr AND graftpq") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("decbin")
+    try {
+      val digits9 = concat((col("id") % 3000).cast("string"), lit("."),
+        lpad((col("id") % 97).cast("string"), 2, "0"))
+      val digits18 = concat((col("id") % 100000).cast("string"),
+        lit("."), lpad((col("id") % 9973).cast("string"), 4, "0"))
+      val digits30 = concat((col("id") * 1000003L).cast("string"),
+        lit("."), lpad((col("id") % 999983).cast("string"), 6, "0"))
+      def signed(c: org.apache.spark.sql.Column) =
+        when(col("id") % 2 === 0, c).otherwise(concat(lit("-"), c))
+      val df = spark.range(0, 12000).toDF("id")
+        .select(col("id"),
+          when(col("id") % 9 === 0, lit(null))
+            .otherwise(signed(digits9)).cast("decimal(7,2)").as("d32"),
+          when(col("id") % 11 === 0, lit(null))
+            .otherwise(signed(digits18)).cast("decimal(16,4)")
+            .as("d64"),
+          when(col("id") % 13 === 0, lit(null))
+            .otherwise(signed(digits30)).cast("decimal(30,6)")
+            .as("dflba"),
+          when(col("id") % 7 === 0, lit(null))
+            .otherwise(encode(concat(lit("b"), col("id") % 500),
+              "UTF-8")).as("bin"))
+        .coalesce(2)
+      val n = ParquetWrite.writeDataFrame(df, dir.toString, codec = 6,
+        rowGroupRows = 4000, pageRows = 1000)
+      assert(n == 12000)
+      def canon(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }
+      val want = df.collect().toSeq.map(canon)
+        .sortBy(_.head.asInstanceOf[Long])
+      val viaMr = spark.read.parquet(dir.toString)
+        .select("id", "d32", "d64", "dflba", "bin").collect().toSeq
+        .map(canon).sortBy(_.head.asInstanceOf[Long])
+      assert(viaMr.size == want.size)
+      for ((w, g) <- want.zip(viaMr)) assert(w == g, s"mr: $w vs $g")
+      assert(spark.read.parquet(dir.toString).schema("d32").dataType ==
+        org.apache.spark.sql.types.DecimalType(7, 2))
+      assert(spark.read.parquet(dir.toString).schema("dflba").dataType ==
+        org.apache.spark.sql.types.DecimalType(30, 6))
+      val viaOwn = spark.read.format("graftpq").load(dir.toString)
+        .select("id", "d32", "d64", "dflba", "bin").collect().toSeq
+        .map(canon).sortBy(_.head.asInstanceOf[Long])
+      for ((w, g) <- want.zip(viaOwn)) assert(w == g, s"own: $w vs $g")
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
+  test("NESTED columns (struct / list / map) shred to Dremel level " +
+      "streams parquet-mr AND graftpq read back row-identically") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("nested")
+    try {
+      val df = spark.range(0, 8000).toDF("id")
+        .select(col("id"),
+          // struct with a null struct, null fields, mixed leaf types
+          when(col("id") % 13 === 0, lit(null))
+            .otherwise(struct((col("id") % 97).as("u"),
+              when(col("id") % 5 === 0, lit(null))
+                .otherwise(concat(lit("t"), col("id") % 3)).as("tag"),
+              (col("id") * 0.25).as("w"))).as("meta"),
+          // list with null lists, empties and null elements
+          when(col("id") % 10 === 0, lit(null))
+            .otherwise(when(col("id") % 10 === 1,
+              array().cast("array<string>"))
+              .otherwise(array(concat(lit("a"), col("id") % 5),
+                when(col("id") % 3 === 0, lit(null))
+                  .otherwise(concat(lit("b"), col("id") % 7)))))
+            .as("tags"),
+          sequence(lit(1L), col("id") % 4 + 1).as("ks"),
+          // map with null maps, empties and null values
+          when(col("id") % 11 === 0, lit(null))
+            .otherwise(when(col("id") % 11 === 1,
+              map().cast("map<string,bigint>"))
+              .otherwise(map(
+                concat(lit("k"), col("id") % 5), col("id") * 2,
+                lit("opt"), when(col("id") % 3 === 0, lit(null))
+                  .otherwise(col("id") % 9))))
+            .as("attrs"))
+        .coalesce(2)
+      val n = ParquetWrite.writeDataFrame(df, dir.toString, codec = 6,
+        rowGroupRows = 3000, pageRows = 700)
+      assert(n == 8000)
+      val want = df.collect().toSeq.map(_.toSeq)
+        .sortBy(_.head.asInstanceOf[Long])
+      val viaMr = spark.read.parquet(dir.toString)
+        .select("id", "meta", "tags", "ks", "attrs").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(viaMr.size == want.size)
+      for ((x, g) <- want.zip(viaMr)) assert(x == g, s"mr: $x vs $g")
+      val viaOwn = spark.read.format("graftpq").load(dir.toString)
+        .select("id", "meta", "tags", "ks", "attrs").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      for ((x, g) <- want.zip(viaOwn)) assert(x == g, s"own: $x vs $g")
+      // schema round trip through the independent reader
+      val sch = spark.read.parquet(dir.toString).schema
+      assert(sch("meta").dataType.isInstanceOf[
+        org.apache.spark.sql.types.StructType])
+      assert(sch("tags").dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = true))
+      assert(sch("attrs").dataType ==
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType, valueContainsNull = true))
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
   test("unsupported shapes reject loudly by name") {
     val dir = tmpDir("reject")
     try {
       val e1 = intercept[IllegalArgumentException] {
         ParquetWrite.writeFile(
           new java.io.File(dir, "bad.parquet").toPath,
-          Seq(ParquetWrite.PwField("x", 7)), // FIXED_LEN_BYTE_ARRAY
+          Seq(ParquetWrite.PwField("x", 7)), // FLBA without a length
           Iterator.single(Array[Any]("y")), codec = 0)
       }
-      assert(e1.getMessage.contains("unsupported"))
+      assert(e1.getMessage.contains("type_length"))
       val e2 = intercept[IllegalArgumentException] {
         ParquetWrite.writeFile(
           new java.io.File(dir, "bad2.parquet").toPath,
