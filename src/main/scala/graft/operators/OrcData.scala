@@ -547,7 +547,10 @@ object OrcData {
       var by = 0
       do {
         require(pos < b.length, "torn ORC: decimal varint")
-        require(shift <= 16 * 7, "torn ORC: runaway decimal varint")
+        // decimal(38) zigzag unscaled values span up to 128 bits ≈ 19
+        // varint bytes (shift 18·7 on the final group) — the guard only
+        // rejects streams no valid decimal can produce
+        require(shift <= 19 * 7, "torn ORC: runaway decimal varint")
         by = b(pos) & 0xff
         pos += 1
         if ((by & 0x7f) != 0)

@@ -8,10 +8,14 @@ package graft.operators
   *
   *   - "ORC" 3-byte header, stripes of DATA streams (no row indexes:
   *     `rowIndexStride = 0`, the `orc.create.index=false` layout),
-  *     per-stripe StripeFooter protobuf, file Footer + Postscript
-  *     protobufs, trailing postscript-length byte — all protobuf wire
-  *     format written by hand (varint keys, length-delimited
-  *     messages), mirrored against [[OrcMeta.PReader]];
+  *     per-stripe StripeFooter protobuf, a Metadata section with
+  *     per-stripe ColumnStatistics (min/max/sum/hasNull per column —
+  *     what [[graft.sources.GraftOrc]]'s stripe pruning and orc-core's
+  *     stripe stats consume), file Footer (with merged file-level
+  *     ColumnStatistics) + Postscript protobufs, trailing
+  *     postscript-length byte — all protobuf wire format written by
+  *     hand (varint keys, length-delimited messages), mirrored against
+  *     [[OrcMeta.PReader]];
   *   - PRESENT streams as boolean RLE (bits MSB-first behind byte-RLE
   *     literal groups), only on columns that actually carry nulls;
   *   - integer columns (INT/LONG/DATE) as RLEv2 DIRECT runs of ≤ 512
@@ -46,9 +50,11 @@ object OrcWrite {
 
   /** One column of the flat struct schema; `kind` uses orc_proto
     * Type.Kind ids (0 BOOLEAN, 3 INT, 4 LONG, 6 DOUBLE, 7 STRING,
-    * 15 DATE, 18 TIMESTAMP_INSTANT).
+    * 8 BINARY, 14 DECIMAL, 15 DATE, 18 TIMESTAMP_INSTANT);
+    * `precision`/`scale` only for DECIMAL.
     */
-  final case class OwField(name: String, kind: Int)
+  final case class OwField(name: String, kind: Int,
+      precision: Int = 0, scale: Int = 0)
 
   object OwFields {
     def boolean(n: String): OwField = OwField(n, 0)
@@ -56,6 +62,12 @@ object OrcWrite {
     def long(n: String): OwField = OwField(n, 4)
     def double(n: String): OwField = OwField(n, 6)
     def string(n: String): OwField = OwField(n, 7)
+    def binary(n: String): OwField = OwField(n, 8)
+    def decimal(n: String, precision: Int, scale: Int): OwField = {
+      require(precision > 0 && precision <= 38 && scale >= 0 &&
+        scale <= precision, s"DECIMAL($precision,$scale)")
+      OwField(n, 14, precision, scale)
+    }
     def date(n: String): OwField = OwField(n, 15)
     /** TIMESTAMP (kind 9) with `writerTimezone: UTC` in every stripe
       * footer — the exact shape Spark's own ORC writer produces.
@@ -87,6 +99,17 @@ object OrcWrite {
       out.write(b, 0, b.length)
     }
     def str(field: Int, s: String): Unit = bytes(field, s.getBytes("UTF-8"))
+    /** sint64: zigzag sign fold, then varint (orc_proto statistics
+      * min/max fields).
+      */
+    def sint(field: Int, v: Long): Unit = uint(field, (v << 1) ^ (v >> 63))
+    /** double: wire type 1, IEEE bits little-endian. */
+    def dbl(field: Int, v: Double): Unit = {
+      varint((field.toLong << 3) | 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var j = 0
+      while (j < 8) { out.write(((bits >>> (8 * j)) & 0xff).toInt); j += 1 }
+    }
     def msg(field: Int)(f: PB => Unit): Unit = {
       val inner = new PB
       f(inner)
@@ -205,10 +228,37 @@ object OrcWrite {
   private final case class BuiltStream(kind: Int, column: Int,
       bytes: Array[Byte])
 
+  /** One column's stripe result: its streams plus the ColumnEncoding
+    * to record (0 DIRECT, 2 DIRECT_V2, 3 DICTIONARY_V2 with
+    * `dictSize`).
+    */
+  private final case class BuiltCol(streams: Seq[BuiltStream],
+      encoding: Int, dictSize: Int = 0)
+
   private val K_PRESENT = 0
   private val K_DATA = 1
   private val K_LENGTH = 2
+  private val K_DICT = 3 // DICTIONARY_DATA (4 is DICTIONARY_COUNT — an
+  // INDEX-area stream whose misuse shifts every data-stream offset)
   private val K_SECONDARY = 5
+
+  /** Unbounded base-128 zigzag varints — the DECIMAL DATA stream, the
+    * encode inverse of OrcData.readBigVarints.
+    */
+  private def bigVarints(vals: Seq[java.math.BigInteger]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vals.length * 3)
+    for (v <- vals) {
+      var u =
+        if (v.signum() >= 0) v.shiftLeft(1)
+        else v.not().shiftLeft(1).setBit(0)
+      do {
+        val low = u.intValue() & 0x7f
+        u = u.shiftRight(7)
+        out.write(if (u.signum() != 0) low | 0x80 else low)
+      } while (u.signum() != 0)
+    }
+    out.toByteArray
+  }
 
   /** ORC timestamps count seconds from 2015-01-01 00:00:00 UTC. */
   private val TsBaseSeconds = 1420070400L
@@ -230,7 +280,12 @@ object OrcWrite {
 
   /** Build one column's streams for one stripe's buffered values. */
   private def buildColumn(f: OwField, colId: Int,
-      vals: Array[Any], n: Int): Seq[BuiltStream] = {
+      vals: Array[Any], n: Int): BuiltCol = {
+    var encoding = f.kind match {
+      case 0 | 6 => 0 // DIRECT (boolean / double)
+      case _ => 2 // DIRECT_V2
+    }
+    var dictSize = 0
     val streams = Seq.newBuilder[BuiltStream]
     var nulls = 0
     var i = 0
@@ -309,7 +364,57 @@ object OrcWrite {
           rleV2Direct(secs, nonNull, signed = true))
         streams += BuiltStream(K_SECONDARY, colId,
           rleV2Direct(nanos, nonNull, signed = false))
-      case 7 => // STRING DIRECT_V2: unsigned LENGTH + UTF-8 DATA
+      case 7 => // STRING: DICTIONARY_V2 when the distinct set earns it
+        // (the classic ≤ 50% cutoff), DIRECT_V2 otherwise
+        val strs = new Array[String](nonNull)
+        var v = 0
+        i = 0
+        while (i < n) {
+          if (vals(i) != null) {
+            strs(v) = vals(i) match {
+              case s: String => s
+              case x => throw new IllegalArgumentException(
+                s"column '${f.name}' got ${x.getClass.getName}")
+            }
+            v += 1
+          }
+          i += 1
+        }
+        val distinct = strs.toSeq.distinct
+        if (nonNull > 0 && distinct.size * 2 <= nonNull) {
+          // sorted dictionary (the orc-core convention; readers don't
+          // require it but sorted dicts compress and prune better)
+          val dict = distinct.sorted
+          val index = dict.zipWithIndex.toMap
+          encoding = 3 // DICTIONARY_V2
+          dictSize = dict.size
+          val dictData = new java.io.ByteArrayOutputStream()
+          val dictLens = new Array[Long](dict.size)
+          for ((s, k) <- dict.zipWithIndex) {
+            val b = s.getBytes("UTF-8")
+            dictLens(k) = b.length.toLong
+            dictData.write(b, 0, b.length)
+          }
+          streams += BuiltStream(K_DATA, colId, rleV2Direct(
+            strs.map(s => index(s).toLong), nonNull, signed = false))
+          streams += BuiltStream(K_DICT, colId, dictData.toByteArray)
+          streams += BuiltStream(K_LENGTH, colId,
+            rleV2Direct(dictLens, dict.size, signed = false))
+        } else {
+          val lens = new Array[Long](nonNull)
+          val data = new java.io.ByteArrayOutputStream()
+          var k = 0
+          while (k < nonNull) {
+            val b = strs(k).getBytes("UTF-8")
+            lens(k) = b.length.toLong
+            data.write(b, 0, b.length)
+            k += 1
+          }
+          streams += BuiltStream(K_DATA, colId, data.toByteArray)
+          streams += BuiltStream(K_LENGTH, colId,
+            rleV2Direct(lens, nonNull, signed = false))
+        }
+      case 8 => // BINARY DIRECT_V2: unsigned LENGTH + raw DATA
         val lens = new Array[Long](nonNull)
         val data = new java.io.ByteArrayOutputStream()
         var v = 0
@@ -317,7 +422,7 @@ object OrcWrite {
         while (i < n) {
           if (vals(i) != null) {
             val b = vals(i) match {
-              case s: String => s.getBytes("UTF-8")
+              case a: Array[Byte] => a
               case x => throw new IllegalArgumentException(
                 s"column '${f.name}' got ${x.getClass.getName}")
             }
@@ -330,11 +435,251 @@ object OrcWrite {
         streams += BuiltStream(K_DATA, colId, data.toByteArray)
         streams += BuiltStream(K_LENGTH, colId,
           rleV2Direct(lens, nonNull, signed = false))
+      case 14 => // DECIMAL: unbounded zigzag varints (DATA) + the
+        // declared scale per value (SECONDARY, signed RLEv2)
+        val unscaled = new Array[java.math.BigInteger](nonNull)
+        val scales = new Array[Long](nonNull)
+        var v = 0
+        i = 0
+        while (i < n) {
+          if (vals(i) != null) {
+            val bd = (vals(i) match {
+              case d: java.math.BigDecimal => d
+              case d: BigDecimal => d.bigDecimal
+              case x => throw new IllegalArgumentException(
+                s"column '${f.name}' got ${x.getClass.getName}")
+            }).setScale(f.scale)
+            require(bd.precision <= f.precision,
+              s"column '${f.name}': $bd exceeds " +
+                s"DECIMAL(${f.precision},${f.scale})")
+            unscaled(v) = bd.unscaledValue()
+            scales(v) = f.scale.toLong
+            v += 1
+          }
+          i += 1
+        }
+        streams += BuiltStream(K_DATA, colId,
+          bigVarints(unscaled.toIndexedSeq))
+        streams += BuiltStream(K_SECONDARY, colId,
+          rleV2Direct(scales, nonNull, signed = true))
       case k => throw new IllegalArgumentException(
         s"ORC writer kind $k unsupported " +
-          "(BOOLEAN/INT/LONG/DOUBLE/STRING/DATE)")
+          "(BOOLEAN/INT/LONG/DOUBLE/STRING/BINARY/DECIMAL/DATE/" +
+          "TIMESTAMP)")
     }
-    streams.result()
+    BuiltCol(streams.result(), encoding, dictSize)
+  }
+
+  // -------------------------------------------------------------------
+  // column statistics (orc_proto ColumnStatistics and friends) — the
+  // skip-side metadata that lets readers prune: written per stripe into
+  // the Metadata section (graftorc's stripe pruning consumes exactly
+  // that, OrcData.parseMetadata) and merged into the file footer's
+  // `statistics` field (orc-core's Reader.getStatistics)
+
+  /** UTF-8 byte order == Unicode code-point order, which differs from
+    * Java String order exactly on supplementary characters (surrogate
+    * pairs sort above U+E000..U+FFFF in byte order, below in UTF-16
+    * order) — min/max written in the wrong order would mis-prune for a
+    * byte-comparing reader.
+    */
+  private def cpLess(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    i >= a.length && j < b.length // equal prefix: the shorter is less
+  }
+
+  /** One column's accumulating statistics (a stripe's worth, or the
+    * file-level merge). Typed min/max/sum per kind; sums drop out on
+    * overflow (the spec marks IntegerStatistics.sum optional for
+    * exactly that), double stats drop out entirely when a NaN is
+    * present (no order), timestamp bounds round OUTWARD to millis so a
+    * reader pruning at millis granularity can never wrongly exclude a
+    * sub-millisecond value.
+    */
+  private final class StatAcc(val kind: Int) {
+    var nonNull = 0L
+    var hasNull = false
+    var iMin = Long.MaxValue
+    var iMax = Long.MinValue
+    var iSum = 0L
+    var iSumOk = true
+    var dMin = Double.PositiveInfinity
+    var dMax = Double.NegativeInfinity
+    var dSum = 0.0
+    var nan = false
+    var sMin: String = null
+    var sMax: String = null
+    var sBytes = 0L
+    var trues = 0L
+    var bdMin: java.math.BigDecimal = null
+    var bdMax: java.math.BigDecimal = null
+    var bdSum: java.math.BigDecimal = java.math.BigDecimal.ZERO
+
+    def addNull(): Unit = hasNull = true
+    def addDecimal(v: java.math.BigDecimal): Unit = {
+      nonNull += 1
+      if (bdMin == null || v.compareTo(bdMin) < 0) bdMin = v
+      if (bdMax == null || v.compareTo(bdMax) > 0) bdMax = v
+      bdSum = bdSum.add(v)
+    }
+    def addBinary(len: Int): Unit = {
+      nonNull += 1
+      sBytes += len
+    }
+    def addLong(v: Long): Unit = {
+      nonNull += 1
+      if (v < iMin) iMin = v
+      if (v > iMax) iMax = v
+      if (iSumOk) try iSum = Math.addExact(iSum, v)
+      catch { case _: ArithmeticException => iSumOk = false }
+    }
+    def addDouble(v: Double): Unit = {
+      nonNull += 1
+      if (java.lang.Double.isNaN(v)) nan = true
+      else {
+        if (v < dMin) dMin = v
+        if (v > dMax) dMax = v
+        dSum += v
+      }
+    }
+    def addString(v: String, utf8Len: Int): Unit = {
+      nonNull += 1
+      sBytes += utf8Len
+      if (sMin == null || cpLess(v, sMin)) sMin = v
+      if (sMax == null || cpLess(sMax, v)) sMax = v
+    }
+    def addBoolean(v: Boolean): Unit = {
+      nonNull += 1
+      if (v) trues += 1
+    }
+
+    def merge(o: StatAcc): Unit = {
+      nonNull += o.nonNull
+      hasNull ||= o.hasNull
+      if (o.iMin < iMin) iMin = o.iMin
+      if (o.iMax > iMax) iMax = o.iMax
+      if (iSumOk && o.iSumOk) try iSum = Math.addExact(iSum, o.iSum)
+      catch { case _: ArithmeticException => iSumOk = false }
+      else iSumOk = false
+      if (o.dMin < dMin) dMin = o.dMin
+      if (o.dMax > dMax) dMax = o.dMax
+      dSum += o.dSum
+      nan ||= o.nan
+      if (o.sMin != null && (sMin == null || cpLess(o.sMin, sMin)))
+        sMin = o.sMin
+      if (o.sMax != null && (sMax == null || cpLess(sMax, o.sMax)))
+        sMax = o.sMax
+      sBytes += o.sBytes
+      trues += o.trues
+      if (o.bdMin != null && (bdMin == null ||
+          o.bdMin.compareTo(bdMin) < 0)) bdMin = o.bdMin
+      if (o.bdMax != null && (bdMax == null ||
+          o.bdMax.compareTo(bdMax) > 0)) bdMax = o.bdMax
+      bdSum = bdSum.add(o.bdSum)
+    }
+
+    /** Write this accumulator as one ColumnStatistics message body.
+      * kind −1 = the root struct (counts only).
+      */
+    def emit(pb: PB): Unit = {
+      pb.uint(1, nonNull) // numberOfValues
+      if (nonNull > 0) kind match {
+        case 0 => // BucketStatistics: packed repeated uint64 count
+          pb.msg(5) { m =>
+            val packed = new PB
+            packed.varint(trues)
+            m.bytes(1, packed.toByteArray)
+          }
+        case 3 | 4 => pb.msg(2) { m => // IntegerStatistics
+          m.sint(1, iMin)
+          m.sint(2, iMax)
+          if (iSumOk) m.sint(3, iSum)
+        }
+        case 6 => if (!nan) pb.msg(3) { m => // DoubleStatistics
+          m.dbl(1, dMin)
+          m.dbl(2, dMax)
+          m.dbl(3, dSum)
+        }
+        case 7 => pb.msg(4) { m => // StringStatistics
+          m.str(1, sMin)
+          m.str(2, sMax)
+          m.sint(3, sBytes)
+        }
+        case 8 => pb.msg(8) { m => // BinaryStatistics: total bytes
+          m.sint(1, sBytes)
+        }
+        case 14 => if (bdMin != null) pb.msg(6) { m =>
+          // DecimalStatistics: decimal STRINGS per orc_proto
+          m.str(1, bdMin.toPlainString)
+          m.str(2, bdMax.toPlainString)
+          m.str(3, bdSum.toPlainString)
+        }
+        case 15 => pb.msg(7) { m => // DateStatistics (days, sint32)
+          m.sint(1, iMin)
+          m.sint(2, iMax)
+        }
+        case 9 | 18 => pb.msg(9) { m => // TimestampStatistics: UTC
+          // millis, bounds rounded outward from the stored micros
+          m.sint(3, Math.floorDiv(iMin, 1000L))
+          m.sint(4, -Math.floorDiv(-iMax, 1000L))
+        }
+        case _ => ()
+      }
+      pb.uint(10, if (hasNull) 1L else 0L) // hasNull
+    }
+  }
+
+  /** Accumulate one stripe's per-column stats (index 0 = root struct,
+    * then one per field, aligned with the type tree).
+    */
+  private def stripeStatsOf(fields: Seq[OwField],
+      batch: scala.collection.IndexedSeq[Array[Any]], n: Int)
+      : Array[StatAcc] = {
+    val accs = new Array[StatAcc](fields.length + 1)
+    accs(0) = new StatAcc(-1)
+    accs(0).nonNull = n.toLong
+    for ((f, c) <- fields.zipWithIndex) {
+      val a = new StatAcc(f.kind)
+      var i = 0
+      while (i < n) {
+        batch(i)(c) match {
+          case null => a.addNull()
+          case v => f.kind match {
+            case 0 => a.addBoolean(v.asInstanceOf[Boolean])
+            case 3 | 4 | 15 => a.addLong(v match {
+              case x: Int => x.toLong
+              case x: Long => x
+              case x => throw new IllegalArgumentException(
+                s"column '${f.name}' got ${x.getClass.getName}")
+            })
+            case 6 => a.addDouble(v.asInstanceOf[Double])
+            case 7 =>
+              val s = v.asInstanceOf[String]
+              a.addString(s, s.getBytes("UTF-8").length)
+            case 8 => a.addBinary(v.asInstanceOf[Array[Byte]].length)
+            case 14 => a.addDecimal(v match {
+              case d: java.math.BigDecimal => d
+              case d: BigDecimal => d.bigDecimal
+              case x => throw new IllegalArgumentException(
+                s"column '${f.name}' got ${x.getClass.getName}")
+            })
+            case 9 | 18 => a.addLong(v.asInstanceOf[Long]) // micros
+            case _ => a.nonNull += 1
+          }
+        }
+        i += 1
+      }
+      accs(c + 1) = a
+    }
+    accs
   }
 
   private final case class StripeInfo(offset: Long, dataLength: Long,
@@ -389,17 +734,21 @@ object OrcWrite {
     try {
       emit("ORC".getBytes("US-ASCII"))
       val stripes = Vector.newBuilder[StripeInfo]
+      val stripeStats = Vector.newBuilder[Array[StatAcc]]
       var total = 0L
       val batch = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
       def flushStripe(): Unit = if (batch.nonEmpty) {
         val n = batch.length
+        stripeStats += stripeStatsOf(fields, batch, n)
         val stripeStart = pos
-        val streams = fields.zipWithIndex.flatMap { case (f, c) =>
+        val built = fields.zipWithIndex.map { case (f, c) =>
           val colVals = new Array[Any](n)
           var i = 0
           while (i < n) { colVals(i) = batch(i)(c); i += 1 }
           buildColumn(f, c + 1, colVals, n)
-        }.map(s => s.copy(bytes = packed(s.bytes))) // on-disk framing
+        }
+        val streams = built.flatMap(_.streams)
+          .map(s => s.copy(bytes = packed(s.bytes))) // on-disk framing
         for (s <- streams) emit(s.bytes)
         val dataLength = pos - stripeStart
         val sf = new PB
@@ -409,11 +758,9 @@ object OrcWrite {
           m.uint(3, s.bytes.length.toLong)
         }
         sf.msg(2)(_.uint(1, 0L)) // root struct: DIRECT
-        for (f <- fields) sf.msg(2) { m =>
-          m.uint(1, f.kind match {
-            case 3 | 4 | 7 | 9 | 15 | 18 => 2L // DIRECT_V2
-            case _ => 0L // DIRECT (boolean/double)
-          })
+        for (b <- built) sf.msg(2) { m =>
+          m.uint(1, b.encoding.toLong)
+          if (b.dictSize > 0) m.uint(2, b.dictSize.toLong)
         }
         sf.str(3, "UTC") // writerTimezone: kind-9 timestamps are UTC
         val sfb = packed(sf.toByteArray)
@@ -432,6 +779,28 @@ object OrcWrite {
       }
       flushStripe()
       val contentLength = pos
+      val allStripeStats = stripeStats.result()
+      // Metadata section (between the stripes and the footer): one
+      // StripeStatistics per stripe, each one ColumnStatistics per
+      // type-tree entry — what graftorc's stripe pruning reads
+      val md = new PB
+      for (ss <- allStripeStats) md.msg(1) { sm =>
+        for (a <- ss) sm.msg(1)(a.emit)
+      }
+      val mdb = packed(md.toByteArray)
+      emit(mdb)
+      // file-level statistics: the per-stripe accumulators merged
+      val fileStats: Array[StatAcc] =
+        if (allStripeStats.isEmpty)
+          Array.tabulate(fields.length + 1)(i =>
+            new StatAcc(if (i == 0) -1 else fields(i - 1).kind))
+        else {
+          val m = allStripeStats.head.map { a =>
+            val c = new StatAcc(a.kind); c.merge(a); c
+          }
+          for (ss <- allStripeStats.tail; i <- m.indices) m(i).merge(ss(i))
+          m
+        }
       val fo = new PB
       fo.uint(1, 3L) // headerLength ("ORC")
       fo.uint(2, contentLength)
@@ -447,8 +816,15 @@ object OrcWrite {
         for (i <- fields.indices) m.uint(2, (i + 1).toLong)
         for (f <- fields) m.str(3, f.name)
       }
-      for (f <- fields) fo.msg(4)(_.uint(1, f.kind.toLong))
+      for (f <- fields) fo.msg(4) { m =>
+        m.uint(1, f.kind.toLong)
+        if (f.kind == 14) { // DECIMAL carries precision/scale
+          m.uint(5, f.precision.toLong)
+          m.uint(6, f.scale.toLong)
+        }
+      }
       fo.uint(6, total) // numberOfRows
+      for (a <- fileStats) fo.msg(7)(a.emit) // file ColumnStatistics
       fo.uint(8, 0L) // rowIndexStride: none
       val fob = packed(fo.toByteArray)
       emit(fob)
@@ -459,7 +835,7 @@ object OrcWrite {
       ps.msg(4) { m => // version [0, 12] — packed repeated uint32
         m.varint(0L); m.varint(12L)
       }
-      ps.uint(5, 0L) // metadataLength
+      ps.uint(5, mdb.length.toLong) // metadataLength
       ps.uint(6, 1L) // writerVersion
       ps.str(8000, "ORC")
       val psb = ps.toByteArray
@@ -483,6 +859,9 @@ object OrcWrite {
         case LongType => OwFields.long(f.name)
         case DoubleType => OwFields.double(f.name)
         case StringType => OwFields.string(f.name)
+        case BinaryType => OwFields.binary(f.name)
+        case d: DecimalType =>
+          OwFields.decimal(f.name, d.precision, d.scale)
         case DateType => OwFields.date(f.name)
         case TimestampType => OwFields.timestamp(f.name)
         case t => throw new IllegalArgumentException(

@@ -158,6 +158,35 @@ class GraftOrcSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("decimal(38,0) at the magnitude limit (19-byte zigzag varints) " +
+      "reads row-identically to Spark's ORC source") {
+    // |unscaled| near 10^38 − 1 zigzags to ~128 bits = 19 varint bytes;
+    // the r15 guard capped the DATA-stream varint at 17 bytes and
+    // rejected these valid values as torn (ADVICE r15)
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-dec38").toString
+    try {
+      val digits = concat(lit("9" * 28),
+        lpad((col("id") % 10000000L).cast("string"), 10, "0"))
+      spark.range(0, 2000).toDF("id")
+        .select(col("id"),
+          when(col("id") % 13 === 0, lit(null))
+            .otherwise(when(col("id") % 2 === 0, digits)
+              .otherwise(concat(lit("-"), digits)))
+            .cast("decimal(38,0)").as("dmax"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zstd").orc(dir)
+      val want = spark.read.orc(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = spark.read.format("graftorc").load(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   test("still-unsupported ORC kinds reject loudly by name at schema " +
       "inference") {
     import spark.implicits._

@@ -150,6 +150,166 @@ class OrcWriteSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
 
+  test("DECIMAL, BINARY and dictionary-encoded strings write and read " +
+      "back via orc-core AND graftorc; the dictionary actually earns " +
+      "its bytes") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("richkinds")
+    try {
+      val digits = concat((col("id") % 3000).cast("string"), lit("."),
+        lpad((col("id") % 997).cast("string"), 4, "0"))
+      val df = spark.range(0, 20000).toDF("id")
+        .select(col("id"),
+          when(col("id") % 9 === 0, lit(null))
+            .otherwise(when(col("id") % 2 === 0, digits)
+              .otherwise(concat(lit("-"), digits)))
+            .cast("decimal(20,4)").as("dec"),
+          when(col("id") % 7 === 0, lit(null))
+            .otherwise(encode(concat(lit("b"), col("id") % 500),
+              "UTF-8")).as("bin"),
+          concat(lit("type_"), col("id") % 8).as("ev"), // low card
+          concat(lit("uniq_"), col("id")).as("u")) // high card
+        .coalesce(2)
+      val n = OrcWrite.writeDataFrame(df, dir.toString,
+        stripeRows = 6000, compression = 5)
+      assert(n == 20000)
+      def canon(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }
+      val want = df.collect().toSeq.map(canon)
+        .sortBy(_.head.asInstanceOf[Long])
+      val viaOrcCore = spark.read.orc(dir.toString)
+        .select("id", "dec", "bin", "ev", "u").collect().toSeq
+        .map(canon).sortBy(_.head.asInstanceOf[Long])
+      assert(viaOrcCore.size == want.size)
+      for ((w, g) <- want.zip(viaOrcCore)) assert(w == g, s"$w vs $g")
+      val viaOwn = spark.read.format("graftorc").load(dir.toString)
+        .select("id", "dec", "bin", "ev", "u").collect().toSeq
+        .map(canon).sortBy(_.head.asInstanceOf[Long])
+      for ((w, g) <- want.zip(viaOwn)) assert(w == g, s"own: $w vs $g")
+      // decimal statistics surface through orc-core, exact strings
+      val f = dir.listFiles().filter(_.getName.endsWith(".orc")).head
+      val reader = org.apache.orc.OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        org.apache.orc.OrcFile.readerOptions(
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        val dSt = reader.getStatistics()(2)
+          .asInstanceOf[org.apache.orc.DecimalColumnStatistics]
+        assert(dSt.getMinimum.doubleValue() < 0 &&
+          dSt.getMaximum.doubleValue() > 0)
+      } finally reader.close()
+      // the low-cardinality column must have taken the DICTIONARY_V2
+      // path: rewrite with every value unique (same byte volume) and
+      // the dictionary file must be clearly smaller
+      val dirU = tmpDir("richdirect")
+      try {
+        val dfU = spark.range(0, 20000).toDF("id")
+          .select(concat(lit("type_"), col("id") % 100000).as("ev"))
+          .coalesce(1)
+        val dfL = spark.range(0, 20000).toDF("id")
+          .select(concat(lit("type_"), col("id") % 8).as("ev"))
+          .coalesce(1)
+        val fU = new java.io.File(dirU, "u.orc")
+        val fL = new java.io.File(dirU, "l.orc")
+        OrcWrite.writeFile(fU.toPath, Seq(OwFields.string("ev")),
+          dfU.collect().iterator.map(r => Array[Any](r.getString(0))))
+        OrcWrite.writeFile(fL.toPath, Seq(OwFields.string("ev")),
+          dfL.collect().iterator.map(r => Array[Any](r.getString(0))))
+        assert(fL.length() < fU.length() / 3,
+          s"dict ${fL.length()} vs direct ${fU.length()}")
+      } finally graft.streaming.WorkDirs.deleteRecursively(dirU)
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
+  test("written column statistics are real: orc-core reads file and " +
+      "stripe stats back; graftorc prunes stripes from them") {
+    val dir = tmpDir("stats")
+    try {
+      val fields = Seq(OwFields.long("id"), OwFields.string("s"),
+        OwFields.double("d"), OwFields.boolean("b"),
+        OwFields.date("dt"), OwFields.timestamp("ts"))
+      val N = 30000
+      def mkRows = (0 until N).iterator.map { i =>
+        Array[Any](
+          Long.box(i.toLong),
+          if (i % 11 == 0) null else "k%05d".format(i),
+          Double.box(i * 0.5 - 100.0),
+          Boolean.box(i % 3 == 0),
+          Int.box(20000 + i % 50),
+          Long.box(i.toLong * 1000037L)) // micros
+      }
+      val f = new java.io.File(dir, "part-00000.orc")
+      val n = OrcWrite.writeFile(f.toPath, fields, mkRows,
+        stripeRows = 5000, compression = 5)
+      assert(n == N)
+      // orc-core (independent implementation): file-level statistics
+      val reader = org.apache.orc.OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        org.apache.orc.OrcFile.readerOptions(
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        val st = reader.getStatistics
+        assert(st.length == fields.length + 1)
+        val idSt = st(1).asInstanceOf[org.apache.orc.IntegerColumnStatistics]
+        assert(idSt.getMinimum == 0L && idSt.getMaximum == (N - 1).toLong)
+        assert(idSt.isSumDefined &&
+          idSt.getSum == (0 until N).map(_.toLong).sum)
+        assert(!st(1).hasNull && st(2).hasNull)
+        assert(st(2).getNumberOfValues ==
+          (0 until N).count(_ % 11 != 0).toLong)
+        val sSt = st(2).asInstanceOf[org.apache.orc.StringColumnStatistics]
+        assert(sSt.getMinimum == "k00001" && sSt.getMaximum == "k29999")
+        val dSt = st(3).asInstanceOf[org.apache.orc.DoubleColumnStatistics]
+        assert(dSt.getMinimum == -100.0 &&
+          dSt.getMaximum == (N - 1) * 0.5 - 100.0)
+        val bSt = st(4).asInstanceOf[org.apache.orc.BooleanColumnStatistics]
+        assert(bSt.getTrueCount == (0 until N).count(_ % 3 == 0).toLong)
+        val dtSt = st(5).asInstanceOf[org.apache.orc.DateColumnStatistics]
+        assert(dtSt.getMinimumDayOfEpoch == 20000L &&
+          dtSt.getMaximumDayOfEpoch == 20049L)
+        // timestamp bounds rounded OUTWARD to millis: never narrower
+        // than the true micros range
+        val tsSt = st(6)
+          .asInstanceOf[org.apache.orc.TimestampColumnStatistics]
+        val maxMicros = (N - 1).toLong * 1000037L
+        assert(tsSt.getMinimum.getTime <= 0L)
+        assert(tsSt.getMaximum.getTime >= maxMicros / 1000L)
+        // stripe-level statistics: 6 monotone id ranges
+        val ss = reader.getStripeStatistics
+        assert(ss.size == 6)
+        val s0 = ss.get(0).getColumnStatistics()(1)
+          .asInstanceOf[org.apache.orc.IntegerColumnStatistics]
+        assert(s0.getMinimum == 0L && s0.getMaximum == 4999L)
+        val s5 = ss.get(5).getColumnStatistics()(1)
+          .asInstanceOf[org.apache.orc.IntegerColumnStatistics]
+        assert(s5.getMinimum == 25000L && s5.getMaximum == 29999L)
+      } finally reader.close()
+      // graftorc: the Metadata stripe stats prune OUR OWN output
+      // driver-side, the same contract GraftOrcSpec pins for
+      // Spark-written files
+      def batchScan(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b
+        }.getOrElse(fail("no BatchScanExec in the plan:\n" +
+          df.queryExecution.executedPlan.toString))
+      val all = spark.read.format("graftorc").load(dir.toString)
+      assert(batchScan(all).inputPartitions.length == 6)
+      val filtered = all.filter("id >= 25000")
+      assert(batchScan(filtered).inputPartitions.length == 1,
+        "stripe stats did not prune")
+      assert(filtered.count() == 5000)
+      assert(filtered
+        .agg(org.apache.spark.sql.functions.min("id"))
+        .head.getLong(0) == 25000L)
+      // orc-core must also still read rows (stats are additive, not
+      // a format fork)
+      assert(spark.read.orc(dir.toString).count() == N)
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
   test("unsupported shapes reject loudly by name") {
     import org.apache.spark.sql.types._
     val e = intercept[IllegalArgumentException] {
