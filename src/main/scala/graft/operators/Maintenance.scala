@@ -1547,6 +1547,29 @@ object Maintenance {
       df: DataFrame, upTo: Option[Long] = None): DataFrame =
     dvEntries(spark, tablePath, upTo).map(applyDv(df, _)).getOrElse(df)
 
+  /** Every recorded vector position, grouped by file basename, sorted
+    * and de-duplicated — DRIVER-side through the repo's own parquet
+    * decoder (no Spark job at scan-planning time). The vector datasets
+    * are O(deleted rows) metadata; a planner slicing them per row group
+    * ships each task only its own group's positions, the same IO shape
+    * Delta's DV descriptors have.
+    */
+  def dvPositionsByFile(tablePath: String): Map[String, Array[Long]] =
+    dvVersions(tablePath).iterator.flatMap { v =>
+      Option(new java.io.File(dvDirPath(tablePath, v)).listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+        .iterator.flatMap { f =>
+          ParquetData.readRows(Files.readAllBytes(f.toPath),
+            Seq("__dv_file", "__dv_pos")).map { r =>
+            (String.valueOf(r(0)), r(1).asInstanceOf[Long])
+          }
+        }
+    }.toSeq.groupBy(_._1)
+      .map { case (f, ps) =>
+        f -> ps.map(_._2).distinct.sorted.toArray
+      }
+
   case class DvDeleteResult(version: Long, rowsDeleted: Long,
       filesAffected: Int, filesTotal: Int)
 

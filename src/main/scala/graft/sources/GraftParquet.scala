@@ -542,7 +542,8 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
   */
 final case class GraftPqPartition(path: String,
     rgRows: Long, columns: Seq[PqColumn],
-    plans: Seq[GraftParquet.PqFieldPlan])
+    plans: Seq[GraftParquet.PqFieldPlan],
+    skip: Array[Long] = Array.emptyLongArray)
   extends InputPartition
 
 private[sources] class GraftParquetScan(fullSchema: StructType,
@@ -573,9 +574,15 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     * reference's own fact-table shape, partitioned by coin_id) is
     * walked through its `col=value` dirs, each file's partition values
     * surfacing as constant columns typed by the tracked schema.
-    * Row-level protocol layers stay with `Maintenance.readTable` — a
-    * table with outstanding deletion vectors rejects loudly rather
-    * than resurrecting deleted rows.
+    * OUTSTANDING DELETION VECTORS are applied at the scan: the
+    * vector datasets (O(deleted rows) metadata) load driver-side
+    * through the repo's own decoder, each row group's split carries
+    * only its own slice of positions (file row index is global across
+    * row groups, so slices come from cumulative footer row counts
+    * BEFORE any group is pruned), and the reader hops the skipped
+    * rows. Stats pruning needs no DV awareness — deleting rows only
+    * shrinks a group's true value range, so min/max disjointness
+    * proofs stay valid.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val isTable =
@@ -583,18 +590,16 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     val partCols = GraftParquet.partitionColsOf(path)
     val manifest: Map[String, Map[String, (Double, Double)]] =
       if (!isTable) Map.empty
-      else {
-        require(
-          graft.operators.Maintenance.outstandingDvFiles(path).isEmpty,
-          s"graftpq: $path carries outstanding deletion vectors — " +
-            "scan it through Maintenance.readTable (a raw file scan " +
-            "would resurrect deleted rows)")
-        graft.operators.Maintenance.readFileStats(path)
-          .groupBy(_._1._1)
-          .map { case (f, m) =>
-            f -> m.map { case ((_, c), r) => c -> r }
-          }
-      }
+      else graft.operators.Maintenance.readFileStats(path)
+        .groupBy(_._1._1)
+        .map { case (f, m) =>
+          f -> m.map { case ((_, c), r) => c -> r }
+        }
+    val dvByFile: Map[String, Array[Long]] =
+      if (isTable &&
+          graft.operators.Maintenance.outstandingDvFiles(path).nonEmpty)
+        graft.operators.Maintenance.dvPositionsByFile(path)
+      else Map.empty
     val partColTypes = partCols.toMap
     val files: Seq[(java.io.File, Map[String, Option[String]])] =
       if (partCols.isEmpty)
@@ -651,16 +656,36 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       val statLeaves = plans.collect { case fp: GraftParquet.FlatPlan =>
         fp.leaf.field.name -> fp.leaf.field
       }.toMap
-      footer.rowGroups.iterator.filter { rg =>
-        pushed.forall(survives(rg.columns, statLeaves, _))
-      }.map { rg =>
+      // file row index (what the vectors record) is global across row
+      // groups, so every group's start offset accumulates over the
+      // FULL footer order — including groups the stats then prune
+      val dvPos = dvByFile.getOrElse(f.getName, Array.emptyLongArray)
+      val starts = footer.rowGroups.scanLeft(0L)(_ + _.numRows)
+      footer.rowGroups.iterator.zip(starts.iterator).filter {
+        case (rg, _) => pushed.forall(survives(rg.columns, statLeaves, _))
+      }.map { case (rg, rowStart) =>
         val cols = reqPlans.flatMap(_.leafs).map(l =>
           rg.columns.find(_.path == l.path).getOrElse(
             throw new IllegalArgumentException(
               s"graftpq: chunk for '${l.path}' missing in ${f.getName}")))
-        GraftPqPartition(f.getAbsolutePath, rg.numRows, cols, reqPlans)
+        val lo = lowerBound(dvPos, rowStart)
+        val hi = lowerBound(dvPos, rowStart + rg.numRows)
+        val skip = java.util.Arrays.copyOfRange(dvPos, lo, hi)
+          .map(_ - rowStart) // group-relative, stays sorted
+        GraftPqPartition(f.getAbsolutePath, rg.numRows, cols, reqPlans,
+          skip)
       }
     }.toArray
+  }
+
+  /** First index whose value is >= `key` in a sorted array. */
+  private def lowerBound(a: Array[Long], key: Long): Int = {
+    val i = java.util.Arrays.binarySearch(a, key)
+    if (i >= 0) { // land on the FIRST equal entry
+      var j = i
+      while (j > 0 && a(j - 1) == key) j -= 1
+      j
+    } else -i - 1
   }
 
   /** False only when the row group's stats PROVE the filter matches no
@@ -859,8 +884,16 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
   }
 
   private var row = -1
+  private var si = 0 // cursor into p.skip (sorted, group-relative)
 
-  override def next(): Boolean = { row += 1; row < p.rgRows }
+  override def next(): Boolean = {
+    row += 1
+    // hop deletion-vector positions — sorted, so one forward cursor
+    while (si < p.skip.length && p.skip(si) == row) {
+      si += 1; row += 1
+    }
+    row < p.rgRows
+  }
 
   override def get(): InternalRow =
     InternalRow.fromSeq((0 until cols.length).map(c => cols(c)(row)))

@@ -485,6 +485,85 @@ class GraftParquetSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("outstanding deletion vectors apply at the graftpq scan: " +
+      "per-row-group position slices from GLOBAL file row indexes, " +
+      "stacked deletes, composed with stats pruning") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-dv").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", "4096") // many row groups per file
+    try {
+      // two range-sliced commits, each file split into many small row
+      // groups — vector positions land in middle groups, so a slicing
+      // bug (offsets computed over pruned groups, or per-group instead
+      // of per-file indexes) shows up as wrong rows, not just counts
+      for (b <- 0 until 2)
+        Maintenance.commitAppend(spark, dir,
+          (b * 20000 until (b + 1) * 20000)
+            .map(k => (k.toLong, s"g${k % 3}", k * 0.5))
+            .toDF("id", "g", "v").coalesce(1))
+      // stacked: the second delete only matches still-visible rows
+      val d1 = Maintenance.deleteWithVectors(spark, dir,
+        org.apache.spark.sql.functions.expr("id % 7 = 3"))
+      val d2 = Maintenance.deleteWithVectors(spark, dir,
+        org.apache.spark.sql.functions.expr("g = 'g1' AND id % 11 = 0"))
+      assert(d1.rowsDeleted > 0 && d2.rowsDeleted > 0)
+      assert(Maintenance.outstandingDvFiles(dir).nonEmpty)
+      val all = spark.read.format("graftpq").load(dir)
+      val expect = (0 until 40000).map(_.toLong)
+        .filterNot(k => k % 7 == 3)
+        .filterNot(k => k % 3 == 1 && k % 11 == 0)
+      assert(all.count() == expect.size)
+      // row-identical to the protocol reader, not just count-equal
+      val want = Maintenance.readTable(spark, dir)
+        .select("id", "g", "v").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = all.select("id", "g", "v").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      // the skip slices really spread over many groups (each split
+      // carries only its own positions — the Delta-DV IO shape)
+      val parts = batchScan(all).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+      assert(parts.length >= 8, s"only ${parts.length} row groups")
+      assert(parts.count(_.skip.nonEmpty) >= parts.length / 2,
+        "vector positions should land in most row groups")
+      assert(parts.map(_.skip.length.toLong).sum ==
+        40000L - expect.size, "slices must partition the vector set")
+      // stats pruning composes: planned groups drop AND the surviving
+      // rows still exclude the vectors (pruning never resurrects)
+      val filtered = all.filter("id >= 35000")
+      assert(batchScan(filtered).inputPartitions.length < parts.length,
+        "id filter should prune row groups")
+      assert(filtered.count() == expect.count(_ >= 35000L))
+      // a PARTITIONED committed table composes with vectors too
+      val pdir = java.nio.file.Files
+        .createTempDirectory("graft-graftpq-dvpart").toString
+      try {
+        Maintenance.commitAppend(spark, pdir,
+          (0 until 6000).map(k => (k.toLong, k % 3))
+            .toDF("id", "coin").repartition(2),
+          partitionBy = Seq("coin"))
+        Maintenance.deleteWithVectors(spark, pdir,
+          org.apache.spark.sql.functions.expr("id % 4 = 1"))
+        val pAll = spark.read.format("graftpq").load(pdir)
+        assert(pAll.count() == (0 until 6000).count(_ % 4 != 1))
+        val pOne = pAll.filter("coin = 1")
+        assert(pOne.count() ==
+          (0 until 6000).count(k => k % 3 == 1 && k % 4 != 1))
+      } finally graft.streaming.WorkDirs
+        .deleteRecursively(new java.io.File(pdir))
+    } finally {
+      if (prev == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prev)
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("column pruning reaches the reader: only requested leaves are " +
       "decoded") {
     val dir = sortedFixture()
