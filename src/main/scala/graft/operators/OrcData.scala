@@ -813,13 +813,13 @@ object OrcData {
         meta.types, colIds))
   }
 
-  /** Map top-level field names to type-tree column ids; flat struct
-    * roots only, unknown names reject loudly.
+  /** Map top-level field names to type-tree column ids (each id may
+    * root a nested subtree); unknown names reject loudly.
     */
   def resolveColumns(types: Seq[OrcTypeNode], names: Seq[String])
       : Seq[Int] = {
     require(types.nonEmpty && types.head.kind == 12,
-      "ORC root type is not a struct (flat schemas only)")
+      "ORC root type is not a struct")
     val root = types.head
     require(root.subtypes.length == root.fieldNames.length,
       "torn ORC: root field/subtype arity mismatch")
@@ -849,14 +849,120 @@ object OrcData {
     val cols: Seq[Array[Any]] = colIds.map { id =>
       require(id >= 0 && id < types.length,
         s"torn ORC: column id $id outside the type tree")
-      val tpe = types(id)
-      require(tpe.subtypes.isEmpty,
-        s"nested ORC column $id unsupported (flat schemas only)")
-      readColumn(buf, id, tpe, rows, streams, offsets,
-        encodings.getOrElse(id, OrcEncoding(0, 0)),
-        compression, blockSize)
+      readColumnTree(buf, id, types, rows, streams, offsets,
+        encodings, compression, blockSize)
     }
     (0 until rows).iterator.map(i =>
       Array.tabulate[Any](cols.size)(c => cols(c)(i)))
+  }
+
+  /** Recursive decode of one column SUBTREE — ORC's nested convention
+    * is that a child column records entries only for slots where the
+    * parent is present, so each level's row count is the parent's
+    * non-null count (structs) or its summed LENGTH run (lists/maps).
+    * Representations: LIST → Seq[Any], MAP → Seq[(key, value)] in file
+    * order, STRUCT → Seq[Any] of field values; primitives delegate to
+    * [[readColumn]]. Cross-validated against orc-core (Spark-written
+    * fixtures) in GraftOrcSpec.
+    */
+  def readColumnTree(p: Array[Byte], colId: Int,
+      types: Seq[OrcTypeNode], rows: Int, streams: Seq[OrcStream],
+      streamOffsets: Seq[Long], encodings: Map[Int, OrcEncoding],
+      compression: Int, blockSize: Int): Array[Any] = {
+    val tpe = types(colId)
+    def child(id: Int, n: Int): Array[Any] = {
+      require(id >= 0 && id < types.length,
+        s"torn ORC: column id $id outside the type tree")
+      readColumnTree(p, id, types, n, streams, streamOffsets,
+        encodings, compression, blockSize)
+    }
+    def streamBytes(k: Int): Option[Array[Byte]] =
+      streams.zip(streamOffsets).collectFirst {
+        case (s, o) if s.column == colId && s.kind == k =>
+          require(o >= 0 && o + s.length <= p.length,
+            "torn ORC: stream overruns the buffer")
+          OrcMeta.decompressStream(p, o.toInt, s.length.toInt,
+            compression, blockSize)
+      }
+    def expand(present: Option[Array[Boolean]], vals: Array[Any])
+        : Array[Any] = present match {
+      case None => vals
+      case Some(bits) =>
+        val out = new Array[Any](rows)
+        var v = 0
+        var i = 0
+        while (i < rows) {
+          if (bits(i)) { out(i) = vals(v); v += 1 } else out(i) = null
+          i += 1
+        }
+        out
+    }
+    def lengthsOf(nonNull: Int): Array[Long] = {
+      requireV2(encodings.getOrElse(colId, OrcEncoding(0, 0)), colId)
+      val lens = rleV2(streamBytes(K_LENGTH).getOrElse(
+        throw new IllegalArgumentException(
+          s"torn ORC: compound column $colId has no LENGTH")),
+        nonNull, signed = false)
+      lens.foreach(l => require(l >= 0 && l <= Int.MaxValue,
+        s"torn ORC: compound length $l"))
+      require(lens.sum <= Int.MaxValue,
+        s"torn ORC: column $colId claims ${lens.sum} child values")
+      lens
+    }
+    def slice(vals: Array[Any], lens: Array[Long])
+        : Array[Any] = {
+      val total = lens.sum
+      require(vals.length == total,
+        s"torn ORC: column $colId has ${vals.length} child values " +
+          s"for $total length slots")
+      var off = 0
+      lens.map[Any] { l =>
+        val n = l.toInt
+        val s = vals.slice(off, off + n).toSeq
+        off += n
+        s
+      }
+    }
+    tpe.kind match {
+      case 12 => // STRUCT: PRESENT only; children hold non-null slots
+        val present = streamBytes(K_PRESENT).map(boolRle(_, rows))
+        val nonNull = present.map(_.count(identity)).getOrElse(rows)
+        val kids = tpe.subtypes.map(child(_, nonNull))
+        expand(present,
+          Array.tabulate[Any](nonNull)(i => kids.map(_(i))))
+      case 10 => // LIST: PRESENT + LENGTH; one child of summed length
+        val present = streamBytes(K_PRESENT).map(boolRle(_, rows))
+        val nonNull = present.map(_.count(identity)).getOrElse(rows)
+        val lens = lengthsOf(nonNull)
+        require(tpe.subtypes.length == 1,
+          s"torn ORC: LIST column $colId has ${tpe.subtypes.length} " +
+            "children")
+        val elems = child(tpe.subtypes.head, lens.sum.toInt)
+        expand(present, slice(elems, lens))
+      case 11 => // MAP: PRESENT + LENGTH; key and value children
+        val present = streamBytes(K_PRESENT).map(boolRle(_, rows))
+        val nonNull = present.map(_.count(identity)).getOrElse(rows)
+        val lens = lengthsOf(nonNull)
+        require(tpe.subtypes.length == 2,
+          s"torn ORC: MAP column $colId has ${tpe.subtypes.length} " +
+            "children")
+        val total = lens.sum.toInt
+        val keys = child(tpe.subtypes.head, total)
+        val vals = child(tpe.subtypes(1), total)
+        var off = 0
+        val perRow = lens.map[Any] { l =>
+          val n = l.toInt
+          val s = (off until off + n).map(i => (keys(i), vals(i)))
+          off += n
+          s
+        }
+        expand(present, perRow)
+      case 13 => throw new IllegalArgumentException(
+        s"ORC UNION column $colId unsupported (rejects by name)")
+      case _ =>
+        readColumn(p, colId, tpe, rows, streams, streamOffsets,
+          encodings.getOrElse(colId, OrcEncoding(0, 0)),
+          compression, blockSize)
+    }
   }
 }

@@ -48,13 +48,19 @@ package graft.operators
   */
 object OrcWrite {
 
-  /** One column of the flat struct schema; `kind` uses orc_proto
-    * Type.Kind ids (0 BOOLEAN, 3 INT, 4 LONG, 6 DOUBLE, 7 STRING,
-    * 8 BINARY, 14 DECIMAL, 15 DATE, 18 TIMESTAMP_INSTANT);
-    * `precision`/`scale` only for DECIMAL.
+  /** One column of the schema tree; `kind` uses orc_proto Type.Kind
+    * ids (0 BOOLEAN, 3 INT, 4 LONG, 6 DOUBLE, 7 STRING, 8 BINARY,
+    * 10 LIST, 11 MAP, 12 STRUCT, 14 DECIMAL, 15 DATE, 18
+    * TIMESTAMP_INSTANT); `precision`/`scale` only for DECIMAL,
+    * `children` only for LIST (1: element) / MAP (2: key, value) /
+    * STRUCT (its fields, names used).
     */
   final case class OwField(name: String, kind: Int,
-      precision: Int = 0, scale: Int = 0)
+      precision: Int = 0, scale: Int = 0,
+      children: Seq[OwField] = Nil) {
+    /** Type-tree nodes this field occupies (itself + descendants). */
+    def span: Int = 1 + children.map(_.span).sum
+  }
 
   object OwFields {
     def boolean(n: String): OwField = OwField(n, 0)
@@ -76,6 +82,14 @@ object OrcWrite {
       * "timestamp with local time zone" at schema inference.)
       */
     def timestamp(n: String): OwField = OwField(n, 9)
+    def list(n: String, element: OwField): OwField =
+      OwField(n, 10, children = Seq(element))
+    def mapOf(n: String, key: OwField, value: OwField): OwField =
+      OwField(n, 11, children = Seq(key, value))
+    def struct(n: String, fields: Seq[OwField]): OwField = {
+      require(fields.nonEmpty, s"STRUCT '$n' needs at least one field")
+      OwField(n, 12, children = fields)
+    }
   }
 
   // -------------------------------------------------------------------
@@ -465,9 +479,117 @@ object OrcWrite {
       case k => throw new IllegalArgumentException(
         s"ORC writer kind $k unsupported " +
           "(BOOLEAN/INT/LONG/DOUBLE/STRING/BINARY/DECIMAL/DATE/" +
-          "TIMESTAMP)")
+          "TIMESTAMP; LIST/MAP/STRUCT via buildColumnTree)")
     }
     BuiltCol(streams.result(), encoding, dictSize)
+  }
+
+  /** Build one column SUBTREE in type-tree pre-order (self first, then
+    * children) — ORC's nested convention: a child column records
+    * entries only for slots where the parent is present, so a STRUCT's
+    * children carry its non-null slots, and a LIST/MAP's children
+    * carry the concatenation of its non-null collections (LENGTH
+    * stream, unsigned RLEv2). Values: LIST = Seq[Any], MAP =
+    * Seq[(key, value)], STRUCT = Seq[Any] of field values — the same
+    * shapes [[graft.operators.OrcData.readColumnTree]] yields.
+    */
+  private def buildColumnTree(f: OwField, colId: Int,
+      vals: Array[Any], n: Int): Seq[BuiltCol] = f.kind match {
+    case 10 | 11 | 12 =>
+      val streams = Seq.newBuilder[BuiltStream]
+      var nulls = 0
+      var i = 0
+      while (i < n) { if (vals(i) == null) nulls += 1; i += 1 }
+      val nonNull = n - nulls
+      if (nulls > 0) {
+        val present = new Array[Boolean](n)
+        i = 0
+        while (i < n) { present(i) = vals(i) != null; i += 1 }
+        streams += BuiltStream(K_PRESENT, colId,
+          boolRleBits(present, n))
+      }
+      def seqAt(i: Int): scala.collection.Seq[Any] = vals(i) match {
+        case s: scala.collection.Seq[_] =>
+          s.asInstanceOf[scala.collection.Seq[Any]]
+        case x => throw new IllegalArgumentException(
+          s"column '${f.name}' got ${x.getClass.getName}")
+      }
+      f.kind match {
+        case 12 => // STRUCT: PRESENT only; children get non-null slots
+          val kidVals = f.children.indices.map { ci =>
+            val cv = new Array[Any](nonNull)
+            var v = 0
+            var i = 0
+            while (i < n) {
+              if (vals(i) != null) {
+                val s = seqAt(i)
+                require(s.length == f.children.length,
+                  s"struct '${f.name}' row arity ${s.length} vs " +
+                    s"${f.children.length} fields")
+                cv(v) = s(ci)
+                v += 1
+              }
+              i += 1
+            }
+            cv
+          }
+          var cid = colId + 1
+          BuiltCol(streams.result(), 0, 0) +:
+            f.children.zip(kidVals).flatMap { case (cf, cv) =>
+              val b = buildColumnTree(cf, cid, cv, nonNull)
+              cid += cf.span
+              b
+            }
+        case 10 => // LIST: PRESENT + LENGTH; one concatenated child
+          val lens = new Array[Long](nonNull)
+          val elems = scala.collection.mutable.ArrayBuffer[Any]()
+          var v = 0
+          i = 0
+          while (i < n) {
+            if (vals(i) != null) {
+              val s = seqAt(i)
+              lens(v) = s.length.toLong
+              elems ++= s
+              v += 1
+            }
+            i += 1
+          }
+          streams += BuiltStream(K_LENGTH, colId,
+            rleV2Direct(lens, nonNull, signed = false))
+          BuiltCol(streams.result(), 2, 0) +: buildColumnTree(
+            f.children.head, colId + 1, elems.toArray, elems.length)
+        case _ => // MAP: PRESENT + LENGTH; key and value children
+          val lens = new Array[Long](nonNull)
+          val keys = scala.collection.mutable.ArrayBuffer[Any]()
+          val mVals = scala.collection.mutable.ArrayBuffer[Any]()
+          var v = 0
+          i = 0
+          while (i < n) {
+            if (vals(i) != null) {
+              val s = seqAt(i)
+              lens(v) = s.length.toLong
+              for (kv <- s) kv match {
+                case (k, value) =>
+                  require(k != null, s"map '${f.name}' null key")
+                  keys += k
+                  mVals += value
+                case x => throw new IllegalArgumentException(
+                  s"map column '${f.name}' entry ${x.getClass.getName}")
+              }
+              v += 1
+            }
+            i += 1
+          }
+          streams += BuiltStream(K_LENGTH, colId,
+            rleV2Direct(lens, nonNull, signed = false))
+          val kCol = buildColumnTree(f.children.head, colId + 1,
+            keys.toArray, keys.length)
+          val vCol = buildColumnTree(f.children(1),
+            colId + 1 + f.children.head.span, mVals.toArray,
+            mVals.length)
+          BuiltCol(streams.result(), 2, 0) +: (kCol ++ vCol)
+      }
+    case _ => Seq(buildColumn(f, colId, vals, n))
   }
 
   // -------------------------------------------------------------------
@@ -637,49 +759,96 @@ object OrcWrite {
     }
   }
 
+  /** One column SUBTREE's stats in type-tree pre-order — compound
+    * nodes record value count + hasNull (what orc_proto requires of
+    * them), their children accumulate over exactly the slots the
+    * matching data streams carry (non-null parents only).
+    */
+  private def statsOf(f: OwField, vals: Array[Any], n: Int)
+      : Seq[StatAcc] = {
+    val a = new StatAcc(f.kind)
+    f.kind match {
+      case 10 | 11 | 12 =>
+        var i = 0
+        while (i < n) {
+          if (vals(i) == null) a.addNull() else a.nonNull += 1
+          i += 1
+        }
+        def seqs: Iterator[scala.collection.Seq[Any]] =
+          vals.iterator.filter(_ != null).map {
+            case s: scala.collection.Seq[_] =>
+              s.asInstanceOf[scala.collection.Seq[Any]]
+            case x => throw new IllegalArgumentException(
+              s"column '${f.name}' got ${x.getClass.getName}")
+          }
+        val kidVals: Seq[Array[Any]] = f.kind match {
+          case 12 => f.children.indices.map(ci =>
+            seqs.map(_(ci)).toArray)
+          case 10 => Seq(seqs.flatten.toArray)
+          case _ => // MAP: (key, value) pairs
+            val ks = scala.collection.mutable.ArrayBuffer[Any]()
+            val vs = scala.collection.mutable.ArrayBuffer[Any]()
+            for (s <- seqs; kv <- s) kv match {
+              case (k, v) => ks += k; vs += v
+              case x => throw new IllegalArgumentException(
+                s"map column '${f.name}' entry ${x.getClass.getName}")
+            }
+            Seq(ks.toArray, vs.toArray)
+        }
+        a +: f.children.zip(kidVals).flatMap { case (cf, cv) =>
+          statsOf(cf, cv, cv.length)
+        }
+      case _ =>
+        var i = 0
+        while (i < n) {
+          vals(i) match {
+            case null => a.addNull()
+            case v => f.kind match {
+              case 0 => a.addBoolean(v.asInstanceOf[Boolean])
+              case 3 | 4 | 15 => a.addLong(v match {
+                case x: Int => x.toLong
+                case x: Long => x
+                case x => throw new IllegalArgumentException(
+                  s"column '${f.name}' got ${x.getClass.getName}")
+              })
+              case 6 => a.addDouble(v.asInstanceOf[Double])
+              case 7 =>
+                val s = v.asInstanceOf[String]
+                a.addString(s, s.getBytes("UTF-8").length)
+              case 8 => a.addBinary(v.asInstanceOf[Array[Byte]].length)
+              case 14 => a.addDecimal(v match {
+                case d: java.math.BigDecimal => d
+                case d: BigDecimal => d.bigDecimal
+                case x => throw new IllegalArgumentException(
+                  s"column '${f.name}' got ${x.getClass.getName}")
+              })
+              case 9 | 18 => a.addLong(v.asInstanceOf[Long]) // micros
+              case _ => a.nonNull += 1
+            }
+          }
+          i += 1
+        }
+        Seq(a)
+    }
+  }
+
   /** Accumulate one stripe's per-column stats (index 0 = root struct,
-    * then one per field, aligned with the type tree).
+    * then one per type-tree node in pre-order).
     */
   private def stripeStatsOf(fields: Seq[OwField],
       batch: scala.collection.IndexedSeq[Array[Any]], n: Int)
       : Array[StatAcc] = {
-    val accs = new Array[StatAcc](fields.length + 1)
-    accs(0) = new StatAcc(-1)
-    accs(0).nonNull = n.toLong
+    val accs = Vector.newBuilder[StatAcc]
+    val root = new StatAcc(-1)
+    root.nonNull = n.toLong
+    accs += root
     for ((f, c) <- fields.zipWithIndex) {
-      val a = new StatAcc(f.kind)
+      val colVals = new Array[Any](n)
       var i = 0
-      while (i < n) {
-        batch(i)(c) match {
-          case null => a.addNull()
-          case v => f.kind match {
-            case 0 => a.addBoolean(v.asInstanceOf[Boolean])
-            case 3 | 4 | 15 => a.addLong(v match {
-              case x: Int => x.toLong
-              case x: Long => x
-              case x => throw new IllegalArgumentException(
-                s"column '${f.name}' got ${x.getClass.getName}")
-            })
-            case 6 => a.addDouble(v.asInstanceOf[Double])
-            case 7 =>
-              val s = v.asInstanceOf[String]
-              a.addString(s, s.getBytes("UTF-8").length)
-            case 8 => a.addBinary(v.asInstanceOf[Array[Byte]].length)
-            case 14 => a.addDecimal(v match {
-              case d: java.math.BigDecimal => d
-              case d: BigDecimal => d.bigDecimal
-              case x => throw new IllegalArgumentException(
-                s"column '${f.name}' got ${x.getClass.getName}")
-            })
-            case 9 | 18 => a.addLong(v.asInstanceOf[Long]) // micros
-            case _ => a.nonNull += 1
-          }
-        }
-        i += 1
-      }
-      accs(c + 1) = a
+      while (i < n) { colVals(i) = batch(i)(c); i += 1 }
+      accs ++= statsOf(f, colVals, n)
     }
-    accs
+    accs.result().toArray
   }
 
   private final case class StripeInfo(offset: Long, dataLength: Long,
@@ -741,11 +910,14 @@ object OrcWrite {
         val n = batch.length
         stripeStats += stripeStatsOf(fields, batch, n)
         val stripeStart = pos
-        val built = fields.zipWithIndex.map { case (f, c) =>
+        var cid = 1 // type-tree pre-order: each field spans a subtree
+        val built = fields.zipWithIndex.flatMap { case (f, c) =>
           val colVals = new Array[Any](n)
           var i = 0
           while (i < n) { colVals(i) = batch(i)(c); i += 1 }
-          buildColumn(f, c + 1, colVals, n)
+          val b = buildColumnTree(f, cid, colVals, n)
+          cid += f.span
+          b
         }
         val streams = built.flatMap(_.streams)
           .map(s => s.copy(bytes = packed(s.bytes))) // on-disk framing
@@ -790,10 +962,14 @@ object OrcWrite {
       val mdb = packed(md.toByteArray)
       emit(mdb)
       // file-level statistics: the per-stripe accumulators merged
+      def preorder(fs: Seq[OwField]): Seq[OwField] =
+        fs.flatMap(f => f +: preorder(f.children))
       val fileStats: Array[StatAcc] =
-        if (allStripeStats.isEmpty)
-          Array.tabulate(fields.length + 1)(i =>
-            new StatAcc(if (i == 0) -1 else fields(i - 1).kind))
+        if (allStripeStats.isEmpty) {
+          val nodes = preorder(fields)
+          (new StatAcc(-1) +: nodes.map(f => new StatAcc(f.kind)))
+            .toArray
+        }
         else {
           val m = allStripeStats.head.map { a =>
             val c = new StatAcc(a.kind); c.merge(a); c
@@ -813,15 +989,30 @@ object OrcWrite {
       }
       fo.msg(4) { m => // root struct type
         m.uint(1, 12L)
-        for (i <- fields.indices) m.uint(2, (i + 1).toLong)
+        var cid = 1L
+        for (f <- fields) { m.uint(2, cid); cid += f.span }
         for (f <- fields) m.str(3, f.name)
       }
-      for (f <- fields) fo.msg(4) { m =>
-        m.uint(1, f.kind.toLong)
-        if (f.kind == 14) { // DECIMAL carries precision/scale
-          m.uint(5, f.precision.toLong)
-          m.uint(6, f.scale.toLong)
+      // one Type message per tree node, PRE-ORDER (= column id order);
+      // subtypes carry absolute ids
+      def emitType(f: OwField, id: Int): Int = {
+        fo.msg(4) { m =>
+          m.uint(1, f.kind.toLong)
+          var cid = id + 1
+          for (c <- f.children) { m.uint(2, cid.toLong); cid += c.span }
+          if (f.kind == 12) for (c <- f.children) m.str(3, c.name)
+          if (f.kind == 14) { // DECIMAL carries precision/scale
+            m.uint(5, f.precision.toLong)
+            m.uint(6, f.scale.toLong)
+          }
         }
+        var cid = id + 1
+        for (c <- f.children) cid = emitType(c, cid)
+        cid
+      }
+      locally {
+        var cid = 1
+        for (f <- fields) cid = emitType(f, cid)
       }
       fo.uint(6, total) // numberOfRows
       for (a <- fileStats) fo.msg(7)(a.emit) // file ColumnStatistics
@@ -852,22 +1043,28 @@ object OrcWrite {
   def fieldsOf(schema: org.apache.spark.sql.types.StructType)
       : Seq[OwField] = {
     import org.apache.spark.sql.types._
-    schema.fields.toSeq.map { f =>
-      f.dataType match {
-        case BooleanType => OwFields.boolean(f.name)
-        case IntegerType => OwFields.int(f.name)
-        case LongType => OwFields.long(f.name)
-        case DoubleType => OwFields.double(f.name)
-        case StringType => OwFields.string(f.name)
-        case BinaryType => OwFields.binary(f.name)
-        case d: DecimalType =>
-          OwFields.decimal(f.name, d.precision, d.scale)
-        case DateType => OwFields.date(f.name)
-        case TimestampType => OwFields.timestamp(f.name)
-        case t => throw new IllegalArgumentException(
-          s"ORC writer: column '${f.name}' type ${t.sql} unsupported")
-      }
+    def fieldOf(name: String, dt: DataType): OwField = dt match {
+      case BooleanType => OwFields.boolean(name)
+      case IntegerType => OwFields.int(name)
+      case LongType => OwFields.long(name)
+      case DoubleType => OwFields.double(name)
+      case StringType => OwFields.string(name)
+      case BinaryType => OwFields.binary(name)
+      case d: DecimalType =>
+        OwFields.decimal(name, d.precision, d.scale)
+      case DateType => OwFields.date(name)
+      case TimestampType => OwFields.timestamp(name)
+      case ArrayType(et, _) =>
+        OwFields.list(name, fieldOf("_elem", et))
+      case MapType(kt, vt, _) =>
+        OwFields.mapOf(name, fieldOf("_key", kt), fieldOf("_value", vt))
+      case st: StructType =>
+        OwFields.struct(name,
+          st.fields.toSeq.map(g => fieldOf(g.name, g.dataType)))
+      case t => throw new IllegalArgumentException(
+        s"ORC writer: column '$name' type ${t.sql} unsupported")
     }
+    schema.fields.toSeq.map(f => fieldOf(f.name, f.dataType))
   }
 
   /** Distributed write: every partition writes its own
@@ -882,27 +1079,59 @@ object OrcWrite {
     val schema = df.schema
     val target = new java.io.File(dir)
     target.mkdirs()
-    val adapt: Array[Any => Any] = schema.fields.map[Any => Any] { f =>
-      f.dataType match {
-        case DateType => {
-          case null => null
-          case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
-          case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
-          case v => v
-        }
-        case TimestampType => {
-          case null => null
-          case t: java.sql.Timestamp =>
-            Long.box(Math.addExact(Math.multiplyExact(
-              Math.floorDiv(t.getTime, 1000L), 1000000L),
-              t.getNanos / 1000L))
-          case t: java.time.Instant =>
-            Long.box(t.getEpochSecond * 1000000L + t.getNano / 1000)
-          case v => v
-        }
-        case _ => identity
+    def valueAdapt(dt: DataType, name: String): Any => Any = dt match {
+      case DateType => {
+        case null => null
+        case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+        case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+        case v => v
       }
+      case TimestampType => {
+        case null => null
+        case t: java.sql.Timestamp =>
+          Long.box(Math.addExact(Math.multiplyExact(
+            Math.floorDiv(t.getTime, 1000L), 1000000L),
+            t.getNanos / 1000L))
+        case t: java.time.Instant =>
+          Long.box(t.getEpochSecond * 1000000L + t.getNano / 1000)
+        case v => v
+      }
+      case ArrayType(et, _) =>
+        val ad = valueAdapt(et, name)
+        locally {
+          case null => null
+          case s: scala.collection.Seq[_] =>
+            s.map[Any](v => if (v == null) null else ad(v))
+          case x => throw new IllegalArgumentException(
+            s"array column '$name' got ${x.getClass.getName}")
+        }
+      case MapType(kt, vt, _) =>
+        val kad = valueAdapt(kt, name)
+        val vad = valueAdapt(vt, name)
+        locally {
+          case null => null
+          case m: scala.collection.Map[_, _] =>
+            m.toSeq.map[(Any, Any)] { case (k, v) =>
+              (kad(k), if (v == null) null else vad(v))
+            }
+          case x => throw new IllegalArgumentException(
+            s"map column '$name' got ${x.getClass.getName}")
+        }
+      case st: StructType =>
+        val ads = st.fields.toSeq.map(g =>
+          valueAdapt(g.dataType, s"$name.${g.name}"))
+        locally {
+          case null => null
+          case r: org.apache.spark.sql.Row =>
+            Seq.tabulate[Any](ads.length)(i =>
+              if (r.isNullAt(i)) null else ads(i)(r.get(i)))
+          case x => throw new IllegalArgumentException(
+            s"struct column '$name' got ${x.getClass.getName}")
+        }
+      case _ => identity
     }
+    val adapt: Array[Any => Any] = schema.fields.map[Any => Any](f =>
+      valueAdapt(f.dataType, f.name))
     val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
       val f = new java.io.File(target, f"part-$i%05d.orc")
       val rs = it.map { row =>

@@ -79,16 +79,17 @@ object GraftOrc {
   }
 
   /** Root-struct fields to a Spark schema; kinds per orc_proto
-    * Type.Kind, restricted to what [[OrcData.readColumn]] decodes.
+    * Type.Kind, restricted to what [[OrcData.readColumnTree]] decodes —
+    * LIST/MAP/STRUCT recurse (Spark's ORC source reports every nested
+    * level nullable, matched here for schema parity).
     */
   private[sources] def toSparkSchema(types: Seq[OrcTypeNode])
       : StructType = {
     require(types.nonEmpty && types.head.kind == 12,
-      "graftorc: ORC root type is not a struct (flat schemas only)")
-    val root = types.head
-    StructType(root.fieldNames.zip(root.subtypes).map { case (n, id) =>
+      "graftorc: ORC root type is not a struct")
+    def dataTypeOf(id: Int, n: String): DataType = {
       val node = types(id)
-      val t = node.kind match {
+      node.kind match {
         case 0 => BooleanType
         case 1 => ByteType
         case 2 => ShortType
@@ -106,11 +107,35 @@ object GraftOrc {
               s"'$n' out of range")
           DecimalType(node.precision, node.scale)
         case 15 => DateType
+        case 10 =>
+          require(node.subtypes.length == 1,
+            s"graftorc: LIST '$n' arity ${node.subtypes.length}")
+          ArrayType(dataTypeOf(node.subtypes.head, s"$n.element"),
+            containsNull = true)
+        case 11 =>
+          require(node.subtypes.length == 2,
+            s"graftorc: MAP '$n' arity ${node.subtypes.length}")
+          MapType(dataTypeOf(node.subtypes.head, s"$n.key"),
+            dataTypeOf(node.subtypes(1), s"$n.value"),
+            valueContainsNull = true)
+        case 12 =>
+          require(node.subtypes.length == node.fieldNames.length,
+            s"graftorc: STRUCT '$n' field/subtype arity mismatch")
+          StructType(node.fieldNames.zip(node.subtypes).map {
+            case (fn, fid) =>
+              StructField(fn, dataTypeOf(fid, s"$n.$fn"),
+                nullable = true)
+          })
         case k => throw new IllegalArgumentException(
           s"graftorc: column '$n' ORC kind $k unsupported " +
-            "(nested/UNION reject by name)")
+            "(UNION rejects by name)")
       }
-      StructField(n, t, nullable = true)
+    }
+    val root = types.head
+    require(root.subtypes.length == root.fieldNames.length,
+      "torn ORC: root field/subtype arity mismatch")
+    StructType(root.fieldNames.zip(root.subtypes).map { case (n, id) =>
+      StructField(n, dataTypeOf(id, n), nullable = true)
     })
   }
 }
@@ -285,19 +310,43 @@ private[sources] class GraftOrcReader(p: GraftOrcPartition,
       p.compression, p.blockSize, p.types, p.colIds)
   }
 
+  private def adaptOf(dt: DataType): Any => Any = dt match {
+    case StringType =>
+      v => if (v == null) null
+        else UTF8String.fromString(v.asInstanceOf[String])
+    case d: DecimalType =>
+      v => if (v == null) null
+        else Decimal(BigDecimal(v.asInstanceOf[java.math.BigDecimal]),
+          d.precision, d.scale)
+    case ArrayType(et, _) =>
+      val ad = adaptOf(et)
+      v => if (v == null) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          v.asInstanceOf[Seq[Any]].map(ad).toArray)
+    case MapType(kt, vt, _) =>
+      val kad = adaptOf(kt)
+      val vad = adaptOf(vt)
+      v => if (v == null) null
+        else {
+          val kvs = v.asInstanceOf[Seq[(Any, Any)]]
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              kvs.map(p => kad(p._1)).toArray),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              kvs.map(p => vad(p._2)).toArray))
+        }
+    case st: StructType =>
+      val ads = st.fields.map(f => adaptOf(f.dataType))
+      v => if (v == null) null
+        else {
+          val fs = v.asInstanceOf[Seq[Any]]
+          InternalRow.fromSeq(fs.lazyZip(ads).map((x, ad) => ad(x)))
+        }
+    case _ => identity // TimestampType micros / BinaryType bytes
+  }
+
   private val adapt: Array[Any => Any] =
-    required.fields.map[Any => Any] { f =>
-      f.dataType match {
-        case StringType =>
-          v => if (v == null) null
-            else UTF8String.fromString(v.asInstanceOf[String])
-        case dt: DecimalType =>
-          v => if (v == null) null
-            else Decimal(BigDecimal(v.asInstanceOf[java.math.BigDecimal]),
-              dt.precision, dt.scale)
-        case _ => identity // TimestampType micros / BinaryType bytes
-      }
-    }
+    required.fields.map[Any => Any](f => adaptOf(f.dataType))
 
   private var cur: Array[Any] = _
 

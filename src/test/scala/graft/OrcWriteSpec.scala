@@ -314,8 +314,61 @@ class OrcWriteSpec extends AnyFunSuite {
     import org.apache.spark.sql.types._
     val e = intercept[IllegalArgumentException] {
       OrcWrite.fieldsOf(StructType(Seq(
-        StructField("m", MapType(StringType, LongType)))))
+        StructField("x", CalendarIntervalType))))
     }
     assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("nested LIST / STRUCT / MAP columns write through the tree " +
+      "shredder: orc-core AND graftorc read them back row-identically") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("nested")
+    try {
+      // nulls at every level: null collections, empty collections,
+      // null elements, null struct fields, null map values — each a
+      // distinct PRESENT/LENGTH state the child columns must keep
+      // apart; small stripes force the machinery across stripe edges
+      val src = spark.range(0, 5000).toDF("id")
+        .select(col("id"),
+          when(col("id") % 10 === 0, lit(null))
+            .otherwise(when(col("id") % 10 === 1,
+              array().cast("array<bigint>"))
+              .otherwise(array(col("id") * 2,
+                when(col("id") % 3 === 0, lit(null))
+                  .otherwise(col("id") * 3)))).as("xs"),
+          when(col("id") % 8 === 0, lit(null))
+            .otherwise(struct(
+              (col("id") % 100).as("a"),
+              when(col("id") % 5 === 0, lit(null))
+                .otherwise(concat(lit("s"), col("id"))).as("b")))
+            .as("st"),
+          when(col("id") % 9 === 0, lit(null))
+            .otherwise(when(col("id") % 9 === 1,
+              map().cast("map<string,bigint>"))
+              .otherwise(map(
+                lit("u"), col("id") * 10,
+                lit("o"), when(col("id") % 4 === 0, lit(null))
+                  .otherwise(col("id") % 11)))).as("m"),
+          when(col("id") % 11 === 0, lit(null))
+            .otherwise(array(
+              struct((col("id") % 13).as("v")),
+              struct(when(col("id") % 2 === 0, lit(null))
+                .otherwise(col("id")).as("v")))).as("lst"))
+      val n = OrcWrite.writeDataFrame(src.repartition(2, col("id")),
+        dir.toString, stripeRows = 400)
+      assert(n == 5000)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().toSeq.map(_.toSeq)
+          .sortBy(_.head.asInstanceOf[Long])
+      val want = canon(src)
+      val gotCore = canon(spark.read.orc(dir.toString)) // orc-core
+      val gotOwn = canon(
+        spark.read.format("graftorc").load(dir.toString))
+      assert(gotCore.size == want.size && gotOwn.size == want.size)
+      for ((w, g) <- want.zip(gotCore)) assert(w == g, s"core: $w vs $g")
+      for ((w, g) <- want.zip(gotOwn)) assert(w == g, s"own: $w vs $g")
+      assert(spark.read.orc(dir.toString).schema ==
+        spark.read.format("graftorc").load(dir.toString).schema)
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
 }
