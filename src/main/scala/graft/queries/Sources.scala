@@ -1460,6 +1460,149 @@ object Sources {
       |  CAST(sum(null_opt) AS BIGINT) AS n_null_opt
       |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Build-once ORC fixture with nested LIST / STRUCT / MAP columns
+    * (null and empty collections, null elements and values) — the s39
+    * input, the ORC twin of [[ensureMapParquetFixture]].
+    */
+  def ensureNestedOrcFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orcnested-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 10 === 0, lit(null))
+            .otherwise(when(col("event_id") % 10 === 1,
+              array().cast("array<bigint>"))
+              .otherwise(array(col("user_id").cast("long"),
+                when(col("event_id") % 3 === 0, lit(null))
+                  .otherwise(round(col("value") * 100).cast("long")))))
+            .as("xs"),
+          when(col("event_id") % 8 === 0, lit(null))
+            .otherwise(struct(
+              col("user_id").cast("long").as("uid"),
+              when(col("event_id") % 5 === 0, lit(null))
+                .otherwise(round(col("value") * 100).cast("long"))
+                .as("cents"))).as("st"),
+          when(col("event_id") % 9 === 0, lit(null))
+            .otherwise(when(col("event_id") % 9 === 1,
+              map().cast("map<string,bigint>"))
+              .otherwise(map(
+                lit("uid"), col("user_id").cast("long"),
+                lit("opt"), when(col("event_id") % 4 === 0, lit(null))
+                  .otherwise((col("event_id") % 11).cast("long")))))
+            .as("attrs"))
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .orc(tmp)
+    }
+    tmp
+  }
+
+  // S39: nested LIST/STRUCT/MAP through the from-scratch graftorc
+  // plane — ORC's child-only-when-parent-present convention (PRESENT +
+  // LENGTH streams, no Dremel levels) reassembled recursively; null
+  // lists, empty lists, null elements, null structs, null struct
+  // FIELDS, null maps and null map values are all distinct states the
+  // oracle re-derives from the source table's closed forms.
+  private def s39OrcNested(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureNestedOrcFixture(s, dir)
+    s.read.format("graftorc").load(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("xs").isNull, 1).otherwise(0)).as("n_null_lists"),
+        sum(coalesce(size(col("xs")), lit(0))).as("n_elems"),
+        sum(coalesce(get(col("xs"), lit(0)), lit(0L)))
+          .as("sum_first"),
+        sum(coalesce(col("st.cents"), lit(0L))).as("sum_cents"),
+        sum(when(col("st").isNull, 1).otherwise(0)).as("n_null_structs"),
+        sum(coalesce(element_at(col("attrs"), "opt"), lit(0L)))
+          .as("sum_opt"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s39OrcNestedSql =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS null_list,
+      |    CASE WHEN event_id % 10 IN (0,1) THEN 0 ELSE 2 END AS elems,
+      |    CASE WHEN event_id % 10 IN (0,1) THEN 0 ELSE user_id
+      |      END AS first_elem,
+      |    CASE WHEN event_id % 8 = 0 OR event_id % 5 = 0 THEN 0
+      |      ELSE CAST(round(value*100) AS BIGINT) END AS cents,
+      |    CASE WHEN event_id % 8 = 0 THEN 1 ELSE 0 END AS null_struct,
+      |    CASE WHEN event_id % 9 IN (0,1) OR event_id % 4 = 0 THEN 0
+      |      ELSE event_id % 11 END AS opt
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(null_list) AS BIGINT) AS n_null_lists,
+      |  CAST(sum(elems) AS BIGINT) AS n_elems,
+      |  CAST(sum(first_elem) AS BIGINT) AS sum_first,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(null_struct) AS BIGINT) AS n_null_structs,
+      |  CAST(sum(opt) AS BIGINT) AS sum_opt
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Build-once committed table carrying OUTSTANDING deletion vectors
+    * (two stacked DV deletes over two range-sliced commits) — the s38
+    * input. The vectors spread across both files and every row group,
+    * so the scan-side skip machinery runs everywhere, not on one edge.
+    */
+  def ensureDvTableFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqdvtbl-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    val done = new java.io.File(tmp, "_fixture_done")
+    if (!done.exists()) {
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(tmp))
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      val cut = maxId / 2
+      graft.operators.Maintenance.commitAppend(s, tmp,
+        ev.filter(col("event_id") < cut).coalesce(1))
+      graft.operators.Maintenance.commitAppend(s, tmp,
+        ev.filter(col("event_id") >= cut).coalesce(1))
+      // stacked: the second delete only matches still-visible rows
+      graft.operators.Maintenance.deleteWithVectors(s, tmp,
+        col("event_id") % 5 === 3)
+      graft.operators.Maintenance.deleteWithVectors(s, tmp,
+        col("user_id") % 9 === 4)
+      new java.io.FileOutputStream(done).close()
+    }
+    tmp
+  }
+
+  // S38: `graftpq` over a committed table with OUTSTANDING deletion
+  // vectors — the vector datasets load driver-side at planning, each
+  // row-group split ships only its own position slice, and the reader
+  // hops the deleted rows; the pushed user_id filter still prunes
+  // files/groups (min/max proofs stay valid under deletion). The
+  // oracle re-applies both delete predicates to the source table.
+  private def s38DvScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureDvTableFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .filter(col("user_id") >= 50)
+      .groupBy(col("event_type"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0)
+        .as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s38DvScanSql =
+    """SELECT event_type,
+      |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  count(*) AS n
+      |FROM events
+      |WHERE user_id >= 50
+      |  AND NOT (event_id % 5 = 3) AND NOT (user_id % 9 = 4)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def s34TableScan(s: SparkSession, dir: String): DataFrame = {
     val tmp = ensureGraftTableFixture(s, dir)
     s.read.format("graftpq").load(tmp)
@@ -1708,7 +1851,9 @@ object Sources {
     "s34_table_scan" -> s34TableScan _,
     "s35_orc_write" -> s35OrcWrite _,
     "s36_partitioned_scan" -> s36PartitionedScan _,
-    "s37_map_scan" -> s37MapScan _
+    "s37_map_scan" -> s37MapScan _,
+    "s38_dv_scan" -> s38DvScan _,
+    "s39_orc_nested" -> s39OrcNested _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1742,6 +1887,8 @@ object Sources {
     "s34_table_scan" -> s34TableScanSql,
     "s35_orc_write" -> s35OrcWriteSql,
     "s36_partitioned_scan" -> s36PartitionedScanSql,
-    "s37_map_scan" -> s37MapScanSql
+    "s37_map_scan" -> s37MapScanSql,
+    "s38_dv_scan" -> s38DvScanSql,
+    "s39_orc_nested" -> s39OrcNestedSql
   )
 }
