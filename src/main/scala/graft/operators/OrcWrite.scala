@@ -136,22 +136,44 @@ object OrcWrite {
   // run-length encoders (the encode direction of OrcData's decoders)
 
   /** Byte RLE, literal-group form: headers −n (n ≤ 128) then n raw
-    * bytes — spec-legal for any content.
+    * bytes — spec-legal for any content. Runs never cross a `breaks`
+    * byte index (breaks(0) = 0, non-decreasing), so every break is a
+    * clean seek point; returns the encoded offset at each break.
     */
-  private def byteRleLiteral(b: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(b.length + b.length / 128 + 1)
-    var i = 0
-    while (i < b.length) {
-      val n = math.min(128, b.length - i)
-      out.write(-n)
-      out.write(b, i, n)
-      i += n
+  private def byteRleLiteralMarked(b: Array[Byte],
+      breaks: Array[Int]): (Array[Byte], Array[Long]) = {
+    val out = new java.io.ByteArrayOutputStream(
+      b.length + b.length / 128 + 8)
+    val offs = new Array[Long](breaks.length)
+    var g = 0
+    while (g < breaks.length) {
+      offs(g) = out.size.toLong
+      val from = breaks(g)
+      val to = if (g + 1 < breaks.length) breaks(g + 1) else b.length
+      var i = from
+      while (i < to) {
+        val n = math.min(128, to - i)
+        out.write(-n)
+        out.write(b, i, n)
+        i += n
+      }
+      g += 1
     }
-    out.toByteArray
+    (out.toByteArray, offs)
   }
 
-  /** Boolean RLE: bits packed MSB-first into bytes, then byte RLE. */
-  private def boolRleBits(bits: Array[Boolean], n: Int): Array[Byte] = {
+  private def byteRleLiteral(b: Array[Byte]): Array[Byte] =
+    byteRleLiteralMarked(b, Array(0))._1
+
+  /** Boolean RLE: bits packed MSB-first into bytes, then byte RLE.
+    * `valueBreaks` (first = 0) mark seek points: the byte RLE restarts
+    * at each break's PACKED BYTE (the bit stream itself is continuous,
+    * so a continuous read sees identical bytes), and each mark carries
+    * [encoded byte offset, 0 literals consumed, bit index in byte] —
+    * the three values a bit-RLE seek consumes.
+    */
+  private def boolRleMarked(bits: Array[Boolean], n: Int,
+      valueBreaks: Array[Int]): (Array[Byte], Seq[Seq[Long]]) = {
     val packed = new Array[Byte]((n + 7) / 8)
     var i = 0
     while (i < n) {
@@ -159,8 +181,14 @@ object OrcWrite {
         packed(i >> 3) = (packed(i >> 3) | (1 << (7 - (i & 7)))).toByte
       i += 1
     }
-    byteRleLiteral(packed)
+    val (bytes, offs) =
+      byteRleLiteralMarked(packed, valueBreaks.map(_ >> 3))
+    (bytes, valueBreaks.indices.map(g =>
+      Seq(offs(g), 0L, (valueBreaks(g) & 7).toLong)))
   }
+
+  private def boolRleBits(bits: Array[Boolean], n: Int): Array[Byte] =
+    boolRleMarked(bits, n, Array(0))._1
 
   private def width5Code(w: Int): Int = w match {
     case w if w >= 1 && w <= 24 => w - 1
@@ -236,11 +264,42 @@ object OrcWrite {
     out.toByteArray
   }
 
+  /** [[rleV2Direct]] with runs restarted at each `breaks` value index
+    * (breaks(0) = 0, non-decreasing) — every break is a clean seek
+    * point [encoded byte offset, 0 values into the run].
+    */
+  private def rleV2Marked(vals: Array[Long], n: Int, signed: Boolean,
+      breaks: Array[Int]): (Array[Byte], Array[Long]) = {
+    val out = new java.io.ByteArrayOutputStream(n + 16)
+    val offs = new Array[Long](breaks.length)
+    var g = 0
+    while (g < breaks.length) {
+      offs(g) = out.size.toLong
+      val from = breaks(g)
+      val to = if (g + 1 < breaks.length) breaks(g + 1) else n
+      if (to > from) {
+        val seg = rleV2Direct(
+          java.util.Arrays.copyOfRange(vals, from, to), to - from,
+          signed)
+        out.write(seg, 0, seg.length)
+      }
+      g += 1
+    }
+    (out.toByteArray, offs)
+  }
+
   // -------------------------------------------------------------------
   // stream building
 
+  /** `marks`, when non-empty, holds one UNCOMPRESSED-domain seek
+    * position per row group for this stream: head = encoded byte
+    * offset of the group's first value (always the start of a fresh
+    * run / zstd chunk), tail = the extra values the matching orc-core
+    * reader consumes on seek (values-into-run, bit index). Streams a
+    * seek never touches (DICTIONARY_DATA and its LENGTH) carry none.
+    */
   private final case class BuiltStream(kind: Int, column: Int,
-      bytes: Array[Byte])
+      bytes: Array[Byte], marks: Seq[Seq[Long]] = Nil)
 
   /** One column's stripe result: its streams plus the ColumnEncoding
     * to record (0 DIRECT, 2 DIRECT_V2, 3 DICTIONARY_V2 with
@@ -255,6 +314,7 @@ object OrcWrite {
   private val K_DICT = 3 // DICTIONARY_DATA (4 is DICTIONARY_COUNT — an
   // INDEX-area stream whose misuse shifts every data-stream offset)
   private val K_SECONDARY = 5
+  private val K_ROW_INDEX = 6 // INDEX-area stream (one per column)
 
   /** Unbounded base-128 zigzag varints — the DECIMAL DATA stream, the
     * encode inverse of OrcData.readBigVarints.
@@ -294,7 +354,8 @@ object OrcWrite {
 
   /** Build one column's streams for one stripe's buffered values. */
   private def buildColumn(f: OwField, colId: Int,
-      vals: Array[Any], n: Int): BuiltCol = {
+      vals: Array[Any], n: Int,
+      groups: Array[Int] = Array(0)): BuiltCol = {
     var encoding = f.kind match {
       case 0 | 6 => 0 // DIRECT (boolean / double)
       case _ => 2 // DIRECT_V2
@@ -305,11 +366,26 @@ object OrcWrite {
     var i = 0
     while (i < n) { if (vals(i) == null) nulls += 1; i += 1 }
     val nonNull = n - nulls
+    // non-null counts at each row-group start: where every group's
+    // first value lands in the value-only data streams
+    val nnAt = new Array[Int](groups.length)
+    locally {
+      var g = 0
+      var nn = 0
+      var i = 0
+      while (i < n) {
+        while (g < groups.length && groups(g) == i) { nnAt(g) = nn; g += 1 }
+        if (vals(i) != null) nn += 1
+        i += 1
+      }
+      while (g < groups.length) { nnAt(g) = nn; g += 1 }
+    }
     if (nulls > 0) {
       val present = new Array[Boolean](n)
       i = 0
       while (i < n) { present(i) = vals(i) != null; i += 1 }
-      streams += BuiltStream(K_PRESENT, colId, boolRleBits(present, n))
+      val (pb, pm) = boolRleMarked(present, n, groups)
+      streams += BuiltStream(K_PRESENT, colId, pb, pm)
     }
     f.kind match {
       case 0 => // BOOLEAN: bit RLE over non-null values
@@ -322,7 +398,8 @@ object OrcWrite {
           }
           i += 1
         }
-        streams += BuiltStream(K_DATA, colId, boolRleBits(bits, nonNull))
+        val (bb, bm) = boolRleMarked(bits, nonNull, nnAt)
+        streams += BuiltStream(K_DATA, colId, bb, bm)
       case 3 | 4 | 15 => // INT / LONG / DATE: signed RLEv2
         val longs = new Array[Long](nonNull)
         var v = 0
@@ -337,9 +414,10 @@ object OrcWrite {
           }
           i += 1
         }
-        streams += BuiltStream(K_DATA, colId,
-          rleV2Direct(longs, nonNull, signed = true))
-      case 6 => // DOUBLE: IEEE LE
+        val (db, dm) = rleV2Marked(longs, nonNull, signed = true, nnAt)
+        streams += BuiltStream(K_DATA, colId, db,
+          dm.map(o => Seq(o, 0L)).toSeq)
+      case 6 => // DOUBLE: IEEE LE (a raw stream seeks by byte offset)
         val out = new java.io.ByteArrayOutputStream(8 * nonNull)
         i = 0
         while (i < n) {
@@ -353,7 +431,8 @@ object OrcWrite {
           }
           i += 1
         }
-        streams += BuiltStream(K_DATA, colId, out.toByteArray)
+        streams += BuiltStream(K_DATA, colId, out.toByteArray,
+          nnAt.map(v => Seq(8L * v)).toSeq)
       case 9 | 18 => // TIMESTAMP: signed seconds since the 2015
         // base (DATA) + packed nanos (SECONDARY). The reader re-floors
         // a negative second with nonzero nanos, so the writer stores
@@ -374,10 +453,12 @@ object OrcWrite {
           }
           i += 1
         }
-        streams += BuiltStream(K_DATA, colId,
-          rleV2Direct(secs, nonNull, signed = true))
-        streams += BuiltStream(K_SECONDARY, colId,
-          rleV2Direct(nanos, nonNull, signed = false))
+        val (sb, sm) = rleV2Marked(secs, nonNull, signed = true, nnAt)
+        streams += BuiltStream(K_DATA, colId, sb,
+          sm.map(o => Seq(o, 0L)).toSeq)
+        val (nb, nm) = rleV2Marked(nanos, nonNull, signed = false, nnAt)
+        streams += BuiltStream(K_SECONDARY, colId, nb,
+          nm.map(o => Seq(o, 0L)).toSeq)
       case 7 => // STRING: DICTIONARY_V2 when the distinct set earns it
         // (the classic ≤ 50% cutoff), DIRECT_V2 otherwise
         val strs = new Array[String](nonNull)
@@ -409,32 +490,49 @@ object OrcWrite {
             dictLens(k) = b.length.toLong
             dictData.write(b, 0, b.length)
           }
-          streams += BuiltStream(K_DATA, colId, rleV2Direct(
-            strs.map(s => index(s).toLong), nonNull, signed = false))
+          val (ib, im) = rleV2Marked(
+            strs.map(s => index(s).toLong), nonNull, signed = false,
+            nnAt)
+          streams += BuiltStream(K_DATA, colId, ib,
+            im.map(o => Seq(o, 0L)).toSeq)
+          // a seek never repositions the dictionary itself: no marks
           streams += BuiltStream(K_DICT, colId, dictData.toByteArray)
           streams += BuiltStream(K_LENGTH, colId,
             rleV2Direct(dictLens, dict.size, signed = false))
         } else {
           val lens = new Array[Long](nonNull)
           val data = new java.io.ByteArrayOutputStream()
+          val dataOff = new Array[Long](nnAt.length)
+          var g = 0
           var k = 0
           while (k < nonNull) {
+            while (g < nnAt.length && nnAt(g) == k) {
+              dataOff(g) = data.size.toLong; g += 1
+            }
             val b = strs(k).getBytes("UTF-8")
             lens(k) = b.length.toLong
             data.write(b, 0, b.length)
             k += 1
           }
-          streams += BuiltStream(K_DATA, colId, data.toByteArray)
-          streams += BuiltStream(K_LENGTH, colId,
-            rleV2Direct(lens, nonNull, signed = false))
+          while (g < nnAt.length) { dataOff(g) = data.size.toLong; g += 1 }
+          streams += BuiltStream(K_DATA, colId, data.toByteArray,
+            dataOff.map(Seq(_)).toSeq)
+          val (lb, lm) = rleV2Marked(lens, nonNull, signed = false, nnAt)
+          streams += BuiltStream(K_LENGTH, colId, lb,
+            lm.map(o => Seq(o, 0L)).toSeq)
         }
       case 8 => // BINARY DIRECT_V2: unsigned LENGTH + raw DATA
         val lens = new Array[Long](nonNull)
         val data = new java.io.ByteArrayOutputStream()
+        val dataOff = new Array[Long](nnAt.length)
+        var g = 0
         var v = 0
         i = 0
         while (i < n) {
           if (vals(i) != null) {
+            while (g < nnAt.length && nnAt(g) == v) {
+              dataOff(g) = data.size.toLong; g += 1
+            }
             val b = vals(i) match {
               case a: Array[Byte] => a
               case x => throw new IllegalArgumentException(
@@ -446,9 +544,12 @@ object OrcWrite {
           }
           i += 1
         }
-        streams += BuiltStream(K_DATA, colId, data.toByteArray)
-        streams += BuiltStream(K_LENGTH, colId,
-          rleV2Direct(lens, nonNull, signed = false))
+        while (g < nnAt.length) { dataOff(g) = data.size.toLong; g += 1 }
+        streams += BuiltStream(K_DATA, colId, data.toByteArray,
+          dataOff.map(Seq(_)).toSeq)
+        val (lb, lm) = rleV2Marked(lens, nonNull, signed = false, nnAt)
+        streams += BuiltStream(K_LENGTH, colId, lb,
+          lm.map(o => Seq(o, 0L)).toSeq)
       case 14 => // DECIMAL: unbounded zigzag varints (DATA) + the
         // declared scale per value (SECONDARY, signed RLEv2)
         val unscaled = new Array[java.math.BigInteger](nonNull)
@@ -472,10 +573,30 @@ object OrcWrite {
           }
           i += 1
         }
-        streams += BuiltStream(K_DATA, colId,
-          bigVarints(unscaled.toIndexedSeq))
-        streams += BuiltStream(K_SECONDARY, colId,
-          rleV2Direct(scales, nonNull, signed = true))
+        // raw varint DATA seeks by byte offset at value boundaries
+        val data = new java.io.ByteArrayOutputStream()
+        val dataOff = new Array[Long](nnAt.length)
+        locally {
+          var g = 0
+          var k = 0
+          while (k < nonNull) {
+            while (g < nnAt.length && nnAt(g) == k) {
+              dataOff(g) = data.size.toLong; g += 1
+            }
+            val b = bigVarints(Seq(unscaled(k)))
+            data.write(b, 0, b.length)
+            k += 1
+          }
+          while (g < nnAt.length) {
+            dataOff(g) = data.size.toLong; g += 1
+          }
+        }
+        streams += BuiltStream(K_DATA, colId, data.toByteArray,
+          dataOff.map(Seq(_)).toSeq)
+        val (scb, scm) = rleV2Marked(scales, nonNull, signed = true,
+          nnAt)
+        streams += BuiltStream(K_SECONDARY, colId, scb,
+          scm.map(o => Seq(o, 0L)).toSeq)
       case k => throw new IllegalArgumentException(
         s"ORC writer kind $k unsupported " +
           "(BOOLEAN/INT/LONG/DOUBLE/STRING/BINARY/DECIMAL/DATE/" +
@@ -494,19 +615,34 @@ object OrcWrite {
     * shapes [[graft.operators.OrcData.readColumnTree]] yields.
     */
   private def buildColumnTree(f: OwField, colId: Int,
-      vals: Array[Any], n: Int): Seq[BuiltCol] = f.kind match {
+      vals: Array[Any], n: Int,
+      groups: Array[Int] = Array(0)): Seq[BuiltCol] = f.kind match {
     case 10 | 11 | 12 =>
       val streams = Seq.newBuilder[BuiltStream]
       var nulls = 0
       var i = 0
       while (i < n) { if (vals(i) == null) nulls += 1; i += 1 }
       val nonNull = n - nulls
+      val nnAt = new Array[Int](groups.length)
+      locally {
+        var g = 0
+        var nn = 0
+        var i = 0
+        while (i < n) {
+          while (g < groups.length && groups(g) == i) {
+            nnAt(g) = nn; g += 1
+          }
+          if (vals(i) != null) nn += 1
+          i += 1
+        }
+        while (g < groups.length) { nnAt(g) = nn; g += 1 }
+      }
       if (nulls > 0) {
         val present = new Array[Boolean](n)
         i = 0
         while (i < n) { present(i) = vals(i) != null; i += 1 }
-        streams += BuiltStream(K_PRESENT, colId,
-          boolRleBits(present, n))
+        val (pb, pm) = boolRleMarked(present, n, groups)
+        streams += BuiltStream(K_PRESENT, colId, pb, pm)
       }
       def seqAt(i: Int): scala.collection.Seq[Any] = vals(i) match {
         case s: scala.collection.Seq[_] =>
@@ -536,16 +672,23 @@ object OrcWrite {
           var cid = colId + 1
           BuiltCol(streams.result(), 0, 0) +:
             f.children.zip(kidVals).flatMap { case (cf, cv) =>
-              val b = buildColumnTree(cf, cid, cv, nonNull)
+              val b = buildColumnTree(cf, cid, cv, nonNull, nnAt)
               cid += cf.span
               b
             }
         case 10 => // LIST: PRESENT + LENGTH; one concatenated child
           val lens = new Array[Long](nonNull)
           val elems = scala.collection.mutable.ArrayBuffer[Any]()
+          // a child's row groups start where the PARENT's do: at the
+          // number of child values before each group boundary
+          val childAt = new Array[Int](groups.length)
+          var g = 0
           var v = 0
           i = 0
           while (i < n) {
+            while (g < groups.length && groups(g) == i) {
+              childAt(g) = elems.length; g += 1
+            }
             if (vals(i) != null) {
               val s = seqAt(i)
               lens(v) = s.length.toLong
@@ -554,17 +697,25 @@ object OrcWrite {
             }
             i += 1
           }
-          streams += BuiltStream(K_LENGTH, colId,
-            rleV2Direct(lens, nonNull, signed = false))
+          while (g < groups.length) { childAt(g) = elems.length; g += 1 }
+          val (lb, lm) = rleV2Marked(lens, nonNull, signed = false, nnAt)
+          streams += BuiltStream(K_LENGTH, colId, lb,
+            lm.map(o => Seq(o, 0L)).toSeq)
           BuiltCol(streams.result(), 2, 0) +: buildColumnTree(
-            f.children.head, colId + 1, elems.toArray, elems.length)
+            f.children.head, colId + 1, elems.toArray, elems.length,
+            childAt)
         case _ => // MAP: PRESENT + LENGTH; key and value children
           val lens = new Array[Long](nonNull)
           val keys = scala.collection.mutable.ArrayBuffer[Any]()
           val mVals = scala.collection.mutable.ArrayBuffer[Any]()
+          val childAt = new Array[Int](groups.length)
+          var g = 0
           var v = 0
           i = 0
           while (i < n) {
+            while (g < groups.length && groups(g) == i) {
+              childAt(g) = keys.length; g += 1
+            }
             if (vals(i) != null) {
               val s = seqAt(i)
               lens(v) = s.length.toLong
@@ -580,16 +731,18 @@ object OrcWrite {
             }
             i += 1
           }
-          streams += BuiltStream(K_LENGTH, colId,
-            rleV2Direct(lens, nonNull, signed = false))
+          while (g < groups.length) { childAt(g) = keys.length; g += 1 }
+          val (lb, lm) = rleV2Marked(lens, nonNull, signed = false, nnAt)
+          streams += BuiltStream(K_LENGTH, colId, lb,
+            lm.map(o => Seq(o, 0L)).toSeq)
           val kCol = buildColumnTree(f.children.head, colId + 1,
-            keys.toArray, keys.length)
+            keys.toArray, keys.length, childAt)
           val vCol = buildColumnTree(f.children(1),
             colId + 1 + f.children.head.span, mVals.toArray,
-            mVals.length)
+            mVals.length, childAt)
           BuiltCol(streams.result(), 2, 0) +: (kCol ++ vCol)
       }
-    case _ => Seq(buildColumn(f, colId, vals, n))
+    case _ => Seq(buildColumn(f, colId, vals, n, groups))
   }
 
   // -------------------------------------------------------------------
@@ -851,8 +1004,12 @@ object OrcWrite {
     accs.result().toArray
   }
 
-  private final case class StripeInfo(offset: Long, dataLength: Long,
-      footerLength: Long, rows: Long)
+  private final case class StripeInfo(offset: Long, indexLength: Long,
+      dataLength: Long, footerLength: Long, rows: Long)
+
+  /** The type tree flattened in column-id order (root excluded). */
+  private def preorderFields(fs: Seq[OwField]): Seq[OwField] =
+    fs.flatMap(f => f +: preorderFields(f.children))
 
   /** ORC chunk framing for one compressed section: 3-byte LE headers
     * `(len << 1) | isOriginal`, bodies ≤ `blockSize`, each chunk a
@@ -886,9 +1043,10 @@ object OrcWrite {
     */
   def writeFile(path: java.nio.file.Path, fields: Seq[OwField],
       rows: Iterator[Array[Any]], stripeRows: Int = 1 << 16,
-      compression: Int = 0): Long = {
+      compression: Int = 0, rowIndexStride: Int = 10000): Long = {
     require(fields.nonEmpty, "ORC writer needs at least one field")
     require(stripeRows > 0, s"bad stripe row count $stripeRows")
+    require(rowIndexStride >= 0, s"bad row index stride $rowIndexStride")
     require(compression == 0 || compression == 5,
       s"ORC writer compression $compression unsupported (NONE=0, ZSTD=5)")
     val blockSize = 1 << 18
@@ -910,21 +1068,87 @@ object OrcWrite {
         val n = batch.length
         stripeStats += stripeStatsOf(fields, batch, n)
         val stripeStart = pos
+        val groups: Array[Int] =
+          if (rowIndexStride <= 0) Array(0)
+          else Array.range(0, n, rowIndexStride)
+        val colVals = fields.indices.map { c =>
+          val cv = new Array[Any](n)
+          var i = 0
+          while (i < n) { cv(i) = batch(i)(c); i += 1 }
+          cv
+        }
         var cid = 1 // type-tree pre-order: each field spans a subtree
         val built = fields.zipWithIndex.flatMap { case (f, c) =>
-          val colVals = new Array[Any](n)
-          var i = 0
-          while (i < n) { colVals(i) = batch(i)(c); i += 1 }
-          val b = buildColumnTree(f, cid, colVals, n)
+          val b = buildColumnTree(f, cid, colVals(c), n, groups)
           cid += f.span
           b
         }
-        val streams = built.flatMap(_.streams)
-          .map(s => s.copy(bytes = packed(s.bytes))) // on-disk framing
-        for (s <- streams) emit(s.bytes)
-        val dataLength = pos - stripeStart
+        // on-disk framing. A marked stream compresses SEGMENT-wise —
+        // each row group's bytes start a fresh zstd chunk, so its seek
+        // position is [compressed chunk offset, 0 into the chunk] and
+        // a continuous read still sees one legal chunk chain.
+        def framed(s: BuiltStream): BuiltStream =
+          if (compression == 0 || s.marks.isEmpty)
+            s.copy(bytes = packed(s.bytes))
+          else {
+            val bounds = s.marks.map(_.head) :+ s.bytes.length.toLong
+            val out = new java.io.ByteArrayOutputStream(
+              s.bytes.length / 2 + 16)
+            val newMarks = Seq.newBuilder[Seq[Long]]
+            for (g <- s.marks.indices) {
+              newMarks += Seq(out.size.toLong, 0L) ++ s.marks(g).tail
+              val seg = frameZstd(java.util.Arrays.copyOfRange(
+                s.bytes, bounds(g).toInt, bounds(g + 1).toInt),
+                blockSize)
+              out.write(seg, 0, seg.length)
+            }
+            BuiltStream(s.kind, s.column, out.toByteArray,
+              newMarks.result())
+          }
+        val dataStreams = built.flatMap(_.streams).map(framed)
+        // ROW_INDEX streams (INDEX area, one per column incl. the
+        // root): per row group, the seek positions of the column's
+        // seekable streams in reader order plus that group's stats
+        val indexStreams: Seq[BuiltStream] =
+          if (rowIndexStride <= 0) Nil
+          else {
+            val nodes = preorderFields(fields)
+            val groupAccs: Seq[Seq[StatAcc]] = groups.indices.map { g =>
+              val from = groups(g)
+              val to = if (g + 1 < groups.length) groups(g + 1) else n
+              fields.indices.flatMap { c =>
+                statsOf(fields(c), colVals(c).slice(from, to), to - from)
+              }
+            }
+            val byCol = dataStreams.groupBy(_.column)
+            (0 to nodes.length).map { col =>
+              val pb = new PB
+              for (g <- groups.indices) pb.msg(1) { e =>
+                val posns = byCol.getOrElse(col, Nil)
+                  .filter(_.marks.nonEmpty).flatMap(_.marks(g))
+                if (posns.nonEmpty) {
+                  val inner = new PB
+                  posns.foreach(inner.varint)
+                  e.bytes(1, inner.toByteArray) // packed uint64
+                }
+                if (col == 0) {
+                  val from = groups(g)
+                  val to =
+                    if (g + 1 < groups.length) groups(g + 1) else n
+                  val root = new StatAcc(-1)
+                  root.nonNull = (to - from).toLong
+                  e.msg(2)(root.emit)
+                } else e.msg(2)(groupAccs(g)(col - 1).emit)
+              }
+              BuiltStream(K_ROW_INDEX, col, packed(pb.toByteArray))
+            }
+          }
+        for (s <- indexStreams) emit(s.bytes)
+        val indexLength = pos - stripeStart
+        for (s <- dataStreams) emit(s.bytes)
+        val dataLength = pos - stripeStart - indexLength
         val sf = new PB
-        for (s <- streams) sf.msg(1) { m =>
+        for (s <- indexStreams ++ dataStreams) sf.msg(1) { m =>
           m.uint(1, s.kind.toLong)
           m.uint(2, s.column.toLong)
           m.uint(3, s.bytes.length.toLong)
@@ -937,8 +1161,8 @@ object OrcWrite {
         sf.str(3, "UTC") // writerTimezone: kind-9 timestamps are UTC
         val sfb = packed(sf.toByteArray)
         emit(sfb)
-        stripes += StripeInfo(stripeStart, dataLength, sfb.length.toLong,
-          n.toLong)
+        stripes += StripeInfo(stripeStart, indexLength, dataLength,
+          sfb.length.toLong, n.toLong)
         total += n
         batch.clear()
       }
@@ -962,11 +1186,9 @@ object OrcWrite {
       val mdb = packed(md.toByteArray)
       emit(mdb)
       // file-level statistics: the per-stripe accumulators merged
-      def preorder(fs: Seq[OwField]): Seq[OwField] =
-        fs.flatMap(f => f +: preorder(f.children))
       val fileStats: Array[StatAcc] =
         if (allStripeStats.isEmpty) {
-          val nodes = preorder(fields)
+          val nodes = preorderFields(fields)
           (new StatAcc(-1) +: nodes.map(f => new StatAcc(f.kind)))
             .toArray
         }
@@ -982,7 +1204,7 @@ object OrcWrite {
       fo.uint(2, contentLength)
       for (s <- stripes.result()) fo.msg(3) { m =>
         m.uint(1, s.offset)
-        m.uint(2, 0L) // indexLength: no row indexes
+        m.uint(2, s.indexLength)
         m.uint(3, s.dataLength)
         m.uint(4, s.footerLength)
         m.uint(5, s.rows)
@@ -1016,7 +1238,7 @@ object OrcWrite {
       }
       fo.uint(6, total) // numberOfRows
       for (a <- fileStats) fo.msg(7)(a.emit) // file ColumnStatistics
-      fo.uint(8, 0L) // rowIndexStride: none
+      fo.uint(8, rowIndexStride.toLong)
       val fob = packed(fo.toByteArray)
       emit(fob)
       val ps = new PB
@@ -1073,7 +1295,8 @@ object OrcWrite {
     * `_SUCCESS` commits the directory. Returns the row count.
     */
   def writeDataFrame(df: org.apache.spark.sql.DataFrame, dir: String,
-      stripeRows: Int = 1 << 16, compression: Int = 0): Long = {
+      stripeRows: Int = 1 << 16, compression: Int = 0,
+      rowIndexStride: Int = 10000): Long = {
     import org.apache.spark.sql.types._
     val fields = fieldsOf(df.schema)
     val schema = df.schema
@@ -1138,7 +1361,8 @@ object OrcWrite {
         Array.tabulate[Any](fields.length)(c =>
           if (row.isNullAt(c)) null else adapt(c)(row.get(c)))
       }
-      val n = writeFile(f.toPath, fields, rs, stripeRows, compression)
+      val n = writeFile(f.toPath, fields, rs, stripeRows, compression,
+        rowIndexStride)
       if (n == 0) f.delete() // empty partitions leave no file
       Iterator.single(n)
     }.collect().sum
