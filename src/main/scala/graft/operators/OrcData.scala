@@ -48,7 +48,7 @@ object OrcData {
 
   final case class OrcFileMeta(compression: Int, blockSize: Int,
       numberOfRows: Long, types: Seq[OrcTypeNode],
-      stripes: Seq[OrcStripe])
+      stripes: Seq[OrcStripe], rowIndexStride: Int = 0)
 
   private final case class OrcStream(kind: Int, column: Int,
       length: Long)
@@ -129,6 +129,7 @@ object OrcData {
       blockSize: Int): OrcFileMeta = {
     val f = new PReader(fb, 0, fb.length)
     var numRows = -1L
+    var stride = 0
     val stripes = Vector.newBuilder[OrcStripe]
     val types = Vector.newBuilder[OrcTypeNode]
     f.message { (id, w) =>
@@ -176,13 +177,16 @@ object OrcData {
           types += OrcTypeNode(kind, subs.result(), names.result(),
             precision, scale)
         case 6 => numRows = f.varint()
+        case 8 => stride = f.varint().toInt
         case _ => f.skip(w)
       }
     }
     val ts = types.result()
     require(numRows >= 0 && ts.nonEmpty, "torn ORC: footer without types")
+    require(stride >= 0 && stride <= (1 << 28),
+      s"torn ORC: row index stride $stride")
     OrcFileMeta(compression, blockSize, numRows, ts,
-      stripes.result())
+      stripes.result(), stride)
   }
 
   /** Tail-only planning read: positional IO of the postscript, footer
@@ -237,6 +241,122 @@ object OrcData {
     * double stats (fixed64 min=1/max=2) both widen to doubles; any
     * other statistics shape yields None (never prune on it).
     */
+  /** One ColumnStatistics message body → the numeric range pruning
+    * acts on (IntegerStatistics / DoubleStatistics only; other kinds
+    * yield None = never prune).
+    */
+  private def parseColStat(cs: PReader): OrcColStat = {
+    var mn: Option[Double] = None
+    var mx: Option[Double] = None
+    cs.message { (cid, cw) =>
+      cid match {
+        case 2 => // IntegerStatistics
+          val is = cs.sub()
+          is.message { (iid, iw) =>
+            iid match {
+              case 1 => mn = Some(is.zig().toDouble)
+              case 2 => mx = Some(is.zig().toDouble)
+              case _ => is.skip(iw)
+            }
+          }
+        case 3 => // DoubleStatistics
+          val ds = cs.sub()
+          ds.message { (did, dw) =>
+            did match {
+              case 1 => mn = Some(
+                java.lang.Double.longBitsToDouble(ds.fixed64()))
+              case 2 => mx = Some(
+                java.lang.Double.longBitsToDouble(ds.fixed64()))
+              case _ => ds.skip(dw)
+            }
+          }
+        case _ => cs.skip(cw)
+      }
+    }
+    OrcColStat(mn, mx)
+  }
+
+  /** One column's decoded ROW_INDEX stream: per row group, the seek
+    * positions of the column's streams (reader order) and that group's
+    * statistics range.
+    */
+  final case class OrcRowGroupIx(positions: Array[Long],
+      stat: OrcColStat)
+
+  /** Parse one decompressed ROW_INDEX stream (orc_proto RowIndex). */
+  def parseRowIndex(b: Array[Byte]): Seq[OrcRowGroupIx] = {
+    val out = Vector.newBuilder[OrcRowGroupIx]
+    val r = new PReader(b, 0, b.length)
+    r.message { (id, w) =>
+      id match {
+        case 1 =>
+          val e = r.sub()
+          val posns = Vector.newBuilder[Long]
+          var stat = OrcColStat(None, None)
+          e.message { (eid, ew) =>
+            (eid, ew) match {
+              case (1, 2) => // packed repeated uint64
+                val s = e.sub()
+                while (!s.atEnd) posns += s.varint()
+              case (1, _) => posns += e.varint()
+              case (2, _) => stat = parseColStat(e.sub())
+              case _ => e.skip(ew)
+            }
+          }
+          out += OrcRowGroupIx(posns.result().toArray, stat)
+        case _ => r.skip(w)
+      }
+    }
+    out.result()
+  }
+
+  /** The ROW_INDEX entries of the requested columns in one stripe,
+    * from a buffer holding (at least) the stripe's index area AND its
+    * footer — pass the whole stripe span, or for planning IO the
+    * concatenation read of `[offset, offset+indexLength)` +
+    * `[offset+indexLength+dataLength, +footerLength)` with `base`
+    * arithmetic intact. Returns column id → per-group index entries;
+    * columns without a ROW_INDEX stream are absent.
+    */
+  def readRowIndexes(buf: Array[Byte], base: Long, stripe: OrcStripe,
+      compression: Int, blockSize: Int, colIds: Seq[Int])
+      : Map[Int, Seq[OrcRowGroupIx]] = {
+    val (streams, _) = readStripeFooter(buf, base, stripe,
+      compression, blockSize)
+    val offsets =
+      streams.scanLeft(stripe.offset - base)(_ + _.length).init
+    streams.zip(offsets).collect {
+      case (s, o) if s.kind == K_ROW_INDEX && colIds.contains(s.column) =>
+        require(o >= 0 && o + s.length <= buf.length,
+          "torn ORC: index stream overruns the buffer")
+        s.column -> parseRowIndex(OrcMeta.decompressStream(buf,
+          o.toInt, s.length.toInt, compression, blockSize))
+    }.toMap
+  }
+
+  /** Planning-time row-group stat ranges from two SMALL positional
+    * reads — the stripe's index area `[offset, offset+indexLength)`
+    * and its footer `[offset+indexLength+dataLength, +footerLength)`
+    * (O(KB) each, never a data byte): per requested column id, each
+    * row group's min/max. Empty map when the file carries no indexes.
+    */
+  def rowGroupStats(indexBytes: Array[Byte], footerBytes: Array[Byte],
+      compression: Int, blockSize: Int, colIds: Seq[Int])
+      : Map[Int, Seq[OrcColStat]] = {
+    val (streams, _) = parseStripeFooter(OrcMeta.decompressStream(
+      footerBytes, 0, footerBytes.length, compression, blockSize))
+    // index streams lead the footer's list and the stripe's bytes, so
+    // their offsets accumulate from 0 within the index area
+    val offsets = streams.scanLeft(0L)(_ + _.length).init
+    streams.zip(offsets).collect {
+      case (s, o) if s.kind == K_ROW_INDEX && colIds.contains(s.column) =>
+        require(o >= 0 && o + s.length <= indexBytes.length,
+          "torn ORC: index stream overruns the index area")
+        s.column -> parseRowIndex(OrcMeta.decompressStream(indexBytes,
+          o.toInt, s.length.toInt, compression, blockSize)).map(_.stat)
+    }.toMap
+  }
+
   private def parseMetadata(mb: Array[Byte]): Seq[Seq[OrcColStat]] = {
     val out = Vector.newBuilder[Seq[OrcColStat]]
     val m = new PReader(mb, 0, mb.length)
@@ -248,35 +368,7 @@ object OrcData {
           ss.message { (sid, sw) =>
             sid match {
               case 1 =>
-                val cs = ss.sub()
-                var mn: Option[Double] = None
-                var mx: Option[Double] = None
-                cs.message { (cid, cw) =>
-                  cid match {
-                    case 2 => // IntegerStatistics
-                      val is = cs.sub()
-                      is.message { (iid, iw) =>
-                        iid match {
-                          case 1 => mn = Some(is.zig().toDouble)
-                          case 2 => mx = Some(is.zig().toDouble)
-                          case _ => is.skip(iw)
-                        }
-                      }
-                    case 3 => // DoubleStatistics
-                      val ds = cs.sub()
-                      ds.message { (did, dw) =>
-                        did match {
-                          case 1 => mn = Some(
-                            java.lang.Double.longBitsToDouble(ds.fixed64()))
-                          case 2 => mx = Some(
-                            java.lang.Double.longBitsToDouble(ds.fixed64()))
-                          case _ => ds.skip(dw)
-                        }
-                      }
-                    case _ => cs.skip(cw)
-                  }
-                }
-                cols += OrcColStat(mn, mx)
+                cols += parseColStat(ss.sub())
               case _ => ss.skip(sw)
             }
           }
@@ -293,8 +385,21 @@ object OrcData {
   /** BYTE RLE: header 0..127 = the next byte repeated header+3 times,
     * -1..-128 = that many literal bytes. Returns exactly `n` bytes.
     */
-  private def byteRle(b: Array[Byte], n: Int): Array[Byte] = {
-    val out = new Array[Byte](n)
+  private def byteRle(b: Array[Byte], n: Int): Array[Byte] =
+    byteRleFlex(b, n, exact = true)
+
+  /** [[byteRle]] with `exact = false` letting the FINAL run carry more
+    * bytes than requested (discarded) — decoding from a row-index seek
+    * point, where orc-core's runs don't end at group boundaries.
+    */
+  private def byteRleFlex(b: Array[Byte], n: Int,
+      exact: Boolean): Array[Byte] = {
+    var out = new Array[Byte](n)
+    def ensure(k: Int, len: Int, what: String): Unit =
+      if (k + len > out.length) {
+        require(!exact, s"torn ORC: byte-RLE $what $len overruns $n")
+        out = java.util.Arrays.copyOf(out, k + len)
+      }
     var pos = 0
     var k = 0
     while (k < n) {
@@ -304,21 +409,21 @@ object OrcData {
       if (h >= 0) {
         val run = h + 3
         require(pos < b.length, "torn ORC: byte-RLE run value")
-        require(k + run <= n, s"torn ORC: byte-RLE run $run overruns $n")
+        ensure(k, run, "run")
         val v = b(pos)
         pos += 1
         var i = 0
         while (i < run) { out(k) = v; k += 1; i += 1 }
       } else {
         val lit = -h
-        require(pos + lit <= b.length && k + lit <= n,
-          s"torn ORC: byte-RLE literal $lit overruns")
+        require(pos + lit <= b.length, "torn ORC: byte-RLE literal cut")
+        ensure(k, lit, "literal")
         System.arraycopy(b, pos, out, k, lit)
         pos += lit
         k += lit
       }
     }
-    out
+    if (out.length > n) java.util.Arrays.copyOf(out, n) else out
   }
 
   /** Boolean RLE = byte RLE with bits emitted MSB-first. */
@@ -398,8 +503,22 @@ object OrcData {
     * carries its sign in the base's top bit instead).
     */
   private def rleV2(b: Array[Byte], n: Int,
-      signed: Boolean): Array[Long] = {
-    val out = new Array[Long](n)
+      signed: Boolean): Array[Long] =
+    rleV2Flex(b, n, signed, exact = true)
+
+  /** [[rleV2]] with `exact = false` allowing the FINAL run to carry
+    * more values than requested (discarded) — what decoding from a
+    * mid-stream row-index seek point needs, since orc-core's runs
+    * don't end at row-group boundaries.
+    */
+  private def rleV2Flex(b: Array[Byte], n: Int,
+      signed: Boolean, exact: Boolean): Array[Long] = {
+    var out = new Array[Long](n)
+    def ensure(k: Int, len: Int, what: String): Unit =
+      if (k + len > out.length) {
+        require(!exact, s"torn ORC: $what $len overruns")
+        out = java.util.Arrays.copyOf(out, k + len)
+      }
     val r = new Bits(b, 0)
     var k = 0
     while (k < n) {
@@ -408,7 +527,7 @@ object OrcData {
         case 0 => // SHORT_REPEAT
           val bytes = ((h >>> 3) & 7) + 1
           val run = (h & 7) + 3
-          require(k + run <= n, s"torn ORC: short repeat $run overruns")
+          ensure(k, run, "short repeat")
           var v = 0L
           var i = 0
           while (i < bytes) { v = (v << 8) | r.u8(); i += 1 }
@@ -418,7 +537,7 @@ object OrcData {
         case 1 => // DIRECT
           val w = width5((h >>> 1) & 0x1f)
           val len = (((h & 1) << 8) | r.u8()) + 1
-          require(k + len <= n, s"torn ORC: direct run $len overruns")
+          ensure(k, len, "direct run")
           r.packed(len, w, out, k)
           if (signed) {
             var i = k
@@ -431,7 +550,7 @@ object OrcData {
         case 2 => // PATCHED_BASE
           val w = width5((h >>> 1) & 0x1f)
           val len = (((h & 1) << 8) | r.u8()) + 1
-          require(k + len <= n, s"torn ORC: patched run $len overruns")
+          ensure(k, len, "patched run")
           val third = r.u8()
           val bw = ((third >>> 5) & 7) + 1
           val pw = width5(third & 0x1f)
@@ -471,7 +590,7 @@ object OrcData {
           val wc = (h >>> 1) & 0x1f
           val w = if (wc == 0) 0 else width5(wc)
           val len = (((h & 1) << 8) | r.u8()) + 1
-          require(k + len <= n, s"torn ORC: delta run $len overruns")
+          ensure(k, len, "delta run")
           val base = if (signed) r.zigzag() else r.varint()
           out(k) = base
           if (len > 1) {
@@ -499,13 +618,14 @@ object OrcData {
           k += len
       }
     }
-    out
+    if (out.length > n) java.util.Arrays.copyOf(out, n) else out
   }
 
   // ------------------------------------------------------------------
   // stripe decoding
 
   // stream kinds (orc_proto Stream.Kind)
+  private val K_ROW_INDEX = 6 // INDEX-area stream, one per column
   private val K_PRESENT = 0
   private val K_DATA = 1
   private val K_LENGTH = 2
@@ -585,8 +705,12 @@ object OrcData {
       stripe.dataLength
     require(off >= 0 && off + stripe.footerLength <= p.length,
       "torn ORC: stripe footer overruns the buffer")
-    val fb = OrcMeta.decompressStream(p, off.toInt,
-      stripe.footerLength.toInt, compression, blockSize)
+    parseStripeFooter(OrcMeta.decompressStream(p, off.toInt,
+      stripe.footerLength.toInt, compression, blockSize))
+  }
+
+  private def parseStripeFooter(fb: Array[Byte])
+      : (Seq[OrcStream], Map[Int, OrcEncoding]) = {
     val r = new PReader(fb, 0, fb.length)
     val streams = Vector.newBuilder[OrcStream]
     val encodings = Vector.newBuilder[OrcEncoding]
@@ -854,6 +978,327 @@ object OrcData {
     }
     (0 until rows).iterator.map(i =>
       Array.tabulate[Any](cols.size)(c => cols(c)(i)))
+  }
+
+  /** All type-tree ids of a column subtree (the root id first). */
+  def subtreeIds(types: Seq[OrcTypeNode], id: Int): Seq[Int] = {
+    require(id >= 0 && id < types.length,
+      s"torn ORC: column id $id outside the type tree")
+    id +: types(id).subtypes.flatMap(subtreeIds(types, _))
+  }
+
+  /** Sequential cursor over one RowIndexEntry's positions — each
+    * stream seek consumes exactly the values the matching orc-core
+    * reader would (1 byte offset uncompressed / 2 chunk+inner
+    * compressed, then the encoder drops).
+    */
+  private final class PosCur(a: Array[Long]) {
+    private var i = 0
+    def next(): Long = {
+      require(i < a.length, "torn ORC: row-index positions exhausted")
+      val v = a(i); i += 1; v
+    }
+  }
+
+  /** Decode ONE CONTIGUOUS ROW-GROUP RANGE `[g0, g1)` of a stripe —
+    * the sub-stripe skip the ROW_INDEX streams exist for. Every stream
+    * is entered at its recorded seek position (fresh run / fresh
+    * compression chunk in this repo's own files; mid-run with value
+    * drops in orc-core's), so the work is O(selected groups), not
+    * O(stripe). Falls back to [[readStripeRows]] when the range covers
+    * the whole stripe or the stripe carries no indexes.
+    */
+  def readStripeRowsRange(buf: Array[Byte], base: Long,
+      stripe: OrcStripe, compression: Int, blockSize: Int,
+      types: Seq[OrcTypeNode], colIds: Seq[Int], stride: Int,
+      g0: Int, g1: Int): Iterator[Array[Any]] = {
+    val nGroups =
+      if (stride <= 0) 1
+      else ((stripe.rows + stride - 1) / stride).toInt
+    if (stride <= 0 || (g0 == 0 && g1 >= nGroups))
+      return readStripeRows(buf, base, stripe, compression, blockSize,
+        types, colIds)
+    require(g0 >= 0 && g0 < g1 && g1 <= nGroups,
+      s"bad row-group range [$g0,$g1) of $nGroups")
+    val rowStart = g0.toLong * stride
+    val rows = (math.min(g1.toLong * stride, stripe.rows) - rowStart)
+      .toInt
+    val (streams, encodings) = readStripeFooter(buf, base, stripe,
+      compression, blockSize)
+    val offsets =
+      streams.scanLeft(stripe.offset - base)(_ + _.length).init
+    val needed = colIds.flatMap(subtreeIds(types, _)).distinct
+    val ix = readRowIndexes(buf, base, stripe, compression, blockSize,
+      needed)
+    val cols: Seq[Array[Any]] = colIds.map { id =>
+      readColumnTreeAt(buf, id, types, rows, streams, offsets,
+        encodings, compression, blockSize, ix, g0)
+    }
+    (0 until rows).iterator.map(i =>
+      Array.tabulate[Any](cols.size)(c => cols(c)(i)))
+  }
+
+  /** [[readColumnTree]] entered at row group `g0` via the column's own
+    * RowIndexEntry: reads each stream from its seek position, dropping
+    * the recorded run/bit prefix. Children enter at THEIR OWN entries
+    * (a child's group boundary is wherever its parent's lengths put
+    * it), which is exactly why every column carries its own index.
+    */
+  private def readColumnTreeAt(p: Array[Byte], colId: Int,
+      types: Seq[OrcTypeNode], rows: Int, streams: Seq[OrcStream],
+      streamOffsets: Seq[Long], encodings: Map[Int, OrcEncoding],
+      compression: Int, blockSize: Int,
+      ix: Map[Int, Seq[OrcRowGroupIx]], g0: Int): Array[Any] = {
+    val tpe = types(colId)
+    val enc = encodings.getOrElse(colId, OrcEncoding(0, 0))
+    val entries = ix.getOrElse(colId, throw new IllegalArgumentException(
+      s"torn ORC: column $colId has no ROW_INDEX stream"))
+    require(g0 < entries.length,
+      s"torn ORC: column $colId has ${entries.length} index entries, " +
+        s"group $g0 requested")
+    val cur = new PosCur(entries(g0).positions)
+    def findStream(k: Int): Option[(OrcStream, Long)] =
+      streams.zip(streamOffsets).collectFirst {
+        case (s, o) if s.column == colId && s.kind == k => (s, o)
+      }
+    /** Stream bytes FROM the cursor's seek point (consumes 1 or 2
+      * position values); None (cursor untouched) when absent.
+      */
+    def seekBytes(k: Int): Option[Array[Byte]] =
+      findStream(k).map { case (s, o) =>
+        require(o >= 0 && o + s.length <= p.length,
+          "torn ORC: stream overruns the buffer")
+        if (compression == 0) {
+          val off = cur.next()
+          require(off >= 0 && off <= s.length,
+            s"torn ORC: seek $off past a ${s.length}-byte stream")
+          java.util.Arrays.copyOfRange(p, (o + off).toInt,
+            (o + s.length).toInt)
+        } else {
+          val chunk = cur.next()
+          val inner = cur.next()
+          require(chunk >= 0 && chunk <= s.length,
+            s"torn ORC: seek chunk $chunk past ${s.length}")
+          val d = OrcMeta.decompressStream(p, (o + chunk).toInt,
+            (s.length - chunk).toInt, compression, blockSize)
+          require(inner >= 0 && inner <= d.length,
+            s"torn ORC: seek $inner into a ${d.length}-byte chunk")
+          java.util.Arrays.copyOfRange(d, inner.toInt, d.length)
+        }
+      }
+    /** Whole-stream bytes, no cursor use — dictionary content, which
+      * a seek never repositions. */
+    def wholeBytes(k: Int): Option[Array[Byte]] =
+      findStream(k).map { case (s, o) =>
+        require(o >= 0 && o + s.length <= p.length,
+          "torn ORC: stream overruns the buffer")
+        OrcMeta.decompressStream(p, o.toInt, s.length.toInt,
+          compression, blockSize)
+      }
+    def rleV2At(b: Array[Byte], n: Int, signed: Boolean): Array[Long] = {
+      val drop = cur.next()
+      require(drop >= 0 && drop <= (1 << 20), s"torn ORC: run drop $drop")
+      val all = rleV2Flex(b, drop.toInt + n, signed, exact = false)
+      java.util.Arrays.copyOfRange(all, drop.toInt, drop.toInt + n)
+    }
+    def boolAt(b: Array[Byte], n: Int): Array[Boolean] = {
+      val byteDrop = cur.next()
+      val bitDrop = cur.next()
+      require(byteDrop >= 0 && bitDrop >= 0 && bitDrop < 8,
+        s"torn ORC: bit seek $byteDrop+$bitDrop")
+      val first = byteDrop * 8 + bitDrop
+      val raw = byteRleFlex(b, ((first + n + 7) >> 3).toInt,
+        exact = false)
+      Array.tabulate(n) { i =>
+        val bit = first + i
+        ((raw((bit >> 3).toInt) >> (7 - (bit & 7))) & 1) != 0
+      }
+    }
+    def missing(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"torn ORC: column $colId has no $what stream")
+    val present = seekBytes(K_PRESENT).map(boolAt(_, rows))
+    val nonNull = present.map(_.count(identity)).getOrElse(rows)
+    def expand(vals: Array[Any]): Array[Any] = present match {
+      case None => vals
+      case Some(bits) =>
+        val out = new Array[Any](rows)
+        var v = 0
+        var i = 0
+        while (i < rows) {
+          if (bits(i)) { out(i) = vals(v); v += 1 } else out(i) = null
+          i += 1
+        }
+        out
+    }
+    def kid(id: Int, n: Int): Array[Any] =
+      readColumnTreeAt(p, id, types, n, streams, streamOffsets,
+        encodings, compression, blockSize, ix, g0)
+    tpe.kind match {
+      case 12 => // STRUCT
+        val kids = tpe.subtypes.map(kid(_, nonNull))
+        expand(Array.tabulate[Any](nonNull)(i => kids.map(_(i))))
+      case 10 | 11 => // LIST / MAP: LENGTH here, children at their own
+        // entries — the child value counts the range needs come from
+        // THIS range's lengths
+        requireV2(enc, colId)
+        val lens = rleV2At(seekBytes(K_LENGTH).getOrElse(
+          missing("LENGTH")), nonNull, signed = false)
+        lens.foreach(l => require(l >= 0 && l <= Int.MaxValue,
+          s"torn ORC: compound length $l"))
+        val total = lens.sum
+        require(total <= Int.MaxValue,
+          s"torn ORC: column $colId claims $total child values")
+        if (tpe.kind == 10) {
+          require(tpe.subtypes.length == 1,
+            s"torn ORC: LIST column $colId arity ${tpe.subtypes.length}")
+          val elems = kid(tpe.subtypes.head, total.toInt)
+          var off = 0
+          expand(lens.map[Any] { l =>
+            val s = elems.slice(off, off + l.toInt).toSeq
+            off += l.toInt
+            s
+          })
+        } else {
+          require(tpe.subtypes.length == 2,
+            s"torn ORC: MAP column $colId arity ${tpe.subtypes.length}")
+          val keys = kid(tpe.subtypes.head, total.toInt)
+          val vals = kid(tpe.subtypes(1), total.toInt)
+          var off = 0
+          expand(lens.map[Any] { l =>
+            val s = (off until off + l.toInt).map(i =>
+              (keys(i), vals(i)))
+            off += l.toInt
+            s
+          })
+        }
+      case 13 => throw new IllegalArgumentException(
+        s"ORC UNION column $colId unsupported (rejects by name)")
+      case 0 => // BOOLEAN
+        require(enc.kind == 0, s"BOOLEAN encoding ${enc.kind}")
+        expand(boolAt(seekBytes(K_DATA).getOrElse(missing("DATA")),
+          nonNull).map(v => v: Any))
+      case 1 => // BYTE: byte RLE with a literal drop
+        require(enc.kind == 0, s"BYTE encoding ${enc.kind}")
+        val b = seekBytes(K_DATA).getOrElse(missing("DATA"))
+        val drop = cur.next()
+        require(drop >= 0 && drop <= (1 << 20),
+          s"torn ORC: byte drop $drop")
+        expand(byteRleFlex(b, drop.toInt + nonNull, exact = false)
+          .drop(drop.toInt).map(v => v: Any))
+      case 2 | 3 | 4 | 15 => // SHORT/INT/LONG/DATE
+        requireV2(enc, colId)
+        val longs = rleV2At(seekBytes(K_DATA).getOrElse(
+          missing("DATA")), nonNull, signed = true)
+        expand(tpe.kind match {
+          case 2 => longs.map(v => v.toShort: Any)
+          case 3 | 15 => longs.map(v => v.toInt: Any)
+          case _ => longs.map(v => v: Any)
+        })
+      case 5 => // FLOAT
+        val d = seekBytes(K_DATA).getOrElse(missing("DATA"))
+        require(d.length >= 4 * nonNull, "torn ORC: float stream short")
+        expand(Array.tabulate[Any](nonNull) { i =>
+          java.lang.Float.intBitsToFloat(
+            (d(4 * i) & 0xff) | ((d(4 * i + 1) & 0xff) << 8) |
+              ((d(4 * i + 2) & 0xff) << 16) | (d(4 * i + 3) << 24))
+        })
+      case 6 => // DOUBLE
+        val d = seekBytes(K_DATA).getOrElse(missing("DATA"))
+        require(d.length >= 8 * nonNull, "torn ORC: double stream short")
+        expand(Array.tabulate[Any](nonNull) { i =>
+          var v = 0L
+          var j = 0
+          while (j < 8) { v |= (d(8 * i + j) & 0xffL) << (8 * j); j += 1 }
+          java.lang.Double.longBitsToDouble(v)
+        })
+      case 7 | 16 | 17 => // STRING / VARCHAR / CHAR
+        enc.kind match {
+          case 2 => // DIRECT_V2: seek order is data bytes, then lengths
+            val d = seekBytes(K_DATA).getOrElse(missing("DATA"))
+            val lens = rleV2At(seekBytes(K_LENGTH).getOrElse(
+              missing("LENGTH")), nonNull, signed = false)
+            var off = 0
+            expand(Array.tabulate[Any](nonNull) { i =>
+              val len = lens(i).toInt
+              require(len >= 0 && off + len <= d.length,
+                s"torn ORC: $len-byte string overruns")
+              val s = new String(d, off, len, "UTF-8")
+              off += len
+              s
+            })
+          case 3 => // DICTIONARY_V2: only the index stream seeks
+            require(enc.dictSize >= 0 && enc.dictSize <= (1 << 26),
+              s"torn ORC: dictionary claims ${enc.dictSize} entries")
+            val idxs = rleV2At(seekBytes(K_DATA).getOrElse(
+              missing("DATA")), nonNull, signed = false)
+            val dictLens = rleV2(wholeBytes(K_LENGTH).getOrElse(
+              missing("dict LENGTH")), enc.dictSize, signed = false)
+            val db = wholeBytes(K_DICT).getOrElse(
+              missing("DICTIONARY_DATA"))
+            var off = 0
+            val dict = Array.tabulate(enc.dictSize) { i =>
+              val len = dictLens(i).toInt
+              require(len >= 0 && off + len <= db.length,
+                s"torn ORC: $len-byte dict entry overruns")
+              val s = new String(db, off, len, "UTF-8")
+              off += len
+              s
+            }
+            expand(idxs.map { ixv =>
+              require(ixv >= 0 && ixv < dict.length,
+                s"torn ORC: dictionary index $ixv of ${dict.length}")
+              dict(ixv.toInt): Any
+            })
+          case e => throw new IllegalArgumentException(
+            s"ORC string encoding $e unsupported")
+        }
+      case 8 => // BINARY: data bytes, then lengths
+        requireV2(enc, colId)
+        val d = seekBytes(K_DATA).getOrElse(missing("DATA"))
+        val lens = rleV2At(seekBytes(K_LENGTH).getOrElse(
+          missing("LENGTH")), nonNull, signed = false)
+        var off = 0
+        expand(Array.tabulate[Any](nonNull) { i =>
+          val len = lens(i).toInt
+          require(len >= 0 && off + len <= d.length,
+            s"torn ORC: $len-byte binary overruns")
+          val bytes = java.util.Arrays.copyOfRange(d, off, off + len)
+          off += len
+          bytes
+        })
+      case 9 | 18 => // TIMESTAMP: seconds, then nanos
+        requireV2(enc, colId)
+        val secs = rleV2At(seekBytes(K_DATA).getOrElse(
+          missing("DATA")), nonNull, signed = true)
+        val nanos = rleV2At(seekBytes(K_SECONDARY).getOrElse(
+          missing("SECONDARY")), nonNull, signed = false)
+        expand(Array.tabulate[Any](nonNull) { i =>
+          val s = secs(i) + TsBaseSeconds
+          val ns = parseNanos(nanos(i))
+          val floored = if (s < 0 && ns != 0) s - 1 else s
+          java.lang.Math.addExact(
+            java.lang.Math.multiplyExact(floored, 1000000L), ns / 1000)
+        })
+      case 14 => // DECIMAL: raw varints (byte seek only), then scales
+        requireV2(enc, colId)
+        require(tpe.scale >= 0 && tpe.precision > 0 &&
+          tpe.precision <= 38 && tpe.scale <= tpe.precision,
+          s"torn ORC: DECIMAL(${tpe.precision},${tpe.scale})")
+        val unscaled = readBigVarints(
+          seekBytes(K_DATA).getOrElse(missing("DATA")), nonNull)
+        val scales = rleV2At(seekBytes(K_SECONDARY).getOrElse(
+          missing("SECONDARY")), nonNull, signed = true)
+        expand(Array.tabulate[Any](nonNull) { i =>
+          require(scales(i) >= -38 && scales(i) <= 38,
+            s"torn ORC: decimal value scale ${scales(i)}")
+          new java.math.BigDecimal(unscaled(i), scales(i).toInt)
+            .setScale(tpe.scale)
+        })
+      case k => throw new IllegalArgumentException(
+        s"ORC column kind ${primitiveNames.getOrElse(k, k.toString)} " +
+          "unsupported at a row-group seek")
+    }
   }
 
   /** Recursive decode of one column SUBTREE — ORC's nested convention

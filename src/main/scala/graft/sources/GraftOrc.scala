@@ -203,7 +203,8 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
   */
 final case class GraftOrcPartition(path: String, stripe: OrcStripe,
     compression: Int, blockSize: Int, types: Seq[OrcTypeNode],
-    colIds: Seq[Int]) extends InputPartition
+    colIds: Seq[Int], stride: Int = 0,
+    groupRange: Option[(Int, Int)] = None) extends InputPartition
 
 private[sources] class GraftOrcScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String)
@@ -219,7 +220,13 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
   /** Driver-side planning from file tails only. A stripe is planned
     * out when any pushed comparison is disjoint with its Metadata
     * min/max; files written without the Metadata section keep every
-    * stripe (conservative).
+    * stripe (conservative). When the file carries ROW INDEXES and a
+    * filter is pushed, two more O(KB) positional reads per surviving
+    * stripe (its index area + stripe footer) prune at ROW-GROUP grain:
+    * a stripe whose every group is disjoint drops entirely, and a
+    * partially-matching stripe plans only its surviving group span —
+    * the reader then SEEKS to that span instead of decoding the
+    * stripe.
     */
   override def planInputPartitions(): Array[InputPartition] =
     GraftOrc.listFiles(path).flatMap { f =>
@@ -228,22 +235,73 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       val colIds = OrcData.resolveColumns(plan.meta.types,
         required.fields.map(_.name).toSeq)
       val idByName = root.fieldNames.zip(root.subtypes).toMap
-      plan.meta.stripes.zipWithIndex.iterator.filter { case (_, i) =>
-        val stats = plan.stripeStats.lift(i).getOrElse(Nil)
-        pushed.forall(survives(stats, idByName, _))
-      }.map { case (stripe, _) =>
-        GraftOrcPartition(f.getAbsolutePath, stripe,
-          plan.meta.compression, plan.meta.blockSize, plan.meta.types,
-          colIds)
-      }
+      val stride = plan.meta.rowIndexStride
+      val pushedIds = pushed.flatMap(colsOf).distinct
+        .flatMap(idByName.get).toSeq
+      val useIx = stride > 0 && pushedIds.nonEmpty
+      val ch =
+        if (!useIx) null
+        else java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.READ)
+      try {
+        plan.meta.stripes.zipWithIndex.iterator.filter { case (_, i) =>
+          val stats = plan.stripeStats.lift(i).getOrElse(Nil)
+          pushed.forall(survives(stats, idByName, _))
+        }.flatMap { case (stripe, _) =>
+          val range: Option[(Int, Int)] =
+            if (!useIx || stripe.indexLength == 0) Some((0, Int.MaxValue))
+            else {
+              def readAt(pos: Long, n: Long): Array[Byte] = {
+                require(n <= Int.MaxValue, s"graftorc: $n-byte read")
+                val bb = java.nio.ByteBuffer.allocate(n.toInt)
+                var p = pos
+                while (bb.hasRemaining) {
+                  val r = ch.read(bb, p)
+                  require(r > 0, "torn ORC: short planning read")
+                  p += r
+                }
+                bb.array()
+              }
+              val gs = OrcData.rowGroupStats(
+                readAt(stripe.offset, stripe.indexLength),
+                readAt(stripe.offset + stripe.indexLength +
+                  stripe.dataLength, stripe.footerLength),
+                plan.meta.compression, plan.meta.blockSize, pushedIds)
+              val nGroups =
+                ((stripe.rows + stride - 1) / stride).toInt
+              val byName: Map[String, Seq[OrcColStat]] =
+                idByName.flatMap { case (n, id) =>
+                  gs.get(id).map(n -> _)
+                }
+              val alive = (0 until nGroups).filter { g =>
+                pushed.forall { flt =>
+                  survivesRanges(c => byName.get(c)
+                    .flatMap(_.lift(g)).flatMap(st =>
+                      st.min.zip(st.max).map { case (mn, mx) =>
+                        (Math.nextDown(mn), Math.nextUp(mx))
+                      }), flt)
+                }
+              }
+              if (alive.isEmpty) None // every group disjoint: drop
+              else Some((alive.head, alive.last + 1))
+            }
+          range.map { case (g0, g1) =>
+            GraftOrcPartition(f.getAbsolutePath, stripe,
+              plan.meta.compression, plan.meta.blockSize,
+              plan.meta.types, colIds, stride,
+              if (g0 == 0 && g1 == Int.MaxValue) None
+              else Some((g0, g1)))
+          }
+        }.toVector
+      } finally if (ch != null) ch.close()
     }.toArray
 
   /** False only when the stripe's stats PROVE the filter matches no
     * row — absent stats keep the stripe.
     */
   private def survives(stats: Seq[OrcColStat],
-      idByName: Map[String, Int], f: Filter): Boolean = {
-    def range(name: String): Option[(Double, Double)] = for {
+      idByName: Map[String, Int], f: Filter): Boolean =
+    survivesRanges(name => for {
       id <- idByName.get(name)
       st <- stats.lift(id)
       mn <- st.min
@@ -251,7 +309,10 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       // One ulp of slack: integer stats widened to double can round at
       // 2^53, and a rounded bound must stay conservative (see
       // Maintenance.footerRanges).
-    } yield (Math.nextDown(mn), Math.nextUp(mx))
+    } yield (Math.nextDown(mn), Math.nextUp(mx)), f)
+
+  private def survivesRanges(
+      range: String => Option[(Double, Double)], f: Filter): Boolean =
     f match {
       case EqualTo(c, v: Number) => range(c).forall { case (mn, mx) =>
         v.doubleValue >= mn && v.doubleValue <= mx }
@@ -265,6 +326,14 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
         range(c).forall(_._1 <= v.doubleValue)
       case _ => true // IsNotNull etc: never disjoint by construction
     }
+
+  private def colsOf(f: Filter): Seq[String] = f match {
+    case EqualTo(c, _) => Seq(c)
+    case GreaterThan(c, _) => Seq(c)
+    case GreaterThanOrEqual(c, _) => Seq(c)
+    case LessThan(c, _) => Seq(c)
+    case LessThanOrEqual(c, _) => Seq(c)
+    case _ => Nil // IsNotNull never prunes a group
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -306,8 +375,16 @@ private[sources] class GraftOrcReader(p: GraftOrcPartition,
       }
       bb.array()
     } finally ch.close()
-    OrcData.readStripeRows(buf, p.stripe.offset, p.stripe,
-      p.compression, p.blockSize, p.types, p.colIds)
+    p.groupRange match {
+      case Some((g0, g1)) =>
+        OrcData.readStripeRowsRange(buf, p.stripe.offset, p.stripe,
+          p.compression, p.blockSize, p.types, p.colIds, p.stride,
+          g0, math.min(g1.toLong,
+            (p.stripe.rows + p.stride - 1) / p.stride).toInt)
+      case None =>
+        OrcData.readStripeRows(buf, p.stripe.offset, p.stripe,
+          p.compression, p.blockSize, p.types, p.colIds)
+    }
   }
 
   private def adaptOf(dt: DataType): Any => Any = dt match {

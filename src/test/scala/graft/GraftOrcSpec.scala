@@ -187,6 +187,90 @@ class GraftOrcSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("ROW-GROUP pruning inside stripes: graftorc seeks to the " +
+      "surviving group span from the row indexes — on our own files " +
+      "AND on orc-core's (mid-run seek positions)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OrcWrite
+    import graft.operators.OrcWrite.OwFields
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-rgprune").toString
+    try {
+      // our own writer: 16000-row stripes, 2000-row groups, zstd —
+      // seeks land on fresh runs / fresh chunks
+      val ownFile = new java.io.File(dir, "own")
+      ownFile.mkdirs()
+      val fields = Seq(OwFields.long("id"), OwFields.string("tag"),
+        OwFields.double("v"),
+        OwFields.list("xs", OwFields.long("_elem")))
+      val rows = (0 until 40000).iterator.map { i =>
+        Array[Any](Long.box(i.toLong), s"t${i % 40}",
+          if (i % 7 == 0) null else Double.box(i * 0.5),
+          if (i % 10 == 0) null
+          else Seq[Any](Long.box(i.toLong),
+            if (i % 3 == 0) null else Long.box(i.toLong * 2)))
+      }
+      OrcWrite.writeFile(
+        new java.io.File(ownFile, "part-00000.orc").toPath, fields,
+        rows, stripeRows = 16000, compression = 5,
+        rowIndexStride = 2000)
+      val own = spark.read.format("graftorc").load(ownFile.toString)
+        .filter("id >= 30100 AND id < 30900")
+      val parts = batchScan(own).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftOrcPartition])
+      assert(parts.length == 1, s"${parts.length} stripes planned")
+      assert(parts.head.groupRange.contains((7, 8)),
+        s"planned ${parts.head.groupRange}, want group 7 only")
+      val got = own.orderBy("id").collect()
+      assert(got.length == 800)
+      for ((r, k) <- got.zipWithIndex) {
+        val i = 30100 + k
+        assert(r.getLong(0) == i.toLong)
+        assert(r.getString(1) == s"t${i % 40}")
+        if (i % 7 == 0) assert(r.isNullAt(2))
+        else assert(r.getDouble(2) == i * 0.5)
+        if (i % 10 == 0) assert(r.isNullAt(3))
+        else {
+          val xs = r.getSeq[Any](3)
+          assert(xs.head == i.toLong)
+          if (i % 3 == 0) assert(xs(1) == null)
+          else assert(xs(1) == i.toLong * 2)
+        }
+      }
+      // a filter disjoint with EVERY group of a stripe drops the
+      // stripe with zero data IO (group stats prove it)
+      val none = spark.read.format("graftorc").load(ownFile.toString)
+        .filter("id >= 16000 AND id < 16000") // empty range
+      assert(none.count() == 0)
+      // orc-core's OWN output (Spark's writer, default 10000-row
+      // stride): seek positions point MID-RUN with value/bit drops —
+      // the general position semantics, not our fresh-run shape
+      val sparkFile = new java.io.File(dir, "sparkw").toString
+      spark.range(0, 40000).toDF("id")
+        .select(col("id"), concat(lit("s"), col("id") % 37).as("tag"),
+          when(col("id") % 6 === 0, lit(null))
+            .otherwise(col("id") * 1.5).as("v"))
+        .coalesce(1).sortWithinPartitions("id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .orc(sparkFile)
+      val sw = spark.read.format("graftorc").load(sparkFile)
+        .filter("id >= 25000 AND id < 25500")
+      val swParts = batchScan(sw).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftOrcPartition])
+      assert(swParts.forall(_.groupRange.nonEmpty),
+        s"no group pruning on ${swParts.map(_.groupRange)}")
+      val want = spark.read.orc(sparkFile)
+        .filter("id >= 25000 AND id < 25500")
+        .collect().toSeq.map(_.toSeq)
+        .sortBy(_.head.asInstanceOf[Long])
+      val swGot = sw.collect().toSeq.map(_.toSeq)
+        .sortBy(_.head.asInstanceOf[Long])
+      assert(swGot.size == want.size && swGot.size == 500)
+      for ((w, g) <- want.zip(swGot)) assert(w == g, s"$w vs $g")
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   test("nested LIST / STRUCT / MAP columns (nulls at every level, " +
       "empty collections, list-of-struct) read row-identically to " +
       "Spark's ORC source") {
