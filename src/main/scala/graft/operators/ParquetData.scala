@@ -701,6 +701,65 @@ object ParquetData {
     out
   }
 
+  /** [[assembleList]] ALSO yielding each element's definition level in
+    * a parallel per-row Seq (null list → null, empty → empty Seq) —
+    * what a caller zipping several leaves of ONE repeated group needs:
+    * for a list-of-struct, an element's def distinguishes "struct null
+    * at this slot" (def < the struct's present level) from "struct
+    * present, this leaf's field null" (def between present level and
+    * the leaf max), which the value array alone cannot.
+    */
+  def assembleListLevels(lv: ChunkLevels, rowCount: Int, maxDef: Int,
+      emptyDef: Int, nullDef: Int): (Array[Any], Array[Seq[Int]]) = {
+    val vals = new Array[Any](rowCount)
+    val defs = new Array[Seq[Int]](rowCount)
+    val valBufs = new Array[scala.collection.mutable.ArrayBuffer[Any]](
+      rowCount)
+    val defBufs = new Array[scala.collection.mutable.ArrayBuffer[Int]](
+      rowCount)
+    var row = -1
+    var v = 0
+    var i = 0
+    while (i < lv.defs.length) {
+      val d = lv.defs(i)
+      val r = lv.reps(i)
+      if (r == 0) { // new row
+        row += 1
+        require(row < rowCount, "torn parquet: list rows overrun the group")
+        if (d <= nullDef) () // null row: arrays stay null
+        else {
+          valBufs(row) = new scala.collection.mutable.ArrayBuffer[Any]
+          defBufs(row) = new scala.collection.mutable.ArrayBuffer[Int]
+          if (d != emptyDef) {
+            valBufs(row) += (if (d == maxDef) {
+              val x = lv.vals(v); v += 1; x
+            } else null)
+            defBufs(row) += d
+          }
+        }
+      } else {
+        require(row >= 0 && valBufs(row) != null,
+          "torn parquet: continuation with no open list")
+        valBufs(row) += (if (d == maxDef) {
+          val x = lv.vals(v); v += 1; x
+        } else null)
+        defBufs(row) += d
+      }
+      i += 1
+    }
+    require(row == rowCount - 1,
+      s"torn parquet: list column assembled ${row + 1} of $rowCount rows")
+    var k = 0
+    while (k < rowCount) {
+      if (valBufs(k) != null) {
+        vals(k) = valBufs(k).toSeq
+        defs(k) = defBufs(k).toSeq
+      }
+      k += 1
+    }
+    (vals, defs)
+  }
+
   /** Row iterator over the named flat leaf columns of a complete
     * parquet file image — footer-driven, every page decoded by this
     * module, nulls row-aligned. Column order in each row matches

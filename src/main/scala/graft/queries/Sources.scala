@@ -1543,6 +1543,81 @@ object Sources {
       |  CAST(sum(opt) AS BIGINT) AS sum_opt
       |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Build-once parquet fixture with a LIST-of-STRUCT column (null
+    * lists, empty lists, null struct elements, null fields) — the s40
+    * input.
+    */
+  def ensureListStructFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqliststruct-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 10 === 0, lit(null))
+            .otherwise(when(col("event_id") % 10 === 1,
+              array().cast("array<struct<uid:bigint,cents:bigint>>"))
+              .otherwise(array(
+                struct(col("user_id").cast("long").as("uid"),
+                  round(col("value") * 100).cast("long").as("cents")),
+                when(col("event_id") % 3 === 0,
+                  lit(null).cast("struct<uid:bigint,cents:bigint>"))
+                  .otherwise(struct(
+                    (col("user_id") % 7).cast("long").as("uid"),
+                    when(col("event_id") % 4 === 0, lit(null))
+                      .otherwise((col("event_id") % 11).cast("long"))
+                      .as("cents"))))))
+            .as("legs"))
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp)
+    }
+    tmp
+  }
+
+  // S40: LIST-of-STRUCT through the from-scratch graftpq plane — the
+  // element struct's leaves share the list's Dremel skeleton and the
+  // per-slot def levels keep element-null / field-null / value apart;
+  // the oracle re-derives every leg from the source table's closed
+  // forms.
+  private def s40ListStruct(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureListStructFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("legs").isNull, 1).otherwise(0)).as("n_null"),
+        sum(coalesce(size(col("legs")), lit(0))).as("n_legs"),
+        sum(coalesce(get(col("legs"), lit(0)).getField("cents"),
+          lit(0L))).as("sum_first_cents"),
+        sum(when(size(col("legs")) === 2 &&
+          get(col("legs"), lit(1)).isNull, 1).otherwise(0))
+          .as("n_null_second"),
+        sum(coalesce(get(col("legs"), lit(1)).getField("cents"),
+          lit(0L))).as("sum_second_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s40ListStructSql =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS is_null,
+      |    CASE WHEN event_id % 10 IN (0,1) THEN 0 ELSE 2 END AS legs,
+      |    CASE WHEN event_id % 10 IN (0,1) THEN 0
+      |      ELSE CAST(round(value*100) AS BIGINT) END AS first_cents,
+      |    CASE WHEN event_id % 10 NOT IN (0,1) AND event_id % 3 = 0
+      |      THEN 1 ELSE 0 END AS null_second,
+      |    CASE WHEN event_id % 10 IN (0,1) OR event_id % 3 = 0
+      |        OR event_id % 4 = 0 THEN 0
+      |      ELSE event_id % 11 END AS second_cents
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(is_null) AS BIGINT) AS n_null,
+      |  CAST(sum(legs) AS BIGINT) AS n_legs,
+      |  CAST(sum(first_cents) AS BIGINT) AS sum_first_cents,
+      |  CAST(sum(null_second) AS BIGINT) AS n_null_second,
+      |  CAST(sum(second_cents) AS BIGINT) AS sum_second_cents
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Build-once committed table carrying OUTSTANDING deletion vectors
     * (two stacked DV deletes over two range-sliced commits) — the s38
     * input. The vectors spread across both files and every row group,
@@ -1853,7 +1928,8 @@ object Sources {
     "s36_partitioned_scan" -> s36PartitionedScan _,
     "s37_map_scan" -> s37MapScan _,
     "s38_dv_scan" -> s38DvScan _,
-    "s39_orc_nested" -> s39OrcNested _
+    "s39_orc_nested" -> s39OrcNested _,
+    "s40_pq_liststruct" -> s40ListStruct _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1889,6 +1965,7 @@ object Sources {
     "s36_partitioned_scan" -> s36PartitionedScanSql,
     "s37_map_scan" -> s37MapScanSql,
     "s38_dv_scan" -> s38DvScanSql,
-    "s39_orc_nested" -> s39OrcNestedSql
+    "s39_orc_nested" -> s39OrcNestedSql,
+    "s40_pq_liststruct" -> s40ListStructSql
   )
 }

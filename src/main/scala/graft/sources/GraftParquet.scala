@@ -183,6 +183,23 @@ object GraftParquet {
       ArrayType(leafType(leaf.field), containsNull = true),
       nullable = true)
   }
+  /** The 3-level LIST whose element is a STRUCT of primitive leaves —
+    * every leaf stream shares the list's rep/def skeleton, so each
+    * reassembles through the list machinery and the per-element DEF
+    * levels arbitrate the three states the zip must keep apart: def <
+    * `structPresentDef` = the struct element itself is null, def ≥
+    * that but < the leaf's max = the struct is present with this FIELD
+    * null, def = the leaf max = a value.
+    */
+  final case class ListStructPlan(name: String, fields: Seq[PqLeafPlan],
+      structPresentDef: Int, nullDef: Int, emptyDef: Int)
+    extends PqFieldPlan {
+    def leafs: Seq[PqLeafPlan] = fields
+    def sparkField: StructField = StructField(name,
+      ArrayType(StructType(fields.map { l =>
+        StructField(l.field.name, leafType(l.field), nullable = true)
+      }), containsNull = true), nullable = true)
+  }
   /** A struct of fields, each itself a [[FlatPlan]] or a nested
     * [[StructPlan]] (structs-of-structs to any depth; repeated shapes
     * inside a struct reject at plan time). The struct is present at
@@ -362,17 +379,37 @@ object GraftParquet {
           s"graftpq: LIST '${f.name}' lacks the 3-level repeated group " +
             "(2-level legacy lists unsupported)")
         val elem = take()
-        require(elem.numChildren == 0,
-          s"graftpq: LIST '${f.name}' of nested element unsupported " +
-            "(one nesting level)")
         val listOpt = opt(f)
         val elemOpt = opt(elem)
-        val maxDef = listOpt + 1 + elemOpt
-        out += ListPlan(f.name,
-          PqLeafPlan(s"${f.name}.${mid.name}.${elem.name}", elem,
-            maxDef, 1),
-          nullDef = listOpt - 1, emptyDef = listOpt,
-          listNullable = listOpt == 1, elemNullable = elemOpt == 1)
+        if (elem.numChildren == 0) {
+          val maxDef = listOpt + 1 + elemOpt
+          out += ListPlan(f.name,
+            PqLeafPlan(s"${f.name}.${mid.name}.${elem.name}", elem,
+              maxDef, 1),
+            nullDef = listOpt - 1, emptyDef = listOpt,
+            listNullable = listOpt == 1, elemNullable = elemOpt == 1)
+        } else {
+          // list-of-STRUCT: the element group's leaves share the
+          // list's rep skeleton (maxRep 1); deeper shapes (struct in
+          // struct in list, list in list) still reject by name
+          require(!elem.convertedType.exists(Set(1, 2, 3)),
+            s"graftpq: LIST '${f.name}' of LIST/MAP element " +
+              "unsupported")
+          val structPresentDef = listOpt + 1 + elemOpt
+          val leaves = (0 until elem.numChildren).map { _ =>
+            val k = take()
+            require(k.numChildren == 0 && !k.repetition.contains(2),
+              s"graftpq: LIST '${f.name}' element field '${k.name}' " +
+                "must be a primitive leaf (deeper nesting " +
+                "unsupported)")
+            PqLeafPlan(
+              s"${f.name}.${mid.name}.${elem.name}.${k.name}", k,
+              structPresentDef + opt(k), 1)
+          }
+          out += ListStructPlan(f.name, leaves.toSeq,
+            structPresentDef,
+            nullDef = listOpt - 1, emptyDef = listOpt)
+        }
       } else if (f.convertedType.contains(1)) { // MAP
         require(f.numChildren == 1,
           s"graftpq: MAP '${f.name}' must wrap one repeated key_value " +
@@ -648,6 +685,15 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
                         f.getName))
                   restrict(kid, inner.dataType)
                 }.toSeq)
+              case (lp: GraftParquet.ListStructPlan,
+                  ArrayType(st: StructType, _)) =>
+                lp.copy(fields = st.fields.map { inner =>
+                  lp.fields.find(_.field.name == inner.name)
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"graftpq: list element field " +
+                        s"'${lp.name}.${inner.name}' not in " +
+                        f.getName))
+                }.toSeq)
               case _ => p
             }
             restrict(plan, rf.dataType)
@@ -830,6 +876,41 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
             case s: Seq[_] =>
               new org.apache.spark.sql.catalyst.util.GenericArrayData(
                 s.map(ad).toArray)
+          }, null)
+        case GraftParquet.ListStructPlan(name, fields,
+            structPresentDef, nullDef, emptyDef) =>
+          // every leaf shares the list skeleton; the FIRST leaf's
+          // per-element defs arbitrate element-null vs field-null
+          val perLeaf = fields.map { l =>
+            val (lv, _) = levelsOf(l)
+            val (vals, defs) = ParquetData.assembleListLevels(lv, rows,
+              l.maxDef, emptyDef, nullDef)
+            (vals, defs, GraftParquet.leafAdapter(l.field))
+          }
+          val (v0, d0, _) = perLeaf.head
+          (Array.tabulate[Any](rows) { i =>
+            v0(i) match {
+              case null => null
+              case s0: Seq[_] =>
+                val n = s0.length
+                perLeaf.foreach { case (v, _, _) =>
+                  val len = v(i) match {
+                    case s: Seq[_] => s.length
+                    case _ => -1
+                  }
+                  require(len == n, s"torn parquet: list-of-struct " +
+                    s"'$name' leaves disagree ($len vs $n elements)")
+                }
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  Array.tabulate[Any](n) { e =>
+                    if (d0(i)(e) < structPresentDef) null
+                    else InternalRow.fromSeq(perLeaf.map {
+                      case (v, _, ad) =>
+                        val x = v(i).asInstanceOf[Seq[Any]](e)
+                        if (x == null) null else ad(x)
+                    })
+                  })
+            }
           }, null)
         case GraftParquet.MapPlan(name, kLeaf, vLeaf, nullDef,
             emptyDef, _, _) =>
