@@ -138,6 +138,15 @@ object ParquetWrite {
       if (size < 15) out.write((size << 4) | elemType)
       else { out.write(0xf0 | elemType); varint(size.toLong) }
     }
+    // bare LIST ELEMENT writers (no field header): i64 elements are
+    // zigzag varints, binary elements length-prefixed, bool elements
+    // one byte (1 true / 2 false) per the compact protocol
+    def elemI64(v: Long): Unit = zig(v)
+    def elemBinary(b: Array[Byte]): Unit = {
+      varint(b.length.toLong)
+      out.write(b, 0, b.length)
+    }
+    def elemBool(v: Boolean): Unit = out.write(if (v) 1 else 2)
     /** Open a struct field; the caller writes its fields then calls
       * [[structEnd]]. List elements use [[structBegin]] directly (no
       * field header).
@@ -407,12 +416,21 @@ object ParquetWrite {
   private def bitsFor(max: Int): Int =
     32 - Integer.numberOfLeadingZeros(max)
 
+  /** One DATA page's location + stats — what the page-index section
+    * (ColumnIndex/OffsetIndex) serializes. `firstRow` is row-group
+    * relative per the spec; stats absent on pages of non-comparable
+    * or level-bearing columns (those chunks get an OffsetIndex only).
+    */
+  private final case class PageInfo(offset: Long, compressedSize: Int,
+      firstRow: Long, nullPage: Boolean, minV: Option[Array[Byte]],
+      maxV: Option[Array[Byte]], nullCount: Long)
+
   private final case class ChunkInfo(field: PwField, numValues: Long,
       nullCount: Long, minV: Option[Array[Byte]],
       maxV: Option[Array[Byte]], dataPageOffset: Long,
       totalUncompressed: Long, totalCompressed: Long,
       dictPageOffset: Option[Long] = None, chunkStart: Long = -1L,
-      pathParts: Seq[String] = Nil) {
+      pathParts: Seq[String] = Nil, pages: Seq[PageInfo] = Nil) {
     def path: Seq[String] =
       if (pathParts.nonEmpty) pathParts else Seq(field.name)
   }
@@ -550,6 +568,7 @@ object ParquetWrite {
             comp += hb.length + packed.length
           }
           val firstDataPage = pos
+          val pages = Seq.newBuilder[PageInfo]
           var row = 0
           while (row < nRows) {
             val n = math.min(pageRows, nRows - row)
@@ -596,6 +615,46 @@ object ParquetWrite {
             w.structEnd()
             w.structEnd()
             val hb = hdr.toByteArray
+            // page-index record: location + THIS page's stats (same
+            // comparison domains as the chunk stats above)
+            val pageStart = pos
+            var pMinL = 0L; var pMaxL = 0L
+            var pMinD = Double.NaN; var pMaxD = Double.NaN
+            var pMinV: Any = null; var pMaxV: Any = null
+            var pNulls = 0L
+            if (f.physicalType >= 1 && f.physicalType <= 5) {
+              var k = 0
+              while (k < n) {
+                pageVals(k) match {
+                  case null => pNulls += 1
+                  case x: Int =>
+                    val l = x.toLong
+                    if (pMinV == null || l < pMinL) { pMinL = l; pMinV = x }
+                    if (pMaxV == null || l > pMaxL) { pMaxL = l; pMaxV = x }
+                  case x: Long =>
+                    if (pMinV == null || x < pMinL) { pMinL = x; pMinV = x }
+                    if (pMaxV == null || x > pMaxL) { pMaxL = x; pMaxV = x }
+                  case x: Float => if (!x.isNaN) {
+                    val d = x.toDouble
+                    if (pMinV == null || d < pMinD) { pMinD = d; pMinV = x }
+                    if (pMaxV == null || d > pMaxD) { pMaxD = d; pMaxV = x }
+                  }
+                  case x: Double => if (!x.isNaN) {
+                    if (pMinV == null || x < pMinD) { pMinD = x; pMinV = x }
+                    if (pMaxV == null || x > pMaxD) { pMaxD = x; pMaxV = x }
+                  }
+                  case _ => ()
+                }
+                k += 1
+              }
+            } else {
+              var k = 0
+              while (k < n) { if (pageVals(k) == null) pNulls += 1; k += 1 }
+            }
+            pages += PageInfo(pageStart, hb.length + packed.length,
+              row.toLong, nullPage = pNulls == n,
+              Option(pMinV).map(statBytes(f.physicalType, _)),
+              Option(pMaxV).map(statBytes(f.physicalType, _)), pNulls)
             emit(hb)
             emit(packed)
             unc += hb.length + raw.length
@@ -605,7 +664,8 @@ object ParquetWrite {
           ChunkInfo(f, nRows.toLong, nulls,
             Option(minV).map(statBytes(f.physicalType, _)),
             Option(maxV).map(statBytes(f.physicalType, _)),
-            firstDataPage, unc, comp, dictOffset, chunkStart)
+            firstDataPage, unc, comp, dictOffset, chunkStart,
+            pages = pages.result())
         }
         // one leaf chunk from Dremel level streams (nested columns):
         // PLAIN pages split at row boundaries, full rep/def regions,
@@ -619,6 +679,7 @@ object ParquetWrite {
           var unc = 0L
           var comp = 0L
           val firstDataPage = pos
+          val pages = Seq.newBuilder[PageInfo]
           var row = 0
           var entry = 0
           var valIdx = 0
@@ -659,6 +720,10 @@ object ParquetWrite {
             w.structEnd()
             w.structEnd()
             val hb = hdr.toByteArray
+            // level-bearing chunk: page LOCATION only (no per-page
+            // stats — same reasoning as the omitted chunk Statistics)
+            pages += PageInfo(pos, hb.length + packed.length,
+              row.toLong, nullPage = false, None, None, -1L)
             emit(hb)
             emit(packed)
             unc += hb.length + raw.length
@@ -668,7 +733,8 @@ object ParquetWrite {
             valIdx += nn
           }
           ChunkInfo(f, defs.length.toLong, -1L, None, None,
-            firstDataPage, unc, comp, None, chunkStart, pathParts)
+            firstDataPage, unc, comp, None, chunkStart, pathParts,
+            pages = pages.result())
         }
         def shredStruct(st: PwStructCol, c: Int, nRows: Int)
             : Seq[ChunkInfo] =
@@ -789,10 +855,66 @@ object ParquetWrite {
         if (batch.length >= rowGroupRows) flushGroup()
       }
       flushGroup()
+      val gs = groups.result()
+      // PAGE INDEX section (after the row groups, before the footer —
+      // parquet-mr's own layout): a ColumnIndex per stats-bearing
+      // chunk (per-page null_pages/min/max/null_counts, what lets a
+      // reader skip PAGES the way footer stats skip row groups) and an
+      // OffsetIndex per chunk (page locations + row-group-relative
+      // first row indexes). Readers find both through the ColumnChunk
+      // offset fields; readers that predate the page index ignore it.
+      val indexLocs: Seq[Seq[(Option[(Long, Int)], Option[(Long, Int)])]] =
+        gs.map(_.chunks.map { ch =>
+          val ci: Option[(Long, Int)] =
+            if (ch.pages.isEmpty || !ch.pages.forall(p =>
+                p.nullPage || (p.minV.isDefined && p.maxV.isDefined)))
+              None // no comparable per-page stats: OffsetIndex only
+            else {
+              val b = new Ba
+              val iw = new TWriter(b)
+              iw.structBegin()
+              iw.listHeader(1, T_TRUE, ch.pages.length) // null_pages
+              for (p <- ch.pages) iw.elemBool(p.nullPage)
+              iw.listHeader(2, T_BINARY, ch.pages.length) // min_values
+              for (p <- ch.pages)
+                iw.elemBinary(p.minV.getOrElse(Array.emptyByteArray))
+              iw.listHeader(3, T_BINARY, ch.pages.length) // max_values
+              for (p <- ch.pages)
+                iw.elemBinary(p.maxV.getOrElse(Array.emptyByteArray))
+              iw.i32(4, 0) // boundary_order: UNORDERED
+              iw.listHeader(5, T_I64, ch.pages.length) // null_counts
+              for (p <- ch.pages) iw.elemI64(p.nullCount)
+              iw.structEnd()
+              val bytes = b.toByteArray
+              val at = pos
+              emit(bytes)
+              Some((at, bytes.length))
+            }
+          val oi: Option[(Long, Int)] =
+            if (ch.pages.isEmpty) None
+            else {
+              val b = new Ba
+              val iw = new TWriter(b)
+              iw.structBegin()
+              iw.listHeader(1, T_STRUCT, ch.pages.length)
+              for (p <- ch.pages) { // PageLocation
+                iw.structBegin()
+                iw.i64(1, p.offset)
+                iw.i32(2, p.compressedSize)
+                iw.i64(3, p.firstRow)
+                iw.structEnd()
+              }
+              iw.structEnd()
+              val bytes = b.toByteArray
+              val at = pos
+              emit(bytes)
+              Some((at, bytes.length))
+            }
+          (ci, oi)
+        })
       // footer: FileMetaData in thrift compact
       val fb = new Ba
       val w = new TWriter(fb)
-      val gs = groups.result()
       w.structBegin()
       w.i32(1, 1) // version
       val schemaCount = 1 + fields.map {
@@ -846,10 +968,11 @@ object ParquetWrite {
       }
       w.i64(3, total) // num_rows
       w.listHeader(4, T_STRUCT, gs.length) // row_groups
-      for (g <- gs) {
+      for ((g, gi) <- gs.zipWithIndex) {
         w.structBegin()
         w.listHeader(1, T_STRUCT, g.chunks.length)
-        for (ch <- g.chunks) {
+        for ((ch, cxi) <- g.chunks.zipWithIndex) {
+          val (ciLoc, oiLoc) = indexLocs(gi)(cxi)
           w.structBegin() // ColumnChunk
           w.i64(2, if (ch.chunkStart >= 0) ch.chunkStart
             else ch.dataPageOffset) // file_offset
@@ -886,6 +1009,14 @@ object ParquetWrite {
             w.structEnd()
           }
           w.structEnd() // ColumnMetaData
+          oiLoc.foreach { case (o, l) =>
+            w.i64(4, o) // offset_index_offset
+            w.i32(5, l) // offset_index_length
+          }
+          ciLoc.foreach { case (o, l) =>
+            w.i64(6, o) // column_index_offset
+            w.i32(7, l) // column_index_length
+          }
           w.structEnd() // ColumnChunk
         }
         w.i64(2, g.chunks.map(_.totalUncompressed).sum)

@@ -355,6 +355,90 @@ class ParquetWriteSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
 
+  test("PAGE INDEXES are real: parquet-mr reads the written " +
+      "ColumnIndex/OffsetIndex back and its column-index filter " +
+      "SKIPS pages (filtered record count = one page, not the file)") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.filter2.compat.FilterCompat
+    val dir = tmpDir("pageindex")
+    try {
+      val fields = Seq(PwFields.int64("id"), PwFields.string("tag"),
+        PwFields.double("v"))
+      def rows = (0 until 40000).iterator.map { i =>
+        Array[Any](Long.box(i.toLong), s"t${i % 50}",
+          if (i % 7 == 0) null else Double.box(i * 0.5))
+      }
+      val file = new java.io.File(dir, "ix.parquet")
+      // 20000-row groups, 1000-row pages → 20 pages per group
+      val n = ParquetWrite.writeFile(file.toPath, fields, rows,
+        codec = 1, rowGroupRows = 20000, pageRows = 1000)
+      assert(n == 40000)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val inFile = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf)
+      val reader = ParquetFileReader.open(inFile)
+      try {
+        val rg = reader.getFooter.getBlocks.get(0)
+        val idCol = rg.getColumns.get(0)
+        val oi = reader.readOffsetIndex(idCol)
+        assert(oi != null && oi.getPageCount == 20)
+        assert(oi.getFirstRowIndex(0) == 0L)
+        assert(oi.getFirstRowIndex(1) == 1000L)
+        val ci = reader.readColumnIndex(idCol)
+        assert(ci != null)
+        assert(ci.getMinValues.size() == 20)
+        // sorted ids: page 3 of group 0 covers [3000, 4000)
+        val mn3 = java.nio.ByteBuffer.wrap(
+          ci.getMinValues.get(3).array())
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        val mx3 = java.nio.ByteBuffer.wrap(
+          ci.getMaxValues.get(3).array())
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        assert(mn3 == 3000L && mx3 == 3999L, s"page 3 [$mn3,$mx3]")
+        // the nullable double column's null_counts are per page
+        val vCol = rg.getColumns.get(2)
+        val vCi = reader.readColumnIndex(vCol)
+        assert(vCi.getNullCounts.get(0).longValue ==
+          (0 until 1000).count(_ % 7 == 0).toLong)
+      } finally reader.close()
+      // the proof pages get SKIPPED: a 10-row range filter with the
+      // column-index filter on reads ONE page's worth of records, not
+      // a row group's
+      val opts = org.apache.parquet.ParquetReadOptions.builder()
+        .withRecordFilter(FilterCompat.get(FilterApi.and(
+          FilterApi.gtEq(FilterApi.longColumn("id"),
+            java.lang.Long.valueOf(30100L)),
+          FilterApi.lt(FilterApi.longColumn("id"),
+            java.lang.Long.valueOf(30110L)))))
+        .useColumnIndexFilter(true).build()
+      val fr = ParquetFileReader.open(inFile, opts)
+      try {
+        val filtered = fr.getFilteredRecordCount
+        assert(filtered == 1000L,
+          s"column-index filter kept $filtered records, want one " +
+            "1000-row page")
+      } finally fr.close()
+      // end-to-end: Spark (filterPushdown + columnindex on by
+      // default) returns the exact rows
+      val got = spark.read.parquet(file.toString)
+        .filter("id >= 30100 AND id < 30110").orderBy("id").collect()
+      assert(got.length == 10)
+      for ((r, k) <- got.zipWithIndex) {
+        val i = 30100 + k
+        assert(r.getLong(0) == i.toLong)
+        assert(r.getString(1) == s"t${i % 50}")
+        if (i % 7 == 0) assert(r.isNullAt(2))
+        else assert(r.getDouble(2) == i * 0.5)
+      }
+      // this repo's own reader still round-trips the file (the index
+      // section sits between the groups and the footer, untouched)
+      val own = spark.read.format("graftpq").load(file.toString)
+      assert(own.count() == 40000)
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
   test("unsupported shapes reject loudly by name") {
     val dir = tmpDir("reject")
     try {
