@@ -6,11 +6,15 @@ package graft.operators
   * [[ParquetData]]/[[ParquetWrite]]). Emits the classic uncompressed
   * shape every ORC reader accepts:
   *
-  *   - "ORC" 3-byte header, stripes of DATA streams (no row indexes:
-  *     `rowIndexStride = 0`, the `orc.create.index=false` layout),
-  *     per-stripe StripeFooter protobuf, a Metadata section with
-  *     per-stripe ColumnStatistics (min/max/sum/hasNull per column —
-  *     what [[graft.sources.GraftOrc]]'s stripe pruning and orc-core's
+  *   - "ORC" 3-byte header, stripes of INDEX then DATA streams — one
+  *     ROW_INDEX stream per column (a RowIndexEntry per
+  *     `rowIndexStride` rows with seek positions and that row group's
+  *     ColumnStatistics; every encoder restarts at group boundaries so
+  *     the positions are exact by construction, and orc-core's
+  *     SearchArgument reader seeks mid-stripe on them), per-stripe
+  *     StripeFooter protobuf, a Metadata section with per-stripe
+  *     ColumnStatistics (min/max/sum/hasNull per column — what
+  *     [[graft.sources.GraftOrc]]'s stripe pruning and orc-core's
   *     stripe stats consume), file Footer (with merged file-level
   *     ColumnStatistics) + Postscript protobufs, trailing
   *     postscript-length byte — all protobuf wire format written by
@@ -23,7 +27,10 @@ package graft.operators
   *     the four spec sub-encodings, legal for any data;
   *   - DOUBLE as the IEEE little-endian stream, BOOLEAN as bit RLE,
   *     STRING as DIRECT_V2 (unsigned RLEv2 LENGTH + concatenated
-  *     UTF-8 DATA), TIMESTAMP_INSTANT as the two-stream form (signed
+  *     UTF-8 DATA) or DICTIONARY_V2 behind the 50%-distinct cutoff,
+  *     DECIMAL/BINARY per spec, nested LIST/MAP/STRUCT shredded in
+  *     type-tree pre-order (children record only present-parent
+  *     slots), TIMESTAMP_INSTANT as the two-stream form (signed
   *     seconds since the 2015 base + packed trailing-zero nanos; the
   *     ORC convention's truncate-vs-floor seam makes the single second
   *     1969-12-31T23:59:59–1970-01-01T00:00:00 unrepresentable with

@@ -13,10 +13,12 @@ package graft.operators
   * pages, page compression through THIS REPO'S OWN codecs
   * ([[Snappy.compress]], [[Zstd.compress]], or UNCOMPRESSED),
   * per-chunk Statistics (min_value/max_value/null_count, the modern
-  * field ids), and a FileMetaData footer in the THRIFT COMPACT
-  * PROTOCOL — short-form delta field headers, zigzag varints,
-  * length-prefixed binaries, size+type list headers — mirrored against
-  * the reader's TReader.
+  * field ids), a PAGE-INDEX section (OffsetIndex per chunk,
+  * ColumnIndex per stats-bearing chunk — parquet-mr's column-index
+  * filter page-skips on our output), and a FileMetaData footer in the
+  * THRIFT COMPACT PROTOCOL — short-form delta field headers, zigzag
+  * varints, length-prefixed binaries, size+type list headers —
+  * mirrored against the reader's TReader.
   *
   * Supported leaves: BOOLEAN, INT32 (+DATE days), INT64
   * (+TIMESTAMP_MICROS), FLOAT, DOUBLE, BYTE_ARRAY (UTF8 strings and

@@ -29,19 +29,24 @@ import graft.operators.OrcData.{OrcColStat, OrcStripe, OrcTypeNode}
   *    the requested columns' streams are ever decoded;
   *  - '''filter pushdown''' ([[SupportsPushDownFilters]]): numeric
   *    comparisons prune whole STRIPES against the Metadata section's
-  *    per-stripe column statistics before any task launches (pruning
-  *    is stripe-granular, so every filter is still re-evaluated by
-  *    Spark post-scan, exactly like orc-core's SearchArgument path);
+  *    per-stripe column statistics before any task launches, then —
+  *    when the file carries ROW INDEXES — prune at ROW-GROUP grain
+  *    from the RowIndexEntry statistics (two more O(KB) positional
+  *    reads per surviving stripe), the reader SEEKING to the
+  *    surviving group span mid-stripe instead of decoding from the
+  *    top (pruning stays group-granular, so every filter is still
+  *    re-evaluated by Spark post-scan, exactly like orc-core's
+  *    SearchArgument path);
   *  - '''split planning''': one [[InputPartition]] per surviving
   *    stripe, and each task fetches ONLY its stripe's byte range via a
   *    positional read — at 100 TB a task touches O(its stripe), not
   *    O(its file).
   *
   * Registered as `graftorc` via DataSourceRegister (META-INF/services),
-  * so `spark.read.format("graftorc").load(dir)` resolves it. Flat
-  * schemas of every ORC primitive kind — including TIMESTAMP (micros),
-  * DECIMAL (all precisions) and BINARY; nested/UNION kinds reject
-  * loudly by name at schema-inference time.
+  * so `spark.read.format("graftorc").load(dir)` resolves it. Every ORC
+  * primitive kind — including TIMESTAMP (micros), DECIMAL (all
+  * precisions) and BINARY — plus nested LIST/MAP/STRUCT to any depth;
+  * UNION rejects loudly by name at schema-inference time.
   */
 class GraftOrc extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {

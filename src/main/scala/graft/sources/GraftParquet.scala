@@ -42,11 +42,12 @@ import graft.operators.ParquetFooter.{PqColumn, PqSchemaField}
   * so `spark.read.format("graftpq").load(dir)` resolves it. Supported
   * shapes: flat leaves (incl. DECIMAL over INT32/INT64/FLBA/BYTE_ARRAY
   * per LogicalTypes.md), structs of structs to any depth, the standard
-  * 3-level LIST of a leaf element, and the standard 3-level MAP of
-  * leaf key/values — assembled from definition/repetition level
-  * streams per the Dremel record-shredding model; repeated shapes
-  * inside structs, nested list/map elements and remaining unsupported
-  * physical types reject loudly by name at schema-inference time.
+  * 3-level LIST of a leaf element OR of a struct of leaves, and the
+  * standard 3-level MAP of leaf key/values — assembled from
+  * definition/repetition level streams per the Dremel record-shredding
+  * model; repeated shapes inside structs, list-of-list/map elements
+  * and remaining unsupported physical types reject loudly by name at
+  * schema-inference time.
   */
 class GraftParquet extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -343,9 +344,10 @@ object GraftParquet {
   }
 
   /** Walk the footer's depth-first schema list into per-top-field
-    * assembly plans. Supported shapes: flat leaves, one-level structs
-    * of leaves, and the standard 3-level LIST of a leaf element;
-    * deeper nesting and MAP reject loudly by name.
+    * assembly plans. Supported shapes: flat leaves, structs (nesting
+    * structs to any depth), the standard 3-level LIST of a leaf or of
+    * a struct of leaves, and the standard 3-level MAP of leaf
+    * key/values; deeper nesting rejects loudly by name.
     */
   private[sources] def fieldPlans(schema: Seq[PqSchemaField])
       : Seq[PqFieldPlan] = {
