@@ -1618,6 +1618,53 @@ object Sources {
       |  CAST(sum(second_cents) AS BIGINT) AS sum_second_cents
       |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Build-once SORTED OrcWrite fixture with small stripes and row
+    * groups (stripeRows 4096, rowIndexStride 1024) — the s41 input:
+    * a selective event_id filter must prune stripes from the Metadata
+    * stats AND row groups from the ROW_INDEX stats, the reader
+    * seeking mid-stripe.
+    */
+  def ensureSortedOrcFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orcsorted-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      graft.operators.OrcWrite.writeDataFrame(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .repartition(1).sortWithinPartitions("event_id"),
+        tmp, stripeRows = 4096, compression = 5, rowIndexStride = 1024)
+    }
+    tmp
+  }
+
+  // S41: ORC row-group SEEKS end-to-end — graftorc over a sorted
+  // OrcWrite file with a mid-file event_id range: Metadata stats drop
+  // whole stripes, RowIndexEntry stats drop row groups inside the
+  // survivors, and the reader enters each stripe at the surviving
+  // span's seek positions. The oracle re-applies the range to the
+  // source table.
+  private def s41OrcRowgroup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureSortedOrcFixture(s, dir)
+    s.read.format("graftorc").load(tmp)
+      .filter(col("event_id") >= 3000 && col("event_id") < 4500)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s41OrcRowgroupSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE event_id >= 3000 AND event_id < 4500
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Build-once committed table carrying OUTSTANDING deletion vectors
     * (two stacked DV deletes over two range-sliced commits) — the s38
     * input. The vectors spread across both files and every row group,
@@ -1929,7 +1976,8 @@ object Sources {
     "s37_map_scan" -> s37MapScan _,
     "s38_dv_scan" -> s38DvScan _,
     "s39_orc_nested" -> s39OrcNested _,
-    "s40_pq_liststruct" -> s40ListStruct _
+    "s40_pq_liststruct" -> s40ListStruct _,
+    "s41_orc_rowgroup" -> s41OrcRowgroup _
   )
 
   val oracle: Map[String, String] = Map(
@@ -1966,6 +2014,7 @@ object Sources {
     "s37_map_scan" -> s37MapScanSql,
     "s38_dv_scan" -> s38DvScanSql,
     "s39_orc_nested" -> s39OrcNestedSql,
-    "s40_pq_liststruct" -> s40ListStructSql
+    "s40_pq_liststruct" -> s40ListStructSql,
+    "s41_orc_rowgroup" -> s41OrcRowgroupSql
   )
 }
