@@ -413,23 +413,94 @@ object ParquetData {
     * holds the chunk's bytes starting at absolute file offset `base`
     * (0 = a whole-file image) — the lever that lets a scan task fetch
     * ONLY its row group's byte range.
+    *
+    * `rowRanges` (FLAT columns only, maxRep = 0) restricts the decode
+    * to the surviving page-index row spans — alternating
+    * group-relative `[start, end)` pairs, sorted and disjoint. Pages
+    * wholly outside every range are SKIPPED BODILY (header walk only:
+    * no decompression, no value decode — the page-index payoff);
+    * boundary pages decode fully and emit only their surviving rows.
+    * The returned streams hold exactly the surviving rows, in order.
+    * Flat-only because a v1 data-page header alone cannot row-align a
+    * repeated column (numValues counts level entries, and pages may
+    * split records) — nested plans decode fully and compact after
+    * assembly instead.
     */
   def readChunkLevels(file: Array[Byte], col: PqColumn, maxDef: Int,
       maxRep: Int, physicalType: Int, typeLength: Int,
-      totalValues: Int, base: Long = 0L): ChunkLevels = {
+      totalValues: Int, base: Long = 0L,
+      rowRanges: Array[Long] = null): ChunkLevels = {
     require(totalValues >= 0 && totalValues <= (1 << 28),
       s"torn parquet: chunk value count $totalValues")
     require(maxDef >= 0 && maxDef <= 7 && maxRep >= 0 && maxRep <= 7,
       s"parquet nesting too deep (maxDef=$maxDef maxRep=$maxRep)")
+    require(rowRanges == null || maxRep == 0,
+      "page-pruned decode is flat-only (see scaladoc)")
+    val survCount =
+      if (rowRanges == null) totalValues
+      else {
+        var s = 0L
+        var i = 0
+        while (i < rowRanges.length) {
+          require(rowRanges(i) >= 0 && rowRanges(i + 1) > rowRanges(i) &&
+            rowRanges(i + 1) <= totalValues &&
+            (i == 0 || rowRanges(i) >= rowRanges(i - 1)),
+            "torn page-index ranges (must be sorted disjoint in-bounds)")
+          s += rowRanges(i + 1) - rowRanges(i)
+          i += 2
+        }
+        require(s <= Int.MaxValue, s"page-index ranges cover $s rows")
+        s.toInt
+      }
     val start = chunkRange(col)._1 - base
     require(start >= 0 && start <= Int.MaxValue,
       s"torn parquet: chunk start $start outside the provided buffer")
     var pos = start.toInt
     var dict: Array[Any] = null
-    val defs = new Array[Int](totalValues)
-    val reps = new Array[Int](totalValues)
-    val vb = new scala.collection.mutable.ArrayBuffer[Any](totalValues)
+    val defs = new Array[Int](survCount)
+    val reps = new Array[Int](survCount)
+    val vb = new scala.collection.mutable.ArrayBuffer[Any](survCount)
+    var outN = 0 // rows emitted so far (= done when rowRanges == null)
+    var ri = 0 // cursor into rowRanges (sorted, so forward-only)
     var done = 0
+    /** Does the next page's row span [done, done+n) touch any range? */
+    def pageOverlaps(n: Int): Boolean = {
+      if (rowRanges == null) true
+      else {
+        while (ri < rowRanges.length && rowRanges(ri + 1) <= done) ri += 2
+        ri < rowRanges.length && rowRanges(ri) < done.toLong + n
+      }
+    }
+    /** Append one decoded page's rows (all of them, or only the rows
+      * the ranges keep — `pv` is the page's dense non-null values).
+      */
+    def emitPage(n: Int, pageDefs: Array[Int], pageReps: Array[Int],
+        pv: Array[Any]): Unit = {
+      if (rowRanges == null) {
+        System.arraycopy(pageDefs, 0, defs, outN, n)
+        System.arraycopy(pageReps, 0, reps, outN, n)
+        outN += n
+        vb ++= pv
+      } else {
+        var rj = ri // local cursor (ri only advances in pageOverlaps)
+        var v = 0
+        var i = 0
+        while (i < n) {
+          val row = done + i
+          while (rj < rowRanges.length && rowRanges(rj + 1) <= row) rj += 2
+          val keep = rj < rowRanges.length && row >= rowRanges(rj)
+          val isVal = pageDefs(i) == maxDef
+          if (keep) {
+            defs(outN) = pageDefs(i)
+            reps(outN) = pageReps(i)
+            outN += 1
+            if (isVal) vb += pv(v)
+          }
+          if (isVal) v += 1
+          i += 1
+        }
+      }
+    }
     while (done < totalValues) {
       val h = ParquetFooter.readPageHeader(file, pos)
       val bodyOff = pos + h.headerLen
@@ -453,6 +524,10 @@ object ParquetData {
             col.codec, h.uncompressedSize)
           dict = readPlain(data, 0, data.length, physicalType,
             h.numValues, typeLength)._1
+        case 0 if !pageOverlaps(h.numValues) => // page-index skip: the
+          // whole page is outside every surviving row range — walk past
+          // its body untouched (no decompress, no decode)
+          done += h.numValues
         case 0 => // data page v1: [rep levels][def levels][values], one
           // compressed body; each level stream is 4-byte-length-prefixed
           val data = decompress(file, bodyOff, h.compressedSize,
@@ -484,11 +559,12 @@ object ParquetData {
                 "unsupported (RLE only)")
             levelRegion(bitsFor(maxDef), pageDefs)
           }
-          System.arraycopy(pageDefs, 0, defs, done, h.numValues)
-          System.arraycopy(pageReps, 0, reps, done, h.numValues)
-          vb ++= decodeValues(data, d, data.length, h.encoding,
-            physicalType, typeLength, countAt(pageDefs, h.numValues,
-              maxDef), dict)
+          emitPage(h.numValues, pageDefs, pageReps,
+            decodeValues(data, d, data.length, h.encoding,
+              physicalType, typeLength, countAt(pageDefs, h.numValues,
+                maxDef), dict))
+          done += h.numValues
+        case 3 if !pageOverlaps(h.numValues) => // page-index skip (v2)
           done += h.numValues
         case 3 => // data page v2: levels uncompressed, values maybe
           val pageDefs = new Array[Int](h.numValues)
@@ -516,16 +592,17 @@ object ParquetData {
               col.codec, h.uncompressedSize - levLen)
             else java.util.Arrays.copyOfRange(file, valOff,
               valOff + valLen)
-          System.arraycopy(pageDefs, 0, defs, done, h.numValues)
-          System.arraycopy(pageReps, 0, reps, done, h.numValues)
-          vb ++= decodeValues(data, 0, data.length, h.encoding,
-            physicalType, typeLength, countAt(pageDefs, h.numValues,
-              maxDef), dict)
+          emitPage(h.numValues, pageDefs, pageReps,
+            decodeValues(data, 0, data.length, h.encoding,
+              physicalType, typeLength, countAt(pageDefs, h.numValues,
+                maxDef), dict))
           done += h.numValues
         case t => throw new IllegalArgumentException(
           s"parquet page type $t unsupported")
       }
     }
+    require(outN == survCount,
+      s"torn parquet: pages yielded $outN of $survCount surviving rows")
     ChunkLevels(defs, reps, vb.toArray)
   }
 

@@ -29,7 +29,12 @@ object ParquetFooter {
       numValues: Long, codec: Int, nullCount: Option[Long],
       minValue: Option[Array[Byte]], maxValue: Option[Array[Byte]],
       dataPageOffset: Long = -1L, dictPageOffset: Option[Long] = None,
-      totalCompressedSize: Long = -1L)
+      totalCompressedSize: Long = -1L,
+      // page-index section locations (ColumnChunk fields 4-7):
+      // (absolute file offset, byte length) of this chunk's OffsetIndex
+      // and ColumnIndex thrift structs, absent on pre-index writers
+      offsetIndex: Option[(Long, Int)] = None,
+      columnIndex: Option[(Long, Int)] = None)
 
   final case class PqRowGroup(numRows: Long, columns: Seq[PqColumn])
 
@@ -198,13 +203,25 @@ object ParquetFooter {
 
   private def readColumnChunk(r: TReader): Option[PqColumn] = {
     var meta: Option[PqColumn] = None
+    var oiOff = -1L
+    var oiLen = -1
+    var ciOff = -1L
+    var ciLen = -1
     r.struct { (id, t) =>
       id match {
         case 3 => meta = Some(readColumnMeta(r))
+        case 4 => oiOff = r.zig() // offset_index_offset
+        case 5 => oiLen = r.zig().toInt // offset_index_length
+        case 6 => ciOff = r.zig() // column_index_offset
+        case 7 => ciLen = r.zig().toInt // column_index_length
         case _ => r.skip(t)
       }
     }
-    meta
+    meta.map(_.copy(
+      offsetIndex =
+        if (oiOff >= 0 && oiLen > 0) Some((oiOff, oiLen)) else None,
+      columnIndex =
+        if (ciOff >= 0 && ciLen > 0) Some((ciOff, ciLen)) else None))
   }
 
   private def readRowGroup(r: TReader): PqRowGroup = {
@@ -416,6 +433,106 @@ object ParquetFooter {
       "torn parquet: incomplete page header")
     PqPageHeader(pageType, unc, comp, numValues, encoding, defEnc,
       repEnc, numNulls, defBytes, repBytes, isCompressed, r.pos - off)
+  }
+
+  /** One page's location per the OffsetIndex: absolute file offset of
+    * its header, compressed size (header + body), and the index of its
+    * first row WITHIN THE ROW GROUP (parquet-format PageLocation).
+    */
+  final case class PqPageLocation(offset: Long, compressedSize: Int,
+      firstRowIndex: Long)
+
+  /** A chunk's OffsetIndex: one [[PqPageLocation]] per data page in
+    * file order (parquet-format OffsetIndex field 1; the
+    * unencoded-byte-size histogram field is skipped structurally).
+    */
+  final case class PqOffsetIndex(pages: Seq[PqPageLocation])
+
+  /** A chunk's ColumnIndex: per-page null flags, min/max stats (empty
+    * binaries on all-null pages) and null counts — the page-grain twin
+    * of the footer's row-group Statistics (parquet-format ColumnIndex;
+    * `boundaryOrder` 0 = UNORDERED, 1 = ASCENDING, 2 = DESCENDING —
+    * advisory for binary-search readers, irrelevant to a reader that
+    * tests every page).
+    */
+  final case class PqColumnIndex(nullPages: Seq[Boolean],
+      minValues: Seq[Array[Byte]], maxValues: Seq[Array[Byte]],
+      boundaryOrder: Int, nullCounts: Option[Seq[Long]])
+
+  /** Parse one OffsetIndex thrift struct from its recorded byte range
+    * (`PqColumn.offsetIndex`).
+    */
+  def readOffsetIndex(b: Array[Byte]): PqOffsetIndex = {
+    val r = new TReader(b, 0)
+    var pages = Seq.empty[PqPageLocation]
+    r.struct { (id, t) =>
+      id match {
+        case 1 =>
+          val (et, n) = r.listHeader()
+          require(et == T_STRUCT, "page_locations must be structs")
+          pages = (0 until n).map { _ =>
+            var off = -1L
+            var size = -1
+            var first = -1L
+            r.struct { (fid, ft) =>
+              fid match {
+                case 1 => off = r.zig()
+                case 2 => size = r.zig().toInt
+                case 3 => first = r.zig()
+                case _ => r.skip(ft)
+              }
+            }
+            require(off >= 0 && size > 0 && first >= 0,
+              "torn parquet: incomplete PageLocation")
+            PqPageLocation(off, size, first)
+          }
+        case _ => r.skip(t)
+      }
+    }
+    require(pages.nonEmpty, "torn parquet: OffsetIndex without pages")
+    PqOffsetIndex(pages)
+  }
+
+  /** Parse one ColumnIndex thrift struct from its recorded byte range
+    * (`PqColumn.columnIndex`). Boolean list elements are the compact
+    * protocol's one-byte 1=true / 2=false encoding.
+    */
+  def readColumnIndex(b: Array[Byte]): PqColumnIndex = {
+    val r = new TReader(b, 0)
+    var nullPages = Seq.empty[Boolean]
+    var minVs = Seq.empty[Array[Byte]]
+    var maxVs = Seq.empty[Array[Byte]]
+    var order = 0
+    var nullCounts: Option[Seq[Long]] = None
+    r.struct { (id, t) =>
+      id match {
+        case 1 =>
+          val (et, n) = r.listHeader()
+          require(et == T_TRUE || et == T_FALSE,
+            s"null_pages element type $et")
+          nullPages = (0 until n).map(_ => r.u8() == 1)
+        case 2 =>
+          val (et, n) = r.listHeader()
+          require(et == T_BINARY, s"min_values element type $et")
+          minVs = (0 until n).map(_ => r.binary())
+        case 3 =>
+          val (et, n) = r.listHeader()
+          require(et == T_BINARY, s"max_values element type $et")
+          maxVs = (0 until n).map(_ => r.binary())
+        case 4 => order = r.zig().toInt
+        case 5 =>
+          val (et, n) = r.listHeader()
+          require(et == T_I64, s"null_counts element type $et")
+          nullCounts = Some((0 until n).map(_ => r.zig()))
+        case _ => r.skip(t)
+      }
+    }
+    require(nullPages.nonEmpty && minVs.length == nullPages.length &&
+      maxVs.length == nullPages.length,
+      "torn parquet: ColumnIndex list lengths disagree")
+    require(nullCounts.forall(_.length == nullPages.length),
+      "torn parquet: null_counts length disagrees")
+    PqColumnIndex(nullPages, minVs, maxVs, order, nullCounts)
   }
 
   /** Decode an INT32/INT64/FLOAT/DOUBLE statistics value to Double

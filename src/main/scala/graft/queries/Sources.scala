@@ -1665,6 +1665,53 @@ object Sources {
       |FROM events WHERE event_id >= 3000 AND event_id < 4500
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Build-once SORTED ParquetWrite fixture with small pages
+    * (rowGroupRows 8192, pageRows 1024) — the s42 input: a selective
+    * event_id range must prune row groups from footer stats AND PAGES
+    * from the writer's ColumnIndex/OffsetIndex, the reader walking
+    * past non-surviving page bodies without decompressing them.
+    */
+  def ensureSortedPqFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqsorted-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      graft.operators.ParquetWrite.writeDataFrame(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .repartition(1).sortWithinPartitions("event_id"),
+        tmp, codec = 6, rowGroupRows = 8192, pageRows = 1024)
+    }
+    tmp
+  }
+
+  // S42: parquet PAGE-INDEX pruning end-to-end — graftpq over a sorted
+  // ParquetWrite file with a mid-file event_id range: footer stats drop
+  // whole row groups, the ColumnIndex/OffsetIndex pair narrows the
+  // survivors to page-grain row spans (parquet-mr RowRanges semantics),
+  // and the reader skips pruned page bodies without decompressing a
+  // byte. The oracle re-applies the range to the source table.
+  private def s42PqPageindex(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureSortedPqFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .filter(col("event_id") >= 3000 && col("event_id") < 4500)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s42PqPageindexSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE event_id >= 3000 AND event_id < 4500
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Build-once committed table carrying OUTSTANDING deletion vectors
     * (two stacked DV deletes over two range-sliced commits) — the s38
     * input. The vectors spread across both files and every row group,
@@ -1977,7 +2024,8 @@ object Sources {
     "s38_dv_scan" -> s38DvScan _,
     "s39_orc_nested" -> s39OrcNested _,
     "s40_pq_liststruct" -> s40ListStruct _,
-    "s41_orc_rowgroup" -> s41OrcRowgroup _
+    "s41_orc_rowgroup" -> s41OrcRowgroup _,
+    "s42_pq_pageindex" -> s42PqPageindex _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2015,6 +2063,7 @@ object Sources {
     "s38_dv_scan" -> s38DvScanSql,
     "s39_orc_nested" -> s39OrcNestedSql,
     "s40_pq_liststruct" -> s40ListStructSql,
-    "s41_orc_rowgroup" -> s41OrcRowgroupSql
+    "s41_orc_rowgroup" -> s41OrcRowgroupSql,
+    "s42_pq_pageindex" -> s42PqPageindexSql
   )
 }

@@ -578,11 +578,16 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
 /** One surviving row group: the unit of scan parallelism. `columns`
   * carry the absolute chunk offsets of every required LEAF, flattened
   * in `plans`-then-leaf order, so the reader fetches byte ranges.
+  * `ranges` are the page-index surviving row spans (group-relative
+  * `[start, end)` pairs, sorted disjoint; empty = the whole group) and
+  * `skip` the outstanding deletion-vector positions IN THE COMPACTED
+  * space the ranges leave behind.
   */
 final case class GraftPqPartition(path: String,
     rgRows: Long, columns: Seq[PqColumn],
     plans: Seq[GraftParquet.PqFieldPlan],
-    skip: Array[Long] = Array.emptyLongArray)
+    skip: Array[Long] = Array.emptyLongArray,
+    ranges: Array[Long] = Array.emptyLongArray)
   extends InputPartition
 
 private[sources] class GraftParquetScan(fullSchema: StructType,
@@ -709,21 +714,172 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       // FULL footer order — including groups the stats then prune
       val dvPos = dvByFile.getOrElse(f.getName, Array.emptyLongArray)
       val starts = footer.rowGroups.scanLeft(0L)(_ + _.numRows)
-      footer.rowGroups.iterator.zip(starts.iterator).filter {
-        case (rg, _) => pushed.forall(survives(rg.columns, statLeaves, _))
-      }.map { case (rg, rowStart) =>
-        val cols = reqPlans.flatMap(_.leafs).map(l =>
-          rg.columns.find(_.path == l.path).getOrElse(
-            throw new IllegalArgumentException(
-              s"graftpq: chunk for '${l.path}' missing in ${f.getName}")))
-        val lo = lowerBound(dvPos, rowStart)
-        val hi = lowerBound(dvPos, rowStart + rg.numRows)
-        val skip = java.util.Arrays.copyOfRange(dvPos, lo, hi)
-          .map(_ - rowStart) // group-relative, stays sorted
-        GraftPqPartition(f.getAbsolutePath, rg.numRows, cols, reqPlans,
-          skip)
+      // page-index reads are positional O(KB) fetches before the
+      // footer; one channel per file, opened only if an index is read
+      var ich: java.nio.channels.FileChannel = null
+      def indexBytes(loc: (Long, Int)): Array[Byte] = {
+        if (ich == null) ich = java.nio.channels.FileChannel.open(
+          f.toPath, java.nio.file.StandardOpenOption.READ)
+        val bb = java.nio.ByteBuffer.allocate(loc._2)
+        var pos = loc._1
+        while (bb.hasRemaining) {
+          val r = ich.read(bb, pos)
+          require(r > 0, "torn parquet: short page-index read")
+          pos += r
+        }
+        bb.array()
       }
+      try {
+        footer.rowGroups.iterator.zip(starts.iterator).filter {
+          case (rg, _) =>
+            pushed.forall(survives(rg.columns, statLeaves, _))
+        }.flatMap { case (rg, rowStart) =>
+          val ranges = pageRanges(rg, statLeaves, indexBytes)
+          if (ranges != null && ranges.isEmpty) None // every page dead
+          else {
+            val cols = reqPlans.flatMap(_.leafs).map(l =>
+              rg.columns.find(_.path == l.path).getOrElse(
+                throw new IllegalArgumentException(
+                  s"graftpq: chunk for '${l.path}' missing in " +
+                    f.getName)))
+            val lo = lowerBound(dvPos, rowStart)
+            val hi = lowerBound(dvPos, rowStart + rg.numRows)
+            val skip = java.util.Arrays.copyOfRange(dvPos, lo, hi)
+              .map(_ - rowStart) // group-relative, stays sorted
+            Some(GraftPqPartition(f.getAbsolutePath, rg.numRows, cols,
+              reqPlans,
+              if (ranges == null) skip else remapSkip(skip, ranges),
+              if (ranges == null) Array.emptyLongArray else ranges))
+          }
+        }.toVector // materialize before the channel closes
+      } finally if (ich != null) ich.close()
     }.toArray
+  }
+
+  /** Page-index pruning for one surviving row group: for every pushed
+    * filter column whose chunk carries BOTH a ColumnIndex and an
+    * OffsetIndex, keep the pages the per-page stats cannot disprove
+    * (all-null pages fail every pushed form — comparisons and
+    * IsNotNull alike), turn them into row spans via the OffsetIndex's
+    * first_row_index fences, and intersect the spans across columns —
+    * parquet-mr's RowRanges semantics. Returns `null` when nothing
+    * constrains the group (no indexed filter column, or every page
+    * survives), an EMPTY array when no page survives (the caller drops
+    * the whole group), else the sorted disjoint `[start, end)` pairs.
+    */
+  private def pageRanges(rg: ParquetFooter.PqRowGroup,
+      leaves: Map[String, PqSchemaField],
+      indexBytes: ((Long, Int)) => Array[Byte]): Array[Long] = {
+    if (pushed.isEmpty) return null
+    var acc: Array[Long] = null // null = unconstrained so far
+    pushed.flatMap(fl => filterColumn(fl).map(_ -> fl))
+      .groupBy(_._1).foreach { case (c, byCol) =>
+        val fs = byCol.map(_._2)
+        for {
+          col <- rg.columns.find(_.path == c)
+          leaf <- leaves.get(c)
+          if Set(1, 2, 4, 5).contains(leaf.physicalType)
+          if !leaf.convertedType.contains(5) // DECIMAL stats unscaled
+          oiLoc <- col.offsetIndex
+          ciLoc <- col.columnIndex
+        } {
+          val oi = ParquetFooter.readOffsetIndex(indexBytes(oiLoc))
+          val ci = ParquetFooter.readColumnIndex(indexBytes(ciLoc))
+          val n = oi.pages.length
+          if (ci.nullPages.length == n) {
+            val buf = new scala.collection.mutable.ArrayBuffer[Long]
+            var i = 0
+            while (i < n) {
+              val alive =
+                if (ci.nullPages(i)) false
+                else {
+                  val mn = ci.minValues(i)
+                  val mx = ci.maxValues(i)
+                  // absent/odd-width stats: unknown, page survives
+                  val range: Option[(Double, Double)] =
+                    if (mn.isEmpty || mx.isEmpty) None
+                    else Some((Math.nextDown(ParquetFooter.statDouble(
+                      leaf.physicalType, mn)),
+                      Math.nextUp(ParquetFooter.statDouble(
+                        leaf.physicalType, mx))))
+                  fs.forall(survivesRanges(_ => range, _))
+                }
+              if (alive) {
+                val s = oi.pages(i).firstRowIndex
+                val e = if (i + 1 < n) oi.pages(i + 1).firstRowIndex
+                  else rg.numRows
+                if (buf.nonEmpty && buf(buf.length - 1) == s)
+                  buf(buf.length - 1) = e // coalesce adjacent pages
+                else { buf += s; buf += e }
+              }
+              i += 1
+            }
+            val colRanges = buf.toArray
+            acc =
+              if (acc == null) colRanges
+              else intersectRanges(acc, colRanges)
+          }
+        }
+      }
+    if (acc == null) null
+    else if (acc.length == 2 && acc(0) == 0L && acc(1) == rg.numRows)
+      null // every page survived: scan the group unpruned
+    else acc
+  }
+
+  private def filterColumn(f: Filter): Option[String] = f match {
+    case EqualTo(c, _) => Some(c)
+    case GreaterThan(c, _) => Some(c)
+    case GreaterThanOrEqual(c, _) => Some(c)
+    case LessThan(c, _) => Some(c)
+    case LessThanOrEqual(c, _) => Some(c)
+    case IsNotNull(c) => Some(c)
+    case _ => None
+  }
+
+  /** Intersect two sorted disjoint `[start, end)` pair lists. */
+  private def intersectRanges(a: Array[Long], b: Array[Long])
+      : Array[Long] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Long]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val s = math.max(a(i), b(j))
+      val e = math.min(a(i + 1), b(j + 1))
+      if (s < e) {
+        if (buf.nonEmpty && buf(buf.length - 1) == s)
+          buf(buf.length - 1) = e
+        else { buf += s; buf += e }
+      }
+      if (a(i + 1) <= b(j + 1)) i += 2 else j += 2
+    }
+    buf.toArray
+  }
+
+  /** Re-express group-relative DV positions in the compacted row space
+    * the surviving ranges leave behind (positions outside every range
+    * are already gone — the pruned pages never emit them).
+    */
+  private def remapSkip(skip: Array[Long], ranges: Array[Long])
+      : Array[Long] = {
+    if (skip.isEmpty) skip
+    else {
+      val buf = new scala.collection.mutable.ArrayBuffer[Long]
+      var base = 0L
+      var ri = 0
+      var k = 0
+      while (k < skip.length) {
+        val pos = skip(k)
+        while (ri < ranges.length && ranges(ri + 1) <= pos) {
+          base += ranges(ri + 1) - ranges(ri)
+          ri += 2
+        }
+        if (ri < ranges.length && pos >= ranges(ri))
+          buf += base + (pos - ranges(ri))
+        k += 1
+      }
+      buf.toArray
+    }
   }
 
   /** First index whose value is >= `key` in a sorted array. */
@@ -803,13 +959,41 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
 
   import GraftParquet.{FlatPlan, ListPlan, StructPlan}
 
+  // page-index surviving spans: flat leaves decode PRUNED (skipped
+  // pages never decompress), repeated shapes decode fully and compact
+  // after assembly (a v1 page header cannot row-align repeated data)
+  private val ranges: Array[Long] = if (p.ranges.isEmpty) null else p.ranges
+  private val fullRows = p.rgRows.toInt
+  private val survRows =
+    if (ranges == null) fullRows
+    else {
+      var s = 0L
+      var i = 0
+      while (i < ranges.length) { s += ranges(i + 1) - ranges(i); i += 2 }
+      s.toInt
+    }
+  /** Original row index per surviving slot (null = identity). */
+  private val survIdx: Array[Int] =
+    if (ranges == null) null
+    else {
+      val a = new Array[Int](survRows)
+      var k = 0
+      var i = 0
+      while (i < ranges.length) {
+        var r = ranges(i)
+        while (r < ranges(i + 1)) { a(k) = r.toInt; k += 1; r += 1 }
+        i += 2
+      }
+      a
+    }
+
   /** One row-aligned array of internal values per required field. */
   private val cols: Array[Array[Any]] = {
     val ch = java.nio.channels.FileChannel.open(
       java.nio.file.Paths.get(p.path),
       java.nio.file.StandardOpenOption.READ)
     try {
-      val rows = p.rgRows.toInt
+      val rows = survRows
       val colIt = p.columns.iterator
       def levelsOf(leaf: GraftParquet.PqLeafPlan)
           : (ParquetData.ChunkLevels, ParquetFooter.PqColumn) = {
@@ -838,7 +1022,10 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
           else leaf.field.physicalType
         (ParquetData.readChunkLevels(bb.array(), col, leaf.maxDef,
           leaf.maxRep, physical, leaf.field.typeLength,
-          col.numValues.toInt, base = start), col)
+          col.numValues.toInt, base = start,
+          // flat leaves take the pruned fast path (skipped pages stay
+          // compressed); repeated leaves decode fully, compacted after
+          rowRanges = if (leaf.maxRep == 0) ranges else null), col)
       }
       // Recursive assembly: each plan yields its row-aligned values
       // plus one descendant leaf's def stream (what a CONTAINING
@@ -871,8 +1058,11 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
         case ListPlan(_, leaf, nullDef, emptyDef, _, _) =>
           val (lv, _) = levelsOf(leaf)
           val ad = GraftParquet.leafAdapter(leaf.field)
-          val rowsOut = ParquetData.assembleList(lv, rows, leaf.maxDef,
+          val full = ParquetData.assembleList(lv, fullRows, leaf.maxDef,
             emptyDef, nullDef)
+          val rowsOut =
+            if (survIdx == null) full
+            else Array.tabulate[Any](rows)(s => full(survIdx(s)))
           (rowsOut.map[Any] {
             case null => null
             case s: Seq[_] =>
@@ -885,12 +1075,13 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
           // per-element defs arbitrate element-null vs field-null
           val perLeaf = fields.map { l =>
             val (lv, _) = levelsOf(l)
-            val (vals, defs) = ParquetData.assembleListLevels(lv, rows,
-              l.maxDef, emptyDef, nullDef)
+            val (vals, defs) = ParquetData.assembleListLevels(lv,
+              fullRows, l.maxDef, emptyDef, nullDef)
             (vals, defs, GraftParquet.leafAdapter(l.field))
           }
           val (v0, d0, _) = perLeaf.head
-          (Array.tabulate[Any](rows) { i =>
+          (Array.tabulate[Any](rows) { s =>
+            val i = if (survIdx == null) s else survIdx(s)
             v0(i) match {
               case null => null
               case s0: Seq[_] =>
@@ -923,11 +1114,12 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
           val (vlv, _) = levelsOf(vLeaf)
           val kad = GraftParquet.leafAdapter(kLeaf.field)
           val vad = GraftParquet.leafAdapter(vLeaf.field)
-          val keys = ParquetData.assembleList(klv, rows, kLeaf.maxDef,
-            emptyDef, nullDef)
-          val vals = ParquetData.assembleList(vlv, rows, vLeaf.maxDef,
-            emptyDef, nullDef)
-          (Array.tabulate[Any](rows) { i =>
+          val keys = ParquetData.assembleList(klv, fullRows,
+            kLeaf.maxDef, emptyDef, nullDef)
+          val vals = ParquetData.assembleList(vlv, fullRows,
+            vLeaf.maxDef, emptyDef, nullDef)
+          (Array.tabulate[Any](rows) { s =>
+            val i = if (survIdx == null) s else survIdx(s)
             (keys(i), vals(i)) match {
               case (null, _) => null
               case (ks: Seq[_], vs: Seq[_]) =>
@@ -971,11 +1163,11 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
 
   override def next(): Boolean = {
     row += 1
-    // hop deletion-vector positions — sorted, so one forward cursor
+    // hop deletion-vector positions (compacted space) — sorted cursor
     while (si < p.skip.length && p.skip(si) == row) {
       si += 1; row += 1
     }
-    row < p.rgRows
+    row < survRows
   }
 
   override def get(): InternalRow =

@@ -616,6 +616,133 @@ class GraftParquetSpec extends AnyFunSuite {
     }
   }
 
+  private def rangeRows(p: graft.sources.GraftPqPartition): Long =
+    if (p.ranges.isEmpty) p.rgRows
+    else p.ranges.grouped(2).map(r => r(1) - r(0)).sum
+
+  test("page indexes prune PAGES at the graftpq scan: a selective " +
+      "filter plans EXACTLY one page's rows, on our files AND " +
+      "parquet-mr-written ones") {
+    import graft.operators.ParquetWrite
+    import graft.operators.ParquetWrite.PwFields
+    // our writer: one 40000-row file, 20000-row groups, 1000-row pages
+    // (sorted ids → page stats are tight fences)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-pageix").toFile
+    try {
+      val fields = Seq(PwFields.int64("id"), PwFields.string("tag"),
+        PwFields.double("v"))
+      def rows = (0 until 40000).iterator.map { i =>
+        Array[Any](Long.box(i.toLong), s"t${i % 50}",
+          if (i % 7 == 0) null else Double.box(i * 0.5))
+      }
+      val file = new java.io.File(dir, "ix.parquet")
+      assert(ParquetWrite.writeFile(file.toPath, fields, rows,
+        codec = 1, rowGroupRows = 20000, pageRows = 1000) == 40000)
+      val df = spark.read.format("graftpq").load(file.toString)
+        .filter("id >= 30100 AND id < 30110")
+      val parts = batchScan(df).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+      // footer stats keep one group of two; the page index narrows it
+      // to the single 1000-row page covering [30000, 31000)
+      assert(parts.length == 1, s"planned ${parts.length} row groups")
+      assert(rangeRows(parts.head) == 1000L,
+        s"page index planned ${rangeRows(parts.head)} rows, want one " +
+          "1000-row page")
+      val got = df.orderBy("id").collect()
+      assert(got.length == 10)
+      for ((r, k) <- got.zipWithIndex) {
+        val i = 30100 + k
+        assert(r.getLong(0) == i.toLong)
+        assert(r.getString(1) == s"t${i % 50}")
+        if (i % 7 == 0) assert(r.isNullAt(2))
+        else assert(r.getDouble(2) == i * 0.5)
+      }
+      // two-column conjunction: the ranges INTERSECT across column
+      // indexes — the id filter keeps pages [29000,30000) and
+      // [30000,31000), the v filter (v = id·0.5 ≥ 15050 ⟺ id ≥ 30100)
+      // keeps [30000,31000) onward; exactly the one shared page plans
+      val both = spark.read.format("graftpq").load(file.toString)
+        .filter("id >= 29900 AND id < 30110 AND v >= 15050.0")
+      val bothParts = batchScan(both).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+      assert(bothParts.map(rangeRows).sum == 1000L,
+        s"intersection planned ${bothParts.map(rangeRows).sum} rows")
+      assert(both.count() ==
+        (29900 until 30110).count(i => i % 7 != 0 && i * 0.5 >= 15050.0))
+      // an unfiltered scan is untouched (no ranges, full groups)
+      val full = spark.read.format("graftpq").load(file.toString)
+      assert(batchScan(full).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+        .forall(_.ranges.isEmpty))
+      assert(full.count() == 40000)
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+    // parquet-mr (Spark)-written file: page indexes are on by default;
+    // cap pages at 1000 rows so one group carries many pages
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-pageix-mr").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.page.row.count.limit")
+    hc.set("parquet.page.row.count.limit", "1000")
+    try {
+      import spark.implicits._
+      (0 until 40000).map(k => (k.toLong, s"t${k % 50}", k * 0.5))
+        .toDF("id", "tag", "v")
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "snappy").parquet(sdir)
+      val df = spark.read.format("graftpq").load(sdir)
+        .filter("id >= 30100 AND id < 30110")
+      val parts = batchScan(df).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+      assert(parts.map(rangeRows).sum == 1000L,
+        s"page index on a parquet-mr file planned " +
+          s"${parts.map(rangeRows).sum} rows, want one 1000-row page")
+      val want = spark.read.parquet(sdir)
+        .filter("id >= 30100 AND id < 30110").orderBy("id")
+        .collect().map(_.toSeq).toSeq
+      val got = df.orderBy("id").collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally {
+      if (prev == null) hc.unset("parquet.page.row.count.limit")
+      else hc.set("parquet.page.row.count.limit", prev)
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(sdir))
+    }
+  }
+
+  test("page-index pruning composes with deletion vectors: skip " +
+      "positions remap into the compacted row space") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-pageixdv").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.page.row.count.limit")
+    hc.set("parquet.page.row.count.limit", "1000")
+    try {
+      Maintenance.commitAppend(spark, dir,
+        (0 until 20000).map(k => (k.toLong, s"g${k % 3}"))
+          .toDF("id", "g").coalesce(1))
+      Maintenance.deleteWithVectors(spark, dir,
+        org.apache.spark.sql.functions.expr("id % 5 = 2"))
+      val df = spark.read.format("graftpq").load(dir)
+        .filter("id >= 7100 AND id < 7200")
+      val parts = batchScan(df).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+      assert(parts.map(rangeRows).sum == 1000L,
+        s"planned ${parts.map(rangeRows).sum} rows, want one page")
+      // deleted rows inside the surviving page must stay deleted: the
+      // group-relative positions were remapped into compacted space
+      assert(df.count() ==
+        (7100 until 7200).count(_ % 5 != 2))
+      assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+        (7100 until 7200).filter(_ % 5 != 2).map(_.toLong))
+    } finally {
+      if (prev == null) hc.unset("parquet.page.row.count.limit")
+      else hc.set("parquet.page.row.count.limit", prev)
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("column pruning reaches the reader: only requested leaves are " +
       "decoded") {
     val dir = sortedFixture()
