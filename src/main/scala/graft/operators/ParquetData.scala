@@ -837,6 +837,88 @@ object ParquetData {
     (vals, defs)
   }
 
+  /** One parsed slot of a leaf's nested structure: `defLevel` is the
+    * entry's definition level (what a consumer compares against its
+    * node thresholds to tell null / empty / present apart), `elems`
+    * the open list's element slots (null on terminal slots — a leaf
+    * value, a null/empty list, or a null ancestor), `value` the leaf
+    * value when `defLevel` hits the leaf's max.
+    */
+  final class DSlot(val defLevel: Int,
+      val elems: scala.collection.mutable.ArrayBuffer[DSlot],
+      val value: Any)
+
+  /** Parse ONE leaf's level streams into per-row nested slots — the
+    * depth-generalized [[assembleListLevels]]: `contentDefs(i)` is the
+    * minimum definition level at which the (i+1)-th repeated ancestor
+    * holds an element (its empty-def + 1), so an entry descends one
+    * [[DSlot]] list level per threshold it clears and terminates at
+    * the first it doesn't (the terminal's def level later tells the
+    * assembler WHICH ancestor was null or empty). Repetition level r
+    * continues the r-th open list and restarts everything deeper;
+    * structs on the path contribute def levels but no nesting. This is
+    * the Dremel record-assembly half for arbitrarily nested schemas —
+    * a sibling-zipping assembler aligns several leaves' parses by
+    * their shared list skeleton.
+    */
+  def parseNested(lv: ChunkLevels, rowCount: Int, contentDefs: Array[Int],
+      maxDef: Int): Array[DSlot] = {
+    val depth = contentDefs.length
+    val out = new Array[DSlot](rowCount)
+    val stack = new Array[DSlot](depth) // open list per repeated level
+    var row = -1
+    var v = 0
+    var i = 0
+    while (i < lv.defs.length) {
+      val d = lv.defs(i)
+      val r = lv.reps(i)
+      require(r >= 0 && r <= depth, s"torn parquet: rep $r at depth $depth")
+      var attach: DSlot = null // open list to append into (null = top)
+      if (r == 0) {
+        row += 1
+        require(row < rowCount,
+          "torn parquet: nested rows overrun the group")
+      } else {
+        attach = stack(r - 1)
+        require(attach != null,
+          "torn parquet: continuation with no open list")
+      }
+      var l = r + 1 // first level this entry (re)builds
+      var open = true
+      while (open) {
+        val slot =
+          if (l <= depth && d >= contentDefs(l - 1)) {
+            // list level l holds an element: open it and descend
+            val dl = new DSlot(d,
+              new scala.collection.mutable.ArrayBuffer[DSlot], null)
+            stack(l - 1) = dl
+            dl
+          } else if (l <= depth) {
+            open = false // terminal: null/empty resolved by defLevel
+            new DSlot(d, null, null)
+          } else {
+            open = false // leaf position
+            new DSlot(d, null,
+              if (d == maxDef) { val x = lv.vals(v); v += 1; x }
+              else null)
+          }
+        if (attach == null) out(row) = slot else attach.elems += slot
+        attach = slot
+        l += 1
+      }
+      // levels below the termination point are no longer open: clear
+      // them so a torn file's stray continuation rejects loudly
+      // instead of appending into a previous element's list
+      var j = l - 2
+      while (j < depth) { if (j >= 0) stack(j) = null; j += 1 }
+      i += 1
+    }
+    require(row == rowCount - 1,
+      s"torn parquet: nested column assembled ${row + 1} of $rowCount " +
+        "rows")
+    out
+  }
+
   /** Row iterator over the named flat leaf columns of a complete
     * parquet file image — footer-driven, every page decoded by this
     * module, nulls row-aligned. Column order in each row matches

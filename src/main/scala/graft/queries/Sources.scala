@@ -1712,6 +1712,118 @@ object Sources {
       |FROM events WHERE event_id >= 3000 AND event_id < 4500
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Build-once parquet fixture with DEEP nested columns — a
+    * list-of-list, a struct containing a list, and a map whose value
+    * is a struct containing a list, with nulls/empties at every level
+    * — the s43 input (every shape the generic TreePlan assembler
+    * covers beyond the one-level specialized plans).
+    */
+  def ensureDeepPqFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqdeep-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      val id = col("event_id")
+      t(s, dir, "events")
+        .select(id, col("event_type"),
+          when(id % 10 === 0, lit(null))
+            .otherwise(when(id % 10 === 1,
+              array().cast("array<array<bigint>>"))
+              .otherwise(array(
+                array(col("user_id").cast("long"),
+                  round(col("value") * 100).cast("long")),
+                when(id % 4 === 0, lit(null).cast("array<bigint>"))
+                  .otherwise(when(id % 4 === 1,
+                    array().cast("array<bigint>"))
+                    .otherwise(array((id % 7).cast("long")))))))
+            .as("ll"),
+          when(id % 8 === 0, lit(null))
+            .otherwise(struct(
+              col("user_id").cast("long").as("uid"),
+              when(id % 5 === 0, lit(null).cast("array<bigint>"))
+                .otherwise(array(
+                  round(col("value") * 100).cast("long"),
+                  when(id % 3 === 0, lit(null))
+                    .otherwise((id % 9).cast("long")))).as("xs")))
+            .as("st"),
+          when(id % 6 === 0, lit(null))
+            .otherwise(map(lit("v"),
+              when(id % 7 === 0,
+                lit(null).cast("struct<a:bigint,ys:array<bigint>>"))
+                .otherwise(struct((id % 23).cast("long").as("a"),
+                  array((id % 3).cast("long")).as("ys")))))
+            .as("ms"))
+        .repartition(2, id)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp)
+    }
+    tmp
+  }
+
+  // S43: DEEP-nested parquet through the generic graftpq node-tree
+  // assembler — list-of-list, struct-containing-list, map values that
+  // are structs containing lists: each leaf's level streams parse into
+  // nested slots, siblings zip by their shared list skeleton, and def
+  // thresholds keep null-ancestor / null-value / empty-collection
+  // apart at EVERY level. The oracle re-derives each aggregate from
+  // the source table's closed forms.
+  private def s43PqDeepnested(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureDeepPqFixture(s, dir)
+    val ll = col("ll")
+    s.read.format("graftpq").load(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(ll.isNull, 1).otherwise(0)).as("n_null_ll"),
+        sum(coalesce(size(ll), lit(0))).as("n_inner"),
+        sum(coalesce(get(get(ll, lit(0)), lit(0)), lit(0L)))
+          .as("sum_ll00"),
+        sum(when(coalesce(size(ll), lit(0)) === 2 &&
+          get(ll, lit(1)).isNull, 1).otherwise(0)).as("n_null_inner"),
+        sum(coalesce(get(get(ll, lit(1)), lit(0)), lit(0L)))
+          .as("sum_ll2"),
+        sum(coalesce(col("st").getField("uid"), lit(0L))).as("sum_uid"),
+        sum(coalesce(get(col("st").getField("xs"), lit(0)), lit(0L)))
+          .as("sum_xs0"),
+        sum(coalesce(element_at(col("ms"), "v").getField("a"), lit(0L)))
+          .as("sum_ms_a"),
+        sum(coalesce(get(element_at(col("ms"), "v").getField("ys"),
+          lit(0)), lit(0L))).as("sum_ms_ys0"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s43PqDeepnestedSql =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS null_ll,
+      |    CASE WHEN event_id % 10 IN (0,1) THEN 0 ELSE 2 END AS inner_n,
+      |    CASE WHEN event_id % 10 IN (0,1) THEN 0
+      |         ELSE user_id END AS ll00,
+      |    CASE WHEN event_id % 10 NOT IN (0,1) AND event_id % 4 = 0
+      |         THEN 1 ELSE 0 END AS null_inner,
+      |    CASE WHEN event_id % 10 NOT IN (0,1)
+      |          AND event_id % 4 NOT IN (0,1)
+      |         THEN event_id % 7 ELSE 0 END AS ll2v,
+      |    CASE WHEN event_id % 8 <> 0 THEN user_id ELSE 0 END AS st_uid,
+      |    CASE WHEN event_id % 8 <> 0 AND event_id % 5 <> 0
+      |         THEN CAST(round(value*100) AS BIGINT)
+      |         ELSE 0 END AS st_xs0,
+      |    CASE WHEN event_id % 6 <> 0 AND event_id % 7 <> 0
+      |         THEN event_id % 23 ELSE 0 END AS ms_a,
+      |    CASE WHEN event_id % 6 <> 0 AND event_id % 7 <> 0
+      |         THEN event_id % 3 ELSE 0 END AS ms_ys0
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(null_ll) AS BIGINT) AS n_null_ll,
+      |  CAST(sum(inner_n) AS BIGINT) AS n_inner,
+      |  CAST(sum(ll00) AS BIGINT) AS sum_ll00,
+      |  CAST(sum(null_inner) AS BIGINT) AS n_null_inner,
+      |  CAST(sum(ll2v) AS BIGINT) AS sum_ll2,
+      |  CAST(sum(st_uid) AS BIGINT) AS sum_uid,
+      |  CAST(sum(st_xs0) AS BIGINT) AS sum_xs0,
+      |  CAST(sum(ms_a) AS BIGINT) AS sum_ms_a,
+      |  CAST(sum(ms_ys0) AS BIGINT) AS sum_ms_ys0
+      |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Build-once committed table carrying OUTSTANDING deletion vectors
     * (two stacked DV deletes over two range-sliced commits) — the s38
     * input. The vectors spread across both files and every row group,
@@ -2025,7 +2137,8 @@ object Sources {
     "s39_orc_nested" -> s39OrcNested _,
     "s40_pq_liststruct" -> s40ListStruct _,
     "s41_orc_rowgroup" -> s41OrcRowgroup _,
-    "s42_pq_pageindex" -> s42PqPageindex _
+    "s42_pq_pageindex" -> s42PqPageindex _,
+    "s43_pq_deepnested" -> s43PqDeepnested _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2064,6 +2177,7 @@ object Sources {
     "s39_orc_nested" -> s39OrcNestedSql,
     "s40_pq_liststruct" -> s40ListStructSql,
     "s41_orc_rowgroup" -> s41OrcRowgroupSql,
-    "s42_pq_pageindex" -> s42PqPageindexSql
+    "s42_pq_pageindex" -> s42PqPageindexSql,
+    "s43_pq_deepnested" -> s43PqDeepnestedSql
   )
 }

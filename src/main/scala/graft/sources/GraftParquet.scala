@@ -41,12 +41,13 @@ import graft.operators.ParquetFooter.{PqColumn, PqSchemaField}
   * Registered as `graftpq` via DataSourceRegister (META-INF/services),
   * so `spark.read.format("graftpq").load(dir)` resolves it. Supported
   * shapes: flat leaves (incl. DECIMAL over INT32/INT64/FLBA/BYTE_ARRAY
-  * per LogicalTypes.md), structs of structs to any depth, the standard
-  * 3-level LIST of a leaf element OR of a struct of leaves, and the
-  * standard 3-level MAP of leaf key/values — assembled from
-  * definition/repetition level streams per the Dremel record-shredding
-  * model; repeated shapes inside structs, list-of-list/map elements
-  * and remaining unsupported physical types reject loudly by name at
+  * per LogicalTypes.md) and ANY standard nesting of struct / 3-level
+  * LIST / 3-level MAP to any depth — the common one-level shapes run
+  * specialized assembly, everything deeper (list-of-list, list-of-map,
+  * lists and maps inside structs, nested map values…) the generic
+  * Dremel node-tree assembler ([[GraftParquet.TreePlan]]); legacy
+  * 2-level repeated shapes, non-leaf/non-required map keys and
+  * remaining unsupported physical types reject loudly by name at
   * schema-inference time.
   */
 class GraftParquet extends TableProvider
@@ -245,6 +246,92 @@ object GraftParquet {
     def sparkField: StructField = StructField(name, dt, nullable = true)
   }
 
+  // ------------------------------------------------------------------
+  // The GENERAL nested plan: any combination of struct / 3-level LIST /
+  // 3-level MAP to any depth (list-of-list, list-of-map, lists and maps
+  // inside structs, nested map values, structs inside list elements…).
+  // The specialized plans above stay for the common flat/one-level
+  // shapes (they feed the stats/page-pruning machinery and the fast
+  // flat decode); everything deeper routes here. Assembly is the
+  // Dremel model run generally: each leaf's level streams parse into
+  // nested [[graft.operators.ParquetData.DSlot]] slots
+  // (ParquetData.parseNested), and a sibling-zipping builder walks this
+  // node tree aligning the leaves' parses by their shared list
+  // skeleton — def-level thresholds per node (presentDef / emptyDef)
+  // arbitrate null ancestor vs null value vs empty collection.
+
+  sealed trait PNode extends Serializable
+  /** A leaf: value present at `leaf.maxDef`; `contentDefs(i)` = min def
+    * at which the (i+1)-th repeated ancestor holds an element (what
+    * parseNested descends by).
+    */
+  final case class PLeaf(leaf: PqLeafPlan, contentDefs: Array[Int])
+    extends PNode
+  /** A 3-level LIST: null below `emptyDef` (only when nullable), empty
+    * AT it, elements above; `repLevel` = its 1-based repeated depth.
+    */
+  final case class PList(elem: PNode, repLevel: Int, emptyDef: Int,
+      nullable: Boolean) extends PNode
+  /** A 3-level MAP: a LIST of (required-key, value) pairs. */
+  final case class PMap(key: PLeaf, value: PNode, repLevel: Int,
+      emptyDef: Int, nullable: Boolean) extends PNode
+  /** A struct: null when a descendant leaf's def < `presentDef`. */
+  final case class PStruct(fields: Seq[(String, PNode)], presentDef: Int,
+      nullable: Boolean) extends PNode
+
+  private[sources] def collectLeaves(n: PNode): Seq[PLeaf] = n match {
+    case l: PLeaf => Seq(l)
+    case l: PList => collectLeaves(l.elem)
+    case m: PMap => m.key +: collectLeaves(m.value)
+    case s: PStruct => s.fields.flatMap(f => collectLeaves(f._2))
+  }
+
+  private[sources] def leafCount(n: PNode): Int = n match {
+    case _: PLeaf => 1
+    case l: PList => leafCount(l.elem)
+    case m: PMap => 1 + leafCount(m.value)
+    case s: PStruct => s.fields.map(f => leafCount(f._2)).sum
+  }
+
+  private[sources] def sparkTypeOf(n: PNode): DataType = n match {
+    case l: PLeaf => leafType(l.leaf.field)
+    case l: PList => ArrayType(sparkTypeOf(l.elem), containsNull = true)
+    case m: PMap => MapType(leafType(m.key.leaf.field),
+      sparkTypeOf(m.value), valueContainsNull = true)
+    case s: PStruct => StructType(s.fields.map { case (nm, k) =>
+      StructField(nm, sparkTypeOf(k), nullable = true)
+    })
+  }
+
+  /** Restrict a node tree to Catalyst's requested (pruned, possibly
+    * reordered) shape — the TreePlan twin of the planner's
+    * StructPlan/ListStructPlan restriction.
+    */
+  private[sources] def restrictNode(n: PNode, dt: DataType,
+      path: String, file: String): PNode = (n, dt) match {
+    case (s: PStruct, st: StructType) =>
+      s.copy(fields = st.fields.map { inner =>
+        val kid = s.fields.find(_._1 == inner.name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graftpq: struct field '$path.${inner.name}' not in $file"))
+        inner.name -> restrictNode(kid._2, inner.dataType,
+          s"$path.${inner.name}", file)
+      }.toSeq)
+    case (l: PList, ArrayType(et, _)) =>
+      l.copy(elem = restrictNode(l.elem, et, path, file))
+    case (m: PMap, MapType(_, vt, _)) =>
+      m.copy(value = restrictNode(m.value, vt, path, file))
+    case _ => n
+  }
+
+  /** The generic deep-nested plan (see [[PNode]]). */
+  final case class TreePlan(name: String, root: PNode)
+    extends PqFieldPlan {
+    def leafs: Seq[PqLeafPlan] = collectLeaves(root).map(_.leaf)
+    def sparkField: StructField =
+      StructField(name, sparkTypeOf(root), nullable = true)
+  }
+
   /** Hive path-segment unescape: `%XX` encodes the CHAR with that hex
     * code (Hive escapes only chars < 256; non-ASCII stays literal) —
     * the inverse of the escaping Spark applies when writing partition
@@ -343,129 +430,190 @@ object GraftParquet {
     walk(new java.io.File(root), Nil, 0)
   }
 
+  /** One schema element with its parsed children — the footer's
+    * depth-first list made a tree, what the plan builders match on.
+    */
+  private[sources] final case class RawNode(f: PqSchemaField,
+      kids: Seq[RawNode])
+
+  private def opt(x: PqSchemaField): Int = x.repetition match {
+    case Some(0) => 0 // required
+    case Some(1) | None => 1 // optional (absent defaults optional)
+    case Some(2) => throw new IllegalArgumentException(
+      s"graftpq: repeated field '${x.name}' outside a LIST/MAP " +
+        "wrapper unsupported (2-level legacy lists)")
+    case Some(r) => throw new IllegalArgumentException(
+      s"graftpq: repetition $r on '${x.name}'")
+  }
+
   /** Walk the footer's depth-first schema list into per-top-field
-    * assembly plans. Supported shapes: flat leaves, structs (nesting
-    * structs to any depth), the standard 3-level LIST of a leaf or of
-    * a struct of leaves, and the standard 3-level MAP of leaf
-    * key/values; deeper nesting rejects loudly by name.
+    * assembly plans. The common shapes get the specialized plans (flat
+    * leaves — which alone feed stats/page pruning —, structs of
+    * leaves/structs, 3-level LIST of a leaf or of a struct of leaves,
+    * 3-level MAP of leaf key/values); EVERY deeper standard shape —
+    * list-of-list, list-of-map, lists/maps inside structs, nested map
+    * values, structs below list elements — routes to the generic
+    * [[TreePlan]]. Non-standard shapes (legacy 2-level lists, non-leaf
+    * or non-required map keys) still reject loudly by name.
     */
   private[sources] def fieldPlans(schema: Seq[PqSchemaField])
       : Seq[PqFieldPlan] = {
     require(schema.nonEmpty, "graftpq: empty parquet schema")
     var i = 1 // skip the root element
-    def take(): PqSchemaField = {
+    def parse(): RawNode = {
       require(i < schema.length, "graftpq: torn schema list")
-      val f = schema(i); i += 1; f
+      val f = schema(i)
+      i += 1
+      RawNode(f, (0 until f.numChildren).map(_ => parse()))
     }
-    val out = Seq.newBuilder[PqFieldPlan]
-    val topCount = schema.head.numChildren
-    var t = 0
-    while (t < topCount) {
-      val f = take()
-      def opt(x: PqSchemaField): Int = x.repetition match {
-        case Some(0) => 0 // required
-        case Some(1) | None => 1 // optional (absent defaults optional)
-        case Some(2) => throw new IllegalArgumentException(
-          s"graftpq: repeated field '${x.name}' outside a LIST wrapper " +
-            "unsupported")
-        case Some(r) => throw new IllegalArgumentException(
-          s"graftpq: repetition $r on '${x.name}'")
-      }
-      if (f.numChildren == 0) {
-        out += FlatPlan(PqLeafPlan(f.name, f, opt(f), 0))
-      } else if (f.convertedType.contains(3)) { // LIST
-        require(f.numChildren == 1,
-          s"graftpq: LIST '${f.name}' must wrap one repeated group")
-        val mid = take()
-        require(mid.repetition.contains(2) && mid.numChildren == 1,
-          s"graftpq: LIST '${f.name}' lacks the 3-level repeated group " +
-            "(2-level legacy lists unsupported)")
-        val elem = take()
-        val listOpt = opt(f)
-        val elemOpt = opt(elem)
-        if (elem.numChildren == 0) {
-          val maxDef = listOpt + 1 + elemOpt
-          out += ListPlan(f.name,
-            PqLeafPlan(s"${f.name}.${mid.name}.${elem.name}", elem,
-              maxDef, 1),
-            nullDef = listOpt - 1, emptyDef = listOpt,
-            listNullable = listOpt == 1, elemNullable = elemOpt == 1)
-        } else {
-          // list-of-STRUCT: the element group's leaves share the
-          // list's rep skeleton (maxRep 1); deeper shapes (struct in
-          // struct in list, list in list) still reject by name
-          require(!elem.convertedType.exists(Set(1, 2, 3)),
-            s"graftpq: LIST '${f.name}' of LIST/MAP element " +
-              "unsupported")
-          val structPresentDef = listOpt + 1 + elemOpt
-          val leaves = (0 until elem.numChildren).map { _ =>
-            val k = take()
-            require(k.numChildren == 0 && !k.repetition.contains(2),
-              s"graftpq: LIST '${f.name}' element field '${k.name}' " +
-                "must be a primitive leaf (deeper nesting " +
-                "unsupported)")
+    val tops = (0 until schema.head.numChildren).map(_ => parse())
+    require(i == schema.length,
+      s"graftpq: schema walk consumed $i of ${schema.length} elements")
+    tops.map(topPlan)
+  }
+
+  /** True when the subtree is structs-of-structs over plain leaves
+    * (the [[StructPlan]] shape).
+    */
+  private def structSimple(n: RawNode): Boolean =
+    n.kids.forall { k =>
+      !k.f.repetition.contains(2) &&
+      (k.f.numChildren == 0 ||
+        (!k.f.convertedType.exists(Set(1, 2, 3)) && structSimple(k)))
+    }
+
+  private def listParts(n: RawNode): (RawNode, RawNode) = {
+    require(n.kids.length == 1,
+      s"graftpq: LIST '${n.f.name}' must wrap one repeated group")
+    val mid = n.kids.head
+    require(mid.f.repetition.contains(2) && mid.kids.length == 1,
+      s"graftpq: LIST '${n.f.name}' lacks the 3-level repeated group " +
+        "(2-level legacy lists unsupported)")
+    (mid, mid.kids.head)
+  }
+
+  private def topPlan(n: RawNode): PqFieldPlan = {
+    val f = n.f
+    if (f.numChildren == 0) {
+      FlatPlan(PqLeafPlan(f.name, f, opt(f), 0))
+    } else if (f.convertedType.contains(3)) { // LIST
+      val (mid, elem) = listParts(n)
+      val listOpt = opt(f)
+      if (elem.f.numChildren == 0) {
+        val elemOpt = opt(elem.f)
+        ListPlan(f.name,
+          PqLeafPlan(s"${f.name}.${mid.f.name}.${elem.f.name}", elem.f,
+            listOpt + 1 + elemOpt, 1),
+          nullDef = listOpt - 1, emptyDef = listOpt,
+          listNullable = listOpt == 1, elemNullable = elemOpt == 1)
+      } else if (!elem.f.convertedType.exists(Set(1, 2, 3)) &&
+          elem.kids.forall(k =>
+            k.f.numChildren == 0 && !k.f.repetition.contains(2))) {
+        // list-of-STRUCT of leaves: the element group's leaves share
+        // the list's rep skeleton (maxRep 1)
+        val elemOpt = opt(elem.f)
+        val structPresentDef = listOpt + 1 + elemOpt
+        ListStructPlan(f.name,
+          elem.kids.map { k =>
             PqLeafPlan(
-              s"${f.name}.${mid.name}.${elem.name}.${k.name}", k,
-              structPresentDef + opt(k), 1)
-          }
-          out += ListStructPlan(f.name, leaves.toSeq,
-            structPresentDef,
-            nullDef = listOpt - 1, emptyDef = listOpt)
-        }
-      } else if (f.convertedType.contains(1)) { // MAP
-        require(f.numChildren == 1,
-          s"graftpq: MAP '${f.name}' must wrap one repeated key_value " +
-            "group")
-        val kv = take()
-        require(kv.repetition.contains(2) && kv.numChildren == 2,
-          s"graftpq: MAP '${f.name}' lacks the 3-level repeated " +
-            "key_value group (2-level legacy maps unsupported)")
-        val k = take()
-        val v = take()
-        require(k.numChildren == 0 && v.numChildren == 0,
-          s"graftpq: MAP '${f.name}' of nested key/value unsupported")
-        require(k.repetition.contains(0) || k.repetition.isEmpty,
-          s"graftpq: MAP '${f.name}' key must be required")
-        val mapOpt = opt(f)
-        val valOpt = opt(v)
-        out += MapPlan(f.name,
-          PqLeafPlan(s"${f.name}.${kv.name}.${k.name}", k, mapOpt + 1, 1),
-          PqLeafPlan(s"${f.name}.${kv.name}.${v.name}", v,
+              s"${f.name}.${mid.f.name}.${elem.f.name}.${k.f.name}",
+              k.f, structPresentDef + opt(k.f), 1)
+          },
+          structPresentDef,
+          nullDef = listOpt - 1, emptyDef = listOpt)
+      } else TreePlan(f.name, walkNode(n, f.name, 0, 0, Nil))
+    } else if (f.convertedType.contains(1)) { // MAP
+      val mapOpt = opt(f)
+      require(n.kids.length == 1,
+        s"graftpq: MAP '${f.name}' must wrap one repeated key_value " +
+          "group")
+      val kv = n.kids.head
+      require(kv.f.repetition.contains(2) && kv.kids.length == 2,
+        s"graftpq: MAP '${f.name}' lacks the 3-level repeated " +
+          "key_value group (2-level legacy maps unsupported)")
+      val k = kv.kids(0)
+      val v = kv.kids(1)
+      require(k.f.numChildren == 0,
+        s"graftpq: MAP '${f.name}' non-leaf key unsupported")
+      require(k.f.repetition.contains(0) || k.f.repetition.isEmpty,
+        s"graftpq: MAP '${f.name}' key must be required")
+      if (v.f.numChildren == 0) {
+        val valOpt = opt(v.f)
+        MapPlan(f.name,
+          PqLeafPlan(s"${f.name}.${kv.f.name}.${k.f.name}", k.f,
+            mapOpt + 1, 1),
+          PqLeafPlan(s"${f.name}.${kv.f.name}.${v.f.name}", v.f,
             mapOpt + 1 + valOpt, 1),
           nullDef = mapOpt - 1, emptyDef = mapOpt,
           mapNullable = mapOpt == 1, valueNullable = valOpt == 1)
-      } else if (f.convertedType.contains(2)) {
-        throw new IllegalArgumentException(
-          s"graftpq: bare MAP_KEY_VALUE group '${f.name}' at top " +
-            "level unsupported")
-      } else { // plain group: struct (of leaves or nested structs)
-        def walkStruct(g: PqSchemaField, prefix: String,
-            presentDef: Int): StructPlan = {
-          val kids = (0 until g.numChildren).map { _ =>
-            val k = take()
-            if (k.numChildren == 0) {
-              require(!k.repetition.contains(2),
-                s"graftpq: repeated leaf '$prefix${k.name}' inside a " +
-                  "struct unsupported")
-              FlatPlan(PqLeafPlan(s"$prefix${k.name}", k,
-                presentDef + opt(k), 0)): PqFieldPlan
-            } else if (k.convertedType.contains(1) ||
-                k.convertedType.contains(2) ||
-                k.convertedType.contains(3))
-              throw new IllegalArgumentException(
-                s"graftpq: LIST/MAP '$prefix${k.name}' inside a " +
-                  "struct unsupported")
-            else walkStruct(k, s"$prefix${k.name}.", presentDef + opt(k))
-          }
-          StructPlan(g.name, presentDef, kids.toSeq)
-        }
-        out += walkStruct(f, s"${f.name}.", opt(f))
-      }
-      t += 1
+      } else TreePlan(f.name, walkNode(n, f.name, 0, 0, Nil))
+    } else if (f.convertedType.contains(2)) {
+      throw new IllegalArgumentException(
+        s"graftpq: bare MAP_KEY_VALUE group '${f.name}' at top " +
+          "level unsupported")
+    } else if (structSimple(n)) { // struct of leaves/structs
+      def walkStruct(g: RawNode, prefix: String,
+          presentDef: Int): StructPlan =
+        StructPlan(g.f.name, presentDef, g.kids.map { k =>
+          if (k.f.numChildren == 0)
+            FlatPlan(PqLeafPlan(s"$prefix${k.f.name}", k.f,
+              presentDef + opt(k.f), 0)): PqFieldPlan
+          else walkStruct(k, s"$prefix${k.f.name}.",
+            presentDef + opt(k.f))
+        })
+      walkStruct(n, s"${f.name}.", opt(f))
+    } else TreePlan(f.name, walkNode(n, f.name, 0, 0, Nil))
+  }
+
+  /** Build the generic node tree: `baseDef`/`baseRep` accumulate the
+    * ancestors' contributions, `contentDefs` the per-repeated-level
+    * descend thresholds each leaf's parse needs.
+    */
+  private def walkNode(n: RawNode, path: String, baseDef: Int,
+      baseRep: Int, contentDefs: List[Int]): PNode = {
+    val f = n.f
+    if (f.numChildren == 0) {
+      PLeaf(PqLeafPlan(path, f, baseDef + opt(f), baseRep),
+        contentDefs.toArray)
+    } else if (f.convertedType.contains(3)) { // LIST
+      val (mid, elem) = listParts(n)
+      val lo = opt(f)
+      val emptyDef = baseDef + lo
+      PList(walkNode(elem, s"$path.${mid.f.name}.${elem.f.name}",
+        emptyDef + 1, baseRep + 1, contentDefs :+ (emptyDef + 1)),
+        baseRep + 1, emptyDef, lo == 1)
+    } else if (f.convertedType.contains(1)) { // MAP
+      val mo = opt(f)
+      require(n.kids.length == 1,
+        s"graftpq: MAP '$path' must wrap one repeated key_value group")
+      val kv = n.kids.head
+      require(kv.f.repetition.contains(2) && kv.kids.length == 2,
+        s"graftpq: MAP '$path' lacks the 3-level repeated key_value " +
+          "group (2-level legacy maps unsupported)")
+      val k = kv.kids(0)
+      val v = kv.kids(1)
+      require(k.f.numChildren == 0,
+        s"graftpq: MAP '$path' non-leaf key unsupported")
+      require(k.f.repetition.contains(0) || k.f.repetition.isEmpty,
+        s"graftpq: MAP '$path' key must be required")
+      val emptyDef = baseDef + mo
+      val cd = contentDefs :+ (emptyDef + 1)
+      PMap(
+        PLeaf(PqLeafPlan(s"$path.${kv.f.name}.${k.f.name}", k.f,
+          emptyDef + 1, baseRep + 1), cd.toArray),
+        walkNode(v, s"$path.${kv.f.name}.${v.f.name}", emptyDef + 1,
+          baseRep + 1, cd),
+        baseRep + 1, emptyDef, mo == 1)
+    } else if (f.convertedType.contains(2)) {
+      throw new IllegalArgumentException(
+        s"graftpq: bare MAP_KEY_VALUE group '$path' unsupported")
+    } else { // plain group: struct
+      val so = opt(f)
+      PStruct(n.kids.map(k => k.f.name ->
+        walkNode(k, s"$path.${k.f.name}", baseDef + so, baseRep,
+          contentDefs)),
+        baseDef + so, so == 1)
     }
-    require(i == schema.length,
-      s"graftpq: schema walk consumed $i of ${schema.length} elements")
-    out.result()
   }
 
   private[sources] def toSparkSchema(schema: Seq[PqSchemaField])
@@ -701,6 +849,9 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
                         s"'${lp.name}.${inner.name}' not in " +
                         f.getName))
                 }.toSeq)
+              case (tp: GraftParquet.TreePlan, _) =>
+                tp.copy(root = GraftParquet.restrictNode(tp.root, dt,
+                  tp.name, f.getName))
               case _ => p
             }
             restrict(plan, rf.dataType)
@@ -995,7 +1146,8 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
     try {
       val rows = survRows
       val colIt = p.columns.iterator
-      def levelsOf(leaf: GraftParquet.PqLeafPlan)
+      def levelsOf(leaf: GraftParquet.PqLeafPlan,
+          pruned: Boolean = false)
           : (ParquetData.ChunkLevels, ParquetFooter.PqColumn) = {
         val col = colIt.next()
         val (start, end) = ParquetData.chunkRange(col)
@@ -1023,9 +1175,11 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
         (ParquetData.readChunkLevels(bb.array(), col, leaf.maxDef,
           leaf.maxRep, physical, leaf.field.typeLength,
           col.numValues.toInt, base = start,
-          // flat leaves take the pruned fast path (skipped pages stay
-          // compressed); repeated leaves decode fully, compacted after
-          rowRanges = if (leaf.maxRep == 0) ranges else null), col)
+          // FlatPlan leaves take the pruned fast path (skipped pages
+          // stay compressed); everything else — repeated leaves AND
+          // TreePlan's flat leaves, which must stay row-aligned with
+          // their repeated siblings — decodes fully, compacted after
+          rowRanges = if (pruned) ranges else null), col)
       }
       // Recursive assembly: each plan yields its row-aligned values
       // plus one descendant leaf's def stream (what a CONTAINING
@@ -1040,7 +1194,7 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
           val v = GraftParquet.partitionValue(dt, raw)
           (Array.fill[Any](rows)(v), null)
         case FlatPlan(leaf) =>
-          val (lv, _) = levelsOf(leaf)
+          val (lv, _) = levelsOf(leaf, pruned = true)
           require(lv.defs.length == rows,
             s"graftpq: flat chunk '${leaf.path}' has " +
               s"${lv.defs.length} values for $rows rows")
@@ -1134,6 +1288,101 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
               case other => throw new IllegalStateException(
                 s"graftpq: map '$name' assembly $other")
             }
+          }, null)
+        case tp: GraftParquet.TreePlan =>
+          // the GENERAL deep-nested assembly: each leaf parses into
+          // nested DSlot trees, then the node-tree builder zips
+          // siblings by their shared list skeleton (def thresholds
+          // arbitrate null ancestor / null value / empty collection)
+          val leaves = GraftParquet.collectLeaves(tp.root)
+          val parsed: Array[Array[ParquetData.DSlot]] = leaves.map {
+            pl =>
+              val (lv, _) = levelsOf(pl.leaf)
+              ParquetData.parseNested(lv, fullRows, pl.contentDefs,
+                pl.leaf.maxDef)
+          }.toArray
+          val adapters: Array[Any => Any] =
+            leaves.map(pl => GraftParquet.leafAdapter(pl.leaf.field))
+              .toArray
+          def build(node: GraftParquet.PNode, base: Int,
+              slot: Int => ParquetData.DSlot): Any = node match {
+            case pl: GraftParquet.PLeaf =>
+              val s = slot(base)
+              if (s.defLevel == pl.leaf.maxDef) adapters(base)(s.value)
+              else null
+            case st: GraftParquet.PStruct =>
+              // every descendant leaf records the same def at a null
+              // ancestor — read the first
+              if (st.nullable && slot(base).defLevel < st.presentDef)
+                null
+              else {
+                var off = base
+                InternalRow.fromSeq(st.fields.map { case (_, k) =>
+                  val v = build(k, off, slot)
+                  off += GraftParquet.leafCount(k)
+                  v
+                })
+              }
+            case ls: GraftParquet.PList =>
+              val s0 = slot(base)
+              if (s0.elems == null) {
+                if (s0.defLevel == ls.emptyDef)
+                  new org.apache.spark.sql.catalyst.util
+                    .GenericArrayData(Array.empty[Any])
+                else null // defLevel below emptyDef: the list is null
+              } else {
+                val cnt = GraftParquet.leafCount(ls)
+                val m = s0.elems.length
+                var k = 1
+                while (k < cnt) {
+                  val sk = slot(base + k)
+                  require(sk.elems != null && sk.elems.length == m,
+                    s"torn parquet: '${tp.name}' list leaves disagree")
+                  k += 1
+                }
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  Array.tabulate[Any](m)(e =>
+                    build(ls.elem, base, idx => slot(idx).elems(e))))
+              }
+            case mp: GraftParquet.PMap =>
+              val s0 = slot(base)
+              if (s0.elems == null) {
+                if (s0.defLevel == mp.emptyDef)
+                  new org.apache.spark.sql.catalyst.util
+                    .ArrayBasedMapData(
+                    new org.apache.spark.sql.catalyst.util
+                      .GenericArrayData(Array.empty[Any]),
+                    new org.apache.spark.sql.catalyst.util
+                      .GenericArrayData(Array.empty[Any]))
+                else null
+              } else {
+                val cnt = GraftParquet.leafCount(mp)
+                val m = s0.elems.length
+                var k = 1
+                while (k < cnt) {
+                  val sk = slot(base + k)
+                  require(sk.elems != null && sk.elems.length == m,
+                    s"torn parquet: '${tp.name}' map leaves disagree")
+                  k += 1
+                }
+                val keys = Array.tabulate[Any](m) { e =>
+                  val ks = slot(base).elems(e)
+                  require(ks.defLevel == mp.key.leaf.maxDef,
+                    s"torn parquet: null map key in '${tp.name}'")
+                  adapters(base)(ks.value)
+                }
+                val vals = Array.tabulate[Any](m)(e =>
+                  build(mp.value, base + 1, idx => slot(idx).elems(e)))
+                new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+                  new org.apache.spark.sql.catalyst.util
+                    .GenericArrayData(keys),
+                  new org.apache.spark.sql.catalyst.util
+                    .GenericArrayData(vals))
+              }
+          }
+          (Array.tabulate[Any](rows) { s =>
+            val i = if (survIdx == null) s else survIdx(s)
+            build(tp.root, 0, k => parsed(k)(i))
           }, null)
         case StructPlan(name, presentDef, fields) =>
           val kids = fields.map(assemble)

@@ -240,6 +240,111 @@ class GraftParquetSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("DEEP nesting reads row-identically to Spark's parquet source: " +
+      "list-of-list, list-of-map, struct-containing-list/map, nested " +
+      "map values, struct below a list element") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-deep").toString
+    try {
+      // every formerly-rejected standard shape in one fixture, with
+      // nulls / empties at EVERY level (outer null, outer empty, inner
+      // null, inner empty, null elements, null fields, null values)
+      spark.range(0, 4000).toDF("id")
+        .select(col("id"),
+          // list<list<bigint>>
+          when(col("id") % 11 === 0, lit(null))
+            .otherwise(when(col("id") % 11 === 1,
+              array().cast("array<array<bigint>>"))
+              .otherwise(array(
+                sequence(lit(1), col("id") % 3 + 1),
+                when(col("id") % 4 === 0, lit(null))
+                  .otherwise(when(col("id") % 4 === 1,
+                    array().cast("array<bigint>"))
+                    .otherwise(array(col("id") * 2,
+                      when(col("id") % 5 === 0, lit(null))
+                        .otherwise(col("id") % 7)))))))
+            .as("ll"),
+          // list<map<string,bigint>>
+          when(col("id") % 9 === 0, lit(null))
+            .otherwise(array(
+              map(lit("a"), col("id") % 13,
+                concat(lit("k"), col("id") % 3), col("id") * 3),
+              when(col("id") % 6 === 0,
+                lit(null).cast("map<string,bigint>"))
+                .otherwise(when(col("id") % 6 === 1,
+                  map().cast("map<string,bigint>"))
+                  .otherwise(map(lit("z"),
+                    when(col("id") % 7 === 0, lit(null))
+                      .otherwise(col("id") % 17))))))
+            .as("lm"),
+          // struct containing a list AND a map AND a flat field
+          when(col("id") % 13 === 0, lit(null))
+            .otherwise(struct(
+              (col("id") % 97).as("u"),
+              when(col("id") % 5 === 0, lit(null))
+                .otherwise(when(col("id") % 5 === 1,
+                  array().cast("array<string>"))
+                  .otherwise(array(concat(lit("s"), col("id") % 4),
+                    when(col("id") % 3 === 0, lit(null))
+                      .otherwise(concat(lit("t"), col("id") % 6)))))
+                .as("tags"),
+              when(col("id") % 8 === 0, lit(null))
+                .otherwise(map(lit("m"), col("id") % 19)).as("mm")))
+            .as("st"),
+          // map<string, struct<a:bigint, xs:array<bigint>>>
+          when(col("id") % 10 === 0, lit(null))
+            .otherwise(map(
+              lit("v"),
+              when(col("id") % 7 === 0,
+                lit(null).cast("struct<a:bigint,xs:array<bigint>>"))
+                .otherwise(struct((col("id") % 23).as("a"),
+                  when(col("id") % 4 === 0, lit(null))
+                    .otherwise(sequence(lit(0), col("id") % 2 + 1))
+                    .as("xs")))))
+            .as("ms"),
+          // list<struct<k:string, inner:struct<d:bigint>>> — struct
+          // below a list element nesting further
+          when(col("id") % 12 === 0, lit(null))
+            .otherwise(array(
+              struct(concat(lit("k"), col("id") % 5).as("k"),
+                when(col("id") % 6 === 0, lit(null))
+                  .otherwise(struct((col("id") % 29).as("d")))
+                  .as("inner")),
+              lit(null)
+                .cast("struct<k:string,inner:struct<d:bigint>>")))
+            .as("ls"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(dir)
+      assert(spark.read.format("graftpq").load(dir).schema ==
+        spark.read.parquet(dir).schema)
+      val want = spark.read.parquet(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = spark.read.format("graftpq").load(dir).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      // nested-schema pruning reaches INSIDE the deep shapes: an
+      // aggregate over one struct field must restrict the node tree
+      def probe(df: org.apache.spark.sql.DataFrame) = df
+        .agg(sum(col("st").getField("u")).as("su"),
+          sum(size(col("st").getField("tags"))).as("stg"),
+          count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSeq
+      assert(probe(spark.read.format("graftpq").load(dir)) ==
+        probe(spark.read.parquet(dir)))
+      def probe2(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(col("ms")).as(Seq("k", "v")))
+        .agg(sum(col("v").getField("a")).as("sa"),
+          count(lit(1)).as("n"))
+        .collect().map(_.toSeq).toSeq
+      assert(probe2(spark.read.format("graftpq").load(dir)) ==
+        probe2(spark.read.parquet(dir)))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   test("DECIMAL over BYTE_ARRAY storage (parquet-mr-written) decodes " +
       "raw unscaled bytes, not UTF-8 strings") {
     // Spark itself never writes this storage (it picks
