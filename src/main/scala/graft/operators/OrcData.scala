@@ -56,11 +56,16 @@ object OrcData {
   private final case class OrcEncoding(kind: Int, dictSize: Int)
 
   /** One stripe's one column's min/max from the file-tail Metadata
-    * section, widened to doubles (the pruning comparisons are
-    * double-valued, mirroring [[ParquetFooter.statDouble]]). `None`
-    * means the writer recorded no usable range — never prune on it.
+    * section: numeric bounds widened to doubles (the pruning
+    * comparisons are double-valued, mirroring
+    * [[ParquetFooter.statDouble]]), string bounds verbatim (ORC string
+    * stats order is BY CODE POINT, which is UTF-8 byte order — the
+    * same order Spark compares strings in, so disjointness proofs
+    * transfer). `None` means the writer recorded no usable bound of
+    * that kind — never prune on it.
     */
-  final case class OrcColStat(min: Option[Double], max: Option[Double])
+  final case class OrcColStat(min: Option[Double], max: Option[Double],
+      minS: Option[String] = None, maxS: Option[String] = None)
 
   /** Everything scan PLANNING needs, from tail bytes only: the stripe
     * directory + type tree, plus per-stripe per-column min/max ranges
@@ -248,6 +253,8 @@ object OrcData {
   private def parseColStat(cs: PReader): OrcColStat = {
     var mn: Option[Double] = None
     var mx: Option[Double] = None
+    var mnS: Option[String] = None
+    var mxS: Option[String] = None
     cs.message { (cid, cw) =>
       cid match {
         case 2 => // IntegerStatistics
@@ -270,10 +277,31 @@ object OrcData {
               case _ => ds.skip(dw)
             }
           }
+        case 4 => // StringStatistics: exact minimum/maximum, or the
+          // lowerBound/upperBound TRUNCATED stand-ins long values get
+          // (a truncated lower bound is still ≤ the true min and the
+          // upper ≥ the true max, so pruning on them stays
+          // conservative)
+          val ss = cs.sub()
+          var lo: Option[String] = None
+          var hi: Option[String] = None
+          var lob: Option[String] = None
+          var hib: Option[String] = None
+          ss.message { (sid, sw) =>
+            sid match {
+              case 1 => lo = Some(ss.str())
+              case 2 => hi = Some(ss.str())
+              case 4 => lob = Some(ss.str())
+              case 5 => hib = Some(ss.str())
+              case _ => ss.skip(sw)
+            }
+          }
+          mnS = lo.orElse(lob)
+          mxS = hi.orElse(hib)
         case _ => cs.skip(cw)
       }
     }
-    OrcColStat(mn, mx)
+    OrcColStat(mn, mx, mnS, mxS)
   }
 
   /** One column's decoded ROW_INDEX stream: per row group, the seek

@@ -354,10 +354,19 @@ object ParquetWrite {
         java.lang.Float.floatToRawIntBits(v.asInstanceOf[Float]))
       case 5 => out.le64(
         java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double]))
+      case 6 => // UTF8 BYTE_ARRAY stats ARE the value bytes
+        return v.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       case t => throw new IllegalArgumentException(s"stats on type $t")
     }
     out.toByteArray
   }
+
+  /** Unsigned lexicographic byte order — parquet's UTF8 stats order
+    * (and Spark's string comparison: UTF-8 byte order = code points).
+    */
+  private def cmpU(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
 
   private def compressBody(body: Array[Byte], codec: Int)
       : Array[Byte] = codec match {
@@ -488,6 +497,8 @@ object ParquetWrite {
           var maxL = 0L
           var minD = Double.NaN
           var maxD = Double.NaN
+          var minB: Array[Byte] = null // string chunks: UTF-8 extremes
+          var maxB: Array[Byte] = null
           var minV: Any = null
           var maxV: Any = null
           // Pass 1 over the whole row group: statistics + the bounded
@@ -524,6 +535,17 @@ object ParquetWrite {
                   case x => throw new IllegalArgumentException(
                     s"column '${f.name}' got ${x.getClass.getName}")
                 }
+              } else if (f.physicalType == 6) v match {
+                case x: String => // code-point order via UTF-8 bytes
+                  val xb = x.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  if (minV == null || cmpU(xb, minB) < 0) {
+                    minB = xb; minV = x
+                  }
+                  if (maxV == null || cmpU(xb, maxB) > 0) {
+                    maxB = xb; maxV = x
+                  }
+                case _ => () // raw binary: no comparable stats
               }
               if (dictOk) v match {
                 case _: Array[Byte] => // no stable equality: PLAIN
@@ -622,9 +644,28 @@ object ParquetWrite {
             val pageStart = pos
             var pMinL = 0L; var pMaxL = 0L
             var pMinD = Double.NaN; var pMaxD = Double.NaN
+            var pMinB: Array[Byte] = null; var pMaxB: Array[Byte] = null
             var pMinV: Any = null; var pMaxV: Any = null
             var pNulls = 0L
-            if (f.physicalType >= 1 && f.physicalType <= 5) {
+            if (f.physicalType == 6) {
+              var k = 0
+              while (k < n) {
+                pageVals(k) match {
+                  case null => pNulls += 1
+                  case x: String =>
+                    val xb = x.getBytes(
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    if (pMinV == null || cmpU(xb, pMinB) < 0) {
+                      pMinB = xb; pMinV = x
+                    }
+                    if (pMaxV == null || cmpU(xb, pMaxB) > 0) {
+                      pMaxB = xb; pMaxV = x
+                    }
+                  case _ => () // raw binary: location only
+                }
+                k += 1
+              }
+            } else if (f.physicalType >= 1 && f.physicalType <= 5) {
               var k = 0
               while (k < n) {
                 pageVals(k) match {

@@ -169,20 +169,23 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
       if (requiredSchema.fields.nonEmpty) requiredSchema
       else StructType(fullSchema.fields.take(1))
 
-  /** Accept the comparisons stripe stats can act on; EVERYTHING is
-    * returned for Spark to re-evaluate (stats pruning is
-    * stripe-granular, never row-exact).
+  /** Accept the comparisons stripe stats can act on — numeric columns
+    * against Number literals, string columns against String literals
+    * (ORC string stats order = code points = UTF-8 byte order, exactly
+    * Spark's string comparison); EVERYTHING is returned for Spark to
+    * re-evaluate (stats pruning is stripe-granular, never row-exact).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def ok(c: String, v: Any): Boolean =
+      (numericCol(c) && v.isInstanceOf[Number]) ||
+        (stringCol(c) && v.isInstanceOf[String])
     def prunable(f: Filter): Boolean = f match {
-      case EqualTo(c, v) => numericCol(c) && v.isInstanceOf[Number]
-      case GreaterThan(c, v) => numericCol(c) && v.isInstanceOf[Number]
-      case GreaterThanOrEqual(c, v) =>
-        numericCol(c) && v.isInstanceOf[Number]
-      case LessThan(c, v) => numericCol(c) && v.isInstanceOf[Number]
-      case LessThanOrEqual(c, v) =>
-        numericCol(c) && v.isInstanceOf[Number]
-      case IsNotNull(c) => numericCol(c)
+      case EqualTo(c, v) => ok(c, v)
+      case GreaterThan(c, v) => ok(c, v)
+      case GreaterThanOrEqual(c, v) => ok(c, v)
+      case LessThan(c, v) => ok(c, v)
+      case LessThanOrEqual(c, v) => ok(c, v)
+      case IsNotNull(c) => numericCol(c) || stringCol(c)
       case _ => false
     }
     pushed = filters.filter(prunable)
@@ -195,6 +198,10 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
         DoubleType => true
       case _ => false
     })
+
+  private def stringCol(name: String): Boolean =
+    fullSchema.fields.find(_.name == name)
+      .exists(_.dataType == StringType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -284,7 +291,9 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
                     .flatMap(_.lift(g)).flatMap(st =>
                       st.min.zip(st.max).map { case (mn, mx) =>
                         (Math.nextDown(mn), Math.nextUp(mx))
-                      }), flt)
+                      }),
+                    c => byName.get(c).flatMap(_.lift(g))
+                      .flatMap(st => st.minS.zip(st.maxS)), flt)
                 }
               }
               if (alive.isEmpty) None // every group disjoint: drop
@@ -314,23 +323,50 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       // One ulp of slack: integer stats widened to double can round at
       // 2^53, and a rounded bound must stay conservative (see
       // Maintenance.footerRanges).
-    } yield (Math.nextDown(mn), Math.nextUp(mx)), f)
+    } yield (Math.nextDown(mn), Math.nextUp(mx)),
+      name => for {
+        id <- idByName.get(name)
+        st <- stats.lift(id)
+        mn <- st.minS
+        mx <- st.maxS
+      } yield (mn, mx), f)
 
+  /** Numeric filters test against `rangeN` (ulp-widened doubles),
+    * string filters against `rangeS` — UTF-8 bytes compared
+    * unsigned-lexicographically, which is BOTH ORC's code-point stats
+    * order and Spark's string comparison, so the proofs transfer.
+    */
   private def survivesRanges(
-      range: String => Option[(Double, Double)], f: Filter): Boolean =
+      rangeN: String => Option[(Double, Double)],
+      rangeS: String => Option[(String, String)], f: Filter): Boolean = {
+    def b(v: String): Array[Byte] =
+      v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def cmp(x: String, y: String): Int =
+      java.util.Arrays.compareUnsigned(b(x), b(y))
     f match {
-      case EqualTo(c, v: Number) => range(c).forall { case (mn, mx) =>
+      case EqualTo(c, v: Number) => rangeN(c).forall { case (mn, mx) =>
         v.doubleValue >= mn && v.doubleValue <= mx }
+      case EqualTo(c, v: String) => rangeS(c).forall { case (mn, mx) =>
+        cmp(v, mn) >= 0 && cmp(v, mx) <= 0 }
       case GreaterThan(c, v: Number) =>
-        range(c).forall(_._2 > v.doubleValue)
+        rangeN(c).forall(_._2 > v.doubleValue)
+      case GreaterThan(c, v: String) =>
+        rangeS(c).forall(r => cmp(r._2, v) > 0)
       case GreaterThanOrEqual(c, v: Number) =>
-        range(c).forall(_._2 >= v.doubleValue)
+        rangeN(c).forall(_._2 >= v.doubleValue)
+      case GreaterThanOrEqual(c, v: String) =>
+        rangeS(c).forall(r => cmp(r._2, v) >= 0)
       case LessThan(c, v: Number) =>
-        range(c).forall(_._1 < v.doubleValue)
+        rangeN(c).forall(_._1 < v.doubleValue)
+      case LessThan(c, v: String) =>
+        rangeS(c).forall(r => cmp(r._1, v) < 0)
       case LessThanOrEqual(c, v: Number) =>
-        range(c).forall(_._1 <= v.doubleValue)
+        rangeN(c).forall(_._1 <= v.doubleValue)
+      case LessThanOrEqual(c, v: String) =>
+        rangeS(c).forall(r => cmp(r._1, v) <= 0)
       case _ => true // IsNotNull etc: never disjoint by construction
     }
+  }
 
   private def colsOf(f: Filter): Seq[String] = f match {
     case EqualTo(c, _) => Seq(c)

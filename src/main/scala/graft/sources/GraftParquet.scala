@@ -690,20 +690,24 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
       if (requiredSchema.fields.nonEmpty) requiredSchema
       else StructType(fullSchema.fields.take(1))
 
-  /** Accept the comparisons row-group stats can act on; EVERYTHING is
+  /** Accept the comparisons row-group stats can act on — numeric
+    * columns against Number literals, string columns against String
+    * literals (parquet UTF8 stats order = unsigned byte order = code
+    * point order, exactly Spark's string comparison); EVERYTHING is
     * returned for Spark to re-evaluate (stats pruning is row-group
     * granular, never row-exact).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def ok(c: String, v: Any): Boolean =
+      (numericCol(c) && v.isInstanceOf[Number]) ||
+        (stringCol(c) && v.isInstanceOf[String])
     def prunable(f: Filter): Boolean = f match {
-      case EqualTo(c, v) => numericCol(c) && v.isInstanceOf[Number]
-      case GreaterThan(c, v) => numericCol(c) && v.isInstanceOf[Number]
-      case GreaterThanOrEqual(c, v) =>
-        numericCol(c) && v.isInstanceOf[Number]
-      case LessThan(c, v) => numericCol(c) && v.isInstanceOf[Number]
-      case LessThanOrEqual(c, v) =>
-        numericCol(c) && v.isInstanceOf[Number]
-      case IsNotNull(c) => numericCol(c)
+      case EqualTo(c, v) => ok(c, v)
+      case GreaterThan(c, v) => ok(c, v)
+      case GreaterThanOrEqual(c, v) => ok(c, v)
+      case LessThan(c, v) => ok(c, v)
+      case LessThanOrEqual(c, v) => ok(c, v)
+      case IsNotNull(c) => numericCol(c) || stringCol(c)
       case _ => false
     }
     pushed = filters.filter(prunable)
@@ -716,6 +720,10 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
         DoubleType => true
       case _ => false
     })
+
+  private def stringCol(name: String): Boolean =
+    fullSchema.fields.find(_.name == name)
+      .exists(_.dataType == StringType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -801,15 +809,21 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
         .map { case (f, vs) => (f, partCols.map(_._1).zip(vs).toMap) }
     files.filter { case (f, partVals) =>
       // two file-level prunes compose: the dir's own partition value
-      // (min = max range, numeric values only) and the manifest's
-      // recorded per-column stats — both conservative, absent = keep
+      // (min = max range — numeric, or the exact string bytes) and the
+      // manifest's recorded per-column stats — both conservative,
+      // absent = keep
       def partRange(c: String): Option[(Double, Double)] =
         partVals.get(c).flatten.flatMap(_.toDoubleOption)
           .map(d => (Math.nextDown(d), Math.nextUp(d)))
-      pushed.forall(survivesRanges(partRange, _)) &&
+      def partRangeS(c: String): Option[(Array[Byte], Array[Byte])] =
+        partVals.get(c).flatten.map { s =>
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (b, b)
+        }
+      pushed.forall(survivesRanges(partRange, partRangeS, _)) &&
       (manifest.get(f.getName) match {
         case Some(ranges) =>
-          pushed.forall(survivesRanges(ranges.get _, _))
+          pushed.forall(survivesRanges(ranges.get _, _ => None, _))
         case None => true // no recorded stats: never prune blind
       })
     }.flatMap { case (f, partVals) =>
@@ -929,8 +943,12 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
         for {
           col <- rg.columns.find(_.path == c)
           leaf <- leaves.get(c)
-          if Set(1, 2, 4, 5).contains(leaf.physicalType)
-          if !leaf.convertedType.contains(5) // DECIMAL stats unscaled
+          isNum = Set(1, 2, 4, 5).contains(leaf.physicalType) &&
+            !leaf.convertedType.contains(5) // DECIMAL stats unscaled
+          isStr = leaf.physicalType == 6 &&
+            (leaf.convertedType.contains(0) ||
+              leaf.convertedType.contains(4)) // UTF8 / ENUM
+          if isNum || isStr
           oiLoc <- col.offsetIndex
           ciLoc <- col.columnIndex
         } {
@@ -947,13 +965,18 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
                   val mn = ci.minValues(i)
                   val mx = ci.maxValues(i)
                   // absent/odd-width stats: unknown, page survives
+                  // (an empty STRING min is ambiguous with "" — also
+                  // conservatively unknown)
                   val range: Option[(Double, Double)] =
-                    if (mn.isEmpty || mx.isEmpty) None
+                    if (!isNum || mn.isEmpty || mx.isEmpty) None
                     else Some((Math.nextDown(ParquetFooter.statDouble(
                       leaf.physicalType, mn)),
                       Math.nextUp(ParquetFooter.statDouble(
                         leaf.physicalType, mx))))
-                  fs.forall(survivesRanges(_ => range, _))
+                  val rangeS: Option[(Array[Byte], Array[Byte])] =
+                    if (!isStr || mn.isEmpty || mx.isEmpty) None
+                    else Some((mn, mx))
+                  fs.forall(survivesRanges(_ => range, _ => rangeS, _))
                 }
               if (alive) {
                 val s = oi.pages(i).firstRowIndex
@@ -1064,26 +1087,59 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       // prove disjointness the exact longs don't have.
     } yield (Math.nextDown(ParquetFooter.statDouble(leaf.physicalType, mn)),
       Math.nextUp(ParquetFooter.statDouble(leaf.physicalType, mx)))
-    survivesRanges(stats, f)
+    // UTF8/ENUM BYTE_ARRAY stats are the value bytes themselves;
+    // truncating writers keep them valid bounds (a truncated min is a
+    // prefix ≤ the true min, a truncated max gets its last byte
+    // incremented), so pruning on them stays conservative
+    def statsS(name: String): Option[(Array[Byte], Array[Byte])] = for {
+      col <- cols.find(_.path == name)
+      leaf <- leaves.get(name)
+      if leaf.physicalType == 6
+      if leaf.convertedType.contains(0) || leaf.convertedType.contains(4)
+      mn <- col.minValue
+      mx <- col.maxValue
+    } yield (mn, mx)
+    survivesRanges(stats, statsS, f)
   }
 
-  /** The shared disjointness test: false only when `range(column)`
+  /** The shared disjointness test: false only when the column's range
     * PROVES the comparison matches nothing; absent ranges always
-    * survive.
+    * survive. Numeric filters test against `rangeN` (ulp-widened
+    * doubles), string filters against `rangeS` — raw UTF-8 bytes
+    * compared unsigned-lexicographically, which is BOTH parquet's
+    * UTF8 stats order and Spark's string comparison (UTF-8 byte order
+    * = code point order), so the disjointness proofs transfer exactly.
     */
-  private def survivesRanges(range: String => Option[(Double, Double)],
-      f: Filter): Boolean = f match {
-    case EqualTo(c, v: Number) => range(c).forall { case (mn, mx) =>
-      v.doubleValue >= mn && v.doubleValue <= mx }
-    case GreaterThan(c, v: Number) =>
-      range(c).forall(_._2 > v.doubleValue)
-    case GreaterThanOrEqual(c, v: Number) =>
-      range(c).forall(_._2 >= v.doubleValue)
-    case LessThan(c, v: Number) =>
-      range(c).forall(_._1 < v.doubleValue)
-    case LessThanOrEqual(c, v: Number) =>
-      range(c).forall(_._1 <= v.doubleValue)
-    case _ => true // IsNotNull etc: never disjoint by construction
+  private def survivesRanges(rangeN: String => Option[(Double, Double)],
+      rangeS: String => Option[(Array[Byte], Array[Byte])],
+      f: Filter): Boolean = {
+    def b(v: String): Array[Byte] =
+      v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def cmp(x: Array[Byte], y: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(x, y)
+    f match {
+      case EqualTo(c, v: Number) => rangeN(c).forall { case (mn, mx) =>
+        v.doubleValue >= mn && v.doubleValue <= mx }
+      case EqualTo(c, v: String) => rangeS(c).forall { case (mn, mx) =>
+        cmp(b(v), mn) >= 0 && cmp(b(v), mx) <= 0 }
+      case GreaterThan(c, v: Number) =>
+        rangeN(c).forall(_._2 > v.doubleValue)
+      case GreaterThan(c, v: String) =>
+        rangeS(c).forall(r => cmp(r._2, b(v)) > 0)
+      case GreaterThanOrEqual(c, v: Number) =>
+        rangeN(c).forall(_._2 >= v.doubleValue)
+      case GreaterThanOrEqual(c, v: String) =>
+        rangeS(c).forall(r => cmp(r._2, b(v)) >= 0)
+      case LessThan(c, v: Number) =>
+        rangeN(c).forall(_._1 < v.doubleValue)
+      case LessThan(c, v: String) =>
+        rangeS(c).forall(r => cmp(r._1, b(v)) < 0)
+      case LessThanOrEqual(c, v: Number) =>
+        rangeN(c).forall(_._1 <= v.doubleValue)
+      case LessThanOrEqual(c, v: String) =>
+        rangeS(c).forall(r => cmp(r._1, b(v)) <= 0)
+      case _ => true // IsNotNull etc: never disjoint by construction
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -271,6 +271,61 @@ class GraftOrcSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("STRING-keyed filters prune stripes AND row groups from " +
+      "code-point stats, on our files AND Spark-written ones") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.OrcWrite
+    import graft.operators.OrcWrite.OwFields
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-strprune").toString
+    try {
+      // our writer, string-clustered: sym sorts lexicographically in
+      // id order, 8192-row stripes, 2048-row groups
+      val ownFile = new java.io.File(dir, "own")
+      ownFile.mkdirs()
+      val fields = Seq(OwFields.long("id"), OwFields.string("sym"))
+      val rows = (0 until 40000).iterator.map { i =>
+        Array[Any](Long.box(i.toLong), "s%05d".format(i))
+      }
+      OrcWrite.writeFile(
+        new java.io.File(ownFile, "part-00000.orc").toPath, fields,
+        rows, stripeRows = 8192, compression = 5, rowIndexStride = 2048)
+      val all = spark.read.format("graftorc").load(ownFile.toString)
+      val total = batchScan(all).inputPartitions.length
+      assert(total == 5, s"$total stripes")
+      val eq = all.filter("sym = 's30100'")
+      val parts = batchScan(eq).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftOrcPartition])
+      assert(parts.length == 1,
+        s"string equality kept ${parts.length} of $total stripes")
+      assert(parts.head.groupRange.nonEmpty,
+        "string stats should narrow to a row-group span too")
+      assert(eq.count() == 1)
+      assert(eq.head.getLong(0) == 30100L)
+      val rng = all.filter("sym >= 's35000'")
+      assert(batchScan(rng).inputPartitions.length == 1,
+        "string range should keep one stripe")
+      assert(rng.count() == 5000)
+      // Spark-written ORC (orc-core string stats, one big stripe,
+      // 10000-row default stride): row-group narrowing + row parity
+      val sparkFile = new java.io.File(dir, "sparkw").toString
+      spark.range(0, 40000).toDF("id")
+        .select(col("id"),
+          format_string("s%05d", col("id")).as("sym"))
+        .coalesce(1).sortWithinPartitions("id")
+        .write.mode("overwrite").option("compression", "zstd")
+        .orc(sparkFile)
+      val sw = spark.read.format("graftorc").load(sparkFile)
+        .filter("sym = 's30100'")
+      val swParts = batchScan(sw).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftOrcPartition])
+      assert(swParts.forall(_.groupRange.nonEmpty),
+        s"no string group pruning on ${swParts.map(_.groupRange)}")
+      assert(sw.collect().map(_.getLong(0)).toSeq == Seq(30100L))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   test("nested LIST / STRUCT / MAP columns (nulls at every level, " +
       "empty collections, list-of-struct) read row-identically to " +
       "Spark's ORC source") {

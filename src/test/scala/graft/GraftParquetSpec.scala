@@ -814,6 +814,67 @@ class GraftParquetSpec extends AnyFunSuite {
     }
   }
 
+  test("STRING-keyed filters prune row groups AND pages from UTF-8 " +
+      "byte-order stats, on our files AND Spark-written ones") {
+    import graft.operators.ParquetWrite
+    import graft.operators.ParquetWrite.PwFields
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-strprune").toFile
+    try {
+      // our writer, string-clustered: sym sorts lexicographically in
+      // id order; 8192-row groups, 1024-row pages
+      val fields = Seq(PwFields.int64("id"), PwFields.string("sym"))
+      def rows = (0 until 40000).iterator.map { i =>
+        Array[Any](Long.box(i.toLong), "s%05d".format(i))
+      }
+      val file = new java.io.File(dir, "s.parquet")
+      assert(ParquetWrite.writeFile(file.toPath, fields, rows,
+        codec = 1, rowGroupRows = 8192, pageRows = 1024) == 40000)
+      val all = spark.read.format("graftpq").load(file.toString)
+      val total = batchScan(all).inputPartitions.length
+      assert(total == 5, s"$total row groups")
+      val eq = all.filter("sym = 's30100'")
+      val parts = batchScan(eq).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+      assert(parts.length == 1,
+        s"string equality kept ${parts.length} of $total groups")
+      assert(rangeRows(parts.head) == 1024L,
+        s"string page index planned ${rangeRows(parts.head)} rows")
+      assert(eq.collect().map(_.getLong(0)).toSeq == Seq(30100L))
+      val rng = all.filter("sym >= 's35000'")
+      assert(batchScan(rng).inputPartitions.length == 1,
+        "string range should keep one row group")
+      assert(rng.count() == 5000)
+      // Spark-written file: parquet-mr string footer stats (possibly
+      // truncated — still valid bounds) + its string column indexes
+      val sdir = new java.io.File(dir, "sparkw").toString
+      val hc = spark.sparkContext.hadoopConfiguration
+      val prevB = hc.get("parquet.block.size")
+      val prevP = hc.get("parquet.page.row.count.limit")
+      hc.set("parquet.block.size", "4096")
+      hc.set("parquet.page.row.count.limit", "1000")
+      try {
+        import spark.implicits._
+        (0 until 40000).map(k => (k.toLong, "s%05d".format(k)))
+          .toDF("id", "sym").coalesce(1)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(sdir)
+        val swAll = spark.read.format("graftpq").load(sdir)
+        val swTotal = batchScan(swAll).inputPartitions.length
+        val sw = swAll.filter("sym = 's30100'")
+        val kept = batchScan(sw).inputPartitions.length
+        assert(kept < swTotal,
+          s"string stats kept $kept of $swTotal row groups")
+        assert(sw.collect().map(_.getLong(0)).toSeq == Seq(30100L))
+      } finally {
+        if (prevB == null) hc.unset("parquet.block.size")
+        else hc.set("parquet.block.size", prevB)
+        if (prevP == null) hc.unset("parquet.page.row.count.limit")
+        else hc.set("parquet.page.row.count.limit", prevP)
+      }
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
   test("page-index pruning composes with deletion vectors: skip " +
       "positions remap into the compacted row space") {
     import spark.implicits._
