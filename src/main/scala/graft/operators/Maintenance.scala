@@ -1547,28 +1547,91 @@ object Maintenance {
       df: DataFrame, upTo: Option[Long] = None): DataFrame =
     dvEntries(spark, tablePath, upTo).map(applyDv(df, _)).getOrElse(df)
 
-  /** Every recorded vector position, grouped by file basename, sorted
-    * and de-duplicated — DRIVER-side through the repo's own parquet
-    * decoder (no Spark job at scan-planning time). The vector datasets
-    * are O(deleted rows) metadata; a planner slicing them per row group
-    * ships each task only its own group's positions, the same IO shape
-    * Delta's DV descriptors have.
+  /** Every recorded vector position, grouped by file basename, sorted,
+    * de-duplicated and GAP-VARINT PACKED — DRIVER-side through the
+    * repo's own parquet decoder (no Spark job at scan-planning time).
+    * The retained planning map holds ~1–2 bytes per deleted row
+    * (ULEB128 of the first position then the successive gaps) instead
+    * of boxed 8-byte Longs — the compressed-descriptor memory shape
+    * Delta's planner keeps — and a file's positions are decoded back
+    * ([[dvUnpack]]) only when the planner slices THAT file's row
+    * groups, so the transient peak is one file's deletions, not the
+    * table's.
     */
-  def dvPositionsByFile(tablePath: String): Map[String, Array[Long]] =
-    dvVersions(tablePath).iterator.flatMap { v =>
+  def dvPackedByFile(tablePath: String): Map[String, Array[Byte]] = {
+    val perFile = new scala.collection.mutable.HashMap[String,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    dvVersions(tablePath).foreach { v =>
       Option(new java.io.File(dvDirPath(tablePath, v)).listFiles())
         .getOrElse(Array.empty[java.io.File]).toSeq
         .filter(f => f.getName.endsWith(".parquet") && f.isFile)
-        .iterator.flatMap { f =>
+        .foreach { f =>
           ParquetData.readRows(Files.readAllBytes(f.toPath),
-            Seq("__dv_file", "__dv_pos")).map { r =>
-            (String.valueOf(r(0)), r(1).asInstanceOf[Long])
+            Seq("__dv_file", "__dv_pos")).foreach { r =>
+            perFile.getOrElseUpdate(String.valueOf(r(0)),
+              new scala.collection.mutable.ArrayBuffer[Long]()) +=
+              r(1).asInstanceOf[Long]
           }
         }
-    }.toSeq.groupBy(_._1)
-      .map { case (f, ps) =>
-        f -> ps.map(_._2).distinct.sorted.toArray
+    }
+    perFile.iterator.map { case (f, buf) =>
+      val sorted = buf.toArray
+      java.util.Arrays.sort(sorted)
+      f -> dvPack(sorted)
+    }.toMap
+  }
+
+  /** ULEB128 pack of SORTED positions: the first absolute, then each
+    * gap to the previous distinct position (duplicates collapse).
+    */
+  private[graft] def dvPack(sorted: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(sorted.length + 8)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7
       }
+      out.write(v.toInt)
+    }
+    var prev = -1L
+    var i = 0
+    while (i < sorted.length) {
+      val p = sorted(i)
+      require(p >= 0, s"negative vector position $p")
+      if (p != prev) {
+        varint(if (prev < 0) p else p - prev)
+        prev = p
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode one file's packed positions back to the sorted distinct
+    * Long array (the planner calls this per file at slice time).
+    */
+  def dvUnpack(packed: Array[Byte]): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](
+      packed.length)
+    var pos = 0
+    var prev = -1L
+    while (pos < packed.length) {
+      var v = 0L
+      var shift = 0
+      var b = 0
+      do {
+        require(pos < packed.length && shift <= 63,
+          "torn packed deletion vector")
+        b = packed(pos) & 0xff
+        pos += 1
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      prev = if (prev < 0) v else prev + v
+      out += prev
+    }
+    out.toArray
+  }
 
   case class DvDeleteResult(version: Long, rowsDeleted: Long,
       filesAffected: Int, filesTotal: Int)

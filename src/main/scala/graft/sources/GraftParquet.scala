@@ -795,10 +795,12 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
         .map { case (f, m) =>
           f -> m.map { case ((_, c), r) => c -> r }
         }
-    val dvByFile: Map[String, Array[Long]] =
+    // gap-varint packed per file (~1-2 bytes per deleted row retained
+    // driver-side); a file's Longs decode only when ITS groups slice
+    val dvByFile: Map[String, Array[Byte]] =
       if (isTable &&
           graft.operators.Maintenance.outstandingDvFiles(path).nonEmpty)
-        graft.operators.Maintenance.dvPositionsByFile(path)
+        graft.operators.Maintenance.dvPackedByFile(path)
       else Map.empty
     val partColTypes = partCols.toMap
     val files: Seq[(java.io.File, Map[String, Option[String]])] =
@@ -876,8 +878,12 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       }.toMap
       // file row index (what the vectors record) is global across row
       // groups, so every group's start offset accumulates over the
-      // FULL footer order — including groups the stats then prune
-      val dvPos = dvByFile.getOrElse(f.getName, Array.emptyLongArray)
+      // FULL footer order — including groups the stats then prune;
+      // decoded HERE, per file at slice time (transient peak = one
+      // file's deletions, the retained map stays packed)
+      val dvPos = dvByFile.get(f.getName)
+        .map(graft.operators.Maintenance.dvUnpack)
+        .getOrElse(Array.emptyLongArray)
       val starts = footer.rowGroups.scanLeft(0L)(_ + _.numRows)
       // page-index reads are positional O(KB) fetches before the
       // footer; one channel per file, opened only if an index is read

@@ -1266,6 +1266,21 @@ class MaintenanceSpec extends AnyFunSuite {
       col("id") < 12) // v3
     assert(res2.rowsDeleted == 2)
     assert(Maintenance.readTable(spark, p).count() == 28)
+    // the PLANNING map is gap-varint packed: the retained shape is
+    // bytes (≈1-2 per deleted row for clustered positions, never 8-byte
+    // boxed Longs), decoding per file round-trips sorted + distinct
+    val packed = Maintenance.dvPackedByFile(p)
+    assert(packed.nonEmpty)
+    val decoded = packed.view.mapValues(Maintenance.dvUnpack).toMap
+    assert(decoded.values.map(_.length.toLong).sum == 12L,
+      "unpacked positions must cover exactly the deleted rows")
+    for ((f, ps) <- decoded) {
+      assert(ps.toSeq == ps.toSeq.distinct.sorted, s"$f not sorted")
+      // clustered low row-indexes: one ULEB byte per position + small
+      // first-position header — the O(bytes-per-row) retained shape
+      assert(packed(f).length <= ps.length + 9,
+        s"$f packed to ${packed(f).length} bytes for ${ps.length} rows")
+    }
     // rewrite paths refuse while vectors are outstanding
     intercept[IllegalStateException] {
       Maintenance.deleteRange(spark, p, "id", 20.0, 25.0)
