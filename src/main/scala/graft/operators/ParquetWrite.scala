@@ -97,6 +97,45 @@ object ParquetWrite {
   final case class PwMapCol(name: String, key: PwField, value: PwField)
     extends PwCol
 
+  /** ARBITRARY-DEPTH nested column (the general shape behind
+    * [[PwTreeCol]]): any combination of struct / 3-level LIST /
+    * 3-level MAP over leaves, shredded by the generic Dremel walker —
+    * the write-side twin of the read path's
+    * [[sources.GraftParquet]] TreePlan (and of [[OrcWrite]]'s
+    * depth-unlimited tree shredder). Values carried as: struct →
+    * Array[Any] aligned with fields; list → Seq[Any]; map →
+    * Seq[(Any, Any)]; every node optional except map keys (REQUIRED
+    * per the spec).
+    */
+  sealed trait PwNode extends Serializable { def name: String }
+  final case class PwLeafNode(field: PwField) extends PwNode {
+    def name: String = field.name
+  }
+  final case class PwStructNode(name: String, fields: Seq[PwNode])
+    extends PwNode
+  final case class PwListNode(name: String, element: PwNode)
+    extends PwNode
+  final case class PwMapNode(name: String, key: PwField, value: PwNode)
+    extends PwNode
+  final case class PwTreeCol(name: String, root: PwNode) extends PwCol
+
+  private def renameNode(n: PwNode, nm: String): PwNode = n match {
+    case PwLeafNode(f) => PwLeafNode(f.copy(name = nm))
+    case s: PwStructNode => s.copy(name = nm)
+    case l: PwListNode => l.copy(name = nm)
+    case m: PwMapNode => m.copy(name = nm)
+  }
+
+  /** SchemaElement count of one node subtree (LIST adds its repeated
+    * `list` group, MAP its `key_value` group + key leaf).
+    */
+  private def nodeCount(n: PwNode): Int = n match {
+    case _: PwLeafNode => 1
+    case s: PwStructNode => 1 + s.fields.map(nodeCount).sum
+    case l: PwListNode => 2 + nodeCount(l.element)
+    case m: PwMapNode => 3 + nodeCount(m.value)
+  }
+
   // thrift compact element types (mirror of ParquetFooter's TReader)
   private val T_TRUE = 1
   private val T_I32 = 5
@@ -462,8 +501,9 @@ object ParquetWrite {
       rowGroupRows, pageRows)
 
   /** The general write surface: flat leaves plus the nested [[PwCol]]
-    * shapes (one-level struct, 3-level LIST, 3-level MAP), shredded
-    * into Dremel level streams per the record-shredding model.
+    * shapes — one-level struct, 3-level LIST, 3-level MAP, and the
+    * arbitrary-depth [[PwTreeCol]] node trees — shredded into Dremel
+    * level streams per the record-shredding model.
     */
   def writeColumns(path: java.nio.file.Path, cols: Seq[PwCol],
       rows: Iterator[Array[Any]], codec: Int = 1,
@@ -877,6 +917,157 @@ object ParquetWrite {
             levelChunk(Seq(mp.name, "key_value", "value"), mp.value, 3,
               1, vDefs.toArray, repArr, vDense, rowCounts))
         }
+        // the GENERAL tree shredder: one pass per row walks the value
+        // against the node tree, emitting (rep, def) entries — and
+        // dense values at the leaves — into per-leaf accumulators; a
+        // null/empty at any node emits ONE entry carrying that node's
+        // def level to EVERY leaf beneath it (the Dremel record
+        // shredding model at arbitrary depth)
+        def shredTree(tc: PwTreeCol, c: Int, nRows: Int)
+            : Seq[ChunkInfo] = {
+          final class LeafAcc(val path: Seq[String], val field: PwField,
+              val maxDef: Int, val maxRep: Int) {
+            val defs = new scala.collection.mutable.ArrayBuffer[Int]()
+            val reps = new scala.collection.mutable.ArrayBuffer[Int]()
+            val dense = new scala.collection.mutable.ArrayBuffer[Any]()
+            val rowCounts = new Array[Int](nRows)
+          }
+          val accs = new scala.collection.mutable.ArrayBuffer[LeafAcc]()
+          // compile the node tree into emitters; `defBase` = def level
+          // with every ancestor present, `repLevel` = the node's own
+          // 1-based repeated depth (lists/maps), `rep` at emit time =
+          // the level this entry continues at
+          sealed trait Em {
+            def lo: Int
+            def hi: Int
+            def emitValue(v: Any, rep: Int): Unit
+          }
+          def emitNullRange(lo: Int, hi: Int, rep: Int, d: Int): Unit = {
+            var i = lo
+            while (i < hi) {
+              accs(i).defs += d
+              accs(i).reps += rep
+              i += 1
+            }
+          }
+          def compile(n: PwNode, prefix: Seq[String], defBase: Int,
+              repBase: Int): Em = n match {
+            case PwLeafNode(f) =>
+              val acc = new LeafAcc(prefix :+ f.name, f, defBase + 1,
+                repBase)
+              val idx = accs.length
+              accs += acc
+              new Em {
+                val lo = idx
+                val hi = idx + 1
+                def emitValue(v: Any, rep: Int): Unit = {
+                  acc.reps += rep
+                  if (v == null) acc.defs += defBase
+                  else { acc.defs += defBase + 1; acc.dense += v }
+                }
+              }
+            case PwStructNode(nm, fs) =>
+              val l0 = accs.length
+              val kids = fs.map(k =>
+                compile(k, prefix :+ nm, defBase + 1, repBase))
+              new Em {
+                val lo = l0
+                val hi = accs.length
+                def emitValue(v: Any, rep: Int): Unit = v match {
+                  case null => emitNullRange(lo, hi, rep, defBase)
+                  case arr: Array[Any] =>
+                    require(arr.length == kids.length,
+                      s"struct '$nm' arity ${arr.length}")
+                    var i = 0
+                    while (i < kids.length) {
+                      kids(i).emitValue(arr(i), rep); i += 1
+                    }
+                  case x => throw new IllegalArgumentException(
+                    s"struct '$nm' got ${x.getClass.getName}")
+                }
+              }
+            case PwListNode(nm, e) =>
+              val l0 = accs.length
+              val myRep = repBase + 1
+              val elem = compile(renameNode(e, "element"),
+                prefix :+ nm :+ "list", defBase + 2, myRep)
+              new Em {
+                val lo = l0
+                val hi = accs.length
+                def emitValue(v: Any, rep: Int): Unit = v match {
+                  case null => emitNullRange(lo, hi, rep, defBase)
+                  case s: scala.collection.Seq[_] =>
+                    if (s.isEmpty)
+                      emitNullRange(lo, hi, rep, defBase + 1)
+                    else {
+                      var first = true
+                      for (x <- s) {
+                        elem.emitValue(x, if (first) rep else myRep)
+                        first = false
+                      }
+                    }
+                  case x => throw new IllegalArgumentException(
+                    s"list '$nm' got ${x.getClass.getName}")
+                }
+              }
+            case PwMapNode(nm, k, v) =>
+              val l0 = accs.length
+              val myRep = repBase + 1
+              val kAcc = new LeafAcc(
+                prefix :+ nm :+ "key_value" :+ "key",
+                k.copy(name = "key"), defBase + 2, myRep)
+              accs += kAcc
+              val valueEm = compile(renameNode(v, "value"),
+                prefix :+ nm :+ "key_value", defBase + 2, myRep)
+              new Em {
+                val lo = l0
+                val hi = accs.length
+                def emitValue(x: Any, rep: Int): Unit = x match {
+                  case null => emitNullRange(lo, hi, rep, defBase)
+                  case s: scala.collection.Seq[_] =>
+                    if (s.isEmpty)
+                      emitNullRange(lo, hi, rep, defBase + 1)
+                    else {
+                      var first = true
+                      for (kv <- s) {
+                        val (key, value) = kv match {
+                          case p: (_, _) => (p._1, p._2)
+                          case y => throw new IllegalArgumentException(
+                            s"map '$nm' entry ${y.getClass.getName}")
+                        }
+                        require(key != null, s"map '$nm' null key")
+                        val r = if (first) rep else myRep
+                        kAcc.reps += r
+                        kAcc.defs += defBase + 2 // REQUIRED key
+                        kAcc.dense += key
+                        valueEm.emitValue(value, r)
+                        first = false
+                      }
+                    }
+                  case y => throw new IllegalArgumentException(
+                    s"map '$nm' got ${y.getClass.getName}")
+                }
+              }
+          }
+          val root = compile(tc.root, Nil, 0, 0)
+          var r = 0
+          while (r < nRows) {
+            val before = accs.map(_.defs.length)
+            root.emitValue(batch(r)(c), 0)
+            var i = 0
+            while (i < accs.length) {
+              accs(i).rowCounts(r) = accs(i).defs.length - before(i)
+              i += 1
+            }
+            r += 1
+          }
+          accs.toSeq.map { a =>
+            levelChunk(a.path, a.field, a.maxDef, a.maxRep,
+              a.defs.toArray,
+              if (a.maxRep > 0) a.reps.toArray else null,
+              a.dense, a.rowCounts)
+          }
+        }
         val chunks: Seq[ChunkInfo] =
           fields.zipWithIndex.flatMap { case (colDef, c) =>
             colDef match {
@@ -884,6 +1075,7 @@ object ParquetWrite {
               case st: PwStructCol => shredStruct(st, c, nRows)
               case ls: PwListCol => Seq(shredList(ls, c, nRows))
               case mp: PwMapCol => shredMap(mp, c, nRows)
+              case tc: PwTreeCol => shredTree(tc, c, nRows)
             }
           }
         groups += GroupInfo(nRows.toLong, chunks)
@@ -965,6 +1157,7 @@ object ParquetWrite {
         case s: PwStructCol => 1 + s.fields.length
         case _: PwListCol => 3
         case _: PwMapCol => 4
+        case t: PwTreeCol => nodeCount(t.root)
       }.sum
       w.listHeader(2, T_STRUCT, schemaCount) // schema
       w.structBegin() // root SchemaElement
@@ -994,6 +1187,21 @@ object ParquetWrite {
         converted.foreach(ct => w.i32(6, ct))
         w.structEnd()
       }
+      def emitNode(n: PwNode, repetition: Int): Unit = n match {
+        case PwLeafNode(f) => leafElement(f, repetition)
+        case PwStructNode(nm, fs) =>
+          groupElement(nm, repetition, fs.length, None)
+          for (k <- fs) emitNode(k, 1)
+        case PwListNode(nm, e) => // 3-level LIST (LogicalTypes.md)
+          groupElement(nm, repetition, 1, Some(3))
+          groupElement("list", 2, 1, None) // REPEATED
+          emitNode(renameNode(e, "element"), 1)
+        case PwMapNode(nm, k, v) => // 3-level MAP
+          groupElement(nm, repetition, 1, Some(1))
+          groupElement("key_value", 2, 2, None) // REPEATED
+          leafElement(k.copy(name = "key"), 0) // REQUIRED
+          emitNode(renameNode(v, "value"), 1)
+      }
       for (colDef <- fields) colDef match {
         case PwLeafCol(f) => leafElement(f, 1) // OPTIONAL
         case st: PwStructCol =>
@@ -1008,6 +1216,7 @@ object ParquetWrite {
           groupElement("key_value", 2, 2, None) // REPEATED
           leafElement(mp.key.copy(name = "key"), 0) // REQUIRED
           leafElement(mp.value.copy(name = "value"), 1)
+        case tc: PwTreeCol => emitNode(tc.root, 1)
       }
       w.i64(3, total) // num_rows
       w.listHeader(4, T_STRUCT, gs.length) // row_groups
@@ -1113,21 +1322,54 @@ object ParquetWrite {
       : Seq[PwField] =
     schema.fields.toSeq.map(f => leafFieldOf(f.name, f.dataType))
 
-  /** Map a Spark schema (flat leaves + one-level struct / array / map
-    * of leaves) to writer columns.
+  private def isLeafSparkType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    }
+  }
+
+  /** Map one Spark type (any nesting) to a writer node tree. */
+  private def nodeOf(name: String,
+      dt: org.apache.spark.sql.types.DataType): PwNode = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => PwStructNode(name,
+        st.fields.toSeq.map(g => nodeOf(g.name, g.dataType)))
+      case ArrayType(et, _) => PwListNode(name, nodeOf("element", et))
+      case MapType(kt, vt, _) =>
+        require(isLeafSparkType(kt),
+          s"parquet writer: map '$name' non-leaf key unsupported")
+        PwMapNode(name, leafFieldOf("key", kt), nodeOf("value", vt))
+      case t => PwLeafNode(leafFieldOf(name, t))
+    }
+  }
+
+  /** Map a Spark schema to writer columns: the one-level shapes keep
+    * their specialized columns, everything deeper (list-of-list,
+    * list-of-map, lists/maps inside structs, nested map values…)
+    * routes to the generic [[PwTreeCol]] tree shredder.
     */
   def columnsOf(schema: org.apache.spark.sql.types.StructType)
       : Seq[PwCol] = {
     import org.apache.spark.sql.types._
     schema.fields.toSeq.map { f =>
       f.dataType match {
-        case st: StructType => PwStructCol(f.name,
-          st.fields.toSeq.map(g => leafFieldOf(g.name, g.dataType)))
-        case ArrayType(et, _) =>
+        case st: StructType
+            if st.fields.forall(g => isLeafSparkType(g.dataType)) =>
+          PwStructCol(f.name,
+            st.fields.toSeq.map(g => leafFieldOf(g.name, g.dataType)))
+        case ArrayType(et, _) if isLeafSparkType(et) =>
           PwListCol(f.name, leafFieldOf("element", et))
-        case MapType(kt, vt, _) => PwMapCol(f.name,
-          leafFieldOf("key", kt), leafFieldOf("value", vt))
-        case dt => PwLeafCol(leafFieldOf(f.name, dt))
+        case MapType(kt, vt, _)
+            if isLeafSparkType(kt) && isLeafSparkType(vt) =>
+          PwMapCol(f.name,
+            leafFieldOf("key", kt), leafFieldOf("value", vt))
+        case dt if isLeafSparkType(dt) =>
+          PwLeafCol(leafFieldOf(f.name, dt))
+        case dt => PwTreeCol(f.name, nodeOf(f.name, dt))
       }
     }
   }
@@ -1189,42 +1431,44 @@ object ParquetWrite {
     val schema = df.schema
     val target = new java.io.File(dir)
     target.mkdirs()
-    val adapt: Array[Any => Any] = schema.fields.map[Any => Any] { f =>
-      f.dataType match {
-        case st: StructType =>
-          val ads = st.fields.map(g => valueAdapt(g.dataType, g.name))
-          locally {
-            case null => null
-            case r: org.apache.spark.sql.Row =>
-              Array.tabulate[Any](ads.length)(i =>
-                if (r.isNullAt(i)) null else ads(i)(r.get(i)))
-            case x => throw new IllegalArgumentException(
-              s"struct column '${f.name}' got ${x.getClass.getName}")
-          }
-        case ArrayType(et, _) =>
-          val ad = valueAdapt(et, f.name)
-          locally {
-            case null => null
-            case s: scala.collection.Seq[_] =>
-              s.map[Any](v => if (v == null) null else ad(v))
-            case x => throw new IllegalArgumentException(
-              s"array column '${f.name}' got ${x.getClass.getName}")
-          }
-        case MapType(kt, vt, _) =>
-          val kad = valueAdapt(kt, f.name)
-          val vad = valueAdapt(vt, f.name)
-          locally {
-            case null => null
-            case m: scala.collection.Map[_, _] =>
-              m.toSeq.map[(Any, Any)] { case (k, v) =>
-                (kad(k), if (v == null) null else vad(v))
-              }
-            case x => throw new IllegalArgumentException(
-              s"map column '${f.name}' got ${x.getClass.getName}")
-          }
-        case dt => valueAdapt(dt, f.name)
-      }
+    // recursive Spark-value → writer-representation adapter (struct →
+    // Array[Any], list → Seq, map → Seq[(k,v)], to ANY depth)
+    def deepAdapt(dt: DataType, name: String): Any => Any = dt match {
+      case st: StructType =>
+        val ads = st.fields.map(g => deepAdapt(g.dataType, g.name))
+        locally {
+          case null => null
+          case r: org.apache.spark.sql.Row =>
+            Array.tabulate[Any](ads.length)(i =>
+              if (r.isNullAt(i)) null else ads(i)(r.get(i)))
+          case x => throw new IllegalArgumentException(
+            s"struct column '$name' got ${x.getClass.getName}")
+        }
+      case ArrayType(et, _) =>
+        val ad = deepAdapt(et, name)
+        locally {
+          case null => null
+          case s: scala.collection.Seq[_] =>
+            s.map[Any](v => if (v == null) null else ad(v))
+          case x => throw new IllegalArgumentException(
+            s"array column '$name' got ${x.getClass.getName}")
+        }
+      case MapType(kt, vt, _) =>
+        val kad = deepAdapt(kt, name)
+        val vad = deepAdapt(vt, name)
+        locally {
+          case null => null
+          case m: scala.collection.Map[_, _] =>
+            m.toSeq.map[(Any, Any)] { case (k, v) =>
+              (kad(k), if (v == null) null else vad(v))
+            }
+          case x => throw new IllegalArgumentException(
+            s"map column '$name' got ${x.getClass.getName}")
+        }
+      case t => valueAdapt(t, name)
     }
+    val adapt: Array[Any => Any] =
+      schema.fields.map[Any => Any](f => deepAdapt(f.dataType, f.name))
     val counts = df.rdd.mapPartitionsWithIndex { (i, it) =>
       val f = new java.io.File(target, f"part-$i%05d.parquet")
       val rows = it.map { row =>

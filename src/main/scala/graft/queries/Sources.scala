@@ -1723,9 +1723,23 @@ object Sources {
       s"graft-pqdeep-${graft.Tables.fingerprint(dir, "events")}")
       .getAbsolutePath
     if (!new java.io.File(tmp, "_SUCCESS").exists()) {
-      val id = col("event_id")
-      t(s, dir, "events")
-        .select(id, col("event_type"),
+      deepNestedEvents(s, dir)
+        .repartition(2, col("event_id"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp)
+    }
+    tmp
+  }
+
+  /** The shared deep-nested projection over events (the s43/s44
+    * input shapes: list-of-list, struct-containing-list, map values
+    * that are structs containing lists — nulls/empties everywhere).
+    */
+  private def deepNestedEvents(s: SparkSession, dir: String)
+      : DataFrame = {
+    val id = col("event_id")
+    t(s, dir, "events")
+      .select(id, col("event_type"),
           when(id % 10 === 0, lit(null))
             .otherwise(when(id % 10 === 1,
               array().cast("array<array<bigint>>"))
@@ -1753,9 +1767,20 @@ object Sources {
                 .otherwise(struct((id % 23).cast("long").as("a"),
                   array((id % 3).cast("long")).as("ys")))))
             .as("ms"))
-        .repartition(2, id)
-        .write.mode("overwrite").option("compression", "zstd")
-        .parquet(tmp)
+  }
+
+  /** Build-once fixture WRITTEN by the from-scratch ParquetWrite tree
+    * shredder (the s44 input) — the write-side twin of
+    * [[ensureDeepPqFixture]], same deep shapes, our pages/levels.
+    */
+  def ensureDeepWriteFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqdeepw-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      graft.operators.ParquetWrite.writeDataFrame(
+        deepNestedEvents(s, dir).repartition(2, col("event_id")),
+        tmp, codec = 6, rowGroupRows = 8192, pageRows = 2048)
     }
     tmp
   }
@@ -1767,11 +1792,22 @@ object Sources {
   // thresholds keep null-ancestor / null-value / empty-collection
   // apart at EVERY level. The oracle re-derives each aggregate from
   // the source table's closed forms.
-  private def s43PqDeepnested(s: SparkSession, dir: String): DataFrame = {
-    val tmp = ensureDeepPqFixture(s, dir)
+  private def s43PqDeepnested(s: SparkSession, dir: String): DataFrame =
+    deepNestedAgg(
+      s.read.format("graftpq").load(ensureDeepPqFixture(s, dir)))
+
+  // S44: the WRITE-side twin — the same deep shapes land through
+  // ParquetWrite's generic tree shredder (arbitrary-depth Dremel
+  // level streams, our pages and codecs) and the INDEPENDENT reader
+  // (Spark/parquet-mr) scans them; the oracle re-derives the same
+  // closed forms, so a shredding bug cannot cancel against a
+  // matching read-side bug.
+  private def s44PqDeepwrite(s: SparkSession, dir: String): DataFrame =
+    deepNestedAgg(s.read.parquet(ensureDeepWriteFixture(s, dir)))
+
+  private def deepNestedAgg(df: DataFrame): DataFrame = {
     val ll = col("ll")
-    s.read.format("graftpq").load(tmp)
-      .groupBy(col("event_type"))
+    df.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(when(ll.isNull, 1).otherwise(0)).as("n_null_ll"),
         sum(coalesce(size(ll), lit(0))).as("n_inner"),
@@ -2138,7 +2174,8 @@ object Sources {
     "s40_pq_liststruct" -> s40ListStruct _,
     "s41_orc_rowgroup" -> s41OrcRowgroup _,
     "s42_pq_pageindex" -> s42PqPageindex _,
-    "s43_pq_deepnested" -> s43PqDeepnested _
+    "s43_pq_deepnested" -> s43PqDeepnested _,
+    "s44_pq_deepwrite" -> s44PqDeepwrite _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2178,6 +2215,7 @@ object Sources {
     "s40_pq_liststruct" -> s40ListStructSql,
     "s41_orc_rowgroup" -> s41OrcRowgroupSql,
     "s42_pq_pageindex" -> s42PqPageindexSql,
-    "s43_pq_deepnested" -> s43PqDeepnestedSql
+    "s43_pq_deepnested" -> s43PqDeepnestedSql,
+    "s44_pq_deepwrite" -> s43PqDeepnestedSql // same closed forms
   )
 }

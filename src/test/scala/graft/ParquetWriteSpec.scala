@@ -355,6 +355,87 @@ class ParquetWriteSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
 
+  test("DEEP nesting writes through the generic tree shredder: " +
+      "list-of-list, list-of-map, struct-containing-list/map, nested " +
+      "map values — parquet-mr AND graftpq read back row-identically") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("deepnested")
+    try {
+      val df = spark.range(0, 6000).toDF("id")
+        .select(col("id"),
+          // list<list<bigint>> with nulls/empties at both depths
+          when(col("id") % 11 === 0, lit(null))
+            .otherwise(when(col("id") % 11 === 1,
+              array().cast("array<array<bigint>>"))
+              .otherwise(array(
+                sequence(lit(1L), col("id") % 3 + 1),
+                when(col("id") % 4 === 0, lit(null))
+                  .otherwise(when(col("id") % 4 === 1,
+                    array().cast("array<bigint>"))
+                    .otherwise(array(col("id") * 2,
+                      when(col("id") % 5 === 0, lit(null))
+                        .otherwise(col("id") % 7)))))))
+            .as("ll"),
+          // list<map<string,bigint>>
+          when(col("id") % 9 === 0, lit(null))
+            .otherwise(array(
+              map(lit("a"), col("id") % 13),
+              when(col("id") % 6 === 0,
+                lit(null).cast("map<string,bigint>"))
+                .otherwise(map(lit("z"),
+                  when(col("id") % 7 === 0, lit(null))
+                    .otherwise(col("id") % 17)))))
+            .as("lm"),
+          // struct containing a list AND a map AND a flat field
+          when(col("id") % 13 === 0, lit(null))
+            .otherwise(struct(
+              (col("id") % 97).as("u"),
+              when(col("id") % 5 === 0, lit(null))
+                .otherwise(array(concat(lit("s"), col("id") % 4),
+                  when(col("id") % 3 === 0, lit(null))
+                    .otherwise(concat(lit("t"), col("id") % 6))))
+                .as("tags"),
+              when(col("id") % 8 === 0, lit(null))
+                .otherwise(map(lit("m"), col("id") % 19)).as("mm")))
+            .as("st"),
+          // map<string, struct<a:bigint, xs:array<bigint>>>
+          when(col("id") % 10 === 0, lit(null))
+            .otherwise(map(
+              lit("v"),
+              when(col("id") % 7 === 0,
+                lit(null).cast("struct<a:bigint,xs:array<bigint>>"))
+                .otherwise(struct((col("id") % 23).as("a"),
+                  when(col("id") % 4 === 0, lit(null))
+                    .otherwise(sequence(lit(0L), col("id") % 2 + 1))
+                    .as("xs")))))
+            .as("ms"))
+        .coalesce(2)
+      val n = ParquetWrite.writeDataFrame(df, dir.toString, codec = 6,
+        rowGroupRows = 2500, pageRows = 600)
+      assert(n == 6000)
+      val cols = Seq("id", "ll", "lm", "st", "ms")
+      val want = df.collect().toSeq.map(_.toSeq)
+        .sortBy(_.head.asInstanceOf[Long])
+      val viaMr = spark.read.parquet(dir.toString)
+        .select(cols.map(col): _*).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(viaMr.size == want.size)
+      for ((x, g) <- want.zip(viaMr)) assert(x == g, s"mr: $x vs $g")
+      val viaOwn = spark.read.format("graftpq").load(dir.toString)
+        .select(cols.map(col): _*).collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      for ((x, g) <- want.zip(viaOwn)) assert(x == g, s"own: $x vs $g")
+      // schema parity through the independent reader (every level
+      // re-read as the written LIST/MAP/struct annotations)
+      assert(spark.read.parquet(dir.toString)
+        .schema(cols.indexOf("ll")).dataType ==
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = true),
+          containsNull = true))
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
+
   test("PAGE INDEXES are real: parquet-mr reads the written " +
       "ColumnIndex/OffsetIndex back and its column-index filter " +
       "SKIPS pages (filtered record count = one page, not the file)") {
