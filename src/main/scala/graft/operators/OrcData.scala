@@ -65,7 +65,10 @@ object OrcData {
     * that kind — never prune on it.
     */
   final case class OrcColStat(min: Option[Double], max: Option[Double],
-      minS: Option[String] = None, maxS: Option[String] = None)
+      minS: Option[String] = None, maxS: Option[String] = None,
+      // numberOfValues counts NON-NULL values; hasNull is the
+      // explicit flag — together they let IsNull/IsNotNull prune
+      nonNull: Option[Long] = None, hasNull: Option[Boolean] = None)
 
   /** Everything scan PLANNING needs, from tail bytes only: the stripe
     * directory + type tree, plus per-stripe per-column min/max ranges
@@ -255,8 +258,12 @@ object OrcData {
     var mx: Option[Double] = None
     var mnS: Option[String] = None
     var mxS: Option[String] = None
+    var nonNull: Option[Long] = None
+    var hasNull: Option[Boolean] = None
     cs.message { (cid, cw) =>
       cid match {
+        case 1 => nonNull = Some(cs.varint()) // numberOfValues
+        case 10 => hasNull = Some(cs.varint() != 0)
         case 2 => // IntegerStatistics
           val is = cs.sub()
           is.message { (iid, iw) =>
@@ -301,7 +308,7 @@ object OrcData {
         case _ => cs.skip(cw)
       }
     }
-    OrcColStat(mn, mx, mnS, mxS)
+    OrcColStat(mn, mx, mnS, mxS, nonNull, hasNull)
   }
 
   /** One column's decoded ROW_INDEX stream: per row group, the seek

@@ -1704,6 +1704,34 @@ object Sources {
       .orderBy(col("event_type"))
   }
 
+  // S45: the wider pushdown family end-to-end — IN (disjunction over
+  // stats), LIKE-prefix (StringStartsWith fences) and IS NOT NULL all
+  // prune groups/pages at the graftpq scan, and Spark re-evaluates
+  // them row-exactly; the oracle re-applies the same predicates.
+  private def s45PqFilters(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureSortedPqFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .filter(col("user_id").isin(10, 20, 30, 40) &&
+        col("event_type").startsWith("c") &&
+        col("cents").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s45PqFiltersSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events
+      |WHERE user_id IN (10,20,30,40) AND event_type LIKE 'c%'
+      |  AND round(value*100) IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val s42PqPageindexSql =
     """SELECT event_type, count(*) AS n,
       |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
@@ -2175,7 +2203,8 @@ object Sources {
     "s41_orc_rowgroup" -> s41OrcRowgroup _,
     "s42_pq_pageindex" -> s42PqPageindex _,
     "s43_pq_deepnested" -> s43PqDeepnested _,
-    "s44_pq_deepwrite" -> s44PqDeepwrite _
+    "s44_pq_deepwrite" -> s44PqDeepwrite _,
+    "s45_pq_filters" -> s45PqFilters _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2216,6 +2245,7 @@ object Sources {
     "s41_orc_rowgroup" -> s41OrcRowgroupSql,
     "s42_pq_pageindex" -> s42PqPageindexSql,
     "s43_pq_deepnested" -> s43PqDeepnestedSql,
-    "s44_pq_deepwrite" -> s43PqDeepnestedSql // same closed forms
+    "s44_pq_deepwrite" -> s43PqDeepnestedSql, // same closed forms
+    "s45_pq_filters" -> s45PqFiltersSql
   )
 }

@@ -7,8 +7,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -181,11 +182,16 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
         (stringCol(c) && v.isInstanceOf[String])
     def prunable(f: Filter): Boolean = f match {
       case EqualTo(c, v) => ok(c, v)
+      case EqualNullSafe(c, v) => v == null || ok(c, v)
       case GreaterThan(c, v) => ok(c, v)
       case GreaterThanOrEqual(c, v) => ok(c, v)
       case LessThan(c, v) => ok(c, v)
       case LessThanOrEqual(c, v) => ok(c, v)
       case IsNotNull(c) => numericCol(c) || stringCol(c)
+      case IsNull(c) => numericCol(c) || stringCol(c)
+      case In(c, vs) => vs != null &&
+        vs.forall(v => v == null || ok(c, v))
+      case StringStartsWith(c, p) => p != null && stringCol(c)
       case _ => false
     }
     pushed = filters.filter(prunable)
@@ -286,15 +292,8 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
                   gs.get(id).map(n -> _)
                 }
               val alive = (0 until nGroups).filter { g =>
-                pushed.forall { flt =>
-                  survivesRanges(c => byName.get(c)
-                    .flatMap(_.lift(g)).flatMap(st =>
-                      st.min.zip(st.max).map { case (mn, mx) =>
-                        (Math.nextDown(mn), Math.nextUp(mx))
-                      }),
-                    c => byName.get(c).flatMap(_.lift(g))
-                      .flatMap(st => st.minS.zip(st.maxS)), flt)
-                }
+                pushed.forall(survivesStat(
+                  c => byName.get(c).flatMap(_.lift(g)), _))
               }
               if (alive.isEmpty) None // every group disjoint: drop
               else Some((alive.head, alive.last + 1))
@@ -315,30 +314,27 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
     */
   private def survives(stats: Seq[OrcColStat],
       idByName: Map[String, Int], f: Filter): Boolean =
-    survivesRanges(name => for {
-      id <- idByName.get(name)
-      st <- stats.lift(id)
-      mn <- st.min
-      mx <- st.max
-      // One ulp of slack: integer stats widened to double can round at
-      // 2^53, and a rounded bound must stay conservative (see
-      // Maintenance.footerRanges).
-    } yield (Math.nextDown(mn), Math.nextUp(mx)),
-      name => for {
-        id <- idByName.get(name)
-        st <- stats.lift(id)
-        mn <- st.minS
-        mx <- st.maxS
-      } yield (mn, mx), f)
+    survivesStat(name =>
+      idByName.get(name).flatMap(stats.lift), f)
 
-  /** Numeric filters test against `rangeN` (ulp-widened doubles),
-    * string filters against `rangeS` — UTF-8 bytes compared
-    * unsigned-lexicographically, which is BOTH ORC's code-point stats
-    * order and Spark's string comparison, so the proofs transfer.
+  /** The disjointness test over one [[OrcColStat]] lookup: numeric
+    * filters compare ulp-widened double bounds (integer stats widened
+    * to double can round at 2^53 — a rounded bound must stay
+    * conservative, see Maintenance.footerRanges), string filters
+    * compare UTF-8 bytes unsigned-lexicographically (= ORC's
+    * code-point stats order = Spark's string order, so the proofs
+    * transfer), IsNull/IsNotNull read hasNull/numberOfValues, In is a
+    * disjunction, StringStartsWith prunes when the range sorts wholly
+    * below the prefix or at/above its tight upper fence.
     */
-  private def survivesRanges(
-      rangeN: String => Option[(Double, Double)],
-      rangeS: String => Option[(String, String)], f: Filter): Boolean = {
+  private def survivesStat(stat: String => Option[OrcColStat],
+      f: Filter): Boolean = {
+    def rangeN(c: String): Option[(Double, Double)] =
+      stat(c).flatMap(st => st.min.zip(st.max)).map {
+        case (mn, mx) => (Math.nextDown(mn), Math.nextUp(mx))
+      }
+    def rangeS(c: String): Option[(String, String)] =
+      stat(c).flatMap(st => st.minS.zip(st.maxS))
     def b(v: String): Array[Byte] =
       v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def cmp(x: String, y: String): Int =
@@ -348,6 +344,10 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
         v.doubleValue >= mn && v.doubleValue <= mx }
       case EqualTo(c, v: String) => rangeS(c).forall { case (mn, mx) =>
         cmp(v, mn) >= 0 && cmp(v, mx) <= 0 }
+      case EqualNullSafe(c, null) => // <=> null: matches only nulls
+        stat(c).forall(_.hasNull.getOrElse(true))
+      case EqualNullSafe(c, v) =>
+        survivesStat(stat, EqualTo(c, v))
       case GreaterThan(c, v: Number) =>
         rangeN(c).forall(_._2 > v.doubleValue)
       case GreaterThan(c, v: String) =>
@@ -364,17 +364,48 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
         rangeN(c).forall(_._1 <= v.doubleValue)
       case LessThanOrEqual(c, v: String) =>
         rangeS(c).forall(r => cmp(r._1, v) <= 0)
-      case _ => true // IsNotNull etc: never disjoint by construction
+      case IsNull(c) => // prune only when hasNull is EXPLICITLY false
+        stat(c).forall(_.hasNull.getOrElse(true))
+      case IsNotNull(c) => // prune only an all-null container
+        stat(c).forall(_.nonNull.forall(_ > 0))
+      case In(c, vs) =>
+        // SQL IN: null members match no row; an all-null/empty member
+        // list matches nothing anywhere
+        val live = vs.filter(_ != null)
+        live.nonEmpty && live.exists(v =>
+          survivesStat(stat, EqualTo(c, v)))
+      case StringStartsWith(c, p) => rangeS(c).forall {
+        case (mn, mx) =>
+          val pb = b(p)
+          val upper = { // tight fence above every p-prefixed string
+            var i = pb.length - 1
+            while (i >= 0 && pb(i) == -1) i -= 1
+            if (i < 0) None
+            else {
+              val u = java.util.Arrays.copyOf(pb, i + 1)
+              u(i) = (u(i) + 1).toByte
+              Some(u)
+            }
+          }
+          java.util.Arrays.compareUnsigned(b(mx), pb) >= 0 &&
+            upper.forall(u =>
+              java.util.Arrays.compareUnsigned(b(mn), u) < 0)
+      }
+      case _ => true // unknown forms: never disjoint by construction
     }
   }
 
   private def colsOf(f: Filter): Seq[String] = f match {
     case EqualTo(c, _) => Seq(c)
+    case EqualNullSafe(c, _) => Seq(c)
     case GreaterThan(c, _) => Seq(c)
     case GreaterThanOrEqual(c, _) => Seq(c)
     case LessThan(c, _) => Seq(c)
     case LessThanOrEqual(c, _) => Seq(c)
-    case _ => Nil // IsNotNull never prunes a group
+    case IsNull(c) => Seq(c)
+    case In(c, _) => Seq(c)
+    case StringStartsWith(c, _) => Seq(c)
+    case _ => Nil // IsNotNull alone rarely prunes a group
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -9,8 +9,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter,
+  GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -703,11 +704,16 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
         (stringCol(c) && v.isInstanceOf[String])
     def prunable(f: Filter): Boolean = f match {
       case EqualTo(c, v) => ok(c, v)
+      case EqualNullSafe(c, v) => v == null || ok(c, v)
       case GreaterThan(c, v) => ok(c, v)
       case GreaterThanOrEqual(c, v) => ok(c, v)
       case LessThan(c, v) => ok(c, v)
       case LessThanOrEqual(c, v) => ok(c, v)
       case IsNotNull(c) => numericCol(c) || stringCol(c)
+      case IsNull(c) => numericCol(c) || stringCol(c)
+      case In(c, vs) => vs != null &&
+        vs.forall(v => v == null || ok(c, v))
+      case StringStartsWith(c, p) => p != null && stringCol(c)
       case _ => false
     }
     pushed = filters.filter(prunable)
@@ -822,10 +828,15 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
           val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           (b, b)
         }
-      pushed.forall(survivesRanges(partRange, partRangeS, _)) &&
+      // a partition value holds for EVERY row of the file: None (the
+      // __HIVE_DEFAULT_PARTITION__ dir) = all null, a value = none
+      def partNulls(c: String): Option[(Long, Long)] =
+        partVals.get(c).map(raw => if (raw.isEmpty) (1L, 1L) else (0L, 1L))
+      pushed.forall(survivesRanges(partRange, partRangeS, partNulls, _)) &&
       (manifest.get(f.getName) match {
         case Some(ranges) =>
-          pushed.forall(survivesRanges(ranges.get _, _ => None, _))
+          pushed.forall(
+            survivesRanges(ranges.get _, _ => None, _ => None, _))
         case None => true // no recorded stats: never prune blind
       })
     }.flatMap { case (f, partVals) =>
@@ -965,8 +976,18 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
             val buf = new scala.collection.mutable.ArrayBuffer[Long]
             var i = 0
             while (i < n) {
+              val s = oi.pages(i).firstRowIndex
+              val e = if (i + 1 < n) oi.pages(i + 1).firstRowIndex
+                else rg.numRows
               val alive =
-                if (ci.nullPages(i)) false
+                if (ci.nullPages(i))
+                  // every row's value is null: only null-seeking
+                  // forms can match (comparisons/IN/prefix all fail)
+                  fs.forall {
+                    case IsNull(_) => true
+                    case EqualNullSafe(_, null) => true
+                    case _ => false
+                  }
                 else {
                   val mn = ci.minValues(i)
                   val mx = ci.maxValues(i)
@@ -982,12 +1003,12 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
                   val rangeS: Option[(Array[Byte], Array[Byte])] =
                     if (!isStr || mn.isEmpty || mx.isEmpty) None
                     else Some((mn, mx))
-                  fs.forall(survivesRanges(_ => range, _ => rangeS, _))
+                  val pageNulls: Option[(Long, Long)] =
+                    ci.nullCounts.map(ncs => (ncs(i), e - s))
+                  fs.forall(survivesRanges(_ => range, _ => rangeS,
+                    _ => pageNulls, _))
                 }
               if (alive) {
-                val s = oi.pages(i).firstRowIndex
-                val e = if (i + 1 < n) oi.pages(i + 1).firstRowIndex
-                  else rg.numRows
                 if (buf.nonEmpty && buf(buf.length - 1) == s)
                   buf(buf.length - 1) = e // coalesce adjacent pages
                 else { buf += s; buf += e }
@@ -1009,11 +1030,15 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
 
   private def filterColumn(f: Filter): Option[String] = f match {
     case EqualTo(c, _) => Some(c)
+    case EqualNullSafe(c, _) => Some(c)
     case GreaterThan(c, _) => Some(c)
     case GreaterThanOrEqual(c, _) => Some(c)
     case LessThan(c, _) => Some(c)
     case LessThanOrEqual(c, _) => Some(c)
     case IsNotNull(c) => Some(c)
+    case IsNull(c) => Some(c)
+    case In(c, _) => Some(c)
+    case StringStartsWith(c, _) => Some(c)
     case _ => None
   }
 
@@ -1105,29 +1130,63 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       mn <- col.minValue
       mx <- col.maxValue
     } yield (mn, mx)
-    survivesRanges(stats, statsS, f)
+    // num_values counts EVERY level entry incl. nulls — for the flat
+    // leaves gated here, that is the group's row count
+    def statsNull(name: String): Option[(Long, Long)] = for {
+      col <- cols.find(_.path == name)
+      if leaves.contains(name)
+      nc <- col.nullCount
+      if col.numValues >= 0
+    } yield (nc, col.numValues)
+    survivesRanges(stats, statsS, statsNull, f)
   }
 
-  /** The shared disjointness test: false only when the column's range
-    * PROVES the comparison matches nothing; absent ranges always
-    * survive. Numeric filters test against `rangeN` (ulp-widened
-    * doubles), string filters against `rangeS` — raw UTF-8 bytes
-    * compared unsigned-lexicographically, which is BOTH parquet's
-    * UTF8 stats order and Spark's string comparison (UTF-8 byte order
-    * = code point order), so the disjointness proofs transfer exactly.
+  /** The shared disjointness test: false only when the column's stats
+    * PROVE the filter matches nothing; absent stats always survive.
+    * Numeric filters test against `rangeN` (ulp-widened doubles),
+    * string filters against `rangeS` — raw UTF-8 bytes compared
+    * unsigned-lexicographically, which is BOTH parquet's UTF8 stats
+    * order and Spark's string comparison (UTF-8 byte order = code
+    * point order), so the disjointness proofs transfer exactly.
+    * `nulls` supplies (null count, total count): IsNull prunes a
+    * container with zero nulls, IsNotNull an all-null one. In() is a
+    * disjunction (survives when ANY member could match; nulls in the
+    * member list match no row by SQL semantics). StringStartsWith
+    * prunes when the whole range sorts below the prefix or at/above
+    * its tight upper fence (prefix with its last non-0xff byte
+    * incremented — every string starting with the prefix sorts below
+    * that fence).
     */
   private def survivesRanges(rangeN: String => Option[(Double, Double)],
       rangeS: String => Option[(Array[Byte], Array[Byte])],
+      nulls: String => Option[(Long, Long)],
       f: Filter): Boolean = {
     def b(v: String): Array[Byte] =
       v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def cmp(x: Array[Byte], y: Array[Byte]): Int =
       java.util.Arrays.compareUnsigned(x, y)
+    /** Smallest byte string above EVERY string with prefix `p` (None
+      * when p is all 0xff — then no upper fence exists).
+      */
+    def prefixUpper(p: Array[Byte]): Option[Array[Byte]] = {
+      var i = p.length - 1
+      while (i >= 0 && p(i) == -1) i -= 1
+      if (i < 0) None
+      else {
+        val u = java.util.Arrays.copyOf(p, i + 1)
+        u(i) = (u(i) + 1).toByte
+        Some(u)
+      }
+    }
     f match {
       case EqualTo(c, v: Number) => rangeN(c).forall { case (mn, mx) =>
         v.doubleValue >= mn && v.doubleValue <= mx }
       case EqualTo(c, v: String) => rangeS(c).forall { case (mn, mx) =>
         cmp(b(v), mn) >= 0 && cmp(b(v), mx) <= 0 }
+      case EqualNullSafe(c, null) => // <=> null: matches only nulls
+        nulls(c).forall(_._1 > 0)
+      case EqualNullSafe(c, v) => // non-null <=> behaves like =
+        survivesRanges(rangeN, rangeS, nulls, EqualTo(c, v))
       case GreaterThan(c, v: Number) =>
         rangeN(c).forall(_._2 > v.doubleValue)
       case GreaterThan(c, v: String) =>
@@ -1144,7 +1203,19 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
         rangeN(c).forall(_._1 <= v.doubleValue)
       case LessThanOrEqual(c, v: String) =>
         rangeS(c).forall(r => cmp(r._1, b(v)) <= 0)
-      case _ => true // IsNotNull etc: never disjoint by construction
+      case IsNull(c) => nulls(c).forall(_._1 > 0)
+      case IsNotNull(c) => nulls(c).forall(t => t._1 < t._2)
+      case In(c, vs) =>
+        // SQL IN: a null member matches no row; an all-null (or empty)
+        // member list therefore matches nothing anywhere
+        val live = vs.filter(_ != null)
+        live.nonEmpty && live.exists(v =>
+          survivesRanges(rangeN, rangeS, nulls, EqualTo(c, v)))
+      case StringStartsWith(c, p) => rangeS(c).forall { case (mn, mx) =>
+        val pb = b(p)
+        cmp(mx, pb) >= 0 && prefixUpper(pb).forall(u => cmp(mn, u) < 0)
+      }
+      case _ => true // unknown forms: never disjoint by construction
     }
   }
 

@@ -306,6 +306,23 @@ class GraftOrcSpec extends AnyFunSuite {
       assert(batchScan(rng).inputPartitions.length == 1,
         "string range should keep one stripe")
       assert(rng.count() == 5000)
+      // IN (disjunction), LIKE-prefix (StringStartsWith fences) and
+      // IS NULL (hasNull=false disproves it) all prune too
+      val inq = all.filter("sym IN ('s30100','s30105')")
+      assert(batchScan(inq).inputPartitions.length == 1,
+        "IN should keep one stripe")
+      assert(inq.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+        Seq(30100L, 30105L))
+      val pre = all.filter("sym LIKE 's3010%'")
+      val preParts = batchScan(pre).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftOrcPartition])
+      assert(preParts.length == 1 && preParts.head.groupRange.nonEmpty,
+        s"prefix planned ${preParts.map(_.groupRange)}")
+      assert(pre.count() == 10)
+      val nul = all.filter("sym IS NULL")
+      assert(batchScan(nul).inputPartitions.isEmpty,
+        "IS NULL should prune every stripe of a no-null column")
+      assert(nul.count() == 0)
       // Spark-written ORC (orc-core string stats, one big stripe,
       // 10000-row default stride): row-group narrowing + row parity
       val sparkFile = new java.io.File(dir, "sparkw").toString

@@ -845,6 +845,29 @@ class GraftParquetSpec extends AnyFunSuite {
       assert(batchScan(rng).inputPartitions.length == 1,
         "string range should keep one row group")
       assert(rng.count() == 5000)
+      // IN is a disjunction over the same stats: two members in one
+      // page keep exactly that page of exactly one group
+      val inq = all.filter("sym IN ('s30100','s30105')")
+      val inParts = batchScan(inq).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+      assert(inParts.length == 1 && rangeRows(inParts.head) == 1024L,
+        s"IN planned ${inParts.map(rangeRows).sum} rows")
+      assert(inq.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+        Seq(30100L, 30105L))
+      // LIKE 'p%' pushes as StringStartsWith: prefix fences prune to
+      // the one page holding s30100..s30109
+      val pre = all.filter("sym LIKE 's3010%'")
+      val preParts = batchScan(pre).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+      assert(preParts.map(rangeRows).sum == 1024L,
+        s"prefix planned ${preParts.map(rangeRows).sum} rows")
+      assert(pre.count() == 10)
+      // IS NULL against a no-null column: every group's null_count=0
+      // disproves it — nothing plans at all
+      val nul = all.filter("sym IS NULL")
+      assert(batchScan(nul).inputPartitions.isEmpty,
+        "IS NULL should prune every group of a no-null column")
+      assert(nul.count() == 0)
       // Spark-written file: parquet-mr string footer stats (possibly
       // truncated — still valid bounds) + its string column indexes
       val sdir = new java.io.File(dir, "sparkw").toString
