@@ -28,16 +28,17 @@ import graft.operators.OrcData.{OrcColStat, OrcStripe, OrcTypeNode}
   *
   *  - '''column pruning''' ([[SupportsPushDownRequiredColumns]]): only
   *    the requested columns' streams are ever decoded;
-  *  - '''filter pushdown''' ([[SupportsPushDownFilters]]): numeric
-  *    comparisons prune whole STRIPES against the Metadata section's
-  *    per-stripe column statistics before any task launches, then —
-  *    when the file carries ROW INDEXES — prune at ROW-GROUP grain
-  *    from the RowIndexEntry statistics (two more O(KB) positional
-  *    reads per surviving stripe), the reader SEEKING to the
-  *    surviving group span mid-stripe instead of decoding from the
-  *    top (pruning stays group-granular, so every filter is still
-  *    re-evaluated by Spark post-scan, exactly like orc-core's
-  *    SearchArgument path);
+  *  - '''filter pushdown''' ([[SupportsPushDownFilters]]): numeric AND
+  *    string (code-point) comparisons, IN, LIKE-prefix and IS [NOT]
+  *    NULL / null-safe equality prune whole STRIPES against the
+  *    Metadata section's per-stripe column statistics before any task
+  *    launches, then — when the file carries ROW INDEXES — prune at
+  *    ROW-GROUP grain from the RowIndexEntry statistics (two more
+  *    O(KB) positional reads per surviving stripe), the reader
+  *    SEEKING to the surviving group span mid-stripe instead of
+  *    decoding from the top (pruning stays group-granular, so every
+  *    filter is still re-evaluated by Spark post-scan, exactly like
+  *    orc-core's SearchArgument path);
   *  - '''split planning''': one [[InputPartition]] per surviving
   *    stripe, and each task fetches ONLY its stripe's byte range via a
   *    positional read — at 100 TB a task touches O(its stripe), not

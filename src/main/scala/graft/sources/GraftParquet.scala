@@ -29,11 +29,16 @@ import graft.operators.ParquetFooter.{PqColumn, PqSchemaField}
   *
   *  - '''column pruning''' ([[SupportsPushDownRequiredColumns]]): only
   *    the requested leaves' chunk ranges are ever read or decoded;
-  *  - '''filter pushdown''' ([[SupportsPushDownFilters]]): numeric
-  *    comparisons prune whole ROW GROUPS against footer min/max stats
-  *    before any task launches (every filter is still re-evaluated by
-  *    Spark post-scan — stats pruning is row-group-granular, so the
-  *    pushed set is advisory, exactly like parquet-mr's);
+  *  - '''filter pushdown''' ([[SupportsPushDownFilters]]): numeric AND
+  *    string comparisons, IN, LIKE-prefix, IS [NOT] NULL and null-safe
+  *    equality prune whole ROW GROUPS against footer min/max/null
+  *    stats before any task launches, then PAGES within the survivors
+  *    against the ColumnIndex/OffsetIndex (parquet-mr RowRanges
+  *    semantics: per-column surviving page spans intersect, pruned
+  *    page bodies are never decompressed). Every filter is still
+  *    re-evaluated by Spark post-scan — stats pruning is page/group
+  *    granular, so the pushed set is advisory, exactly like
+  *    parquet-mr's;
   *  - '''split planning''': one [[InputPartition]] per surviving row
   *    group, and each task fetches ONLY its chunks' byte ranges
   *    ([[ParquetData.chunkRange]]) via positional reads — at 100 TB a
