@@ -414,28 +414,32 @@ object ParquetData {
     * (0 = a whole-file image) — the lever that lets a scan task fetch
     * ONLY its row group's byte range.
     *
-    * `rowRanges` (FLAT columns only, maxRep = 0) restricts the decode
-    * to the surviving page-index row spans — alternating
-    * group-relative `[start, end)` pairs, sorted and disjoint. Pages
-    * wholly outside every range are SKIPPED BODILY (header walk only:
-    * no decompression, no value decode — the page-index payoff);
-    * boundary pages decode fully and emit only their surviving rows.
-    * The returned streams hold exactly the surviving rows, in order.
-    * Flat-only because a v1 data-page header alone cannot row-align a
-    * repeated column (numValues counts level entries, and pages may
-    * split records) — nested plans decode fully and compact after
-    * assembly instead.
+    * `rowRanges` restricts the decode to the surviving page-index row
+    * spans — alternating group-relative `[start, end)` pairs, sorted
+    * and disjoint. Pages wholly outside every range are SKIPPED
+    * BODILY (header walk only: no decompression, no value decode —
+    * the page-index payoff); boundary pages decode fully and emit
+    * only their surviving rows. The returned streams hold exactly the
+    * surviving rows, in order. FLAT columns (maxRep = 0) row-align
+    * from page headers alone (one level entry per row); REPEATED
+    * columns additionally need `pageFirstRows` — the chunk's
+    * OffsetIndex first_row_index fences, whose presence also
+    * guarantees pages are record-aligned — to know each page's row
+    * span and each entry's row (rep = 0 starts a row).
     */
   def readChunkLevels(file: Array[Byte], col: PqColumn, maxDef: Int,
       maxRep: Int, physicalType: Int, typeLength: Int,
       totalValues: Int, base: Long = 0L,
-      rowRanges: Array[Long] = null): ChunkLevels = {
+      rowRanges: Array[Long] = null,
+      pageFirstRows: Array[Long] = null): ChunkLevels = {
     require(totalValues >= 0 && totalValues <= (1 << 28),
       s"torn parquet: chunk value count $totalValues")
     require(maxDef >= 0 && maxDef <= 7 && maxRep >= 0 && maxRep <= 7,
       s"parquet nesting too deep (maxDef=$maxDef maxRep=$maxRep)")
-    require(rowRanges == null || maxRep == 0,
-      "page-pruned decode is flat-only (see scaladoc)")
+    require(rowRanges == null || maxRep == 0 || pageFirstRows != null,
+      "page-pruned decode of a repeated column needs OffsetIndex " +
+        "fences (see scaladoc)")
+    val repPruned = rowRanges != null && maxRep > 0
     val survCount =
       if (rowRanges == null) totalValues
       else {
@@ -443,7 +447,7 @@ object ParquetData {
         var i = 0
         while (i < rowRanges.length) {
           require(rowRanges(i) >= 0 && rowRanges(i + 1) > rowRanges(i) &&
-            rowRanges(i + 1) <= totalValues &&
+            (repPruned || rowRanges(i + 1) <= totalValues) &&
             (i == 0 || rowRanges(i) >= rowRanges(i - 1)),
             "torn page-index ranges (must be sorted disjoint in-bounds)")
           s += rowRanges(i + 1) - rowRanges(i)
@@ -457,18 +461,41 @@ object ParquetData {
       s"torn parquet: chunk start $start outside the provided buffer")
     var pos = start.toInt
     var dict: Array[Any] = null
-    val defs = new Array[Int](survCount)
-    val reps = new Array[Int](survCount)
-    val vb = new scala.collection.mutable.ArrayBuffer[Any](survCount)
+    // flat paths write fixed arrays (size known up front); the
+    // repeated-pruned path buffers (entry counts per row vary)
+    val defs = if (repPruned) null else new Array[Int](survCount)
+    val reps = if (repPruned) null else new Array[Int](survCount)
+    val defsB = if (repPruned)
+      new scala.collection.mutable.ArrayBuffer[Int]() else null
+    val repsB = if (repPruned)
+      new scala.collection.mutable.ArrayBuffer[Int]() else null
+    val vb = new scala.collection.mutable.ArrayBuffer[Any](
+      if (repPruned) 16 else survCount)
     var outN = 0 // rows emitted so far (= done when rowRanges == null)
     var ri = 0 // cursor into rowRanges (sorted, so forward-only)
     var done = 0
-    /** Does the next page's row span [done, done+n) touch any range? */
+    var dataPage = 0 // index into pageFirstRows (data pages only)
+    /** The current data page's row span (repeated: OffsetIndex
+      * fences, the last page running open-ended; flat: one entry per
+      * row from `done`).
+      */
+    def pageRowSpan(n: Int): (Long, Long) =
+      if (maxRep == 0) (done.toLong, done.toLong + n)
+      else {
+        require(dataPage < pageFirstRows.length,
+          "torn parquet: more data pages than OffsetIndex entries")
+        (pageFirstRows(dataPage),
+          if (dataPage + 1 < pageFirstRows.length)
+            pageFirstRows(dataPage + 1)
+          else Long.MaxValue)
+      }
+    /** Does the next page's row span touch any surviving range? */
     def pageOverlaps(n: Int): Boolean = {
       if (rowRanges == null) true
       else {
-        while (ri < rowRanges.length && rowRanges(ri + 1) <= done) ri += 2
-        ri < rowRanges.length && rowRanges(ri) < done.toLong + n
+        val (s, e) = pageRowSpan(n)
+        while (ri < rowRanges.length && rowRanges(ri + 1) <= s) ri += 2
+        ri < rowRanges.length && rowRanges(ri) < e
       }
     }
     /** Append one decoded page's rows (all of them, or only the rows
@@ -481,7 +508,7 @@ object ParquetData {
         System.arraycopy(pageReps, 0, reps, outN, n)
         outN += n
         vb ++= pv
-      } else {
+      } else if (maxRep == 0) {
         var rj = ri // local cursor (ri only advances in pageOverlaps)
         var v = 0
         var i = 0
@@ -494,6 +521,26 @@ object ParquetData {
             defs(outN) = pageDefs(i)
             reps(outN) = pageReps(i)
             outN += 1
+            if (isVal) vb += pv(v)
+          }
+          if (isVal) v += 1
+          i += 1
+        }
+      } else { // repeated: rows advance on rep == 0 from the fence
+        require(n == 0 || pageReps(0) == 0,
+          "torn parquet: OffsetIndex-fenced page splits a record")
+        var row = pageFirstRows(dataPage) - 1
+        var rj = ri
+        var v = 0
+        var i = 0
+        while (i < n) {
+          if (pageReps(i) == 0) row += 1
+          while (rj < rowRanges.length && rowRanges(rj + 1) <= row) rj += 2
+          val keep = rj < rowRanges.length && row >= rowRanges(rj)
+          val isVal = pageDefs(i) == maxDef
+          if (keep) {
+            defsB += pageDefs(i)
+            repsB += pageReps(i)
             if (isVal) vb += pv(v)
           }
           if (isVal) v += 1
@@ -528,6 +575,7 @@ object ParquetData {
           // whole page is outside every surviving row range — walk past
           // its body untouched (no decompress, no decode)
           done += h.numValues
+          dataPage += 1
         case 0 => // data page v1: [rep levels][def levels][values], one
           // compressed body; each level stream is 4-byte-length-prefixed
           val data = decompress(file, bodyOff, h.compressedSize,
@@ -564,8 +612,10 @@ object ParquetData {
               physicalType, typeLength, countAt(pageDefs, h.numValues,
                 maxDef), dict))
           done += h.numValues
+          dataPage += 1
         case 3 if !pageOverlaps(h.numValues) => // page-index skip (v2)
           done += h.numValues
+          dataPage += 1
         case 3 => // data page v2: levels uncompressed, values maybe
           val pageDefs = new Array[Int](h.numValues)
           val pageReps = new Array[Int](h.numValues)
@@ -597,13 +647,20 @@ object ParquetData {
               physicalType, typeLength, countAt(pageDefs, h.numValues,
                 maxDef), dict))
           done += h.numValues
+          dataPage += 1
         case t => throw new IllegalArgumentException(
           s"parquet page type $t unsupported")
       }
     }
-    require(outN == survCount,
-      s"torn parquet: pages yielded $outN of $survCount surviving rows")
-    ChunkLevels(defs, reps, vb.toArray)
+    if (repPruned)
+      // entry counts per surviving row vary: the assembler's own
+      // row-count checks validate coverage instead of outN
+      ChunkLevels(defsB.toArray, repsB.toArray, vb.toArray)
+    else {
+      require(outN == survCount,
+        s"torn parquet: pages yielded $outN of $survCount surviving rows")
+      ChunkLevels(defs, reps, vb.toArray)
+    }
   }
 
   private def countAt(defs: Array[Int], n: Int, maxDef: Int): Int = {

@@ -1283,11 +1283,29 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
       java.nio.file.StandardOpenOption.READ)
     try {
       val rows = survRows
-      val colIt = p.columns.iterator
+      var colIdx = 0
+      def readAt(off: Long, len: Int): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(len)
+        var pos = off
+        while (bb.hasRemaining) {
+          val r = ch.read(bb, pos)
+          require(r > 0, "torn parquet: short index read")
+          pos += r
+        }
+        bb.array()
+      }
+      // a nested plan decodes page-pruned only when EVERY one of its
+      // upcoming leaf chunks carries an OffsetIndex (whose presence
+      // also guarantees record-aligned pages); otherwise it decodes
+      // fully and compacts after assembly
+      def planPruned(leafCount: Int): Boolean =
+        ranges != null && (0 until leafCount).forall(k =>
+          p.columns(colIdx + k).offsetIndex.isDefined)
       def levelsOf(leaf: GraftParquet.PqLeafPlan,
-          pruned: Boolean = false)
+          pruned: Boolean = false, prunedRep: Boolean = false)
           : (ParquetData.ChunkLevels, ParquetFooter.PqColumn) = {
-        val col = colIt.next()
+        val col = p.columns(colIdx)
+        colIdx += 1
         val (start, end) = ParquetData.chunkRange(col)
         require(end - start <= Int.MaxValue,
           s"graftpq: ${end - start}-byte chunk exceeds buffer limits")
@@ -1310,14 +1328,25 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
                 leaf.field.convertedType.isEmpty))
             ParquetData.RawByteArray
           else leaf.field.physicalType
+        // FlatPlan leaves (pruned) row-align from headers alone;
+        // repeated leaves (prunedRep) additionally ship their chunk's
+        // OffsetIndex fences — either way skipped pages stay
+        // compressed; anything else decodes fully, compacted after
+        val fences: Array[Long] =
+          if (!prunedRep) null
+          else {
+            val loc = col.offsetIndex.getOrElse(
+              throw new IllegalStateException(
+                s"graftpq: pruned decode of '${leaf.path}' without " +
+                  "an OffsetIndex"))
+            ParquetFooter.readOffsetIndex(readAt(loc._1, loc._2))
+              .pages.map(_.firstRowIndex).toArray
+          }
         (ParquetData.readChunkLevels(bb.array(), col, leaf.maxDef,
           leaf.maxRep, physical, leaf.field.typeLength,
           col.numValues.toInt, base = start,
-          // FlatPlan leaves take the pruned fast path (skipped pages
-          // stay compressed); everything else — repeated leaves AND
-          // TreePlan's flat leaves, which must stay row-aligned with
-          // their repeated siblings — decodes fully, compacted after
-          rowRanges = if (pruned) ranges else null), col)
+          rowRanges = if (pruned || prunedRep) ranges else null,
+          pageFirstRows = fences), col)
       }
       // Recursive assembly: each plan yields its row-aligned values
       // plus one descendant leaf's def stream (what a CONTAINING
@@ -1348,12 +1377,13 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
           }
           (out, lv.defs)
         case ListPlan(_, leaf, nullDef, emptyDef, _, _) =>
-          val (lv, _) = levelsOf(leaf)
+          val pn = planPruned(1)
+          val (lv, _) = levelsOf(leaf, prunedRep = pn)
           val ad = GraftParquet.leafAdapter(leaf.field)
-          val full = ParquetData.assembleList(lv, fullRows, leaf.maxDef,
-            emptyDef, nullDef)
+          val full = ParquetData.assembleList(lv,
+            if (pn) rows else fullRows, leaf.maxDef, emptyDef, nullDef)
           val rowsOut =
-            if (survIdx == null) full
+            if (pn || survIdx == null) full
             else Array.tabulate[Any](rows)(s => full(survIdx(s)))
           (rowsOut.map[Any] {
             case null => null
@@ -1365,15 +1395,16 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
             structPresentDef, nullDef, emptyDef) =>
           // every leaf shares the list skeleton; the FIRST leaf's
           // per-element defs arbitrate element-null vs field-null
+          val pnLs = planPruned(fields.length)
           val perLeaf = fields.map { l =>
-            val (lv, _) = levelsOf(l)
+            val (lv, _) = levelsOf(l, prunedRep = pnLs)
             val (vals, defs) = ParquetData.assembleListLevels(lv,
-              fullRows, l.maxDef, emptyDef, nullDef)
+              if (pnLs) rows else fullRows, l.maxDef, emptyDef, nullDef)
             (vals, defs, GraftParquet.leafAdapter(l.field))
           }
           val (v0, d0, _) = perLeaf.head
           (Array.tabulate[Any](rows) { s =>
-            val i = if (survIdx == null) s else survIdx(s)
+            val i = if (pnLs || survIdx == null) s else survIdx(s)
             v0(i) match {
               case null => null
               case s0: Seq[_] =>
@@ -1402,16 +1433,18 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
           // a MAP is a LIST of (key, value): both leaf streams carry
           // the same map-level rep/def skeleton, so each reassembles
           // through the list machinery and the per-row seqs zip
-          val (klv, _) = levelsOf(kLeaf)
-          val (vlv, _) = levelsOf(vLeaf)
+          val pnM = planPruned(2)
+          val (klv, _) = levelsOf(kLeaf, prunedRep = pnM)
+          val (vlv, _) = levelsOf(vLeaf, prunedRep = pnM)
           val kad = GraftParquet.leafAdapter(kLeaf.field)
           val vad = GraftParquet.leafAdapter(vLeaf.field)
-          val keys = ParquetData.assembleList(klv, fullRows,
+          val mapRows = if (pnM) rows else fullRows
+          val keys = ParquetData.assembleList(klv, mapRows,
             kLeaf.maxDef, emptyDef, nullDef)
-          val vals = ParquetData.assembleList(vlv, fullRows,
+          val vals = ParquetData.assembleList(vlv, mapRows,
             vLeaf.maxDef, emptyDef, nullDef)
           (Array.tabulate[Any](rows) { s =>
-            val i = if (survIdx == null) s else survIdx(s)
+            val i = if (pnM || survIdx == null) s else survIdx(s)
             (keys(i), vals(i)) match {
               case (null, _) => null
               case (ks: Seq[_], vs: Seq[_]) =>
@@ -1433,11 +1466,16 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
           // siblings by their shared list skeleton (def thresholds
           // arbitrate null ancestor / null value / empty collection)
           val leaves = GraftParquet.collectLeaves(tp.root)
+          // pruned-nested when every leaf has an OffsetIndex; flat
+          // leaves inside the tree row-align from headers, repeated
+          // ones from their fences — all siblings land on the same
+          // compacted row set
+          val pnT = planPruned(leaves.length)
           val parsed: Array[Array[ParquetData.DSlot]] = leaves.map {
             pl =>
-              val (lv, _) = levelsOf(pl.leaf)
-              ParquetData.parseNested(lv, fullRows, pl.contentDefs,
-                pl.leaf.maxDef)
+              val (lv, _) = levelsOf(pl.leaf, prunedRep = pnT)
+              ParquetData.parseNested(lv, if (pnT) rows else fullRows,
+                pl.contentDefs, pl.leaf.maxDef)
           }.toArray
           val adapters: Array[Any => Any] =
             leaves.map(pl => GraftParquet.leafAdapter(pl.leaf.field))
@@ -1519,7 +1557,7 @@ private[sources] class GraftPqReader(p: GraftPqPartition,
               }
           }
           (Array.tabulate[Any](rows) { s =>
-            val i = if (survIdx == null) s else survIdx(s)
+            val i = if (pnT || survIdx == null) s else survIdx(s)
             build(tp.root, 0, k => parsed(k)(i))
           }, null)
         case StructPlan(name, presentDef, fields) =>

@@ -898,6 +898,116 @@ class GraftParquetSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
 
+  test("NESTED columns skip pruned pages too (OffsetIndex fences): " +
+      "corrupted non-surviving pages are never decompressed, on our " +
+      "files; Spark-written nested files read filter-identically") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{ParquetFooter, ParquetWrite}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-nestedpageix").toFile
+    try {
+      // our writer: sorted ids, one 40000-row group, 1000-row pages;
+      // a list, a map and a deep struct-with-list column ride along
+      val df = spark.range(0, 40000).toDF("id")
+        .select(col("id"),
+          when(col("id") % 10 === 0, lit(null))
+            .otherwise(sequence(lit(1L), col("id") % 3 + 1)).as("xs"),
+          map(lit("k"), col("id") % 7).as("m"),
+          when(col("id") % 13 === 0, lit(null))
+            .otherwise(struct((col("id") % 97).as("u"),
+              sequence(lit(0L), col("id") % 2).as("ys"))).as("st"))
+        .coalesce(1)
+      val n = ParquetWrite.writeDataFrame(df, dir.toString, codec = 6,
+        rowGroupRows = 40000, pageRows = 1000)
+      assert(n == 40000)
+      val file = dir.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val filtered = spark.read.format("graftpq").load(dir.toString)
+        .filter("id >= 30100 AND id < 30110")
+      val parts = batchScan(filtered).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition])
+      assert(parts.length == 1 && rangeRows(parts.head) == 1000L,
+        s"planned ${parts.map(rangeRows).sum} rows")
+      val want = df.filter("id >= 30100 AND id < 30110")
+        .collect().toSeq.map(_.toSeq)
+        .sortBy(_.head.asInstanceOf[Long])
+      val got = filtered.collect().toSeq.map(_.toSeq)
+        .sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == 10)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      // THE PROOF pruned nested pages never decompress: zero out the
+      // BODY bytes of every page outside the surviving span in every
+      // nested chunk (via each chunk's own OffsetIndex), then rerun —
+      // the filtered scan still answers (it never touches them); an
+      // unfiltered scan fails loudly on the torn zstd bodies
+      val footer = ParquetFooter.readTail(file.toPath)
+      val raf = new java.io.RandomAccessFile(file, "rw")
+      try {
+        for {
+          col <- footer.rowGroups.head.columns
+          if col.path != "id"
+          loc <- col.offsetIndex.toSeq
+        } {
+          val bytes = new Array[Byte](loc._2)
+          raf.seek(loc._1)
+          raf.readFully(bytes)
+          val oi = ParquetFooter.readOffsetIndex(bytes)
+          for ((pg, i) <- oi.pages.zipWithIndex) {
+            val rowStart = pg.firstRowIndex
+            val rowEnd = if (i + 1 < oi.pages.length)
+              oi.pages(i + 1).firstRowIndex else 40000L
+            if (rowEnd <= 30000L || rowStart >= 31000L) {
+              // keep the ~KB page header intact (headers are walked
+              // even for skipped pages); poison the body tail
+              val poisonFrom = pg.offset + math.min(64, pg.compressedSize / 2)
+              val len = (pg.offset + pg.compressedSize - poisonFrom).toInt
+              raf.seek(poisonFrom)
+              raf.write(Array.fill[Byte](len)(0x5a))
+            }
+          }
+        }
+      } finally raf.close()
+      val again = spark.read.format("graftpq").load(dir.toString)
+        .filter("id >= 30100 AND id < 30110")
+        .collect().toSeq.map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      for ((w, g) <- want.zip(again)) assert(w == g, s"poisoned: $w vs $g")
+      intercept[Exception] { // full scan must hit the poisoned bodies
+        spark.read.format("graftpq").load(dir.toString)
+          .agg(org.apache.spark.sql.functions.sum(size(col("xs"))))
+          .collect()
+      }
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+    // Spark-written nested file (parquet-mr OffsetIndex, small pages):
+    // a selective flat filter reads filter-identically through the
+    // pruned-nested path
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-nestedpageix-mr").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.page.row.count.limit")
+    hc.set("parquet.page.row.count.limit", "1000")
+    try {
+      spark.range(0, 40000).toDF("id")
+        .select(col("id"),
+          when(col("id") % 10 === 0, lit(null))
+            .otherwise(sequence(lit(1L), col("id") % 3 + 1)).as("xs"),
+          map(lit("k"), col("id") % 7).as("m"))
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "snappy").parquet(sdir)
+      val want = spark.read.parquet(sdir)
+        .filter("id >= 30100 AND id < 30110").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = spark.read.format("graftpq").load(sdir)
+        .filter("id >= 30100 AND id < 30110").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size && got.size == 10)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+    } finally {
+      if (prev == null) hc.unset("parquet.page.row.count.limit")
+      else hc.set("parquet.page.row.count.limit", prev)
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(sdir))
+    }
+  }
+
   test("page-index pruning composes with deletion vectors: skip " +
       "positions remap into the compacted row space") {
     import spark.implicits._
