@@ -34,7 +34,12 @@ object ParquetFooter {
       // (absolute file offset, byte length) of this chunk's OffsetIndex
       // and ColumnIndex thrift structs, absent on pre-index writers
       offsetIndex: Option[(Long, Int)] = None,
-      columnIndex: Option[(Long, Int)] = None)
+      columnIndex: Option[(Long, Int)] = None,
+      // split-block bloom filter location (ColumnMetaData fields
+      // 14/15); length absent on older writers — the header carries
+      // the bitset size either way
+      bloomOffset: Option[Long] = None,
+      bloomLength: Option[Int] = None)
 
   final case class PqRowGroup(numRows: Long, columns: Seq[PqColumn])
 
@@ -179,6 +184,8 @@ object ParquetFooter {
     var dataOff = -1L
     var dictOff: Option[Long] = None
     var totalComp = -1L
+    var bloomOff: Option[Long] = None
+    var bloomLen: Option[Int] = None
     var stats: (Option[Long], Option[Array[Byte]], Option[Array[Byte]]) =
       (None, None, None)
     r.struct { (id, t) =>
@@ -194,11 +201,14 @@ object ParquetFooter {
         case 9 => dataOff = r.zig()
         case 11 => dictOff = Some(r.zig())
         case 12 => stats = readStatistics(r)
+        case 14 => bloomOff = Some(r.zig()) // bloom_filter_offset
+        case 15 => bloomLen = Some(r.zig().toInt) // bloom_filter_length
         case _ => r.skip(t)
       }
     }
     PqColumn(path, typ, numValues, codec, stats._1, stats._2, stats._3,
-      dataOff, dictOff, totalComp)
+      dataOff, dictOff, totalComp, bloomOffset = bloomOff,
+      bloomLength = bloomLen)
   }
 
   private def readColumnChunk(r: TReader): Option[PqColumn] = {
@@ -533,6 +543,72 @@ object ParquetFooter {
     require(nullCounts.forall(_.length == nullPages.length),
       "torn parquet: null_counts length disagrees")
     PqColumnIndex(nullPages, minVs, maxVs, order, nullCounts)
+  }
+
+  /** Parse the thrift BloomFilterHeader at `off` (parquet
+    * BloomFilter.md): returns (header byte length, bitset numBytes)
+    * after REQUIRING the only standardized shape — split-block
+    * algorithm, XXHASH, uncompressed (each a one-armed thrift union
+    * whose field 1 must be present); anything else rejects loudly and
+    * the caller falls back to no-bloom planning.
+    */
+  def readBloomHeader(p: Array[Byte], off: Int): (Int, Int) = {
+    val r = new TReader(p, off)
+    var numBytes = -1
+    var block = false
+    var xxhash = false
+    var uncompressed = false
+    r.struct { (id, t) =>
+      id match {
+        case 1 => numBytes = r.zig().toInt
+        case 2 => r.struct { (fid, ft) => // BloomFilterAlgorithm union
+          if (fid == 1) { block = true; r.skip(ft) } else r.skip(ft)
+        }
+        case 3 => r.struct { (fid, ft) => // BloomFilterHash union
+          if (fid == 1) { xxhash = true; r.skip(ft) } else r.skip(ft)
+        }
+        case 4 => r.struct { (fid, ft) => // BloomFilterCompression
+          if (fid == 1) { uncompressed = true; r.skip(ft) }
+          else r.skip(ft)
+        }
+        case _ => r.skip(t)
+      }
+    }
+    require(numBytes > 0 && numBytes % 32 == 0,
+      s"torn parquet: bloom bitset of $numBytes bytes")
+    require(block && xxhash && uncompressed,
+      "parquet bloom filter not the standard split-block/XXHASH/" +
+        "uncompressed shape")
+    (r.pos - off, numBytes)
+  }
+
+  // the split-block bloom's eight per-word salts (BloomFilter.md)
+  private val BLOOM_SALT = Array(0x47b6137b, 0x44974d91, 0x8824ad5b,
+    0xa2b7289d, 0x705495c7, 0x2df1424b, 0x9efc4947, 0x5c6bfb31)
+
+  /** Split-block bloom membership: `hash` is xxHash64(seed 0) of the
+    * value's plain-encoded bytes; the bitset is `len` bytes at `off`
+    * (32-byte blocks of eight little-endian 32-bit words). False means
+    * DEFINITELY absent — the pruning lever; true only means maybe.
+    */
+  def bloomMightContain(b: Array[Byte], off: Int, len: Int,
+      hash: Long): Boolean = {
+    val blocks = len / 32
+    require(blocks > 0 && off + len <= b.length,
+      "torn parquet: bloom bitset out of bounds")
+    // block index = high32(hash) * blocks / 2^32 (unsigned fixed-point)
+    val blockOff = off + ((((hash >>> 32) * blocks) >>> 32).toInt << 5)
+    val key = hash.toInt
+    var j = 0
+    while (j < 8) {
+      val bit = (key * BLOOM_SALT(j)) >>> 27
+      val w = blockOff + (j << 2)
+      val word = (b(w) & 0xff) | ((b(w + 1) & 0xff) << 8) |
+        ((b(w + 2) & 0xff) << 16) | (b(w + 3) << 24)
+      if (((word >>> bit) & 1) == 0) return false
+      j += 1
+    }
+    true
   }
 
   /** Decode an INT32/INT64/FLOAT/DOUBLE statistics value to Double

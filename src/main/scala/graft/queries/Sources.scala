@@ -1704,6 +1704,63 @@ object Sources {
       .orderBy(col("event_type"))
   }
 
+  /** Build-once parquet fixture with SPLIT-BLOCK BLOOM FILTERS on a
+    * high-cardinality unsorted key (md5 of event_id) — the s46 input:
+    * every row group's [min,max] covers the whole key domain, so only
+    * the blooms can prune point lookups.
+    */
+  def ensureBloomPqFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqbloom-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          md5(col("event_id").cast("string")).as("key"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .option("parquet.block.size", "4096")
+        .option("compression", "snappy").parquet(tmp)
+    }
+    tmp
+  }
+
+  private def md5Hex(v: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  // S46: split-block bloom filters end-to-end — point lookups on a
+  // high-cardinality UNSORTED key through graftpq: min/max stats keep
+  // every row group (full-domain overlap), the chunk blooms prove
+  // absent members out and keep only the groups that might hold the
+  // present ones; Spark re-evaluates row-exactly. The member list
+  // carries one absent key on purpose. The oracle applies the
+  // equivalent event_id IN (…) predicate.
+  private def s46PqBloom(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureBloomPqFixture(s, dir)
+    val members = Seq("9", "170", "777", "4242", "99999999" /* absent */)
+      .map(md5Hex)
+    s.read.format("graftpq").load(tmp)
+      .filter(col("key").isin(members: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s46PqBloomSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE event_id IN (9, 170, 777, 4242)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // S45: the wider pushdown family end-to-end — IN (disjunction over
   // stats), LIKE-prefix (StringStartsWith fences) and IS NOT NULL all
   // prune groups/pages at the graftpq scan, and Spark re-evaluates
@@ -2204,7 +2261,8 @@ object Sources {
     "s42_pq_pageindex" -> s42PqPageindex _,
     "s43_pq_deepnested" -> s43PqDeepnested _,
     "s44_pq_deepwrite" -> s44PqDeepwrite _,
-    "s45_pq_filters" -> s45PqFilters _
+    "s45_pq_filters" -> s45PqFilters _,
+    "s46_pq_bloom" -> s46PqBloom _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2246,6 +2304,7 @@ object Sources {
     "s42_pq_pageindex" -> s42PqPageindexSql,
     "s43_pq_deepnested" -> s43PqDeepnestedSql,
     "s44_pq_deepwrite" -> s43PqDeepnestedSql, // same closed forms
-    "s45_pq_filters" -> s45PqFiltersSql
+    "s45_pq_filters" -> s45PqFiltersSql,
+    "s46_pq_bloom" -> s46PqBloomSql
   )
 }

@@ -916,10 +916,16 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
         }
         bb.array()
       }
+      // per-file cache: a chunk's split-block bloom loads once however
+      // many equality filters consult it
+      val bloomCache = new scala.collection.mutable.HashMap[Long,
+        Option[(Array[Byte], Int, Int)]]()
       try {
         footer.rowGroups.iterator.zip(starts.iterator).filter {
           case (rg, _) =>
-            pushed.forall(survives(rg.columns, statLeaves, _))
+            pushed.forall(survives(rg.columns, statLeaves, _)) &&
+            pushed.forall(bloomSurvives(rg.columns, statLeaves,
+              indexBytes, bloomCache, _))
         }.flatMap { case (rg, rowStart) =>
           val ranges = pageRanges(rg, statLeaves, indexBytes)
           if (ranges != null && ranges.isEmpty) None // every page dead
@@ -1100,6 +1106,77 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       while (j > 0 && a(j - 1) == key) j -= 1
       j
     } else -i - 1
+  }
+
+  /** Bloom-based disjointness for the equality forms: false only when
+    * the chunk's split-block bloom filter PROVES the value absent —
+    * the pruning min/max can't give on high-cardinality unsorted keys.
+    * The bloom loads lazily per chunk (header + bitset, one or two
+    * O(KB) positional reads) and only for columns an equality filter
+    * actually names; non-standard headers, unsupported value shapes
+    * and absent blooms all conservatively survive. Hash = xxHash64
+    * (seed 0) of the plain-encoded value — little-endian ints/longs,
+    * raw UTF-8 bytes for strings — exactly parquet-mr's input, so a
+    * membership "no" transfers; float/double equality is NOT bloom-
+    * tested (±0.0/NaN hash identity is not worth the risk).
+    */
+  private def bloomSurvives(cols: Seq[PqColumn],
+      leaves: Map[String, PqSchemaField],
+      readAt: ((Long, Int)) => Array[Byte],
+      cache: scala.collection.mutable.Map[Long,
+        Option[(Array[Byte], Int, Int)]],
+      f: Filter): Boolean = {
+    def hashOf(leaf: PqSchemaField, v: Any): Option[Long] = {
+      if (leaf.convertedType.contains(5)) return None // DECIMAL
+      def le(n: Long, w: Int): Array[Byte] =
+        Array.tabulate[Byte](w)(i => ((n >>> (8 * i)) & 0xff).toByte)
+      val bytes: Array[Byte] = (leaf.physicalType, v) match {
+        case (1, x: java.lang.Integer) => le(x.longValue, 4)
+        case (1, x: java.lang.Short) => le(x.longValue, 4)
+        case (1, x: java.lang.Byte) => le(x.longValue, 4)
+        case (2, x: java.lang.Long) => le(x.longValue, 8)
+        case (2, x: java.lang.Integer) => le(x.longValue, 8)
+        case (6, s: String) =>
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case _ => return None
+      }
+      Some(graft.operators.Zstd.xxh64(bytes, 0, bytes.length, 0L))
+    }
+    def might(c: String, v: Any): Boolean = (for {
+      col <- cols.find(_.path == c)
+      leaf <- leaves.get(c)
+      boff <- col.bloomOffset
+    } yield {
+      val loaded = cache.getOrElseUpdate(boff,
+        try {
+          col.bloomLength match {
+            case Some(len) =>
+              val all = readAt((boff, len))
+              val (hlen, nbytes) = ParquetFooter.readBloomHeader(all, 0)
+              require(hlen + nbytes <= len,
+                s"torn parquet: bloom $nbytes bytes past its length")
+              Some((all, hlen, nbytes))
+            case None =>
+              // header first (tiny; the ≥32-byte bitset follows, so a
+              // 32-byte read never crosses EOF), then exactly the bits
+              val head = readAt((boff, 32))
+              val (hlen, nbytes) = ParquetFooter.readBloomHeader(head, 0)
+              Some((readAt((boff + hlen, nbytes)), 0, nbytes))
+          }
+        } catch { case _: Exception => None }) // non-standard: no prune
+      loaded.forall { case (bits, off, len) =>
+        hashOf(leaf, v).forall(h =>
+          ParquetFooter.bloomMightContain(bits, off, len, h))
+      }
+    }).getOrElse(true)
+    f match {
+      case EqualTo(c, v) => might(c, v)
+      case EqualNullSafe(c, v) if v != null => might(c, v)
+      case In(c, vs) =>
+        val live = vs.filter(_ != null)
+        live.isEmpty || live.exists(might(c, _))
+      case _ => true
+    }
   }
 
   /** False only when the row group's stats PROVE the filter matches no

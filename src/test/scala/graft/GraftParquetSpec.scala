@@ -1042,6 +1042,74 @@ class GraftParquetSpec extends AnyFunSuite {
     }
   }
 
+  test("split-block BLOOM FILTERS prune row groups on point lookups " +
+      "where min/max cannot (high-cardinality unsorted keys, " +
+      "parquet-mr-written), with zero false negatives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-bloom").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", "4096") // many row groups
+    try {
+      // pseudo-random key spread: every group's [min,max] covers the
+      // whole domain, so stats pruning CANNOT drop any group — only
+      // the bloom can
+      def symOf(i: Long): String = "k%09d".format((i * 2654435761L) % 1000000007L)
+      (0L until 40000L).map(i => (i, symOf(i), i * 2 /* even only */))
+        .toDF("id", "sym", "k2")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#sym", "true")
+        .option("parquet.bloom.filter.enabled#k2", "true")
+        .option("compression", "snappy").parquet(dir)
+      // the writer really produced blooms (else this test proves nothing)
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val footer = graft.operators.ParquetFooter.readTail(f.toPath)
+      assert(footer.rowGroups.head.columns
+        .find(_.path == "sym").exists(_.bloomOffset.isDefined),
+        "fixture carries no bloom filters")
+      val all = spark.read.format("graftpq").load(dir)
+      val total = batchScan(all).inputPartitions.length
+      assert(total >= 8, s"only $total row groups")
+      // an ABSENT string key: stats keep every group (full overlap),
+      // the bloom proves it absent everywhere — nothing plans
+      val absent = all.filter("sym = 'k_absent_key'")
+      assert(batchScan(absent).inputPartitions.isEmpty,
+        s"bloom kept ${batchScan(absent).inputPartitions.length} of " +
+          s"$total groups for an absent key")
+      assert(absent.count() == 0)
+      // an absent LONG inside the value range (odd — only evens exist)
+      val absentL = all.filter("k2 = 33333")
+      assert(batchScan(absentL).inputPartitions.isEmpty,
+        "bloom should disprove an in-range absent long")
+      assert(absentL.count() == 0)
+      // a PRESENT key plans few groups and answers exactly
+      val one = all.filter(org.apache.spark.sql.functions.col("sym")
+        === symOf(12345L))
+      assert(batchScan(one).inputPartitions.nonEmpty)
+      assert(one.collect().map(_.getLong(0)).toSeq == Seq(12345L))
+      // ZERO FALSE NEGATIVES: 200 sampled present keys through an IN —
+      // a hash mismatch vs parquet-mr's writer would lose rows here
+      val sample = (0 until 200).map(k => symOf(k * 199L + 7L))
+      val got = all.filter(
+        org.apache.spark.sql.functions.col("sym").isin(sample: _*))
+        .count()
+      assert(got == 200L, s"bloom IN lost ${200 - got} present keys")
+      val sampleL = (0 until 200).map(k => Long.box(k * 398L + 14L))
+      assert(all.filter(org.apache.spark.sql.functions.col("k2")
+        .isin(sampleL: _*)).count() == 200L)
+      // mixed IN (present + absent member): survives via the present one
+      assert(all.filter("sym IN ('k_absent_key', '" + symOf(777L) +
+        "')").count() == 1)
+    } finally {
+      if (prev == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prev)
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(dir))
+    }
+  }
+
   test("column pruning reaches the reader: only requested leaves are " +
       "decoded") {
     val dir = sortedFixture()
