@@ -392,6 +392,151 @@ object OrcData {
     }.toMap
   }
 
+  /** One row group's bloom filter from a BLOOM_FILTER_UTF8 stream:
+    * `numHashes` probes over a long-word bitset (orc_proto
+    * BloomFilter: numHashFunctions=1, legacy repeated-fixed64
+    * bitset=2, modern utf8bitset=3 as little-endian long bytes).
+    */
+  final case class OrcBloom(numHashes: Int, bits: Array[Long])
+
+  /** Parse one decompressed BLOOM_FILTER_UTF8 stream (orc_proto
+    * BloomFilterIndex: one BloomFilter per row group).
+    */
+  def parseBloomIndex(b: Array[Byte]): Seq[OrcBloom] = {
+    val out = Vector.newBuilder[OrcBloom]
+    val r = new PReader(b, 0, b.length)
+    r.message { (id, w) =>
+      id match {
+        case 1 =>
+          val e = r.sub()
+          var k = 0
+          val words = Vector.newBuilder[Long]
+          e.message { (eid, ew) =>
+            (eid, ew) match {
+              case (1, _) => k = e.varint().toInt
+              case (2, 1) => words += e.fixed64() // unpacked fixed64
+              case (2, 2) => // packed repeated fixed64
+                val s = e.sub()
+                while (!s.atEnd) words += s.fixed64()
+              case (3, _) => // utf8bitset: LE long bytes
+                val (o, n) = e.bytes()
+                require(n % 8 == 0, s"torn ORC: bloom bitset $n bytes")
+                var i = 0
+                while (i < n) {
+                  var v = 0L
+                  var j = 0
+                  while (j < 8) {
+                    v |= (b(o + i + j) & 0xffL) << (8 * j); j += 1
+                  }
+                  words += v
+                  i += 8
+                }
+              case _ => e.skip(ew)
+            }
+          }
+          out += OrcBloom(k, words.result().toArray)
+        case _ => r.skip(w)
+      }
+    }
+    out.result()
+  }
+
+  /** The BLOOM_FILTER_UTF8 entries of the requested columns in one
+    * stripe, from the same two planning reads [[rowGroupStats]] uses.
+    * Column id → one bloom per row group; columns without the stream
+    * are absent (never prune on them).
+    */
+  def rowGroupBlooms(indexBytes: Array[Byte], footerBytes: Array[Byte],
+      compression: Int, blockSize: Int, colIds: Seq[Int])
+      : Map[Int, Seq[OrcBloom]] = {
+    val (streams, _) = parseStripeFooter(OrcMeta.decompressStream(
+      footerBytes, 0, footerBytes.length, compression, blockSize))
+    val offsets = streams.scanLeft(0L)(_ + _.length).init
+    streams.zip(offsets).collect {
+      case (s, o) if s.kind == 8 && colIds.contains(s.column) =>
+        require(o >= 0 && o + s.length <= indexBytes.length,
+          "torn ORC: bloom stream overruns the index area")
+        s.column -> parseBloomIndex(OrcMeta.decompressStream(indexBytes,
+          o.toInt, s.length.toInt, compression, blockSize))
+    }.toMap
+  }
+
+  /** Murmur3 64-bit (the x64_128 h1 lane, orc-core's Murmur3.hash64
+    * shape with its DEFAULT_SEED 104729) — what ORC blooms hash
+    * string/binary values with (UTF-8 bytes in).
+    */
+  def orcMurmur64(data: Array[Byte]): Long = {
+    val C1 = 0x87c37b91114253d5L
+    val C2 = 0x4cf5ad432745937fL
+    val seed = 104729L
+    def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+    var h = seed
+    val nblocks = data.length >> 3
+    var i = 0
+    while (i < nblocks) {
+      val o = i << 3
+      var k = 0L
+      var j = 0
+      while (j < 8) { k |= (data(o + j) & 0xffL) << (8 * j); j += 1 }
+      k *= C1; k = rotl(k, 31); k *= C2
+      h ^= k
+      h = rotl(h, 27) * 5 + 0x52dce729L
+      i += 1
+    }
+    var k1 = 0L
+    val tail = nblocks << 3
+    var t = data.length - 1
+    while (t >= tail) {
+      k1 = (k1 << 8) | (data(t) & 0xffL)
+      t -= 1
+    }
+    if (data.length != tail) {
+      k1 *= C1; k1 = rotl(k1, 31); k1 *= C2
+      h ^= k1
+    }
+    h ^= data.length.toLong
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** Thomas Wang's 64-bit integer mix — what ORC blooms hash
+    * long-valued columns with (orc-core BloomFilter.getLongHash).
+    */
+  def orcLongHash(key0: Long): Long = {
+    var key = key0
+    key = (~key) + (key << 21)
+    key = key ^ (key >>> 24)
+    key = (key + (key << 3)) + (key << 8)
+    key = key ^ (key >>> 14)
+    key = (key + (key << 2)) + (key << 4)
+    key = key ^ (key >>> 28)
+    key = key + (key << 31)
+    key
+  }
+
+  /** ORC bloom membership probe (orc-core's combined-hash scheme):
+    * k rounds of hash1 + i·hash2 (bit-flipped when negative) mod the
+    * bit count. False = DEFINITELY absent; true = maybe.
+    */
+  def orcBloomMightContain(bloom: OrcBloom, hash64: Long): Boolean = {
+    val nbits = bloom.bits.length << 6
+    if (nbits == 0 || bloom.numHashes <= 0) return true
+    val h1 = hash64.toInt
+    val h2 = (hash64 >>> 32).toInt
+    var i = 1
+    while (i <= bloom.numHashes) {
+      var combined = h1 + i * h2
+      if (combined < 0) combined = ~combined
+      val pos = combined % nbits
+      if (((bloom.bits(pos >>> 6) >>> (pos & 63)) & 1L) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
+
   private def parseMetadata(mb: Array[Byte]): Seq[Seq[OrcColStat]] = {
     val out = Vector.newBuilder[Seq[OrcColStat]]
     val m = new PReader(mb, 0, mb.length)

@@ -1761,6 +1761,47 @@ object Sources {
       |FROM events WHERE event_id IN (9, 170, 777, 4242)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The ORC twin of [[ensureBloomPqFixture]]: orc-core-written
+    * BLOOM_FILTER_UTF8 streams on the same high-cardinality unsorted
+    * md5 key — the s47 input.
+    */
+  def ensureBloomOrcFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orcbloom-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          md5(col("event_id").cast("string")).as("key"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("orc.bloom.filter.columns", "key")
+        .option("orc.row.index.stride", "2048")
+        .option("compression", "zstd").orc(tmp)
+    }
+    tmp
+  }
+
+  // S47: ORC bloom filters end-to-end — the graftorc twin of s46:
+  // BLOOM_FILTER_UTF8 streams probed per ROW GROUP with orc-core's own
+  // hash scheme (Murmur3-64 seed 104729 over UTF-8 bytes); absent
+  // members prove groups out where the min/max stats can't, present
+  // ones answer row-exactly. Same member list and oracle as s46.
+  private def s47OrcBloom(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureBloomOrcFixture(s, dir)
+    val members = Seq("9", "170", "777", "4242", "99999999" /* absent */)
+      .map(md5Hex)
+    s.read.format("graftorc").load(tmp)
+      .filter(col("key").isin(members: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   // S45: the wider pushdown family end-to-end — IN (disjunction over
   // stats), LIKE-prefix (StringStartsWith fences) and IS NOT NULL all
   // prune groups/pages at the graftpq scan, and Spark re-evaluates
@@ -2262,7 +2303,8 @@ object Sources {
     "s43_pq_deepnested" -> s43PqDeepnested _,
     "s44_pq_deepwrite" -> s44PqDeepwrite _,
     "s45_pq_filters" -> s45PqFilters _,
-    "s46_pq_bloom" -> s46PqBloom _
+    "s46_pq_bloom" -> s46PqBloom _,
+    "s47_orc_bloom" -> s47OrcBloom _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2305,6 +2347,7 @@ object Sources {
     "s43_pq_deepnested" -> s43PqDeepnestedSql,
     "s44_pq_deepwrite" -> s43PqDeepnestedSql, // same closed forms
     "s45_pq_filters" -> s45PqFiltersSql,
-    "s46_pq_bloom" -> s46PqBloomSql
+    "s46_pq_bloom" -> s46PqBloomSql,
+    "s47_orc_bloom" -> s46PqBloomSql // same members, same closed forms
   )
 }

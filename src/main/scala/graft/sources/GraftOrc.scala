@@ -281,11 +281,41 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
                 }
                 bb.array()
               }
-              val gs = OrcData.rowGroupStats(
-                readAt(stripe.offset, stripe.indexLength),
-                readAt(stripe.offset + stripe.indexLength +
-                  stripe.dataLength, stripe.footerLength),
+              val ixBytes = readAt(stripe.offset, stripe.indexLength)
+              val ftBytes = readAt(stripe.offset + stripe.indexLength +
+                stripe.dataLength, stripe.footerLength)
+              val gs = OrcData.rowGroupStats(ixBytes, ftBytes,
                 plan.meta.compression, plan.meta.blockSize, pushedIds)
+              // per-group BLOOM probes for the equality forms — the
+              // pruning min/max can't give on high-cardinality
+              // unsorted keys; same two planning reads
+              val eqIds = pushed.flatMap {
+                case EqualTo(c, _) => Seq(c)
+                case EqualNullSafe(c, v) if v != null => Seq(c)
+                case In(c, _) => Seq(c)
+                case _ => Nil
+              }.distinct.flatMap(idByName.get)
+              val blooms: Map[Int, Seq[OrcData.OrcBloom]] =
+                if (eqIds.isEmpty) Map.empty
+                else OrcData.rowGroupBlooms(ixBytes, ftBytes,
+                  plan.meta.compression, plan.meta.blockSize, eqIds)
+              def bloomAlive(g: Int, flt: Filter): Boolean = {
+                def might(c: String, v: Any): Boolean = (for {
+                  id <- idByName.get(c)
+                  bl <- blooms.get(id)
+                  bg <- bl.lift(g)
+                  h <- orcHashOf(plan.meta.types(id).kind, v)
+                } yield OrcData.orcBloomMightContain(bg, h))
+                  .getOrElse(true)
+                flt match {
+                  case EqualTo(c, v) => might(c, v)
+                  case EqualNullSafe(c, v) if v != null => might(c, v)
+                  case In(c, vs) =>
+                    val live = vs.filter(_ != null)
+                    live.isEmpty || live.exists(might(c, _))
+                  case _ => true
+                }
+              }
               val nGroups =
                 ((stripe.rows + stride - 1) / stride).toInt
               val byName: Map[String, Seq[OrcColStat]] =
@@ -294,7 +324,8 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
                 }
               val alive = (0 until nGroups).filter { g =>
                 pushed.forall(survivesStat(
-                  c => byName.get(c).flatMap(_.lift(g)), _))
+                  c => byName.get(c).flatMap(_.lift(g)), _)) &&
+                pushed.forall(bloomAlive(g, _))
               }
               if (alive.isEmpty) None // every group disjoint: drop
               else Some((alive.head, alive.last + 1))
@@ -394,6 +425,27 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       }
       case _ => true // unknown forms: never disjoint by construction
     }
+  }
+
+  /** The 64-bit hash ORC blooms filed this value under: Murmur3-64
+    * (orc-core shape, seed 104729) of the UTF-8 bytes for strings,
+    * Thomas Wang's mix of the long value for the integer family;
+    * anything else never bloom-prunes.
+    */
+  private def orcHashOf(kind: Int, v: Any): Option[Long] = kind match {
+    case 7 => v match { // STRING
+      case s: String => Some(OrcData.orcMurmur64(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    }
+    case 1 | 2 | 3 | 4 => v match { // BYTE/SHORT/INT/LONG
+      case n: java.lang.Long => Some(OrcData.orcLongHash(n.longValue))
+      case n: java.lang.Integer => Some(OrcData.orcLongHash(n.longValue))
+      case n: java.lang.Short => Some(OrcData.orcLongHash(n.longValue))
+      case n: java.lang.Byte => Some(OrcData.orcLongHash(n.longValue))
+      case _ => None
+    }
+    case _ => None
   }
 
   private def colsOf(f: Filter): Seq[String] = f match {

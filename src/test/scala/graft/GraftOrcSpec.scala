@@ -343,6 +343,56 @@ class GraftOrcSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("ORC BLOOM FILTERS prune row groups on point lookups where " +
+      "min/max cannot (orc-core-written BLOOM_FILTER_UTF8), with " +
+      "zero false negatives") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-bloom").toString
+    try {
+      // pseudo-random spread: every row group's [min,max] covers the
+      // whole domain — only the blooms can prune point lookups
+      def symOf(i: Long): String =
+        "k%09d".format((i * 2654435761L) % 1000000007L)
+      spark.range(0, 40000).toDF("id")
+        .select(col("id"),
+          format_string("k%09d",
+            (col("id") * 2654435761L) % 1000000007L).as("sym"),
+          (col("id") * 2).as("k2")) // evens only
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("orc.bloom.filter.columns", "sym,k2")
+        .option("compression", "zstd").orc(dir)
+      val all = spark.read.format("graftorc").load(dir)
+      // an ABSENT string key: stats keep every group, the blooms
+      // disprove it everywhere — the stripe drops entirely
+      val absent = all.filter("sym = 'k_absent_key'")
+      assert(batchScan(absent).inputPartitions.isEmpty,
+        s"bloom kept ${batchScan(absent).inputPartitions.length} stripes")
+      assert(absent.count() == 0)
+      // an absent LONG inside the value range (odd)
+      val absentL = all.filter("k2 = 33333")
+      assert(batchScan(absentL).inputPartitions.isEmpty,
+        "bloom should disprove an in-range absent long")
+      assert(absentL.count() == 0)
+      // a PRESENT key answers exactly
+      val one = all.filter(col("sym") === symOf(12345L))
+      assert(one.collect().map(_.getLong(0)).toSeq == Seq(12345L))
+      // ZERO FALSE NEGATIVES over 200 present members each way — a
+      // Murmur3/Wang hash mismatch vs orc-core's writer loses rows here
+      val sample = (0 until 200).map(k => symOf(k * 199L + 7L))
+      assert(all.filter(col("sym").isin(sample: _*)).count() == 200L,
+        "bloom IN lost present string keys")
+      val sampleL = (0 until 200).map(k => Long.box(k * 398L + 14L))
+      assert(all.filter(col("k2").isin(sampleL: _*)).count() == 200L,
+        "bloom IN lost present long keys")
+      // mixed IN (present + absent member) survives via the present one
+      assert(all.filter("sym IN ('k_absent_key', '" + symOf(777L) +
+        "')").count() == 1)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   test("nested LIST / STRUCT / MAP columns (nulls at every level, " +
       "empty collections, list-of-struct) read row-identically to " +
       "Spark's ORC source") {
