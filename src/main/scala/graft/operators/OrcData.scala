@@ -68,7 +68,17 @@ object OrcData {
       minS: Option[String] = None, maxS: Option[String] = None,
       // numberOfValues counts NON-NULL values; hasNull is the
       // explicit flag — together they let IsNull/IsNotNull prune
-      nonNull: Option[Long] = None, hasNull: Option[Boolean] = None)
+      nonNull: Option[Long] = None, hasNull: Option[Boolean] = None,
+      // the EXACT IntegerStatistics values (min/max sint64, sum —
+      // absent when the writer detected overflow), which the aggregate
+      // pushdown needs where the widened doubles above round past 2^53
+      minL: Option[Long] = None, maxL: Option[Long] = None,
+      sumL: Option[Long] = None,
+      // true only when the string bounds came from the EXACT
+      // minimum/maximum fields (1/2), not the truncated
+      // lowerBound/upperBound stand-ins (4/5) — exact bounds answer
+      // MIN/MAX, truncated ones only prune
+      exactS: Boolean = false)
 
   /** Everything scan PLANNING needs, from tail bytes only: the stripe
     * directory + type tree, plus per-stripe per-column min/max ranges
@@ -260,6 +270,10 @@ object OrcData {
     var mxS: Option[String] = None
     var nonNull: Option[Long] = None
     var hasNull: Option[Boolean] = None
+    var mnL: Option[Long] = None
+    var mxL: Option[Long] = None
+    var smL: Option[Long] = None
+    var exactS = false
     cs.message { (cid, cw) =>
       cid match {
         case 1 => nonNull = Some(cs.varint()) // numberOfValues
@@ -268,8 +282,15 @@ object OrcData {
           val is = cs.sub()
           is.message { (iid, iw) =>
             iid match {
-              case 1 => mn = Some(is.zig().toDouble)
-              case 2 => mx = Some(is.zig().toDouble)
+              case 1 =>
+                val v = is.zig()
+                mnL = Some(v)
+                mn = Some(v.toDouble)
+              case 2 =>
+                val v = is.zig()
+                mxL = Some(v)
+                mx = Some(v.toDouble)
+              case 3 => smL = Some(is.zig()) // sum (absent on overflow)
               case _ => is.skip(iw)
             }
           }
@@ -305,10 +326,12 @@ object OrcData {
           }
           mnS = lo.orElse(lob)
           mxS = hi.orElse(hib)
+          exactS = lo.isDefined && hi.isDefined
         case _ => cs.skip(cw)
       }
     }
-    OrcColStat(mn, mx, mnS, mxS, nonNull, hasNull)
+    OrcColStat(mn, mx, mnS, mxS, nonNull, hasNull,
+      mnL, mxL, smL, exactS)
   }
 
   /** One column's decoded ROW_INDEX stream: per row group, the seek

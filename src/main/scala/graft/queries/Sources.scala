@@ -2263,6 +2263,127 @@ object Sources {
       |  coalesce(min(id), -1) AS min_id
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Build-once ParquetWrite fixture with a NULLABLE column and small
+    * row groups — the s48 input: every statistic the aggregate
+    * pushdown consumes (row counts, null counts, int min/max) comes
+    * from OUR writer's footers.
+    */
+  def ensureAggPqFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqagg-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      graft.operators.ParquetWrite.writeDataFrame(
+        t(s, dir, "events")
+          .select(col("event_id"),
+            when(col("event_id") % 9 === 0, lit(null))
+              .otherwise(col("user_id")).as("opt"),
+            col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .repartition(1).sortWithinPartitions("event_id"),
+        tmp, codec = 6, rowGroupRows = 8192, pageRows = 2048)
+    }
+    tmp
+  }
+
+  // S48: AGGREGATE PUSHDOWN end-to-end — COUNT(*) / COUNT(nullable) /
+  // MIN / MAX over graftpq answer ENTIRELY from footer statistics
+  // (Spark's V2 partial-pushdown contract: the scan emits per-file
+  // partial rows, the final Aggregate merges them); at 100 TB this is
+  // one footer tail per file and zero data bytes. GraftParquetSpec
+  // proves the zero-IO claim by poisoning the whole data region; the
+  // oracle recomputes the same aggregates from the source table.
+  private def s48PqAgg(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureAggPqFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .agg(count(lit(1)).as("n"),
+        count(col("opt")).as("n_opt"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+
+  private val s48PqAggSql =
+    """SELECT count(*) AS n,
+      |  count(CASE WHEN event_id % 9 = 0 THEN NULL ELSE user_id END)
+      |    AS n_opt,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  min(CAST(round(value*100) AS BIGINT)) AS min_cents,
+      |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
+      |FROM events""".stripMargin
+
+  /** Build-once 4-row parquet DIM for the s49 star join — file-backed
+    * (a local relation would fold its filter away and leave dynamic
+    * pruning nothing to key off).
+    */
+  def ensureDppDimFixture(s: SparkSession): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-dppdim").getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      import s.implicits._
+      (0 until 4).map(b => (b, s"b$b"))
+        .toDF("bucket", "tag").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    tmp
+  }
+
+  // S49: DYNAMIC PARTITION PRUNING end-to-end — the star-join shape at
+  // 100 TB: the dim filter executes first (broadcast), its distinct
+  // join keys arrive at the graftpq fact scan as a runtime IN
+  // (SupportsRuntimeV2Filtering), and whole partition dirs drop before
+  // any fact IO. The oracle folds the 1-row dim into the equivalent
+  // bucket predicate.
+  private def s49DppJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = ensurePartitionedTableFixture(s, dir)
+    val dim = s.read.parquet(ensureDppDimFixture(s))
+      .filter(col("tag") === "b2")
+    s.read.format("graftpq").load(fact)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "bucket")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s49DppJoinSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE user_id % 4 = 2
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // S50: ORC AGGREGATE PUSHDOWN end-to-end — beyond the parquet twin
+  // (s48), ORC's IntegerStatistics carry an exact SUM (dropped by the
+  // writer on overflow, so presence proves exactness) and its
+  // StringStatistics distinguish exact minimum/maximum from truncated
+  // bounds — so SUM(cents) and MIN(event_type) answer from the
+  // Metadata section alongside the counts and int extremes, zero data
+  // bytes read. GraftOrcSpec proves zero-IO by poisoning every stripe.
+  private def s50OrcAgg(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureSortedOrcFixture(s, dir)
+    s.read.format("graftorc").load(tmp)
+      .agg(count(lit(1)).as("n"),
+        count(col("user_id")).as("n_user"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_type")).as("min_type"),
+        max(col("event_type")).as("max_type"))
+  }
+
+  private val s50OrcAggSql =
+    """SELECT count(*) AS n, count(user_id) AS n_user,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_type) AS min_type, max(event_type) AS max_type
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -2304,7 +2425,10 @@ object Sources {
     "s44_pq_deepwrite" -> s44PqDeepwrite _,
     "s45_pq_filters" -> s45PqFilters _,
     "s46_pq_bloom" -> s46PqBloom _,
-    "s47_orc_bloom" -> s47OrcBloom _
+    "s47_orc_bloom" -> s47OrcBloom _,
+    "s48_pq_agg" -> s48PqAgg _,
+    "s49_dpp_join" -> s49DppJoin _,
+    "s50_orc_agg" -> s50OrcAgg _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2348,6 +2472,9 @@ object Sources {
     "s44_pq_deepwrite" -> s43PqDeepnestedSql, // same closed forms
     "s45_pq_filters" -> s45PqFiltersSql,
     "s46_pq_bloom" -> s46PqBloomSql,
-    "s47_orc_bloom" -> s46PqBloomSql // same members, same closed forms
+    "s47_orc_bloom" -> s46PqBloomSql, // same members, same closed forms
+    "s48_pq_agg" -> s48PqAggSql,
+    "s49_dpp_join" -> s49DppJoinSql,
+    "s50_orc_agg" -> s50OrcAggSql
   )
 }

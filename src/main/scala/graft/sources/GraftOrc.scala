@@ -3,10 +3,16 @@ package graft.sources
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics,
+  SupportsRuntimeV2Filtering, Statistics => V2Statistics}
 import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter,
   GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
   LessThanOrEqual, StringStartsWith}
@@ -145,6 +151,175 @@ object GraftOrc {
       StructField(n, dataTypeOf(id, n), nullable = true)
     })
   }
+
+  /** Translate a pushed [[Aggregation]] into per-file partial rows
+    * from ORC stripe statistics alone (the Metadata section the scan
+    * planning already reads) — COUNT(*) from the stripe directory,
+    * COUNT(col) from numberOfValues, MIN/MAX from EXACT
+    * IntegerStatistics sint64s (the widened doubles round past 2^53)
+    * or EXACT StringStatistics minimum/maximum (the truncated
+    * lowerBound/upperBound stand-ins only prune, never answer), and —
+    * beyond what parquet can offer — SUM(int family) from
+    * IntegerStatistics.sum, which the writer drops on overflow so its
+    * presence proves exactness. None rejects the pushdown: floats and
+    * doubles always (writers fold min/max/sum past NaN where Spark
+    * orders NaN largest), any stripe missing a needed statistic, any
+    * file without the Metadata section.
+    */
+  private[sources] def planAggregation(agg: Aggregation, path: String)
+      : Option[GraftParquet.PqPushedAgg] = {
+    import GraftParquet.{PqAggRow, PqAggSpec, PqCountCol, PqCountStar,
+      PqMax, PqMin, PqPushedAgg, PqSum}
+    if (agg.groupByExpressions.nonEmpty) return None // no hive dirs here
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val files = listFiles(path)
+    if (files.isEmpty) return None
+    val headTypes = OrcData.readPlan(files.head.toPath).meta.types
+    val headRoot = headTypes.head
+    val idByName = headRoot.fieldNames.zip(headRoot.subtypes).toMap
+    def kindOf(c: String): Option[Int] =
+      idByName.get(c).map(headTypes(_).kind)
+    // kinds 1-4 = byte/short/int/long (IntegerStatistics), 7 = string
+    def minMaxType(c: String): Option[DataType] = kindOf(c).collect {
+      case 1 => ByteType
+      case 2 => ShortType
+      case 3 => IntegerType
+      case 4 => LongType
+      case 7 => StringType
+    }
+    val specsOpt = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(PqAggSpec(PqCountStar, "count(*)", LongType))
+      case c: Count if !c.isDistinct =>
+        ref(c.column()).filter(idByName.contains)
+          .map(n => PqAggSpec(PqCountCol(n), s"count($n)", LongType))
+      case m: Min => for { n <- ref(m.column()); dt <- minMaxType(n) }
+        yield PqAggSpec(PqMin(n), s"min($n)", dt)
+      case m: Max => for { n <- ref(m.column()); dt <- minMaxType(n) }
+        yield PqAggSpec(PqMax(n), s"max($n)", dt)
+      case s: Sum if !s.isDistinct =>
+        ref(s.column()).filter(n => kindOf(n).exists(k =>
+          k >= 1 && k <= 4))
+          .map(n => PqAggSpec(PqSum(n), s"sum($n)", LongType))
+      case _ => None
+    }
+    if (specsOpt.exists(_.isEmpty) || specsOpt.isEmpty) return None
+    val specs = specsOpt.flatten
+
+    var acc: Array[Any] = null
+    for (f <- files) {
+      val plan = OrcData.readPlan(f.toPath)
+      val types = plan.meta.types
+      val root = types.head
+      val ids = root.fieldNames.zip(root.subtypes).toMap
+      val stripes = plan.meta.stripes
+      if (stripes.nonEmpty && plan.stripeStats.length != stripes.length)
+        return None // Metadata section absent or torn: nothing exact
+      val partials: Array[Any] = new Array[Any](specs.length)
+      var ok = true
+      specs.zipWithIndex.foreach { case (spec, i) =>
+        def statOf(c: String, si: Int): Option[OrcColStat] = for {
+          id <- ids.get(c)
+          if types(id).kind == headTypes(idByName(c)).kind
+          st <- plan.stripeStats(si).lift(id)
+        } yield st
+        if (ok) spec.kind match {
+          case PqCountStar =>
+            partials(i) = Long.box(stripes.map(_.rows).sum)
+          case PqCountCol(c) =>
+            var n = 0L
+            stripes.indices.foreach { si =>
+              statOf(c, si).flatMap(_.nonNull) match {
+                case Some(nn) => n += nn
+                case None => ok = false
+              }
+            }
+            partials(i) = Long.box(n)
+          case PqSum(c) =>
+            var s: Any = null
+            stripes.indices.foreach { si =>
+              statOf(c, si) match {
+                case Some(st) if st.nonNull.contains(0L) => () // all null
+                case Some(st) if st.sumL.isDefined =>
+                  s = if (s == null) Long.box(st.sumL.get)
+                    else Long.box(s.asInstanceOf[Long] + st.sumL.get)
+                case _ => ok = false // overflow-dropped or absent
+              }
+            }
+            partials(i) = s
+          case PqMin(c) =>
+            partials(i) = orcExtreme(spec, c, stripes.indices,
+              statOf, wantMin = true).getOrElse { ok = false; null }
+          case PqMax(c) =>
+            partials(i) = orcExtreme(spec, c, stripes.indices,
+              statOf, wantMin = false).getOrElse { ok = false; null }
+        }
+      }
+      if (!ok) return None
+      acc =
+        if (acc == null) partials
+        else specs.zipWithIndex.map { case (spec, i) =>
+          GraftParquet.mergePartial(spec, acc(i), partials(i))
+        }.toArray
+    }
+    Some(PqPushedAgg(Nil, specs, Vector(PqAggRow(Nil, acc))))
+  }
+
+  /** File-wide MIN/MAX of one column from its stripe stats: Some(null)
+    * when every stripe is all-null (no contribution), None when any
+    * stripe with values lacks the exact statistic.
+    */
+  private def orcExtreme(spec: GraftParquet.PqAggSpec, c: String,
+      stripes: Range, statOf: (String, Int) => Option[OrcColStat],
+      wantMin: Boolean): Option[Any] = {
+    var best: Any = null
+    for (si <- stripes) {
+      val st = statOf(c, si).getOrElse(return None)
+      if (!st.nonNull.contains(0L)) { // all-null stripes contribute 0
+        val v: Any = spec.dt match {
+          case StringType =>
+            if (!st.exactS) return None
+            val s = (if (wantMin) st.minS else st.maxS)
+              .getOrElse(return None)
+            UTF8String.fromString(s)
+          case ByteType =>
+            Byte.box((if (wantMin) st.minL else st.maxL)
+              .getOrElse(return None).toByte)
+          case ShortType =>
+            Short.box((if (wantMin) st.minL else st.maxL)
+              .getOrElse(return None).toShort)
+          case IntegerType =>
+            Int.box((if (wantMin) st.minL else st.maxL)
+              .getOrElse(return None).toInt)
+          case _ =>
+            Long.box((if (wantMin) st.minL else st.maxL)
+              .getOrElse(return None))
+        }
+        val better =
+          if (best == null) true
+          else spec.dt match {
+            case StringType => val cmp = v.asInstanceOf[UTF8String]
+              .compareTo(best.asInstanceOf[UTF8String])
+              if (wantMin) cmp < 0 else cmp > 0
+            case _ =>
+              val a = v match {
+                case x: java.lang.Number => x.longValue
+              }
+              val b = best match {
+                case x: java.lang.Number => x.longValue
+              }
+              if (wantMin) a < b else a > b
+          }
+        if (better) best = v
+      }
+    }
+    Some(best)
+  }
 }
 
 private[sources] class GraftOrcTable(schema: StructType, path: String)
@@ -159,10 +334,12 @@ private[sources] class GraftOrcTable(schema: StructType, path: String)
 
 private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
     path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPlan: Option[GraftParquet.PqPushedAgg] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projections (count(*)) still need row counts: keep the
@@ -212,8 +389,21 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GraftOrcScan(fullSchema, required, pushed, path)
+  /** Aggregates push only on an unfiltered scan (stripe stats are
+    * container-granular); a successful push pre-computes the partial
+    * row from the Metadata section and build() returns the shared
+    * zero-data-IO scan.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    aggPlan = GraftOrc.planAggregation(aggregation, path)
+    aggPlan.isDefined
+  }
+
+  override def build(): Scan = aggPlan match {
+    case Some(p) => new GraftPqAggScan(p, path, fmt = "graftorc")
+    case None => new GraftOrcScan(fullSchema, required, pushed, path)
+  }
 }
 
 /** One surviving stripe: the unit of scan parallelism. The stripe
@@ -227,13 +417,86 @@ final case class GraftOrcPartition(path: String, stripe: OrcStripe,
 
 private[sources] class GraftOrcScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Runtime-injected filters (dynamic pruning: the build side's
+    * distinct join keys as an IN) — composed with the static set
+    * through stripe stats, row-group stats, and bloom probes.
+    * Group-granular pruning may keep superset rows; the join discards
+    * them, exactly the contract.
+    */
+  private var runtime: Array[Filter] = Array.empty
+  private def filters: Array[Filter] = pushed ++ runtime
+
+  @transient @volatile private var cached: Array[InputPartition] = null
+
+  /** Runtime-prunable columns: every flat field the stripe/row-group
+    * stats and bloom machinery can act on — restricted to the scan's
+    * OUTPUT (Spark resolves these against the pruned readSchema).
+    */
+  override def filterAttributes(): Array[NamedReference] = {
+    val out = required.fields.map(_.name).toSet
+    fullSchema.fields.collect {
+      case f if out(f.name) && (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | StringType => true
+        case _ => false
+      }) => Expressions.column(f.name)
+    }
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val conv = predicates.flatMap(GraftParquet.predicateToFilter)
+    if (conv.nonEmpty) {
+      runtime ++= conv
+      cached = null // next planInputPartitions re-prunes
+    }
+  }
+
+  /** Planning-time cardinality/size from the SURVIVING stripes —
+    * rows bounded by each stripe's planned row-group span, bytes the
+    * stripe data prorated by that span and by the required-column
+    * share — so a selective `graftorc` scan that lands under the
+    * broadcast threshold actually broadcasts.
+    */
+  override def estimateStatistics(): V2Statistics = {
+    val parts = planInputPartitions()
+    var rows = 0L
+    var bytes = 0L
+    parts.foreach { ip =>
+      val p = ip.asInstanceOf[GraftOrcPartition]
+      val total = p.stripe.rows
+      val surv = p.groupRange match {
+        case Some((g0, g1)) if p.stride > 0 =>
+          val start = math.min(total, g0.toLong * p.stride)
+          val end =
+            if (g1 == Int.MaxValue) total
+            else math.min(total, g1.toLong * p.stride)
+          math.max(0L, end - start)
+        case _ => total
+      }
+      val leafShare =
+        if (p.types.isEmpty || p.types.head.subtypes.isEmpty) 1.0
+        else p.colIds.size.toDouble / p.types.head.subtypes.size
+      rows += surv
+      bytes += (p.stripe.dataLength * leafShare *
+        (if (total == 0) 0.0 else surv.toDouble / total)).toLong
+    }
+    new V2Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
   override def description(): String =
     s"graftorc $path PushedFilters: [${pushed.mkString(", ")}], " +
+      s"RuntimeFilters: [${runtime.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
   /** Driver-side planning from file tails only. A stripe is planned
@@ -247,7 +510,14 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
     * the reader then SEEKS to that span instead of decoding the
     * stripe.
     */
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    var c = cached
+    if (c == null) { c = doPlanInputPartitions(); cached = c }
+    c
+  }
+
+  private def doPlanInputPartitions(): Array[InputPartition] = {
+    val pushed = filters // static + runtime, through every tier below
     GraftOrc.listFiles(path).flatMap { f =>
       val plan = OrcData.readPlan(f.toPath)
       val root = plan.meta.types.head
@@ -340,6 +610,7 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
         }.toVector
       } finally if (ch != null) ch.close()
     }.toArray
+  }
 
   /** False only when the stripe's stats PROVE the filter matches no
     * row — absent stats keep the stripe.

@@ -5,10 +5,16 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal,
+  NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics,
+  SupportsRuntimeV2Filtering, Statistics => V2Statistics}
 import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter,
   GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
   LessThanOrEqual, StringStartsWith}
@@ -670,6 +676,327 @@ object GraftParquet {
           else java.lang.Short.valueOf(v.asInstanceOf[Int].toShort)
       case _ => identity
     }
+
+  // ------------------------------------------------------------------
+  // Aggregate pushdown: COUNT(*) / COUNT(col) / MIN / MAX answered
+  // ENTIRELY from footer statistics — at 100 TB a `SELECT count(*),
+  // min(ts), max(ts)` over a million-file table costs one footer tail
+  // per file (the same IO planning already pays) and ZERO data bytes.
+  // Spark's partial-pushdown contract (V2ScanRelationPushDown): the
+  // scan's readSchema lists the group-by columns then one field per
+  // aggregate, POSITIONALLY zipped with the pushed Aggregation, and
+  // the final Aggregate above the scan merges partials (MIN of mins,
+  // SUM of counts) — so per-file partial rows merge exactly.
+
+  private[sources] sealed trait PqAggKind extends Serializable
+  private[sources] case object PqCountStar extends PqAggKind
+  private[sources] final case class PqCountCol(col: String)
+    extends PqAggKind
+  private[sources] final case class PqMin(col: String) extends PqAggKind
+  private[sources] final case class PqMax(col: String) extends PqAggKind
+  /** SUM from statistics — only ORC records one (IntegerStatistics
+    * field 3, dropped by the writer on overflow); parquet planning
+    * never produces this kind.
+    */
+  private[sources] final case class PqSum(col: String) extends PqAggKind
+
+  private[sources] final case class PqAggSpec(kind: PqAggKind,
+      label: String, dt: DataType)
+
+  /** One pre-merged output row: raw partition-dir strings for the
+    * group-by columns plus one partial value per aggregate (internal
+    * representations — boxed primitives / UTF8String / null).
+    */
+  private[sources] final case class PqAggRow(group: Seq[Option[String]],
+      vals: Array[Any])
+
+  private[sources] final case class PqPushedAgg(
+      groupCols: Seq[(String, DataType)], specs: Seq[PqAggSpec],
+      rows: Seq[PqAggRow]) {
+    def aggSchema: StructType = StructType(
+      groupCols.map { case (n, dt) =>
+        StructField(n, dt, nullable = true) } ++
+      specs.map(s => StructField(s.label, s.dt, nullable = true)))
+  }
+
+  /** Total order on the internal representation of `dt` (the types
+    * minMaxType admits); mirrors Spark's ordering for them.
+    */
+  private def cmpTyped(dt: DataType, a: Any, b: Any): Int = dt match {
+    case ByteType => java.lang.Byte.compare(a.asInstanceOf[Byte],
+      b.asInstanceOf[Byte])
+    case ShortType => java.lang.Short.compare(a.asInstanceOf[Short],
+      b.asInstanceOf[Short])
+    case IntegerType | DateType => java.lang.Integer.compare(
+      a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float],
+      b.asInstanceOf[Float])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double],
+      b.asInstanceOf[Double])
+    case StringType => a.asInstanceOf[UTF8String]
+      .compareTo(b.asInstanceOf[UTF8String])
+    case t => throw new IllegalArgumentException(
+      s"graftpq: no stat ordering for ${t.simpleString}")
+  }
+
+  /** Decode a chunk min/max statistic to the column's INTERNAL Spark
+    * value (Date stays its day int, Timestamp its micro long). Only
+    * the integer-backed family — float/double MIN/MAX is NEVER
+    * answered from stats: writers (parquet-mr included) skip NaN when
+    * folding min/max, while Spark's MIN/MAX order NaN above
+    * everything, so a stat-true bound can still be value-false.
+    */
+  private def statTyped(dt: DataType, physicalType: Int,
+      b: Array[Byte]): Option[Any] = dt match {
+    case ByteType =>
+      Some(Byte.box(ParquetFooter.statLong(physicalType, b).toByte))
+    case ShortType =>
+      Some(Short.box(ParquetFooter.statLong(physicalType, b).toShort))
+    case IntegerType | DateType =>
+      Some(Int.box(ParquetFooter.statLong(physicalType, b).toInt))
+    case LongType | TimestampType | TimestampNTZType =>
+      Some(Long.box(ParquetFooter.statLong(physicalType, b)))
+    case _ => None
+  }
+
+  /** Translate a pushed [[Aggregation]] and pre-compute its per-group
+    * partial rows from footer statistics alone. None — and the scan
+    * falls back to a data read — when any shape or statistic needed
+    * for an EXACT answer is missing: group-by columns must be
+    * partition-dir columns (their values hold file-wide), MIN/MAX
+    * columns either partition columns (exact dir values, any parsable
+    * type) or flat numeric leaves with min/max present on every
+    * non-empty row group (strings excluded — chunk stats may be
+    * truncated with no exactness flag), COUNT(col) needs null counts
+    * everywhere, and a table with outstanding deletion vectors answers
+    * nothing from stats (a deleted row might be the min).
+    */
+  private[sources] def planAggregation(agg: Aggregation, path: String)
+      : Option[PqPushedAgg] = {
+    val isTable =
+      new java.io.File(path, "_graft_log/version").exists()
+    if (isTable &&
+        graft.operators.Maintenance.outstandingDvFiles(path).nonEmpty)
+      return None
+    val partCols = partitionColsOf(path)
+    val partNames = partCols.map(_._1)
+    val partType = partCols.toMap
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val groupsOpt = agg.groupByExpressions.toSeq.map(ref)
+    if (groupsOpt.exists(_.isEmpty)) return None
+    val groups = groupsOpt.flatten
+    if (!groups.forall(partNames.contains)) return None
+
+    val files: Seq[(java.io.File, Map[String, Option[String]])] =
+      if (partCols.isEmpty)
+        listFiles(path).map((_, Map.empty[String, Option[String]]))
+      else listPartitionedFiles(path, partNames)
+        .map { case (f, vs) => (f, partNames.zip(vs).toMap) }
+    if (files.isEmpty) return None
+
+    // shape the specs against the first footer; every file re-checks
+    // its own chunks during the sweep below
+    val headLeaves: Map[String, PqSchemaField] =
+      fieldPlans(ParquetFooter.readTail(files.head._1.toPath).schema)
+        .collect { case FlatPlan(l) => l.field.name -> l.field }.toMap
+    // MIN/MAX: partition columns answer from their EXACT dir values
+    // (strings included); data leaves only from int-backed stats —
+    // float/double never (the NaN hazard, see statTyped), strings
+    // never (chunk stats may be truncated with no exactness flag)
+    def minMaxType(c: String): Option[DataType] =
+      partType.get(c).filter {
+        case ByteType | ShortType | IntegerType | LongType |
+          StringType | DateType => true
+        case _ => false
+      }.orElse(headLeaves.get(c).collect {
+        case f if Set(1, 2).contains(f.physicalType) &&
+            !f.convertedType.contains(5) => leafType(f)
+      })
+    val specsOpt = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(PqAggSpec(PqCountStar, "count(*)", LongType))
+      case c: Count if !c.isDistinct =>
+        ref(c.column())
+          .filter(n => partNames.contains(n) || headLeaves.contains(n))
+          .map(n => PqAggSpec(PqCountCol(n), s"count($n)", LongType))
+      case m: Min => for { n <- ref(m.column()); dt <- minMaxType(n) }
+        yield PqAggSpec(PqMin(n), s"min($n)", dt)
+      case m: Max => for { n <- ref(m.column()); dt <- minMaxType(n) }
+        yield PqAggSpec(PqMax(n), s"max($n)", dt)
+      case _ => None
+    }
+    if (specsOpt.exists(_.isEmpty) || specsOpt.isEmpty) return None
+    val specs = specsOpt.flatten
+
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], Array[Any]]
+    for ((f, partVals) <- files) {
+      val footer = ParquetFooter.readTail(f.toPath)
+      val leaves: Map[String, PqSchemaField] =
+        fieldPlans(footer.schema)
+          .collect { case FlatPlan(l) => l.field.name -> l.field }.toMap
+      val rgs = footer.rowGroups
+      val fileRows = rgs.map(_.numRows).sum
+      // a zero-row file contributes nothing — and under GROUP BY it
+      // must not materialize its group at all (SQL emits only groups
+      // with rows); a GLOBAL aggregate still accumulates it (count 0,
+      // null extremes), so an all-empty table answers count(*) = 0
+      if (groups.nonEmpty && fileRows == 0) ()
+      else {
+      def chunkOf(rg: PqRowGroupAlias, c: String): Option[PqColumn] =
+        rg.columns.find(_.path == c)
+      val partials: Array[Any] = new Array[Any](specs.length)
+      var ok = true
+      specs.zipWithIndex.foreach { case (spec, i) =>
+        if (ok) spec.kind match {
+          case PqCountStar => partials(i) = Long.box(fileRows)
+          case PqCountCol(c) if partNames.contains(c) =>
+            partials(i) =
+              Long.box(if (partVals(c).isDefined) fileRows else 0L)
+          case PqCountCol(c) =>
+            var n = 0L
+            rgs.foreach { rg =>
+              chunkOf(rg, c).flatMap(_.nullCount) match {
+                case Some(nc) => n += rg.numRows - nc
+                case None => ok = false // no null count: not exact
+              }
+            }
+            partials(i) = Long.box(n)
+          case PqMin(c) if partNames.contains(c) =>
+            partials(i) =
+              if (fileRows == 0) null
+              else partitionValue(partType(c), partVals(c))
+          case PqMax(c) if partNames.contains(c) =>
+            partials(i) =
+              if (fileRows == 0) null
+              else partitionValue(partType(c), partVals(c))
+          case PqMin(c) =>
+            partials(i) = statExtreme(rgs, leaves, c, spec.dt,
+              wantMin = true).getOrElse { ok = false; null }
+          case PqMax(c) =>
+            partials(i) = statExtreme(rgs, leaves, c, spec.dt,
+              wantMin = false).getOrElse { ok = false; null }
+        }
+      }
+      if (!ok) return None
+      val key = groups.map(partVals)
+      acc.get(key) match {
+        case None => acc(key) = partials
+        case Some(old) =>
+          specs.zipWithIndex.foreach { case (spec, i) =>
+            old(i) = mergePartial(spec, old(i), partials(i))
+          }
+      }
+      }
+    }
+    Some(PqPushedAgg(groups.map(g => g -> partType(g)), specs,
+      acc.iterator.map { case (k, v) => PqAggRow(k, v) }.toVector))
+  }
+
+  // footer row group type, aliased to keep the sweep readable
+  private type PqRowGroupAlias = ParquetFooter.PqRowGroup
+
+  /** Merge two per-container aggregate partials: counts add, SUM adds
+    * null-aware (an all-null container's partial is null, like SQL's),
+    * MIN/MAX keep the typed extreme ignoring nulls.
+    */
+  private[sources] def mergePartial(spec: PqAggSpec, a: Any, b: Any)
+      : Any = spec.kind match {
+    case PqCountStar | PqCountCol(_) =>
+      Long.box(a.asInstanceOf[Long] + b.asInstanceOf[Long])
+    case PqSum(_) =>
+      if (a == null) b
+      else if (b == null) a
+      else Long.box(a.asInstanceOf[Long] + b.asInstanceOf[Long])
+    case PqMin(_) =>
+      if (b == null) a
+      else if (a == null) b
+      else if (cmpTyped(spec.dt, b, a) < 0) b else a
+    case PqMax(_) =>
+      if (b == null) a
+      else if (a == null) b
+      else if (cmpTyped(spec.dt, b, a) > 0) b else a
+  }
+
+  /** The file-wide MIN (or MAX) of a flat leaf from its chunk stats:
+    * Some(null) for an empty file (no contribution — the final MIN
+    * ignores nulls), None when any NON-empty row group lacks the stat
+    * (rejecting the pushdown). Wrapped option-in-option keeps "no
+    * rows" and "no stats" apart.
+    */
+  private def statExtreme(rgs: Seq[PqRowGroupAlias],
+      leaves: Map[String, PqSchemaField], c: String, dt: DataType,
+      wantMin: Boolean): Option[Any] = {
+    val leaf = leaves.get(c).getOrElse(return None)
+    if (!Set(1, 2, 4, 5).contains(leaf.physicalType) ||
+        leaf.convertedType.contains(5)) return None
+    var best: Any = null
+    for (rg <- rgs if rg.numRows > 0) {
+      val col = rg.columns.find(_.path == c).getOrElse(return None)
+      // a row group whose every value is null carries no min/max —
+      // it contributes nothing, like an empty file
+      val allNull = col.nullCount.contains(rg.numRows)
+      if (!allNull) {
+        val bytes =
+          (if (wantMin) col.minValue else col.maxValue)
+            .getOrElse(return None)
+        val v = statTyped(dt, leaf.physicalType, bytes)
+          .getOrElse(return None)
+        if (best == null ||
+            (wantMin && cmpTyped(dt, v, best) < 0) ||
+            (!wantMin && cmpTyped(dt, v, best) > 0)) best = v
+      }
+    }
+    Some(best)
+  }
+
+  /** Translate a runtime [[Predicate]] (what dynamic partition
+    * pruning injects — IN over the build side's join keys, or a
+    * single =) into the v1 filter the stats/bloom pruning machinery
+    * already understands. Strings come back as java Strings, numbers
+    * stay boxed (Date/Timestamp literals arrive as their internal
+    * day-int / micro-long, matching the footer stats' units). Unknown
+    * shapes, oversized IN lists (pruning cost would exceed the win)
+    * and non-number/non-string literals translate to None — never
+    * pruned on, never wrong.
+    */
+  private[sources] def predicateToFilter(p: Predicate)
+      : Option[Filter] = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def valOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+      case l: Literal[_] => l.value match {
+        case u: UTF8String => Some(u.toString)
+        case n: java.lang.Number => Some(n)
+        case _ => None
+      }
+      case _ => None
+    }
+    val ch = p.children()
+    p.name() match {
+      case "IN" if ch.length >= 2 && ch.length <= 10001 =>
+        for {
+          c <- colOf(ch.head)
+          vs = ch.tail.map(valOf)
+          if vs.forall(_.isDefined)
+        } yield In(c, vs.map(_.get))
+      case "=" if ch.length == 2 =>
+        for { c <- colOf(ch(0)); v <- valOf(ch(1)) } yield EqualTo(c, v)
+      case _ => None
+    }
+  }
 }
 
 private[sources] class GraftParquetTable(schema: StructType,
@@ -684,10 +1011,12 @@ private[sources] class GraftParquetTable(schema: StructType,
 
 private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
     path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggPlan: Option[GraftParquet.PqPushedAgg] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projections (count(*)) still need row counts: keep the
@@ -738,9 +1067,91 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GraftParquetScan(fullSchema, required, pushed, path)
+  /** Aggregates push only on an unfiltered scan (stats are row-group
+    * granular, so any residual filter would make them inexact; Spark
+    * itself only attempts the push when no post-scan filter remains,
+    * but the gate stays here too). A successful push pre-computes the
+    * per-group partial rows from footer stats — see
+    * [[GraftParquet.planAggregation]] — and build() then returns a
+    * scan that never touches a data byte.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    aggPlan = GraftParquet.planAggregation(aggregation, path)
+    aggPlan.isDefined
+  }
+
+  override def build(): Scan = aggPlan match {
+    case Some(p) => new GraftPqAggScan(p, path)
+    case None => new GraftParquetScan(fullSchema, required, pushed, path)
+  }
 }
+
+/** The zero-data-IO scan a pushed aggregation builds: its partitions
+  * carry the pre-merged per-group partial rows (computed on the driver
+  * from footer tails alone), and Spark's final Aggregate above merges
+  * them — MIN of mins, SUM of counts — per the partial-pushdown
+  * contract. readSchema lists group-by columns then aggregates,
+  * positionally zipped by V2ScanRelationPushDown.
+  */
+private[sources] class GraftPqAggScan(agg: GraftParquet.PqPushedAgg,
+    path: String, fmt: String = "graftpq")
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = agg.aggSchema
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"$fmt $path PushedAggregation: " +
+      s"[${agg.specs.map(_.label).mkString(", ")}], PushedGroupBy: " +
+      s"[${agg.groupCols.map(_._1).mkString(", ")}] (footer stats " +
+      "only, zero data IO)"
+
+  override def estimateStatistics(): V2Statistics = {
+    val n = agg.rows.length.toLong
+    val width = agg.aggSchema.defaultSize.toLong
+    new V2Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, n * width))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(agg.rows.nonEmpty, "graftpq: empty aggregate plan")
+    val per = math.max(1, (agg.rows.length + 31) / 32)
+    agg.rows.grouped(per)
+      .map(rs => GraftPqAggPartition(agg.groupCols, rs): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[GraftPqAggPartition]
+        new PartitionReader[InternalRow] {
+          private val it = p.rows.iterator
+          private var cur: InternalRow = _
+          override def next(): Boolean = it.hasNext && {
+            val r = it.next()
+            val vals = p.groupCols.zip(r.group).map { case ((_, dt), raw)
+              => GraftParquet.partitionValue(dt, raw) } ++ r.vals
+            cur = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(vals.toArray)
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] final case class GraftPqAggPartition(
+    groupCols: Seq[(String, DataType)],
+    rows: Seq[GraftParquet.PqAggRow]) extends InputPartition
 
 /** One surviving row group: the unit of scan parallelism. `columns`
   * carry the absolute chunk offsets of every required LEAF, flattened
@@ -759,13 +1170,90 @@ final case class GraftPqPartition(path: String,
 
 private[sources] class GraftParquetScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Filters injected at RUNTIME (dynamic partition pruning: the
+    * build side's distinct join keys arrive as an IN once it has
+    * executed) — they compose with the statically pushed set through
+    * every pruning tier: partition dirs, manifest file stats, footer
+    * row groups, blooms, pages. Group-granular pruning may keep
+    * superset rows; the join itself discards them, exactly the DPP
+    * contract.
+    */
+  private var runtime: Array[Filter] = Array.empty
+  private def filters: Array[Filter] = pushed ++ runtime
+
+  @transient @volatile private var cached: Array[InputPartition] = null
+
+  /** DPP candidates: hive partition columns (whole directories drop
+    * before any IO) plus every flat leaf the stats/bloom machinery can
+    * act on — a runtime IN on a clustered or bloom-indexed key prunes
+    * row groups the static plan could not know about. Restricted to
+    * the scan's OUTPUT columns: Spark resolves these against the
+    * pruned readSchema, so naming a projected-away column would fail
+    * the whole join's planning.
+    */
+  override def filterAttributes(): Array[NamedReference] = {
+    val out = required.fields.map(_.name).toSet
+    val partCols = GraftParquet.partitionColsOf(path).map(_._1)
+    val statCols = fullSchema.fields.collect {
+      case f if (f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | StringType => true
+        case _ => false
+      }) => f.name
+    }
+    (partCols ++ statCols).distinct.filter(out)
+      .map(Expressions.column).toArray
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val conv = predicates.flatMap(GraftParquet.predicateToFilter)
+    if (conv.nonEmpty) {
+      runtime ++= conv
+      cached = null // next planInputPartitions re-prunes
+    }
+  }
+
+  /** Planning-time cardinality and size from the SURVIVING partitions
+    * (column-pruned chunks' compressed bytes; row counts net of page
+    * ranges and deletion vectors) — so a filtered `graftpq` dim that
+    * shrinks under the broadcast threshold actually broadcasts, where
+    * the DSv2 default (`defaultSizeInBytes` = effectively infinite)
+    * would force a shuffle join.
+    */
+  override def estimateStatistics(): V2Statistics = {
+    val parts = planInputPartitions()
+    var rows = 0L
+    var bytes = 0L
+    parts.foreach { ip =>
+      val p = ip.asInstanceOf[GraftPqPartition]
+      var surv = p.rgRows
+      if (p.ranges.nonEmpty) {
+        surv = 0L
+        var i = 0
+        while (i < p.ranges.length) {
+          surv += p.ranges(i + 1) - p.ranges(i); i += 2
+        }
+      }
+      rows += surv - p.skip.length
+      bytes += p.columns.map(c => math.max(c.totalCompressedSize, 0L)).sum
+    }
+    new V2Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
   override def description(): String =
     s"graftpq $path PushedFilters: [${pushed.mkString(", ")}], " +
+      s"RuntimeFilters: [${runtime.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
   /** Driver-side planning from footer tails only — the same O(KB per
@@ -796,6 +1284,13 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     * proofs stay valid.
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    var c = cached
+    if (c == null) { c = doPlanInputPartitions(); cached = c }
+    c
+  }
+
+  private def doPlanInputPartitions(): Array[InputPartition] = {
+    val pushed = filters // static + runtime, through every tier below
     val isTable =
       new java.io.File(path, "_graft_log/version").exists()
     val partCols = GraftParquet.partitionColsOf(path)
@@ -963,6 +1458,7 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
   private def pageRanges(rg: ParquetFooter.PqRowGroup,
       leaves: Map[String, PqSchemaField],
       indexBytes: ((Long, Int)) => Array[Byte]): Array[Long] = {
+    val pushed = filters // static + runtime
     if (pushed.isEmpty) return null
     var acc: Array[Long] = null // null = unconstrained so far
     pushed.flatMap(fl => filterColumn(fl).map(_ -> fl))

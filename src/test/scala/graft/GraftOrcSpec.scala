@@ -15,11 +15,22 @@ class GraftOrcSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   private def batchScan(df: org.apache.spark.sql.DataFrame)
-      : BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst {
-      case b: BatchScanExec => b
-    }.getOrElse(fail("no BatchScanExec in the plan:\n" +
-      df.queryExecution.executedPlan.toString))
+      : BatchScanExec = {
+    // descend AQE wrappers: AdaptiveSparkPlanExec is childless (live
+    // plan off `executedPlan`), materialized stages are leaves (`plan`)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => walk(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no BatchScanExec in the plan:\n" +
+        df.queryExecution.executedPlan.toString))
+  }
 
   test("graftorc reads row-identically to Spark's ORC source across " +
       "types, nulls and codecs") {
@@ -453,5 +464,85 @@ class GraftOrcSpec extends AnyFunSuite {
       assert(one.count() == 4000)
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("aggregate pushdown answers COUNT/MIN/MAX/SUM from stripe " +
+      "statistics with ZERO data IO: every stripe is poisoned and " +
+      "the aggregate still answers — including ORC's exact integer " +
+      "SUM and exact string extremes, which parquet stats can't give") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-aggpush").toString
+    try {
+      // orc-core-written file: the independent writer whose statistics
+      // the sweep must consume (sum, numberOfValues, exact strings)
+      (0 until 30000).map { k =>
+        (k.toLong, if (k % 9 == 0) None else Some(k * 3L - 700),
+          s"s${k % 5}")
+      }.toDF("id", "opt", "s").coalesce(2)
+        .write.mode("overwrite").orc(dir)
+      val aggCols = Seq(count(lit(1)).as("n"), count(col("opt")).as("no"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        sum(col("opt")).as("so"), min(col("s")).as("smn"),
+        max(col("s")).as("smx"))
+      val want = spark.read.orc(dir)
+        .agg(aggCols.head, aggCols.tail: _*).collect().toSeq
+      // poison EVERY stripe byte (index + data + stripe footer); only
+      // the file tail — Metadata statistics, Footer, Postscript —
+      // stays intact
+      for (f <- new java.io.File(dir).listFiles()
+          if f.getName.endsWith(".orc")) {
+        val plan = graft.operators.OrcData.readPlan(f.toPath)
+        val raf = new java.io.RandomAccessFile(f, "rw")
+        try {
+          for (st <- plan.meta.stripes) {
+            raf.seek(st.offset)
+            val n = (st.indexLength + st.dataLength +
+              st.footerLength).toInt
+            raf.write(Array.fill[Byte](n)(0x5a))
+          }
+        } finally raf.close()
+      }
+      val orc = spark.read.format("graftorc").load(dir)
+      val df = orc.agg(aggCols.head, aggCols.tail: _*)
+      val scan = batchScan(df).scan
+      assert(scan.description().contains("PushedAggregation"),
+        s"aggregation not pushed:\n${scan.description()}")
+      assert(scan.description().contains("sum(opt)"),
+        "ORC's exact integer SUM must be in the pushed set")
+      assert(df.collect().toSeq == want)
+      // the fall-back scan proves the poison is real
+      val thrown = intercept[Exception] {
+        orc.groupBy("s").count().collect()
+      }
+      assert(thrown != null)
+      // float/double extremes never answer from stats (NaN hazard)
+      val dd = spark.read.format("graftorc")
+      val fdir = java.nio.file.Files
+        .createTempDirectory("graft-graftorc-aggf").toString
+      try {
+        (0 until 100).map(k => (k.toLong, k * 0.5))
+          .toDF("id", "d").coalesce(1).write.mode("overwrite").orc(fdir)
+        val fq = spark.read.format("graftorc").load(fdir)
+          .agg(min(col("d")).as("dmn"))
+        assert(!batchScan(fq).scan.description()
+          .contains("PushedAggregation"),
+          "double MIN must not answer from stats")
+      } finally graft.streaming.WorkDirs
+        .deleteRecursively(new java.io.File(fdir))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("the registered s50 query really takes the pushed path " +
+      "against OUR OrcWrite statistics (sum + exact strings)") {
+    val df = SparkEntry.queries("s50_orc_agg")(
+      spark, SparkTestSession.sfSmoke)
+    val d = batchScan(df).scan.description()
+    assert(d.contains("PushedAggregation") && d.contains("sum(cents)")
+      && d.contains("min(event_type)"),
+      s"s50 fell back to a data read:\n$d")
+    assert(df.collect().length == 1)
   }
 }

@@ -15,10 +15,28 @@ class GraftParquetSpec extends AnyFunSuite {
 
   private def batchScan(df: org.apache.spark.sql.DataFrame)
       : BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst {
-      case b: BatchScanExec => b
-    }.getOrElse(fail("no BatchScanExec in the plan:\n" +
-      df.queryExecution.executedPlan.toString))
+    physicalScans(df).headOption
+      .getOrElse(fail("no BatchScanExec in the plan:\n" +
+        df.queryExecution.executedPlan.toString))
+
+  /** All BatchScanExec nodes, descending through AQE wrappers (an
+    * AdaptiveSparkPlanExec is childless; its live plan hangs off
+    * `executedPlan`, and materialized query stages are leaves whose
+    * subtree hangs off `plan`).
+    */
+  private def physicalScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[BatchScanExec] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => walk(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   test("graftpq reads row-identically to Spark's parquet source " +
       "across types, nulls and codecs") {
@@ -1125,5 +1143,265 @@ class GraftParquetSpec extends AnyFunSuite {
       assert(spark.read.format("graftpq").load(dir).count() == 40000)
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("aggregate pushdown answers COUNT/MIN/MAX from footer stats " +
+      "with ZERO data IO: the data region is poisoned and the " +
+      "aggregate still answers; a full scan fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-aggpush").toString
+    try {
+      (0 until 30000).map { k =>
+        (k.toLong, if (k % 9 == 0) None else Some(k * 3 - 700),
+          s"s${k % 5}",
+          java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(k % 365)))
+      }.toDF("id", "opt", "s", "dt").coalesce(2)
+        .write.mode("overwrite").parquet(dir)
+      val aggCols = Seq(count(lit(1)).as("n"), count(col("opt")).as("no"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"),
+        min(col("opt")).as("omn"), max(col("dt")).as("dmx"))
+      val want = spark.read.parquet(dir)
+        .agg(aggCols.head, aggCols.tail: _*).collect().toSeq
+      // poison EVERY byte between the magic and the footer — data
+      // pages, dictionaries, page indexes, blooms all garbage; only
+      // the footer tail (where the statistics live) stays intact
+      for (f <- new java.io.File(dir).listFiles()
+          if f.getName.endsWith(".parquet")) {
+        val raf = new java.io.RandomAccessFile(f, "rw")
+        try {
+          val len = raf.length()
+          raf.seek(len - 8)
+          val b = new Array[Byte](4)
+          raf.readFully(b)
+          val footerLen = (b(0) & 0xff) | ((b(1) & 0xff) << 8) |
+            ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+          val footerStart = len - 8 - footerLen
+          assert(footerStart > 4, "fixture must have a data region")
+          raf.seek(4)
+          val junk = Array.fill[Byte]((footerStart - 4).toInt)(0x5a)
+          raf.write(junk)
+        } finally raf.close()
+      }
+      val pq = spark.read.format("graftpq").load(dir)
+      val df = pq.agg(aggCols.head, aggCols.tail: _*)
+      val scan = batchScan(df).scan
+      assert(scan.description().contains("PushedAggregation"),
+        s"aggregation not pushed:\n${scan.description()}")
+      assert(df.collect().toSeq == want)
+      // grouped by a DATA column: not pushable — and the fall-back
+      // scan proves the poison is real by failing on the data bytes
+      val thrown = intercept[Exception] {
+        pq.groupBy("s").count().collect()
+      }
+      assert(thrown != null)
+      // count(distinct ...) is never stats-answerable
+      val dd = pq.agg(countDistinct(col("s")).as("d"))
+      assert(!batchScan(dd).scan.description()
+        .contains("PushedAggregation"))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("aggregate pushdown groups by PARTITION columns (exact dir " +
+      "values, strings included) and refuses tables with outstanding " +
+      "deletion vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-aggpart").toString
+    try {
+      for (b <- 0 until 2)
+        Maintenance.commitAppend(spark, dir,
+          (0 until 9000).map { k =>
+            (b * 9000L + k, k % 3, Seq("btc", "eth", "u v")(k % 3))
+          }.toDF("id", "coin", "sym").repartition(2),
+          partitionBy = Seq("coin"))
+      val pq = spark.read.format("graftpq").load(dir)
+      val df = pq.groupBy("coin")
+        .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"), min(col("coin")).as("cmn"))
+        .orderBy("coin")
+      assert(batchScan(df).scan.description()
+        .contains("PushedGroupBy: [coin]"),
+        s"group-by not pushed:\n${batchScan(df).scan.description()}")
+      val want = Maintenance.readTable(spark, dir).groupBy("coin")
+        .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"), min(col("coin")).as("cmn"))
+        .orderBy("coin").collect().toSeq
+      assert(df.collect().toSeq == want)
+      // string MIN/MAX is answerable from partition dirs (exact
+      // values), never from chunk stats
+      val sm = pq.agg(count(lit(1)).as("n"))
+      assert(batchScan(sm).scan.description()
+        .contains("PushedAggregation"))
+      val sv = pq.agg(min(col("sym")).as("smn"))
+      assert(!batchScan(sv).scan.description()
+        .contains("PushedAggregation"),
+        "string min over a DATA column must not push")
+      // outstanding vectors: a deleted row might be the extreme —
+      // nothing answers from stats until compaction clears them
+      Maintenance.deleteWithVectors(spark, dir, expr("id % 5 = 0"))
+      val dv = spark.read.format("graftpq").load(dir)
+        .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+      assert(!batchScan(dv).scan.description()
+        .contains("PushedAggregation"))
+      assert(dv.collect().toSeq ==
+        Seq(org.apache.spark.sql.Row(
+          (0 until 18000).count(_ % 5 != 0).toLong, 17999L)))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("reported statistics: a graftpq dim under the broadcast " +
+      "threshold broadcasts, and filters shrink the estimate") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-stats").toString
+    try {
+      (0 until 3000).map(k => (k.toLong, s"n$k", k % 7))
+        .toDF("k", "name", "grp").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      val dim = spark.read.format("graftpq").load(dir)
+      val stats = batchScan(dim).scan
+        .asInstanceOf[SupportsReportStatistics].estimateStatistics()
+      assert(stats.numRows.getAsLong == 3000)
+      val bytes = stats.sizeInBytes.getAsLong
+      assert(bytes > 0 && bytes < (10L << 20),
+        s"reported $bytes bytes — must sit under the 10 MiB threshold")
+      // a selective filter shrinks BOTH estimates (row groups survive
+      // stats pruning proportionally on this sorted key)
+      val filtered = dim.filter("k < 100")
+      val fs = batchScan(filtered).scan
+        .asInstanceOf[SupportsReportStatistics].estimateStatistics()
+      assert(fs.numRows.getAsLong <= stats.numRows.getAsLong)
+      // the join strategy actually uses it: fact ⋈ dim broadcasts the
+      // graftpq side (DSv2 default stats would have forced a shuffle)
+      // the optimizer-visible relation size IS the scan's estimate
+      assert(dim.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(10L << 20),
+        s"optimizer sees ${dim.queryExecution.optimizedPlan.stats
+          .sizeInBytes} bytes — the scan estimate did not surface")
+      val fact = spark.range(200000)
+        .withColumn("k", org.apache.spark.sql.functions
+          .col("id") % 3000)
+      val joined = fact.join(dim, "k")
+      assert(joined.count() == 200000)
+      val ran = joined.queryExecution.executedPlan.toString
+      assert(ran.contains("BroadcastHashJoin") ||
+        ran.contains("BroadcastExchange"),
+        s"graftpq dim did not broadcast:\n$ran")
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("runtime filtering: an injected IN re-prunes partitions " +
+      "(dynamic partition pruning unit contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-runtime").toString
+    try {
+      Maintenance.commitAppend(spark, dir,
+        (0 until 9000).map(k => (k.toLong, k % 3, k * 0.5))
+          .toDF("id", "coin", "v").repartition(2),
+        partitionBy = Seq("coin"))
+      val df = spark.read.format("graftpq").load(dir)
+      val scan = batchScan(df).scan
+      val rf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+      assert(rf.filterAttributes().map(_.fieldNames().mkString)
+        .contains("coin"))
+      val before = scan.toBatch.planInputPartitions()
+      rf.filter(Array(new Predicate("IN",
+        Array(Expressions.column("coin"), Expressions.literal(1)))))
+      val after = scan.toBatch.planInputPartitions()
+      assert(after.length < before.length,
+        s"runtime IN pruned nothing: ${after.length} of ${before.length}")
+      val paths = after.map(
+        _.asInstanceOf[graft.sources.GraftPqPartition].path).distinct
+      assert(paths.nonEmpty && paths.forall(_.contains("coin=1")),
+        s"runtime pruning planned $paths")
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("dynamic partition pruning END-TO-END: a broadcast star join " +
+      "re-plans the graftpq fact scan to the dim filter's partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-dpp").toString
+    try {
+      Maintenance.commitAppend(spark, dir,
+        (0 until 90000).map(k => (k.toLong, k % 3, k * 0.5))
+          .toDF("id", "coin", "v").repartition(2),
+        partitionBy = Seq("coin"))
+      val fact = spark.read.format("graftpq").load(dir)
+      // the dim must be a SOURCE-backed relation: a local one folds
+      // its filter into the LocalRelation at plan time, leaving no
+      // selective Filter node for PartitionPruning to key off
+      val dimDir = java.nio.file.Files
+        .createTempDirectory("graft-graftpq-dpp-dim").toString
+      (0 until 3).map(k => (k, s"name$k", k == 1))
+        .toDF("coin", "name", "flag")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir)
+      // an equality literal — the optimizer's isLikelySelective shape
+      // that marks the dim side as a pruning filter
+      val joined = fact
+        .join(broadcast(dim.filter(col("name") === "name1")), "coin")
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      val got = joined.collect().head
+      val expectIds = (0 until 90000).filter(_ % 3 == 1)
+      assert(got.getLong(0) == expectIds.size.toLong)
+      assert(got.getLong(1) == expectIds.map(_.toLong).sum)
+      // the executed plan carried a runtime filter into the scan...
+      val factScan = physicalScans(joined).find(
+        _.scan.description().startsWith("graftpq")).getOrElse(
+        fail("no graftpq scan in the executed plan:\n" +
+          joined.queryExecution.executedPlan.toString))
+      assert(factScan.runtimeFilters.nonEmpty,
+        "no dynamic pruning filter was injected:\n" +
+          joined.queryExecution.executedPlan.toString)
+      // ...and the scan really re-planned to ONLY the matching dir
+      val parts = factScan.scan.toBatch.planInputPartitions()
+      val paths = parts.map(
+        _.asInstanceOf[graft.sources.GraftPqPartition].path).distinct
+      assert(paths.nonEmpty && paths.forall(_.contains("coin=1")),
+        s"DPP planned $paths")
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("the registered s48/s49 queries really take the pushed paths: " +
+      "s48 plans a PushedAggregation, s49's executed fact scan " +
+      "carries a runtime pruning filter") {
+    val sf = SparkTestSession.sfSmoke
+    val df48 = SparkEntry.queries("s48_pq_agg")(spark, sf)
+    assert(batchScan(df48).scan.description()
+      .contains("PushedAggregation"),
+      s"s48 fell back to a data read:\n" +
+        batchScan(df48).scan.description())
+    assert(df48.collect().length == 1)
+    val df49 = SparkEntry.queries("s49_dpp_join")(spark, sf)
+    assert(df49.collect().nonEmpty)
+    val factScan = physicalScans(df49).find(
+      _.scan.description().startsWith("graftpq")).getOrElse(
+      fail("no graftpq scan in s49's executed plan"))
+    assert(factScan.runtimeFilters.nonEmpty,
+      "s49 executed without a dynamic pruning filter:\n" +
+        df49.queryExecution.executedPlan.toString)
+    val paths = factScan.scan.toBatch.planInputPartitions().map(
+      _.asInstanceOf[graft.sources.GraftPqPartition].path).distinct
+    assert(paths.nonEmpty && paths.forall(_.contains("bucket=2")),
+      s"s49 DPP planned $paths")
   }
 }
