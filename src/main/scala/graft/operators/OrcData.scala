@@ -543,6 +543,25 @@ object OrcData {
     * k rounds of hash1 + i·hash2 (bit-flipped when negative) mod the
     * bit count. False = DEFINITELY absent; true = maybe.
     */
+  /** Set the k combined-hash bits `hash64` maps to — the exact mirror
+    * of [[orcBloomMightContain]], used by the WRITER ([[OrcWrite]]).
+    */
+  def orcBloomSet(bits: Array[Long], numHashes: Int,
+      hash64: Long): Unit = {
+    val nbits = bits.length << 6
+    require(nbits > 0 && numHashes > 0, "empty ORC bloom")
+    val h1 = hash64.toInt
+    val h2 = (hash64 >>> 32).toInt
+    var i = 1
+    while (i <= numHashes) {
+      var combined = h1 + i * h2
+      if (combined < 0) combined = ~combined
+      val pos = combined % nbits
+      bits(pos >>> 6) |= (1L << (pos & 63))
+      i += 1
+    }
+  }
+
   def orcBloomMightContain(bloom: OrcBloom, hash64: Long): Boolean = {
     val nbits = bloom.bits.length << 6
     if (nbits == 0 || bloom.numHashes <= 0) return true

@@ -11,7 +11,12 @@ package graft.operators
   *     `rowIndexStride` rows with seek positions and that row group's
   *     ColumnStatistics; every encoder restarts at group boundaries so
   *     the positions are exact by construction, and orc-core's
-  *     SearchArgument reader seeks mid-stripe on them), per-stripe
+  *     SearchArgument reader seeks mid-stripe on them), opt-in
+  *     BLOOM_FILTER_UTF8 streams per row group (`bloomColumns`;
+  *     utf8bitset + numHashFunctions at 1% fpp, orc-core's hash
+  *     scheme — its SearchArgument reader bloom-prunes row groups on
+  *     our files, and `graftorc` plans zero stripes for proven-absent
+  *     point lookups), per-stripe
   *     StripeFooter protobuf, a Metadata section with per-stripe
   *     ColumnStatistics (min/max/sum/hasNull per column — what
   *     [[graft.sources.GraftOrc]]'s stripe pruning and orc-core's
@@ -1050,7 +1055,8 @@ object OrcWrite {
     */
   def writeFile(path: java.nio.file.Path, fields: Seq[OwField],
       rows: Iterator[Array[Any]], stripeRows: Int = 1 << 16,
-      compression: Int = 0, rowIndexStride: Int = 10000): Long = {
+      compression: Int = 0, rowIndexStride: Int = 10000,
+      bloomColumns: Set[String] = Set.empty): Long = {
     require(fields.nonEmpty, "ORC writer needs at least one field")
     require(stripeRows > 0, s"bad stripe row count $stripeRows")
     require(rowIndexStride >= 0, s"bad row index stride $rowIndexStride")
@@ -1150,12 +1156,84 @@ object OrcWrite {
               BuiltStream(K_ROW_INDEX, col, packed(pb.toByteArray))
             }
           }
-        for (s <- indexStreams) emit(s.bytes)
+        // BLOOM_FILTER_UTF8 streams (INDEX area, selected columns):
+        // one BloomFilter per row group, orc-core's exact shape —
+        // numHashFunctions + utf8bitset (LE long words), values hashed
+        // with Murmur3-64(seed 104729) over UTF-8 bytes for strings
+        // and Thomas Wang's mix for the integer family, sized for the
+        // group's rows at 0.01 fpp (tighter than orc-core's 0.05
+        // default — ~10 bits/row buys whole-file point-lookup pruning)
+        val bloomStreams: Seq[BuiltStream] =
+          if (bloomColumns.isEmpty || rowIndexStride <= 0) Nil
+          else {
+            val rootIds = fields.scanLeft(1)((id, f) => id + f.span).init
+            fields.indices.flatMap { c =>
+              val f = fields(c)
+              if (!bloomColumns(f.name)) None
+              else {
+                require(Set(1, 2, 3, 4, 7).contains(f.kind),
+                  s"bloom filter on column '${f.name}': ORC kind " +
+                    s"${f.kind} unsupported (int family and STRING only)")
+                val pb = new PB
+                for (g <- groups.indices) {
+                  val from = groups(g)
+                  val to = if (g + 1 < groups.length) groups(g + 1) else n
+                  val entries = math.max(1, to - from)
+                  val nBits = ((math.ceil(-entries * math.log(0.01) /
+                    (math.log(2) * math.log(2))).toInt + 63) / 64) * 64
+                  val k = math.max(1, math.round(
+                    nBits.toDouble / entries * math.log(2)).toInt)
+                  val words = new Array[Long](nBits / 64)
+                  var i = from
+                  while (i < to) {
+                    val v = colVals(c)(i)
+                    if (v != null) {
+                      val h = f.kind match {
+                        case 7 => OrcData.orcMurmur64(
+                          v.asInstanceOf[String].getBytes(
+                            java.nio.charset.StandardCharsets.UTF_8))
+                        case _ => OrcData.orcLongHash(v match {
+                          case x: java.lang.Integer => x.longValue
+                          case x: java.lang.Long => x.longValue
+                          case x: java.lang.Short => x.longValue
+                          case x: java.lang.Byte => x.longValue
+                          case x => throw new IllegalArgumentException(
+                            s"bloom filter on column '${f.name}': " +
+                              s"${x.getClass.getName} values unsupported")
+                        })
+                      }
+                      OrcData.orcBloomSet(words, k, h)
+                    }
+                    i += 1
+                  }
+                  pb.msg(1) { m =>
+                    m.uint(1, k.toLong)
+                    val le = new Array[Byte](words.length * 8)
+                    var wi = 0
+                    while (wi < words.length) {
+                      var j = 0
+                      while (j < 8) {
+                        le((wi << 3) + j) =
+                          ((words(wi) >>> (8 * j)) & 0xff).toByte
+                        j += 1
+                      }
+                      wi += 1
+                    }
+                    m.bytes(3, le) // utf8bitset
+                  }
+                }
+                Some(BuiltStream(8, rootIds(c), // BLOOM_FILTER_UTF8
+                  packed(pb.toByteArray)))
+              }
+            }
+          }
+        val allIndexStreams = indexStreams ++ bloomStreams
+        for (s <- allIndexStreams) emit(s.bytes)
         val indexLength = pos - stripeStart
         for (s <- dataStreams) emit(s.bytes)
         val dataLength = pos - stripeStart - indexLength
         val sf = new PB
-        for (s <- indexStreams ++ dataStreams) sf.msg(1) { m =>
+        for (s <- allIndexStreams ++ dataStreams) sf.msg(1) { m =>
           m.uint(1, s.kind.toLong)
           m.uint(2, s.column.toLong)
           m.uint(3, s.bytes.length.toLong)
@@ -1303,7 +1381,8 @@ object OrcWrite {
     */
   def writeDataFrame(df: org.apache.spark.sql.DataFrame, dir: String,
       stripeRows: Int = 1 << 16, compression: Int = 0,
-      rowIndexStride: Int = 10000): Long = {
+      rowIndexStride: Int = 10000,
+      bloomColumns: Set[String] = Set.empty): Long = {
     import org.apache.spark.sql.types._
     val fields = fieldsOf(df.schema)
     val schema = df.schema
@@ -1369,7 +1448,7 @@ object OrcWrite {
           if (row.isNullAt(c)) null else adapt(c)(row.get(c)))
       }
       val n = writeFile(f.toPath, fields, rs, stripeRows, compression,
-        rowIndexStride)
+        rowIndexStride, bloomColumns)
       if (n == 0) f.delete() // empty partitions leave no file
       Iterator.single(n)
     }.collect().sum

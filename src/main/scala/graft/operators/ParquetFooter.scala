@@ -611,6 +611,25 @@ object ParquetFooter {
     true
   }
 
+  /** Set the eight salted bits `hash` maps to — the exact mirror of
+    * [[bloomMightContain]], used by the WRITER ([[ParquetWrite]]); the
+    * bitset is 32-byte blocks of eight little-endian 32-bit words.
+    */
+  def bloomInsert(b: Array[Byte], hash: Long): Unit = {
+    val blocks = b.length / 32
+    require(blocks > 0 && b.length % 32 == 0,
+      s"bloom bitset of ${b.length} bytes")
+    val blockOff = ((((hash >>> 32) * blocks) >>> 32).toInt << 5)
+    val key = hash.toInt
+    var j = 0
+    while (j < 8) {
+      val bit = (key * BLOOM_SALT(j)) >>> 27
+      val at = blockOff + (j << 2) + (bit >>> 3)
+      b(at) = (b(at) | (1 << (bit & 7))).toByte
+      j += 1
+    }
+  }
+
   /** Decode an INT32/INT64/FLOAT/DOUBLE statistics value to Double
     * (parquet physical types 1/2/4/5; stats binaries little-endian).
     */

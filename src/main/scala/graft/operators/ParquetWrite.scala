@@ -15,7 +15,11 @@ package graft.operators
   * per-chunk Statistics (min_value/max_value/null_count, the modern
   * field ids), a PAGE-INDEX section (OffsetIndex per chunk,
   * ColumnIndex per stats-bearing chunk — parquet-mr's column-index
-  * filter page-skips on our output), and a FileMetaData footer in the
+  * filter page-skips on our output), opt-in SPLIT-BLOCK BLOOM FILTERS
+  * per chunk (`bloomColumns`; BLOCK/XXHASH/UNCOMPRESSED header +
+  * bitset, locations in ColumnMetaData 14/15 — parquet-mr probes them
+  * and `graftpq` plans zero partitions for proven-absent point
+  * lookups), and a FileMetaData footer in the
   * THRIFT COMPACT PROTOCOL — short-form delta field headers, zigzag
   * varints, length-prefixed binaries, size+type list headers —
   * mirrored against the reader's TReader.
@@ -480,7 +484,10 @@ object ParquetWrite {
       maxV: Option[Array[Byte]], dataPageOffset: Long,
       totalUncompressed: Long, totalCompressed: Long,
       dictPageOffset: Option[Long] = None, chunkStart: Long = -1L,
-      pathParts: Seq[String] = Nil, pages: Seq[PageInfo] = Nil) {
+      pathParts: Seq[String] = Nil, pages: Seq[PageInfo] = Nil,
+      // distinct xxHash64(plain encoding) of the chunk's non-null
+      // values when the caller asked for a split-block bloom filter
+      bloomHashes: Array[Long] = null) {
     def path: Seq[String] =
       if (pathParts.nonEmpty) pathParts else Seq(field.name)
   }
@@ -496,9 +503,10 @@ object ParquetWrite {
     */
   def writeFile(path: java.nio.file.Path, fields: Seq[PwField],
       rows: Iterator[Array[Any]], codec: Int = 1,
-      rowGroupRows: Int = 1 << 20, pageRows: Int = 1 << 16): Long =
+      rowGroupRows: Int = 1 << 20, pageRows: Int = 1 << 16,
+      bloomColumns: Set[String] = Set.empty): Long =
     writeColumns(path, fields.map(PwLeafCol.apply), rows, codec,
-      rowGroupRows, pageRows)
+      rowGroupRows, pageRows, bloomColumns)
 
   /** The general write surface: flat leaves plus the nested [[PwCol]]
     * shapes — one-level struct, 3-level LIST, 3-level MAP, and the
@@ -507,7 +515,8 @@ object ParquetWrite {
     */
   def writeColumns(path: java.nio.file.Path, cols: Seq[PwCol],
       rows: Iterator[Array[Any]], codec: Int = 1,
-      rowGroupRows: Int = 1 << 20, pageRows: Int = 1 << 16): Long = {
+      rowGroupRows: Int = 1 << 20, pageRows: Int = 1 << 16,
+      bloomColumns: Set[String] = Set.empty): Long = {
     val fields = cols
     require(fields.nonEmpty, "parquet writer needs at least one field")
     require(rowGroupRows > 0 && pageRows > 0 && pageRows <= rowGroupRows,
@@ -548,12 +557,39 @@ object ParquetWrite {
           val dictIdx = new java.util.LinkedHashMap[Any, Integer]()
           var dictOk = f.physicalType != 0 // booleans: PLAIN is 1 bit
           var nonNullCount = 0L
+          // distinct value hashes for the chunk's split-block bloom —
+          // xxHash64 (seed 0) of the PLAIN encoding, parquet-mr's
+          // exact input, so foreign probes transfer
+          val bloomHs: java.util.HashSet[java.lang.Long] =
+            if (bloomColumns(f.name)) {
+              require(f.physicalType == 1 || f.physicalType == 2 ||
+                f.physicalType == 6,
+                s"bloom filter on column '${f.name}': physical type " +
+                  s"${f.physicalType} unsupported (INT32/INT64/" +
+                  "BYTE_ARRAY only)")
+              new java.util.HashSet[java.lang.Long]()
+            } else null
+          def bloomHash(v: Any): Long = {
+            def le(n: Long, w: Int): Array[Byte] =
+              Array.tabulate[Byte](w)(i => ((n >>> (8 * i)) & 0xff).toByte)
+            val bytes: Array[Byte] = v match {
+              case x: Int => le(x.toLong, 4)
+              case x: Long => le(x, 8)
+              case s: String =>
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              case x => throw new IllegalArgumentException(
+                s"bloom filter on column '${f.name}': " +
+                  s"${x.getClass.getName} values unsupported")
+            }
+            Zstd.xxh64(bytes, 0, bytes.length, 0L)
+          }
           var r0 = 0
           while (r0 < nRows) {
             val v = batch(r0)(c)
             if (v == null) nulls += 1
             else {
               nonNullCount += 1
+              if (bloomHs != null) bloomHs.add(bloomHash(v))
               if (f.physicalType >= 1 && f.physicalType <= 5) {
                 v match {
                   case x: Int =>
@@ -748,7 +784,16 @@ object ParquetWrite {
             Option(minV).map(statBytes(f.physicalType, _)),
             Option(maxV).map(statBytes(f.physicalType, _)),
             firstDataPage, unc, comp, dictOffset, chunkStart,
-            pages = pages.result())
+            pages = pages.result(),
+            bloomHashes =
+              if (bloomHs == null) null
+              else {
+                val a = new Array[Long](bloomHs.size)
+                val it = bloomHs.iterator()
+                var i = 0
+                while (it.hasNext) { a(i) = it.next(); i += 1 }
+                a
+              })
         }
         // one leaf chunk from Dremel level streams (nested columns):
         // PLAIN pages split at row boundaries, full rep/def regions,
@@ -1091,6 +1136,43 @@ object ParquetWrite {
       }
       flushGroup()
       val gs = groups.result()
+      // SPLIT-BLOCK BLOOM section (after the row groups, before the
+      // page indexes — parquet-mr's own layout): per requested chunk a
+      // BloomFilterHeader (BLOCK/XXHASH/UNCOMPRESSED) + the bitset,
+      // sized for ~1% fpp at the chunk's observed NDV (power-of-two
+      // bytes, 32 B floor / 1 MiB cap, parquet-mr's policy shape);
+      // locations land in ColumnMetaData fields 14/15
+      val bloomLocs: Seq[Seq[Option[(Long, Int)]]] =
+        gs.map(_.chunks.map { ch =>
+          Option(ch.bloomHashes).filter(_.nonEmpty).map { hs =>
+            val bitsNeeded = math.ceil(-8.0 * hs.length /
+              math.log(1 - math.pow(0.01, 1.0 / 8))).toLong
+            var nbytes = 32
+            while (nbytes.toLong * 8 < bitsNeeded && nbytes < (1 << 20))
+              nbytes <<= 1
+            val bits = new Array[Byte](nbytes)
+            hs.foreach(ParquetFooter.bloomInsert(bits, _))
+            val hdr = new Ba
+            val w = new TWriter(hdr)
+            w.structBegin()
+            w.i32(1, nbytes) // numBytes
+            w.structField(2) // algorithm union: 1 = BLOCK
+            w.structField(1); w.structEnd()
+            w.structEnd()
+            w.structField(3) // hash union: 1 = XXHASH
+            w.structField(1); w.structEnd()
+            w.structEnd()
+            w.structField(4) // compression union: 1 = UNCOMPRESSED
+            w.structField(1); w.structEnd()
+            w.structEnd()
+            w.structEnd()
+            val hb = hdr.toByteArray
+            val at = pos
+            emit(hb)
+            emit(bits)
+            (at, hb.length + nbytes)
+          }
+        })
       // PAGE INDEX section (after the row groups, before the footer —
       // parquet-mr's own layout): a ColumnIndex per stats-bearing
       // chunk (per-page null_pages/min/max/null_counts, what lets a
@@ -1260,6 +1342,10 @@ object ParquetWrite {
             ch.minV.foreach(w.binary(6, _)) // min_value
             w.structEnd()
           }
+          bloomLocs(gi)(cxi).foreach { case (o, l) =>
+            w.i64(14, o) // bloom_filter_offset
+            w.i32(15, l) // bloom_filter_length (header + bitset)
+          }
           w.structEnd() // ColumnMetaData
           oiLoc.foreach { case (o, l) =>
             w.i64(4, o) // offset_index_offset
@@ -1425,7 +1511,8 @@ object ParquetWrite {
 
   def writeDataFrame(df: org.apache.spark.sql.DataFrame, dir: String,
       codec: Int = 1, rowGroupRows: Int = 1 << 20,
-      pageRows: Int = 1 << 16): Long = {
+      pageRows: Int = 1 << 16,
+      bloomColumns: Set[String] = Set.empty): Long = {
     import org.apache.spark.sql.types._
     val cols = columnsOf(df.schema)
     val schema = df.schema
@@ -1476,7 +1563,7 @@ object ParquetWrite {
           if (row.isNullAt(c)) null else adapt(c)(row.get(c)))
       }
       val n = writeColumns(f.toPath, cols, rows, codec, rowGroupRows,
-        pageRows)
+        pageRows, bloomColumns)
       if (n == 0) f.delete() // empty partitions leave no file
       Iterator.single(n)
     }.collect().sum

@@ -491,4 +491,95 @@ class OrcWriteSpec extends AnyFunSuite {
         spark.read.format("graftorc").load(dir.toString).schema)
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
+
+  test("written BLOOM_FILTER_UTF8 streams: orc-core's SearchArgument " +
+      "reader prunes row groups on them with zero false negatives; " +
+      "graftorc prunes absent keys on OUR files") {
+    import org.apache.orc.OrcFile
+    import org.apache.hadoop.hive.ql.io.sarg.{PredicateLeaf,
+      SearchArgumentFactory}
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("bloomwrite")
+    try {
+      def md5(v: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(v.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+      // unsorted high-cardinality string + long keys: every row
+      // group's [min,max] spans the whole domain, so only the blooms
+      // can prune the point lookups below
+      val fields = Seq(OwFields.long("id"), OwFields.string("key"),
+        OwFields.long("uid"))
+      def rows = (0 until 40000).iterator.map { i =>
+        Array[Any](Long.box(i.toLong), md5(i.toString),
+          Long.box((i.toLong * 2654435761L) % 1000000007L))
+      }
+      val file = new java.io.File(dir, "bloom.orc")
+      // 16000-row stripes, 2000-row groups → 8 groups per stripe
+      val n = OrcWrite.writeFile(file.toPath, fields, rows,
+        stripeRows = 16000, compression = 5, rowIndexStride = 2000,
+        bloomColumns = Set("key", "uid"))
+      assert(n == 40000)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val reader = OrcFile.createReader(
+        new org.apache.hadoop.fs.Path(file.toString),
+        OrcFile.readerOptions(conf))
+      def countFor(sarg: org.apache.hadoop.hive.ql.io.sarg
+          .SearchArgument, cols: Array[String]): Long = {
+        val rr = reader.rows(reader.options().searchArgument(sarg, cols))
+        val batch = reader.getSchema.createRowBatch()
+        var count = 0L
+        while (rr.nextBatch(batch)) count += batch.size
+        rr.close()
+        count
+      }
+      // present keys: orc-core's own Murmur3/combined-hash probes must
+      // land on OUR set bits — a hash mismatch would read as absent
+      // and prune the key's group away (a FALSE NEGATIVE, count 0);
+      // fpp survivors may add whole extra groups, so the pin is
+      // "its group survived, most others did not"
+      for (i <- Seq(9, 4242, 17777, 39999)) {
+        val sarg = SearchArgumentFactory.newBuilder()
+          .startAnd().equals("key", PredicateLeaf.Type.STRING,
+            md5(i.toString)).end().build()
+        val c = countFor(sarg, Array("key"))
+        assert(c >= 2000L && c % 2000L == 0L && c <= 8000L,
+          s"key of row $i read $c rows")
+      }
+      for (i <- Seq(100, 23456)) {
+        val v = (i.toLong * 2654435761L) % 1000000007L
+        val sarg = SearchArgumentFactory.newBuilder()
+          .startAnd().equals("uid", PredicateLeaf.Type.LONG,
+            Long.box(v)).end().build()
+        assert(countFor(sarg, Array("uid")) >= 2000L,
+          s"uid of row $i was bloom-pruned away (false negative)")
+      }
+      // absent in-range keys: orc-core should bloom-prune essentially
+      // everything (min/max cannot — full-domain overlap); at 1% fpp
+      // over 20 groups most members prune to exactly zero
+      val absentCounts = (0 until 8).map { j =>
+        val sarg = SearchArgumentFactory.newBuilder()
+          .startAnd().equals("key", PredicateLeaf.Type.STRING,
+            md5(s"absent-$j")).end().build()
+        countFor(sarg, Array("key"))
+      }
+      assert(absentCounts.count(_ == 0L) >= 4 &&
+        absentCounts.sum <= 16000L,
+        s"orc-core barely pruned the absent keys ($absentCounts)")
+      // graftorc consumes OUR blooms too: an absent member planning
+      // zero partitions, a present one answering row-exactly
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b
+        }.getOrElse(fail("no scan"))
+      val orc = spark.read.format("graftorc").load(file.toString)
+      val zeroJ = (0 until 8).find(j => absentCounts(j) == 0L).get
+      val absent = orc.filter(col("key") === md5(s"absent-$zeroJ"))
+      assert(scanOf(absent).inputPartitions.isEmpty,
+        "absent key should plan zero stripes")
+      val present = orc.filter(col("key") === md5("4242")).collect()
+      assert(present.length == 1 && present(0).getLong(0) == 4242L)
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
 }

@@ -545,4 +545,112 @@ class ParquetWriteSpec extends AnyFunSuite {
       assert(e3.getMessage.contains("unsupported"))
     } finally graft.streaming.WorkDirs.deleteRecursively(dir)
   }
+
+  test("written split-block BLOOM FILTERS: parquet-mr reads them and " +
+      "probes with zero false negatives; graftpq prunes absent keys " +
+      "to zero partitions on OUR files") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("bloomwrite")
+    try {
+      def md5(v: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(v.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+      // unsorted high-cardinality string + long keys: every row
+      // group's [min,max] covers the whole domain, so ONLY the blooms
+      // can prune point lookups — the exact shape they exist for
+      val fields = Seq(PwFields.int64("id"), PwFields.string("key"),
+        PwFields.int64("uid"))
+      def rows = (0 until 40000).iterator.map { i =>
+        Array[Any](Long.box(i.toLong), md5(i.toString),
+          Long.box((i.toLong * 2654435761L) % 1000000007L))
+      }
+      val file = new java.io.File(dir, "bloom.parquet")
+      val n = ParquetWrite.writeFile(file.toPath, fields, rows,
+        codec = 1, rowGroupRows = 10000, pageRows = 2000,
+        bloomColumns = Set("key", "uid"))
+      assert(n == 40000)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val inFile = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf)
+      val reader = ParquetFileReader.open(inFile)
+      val keyBlooms = Seq.newBuilder[
+        org.apache.parquet.column.values.bloomfilter.BloomFilter]
+      val uidBlooms = Seq.newBuilder[
+        org.apache.parquet.column.values.bloomfilter.BloomFilter]
+      try {
+        val blocks = reader.getFooter.getBlocks
+        assert(blocks.size == 4)
+        for (gi <- 0 until blocks.size) {
+          val block = blocks.get(gi)
+          val keyCol = block.getColumns.get(1)
+          val bloom = reader.getBloomFilterDataReader(block)
+            .readBloomFilter(keyCol)
+          assert(bloom != null, s"group $gi: parquet-mr found no bloom")
+          keyBlooms += bloom
+          // every key the group holds answers true (NO false negative)
+          for (i <- gi * 10000 until (gi + 1) * 10000 by 25) {
+            val h = bloom.hash(
+              org.apache.parquet.io.api.Binary.fromString(md5(i.toString)))
+            assert(bloom.findHash(h), s"group $gi lost key $i")
+          }
+          // absent keys overwhelmingly answer false (~1% fpp target)
+          val falsePos = (0 until 400).count { i =>
+            bloom.findHash(bloom.hash(org.apache.parquet.io.api.Binary
+              .fromString(md5(s"absent-$i"))))
+          }
+          assert(falsePos <= 40, s"group $gi: $falsePos/400 false hits")
+          // the INT64 bloom probes with the long's plain encoding
+          val uidCol = block.getColumns.get(2)
+          val ub = reader.getBloomFilterDataReader(block)
+            .readBloomFilter(uidCol)
+          assert(ub != null)
+          uidBlooms += ub
+          for (i <- gi * 10000 until (gi + 1) * 10000 by 100) {
+            val v = (i.toLong * 2654435761L) % 1000000007L
+            assert(ub.findHash(ub.hash(java.lang.Long.valueOf(v))),
+              s"group $gi lost uid of row $i")
+          }
+        }
+      } finally reader.close()
+      // parquet-mr's reader row-identity is untouched by the section
+      val got = spark.read.parquet(file.toString)
+        .orderBy("id").collect()
+      assert(got.length == 40000 && got(123).getString(1) == md5("123"))
+      // graftpq consumes OUR blooms: absent keys (min/max can't help)
+      // plan ZERO partitions; a present key still answers row-exactly
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+        df.queryExecution.executedPlan.collectFirst {
+          case b: BatchScanExec => b
+        }.getOrElse(fail("no scan"))
+      val pq = spark.read.format("graftpq").load(file.toString)
+      // absent members chosen by parquet-mr's INDEPENDENT probe (an
+      // ~1%/group fpp could otherwise make a fixed pick survive one
+      // group and the zero-partition assert vacuous)
+      val kbs = keyBlooms.result()
+      val absentKey = (0 until 400).map(i => md5(s"absent-$i"))
+        .find(k => kbs.forall(b => !b.findHash(b.hash(
+          org.apache.parquet.io.api.Binary.fromString(k))))).get
+      val absent = pq.filter(col("key") === absentKey)
+      assert(scanOf(absent).inputPartitions.isEmpty,
+        "absent key should plan zero partitions")
+      val present = pq.filter(col("key") === md5("777"))
+      val rows777 = present.collect()
+      assert(rows777.length == 1 && rows777(0).getLong(0) == 777L)
+      // an IN-RANGE absent uid (out-of-range would let min/max prune
+      // and prove nothing about the bloom path)
+      val ubs = uidBlooms.result()
+      val uids = (0 until 40000)
+        .map(i => (i.toLong * 2654435761L) % 1000000007L).toSet
+      val absentUid = Iterator.from(123456789).map(_.toLong)
+        .find(v => !uids(v) && ubs.forall(b =>
+          !b.findHash(b.hash(java.lang.Long.valueOf(v))))).get
+      val uidAbsent = pq.filter(col("uid") === absentUid)
+      assert(scanOf(uidAbsent).inputPartitions.isEmpty,
+        "absent in-range uid should plan zero partitions")
+    } finally graft.streaming.WorkDirs.deleteRecursively(dir)
+  }
 }
