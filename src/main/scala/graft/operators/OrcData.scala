@@ -305,6 +305,28 @@ object OrcData {
               case _ => ds.skip(dw)
             }
           }
+        case 7 => // DateStatistics: sint32 epoch days — lands in the
+          // numeric range so normalized date literals (days) prune
+          val ds = cs.sub()
+          ds.message { (did, dw) =>
+            did match {
+              case 1 => mn = Some(ds.zig().toDouble)
+              case 2 => mx = Some(ds.zig().toDouble)
+              case _ => ds.skip(dw)
+            }
+          }
+        case 9 => // TimestampStatistics: UTC millis (fields 3/4 — the
+          // writer-timezone-free pair) widened to the micro domain
+          // conservatively: a stat-millisecond truncates up to 999
+          // micros, so the max bound gains them back
+          val ts = cs.sub()
+          ts.message { (tid, tw) =>
+            tid match {
+              case 3 => mn = Some(ts.zig().toDouble * 1000.0)
+              case 4 => mx = Some(ts.zig().toDouble * 1000.0 + 999.0)
+              case _ => ts.skip(tw)
+            }
+          }
         case 4 => // StringStatistics: exact minimum/maximum, or the
           // lowerBound/upperBound TRUNCATED stand-ins long values get
           // (a truncated lower bound is still ≤ the true min and the

@@ -1467,8 +1467,10 @@ object ParquetWrite {
     */
   /** One leaf value Spark → writer representation (dates to epoch
     * days, timestamps to micros, decimals to their unscaled storage).
+    * `private[graft]`: the DSv2 write path adapts internal rows
+    * through the same packing.
     */
-  private def valueAdapt(dt: org.apache.spark.sql.types.DataType,
+  private[graft] def valueAdapt(dt: org.apache.spark.sql.types.DataType,
       name: String): Any => Any = {
     import org.apache.spark.sql.types._
     dt match {

@@ -2384,6 +2384,57 @@ object Sources {
       |  min(event_type) AS min_type, max(event_type) AS max_type
       |FROM events""".stripMargin
 
+  // S51/S52: the DSv2 WRITE path end-to-end — `df.write.format(
+  // "graftpq"/"graftorc").save(dir)` runs the from-scratch writers
+  // task-parallel (bounded-queue streaming, rename-on-task-commit),
+  // and the INDEPENDENT readers (parquet-mr / orc-core via Spark)
+  // decode the result — so a user writes AND reads both formats
+  // through the engine's own data plane with the stock DataFrame API.
+  private def s51PqV2Write(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqv2w-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists())
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(4)
+        .write.format("graftpq").mode("overwrite").save(tmp)
+    s.read.parquet(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private def s52OrcV2Write(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orcv2w-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists())
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(4)
+        .write.format("graftorc").mode("overwrite").save(tmp)
+    s.read.orc(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val sV2WriteSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -2428,7 +2479,9 @@ object Sources {
     "s47_orc_bloom" -> s47OrcBloom _,
     "s48_pq_agg" -> s48PqAgg _,
     "s49_dpp_join" -> s49DppJoin _,
-    "s50_orc_agg" -> s50OrcAgg _
+    "s50_orc_agg" -> s50OrcAgg _,
+    "s51_pq_v2write" -> s51PqV2Write _,
+    "s52_orc_v2write" -> s52OrcV2Write _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2475,6 +2528,8 @@ object Sources {
     "s47_orc_bloom" -> s46PqBloomSql, // same members, same closed forms
     "s48_pq_agg" -> s48PqAggSql,
     "s49_dpp_join" -> s49DppJoinSql,
-    "s50_orc_agg" -> s50OrcAggSql
+    "s50_orc_agg" -> s50OrcAggSql,
+    "s51_pq_v2write" -> sV2WriteSql,
+    "s52_orc_v2write" -> sV2WriteSql // same aggregate, same closed forms
   )
 }

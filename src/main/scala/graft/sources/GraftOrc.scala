@@ -65,8 +65,13 @@ class GraftOrc extends TableProvider
 
   override def inferSchema(options: CaseInsensitiveStringMap)
       : StructType = {
-    val files = GraftOrc.listFiles(GraftParquet.pathOf(options))
-    require(files.nonEmpty, "graftorc: no .orc files under the path")
+    val path = GraftParquet.pathOf(options)
+    // missing/empty target: legal for the WRITE path (the analyzer
+    // takes the query's schema via ACCEPT_ANY_SCHEMA); a READ still
+    // rejects loudly at newScanBuilder
+    if (!new java.io.File(path).exists()) return new StructType()
+    val files = GraftOrc.listFiles(path)
+    if (files.isEmpty) return new StructType()
     GraftOrc.toSparkSchema(
       OrcData.readPlan(files.head.toPath).meta.types)
   }
@@ -323,23 +328,45 @@ object GraftOrc {
 }
 
 private[sources] class GraftOrcTable(schema: StructType, path: String)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftorc $path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA) // first write to a fresh dir
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftOrcScanBuilder(schema, path)
+      : ScanBuilder = {
+    require(schema.fields.nonEmpty,
+      "graftorc: no .orc files under the path")
+    new GraftOrcScanBuilder(schema, path)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(path, info.schema(), orc = true)
 }
 
 private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
     path: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggPlan: Option[GraftParquet.PqPushedAgg] = None
+  private var limit: Int = -1
+
+  /** LIMIT caps PLANNING (leading stripes covering the limit) —
+    * partial push, unfiltered scans only; see the graftpq twin.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty) false
+    else { limit = n; true }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projections (count(*)) still need row counts: keep the
@@ -357,7 +384,8 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def ok(c: String, v: Any): Boolean =
       (numericCol(c) && v.isInstanceOf[Number]) ||
-        (stringCol(c) && v.isInstanceOf[String])
+        (stringCol(c) && v.isInstanceOf[String]) ||
+        (temporalCol(c) && GraftParquet.temporalValue(v))
     def prunable(f: Filter): Boolean = f match {
       case EqualTo(c, v) => ok(c, v)
       case EqualNullSafe(c, v) => v == null || ok(c, v)
@@ -365,14 +393,16 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
       case GreaterThanOrEqual(c, v) => ok(c, v)
       case LessThan(c, v) => ok(c, v)
       case LessThanOrEqual(c, v) => ok(c, v)
-      case IsNotNull(c) => numericCol(c) || stringCol(c)
-      case IsNull(c) => numericCol(c) || stringCol(c)
+      case IsNotNull(c) => numericCol(c) || stringCol(c) || temporalCol(c)
+      case IsNull(c) => numericCol(c) || stringCol(c) || temporalCol(c)
       case In(c, vs) => vs != null &&
         vs.forall(v => v == null || ok(c, v))
       case StringStartsWith(c, p) => p != null && stringCol(c)
       case _ => false
     }
-    pushed = filters.filter(prunable)
+    // temporal literals normalize to days/micros — the units the
+    // parsed DateStatistics/TimestampStatistics ranges carry
+    pushed = filters.filter(prunable).map(GraftParquet.normTemporal)
     filters
   }
 
@@ -386,6 +416,12 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
   private def stringCol(name: String): Boolean =
     fullSchema.fields.find(_.name == name)
       .exists(_.dataType == StringType)
+
+  private def temporalCol(name: String): Boolean =
+    fullSchema.fields.find(_.name == name).exists(f => f.dataType match {
+      case DateType | TimestampType => true
+      case _ => false
+    })
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -402,7 +438,8 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
 
   override def build(): Scan = aggPlan match {
     case Some(p) => new GraftPqAggScan(p, path, fmt = "graftorc")
-    case None => new GraftOrcScan(fullSchema, required, pushed, path)
+    case None =>
+      new GraftOrcScan(fullSchema, required, pushed, path, limit)
   }
 }
 
@@ -416,7 +453,8 @@ final case class GraftOrcPartition(path: String, stripe: OrcStripe,
     groupRange: Option[(Int, Int)] = None) extends InputPartition
 
 private[sources] class GraftOrcScan(fullSchema: StructType,
-    required: StructType, pushed: Array[Filter], path: String)
+    required: StructType, pushed: Array[Filter], path: String,
+    limit: Int = -1)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
 
@@ -512,8 +550,23 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     var c = cached
-    if (c == null) { c = doPlanInputPartitions(); cached = c }
+    if (c == null) { c = capToLimit(doPlanInputPartitions()); cached = c }
     c
+  }
+
+  /** A pushed LIMIT keeps only the leading stripes covering it —
+    * exact on an unfiltered scan; any filter disables the cap.
+    */
+  private def capToLimit(all: Array[InputPartition])
+      : Array[InputPartition] = {
+    if (limit < 0 || filters.nonEmpty) return all
+    var acc = 0L
+    var k = 0
+    while (k < all.length && acc < limit) {
+      acc += all(k).asInstanceOf[GraftOrcPartition].stripe.rows
+      k += 1
+    }
+    java.util.Arrays.copyOfRange(all, 0, k)
   }
 
   private def doPlanInputPartitions(): Array[InputPartition] = {

@@ -72,12 +72,21 @@ class GraftParquet extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap)
       : StructType = {
     val path = GraftParquet.pathOf(options)
+    val dir = new java.io.File(path)
+    // a missing/empty target has nothing to infer — legal for the
+    // WRITE path (the analyzer takes the query's schema through
+    // ACCEPT_ANY_SCHEMA); a READ of it still rejects loudly at
+    // newScanBuilder
+    if (!dir.exists() ||
+        (dir.isDirectory && GraftParquet.listFiles(path).isEmpty &&
+          GraftParquet.partitionColsOf(path).isEmpty))
+      return new StructType()
     val partCols = GraftParquet.partitionColsOf(path)
     val files =
       if (partCols.isEmpty) GraftParquet.listFiles(path)
       else GraftParquet.listPartitionedFiles(path, partCols.map(_._1))
         .map(_._1)
-    require(files.nonEmpty, "graftpq: no .parquet files under the path")
+    if (files.isEmpty) return new StructType()
     val base = GraftParquet.toSparkSchema(
       ParquetFooter.readTail(files.head.toPath).schema)
     // partition columns live in dir names, not file leaves — appended
@@ -957,6 +966,95 @@ object GraftParquet {
     Some(best)
   }
 
+  /** Adapt one INTERNAL (catalyst) value to the plain-JVM shapes the
+    * from-scratch writers take ([[graft.operators.ParquetWrite]] /
+    * [[graft.operators.OrcWrite]]): UTF8String → String, Decimal →
+    * java BigDecimal (parquet then packs it to unscaled storage
+    * through the writer's own leaf adapter), Byte/Short widen to Int
+    * (the writers' int32 representation), Date day-ints and Timestamp
+    * micro-longs pass through, lists become Seq, maps Seq[(k,v)], and
+    * structs pack via `structPack` (Array for parquet, Seq for ORC).
+    */
+  private[sources] def internalAdapter(dt: DataType, orc: Boolean,
+      structPack: Seq[Any] => Any): Any => Any = dt match {
+    case ByteType => v => Int.box(v.asInstanceOf[Byte].toInt)
+    case ShortType => v => Int.box(v.asInstanceOf[Short].toInt)
+    case StringType => v => v.asInstanceOf[UTF8String].toString
+    case d: DecimalType =>
+      val pack: Any => Any =
+        if (orc) identity
+        else graft.operators.ParquetWrite.valueAdapt(d, "decimal")
+      v => pack(v.asInstanceOf[Decimal].toJavaBigDecimal)
+    case st: StructType =>
+      val ads = st.fields.map(f => internalAdapter(f.dataType, orc,
+        structPack))
+      val dts = st.fields.map(_.dataType)
+      v => {
+        val r = v.asInstanceOf[InternalRow]
+        structPack(Seq.tabulate[Any](ads.length)(i =>
+          if (r.isNullAt(i)) null else ads(i)(r.get(i, dts(i)))))
+      }
+    case ArrayType(et, _) =>
+      val ad = internalAdapter(et, orc, structPack)
+      v => v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(et).toSeq
+        .map[Any](x => if (x == null) null else ad(x))
+    case MapType(kt, vt, _) =>
+      val kad = internalAdapter(kt, orc, structPack)
+      val vad = internalAdapter(vt, orc, structPack)
+      v => {
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = m.keyArray.toObjectArray(kt)
+        val vs = m.valueArray.toObjectArray(vt)
+        Seq.tabulate[(Any, Any)](ks.length)(i => (kad(ks(i)),
+          if (vs(i) == null) null else vad(vs(i))))
+      }
+    case _ => identity // Int/Long/Float/Double/Boolean/Binary/day/micros
+  }
+
+  /** Normalize temporal filter literals to Spark's INTERNAL units —
+    * epoch-day Ints for dates, epoch-micro Longs for timestamps — the
+    * same units the column statistics carry (parquet DATE int32 days /
+    * TIMESTAMP_MICROS int64; ORC DateStatistics days /
+    * TimestampStatistics UTC millis widened to micros at parse), so
+    * the existing NUMERIC disjointness machinery prunes on them
+    * unchanged. Applied once at filter-push time; Spark re-evaluates
+    * the original filters row-exactly either way.
+    */
+  private[sources] def normTemporal(f: Filter): Filter = {
+    def n(v: Any): Any = v match {
+      case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+      case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+      case t: java.sql.Timestamp =>
+        Long.box(Math.addExact(Math.multiplyExact(
+          Math.floorDiv(t.getTime, 1000L), 1000000L),
+          t.getNanos / 1000L))
+      case t: java.time.Instant =>
+        Long.box(Math.addExact(Math.multiplyExact(
+          t.getEpochSecond, 1000000L), t.getNano / 1000L))
+      case other => other
+    }
+    f match {
+      case EqualTo(c, v) => EqualTo(c, n(v))
+      case EqualNullSafe(c, v) =>
+        EqualNullSafe(c, if (v == null) null else n(v))
+      case GreaterThan(c, v) => GreaterThan(c, n(v))
+      case GreaterThanOrEqual(c, v) => GreaterThanOrEqual(c, n(v))
+      case LessThan(c, v) => LessThan(c, n(v))
+      case LessThanOrEqual(c, v) => LessThanOrEqual(c, n(v))
+      case In(c, vs) if vs != null =>
+        In(c, vs.map(v => if (v == null) null else n(v)))
+      case other => other
+    }
+  }
+
+  /** True when `v` is a temporal literal [[normTemporal]] converts. */
+  private[sources] def temporalValue(v: Any): Boolean = v match {
+    case _: java.sql.Date | _: java.time.LocalDate |
+      _: java.sql.Timestamp | _: java.time.Instant => true
+    case _ => false
+  }
+
   /** Translate a runtime [[Predicate]] (what dynamic partition
     * pruning injects — IN over the build side's join keys, or a
     * single =) into the v1 filter the stats/bloom pruning machinery
@@ -1000,23 +1098,218 @@ object GraftParquet {
 }
 
 private[sources] class GraftParquetTable(schema: StructType,
-    path: String) extends Table with SupportsRead {
+    path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftpq $path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA) // first write to a fresh dir
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftParquetScanBuilder(schema, path)
+      : ScanBuilder = {
+    require(schema.fields.nonEmpty,
+      "graftpq: no .parquet files under the path")
+    new GraftParquetScanBuilder(schema, path)
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(path, info.schema(), orc = false)
+}
+
+/** The DSv2 WRITE half of both sources: `df.write.format("graftpq"/
+  * "graftorc").mode("append"/"overwrite").save(dir)` runs the
+  * from-scratch writers ([[graft.operators.ParquetWrite]] /
+  * [[graft.operators.OrcWrite]]) WHERE THE DATA IS — one task per
+  * partition streams its rows through a bounded queue into the writer
+  * (no per-task buffering of the whole partition), lands a hidden
+  * `.inprogress` temp file, and RENAMES it into place only at task
+  * commit (Spark's commit coordinator admits one attempt per
+  * partition, so speculation/retries never publish twins). The job
+  * commit publishes `_SUCCESS`; overwrite truncates the directory
+  * up front.
+  */
+private[sources] class GraftWriteBuilder(path: String,
+    schema: StructType, orc: Boolean)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new GraftBatchWrite(path, schema, orc, truncateFirst)
+    }
+}
+
+private[sources] class GraftBatchWrite(path: String,
+    schema: StructType, orc: Boolean, truncate: Boolean)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val dir = new java.io.File(path)
+    if (truncate && dir.exists())
+      graft.streaming.WorkDirs.deleteRecursively(dir)
+    require(dir.isDirectory || dir.mkdirs(),
+      s"graft write: cannot create $path")
+    GraftFileWriterFactory(path, schema, orc)
+  }
+
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit =
+    new java.io.FileOutputStream(new java.io.File(path, "_SUCCESS"))
+      .close()
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit =
+    messages.foreach {
+      case GraftWriteCommit(file) if file.nonEmpty =>
+        new java.io.File(file).delete()
+      case _ => ()
+    }
+}
+
+private[sources] final case class GraftWriteCommit(file: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] final case class GraftFileWriterFactory(path: String,
+    schema: StructType, orc: Boolean)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftFileDataWriter(path, schema, orc, partitionId, taskId)
+}
+
+/** One task's writer: adapts each internal row to the writers' plain
+  * JVM shapes IMMEDIATELY (internal rows are reused by the caller),
+  * hands them through a bounded queue to a writer thread running the
+  * whole-file writer, and publishes by rename at commit. Memory is
+  * O(queue + one row group), never O(partition).
+  */
+private[sources] class GraftFileDataWriter(dirPath: String,
+    schema: StructType, orc: Boolean, partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val ext = if (orc) "orc" else "parquet"
+  private val tmp = new java.io.File(dirPath,
+    f".part-$partitionId%05d-$taskId.$ext.inprogress")
+  private val fin = new java.io.File(dirPath,
+    f"part-$partitionId%05d-$taskId.$ext")
+
+  private val dts = schema.fields.map(_.dataType)
+  private val ads: Array[Any => Any] = schema.fields.map { f =>
+    GraftParquet.internalAdapter(f.dataType, orc,
+      if (orc) (s: Seq[Any]) => s else (s: Seq[Any]) => s.toArray[Any])
+  }
+
+  private val queue =
+    new java.util.concurrent.ArrayBlockingQueue[AnyRef](1024)
+  private val endMark = new Object
+  @volatile private var failure: Throwable = null
+  private var rows = 0L
+
+  private val writer = new Thread(() => {
+    try {
+      val it = new Iterator[Array[Any]] {
+        private var nextItem: AnyRef = queue.take()
+        def hasNext: Boolean = nextItem ne endMark
+        def next(): Array[Any] = {
+          val r = nextItem.asInstanceOf[Array[Any]]
+          nextItem = queue.take()
+          r
+        }
+      }
+      if (orc)
+        graft.operators.OrcWrite.writeFile(tmp.toPath,
+          graft.operators.OrcWrite.fieldsOf(schema), it,
+          compression = 5)
+      else
+        graft.operators.ParquetWrite.writeColumns(tmp.toPath,
+          graft.operators.ParquetWrite.columnsOf(schema), it,
+          codec = 1)
+    } catch {
+      case t: Throwable =>
+        failure = t
+        // unblock the producer, then drain whatever still arrives
+        while (queue.poll() ne null) ()
+        while (queue.take() ne endMark) ()
+    }
+  }, s"graft-write-$partitionId-$taskId")
+  writer.setDaemon(true)
+  writer.start()
+
+  override def write(row: InternalRow): Unit = {
+    if (failure != null) throw failure
+    val a = new Array[Any](dts.length)
+    var i = 0
+    while (i < dts.length) {
+      a(i) = if (row.isNullAt(i)) null else ads(i)(row.get(i, dts(i)))
+      i += 1
+    }
+    queue.put(a)
+    rows += 1
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    queue.put(endMark)
+    writer.join()
+    if (failure != null) throw failure
+    if (rows == 0) { // empty partitions leave no file
+      tmp.delete()
+      GraftWriteCommit("")
+    } else {
+      require(tmp.renameTo(fin),
+        s"graft write: cannot publish ${fin.getName}")
+      GraftWriteCommit(fin.getAbsolutePath)
+    }
+  }
+
+  override def abort(): Unit = {
+    queue.clear()
+    queue.put(endMark)
+    writer.join()
+    tmp.delete()
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
     path: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggPlan: Option[GraftParquet.PqPushedAgg] = None
+  private var limit: Int = -1
+
+  /** LIMIT caps PLANNING, not rows: partitions are planned only until
+    * their (DV-net) row counts cover the limit — `LIMIT 10` over a
+    * million-file table plans one row group. Partial push (Spark keeps
+    * its own Limit above), and only on an UNFILTERED scan: under a
+    * filter the kept groups might hold fewer matching rows than the
+    * limit, dropping answers.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty) false
+    else { limit = n; true }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projections (count(*)) still need row counts: keep the
@@ -1035,7 +1328,8 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def ok(c: String, v: Any): Boolean =
       (numericCol(c) && v.isInstanceOf[Number]) ||
-        (stringCol(c) && v.isInstanceOf[String])
+        (stringCol(c) && v.isInstanceOf[String]) ||
+        (temporalCol(c) && GraftParquet.temporalValue(v))
     def prunable(f: Filter): Boolean = f match {
       case EqualTo(c, v) => ok(c, v)
       case EqualNullSafe(c, v) => v == null || ok(c, v)
@@ -1043,14 +1337,16 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
       case GreaterThanOrEqual(c, v) => ok(c, v)
       case LessThan(c, v) => ok(c, v)
       case LessThanOrEqual(c, v) => ok(c, v)
-      case IsNotNull(c) => numericCol(c) || stringCol(c)
-      case IsNull(c) => numericCol(c) || stringCol(c)
+      case IsNotNull(c) => numericCol(c) || stringCol(c) || temporalCol(c)
+      case IsNull(c) => numericCol(c) || stringCol(c) || temporalCol(c)
       case In(c, vs) => vs != null &&
         vs.forall(v => v == null || ok(c, v))
       case StringStartsWith(c, p) => p != null && stringCol(c)
       case _ => false
     }
-    pushed = filters.filter(prunable)
+    // temporal literals normalize to their stats units (days/micros)
+    // ONCE here; every pruning tier below then runs the numeric path
+    pushed = filters.filter(prunable).map(GraftParquet.normTemporal)
     filters
   }
 
@@ -1064,6 +1360,12 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
   private def stringCol(name: String): Boolean =
     fullSchema.fields.find(_.name == name)
       .exists(_.dataType == StringType)
+
+  private def temporalCol(name: String): Boolean =
+    fullSchema.fields.find(_.name == name).exists(f => f.dataType match {
+      case DateType | TimestampType => true
+      case _ => false
+    })
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -1083,7 +1385,8 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
 
   override def build(): Scan = aggPlan match {
     case Some(p) => new GraftPqAggScan(p, path)
-    case None => new GraftParquetScan(fullSchema, required, pushed, path)
+    case None =>
+      new GraftParquetScan(fullSchema, required, pushed, path, limit)
   }
 }
 
@@ -1169,7 +1472,8 @@ final case class GraftPqPartition(path: String,
   extends InputPartition
 
 private[sources] class GraftParquetScan(fullSchema: StructType,
-    required: StructType, pushed: Array[Filter], path: String)
+    required: StructType, pushed: Array[Filter], path: String,
+    limit: Int = -1)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
 
@@ -1285,8 +1589,25 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     var c = cached
-    if (c == null) { c = doPlanInputPartitions(); cached = c }
+    if (c == null) { c = capToLimit(doPlanInputPartitions()); cached = c }
     c
+  }
+
+  /** A pushed LIMIT keeps only the leading partitions whose (DV-net)
+    * rows cover it — exact because nothing else drops rows on an
+    * unfiltered scan; any filter (static or runtime) disables the cap.
+    */
+  private def capToLimit(all: Array[InputPartition])
+      : Array[InputPartition] = {
+    if (limit < 0 || filters.nonEmpty) return all
+    var acc = 0L
+    var k = 0
+    while (k < all.length && acc < limit) {
+      val p = all(k).asInstanceOf[GraftPqPartition]
+      acc += p.rgRows - p.skip.length
+      k += 1
+    }
+    java.util.Arrays.copyOfRange(all, 0, k)
   }
 
   private def doPlanInputPartitions(): Array[InputPartition] = {
@@ -1321,7 +1642,11 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       // manifest's recorded per-column stats — both conservative,
       // absent = keep
       def partRange(c: String): Option[(Double, Double)] =
-        partVals.get(c).flatten.flatMap(_.toDoubleOption)
+        partVals.get(c).flatten.flatMap(s => s.toDoubleOption.orElse(
+          // DateType partition dirs ("dt=2024-01-01") hold for every
+          // row of the file; normalized date literals compare in days
+          scala.util.Try(java.time.LocalDate.parse(s)
+            .toEpochDay.toDouble).toOption))
           .map(d => (Math.nextDown(d), Math.nextUp(d)))
       def partRangeS(c: String): Option[(Array[Byte], Array[Byte])] =
         partVals.get(c).flatten.map { s =>

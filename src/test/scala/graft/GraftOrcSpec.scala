@@ -535,6 +535,74 @@ class GraftOrcSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("DSv2 WRITE path: df.write.format(\"graftorc\") streams rows " +
+      "through the from-scratch ORC writer; orc-core (Spark's reader) " +
+      "reads the result row-identically; overwrite/append semantics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-v2write").toString + "/t"
+    try {
+      val df = (0 until 5000).map { k =>
+        (k.toLong,
+          if (k % 9 == 0) None else Some(k * 3 - 700),
+          s"v${k % 7}",
+          k * 1.75 - 300.0,
+          java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(k % 365)),
+          Seq(k.toLong, k * 2L))
+      }.toDF("id", "opt", "s", "d", "dt", "xs")
+      df.repartition(4).write.format("graftorc")
+        .mode("overwrite").save(dir)
+      assert(new java.io.File(dir, "_SUCCESS").exists())
+      val got = spark.read.orc(dir).orderBy("id").collect().toSeq
+        .map(_.toSeq)
+      val want = df.orderBy("id").collect().toSeq.map(_.toSeq)
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      df.limit(100).write.format("graftorc").mode("append").save(dir)
+      assert(spark.read.orc(dir).count() == 5100)
+      df.limit(10).write.format("graftorc").mode("overwrite").save(dir)
+      assert(spark.read.format("graftorc").load(dir).count() == 10)
+    } finally graft.streaming.WorkDirs.deleteRecursively(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("LIMIT pushdown caps planning to the leading stripes; a " +
+      "filtered LIMIT never caps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-limit").toString
+    try {
+      graft.operators.OrcWrite.writeDataFrame(
+        (0 until 40000).map(k => (k.toLong, s"v${k % 7}"))
+          .toDF("id", "s").coalesce(1).sortWithinPartitions("id"),
+        dir, stripeRows = 8192, compression = 5)
+      val orc = spark.read.format("graftorc").load(dir)
+      assert(batchScan(orc).inputPartitions.length == 5)
+      val limited = orc.limit(10)
+      assert(limited.collect().length == 10)
+      assert(physicalScansOrc(limited).head.inputPartitions.length == 1,
+        "LIMIT 10 should plan exactly the first stripe")
+      val filtered = orc.filter("id >= 39995").limit(10)
+      assert(filtered.collect().length == 5)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  private def physicalScansOrc(df: org.apache.spark.sql.DataFrame)
+      : Seq[BatchScanExec] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => walk(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("the registered s50 query really takes the pushed path " +
       "against OUR OrcWrite statistics (sum + exact strings)") {
     val df = SparkEntry.queries("s50_orc_agg")(

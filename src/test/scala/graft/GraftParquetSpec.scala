@@ -1404,4 +1404,145 @@ class GraftParquetSpec extends AnyFunSuite {
     assert(paths.nonEmpty && paths.forall(_.contains("bucket=2")),
       s"s49 DPP planned $paths")
   }
+
+  test("DSv2 WRITE path: df.write.format(\"graftpq\") streams rows " +
+      "through the from-scratch writer per task; parquet-mr reads the " +
+      "result row-identically; overwrite truncates, append adds, " +
+      "empty partitions leave no file") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-v2write").toString + "/t"
+    try {
+      val df = (0 until 5000).map { k =>
+        (k.toLong,
+          if (k % 9 == 0) None else Some(k * 3 - 700),
+          s"v${k % 7}",
+          BigDecimal(k).setScale(2) / 4,
+          java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(k % 365)),
+          Seq(k, k * 2),
+          (k % 5, s"s$k"))
+      }.toDF("id", "opt", "s", "dec", "dt", "xs", "st")
+      df.repartition(4).write.format("graftpq")
+        .mode("overwrite").save(dir)
+      assert(new java.io.File(dir, "_SUCCESS").exists())
+      assert(new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".inprogress")) == 0)
+      // parquet-mr (Spark's reader) decodes OUR V2-written files
+      val got = spark.read.parquet(dir).orderBy("id").collect().toSeq
+        .map(_.toSeq)
+      val want = df.orderBy("id").collect().toSeq.map(_.toSeq)
+      assert(got.size == want.size)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      // append adds, overwrite replaces
+      df.limit(100).write.format("graftpq").mode("append").save(dir)
+      assert(spark.read.parquet(dir).count() == 5100)
+      df.limit(10).repartition(8).write.format("graftpq")
+        .mode("overwrite").save(dir)
+      assert(spark.read.parquet(dir).count() == 10)
+      // ≤10 rows over 8 partitions: empty ones must leave no file
+      assert(new java.io.File(dir).listFiles()
+        .count(_.getName.endsWith(".parquet")) <= 8)
+      // and graftpq reads its own write back
+      assert(spark.read.format("graftpq").load(dir).count() == 10)
+    } finally graft.streaming.WorkDirs.deleteRecursively(
+      new java.io.File(dir).getParentFile)
+  }
+
+  test("LIMIT pushdown caps planning: an unfiltered LIMIT plans the " +
+      "leading partitions only; a filtered LIMIT never caps (the kept " +
+      "groups might hold too few matches)") {
+    val dir = sortedFixture()
+    try {
+      val pq = spark.read.format("graftpq").load(dir)
+      val all = batchScan(pq).inputPartitions.length
+      assert(all > 1)
+      val limited = pq.limit(10)
+      assert(limited.collect().length == 10)
+      assert(physicalScans(limited).head.inputPartitions.length == 1,
+        "LIMIT 10 should plan exactly the first row group")
+      // under a filter the cap must NOT apply: these 5 matches live in
+      // a LATE row group — a capped plan would lose them
+      val filtered = pq.filter("id >= 39995").limit(10)
+      assert(filtered.collect().length == 5)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("DATE and TIMESTAMP filters prune row groups (and stripes): " +
+      "temporal literals normalize to the stats' day/micro units") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-temporal").toString
+    val odir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-temporal").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", "4096")
+    val prevTs = spark.conf
+      .getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try {
+      val df = (0 until 40000).map { k =>
+        (k.toLong,
+          java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(k / 100)),
+          java.sql.Timestamp.from(java.time.Instant
+            .parse("2024-03-01T00:00:00Z").plusSeconds(k * 60L)))
+      }.toDF("id", "dt", "ts")
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+      val pq = spark.read.format("graftpq").load(dir)
+      val total = batchScan(pq).inputPartitions.length
+      assert(total > 4)
+      val cut = java.sql.Date.valueOf("2025-01-20")
+      val dFiltered = pq.filter(col("dt") >= cut)
+      assert(batchScan(dFiltered).inputPartitions.length < total,
+        "date filter pruned no row groups")
+      assert(dFiltered.count() ==
+        spark.read.parquet(dir).filter(col("dt") >= cut).count())
+      val tsCut = java.sql.Timestamp
+        .from(java.time.Instant.parse("2024-03-28T00:00:00Z"))
+      val tFiltered = pq.filter(col("ts") < tsCut)
+      assert(batchScan(tFiltered).inputPartitions.length < total,
+        "timestamp filter pruned no row groups")
+      assert(tFiltered.count() ==
+        spark.read.parquet(dir).filter(col("ts") < tsCut).count())
+      // ORC: the from-scratch writer emits DateStatistics /
+      // TimestampStatistics; graftorc prunes stripes on them
+      graft.operators.OrcWrite.writeDataFrame(
+        df.coalesce(1).sortWithinPartitions("id"), odir,
+        stripeRows = 8192, compression = 5)
+      val orc = spark.read.format("graftorc").load(odir)
+      val oTotal = batchScan(orc).inputPartitions.length
+      assert(oTotal == 5)
+      val oFiltered = orc.filter(col("dt") >= cut)
+      assert(batchScan(oFiltered).inputPartitions.length < oTotal,
+        "ORC date filter pruned no stripes")
+      assert(oFiltered.count() == dFiltered.count())
+      // `ts <` prunes only stripes entirely ABOVE the cut — at 60 s
+      // steps and 8192-row stripes that needs an early cut (stripe 1
+      // starts 2024-03-06T16:32Z)
+      val oTsCut = java.sql.Timestamp
+        .from(java.time.Instant.parse("2024-03-05T00:00:00Z"))
+      val oTs = orc.filter(col("ts") < oTsCut)
+      assert(batchScan(oTs).inputPartitions.length < oTotal,
+        "ORC timestamp filter pruned no stripes")
+      assert(oTs.count() ==
+        spark.read.parquet(dir).filter(col("ts") < oTsCut).count())
+    } finally {
+      if (prev == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", prev)
+      prevTs match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(dir))
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(odir))
+    }
+  }
 }
