@@ -1489,7 +1489,7 @@ object Maintenance {
   def dvRoot(tablePath: String): String = s"$tablePath/_graft_log/dv"
   def dvDirPath(tablePath: String, v: Long): String =
     f"${dvRoot(tablePath)}/v$v%06d"
-  private def dvMarkerPath(tablePath: String, v: Long): String =
+  private[graft] def dvMarkerPath(tablePath: String, v: Long): String =
     f"${dvRoot(tablePath)}/v$v%06d.files.txt"
 
   /** Versions that recorded deletion vectors, ascending. */

@@ -2435,6 +2435,42 @@ object Sources {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // S53: VERSION-TAILING streaming source end-to-end — readStream over
+  // a committed table through `graftpq`'s MicroBatchStream: offsets
+  // are commit versions, each trigger plans exactly the files the new
+  // versions ADDED (O(new versions), never a directory listing — the
+  // Delta streaming-source IO shape at 100 TB), decoded by the same
+  // from-scratch row-group readers. Two appends stream out through one
+  // AvailableNow run; the oracle recomputes the aggregate over the
+  // whole source table.
+  private def s53PqStream(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqstream-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val table = s"$work/t"
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.operators.Maintenance.commitAppend(s, table,
+      ev.filter(col("event_id") % 2 === 0).repartition(2))
+    graft.operators.Maintenance.commitAppend(s, table,
+      ev.filter(col("event_id") % 2 === 1).repartition(2))
+    val q = s.readStream.format("graftpq").load(table)
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fed = s.read.parquet(s"$work/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+    graft.streaming.WorkDirs.materializeAndClean(fed, work)
+  }
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -2481,7 +2517,8 @@ object Sources {
     "s49_dpp_join" -> s49DppJoin _,
     "s50_orc_agg" -> s50OrcAgg _,
     "s51_pq_v2write" -> s51PqV2Write _,
-    "s52_orc_v2write" -> s52OrcV2Write _
+    "s52_orc_v2write" -> s52OrcV2Write _,
+    "s53_pq_stream" -> s53PqStream _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2530,6 +2567,7 @@ object Sources {
     "s49_dpp_join" -> s49DppJoinSql,
     "s50_orc_agg" -> s50OrcAggSql,
     "s51_pq_v2write" -> sV2WriteSql,
-    "s52_orc_v2write" -> sV2WriteSql // same aggregate, same closed forms
+    "s52_orc_v2write" -> sV2WriteSql, // same aggregate, same closed forms
+    "s53_pq_stream" -> sV2WriteSql // full-table stream, same aggregate
   )
 }

@@ -1012,6 +1012,53 @@ object GraftParquet {
     case _ => identity // Int/Long/Float/Double/Boolean/Binary/day/micros
   }
 
+  /** The per-file assembly plans for a required read schema: partition
+    * columns become [[ConstPlan]]s carrying the file's dir values,
+    * everything else resolves by name against the footer's field plans
+    * — restricted and reordered recursively, because Catalyst's
+    * nested-schema pruning can request a struct subset in a different
+    * order at any depth. Shared by the batch scan and the streaming
+    * micro-batch planner.
+    */
+  private[sources] def reqPlansFor(plans: Seq[PqFieldPlan],
+      required: StructType, partColTypes: Map[String, DataType],
+      partVals: Map[String, Option[String]], fileName: String)
+      : Seq[PqFieldPlan] = {
+    val byName = plans.map(p => p.name -> p).toMap
+    required.fields.map { rf =>
+      partColTypes.get(rf.name) match {
+        case Some(dt) => ConstPlan(rf.name, dt, partVals(rf.name))
+        case None =>
+          val plan = byName.getOrElse(rf.name,
+            throw new IllegalArgumentException(
+              s"graftpq: column '${rf.name}' not in $fileName"))
+          def restrict(p: PqFieldPlan, dt: DataType): PqFieldPlan =
+            (p, dt) match {
+              case (sp: StructPlan, st: StructType) =>
+                sp.copy(fields = st.fields.map { inner =>
+                  val kid = sp.fields.find(_.name == inner.name)
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"graftpq: struct field " +
+                        s"'${sp.name}.${inner.name}' not in $fileName"))
+                  restrict(kid, inner.dataType)
+                }.toSeq)
+              case (lp: ListStructPlan, ArrayType(st: StructType, _)) =>
+                lp.copy(fields = st.fields.map { inner =>
+                  lp.fields.find(_.field.name == inner.name)
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"graftpq: list element field " +
+                        s"'${lp.name}.${inner.name}' not in $fileName"))
+                }.toSeq)
+              case (tp: TreePlan, _) =>
+                tp.copy(root = restrictNode(tp.root, dt, tp.name,
+                  fileName))
+              case _ => p
+            }
+          restrict(plan, rf.dataType)
+      }
+    }.toSeq
+  }
+
   /** Normalize temporal filter literals to Spark's INTERNAL units —
     * epoch-day Ints for dates, epoch-micro Longs for timestamps — the
     * same units the column statistics carry (parquet DATE int32 days /
@@ -1104,6 +1151,7 @@ private[sources] class GraftParquetTable(schema: StructType,
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, // version-tailing stream
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA) // first write to a fresh dir
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -1480,6 +1528,13 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** `spark.readStream.format("graftpq")` tails the committed table's
+    * version log — see [[GraftPqMicroBatch]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftPqMicroBatch(path, required)
+
   /** Filters injected at RUNTIME (dynamic partition pruning: the
     * build side's distinct join keys arrive as an IN once it has
     * executed) — they compose with the statically pushed set through
@@ -1667,48 +1722,8 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     }.flatMap { case (f, partVals) =>
       val footer = ParquetFooter.readTail(f.toPath)
       val plans = GraftParquet.fieldPlans(footer.schema)
-      val byName = plans.map(p => p.name -> p).toMap
-      val reqPlans = required.fields.map { rf =>
-        partColTypes.get(rf.name) match {
-          case Some(dt) =>
-            GraftParquet.ConstPlan(rf.name, dt, partVals(rf.name))
-          case None =>
-            val plan = byName.getOrElse(rf.name,
-              throw new IllegalArgumentException(
-                s"graftpq: column '${rf.name}' not in ${f.getName}"))
-            // Catalyst's nested-schema pruning can request a struct
-            // with a SUBSET of the file's fields in a DIFFERENT ORDER
-            // (at any nesting depth) — the reader must emit exactly
-            // the required layout, so the plan's field lists are
-            // restricted and reordered to match, recursively
-            def restrict(p: GraftParquet.PqFieldPlan,
-                dt: DataType): GraftParquet.PqFieldPlan = (p, dt) match {
-              case (sp: GraftParquet.StructPlan, st: StructType) =>
-                sp.copy(fields = st.fields.map { inner =>
-                  val kid = sp.fields.find(_.name == inner.name)
-                    .getOrElse(throw new IllegalArgumentException(
-                      s"graftpq: struct field " +
-                        s"'${sp.name}.${inner.name}' not in " +
-                        f.getName))
-                  restrict(kid, inner.dataType)
-                }.toSeq)
-              case (lp: GraftParquet.ListStructPlan,
-                  ArrayType(st: StructType, _)) =>
-                lp.copy(fields = st.fields.map { inner =>
-                  lp.fields.find(_.field.name == inner.name)
-                    .getOrElse(throw new IllegalArgumentException(
-                      s"graftpq: list element field " +
-                        s"'${lp.name}.${inner.name}' not in " +
-                        f.getName))
-                }.toSeq)
-              case (tp: GraftParquet.TreePlan, _) =>
-                tp.copy(root = GraftParquet.restrictNode(tp.root, dt,
-                  tp.name, f.getName))
-              case _ => p
-            }
-            restrict(plan, rf.dataType)
-        }
-      }.toSeq
+      val reqPlans = GraftParquet.reqPlansFor(plans, required,
+        partColTypes, partVals, f.getName)
       val statLeaves = plans.collect { case fp: GraftParquet.FlatPlan =>
         fp.leaf.field.name -> fp.leaf.field
       }.toMap

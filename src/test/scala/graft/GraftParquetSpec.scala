@@ -1545,4 +1545,52 @@ class GraftParquetSpec extends AnyFunSuite {
       graft.streaming.WorkDirs.deleteRecursively(new java.io.File(odir))
     }
   }
+
+  test("VERSION-TAILING stream: readStream.format(\"graftpq\") plans " +
+      "only the versions a trigger advances over, restarts resume " +
+      "from the checkpointed version, and a non-append version fails " +
+      "loudly naming its kind") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-stream").toString
+    val table = s"$work/t"
+    val out = s"$work/out"
+    val chk = s"$work/chk"
+    def append(lo: Int, hi: Int): Unit =
+      Maintenance.commitAppend(spark,
+        table, (lo until hi).map(k => (k.toLong, s"g${k % 3}"))
+          .toDF("id", "g").repartition(2))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graftpq").load(table)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      append(0, 5000)
+      append(5000, 9000)
+      runOnce()
+      val first = spark.read.parquet(out)
+      assert(first.count() == 9000)
+      assert(first.agg(org.apache.spark.sql.functions.sum("id"))
+        .head.getLong(0) == (0 until 9000).map(_.toLong).sum)
+      // restart tails ONLY the new version — no re-emission
+      append(9000, 10000)
+      runOnce()
+      assert(spark.read.parquet(out).count() == 10000)
+      // a rewrite is not expressible as an append stream
+      Maintenance.compact(spark, table, targetFiles = 1)
+      append(10000, 10100)
+      val thrown = intercept[Exception] { runOnce() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.toString +: chain(t.getCause)
+      assert(chain(thrown).exists(m =>
+        m.contains("rewrite") || m.contains("not an append")),
+        s"wrong failure: ${chain(thrown).mkString(" <- ")}")
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
 }
