@@ -1158,7 +1158,8 @@ private[sources] class GraftParquetTable(schema: StructType,
       : ScanBuilder = {
     require(schema.fields.nonEmpty,
       "graftpq: no .parquet files under the path")
-    new GraftParquetScanBuilder(schema, path)
+    new GraftParquetScanBuilder(schema, path,
+      options.getInt("maxVersionsPerTrigger", 0))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -1336,7 +1337,7 @@ private[sources] class GraftFileDataWriter(dirPath: String,
 }
 
 private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
-    path: String) extends ScanBuilder
+    path: String, streamMaxVersions: Int = 0) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -1434,7 +1435,8 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
   override def build(): Scan = aggPlan match {
     case Some(p) => new GraftPqAggScan(p, path)
     case None =>
-      new GraftParquetScan(fullSchema, required, pushed, path, limit)
+      new GraftParquetScan(fullSchema, required, pushed, path, limit,
+        streamMaxVersions)
   }
 }
 
@@ -1521,7 +1523,7 @@ final case class GraftPqPartition(path: String,
 
 private[sources] class GraftParquetScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String,
-    limit: Int = -1)
+    limit: Int = -1, streamMaxVersions: Int = 0)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
 
@@ -1533,7 +1535,7 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftPqMicroBatch(path, required)
+    new GraftPqMicroBatch(path, required, streamMaxVersions)
 
   /** Filters injected at RUNTIME (dynamic partition pruning: the
     * build side's distinct join keys arrive as an IN once it has

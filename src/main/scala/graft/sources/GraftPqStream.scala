@@ -43,16 +43,55 @@ private[sources] final case class GraftPqVersionOffset(version: Long)
   * later adds.
   */
 private[sources] class GraftPqMicroBatch(path: String,
-    required: StructType) extends MicroBatchStream {
+    required: StructType, maxVersionsPerTrigger: Int = 0)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
 
   require(new java.io.File(path, "_graft_log/version").exists(),
     s"graftpq streaming: $path is not a committed table (version " +
       "tailing needs the commit log; batch-read plain directories)")
 
+  /** Trigger.AvailableNow fences the run at the version current when
+    * the query STARTED — later commits wait for the next run, and the
+    * paced triggers below loop until this fence is reached.
+    */
+  @volatile private var availableNowEnd: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Maintenance.readVersion(path)
+
+  private def fencedLatest(): Long = {
+    val v = Maintenance.readVersion(path)
+    if (availableNowEnd >= 0) math.min(v, availableNowEnd) else v
+  }
+
   override def initialOffset(): Offset = GraftPqVersionOffset(0L)
 
   override def latestOffset(): Offset =
-    GraftPqVersionOffset(Maintenance.readVersion(path))
+    GraftPqVersionOffset(fencedLatest())
+
+  /** ADMISSION CONTROL (`option("maxVersionsPerTrigger", n)`): a
+    * trigger admits at most n versions past its start — a multi-year
+    * backlog re-streams as bounded micro-batches instead of one
+    * giant first batch (Trigger.AvailableNow loops triggers until
+    * the prepared fence is reached).
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val s = start.asInstanceOf[GraftPqVersionOffset].version
+    val latest = fencedLatest()
+    GraftPqVersionOffset(
+      if (maxVersionsPerTrigger > 0)
+        math.min(latest, s + maxVersionsPerTrigger)
+      else latest)
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftPqVersionOffset(fencedLatest())
 
   override def deserializeOffset(json: String): Offset =
     GraftPqVersionOffset(json.trim.toLong)

@@ -1581,9 +1581,27 @@ class GraftParquetSpec extends AnyFunSuite {
       append(9000, 10000)
       runOnce()
       assert(spark.read.parquet(out).count() == 10000)
+      // ADMISSION CONTROL: a 2-version backlog at
+      // maxVersionsPerTrigger=1 drains as TWO micro-batches (the
+      // checkpoint's offset log gains one entry per trigger), rows
+      // complete and exactly-once either way
+      append(10000, 10050)
+      append(10050, 10080)
+      val paced = spark.readStream.format("graftpq")
+        .option("maxVersionsPerTrigger", 1).load(table)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      paced.awaitTermination()
+      assert(spark.read.parquet(out).count() == 10080)
+      val offsets = new java.io.File(s"$chk/offsets").listFiles()
+        .count(!_.getName.endsWith(".tmp"))
+      assert(offsets >= 4, // v1-2 batch, v3 batch, then v4 AND v5 split
+        s"backlog did not pace into per-version batches ($offsets)")
       // a rewrite is not expressible as an append stream
       Maintenance.compact(spark, table, targetFiles = 1)
-      append(10000, 10100)
+      append(10080, 10180)
       val thrown = intercept[Exception] { runOnce() }
       def chain(t: Throwable): Seq[String] =
         if (t == null) Nil else t.toString +: chain(t.getCause)
