@@ -2471,6 +2471,48 @@ object Sources {
     graft.streaming.WorkDirs.materializeAndClean(fed, work)
   }
 
+  /** Build-once PLAIN hive-partitioned dir (Spark's own partitionBy
+    * writer, no commit log) — the s54 input.
+    */
+  def ensureHivePqFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqhive-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 4).cast("int").as("bucket"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    }
+    tmp
+  }
+
+  // S54: hive partition DISCOVERY — a PLAIN `df.write.partitionBy`
+  // directory (no commit log, any writer) reads through graftpq with
+  // typed partition columns inferred from the dir chain, the bucket
+  // equality pruning whole partition dirs before any IO; the oracle
+  // folds the bucket predicate back onto the source table.
+  private def s54PqHive(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureHivePqFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .filter(col("bucket") === 3 && col("event_id") % 2 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s54PqHiveSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE user_id % 4 = 3 AND event_id % 2 = 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -2518,7 +2560,8 @@ object Sources {
     "s50_orc_agg" -> s50OrcAgg _,
     "s51_pq_v2write" -> s51PqV2Write _,
     "s52_orc_v2write" -> s52OrcV2Write _,
-    "s53_pq_stream" -> s53PqStream _
+    "s53_pq_stream" -> s53PqStream _,
+    "s54_pq_hive" -> s54PqHive _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2568,6 +2611,7 @@ object Sources {
     "s50_orc_agg" -> s50OrcAggSql,
     "s51_pq_v2write" -> sV2WriteSql,
     "s52_orc_v2write" -> sV2WriteSql, // same aggregate, same closed forms
-    "s53_pq_stream" -> sV2WriteSql // full-table stream, same aggregate
+    "s53_pq_stream" -> sV2WriteSql, // full-table stream, same aggregate
+    "s54_pq_hive" -> s54PqHiveSql
   )
 }

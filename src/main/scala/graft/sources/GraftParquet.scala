@@ -393,15 +393,18 @@ object GraftParquet {
     }
   }
 
-  /** The committed table's partition columns with their tracked Spark
-    * types — empty for non-tables and unpartitioned tables. Partition
-    * values live only in dir names, so their types come from the
-    * commit protocol's schema log, StringType when a column somehow
-    * predates it.
+  /** The scan's partition columns: a committed table's come TRACKED
+    * (types from the commit protocol's schema log); a plain directory
+    * in the hive `col=value` layout (`df.write.partitionBy(...)`,
+    * any writer) gets DISCOVERY — column names from the dir chain,
+    * types inferred over the observed values in Spark's own order
+    * (int → long → double → date → string, nulls excluded). Empty for
+    * flat dirs.
     */
   private[sources] def partitionColsOf(path: String)
       : Seq[(String, DataType)] = {
-    if (!new java.io.File(path, "_graft_log/version").exists()) Nil
+    if (!new java.io.File(path, "_graft_log/version").exists())
+      discoverPartitionCols(path)
     else {
       val cols = graft.operators.Maintenance.readPartitioning(path)
       if (cols.isEmpty) Nil
@@ -417,6 +420,50 @@ object GraftParquet {
       }
     }
   }
+
+  /** Hive-layout partition DISCOVERY for plain directories: engaged
+    * only when the root holds no data files and every visible child is
+    * a `col=value` dir; names come from the first chain, every file is
+    * then listed through the validating walker (inconsistent layouts
+    * reject loudly there), and each column's type is inferred over its
+    * observed values. `__HIVE_DEFAULT_PARTITION__` (null) contributes
+    * nothing to inference.
+    */
+  private[sources] def discoverPartitionCols(path: String)
+      : Seq[(String, DataType)] = {
+    val root = new java.io.File(path)
+    val kids = Option(root.listFiles()).getOrElse(return Nil)
+    if (kids.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+      return Nil // flat layout: files at the root win
+    val dirKids = kids.filter(d => d.isDirectory &&
+      !d.getName.startsWith("_") && !d.getName.startsWith("."))
+    if (dirKids.isEmpty || !dirKids.forall(_.getName.contains("=")))
+      return Nil
+    def chainNames(d: java.io.File): Seq[String] = {
+      val n = d.getName.split("=", 2)(0)
+      val sub = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(x => x.isDirectory && x.getName.contains("=") &&
+          !x.getName.startsWith("_") && !x.getName.startsWith("."))
+      if (sub.isEmpty) Seq(n)
+      else n +: chainNames(sub.minBy(_.getName))
+    }
+    val names = chainNames(dirKids.minBy(_.getName))
+    val files = listPartitionedFiles(path, names)
+    if (files.isEmpty) Nil
+    else names.zipWithIndex.map { case (n, i) =>
+      n -> inferPartType(files.flatMap(_._2(i)))
+    }
+  }
+
+  /** Spark's partition-value inference order over non-null values. */
+  private def inferPartType(vals: Seq[String]): DataType =
+    if (vals.isEmpty) StringType
+    else if (vals.forall(_.toIntOption.isDefined)) IntegerType
+    else if (vals.forall(_.toLongOption.isDefined)) LongType
+    else if (vals.forall(_.toDoubleOption.isDefined)) DoubleType
+    else if (vals.forall(v =>
+      scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) DateType
+    else StringType
 
   /** List a partitioned committed table's data files with each file's
     * raw partition values, walking exactly `partCols.length` levels of

@@ -1546,6 +1546,53 @@ class GraftParquetSpec extends AnyFunSuite {
     }
   }
 
+  test("hive partition DISCOVERY on plain directories: " +
+      "df.write.partitionBy layouts read with typed partition " +
+      "columns, prune dirs, and group-by pushes — no commit log " +
+      "needed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-hive").toString + "/t"
+    try {
+      (0 until 9000).map { k =>
+        (k.toLong, k % 3, Seq("btc", "eth", "u v")(k % 3),
+          if (k % 900 == 0) None else Some(s"x$k"))
+      }.toDF("id", "coin", "sym", "opt")
+        .write.partitionBy("coin", "sym").parquet(dir)
+      val pq = spark.read.format("graftpq").load(dir)
+      // discovered types match Spark's own inference
+      assert(pq.schema("coin").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(pq.schema("sym").dataType ==
+        org.apache.spark.sql.types.StringType)
+      val want = spark.read.parquet(dir)
+        .select("id", "coin", "sym", "opt").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = pq.select("id", "coin", "sym", "opt").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size && got.size == 9000)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      // partition pruning on the DISCOVERED columns — both levels
+      val filtered = pq.filter(col("coin") === 1 && col("sym") === "eth")
+      val paths = batchScan(filtered).inputPartitions.map(
+        _.asInstanceOf[graft.sources.GraftPqPartition].path).distinct
+      assert(paths.nonEmpty && paths.forall(p =>
+        p.contains("coin=1") && p.contains("sym=eth")),
+        s"discovery pruning planned $paths")
+      assert(filtered.count() == 3000)
+      // aggregate pushdown GROUPS BY discovered partition columns
+      val agg = pq.groupBy("coin").agg(count(lit(1)).as("n"),
+        min(col("id")).as("mn")).orderBy("coin")
+      assert(batchScan(agg).scan.description()
+        .contains("PushedGroupBy: [coin]"))
+      assert(agg.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+        (0 until 3).map(c => (c, 3000L, c.toLong)))
+    } finally graft.streaming.WorkDirs.deleteRecursively(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("VERSION-TAILING stream: readStream.format(\"graftpq\") plans " +
       "only the versions a trigger advances over, restarts resume " +
       "from the checkpointed version, and a non-append version fails " +
