@@ -2513,6 +2513,37 @@ object Sources {
       |FROM events WHERE user_id % 4 = 3 AND event_id % 2 = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Build-once PLAIN hive-partitioned ORC dir — the s55 input. */
+  def ensureHiveOrcFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orchive-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 4).cast("int").as("bucket"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").partitionBy("bucket").orc(tmp)
+    }
+    tmp
+  }
+
+  // S55: the ORC twin of s54 — hive partition discovery over a plain
+  // `df.write.partitionBy(...).orc` layout, partition values spliced
+  // as typed constants by the graftorc reader and the bucket equality
+  // pruning whole files before any IO.
+  private def s55OrcHive(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureHiveOrcFixture(s, dir)
+    s.read.format("graftorc").load(tmp)
+      .filter(col("bucket") === 3 && col("event_id") % 2 === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -2561,7 +2592,8 @@ object Sources {
     "s51_pq_v2write" -> s51PqV2Write _,
     "s52_orc_v2write" -> s52OrcV2Write _,
     "s53_pq_stream" -> s53PqStream _,
-    "s54_pq_hive" -> s54PqHive _
+    "s54_pq_hive" -> s54PqHive _,
+    "s55_orc_hive" -> s55OrcHive _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2612,6 +2644,7 @@ object Sources {
     "s51_pq_v2write" -> sV2WriteSql,
     "s52_orc_v2write" -> sV2WriteSql, // same aggregate, same closed forms
     "s53_pq_stream" -> sV2WriteSql, // full-table stream, same aggregate
-    "s54_pq_hive" -> s54PqHiveSql
+    "s54_pq_hive" -> s54PqHiveSql,
+    "s55_orc_hive" -> s54PqHiveSql // same layout, same closed forms
   )
 }

@@ -70,10 +70,18 @@ class GraftOrc extends TableProvider
     // takes the query's schema via ACCEPT_ANY_SCHEMA); a READ still
     // rejects loudly at newScanBuilder
     if (!new java.io.File(path).exists()) return new StructType()
-    val files = GraftOrc.listFiles(path)
+    val partCols = GraftOrc.partitionColsOf(path)
+    val files =
+      if (partCols.isEmpty) GraftOrc.listFiles(path)
+      else GraftParquet
+        .listPartitionedFiles(path, partCols.map(_._1), ".orc")
+        .map(_._1)
     if (files.isEmpty) return new StructType()
-    GraftOrc.toSparkSchema(
+    val base = GraftOrc.toSparkSchema(
       OrcData.readPlan(files.head.toPath).meta.types)
+    StructType(base.fields ++ partCols.map { case (n, t) =>
+      StructField(n, t, nullable = true)
+    })
   }
 
   override def getTable(schema: StructType,
@@ -84,6 +92,14 @@ class GraftOrc extends TableProvider
 }
 
 object GraftOrc {
+
+  /** Discovered hive partition columns of a plain `.orc` layout (the
+    * commit protocol is parquet-only, so ORC dirs are always
+    * discovery, never tracked).
+    */
+  private[sources] def partitionColsOf(path: String)
+      : Seq[(String, DataType)] =
+    GraftParquet.discoverPartitionCols(path, ".orc")
 
   private[sources] def listFiles(dir: String): Seq[java.io.File] = {
     val f = new java.io.File(dir)
@@ -450,7 +466,11 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
 final case class GraftOrcPartition(path: String, stripe: OrcStripe,
     compression: Int, blockSize: Int, types: Seq[OrcTypeNode],
     colIds: Seq[Int], stride: Int = 0,
-    groupRange: Option[(Int, Int)] = None) extends InputPartition
+    groupRange: Option[(Int, Int)] = None,
+    // hive partition fields: (name, type, raw dir value) — spliced as
+    // constants by the reader, never decoded from the file
+    partSpec: Seq[(String, DataType, Option[String])] = Nil)
+  extends InputPartition
 
 private[sources] class GraftOrcScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String,
@@ -571,11 +591,44 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
 
   private def doPlanInputPartitions(): Array[InputPartition] = {
     val pushed = filters // static + runtime, through every tier below
-    GraftOrc.listFiles(path).flatMap { f =>
+    val partCols = GraftOrc.partitionColsOf(path)
+    val partColTypes = partCols.toMap
+    val files: Seq[(java.io.File, Map[String, Option[String]])] =
+      if (partCols.isEmpty)
+        GraftOrc.listFiles(path)
+          .map((_, Map.empty[String, Option[String]]))
+      else GraftParquet
+        .listPartitionedFiles(path, partCols.map(_._1), ".orc")
+        .map { case (f, vs) => (f, partCols.map(_._1).zip(vs).toMap) }
+    files.flatMap { case (f, partVals) =>
+      // dir values hold for EVERY row of the file: a disproven filter
+      // drops it before any IO (numeric/date ranges are min = max, a
+      // string value is its own bounds, None = all-null)
+      val partStat: String => Option[OrcColStat] = c =>
+        partVals.get(c).map {
+          case None => OrcColStat(None, None, None, None,
+            nonNull = Some(0L), hasNull = Some(true))
+          case Some(s) =>
+            val d = s.toDoubleOption.orElse(scala.util.Try(
+              java.time.LocalDate.parse(s).toEpochDay.toDouble)
+              .toOption)
+            OrcColStat(d.map(Math.nextDown), d.map(Math.nextUp),
+              Some(s), Some(s), nonNull = Some(1L),
+              hasNull = Some(false))
+        }
+      if (!pushed.forall(survivesStat(partStat, _)))
+        Seq.empty[InputPartition]
+      else {
+      val partSpec: Seq[(String, DataType, Option[String])] =
+        required.fields.toSeq.collect {
+          case rf if partColTypes.contains(rf.name) =>
+            (rf.name, partColTypes(rf.name), partVals(rf.name))
+        }
+      val dataNames = required.fields.map(_.name)
+        .filterNot(partColTypes.contains).toSeq
       val plan = OrcData.readPlan(f.toPath)
       val root = plan.meta.types.head
-      val colIds = OrcData.resolveColumns(plan.meta.types,
-        required.fields.map(_.name).toSeq)
+      val colIds = OrcData.resolveColumns(plan.meta.types, dataNames)
       val idByName = root.fieldNames.zip(root.subtypes).toMap
       val stride = plan.meta.rowIndexStride
       val pushedIds = pushed.flatMap(colsOf).distinct
@@ -658,10 +711,12 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
               plan.meta.compression, plan.meta.blockSize,
               plan.meta.types, colIds, stride,
               if (g0 == 0 && g1 == Int.MaxValue) None
-              else Some((g0, g1)))
+              else Some((g0, g1)),
+              partSpec)
           }
         }.toVector
       } finally if (ch != null) ch.close()
+      }
     }.toArray
   }
 
@@ -871,8 +926,23 @@ private[sources] class GraftOrcReader(p: GraftOrcPartition,
     case _ => identity // TimestampType micros / BinaryType bytes
   }
 
+  // hive partition fields splice in as constants (parsed once from
+  // the file's dir values); data fields take the decoded columns in
+  // order — the decode yielded exactly the non-partition fields
+  private val partConst: Map[String, Any] = p.partSpec.map {
+    case (n, dt, raw) => n -> GraftParquet.partitionValue(dt, raw)
+  }.toMap
+
   private val adapt: Array[Any => Any] =
     required.fields.map[Any => Any](f => adaptOf(f.dataType))
+
+  private val dataIdx: Array[Int] = {
+    var next = 0
+    required.fields.map { f =>
+      if (partConst.contains(f.name)) -1
+      else { val i = next; next += 1; i }
+    }
+  }
 
   private var cur: Array[Any] = _
 
@@ -880,7 +950,11 @@ private[sources] class GraftOrcReader(p: GraftOrcPartition,
     if (rows.hasNext) { cur = rows.next(); true } else false
 
   override def get(): InternalRow =
-    InternalRow.fromSeq((0 until cur.length).map(c => adapt(c)(cur(c))))
+    InternalRow.fromSeq(required.fields.indices.map { c =>
+      val di = dataIdx(c)
+      if (di < 0) partConst(required.fields(c).name)
+      else adapt(c)(cur(di))
+    })
 
   override def close(): Unit = ()
 }

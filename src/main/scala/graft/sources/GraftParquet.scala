@@ -429,11 +429,11 @@ object GraftParquet {
     * observed values. `__HIVE_DEFAULT_PARTITION__` (null) contributes
     * nothing to inference.
     */
-  private[sources] def discoverPartitionCols(path: String)
-      : Seq[(String, DataType)] = {
+  private[sources] def discoverPartitionCols(path: String,
+      ext: String = ".parquet"): Seq[(String, DataType)] = {
     val root = new java.io.File(path)
     val kids = Option(root.listFiles()).getOrElse(return Nil)
-    if (kids.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    if (kids.exists(f => f.isFile && f.getName.endsWith(ext)))
       return Nil // flat layout: files at the root win
     val dirKids = kids.filter(d => d.isDirectory &&
       !d.getName.startsWith("_") && !d.getName.startsWith("."))
@@ -448,7 +448,7 @@ object GraftParquet {
       else n +: chainNames(sub.minBy(_.getName))
     }
     val names = chainNames(dirKids.minBy(_.getName))
-    val files = listPartitionedFiles(path, names)
+    val files = listPartitionedFiles(path, names, ext)
     if (files.isEmpty) Nil
     else names.zipWithIndex.map { case (n, i) =>
       n -> inferPartType(files.flatMap(_._2(i)))
@@ -472,14 +472,14 @@ object GraftParquet {
     * layout and rejects loudly.
     */
   private[sources] def listPartitionedFiles(root: String,
-      partCols: Seq[String])
+      partCols: Seq[String], ext: String = ".parquet")
       : Seq[(java.io.File, Seq[Option[String]])] = {
     def walk(dir: java.io.File, vals: List[Option[String]], depth: Int)
         : Seq[(java.io.File, Seq[Option[String]])] = {
       val kids = dir.listFiles()
       require(kids != null, s"graftpq: cannot list $dir")
       if (depth == partCols.length)
-        kids.filter(c => c.isFile && c.getName.endsWith(".parquet"))
+        kids.filter(c => c.isFile && c.getName.endsWith(ext))
           .sortBy(_.getName).toSeq.map(f => (f, vals.reverse))
       else kids.filter(c => c.isDirectory && !c.getName.startsWith("_") &&
           !c.getName.startsWith(".")).sortBy(_.getName).toSeq.flatMap { d =>

@@ -603,6 +603,42 @@ class GraftOrcSpec extends AnyFunSuite {
     walk(df.queryExecution.executedPlan)
   }
 
+  test("hive partition DISCOVERY on plain ORC directories: " +
+      "df.write.partitionBy layouts read with typed partition " +
+      "columns spliced as constants, and dir values prune files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-hive").toString + "/t"
+    try {
+      (0 until 9000).map { k =>
+        (k.toLong, k % 3, Seq("btc", "eth", "u v")(k % 3),
+          if (k % 900 == 0) None else Some(s"x$k"))
+      }.toDF("id", "coin", "sym", "opt")
+        .write.partitionBy("coin", "sym").orc(dir)
+      val orc = spark.read.format("graftorc").load(dir)
+      assert(orc.schema("coin").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      val want = spark.read.orc(dir)
+        .select("id", "coin", "sym", "opt").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val got = orc.select("id", "coin", "sym", "opt").collect().toSeq
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(got.size == want.size && got.size == 9000)
+      for ((w, g) <- want.zip(got)) assert(w == g, s"$w vs $g")
+      // both partition levels prune whole files before any IO
+      val filtered = orc.filter(col("coin") === 1 &&
+        col("sym") === "eth")
+      val paths = batchScan(filtered).inputPartitions.map(
+        _.asInstanceOf[graft.sources.GraftOrcPartition].path).distinct
+      assert(paths.nonEmpty && paths.forall(p =>
+        p.contains("coin=1") && p.contains("sym=eth")),
+        s"ORC discovery pruning planned $paths")
+      assert(filtered.count() == 3000)
+    } finally graft.streaming.WorkDirs.deleteRecursively(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("the registered s50 query really takes the pushed path " +
       "against OUR OrcWrite statistics (sum + exact strings)") {
     val df = SparkEntry.queries("s50_orc_agg")(
