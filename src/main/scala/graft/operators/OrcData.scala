@@ -306,12 +306,19 @@ object OrcData {
             }
           }
         case 7 => // DateStatistics: sint32 epoch days — lands in the
-          // numeric range so normalized date literals (days) prune
+          // numeric range so normalized date literals (days) prune;
+          // the exact values also feed DATE MIN/MAX aggregate pushdown
           val ds = cs.sub()
           ds.message { (did, dw) =>
             did match {
-              case 1 => mn = Some(ds.zig().toDouble)
-              case 2 => mx = Some(ds.zig().toDouble)
+              case 1 =>
+                val v = ds.zig()
+                mnL = Some(v)
+                mn = Some(v.toDouble)
+              case 2 =>
+                val v = ds.zig()
+                mxL = Some(v)
+                mx = Some(v.toDouble)
               case _ => ds.skip(dw)
             }
           }

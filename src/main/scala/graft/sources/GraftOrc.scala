@@ -205,13 +205,15 @@ object GraftOrc {
     val idByName = headRoot.fieldNames.zip(headRoot.subtypes).toMap
     def kindOf(c: String): Option[Int] =
       idByName.get(c).map(headTypes(_).kind)
-    // kinds 1-4 = byte/short/int/long (IntegerStatistics), 7 = string
+    // kinds 1-4 = byte/short/int/long (IntegerStatistics), 7 =
+    // string, 15 = date (DateStatistics exact epoch days)
     def minMaxType(c: String): Option[DataType] = kindOf(c).collect {
       case 1 => ByteType
       case 2 => ShortType
       case 3 => IntegerType
       case 4 => LongType
       case 7 => StringType
+      case 15 => DateType
     }
     val specsOpt = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
@@ -314,7 +316,7 @@ object GraftOrc {
           case ShortType =>
             Short.box((if (wantMin) st.minL else st.maxL)
               .getOrElse(return None).toShort)
-          case IntegerType =>
+          case IntegerType | DateType =>
             Int.box((if (wantMin) st.minL else st.maxL)
               .getOrElse(return None).toInt)
           case _ =>

@@ -479,13 +479,16 @@ class GraftOrcSpec extends AnyFunSuite {
       // the sweep must consume (sum, numberOfValues, exact strings)
       (0 until 30000).map { k =>
         (k.toLong, if (k % 9 == 0) None else Some(k * 3L - 700),
-          s"s${k % 5}")
-      }.toDF("id", "opt", "s").coalesce(2)
+          s"s${k % 5}",
+          java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(k % 365)))
+      }.toDF("id", "opt", "s", "dt").coalesce(2)
         .write.mode("overwrite").orc(dir)
       val aggCols = Seq(count(lit(1)).as("n"), count(col("opt")).as("no"),
         min(col("id")).as("mn"), max(col("id")).as("mx"),
         sum(col("opt")).as("so"), min(col("s")).as("smn"),
-        max(col("s")).as("smx"))
+        max(col("s")).as("smx"), min(col("dt")).as("dmn"),
+        max(col("dt")).as("dmx"))
       val want = spark.read.orc(dir)
         .agg(aggCols.head, aggCols.tail: _*).collect().toSeq
       // poison EVERY stripe byte (index + data + stripe footer); only
