@@ -74,5 +74,16 @@ object SparkEntry {
     Analytics.ensureEvictFixture(spark, sfDir)
     DedupOps.ensureIngestFixture(spark, sfDir)
     SimilarityOps.ensureEmbIngestFixture(spark, sfDir)
+    // columnar-plane fixtures (sorted/bloomed/partitioned/hive/agg
+    // layouts the s41-s55 scans exercise)
+    Sources.ensureSortedPqFixture(spark, sfDir)
+    Sources.ensureSortedOrcFixture(spark, sfDir)
+    Sources.ensureBloomPqFixture(spark, sfDir)
+    Sources.ensureBloomOrcFixture(spark, sfDir)
+    Sources.ensureAggPqFixture(spark, sfDir)
+    Sources.ensurePartitionedTableFixture(spark, sfDir)
+    Sources.ensureDppDimFixture(spark)
+    Sources.ensureHivePqFixture(spark, sfDir)
+    Sources.ensureHiveOrcFixture(spark, sfDir)
   }
 }
