@@ -47,6 +47,21 @@ import org.apache.spark.sql.SparkSession
   * context — reproducible context-dependence turns into a red field
   * instead of a judge investigation.
   *
+  * CANDIDACY IS ALSO KEYED TO THE QUERY'S OWN HISTORY (round 18). The
+  * family-median trigger has a blind spot the r17 record exposed:
+  * `dd_minhash_lsh` drifted to 2.1× its validated floor yet hid under
+  * a high family median and never got the recheck chance. Every run
+  * now persists each query's minimum validated wall (per scale
+  * factor) to `BENCH_FLOORS.json` (committed, so floors survive
+  * workspace cleans) and into the full record's "floors" field; a
+  * query whose in-sweep wall exceeds 1.5× its historical floor (and
+  * 1 s absolute) becomes a recheck candidate regardless of what its
+  * family median says. A genuine regression then shows up as an
+  * isolated wall that is ALSO above floor (no suspect — the floor
+  * updates only downward, so the record keeps the honest history),
+  * while one-off inflation validates back down exactly like the
+  * median-triggered candidates.
+  *
   * PER-QUERY WARM-UP + JIT QUIESCE (round 16). The r15 suspects all
   * shared one mechanism — C2 compile storms: a shard's earlier queries
   * enqueue seconds of JIT work that keeps compiling (CPU + safepoints)
@@ -401,6 +416,71 @@ object Bench {
   }
 
   // ------------------------------------------------------------------
+  // per-query historical floors (minimum validated wall, per sf)
+
+  /** Load the historical floors for this scale factor: the committed
+    * `BENCH_FLOORS.json` plus the previous full record's "floors" /
+    * "queries" maps (same-sf only — a dev run at sf0.01 must never
+    * poison the sf0.1 floors and trigger mass rechecks).
+    */
+  private def loadFloors(sfJson: String): Map[String, Double] = {
+    val acc = scala.collection.mutable.Map[String, Double]()
+    def ingestObj(text: String, key: String): Unit = {
+      var idx = text.indexOf(key)
+      while (idx >= 0) {
+        val start = idx + key.length
+        val end = text.indexOf('}', start)
+        if (end > start) {
+          val body = text.substring(start, end)
+          for (m <- "\"([^\"]+)\":([-0-9.eE+]+)".r.findAllMatchIn(body)) {
+            val w =
+              try m.group(2).toDouble
+              catch { case _: NumberFormatException => -1.0 }
+            if (w > 0)
+              acc(m.group(1)) = acc.get(m.group(1)).fold(w)(math.min(_, w))
+          }
+        }
+        idx = text.indexOf(key, end max (idx + 1))
+      }
+    }
+    // both files are LINE-ORIENTED (one JSON object per line, one sf
+    // per line in the floors file): only same-sf lines are ingested
+    def ingestFile(path: String, keys: Seq[String]): Unit =
+      try {
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.readString(p).linesIterator
+            .filter(_.contains(s""""sf":$sfJson"""))
+            .foreach(ln => keys.foreach(k => ingestObj(ln, k)))
+      } catch { case _: Throwable => () }
+    ingestFile("BENCH_FLOORS.json", Seq("\"floors\":{"))
+    ingestFile("target/bench.json",
+      Seq("\"floors\":{", "\"queries\":{"))
+    acc.toMap
+  }
+
+  /** Rewrite this sf's line of `BENCH_FLOORS.json`, preserving other
+    * scale factors' lines.
+    */
+  private def writeFloors(sfJson: String,
+      floors: Map[String, Double]): Unit =
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FLOORS.json")
+      val others =
+        if (!java.nio.file.Files.exists(p)) Seq.empty
+        else java.nio.file.Files.readString(p).linesIterator
+          .filter(_.nonEmpty)
+          .filterNot(_.contains(s""""sf":$sfJson""")).toSeq
+      val body = floors.toSeq.sortBy(_._1)
+        .map { case (n, w) => s""""$n":$w""" }.mkString(",")
+      java.nio.file.Files.writeString(p,
+        (others :+ s"""{"sf":$sfJson,"floors":{$body}}""")
+          .mkString("", "\n", "\n"))
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] floors write failed: $t")
+    }
+
+  // ------------------------------------------------------------------
   // parent: fork per family, merge, emit the record
 
   /** Fork one child JVM for `family`; returns its parsed results, or
@@ -476,6 +556,13 @@ object Bench {
         if (chunks.size == 1) Seq((fam, qs))
         else chunks.zipWithIndex.map { case (c, i) => (s"$fam$i", c) }
     }
+    // numeric scale factor when the dir follows the sfX.Y convention;
+    // the raw path otherwise. The pattern must admit only a well-formed
+    // JSON number. Needed up front: historical floors are per-sf.
+    val sfJson = "sf(0|[1-9][0-9]*)(\\.[0-9]+)?$".r.findFirstMatchIn(sfDir)
+      .map(m => m.group(1) + Option(m.group(2)).getOrElse(""))
+      .getOrElse(jsonStr(sfDir))
+    val floors = loadFloors(sfJson)
     val benchStart = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - benchStart) / 1e9
     val probeBefore = spinProbe()
@@ -543,7 +630,7 @@ object Bench {
     // (same deterministic-read-only contract as min-of-reps), and only
     // a query whose in-sweep wall exceeded 1.5× its isolated wall stays
     // flagged — plus any candidate the budget left unvalidated.
-    val candidates: Seq[String] = families.flatMap { case (_, qs) =>
+    val medianCandidates: Seq[String] = families.flatMap { case (_, qs) =>
       val fr = results.filter(r => qs.contains(r.name) && r.outcome.isRight)
       if (fr.size < 4) Seq.empty
       else {
@@ -553,6 +640,17 @@ object Bench {
           r.cpu > r.wall / 2).map(_.name)
       }
     }
+    // history-keyed drift trigger (r18): a wall above 1.5× the query's
+    // own minimum validated wall across prior records gets the recheck
+    // chance even when a high family median hides it (the r17
+    // dd_minhash_lsh escape: 7.8 s recorded over a 3.7 s floor)
+    val driftCandidates: Seq[String] = results.collect {
+      case r if r.outcome.isRight && r.wall > 1.0 &&
+        floors.get(r.name).exists(f => f >= 0.05 && r.wall > 1.5 * f) =>
+        r.name
+    }
+    val candidates: Seq[String] =
+      (medianCandidates ++ driftCandidates).distinct
     val recheck: Map[String, (Double, Double)] =
       if (candidates.isEmpty || !forkEnabled || elapsed() > budgetSec)
         Map.empty
@@ -656,12 +754,14 @@ object Bench {
     val cpuTotal = validated.collect {
       case r if r.outcome.isRight => r.cpu }.sum
     val failed = validated.count(_.outcome.isLeft)
-    // numeric scale factor when the dir follows the sfX.Y convention; the
-    // raw path otherwise. The pattern must admit only a well-formed JSON
-    // number.
-    val sfJson = "sf(0|[1-9][0-9]*)(\\.[0-9]+)?$".r.findFirstMatchIn(sfDir)
-      .map(m => m.group(1) + Option(m.group(2)).getOrElse(""))
-      .getOrElse(jsonStr(sfDir))
+    // floors only ever tighten: this run's validated walls fold in,
+    // queries not in this (possibly filtered) run keep their history
+    val newFloors: Map[String, Double] = floors ++ validated.collect {
+      case r if r.outcome.isRight && r.wall > 0 =>
+        r.name -> math.min(r.wall,
+          floors.getOrElse(r.name, Double.MaxValue))
+    }
+    writeFloors(sfJson, newFloors)
     val errors = validated.collect {
       case r if r.outcome.isLeft =>
         s"\"${r.name}\":${jsonStr(r.outcome.left.getOrElse(""))}"
@@ -692,7 +792,11 @@ object Bench {
       }.mkString("{", ",", "}")
       val contract = contractViolations.map(jsonStr)
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"contended":$contended,"probe_ratio":${fmt(probeRatio, 3)},"budget_exhausted":$budgetExhausted,"budget_cut_queries":$budgetCut,"single_rep_queries":$reps1,"families":$fams,"suspects":$susp,"recheck":$rech,"shard_recheck":$shardRech,"contract_factor":1.3,"contract_violations":$contract,"queries":$qs,"cpu":$cpu,"gc":$gc,"jit":$jit,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"sf":$sfJson}"""
+      // the per-query historical minimum validated wall (this run
+      // folded in) — what next round's drift trigger keys on
+      val flr = newFloors.toSeq.sortBy(_._1)
+        .map { case (n, w) => s""""$n":$w""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"contended":$contended,"probe_ratio":${fmt(probeRatio, 3)},"budget_exhausted":$budgetExhausted,"budget_cut_queries":$budgetCut,"single_rep_queries":$reps1,"families":$fams,"suspects":$susp,"recheck":$rech,"shard_recheck":$shardRech,"contract_factor":1.3,"contract_violations":$contract,"queries":$qs,"cpu":$cpu,"gc":$gc,"jit":$jit,"reps":$reps,"rows":$rows,"errors":$errors,"failed":$failed,"floors":$flr,"sf":$sfJson}"""
     }
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)

@@ -238,6 +238,21 @@ object Maintenance {
     }
   }
 
+  /** The CURRENT version's file set as table-relative paths (partition
+    * subdirectories included — `commitAppend` records every add with
+    * `root.relativize`), reconstructed from the commit log alone: one
+    * full listing plus the add deltas after it. None when the log does
+    * not cover the current version (a pre-protocol table whose history
+    * was never snapshotted). This is the listing that lets every
+    * planner over a committed table — batch scan, pushed aggregation,
+    * the version-tailing stream — run with ZERO directory walks: at
+    * 100 TB an object-store LIST over a partitioned table is
+    * O(files-ever) round trips, the log read is O(live files) bytes
+    * off a handful of small sequential files.
+    */
+  def liveFileListing(tablePath: String): Option[Seq[String]] =
+    readSnapshot(tablePath, readVersion(tablePath)).map(_.sorted)
+
   /** Read the table as of `version`. Fails loudly when the version was
     * never snapshotted (pre-protocol history) or its files were reclaimed
     * by a later rewrite/vacuum. Reads with the CURRENT table schema (like
@@ -895,6 +910,9 @@ object Maintenance {
       writeFileStats(tablePath,
         footerStats(spark, committed.map(_.toFile)) ++
           partitionStats(tablePath, committed), append = true)
+      // exact stats alongside the pruning bounds: lets a pushed
+      // COUNT/MIN/MAX answer from this manifest with zero footer IO
+      appendAggStats(tablePath, committed)
       writeVersion(tablePath, v)
       v
     } finally deleteRecursively(new java.io.File(stage))
@@ -1200,6 +1218,150 @@ object Maintenance {
       val a = ln.split('\t')
       (a(0), a(1)) -> (a(2).toDouble, a(3).toDouble)
     }.toMap
+  }
+
+  // ---------------------------------------------------------------------
+  // EXACT per-file aggregate statistics, `_graft_log/aggstats.tsv` —
+  // the manifest that answers PUSHED AGGREGATES over a committed table
+  // without touching a single file byte. `filestats.tsv` cannot serve
+  // them: its bounds are ulp-widened doubles (pruning-only,
+  // conservative-by-construction), while COUNT/MIN/MAX need the exact
+  // values. So each append also records, from the committed files'
+  // footer tails read through the from-scratch [[ParquetFooter]]:
+  //   F \t <relpath> \t <rows>
+  //   C \t <relpath> \t <col> \t <nullCount|-> \t <mmExact 0|1>
+  //     \t <min|-> \t <max|-> \t <physicalType> \t <convertedType|->
+  // for every FLAT top-level leaf — null counts for all of them
+  // (COUNT(col)), exact min/max longs only for the int-backed family
+  // (INT32/INT64 without DECIMAL annotation: the same domain the agg
+  // planner's `statTyped` decodes — Byte/Short/Int/Date up through
+  // Long/Timestamp, every one order-isomorphic to its sign-extended
+  // long). Fold semantics mirror the planner's footer sweep exactly:
+  // empty and all-null row groups contribute nothing; a non-empty,
+  // not-all-null row group missing a stat poisons that column ('-' —
+  // the planner then falls back to data). At 100 TB the payoff is the
+  // planning IO shape: a pushed COUNT/MIN/MAX over a million-file
+  // committed table reads ONE manifest instead of a million footer
+  // tails (sequential, driver-side — the r17 scale seam). A file the
+  // manifest does not cover (pre-feature bootstrap data, rewritten
+  // files from compact/delete/merge) makes the planner fall back to
+  // footer tails for the whole table — slower, never wrong.
+
+  def aggStatsPath(tablePath: String): String =
+    s"$tablePath/_graft_log/aggstats.tsv"
+
+  /** One column's exact commit-time stats: total null count when every
+    * row group carried one; for int-backed leaves, exact min/max in
+    * the sign-extended long domain. `mmExact` keeps the two meanings
+    * of an absent extreme apart: true + None = PROVABLY no non-null
+    * value exists (a legal SQL-null extreme), false = some row group
+    * lacked the stat (the planner must reject). The recorded
+    * physical/converted pair lets the planner re-derive the Spark type
+    * without opening the file.
+    */
+  final case class AggColStat(nullCount: Option[Long],
+      mmExact: Boolean, min: Option[Long], max: Option[Long],
+      physicalType: Int, convertedType: Option[Int])
+
+  /** file-relative-path → (rows, column → stats). */
+  def readAggStats(tablePath: String)
+      : Map[String, (Long, Map[String, AggColStat])] = {
+    val p = Paths.get(aggStatsPath(tablePath))
+    if (!Files.exists(p)) return Map.empty
+    val rows = scala.collection.mutable.Map[String, Long]()
+    val cols = scala.collection.mutable
+      .Map[String, scala.collection.mutable.Map[String, AggColStat]]()
+    Files.readString(p).linesIterator.filter(_.nonEmpty).foreach { ln =>
+      val a = ln.split('\t')
+      def opt(s: String): Option[Long] =
+        if (s == "-") None else Some(s.toLong)
+      a(0) match {
+        case "F" => rows(a(1)) = a(2).toLong
+        case "C" => cols.getOrElseUpdate(a(1),
+          scala.collection.mutable.Map.empty)(a(2)) =
+          AggColStat(opt(a(3)), a(4) == "1", opt(a(5)), opt(a(6)),
+            a(7).toInt, opt(a(8)).map(_.toInt))
+        case _ => () // forward compatibility: unknown row kinds skip
+      }
+    }
+    rows.iterator.map { case (f, n) =>
+      f -> (n, cols.get(f).map(_.toMap).getOrElse(Map.empty))
+    }.toMap
+  }
+
+  /** Compute the exact agg-stat lines for freshly committed files —
+    * footer-tail IO only, via the repo's own reader.
+    */
+  private def exactAggStatLines(tablePath: String,
+      files: Seq[java.nio.file.Path]): Seq[String] = {
+    val root = Paths.get(tablePath)
+    files.flatMap { p =>
+      val rel = root.relativize(p).toString
+      val footer = ParquetFooter.readTail(p)
+      // flat top-level leaves only (numChildren == 0 directly under
+      // the root) — the only shape the agg planner answers from stats
+      val leaves = {
+        val s = footer.schema
+        var i = 1
+        val out = Seq.newBuilder[ParquetFooter.PqSchemaField]
+        def skip(f: ParquetFooter.PqSchemaField): Unit =
+          (0 until f.numChildren).foreach { _ => val k = s(i); i += 1
+            skip(k) }
+        (0 until s.head.numChildren).foreach { _ =>
+          val f = s(i); i += 1
+          if (f.numChildren == 0) out += f else skip(f)
+        }
+        out.result()
+      }
+      val rgs = footer.rowGroups
+      val fileRows = rgs.map(_.numRows).sum
+      val colLines = leaves.map { leaf =>
+        val chunks = rgs.map(rg => rg -> rg.columns.find(
+          _.path == leaf.name))
+        val nc: Option[Long] = {
+          val ns = chunks.map(_._2.flatMap(_.nullCount))
+          if (ns.exists(_.isEmpty)) None else Some(ns.flatten.sum)
+        }
+        val intBacked = Set(1, 2).contains(leaf.physicalType) &&
+          !leaf.convertedType.contains(5)
+        var mn: Option[Long] = None
+        var mx: Option[Long] = None
+        var exact = intBacked
+        if (intBacked) {
+          for ((rg, cOpt) <- chunks if exact && rg.numRows > 0)
+            cOpt match {
+              case Some(c) if c.nullCount.contains(rg.numRows) => ()
+              case Some(c)
+                  if c.minValue.isDefined && c.maxValue.isDefined =>
+                val lo = ParquetFooter.statLong(leaf.physicalType,
+                  c.minValue.get)
+                val hi = ParquetFooter.statLong(leaf.physicalType,
+                  c.maxValue.get)
+                mn = Some(mn.fold(lo)(math.min(_, lo)))
+                mx = Some(mx.fold(hi)(math.max(_, hi)))
+              case _ => exact = false
+            }
+          if (!exact) { mn = None; mx = None }
+        }
+        def f(o: Option[Long]): String = o.fold("-")(_.toString)
+        s"C\t$rel\t${leaf.name}\t${f(nc)}\t${if (exact) "1" else "0"}" +
+          s"\t${f(mn)}\t${f(mx)}\t${leaf.physicalType}" +
+          s"\t${leaf.convertedType.fold("-")(_.toString)}"
+      }
+      s"F\t$rel\t$fileRows" +: colLines
+    }
+  }
+
+  private def appendAggStats(tablePath: String,
+      files: Seq[java.nio.file.Path]): Unit = {
+    val lines = exactAggStatLines(tablePath, files)
+    if (lines.nonEmpty) {
+      val p = Paths.get(aggStatsPath(tablePath))
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, lines.mkString("", "\n", "\n"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
   }
 
   // Fallback stats for files the commit protocol did not write (a

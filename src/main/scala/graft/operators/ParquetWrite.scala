@@ -43,6 +43,16 @@ package graft.operators
   */
 object ParquetWrite {
 
+  /** The footer's `created_by` — parseable under parquet-mr's
+    * VersionParser (see the footer emitter). Also the EXACTNESS
+    * SIGNATURE the agg planner keys on: this writer folds chunk
+    * min/max over the full values with no truncation (spec-pinned in
+    * ParquetWriteSpec), so a file carrying this created_by may answer
+    * string MIN/MAX exactly from its chunk statistics — something no
+    * flag in the format itself can promise for a foreign writer.
+    */
+  val createdBy: String = "graft version 1.0.0 (build graft)"
+
   /** One leaf of the flat schema being written. `physicalType` and
     * `convertedType` use the parquet-format enum ids ([[PwFields]] has
     * the common shapes).
@@ -1367,7 +1377,7 @@ object ParquetWrite {
       // foreign readers IGNORE the written min/max (observed: orc-mr
       // logged "Ignoring statistics because created_by could not be
       // parsed: graft" and lost pruning on our files)
-      w.str(6, "graft version 1.0.0 (build graft)")
+      w.str(6, createdBy)
       w.structEnd()
       val footer = fb.toByteArray
       emit(footer)

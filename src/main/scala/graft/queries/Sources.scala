@@ -2544,6 +2544,168 @@ object Sources {
       .orderBy(col("event_type"))
   }
 
+  // S56: streaming a PARTITIONED committed table — the reference's own
+  // fact-table shape (partitioned by coin_id, query.sql:4) under the
+  // version-tailing source: each trigger resolves its files by the
+  // commit log's TABLE-RELATIVE paths alone (zero directory walks —
+  // GraftParquetSpec poisons a sibling partition dir to prove it), and
+  // the `bucket` partition values stream through as typed columns.
+  private def s56PqStreamPart(s: SparkSession, dir: String): DataFrame = {
+    val table = ensurePartitionedTableFixture(s, dir)
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqstreampart-${java.util.UUID.randomUUID()}")
+      .getAbsolutePath
+    val q = s.readStream.format("graftpq").load(table)
+      .writeStream.format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fed = s.read.parquet(s"$work/out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("bucket").cast("long")).as("sum_bucket"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+    graft.streaming.WorkDirs.materializeAndClean(fed, work)
+  }
+
+  private val s56PqStreamPartSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(user_id % 4) AS BIGINT) AS sum_bucket,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Build-once hive-partitioned dir written by the ENGINE's OWN DSv2
+    * write path (`partitionBy` through graftpq) — the s57 input.
+    */
+  def ensurePartWritePqFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqpartw-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 4).cast("int").as("bucket"),
+          round(col("value") * 100).cast("long").as("cents"))
+        // repartition BY the partition column: each task sees few
+        // distinct values, so few writers stay open — the posture
+        // that holds at 100 TB
+        .repartition(4, col("bucket"))
+        .write.format("graftpq").partitionBy("bucket")
+        .mode("overwrite").save(tmp)
+    }
+    tmp
+  }
+
+  // S57: PARTITIONED DSv2 WRITE — `df.write.format("graftpq")
+  // .partitionBy("bucket")` lands hive `bucket=N/` dirs through the
+  // from-scratch writer (partition column stripped from the files,
+  // values in the dir names), and the INDEPENDENT reader (Spark's own
+  // parquet source with its own partition discovery) decodes the
+  // layout — write-side proof the engine emits exactly the layout the
+  // ecosystem (and its own s54 discovery + s56 stream) consumes.
+  private def s57PqPartWrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensurePartWritePqFixture(s, dir)
+    s.read.parquet(tmp)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
+  private val s57PqPartWriteSql =
+    """SELECT CAST(user_id % 4 AS INTEGER) AS bucket, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // S58: STRING MIN/MAX aggregate pushdown — chunk stats carry no
+  // exactness flag and foreign writers may truncate binary stats, so
+  // string extremes push ONLY when every footer's created_by proves
+  // the file came from this engine's own writer (which never
+  // truncates, spec-pinned); the s48 fixture is exactly that, so
+  // min/max(event_type) answer from footer metadata with zero data IO
+  // alongside the numeric extremes.
+  private def s58PqAggString(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureAggPqFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .agg(count(lit(1)).as("n"),
+        min(col("event_type")).as("min_type"),
+        max(col("event_type")).as("max_type"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
+  private val s58PqAggStringSql =
+    """SELECT count(*) AS n,
+      |  min(event_type) AS min_type, max(event_type) AS max_type,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events""".stripMargin
+
+  /** Build-once COMMITTED partitioned table with a nullable column —
+    * the s59 input (its commit log carries the exact agg-stats
+    * manifest every append records).
+    */
+  def ensureAggTableFixture(s: SparkSession, dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqaggtbl-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    val done = new java.io.File(tmp, "_fixture_done")
+    if (!done.exists()) {
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(tmp))
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_id") % 9 === 0, lit(null))
+            .otherwise(col("user_id")).as("opt"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (col("user_id") % 4).cast("int").as("bucket"))
+      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      val cut = maxId / 2
+      graft.operators.Maintenance.commitAppend(s, tmp,
+        ev.filter(col("event_id") < cut).coalesce(1),
+        partitionBy = Seq("bucket"))
+      graft.operators.Maintenance.commitAppend(s, tmp,
+        ev.filter(col("event_id") >= cut).coalesce(1))
+      new java.io.FileOutputStream(done).close()
+    }
+    tmp
+  }
+
+  // S59: MANIFEST-SERVED aggregate pushdown over a COMMITTED table —
+  // COUNT(*) / COUNT(nullable) / MIN / MAX grouped by the partition
+  // column answer from the commit log's exact agg-stats manifest
+  // (`aggstats.tsv`, recorded at append time) and the log's file
+  // listing: ZERO file IO, not even footer tails (GraftParquetSpec
+  // poisons entire data files to prove it) — at 100 TB this turns the
+  // one remaining O(files) planning sweep into one manifest read.
+  private def s59PqAggCommit(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureAggTableFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(col("opt")).as("n_opt"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  private val s59PqAggCommitSql =
+    """SELECT CAST(user_id % 4 AS INTEGER) AS bucket, count(*) AS n,
+      |  count(CASE WHEN event_id % 9 = 0 THEN NULL ELSE user_id END)
+      |    AS n_opt,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  min(CAST(round(value*100) AS BIGINT)) AS min_cents,
+      |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -2593,7 +2755,11 @@ object Sources {
     "s52_orc_v2write" -> s52OrcV2Write _,
     "s53_pq_stream" -> s53PqStream _,
     "s54_pq_hive" -> s54PqHive _,
-    "s55_orc_hive" -> s55OrcHive _
+    "s55_orc_hive" -> s55OrcHive _,
+    "s56_pq_stream_part" -> s56PqStreamPart _,
+    "s57_pq_part_write" -> s57PqPartWrite _,
+    "s58_pq_agg_string" -> s58PqAggString _,
+    "s59_pq_agg_commit" -> s59PqAggCommit _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2645,6 +2811,10 @@ object Sources {
     "s52_orc_v2write" -> sV2WriteSql, // same aggregate, same closed forms
     "s53_pq_stream" -> sV2WriteSql, // full-table stream, same aggregate
     "s54_pq_hive" -> s54PqHiveSql,
-    "s55_orc_hive" -> s54PqHiveSql // same layout, same closed forms
+    "s55_orc_hive" -> s54PqHiveSql, // same layout, same closed forms
+    "s56_pq_stream_part" -> s56PqStreamPartSql,
+    "s57_pq_part_write" -> s57PqPartWriteSql,
+    "s58_pq_agg_string" -> s58PqAggStringSql,
+    "s59_pq_agg_commit" -> s59PqAggCommitSql
   )
 }

@@ -64,11 +64,25 @@ class GraftOrc extends TableProvider
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap)
-      : StructType = {
-    val path = GraftParquet.pathOf(options)
-    // missing/empty target: legal for the WRITE path (the analyzer
-    // takes the query's schema via ACCEPT_ANY_SCHEMA); a READ still
-    // rejects loudly at newScanBuilder
+      : StructType =
+    GraftOrc.inferDirSchema(GraftParquet.pathOf(options))
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftOrcTable(schema,
+      GraftParquet.pathOf(new CaseInsensitiveStringMap(properties)),
+      GraftParquet.identityPartNames(partitioning, "graftorc"))
+}
+
+object GraftOrc {
+
+  /** The directory's current table schema (file leaves + partition
+    * columns), empty for a missing/fresh target — shared by schema
+    * inference and the write path's append validation (on writes
+    * Spark hands `getTable` the QUERY's schema).
+    */
+  private[sources] def inferDirSchema(path: String): StructType = {
     if (!new java.io.File(path).exists()) return new StructType()
     val partCols = GraftOrc.partitionColsOf(path)
     val files =
@@ -83,15 +97,6 @@ class GraftOrc extends TableProvider
       StructField(n, t, nullable = true)
     })
   }
-
-  override def getTable(schema: StructType,
-      partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GraftOrcTable(schema,
-      GraftParquet.pathOf(new CaseInsensitiveStringMap(properties)))
-}
-
-object GraftOrc {
 
   /** Discovered hive partition columns of a plain `.orc` layout (the
     * commit protocol is parquet-only, so ORC dirs are always
@@ -345,11 +350,15 @@ object GraftOrc {
   }
 }
 
-private[sources] class GraftOrcTable(schema: StructType, path: String)
+private[sources] class GraftOrcTable(schema: StructType, path: String,
+    writeParts: Seq[String] = Nil)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftorc $path"
   override def schema(): StructType = schema
+  override def partitioning(): Array[Transform] =
+    writeParts.map(org.apache.spark.sql.connector.expressions
+      .Expressions.identity).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -363,7 +372,8 @@ private[sources] class GraftOrcTable(schema: StructType, path: String)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(path, info.schema(), orc = true)
+    new GraftWriteBuilder(path, info.schema(), orc = true,
+      declaredParts = writeParts)
 }
 
 private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
@@ -602,7 +612,12 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       else GraftParquet
         .listPartitionedFiles(path, partCols.map(_._1), ".orc")
         .map { case (f, vs) => (f, partCols.map(_._1).zip(vs).toMap) }
-    files.flatMap { case (f, partVals) =>
+    // per-file plan reads (postscript + footer + Metadata + stripe
+    // indexes) are independent positional IO — overlap them on the
+    // bounded planning pool, order preserved (same rationale as the
+    // parquet side: a sequential tail sweep is the driver's planning
+    // bottleneck at 100 TB)
+    GraftParquet.planPar(files) { case (f, partVals) =>
       // dir values hold for EVERY row of the file: a disproven filter
       // drops it before any IO (numeric/date ranges are min = max, a
       // string value is its own bounds, None = all-null)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal,
-  NamedReference, Transform}
+  NamedReference, NullOrdering, SortDirection, Transform,
+  SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -70,24 +71,81 @@ class GraftParquet extends TableProvider
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap)
-      : StructType = {
-    val path = GraftParquet.pathOf(options)
+      : StructType =
+    GraftParquet.inferDirSchema(GraftParquet.pathOf(options))
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftParquetTable(schema,
+      GraftParquet.pathOf(new CaseInsensitiveStringMap(properties)),
+      GraftParquet.identityPartNames(partitioning, "graftpq"))
+}
+
+object GraftParquet {
+
+  /** User `partitionBy` columns from the transforms `getTable`
+    * receives (Spark passes `partitioningAsV2` through when the
+    * provider supports external metadata) — identity transforms only;
+    * bucket/years/etc. reject loudly.
+    */
+  private[sources] def identityPartNames(
+      partitioning: Array[Transform], fmt: String): Seq[String] =
+    partitioning.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case t => throw new IllegalArgumentException(
+        s"$fmt: unsupported partition transform $t (hive identity " +
+          "partitioning only)")
+    }
+
+  /** The directory's current table schema (file leaves + partition
+    * columns), empty for a missing/fresh target — shared by
+    * schema inference and the write path's append validation (the
+    * write path cannot use the Table's schema: Spark hands `getTable`
+    * the QUERY's schema on writes).
+    */
+  private[sources] def inferDirSchema(path: String): StructType = {
     val dir = new java.io.File(path)
     // a missing/empty target has nothing to infer — legal for the
     // WRITE path (the analyzer takes the query's schema through
     // ACCEPT_ANY_SCHEMA); a READ of it still rejects loudly at
     // newScanBuilder
     if (!dir.exists() ||
-        (dir.isDirectory && GraftParquet.listFiles(path).isEmpty &&
-          GraftParquet.partitionColsOf(path).isEmpty))
+        (dir.isDirectory && listFiles(path).isEmpty &&
+          partitionColsOf(path).isEmpty))
       return new StructType()
-    val partCols = GraftParquet.partitionColsOf(path)
-    val files =
-      if (partCols.isEmpty) GraftParquet.listFiles(path)
-      else GraftParquet.listPartitionedFiles(path, partCols.map(_._1))
-        .map(_._1)
+    val partCols = partitionColsOf(path)
+    // a COMMITTED table's schema comes from the tracked schema log —
+    // zero file IO (the Delta shape: metadata queries over a
+    // million-file table never open a file), and the only source that
+    // still answers when data files are being rewritten under the
+    // reader. Data columns keep the tracked order; partition columns
+    // surface last, the same convention as the footer path below.
+    if (new java.io.File(path, "_graft_log/version").exists()) {
+      val sp = java.nio.file.Paths.get(
+        graft.operators.Maintenance.schemaPath(path))
+      if (java.nio.file.Files.exists(sp)) {
+        val tracked = DataType.fromJson(
+          java.nio.file.Files.readString(sp)).asInstanceOf[StructType]
+        val partNames = partCols.map(_._1).toSet
+        val data = tracked.fields
+          .filterNot(f => partNames.contains(f.name))
+          .map(f => StructField(f.name, f.dataType, nullable = true))
+        return StructType(data ++ partCols.map { case (n, t) =>
+          StructField(n, t, nullable = true)
+        })
+      }
+    }
+    val files = tableFiles(path, partCols.map(_._1))
+      .map(_.map(_._1)).getOrElse {
+        if (partCols.isEmpty) listFiles(path)
+        else listPartitionedFiles(path, partCols.map(_._1))
+          .map(_._1)
+      }
     if (files.isEmpty) return new StructType()
-    val base = GraftParquet.toSparkSchema(
+    val base = toSparkSchema(
       ParquetFooter.readTail(files.head.toPath).schema)
     // partition columns live in dir names, not file leaves — appended
     // last, the same surface Spark's own file sources expose
@@ -95,15 +153,6 @@ class GraftParquet extends TableProvider
       StructField(n, t, nullable = true)
     })
   }
-
-  override def getTable(schema: StructType,
-      partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GraftParquetTable(schema,
-      GraftParquet.pathOf(new CaseInsensitiveStringMap(properties)))
-}
-
-object GraftParquet {
 
   private[sources] def pathOf(options: CaseInsensitiveStringMap)
       : String = {
@@ -358,6 +407,24 @@ object GraftParquet {
     * the inverse of the escaping Spark applies when writing partition
     * dirs. Malformed escapes pass through literally (conservative).
     */
+  /** Hive-style `%XX` escaping for a partition VALUE landing in a
+    * `col=value` directory name — the inverse of [[unescapePathName]].
+    * Escapes the path-hostile set (separators, the escape char itself,
+    * `=`, globbing/metadata characters, controls); everything else
+    * passes through, matching the layout Spark's own writer produces
+    * for the common value shapes.
+    */
+  private[sources] def escapePathName(s: String): String = {
+    if (s.isEmpty) return s
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      if (c < ' ' || "%/\\:=#*?\"'<>|{}[]^".indexOf(c) >= 0)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
   private[sources] def unescapePathName(s: String): String = {
     if (!s.contains('%')) return s
     val sb = new StringBuilder(s.length)
@@ -391,6 +458,29 @@ object GraftParquet {
       case t => throw new IllegalArgumentException(
         s"graftpq: partition column type ${t.simpleString} unsupported")
     }
+  }
+
+  /** The internal-representation family a hive partition VALUE can
+    * round-trip through a `col=value` dir name — exactly the types
+    * [[partitionValue]] parses back.
+    */
+  private[sources] def partitionValueWritable(dt: DataType): Boolean =
+    dt match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+        DoubleType | FloatType | BooleanType | DateType => true
+      case _ => false
+    }
+
+  /** One INTERNAL partition value rendered to its dir-name string (the
+    * caller escapes) — the inverse of [[partitionValue]].
+    */
+  private[sources] def partitionValueString(dt: DataType, v: Any)
+      : String = dt match {
+    case StringType => v.asInstanceOf[UTF8String].toString
+    case DateType =>
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        .toString
+    case _ => v.toString // Int/Long/Short/Byte/Double/Float/Boolean
   }
 
   /** The scan's partition columns: a committed table's come TRACKED
@@ -496,6 +586,83 @@ object GraftParquet {
       }
     }
     walk(new java.io.File(root), Nil, 0)
+  }
+
+  /** Partition values parsed from a table-relative path's `col=value`
+    * directory segments, in the table's recorded column order. A
+    * recorded column missing from the path is a torn table and fails
+    * loudly — a partitioned table's commit log records every file
+    * under its full partition chain.
+    */
+  private[sources] def partValsFromRel(rel: String,
+      partCols: Seq[String]): Map[String, Option[String]] = {
+    val segs = rel.split('/').dropRight(1)
+    partCols.map { c =>
+      c -> segs.collectFirst {
+        case seg if seg.startsWith(s"$c=") =>
+          val raw = seg.substring(c.length + 1)
+          if (raw == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(unescapePathName(raw))
+      }.getOrElse(throw new IllegalStateException(
+        s"graftpq: committed file '$rel' lacks partition dir '$c=' " +
+          "(torn table: the commit log records files under their " +
+          "full partition chain)"))
+    }.toMap
+  }
+
+  /** A committed table's data files WITH partition values, served from
+    * the commit log's listings instead of a directory walk: the add
+    * deltas already record table-relative paths (partition dirs
+    * included), so planning IO over a partitioned committed table is a
+    * handful of small log files — never an O(files-ever) tree LIST (at
+    * 100 TB on an object store, the difference between one round trip
+    * and thousands). None when the log does not cover the current
+    * version (pre-protocol table) — callers fall back to the walking
+    * listers, slower but correct. A listed file that does not exist is
+    * a vacuumed-or-torn table and fails LOUDLY (silently skipping it
+    * would under-count).
+    */
+  private[sources] def tableFiles(path: String, partCols: Seq[String])
+      : Option[Seq[(java.io.File, Map[String, Option[String]])]] =
+    graft.operators.Maintenance.liveFileListing(path).map { rels =>
+      rels.map { rel =>
+        val f = new java.io.File(path, rel)
+        require(f.isFile, s"graftpq: commit log lists '$rel' but no " +
+          s"such data file exists under $path (vacuumed or torn table)")
+        f -> (if (partCols.isEmpty) Map.empty[String, Option[String]]
+              else partValsFromRel(rel, partCols))
+      }
+    }
+
+  /** Order-preserving parallel flatMap for driver-side planning IO:
+    * per-file footer-tail / page-index / bloom reads are pure
+    * positional fetches with no shared state, so they overlap on a
+    * bounded pool instead of serializing — at 100 TB, planning a
+    * 10k-file scan is 10k independent KB-scale round trips, and
+    * overlapping them is the difference between sub-second and
+    * minutes of driver time. Output order matches input order (LIMIT
+    * capping and partition ids stay deterministic); a failing file
+    * rethrows its ORIGINAL exception (loud rejects keep their names).
+    */
+  private[sources] def planPar[A, B](items: Seq[A])(fn: A => Seq[B])
+      : Seq[B] = {
+    val n = math.min(16,
+      math.min(items.length, Runtime.getRuntime.availableProcessors - 2))
+    if (n <= 1) return items.flatMap(fn)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futs = items.map(a => pool.submit(
+        new java.util.concurrent.Callable[Seq[B]] {
+          def call(): Seq[B] = fn(a)
+        }))
+      futs.flatMap { fu =>
+        try fu.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdownNow()
   }
 
   /** One schema element with its parsed children — the footer's
@@ -814,20 +981,56 @@ object GraftParquet {
       Some(Int.box(ParquetFooter.statLong(physicalType, b).toInt))
     case LongType | TimestampType | TimestampNTZType =>
       Some(Long.box(ParquetFooter.statLong(physicalType, b)))
+    // engaged ONLY behind the exact-writer gate (see minMaxType):
+    // parquet UTF8 stats order = unsigned byte order = code point
+    // order, exactly UTF8String's comparison
+    case StringType => Some(UTF8String.fromBytes(b))
     case _ => None
   }
 
+  /** The manifest's sign-extended long decoded to the column's
+    * internal Spark value — the [[statTyped]] narrowing without the
+    * byte decode (the commit-time manifest already folded the raw
+    * stat bytes through [[ParquetFooter.statLong]]).
+    */
+  private def statTypedLong(dt: DataType, v: Long): Option[Any] =
+    dt match {
+      case ByteType => Some(Byte.box(v.toByte))
+      case ShortType => Some(Short.box(v.toShort))
+      case IntegerType | DateType => Some(Int.box(v.toInt))
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(Long.box(v))
+      case _ => None
+    }
+
   /** Translate a pushed [[Aggregation]] and pre-compute its per-group
-    * partial rows from footer statistics alone. None — and the scan
-    * falls back to a data read — when any shape or statistic needed
-    * for an EXACT answer is missing: group-by columns must be
-    * partition-dir columns (their values hold file-wide), MIN/MAX
-    * columns either partition columns (exact dir values, any parsable
-    * type) or flat numeric leaves with min/max present on every
-    * non-empty row group (strings excluded — chunk stats may be
-    * truncated with no exactness flag), COUNT(col) needs null counts
+    * partial rows from METADATA alone. None — and the scan falls back
+    * to a data read — when any shape or statistic needed for an EXACT
+    * answer is missing: group-by columns must be partition-dir columns
+    * (their values hold file-wide), MIN/MAX columns either partition
+    * columns (exact dir values, any parsable type) or flat int-backed
+    * leaves with min/max present on every non-empty row group (strings
+    * only behind the exact-writer gate below; float/double never — the
+    * NaN hazard, see [[statTyped]]), COUNT(col) needs null counts
     * everywhere, and a table with outstanding deletion vectors answers
     * nothing from stats (a deleted row might be the min).
+    *
+    * TWO METADATA TIERS. A COMMITTED table answers from the commit
+    * log's exact agg-stats manifest (`_graft_log/aggstats.tsv`,
+    * recorded from each append's footers at commit time): the plan
+    * reads the log listing plus one manifest — ZERO file IO, where the
+    * footer tier's sequential driver-side tail sweep was the one
+    * O(files) planning cost left at 100 TB. Plain directories (and
+    * committed tables whose manifest does not cover every live file —
+    * rewritten or bootstrap data) take the footer-tail tier.
+    *
+    * STRING MIN/MAX (footer tier): chunk stats carry no exactness
+    * flag and writers MAY truncate binary stats, so string extremes
+    * from a foreign file are bounds, not answers. This engine's own
+    * writer ([[graft.operators.ParquetWrite]]) never truncates —
+    * spec-pinned — so when EVERY footer's `created_by` is the
+    * engine's, string MIN/MAX answer exactly from chunk stats (the
+    * per-file sweep re-checks each footer, not just the head).
     */
   private[sources] def planAggregation(agg: Aggregation, path: String)
       : Option[PqPushedAgg] = {
@@ -839,33 +1042,45 @@ object GraftParquet {
     val partCols = partitionColsOf(path)
     val partNames = partCols.map(_._1)
     val partType = partCols.toMap
-    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[String] = e match {
-      case r: NamedReference if r.fieldNames.length == 1 =>
-        Some(r.fieldNames()(0))
-      case _ => None
-    }
-    val groupsOpt = agg.groupByExpressions.toSeq.map(ref)
+    val groupsOpt = agg.groupByExpressions.toSeq.map(aggRef)
     if (groupsOpt.exists(_.isEmpty)) return None
     val groups = groupsOpt.flatten
     if (!groups.forall(partNames.contains)) return None
 
+    // manifest tier: a committed table whose exact agg-stats manifest
+    // covers every live file never opens a file
+    if (isTable) {
+      val rels = graft.operators.Maintenance.liveFileListing(path)
+      val man = graft.operators.Maintenance.readAggStats(path)
+      rels match {
+        case Some(rs) if rs.nonEmpty && rs.forall(man.contains) =>
+          return planAggFromManifest(agg, partCols, groups, rs, man)
+        case _ => () // incomplete coverage: footer tier below
+      }
+    }
+
     val files: Seq[(java.io.File, Map[String, Option[String]])] =
-      if (partCols.isEmpty)
-        listFiles(path).map((_, Map.empty[String, Option[String]]))
-      else listPartitionedFiles(path, partNames)
-        .map { case (f, vs) => (f, partNames.zip(vs).toMap) }
+      (if (isTable) tableFiles(path, partNames) else None).getOrElse {
+        if (partCols.isEmpty)
+          listFiles(path).map((_, Map.empty[String, Option[String]]))
+        else listPartitionedFiles(path, partNames)
+          .map { case (f, vs) => (f, partNames.zip(vs).toMap) }
+      }
     if (files.isEmpty) return None
 
     // shape the specs against the first footer; every file re-checks
-    // its own chunks during the sweep below
+    // its own chunks (and, for strings, its own created_by) during
+    // the sweep below
+    val headFooter = ParquetFooter.readTail(files.head._1.toPath)
     val headLeaves: Map[String, PqSchemaField] =
-      fieldPlans(ParquetFooter.readTail(files.head._1.toPath).schema)
+      fieldPlans(headFooter.schema)
         .collect { case FlatPlan(l) => l.field.name -> l.field }.toMap
+    val headExactStrings =
+      headFooter.createdBy.contains(graft.operators.ParquetWrite.createdBy)
     // MIN/MAX: partition columns answer from their EXACT dir values
-    // (strings included); data leaves only from int-backed stats —
-    // float/double never (the NaN hazard, see statTyped), strings
-    // never (chunk stats may be truncated with no exactness flag)
+    // (strings included); data leaves from int-backed stats, plus
+    // UTF8 leaves behind the exact-writer gate; float/double never
+    // (the NaN hazard, see statTyped)
     def minMaxType(c: String): Option[DataType] =
       partType.get(c).filter {
         case ByteType | ShortType | IntegerType | LongType |
@@ -874,17 +1089,156 @@ object GraftParquet {
       }.orElse(headLeaves.get(c).collect {
         case f if Set(1, 2).contains(f.physicalType) &&
             !f.convertedType.contains(5) => leafType(f)
+        case f if headExactStrings && f.physicalType == 6 &&
+            (f.convertedType.contains(0) ||
+              f.convertedType.contains(4)) => StringType
       })
     val specsOpt = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         Some(PqAggSpec(PqCountStar, "count(*)", LongType))
       case c: Count if !c.isDistinct =>
-        ref(c.column())
+        aggRef(c.column())
           .filter(n => partNames.contains(n) || headLeaves.contains(n))
           .map(n => PqAggSpec(PqCountCol(n), s"count($n)", LongType))
-      case m: Min => for { n <- ref(m.column()); dt <- minMaxType(n) }
+      case m: Min => for { n <- aggRef(m.column()); dt <- minMaxType(n) }
         yield PqAggSpec(PqMin(n), s"min($n)", dt)
-      case m: Max => for { n <- ref(m.column()); dt <- minMaxType(n) }
+      case m: Max => for { n <- aggRef(m.column()); dt <- minMaxType(n) }
+        yield PqAggSpec(PqMax(n), s"max($n)", dt)
+      case _ => None
+    }
+    if (specsOpt.exists(_.isEmpty) || specsOpt.isEmpty) return None
+    val specs = specsOpt.flatten
+
+    // per-file partials computed in PARALLEL (each is one independent
+    // footer-tail read — the same bounded-pool overlap as the scan
+    // planner); the per-group fold below stays sequential and cheap.
+    // Right(None) = zero-row file under GROUP BY (contributes nothing
+    // — SQL emits only groups with rows; a GLOBAL aggregate still
+    // accumulates count 0 / null extremes), Left = a stat needed for
+    // exactness is missing and the whole pushdown rejects.
+    val perFile: Seq[Either[Unit,
+        Option[(Seq[Option[String]], Array[Any])]]] =
+      planPar(files) { case (f, partVals) =>
+        val footer = ParquetFooter.readTail(f.toPath)
+        val leaves: Map[String, PqSchemaField] =
+          fieldPlans(footer.schema)
+            .collect { case FlatPlan(l) => l.field.name -> l.field }
+            .toMap
+        // exactness is PER FILE: a directory mixing engine-written and
+        // foreign files keeps string extremes only if every file
+        // proves its own stats untruncated
+        val exactStrings = footer.createdBy
+          .contains(graft.operators.ParquetWrite.createdBy)
+        val rgs = footer.rowGroups
+        val fileRows = rgs.map(_.numRows).sum
+        if (groups.nonEmpty && fileRows == 0) Seq(Right(None))
+        else {
+          def chunkOf(rg: PqRowGroupAlias, c: String): Option[PqColumn] =
+            rg.columns.find(_.path == c)
+          val partials: Array[Any] = new Array[Any](specs.length)
+          var ok = true
+          specs.zipWithIndex.foreach { case (spec, i) =>
+            if (ok) spec.kind match {
+              case PqCountStar => partials(i) = Long.box(fileRows)
+              case PqCountCol(c) if partNames.contains(c) =>
+                partials(i) =
+                  Long.box(if (partVals(c).isDefined) fileRows else 0L)
+              case PqCountCol(c) =>
+                var n = 0L
+                rgs.foreach { rg =>
+                  chunkOf(rg, c).flatMap(_.nullCount) match {
+                    case Some(nc) => n += rg.numRows - nc
+                    case None => ok = false // no null count: not exact
+                  }
+                }
+                partials(i) = Long.box(n)
+              case PqMin(c) if partNames.contains(c) =>
+                partials(i) =
+                  if (fileRows == 0) null
+                  else partitionValue(partType(c), partVals(c))
+              case PqMax(c) if partNames.contains(c) =>
+                partials(i) =
+                  if (fileRows == 0) null
+                  else partitionValue(partType(c), partVals(c))
+              case PqMin(c) =>
+                partials(i) = statExtreme(rgs, leaves, c, spec.dt,
+                  wantMin = true, exactStrings)
+                  .getOrElse { ok = false; null }
+              case PqMax(c) =>
+                partials(i) = statExtreme(rgs, leaves, c, spec.dt,
+                  wantMin = false, exactStrings)
+                  .getOrElse { ok = false; null }
+            }
+          }
+          if (!ok) Seq(Left(()))
+          else Seq(Right(Some((groups.map(partVals), partials))))
+        }
+      }
+    if (perFile.exists(_.isLeft)) return None
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], Array[Any]]
+    perFile.foreach {
+      case Right(Some((key, partials))) =>
+        acc.get(key) match {
+          case None => acc(key) = partials
+          case Some(old) =>
+            specs.zipWithIndex.foreach { case (spec, i) =>
+              old(i) = mergePartial(spec, old(i), partials(i))
+            }
+        }
+      case _ => ()
+    }
+    Some(PqPushedAgg(groups.map(g => g -> partType(g)), specs,
+      acc.iterator.map { case (k, v) => PqAggRow(k, v) }.toVector))
+  }
+
+  private def aggRef(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** The manifest tier of [[planAggregation]]: per-group partials
+    * folded from the commit log's exact agg-stats manifest — the
+    * caller proved it covers every live file, so NO file is ever
+    * opened (spec-pinned by poisoning whole data files). Column types
+    * come from the manifest's recorded physical/converted pair through
+    * the same [[leafType]] mapping the footer tier uses; the
+    * `mmExact` flag keeps "provably all-null" (a legal null extreme)
+    * apart from "stats missing" (reject, like the footer tier's
+    * absent-stat row group).
+    */
+  private def planAggFromManifest(agg: Aggregation,
+      partCols: Seq[(String, DataType)], groups: Seq[String],
+      rels: Seq[String],
+      man: Map[String,
+        (Long, Map[String, graft.operators.Maintenance.AggColStat])])
+      : Option[PqPushedAgg] = {
+    val partNames = partCols.map(_._1)
+    val partType = partCols.toMap
+    val headCols = man(rels.head)._2
+    def minMaxType(c: String): Option[DataType] =
+      partType.get(c).filter {
+        case ByteType | ShortType | IntegerType | LongType |
+          StringType | DateType => true
+        case _ => false
+      }.orElse(headCols.get(c).collect {
+        case st if st.mmExact && st.min.isDefined =>
+          leafType(PqSchemaField(c, st.physicalType, 0,
+            st.convertedType))
+      })
+    val specsOpt = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(PqAggSpec(PqCountStar, "count(*)", LongType))
+      case c: Count if !c.isDistinct =>
+        aggRef(c.column())
+          .filter(n => partNames.contains(n) || headCols.contains(n))
+          .map(n => PqAggSpec(PqCountCol(n), s"count($n)", LongType))
+      case m: Min => for { n <- aggRef(m.column()); dt <- minMaxType(n) }
+        yield PqAggSpec(PqMin(n), s"min($n)", dt)
+      case m: Max => for { n <- aggRef(m.column()); dt <- minMaxType(n) }
         yield PqAggSpec(PqMax(n), s"max($n)", dt)
       case _ => None
     }
@@ -893,21 +1247,13 @@ object GraftParquet {
 
     val acc = scala.collection.mutable.LinkedHashMap
       .empty[Seq[Option[String]], Array[Any]]
-    for ((f, partVals) <- files) {
-      val footer = ParquetFooter.readTail(f.toPath)
-      val leaves: Map[String, PqSchemaField] =
-        fieldPlans(footer.schema)
-          .collect { case FlatPlan(l) => l.field.name -> l.field }.toMap
-      val rgs = footer.rowGroups
-      val fileRows = rgs.map(_.numRows).sum
-      // a zero-row file contributes nothing — and under GROUP BY it
-      // must not materialize its group at all (SQL emits only groups
-      // with rows); a GLOBAL aggregate still accumulates it (count 0,
-      // null extremes), so an all-empty table answers count(*) = 0
+    for (rel <- rels) {
+      val (fileRows, cols) = man(rel)
+      val partVals: Map[String, Option[String]] =
+        if (partNames.isEmpty) Map.empty
+        else partValsFromRel(rel, partNames)
       if (groups.nonEmpty && fileRows == 0) ()
       else {
-      def chunkOf(rg: PqRowGroupAlias, c: String): Option[PqColumn] =
-        rg.columns.find(_.path == c)
       val partials: Array[Any] = new Array[Any](specs.length)
       var ok = true
       specs.zipWithIndex.foreach { case (spec, i) =>
@@ -917,14 +1263,10 @@ object GraftParquet {
             partials(i) =
               Long.box(if (partVals(c).isDefined) fileRows else 0L)
           case PqCountCol(c) =>
-            var n = 0L
-            rgs.foreach { rg =>
-              chunkOf(rg, c).flatMap(_.nullCount) match {
-                case Some(nc) => n += rg.numRows - nc
-                case None => ok = false // no null count: not exact
-              }
+            cols.get(c).flatMap(_.nullCount) match {
+              case Some(nc) => partials(i) = Long.box(fileRows - nc)
+              case None => ok = false // no null count: not exact
             }
-            partials(i) = Long.box(n)
           case PqMin(c) if partNames.contains(c) =>
             partials(i) =
               if (fileRows == 0) null
@@ -934,11 +1276,17 @@ object GraftParquet {
               if (fileRows == 0) null
               else partitionValue(partType(c), partVals(c))
           case PqMin(c) =>
-            partials(i) = statExtreme(rgs, leaves, c, spec.dt,
-              wantMin = true).getOrElse { ok = false; null }
+            cols.get(c).filter(_.mmExact) match {
+              case Some(st) => partials(i) =
+                st.min.flatMap(statTypedLong(spec.dt, _)).orNull
+              case None => ok = false
+            }
           case PqMax(c) =>
-            partials(i) = statExtreme(rgs, leaves, c, spec.dt,
-              wantMin = false).getOrElse { ok = false; null }
+            cols.get(c).filter(_.mmExact) match {
+              case Some(st) => partials(i) =
+                st.max.flatMap(statTypedLong(spec.dt, _)).orNull
+              case None => ok = false
+            }
         }
       }
       if (!ok) return None
@@ -989,9 +1337,13 @@ object GraftParquet {
     */
   private def statExtreme(rgs: Seq[PqRowGroupAlias],
       leaves: Map[String, PqSchemaField], c: String, dt: DataType,
-      wantMin: Boolean): Option[Any] = {
+      wantMin: Boolean, exactStrings: Boolean = false): Option[Any] = {
     val leaf = leaves.get(c).getOrElse(return None)
-    if (!Set(1, 2, 4, 5).contains(leaf.physicalType) ||
+    // BYTE_ARRAY admitted only when THIS file's writer provably never
+    // truncates binary stats (the created_by gate) — statTyped then
+    // decodes the exact UTF8 bytes
+    if (!(Set(1, 2, 4, 5).contains(leaf.physicalType) ||
+        (exactStrings && leaf.physicalType == 6)) ||
         leaf.convertedType.contains(5)) return None
     var best: Any = null
     for (rg <- rgs if rg.numRows > 0) {
@@ -1192,10 +1544,17 @@ object GraftParquet {
 }
 
 private[sources] class GraftParquetTable(schema: StructType,
-    path: String) extends Table with SupportsRead
+    path: String, writeParts: Seq[String] = Nil)
+    extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftpq $path"
   override def schema(): StructType = schema
+  /** Declared write partitioning (so Spark's partitionBy-vs-table
+    * check passes on the write path); read-path tables report none —
+    * partition columns already surface through the schema.
+    */
+  override def partitioning(): Array[Transform] =
+    writeParts.map(Expressions.identity).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, // version-tailing stream
@@ -1206,28 +1565,59 @@ private[sources] class GraftParquetTable(schema: StructType,
     require(schema.fields.nonEmpty,
       "graftpq: no .parquet files under the path")
     new GraftParquetScanBuilder(schema, path,
-      options.getInt("maxVersionsPerTrigger", 0))
+      GraftStreamLimits(
+        options.getInt("maxVersionsPerTrigger", 0),
+        options.getInt("maxFilesPerTrigger", 0),
+        options.getLong("maxBytesPerTrigger", 0L)))
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GraftWriteBuilder(path, info.schema(), orc = false)
+    new GraftWriteBuilder(path, info.schema(), orc = false,
+      declaredParts = writeParts)
 }
 
 /** The DSv2 WRITE half of both sources: `df.write.format("graftpq"/
-  * "graftorc").mode("append"/"overwrite").save(dir)` runs the
-  * from-scratch writers ([[graft.operators.ParquetWrite]] /
-  * [[graft.operators.OrcWrite]]) WHERE THE DATA IS — one task per
-  * partition streams its rows through a bounded queue into the writer
-  * (no per-task buffering of the whole partition), lands a hidden
-  * `.inprogress` temp file, and RENAMES it into place only at task
-  * commit (Spark's commit coordinator admits one attempt per
-  * partition, so speculation/retries never publish twins). The job
-  * commit publishes `_SUCCESS`; overwrite truncates the directory
-  * up front.
+  * "graftorc").mode("append"/"overwrite")[.partitionBy(cols)]
+  * .save(dir)` runs the from-scratch writers
+  * ([[graft.operators.ParquetWrite]] / [[graft.operators.OrcWrite]])
+  * WHERE THE DATA IS — one task per partition streams its rows through
+  * bounded queues into the writers (no per-task buffering of the whole
+  * partition), lands hidden `.inprogress` temp files, renames them to
+  * hidden `.staged` names at TASK commit (Spark's commit coordinator
+  * admits one attempt per Spark partition, so speculation/retries
+  * never stage twins), and PUBLISHES everything at JOB commit.
+  *
+  * Overwrite truncates at JOB COMMIT, not up front: the pre-existing
+  * data files survive until every task has finished, so
+  * `read(dir) → transform → write.mode("overwrite").save(dir)` is
+  * SAFE — the write tasks consume the old files before the commit
+  * deletes them (V1 file sources reject this self-overwrite cycle;
+  * deferring the truncate makes it correct instead).
+  *
+  * APPEND SCHEMA ENFORCEMENT: ACCEPT_ANY_SCHEMA makes Spark skip
+  * output resolution (necessary for the first write to a fresh dir,
+  * where there is no table schema), so an APPEND into an existing
+  * directory validates here — same column names, same types — and
+  * rejects loudly instead of landing files later per-file name
+  * resolution would trip over.
+  *
+  * PARTITIONED LAYOUT (`partitionBy`): identity transforms arrive
+  * through `getTable`; rows land under hive `col=value/` dirs (values
+  * `%XX`-escaped, nulls as `__HIVE_DEFAULT_PARTITION__`), partition
+  * columns are STRIPPED from the file schema — exactly the layout
+  * Spark's own writer produces, the discovery reader (s54/s55) and
+  * the commit protocol already consume, and the version-tailing
+  * stream can follow. An append into an already-partitioned dir
+  * inherits the recorded layout; a conflicting declaration rejects.
+  * One writer (bounded queue + thread) stays open per distinct
+  * partition value per task — at scale, repartition by the partition
+  * columns upstream so each task sees few distinct values, the same
+  * guidance as Spark's own dynamic-partition writes.
   */
 private[sources] class GraftWriteBuilder(path: String,
-    schema: StructType, orc: Boolean)
+    schema: StructType, orc: Boolean,
+    declaredParts: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -1238,83 +1628,174 @@ private[sources] class GraftWriteBuilder(path: String,
     truncateFirst = true; this
   }
 
-  override def build(): org.apache.spark.sql.connector.write.Write =
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val ext = if (orc) ".orc" else ".parquet"
+    val fmt = if (orc) "graftorc" else "graftpq"
+    // the existing layout, resolved once: tracked for committed
+    // tables, discovered for plain hive dirs, Nil for flat/fresh
+    val existingParts: Seq[String] =
+      if (orc) GraftOrc.partitionColsOf(path).map(_._1)
+      else GraftParquet.partitionColsOf(path).map(_._1)
+    // the EXISTING schema comes from disk: on writes Spark hands the
+    // Table the QUERY's schema, so the Table's field is no use here
+    val tableSchema: StructType =
+      if (truncateFirst) new StructType() // replaced wholesale: skip
+      else if (orc) GraftOrc.inferDirSchema(path)
+      else GraftParquet.inferDirSchema(path)
+    val hasData = tableSchema.fields.nonEmpty
+    // overwrite replaces layout and schema wholesale; an append must
+    // agree with what is already there
+    if (!truncateFirst && hasData) {
+      require(declaredParts.isEmpty || declaredParts == existingParts,
+        s"$fmt: $path is partitioned by " +
+          s"[${existingParts.mkString(", ")}]; the append declared " +
+          s"partitionBy(${declaredParts.mkString(", ")})")
+      // nullability (at any nesting depth) is not a shape difference —
+      // the read side reports everything nullable anyway — and
+      // catalogString is exactly the nullability-blind type rendering
+      val have: Map[String, String] = tableSchema.fields
+        .map(f => f.name -> f.dataType.catalogString).toMap
+      val got: Map[String, String] = schema.fields
+        .map(f => f.name -> f.dataType.catalogString).toMap
+      val missing = (have.keySet -- got.keySet).toSeq.sorted
+      val extra = (got.keySet -- have.keySet).toSeq.sorted
+      val retyped = (have.keySet & got.keySet).toSeq.sorted
+        .filter(c => have(c) != got(c))
+      require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+        s"$fmt: append schema does not match $path" +
+          (if (missing.nonEmpty)
+            s"; missing columns: ${missing.mkString(", ")}"
+           else "") +
+          (if (extra.nonEmpty)
+            s"; unknown columns: ${extra.mkString(", ")}"
+           else "") +
+          retyped.map(c =>
+            s"; '$c' is ${have(c)}, append has ${got(c)}").mkString)
+    }
+    val parts =
+      if (declaredParts.nonEmpty) declaredParts
+      else if (!truncateFirst) existingParts // inherit on append
+      else Nil
+    val partIdx = parts.map { c =>
+      val i = schema.fieldIndex(c)
+      require(GraftParquet.partitionValueWritable(
+        schema.fields(i).dataType),
+        s"$fmt: partition column '$c' type " +
+          s"${schema.fields(i).dataType.simpleString} unsupported")
+      i
+    }
+    val fileSchema = StructType(schema.fields.zipWithIndex
+      .filterNot { case (_, i) => partIdx.contains(i) }.map(_._1))
+    require(fileSchema.fields.nonEmpty,
+      s"$fmt: cannot write a table that is ALL partition columns")
+    val tf = truncateFirst
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
-        new GraftBatchWrite(path, schema, orc, truncateFirst)
+        new GraftBatchWrite(path, schema, fileSchema, partIdx, orc,
+          tf, ext)
     }
+  }
 }
 
 private[sources] class GraftBatchWrite(path: String,
-    schema: StructType, orc: Boolean, truncate: Boolean)
+    schema: StructType, fileSchema: StructType, partIdx: Seq[Int],
+    orc: Boolean, truncate: Boolean, ext: String)
   extends org.apache.spark.sql.connector.write.BatchWrite {
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     val dir = new java.io.File(path)
-    if (truncate && dir.exists())
-      graft.streaming.WorkDirs.deleteRecursively(dir)
     require(dir.isDirectory || dir.mkdirs(),
       s"graft write: cannot create $path")
-    GraftFileWriterFactory(path, schema, orc)
+    GraftFileWriterFactory(path, schema, fileSchema, partIdx, orc)
   }
 
+  /** Publish: on overwrite, first delete every PRE-EXISTING data file
+    * (and emptied partition dirs) — all tasks have finished by now, so
+    * a query reading this directory as its own input has already
+    * consumed the old bytes — then rename every staged file to its
+    * final name and stamp `_SUCCESS`.
+    */
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage])
-      : Unit =
+      : Unit = {
+    val staged: Seq[(String, String)] = messages.toSeq.flatMap {
+      case GraftWriteCommit(files) => files
+      case _ => Nil
+    }
+    if (truncate) {
+      val stagedSet = staged.map(_._1).toSet
+      def sweep(d: java.io.File): Unit = {
+        val kids = d.listFiles()
+        if (kids != null) kids.foreach { k =>
+          if (k.isFile && k.getName.endsWith(ext) &&
+              !stagedSet.contains(k.getAbsolutePath)) k.delete()
+          else if (k.isDirectory && !k.getName.startsWith("_") &&
+              !k.getName.startsWith(".")) {
+            sweep(k)
+            k.delete() // succeeds only when emptied: dirs with
+            // freshly staged files survive
+          }
+        }
+      }
+      sweep(new java.io.File(path))
+    }
+    staged.foreach { case (s, f) =>
+      require(new java.io.File(s).renameTo(new java.io.File(f)),
+        s"graft write: cannot publish $f")
+    }
     new java.io.FileOutputStream(new java.io.File(path, "_SUCCESS"))
       .close()
+  }
 
   override def abort(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit =
     messages.foreach {
-      case GraftWriteCommit(file) if file.nonEmpty =>
-        new java.io.File(file).delete()
+      case GraftWriteCommit(files) =>
+        files.foreach { case (s, _) => new java.io.File(s).delete() }
       case _ => ()
     }
 }
 
-private[sources] final case class GraftWriteCommit(file: String)
+/** The staged→final (absolute path) pairs one task landed. */
+private[sources] final case class GraftWriteCommit(
+    files: Seq[(String, String)])
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] final case class GraftFileWriterFactory(path: String,
-    schema: StructType, orc: Boolean)
+    schema: StructType, fileSchema: StructType, partIdx: Seq[Int],
+    orc: Boolean)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GraftFileDataWriter(path, schema, orc, partitionId, taskId)
+    new GraftFileDataWriter(path, schema, fileSchema, partIdx, orc,
+      partitionId, taskId)
 }
 
-/** One task's writer: adapts each internal row to the writers' plain
-  * JVM shapes IMMEDIATELY (internal rows are reused by the caller),
-  * hands them through a bounded queue to a writer thread running the
-  * whole-file writer, and publishes by rename at commit. Memory is
-  * O(queue + one row group), never O(partition).
+/** One bounded-queue + writer-thread unit producing ONE file: memory
+  * is O(queue + one row group), never O(partition). The file lands as
+  * hidden `.inprogress`, moves to hidden `.staged` at task commit and
+  * to its final name only at job commit.
   */
-private[sources] class GraftFileDataWriter(dirPath: String,
-    schema: StructType, orc: Boolean, partitionId: Int, taskId: Long)
-  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+private[sources] class GraftSingleFileWriter(dir: java.io.File,
+    base: String, fileSchema: StructType, orc: Boolean,
+    queueSlots: Int) {
 
+  require(dir.isDirectory || dir.mkdirs(),
+    s"graft write: cannot create $dir")
   private val ext = if (orc) "orc" else "parquet"
-  private val tmp = new java.io.File(dirPath,
-    f".part-$partitionId%05d-$taskId.$ext.inprogress")
-  private val fin = new java.io.File(dirPath,
-    f"part-$partitionId%05d-$taskId.$ext")
-
-  private val dts = schema.fields.map(_.dataType)
-  private val ads: Array[Any => Any] = schema.fields.map { f =>
-    GraftParquet.internalAdapter(f.dataType, orc,
-      if (orc) (s: Seq[Any]) => s else (s: Seq[Any]) => s.toArray[Any])
-  }
+  private val tmp = new java.io.File(dir, s".$base.$ext.inprogress")
+  private val staged = new java.io.File(dir, s".$base.$ext.staged")
+  private val fin = new java.io.File(dir, s"$base.$ext")
 
   private val queue =
-    new java.util.concurrent.ArrayBlockingQueue[AnyRef](1024)
+    new java.util.concurrent.ArrayBlockingQueue[AnyRef](queueSlots)
   private val endMark = new Object
   @volatile private var failure: Throwable = null
-  private var rows = 0L
+  var rows = 0L
 
   private val writer = new Thread(() => {
     try {
@@ -1329,11 +1810,11 @@ private[sources] class GraftFileDataWriter(dirPath: String,
       }
       if (orc)
         graft.operators.OrcWrite.writeFile(tmp.toPath,
-          graft.operators.OrcWrite.fieldsOf(schema), it,
+          graft.operators.OrcWrite.fieldsOf(fileSchema), it,
           compression = 5)
       else
         graft.operators.ParquetWrite.writeColumns(tmp.toPath,
-          graft.operators.ParquetWrite.columnsOf(schema), it,
+          graft.operators.ParquetWrite.columnsOf(fileSchema), it,
           codec = 1)
     } catch {
       case t: Throwable =>
@@ -1342,49 +1823,105 @@ private[sources] class GraftFileDataWriter(dirPath: String,
         while (queue.poll() ne null) ()
         while (queue.take() ne endMark) ()
     }
-  }, s"graft-write-$partitionId-$taskId")
+  }, s"graft-write-$base")
   writer.setDaemon(true)
   writer.start()
 
-  override def write(row: InternalRow): Unit = {
+  def put(a: Array[Any]): Unit = {
     if (failure != null) throw failure
-    val a = new Array[Any](dts.length)
-    var i = 0
-    while (i < dts.length) {
-      a(i) = if (row.isNullAt(i)) null else ads(i)(row.get(i, dts(i)))
-      i += 1
-    }
     queue.put(a)
     rows += 1
   }
 
-  override def commit()
-      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+  /** Finish the file and stage it; (staged, final) or None if empty. */
+  def stage(): Option[(String, String)] = {
     queue.put(endMark)
     writer.join()
     if (failure != null) throw failure
-    if (rows == 0) { // empty partitions leave no file
-      tmp.delete()
-      GraftWriteCommit("")
-    } else {
-      require(tmp.renameTo(fin),
-        s"graft write: cannot publish ${fin.getName}")
-      GraftWriteCommit(fin.getAbsolutePath)
+    if (rows == 0) { tmp.delete(); None }
+    else {
+      require(tmp.renameTo(staged),
+        s"graft write: cannot stage ${staged.getName}")
+      Some((staged.getAbsolutePath, fin.getAbsolutePath))
     }
   }
 
-  override def abort(): Unit = {
+  def abort(): Unit = {
     queue.clear()
     queue.put(endMark)
     writer.join()
     tmp.delete()
+    staged.delete()
   }
+}
+
+/** One task's writer: adapts each internal row to the writers' plain
+  * JVM shapes IMMEDIATELY (internal rows are reused by the caller) and
+  * routes it — straight to the single file writer when unpartitioned,
+  * to the row's `col=value/` destination when partitioned (partition
+  * columns stripped from the written rows, one open file per distinct
+  * value seen by this task).
+  */
+private[sources] class GraftFileDataWriter(dirPath: String,
+    schema: StructType, fileSchema: StructType, partIdx: Seq[Int],
+    orc: Boolean, partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val base = f"part-$partitionId%05d-$taskId"
+  private val dts = schema.fields.map(_.dataType)
+  private val dataIdx: Array[Int] =
+    schema.fields.indices.filterNot(partIdx.contains).toArray
+  private val ads: Array[Any => Any] = dataIdx.map { i =>
+    GraftParquet.internalAdapter(dts(i), orc,
+      if (orc) (s: Seq[Any]) => s else (s: Seq[Any]) => s.toArray[Any])
+  }
+  // partitioned tasks keep several queues open: smaller slots bound
+  // the task's buffered rows at queues × slots
+  private val slots = if (partIdx.isEmpty) 1024 else 128
+
+  private val writers = new scala.collection.mutable.LinkedHashMap[
+    String, GraftSingleFileWriter]()
+  private def writerFor(rel: String): GraftSingleFileWriter =
+    writers.getOrElseUpdate(rel, new GraftSingleFileWriter(
+      if (rel.isEmpty) new java.io.File(dirPath)
+      else new java.io.File(dirPath, rel),
+      base, fileSchema, orc, slots))
+
+  private def partDir(row: InternalRow): String =
+    partIdx.zipWithIndex.map { case (fi, _) =>
+      val name = schema.fields(fi).name
+      val v =
+        if (row.isNullAt(fi)) "__HIVE_DEFAULT_PARTITION__"
+        else GraftParquet.escapePathName(
+          GraftParquet.partitionValueString(dts(fi), row.get(fi,
+            dts(fi))))
+      s"$name=$v"
+    }.mkString("/")
+
+  override def write(row: InternalRow): Unit = {
+    val a = new Array[Any](dataIdx.length)
+    var i = 0
+    while (i < dataIdx.length) {
+      val fi = dataIdx(i)
+      a(i) = if (row.isNullAt(fi)) null else ads(i)(row.get(fi, dts(fi)))
+      i += 1
+    }
+    writerFor(if (partIdx.isEmpty) "" else partDir(row)).put(a)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage =
+    GraftWriteCommit(writers.values.toSeq.flatMap(_.stage()))
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
 
   override def close(): Unit = ()
 }
 
 private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
-    path: String, streamMaxVersions: Int = 0) extends ScanBuilder
+    path: String,
+    streamLimits: GraftStreamLimits = GraftStreamLimits())
+  extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -1483,7 +2020,7 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
     case Some(p) => new GraftPqAggScan(p, path)
     case None =>
       new GraftParquetScan(fullSchema, required, pushed, path, limit,
-        streamMaxVersions)
+        streamLimits)
   }
 }
 
@@ -1519,7 +2056,10 @@ private[sources] class GraftPqAggScan(agg: GraftParquet.PqPushedAgg,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    require(agg.rows.nonEmpty, "graftpq: empty aggregate plan")
+    // a pushed GROUP BY over an all-empty table has no groups — a
+    // legal empty result, planned as zero partitions (a GLOBAL
+    // aggregate always carries exactly one partial row)
+    if (agg.rows.isEmpty) return Array.empty
     val per = math.max(1, (agg.rows.length + 31) / 32)
     agg.rows.grouped(per)
       .map(rs => GraftPqAggPartition(agg.groupCols, rs): InputPartition)
@@ -1570,7 +2110,8 @@ final case class GraftPqPartition(path: String,
 
 private[sources] class GraftParquetScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String,
-    limit: Int = -1, streamMaxVersions: Int = 0)
+    limit: Int = -1,
+    streamLimits: GraftStreamLimits = GraftStreamLimits())
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
 
@@ -1582,7 +2123,7 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftPqMicroBatch(path, required, streamMaxVersions)
+    new GraftPqMicroBatch(path, required, streamLimits)
 
   /** Filters injected at RUNTIME (dynamic partition pruning: the
     * build side's distinct join keys arrive as an IN once it has
@@ -1594,6 +2135,16 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     */
   private var runtime: Array[Filter] = Array.empty
   private def filters: Array[Filter] = pushed ++ runtime
+
+  /** Partition spec resolved ONCE per scan: discovery re-walks the
+    * hive tree and re-infers value types, so calling it from every
+    * planning tier (filterAttributes, estimateStatistics, each
+    * planInputPartitions) would both repeat the walk and race a type
+    * drifting between inference and plan time — one resolution keeps
+    * every tier consistent.
+    */
+  @transient private lazy val partColsCached: Seq[(String, DataType)] =
+    GraftParquet.partitionColsOf(path)
 
   @transient @volatile private var cached: Array[InputPartition] = null
 
@@ -1607,7 +2158,7 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     */
   override def filterAttributes(): Array[NamedReference] = {
     val out = required.fields.map(_.name).toSet
-    val partCols = GraftParquet.partitionColsOf(path).map(_._1)
+    val partCols = partColsCached.map(_._1)
     val statCols = fullSchema.fields.collect {
       case f if (f.dataType match {
         case ByteType | ShortType | IntegerType | LongType | FloatType |
@@ -1718,7 +2269,7 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     val pushed = filters // static + runtime, through every tier below
     val isTable =
       new java.io.File(path, "_graft_log/version").exists()
-    val partCols = GraftParquet.partitionColsOf(path)
+    val partCols = partColsCached
     val manifest: Map[String, Map[String, (Double, Double)]] =
       if (!isTable) Map.empty
       else graft.operators.Maintenance.readFileStats(path)
@@ -1734,13 +2285,18 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
         graft.operators.Maintenance.dvPackedByFile(path)
       else Map.empty
     val partColTypes = partCols.toMap
+    // a committed table lists from its log (no directory walk, even
+    // when partitioned); plain dirs walk
     val files: Seq[(java.io.File, Map[String, Option[String]])] =
-      if (partCols.isEmpty)
-        GraftParquet.listFiles(path).map((_, Map.empty[String,
-          Option[String]]))
-      else GraftParquet.listPartitionedFiles(path, partCols.map(_._1))
-        .map { case (f, vs) => (f, partCols.map(_._1).zip(vs).toMap) }
-    files.filter { case (f, partVals) =>
+      (if (isTable) GraftParquet.tableFiles(path, partCols.map(_._1))
+       else None).getOrElse {
+        if (partCols.isEmpty)
+          GraftParquet.listFiles(path).map((_, Map.empty[String,
+            Option[String]]))
+        else GraftParquet.listPartitionedFiles(path, partCols.map(_._1))
+          .map { case (f, vs) => (f, partCols.map(_._1).zip(vs).toMap) }
+      }
+    val survivors = files.filter { case (f, partVals) =>
       // two file-level prunes compose: the dir's own partition value
       // (min = max range — numeric, or the exact string bytes) and the
       // manifest's recorded per-column stats — both conservative,
@@ -1768,7 +2324,13 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
             survivesRanges(ranges.get _, _ => None, _ => None, _))
         case None => true // no recorded stats: never prune blind
       })
-    }.flatMap { case (f, partVals) =>
+    }
+    // per-file planning (footer tail + page indexes + blooms) is pure
+    // positional IO with no shared state — run it on a bounded driver
+    // pool, order preserved. At 100 TB a sequential tail sweep over
+    // the surviving files is the planning bottleneck (10k files ≈ 10k
+    // round trips serialized); parallel planning overlaps them.
+    GraftParquet.planPar(survivors) { case (f, partVals) =>
       val footer = ParquetFooter.readTail(f.toPath)
       val plans = GraftParquet.fieldPlans(footer.schema)
       val reqPlans = GraftParquet.reqPlansFor(plans, required,

@@ -652,4 +652,35 @@ class GraftOrcSpec extends AnyFunSuite {
       s"s50 fell back to a data read:\n$d")
     assert(df.collect().length == 1)
   }
+
+  test("PARTITIONED DSv2 write (ORC): partitionBy lands hive " +
+      "col=value dirs with the partition column stripped; Spark's own " +
+      "ORC reader and graftorc both read it back with dir pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-partwrite").toString
+    try {
+      (0 until 4000).map(k => (k.toLong, s"g${k % 3}", k % 2))
+        .toDF("id", "g", "b")
+        .repartition(2, col("b"))
+        .write.format("graftorc").partitionBy("b")
+        .mode("overwrite").save(dir)
+      val dirs = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(dirs == Seq("b=0", "b=1"), dirs.toString)
+      val oneFile = new java.io.File(dir, "b=1").listFiles()
+        .filter(_.getName.endsWith(".orc")).head
+      assert(spark.read.orc(oneFile.getAbsolutePath)
+        .columns.toSeq == Seq("id", "g"))
+      assert(spark.read.orc(dir).count() == 4000)
+      val pruned = spark.read.format("graftorc").load(dir)
+        .filter(col("b") === 0)
+      assert(pruned.count() == 2000)
+      assert(batchScan(pruned).inputPartitions.map(
+        _.asInstanceOf[graft.sources.GraftOrcPartition].path)
+        .forall(_.contains("b=0")))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
 }

@@ -587,8 +587,13 @@ class GraftParquetSpec extends AnyFunSuite {
       val pruned = spark.read.format("graftpq").load(dir)
         .filter("id >= 25000")
       assert(pruned.count() == 5000) // planned without touching them
-      intercept[Exception] { // footer IO on the torn files is loud
-        spark.read.format("graftpq").load(dir).count()
+      // an UNFILTERED count() still answers: the pushed aggregate is
+      // served by the commit log's exact agg-stats manifest, zero
+      // footer OR data IO — torn tails included
+      assert(spark.read.format("graftpq").load(dir).count() == 30000)
+      intercept[Exception] { // data IO on the torn files is loud
+        spark.read.format("graftpq").load(dir)
+          .agg(org.apache.spark.sql.functions.sum("id")).collect()
       }
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(dir))
@@ -1657,5 +1662,406 @@ class GraftParquetSpec extends AnyFunSuite {
         s"wrong failure: ${chain(thrown).mkString(" <- ")}")
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(work))
+  }
+
+  test("streaming a PARTITIONED committed table resolves every file " +
+      "from the log's RELATIVE paths — a poisoned same-name file in a " +
+      "sibling partition dir (what a tree walk would hit first) is " +
+      "never touched, partition values stream as typed columns, and " +
+      "the batch read ignores foreign junk the log never listed") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-streampart").toString
+    val table = s"$work/t"
+    try {
+      def rows(lo: Int, hi: Int) =
+        (lo until hi).map(k => (k.toLong, s"g${k % 3}", 1 + (k % 2)))
+          .toDF("id", "g", "b")
+      Maintenance.commitAppend(spark, table, rows(0, 4000).coalesce(1),
+        partitionBy = Seq("b"))
+      Maintenance.commitAppend(spark, table, rows(4000, 6000).coalesce(1))
+      // the poison: every data file of b=2 gets a GARBAGE twin (same
+      // name) under b=0 — a dir that sorts FIRST, so any resolver that
+      // walks the tree and takes the first name match decodes garbage;
+      // resolution by the log's relative path never enters b=0
+      val b2 = new java.io.File(table, "b=2")
+      val b0 = new java.io.File(table, "b=0")
+      b0.mkdirs()
+      for (f <- b2.listFiles() if f.getName.endsWith(".parquet"))
+        java.nio.file.Files.write(
+          new java.io.File(b0, f.getName).toPath,
+          Array.fill[Byte](256)(0x5a))
+      val out = s"$work/out"
+      val q = spark.readStream.format("graftpq").load(table)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$work/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.parquet(out)
+      assert(got.count() == 6000)
+      assert(got.agg(org.apache.spark.sql.functions.sum("id"))
+        .head.getLong(0) == (0 until 6000).map(_.toLong).sum)
+      // partition values streamed as the TRACKED int type
+      assert(got.schema("b").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      assert(got.select("b").distinct().collect().map(_.getInt(0))
+        .sorted.toSeq == Seq(1, 2))
+      // the batch read lists from the log too: the garbage twins are
+      // invisible, not fatal
+      assert(spark.read.format("graftpq").load(table).count() == 6000)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
+
+  test("a BOOTSTRAPPED table's v0 base streams as the initial " +
+      "snapshot: pre-protocol parquet is emitted once, then the adds") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-streambase").toString
+    val table = s"$work/t"
+    try {
+      // pre-protocol data: plain parquet, no commit log yet
+      (0 until 1000).map(k => (k.toLong, s"g${k % 3}")).toDF("id", "g")
+        .coalesce(1).write.mode("overwrite").parquet(table)
+      new java.io.File(table, "_SUCCESS").delete()
+      // first commit bootstraps: v0 full listing + v1 add
+      Maintenance.commitAppend(spark,
+        table, (1000 until 1500).map(k => (k.toLong, s"g${k % 3}"))
+          .toDF("id", "g").coalesce(1))
+      val out = s"$work/out"
+      val q = spark.readStream.format("graftpq").load(table)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", s"$work/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = spark.read.parquet(out)
+      assert(got.count() == 1500, "the v0 bootstrap base must stream")
+      assert(got.agg(org.apache.spark.sql.functions.sum("id"))
+        .head.getLong(0) == (0 until 1500).map(_.toLong).sum)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
+
+  test("FILE-GRANULAR admission control: maxFilesPerTrigger splits a " +
+      "multi-file version across micro-batches at file boundaries, " +
+      "exactly-once, and maxBytesPerTrigger bounds batches the same " +
+      "way (one oversized file still streams alone)") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-streamsplit").toString
+    val table = s"$work/t"
+    try {
+      // v1: three files, v2: two files
+      Maintenance.commitAppend(spark,
+        table, (0 until 3000).map(k => (k.toLong, s"g${k % 3}"))
+          .toDF("id", "g").repartition(3))
+      Maintenance.commitAppend(spark,
+        table, (3000 until 5000).map(k => (k.toLong, s"g${k % 3}"))
+          .toDF("id", "g").repartition(2))
+      def drain(tag: String, opts: Map[String, String]): Int = {
+        val out = s"$work/out-$tag"
+        val chk = s"$work/chk-$tag"
+        val r = opts.foldLeft(
+          spark.readStream.format("graftpq")) { case (b, (k, v)) =>
+            b.option(k, v) }
+        val q = r.load(table)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .trigger(org.apache.spark.sql.streaming
+            .Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val got = spark.read.parquet(out)
+        assert(got.count() == 5000, s"$tag lost or duplicated rows")
+        assert(got.agg(org.apache.spark.sql.functions.sum("id"))
+          .head.getLong(0) == (0 until 5000).map(_.toLong).sum,
+          s"$tag row content drifted")
+        new java.io.File(s"$chk/offsets").listFiles()
+          .count(!_.getName.endsWith(".tmp"))
+      }
+      // 5 files at ≤2 per trigger: at least 3 batches
+      assert(drain("files", Map("maxFilesPerTrigger" -> "2")) >= 3)
+      // 1-byte cap: every file is oversized, so one file per trigger
+      // (the ≥1-admission rule) — 5 batches, still exactly-once
+      assert(drain("bytes", Map("maxBytesPerTrigger" -> "1")) >= 5)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
+
+  test("APPEND SCHEMA ENFORCEMENT: mode(append) into an existing " +
+      "graftpq directory rejects missing, unknown, and retyped " +
+      "columns loudly; a reordered identical schema appends fine; " +
+      "overwrite replaces the schema wholesale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-appendschema").toString
+    try {
+      (0 until 100).map(k => (k.toLong, s"s$k")).toDF("id", "s")
+        .coalesce(1).write.format("graftpq").mode("overwrite").save(dir)
+      def msgOf(t: Throwable): String = {
+        def chain(x: Throwable): Seq[String] =
+          if (x == null) Nil else Option(x.getMessage).toSeq ++
+            chain(x.getCause)
+        chain(t).mkString(" <- ")
+      }
+      val missing = intercept[Exception] {
+        (0 until 10).map(k => Tuple1(k.toLong)).toDF("id")
+          .write.format("graftpq").mode("append").save(dir)
+      }
+      assert(msgOf(missing).contains("missing columns: s"), msgOf(missing))
+      val extra = intercept[Exception] {
+        (0 until 10).map(k => (k.toLong, s"s$k", k)).toDF("id", "s", "x")
+          .write.format("graftpq").mode("append").save(dir)
+      }
+      assert(msgOf(extra).contains("unknown columns: x"), msgOf(extra))
+      val retyped = intercept[Exception] {
+        (0 until 10).map(k => (k, s"s$k")).toDF("id", "s")
+          .write.format("graftpq").mode("append").save(dir)
+      }
+      assert(msgOf(retyped).contains("'id' is bigint"), msgOf(retyped))
+      // same columns, different order: appends (per-file name
+      // resolution reads both layouts)
+      (100 until 150).map(k => (s"s$k", k.toLong)).toDF("s", "id")
+        .write.format("graftpq").mode("append").save(dir)
+      val all = spark.read.format("graftpq").load(dir)
+      assert(all.count() == 150)
+      assert(all.where("id = 120").select("s").head.getString(0) == "s120")
+      // overwrite may change the schema: it replaces the table
+      (0 until 5).map(k => Tuple1(k)).toDF("only")
+        .write.format("graftpq").mode("overwrite").save(dir)
+      assert(spark.read.format("graftpq").load(dir).columns.toSeq ==
+        Seq("only"))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("SELF-OVERWRITE is safe: overwrite truncates at JOB COMMIT, so " +
+      "a query reading the target directory as its own input consumes " +
+      "the old files before they are deleted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-selfover").toString
+    try {
+      (0 until 1000).map(k => (k.toLong, s"g${k % 3}")).toDF("id", "g")
+        .repartition(2).write.format("graftpq").mode("overwrite")
+        .save(dir)
+      // read → transform → overwrite THE SAME directory (V1 file
+      // sources reject this cycle; deferring the truncate makes it
+      // correct instead)
+      spark.read.format("graftpq").load(dir)
+        .withColumn("id", col("id") + 1000)
+        .write.format("graftpq").mode("overwrite").save(dir)
+      val back = spark.read.format("graftpq").load(dir)
+      assert(back.count() == 1000)
+      assert(back.agg(min("id"), max("id")).head() ==
+        org.apache.spark.sql.Row(1000L, 1999L))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("PARTITIONED DSv2 WRITE: partitionBy lands hive col=value dirs " +
+      "with the partition column stripped from the files; Spark's own " +
+      "reader and graftpq both read it back, graftpq prunes dirs; an " +
+      "append inherits the layout, a conflicting partitionBy rejects") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-partwrite").toString
+    try {
+      val src = (0 until 6000)
+        .map(k => (k.toLong, s"g${k % 3}", k % 4)).toDF("id", "g", "b")
+      src.repartition(2, col("b"))
+        .write.format("graftpq").partitionBy("b")
+        .mode("overwrite").save(dir)
+      // hive layout, partition col stripped from the file leaves
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).sorted.toSeq
+      assert(dirs == Seq("b=0", "b=1", "b=2", "b=3"), dirs.toString)
+      val oneFile = new java.io.File(dir, "b=2").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(spark.read.parquet(oneFile.getAbsolutePath)
+        .columns.toSeq == Seq("id", "g"))
+      // Spark's own source (independent discovery) reads it back whole
+      val viaSpark = spark.read.parquet(dir)
+      assert(viaSpark.count() == 6000)
+      assert(viaSpark.where("b = 3 AND id % 4 = 3").count() == 1500)
+      // graftpq discovery + dir pruning: the b=1 filter plans only
+      // b=1 files
+      val pruned = spark.read.format("graftpq").load(dir)
+        .filter(col("b") === 1)
+      val parts = batchScan(pruned).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition].path)
+      assert(parts.nonEmpty && parts.forall(_.contains("b=1")),
+        parts.mkString(", "))
+      assert(pruned.count() == 1500)
+      // append WITHOUT partitionBy inherits the recorded layout
+      Seq((9000L, "gX", 1)).toDF("id", "g", "b")
+        .write.format("graftpq").mode("append").save(dir)
+      assert(spark.read.format("graftpq").load(dir)
+        .where("id = 9000").select("b").head.getInt(0) == 1)
+      // a CONFLICTING declaration rejects
+      val bad = intercept[Exception] {
+        Seq((9001L, "gY", 2)).toDF("id", "g", "b")
+          .write.format("graftpq").partitionBy("g")
+          .mode("append").save(dir)
+      }
+      def chain(x: Throwable): Seq[String] =
+        if (x == null) Nil else Option(x.getMessage).toSeq ++
+          chain(x.getCause)
+      assert(chain(bad).mkString.contains("partitioned by"),
+        chain(bad).mkString(" <- "))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("partition VALUES round-trip the writer's escaping: nulls land " +
+      "as __HIVE_DEFAULT_PARTITION__, path-hostile characters as %XX " +
+      "— and graftpq reads back the exact original values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-partescape").toString
+    try {
+      Seq((1L, Some("a/b")), (2L, Some("x=1")), (3L, None),
+        (4L, Some("plain")))
+        .toDF("id", "k")
+        .write.format("graftpq").partitionBy("k")
+        .mode("overwrite").save(dir)
+      val names = new java.io.File(dir).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(names.contains("k=a%2Fb") && names.contains("k=x%3D1") &&
+        names.contains("k=__HIVE_DEFAULT_PARTITION__"),
+        names.toString)
+      val back = spark.read.format("graftpq").load(dir)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(back == Map(1L -> "a/b", 2L -> "x=1", 3L -> null,
+        4L -> "plain"))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("MANIFEST-SERVED pushed aggregates: a committed table answers " +
+      "COUNT/MIN/MAX (grouped by partition dirs) from the commit " +
+      "log's exact agg-stats manifest with ZERO file IO — every data " +
+      "file is poisoned WHOLE, footers included, and the aggregate " +
+      "still answers; a data read fails loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-aggmanifest").toString
+    try {
+      def part(lo: Int, hi: Int) = (lo until hi).map { k =>
+        (k.toLong, if (k % 7 == 0) None else Some(k * 3L), k % 3)
+      }.toDF("id", "opt", "b")
+      Maintenance.commitAppend(spark, dir, part(0, 9000).coalesce(1),
+        partitionBy = Seq("b"))
+      Maintenance.commitAppend(spark, dir, part(9000, 12000).coalesce(1))
+      val want = Maintenance.readTable(spark, dir).groupBy("b")
+        .agg(count(lit(1)).as("n"), count(col("opt")).as("no"),
+          min(col("id")).as("mn"), max(col("id")).as("mx"))
+        .orderBy("b").collect().toSeq
+      // poison EVERY byte of EVERY data file: no footer tail, no
+      // magic, nothing — only the commit log's metadata survives
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).getOrElse(Array.empty)
+        kids.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .toSeq ++ kids.filter(f => f.isDirectory &&
+            !f.getName.startsWith("_")).flatMap(walk)
+      }
+      val victims = walk(new java.io.File(dir))
+      assert(victims.nonEmpty)
+      for (f <- victims)
+        java.nio.file.Files.write(f.toPath,
+          Array.fill[Byte](f.length().toInt)(0x5a))
+      val df = spark.read.format("graftpq").load(dir).groupBy("b")
+        .agg(count(lit(1)).as("n"), count(col("opt")).as("no"),
+          min(col("id")).as("mn"), max(col("id")).as("mx"))
+        .orderBy("b")
+      val scan = batchScan(df).scan
+      assert(scan.description().contains("PushedAggregation"),
+        s"aggregation not pushed:\n${scan.description()}")
+      assert(df.collect().toSeq == want)
+      // global count too — and the all-null-possible count(opt) stays
+      // exact through the recorded null counts
+      assert(spark.read.format("graftpq").load(dir).count() == 12000)
+      // the poison is real: anything touching a file dies
+      intercept[Exception] {
+        spark.read.format("graftpq").load(dir)
+          .agg(sum("id")).collect()
+      }
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("STRING MIN/MAX pushes only behind the exact-writer gate: the " +
+      "engine's own files (created_by-signed, stats never truncated) " +
+      "answer min/max(string) from chunk stats; a foreign-written " +
+      "directory refuses the push") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-aggstring").toString
+    try {
+      val src = (0 until 20000).map { k =>
+        (k.toLong, s"ev_${"%03d".format(k % 37)}")
+      }.toDF("id", "s")
+      val ours = s"$work/ours"
+      graft.operators.ParquetWrite.writeDataFrame(
+        src.coalesce(2), ours, codec = 1, rowGroupRows = 4096,
+        pageRows = 1024)
+      val foreign = s"$work/foreign"
+      src.coalesce(2).write.mode("overwrite").parquet(foreign)
+      val want = src.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+        .collect().toSeq
+      val df = spark.read.format("graftpq").load(ours)
+        .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      assert(batchScan(df).scan.description()
+        .contains("PushedAggregation"),
+        s"string extremes not pushed on our files:\n" +
+          batchScan(df).scan.description())
+      assert(df.collect().toSeq == want)
+      // foreign writer: no exactness proof, no push — values still
+      // correct through the data read
+      val fdf = spark.read.format("graftpq").load(foreign)
+        .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      assert(!batchScan(fdf).scan.description()
+        .contains("PushedAggregation"),
+        "string extremes must not push on foreign files")
+      assert(fdf.collect().toSeq == want)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
+
+  test("a pushed GROUP BY over only zero-row files plans ZERO " +
+      "partitions (empty result), not a planner crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-aggempty").toString
+    try {
+      // a hive layout whose single file has zero rows
+      val tmp = s"$dir/seed"
+      spark.emptyDataset[(Long, String)].toDF("id", "s")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val pdir = new java.io.File(dir, "b=1")
+      pdir.mkdirs()
+      val seed = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(seed.toPath,
+        new java.io.File(pdir, seed.getName).toPath)
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(tmp))
+      val df = spark.read.format("graftpq").load(dir)
+        .groupBy("b").count()
+      assert(batchScan(df).scan.description()
+        .contains("PushedAggregation"))
+      assert(df.collect().isEmpty) // SQL: no rows, no groups
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
   }
 }
