@@ -643,12 +643,16 @@ object Bench {
     // history-keyed drift trigger (r18): a wall above 1.5× the query's
     // own minimum validated wall across prior records gets the recheck
     // chance even when a high family median hides it (the r17
-    // dd_minhash_lsh escape: 7.8 s recorded over a 3.7 s floor)
+    // dd_minhash_lsh escape: 7.8 s recorded over a 3.7 s floor).
+    // Capped at the 8 worst drifters — exactly one extra recheck fork
+    // — so stale floors (an operator that legitimately grew richer)
+    // cannot burn the budget validating every round; the worst
+    // offenders always get their chance first
     val driftCandidates: Seq[String] = results.collect {
       case r if r.outcome.isRight && r.wall > 1.0 &&
         floors.get(r.name).exists(f => f >= 0.05 && r.wall > 1.5 * f) =>
-        r.name
-    }
+        (r.name, r.wall / floors(r.name))
+    }.sortBy(-_._2).take(8).map(_._1)
     val candidates: Seq[String] =
       (medianCandidates ++ driftCandidates).distinct
     val recheck: Map[String, (Double, Double)] =

@@ -85,5 +85,7 @@ object SparkEntry {
     Sources.ensureDppDimFixture(spark)
     Sources.ensureHivePqFixture(spark, sfDir)
     Sources.ensureHiveOrcFixture(spark, sfDir)
+    Sources.ensurePartWritePqFixture(spark, sfDir)
+    Sources.ensureAggTableFixture(spark, sfDir)
   }
 }

@@ -918,6 +918,117 @@ object Maintenance {
     } finally deleteRecursively(new java.io.File(stage))
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming SINK support: idempotent transaction markers (Delta's
+  // txn appId/version mechanism) plus a commit path for files a
+  // streaming epoch already staged. `_graft_log/streamtxn/<appId>.txt`
+  // records the last committed epoch per writing query; a replayed
+  // epoch (Structured Streaming re-delivers after failure) commits
+  // NOTHING the second time — the exactly-once half the file-rename
+  // sink cannot give.
+
+  def streamTxnPath(tablePath: String, appId: String): String = {
+    require(appId.matches("[A-Za-z0-9_-]+"),
+      s"stream txn appId '$appId' is not path-safe")
+    s"$tablePath/_graft_log/streamtxn/$appId.txt"
+  }
+
+  def readStreamTxn(tablePath: String, appId: String): Option[Long] = {
+    val p = Paths.get(streamTxnPath(tablePath, appId))
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** Commit files a streaming epoch ALREADY STAGED (visible
+    * `*.parquet` under `stage`, partition subdirs preserved) as one
+    * append version — the sink half of the commit protocol, sharing
+    * commitAppend's lock-held tail: schema merge + enforcement,
+    * version-unique renames, live registry, add-delta snapshot,
+    * pruning stats AND the exact agg-stats manifest, so a table fed by
+    * the streaming sink plans/aggregates exactly like a batch-built
+    * one (and the version-tailing SOURCE can follow it downstream).
+    *
+    * Returns Some(version), or None when `txn` shows the epoch was
+    * already committed (replay after a failure — the stage is
+    * discarded) or the stage held no files (an empty epoch records the
+    * txn watermark but never writes an empty version).
+    *
+    * Tables with declared CONSTRAINTS, GENERATED or IDENTITY columns
+    * reject loudly: those validations run Spark jobs over the staged
+    * data, which a sink's epoch commit (driver-side, inside the
+    * stream's commit path) must not do. Use foreachBatch +
+    * commitAppend when those table features are in play.
+    */
+  def commitStagedAppend(spark: SparkSession, tablePath: String,
+      stage: String, schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String], txn: (String, Long)): Option[Long] = {
+    try {
+      require(readConstraints(tablePath).isEmpty &&
+          readGenerated(tablePath).isEmpty &&
+          readIdentity(tablePath).isEmpty,
+        s"$tablePath declares constraints/generated/identity columns " +
+          "— the streaming sink cannot validate them per-epoch; use " +
+          "foreachBatch with commitAppend")
+      val recorded = readPartitioning(tablePath)
+      require(partitionBy.isEmpty || recorded.isEmpty ||
+          partitionBy == recorded,
+        s"$tablePath is partitioned by $recorded; the stream declared " +
+          s"$partitionBy")
+      val staged = listParquetFiles(new java.io.File(stage))
+      withCommitLock(tablePath, timeoutMs = 600000L) {
+        val (appId, epoch) = txn
+        if (readStreamTxn(tablePath, appId).exists(_ >= epoch))
+          None // replayed epoch: already committed, discard the stage
+        else {
+        Files.createDirectories(Paths.get(tablePath))
+        Files.createDirectories(Paths.get(tablePath, "_graft_log"))
+        if (readTableSchema(tablePath).isEmpty &&
+            listParquetFiles(new java.io.File(tablePath)).nonEmpty)
+          mergeAndWriteSchema(tablePath,
+            spark.read.parquet(tablePath).schema)
+        mergeAndWriteSchema(tablePath, schema)
+        val partCols =
+          if (partitionBy.nonEmpty) partitionBy else recorded
+        if (partCols.nonEmpty && recorded.isEmpty)
+          Files.writeString(Paths.get(partitioningPath(tablePath)),
+            partCols.mkString("", "\n", "\n"))
+        val committedV: Option[Long] =
+          if (staged.isEmpty) None
+          else {
+            val v = readVersion(tablePath) + 1
+            val committed = moveStagedIn(tablePath, stage, "stream", v)
+            val reg = Paths.get(liveFilesPath(tablePath))
+            val root = Paths.get(tablePath)
+            if (Files.exists(reg))
+              Files.writeString(reg,
+                committed.map(p => root.relativize(p).toString)
+                  .mkString("", "\n", "\n"),
+                java.nio.file.StandardOpenOption.APPEND)
+            val committedRel =
+              committed.map(p => root.relativize(p).toString)
+            if (readSnapshot(tablePath, v - 1).isEmpty) {
+              val bootstrap = listParquetFiles(new java.io.File(tablePath))
+                .map(f => root.relativize(f.toPath).toString)
+                .filterNot(committedRel.contains)
+              if (bootstrap.nonEmpty)
+                writeFileList(snapshotFullPath(tablePath, v - 1),
+                  bootstrap)
+            }
+            writeFileList(snapshotAddPath(tablePath, v), committedRel)
+            writeFileStats(tablePath,
+              footerStats(spark, committed.map(_.toFile)) ++
+                partitionStats(tablePath, committed), append = true)
+            appendAggStats(tablePath, committed)
+            writeVersion(tablePath, v)
+            Some(v)
+          }
+        writeAtomic(Paths.get(streamTxnPath(tablePath, appId)),
+          epoch.toString + "\n")
+        committedV
+        }
+      }
+    } finally deleteRecursively(new java.io.File(stage))
+  }
+
   /** Streaming reads of a committed table — the engine analogue of using a
     * Delta table as a streaming SOURCE (`spark.readStream.format("delta")`;
     * the reference's silver hop streams from its bronze Delta table,

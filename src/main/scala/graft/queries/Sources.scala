@@ -2706,6 +2706,106 @@ object Sources {
       |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // S60: TOP-N pushdown — `ORDER BY event_id DESC LIMIT 25` over the
+  // id-sorted fixture plans a HANDFUL of row groups (group dominance
+  // from chunk stats: k rows provably ranking strictly before a
+  // group's every row drop it), where a plain scan would read all of
+  // them and feed a cluster-wide sort; Spark's TakeOrderedAndProject
+  // above still re-sorts the superset, so the answer is exact.
+  private def s60PqTopn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureAggPqFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .select(col("event_id"), col("event_type"), col("cents"))
+      .orderBy(col("event_id").desc)
+      .limit(25)
+  }
+
+  private val s60PqTopnSql =
+    """SELECT event_id, event_type,
+      |  CAST(round(value*100) AS BIGINT) AS cents
+      |FROM events ORDER BY event_id DESC LIMIT 25""".stripMargin
+
+  // S61: the ORC twin of s60 — ORDER BY event_id ASC LIMIT 25 over
+  // sorted stripes plans only the head stripe via the same shared
+  // dominance pass, exact IntegerStatistics standing in for chunk
+  // stats.
+  private def s61OrcTopn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureSortedOrcFixture(s, dir)
+    s.read.format("graftorc").load(tmp)
+      .select(col("event_id"), col("event_type"), col("cents"))
+      .orderBy(col("event_id"))
+      .limit(25)
+  }
+
+  private val s61OrcTopnSql =
+    """SELECT event_id, event_type,
+      |  CAST(round(value*100) AS BIGINT) AS cents
+      |FROM events ORDER BY event_id ASC LIMIT 25""".stripMargin
+
+  // S62: the STREAMING SINK closes the loop — a committed source table
+  // tails out through the graftpq streaming SOURCE and lands in a NEW
+  // committed table through the graftpq streaming SINK (per-epoch
+  // commit-protocol versions, exactly-once via txn markers), entirely
+  // inside the engine's data plane; the oracle recomputes the
+  // aggregate over the original events.
+  private def s62PqStreamSink(s: SparkSession, dir: String): DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqsink-${java.util.UUID.randomUUID()}").getAbsolutePath
+    val src = s"$work/src"
+    val sink = s"$work/sink"
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.operators.Maintenance.commitAppend(s, src,
+      ev.filter(col("event_id") % 2 === 0).repartition(2))
+    graft.operators.Maintenance.commitAppend(s, src,
+      ev.filter(col("event_id") % 2 === 1).repartition(2))
+    val q = s.readStream.format("graftpq").load(src)
+      .writeStream.format("graftpq")
+      .option("path", sink)
+      .option("checkpointLocation", s"$work/_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val fed = graft.operators.Maintenance.readTable(s, sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+    graft.streaming.WorkDirs.materializeAndClean(fed, work)
+  }
+
+  // S63: CONSUMED partition predicates compose with the aggregate
+  // pushdown — `WHERE bucket = 2` is row-exact (a col=value dir IS the
+  // value of every row in it), so the scan consumes it, no post-scan
+  // Filter survives, and COUNT/COUNT(col)/MIN/MAX over the surviving
+  // partition answer from the commit log's manifest with zero file IO
+  // — the classic 100 TB ops query (`count(*) WHERE date = X`) as one
+  // metadata read.
+  private def s63PqPartFilterAgg(s: SparkSession, dir: String)
+      : DataFrame = {
+    val tmp = ensureAggTableFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .where(col("bucket") === 2)
+      .agg(count(lit(1)).as("n"),
+        count(col("opt")).as("n_opt"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+  }
+
+  private val s63PqPartFilterAggSql =
+    """SELECT count(*) AS n,
+      |  count(CASE WHEN event_id % 9 = 0 THEN NULL ELSE user_id END)
+      |    AS n_opt,
+      |  min(event_id) AS min_id, max(event_id) AS max_id,
+      |  min(CAST(round(value*100) AS BIGINT)) AS min_cents,
+      |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
+      |FROM events WHERE user_id % 4 = 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -2759,7 +2859,11 @@ object Sources {
     "s56_pq_stream_part" -> s56PqStreamPart _,
     "s57_pq_part_write" -> s57PqPartWrite _,
     "s58_pq_agg_string" -> s58PqAggString _,
-    "s59_pq_agg_commit" -> s59PqAggCommit _
+    "s59_pq_agg_commit" -> s59PqAggCommit _,
+    "s60_pq_topn" -> s60PqTopn _,
+    "s61_orc_topn" -> s61OrcTopn _,
+    "s62_pq_stream_sink" -> s62PqStreamSink _,
+    "s63_pq_part_filter_agg" -> s63PqPartFilterAgg _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2815,6 +2919,10 @@ object Sources {
     "s56_pq_stream_part" -> s56PqStreamPartSql,
     "s57_pq_part_write" -> s57PqPartWriteSql,
     "s58_pq_agg_string" -> s58PqAggStringSql,
-    "s59_pq_agg_commit" -> s59PqAggCommitSql
+    "s59_pq_agg_commit" -> s59PqAggCommitSql,
+    "s60_pq_topn" -> s60PqTopnSql,
+    "s61_orc_topn" -> s61OrcTopnSql,
+    "s62_pq_stream_sink" -> sV2WriteSql, // full-loop stream, same agg
+    "s63_pq_part_filter_agg" -> s63PqPartFilterAggSql
   )
 }

@@ -380,18 +380,64 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
     path: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var consumed: Array[Filter] = Array.empty
   private var aggPlan: Option[GraftParquet.PqPushedAgg] = None
   private var limit: Int = -1
+  private var topn: Option[GraftParquet.PqTopN] = None
+
+  private lazy val partTypeB: Map[String, DataType] =
+    GraftOrc.partitionColsOf(path).toMap
+
+  /** Every pushed filter is a consumed (row-exact) partition
+    * predicate — see the graftpq twin.
+    */
+  private def allConsumed: Boolean = pushed.forall(consumed.contains)
+
+  /** TOP-N pushdown, the graftpq twin over STRIPE statistics: a
+    * stripe is dropped when other stripes' exact IntegerStatistics /
+    * DateStatistics prove k rows rank strictly before its every row
+    * (see [[GraftParquet.topNKeep]]). Int-backed keys only — ORC
+    * timestamp stats are milli-truncated (not exact) and float/string
+    * share the parquet-side hazards; refused under pushed filters.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limitN: Int): Boolean = {
+    if (!allConsumed || orders.length != 1 || limitN <= 0)
+      return false
+    val o = orders(0)
+    val colName = o.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    colName match {
+      case Some(c) if fullSchema.fields.find(_.name == c)
+          .exists(_.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+              DateType => true
+            case _ => false
+          }) =>
+        topn = Some(GraftParquet.PqTopN(c,
+          o.direction() == org.apache.spark.sql.connector.expressions
+            .SortDirection.ASCENDING,
+          o.nullOrdering() == org.apache.spark.sql.connector.expressions
+            .NullOrdering.NULLS_FIRST, limitN))
+        true
+      case _ => false
+    }
+  }
 
   /** LIMIT caps PLANNING (leading stripes covering the limit) —
     * partial push, unfiltered scans only; see the graftpq twin.
     */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.nonEmpty) false
+    if (!allConsumed) false
     else { limit = n; true }
   }
   override def isPartiallyPushed(): Boolean = true
@@ -431,7 +477,15 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
     // temporal literals normalize to days/micros — the units the
     // parsed DateStatistics/TimestampStatistics ranges carry
     pushed = filters.filter(prunable).map(GraftParquet.normTemporal)
-    filters
+    // row-exact partition predicates are CONSUMED — see the graftpq
+    // twin: applied file-in-or-file-out at planning, removed from
+    // Spark's re-evaluation, re-arming agg push and the planning caps
+    val (exact, residual) = filters.partition(f =>
+      GraftParquet.partitionExact(GraftParquet.normTemporal(f),
+        partTypeB))
+    consumed = exact.map(GraftParquet.normTemporal)
+    pushed = (pushed ++ consumed).distinct
+    residual
   }
 
   private def numericCol(name: String): Boolean =
@@ -459,6 +513,8 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
     * zero-data-IO scan.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // flat dirs only (the ORC agg planner has no partition-group
+    // tier), so any pushed predicate — consumed included — refuses
     if (pushed.nonEmpty) return false
     aggPlan = GraftOrc.planAggregation(aggregation, path)
     aggPlan.isDefined
@@ -467,7 +523,8 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
   override def build(): Scan = aggPlan match {
     case Some(p) => new GraftPqAggScan(p, path, fmt = "graftorc")
     case None =>
-      new GraftOrcScan(fullSchema, required, pushed, path, limit)
+      new GraftOrcScan(fullSchema, required, pushed, path, limit, topn,
+        consumed)
   }
 }
 
@@ -486,7 +543,9 @@ final case class GraftOrcPartition(path: String, stripe: OrcStripe,
 
 private[sources] class GraftOrcScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String,
-    limit: Int = -1)
+    limit: Int = -1,
+    topn: Option[GraftParquet.PqTopN] = None,
+    consumed: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
 
@@ -501,6 +560,12 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
     */
   private var runtime: Array[Filter] = Array.empty
   private def filters: Array[Filter] = pushed ++ runtime
+
+  /** Everything but the row-exact consumed partition predicates —
+    * the planning caps stay armed while this is empty (graftpq twin).
+    */
+  private def inexactFilters: Array[Filter] =
+    pushed.filterNot(consumed.contains) ++ runtime
 
   @transient @volatile private var cached: Array[InputPartition] = null
 
@@ -566,7 +631,12 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
 
   override def description(): String =
     s"graftorc $path PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ConsumedPartitionFilters: [${consumed.mkString(", ")}], " +
       s"RuntimeFilters: [${runtime.mkString(", ")}], " +
+      topn.map(t => s"PushedTopN: ORDER BY ${t.col} " +
+        s"${if (t.asc) "ASC" else "DESC"} " +
+        s"${if (t.nullsFirst) "NULLS FIRST" else "NULLS LAST"} " +
+        s"LIMIT ${t.k}, ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
 
   /** Driver-side planning from file tails only. A stripe is planned
@@ -591,7 +661,7 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
     */
   private def capToLimit(all: Array[InputPartition])
       : Array[InputPartition] = {
-    if (limit < 0 || filters.nonEmpty) return all
+    if (limit < 0 || inexactFilters.nonEmpty) return all
     var acc = 0L
     var k = 0
     while (k < all.length && acc < limit) {
@@ -612,12 +682,19 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       else GraftParquet
         .listPartitionedFiles(path, partCols.map(_._1), ".orc")
         .map { case (f, vs) => (f, partCols.map(_._1).zip(vs).toMap) }
+    // consumed partition predicates apply EXACTLY, file-in-or-file-out
+    val filesExact = files.filter { case (_, pv) =>
+      consumed.forall(GraftParquet.evalPartitionExact(_, partColTypes,
+        pv))
+    }
     // per-file plan reads (postscript + footer + Metadata + stripe
     // indexes) are independent positional IO — overlap them on the
     // bounded planning pool, order preserved (same rationale as the
     // parquet side: a sequential tail sweep is the driver's planning
-    // bottleneck at 100 TB)
-    GraftParquet.planPar(files) { case (f, partVals) =>
+    // bottleneck at 100 TB). Each emitted stripe pairs with its TOP-N
+    // dominance stats (rows, nulls, normalized bounds) when a top-n
+    // is pushed — folded globally after the sweep.
+    val pairs = GraftParquet.planPar(filesExact) { case (f, partVals) =>
       // dir values hold for EVERY row of the file: a disproven filter
       // drops it before any IO (numeric/date ranges are min = max, a
       // string value is its own bounds, None = all-null)
@@ -634,7 +711,8 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
               hasNull = Some(false))
         }
       if (!pushed.forall(survivesStat(partStat, _)))
-        Seq.empty[InputPartition]
+        Seq.empty[(InputPartition,
+          (Long, Option[Long], Option[(Long, Long)]))]
       else {
       val partSpec: Seq[(String, DataType, Option[String])] =
         required.fields.toSeq.collect {
@@ -655,11 +733,30 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
         if (!useIx) null
         else java.nio.channels.FileChannel.open(f.toPath,
           java.nio.file.StandardOpenOption.READ)
+      // TOP-N dominance material for one stripe: rows, known nulls
+      // (numberOfValues counts non-null), exact IntegerStatistics /
+      // DateStatistics bounds normalized to the rank domain
+      def tnStat(stripe: OrcStripe, i: Int)
+          : (Long, Option[Long], Option[(Long, Long)]) = topn match {
+        case Some(t) =>
+          val st = for {
+            id <- idByName.get(t.col)
+            sts <- plan.stripeStats.lift(i)
+            s <- sts.lift(id)
+          } yield s
+          val nulls = st.flatMap(_.nonNull).map(nn => stripe.rows - nn)
+          val bounds = for {
+            s <- st; a <- s.minL; b <- s.maxL
+            if a != Long.MinValue && b != Long.MinValue // DESC negate
+          } yield if (t.asc) (a, b) else (-b, -a)
+          (stripe.rows, nulls, bounds)
+        case None => (0L, None, None)
+      }
       try {
         plan.meta.stripes.zipWithIndex.iterator.filter { case (_, i) =>
           val stats = plan.stripeStats.lift(i).getOrElse(Nil)
           pushed.forall(survives(stats, idByName, _))
-        }.flatMap { case (stripe, _) =>
+        }.flatMap { case (stripe, si) =>
           val range: Option[(Int, Int)] =
             if (!useIx || stripe.indexLength == 0) Some((0, Int.MaxValue))
             else {
@@ -724,17 +821,26 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
               else Some((alive.head, alive.last + 1))
             }
           range.map { case (g0, g1) =>
-            GraftOrcPartition(f.getAbsolutePath, stripe,
+            (GraftOrcPartition(f.getAbsolutePath, stripe,
               plan.meta.compression, plan.meta.blockSize,
               plan.meta.types, colIds, stride,
               if (g0 == 0 && g1 == Int.MaxValue) None
               else Some((g0, g1)),
-              partSpec)
+              partSpec): InputPartition, tnStat(stripe, si))
           }
         }.toVector
       } finally if (ch != null) ch.close()
       }
-    }.toArray
+    }
+    topn match {
+      case Some(t) if inexactFilters.isEmpty =>
+        GraftParquet.topNKeep(t, pairs.map(_._2)) match {
+          case Some(keep) => pairs.map(_._1).zip(keep)
+            .collect { case (p, true) => p }.toArray
+          case None => pairs.map(_._1).toArray
+        }
+      case _ => pairs.map(_._1).toArray
+    }
   }
 
   /** False only when the stripe's stats PROVE the filter matches no

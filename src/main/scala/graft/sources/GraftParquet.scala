@@ -665,6 +665,139 @@ object GraftParquet {
     } finally pool.shutdownNow()
   }
 
+  // ---------------------------------------------------------------
+  // ROW-EXACT partition predicates. A hive `col=value` dir is not a
+  // statistic — it is the value of every row in the file — so
+  // equality-shaped predicates on partition columns can be CONSUMED
+  // by the scan (removed from Spark's post-scan re-evaluation)
+  // provided the scan applies them EXACTLY, file-in-or-file-out.
+  // Consuming them is what lets aggregate pushdown compose with
+  // partition predicates (`count(*) WHERE bucket = 2` answers from
+  // metadata — Spark only attempts the agg push when no post-scan
+  // filter remains) and re-arms the LIMIT/TOP-N planning caps (every
+  // surviving row provably matches). Comparisons stay typed: the
+  // literal and the parsed dir value meet in the same internal
+  // representation, never via string forms (a foreign writer's "02"
+  // dir still equals the literal 2).
+
+  /** The pushed literal in the partition column's INTERNAL form —
+    * None when the literal's runtime type does not match the column
+    * (the filter then stays residual; never consumed on a guess).
+    * [[normTemporal]] must have run first (dates arrive as day ints).
+    */
+  private def partLiteral(dt: DataType, v: Any): Option[Any] =
+    (dt, v) match {
+      case (StringType, s: String) => Some(UTF8String.fromString(s))
+      case (IntegerType | DateType, i: java.lang.Integer) => Some(i)
+      case (LongType, l: java.lang.Long) => Some(l)
+      case (ShortType, s: java.lang.Short) => Some(s)
+      case (ByteType, b: java.lang.Byte) => Some(b)
+      case (DoubleType, d: java.lang.Double) => Some(d)
+      case (FloatType, f: java.lang.Float) => Some(f)
+      case _ => None
+    }
+
+  /** True when the (temporal-normalized) filter is an exactly-
+    * consumable partition predicate: equality / IN / null tests on a
+    * partition column with type-matched literals.
+    */
+  private[sources] def partitionExact(f: Filter,
+      partType: Map[String, DataType]): Boolean = f match {
+    case EqualTo(c, v) => v != null &&
+      partType.get(c).exists(partLiteral(_, v).isDefined)
+    case EqualNullSafe(c, null) => partType.contains(c)
+    case EqualNullSafe(c, v) =>
+      partType.get(c).exists(partLiteral(_, v).isDefined)
+    case In(c, vs) => vs != null && partType.get(c).exists(dt =>
+      vs.forall(v => v == null || partLiteral(dt, v).isDefined))
+    case IsNull(c) => partType.contains(c)
+    case IsNotNull(c) => partType.contains(c)
+    case _ => false
+  }
+
+  /** Exact evaluation of a consumed partition predicate against one
+    * file's dir values — the SQL three-valued semantics collapsed to
+    * the boolean a WHERE clause keeps: a null partition value matches
+    * only IS NULL / null-safe-equals-null.
+    */
+  private[sources] def evalPartitionExact(f: Filter,
+      partType: Map[String, DataType],
+      partVals: Map[String, Option[String]]): Boolean = {
+    def value(c: String): Option[Any] =
+      partVals.get(c).flatten
+        .map(raw => partitionValue(partType(c), Some(raw)))
+    f match {
+      case EqualTo(c, v) =>
+        value(c).exists(pv => partLiteral(partType(c), v).contains(pv))
+      case EqualNullSafe(c, null) => partVals.get(c).exists(_.isEmpty)
+      case EqualNullSafe(c, v) =>
+        value(c).exists(pv => partLiteral(partType(c), v).contains(pv))
+      case In(c, vs) => value(c).exists(pv =>
+        vs.exists(m => m != null &&
+          partLiteral(partType(c), m).contains(pv)))
+      case IsNull(c) => partVals.get(c).exists(_.isEmpty)
+      case IsNotNull(c) => partVals.get(c).exists(_.isDefined)
+      case _ => true // never consumed: unreachable by construction
+    }
+  }
+
+  /** A pushed `ORDER BY col LIMIT k`, normalized: `asc`/`nullsFirst`
+    * from the single SortOrder.
+    */
+  private[sources] final case class PqTopN(col: String, asc: Boolean,
+      nullsFirst: Boolean, k: Int)
+
+  /** The TOP-N group-dominance pass, shared by both formats. Each
+    * group is (rows, known null count, rank-domain bounds) — bounds
+    * already normalized so dominance is always `hi < lo` (DESC callers
+    * negate). A group is dropped when at least k rows PROVABLY rank
+    * STRICTLY before its every row; strictness keeps ties, so
+    * equal-valued groups never eliminate each other, and soundness
+    * follows by induction down the rank order (a dropped dominator's
+    * own dominators rank even earlier; a group with no strict
+    * dominator is always kept). Under NULLS FIRST a group that may
+    * hold a null is kept (nulls tie with nulls) and every known null
+    * counts as a dominator; under NULLS LAST only non-null rows
+    * dominate (they also outrank a dropped group's trailing nulls).
+    * Groups with missing stats are kept and contribute nothing.
+    * Returns None when nothing prunes.
+    */
+  private[sources] def topNKeep(t: PqTopN,
+      gs: Seq[(Long, Option[Long], Option[(Long, Long)])])
+      : Option[Array[Boolean]] = {
+    // non-null row counts, prefix-summed in hi order, so "rows ranked
+    // strictly before lo(g)" is one binary search
+    val known = gs.collect {
+      case (rows, Some(nulls), Some((_, hi))) => (rows - nulls, hi)
+    }.sortBy(_._2)
+    val hiArr = known.map(_._2).toArray
+    val pref = known.scanLeft(0L)(_ + _._1).toArray
+    def nonnullBefore(x: Long): Long = {
+      var lo = 0
+      var hi = hiArr.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (hiArr(m) < x) lo = m + 1 else hi = m
+      }
+      pref(lo)
+    }
+    val totalNulls = gs.flatMap(_._2).sum
+    val keep: Array[Boolean] = gs.map {
+      case (_, nullsOpt, boundsOpt) =>
+        (nullsOpt, boundsOpt) match {
+          case (Some(nulls), Some((lo, _))) =>
+            if (t.nullsFirst && nulls > 0) true
+            else {
+              val dom = nonnullBefore(lo) +
+                (if (t.nullsFirst) totalNulls - nulls else 0L)
+              dom < t.k
+            }
+          case _ => true
+        }
+    }.toArray
+    if (keep.forall(identity)) None else Some(keep)
+  }
+
   /** One schema element with its parsed children — the footer's
     * depth-first list made a tree, what the plan builders match on.
     */
@@ -1032,8 +1165,8 @@ object GraftParquet {
     * engine's, string MIN/MAX answer exactly from chunk stats (the
     * per-file sweep re-checks each footer, not just the head).
     */
-  private[sources] def planAggregation(agg: Aggregation, path: String)
-      : Option[PqPushedAgg] = {
+  private[sources] def planAggregation(agg: Aggregation, path: String,
+      consumed: Array[Filter] = Array.empty): Option[PqPushedAgg] = {
     val isTable =
       new java.io.File(path, "_graft_log/version").exists()
     if (isTable &&
@@ -1047,6 +1180,12 @@ object GraftParquet {
     val groups = groupsOpt.flatten
     if (!groups.forall(partNames.contains)) return None
 
+    // consumed partition predicates apply EXACTLY (WHERE before GROUP
+    // BY: dropped files contribute to no group, and a global
+    // aggregate over zero surviving files still answers count 0)
+    def keepByConsumed(partVals: Map[String, Option[String]]): Boolean =
+      consumed.forall(evalPartitionExact(_, partType, partVals))
+
     // manifest tier: a committed table whose exact agg-stats manifest
     // covers every live file never opens a file
     if (isTable) {
@@ -1054,7 +1193,12 @@ object GraftParquet {
       val man = graft.operators.Maintenance.readAggStats(path)
       rels match {
         case Some(rs) if rs.nonEmpty && rs.forall(man.contains) =>
-          return planAggFromManifest(agg, partCols, groups, rs, man)
+          val kept = rs.filter(rel => keepByConsumed(
+            if (partNames.isEmpty) Map.empty
+            else partValsFromRel(rel, partNames)))
+          if (kept.nonEmpty)
+            return planAggFromManifest(agg, partCols, groups, kept, man)
+          // zero surviving files: the empty-answer shaping below
         case _ => () // incomplete coverage: footer tier below
       }
     }
@@ -1065,8 +1209,31 @@ object GraftParquet {
           listFiles(path).map((_, Map.empty[String, Option[String]]))
         else listPartitionedFiles(path, partNames)
           .map { case (f, vs) => (f, partNames.zip(vs).toMap) }
+      }.filter { case (_, pv) => keepByConsumed(pv) }
+    if (files.isEmpty) {
+      // nothing survives a consumed predicate: zero partial rows are
+      // the EXACT answer (the final Aggregate emits count-0/null for
+      // a global agg, no groups for GROUP BY) — but only when every
+      // output type is derivable without a footer (counts are Long,
+      // partition extremes are tracked; a data-leaf MIN/MAX falls
+      // back to the regular zero-partition scan)
+      if (consumed.isEmpty) return None
+      val specsOpt = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(PqAggSpec(PqCountStar, "count(*)", LongType))
+        case c: Count if !c.isDistinct =>
+          aggRef(c.column())
+            .map(n => PqAggSpec(PqCountCol(n), s"count($n)", LongType))
+        case m: Min => for { n <- aggRef(m.column())
+          dt <- partType.get(n) } yield PqAggSpec(PqMin(n), s"min($n)", dt)
+        case m: Max => for { n <- aggRef(m.column())
+          dt <- partType.get(n) } yield PqAggSpec(PqMax(n), s"max($n)", dt)
+        case _ => None
       }
-    if (files.isEmpty) return None
+      if (specsOpt.exists(_.isEmpty) || specsOpt.isEmpty) return None
+      return Some(PqPushedAgg(groups.map(g => g -> partType(g)),
+        specsOpt.flatten, Vector.empty))
+    }
 
     // shape the specs against the first footer; every file re-checks
     // its own chunks (and, for strings, its own created_by) during
@@ -1559,6 +1726,7 @@ private[sources] class GraftParquetTable(schema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, // version-tailing stream
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE, // commit-protocol epoch sink
       TableCapability.ACCEPT_ANY_SCHEMA) // first write to a fresh dir
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -1574,7 +1742,17 @@ private[sources] class GraftParquetTable(schema: StructType,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(path, info.schema(), orc = false,
-      declaredParts = writeParts)
+      // batch partitionBy arrives as identity transforms; the
+      // STREAMING writer never routes its partitionBy through
+      // getTable, so `option("partitionBy", "a,b")` declares the
+      // layout for a fresh streaming sink (an existing table's
+      // recorded layout is inherited either way)
+      declaredParts =
+        if (writeParts.nonEmpty) writeParts
+        else Option(info.options().get("partitionBy"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil),
+      queryId = info.queryId())
 }
 
 /** The DSv2 WRITE half of both sources: `df.write.format("graftpq"/
@@ -1617,7 +1795,7 @@ private[sources] class GraftParquetTable(schema: StructType,
   */
 private[sources] class GraftWriteBuilder(path: String,
     schema: StructType, orc: Boolean,
-    declaredParts: Seq[String] = Nil)
+    declaredParts: Seq[String] = Nil, queryId: String = "")
   extends org.apache.spark.sql.connector.write.WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -1694,8 +1872,80 @@ private[sources] class GraftWriteBuilder(path: String,
           : org.apache.spark.sql.connector.write.BatchWrite =
         new GraftBatchWrite(path, schema, fileSchema, partIdx, orc,
           tf, ext)
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = {
+        require(!orc, "graftorc streaming sink unsupported (the " +
+          "commit protocol is parquet-only; stream parquet or use " +
+          "foreachBatch)")
+        require(!tf, "graftpq streaming sink is APPEND-only: the " +
+          "commit protocol has no truncating epoch (Complete/Update " +
+          "output modes unsupported)")
+        new GraftPqStreamingWrite(path, schema, fileSchema, partIdx,
+          parts, queryId)
+      }
     }
   }
+}
+
+/** `df.writeStream.format("graftpq").option("path", dir)` — the SINK
+  * half of the engine's streaming loop (the version-tailing source is
+  * the read half): every micro-batch stages its files into a PRIVATE
+  * per-epoch dir (task-parallel, bounded queues, the same from-scratch
+  * writer), and the epoch COMMIT runs the commit protocol's lock-held
+  * tail through [[graft.operators.Maintenance.commitStagedAppend]] —
+  * schema merge + enforcement, version-unique renames, live registry,
+  * add-delta snapshot, pruning stats and the exact agg-stats manifest.
+  * EXACTLY-ONCE: the commit records (queryId, epochId) in the log's
+  * txn markers, so a replayed epoch (Structured Streaming re-delivers
+  * after failure) commits nothing — Delta's txn appId/version
+  * mechanism. Downstream, the table is immediately tailable by the
+  * graftpq streaming SOURCE: a full stream → committed table → stream
+  * pipeline without leaving the engine's data plane.
+  */
+private[sources] class GraftPqStreamingWrite(path: String,
+    schema: StructType, fileSchema: StructType, partIdx: Seq[Int],
+    declaredParts: Seq[String], queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  require(queryId.nonEmpty, "graftpq streaming sink needs a query id")
+
+  private def stageDir(epochId: Long): String =
+    s"${path}__stream_stage/$queryId/epoch-$epochId"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    GraftStreamWriterFactory(s"${path}__stream_stage/$queryId",
+      schema, fileSchema, partIdx)
+
+  override def commit(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    graft.operators.Maintenance.commitStagedAppend(
+      org.apache.spark.sql.SparkSession.active, path,
+      stageDir(epochId), schema, declaredParts, (queryId, epochId))
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit =
+    graft.streaming.WorkDirs.deleteRecursively(
+      new java.io.File(stageDir(epochId)))
+}
+
+private[sources] final case class GraftStreamWriterFactory(
+    stageRoot: String, schema: StructType, fileSchema: StructType,
+    partIdx: Seq[Int])
+  extends org.apache.spark.sql.connector.write.streaming
+    .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftFileDataWriter(s"$stageRoot/epoch-$epochId", schema,
+      fileSchema, partIdx, orc = false, partitionId, taskId,
+      publishAtTaskCommit = true)
 }
 
 private[sources] class GraftBatchWrite(path: String,
@@ -1782,9 +2032,11 @@ private[sources] final case class GraftFileWriterFactory(path: String,
   */
 private[sources] class GraftSingleFileWriter(dir: java.io.File,
     base: String, fileSchema: StructType, orc: Boolean,
-    queueSlots: Int) {
+    queueSlots: Int, publishAtTaskCommit: Boolean = false) {
 
-  require(dir.isDirectory || dir.mkdirs(),
+  // mkdirs() can return false when a CONCURRENT task creates a path
+  // segment first (the classic race) — re-check before failing
+  require(dir.isDirectory || dir.mkdirs() || dir.isDirectory,
     s"graft write: cannot create $dir")
   private val ext = if (orc) "orc" else "parquet"
   private val tmp = new java.io.File(dir, s".$base.$ext.inprogress")
@@ -1833,13 +2085,22 @@ private[sources] class GraftSingleFileWriter(dir: java.io.File,
     rows += 1
   }
 
-  /** Finish the file and stage it; (staged, final) or None if empty. */
+  /** Finish the file and stage it; (staged, final) or None if empty.
+    * `publishAtTaskCommit` writers (streaming epochs staging into a
+    * PRIVATE per-epoch dir the driver later commits wholesale) rename
+    * straight to the visible name — the dir itself is the staging
+    * boundary there, not the file name.
+    */
   def stage(): Option[(String, String)] = {
     queue.put(endMark)
     writer.join()
     if (failure != null) throw failure
     if (rows == 0) { tmp.delete(); None }
-    else {
+    else if (publishAtTaskCommit) {
+      require(tmp.renameTo(fin),
+        s"graft write: cannot publish ${fin.getName}")
+      Some((fin.getAbsolutePath, fin.getAbsolutePath))
+    } else {
       require(tmp.renameTo(staged),
         s"graft write: cannot stage ${staged.getName}")
       Some((staged.getAbsolutePath, fin.getAbsolutePath))
@@ -1864,7 +2125,8 @@ private[sources] class GraftSingleFileWriter(dir: java.io.File,
   */
 private[sources] class GraftFileDataWriter(dirPath: String,
     schema: StructType, fileSchema: StructType, partIdx: Seq[Int],
-    orc: Boolean, partitionId: Int, taskId: Long)
+    orc: Boolean, partitionId: Int, taskId: Long,
+    publishAtTaskCommit: Boolean = false)
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val base = f"part-$partitionId%05d-$taskId"
@@ -1885,7 +2147,7 @@ private[sources] class GraftFileDataWriter(dirPath: String,
     writers.getOrElseUpdate(rel, new GraftSingleFileWriter(
       if (rel.isEmpty) new java.io.File(dirPath)
       else new java.io.File(dirPath, rel),
-      base, fileSchema, orc, slots))
+      base, fileSchema, orc, slots, publishAtTaskCommit))
 
   private def partDir(row: InternalRow): String =
     partIdx.zipWithIndex.map { case (fi, _) =>
@@ -1924,12 +2186,64 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
   extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var consumed: Array[Filter] = Array.empty
   private var aggPlan: Option[GraftParquet.PqPushedAgg] = None
   private var limit: Int = -1
+  private var topn: Option[GraftParquet.PqTopN] = None
+
+  // resolved once per builder: consumption decisions must see the
+  // same partition spec the scan will plan with
+  private lazy val partTypeB: Map[String, DataType] =
+    GraftParquet.partitionColsOf(path).toMap
+
+  /** True when every pushed filter is a CONSUMED partition predicate
+    * — the state in which the planning caps (LIMIT / TOP-N) and the
+    * aggregate push stay sound: surviving files hold ONLY matching
+    * rows.
+    */
+  private def allConsumed: Boolean =
+    pushed.forall(consumed.contains)
+
+  /** TOP-N pushdown (`ORDER BY key LIMIT k`): PLANNING-level, partial
+    * (Spark keeps its TakeOrderedAndProject — the scan only promises a
+    * SUPERSET containing a valid top-k). A row group is dropped when
+    * OTHER groups' chunk stats prove at least k rows rank STRICTLY
+    * before its every row — on data clustered by the sort key (z-order,
+    * time-ordered appends), `ORDER BY ts DESC LIMIT 100` over a
+    * million-group table plans a handful of groups instead of a full
+    * scan + cluster-wide sort feed. Single int-backed sort key only
+    * (exact byte-encoded stats; float/double refused for the NaN
+    * hazard, strings for truncation); refused under pushed filters
+    * (the kept groups might under-deliver matching rows, same gate as
+    * LIMIT).
+    */
+  override def pushTopN(orders: Array[V2SortOrder], limitN: Int)
+      : Boolean = {
+    if (!allConsumed || orders.length != 1 || limitN <= 0)
+      return false
+    val o = orders(0)
+    val colName = o.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        r.fieldNames()(0)
+      case _ => return false
+    }
+    val intBacked = fullSchema.fields.find(_.name == colName)
+      .exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType | TimestampNTZType => true
+        case _ => false
+      })
+    if (!intBacked) return false
+    topn = Some(GraftParquet.PqTopN(colName,
+      o.direction() == SortDirection.ASCENDING,
+      o.nullOrdering() == NullOrdering.NULLS_FIRST, limitN))
+    true
+  }
 
   /** LIMIT caps PLANNING, not rows: partitions are planned only until
     * their (DV-net) row counts cover the limit — `LIMIT 10` over a
@@ -1939,7 +2253,7 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
     * limit, dropping answers.
     */
   override def pushLimit(n: Int): Boolean = {
-    if (pushed.nonEmpty) false
+    if (!allConsumed) false
     else { limit = n; true }
   }
   override def isPartiallyPushed(): Boolean = true
@@ -1980,7 +2294,19 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
     // temporal literals normalize to their stats units (days/micros)
     // ONCE here; every pruning tier below then runs the numeric path
     pushed = filters.filter(prunable).map(GraftParquet.normTemporal)
-    filters
+    // partition-column equality/IN/null predicates are ROW-EXACT (a
+    // col=value dir IS the value of every row in the file), so the
+    // scan CONSUMES them — removed from Spark's post-scan
+    // re-evaluation, applied exactly file-in-or-file-out at planning.
+    // With no residual Filter left, aggregate pushdown composes with
+    // partition predicates and the LIMIT/TOP-N caps stay armed.
+    val (exact, residual) = filters.partition(f =>
+      GraftParquet.partitionExact(GraftParquet.normTemporal(f),
+        partTypeB))
+    consumed = exact.map(GraftParquet.normTemporal)
+    // consumed predicates still feed the conservative pruning tiers
+    pushed = (pushed ++ consumed).distinct
+    residual
   }
 
   private def numericCol(name: String): Boolean =
@@ -2002,17 +2328,20 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** Aggregates push only on an unfiltered scan (stats are row-group
-    * granular, so any residual filter would make them inexact; Spark
-    * itself only attempts the push when no post-scan filter remains,
-    * but the gate stays here too). A successful push pre-computes the
-    * per-group partial rows from footer stats — see
+  /** Aggregates push on an unfiltered scan OR under consumed
+    * partition predicates only (those are row-exact, so the per-file
+    * partials of the SURVIVING files are the whole answer —
+    * `count(*) WHERE bucket = 2` from metadata); any other filter
+    * would make container-granular stats inexact (Spark itself only
+    * attempts the push when no post-scan filter remains, but the gate
+    * stays here too). A successful push pre-computes the per-group
+    * partial rows from the manifest/footer stats — see
     * [[GraftParquet.planAggregation]] — and build() then returns a
     * scan that never touches a data byte.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
-    aggPlan = GraftParquet.planAggregation(aggregation, path)
+    if (!allConsumed) return false
+    aggPlan = GraftParquet.planAggregation(aggregation, path, consumed)
     aggPlan.isDefined
   }
 
@@ -2020,7 +2349,7 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
     case Some(p) => new GraftPqAggScan(p, path)
     case None =>
       new GraftParquetScan(fullSchema, required, pushed, path, limit,
-        streamLimits)
+        streamLimits, topn, consumed)
   }
 }
 
@@ -2111,7 +2440,9 @@ final case class GraftPqPartition(path: String,
 private[sources] class GraftParquetScan(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String,
     limit: Int = -1,
-    streamLimits: GraftStreamLimits = GraftStreamLimits())
+    streamLimits: GraftStreamLimits = GraftStreamLimits(),
+    topn: Option[GraftParquet.PqTopN] = None,
+    consumed: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering {
 
@@ -2135,6 +2466,15 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     */
   private var runtime: Array[Filter] = Array.empty
   private def filters: Array[Filter] = pushed ++ runtime
+
+  /** Filters that are NOT row-exact — everything except the consumed
+    * partition predicates (applied exactly at the file level), plus
+    * any runtime (DPP) injections. The LIMIT/TOP-N planning caps stay
+    * sound exactly while this is empty: every planned row provably
+    * satisfies the query's predicates.
+    */
+  private def inexactFilters: Array[Filter] =
+    pushed.filterNot(consumed.contains) ++ runtime
 
   /** Partition spec resolved ONCE per scan: discovery re-walks the
     * hive tree and re-infers value types, so calling it from every
@@ -2212,7 +2552,12 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
 
   override def description(): String =
     s"graftpq $path PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ConsumedPartitionFilters: [${consumed.mkString(", ")}], " +
       s"RuntimeFilters: [${runtime.mkString(", ")}], " +
+      topn.map(t => s"PushedTopN: ORDER BY ${t.col} " +
+        s"${if (t.asc) "ASC" else "DESC"} " +
+        s"${if (t.nullsFirst) "NULLS FIRST" else "NULLS LAST"} " +
+        s"LIMIT ${t.k}, ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
 
   /** Driver-side planning from footer tails only — the same O(KB per
@@ -2244,7 +2589,10 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     var c = cached
-    if (c == null) { c = capToLimit(doPlanInputPartitions()); cached = c }
+    if (c == null) {
+      c = capToTopN(capToLimit(doPlanInputPartitions()))
+      cached = c
+    }
     c
   }
 
@@ -2254,7 +2602,7 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     */
   private def capToLimit(all: Array[InputPartition])
       : Array[InputPartition] = {
-    if (limit < 0 || filters.nonEmpty) return all
+    if (limit < 0 || inexactFilters.nonEmpty) return all
     var acc = 0L
     var k = 0
     while (k < all.length && acc < limit) {
@@ -2263,6 +2611,50 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
       k += 1
     }
     java.util.Arrays.copyOfRange(all, 0, k)
+  }
+
+  /** A pushed TOP-N drops every row group whose rows PROVABLY cannot
+    * reach the top k: group g is dropped when other groups' chunk
+    * stats place at least k rows STRICTLY before g's every row. Sound
+    * by induction down the rank order — a dropped dominator's own
+    * dominators rank even earlier, and a group with no strict
+    * dominator is always kept — and STRICT comparison keeps ties, so
+    * equal-valued candidates never eliminate each other. Nulls rank by
+    * the pushed ordering: under NULLS FIRST any group that may hold a
+    * null is kept (nulls tie with nulls) and every known null counts
+    * as a dominator; under NULLS LAST only non-null rows dominate
+    * (they outrank a dropped group's nulls too). Refused wholesale
+    * under filters, deletion vectors, or page ranges (counts would
+    * overcount), and a group with missing stats is kept and
+    * contributes nothing.
+    */
+  private def capToTopN(all: Array[InputPartition])
+      : Array[InputPartition] = {
+    val t = topn.getOrElse(return all)
+    if (inexactFilters.nonEmpty) return all
+    val ps = all.map(_.asInstanceOf[GraftPqPartition])
+    if (ps.exists(p => p.skip.nonEmpty || p.ranges.nonEmpty)) return all
+    // per-group (rows, nulls, rank-domain bounds): DESC negates the
+    // bounds so dominance is always "hi < lo" in one domain
+    val gs: Seq[(Long, Option[Long], Option[(Long, Long)])] = ps.map {
+      p =>
+        p.columns.find(_.path == t.col) match {
+          case Some(c) if Set(1, 2).contains(c.physicalType) =>
+            val mm = for {
+              mn <- c.minValue; mx <- c.maxValue
+              a = ParquetFooter.statLong(c.physicalType, mn)
+              b = ParquetFooter.statLong(c.physicalType, mx)
+              if a != Long.MinValue && b != Long.MinValue // DESC negate
+            } yield if (t.asc) (a, b) else (-b, -a)
+            (p.rgRows, c.nullCount, mm)
+          case _ => (p.rgRows, None, None)
+        }
+    }.toSeq
+    GraftParquet.topNKeep(t, gs) match {
+      case None => all
+      case Some(keep) =>
+        ps.zip(keep).collect { case (p, true) => p: InputPartition }
+    }
   }
 
   private def doPlanInputPartitions(): Array[InputPartition] = {
@@ -2296,7 +2688,66 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
         else GraftParquet.listPartitionedFiles(path, partCols.map(_._1))
           .map { case (f, vs) => (f, partCols.map(_._1).zip(vs).toMap) }
       }
-    val survivors = files.filter { case (f, partVals) =>
+    // FILE-level TOP-N / LIMIT tier over a committed table: the exact
+    // agg-stats manifest carries per-file rows / nulls / int-backed
+    // bounds, so whole files drop BEFORE any footer tail is read —
+    // `ORDER BY ts DESC LIMIT 100` over a 10k-file table reads one
+    // manifest plus the few surviving tails (the row-group tier then
+    // prunes within them). Both caps engage only on unfiltered,
+    // DV-free scans, same as their row-group twins.
+    // consumed partition predicates apply EXACTLY, file-in-or-file-out
+    // (the conservative stat tiers below also see them — harmless)
+    val filesExact = files.filter { case (_, pv) =>
+      consumed.forall(GraftParquet.evalPartitionExact(_, partColTypes,
+        pv))
+    }
+    val capped: Seq[(java.io.File, Map[String, Option[String]])] =
+      if (!isTable || inexactFilters.nonEmpty || dvByFile.nonEmpty ||
+          (topn.isEmpty && limit < 0)) filesExact
+      else {
+        val aggMan = graft.operators.Maintenance.readAggStats(path)
+        val root = java.nio.file.Paths.get(path).toAbsolutePath
+        def relOf(f: java.io.File): String =
+          root.relativize(f.toPath.toAbsolutePath).toString
+        val topNed = topn match {
+          case Some(t) if aggMan.nonEmpty =>
+            val gs = filesExact.map { case (f, _) =>
+              aggMan.get(relOf(f)) match {
+                case Some((rows, cols)) =>
+                  cols.get(t.col) match {
+                    case Some(st) if st.mmExact =>
+                      val bounds = for {
+                        a <- st.min; b <- st.max
+                        if a != Long.MinValue && b != Long.MinValue
+                      } yield if (t.asc) (a, b) else (-b, -a)
+                      (rows, st.nullCount, bounds)
+                    case _ => (rows, None, None)
+                  }
+                case None => (0L, None, None) // uncovered: keep
+              }
+            }
+            GraftParquet.topNKeep(t, gs) match {
+              case Some(keep) => filesExact.zip(keep)
+                .collect { case (fp, true) => fp }
+              case None => filesExact
+            }
+          case _ => filesExact
+        }
+        // LIMIT: leading files whose exact manifest rows cover it —
+        // only when EVERY file is covered (a blind row count could
+        // under-plan)
+        if (limit < 0 ||
+            !topNed.forall(fp => aggMan.contains(relOf(fp._1)))) topNed
+        else {
+          var acc = 0L
+          topNed.takeWhile { fp =>
+            val take = acc < limit
+            if (take) acc += aggMan(relOf(fp._1))._1
+            take
+          }
+        }
+      }
+    val survivors = capped.filter { case (f, partVals) =>
       // two file-level prunes compose: the dir's own partition value
       // (min = max range — numeric, or the exact string bytes) and the
       // manifest's recorded per-column stats — both conservative,

@@ -653,6 +653,38 @@ class GraftOrcSpec extends AnyFunSuite {
     assert(df.collect().length == 1)
   }
 
+  test("TOP-N pushdown (ORC): ORDER BY key LIMIT k over sorted " +
+      "stripes plans only the dominating stripes, both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-topn").toString
+    try {
+      graft.operators.OrcWrite.writeDataFrame(
+        (0 until 40000).map(k => (k.toLong, s"g${k % 3}"))
+          .toDF("id", "g").sort("id").coalesce(1),
+        dir, stripeRows = 4096, compression = 5)
+      val base = spark.read.format("graftorc").load(dir)
+      val total = batchScan(base).inputPartitions.length
+      assert(total >= 9, s"fixture too few stripes: $total")
+      def topn(df: org.apache.spark.sql.DataFrame) = {
+        val scan = batchScan(df)
+        assert(scan.scan.description().contains("PushedTopN"),
+          s"top-n not pushed:\n${scan.scan.description()}")
+        scan.inputPartitions.length
+      }
+      val asc = base.orderBy(col("id")).limit(10)
+      assert(topn(asc) == 1, "ASC head should plan one stripe")
+      assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 10L))
+      val desc = base.orderBy(col("id").desc).limit(10)
+      assert(topn(desc) == 1, "DESC tail should plan one stripe")
+      assert(desc.collect().map(_.getLong(0)).toSeq ==
+        (39999L to 39990L by -1L))
+      assert(topn(base.orderBy(col("id")).limit(5000)) == 2)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   test("PARTITIONED DSv2 write (ORC): partitionBy lands hive " +
       "col=value dirs with the partition column stripped; Spark's own " +
       "ORC reader and graftorc both read it back with dir pruning") {

@@ -2039,6 +2039,302 @@ class GraftParquetSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(work))
   }
 
+  test("TOP-N pushdown: ORDER BY key LIMIT k over sorted data plans " +
+      "only the dominating row groups (ASC head, DESC tail), keeps " +
+      "groups that may hold nulls under NULLS FIRST, and refuses to " +
+      "prune under deletion vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-topn").toString
+    try {
+      val dir = s"$work/sorted"
+      val src = (0 until 40000).map(k => (k.toLong, s"g${k % 3}"))
+        .toDF("id", "g").sort("id")
+      graft.operators.ParquetWrite.writeDataFrame(
+        src.coalesce(1), dir, codec = 1, rowGroupRows = 4096,
+        pageRows = 4096)
+      val base = spark.read.format("graftpq").load(dir)
+      val totalGroups = batchScan(base).inputPartitions.length
+      assert(totalGroups >= 9, s"fixture too few groups: $totalGroups")
+      def topn(df: org.apache.spark.sql.DataFrame) = {
+        val scan = batchScan(df)
+        assert(scan.scan.description().contains("PushedTopN"),
+          s"top-n not pushed:\n${scan.scan.description()}")
+        scan.inputPartitions.length
+      }
+      val asc = base.orderBy(col("id")).limit(10)
+      assert(topn(asc) == 1, "ASC head should plan one group")
+      assert(asc.collect().map(_.getLong(0)).toSeq ==
+        (0L until 10L))
+      val desc = base.orderBy(col("id").desc).limit(10)
+      assert(topn(desc) == 1, "DESC tail should plan one group")
+      assert(desc.collect().map(_.getLong(0)).toSeq ==
+        (39999L to 39990L by -1L))
+      // a k spanning two groups keeps two
+      assert(topn(base.orderBy(col("id")).limit(5000)) == 2)
+      // NULLS FIRST (Spark's ASC default): a null-bearing group is
+      // never dropped — here EVERY group holds a null, so nothing
+      // prunes and the nulls surface first
+      val ndir = s"$work/nulls"
+      graft.operators.ParquetWrite.writeDataFrame(
+        (0 until 40000).map(k =>
+          (if (k % 4096 == 17) None else Some(k.toLong), k.toLong))
+          .toDF("id", "pos").sort("pos").coalesce(1),
+        ndir, codec = 1, rowGroupRows = 4096, pageRows = 4096)
+      val nbase = spark.read.format("graftpq").load(ndir)
+      val nulled = nbase.orderBy(col("id")).limit(5)
+      assert(topn(nulled) == batchScan(nbase).inputPartitions.length,
+        "null-bearing groups must not prune under NULLS FIRST")
+      assert(nulled.collect().count(_.isNullAt(0)) == 5)
+      // NULLS LAST: non-null dominators outrank trailing nulls, so
+      // the head group alone answers
+      val nl = nbase.orderBy(col("id").asc_nulls_last).limit(5)
+      assert(topn(nl) == 1)
+      assert(nl.collect().map(_.getLong(0)).toSeq ==
+        Seq(0L, 1L, 2L, 3L, 4L))
+      // outstanding deletion vectors: counts would overcount — no
+      // pruning, answer still exact
+      val tdir = s"$work/table"
+      Maintenance.commitAppend(spark, tdir,
+        (0 until 20000).map(k => (k.toLong, s"g${k % 3}"))
+          .toDF("id", "g").sort("id").coalesce(1))
+      Maintenance.deleteWithVectors(spark, tdir, expr("id < 100"))
+      val dvTop = spark.read.format("graftpq").load(tdir)
+        .orderBy(col("id")).limit(5)
+      assert(dvTop.collect().map(_.getLong(0)).toSeq ==
+        (100L until 105L))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
+
+  test("FILE-level TOP-N / LIMIT over a committed table: the exact " +
+      "agg-stats manifest drops whole files before any footer read — " +
+      "non-surviving files are poisoned WHOLE and the top-n still " +
+      "answers; a bare LIMIT plans only the leading files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-topnfile").toString
+    try {
+      for (b <- 0 until 3)
+        Maintenance.commitAppend(spark, dir,
+          (b * 10000 until (b + 1) * 10000)
+            .map(k => (k.toLong, s"g${k % 3}")).toDF("id", "g")
+            .sort("id").coalesce(1))
+      val base = spark.read.format("graftpq").load(dir)
+      // DESC before poisoning: only the LAST version's file plans
+      val desc = base.orderBy(col("id").desc).limit(7)
+      val descFiles = batchScan(desc).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition].path)
+        .distinct
+      assert(descFiles.length == 1 && descFiles.head.contains("v000003"),
+        descFiles.mkString(", "))
+      assert(desc.collect().map(_.getLong(0)).toSeq ==
+        (29999L to 29993L by -1L))
+      // poison versions 2 and 3 WHOLE (no footer survives): the ASC
+      // head and a bare LIMIT never touch them
+      for (f <- new java.io.File(dir).listFiles()
+          if f.getName.endsWith(".parquet") &&
+            !f.getName.contains("v000001"))
+        java.nio.file.Files.write(f.toPath,
+          Array.fill[Byte](f.length().toInt)(0x5a))
+      val asc = spark.read.format("graftpq").load(dir)
+        .orderBy(col("id")).limit(7)
+      assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 7L))
+      assert(spark.read.format("graftpq").load(dir).limit(5)
+        .collect().length == 5)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("STREAMING SINK: writeStream.format(\"graftpq\") commits each " +
+      "epoch through the commit protocol — one version per batch, a " +
+      "restart emits only new data, a replayed epoch commits nothing " +
+      "(txn markers), and the sink table answers pushed aggregates " +
+      "from its manifest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-streamsink").toString
+    val src = s"$work/src"
+    val sink = s"$work/sink"
+    val chk = s"$work/chk"
+    def append(lo: Int, hi: Int): Unit =
+      Maintenance.commitAppend(spark,
+        src, (lo until hi).map(k => (k.toLong, s"g${k % 3}"))
+          .toDF("id", "g").repartition(2))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graftpq").load(src)
+        .writeStream.format("graftpq")
+        .option("path", sink).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      append(0, 4000)
+      append(4000, 6000)
+      runOnce()
+      val t1 = Maintenance.readTable(spark, sink)
+      assert(t1.count() == 6000)
+      assert(t1.agg(sum("id")).head.getLong(0) ==
+        (0 until 6000).map(_.toLong).sum)
+      // restart: only the NEW source version flows, as a NEW sink
+      // version — no re-emission, no rewrite
+      val v1 = Maintenance.readVersion(sink)
+      append(6000, 7000)
+      runOnce()
+      assert(Maintenance.readTable(spark, sink).count() == 7000)
+      assert(Maintenance.readVersion(sink) > v1)
+      // exactly-once: a replayed epoch (same queryId + epoch) commits
+      // NOTHING even with fresh staged files
+      val qid = "replayed-query-0000"
+      val stage1 = s"$work/stage1"
+      (0 until 10).map(k => Tuple1(k.toLong)).toDF("x")
+        .coalesce(1).write.mode("overwrite").parquet(stage1)
+      val sink2 = s"$work/sink2"
+      val v = Maintenance.commitStagedAppend(spark, sink2, stage1,
+        new org.apache.spark.sql.types.StructType()
+          .add("x", org.apache.spark.sql.types.LongType),
+        Nil, (qid, 7L))
+      assert(v.isDefined)
+      assert(Maintenance.readTable(spark, sink2).count() == 10)
+      val stage2 = s"$work/stage2"
+      (0 until 10).map(k => Tuple1(k.toLong)).toDF("x")
+        .coalesce(1).write.mode("overwrite").parquet(stage2)
+      assert(Maintenance.commitStagedAppend(spark, sink2, stage2,
+        new org.apache.spark.sql.types.StructType()
+          .add("x", org.apache.spark.sql.types.LongType),
+        Nil, (qid, 7L)).isEmpty, "replayed epoch must commit nothing")
+      assert(Maintenance.readTable(spark, sink2).count() == 10)
+      assert(!new java.io.File(stage2).exists, "replay stage discarded")
+      // the sink table is a FIRST-CLASS committed table: pushed
+      // aggregates answer from the manifest its epochs recorded
+      val agg = spark.read.format("graftpq").load(sink)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"))
+      assert(batchScan(agg).scan.description()
+        .contains("PushedAggregation"))
+      assert(agg.collect().toSeq ==
+        Seq(org.apache.spark.sql.Row(7000L, 0L, 6999L)))
+      // a FRESH PARTITIONED sink: option("partitionBy", ...) declares
+      // the layout (the streaming writer never routes partitionBy
+      // through getTable), epochs land col=value dirs the reader
+      // prunes
+      val sink3 = s"$work/sink3"
+      val q3 = spark.readStream.format("graftpq").load(src)
+        .writeStream.format("graftpq")
+        .option("path", sink3).option("partitionBy", "g")
+        .option("checkpointLocation", s"$work/chk3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q3.awaitTermination()
+      assert(Maintenance.readPartitioning(sink3) == Seq("g"))
+      val p3 = spark.read.format("graftpq").load(sink3)
+        .filter(col("g") === "g1")
+      assert(p3.count() == (0 until 7000).count(_ % 3 == 1))
+      assert(batchScan(p3).inputPartitions.map(
+        _.asInstanceOf[graft.sources.GraftPqPartition].path)
+        .forall(_.contains("g=g1")))
+      // constraints/identity tables refuse the sink loudly
+      Maintenance.addConstraint(spark, sink, "c_pos", "id >= 0")
+      val thrown = intercept[Exception] {
+        Maintenance.commitStagedAppend(spark, sink, stage1,
+          new org.apache.spark.sql.types.StructType()
+            .add("id", org.apache.spark.sql.types.LongType)
+            .add("g", org.apache.spark.sql.types.StringType),
+          Nil, ("another-query", 0L))
+      }
+      assert(thrown.getMessage.contains("foreachBatch"),
+        thrown.getMessage)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
+
+  test("CONSUMED partition predicates: equality/IN/null tests on " +
+      "partition columns are row-exact, so the scan applies them " +
+      "itself — aggregate pushdown composes (count WHERE bucket=2 " +
+      "from metadata, whole-file poison), the LIMIT cap stays armed, " +
+      "and near-miss / escaped / null values stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-consume").toString
+    try {
+      def part(lo: Int, hi: Int) = (lo until hi).map { k =>
+        (k.toLong, if (k % 11 == 0) None else Some(k * 2L),
+          k % 4, Seq(Some("a/b"), Some("x=1"), None,
+            Some("plain"))(k % 4))
+      }.toDF("id", "opt", "b", "s")
+      Maintenance.commitAppend(spark, dir, part(0, 8000).coalesce(1),
+        partitionBy = Seq("b", "s"))
+      Maintenance.commitAppend(spark, dir, part(8000, 12000).coalesce(1))
+      val want = Maintenance.readTable(spark, dir)
+        .where("b = 2").agg(count(lit(1)), count(col("opt")),
+          min(col("id")), max(col("id"))).collect().toSeq
+      // rows-level exactness FIRST (vs Spark's own reader), escaped
+      // strings and nulls included
+      val pq = spark.read.format("graftpq").load(dir)
+      assert(pq.where(col("s") === "a/b").count() == 3000)
+      assert(pq.where(col("s") === "x=1").count() == 3000)
+      assert(pq.where(col("s").isNull).count() == 3000)
+      assert(pq.where(col("s").isNotNull).count() == 9000)
+      assert(pq.where(col("b").isin(1, 3)).count() == 6000)
+      assert(pq.where(col("b") === 5).count() == 0) // near miss
+      // the predicate is CONSUMED: no Filter node survives above the
+      // scan, and the scan's description names it
+      val consumedScan = pq.where(col("b") === 2)
+      val cd = batchScan(consumedScan).scan.description()
+      assert(cd.substring(cd.indexOf("ConsumedPartitionFilters"))
+        .takeWhile(_ != ']').contains("EqualTo(b,2)"), cd)
+      assert(!consumedScan.queryExecution.executedPlan.toString
+        .contains("Filter ("),
+        consumedScan.queryExecution.executedPlan.toString)
+      // LIMIT stays armed under a consumed predicate: only matching
+      // files plan (footers of the SURVIVING files are read, so this
+      // runs before the poison below)
+      val lim = pq.where(col("b") === 2).limit(5)
+      val limParts = batchScan(lim).inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftPqPartition].path)
+      assert(limParts.nonEmpty && limParts.forall(_.contains("b=2")),
+        limParts.mkString(", "))
+      assert(lim.collect().length == 5)
+      // aggregate pushdown COMPOSES: poison every data file whole —
+      // the filtered aggregate still answers from the manifest
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).getOrElse(Array.empty)
+        kids.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .toSeq ++ kids.filter(f => f.isDirectory &&
+            !f.getName.startsWith("_")).flatMap(walk)
+      }
+      for (f <- walk(new java.io.File(dir)))
+        java.nio.file.Files.write(f.toPath,
+          Array.fill[Byte](f.length().toInt)(0x5a))
+      val agg = spark.read.format("graftpq").load(dir)
+        .where(col("b") === 2)
+        .agg(count(lit(1)).as("n"), count(col("opt")).as("no"),
+          min(col("id")).as("mn"), max(col("id")).as("mx"))
+      assert(batchScan(agg).scan.description()
+        .contains("PushedAggregation"),
+        s"agg did not push under a consumed filter:\n" +
+          batchScan(agg).scan.description())
+      assert(agg.collect().toSeq == want)
+      // an all-eliminating consumed predicate still answers (count 0)
+      val none = spark.read.format("graftpq").load(dir)
+        .where(col("b") === 99).agg(count(lit(1)).as("n"))
+      assert(batchScan(none).scan.description()
+        .contains("PushedAggregation"))
+      assert(none.collect().toSeq ==
+        Seq(org.apache.spark.sql.Row(0L)))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   test("a pushed GROUP BY over only zero-row files plans ZERO " +
       "partitions (empty result), not a planner crash") {
     import spark.implicits._
