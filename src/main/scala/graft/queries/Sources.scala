@@ -2806,6 +2806,29 @@ object Sources {
       |  max(CAST(round(value*100) AS BIGINT)) AS max_cents
       |FROM events WHERE user_id % 4 = 2""".stripMargin
 
+  // S64: the ORC partition-GROUP-BY aggregate tier — over a plain
+  // hive `.orc` layout, GROUP BY the discovered partition column plus
+  // COUNT/SUM/MIN/MAX answer entirely from dir values + stripe
+  // statistics (IntegerStatistics exact sums included), zero data
+  // bytes — parity with the parquet partition tier (s59/s63).
+  private def s64OrcPartAgg(s: SparkSession, dir: String): DataFrame = {
+    val tmp = ensureHiveOrcFixture(s, dir)
+    s.read.format("graftorc").load(tmp)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
+  private val s64OrcPartAggSql =
+    """SELECT CAST(user_id % 4 AS INTEGER) AS bucket, count(*) AS n,
+      |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -2863,7 +2886,8 @@ object Sources {
     "s60_pq_topn" -> s60PqTopn _,
     "s61_orc_topn" -> s61OrcTopn _,
     "s62_pq_stream_sink" -> s62PqStreamSink _,
-    "s63_pq_part_filter_agg" -> s63PqPartFilterAgg _
+    "s63_pq_part_filter_agg" -> s63PqPartFilterAgg _,
+    "s64_orc_part_agg" -> s64OrcPartAgg _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2923,6 +2947,7 @@ object Sources {
     "s60_pq_topn" -> s60PqTopnSql,
     "s61_orc_topn" -> s61OrcTopnSql,
     "s62_pq_stream_sink" -> sV2WriteSql, // full-loop stream, same agg
-    "s63_pq_part_filter_agg" -> s63PqPartFilterAggSql
+    "s63_pq_part_filter_agg" -> s63PqPartFilterAggSql,
+    "s64_orc_part_agg" -> s64OrcPartAggSql
   )
 }

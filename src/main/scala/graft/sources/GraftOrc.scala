@@ -192,39 +192,82 @@ object GraftOrc {
     * orders NaN largest), any stripe missing a needed statistic, any
     * file without the Metadata section.
     */
-  private[sources] def planAggregation(agg: Aggregation, path: String)
+  private[sources] def planAggregation(agg: Aggregation, path: String,
+      consumed: Array[Filter] = Array.empty)
       : Option[GraftParquet.PqPushedAgg] = {
     import GraftParquet.{PqAggRow, PqAggSpec, PqCountCol, PqCountStar,
       PqMax, PqMin, PqPushedAgg, PqSum}
-    if (agg.groupByExpressions.nonEmpty) return None // no hive dirs here
     def ref(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
         Some(r.fieldNames()(0))
       case _ => None
     }
-    val files = listFiles(path)
-    if (files.isEmpty) return None
-    val headTypes = OrcData.readPlan(files.head.toPath).meta.types
+    val partCols = partitionColsOf(path)
+    val partNames = partCols.map(_._1)
+    val partType = partCols.toMap
+    // GROUP BY pushes only over hive partition dirs (their values are
+    // exact file-wide), like the parquet twin
+    val groupsOpt = agg.groupByExpressions.toSeq.map(ref)
+    if (groupsOpt.exists(_.isEmpty)) return None
+    val groups = groupsOpt.flatten
+    if (!groups.forall(partNames.contains)) return None
+
+    val files: Seq[(java.io.File, Map[String, Option[String]])] =
+      (if (partCols.isEmpty)
+        listFiles(path).map((_, Map.empty[String, Option[String]]))
+      else GraftParquet.listPartitionedFiles(path, partNames, ".orc")
+        .map { case (f, vs) => (f, partNames.zip(vs).toMap) })
+        .filter { case (_, pv) => consumed.forall(
+          GraftParquet.evalPartitionExact(_, partType, pv)) }
+    if (files.isEmpty) {
+      // nothing survives a consumed predicate — the parquet twin's
+      // empty-answer shaping (counts are Long, partition extremes
+      // tracked; a data-leaf MIN/MAX falls to the zero-stripe scan)
+      if (consumed.isEmpty) return None
+      val specsOpt = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(PqAggSpec(PqCountStar, "count(*)", LongType))
+        case c: Count if !c.isDistinct =>
+          ref(c.column())
+            .map(n => PqAggSpec(PqCountCol(n), s"count($n)", LongType))
+        case m: Min => for { n <- ref(m.column())
+          dt <- partType.get(n) } yield PqAggSpec(PqMin(n), s"min($n)", dt)
+        case m: Max => for { n <- ref(m.column())
+          dt <- partType.get(n) } yield PqAggSpec(PqMax(n), s"max($n)", dt)
+        case _ => None
+      }
+      if (specsOpt.exists(_.isEmpty) || specsOpt.isEmpty) return None
+      return Some(PqPushedAgg(groups.map(g => g -> partType(g)),
+        specsOpt.flatten, Vector.empty))
+    }
+    val headTypes = OrcData.readPlan(files.head._1.toPath).meta.types
     val headRoot = headTypes.head
     val idByName = headRoot.fieldNames.zip(headRoot.subtypes).toMap
     def kindOf(c: String): Option[Int] =
       idByName.get(c).map(headTypes(_).kind)
     // kinds 1-4 = byte/short/int/long (IntegerStatistics), 7 =
-    // string, 15 = date (DateStatistics exact epoch days)
-    def minMaxType(c: String): Option[DataType] = kindOf(c).collect {
-      case 1 => ByteType
-      case 2 => ShortType
-      case 3 => IntegerType
-      case 4 => LongType
-      case 7 => StringType
-      case 15 => DateType
-    }
+    // string, 15 = date (DateStatistics exact epoch days); partition
+    // columns answer from their EXACT dir values, any parsable type
+    def minMaxType(c: String): Option[DataType] =
+      partType.get(c).filter {
+        case ByteType | ShortType | IntegerType | LongType |
+          StringType | DateType => true
+        case _ => false
+      }.orElse(kindOf(c).collect {
+        case 1 => ByteType
+        case 2 => ShortType
+        case 3 => IntegerType
+        case 4 => LongType
+        case 7 => StringType
+        case 15 => DateType
+      })
     val specsOpt = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         Some(PqAggSpec(PqCountStar, "count(*)", LongType))
       case c: Count if !c.isDistinct =>
-        ref(c.column()).filter(idByName.contains)
+        ref(c.column())
+          .filter(n => partNames.contains(n) || idByName.contains(n))
           .map(n => PqAggSpec(PqCountCol(n), s"count($n)", LongType))
       case m: Min => for { n <- ref(m.column()); dt <- minMaxType(n) }
         yield PqAggSpec(PqMin(n), s"min($n)", dt)
@@ -239,8 +282,9 @@ object GraftOrc {
     if (specsOpt.exists(_.isEmpty) || specsOpt.isEmpty) return None
     val specs = specsOpt.flatten
 
-    var acc: Array[Any] = null
-    for (f <- files) {
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], Array[Any]]
+    for ((f, partVals) <- files) {
       val plan = OrcData.readPlan(f.toPath)
       val types = plan.meta.types
       val root = types.head
@@ -248,6 +292,11 @@ object GraftOrc {
       val stripes = plan.meta.stripes
       if (stripes.nonEmpty && plan.stripeStats.length != stripes.length)
         return None // Metadata section absent or torn: nothing exact
+      val fileRows = stripes.map(_.rows).sum
+      // a zero-row file contributes nothing under GROUP BY (SQL emits
+      // only groups with rows); a GLOBAL aggregate still accumulates
+      if (groups.nonEmpty && fileRows == 0) ()
+      else {
       val partials: Array[Any] = new Array[Any](specs.length)
       var ok = true
       specs.zipWithIndex.foreach { case (spec, i) =>
@@ -258,7 +307,10 @@ object GraftOrc {
         } yield st
         if (ok) spec.kind match {
           case PqCountStar =>
-            partials(i) = Long.box(stripes.map(_.rows).sum)
+            partials(i) = Long.box(fileRows)
+          case PqCountCol(c) if partNames.contains(c) =>
+            partials(i) =
+              Long.box(if (partVals(c).isDefined) fileRows else 0L)
           case PqCountCol(c) =>
             var n = 0L
             stripes.indices.foreach { si =>
@@ -280,6 +332,14 @@ object GraftOrc {
               }
             }
             partials(i) = s
+          case PqMin(c) if partNames.contains(c) =>
+            partials(i) =
+              if (fileRows == 0) null
+              else GraftParquet.partitionValue(partType(c), partVals(c))
+          case PqMax(c) if partNames.contains(c) =>
+            partials(i) =
+              if (fileRows == 0) null
+              else GraftParquet.partitionValue(partType(c), partVals(c))
           case PqMin(c) =>
             partials(i) = orcExtreme(spec, c, stripes.indices,
               statOf, wantMin = true).getOrElse { ok = false; null }
@@ -289,13 +349,19 @@ object GraftOrc {
         }
       }
       if (!ok) return None
-      acc =
-        if (acc == null) partials
-        else specs.zipWithIndex.map { case (spec, i) =>
-          GraftParquet.mergePartial(spec, acc(i), partials(i))
-        }.toArray
+      val key = groups.map(partVals)
+      acc.get(key) match {
+        case None => acc(key) = partials
+        case Some(old) =>
+          specs.zipWithIndex.foreach { case (spec, i) =>
+            old(i) = GraftParquet.mergePartial(spec, old(i),
+              partials(i))
+          }
+      }
+      }
     }
-    Some(PqPushedAgg(Nil, specs, Vector(PqAggRow(Nil, acc))))
+    Some(PqPushedAgg(groups.map(g => g -> partType(g)), specs,
+      acc.iterator.map { case (k, v) => PqAggRow(k, v) }.toVector))
   }
 
   /** File-wide MIN/MAX of one column from its stripe stats: Some(null)
@@ -513,10 +579,8 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
     * zero-data-IO scan.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    // flat dirs only (the ORC agg planner has no partition-group
-    // tier), so any pushed predicate — consumed included — refuses
-    if (pushed.nonEmpty) return false
-    aggPlan = GraftOrc.planAggregation(aggregation, path)
+    if (!allConsumed) return false
+    aggPlan = GraftOrc.planAggregation(aggregation, path, consumed)
     aggPlan.isDefined
   }
 

@@ -685,6 +685,66 @@ class GraftOrcSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(dir))
   }
 
+  test("ORC partition-GROUP-BY aggregates + consumed predicates: " +
+      "GROUP BY a discovered hive column answers from dir values + " +
+      "stripe stats with every stripe poisoned; a consumed bucket " +
+      "equality composes; zero-match answers count 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-partagg").toString
+    try {
+      val src = (0 until 12000).map { k =>
+        (k.toLong, if (k % 7 == 0) None else Some(k * 2L), k % 3)
+      }.toDF("id", "opt", "b")
+      src.repartition(2, col("b"))
+        .write.mode("overwrite").partitionBy("b").orc(dir)
+      val want = src.groupBy("b")
+        .agg(count(lit(1)).as("n"), count(col("opt")).as("no"),
+          sum(col("opt")).as("s"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"))
+        .orderBy("b").collect().toSeq
+      val wantB2 = src.where("b = 2")
+        .agg(count(lit(1)).as("n"), sum(col("opt")).as("s"))
+        .collect().toSeq
+      // poison EVERY stripe body of every file: only the footer /
+      // Metadata tail regions survive (stats live there)
+      for (f <- new java.io.File(dir).listFiles
+          .filter(_.isDirectory).flatMap(_.listFiles())
+          if f.getName.endsWith(".orc")) {
+        val plan = graft.operators.OrcData.readPlan(f.toPath)
+        val raf = new java.io.RandomAccessFile(f, "rw")
+        try plan.meta.stripes.foreach { st =>
+          raf.seek(st.offset)
+          raf.write(Array.fill[Byte]((st.indexLength + st.dataLength)
+            .toInt)(0x5a))
+        } finally raf.close()
+      }
+      val df = spark.read.format("graftorc").load(dir).groupBy("b")
+        .agg(count(lit(1)).as("n"), count(col("opt")).as("no"),
+          sum(col("opt")).as("s"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"))
+        .orderBy("b")
+      assert(batchScan(df).scan.description()
+        .contains("PushedGroupBy: [b]"),
+        batchScan(df).scan.description())
+      assert(df.collect().toSeq == want)
+      // consumed partition equality composes with the push
+      val b2 = spark.read.format("graftorc").load(dir).where("b = 2")
+        .agg(count(lit(1)).as("n"), sum(col("opt")).as("s"))
+      assert(batchScan(b2).scan.description()
+        .contains("PushedAggregation"),
+        batchScan(b2).scan.description())
+      assert(b2.collect().toSeq == wantB2)
+      // zero-match: exact empty answer, no stripe ever touched
+      val none = spark.read.format("graftorc").load(dir)
+        .where("b = 9").agg(count(lit(1)).as("n"))
+      assert(none.collect().toSeq ==
+        Seq(org.apache.spark.sql.Row(0L)))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
   test("PARTITIONED DSv2 write (ORC): partitionBy lands hive " +
       "col=value dirs with the partition column stripped; Spark's own " +
       "ORC reader and graftorc both read it back with dir pruning") {

@@ -298,4 +298,21 @@ class PropertySpec extends AnyFunSuite {
     val ns = samples.map(partitionsForBytes)
     assert(ns.zip(ns.tail).forall { case (a, b) => a <= b })
   }
+
+  test("hive partition-value escaping round-trips any string, and " +
+      "escaped names never contain path-hostile characters") {
+    import graft.sources.GraftParquetTestBridge.{escapePath, unescapePath}
+    // targeted hostile shapes first
+    for (s <- Seq("a/b", "x=1", "a%2Fb", "%", "%%", "a b", "日本語",
+        "trailing%", "q?*<>|", "{[]}^", "a\\b", "", "plain"))
+      if (s.nonEmpty)
+        assert(unescapePath(escapePath(s)) == s, s"round-trip '$s'")
+    val anyStr = Gen.listOf(Gen.choose(1.toChar, 0x2FFF.toChar))
+      .map(_.mkString)
+    check(Prop.forAll(anyStr) { s =>
+      val e = escapePath(s)
+      unescapePath(e) == s &&
+        !e.exists(c => c < ' ' || "/\\=*?\"'<>|".indexOf(c) >= 0)
+    })
+  }
 }
