@@ -581,9 +581,20 @@ object Bench {
     var childExhausted = false
     var childProbeMax = 1.0
     val familyStatus = Seq.newBuilder[(String, String)]
+    // BUDGET-PROOF VALIDATION (r19, closes the r18 starvation): the
+    // sweep may spend at most 85% of the budget; the remaining 15% is
+    // an untouchable reserve for the recheck + shard-recheck phases.
+    // The r18 failure mode was structural — candidates are computed
+    // AFTER the full sweep, so a contended sweep ate the whole budget
+    // and 16 flagged suspects shipped with empty `recheck` maps. With
+    // the reserve, a contended sweep degrades to single-rep queries
+    // (visible as `budget_cut`) but the validation machinery ALWAYS
+    // gets its window: suspects either clear or reproduce, never
+    // starve.
+    val sweepBudget = budgetSec * 0.85
     val results: Seq[QRes] = shards.flatMap { case (fam, qs) =>
       val forked = if (forkEnabled)
-        forkFamily(fam, qs, budgetSec - elapsed()) else None
+        forkFamily(fam, qs, sweepBudget - elapsed()) else None
       forked match {
         case Some((probe, exhausted, rs)) =>
           childProbeMax = math.max(childProbeMax, probe)
@@ -602,7 +613,7 @@ object Bench {
           familyStatus += ((fam, if (forkEnabled) "refork" else "local"))
           val s = parentSession()
           val (rs, exhausted) = runQueries(s, sfDir, qs, maxReps,
-            budgetSec, benchStart)
+            sweepBudget, benchStart)
           childExhausted ||= exhausted
           try {
             s.catalog.clearCache()

@@ -773,10 +773,16 @@ object Maintenance {
     * time (vacuum safety). Caller holds the commit lock.
     */
   private def moveStagedIn(tablePath: String, stage: String,
-      prefix: String, v: Long): Seq[java.nio.file.Path] = {
+      prefix: String, v: Long,
+      only: Option[Seq[java.io.File]] = None): Seq[java.nio.file.Path] = {
     val stageRoot = Paths.get(stage)
-    val parts = listDataFiles(new java.io.File(stage))
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getAbsolutePath)
+    // `only` = commit EXACTLY these files (the write's per-task commit
+    // messages): a task attempt that published its file but died
+    // before reporting leaves a visible orphan in the stage dir, and
+    // sweeping the dir blind would ingest both it and its retry's twin
+    val parts = only.getOrElse(listDataFiles(new java.io.File(stage))
+        .filter(_.getName.endsWith(".parquet")))
+      .sortBy(_.getAbsolutePath)
     val now = System.currentTimeMillis()
     parts.zipWithIndex.map { case (f, i) =>
       val rel = stageRoot.relativize(f.toPath)
@@ -952,15 +958,30 @@ object Maintenance {
     * discarded) or the stage held no files (an empty epoch records the
     * txn watermark but never writes an empty version).
     *
-    * Tables with declared CONSTRAINTS, GENERATED or IDENTITY columns
-    * reject loudly: those validations run Spark jobs over the staged
-    * data, which a sink's epoch commit (driver-side, inside the
-    * stream's commit path) must not do. Use foreachBatch +
-    * commitAppend when those table features are in play.
+    * `txn` is Some((appId, epochId)) for a streaming epoch (the
+    * exactly-once replay guard); None for a one-shot batch caller (the
+    * DSv2 batch append route), which has no replay to guard against.
+    *
+    * `only` commits EXACTLY the listed staged files (the write's
+    * per-task commit messages): a task attempt that published its file
+    * at task commit but died before reporting success leaves a visible
+    * orphan in the stage dir, and the retried attempt stages a twin
+    * under a different taskId — sweeping the stage blind would ingest
+    * both and break exactly-once. None sweeps the stage (trusted
+    * single-writer stages, e.g. commitAppend's own).
+    *
+    * Tables with declared CONSTRAINTS, GENERATED or IDENTITY columns —
+    * or a COLUMN MAP (renamed columns) — reject loudly: the
+    * validations run Spark jobs over the staged data, and the map
+    * needs logical→physical translation, neither of which a sink's
+    * epoch commit (driver-side, inside the stream's commit path)
+    * should do. Use foreachBatch + commitAppend when those table
+    * features are in play.
     */
   def commitStagedAppend(spark: SparkSession, tablePath: String,
       stage: String, schema: org.apache.spark.sql.types.StructType,
-      partitionBy: Seq[String], txn: (String, Long)): Option[Long] = {
+      partitionBy: Seq[String], txn: Option[(String, Long)],
+      only: Option[Seq[java.io.File]] = None): Option[Long] = {
     try {
       require(readConstraints(tablePath).isEmpty &&
           readGenerated(tablePath).isEmpty &&
@@ -968,15 +989,20 @@ object Maintenance {
         s"$tablePath declares constraints/generated/identity columns " +
           "— the streaming sink cannot validate them per-epoch; use " +
           "foreachBatch with commitAppend")
+      require(readColumnMap(tablePath).isEmpty,
+        s"$tablePath has renamed columns (a column map) — staged " +
+          "appends cannot translate logical names; use foreachBatch " +
+          "with commitAppend")
       val recorded = readPartitioning(tablePath)
       require(partitionBy.isEmpty || recorded.isEmpty ||
           partitionBy == recorded,
         s"$tablePath is partitioned by $recorded; the stream declared " +
           s"$partitionBy")
-      val staged = listParquetFiles(new java.io.File(stage))
+      val staged = only.getOrElse(
+        listParquetFiles(new java.io.File(stage)))
       withCommitLock(tablePath, timeoutMs = 600000L) {
-        val (appId, epoch) = txn
-        if (readStreamTxn(tablePath, appId).exists(_ >= epoch))
+        if (txn.exists { case (appId, epoch) =>
+            readStreamTxn(tablePath, appId).exists(_ >= epoch) })
           None // replayed epoch: already committed, discard the stage
         else {
         Files.createDirectories(Paths.get(tablePath))
@@ -995,7 +1021,8 @@ object Maintenance {
           if (staged.isEmpty) None
           else {
             val v = readVersion(tablePath) + 1
-            val committed = moveStagedIn(tablePath, stage, "stream", v)
+            val committed = moveStagedIn(tablePath, stage,
+              if (txn.isDefined) "stream" else "append", v, Some(staged))
             val reg = Paths.get(liveFilesPath(tablePath))
             val root = Paths.get(tablePath)
             if (Files.exists(reg))
@@ -1021,8 +1048,10 @@ object Maintenance {
             writeVersion(tablePath, v)
             Some(v)
           }
-        writeAtomic(Paths.get(streamTxnPath(tablePath, appId)),
-          epoch.toString + "\n")
+        txn.foreach { case (appId, epoch) =>
+          writeAtomic(Paths.get(streamTxnPath(tablePath, appId)),
+            epoch.toString + "\n")
+        }
         committedV
         }
       }

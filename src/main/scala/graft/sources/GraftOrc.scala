@@ -897,7 +897,16 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       }
     }
     topn match {
-      case Some(t) if inexactFilters.isEmpty =>
+      // the parquet twin's guard, mirrored: a stripe whose emitted
+      // partition was index-narrowed to a (g0,g1) row-group subset
+      // must not credit its FULL row count as dominators (the
+      // narrowed-out groups' rows are never read). Currently believed
+      // unreachable — only consumed partition predicates coexist with
+      // a pushed top-n and they cannot narrow leaf row groups — but
+      // the invariant is enforced here, not assumed.
+      case Some(t) if inexactFilters.isEmpty &&
+          !pairs.exists(_._1
+            .asInstanceOf[GraftOrcPartition].groupRange.isDefined) =>
         GraftParquet.topNKeep(t, pairs.map(_._2)) match {
           case Some(keep) => pairs.map(_._1).zip(keep)
             .collect { case (p, true) => p }.toArray

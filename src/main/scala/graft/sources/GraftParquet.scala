@@ -1187,7 +1187,12 @@ object GraftParquet {
       consumed.forall(evalPartitionExact(_, partType, partVals))
 
     // manifest tier: a committed table whose exact agg-stats manifest
-    // covers every live file never opens a file
+    // covers every live file never opens a file. A covered table the
+    // MANIFEST cannot answer (string MIN/MAX — recorded nowhere in the
+    // manifest but answerable by the footer tier's exact-writer gate;
+    // or a column absent from a file's recorded leaves) FALLS THROUGH
+    // to the footer tier instead of abandoning the pushdown: slower
+    // planning, same exact answer.
     if (isTable) {
       val rels = graft.operators.Maintenance.liveFileListing(path)
       val man = graft.operators.Maintenance.readAggStats(path)
@@ -1196,8 +1201,11 @@ object GraftParquet {
           val kept = rs.filter(rel => keepByConsumed(
             if (partNames.isEmpty) Map.empty
             else partValsFromRel(rel, partNames)))
-          if (kept.nonEmpty)
-            return planAggFromManifest(agg, partCols, groups, kept, man)
+          if (kept.nonEmpty) {
+            val m = planAggFromManifest(agg, partCols, groups, kept, man)
+            if (m.isDefined) return m
+            // manifest can't answer: footer tier below
+          }
           // zero surviving files: the empty-answer shaping below
         case _ => () // incomplete coverage: footer tier below
       }
@@ -1809,6 +1817,40 @@ private[sources] class GraftWriteBuilder(path: String,
   override def build(): org.apache.spark.sql.connector.write.Write = {
     val ext = if (orc) ".orc" else ".parquet"
     val fmt = if (orc) "graftorc" else "graftpq"
+    // a COMMITTED table (the commit protocol's _graft_log) serves its
+    // reads — listing, schema, aggregates, streams — from the log, so
+    // a write that lands files without logging them is silently
+    // invisible, and a truncate that deletes logged files bricks every
+    // later read. APPENDs therefore route through the commit protocol
+    // at job commit (below); OVERWRITE rejects loudly — the log's
+    // append-only history cannot express a wholesale replacement
+    // (constraints, column maps, identity state would all need
+    // per-feature replace semantics); ORC rejects — the protocol's
+    // data plane is parquet (see COVERAGE.md, format roles).
+    val committedTable =
+      new java.io.File(path, "_graft_log/version").exists()
+    if (committedTable) {
+      require(!orc,
+        s"graftorc: $path is a committed graftpq table — its commit " +
+          "log tracks parquet data files; write parquet (graftpq) or " +
+          "use Maintenance.commitAppend")
+      require(!truncateFirst,
+        s"graftpq: $path is a committed table — mode(\"overwrite\") " +
+          "cannot be expressed in its append-only history. Use " +
+          "Maintenance.deleteWhere + append, restoreTo, or delete " +
+          "the table directory to start over")
+      // features that need driver-side Spark jobs or logical→physical
+      // translation at commit reject HERE (analysis time), not after
+      // the write job ran — same contract as the streaming sink
+      require(
+        graft.operators.Maintenance.readConstraints(path).isEmpty &&
+          graft.operators.Maintenance.readGenerated(path).isEmpty &&
+          graft.operators.Maintenance.readIdentity(path).isEmpty &&
+          graft.operators.Maintenance.readColumnMap(path).isEmpty,
+        s"graftpq: $path declares constraints/generated/identity/" +
+          "renamed columns — the DSv2 batch append cannot validate " +
+          "them; use Maintenance.commitAppend")
+    }
     // the existing layout, resolved once: tracked for committed
     // tables, discovered for plain hive dirs, Nil for flat/fresh
     val existingParts: Seq[String] =
@@ -1871,7 +1913,7 @@ private[sources] class GraftWriteBuilder(path: String,
       override def toBatch
           : org.apache.spark.sql.connector.write.BatchWrite =
         new GraftBatchWrite(path, schema, fileSchema, partIdx, orc,
-          tf, ext)
+          tf, ext, committedTable, parts)
       override def toStreaming: org.apache.spark.sql.connector.write
           .streaming.StreamingWrite = {
         require(!orc, "graftorc streaming sink unsupported (the " +
@@ -1922,9 +1964,19 @@ private[sources] class GraftPqStreamingWrite(path: String,
   override def commit(epochId: Long, messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit = {
+    // commit EXACTLY the files the successful task attempts reported:
+    // a zombie attempt that renamed its file at task commit
+    // (publishAtTaskCommit) but died before reporting leaves a visible
+    // orphan in the epoch stage dir, and its retry stages a twin under
+    // a different taskId — a blind stage sweep would ingest both
+    val reported: Seq[java.io.File] = messages.toSeq.flatMap {
+      case GraftWriteCommit(files) => files.map(_._2)
+      case _ => Nil
+    }.map(new java.io.File(_))
     graft.operators.Maintenance.commitStagedAppend(
       org.apache.spark.sql.SparkSession.active, path,
-      stageDir(epochId), schema, declaredParts, (queryId, epochId))
+      stageDir(epochId), schema, declaredParts,
+      Some((queryId, epochId)), Some(reported))
     ()
   }
 
@@ -1950,7 +2002,8 @@ private[sources] final case class GraftStreamWriterFactory(
 
 private[sources] class GraftBatchWrite(path: String,
     schema: StructType, fileSchema: StructType, partIdx: Seq[Int],
-    orc: Boolean, truncate: Boolean, ext: String)
+    orc: Boolean, truncate: Boolean, ext: String,
+    committedTable: Boolean = false, parts: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1967,6 +2020,16 @@ private[sources] class GraftBatchWrite(path: String,
     * a query reading this directory as its own input has already
     * consumed the old bytes — then rename every staged file to its
     * final name and stamp `_SUCCESS`.
+    *
+    * A COMMITTED TABLE target takes the commit-protocol route instead:
+    * the message-listed staged files move (partition layout preserved)
+    * into a private stage and land as ONE append version through
+    * [[graft.operators.Maintenance.commitStagedAppend]] — schema merge
+    * + enforcement, live registry, add-delta snapshot, pruning stats
+    * and the exact agg-stats manifest — so the appended rows are
+    * visible to every log-served read (batch scan, pushed aggregates,
+    * the version-tailing stream). Publishing by rename alone would
+    * land files the log never lists: silently invisible rows.
     */
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage])
@@ -1974,6 +2037,26 @@ private[sources] class GraftBatchWrite(path: String,
     val staged: Seq[(String, String)] = messages.toSeq.flatMap {
       case GraftWriteCommit(files) => files
       case _ => Nil
+    }
+    if (committedTable && !truncate) {
+      val root = java.nio.file.Paths.get(path).toAbsolutePath
+      val stage = java.nio.file.Paths.get(
+        s"${path}__stage/dsv2-${java.util.UUID.randomUUID()}")
+      val moved = staged.map { case (s, f) =>
+        // the final name's table-relative path carries the partition
+        // subdirs; the stage mirrors it so the protocol's rename
+        // preserves the layout
+        val rel = root.relativize(
+          java.nio.file.Paths.get(f).toAbsolutePath)
+        val dest = stage.resolve(rel)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(java.nio.file.Paths.get(s), dest)
+        dest.toFile
+      }
+      graft.operators.Maintenance.commitStagedAppend(
+        org.apache.spark.sql.SparkSession.active, path,
+        stage.toString, schema, parts, None, Some(moved))
+      return
     }
     if (truncate) {
       val stagedSet = staged.map(_._1).toSet

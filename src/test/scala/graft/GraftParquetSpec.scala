@@ -2200,7 +2200,7 @@ class GraftParquetSpec extends AnyFunSuite {
       val v = Maintenance.commitStagedAppend(spark, sink2, stage1,
         new org.apache.spark.sql.types.StructType()
           .add("x", org.apache.spark.sql.types.LongType),
-        Nil, (qid, 7L))
+        Nil, Some((qid, 7L)))
       assert(v.isDefined)
       assert(Maintenance.readTable(spark, sink2).count() == 10)
       val stage2 = s"$work/stage2"
@@ -2209,7 +2209,7 @@ class GraftParquetSpec extends AnyFunSuite {
       assert(Maintenance.commitStagedAppend(spark, sink2, stage2,
         new org.apache.spark.sql.types.StructType()
           .add("x", org.apache.spark.sql.types.LongType),
-        Nil, (qid, 7L)).isEmpty, "replayed epoch must commit nothing")
+        Nil, Some((qid, 7L))).isEmpty, "replayed epoch must commit nothing")
       assert(Maintenance.readTable(spark, sink2).count() == 10)
       assert(!new java.io.File(stage2).exists, "replay stage discarded")
       // the sink table is a FIRST-CLASS committed table: pushed
@@ -2247,7 +2247,7 @@ class GraftParquetSpec extends AnyFunSuite {
           new org.apache.spark.sql.types.StructType()
             .add("id", org.apache.spark.sql.types.LongType)
             .add("g", org.apache.spark.sql.types.StringType),
-          Nil, ("another-query", 0L))
+          Nil, Some(("another-query", 0L)))
       }
       assert(thrown.getMessage.contains("foreachBatch"),
         thrown.getMessage)
@@ -2359,5 +2359,187 @@ class GraftParquetSpec extends AnyFunSuite {
       assert(df.collect().isEmpty) // SQL: no rows, no groups
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(dir))
+  }
+  test("DSv2 batch APPEND into a COMMITTED table routes through the " +
+      "commit protocol: the appended rows are visible to log-served " +
+      "reads (listing, pushed aggregates, versions advance); before " +
+      "this route the files landed unlogged and silently invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-dsv2commit").toString
+    try {
+      def part(lo: Int, hi: Int) = (lo until hi).map { k =>
+        (k.toLong, k % 3)
+      }.toDF("id", "b")
+      Maintenance.commitAppend(spark, dir, part(0, 6000).coalesce(1),
+        partitionBy = Seq("b"))
+      val v1 = Maintenance.readVersion(dir)
+      part(6000, 9000).coalesce(2).write.format("graftpq")
+        .mode("append").save(dir)
+      // one new committed version, rows visible through the LOG
+      assert(Maintenance.readVersion(dir) == v1 + 1)
+      assert(Maintenance.readTable(spark, dir).count() == 9000)
+      val live = Maintenance.liveFileListing(dir).getOrElse(
+        fail("committed table lost its live registry"))
+      assert(live.forall(rel => new java.io.File(dir, rel).isFile),
+        "registry lists a file the append never landed")
+      // the appended files landed the HIVE layout the table records
+      assert(live.filter(_.contains("append_v")).forall(
+        _.matches("b=[0-2]/.*\\.parquet")), live.mkString(", "))
+      // pushed aggregates answer THROUGH the manifest the append
+      // recorded: poison every data file whole; metadata still answers
+      val df0 = spark.read.format("graftpq").load(dir)
+      val want = (0 until 9000).map(_.toLong)
+      assert(df0.filter(col("b") === 1).count() ==
+        want.count(_ % 3 == 1))
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).getOrElse(Array.empty)
+        kids.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .toSeq ++ kids.filter(f => f.isDirectory &&
+            !f.getName.startsWith("_")).flatMap(walk)
+      }
+      for (f <- walk(new java.io.File(dir)))
+        java.nio.file.Files.write(f.toPath,
+          Array.fill[Byte](f.length().toInt)(0x5a))
+      val agg = spark.read.format("graftpq").load(dir)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+          max(col("id")).as("mx"))
+      assert(batchScan(agg).scan.description()
+        .contains("PushedAggregation"))
+      assert(agg.collect().toSeq ==
+        Seq(org.apache.spark.sql.Row(9000L, 0L, 8999L)))
+      // tables with features needing commit-time validation reject the
+      // DSv2 route at ANALYSIS time, before any write job runs
+      val guarded = java.nio.file.Files
+        .createTempDirectory("graft-graftpq-dsv2guard").toString
+      try {
+        Maintenance.commitAppend(spark, guarded, part(0, 10).coalesce(1))
+        Maintenance.addConstraint(spark, guarded, "c_pos", "id >= 0")
+        val e = intercept[Exception] {
+          part(10, 20).write.format("graftpq").mode("append")
+            .save(guarded)
+        }
+        assert(e.getMessage.contains("commitAppend"), e.getMessage)
+        assert(Maintenance.readTable(spark, guarded).count() == 10)
+      } finally graft.streaming.WorkDirs
+        .deleteRecursively(new java.io.File(guarded))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("mode(overwrite) on a COMMITTED table rejects LOUDLY (its " +
+      "append-only history cannot express a truncate) and the table " +
+      "survives untouched; a graftorc write into it rejects too") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-owreject").toString
+    try {
+      val df = (0 until 1000).map(k => (k.toLong, k % 5))
+        .toDF("id", "b")
+      Maintenance.commitAppend(spark, dir, df.coalesce(1))
+      val v1 = Maintenance.readVersion(dir)
+      val e1 = intercept[Exception] {
+        df.write.format("graftpq").mode("overwrite").save(dir)
+      }
+      assert(e1.getMessage.contains("append-only history"),
+        e1.getMessage)
+      val e2 = intercept[Exception] {
+        df.write.format("graftorc").mode("append").save(dir)
+      }
+      assert(e2.getMessage.contains("committed graftpq table"),
+        e2.getMessage)
+      // nothing moved: same version, same rows, log intact
+      assert(Maintenance.readVersion(dir) == v1)
+      assert(Maintenance.readTable(spark, dir).count() == 1000)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
+
+  test("an epoch commit ingests EXACTLY the message-listed files: a " +
+      "zombie task attempt's published-but-unreported orphan in the " +
+      "stage dir is discarded, not committed as duplicate rows") {
+    import spark.implicits._
+    import graft.operators.Maintenance
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-zombie").toString
+    try {
+      val stage = s"$work/stage"
+      (0 until 100).map(k => Tuple1(k.toLong)).toDF("x")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val reported = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+      assert(reported.size == 1)
+      // the zombie: a visible twin the commit messages never listed
+      val orphan = new java.io.File(stage,
+        "part-99999-zombie.parquet")
+      java.nio.file.Files.copy(reported.head.toPath, orphan.toPath)
+      val sink = s"$work/sink"
+      val v = Maintenance.commitStagedAppend(spark, sink, stage,
+        new org.apache.spark.sql.types.StructType()
+          .add("x", org.apache.spark.sql.types.LongType),
+        Nil, Some(("zombie-query", 0L)), Some(reported))
+      assert(v.isDefined)
+      // exactly-once: 100 rows, one live file, the orphan is gone
+      assert(Maintenance.readTable(spark, sink).count() == 100)
+      assert(Maintenance.liveFileListing(sink).exists(_.size == 1))
+      assert(!new java.io.File(stage).exists, "stage dir must be swept")
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
+
+  test("manifest tier FALLS THROUGH to the footer tier when it " +
+      "cannot answer: string MIN/MAX over a committed table of " +
+      "engine-written files (manifest records no string extremes; " +
+      "the per-file exact-writer gate answers from footers)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-manfall").toString
+    try {
+      val dir = s"$work/table"
+      def stageRows(lo: Int, hi: Int): String = {
+        val stage = s"$work/stage-$lo"
+        graft.operators.ParquetWrite.writeDataFrame(
+          (lo until hi).map { k =>
+            (k.toLong, s"ev_${"%03d".format(k % 37)}")
+          }.toDF("id", "s").coalesce(1), stage, codec = 1,
+          rowGroupRows = 4096, pageRows = 1024)
+        stage
+      }
+      // bootstrap + append, BOTH engine-written (created_by-signed):
+      // every live file passes the per-file string-exactness gate
+      Maintenance.commitStagedAppend(spark, dir, stageRows(0, 8000),
+        new org.apache.spark.sql.types.StructType()
+          .add("id", org.apache.spark.sql.types.LongType)
+          .add("s", org.apache.spark.sql.types.StringType),
+        Nil, None, None)
+      Maintenance.commitStagedAppend(spark, dir,
+        stageRows(8000, 12000),
+        new org.apache.spark.sql.types.StructType()
+          .add("id", org.apache.spark.sql.types.LongType)
+          .add("s", org.apache.spark.sql.types.StringType),
+        Nil, None, None)
+      // the manifest covers every live file but records NO string
+      // extremes — before the fallthrough this pushdown was abandoned
+      val df = spark.read.format("graftpq").load(dir)
+        .agg(min(col("s")).as("mn"), max(col("s")).as("mx"),
+          count(lit(1)).as("n"))
+      assert(batchScan(df).scan.description()
+        .contains("PushedAggregation"),
+        s"string agg must fall through to the footer tier:\n" +
+          batchScan(df).scan.description())
+      assert(df.collect().toSeq ==
+        Seq(org.apache.spark.sql.Row("ev_000", "ev_036", 12000L)))
+      // the int-backed family still answers from the MANIFEST alone
+      // (whole-file poison; only footers-by-path would die)
+      val before = spark.read.format("graftpq").load(dir)
+        .agg(min(col("id")).as("mn")).collect().toSeq
+      assert(before == Seq(org.apache.spark.sql.Row(0L)))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
   }
 }
