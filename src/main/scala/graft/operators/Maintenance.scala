@@ -912,13 +912,10 @@ object Maintenance {
       // per-file stats from the committed files' footers (metadata-only,
       // no data scan) — recorded under their final names so skippingPlan
       // keys match the live listing. Partition-dir values join them as
-      // min=max stats, so partition keys prune like data columns.
-      writeFileStats(tablePath,
-        footerStats(spark, committed.map(_.toFile)) ++
-          partitionStats(tablePath, committed), append = true)
-      // exact stats alongside the pruning bounds: lets a pushed
-      // COUNT/MIN/MAX answer from this manifest with zero footer IO
-      appendAggStats(tablePath, committed)
+      // min=max stats, so partition keys prune like data columns; the
+      // exact agg-stats manifest records alongside from the SAME footer
+      // read (one tail per file, parallel — commits are the hot path).
+      recordCommitStats(spark, tablePath, committed)
       writeVersion(tablePath, v)
       v
     } finally deleteRecursively(new java.io.File(stage))
@@ -1041,10 +1038,7 @@ object Maintenance {
                   bootstrap)
             }
             writeFileList(snapshotAddPath(tablePath, v), committedRel)
-            writeFileStats(tablePath,
-              footerStats(spark, committed.map(_.toFile)) ++
-                partitionStats(tablePath, committed), append = true)
-            appendAggStats(tablePath, committed)
+            recordCommitStats(spark, tablePath, committed)
             writeVersion(tablePath, v)
             Some(v)
           }
@@ -1285,57 +1279,78 @@ object Maintenance {
   def fileStatsPath(tablePath: String): String =
     s"$tablePath/_graft_log/filestats.tsv"
 
-  /** Footer min/max for every plain-numeric column of `files` (INT32 /
-    * INT64 without logical annotation, FLOAT, DOUBLE). Columns with NaN
-    * bounds, null-only pages, or annotated logical types (dates, decimals)
-    * are left stat-less — unprunable, never wrong.
+  /** Footer min/max for every plain-numeric FLAT leaf of `files`
+    * (INT32/INT64 unannotated or signed-int annotated — Spark's
+    * byte/short encoding — plus FLOAT and DOUBLE), read through the
+    * repo's own tail reader on the bounded planning pool: one
+    * positional footer read per file, overlapped across files, where
+    * the old parquet-mr sweep serialized them. Columns with NaN
+    * bounds, stat-less row groups, or any other annotation (dates,
+    * decimals, timestamps) are left stat-less — unprunable, never
+    * wrong. Bounds widen one ulp so pruning stays conservative after
+    * the double round-trip.
     */
   private def footerStats(spark: SparkSession, files: Seq[java.io.File])
-      : Seq[(String, String, Double, Double)] = {
-    import scala.jdk.CollectionConverters._
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val conf = spark.sessionState.newHadoopConf()
-    files.flatMap { f =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-      try {
-        val blocks = reader.getFooter.getBlocks.asScala
-        // (column → (lo, hi)) folded over all row groups of this file
-        val acc = scala.collection.mutable.Map[String, (Double, Double)]()
-        var dropped = Set.empty[String] // any unusable row group kills the col
-        for (b <- blocks; c <- b.getColumns.asScala) {
-          val name = c.getPath.toDotString
-          val pt = c.getPrimitiveType
-          val plainNumeric = (pt.getPrimitiveTypeName match {
-            case INT32 | INT64 | FLOAT | DOUBLE => true
-            case _ => false
-          }) && (pt.getLogicalTypeAnnotation == null ||
-            pt.getLogicalTypeAnnotation.isInstanceOf[
-              org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation])
-          val st = c.getStatistics
-          if (!plainNumeric || st == null || !st.hasNonNullValue) {
-            dropped += name
-          } else {
-            val (lo, hi) = (st.genericGetMin, st.genericGetMax) match {
-              case (l: Number, h: Number) =>
-                (l.doubleValue(), h.doubleValue())
-              case _ => (Double.NaN, Double.NaN)
-            }
-            if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite)
-              dropped += name
-            else {
-              val prev = acc.getOrElse(name,
-                (Double.PositiveInfinity, Double.NegativeInfinity))
-              acc(name) = (math.min(prev._1, lo), math.max(prev._2, hi))
-            }
-          }
-        }
-        (acc -- dropped).toSeq.map { case (cn, (lo, hi)) =>
-          (f.getName, cn, Math.nextDown(lo), Math.nextUp(hi))
-        }
-      } finally reader.close()
+      : Seq[(String, String, Double, Double)] =
+    graft.sources.GraftParquet.planPar(files) { f =>
+      rangeStatsFromFooter(f.getName, ParquetFooter.readTail(f.toPath))
     }
+
+  /** The pruning-range entries one already-read footer contributes to
+    * `filestats.tsv` — shared by [[footerStats]] and the fused
+    * commit-time pass ([[recordCommitStats]]).
+    */
+  private def rangeStatsFromFooter(fileName: String,
+      footer: ParquetFooter.PqFooter)
+      : Seq[(String, String, Double, Double)] = {
+    val okCols: Set[String] = flatLeaves(footer.schema).collect {
+      case l if Seq(1, 2, 4, 5).contains(l.physicalType) &&
+          (l.convertedType match {
+            case None => !l.hasLogicalType
+            case Some(ct) => ct >= 15 && ct <= 18 // signed INT_8..64
+          }) => l.name
+    }.toSet
+    val acc = scala.collection.mutable
+      .LinkedHashMap[String, (Double, Double)]()
+    var dropped = Set.empty[String] // any stat-less group kills the col
+    for (rg <- footer.rowGroups; c <- rg.columns
+        if okCols.contains(c.path)) {
+      (c.minValue, c.maxValue) match {
+        case (Some(mn), Some(mx)) =>
+          val lo = ParquetFooter.statDouble(c.physicalType, mn)
+          val hi = ParquetFooter.statDouble(c.physicalType, mx)
+          if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite)
+            dropped += c.path
+          else {
+            val prev = acc.getOrElse(c.path,
+              (Double.PositiveInfinity, Double.NegativeInfinity))
+            acc(c.path) =
+              (math.min(prev._1, lo), math.max(prev._2, hi))
+          }
+        case _ => dropped += c.path
+      }
+    }
+    (acc -- dropped).toSeq.map { case (cn, (lo, hi)) =>
+      (fileName, cn, Math.nextDown(lo), Math.nextUp(hi))
+    }
+  }
+
+  /** Flat top-level leaves of a footer schema (numChildren == 0
+    * directly under the root) — the only shape the stat manifests
+    * record and the agg planner answers from.
+    */
+  private def flatLeaves(s: Seq[ParquetFooter.PqSchemaField])
+      : Seq[ParquetFooter.PqSchemaField] = {
+    var i = 1
+    val out = Seq.newBuilder[ParquetFooter.PqSchemaField]
+    def skip(f: ParquetFooter.PqSchemaField): Unit =
+      (0 until f.numChildren).foreach { _ => val k = s(i); i += 1
+        skip(k) }
+    (0 until s.head.numChildren).foreach { _ =>
+      val f = s(i); i += 1
+      if (f.numChildren == 0) out += f else skip(f)
+    }
+    out.result()
   }
 
   private def writeFileStats(tablePath: String,
@@ -1430,29 +1445,24 @@ object Maintenance {
   }
 
   /** Compute the exact agg-stat lines for freshly committed files —
-    * footer-tail IO only, via the repo's own reader.
+    * footer-tail IO only, via the repo's own reader, overlapped on
+    * the bounded planning pool.
     */
   private def exactAggStatLines(tablePath: String,
       files: Seq[java.nio.file.Path]): Seq[String] = {
     val root = Paths.get(tablePath)
-    files.flatMap { p =>
-      val rel = root.relativize(p).toString
-      val footer = ParquetFooter.readTail(p)
-      // flat top-level leaves only (numChildren == 0 directly under
-      // the root) — the only shape the agg planner answers from stats
-      val leaves = {
-        val s = footer.schema
-        var i = 1
-        val out = Seq.newBuilder[ParquetFooter.PqSchemaField]
-        def skip(f: ParquetFooter.PqSchemaField): Unit =
-          (0 until f.numChildren).foreach { _ => val k = s(i); i += 1
-            skip(k) }
-        (0 until s.head.numChildren).foreach { _ =>
-          val f = s(i); i += 1
-          if (f.numChildren == 0) out += f else skip(f)
-        }
-        out.result()
-      }
+    graft.sources.GraftParquet.planPar(files) { p =>
+      aggLinesFromFooter(root.relativize(p).toString,
+        ParquetFooter.readTail(p))
+    }
+  }
+
+  /** The agg-manifest lines one already-read footer contributes —
+    * shared by [[exactAggStatLines]] and the fused commit-time pass.
+    */
+  private def aggLinesFromFooter(rel: String,
+      footer: ParquetFooter.PqFooter): Seq[String] = {
+      val leaves = flatLeaves(footer.schema)
       val rgs = footer.rowGroups
       val fileRows = rgs.map(_.numRows).sum
       val colLines = leaves.map { leaf =>
@@ -1489,12 +1499,14 @@ object Maintenance {
           s"\t${leaf.convertedType.fold("-")(_.toString)}"
       }
       s"F\t$rel\t$fileRows" +: colLines
-    }
   }
 
   private def appendAggStats(tablePath: String,
-      files: Seq[java.nio.file.Path]): Unit = {
-    val lines = exactAggStatLines(tablePath, files)
+      files: Seq[java.nio.file.Path]): Unit =
+    appendAggLines(tablePath, exactAggStatLines(tablePath, files))
+
+  private def appendAggLines(tablePath: String,
+      lines: Seq[String]): Unit = {
     if (lines.nonEmpty) {
       val p = Paths.get(aggStatsPath(tablePath))
       Files.createDirectories(p.getParent)
@@ -1502,6 +1514,27 @@ object Maintenance {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
+  }
+
+  /** Both commit-time stat families from ONE footer-tail read per
+    * committed file, overlapped on the bounded planning pool: the
+    * pruning ranges for `filestats.tsv` and the exact agg-manifest
+    * lines for `aggstats.tsv`. Commits are the engine's hottest
+    * driver-side loop — before this fusion every committed file's
+    * footer was read twice (once per manifest).
+    */
+  private def recordCommitStats(spark: SparkSession, tablePath: String,
+      committed: Seq[java.nio.file.Path]): Unit = {
+    val root = Paths.get(tablePath)
+    val perFile = graft.sources.GraftParquet.planPar(committed) { p =>
+      val footer = ParquetFooter.readTail(p)
+      Seq((rangeStatsFromFooter(p.getFileName.toString, footer),
+        aggLinesFromFooter(root.relativize(p).toString, footer)))
+    }
+    writeFileStats(tablePath,
+      perFile.flatMap(_._1) ++ partitionStats(tablePath, committed),
+      append = true)
+    appendAggLines(tablePath, perFile.flatMap(_._2))
   }
 
   // Fallback stats for files the commit protocol did not write (a

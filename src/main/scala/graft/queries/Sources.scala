@@ -2829,6 +2829,120 @@ object Sources {
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // S65: DSv2 batch APPEND into a COMMITTED table — `df.write
+  // .format("graftpq").mode("append").save(table)` lands as a proper
+  // commit-protocol version (live registry, add-delta snapshot,
+  // pruning stats, agg manifest), so the appended rows are visible to
+  // every LOG-served read; before this route the files published by
+  // rename alone and were silently invisible. The oracle recomputes
+  // the grouped aggregate over the original events.
+  private def s65PqCommitAppend(s: SparkSession, dir: String)
+      : DataFrame = {
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqcommitappend-${java.util.UUID.randomUUID()}")
+      .getAbsolutePath
+    val table = s"$work/table"
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    // bootstrap through the protocol, extend through the DSv2 writer
+    graft.operators.Maintenance.commitAppend(s, table,
+      ev.filter(col("event_id") % 2 === 0).repartition(2))
+    ev.filter(col("event_id") % 2 === 1).repartition(2)
+      .write.format("graftpq").mode("append").save(table)
+    val fed = graft.operators.Maintenance.readTable(s, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+    graft.streaming.WorkDirs.materializeAndClean(fed, work)
+  }
+
+  /** Engine-written parquet sorted by a UNIQUE string key (type +
+    * zero-padded id — lexicographic order equals (type, id) order, so
+    * a string TOP-N is deterministic), multiple row groups so the
+    * dominance pass has groups to drop.
+    */
+  def ensureStringSortedPqFixture(s: SparkSession, dir: String)
+      : String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqstrsorted-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      graft.operators.ParquetWrite.writeDataFrame(
+        t(s, dir, "events")
+          .select(concat(col("event_type"), lit("_"),
+              lpad(col("event_id").cast("string"), 10, "0")).as("skey"),
+            col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .repartition(1).sortWithinPartitions("skey"),
+        tmp, codec = 6, rowGroupRows = 8192, pageRows = 2048)
+    }
+    tmp
+  }
+
+  private val stringSortedSelectSql =
+    """event_type || '_' || lpad(CAST(event_id AS VARCHAR), 10, '0')
+      |    AS skey,
+      |  event_id, CAST(round(value*100) AS BIGINT) AS cents""".stripMargin
+
+  // S66: STRING TOP-N pushdown — `ORDER BY skey DESC LIMIT 25` over
+  // data sorted by the string key plans only the dominating tail row
+  // groups: parquet chunk stats carry no exactness flag, so string
+  // bounds count only behind the per-file exact-writer gate (this
+  // engine's writer never truncates binary stats — spec-pinned);
+  // foreign files are kept unconditionally, slower but never wrong.
+  private def s66PqTopnString(s: SparkSession, dir: String)
+      : DataFrame = {
+    val tmp = ensureStringSortedPqFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .orderBy(col("skey").desc)
+      .limit(25)
+  }
+
+  private val s66PqTopnStringSql =
+    s"""SELECT $stringSortedSelectSql
+      |FROM events ORDER BY skey DESC LIMIT 25""".stripMargin
+
+  /** The ORC twin: engine-written, sorted by the same unique string
+    * key; ORC StringStatistics distinguish exact minimum/maximum from
+    * truncated lowerBound/upperBound by field presence, so exactness
+    * is per-stat rather than per-writer.
+    */
+  def ensureStringSortedOrcFixture(s: SparkSession, dir: String)
+      : String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-orcstrsorted-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+      graft.operators.OrcWrite.writeDataFrame(
+        t(s, dir, "events")
+          .select(concat(col("event_type"), lit("_"),
+              lpad(col("event_id").cast("string"), 10, "0")).as("skey"),
+            col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .repartition(1).sortWithinPartitions("skey"),
+        tmp, stripeRows = 4096, compression = 5, rowIndexStride = 1024)
+    }
+    tmp
+  }
+
+  // S67: the ORC string TOP-N — ASC head over sorted stripes, exact
+  // StringStatistics standing in for the parquet exact-writer gate.
+  private def s67OrcTopnString(s: SparkSession, dir: String)
+      : DataFrame = {
+    val tmp = ensureStringSortedOrcFixture(s, dir)
+    s.read.format("graftorc").load(tmp)
+      .orderBy(col("skey"))
+      .limit(25)
+  }
+
+  private val s67OrcTopnStringSql =
+    s"""SELECT $stringSortedSelectSql
+      |FROM events ORDER BY skey ASC LIMIT 25""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -2887,7 +3001,10 @@ object Sources {
     "s61_orc_topn" -> s61OrcTopn _,
     "s62_pq_stream_sink" -> s62PqStreamSink _,
     "s63_pq_part_filter_agg" -> s63PqPartFilterAgg _,
-    "s64_orc_part_agg" -> s64OrcPartAgg _
+    "s64_orc_part_agg" -> s64OrcPartAgg _,
+    "s65_pq_commit_append" -> s65PqCommitAppend _,
+    "s66_pq_topn_string" -> s66PqTopnString _,
+    "s67_orc_topn_string" -> s67OrcTopnString _
   )
 
   val oracle: Map[String, String] = Map(
@@ -2948,6 +3065,9 @@ object Sources {
     "s61_orc_topn" -> s61OrcTopnSql,
     "s62_pq_stream_sink" -> sV2WriteSql, // full-loop stream, same agg
     "s63_pq_part_filter_agg" -> s63PqPartFilterAggSql,
-    "s64_orc_part_agg" -> s64OrcPartAggSql
+    "s64_orc_part_agg" -> s64OrcPartAggSql,
+    "s65_pq_commit_append" -> sV2WriteSql, // protocol-fed, same agg
+    "s66_pq_topn_string" -> s66PqTopnStringSql,
+    "s67_orc_topn_string" -> s67OrcTopnStringSql
   )
 }

@@ -55,6 +55,19 @@ import graft.operators.OrcData.{OrcColStat, OrcStripe, OrcTypeNode}
   * primitive kind — including TIMESTAMP (micros), DECIMAL (all
   * precisions) and BINARY — plus nested LIST/MAP/STRUCT to any depth;
   * UNION rejects loudly by name at schema-inference time.
+  *
+  * FORMAT ROLES, a stated contract: PARQUET is the engine's TABLE
+  * format — the commit protocol ([[graft.operators.Maintenance]]:
+  * committed tables, time travel, CDF, manifest-served aggregates,
+  * the version-tailing stream and the streaming sink) tracks parquet
+  * data files only. ORC is an INTERCHANGE format: full read/write
+  * fidelity, pushdown parity (filters, aggregates, TopN, hive
+  * discovery, DPP), but plain directories only — `graftorc` writes
+  * into a committed table's directory reject loudly, and ORC data
+  * enters the protocol by conversion (`read graftorc → commitAppend`).
+  * One log implementation over one physical format keeps the
+  * protocol's invariants (footer-derived stats manifests, exact-writer
+  * gates, escaping) provable in one place.
   */
 class GraftOrc extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -282,83 +295,104 @@ object GraftOrc {
     if (specsOpt.exists(_.isEmpty) || specsOpt.isEmpty) return None
     val specs = specsOpt.flatten
 
-    val acc = scala.collection.mutable.LinkedHashMap
-      .empty[Seq[Option[String]], Array[Any]]
-    for ((f, partVals) <- files) {
-      val plan = OrcData.readPlan(f.toPath)
-      val types = plan.meta.types
-      val root = types.head
-      val ids = root.fieldNames.zip(root.subtypes).toMap
-      val stripes = plan.meta.stripes
-      if (stripes.nonEmpty && plan.stripeStats.length != stripes.length)
-        return None // Metadata section absent or torn: nothing exact
-      val fileRows = stripes.map(_.rows).sum
-      // a zero-row file contributes nothing under GROUP BY (SQL emits
-      // only groups with rows); a GLOBAL aggregate still accumulates
-      if (groups.nonEmpty && fileRows == 0) ()
-      else {
-      val partials: Array[Any] = new Array[Any](specs.length)
-      var ok = true
-      specs.zipWithIndex.foreach { case (spec, i) =>
-        def statOf(c: String, si: Int): Option[OrcColStat] = for {
-          id <- ids.get(c)
-          if types(id).kind == headTypes(idByName(c)).kind
-          st <- plan.stripeStats(si).lift(id)
-        } yield st
-        if (ok) spec.kind match {
-          case PqCountStar =>
-            partials(i) = Long.box(fileRows)
-          case PqCountCol(c) if partNames.contains(c) =>
-            partials(i) =
-              Long.box(if (partVals(c).isDefined) fileRows else 0L)
-          case PqCountCol(c) =>
-            var n = 0L
-            stripes.indices.foreach { si =>
-              statOf(c, si).flatMap(_.nonNull) match {
-                case Some(nn) => n += nn
-                case None => ok = false
+    // per-file partials computed in PARALLEL on the bounded planning
+    // pool (each is one independent plan read — the same overlap the
+    // parquet footer tier and the scan planner got; a sequential
+    // sweep over a million-file layout plans for minutes on one
+    // core). Right(None) = zero-row file under GROUP BY (contributes
+    // nothing), Left = a statistic needed for exactness is missing
+    // and the whole pushdown rejects.
+    val perFile: Seq[Either[Unit,
+        Option[(Seq[Option[String]], Array[Any])]]] =
+      GraftParquet.planPar(files) { case (f, partVals) =>
+        val plan = OrcData.readPlan(f.toPath)
+        val types = plan.meta.types
+        val root = types.head
+        val ids = root.fieldNames.zip(root.subtypes).toMap
+        val stripes = plan.meta.stripes
+        if (stripes.nonEmpty &&
+            plan.stripeStats.length != stripes.length)
+          Seq(Left(())) // Metadata absent or torn: nothing exact
+        else {
+          val fileRows = stripes.map(_.rows).sum
+          // a zero-row file contributes nothing under GROUP BY (SQL
+          // emits only groups with rows); a GLOBAL aggregate still
+          // accumulates
+          if (groups.nonEmpty && fileRows == 0) Seq(Right(None))
+          else {
+            val partials: Array[Any] = new Array[Any](specs.length)
+            var ok = true
+            specs.zipWithIndex.foreach { case (spec, i) =>
+              def statOf(c: String, si: Int): Option[OrcColStat] = for {
+                id <- ids.get(c)
+                if types(id).kind == headTypes(idByName(c)).kind
+                st <- plan.stripeStats(si).lift(id)
+              } yield st
+              if (ok) spec.kind match {
+                case PqCountStar =>
+                  partials(i) = Long.box(fileRows)
+                case PqCountCol(c) if partNames.contains(c) =>
+                  partials(i) =
+                    Long.box(if (partVals(c).isDefined) fileRows else 0L)
+                case PqCountCol(c) =>
+                  var n = 0L
+                  stripes.indices.foreach { si =>
+                    statOf(c, si).flatMap(_.nonNull) match {
+                      case Some(nn) => n += nn
+                      case None => ok = false
+                    }
+                  }
+                  partials(i) = Long.box(n)
+                case PqSum(c) =>
+                  var s: Any = null
+                  stripes.indices.foreach { si =>
+                    statOf(c, si) match {
+                      case Some(st) if st.nonNull.contains(0L) =>
+                        () // all null
+                      case Some(st) if st.sumL.isDefined =>
+                        s = if (s == null) Long.box(st.sumL.get)
+                          else Long.box(s.asInstanceOf[Long] + st.sumL.get)
+                      case _ => ok = false // overflow-dropped or absent
+                    }
+                  }
+                  partials(i) = s
+                case PqMin(c) if partNames.contains(c) =>
+                  partials(i) =
+                    if (fileRows == 0) null
+                    else GraftParquet.partitionValue(partType(c),
+                      partVals(c))
+                case PqMax(c) if partNames.contains(c) =>
+                  partials(i) =
+                    if (fileRows == 0) null
+                    else GraftParquet.partitionValue(partType(c),
+                      partVals(c))
+                case PqMin(c) =>
+                  partials(i) = orcExtreme(spec, c, stripes.indices,
+                    statOf, wantMin = true).getOrElse { ok = false; null }
+                case PqMax(c) =>
+                  partials(i) = orcExtreme(spec, c, stripes.indices,
+                    statOf, wantMin = false).getOrElse { ok = false; null }
               }
             }
-            partials(i) = Long.box(n)
-          case PqSum(c) =>
-            var s: Any = null
-            stripes.indices.foreach { si =>
-              statOf(c, si) match {
-                case Some(st) if st.nonNull.contains(0L) => () // all null
-                case Some(st) if st.sumL.isDefined =>
-                  s = if (s == null) Long.box(st.sumL.get)
-                    else Long.box(s.asInstanceOf[Long] + st.sumL.get)
-                case _ => ok = false // overflow-dropped or absent
-              }
-            }
-            partials(i) = s
-          case PqMin(c) if partNames.contains(c) =>
-            partials(i) =
-              if (fileRows == 0) null
-              else GraftParquet.partitionValue(partType(c), partVals(c))
-          case PqMax(c) if partNames.contains(c) =>
-            partials(i) =
-              if (fileRows == 0) null
-              else GraftParquet.partitionValue(partType(c), partVals(c))
-          case PqMin(c) =>
-            partials(i) = orcExtreme(spec, c, stripes.indices,
-              statOf, wantMin = true).getOrElse { ok = false; null }
-          case PqMax(c) =>
-            partials(i) = orcExtreme(spec, c, stripes.indices,
-              statOf, wantMin = false).getOrElse { ok = false; null }
+            if (!ok) Seq(Left(()))
+            else Seq(Right(Some((groups.map(partVals), partials))))
+          }
         }
       }
-      if (!ok) return None
-      val key = groups.map(partVals)
-      acc.get(key) match {
-        case None => acc(key) = partials
-        case Some(old) =>
-          specs.zipWithIndex.foreach { case (spec, i) =>
-            old(i) = GraftParquet.mergePartial(spec, old(i),
-              partials(i))
-          }
-      }
-      }
+    if (perFile.exists(_.isLeft)) return None
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], Array[Any]]
+    perFile.foreach {
+      case Right(Some((key, partials))) =>
+        acc.get(key) match {
+          case None => acc(key) = partials
+          case Some(old) =>
+            specs.zipWithIndex.foreach { case (spec, i) =>
+              old(i) = GraftParquet.mergePartial(spec, old(i),
+                partials(i))
+            }
+        }
+      case _ => ()
     }
     Some(PqPushedAgg(groups.map(g => g -> partType(g)), specs,
       acc.iterator.map { case (k, v) => PqAggRow(k, v) }.toVector))
@@ -466,10 +500,13 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
 
   /** TOP-N pushdown, the graftpq twin over STRIPE statistics: a
     * stripe is dropped when other stripes' exact IntegerStatistics /
-    * DateStatistics prove k rows rank strictly before its every row
-    * (see [[GraftParquet.topNKeep]]). Int-backed keys only — ORC
-    * timestamp stats are milli-truncated (not exact) and float/string
-    * share the parquet-side hazards; refused under pushed filters.
+    * DateStatistics / StringStatistics prove k rows rank strictly
+    * before its every row (see [[GraftParquet.topNKeep]]). Int-backed
+    * and STRING keys (string bounds count only when they come from
+    * the EXACT minimum/maximum fields — the truncated
+    * lowerBound/upperBound stand-ins never dominate); ORC timestamp
+    * stats are milli-truncated (not exact) and float/double share the
+    * parquet-side NaN hazard; refused under pushed filters.
     */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
@@ -486,7 +523,7 @@ private[sources] class GraftOrcScanBuilder(fullSchema: StructType,
       case Some(c) if fullSchema.fields.find(_.name == c)
           .exists(_.dataType match {
             case ByteType | ShortType | IntegerType | LongType |
-              DateType => true
+              DateType | StringType => true
             case _ => false
           }) =>
         topn = Some(GraftParquet.PqTopN(c,
@@ -776,7 +813,8 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
         }
       if (!pushed.forall(survivesStat(partStat, _)))
         Seq.empty[(InputPartition,
-          (Long, Option[Long], Option[(Long, Long)]))]
+          (Long, Option[Long], Option[(Long, Long)],
+           Option[(UTF8String, UTF8String)]))]
       else {
       val partSpec: Seq[(String, DataType, Option[String])] =
         required.fields.toSeq.collect {
@@ -799,9 +837,13 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
           java.nio.file.StandardOpenOption.READ)
       // TOP-N dominance material for one stripe: rows, known nulls
       // (numberOfValues counts non-null), exact IntegerStatistics /
-      // DateStatistics bounds normalized to the rank domain
+      // DateStatistics long bounds plus exact StringStatistics bounds
+      // (truncated lower/upperBound stand-ins carry None — they may
+      // understate a stripe's span and must never dominate), each
+      // normalized to its rank domain
       def tnStat(stripe: OrcStripe, i: Int)
-          : (Long, Option[Long], Option[(Long, Long)]) = topn match {
+          : (Long, Option[Long], Option[(Long, Long)],
+             Option[(UTF8String, UTF8String)]) = topn match {
         case Some(t) =>
           val st = for {
             id <- idByName.get(t.col)
@@ -813,8 +855,15 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
             s <- st; a <- s.minL; b <- s.maxL
             if a != Long.MinValue && b != Long.MinValue // DESC negate
           } yield if (t.asc) (a, b) else (-b, -a)
-          (stripe.rows, nulls, bounds)
-        case None => (0L, None, None)
+          val boundsS = for {
+            s <- st if s.exactS; a <- s.minS; b <- s.maxS
+          } yield {
+            val u = UTF8String.fromString(a)
+            val v = UTF8String.fromString(b)
+            if (t.asc) (u, v) else (v, u) // DESC: reversed ordering
+          }
+          (stripe.rows, nulls, bounds, boundsS)
+        case None => (0L, None, None, None)
       }
       try {
         plan.meta.stripes.zipWithIndex.iterator.filter { case (_, i) =>
@@ -907,7 +956,20 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       case Some(t) if inexactFilters.isEmpty &&
           !pairs.exists(_._1
             .asInstanceOf[GraftOrcPartition].groupRange.isDefined) =>
-        GraftParquet.topNKeep(t, pairs.map(_._2)) match {
+        val isStr = fullSchema.fields.find(_.name == t.col)
+          .exists(_.dataType == StringType)
+        val keepOpt =
+          if (isStr)
+            GraftParquet.topNKeep(t,
+              pairs.map { case (_, (rows, nulls, _, s)) =>
+                (rows, nulls, s) })(
+              if (t.asc) GraftParquet.utf8Ord
+              else GraftParquet.utf8Ord.reverse)
+          else
+            GraftParquet.topNKeep(t,
+              pairs.map { case (_, (rows, nulls, l, _)) =>
+                (rows, nulls, l) })
+        keepOpt match {
           case Some(keep) => pairs.map(_._1).zip(keep)
             .collect { case (p, true) => p }.toArray
           case None => pairs.map(_._1).toArray

@@ -644,7 +644,7 @@ object GraftParquet {
     * capping and partition ids stay deterministic); a failing file
     * rethrows its ORIGINAL exception (loud rejects keep their names).
     */
-  private[sources] def planPar[A, B](items: Seq[A])(fn: A => Seq[B])
+  private[graft] def planPar[A, B](items: Seq[A])(fn: A => Seq[B])
       : Seq[B] = {
     val n = math.min(16,
       math.min(items.length, Runtime.getRuntime.availableProcessors - 2))
@@ -747,37 +747,48 @@ object GraftParquet {
   private[sources] final case class PqTopN(col: String, asc: Boolean,
       nullsFirst: Boolean, k: Int)
 
-  /** The TOP-N group-dominance pass, shared by both formats. Each
-    * group is (rows, known null count, rank-domain bounds) — bounds
-    * already normalized so dominance is always `hi < lo` (DESC callers
-    * negate). A group is dropped when at least k rows PROVABLY rank
-    * STRICTLY before its every row; strictness keeps ties, so
-    * equal-valued groups never eliminate each other, and soundness
-    * follows by induction down the rank order (a dropped dominator's
-    * own dominators rank even earlier; a group with no strict
-    * dominator is always kept). Under NULLS FIRST a group that may
-    * hold a null is kept (nulls tie with nulls) and every known null
-    * counts as a dominator; under NULLS LAST only non-null rows
-    * dominate (they also outrank a dropped group's trailing nulls).
-    * Groups with missing stats are kept and contribute nothing.
-    * Returns None when nothing prunes.
+  /** Spark's string order for stat bounds: UTF8String comparison =
+    * unsigned UTF-8 byte order = code point order (UTF-16
+    * `String.compareTo` would misorder supplementary characters).
     */
-  private[sources] def topNKeep(t: PqTopN,
-      gs: Seq[(Long, Option[Long], Option[(Long, Long)])])
+  private[sources] val utf8Ord: Ordering[UTF8String] =
+    (a: UTF8String, b: UTF8String) => a.compareTo(b)
+
+  /** The TOP-N group-dominance pass, shared by both formats and any
+    * totally ordered rank domain (sign-extended longs for the
+    * int-backed family, [[utf8Ord]] UTF8Strings for exact string
+    * stats). Each group is (rows, known null count, rank-domain
+    * bounds) — bounds already normalized so dominance is always
+    * `hi < lo` under `ord` (DESC callers negate longs, or pass the
+    * reversed ordering with swapped bounds). A group is dropped when
+    * at least k rows PROVABLY rank STRICTLY before its every row;
+    * strictness keeps ties, so equal-valued groups never eliminate
+    * each other, and soundness follows by induction down the rank
+    * order (a dropped dominator's own dominators rank even earlier; a
+    * group with no strict dominator is always kept). Under NULLS
+    * FIRST a group that may hold a null is kept (nulls tie with
+    * nulls) and every known null counts as a dominator; under NULLS
+    * LAST only non-null rows dominate (they also outrank a dropped
+    * group's trailing nulls). Groups with missing stats are kept and
+    * contribute nothing. Returns None when nothing prunes.
+    */
+  private[sources] def topNKeep[T](t: PqTopN,
+      gs: Seq[(Long, Option[Long], Option[(T, T)])])(
+      implicit ord: Ordering[T])
       : Option[Array[Boolean]] = {
     // non-null row counts, prefix-summed in hi order, so "rows ranked
     // strictly before lo(g)" is one binary search
     val known = gs.collect {
       case (rows, Some(nulls), Some((_, hi))) => (rows - nulls, hi)
     }.sortBy(_._2)
-    val hiArr = known.map(_._2).toArray
+    val hiArr = known.map(_._2).toIndexedSeq
     val pref = known.scanLeft(0L)(_ + _._1).toArray
-    def nonnullBefore(x: Long): Long = {
+    def nonnullBefore(x: T): Long = {
       var lo = 0
       var hi = hiArr.length
       while (lo < hi) {
         val m = (lo + hi) >>> 1
-        if (hiArr(m) < x) lo = m + 1 else hi = m
+        if (ord.lt(hiArr(m), x)) lo = m + 1 else hi = m
       }
       pref(lo)
     }
@@ -2299,10 +2310,12 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
     * before its every row — on data clustered by the sort key (z-order,
     * time-ordered appends), `ORDER BY ts DESC LIMIT 100` over a
     * million-group table plans a handful of groups instead of a full
-    * scan + cluster-wide sort feed. Single int-backed sort key only
-    * (exact byte-encoded stats; float/double refused for the NaN
-    * hazard, strings for truncation); refused under pushed filters
-    * (the kept groups might under-deliver matching rows, same gate as
+    * scan + cluster-wide sort feed. Single int-backed or STRING sort
+    * key (exact byte-encoded stats; strings prune only for groups
+    * behind the per-file exact-writer gate — foreign files may
+    * truncate binary stats and are kept unconditionally; float/double
+    * refused for the NaN hazard); refused under pushed filters (the
+    * kept groups might under-deliver matching rows, same gate as
     * LIMIT).
     */
   override def pushTopN(orders: Array[V2SortOrder], limitN: Int)
@@ -2315,13 +2328,13 @@ private[sources] class GraftParquetScanBuilder(fullSchema: StructType,
         r.fieldNames()(0)
       case _ => return false
     }
-    val intBacked = fullSchema.fields.find(_.name == colName)
+    val keyed = fullSchema.fields.find(_.name == colName)
       .exists(_.dataType match {
         case ByteType | ShortType | IntegerType | LongType | DateType |
-          TimestampType | TimestampNTZType => true
+          TimestampType | TimestampNTZType | StringType => true
         case _ => false
       })
-    if (!intBacked) return false
+    if (!keyed) return false
     topn = Some(GraftParquet.PqTopN(colName,
       o.direction() == SortDirection.ASCENDING,
       o.nullOrdering() == NullOrdering.NULLS_FIRST, limitN))
@@ -2517,7 +2530,10 @@ final case class GraftPqPartition(path: String,
     rgRows: Long, columns: Seq[PqColumn],
     plans: Seq[GraftParquet.PqFieldPlan],
     skip: Array[Long] = Array.emptyLongArray,
-    ranges: Array[Long] = Array.emptyLongArray)
+    ranges: Array[Long] = Array.emptyLongArray,
+    // this file's writer provably never truncates binary stats (the
+    // created_by gate) — what lets a string TOP-N trust chunk bounds
+    exactStr: Boolean = false)
   extends InputPartition
 
 private[sources] class GraftParquetScan(fullSchema: StructType,
@@ -2717,23 +2733,58 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
     if (inexactFilters.nonEmpty) return all
     val ps = all.map(_.asInstanceOf[GraftPqPartition])
     if (ps.exists(p => p.skip.nonEmpty || p.ranges.nonEmpty)) return all
-    // per-group (rows, nulls, rank-domain bounds): DESC negates the
-    // bounds so dominance is always "hi < lo" in one domain
-    val gs: Seq[(Long, Option[Long], Option[(Long, Long)])] = ps.map {
-      p =>
-        p.columns.find(_.path == t.col) match {
-          case Some(c) if Set(1, 2).contains(c.physicalType) =>
-            val mm = for {
-              mn <- c.minValue; mx <- c.maxValue
-              a = ParquetFooter.statLong(c.physicalType, mn)
-              b = ParquetFooter.statLong(c.physicalType, mx)
-              if a != Long.MinValue && b != Long.MinValue // DESC negate
-            } yield if (t.asc) (a, b) else (-b, -a)
-            (p.rgRows, c.nullCount, mm)
-          case _ => (p.rgRows, None, None)
-        }
-    }.toSeq
-    GraftParquet.topNKeep(t, gs) match {
+    val isStr = ps.iterator
+      .flatMap(_.columns.find(_.path == t.col)).nextOption()
+      .exists(_.physicalType == 6)
+    val keepOpt: Option[Array[Boolean]] =
+      if (isStr) {
+        // STRING keys: chunk stats carry no exactness flag and
+        // foreign writers MAY truncate them (a truncated max
+        // understates a group's span — unsound as a dominator), so
+        // only groups from files behind the exact-writer gate carry
+        // bounds; every other group is kept and contributes nothing.
+        // DESC reverses the ordering with swapped bounds instead of
+        // the long path's negation.
+        val gs: Seq[(Long, Option[Long],
+            Option[(UTF8String, UTF8String)])] = ps.map { p =>
+          p.columns.find(_.path == t.col) match {
+            case Some(c) if c.physicalType == 6 && p.exactStr =>
+              val mm = for { mn <- c.minValue; mx <- c.maxValue }
+                yield {
+                  val a = UTF8String.fromBytes(mn)
+                  val b = UTF8String.fromBytes(mx)
+                  if (t.asc) (a, b) else (b, a)
+                }
+              (p.rgRows, c.nullCount, mm)
+            case Some(c) =>
+              (p.rgRows, c.nullCount,
+                None: Option[(UTF8String, UTF8String)])
+            case _ => (p.rgRows, None, None)
+          }
+        }.toSeq
+        GraftParquet.topNKeep(t, gs)(
+          if (t.asc) GraftParquet.utf8Ord
+          else GraftParquet.utf8Ord.reverse)
+      } else {
+        // per-group (rows, nulls, rank-domain bounds): DESC negates
+        // the bounds so dominance is always "hi < lo" in one domain
+        val gs: Seq[(Long, Option[Long], Option[(Long, Long)])] =
+          ps.map { p =>
+            p.columns.find(_.path == t.col) match {
+              case Some(c) if Set(1, 2).contains(c.physicalType) =>
+                val mm = for {
+                  mn <- c.minValue; mx <- c.maxValue
+                  a = ParquetFooter.statLong(c.physicalType, mn)
+                  b = ParquetFooter.statLong(c.physicalType, mx)
+                  if a != Long.MinValue && b != Long.MinValue // DESC neg
+                } yield if (t.asc) (a, b) else (-b, -a)
+                (p.rgRows, c.nullCount, mm)
+              case _ => (p.rgRows, None, None)
+            }
+          }.toSeq
+        GraftParquet.topNKeep(t, gs)
+      }
+    keepOpt match {
       case None => all
       case Some(keep) =>
         ps.zip(keep).collect { case (p, true) => p: InputPartition }
@@ -2922,7 +2973,9 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
             Some(GraftPqPartition(f.getAbsolutePath, rg.numRows, cols,
               reqPlans,
               if (ranges == null) skip else remapSkip(skip, ranges),
-              if (ranges == null) Array.emptyLongArray else ranges))
+              if (ranges == null) Array.emptyLongArray else ranges,
+              exactStr = footer.createdBy.contains(
+                graft.operators.ParquetWrite.createdBy)))
           }
         }.toVector // materialize before the channel closes
       } finally if (ich != null) ich.close()

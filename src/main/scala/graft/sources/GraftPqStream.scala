@@ -194,7 +194,12 @@ private[sources] class GraftPqMicroBatch(path: String,
           (if (e.files > 0) filesOf(e.version + 1).take(e.files)
            else Nil)
       }
-    rels.flatMap { rel =>
+    // per-file planning (one footer-tail read each) overlaps on the
+    // bounded driver pool — a 10k-file backlog trigger would otherwise
+    // pay 10k SERIAL tail reads at plan time (the same fix the batch
+    // planner's sweep got); order is preserved, so partition ids stay
+    // deterministic across restarts
+    GraftParquet.planPar(rels) { rel =>
       // the listing's table-relative path IS the location — resolve
       // by concatenation, never by walking
       val f = new java.io.File(root, rel)

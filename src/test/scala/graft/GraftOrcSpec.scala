@@ -775,4 +775,37 @@ class GraftOrcSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(dir))
   }
+  test("STRING TOP-N pushdown (ORC): ORDER BY skey LIMIT k over " +
+      "sorted stripes plans only the dominating stripes from exact " +
+      "StringStatistics, both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-graftorc-topnstr").toString
+    try {
+      graft.operators.OrcWrite.writeDataFrame(
+        (0 until 40000).map(k => (f"k$k%08d", k.toLong))
+          .toDF("skey", "id").sort("skey").coalesce(1),
+        dir, stripeRows = 4096, compression = 5)
+      val base = spark.read.format("graftorc").load(dir)
+      val total = batchScan(base).inputPartitions.length
+      assert(total >= 9, s"fixture too few stripes: $total")
+      def topn(df: org.apache.spark.sql.DataFrame) = {
+        val scan = batchScan(df)
+        assert(scan.scan.description().contains("PushedTopN"),
+          s"top-n not pushed:\n${scan.scan.description()}")
+        scan.inputPartitions.length
+      }
+      val asc = base.orderBy(col("skey")).limit(10)
+      assert(topn(asc) == 1, "ASC head should plan one stripe")
+      assert(asc.collect().map(_.getString(0)).toSeq ==
+        (0 until 10).map(k => f"k$k%08d"))
+      val desc = base.orderBy(col("skey").desc).limit(10)
+      assert(topn(desc) == 1, "DESC tail should plan one stripe")
+      assert(desc.collect().map(_.getString(0)).toSeq ==
+        (39999 to 39990 by -1).map(k => f"k$k%08d"))
+      assert(topn(base.orderBy(col("skey")).limit(5000)) == 2)
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(dir))
+  }
 }

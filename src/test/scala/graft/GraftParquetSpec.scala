@@ -2542,4 +2542,71 @@ class GraftParquetSpec extends AnyFunSuite {
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(work))
   }
+  test("STRING TOP-N pushdown: ORDER BY skey LIMIT k over data " +
+      "sorted by a string key plans only the dominating row groups " +
+      "behind the exact-writer gate; a foreign-written file never " +
+      "prunes (truncated stats must not dominate)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-topnstr").toString
+    try {
+      val src = (0 until 40000).map { k =>
+        (f"k$k%08d", k.toLong)
+      }.toDF("skey", "id").sort("skey")
+      val dir = s"$work/ours"
+      graft.operators.ParquetWrite.writeDataFrame(
+        src.coalesce(1), dir, codec = 1, rowGroupRows = 4096,
+        pageRows = 4096)
+      val base = spark.read.format("graftpq").load(dir)
+      val totalGroups = batchScan(base).inputPartitions.length
+      assert(totalGroups >= 9, s"fixture too few groups: $totalGroups")
+      def topn(df: org.apache.spark.sql.DataFrame) = {
+        val scan = batchScan(df)
+        assert(scan.scan.description().contains("PushedTopN"),
+          s"top-n not pushed:\n${scan.scan.description()}")
+        scan.inputPartitions.length
+      }
+      val asc = base.orderBy(col("skey")).limit(10)
+      assert(topn(asc) == 1, "ASC head should plan one group")
+      assert(asc.collect().map(_.getString(0)).toSeq ==
+        (0 until 10).map(k => f"k$k%08d"))
+      val desc = base.orderBy(col("skey").desc).limit(10)
+      assert(topn(desc) == 1, "DESC tail should plan one group")
+      assert(desc.collect().map(_.getString(0)).toSeq ==
+        (39999 to 39990 by -1).map(k => f"k$k%08d"))
+      // spanning k keeps two groups
+      assert(topn(base.orderBy(col("skey")).limit(5000)) == 2)
+      // a FOREIGN-written copy (no exactness proof: stats may be
+      // truncated) keeps every group — and still answers correctly
+      val fdir = s"$work/foreign"
+      src.coalesce(1).sortWithinPartitions("skey")
+        .write.mode("overwrite").parquet(fdir)
+      val fbase = spark.read.format("graftpq").load(fdir)
+      val fAll = batchScan(fbase).inputPartitions.length
+      val fTop = fbase.orderBy(col("skey")).limit(10)
+      assert(topn(fTop) == fAll,
+        "foreign string stats must never prune")
+      assert(fTop.collect().map(_.getString(0)).toSeq ==
+        (0 until 10).map(k => f"k$k%08d"))
+      // NULLS FIRST keeps null-bearing groups; NULLS LAST answers
+      // from the head group alone
+      val ndir = s"$work/nulls"
+      graft.operators.ParquetWrite.writeDataFrame(
+        (0 until 40000).map(k =>
+          (if (k % 4096 == 17) None else Some(f"k$k%08d"), k.toLong))
+          .toDF("skey", "pos").sort("pos").coalesce(1),
+        ndir, codec = 1, rowGroupRows = 4096, pageRows = 4096)
+      val nbase = spark.read.format("graftpq").load(ndir)
+      val nulled = nbase.orderBy(col("skey")).limit(5)
+      assert(topn(nulled) == batchScan(nbase).inputPartitions.length,
+        "null-bearing groups must not prune under NULLS FIRST")
+      assert(nulled.collect().count(_.isNullAt(0)) == 5)
+      val nl = nbase.orderBy(col("skey").asc_nulls_last).limit(5)
+      assert(topn(nl) == 1)
+      assert(nl.collect().map(_.getString(0)).toSeq ==
+        (0 until 5).map(k => f"k$k%08d"))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
 }
