@@ -1386,6 +1386,7 @@ object Maintenance {
   //   F \t <relpath> \t <rows>
   //   C \t <relpath> \t <col> \t <nullCount|-> \t <mmExact 0|1>
   //     \t <min|-> \t <max|-> \t <physicalType> \t <convertedType|->
+  //     \t <sExact 0|1> \t <sMin b64|-> \t <sMax b64|->
   // for every FLAT top-level leaf — null counts for all of them
   // (COUNT(col)), exact min/max longs only for the int-backed family
   // (INT32/INT64 without DECIMAL annotation: the same domain the agg
@@ -1413,10 +1414,20 @@ object Maintenance {
     * lacked the stat (the planner must reject). The recorded
     * physical/converted pair lets the planner re-derive the Spark type
     * without opening the file.
+    *
+    * `sExact`/`sMin`/`sMax` are the STRING twins (UTF8/ENUM leaves):
+    * exact byte extremes in unsigned order, recorded ONLY when the
+    * file's writer provably never truncates binary stats (the
+    * created_by gate, checked at commit time) — what lets string
+    * MIN/MAX and string TOP-N answer from the manifest with zero file
+    * IO. Lines written before this field existed parse with
+    * `sExact = false` (the planner then falls to the footer tier).
     */
   final case class AggColStat(nullCount: Option[Long],
       mmExact: Boolean, min: Option[Long], max: Option[Long],
-      physicalType: Int, convertedType: Option[Int])
+      physicalType: Int, convertedType: Option[Int],
+      sExact: Boolean = false, sMin: Option[Array[Byte]] = None,
+      sMax: Option[Array[Byte]] = None)
 
   /** file-relative-path → (rows, column → stats). */
   def readAggStats(tablePath: String)
@@ -1432,10 +1443,16 @@ object Maintenance {
         if (s == "-") None else Some(s.toLong)
       a(0) match {
         case "F" => rows(a(1)) = a(2).toLong
-        case "C" => cols.getOrElseUpdate(a(1),
-          scala.collection.mutable.Map.empty)(a(2)) =
-          AggColStat(opt(a(3)), a(4) == "1", opt(a(5)), opt(a(6)),
-            a(7).toInt, opt(a(8)).map(_.toInt))
+        case "C" =>
+          // pre-string-stats lines (9 fields) parse with sExact=false
+          def optB(i: Int): Option[Array[Byte]] =
+            if (a.length < 12 || a(i) == "-") None
+            else Some(java.util.Base64.getDecoder.decode(a(i)))
+          cols.getOrElseUpdate(a(1),
+            scala.collection.mutable.Map.empty)(a(2)) =
+            AggColStat(opt(a(3)), a(4) == "1", opt(a(5)), opt(a(6)),
+              a(7).toInt, opt(a(8)).map(_.toInt),
+              a.length >= 12 && a(9) == "1", optB(10), optB(11))
         case _ => () // forward compatibility: unknown row kinds skip
       }
     }
@@ -1444,27 +1461,19 @@ object Maintenance {
     }.toMap
   }
 
-  /** Compute the exact agg-stat lines for freshly committed files —
-    * footer-tail IO only, via the repo's own reader, overlapped on
-    * the bounded planning pool.
-    */
-  private def exactAggStatLines(tablePath: String,
-      files: Seq[java.nio.file.Path]): Seq[String] = {
-    val root = Paths.get(tablePath)
-    graft.sources.GraftParquet.planPar(files) { p =>
-      aggLinesFromFooter(root.relativize(p).toString,
-        ParquetFooter.readTail(p))
-    }
-  }
-
-  /** The agg-manifest lines one already-read footer contributes —
-    * shared by [[exactAggStatLines]] and the fused commit-time pass.
+  /** The agg-manifest lines one already-read footer contributes to
+    * the fused commit-time pass ([[recordCommitStats]]).
     */
   private def aggLinesFromFooter(rel: String,
       footer: ParquetFooter.PqFooter): Seq[String] = {
       val leaves = flatLeaves(footer.schema)
       val rgs = footer.rowGroups
       val fileRows = rgs.map(_.numRows).sum
+      // string extremes are recordable only when THIS file's writer
+      // provably never truncates binary stats — the same created_by
+      // gate the footer-tier planner re-checks per file
+      val exactWriter =
+        footer.createdBy.contains(ParquetWrite.createdBy)
       val colLines = leaves.map { leaf =>
         val chunks = rgs.map(rg => rg -> rg.columns.find(
           _.path == leaf.name))
@@ -1493,17 +1502,41 @@ object Maintenance {
             }
           if (!exact) { mn = None; mx = None }
         }
+        // UTF8/ENUM leaves from the engine's own writer: exact byte
+        // extremes in unsigned (= code point = UTF8String) order,
+        // base64-framed so any value survives the TSV
+        val strLeaf = leaf.physicalType == 6 &&
+          (leaf.convertedType.contains(0) ||
+            leaf.convertedType.contains(4))
+        var smn: Option[Array[Byte]] = None
+        var smx: Option[Array[Byte]] = None
+        var sExact = strLeaf && exactWriter
+        if (sExact) {
+          for ((rg, cOpt) <- chunks if sExact && rg.numRows > 0)
+            cOpt match {
+              case Some(c) if c.nullCount.contains(rg.numRows) => ()
+              case Some(c)
+                  if c.minValue.isDefined && c.maxValue.isDefined =>
+                val lo = c.minValue.get
+                val hi = c.maxValue.get
+                smn = Some(smn.filter(b => java.util.Arrays
+                  .compareUnsigned(b, lo) <= 0).getOrElse(lo))
+                smx = Some(smx.filter(b => java.util.Arrays
+                  .compareUnsigned(b, hi) >= 0).getOrElse(hi))
+              case _ => sExact = false
+            }
+          if (!sExact) { smn = None; smx = None }
+        }
         def f(o: Option[Long]): String = o.fold("-")(_.toString)
+        def b64(o: Option[Array[Byte]]): String = o.fold("-")(
+          java.util.Base64.getEncoder.withoutPadding().encodeToString)
         s"C\t$rel\t${leaf.name}\t${f(nc)}\t${if (exact) "1" else "0"}" +
           s"\t${f(mn)}\t${f(mx)}\t${leaf.physicalType}" +
-          s"\t${leaf.convertedType.fold("-")(_.toString)}"
+          s"\t${leaf.convertedType.fold("-")(_.toString)}" +
+          s"\t${if (sExact) "1" else "0"}\t${b64(smn)}\t${b64(smx)}"
       }
       s"F\t$rel\t$fileRows" +: colLines
   }
-
-  private def appendAggStats(tablePath: String,
-      files: Seq[java.nio.file.Path]): Unit =
-    appendAggLines(tablePath, exactAggStatLines(tablePath, files))
 
   private def appendAggLines(tablePath: String,
       lines: Seq[String]): Unit = {

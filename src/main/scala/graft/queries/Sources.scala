@@ -2943,6 +2943,62 @@ object Sources {
     s"""SELECT $stringSortedSelectSql
       |FROM events ORDER BY skey ASC LIMIT 25""".stripMargin
 
+  /** A COMMITTED table whose every live file is engine-written
+    * (staged through [[graft.operators.ParquetWrite]], committed via
+    * the protocol), so the agg manifest records exact STRING extremes
+    * behind the writer gate.
+    */
+  def ensureStringAggTableFixture(s: SparkSession, dir: String)
+      : String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pqstraggtbl-${graft.Tables.fingerprint(dir, "events")}")
+      .getAbsolutePath
+    if (!new java.io.File(tmp, "_graft_log/version").exists()) {
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("event_id", org.apache.spark.sql.types.LongType)
+        .add("event_type", org.apache.spark.sql.types.StringType)
+        .add("cents", org.apache.spark.sql.types.LongType)
+      for (half <- 0 until 2) {
+        val stage = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-pqstraggtbl-stage-${java.util.UUID.randomUUID()}")
+          .getAbsolutePath
+        graft.operators.ParquetWrite.writeDataFrame(
+          t(s, dir, "events")
+            .filter(col("event_id") % 2 === half)
+            .select(col("event_id"), col("event_type"),
+              round(col("value") * 100).cast("long").as("cents"))
+            .repartition(1),
+          stage, codec = 6, rowGroupRows = 8192, pageRows = 2048)
+        graft.operators.Maintenance.commitStagedAppend(s, tmp, stage,
+          schema, Nil, None, None)
+      }
+    }
+    tmp
+  }
+
+  // S68: MANIFEST-SERVED STRING extremes — min/max over a string
+  // column of a committed engine-written table answer from the commit
+  // log's agg manifest with ZERO file IO: the commit recorded exact
+  // UTF-8 byte extremes behind the writer gate (this engine's writer
+  // never truncates binary stats), where a foreign-written table
+  // falls to footer tails and a pre-feature manifest falls through.
+  private def s68PqAggCommitString(s: SparkSession, dir: String)
+      : DataFrame = {
+    val tmp = ensureStringAggTableFixture(s, dir)
+    s.read.format("graftpq").load(tmp)
+      .agg(min(col("event_type")).as("mn"),
+        max(col("event_type")).as("mx"),
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
+  private val s68PqAggCommitStringSql =
+    """SELECT min(event_type) AS mn, max(event_type) AS mx,
+      |  count(*) AS n,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s16_jsonl_ingest" -> s16JsonlIngest _,
     "s15_xml_ingest" -> s15XmlIngest _,
@@ -3004,7 +3060,8 @@ object Sources {
     "s64_orc_part_agg" -> s64OrcPartAgg _,
     "s65_pq_commit_append" -> s65PqCommitAppend _,
     "s66_pq_topn_string" -> s66PqTopnString _,
-    "s67_orc_topn_string" -> s67OrcTopnString _
+    "s67_orc_topn_string" -> s67OrcTopnString _,
+    "s68_pq_agg_commit_string" -> s68PqAggCommitString _
   )
 
   val oracle: Map[String, String] = Map(
@@ -3068,6 +3125,7 @@ object Sources {
     "s64_orc_part_agg" -> s64OrcPartAggSql,
     "s65_pq_commit_append" -> sV2WriteSql, // protocol-fed, same agg
     "s66_pq_topn_string" -> s66PqTopnStringSql,
-    "s67_orc_topn_string" -> s67OrcTopnStringSql
+    "s67_orc_topn_string" -> s67OrcTopnStringSql,
+    "s68_pq_agg_commit_string" -> s68PqAggCommitStringSql
   )
 }

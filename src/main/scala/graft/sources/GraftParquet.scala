@@ -1414,6 +1414,10 @@ object GraftParquet {
         case st if st.mmExact && st.min.isDefined =>
           leafType(PqSchemaField(c, st.physicalType, 0,
             st.convertedType))
+        // string extremes recorded at commit time behind the
+        // exact-writer gate — the fold below re-checks sExact PER
+        // FILE, so a table mixing engine and foreign appends rejects
+        case st if st.sExact && st.sMin.isDefined => StringType
       })
     val specsOpt = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
@@ -1461,6 +1465,18 @@ object GraftParquet {
             partials(i) =
               if (fileRows == 0) null
               else partitionValue(partType(c), partVals(c))
+          case PqMin(c) if spec.dt == StringType =>
+            cols.get(c).filter(_.sExact) match {
+              case Some(st) =>
+                partials(i) = st.sMin.map(UTF8String.fromBytes).orNull
+              case None => ok = false
+            }
+          case PqMax(c) if spec.dt == StringType =>
+            cols.get(c).filter(_.sExact) match {
+              case Some(st) =>
+                partials(i) = st.sMax.map(UTF8String.fromBytes).orNull
+              case None => ok = false
+            }
           case PqMin(c) =>
             cols.get(c).filter(_.mmExact) match {
               case Some(st) => partials(i) =
@@ -2845,22 +2861,55 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
           root.relativize(f.toPath.toAbsolutePath).toString
         val topNed = topn match {
           case Some(t) if aggMan.nonEmpty =>
-            val gs = filesExact.map { case (f, _) =>
-              aggMan.get(relOf(f)) match {
-                case Some((rows, cols)) =>
-                  cols.get(t.col) match {
-                    case Some(st) if st.mmExact =>
-                      val bounds = for {
-                        a <- st.min; b <- st.max
-                        if a != Long.MinValue && b != Long.MinValue
-                      } yield if (t.asc) (a, b) else (-b, -a)
-                      (rows, st.nullCount, bounds)
-                    case _ => (rows, None, None)
+            // key kind from any recorded stat: int-backed longs or
+            // exact string bytes (recorded only behind the
+            // exact-writer gate; files without them are kept and
+            // contribute no dominators)
+            val isStrKey = aggMan.valuesIterator
+              .flatMap(_._2.get(t.col)).take(1).toSeq.headOption
+              .exists(_.physicalType == 6)
+            val keepOpt: Option[Array[Boolean]] =
+              if (isStrKey) {
+                val gs = filesExact.map { case (f, _) =>
+                  aggMan.get(relOf(f)) match {
+                    case Some((rows, cols)) =>
+                      cols.get(t.col) match {
+                        case Some(st) if st.sExact =>
+                          val bounds = for { a <- st.sMin; b <- st.sMax }
+                            yield {
+                              val u = UTF8String.fromBytes(a)
+                              val v = UTF8String.fromBytes(b)
+                              if (t.asc) (u, v) else (v, u)
+                            }
+                          (rows, st.nullCount, bounds)
+                        case _ => (rows, None,
+                          None: Option[(UTF8String, UTF8String)])
+                      }
+                    case None => (0L, None, None) // uncovered: keep
                   }
-                case None => (0L, None, None) // uncovered: keep
+                }
+                GraftParquet.topNKeep(t, gs)(
+                  if (t.asc) GraftParquet.utf8Ord
+                  else GraftParquet.utf8Ord.reverse)
+              } else {
+                val gs = filesExact.map { case (f, _) =>
+                  aggMan.get(relOf(f)) match {
+                    case Some((rows, cols)) =>
+                      cols.get(t.col) match {
+                        case Some(st) if st.mmExact =>
+                          val bounds = for {
+                            a <- st.min; b <- st.max
+                            if a != Long.MinValue && b != Long.MinValue
+                          } yield if (t.asc) (a, b) else (-b, -a)
+                          (rows, st.nullCount, bounds)
+                        case _ => (rows, None, None)
+                      }
+                    case None => (0L, None, None) // uncovered: keep
+                  }
+                }
+                GraftParquet.topNKeep(t, gs)
               }
-            }
-            GraftParquet.topNKeep(t, gs) match {
+            keepOpt match {
               case Some(keep) => filesExact.zip(keep)
                 .collect { case (fp, true) => fp }
               case None => filesExact

@@ -2490,10 +2490,11 @@ class GraftParquetSpec extends AnyFunSuite {
       .deleteRecursively(new java.io.File(work))
   }
 
-  test("manifest tier FALLS THROUGH to the footer tier when it " +
-      "cannot answer: string MIN/MAX over a committed table of " +
-      "engine-written files (manifest records no string extremes; " +
-      "the per-file exact-writer gate answers from footers)") {
+  test("string MIN/MAX over a committed engine-written table answers " +
+      "from the MANIFEST with zero file IO (whole-file poison); a " +
+      "PRE-FEATURE manifest (9-field lines, no string extremes) " +
+      "falls through to the footer tier instead of abandoning the " +
+      "pushdown") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import graft.operators.Maintenance
@@ -2523,22 +2524,99 @@ class GraftParquetSpec extends AnyFunSuite {
           .add("id", org.apache.spark.sql.types.LongType)
           .add("s", org.apache.spark.sql.types.StringType),
         Nil, None, None)
-      // the manifest covers every live file but records NO string
-      // extremes — before the fallthrough this pushdown was abandoned
-      val df = spark.read.format("graftpq").load(dir)
+      def strAgg() = spark.read.format("graftpq").load(dir)
         .agg(min(col("s")).as("mn"), max(col("s")).as("mx"),
           count(lit(1)).as("n"))
-      assert(batchScan(df).scan.description()
+      val want = Seq(
+        org.apache.spark.sql.Row("ev_000", "ev_036", 12000L))
+      // MANIFEST tier: the commit recorded exact string extremes
+      // behind the writer gate — poison every data file WHOLE and the
+      // string aggregate still answers from the log alone
+      val aggPath = java.nio.file.Paths.get(
+        Maintenance.aggStatsPath(dir))
+      val fullManifest = java.nio.file.Files.readString(aggPath)
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).getOrElse(Array.empty)
+        kids.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .toSeq ++ kids.filter(f => f.isDirectory &&
+            !f.getName.startsWith("_")).flatMap(walk)
+      }
+      val victims = walk(new java.io.File(dir))
+      assert(victims.nonEmpty)
+      val originals = victims.map(f =>
+        f -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+      for (f <- victims)
+        java.nio.file.Files.write(f.toPath,
+          Array.fill[Byte](f.length().toInt)(0x5a))
+      val poisoned = strAgg()
+      assert(batchScan(poisoned).scan.description()
+        .contains("PushedAggregation"))
+      assert(poisoned.collect().toSeq == want,
+        "string extremes must answer from the manifest alone")
+      // PRE-FEATURE manifest: strip the string fields back to the
+      // 9-field format older commits wrote — the manifest can no
+      // longer answer strings and must FALL THROUGH to the footer
+      // tier (restore the real files first: footers get read now)
+      for ((f, bytes) <- originals)
+        java.nio.file.Files.write(f.toPath, bytes)
+      java.nio.file.Files.writeString(aggPath,
+        fullManifest.linesIterator.map { ln =>
+          ln.split('\t').take(9).mkString("\t")
+        }.mkString("", "\n", "\n"))
+      val legacy = strAgg()
+      assert(batchScan(legacy).scan.description()
         .contains("PushedAggregation"),
         s"string agg must fall through to the footer tier:\n" +
-          batchScan(df).scan.description())
-      assert(df.collect().toSeq ==
-        Seq(org.apache.spark.sql.Row("ev_000", "ev_036", 12000L)))
-      // the int-backed family still answers from the MANIFEST alone
-      // (whole-file poison; only footers-by-path would die)
+          batchScan(legacy).scan.description())
+      assert(legacy.collect().toSeq == want)
+      // the int-backed family answers from the legacy manifest too
       val before = spark.read.format("graftpq").load(dir)
         .agg(min(col("id")).as("mn")).collect().toSeq
       assert(before == Seq(org.apache.spark.sql.Row(0L)))
+    } finally graft.streaming.WorkDirs
+      .deleteRecursively(new java.io.File(work))
+  }
+
+  test("FILE-level STRING TOP-N over a committed table: the " +
+      "manifest's exact string bounds drop whole files before any " +
+      "footer is read — non-surviving files poisoned WHOLE, the " +
+      "query still answers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Maintenance
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-graftpq-filetopnstr").toString
+    try {
+      val dir = s"$work/table"
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("skey", org.apache.spark.sql.types.StringType)
+        .add("id", org.apache.spark.sql.types.LongType)
+      // four single-file commits with disjoint sorted key ranges
+      for (part <- 0 until 4) {
+        val stage = s"$work/stage-$part"
+        graft.operators.ParquetWrite.writeDataFrame(
+          (part * 10000 until (part + 1) * 10000).map { k =>
+            (f"k$k%08d", k.toLong)
+          }.toDF("skey", "id").coalesce(1), stage, codec = 1,
+          rowGroupRows = 4096, pageRows = 4096)
+        Maintenance.commitStagedAppend(spark, dir, stage, schema,
+          Nil, None, None)
+      }
+      val base = spark.read.format("graftpq").load(dir)
+      // ASC head: only the first file's footer should ever be read —
+      // poison the other three WHOLE
+      val live = Maintenance.liveFileListing(dir).get.sorted
+      assert(live.size == 4)
+      for (rel <- live.tail) {
+        val f = new java.io.File(dir, rel)
+        java.nio.file.Files.write(f.toPath,
+          Array.fill[Byte](f.length().toInt)(0x5a))
+      }
+      val asc = base.orderBy(col("skey")).limit(10)
+      assert(batchScan(asc).scan.description().contains("PushedTopN"))
+      assert(asc.collect().map(_.getString(0)).toSeq ==
+        (0 until 10).map(k => f"k$k%08d"),
+        "head file alone must answer a string TOP-N")
     } finally graft.streaming.WorkDirs
       .deleteRecursively(new java.io.File(work))
   }
