@@ -2125,15 +2125,12 @@ object Maintenance {
     * over live names is itself metadata-scale).
     */
   def metadataCount(spark: SparkSession, tablePath: String): Long = {
-    import scala.jdk.CollectionConverters._
-    val conf = spark.sessionState.newHadoopConf()
     val live = listParquetFiles(new java.io.File(tablePath))
-    val raw = live.map { f =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally reader.close()
+    // one footer-tail read per file through the repo's own reader,
+    // overlapped on the bounded planning pool (a sequential sweep
+    // over a large table serializes O(files) round trips)
+    val raw = graft.sources.GraftParquet.planPar(live) { f =>
+      Seq(ParquetFooter.readTail(f.toPath).numRows)
     }.sum
     val dvDeleted = dvEntries(spark, tablePath, None).fold(0L) { dv =>
       // semi-join, not a giant isin literal: the live list can be large
@@ -2151,39 +2148,54 @@ object Maintenance {
     */
   def metadataMinMax(spark: SparkSession, tablePath: String,
       column0: String): Option[(Long, Double, Double, Long)] = {
-    import scala.jdk.CollectionConverters._
     val column = toPhysical(tablePath, column0) // footers are physical
     // a vector-deleted row may BE the min/max — exact-or-absent means
     // absent until the vectors are applied
     if (outstandingDvFiles(tablePath).nonEmpty) return None
-    val conf = spark.sessionState.newHadoopConf()
-    var (n, nulls) = (0L, 0L)
-    var (lo, hi) = (Double.PositiveInfinity, Double.NegativeInfinity)
-    var usable = true
-    for (f <- listParquetFiles(new java.io.File(tablePath)) if usable) {
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-      try for (b <- reader.getFooter.getBlocks.asScala if usable) {
-        n += b.getRowCount
-        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
-          case Some(c) =>
-            val st = c.getStatistics
-            if (st == null || !st.isNumNullsSet) usable = false
-            else {
-              nulls += st.getNumNulls
-              if (st.hasNonNullValue) (st.genericGetMin, st.genericGetMax) match {
-                case (l: Number, h: Number) =>
-                  lo = math.min(lo, l.doubleValue())
-                  hi = math.max(hi, h.doubleValue())
-                case _ => usable = false
-              } else if (st.getNumNulls < b.getRowCount) usable = false
+    // per-file partials from one footer-tail read each, overlapped on
+    // the bounded planning pool; the fold stays sequential and cheap
+    val perFile: Seq[(Long, Long, Double, Double, Boolean)] =
+      graft.sources.GraftParquet.planPar(
+          listParquetFiles(new java.io.File(tablePath))) { f =>
+        val footer = ParquetFooter.readTail(f.toPath)
+        var (n, nulls) = (0L, 0L)
+        var (lo, hi) =
+          (Double.PositiveInfinity, Double.NegativeInfinity)
+        var usable = true
+        for (rg <- footer.rowGroups if usable) {
+          n += rg.numRows
+          rg.columns.find(_.path == column) match {
+            case Some(c) => c.nullCount match {
+              case None => usable = false
+              case Some(nc) =>
+                nulls += nc
+                (c.minValue, c.maxValue) match {
+                  case (Some(mn), Some(mx))
+                      if Seq(1, 2, 4, 5).contains(c.physicalType) =>
+                    val l = ParquetFooter.statDouble(c.physicalType, mn)
+                    val h = ParquetFooter.statDouble(c.physicalType, mx)
+                    if (l.isNaN || h.isNaN) usable = false
+                    else {
+                      lo = math.min(lo, l)
+                      hi = math.max(hi, h)
+                    }
+                  // an all-null row group legitimately carries no
+                  // extremes and contributes nothing
+                  case (None, None) if nc == rg.numRows => ()
+                  case _ => usable = false // non-numeric or stat-less
+                }
             }
-          case None => usable = false
+            case None => usable = false
+          }
         }
-      } finally reader.close()
-    }
-    if (usable && hi >= lo) Some((n, lo, hi, nulls)) else None
+        Seq((n, nulls, lo, hi, usable))
+      }
+    if (perFile.exists(!_._5)) return None
+    val n = perFile.map(_._1).sum
+    val nulls = perFile.map(_._2).sum
+    val lo = (Double.PositiveInfinity +: perFile.map(_._3)).min
+    val hi = (Double.NegativeInfinity +: perFile.map(_._4)).max
+    if (hi >= lo) Some((n, lo, hi, nulls)) else None
   }
 
   // ---------------------------------------------------------------------
