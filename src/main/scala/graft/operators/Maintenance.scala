@@ -797,6 +797,20 @@ object Maintenance {
     }
   }
 
+  /** Remove a consumed stage dir AND its `…__stage` parent when that
+    * was the last stage in it — `File.delete()` on a directory
+    * succeeds only when empty, so a concurrent writer's live stage
+    * keeps the parent alive (no lock needed). Without this every
+    * staged commit litters an empty `<table>__stage/` sibling.
+    */
+  private def dropStage(stage: String): Unit = {
+    val f = new java.io.File(stage)
+    deleteRecursively(f)
+    Option(f.getParentFile)
+      .filter(_.getName.endsWith("__stage"))
+      .foreach(_.delete())
+  }
+
   /** Optimistically commit an append: stage the write OUTSIDE the lock
     * (the Spark job), then under the lock move the staged files into the
     * table with version-unique names and advance the version. Returns the
@@ -915,10 +929,10 @@ object Maintenance {
       // min=max stats, so partition keys prune like data columns; the
       // exact agg-stats manifest records alongside from the SAME footer
       // read (one tail per file, parallel — commits are the hot path).
-      recordCommitStats(spark, tablePath, committed)
+      recordFooterManifests(spark, tablePath, committed)
       writeVersion(tablePath, v)
       v
-    } finally deleteRecursively(new java.io.File(stage))
+    } finally dropStage(stage)
   }
 
   // ---------------------------------------------------------------------
@@ -1038,7 +1052,7 @@ object Maintenance {
                   bootstrap)
             }
             writeFileList(snapshotAddPath(tablePath, v), committedRel)
-            recordCommitStats(spark, tablePath, committed)
+            recordFooterManifests(spark, tablePath, committed)
             writeVersion(tablePath, v)
             Some(v)
           }
@@ -1049,7 +1063,7 @@ object Maintenance {
         committedV
         }
       }
-    } finally deleteRecursively(new java.io.File(stage))
+    } finally dropStage(stage)
   }
 
   /** Streaming reads of a committed table — the engine analogue of using a
@@ -1298,7 +1312,7 @@ object Maintenance {
 
   /** The pruning-range entries one already-read footer contributes to
     * `filestats.tsv` — shared by [[footerStats]] and the fused
-    * commit-time pass ([[recordCommitStats]]).
+    * commit-time pass ([[recordFooterManifests]]).
     */
   private def rangeStatsFromFooter(fileName: String,
       footer: ParquetFooter.PqFooter)
@@ -1462,7 +1476,7 @@ object Maintenance {
   }
 
   /** The agg-manifest lines one already-read footer contributes to
-    * the fused commit-time pass ([[recordCommitStats]]).
+    * the fused commit-time pass ([[recordFooterManifests]]).
     */
   private def aggLinesFromFooter(rel: String,
       footer: ParquetFooter.PqFooter): Seq[String] = {
@@ -1556,7 +1570,7 @@ object Maintenance {
     * driver-side loop — before this fusion every committed file's
     * footer was read twice (once per manifest).
     */
-  private def recordCommitStats(spark: SparkSession, tablePath: String,
+  private def recordFooterManifests(spark: SparkSession, tablePath: String,
       committed: Seq[java.nio.file.Path]): Unit = {
     val root = Paths.get(tablePath)
     val perFile = graft.sources.GraftParquet.planPar(committed) { p =>
@@ -2105,7 +2119,7 @@ object Maintenance {
               .map(f => root.relativize(f.toPath).toString))
           writeVersion(tablePath, v)
           names.size
-        } finally deleteRecursively(new java.io.File(stage))
+        } finally dropStage(stage)
       }
     }
 
@@ -2593,7 +2607,7 @@ object Maintenance {
           writeFileList(snapshotDeletePath(tablePath, v), affected)
           writeVersion(tablePath, v)
           DeleteResult(v, rowsDeleted, affected.size, total)
-        } finally deleteRecursively(new java.io.File(stage))
+        } finally dropStage(stage)
       }
     }
 
@@ -2711,7 +2725,7 @@ object Maintenance {
           writeFileList(snapshotUpdatePath(tablePath, v), affected)
           writeVersion(tablePath, v)
           UpdateResult(v, rowsUpdated, affected.size, total)
-        } finally deleteRecursively(new java.io.File(stage))
+        } finally dropStage(stage)
       }
     }
 
@@ -2929,7 +2943,7 @@ object Maintenance {
                 org.apache.spark.sql.types.StructType(evolvedFields))
             writeVersion(tablePath, v)
             MergeResult(v, rowsUpdated, rowsInserted, affected.size, total)
-          } finally deleteRecursively(new java.io.File(stage))
+          } finally dropStage(stage)
         }
       }
     }
@@ -3027,7 +3041,7 @@ object Maintenance {
               .map(f => root.relativize(f.toPath).toString))
           writeVersion(tablePath, v)
           candidates.size
-        } finally deleteRecursively(new java.io.File(stage))
+        } finally dropStage(stage)
       }
     }
 

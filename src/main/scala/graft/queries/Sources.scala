@@ -2953,7 +2953,13 @@ object Sources {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-pqstraggtbl-${graft.Tables.fingerprint(dir, "events")}")
       .getAbsolutePath
-    if (!new java.io.File(tmp, "_graft_log/version").exists()) {
+    // completeness marker stamped AFTER the last commit (the commit
+    // log's version file appears after the FIRST, so guarding on it
+    // would make a build interrupted between the two commits look
+    // complete forever)
+    val ok = new java.io.File(tmp, "_fixture_complete")
+    if (!ok.exists()) {
+      graft.streaming.WorkDirs.deleteRecursively(new java.io.File(tmp))
       val schema = new org.apache.spark.sql.types.StructType()
         .add("event_id", org.apache.spark.sql.types.LongType)
         .add("event_type", org.apache.spark.sql.types.StringType)
@@ -2972,6 +2978,7 @@ object Sources {
         graft.operators.Maintenance.commitStagedAppend(s, tmp, stage,
           schema, Nil, None, None)
       }
+      new java.io.FileOutputStream(ok).close()
     }
     tmp
   }

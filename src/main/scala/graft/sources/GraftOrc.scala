@@ -839,8 +839,8 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
       // (numberOfValues counts non-null), exact IntegerStatistics /
       // DateStatistics long bounds plus exact StringStatistics bounds
       // (truncated lower/upperBound stand-ins carry None — they may
-      // understate a stripe's span and must never dominate), each
-      // normalized to its rank domain
+      // understate a stripe's span and must never dominate), in
+      // NATURAL order (topNKeepLong/Str normalize to the rank domain)
       def tnStat(stripe: OrcStripe, i: Int)
           : (Long, Option[Long], Option[(Long, Long)],
              Option[(UTF8String, UTF8String)]) = topn match {
@@ -851,17 +851,11 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
             s <- sts.lift(id)
           } yield s
           val nulls = st.flatMap(_.nonNull).map(nn => stripe.rows - nn)
-          val bounds = for {
-            s <- st; a <- s.minL; b <- s.maxL
-            if a != Long.MinValue && b != Long.MinValue // DESC negate
-          } yield if (t.asc) (a, b) else (-b, -a)
+          val bounds = for { s <- st; a <- s.minL; b <- s.maxL }
+            yield (a, b)
           val boundsS = for {
             s <- st if s.exactS; a <- s.minS; b <- s.maxS
-          } yield {
-            val u = UTF8String.fromString(a)
-            val v = UTF8String.fromString(b)
-            if (t.asc) (u, v) else (v, u) // DESC: reversed ordering
-          }
+          } yield (UTF8String.fromString(a), UTF8String.fromString(b))
           (stripe.rows, nulls, bounds, boundsS)
         case None => (0L, None, None, None)
       }
@@ -960,13 +954,11 @@ private[sources] class GraftOrcScan(fullSchema: StructType,
           .exists(_.dataType == StringType)
         val keepOpt =
           if (isStr)
-            GraftParquet.topNKeep(t,
+            GraftParquet.topNKeepStr(t,
               pairs.map { case (_, (rows, nulls, _, s)) =>
-                (rows, nulls, s) })(
-              if (t.asc) GraftParquet.utf8Ord
-              else GraftParquet.utf8Ord.reverse)
+                (rows, nulls, s) })
           else
-            GraftParquet.topNKeep(t,
+            GraftParquet.topNKeepLong(t,
               pairs.map { case (_, (rows, nulls, l, _)) =>
                 (rows, nulls, l) })
         keepOpt match {

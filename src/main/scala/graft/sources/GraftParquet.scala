@@ -754,6 +754,34 @@ object GraftParquet {
   private[sources] val utf8Ord: Ordering[UTF8String] =
     (a: UTF8String, b: UTF8String) => a.compareTo(b)
 
+  /** [[topNKeep]] over sign-extended-long bounds in NATURAL (min,
+    * max) order — the Long.MinValue sentinel filter (statLong's
+    * decode-failure marker, which negation would corrupt) and the
+    * DESC negation live in this ONE place for every caller (row-group
+    * tier, file tier, ORC stripes).
+    */
+  private[sources] def topNKeepLong(t: PqTopN,
+      gs: Seq[(Long, Option[Long], Option[(Long, Long)])])
+      : Option[Array[Boolean]] =
+    topNKeep(t, gs.map { case (rows, nulls, b) =>
+      (rows, nulls, b
+        .filter { case (mn, mx) =>
+          mn != Long.MinValue && mx != Long.MinValue }
+        .map { case (mn, mx) => if (t.asc) (mn, mx) else (-mx, -mn) })
+    })
+
+  /** [[topNKeep]] over exact string bounds in NATURAL (min, max)
+    * order — the UTF8String rank ordering and the DESC bound swap in
+    * ONE place, mirroring [[topNKeepLong]].
+    */
+  private[sources] def topNKeepStr(t: PqTopN,
+      gs: Seq[(Long, Option[Long], Option[(UTF8String, UTF8String)])])
+      : Option[Array[Boolean]] =
+    topNKeep(t, gs.map { case (rows, nulls, b) =>
+      (rows, nulls,
+        b.map { case (mn, mx) => if (t.asc) (mn, mx) else (mx, mn) })
+    })(if (t.asc) utf8Ord else utf8Ord.reverse)
+
   /** The TOP-N group-dominance pass, shared by both formats and any
     * totally ordered rank domain (sign-extended longs for the
     * int-backed family, [[utf8Ord]] UTF8Strings for exact string
@@ -2758,47 +2786,31 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
         // foreign writers MAY truncate them (a truncated max
         // understates a group's span — unsound as a dominator), so
         // only groups from files behind the exact-writer gate carry
-        // bounds; every other group is kept and contributes nothing.
-        // DESC reverses the ordering with swapped bounds instead of
-        // the long path's negation.
-        val gs: Seq[(Long, Option[Long],
-            Option[(UTF8String, UTF8String)])] = ps.map { p =>
+        // bounds; every other group is kept and contributes nothing
+        GraftParquet.topNKeepStr(t, ps.map { p =>
           p.columns.find(_.path == t.col) match {
             case Some(c) if c.physicalType == 6 && p.exactStr =>
-              val mm = for { mn <- c.minValue; mx <- c.maxValue }
-                yield {
-                  val a = UTF8String.fromBytes(mn)
-                  val b = UTF8String.fromBytes(mx)
-                  if (t.asc) (a, b) else (b, a)
-                }
-              (p.rgRows, c.nullCount, mm)
+              (p.rgRows, c.nullCount,
+                for { mn <- c.minValue; mx <- c.maxValue }
+                  yield (UTF8String.fromBytes(mn),
+                    UTF8String.fromBytes(mx)))
             case Some(c) =>
               (p.rgRows, c.nullCount,
                 None: Option[(UTF8String, UTF8String)])
             case _ => (p.rgRows, None, None)
           }
-        }.toSeq
-        GraftParquet.topNKeep(t, gs)(
-          if (t.asc) GraftParquet.utf8Ord
-          else GraftParquet.utf8Ord.reverse)
+        }.toSeq)
       } else {
-        // per-group (rows, nulls, rank-domain bounds): DESC negates
-        // the bounds so dominance is always "hi < lo" in one domain
-        val gs: Seq[(Long, Option[Long], Option[(Long, Long)])] =
-          ps.map { p =>
-            p.columns.find(_.path == t.col) match {
-              case Some(c) if Set(1, 2).contains(c.physicalType) =>
-                val mm = for {
-                  mn <- c.minValue; mx <- c.maxValue
-                  a = ParquetFooter.statLong(c.physicalType, mn)
-                  b = ParquetFooter.statLong(c.physicalType, mx)
-                  if a != Long.MinValue && b != Long.MinValue // DESC neg
-                } yield if (t.asc) (a, b) else (-b, -a)
-                (p.rgRows, c.nullCount, mm)
-              case _ => (p.rgRows, None, None)
-            }
-          }.toSeq
-        GraftParquet.topNKeep(t, gs)
+        GraftParquet.topNKeepLong(t, ps.map { p =>
+          p.columns.find(_.path == t.col) match {
+            case Some(c) if Set(1, 2).contains(c.physicalType) =>
+              (p.rgRows, c.nullCount,
+                for { mn <- c.minValue; mx <- c.maxValue }
+                  yield (ParquetFooter.statLong(c.physicalType, mn),
+                    ParquetFooter.statLong(c.physicalType, mx)))
+            case _ => (p.rgRows, None, None)
+          }
+        }.toSeq)
       }
     keepOpt match {
       case None => all
@@ -2869,46 +2881,36 @@ private[sources] class GraftParquetScan(fullSchema: StructType,
               .flatMap(_._2.get(t.col)).take(1).toSeq.headOption
               .exists(_.physicalType == 6)
             val keepOpt: Option[Array[Boolean]] =
-              if (isStrKey) {
-                val gs = filesExact.map { case (f, _) =>
-                  aggMan.get(relOf(f)) match {
+              if (isStrKey)
+                GraftParquet.topNKeepStr(t, filesExact.map {
+                  case (f, _) => aggMan.get(relOf(f)) match {
                     case Some((rows, cols)) =>
                       cols.get(t.col) match {
                         case Some(st) if st.sExact =>
-                          val bounds = for { a <- st.sMin; b <- st.sMax }
-                            yield {
-                              val u = UTF8String.fromBytes(a)
-                              val v = UTF8String.fromBytes(b)
-                              if (t.asc) (u, v) else (v, u)
-                            }
-                          (rows, st.nullCount, bounds)
+                          (rows, st.nullCount,
+                            for { a <- st.sMin; b <- st.sMax }
+                              yield (UTF8String.fromBytes(a),
+                                UTF8String.fromBytes(b)))
                         case _ => (rows, None,
                           None: Option[(UTF8String, UTF8String)])
                       }
                     case None => (0L, None, None) // uncovered: keep
                   }
-                }
-                GraftParquet.topNKeep(t, gs)(
-                  if (t.asc) GraftParquet.utf8Ord
-                  else GraftParquet.utf8Ord.reverse)
-              } else {
-                val gs = filesExact.map { case (f, _) =>
-                  aggMan.get(relOf(f)) match {
+                })
+              else
+                GraftParquet.topNKeepLong(t, filesExact.map {
+                  case (f, _) => aggMan.get(relOf(f)) match {
                     case Some((rows, cols)) =>
                       cols.get(t.col) match {
                         case Some(st) if st.mmExact =>
-                          val bounds = for {
-                            a <- st.min; b <- st.max
-                            if a != Long.MinValue && b != Long.MinValue
-                          } yield if (t.asc) (a, b) else (-b, -a)
-                          (rows, st.nullCount, bounds)
+                          (rows, st.nullCount,
+                            for { a <- st.min; b <- st.max }
+                              yield (a, b))
                         case _ => (rows, None, None)
                       }
                     case None => (0L, None, None) // uncovered: keep
                   }
-                }
-                GraftParquet.topNKeep(t, gs)
-              }
+                })
             keepOpt match {
               case Some(keep) => filesExact.zip(keep)
                 .collect { case (fp, true) => fp }
